@@ -1,0 +1,251 @@
+"""The point-in-time feature extractor — the engine's flagship operator.
+
+Logical plan (all declarative until the single grouped-map kernel)::
+
+    transcripts scan
+      -> ts <= max(cutoffs) filter            (predicate pushdown to scan)
+      -> signal + eligibility columns          (whole-stage codegen)
+      -> groupBy(conv_id).applyInPandas(...)   (one Arrow batch per conv)
+      -> wide feature row per (conv_id, as_of)
+
+Scale notes
+-----------
+* The shuffle key is ``conv_id`` — the same key every other per-entity
+  operator uses, so plans that chain extraction with as-of joins or
+  sessionization reuse one exchange.
+* All cutoffs for a conversation are swept in ONE pass over its sorted
+  turns (prefix views of a single sort), so the cost is
+  O(turns + cutoffs * kernel) per entity, not O(turns * cutoffs).
+* Skewed giant conversations: see operators/skew.py (salted partial
+  pre-aggregation). The kernel itself is O(turns) with small constants.
+* Temporal-leakage safety is structural: the kernel receives only rows
+  with ts <= max(cutoff), and each per-cutoff computation slices
+  ts <= cutoff before anything else (verified by the perturbation
+  property test in tests/test_leakage.py).
+
+Reference lifecycle being re-expressed: Radiomics.extract_features
+(zrad/radiomics/extractor.py:71-155) + the per-patient joblib map
+(zrad/gui/rad_tab.py:36-117, 377-391) -> Spark tasks over conv groups.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .config import FeatureConfig
+from .kernels import firstorder, prep, shape, texture
+from .transcripts import with_signal
+
+ROLE_CODE = {"user": 0, "assistant": 1, "system": 2, "tool": 3}
+
+
+def feature_names(cfg: FeatureConfig) -> list[str]:
+    """Ordered output feature names for a config (suffix conventions per
+    zrad/radiomics/texture_aggregation.py:13-21)."""
+    names: list[str] = []
+    fam = cfg.families
+    if "stats" in fam:
+        names += list(firstorder.STATS_NAMES)
+    if "hist" in fam:
+        names += list(firstorder.HIST_NAMES)
+    if "ivh" in fam:
+        names += list(firstorder.IVH_NAMES)
+    if "local" in fam:
+        names += list(firstorder.LOCAL_NAMES)
+    if "shape" in fam:
+        names += list(shape.SHAPE_NAMES)
+    cm_sfx, d_sfx = cfg.cm_suffix, cfg.dim_suffix
+    if "glcm" in fam:
+        names += [f"{n}_{cm_sfx}" for n in texture.GLCM_NAMES]
+    if "glrlm" in fam:
+        names += [f"{n}_{cm_sfx}" for n in texture.GLRLM_NAMES]
+    if "glszm" in fam:
+        names += [f"{n}_{d_sfx}" for n in texture.GLSZM_NAMES]
+    if "gldzm" in fam:
+        names += [f"{n}_{d_sfx}" for n in texture.GLDZM_NAMES]
+    if "ngtdm" in fam:
+        names += [f"{n}_{d_sfx}" for n in texture.NGTDM_NAMES]
+    if "ngldm" in fam:
+        names += [f"{n}_{d_sfx}" for n in texture.NGLDM_NAMES]
+    return names
+
+
+def output_schema(cfg: FeatureConfig) -> T.StructType:
+    fields = [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("as_of", T.TimestampType(), False),
+        T.StructField("n_turns", T.LongType(), True),
+        T.StructField("n_eligible", T.LongType(), True),
+        T.StructField("n_bins", T.LongType(), True),
+    ]
+    fields += [T.StructField(n, T.DoubleType(), True) for n in feature_names(cfg)]
+    return T.StructType(fields)
+
+
+def compute_one(
+    ts_us: np.ndarray,
+    signal: np.ndarray,
+    eligible: np.ndarray,
+    role_codes: np.ndarray,
+    tool_mask: np.ndarray,
+    cfg: FeatureConfig,
+) -> dict:
+    """Feature vector for ONE (conversation, as_of) — the prepared arrays
+    are already cutoff-filtered and in stable (ts, turn_idx) order.
+
+    This is the analogue of Radiomics.extract_features on one RoiData
+    (zrad/radiomics/extractor.py:71-155): shared intermediates (masked
+    signal, grey levels, sessions) are prepared once and reused by every
+    requested family, like prepare_extraction_data
+    (zrad/radiomics/extraction_preparation.py:18-56).
+    """
+    out: dict = {}
+    n = ts_us.size
+    out["n_turns"] = int(n)
+
+    # intensity mask: signal where eligible else NaN (roi.py:88-119)
+    masked = prep.apply_eligibility(signal, eligible)
+    # resegmentation: range on raw signal, then outlier on current mask
+    masked = prep.resegment(masked, signal, cfg.intensity_range, cfg.outlier_sigma)
+    n_eligible = int(np.sum(~np.isnan(masked)))
+    out["n_eligible"] = n_eligible
+
+    names = feature_names(cfg)
+    if n_eligible < cfg.min_turns:
+        # min-turn guard: null features, not exceptions (masks.py:57-59)
+        out.update({k: np.nan for k in names})
+        out["n_bins"] = 0
+        return out
+
+    sessions = prep.sessionize(ts_us, cfg.gap_seconds)
+
+    # texture discretization (TextureDiscretizer, discretization.py:333-356);
+    # FBS anchors at the resegmentation lower bound when configured
+    if cfg.bin_size is not None:
+        anchor = cfg.intensity_range[0] if cfg.intensity_range else None
+        grey = prep.discretize_fbs(masked, cfg.bin_size, anchor)
+    elif cfg.n_bins is not None:
+        grey = prep.discretize_fbn(masked, cfg.n_bins)
+    else:
+        grey = masked  # direct: signal already small positive ints
+    valid_grey = grey[~np.isnan(grey)]
+    out["n_bins"] = int(np.unique(valid_grey).size) if valid_grey.size else 0
+
+    fam = cfg.families
+    if "stats" in fam:
+        out.update(firstorder.stats_features(masked))
+    if "hist" in fam:
+        out.update(firstorder.hist_features(grey))
+    if "ivh" in fam:
+        ivh_arr, lo, hi, step = prep.ivh_prepare(
+            masked,
+            cfg.ivh_method,
+            n_bins=cfg.ivh_n_bins,
+            bin_size=cfg.ivh_bin_size,
+            minimum=cfg.intensity_range[0] if cfg.intensity_range else None,
+        )
+        out.update(firstorder.ivh_features(ivh_arr, lo, hi, step))
+    if "local" in fam:
+        out.update(firstorder.local_features(signal, masked, cfg.local_radius))
+    if "shape" in fam:
+        out.update(shape.shape_features(ts_us, eligible, sessions, role_codes, tool_mask, masked))
+
+    args = (cfg.aggr_dim, cfg.aggr_method)
+    sw, sm = cfg.slice_weight, cfg.slice_median
+    cm_sfx, d_sfx = cfg.cm_suffix, cfg.dim_suffix
+    if "glcm" in fam:
+        vals = texture.glcm_features(grey, sessions, None, cfg.lags, sw, sm, *args)
+        out.update({f"{k}_{cm_sfx}": v for k, v in vals.items()})
+    if "glrlm" in fam:
+        vals = texture.glrlm_features(grey, sessions, eligible, cfg.aggr_dim, sw, sm)
+        out.update({f"{k}_{cm_sfx}": v for k, v in vals.items()})
+    if "glszm" in fam:
+        vals = texture.glszm_features(grey, sessions, eligible, cfg.aggr_dim, sw, sm)
+        out.update({f"{k}_{d_sfx}": v for k, v in vals.items()})
+    if "gldzm" in fam:
+        vals = texture.gldzm_features(grey, sessions, eligible, cfg.aggr_dim, sw, sm)
+        out.update({f"{k}_{d_sfx}": v for k, v in vals.items()})
+    if "ngtdm" in fam:
+        vals = texture.ngtdm_features(grey, sessions, cfg.aggr_dim, sw, sm)
+        out.update({f"{k}_{d_sfx}": v for k, v in vals.items()})
+    if "ngldm" in fam:
+        vals = texture.ngldm_features(grey, sessions, cfg.aggr_dim, sw, sm)
+        out.update({f"{k}_{d_sfx}": v for k, v in vals.items()})
+    return out
+
+
+def _make_kernel(cfg: FeatureConfig, cutoffs_us: list[int], columns: list[str]):
+    """Grouped-map kernel closure. The cutoff sweep shares one stable sort
+    per conversation; each cutoff sees a prefix (np.searchsorted on the
+    sorted ts axis)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # stable secondary sort — mergesort keeps (ts, turn_idx) ties stable
+        pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        signal = pdf["signal"].to_numpy(dtype=np.float64)
+        eligible = pdf["eligible"].to_numpy(dtype=bool)
+        role_codes = pdf["role_code"].to_numpy(dtype=np.int64)
+        tool_mask = pdf["has_tool"].to_numpy(dtype=bool)
+        conv_id = pdf["conv_id"].iloc[0]
+
+        rows = []
+        for cut in cutoffs_us:
+            hi = int(np.searchsorted(ts_us, cut, side="right"))
+            row = {"conv_id": conv_id, "as_of": np.datetime64(cut, "us")}
+            row.update(
+                compute_one(
+                    ts_us[:hi], signal[:hi], eligible[:hi], role_codes[:hi], tool_mask[:hi], cfg
+                )
+            )
+            rows.append(row)
+        return pd.DataFrame(rows, columns=columns)
+
+    return kernel
+
+
+def prepare_input(df: DataFrame, cfg: FeatureConfig) -> DataFrame:
+    """Attach signal / eligibility / role-code columns (pure JVM exprs)."""
+    df = with_signal(df, cfg.signal)
+    if cfg.eligible_roles is None:
+        elig = F.lit(True)
+    else:
+        elig = F.col("role").isin(*cfg.eligible_roles)
+    role_code = F.coalesce(
+        *[F.when(F.col("role") == k, F.lit(v)) for k, v in ROLE_CODE.items()],
+        F.lit(-1),
+    )
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        "signal",
+        elig.cast("boolean").alias("eligible"),
+        role_code.cast("long").alias("role_code"),
+        F.col("tool").isNotNull().alias("has_tool"),
+    )
+
+
+def extract_features(df: DataFrame, cfg: FeatureConfig, cutoffs: Iterable) -> DataFrame:
+    """Point-in-time feature vectors for every conversation at every cutoff.
+
+    ``cutoffs`` — iterable of timestamps (str / datetime / np.datetime64).
+    Returns one wide row per (conv_id, as_of).
+    """
+    cutoffs_us = sorted(int(np.datetime64(c, "us").astype(np.int64)) for c in cutoffs)
+    max_cut = np.datetime64(max(cutoffs_us), "us")
+
+    prepared = prepare_input(df, cfg)
+    # structural leakage guard + scan-level pruning: nothing after the last
+    # cutoff is ever read by the kernel
+    prepared = prepared.filter(F.col("ts") <= F.lit(max_cut.item()))
+
+    schema = output_schema(cfg)
+    kernel = _make_kernel(cfg, cutoffs_us, [f.name for f in schema.fields])
+    return prepared.groupBy("conv_id").applyInPandas(kernel, schema=schema)

@@ -1,0 +1,656 @@
+"""Texture-matrix kernels — 1-D temporal analogues of Z-Rad's families.
+
+The discretized grey-level vector of one conversation (stable (ts,
+turn_idx) order, NaN holes for ineligible turns) plays the role of the
+voxel volume; gap-delimited sessions play the role of slices; temporal
+lags play the role of spatial directions:
+
+* GLCM   — lag-k bigram co-occurrence (zrad/radiomics/glcm.py:36-509)
+* GLRLM  — runs of equal grey level     (zrad/radiomics/glrlm.py:28-318)
+* GLSZM  — zones == runs in 1-D         (zrad/radiomics/glszm.py:28-153)
+* GLDZM  — zones + distance-to-border   (zrad/radiomics/gldzm.py:28-159)
+* NGTDM  — neighbour grey-tone diff     (zrad/radiomics/ngtdm.py:17-257)
+* NGLDM  — neighbour dependence counts  (zrad/radiomics/ngldm.py:30-223)
+
+Aggregation semantics follow the reference exactly (glcm.py:437-509):
+"merge" sums count matrices BEFORE normalizing; "average" computes
+features per matrix then (weighted-)averages — the order is contractual.
+
+All matrices are tiny (lvl x lvl with lvl <= O(64)); every build is a
+vectorized np.add.at / bincount, never per-element Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .prep import border_distance
+
+GLCM_NAMES = (
+    "cm_joint_max",
+    "cm_joint_avg",
+    "cm_joint_var",
+    "cm_joint_entr",
+    "cm_diff_avg",
+    "cm_diff_var",
+    "cm_diff_entr",
+    "cm_sum_avg",
+    "cm_sum_var",
+    "cm_sum_entr",
+    "cm_energy",
+    "cm_contrast",
+    "cm_dissimilarity",
+    "cm_inv_diff",
+    "cm_inv_diff_norm",
+    "cm_inv_diff_mom",
+    "cm_inv_diff_mom_norm",
+    "cm_inv_var",
+    "cm_corr",
+    "cm_auto_corr",
+    "cm_clust_tend",
+    "cm_clust_shade",
+    "cm_clust_prom",
+    "cm_info_corr1",
+    "cm_info_corr2",
+)
+
+# shared 16-attribute reducer order (zrad/radiomics/texture_base.py:6-26)
+TEXTURE_ATTRS = (
+    "short_runs_emphasis",
+    "long_runs_emphasis",
+    "low_grey_level_run_emphasis",
+    "high_gr_lvl_emphasis",
+    "short_low_gr_lvl_emphasis",
+    "short_high_gr_lvl_emphasis",
+    "long_low_gr_lvl_emphasis",
+    "long_high_gr_lvl_emphasis",
+    "non_uniformity",
+    "norm_non_uniformity",
+    "length_non_uniformity",
+    "norm_length_non_uniformity",
+    "percentage",
+    "gr_lvl_var",
+    "length_var",
+    "entropy",
+)
+NGLDM_ATTRS = TEXTURE_ATTRS + ("energy",)
+
+GLRLM_NAMES = (
+    "rlm_sre",
+    "rlm_lre",
+    "rlm_lgre",
+    "rlm_hgre",
+    "rlm_srlge",
+    "rlm_srhge",
+    "rlm_lrlge",
+    "rlm_lrhge",
+    "rlm_glnu",
+    "rlm_glnu_norm",
+    "rlm_rlnu",
+    "rlm_rlnu_norm",
+    "rlm_r_perc",
+    "rlm_gl_var",
+    "rlm_rl_var",
+    "rlm_rl_entr",
+)
+GLSZM_NAMES = (
+    "szm_sze",
+    "szm_lze",
+    "szm_lgze",
+    "szm_hgze",
+    "szm_szlge",
+    "szm_szhge",
+    "szm_lzlge",
+    "szm_lzhge",
+    "szm_glnu",
+    "szm_glnu_norm",
+    "szm_zsnu",
+    "szm_zsnu_norm",
+    "szm_z_perc",
+    "szm_gl_var",
+    "szm_zs_var",
+    "szm_zs_entr",
+)
+GLDZM_NAMES = (
+    "dzm_sde",
+    "dzm_lde",
+    "dzm_lgze",
+    "dzm_hgze",
+    "dzm_sdlge",
+    "dzm_sdhge",
+    "dzm_ldlge",
+    "dzm_ldhge",
+    "dzm_glnu",
+    "dzm_glnu_norm",
+    "dzm_zdnu",
+    "dzm_zdnu_norm",
+    "dzm_z_perc",
+    "dzm_gl_var",
+    "dzm_zd_var",
+    "dzm_zd_entr",
+)
+NGTDM_NAMES = ("ngt_coarseness", "ngt_contrast", "ngt_busyness", "ngt_complexity", "ngt_strength")
+NGLDM_NAMES = (
+    "ngl_lde",
+    "ngl_hde",
+    "ngl_lgce",
+    "ngl_hgce",
+    "ngl_ldlge",
+    "ngl_ldhge",
+    "ngl_hdlge",
+    "ngl_hdhge",
+    "ngl_glnu",
+    "ngl_glnu_norm",
+    "ngl_dcnu",
+    "ngl_dcnu_norm",
+    "ngl_dc_perc",
+    "ngl_gl_var",
+    "ngl_dc_var",
+    "ngl_dc_entr",
+    "ngl_dc_energy",
+)
+
+SENTINEL = 1_000_000.0
+
+
+# --------------------------------------------------------------------------
+# GLCM
+# --------------------------------------------------------------------------
+
+
+def glcm_count_matrix(g: np.ndarray, lag: int, lvl: int, session: np.ndarray | None = None) -> np.ndarray:
+    """Symmetrized lag-k co-occurrence counts.
+
+    Pairs (g[i], g[i+lag]) where both finite; when ``session`` is given,
+    pairs must stay within one session (the per-slice analogue). Symmetrize
+    by adding the transpose (reference: glcm.py:163, 205-206).
+    """
+    m = np.zeros((lvl, lvl), dtype=np.float64)
+    if g.size <= lag:
+        return m
+    a, b = g[:-lag], g[lag:]
+    valid = ~np.isnan(a) & ~np.isnan(b)
+    if session is not None:
+        valid &= session[:-lag] == session[lag:]
+    if valid.any():
+        ai = a[valid].astype(np.int64)
+        bi = b[valid].astype(np.int64)
+        np.add.at(m, (ai, bi), 1.0)
+        np.add.at(m, (bi, ai), 1.0)
+    return m
+
+
+def glcm_feature_values(P: np.ndarray) -> dict:
+    """All 25 GLCM scalar reductions from a normalized probability matrix.
+
+    Vectorized equivalents of zrad/radiomics/glcm.py:211-420 — including the
+    O(lvl^2) info-corr loops (glcm.py:252-281), replaced by outer products.
+    """
+    lvl = P.shape[0]
+    i, j = np.indices(P.shape)
+    k_abs = np.abs(i - j).ravel()
+    k_sum = (i + j).ravel()
+    p_minus = np.bincount(k_abs, weights=P.ravel(), minlength=lvl)
+    p_plus = np.bincount(k_sum, weights=P.ravel(), minlength=2 * lvl - 1)
+    km = np.arange(p_minus.size)
+    kp = np.arange(p_plus.size)
+
+    joint_avg = float(np.sum(P * i))
+    diff_avg = float(np.sum(p_minus * km))
+    sum_avg = float(np.sum(p_plus * kp))
+
+    nz = P > 0
+    joint_entr = float(-np.sum(P[nz] * np.log2(P[nz])))
+    nzm = p_minus > 0
+    nzp = p_plus > 0
+
+    p_i = P.sum(axis=0)
+    idx = np.arange(lvl)
+    mu_i = float(np.sum(p_i * idx))
+    sigma_i2 = float(np.sum((idx - mu_i) ** 2 * p_i))
+    corr = np.nan if sigma_i2 == 0 else (float(np.sum(P * i * j)) - mu_i**2) / sigma_i2
+
+    n_g = lvl - 1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_diff_norm = np.nan if n_g == 0 else float(np.sum(P / (1 + np.abs(i - j) / n_g)))
+        inv_diff_mom_norm = np.nan if n_g == 0 else float(np.sum(p_minus / (1 + (km / n_g) ** 2)))
+
+    # information correlations (vectorized glcm.py:252-281)
+    outer = np.outer(p_i, p_i)
+    onz = outer > 0
+    hx = float(-np.sum(p_i[p_i > 0] * np.log2(p_i[p_i > 0])))
+    log_outer = np.zeros_like(outer)
+    log_outer[onz] = np.log2(outer[onz])
+    hxy1 = float(-np.sum(P[onz] * log_outer[onz]))
+    hxy2 = float(-np.sum(outer[onz] * log_outer[onz]))
+    info1 = np.nan if hx == 0 else (joint_entr - hxy1) / hx
+    with np.errstate(invalid="ignore"):
+        info2 = float(np.sqrt(1 - np.exp(-2 * (hxy2 - joint_entr))))
+
+    return {
+        "cm_joint_max": float(np.max(P)),
+        "cm_joint_avg": joint_avg,
+        "cm_joint_var": float(np.sum(P * (i - joint_avg) ** 2)),
+        "cm_joint_entr": joint_entr,
+        "cm_diff_avg": diff_avg,
+        "cm_diff_var": float(np.sum(p_minus * (km - diff_avg) ** 2)),
+        "cm_diff_entr": float(-np.sum(p_minus[nzm] * np.log2(p_minus[nzm]))),
+        "cm_sum_avg": sum_avg,
+        "cm_sum_var": float(np.sum(p_plus * (kp - sum_avg) ** 2)),
+        "cm_sum_entr": float(-np.sum(p_plus[nzp] * np.log2(p_plus[nzp]))),
+        "cm_energy": float(np.sum(P * P)),
+        "cm_contrast": float(np.sum(P * (i - j) ** 2)),
+        "cm_dissimilarity": float(np.sum(P * np.abs(i - j))),
+        "cm_inv_diff": float(np.sum(P / (1 + np.abs(i - j)))),
+        "cm_inv_diff_norm": inv_diff_norm,
+        "cm_inv_diff_mom": float(np.sum(p_minus / (1 + km**2))),
+        "cm_inv_diff_mom_norm": inv_diff_mom_norm,
+        "cm_inv_var": float(np.sum(p_minus[1:] / km[1:] ** 2)) if lvl > 1 else 0.0,
+        "cm_corr": corr,
+        "cm_auto_corr": float(np.sum(P * i * j)),
+        "cm_clust_tend": float(np.sum((i + j - 2 * mu_i) ** 2 * P)),
+        "cm_clust_shade": float(np.sum((i + j - 2 * mu_i) ** 3 * P)),
+        "cm_clust_prom": float(np.sum((i + j - 2 * mu_i) ** 4 * P)),
+        "cm_info_corr1": info1,
+        "cm_info_corr2": info2,
+    }
+
+
+def _normalize(m: np.ndarray) -> np.ndarray | None:
+    s = m.sum()
+    if s == 0:
+        return None
+    return m / s
+
+
+def _agg_dicts(dicts, names, weights=None, median=False):
+    """Feature-dict aggregation (reference: glcm.py:422-435,
+    texture_base.py:70-78)."""
+    if not dicts:
+        return {n: np.nan for n in names}
+    if median:
+        return {n: float(np.median([d[n] for d in dicts])) for n in names}
+    return {n: float(np.average([d[n] for d in dicts], weights=weights)) for n in names}
+
+
+def glcm_features(g, session, sess_counts, lags, slice_weight, slice_median, aggr_dim, aggr_method) -> dict:
+    """GLCM features with full aggregation-method support.
+
+    2D = per-(session, lag) matrices; 2.5D = merged across sessions;
+    3D = whole-conversation pairs (lags may cross session borders, like 3-D
+    directions cross slices). Reference dispatch: glcm.py:104-130.
+    """
+    finite = ~np.isnan(g)
+    if not finite.any():
+        return {n: np.nan for n in GLCM_NAMES}
+    lvl = int(np.nanmax(g)) + 1
+    total = int(finite.sum())
+
+    if aggr_dim == "3D":
+        mats = [glcm_count_matrix(g, lag, lvl) for lag in lags]
+        if aggr_method == "MERG":
+            P = _normalize(np.sum(mats, axis=0))
+            return glcm_feature_values(P) if P is not None else {n: np.nan for n in GLCM_NAMES}
+        dicts = [glcm_feature_values(P) for P in map(_normalize, mats) if P is not None]
+        return _agg_dicts(dicts, GLCM_NAMES)
+
+    # per-session matrices: sessions with no finite grey are skipped, like
+    # all-NaN slices (glcm.py:156-158)
+    sess_ids = [s for s in np.unique(session) if np.any(finite & (session == s))]
+    per_sess = []
+    weights_per_sess = []
+    for s in sess_ids:
+        seg = g[session == s]
+        per_sess.append([glcm_count_matrix(seg, lag, lvl) for lag in lags])
+        weights_per_sess.append(float(np.sum(~np.isnan(seg))) / total if slice_weight else 1.0)
+
+    if aggr_dim == "2.5D":
+        if aggr_method == "MERG":
+            P = _normalize(np.sum([m for row in per_sess for m in row], axis=0))
+            return glcm_feature_values(P) if P is not None else {n: np.nan for n in GLCM_NAMES}
+        # DIR_MERG: sum over sessions per lag, features per lag, plain mean
+        dicts = []
+        for li in range(len(lags)):
+            P = _normalize(np.sum([row[li] for row in per_sess], axis=0))
+            if P is not None:
+                dicts.append(glcm_feature_values(P))
+        return _agg_dicts(dicts, GLCM_NAMES)
+
+    # 2D
+    if slice_median and slice_weight:
+        raise ValueError("weighted median is not supported for texture aggregation")
+    dicts, weights = [], []
+    if aggr_method == "SLICE_MERG":
+        for row, w in zip(per_sess, weights_per_sess):
+            P = _normalize(np.sum(row, axis=0))
+            if P is not None:
+                dicts.append(glcm_feature_values(P))
+                weights.append(w)
+    else:  # AVER
+        for row, w in zip(per_sess, weights_per_sess):
+            for m in row:
+                P = _normalize(m)
+                if P is not None:
+                    dicts.append(glcm_feature_values(P))
+                    weights.append(w)
+    return _agg_dicts(dicts, GLCM_NAMES, None if slice_median else weights, median=slice_median)
+
+
+# --------------------------------------------------------------------------
+# shared 16(+energy) reducer for the run/zone/dependence families
+# --------------------------------------------------------------------------
+
+
+def matrix_feature_values(M: np.ndarray, voxel_count: float, include_energy: bool = False) -> dict:
+    """Vectorized port of TextureFeatureBase._matrix_feature_values
+    (zrad/radiomics/texture_base.py:40-214). M holds raw counts indexed
+    [grey_level, length-1]; zero-denominator cases yield NaN instead of the
+    reference's DataStructureError (scale contract: null rows, not
+    exceptions)."""
+    names = NGLDM_ATTRS if include_energy else TEXTURE_ATTRS
+    n_s = float(M.sum())
+    if n_s == 0 or voxel_count == 0:
+        return {n: np.nan for n in names}
+    i, j = np.indices(M.shape)
+    jl = (j + 1).astype(np.float64)
+    i_f = i.astype(np.float64)
+    nzi = i != 0
+
+    row = M.sum(axis=1)
+    col = M.sum(axis=0)
+    mu_i = float(np.sum(M * i_f / n_s))
+    mu_j = float(np.sum(M * j / n_s))
+    nzm = M != 0
+
+    out = {
+        "short_runs_emphasis": float(np.sum(M / jl**2) / n_s),
+        "long_runs_emphasis": float(np.sum(M * jl**2) / n_s),
+        "low_grey_level_run_emphasis": float(np.sum(M[nzi] / i_f[nzi] ** 2) / n_s),
+        "high_gr_lvl_emphasis": float(np.sum(M * i_f**2) / n_s),
+        "short_low_gr_lvl_emphasis": float(np.sum(M[nzi] / i_f[nzi] ** 2 / jl[nzi] ** 2) / n_s),
+        "short_high_gr_lvl_emphasis": float(np.sum(i_f**2 * M / jl**2) / n_s),
+        "long_low_gr_lvl_emphasis": float(np.sum(M[nzi] * jl[nzi] ** 2 / i_f[nzi] ** 2) / n_s),
+        "long_high_gr_lvl_emphasis": float(np.sum(M * jl**2 * i_f**2) / n_s),
+        "non_uniformity": float(np.sum(row**2) / n_s),
+        "norm_non_uniformity": float(np.sum(row**2) / n_s**2),
+        "length_non_uniformity": float(np.sum(col**2) / n_s),
+        "norm_length_non_uniformity": float(np.sum(col**2) / n_s**2),
+        "percentage": float(n_s / voxel_count),
+        "gr_lvl_var": float(np.sum((i_f - mu_i) ** 2 * (M / n_s))),
+        "length_var": float(np.sum((j - mu_j) ** 2 * (M / n_s))),
+        "entropy": float(-np.sum((M[nzm] / n_s) * np.log2(M[nzm] / n_s))),
+    }
+    if include_energy:
+        out["energy"] = float(np.sum((M[nzm] / n_s) ** 2))
+    return out
+
+
+def _pad_stack(mats: list[np.ndarray]) -> np.ndarray:
+    """Stack count matrices of differing widths by zero-padding columns."""
+    w = max(m.shape[1] for m in mats)
+    return np.stack([np.pad(m, ((0, 0), (0, w - m.shape[1]))) for m in mats])
+
+
+# --------------------------------------------------------------------------
+# runs (GLRLM + GLSZM zones + GLDZM zones)
+# --------------------------------------------------------------------------
+
+
+def find_runs(g: np.ndarray, session: np.ndarray):
+    """Runs of consecutive equal finite grey levels; NaN holes and session
+    borders break runs. Vectorized change-point detection — the same
+    diff/split algorithm as the reference's _rle_1d
+    (zrad/radiomics/glrlm.py:82-102).
+
+    Returns (levels, lengths, start_idx, end_idx) int64 arrays.
+    """
+    n = g.size
+    valid = ~np.isnan(g)
+    if not valid.any():
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, z
+    start = valid.copy()
+    if n > 1:
+        cont = valid[1:] & valid[:-1] & (session[1:] == session[:-1]) & (g[1:] == g[:-1])
+        start[1:] = valid[1:] & ~cont
+    idx = np.arange(n)
+    starts = idx[start]
+    # end of run r = (start of run r+1 scanning only valid positions) - gap
+    run_id = np.cumsum(start) - 1  # valid positions only meaningful
+    lengths = np.bincount(run_id[valid], minlength=starts.size)
+    ends = starts + lengths - 1
+    levels = g[starts].astype(np.int64)
+    return levels, lengths.astype(np.int64), starts, ends
+
+
+def rlm_matrix(levels, lengths, lvl, width=None) -> np.ndarray:
+    w = int(width if width is not None else (lengths.max() if lengths.size else 1))
+    m = np.zeros((lvl, w), dtype=np.float64)
+    if levels.size:
+        np.add.at(m, (levels, lengths - 1), 1.0)
+    return m
+
+
+def dzm_matrix(levels, starts, ends, dist, lvl, width=None) -> np.ndarray:
+    """GLDZM counts: zone -> (level, min border distance). In 1-D the min
+    distance over a contiguous run is min(dist[start], dist[end]) because
+    the in-segment distance profile is unimodal
+    (cf. zrad/radiomics/texture_base.py:329-364)."""
+    if levels.size == 0:
+        return np.zeros((lvl, 1), dtype=np.float64)
+    min_d = np.minimum(dist[starts], dist[ends]).astype(np.int64)
+    min_d = np.maximum(min_d, 1)
+    w = int(width if width is not None else min_d.max())
+    m = np.zeros((lvl, w), dtype=np.float64)
+    np.add.at(m, (levels, min_d - 1), 1.0)
+    return m
+
+
+def _zone_family(g, session, eligible, aggr_dim, slice_weight, slice_median, kind, voxel_scale_dirs=1):
+    """Shared driver for GLRLM / GLSZM / GLDZM (they differ only in the
+    matrix builder and the voxel-count normalization; reference dispatch:
+    glrlm.py:278-318, glszm.py:102-123, gldzm.py:?).
+
+    kind: 'rlm' | 'szm' | 'dzm'. In 1-D, zones coincide with runs, so SZM
+    shares the run machinery; this degeneracy is a property of the 1-D
+    connectivity (26-connectivity collapses to run adjacency).
+    """
+    finite = ~np.isnan(g)
+    names = {"rlm": GLRLM_NAMES, "szm": GLSZM_NAMES, "dzm": GLDZM_NAMES}[kind]
+    if not finite.any():
+        return {n: np.nan for n in names}
+    lvl = int(np.nanmax(g)) + 1
+    total = int(finite.sum())
+
+    whole_session = np.zeros_like(session) if aggr_dim == "3D" else session
+    if kind == "dzm":
+        dist = border_distance(eligible, whole_session)
+
+    def build(mask_sess=None):
+        if mask_sess is None:
+            seg, segsess, segdist = g, whole_session, dist if kind == "dzm" else None
+        else:
+            sel = session == mask_sess
+            seg, segsess = g[sel], session[sel]
+            segdist = dist[sel] if kind == "dzm" else None
+        levels, lengths, starts, ends = find_runs(seg, segsess)
+        if kind == "dzm":
+            return dzm_matrix(levels, starts, ends, segdist, lvl)
+        return rlm_matrix(levels, lengths, lvl)
+
+    if aggr_dim == "3D":
+        M = build()
+        vc = total * (voxel_scale_dirs if kind == "rlm" else 1)
+        return dict(zip(names, (matrix_feature_values(M, vc)[a] for a in TEXTURE_ATTRS)))
+
+    sess_ids = [s for s in np.unique(session) if np.any(finite & (session == s))]
+    mats = [build(s) for s in sess_ids]
+    counts = [float(np.sum(finite & (session == s))) for s in sess_ids]
+
+    if aggr_dim == "2.5D":
+        M = _pad_stack(mats).sum(axis=0)
+        vc = sum(counts) * (voxel_scale_dirs if kind == "rlm" else 1)
+        return dict(zip(names, (matrix_feature_values(M, vc)[a] for a in TEXTURE_ATTRS)))
+
+    # 2D: per-session features, weighted mean / median
+    if slice_median and slice_weight:
+        raise ValueError("weighted median is not supported for texture aggregation")
+    dicts = [matrix_feature_values(m, c) for m, c in zip(mats, counts)]
+    weights = [c / total if slice_weight else 1.0 for c in counts]
+    vals = _agg_dicts(dicts, TEXTURE_ATTRS, None if slice_median else weights, median=slice_median)
+    return dict(zip(names, (vals[a] for a in TEXTURE_ATTRS)))
+
+
+def glrlm_features(g, session, eligible, aggr_dim, slice_weight, slice_median) -> dict:
+    return _zone_family(g, session, eligible, aggr_dim, slice_weight, slice_median, "rlm")
+
+
+def glszm_features(g, session, eligible, aggr_dim, slice_weight, slice_median) -> dict:
+    return _zone_family(g, session, eligible, aggr_dim, slice_weight, slice_median, "szm")
+
+
+def gldzm_features(g, session, eligible, aggr_dim, slice_weight, slice_median) -> dict:
+    return _zone_family(g, session, eligible, aggr_dim, slice_weight, slice_median, "dzm")
+
+
+# --------------------------------------------------------------------------
+# NGTDM
+# --------------------------------------------------------------------------
+
+
+def ngtdm_matrix(g: np.ndarray, lvl: int) -> np.ndarray:
+    """(lvl, 2) matrix of [n_i, s_i]: counts and summed |level - local mean|
+    with the 1-D neighbourhood {i-1, i+1} (reference 3x3(x3) kernel with
+    center zeroed: zrad/radiomics/ngtdm.py:63-122)."""
+    n = g.size
+    valid = ~np.isnan(g)
+    f = np.where(valid, g, 0.0)
+    nb_sum = np.zeros(n)
+    nb_cnt = np.zeros(n)
+    if n > 1:
+        nb_sum[1:] += f[:-1]
+        nb_sum[:-1] += f[1:]
+        nb_cnt[1:] += valid[:-1]
+        nb_cnt[:-1] += valid[1:]
+    good = valid & (nb_cnt > 0)
+    m = np.zeros((lvl, 2), dtype=np.float64)
+    if good.any():
+        gi = g[good].astype(np.int64)
+        mean_nb = nb_sum[good] / nb_cnt[good]
+        m[:, 0] = np.bincount(gi, minlength=lvl)
+        m[:, 1] = np.bincount(gi, weights=np.abs(g[good] - mean_nb), minlength=lvl)
+    return m
+
+
+def ngtdm_feature_values(m: np.ndarray) -> dict:
+    """Vectorized NGTDM reductions (reference O(lvl^2) loops:
+    zrad/radiomics/ngtdm.py:124-188)."""
+    ncol = m[:, 0]
+    scol = m[:, 1]
+    n = float(ncol.sum())
+    if n == 0:
+        return {k: np.nan for k in NGTDM_NAMES}
+    lvl = m.shape[0]
+    i = np.arange(lvl, dtype=np.float64)
+    diff2 = np.subtract.outer(i, i) ** 2
+    nz = ncol != 0
+    n_g = float(nz.sum())
+
+    denum_coarse = float(np.sum(ncol * scol))
+    coarseness = SENTINEL if denum_coarse == 0 else n / denum_coarse
+
+    s1 = float(ncol @ diff2 @ ncol) / n**2
+    s2 = float(scol.sum())
+    denum_c = n_g * (n_g - 1) * n
+    contrast = 0.0 if denum_c == 0 else s1 * s2 / denum_c
+
+    num_busy = float(np.sum(ncol * scol)) / n
+    ini = i * ncol
+    busy_mat = np.abs(np.subtract.outer(ini[nz], ini[nz]))
+    denum_b = float(busy_mat.sum()) / n
+    busyness = 0.0 if denum_b == 0 else num_busy / denum_b
+
+    ns_nz = (ncol * scol)[nz]
+    n_nz = ncol[nz]
+    i_nz = i[nz]
+    pair_num = (np.add.outer(ns_nz, ns_nz)) * np.abs(np.subtract.outer(i_nz, i_nz)) / n
+    pair_den = np.add.outer(n_nz, n_nz) / n
+    complexity = float(np.sum(pair_num / pair_den)) / n
+
+    num_str = float(np.sum(np.add.outer(n_nz, n_nz) * np.subtract.outer(i_nz, i_nz) ** 2)) / n
+    strength = 0.0 if s2 == 0 else num_str / s2
+
+    return {
+        "ngt_coarseness": coarseness,
+        "ngt_contrast": contrast,
+        "ngt_busyness": busyness,
+        "ngt_complexity": complexity,
+        "ngt_strength": strength,
+    }
+
+
+def ngtdm_features(g, session, aggr_dim, slice_weight, slice_median) -> dict:
+    finite = ~np.isnan(g)
+    if not finite.any():
+        return {k: np.nan for k in NGTDM_NAMES}
+    lvl = int(np.nanmax(g)) + 1
+    total = int(finite.sum())
+    if aggr_dim == "3D":
+        return ngtdm_feature_values(ngtdm_matrix(g, lvl))
+    sess_ids = [s for s in np.unique(session) if np.any(finite & (session == s))]
+    mats = [ngtdm_matrix(g[session == s], lvl) for s in sess_ids]
+    if aggr_dim == "2.5D":
+        return ngtdm_feature_values(np.sum(mats, axis=0))
+    if slice_median and slice_weight:
+        raise ValueError("weighted median is not supported for texture aggregation")
+    counts = [float(np.sum(finite & (session == s))) for s in sess_ids]
+    dicts = [ngtdm_feature_values(m) for m in mats]
+    weights = [c / total if slice_weight else 1.0 for c in counts]
+    return _agg_dicts(dicts, NGTDM_NAMES, None if slice_median else weights, median=slice_median)
+
+
+# --------------------------------------------------------------------------
+# NGLDM
+# --------------------------------------------------------------------------
+
+
+def ngldm_matrix(g: np.ndarray, lvl: int) -> np.ndarray:
+    """(lvl, 3) dependence-count matrix: for each finite turn, the number of
+    {i-1, i+1} neighbours with an equal grey level (reference 3x3(x3)
+    equal-neighbour convolve: zrad/radiomics/ngldm.py:80-140)."""
+    n = g.size
+    valid = ~np.isnan(g)
+    dep = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        eq = valid[1:] & valid[:-1] & (g[1:] == g[:-1])
+        dep[1:] += eq
+        dep[:-1] += eq
+    m = np.zeros((lvl, 3), dtype=np.float64)
+    if valid.any():
+        np.add.at(m, (g[valid].astype(np.int64), dep[valid]), 1.0)
+    return m
+
+
+def ngldm_features(g, session, aggr_dim, slice_weight, slice_median) -> dict:
+    finite = ~np.isnan(g)
+    if not finite.any():
+        return {k: np.nan for k in NGLDM_NAMES}
+    lvl = int(np.nanmax(g)) + 1
+    total = int(finite.sum())
+
+    def to_named(vals):
+        return dict(zip(NGLDM_NAMES, (vals[a] for a in NGLDM_ATTRS)))
+
+    if aggr_dim == "3D":
+        return to_named(matrix_feature_values(ngldm_matrix(g, lvl), total, include_energy=True))
+    sess_ids = [s for s in np.unique(session) if np.any(finite & (session == s))]
+    mats = [ngldm_matrix(g[session == s], lvl) for s in sess_ids]
+    counts = [float(np.sum(finite & (session == s))) for s in sess_ids]
+    if aggr_dim == "2.5D":
+        return to_named(matrix_feature_values(np.sum(mats, axis=0), sum(counts), include_energy=True))
+    if slice_median and slice_weight:
+        raise ValueError("weighted median is not supported for texture aggregation")
+    dicts = [matrix_feature_values(m, c, include_energy=True) for m, c in zip(mats, counts)]
+    weights = [c / total if slice_weight else 1.0 for c in counts]
+    vals = _agg_dicts(dicts, NGLDM_ATTRS, None if slice_median else weights, median=slice_median)
+    return to_named(vals)
