@@ -1,38 +1,501 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Spark queries exercise z_rad_spark's operators over a transcripts table
+derived deterministically from the driver's ``events`` table (the same
+derivation is embedded in every DuckDB oracle, so both engines compute
+over identical rows — see z_rad_spark/transcripts.py).
+
+Conventions shared by every (query, oracle) pair so value-hashes match:
+floats rounded to 6 decimals on both sides, timestamps emitted as BIGINT
+epoch microseconds (Spark unix_micros == DuckDB epoch_us), counts cast to
+BIGINT, identical column names via explicit aliases.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from z_rad_spark.config import FeatureConfig
+from z_rad_spark.extractor import extract_features
+from z_rad_spark.operators import firstorder_sql
+from z_rad_spark.operators.asof import asof_state
+from z_rad_spark.operators.backfill import backfill
+from z_rad_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard, simhash
+from z_rad_spark.operators.sessionize import with_lag_lead, with_sessions
+from z_rad_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+from z_rad_spark.operators.text import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality,
+    with_token_counts,
+)
+from z_rad_spark.transcripts import load_transcripts, with_signal
+
+CUTOFFS = ["2024-01-08 00:00:00", "2024-01-15 00:00:00", "2024-01-22 00:00:00"]
+END = "2024-02-15 00:00:00"  # after all test data: "as of conversation end"
+GAP_SECONDS = 1800.0
+N_BINS = 5
+
+# ---------------------------------------------------------------------------
+# shared DuckDB fragments
+# ---------------------------------------------------------------------------
+
+# events -> transcripts (+ signal) — byte-compatible with
+# z_rad_spark.transcripts.from_events / with_signal("token_count")
+DUCK_T = """
+  SELECT 'c' || CAST(user_id AS STRING) AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         CASE WHEN event_type IN ('click','view') THEN 'user'
+              WHEN event_type = 'error' THEN 'system'
+              WHEN event_type = 'purchase' THEN 'tool'
+              ELSE 'assistant' END AS role,
+         TRIM(REPEAT(event_type || ' ', CAST(1 + ABS(CAST(FLOOR(value) AS INT)) % 9 AS INT))) AS text,
+         CASE WHEN event_type = 'purchase' THEN 'checkout'
+              WHEN event_type = 'signup' THEN 'register'
+              ELSE CAST(NULL AS STRING) END AS tool,
+         ts,
+         CAST(1 + ABS(CAST(FLOOR(value) AS INT)) % 9 AS DOUBLE) AS signal
+  FROM events
+"""
+
+DUCK_GRID = (
+    "(VALUES "
+    + ", ".join(f"(TIMESTAMP '{c}')" for c in CUTOFFS)
+    + ") grid_v(as_of)"
+)
+
+DUCK_NORM_DOC = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+DUCK_TOKS = f"string_split({DUCK_NORM_DOC}, ' ')"
+
+
+def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_signal(load_transcripts(spark, sf_dir), "token_count")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return e.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+
+
+def _r6(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Output normalization shared with the oracles: NaN -> NULL (SQL has
+    no NaN), round to 6dp, +0.0 to fold -0.0 into +0.0."""
+    for c in cols:
+        col = F.col(c).cast("double")
+        col = F.when(F.isnan(col), F.lit(None).cast("double")).otherwise(col)
+        df = df.withColumn(c, F.round(col, 6) + F.lit(0.0))
+    return df
+
+
+def _us(col: str, alias: str) -> F.Column:
+    # parquet timestamps load as TIMESTAMP_NTZ; session tz is UTC so the
+    # cast to TIMESTAMP is wall-clock-preserving and matches epoch_us
+    return F.unix_micros(F.col(col).cast("timestamp")).cast("long").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# queries: transcripts core
+# ---------------------------------------------------------------------------
+
+
+def q_transcripts(spark, sf_dir):
+    """Per-turn text equality + stable ordering check: the derived table."""
+    return _t(spark, sf_dir).select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "role",
+        "text",
+        "tool",
+        _us("ts", "ts_us"),
+        F.col("signal").cast("double").alias("token_count"),
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    s = with_sessions(_t(spark, sf_dir), GAP_SECONDS)
+    return _r6(
+        s.select(
+            "conv_id",
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            F.col("session_id").cast("int").alias("session_id"),
+            "gap_sec",
+        ),
+        ["gap_sec"],
+    )
+
+
+def q_lag_lead(spark, sf_dir):
+    s = with_lag_lead(_t(spark, sf_dir), ["signal"], offsets=(1, 2))
+    return s.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("signal").alias("tok"),
+        F.col("signal_lag1").alias("tok_lag1"),
+        F.col("signal_lead1").alias("tok_lead1"),
+        F.col("signal_lag2").alias("tok_lag2"),
+        F.col("signal_lead2").alias("tok_lead2"),
+        (F.col("signal") - F.col("signal_lag1")).alias("tok_delta"),
+    )
+
+
+def q_asof_state(spark, sf_dir):
+    out = asof_state(_t(spark, sf_dir), spark, CUTOFFS, ["signal", "role", "turn_idx"])
+    return out.select(
+        "conv_id",
+        _us("as_of", "as_of_us"),
+        F.col("signal").alias("last_tok"),
+        F.col("role").alias("last_role"),
+        F.col("turn_idx").cast("int").alias("last_turn_idx"),
+    )
+
+
+def q_backfill_nn(spark, sf_dir):
+    out = backfill(_t(spark, sf_dir), 86400, "signal", method="nn")
+    return out.select("conv_id", _us("grid_ts", "grid_us"), F.col("signal").alias("tok_locf"))
+
+
+def q_backfill_linear(spark, sf_dir):
+    out = backfill(_t(spark, sf_dir), 86400, "signal", method="linear")
+    return _r6(
+        out.select("conv_id", _us("grid_ts", "grid_us"), F.col("signal").alias("tok_lin")),
+        ["tok_lin"],
+    )
+
+
+def q_rollup(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return _r6(
+        t.groupBy("role", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum("signal").alias("tok_sum"),
+            F.avg("signal").alias("tok_avg"),
+        )
+        .select("role", _us("day", "day_us"), "n_turns", "tok_sum", "tok_avg"),
+        ["tok_sum", "tok_avg"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries: point-in-time feature families
+# ---------------------------------------------------------------------------
+
+_STATS_COLS = [
+    "stat_mean",
+    "stat_var",
+    "stat_skew",
+    "stat_kurt",
+    "stat_median",
+    "stat_min",
+    "stat_p10",
+    "stat_p90",
+    "stat_max",
+    "stat_iqr",
+    "stat_range",
+    "stat_mad",
+    "stat_rmad",
+    "stat_medad",
+    "stat_cov",
+    "stat_qcod",
+    "stat_energy",
+    "stat_rms",
+]
+
+
+def q_stats_asof(spark, sf_dir):
+    out = firstorder_sql.stats_asof(_t(spark, sf_dir), spark, CUTOFFS)
+    return _r6(
+        out.select("conv_id", _us("as_of", "as_of_us"), "n_turns", *_STATS_COLS), _STATS_COLS
+    )
+
+
+_HIST_COLS = [
+    "ih_mean",
+    "ih_var",
+    "ih_median",
+    "ih_min",
+    "ih_max",
+    "ih_entropy",
+    "ih_uniformity",
+    "ih_mode",
+    "ih_max_grad",
+    "ih_max_grad_g",
+    "ih_min_grad",
+    "ih_min_grad_g",
+]
+
+
+def q_hist_asof(spark, sf_dir):
+    out = firstorder_sql.hist_asof(_t(spark, sf_dir), spark, CUTOFFS, N_BINS)
+    return _r6(out.select("conv_id", _us("as_of", "as_of_us"), *_HIST_COLS), _HIST_COLS)
+
+
+def _extract(spark, sf_dir, families, **kw):
+    cfg = FeatureConfig(
+        families=families,
+        aggr_dim="3D",
+        aggr_method="MERG",
+        gap_seconds=GAP_SECONDS,
+        min_turns=1,
+        **kw,
+    )
+    return extract_features(_t(spark, sf_dir), cfg, [END])
+
+
+def q_glcm(spark, sf_dir):
+    cols = [
+        "cm_joint_max",
+        "cm_joint_avg",
+        "cm_joint_var",
+        "cm_joint_entr",
+        "cm_diff_avg",
+        "cm_diff_var",
+        "cm_diff_entr",
+        "cm_sum_avg",
+        "cm_sum_var",
+        "cm_sum_entr",
+        "cm_energy",
+        "cm_contrast",
+        "cm_dissimilarity",
+        "cm_inv_diff",
+        "cm_inv_diff_norm",
+        "cm_inv_diff_mom",
+        "cm_inv_diff_mom_norm",
+        "cm_inv_var",
+        "cm_corr",
+        "cm_auto_corr",
+        "cm_clust_tend",
+        "cm_clust_shade",
+        "cm_clust_prom",
+        "cm_info_corr1",
+        "cm_info_corr2",
+    ]
+    out = _extract(spark, sf_dir, ("glcm",), lags=(1,))
+    sel = [F.col(f"{c}_3D_comb").alias(c) for c in cols]
+    return _r6(out.select("conv_id", *sel), cols)
+
+
+def q_glrlm(spark, sf_dir):
+    cols = [
+        "rlm_sre",
+        "rlm_lre",
+        "rlm_lgre",
+        "rlm_hgre",
+        "rlm_srlge",
+        "rlm_srhge",
+        "rlm_lrlge",
+        "rlm_lrhge",
+        "rlm_glnu",
+        "rlm_glnu_norm",
+        "rlm_rlnu",
+        "rlm_rlnu_norm",
+        "rlm_r_perc",
+        "rlm_gl_var",
+        "rlm_rl_var",
+        "rlm_rl_entr",
+    ]
+    out = _extract(spark, sf_dir, ("glrlm",))
+    sel = [F.col(f"{c}_3D_comb").alias(c) for c in cols]
+    return _r6(out.select("conv_id", *sel), cols)
+
+
+def q_ngldm(spark, sf_dir):
+    cols = [
+        "ngl_lde",
+        "ngl_hde",
+        "ngl_lgce",
+        "ngl_hgce",
+        "ngl_ldlge",
+        "ngl_ldhge",
+        "ngl_hdlge",
+        "ngl_hdhge",
+        "ngl_glnu",
+        "ngl_glnu_norm",
+        "ngl_dcnu",
+        "ngl_dcnu_norm",
+        "ngl_dc_perc",
+        "ngl_gl_var",
+        "ngl_dc_var",
+        "ngl_dc_entr",
+        "ngl_dc_energy",
+    ]
+    out = _extract(spark, sf_dir, ("ngldm",))
+    sel = [F.col(f"{c}_3D").alias(c) for c in cols]
+    return _r6(out.select("conv_id", *sel), cols)
+
+
+def q_ngtdm(spark, sf_dir):
+    cols = ["ngt_coarseness", "ngt_contrast", "ngt_busyness", "ngt_complexity", "ngt_strength"]
+    out = _extract(spark, sf_dir, ("ngtdm",))
+    sel = [F.col(f"{c}_3D").alias(c) for c in cols]
+    return _r6(out.select("conv_id", *sel), cols)
+
+
+_SHAPE_COLS = [
+    "shape_n_turns",
+    "shape_duration_sec",
+    "shape_gap_mean",
+    "shape_gap_std",
+    "shape_gap_max",
+    "shape_n_sessions",
+    "shape_role_entropy",
+    "shape_tool_frac",
+]
+
+
+def q_shape(spark, sf_dir):
+    out = _extract(spark, sf_dir, ("shape",))
+    return _r6(out.select("conv_id", *_SHAPE_COLS), _SHAPE_COLS)
+
+
+def q_extract_full(spark, sf_dir):
+    """Flagship: every family at three cutoffs (rows-only driver check;
+    value-level parity is covered family-by-family above and by pytest)."""
+    cfg = FeatureConfig(eligible_roles=("user", "assistant", "tool"), gap_seconds=GAP_SECONDS)
+    return extract_features(_t(spark, sf_dir), cfg, CUTOFFS)
+
+
+# ---------------------------------------------------------------------------
+# queries: documents / embeddings pipeline ops
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir)).select(
+        "text_hash", F.col("keep_id").cast("long").alias("keep_id"), "dup_count"
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=3, n_hashes=8, band_size=4, max_bucket=64
+    ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    out = ngram_jaccard(_docs(spark, sf_dir), n=3, threshold=0.5)
+    return _r6(
+        out.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard"),
+        ["jaccard"],
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir), bits=16).select(
+        F.col("doc_id").cast("long"), F.col("simhash").cast("long")
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    out = with_quality(_docs(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("long"),
+        "n_chars_q",
+        "punct_ratio",
+        "digit_ratio",
+        "upper_ratio",
+        "mean_word_len",
+        "stopword_ratio",
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return with_lang_id(_docs(spark, sf_dir)).select(F.col("doc_id").cast("long"), "lang_pred")
+
+
+def q_token_stats(spark, sf_dir):
+    return with_token_counts(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "n_tokens_ws", "n_tokens_bpe"
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return with_fingerprint(_docs(spark, sf_dir), n=4).select(
+        F.col("doc_id").cast("long"), "fingerprint"
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk(emb, queries, k=5)
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("vec_id").cast("long"),
+        "cosine",
+        F.col("rank").cast("int"),
+    )
+
+
+def q_lsh_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = lsh_bucket_topk(emb, queries, dim=64, k=5)
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("vec_id").cast("long"),
+        "cosine",
+        F.col("rank").cast("int"),
+    )
+
+
+def q_media_features(spark, sf_dir):
+    from z_rad_spark.operators.multimodal import decode_features, synth_media
+
+    media = synth_media(spark, n=96, seed=5)
+    return decode_features(media).select(
+        F.col("media_id").cast("long"), "kind", "n_bytes", F.col("features")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_extract_full(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q_transcripts": q_transcripts,
+        "q_sessionize": q_sessionize,
+        "q_lag_lead": q_lag_lead,
+        "q_asof_state": q_asof_state,
+        "q_backfill_nn": q_backfill_nn,
+        "q_backfill_linear": q_backfill_linear,
+        "q_rollup": q_rollup,
+        "q_stats_asof": q_stats_asof,
+        "q_hist_asof": q_hist_asof,
+        "q_glcm": q_glcm,
+        "q_glrlm": q_glrlm,
+        "q_ngldm": q_ngldm,
+        "q_ngtdm": q_ngtdm,
+        "q_shape": q_shape,
+        "q_extract_full": q_extract_full,
+        "q_dedup_exact": q_dedup_exact,
+        "q_minhash_pairs": q_minhash_pairs,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_simhash": q_simhash,
+        "q_text_quality": q_text_quality,
+        "q_lang_id": q_lang_id,
+        "q_token_stats": q_token_stats,
+        "q_fingerprint": q_fingerprint,
+        "q_cosine_topk": q_cosine_topk,
+        "q_lsh_topk": q_lsh_topk,
+        "q_media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from oracle_sql_defs import ORACLES
+
+    return dict(ORACLES)

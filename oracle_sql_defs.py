@@ -1,0 +1,792 @@
+"""DuckDB oracle SQL for every SQL-expressible query in __spark_entry__.
+
+Each oracle embeds the SAME deterministic events->transcripts derivation
+the Spark engine uses (z_rad_spark/transcripts.py DERIVE_TRANSCRIPTS_SQL),
+so both engines compute over identical rows. Output conventions mirror
+the Spark side exactly: ROUND(x, 6) + 0 for doubles (the +0 normalizes
+-0.0), BIGINT epoch micros for timestamps, explicit casts for counts.
+
+Dialect notes vs Spark SQL (why these strings differ from the engine's
+expressions): DuckDB needs the 'g' flag on regexp_replace, CAST rounds
+double->int (so FLOOR first), '/' on integers is float division (so
+FLOOR + CAST), and quantile_cont replaces percentile.
+"""
+
+T = """
+  SELECT 'c' || CAST(user_id AS STRING) AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         CASE WHEN event_type IN ('click','view') THEN 'user'
+              WHEN event_type = 'error' THEN 'system'
+              WHEN event_type = 'purchase' THEN 'tool'
+              ELSE 'assistant' END AS role,
+         TRIM(REPEAT(event_type || ' ', CAST(1 + ABS(CAST(FLOOR(value) AS INT)) % 9 AS INT))) AS text,
+         CASE WHEN event_type = 'purchase' THEN 'checkout'
+              WHEN event_type = 'signup' THEN 'register'
+              ELSE CAST(NULL AS STRING) END AS tool,
+         ts,
+         CAST(1 + ABS(CAST(FLOOR(value) AS INT)) % 9 AS DOUBLE) AS signal
+  FROM events
+"""
+
+CUTOFFS = ["2024-01-08 00:00:00", "2024-01-15 00:00:00", "2024-01-22 00:00:00"]
+GRID = "(VALUES " + ", ".join(f"(TIMESTAMP '{c}')" for c in CUTOFFS) + ")"
+GAP = 1800
+N_BINS = 5
+
+NORM_DOC = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+TOKS_DOC = f"string_split({NORM_DOC}, ' ')"
+TOKS_RAW = "string_split_regex(lower(trim(text)), '\\s+')"
+
+_STOPWORDS = (
+    "'the','and','of','to','is',"
+    "'der','die','und','nicht','ist',"
+    "'le','la','et','les','est',"
+    "'el','que','de','es'"
+)
+# NOTE: 'la' appears in both fr and es marker lists; the flat stopword set
+# dedups it exactly like Spark's isin over the flattened list.
+
+
+def r6(expr: str, alias: str) -> str:
+    return f"ROUND(CAST({expr} AS DOUBLE), 6) + 0 AS {alias}"
+
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q_transcripts"] = f"""
+WITH t AS ({T})
+SELECT conv_id, turn_idx, role, text, tool,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       signal AS token_count
+FROM t
+"""
+
+ORACLES["q_sessionize"] = f"""
+WITH t AS ({T}),
+g AS (
+  SELECT conv_id, turn_idx,
+         CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS DOUBLE) / 1e6 AS gap_sec
+  FROM t
+)
+SELECT conv_id, turn_idx,
+       CAST(SUM(CASE WHEN gap_sec > {GAP} THEN 1 ELSE 0 END)
+            OVER (PARTITION BY conv_id ORDER BY turn_idx) AS INT) AS session_id,
+       {r6('gap_sec', 'gap_sec')}
+FROM g
+"""
+
+ORACLES["q_lag_lead"] = f"""
+WITH t AS ({T})
+SELECT conv_id, turn_idx,
+       signal AS tok,
+       LAG(signal, 1) OVER w AS tok_lag1,
+       LEAD(signal, 1) OVER w AS tok_lead1,
+       LAG(signal, 2) OVER w AS tok_lag2,
+       LEAD(signal, 2) OVER w AS tok_lead2,
+       signal - LAG(signal, 1) OVER w AS tok_delta
+FROM t
+WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+"""
+
+ORACLES["q_asof_state"] = f"""
+WITH t AS ({T}),
+convs AS (SELECT DISTINCT conv_id FROM t),
+probes AS (SELECT c.conv_id, g.as_of FROM convs c CROSS JOIN {GRID} g(as_of)),
+j AS (
+  SELECT p.conv_id, p.as_of, t.signal, t.role, t.turn_idx,
+         ROW_NUMBER() OVER (PARTITION BY p.conv_id, p.as_of ORDER BY t.ts DESC, t.turn_idx DESC) AS rn
+  FROM probes p LEFT JOIN t ON t.conv_id = p.conv_id AND t.ts <= p.as_of
+)
+SELECT conv_id, CAST(epoch_us(as_of) AS BIGINT) AS as_of_us,
+       signal AS last_tok, role AS last_role, CAST(turn_idx AS INT) AS last_turn_idx
+FROM j WHERE rn = 1
+"""
+
+_GRID_DAYS = f"""
+span AS (SELECT conv_id, date_trunc('minute', MIN(ts)) AS t0, MAX(ts) AS t1 FROM t GROUP BY conv_id),
+grid AS (SELECT conv_id, UNNEST(generate_series(t0, t1, INTERVAL 1 DAY)) AS grid_ts FROM span)
+"""
+
+ORACLES["q_backfill_nn"] = f"""
+WITH t AS ({T}),
+{_GRID_DAYS},
+j AS (
+  SELECT g.conv_id, g.grid_ts, t.signal,
+         ROW_NUMBER() OVER (PARTITION BY g.conv_id, g.grid_ts ORDER BY t.ts DESC, t.turn_idx DESC) AS rn
+  FROM grid g LEFT JOIN t ON t.conv_id = g.conv_id AND t.ts <= g.grid_ts
+)
+SELECT conv_id, CAST(epoch_us(grid_ts) AS BIGINT) AS grid_us, signal AS tok_locf
+FROM j WHERE rn = 1
+"""
+
+ORACLES["q_backfill_linear"] = f"""
+WITH t AS ({T}),
+{_GRID_DAYS},
+prev AS (
+  SELECT conv_id, grid_ts, signal AS pv, ts AS pt FROM (
+    SELECT g.conv_id, g.grid_ts, t.signal, t.ts,
+           ROW_NUMBER() OVER (PARTITION BY g.conv_id, g.grid_ts ORDER BY t.ts DESC, t.turn_idx DESC) AS rn
+    FROM grid g LEFT JOIN t ON t.conv_id = g.conv_id AND t.ts <= g.grid_ts
+  ) WHERE rn = 1
+),
+nxt AS (
+  SELECT conv_id, grid_ts, signal AS nv, ts AS nt FROM (
+    SELECT g.conv_id, g.grid_ts, t.signal, t.ts,
+           ROW_NUMBER() OVER (PARTITION BY g.conv_id, g.grid_ts ORDER BY t.ts ASC, t.turn_idx ASC) AS rn
+    FROM grid g LEFT JOIN t ON t.conv_id = g.conv_id AND t.ts > g.grid_ts
+  ) WHERE rn = 1
+),
+lin AS (
+  SELECT p.conv_id, p.grid_ts,
+         CASE WHEN p.pv IS NULL THEN n.nv
+              WHEN n.nv IS NULL THEN p.pv
+              WHEN epoch_us(n.nt) = epoch_us(p.pt) THEN p.pv
+              ELSE p.pv + (n.nv - p.pv) * CAST(epoch_us(p.grid_ts) - epoch_us(p.pt) AS DOUBLE)
+                                          / CAST(epoch_us(n.nt) - epoch_us(p.pt) AS DOUBLE)
+         END AS v
+  FROM prev p LEFT JOIN nxt n ON p.conv_id = n.conv_id AND p.grid_ts = n.grid_ts
+)
+SELECT conv_id, CAST(epoch_us(grid_ts) AS BIGINT) AS grid_us, {r6('v', 'tok_lin')}
+FROM lin
+"""
+
+ORACLES["q_rollup"] = f"""
+WITH t AS ({T})
+SELECT role, CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       {r6('SUM(signal)', 'tok_sum')},
+       {r6('AVG(signal)', 'tok_avg')}
+FROM t GROUP BY role, date_trunc('day', ts)
+"""
+
+ORACLES["q_stats_asof"] = f"""
+WITH t AS ({T}),
+rows_ AS (SELECT t.conv_id, g.as_of, t.signal AS x FROM t JOIN {GRID} g(as_of) ON t.ts <= g.as_of),
+basic AS (
+  SELECT conv_id, as_of,
+         CAST(COUNT(x) AS BIGINT) AS n,
+         AVG(x) AS mean, var_pop(x) AS var, MIN(x) AS mn, MAX(x) AS mx,
+         CAST(quantile_cont(x, 0.10) AS DOUBLE) AS p10,
+         CAST(quantile_cont(x, 0.25) AS DOUBLE) AS p25,
+         CAST(quantile_cont(x, 0.50) AS DOUBLE) AS med,
+         CAST(quantile_cont(x, 0.75) AS DOUBLE) AS p75,
+         CAST(quantile_cont(x, 0.90) AS DOUBLE) AS p90,
+         CAST(SUM(x * x) AS DOUBLE) AS energy,
+         SQRT(AVG(x * x)) AS rms
+  FROM rows_ GROUP BY conv_id, as_of
+),
+dev AS (
+  SELECT r.conv_id, r.as_of,
+         AVG(ABS(x - b.mean)) AS mad,
+         AVG(ABS(x - b.med)) AS medad,
+         AVG(POW(x - b.mean, 3)) AS m3,
+         AVG(POW(x - b.mean, 4)) AS m4
+  FROM rows_ r JOIN basic b USING (conv_id, as_of)
+  GROUP BY r.conv_id, r.as_of
+),
+tm AS (
+  SELECT r.conv_id, r.as_of, AVG(x) AS tmean
+  FROM rows_ r JOIN basic b USING (conv_id, as_of)
+  WHERE x >= b.p10 AND x <= b.p90
+  GROUP BY r.conv_id, r.as_of
+),
+rm AS (
+  SELECT r.conv_id, r.as_of, AVG(ABS(x - m.tmean)) AS rmad
+  FROM rows_ r JOIN basic b USING (conv_id, as_of) JOIN tm m USING (conv_id, as_of)
+  WHERE x >= b.p10 AND x <= b.p90
+  GROUP BY r.conv_id, r.as_of
+)
+SELECT b.conv_id, CAST(epoch_us(b.as_of) AS BIGINT) AS as_of_us, b.n AS n_turns,
+       {r6('b.mean', 'stat_mean')},
+       {r6('b.var', 'stat_var')},
+       {r6('CASE WHEN b.var = 0 THEN 0.0 ELSE d.m3 / POW(b.var, 1.5) END', 'stat_skew')},
+       {r6('CASE WHEN b.var = 0 THEN 0.0 ELSE d.m4 / (b.var * b.var) - 3 END', 'stat_kurt')},
+       {r6('b.med', 'stat_median')},
+       {r6('b.mn', 'stat_min')},
+       {r6('b.p10', 'stat_p10')},
+       {r6('b.p90', 'stat_p90')},
+       {r6('b.mx', 'stat_max')},
+       {r6('b.p75 - b.p25', 'stat_iqr')},
+       {r6('b.mx - b.mn', 'stat_range')},
+       {r6('d.mad', 'stat_mad')},
+       {r6('rm.rmad', 'stat_rmad')},
+       {r6('d.medad', 'stat_medad')},
+       {r6('CASE WHEN b.mean = 0 THEN 1000000.0 ELSE SQRT(b.var) / b.mean END', 'stat_cov')},
+       {r6('CASE WHEN b.p75 + b.p25 = 0 THEN 1000000.0 ELSE (b.p75 - b.p25) / (b.p75 + b.p25) END', 'stat_qcod')},
+       {r6('b.energy', 'stat_energy')},
+       {r6('b.rms', 'stat_rms')}
+FROM basic b JOIN dev d USING (conv_id, as_of) JOIN rm USING (conv_id, as_of)
+"""
+
+ORACLES["q_hist_asof"] = f"""
+WITH t AS ({T}),
+rows_ AS (SELECT t.conv_id, g.as_of, t.signal AS x FROM t JOIN {GRID} g(as_of) ON t.ts <= g.as_of),
+rng AS (
+  SELECT conv_id, as_of, x,
+         MIN(x) OVER w AS mn, MAX(x) OVER w AS mx
+  FROM rows_ WINDOW w AS (PARTITION BY conv_id, as_of)
+),
+g_ AS (
+  SELECT conv_id, as_of,
+         CASE WHEN mx = mn THEN 1.0
+              WHEN x = mx THEN {N_BINS}.0
+              ELSE FLOOR({N_BINS} * (x - mn) / (mx - mn)) + 1 END AS grey
+  FROM rng
+),
+counts AS (
+  SELECT conv_id, as_of, grey, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM g_ GROUP BY conv_id, as_of, grey
+),
+enriched AS (
+  SELECT conv_id, as_of, grey, c,
+         c / SUM(c) OVER wk AS p,
+         COUNT(*) OVER wk AS n_levels,
+         CASE WHEN LAG(c) OVER wl IS NULL AND LEAD(c) OVER wl IS NULL THEN NULL
+              WHEN LAG(c) OVER wl IS NULL THEN LEAD(c) OVER wl - c
+              WHEN LEAD(c) OVER wl IS NULL THEN c - LAG(c) OVER wl
+              ELSE (LEAD(c) OVER wl - LAG(c) OVER wl) / 2 END AS grad
+  FROM counts
+  WINDOW wk AS (PARTITION BY conv_id, as_of),
+         wl AS (PARTITION BY conv_id, as_of ORDER BY grey)
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, as_of ORDER BY c DESC, grey ASC) AS rn_mode,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, as_of ORDER BY grad DESC, grey ASC) AS rn_maxg,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, as_of ORDER BY grad ASC, grey ASC) AS rn_ming
+  FROM enriched
+),
+agg AS (
+  SELECT conv_id, as_of,
+         -SUM(p * LOG2(p)) AS ih_entropy,
+         SUM(p * p) AS ih_uniformity,
+         MAX(CASE WHEN rn_mode = 1 THEN grey END) AS ih_mode,
+         MAX(CASE WHEN rn_maxg = 1 AND n_levels > 1 THEN grad END) AS ih_max_grad,
+         MAX(CASE WHEN rn_maxg = 1 AND n_levels > 1 THEN grey END) AS ih_max_grad_g,
+         MAX(CASE WHEN rn_ming = 1 AND n_levels > 1 THEN grad END) AS ih_min_grad,
+         MAX(CASE WHEN rn_ming = 1 AND n_levels > 1 THEN grey END) AS ih_min_grad_g
+  FROM ranked GROUP BY conv_id, as_of
+),
+mom AS (
+  SELECT conv_id, as_of,
+         AVG(grey) AS ih_mean, var_pop(grey) AS ih_var,
+         CAST(quantile_cont(grey, 0.5) AS DOUBLE) AS ih_median,
+         MIN(grey) AS ih_min, MAX(grey) AS ih_max
+  FROM g_ GROUP BY conv_id, as_of
+)
+SELECT m.conv_id, CAST(epoch_us(m.as_of) AS BIGINT) AS as_of_us,
+       {r6('m.ih_mean', 'ih_mean')},
+       {r6('m.ih_var', 'ih_var')},
+       {r6('m.ih_median', 'ih_median')},
+       {r6('m.ih_min', 'ih_min')},
+       {r6('m.ih_max', 'ih_max')},
+       {r6('a.ih_entropy', 'ih_entropy')},
+       {r6('a.ih_uniformity', 'ih_uniformity')},
+       {r6('a.ih_mode', 'ih_mode')},
+       {r6('a.ih_max_grad', 'ih_max_grad')},
+       {r6('a.ih_max_grad_g', 'ih_max_grad_g')},
+       {r6('a.ih_min_grad', 'ih_min_grad')},
+       {r6('a.ih_min_grad_g', 'ih_min_grad_g')}
+FROM mom m JOIN agg a USING (conv_id, as_of)
+"""
+
+# --- texture families over the whole conversation (3D aggregation) --------
+
+_ORD = """
+ord AS (
+  SELECT conv_id, CAST(signal AS INT) AS g,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
+  FROM t
+),
+vox AS (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS vc, MAX(CAST(signal AS INT)) AS gmax FROM t GROUP BY conv_id)
+"""
+
+ORACLES["q_glcm"] = f"""
+WITH t AS ({T}),
+{_ORD},
+pairs0 AS (
+  SELECT conv_id, g AS a, LEAD(g) OVER (PARTITION BY conv_id ORDER BY rn) AS b
+  FROM ord
+),
+pairs AS (
+  SELECT conv_id, a, b FROM pairs0 WHERE b IS NOT NULL
+  UNION ALL
+  SELECT conv_id, b, a FROM pairs0 WHERE b IS NOT NULL
+),
+cells AS (
+  SELECT conv_id, a AS i, b AS j, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM pairs GROUP BY conv_id, a, b
+),
+tot AS (SELECT conv_id, SUM(c) AS s FROM cells GROUP BY conv_id),
+p AS (
+  SELECT cells.conv_id, i, j, c / tot.s AS p
+  FROM cells JOIN tot ON cells.conv_id = tot.conv_id
+),
+marg AS (SELECT conv_id, j AS k, SUM(p) AS pk FROM p GROUP BY conv_id, j),
+mu AS (SELECT conv_id, SUM(pk * k) AS mu_i FROM marg GROUP BY conv_id),
+sig AS (
+  SELECT m.conv_id, SUM(POW(m.k - u.mu_i, 2) * m.pk) AS sigma2
+  FROM marg m JOIN mu u ON m.conv_id = u.conv_id GROUP BY m.conv_id
+),
+hx AS (
+  SELECT conv_id, -SUM(CASE WHEN pk > 0 THEN pk * LOG2(pk) END) AS hx
+  FROM marg GROUP BY conv_id
+),
+pm AS (SELECT conv_id, ABS(i - j) AS k, SUM(p) AS pk FROM p GROUP BY conv_id, ABS(i - j)),
+pp AS (SELECT conv_id, i + j AS k, SUM(p) AS pk FROM p GROUP BY conv_id, i + j),
+pm_avg AS (SELECT conv_id, SUM(pk * k) AS diff_avg FROM pm GROUP BY conv_id),
+pp_avg AS (SELECT conv_id, SUM(pk * k) AS sum_avg FROM pp GROUP BY conv_id),
+pm_stats AS (
+  SELECT pm.conv_id,
+         SUM(pm.pk * POW(pm.k - a.diff_avg, 2)) AS diff_var,
+         -SUM(CASE WHEN pm.pk > 0 THEN pm.pk * LOG2(pm.pk) END) AS diff_entr,
+         SUM(pm.pk / (1 + pm.k * pm.k)) AS inv_diff_mom,
+         COALESCE(SUM(CASE WHEN pm.k > 0 THEN pm.pk / (pm.k * pm.k) END), 0) AS inv_var
+  FROM pm JOIN pm_avg a ON pm.conv_id = a.conv_id GROUP BY pm.conv_id
+),
+pm_norm AS (
+  SELECT pm.conv_id, SUM(pm.pk / (1 + POW(pm.k / v.gmax, 2))) AS inv_diff_mom_norm
+  FROM pm JOIN vox v ON pm.conv_id = v.conv_id GROUP BY pm.conv_id
+),
+pp_stats AS (
+  SELECT pp.conv_id,
+         SUM(pp.pk * POW(pp.k - a.sum_avg, 2)) AS sum_var,
+         -SUM(CASE WHEN pp.pk > 0 THEN pp.pk * LOG2(pp.pk) END) AS sum_entr
+  FROM pp JOIN pp_avg a ON pp.conv_id = a.conv_id GROUP BY pp.conv_id
+),
+base AS (
+  SELECT p.conv_id,
+         MAX(p.p) AS joint_max,
+         SUM(p.p * p.i) AS joint_avg,
+         -SUM(CASE WHEN p.p > 0 THEN p.p * LOG2(p.p) END) AS joint_entr,
+         SUM(p.p * p.p) AS energy,
+         SUM(p.p * POW(p.i - p.j, 2)) AS contrast,
+         SUM(p.p * ABS(p.i - p.j)) AS dissim,
+         SUM(p.p / (1 + ABS(p.i - p.j))) AS inv_diff,
+         SUM(p.p * p.i * p.j) AS auto_corr
+  FROM p GROUP BY p.conv_id
+),
+base2 AS (
+  SELECT p.conv_id,
+         SUM(p.p * POW(p.i - b.joint_avg, 2)) AS joint_var,
+         SUM(p.p / (1 + ABS(p.i - p.j) / v.gmax)) AS inv_diff_norm,
+         SUM(POW(p.i + p.j - 2 * u.mu_i, 2) * p.p) AS clust_tend,
+         SUM(POW(p.i + p.j - 2 * u.mu_i, 3) * p.p) AS clust_shade,
+         SUM(POW(p.i + p.j - 2 * u.mu_i, 4) * p.p) AS clust_prom
+  FROM p
+  JOIN base b ON p.conv_id = b.conv_id
+  JOIN mu u ON p.conv_id = u.conv_id
+  JOIN vox v ON p.conv_id = v.conv_id
+  GROUP BY p.conv_id
+),
+hxy1 AS (
+  SELECT p.conv_id, -SUM(p.p * LOG2(mi.pk * mj.pk)) AS hxy1
+  FROM p
+  JOIN marg mi ON p.conv_id = mi.conv_id AND p.i = mi.k
+  JOIN marg mj ON p.conv_id = mj.conv_id AND p.j = mj.k
+  WHERE mi.pk > 0 AND mj.pk > 0
+  GROUP BY p.conv_id
+),
+hxy2 AS (
+  SELECT mi.conv_id, -SUM(mi.pk * mj.pk * LOG2(mi.pk * mj.pk)) AS hxy2
+  FROM marg mi JOIN marg mj ON mi.conv_id = mj.conv_id
+  WHERE mi.pk > 0 AND mj.pk > 0
+  GROUP BY mi.conv_id
+)
+SELECT b.conv_id,
+       {r6('b.joint_max', 'cm_joint_max')},
+       {r6('b.joint_avg', 'cm_joint_avg')},
+       {r6('b2.joint_var', 'cm_joint_var')},
+       {r6('b.joint_entr', 'cm_joint_entr')},
+       {r6('pa.diff_avg', 'cm_diff_avg')},
+       {r6('ps.diff_var', 'cm_diff_var')},
+       {r6('ps.diff_entr', 'cm_diff_entr')},
+       {r6('qa.sum_avg', 'cm_sum_avg')},
+       {r6('qs.sum_var', 'cm_sum_var')},
+       {r6('qs.sum_entr', 'cm_sum_entr')},
+       {r6('b.energy', 'cm_energy')},
+       {r6('b.contrast', 'cm_contrast')},
+       {r6('b.dissim', 'cm_dissimilarity')},
+       {r6('b.inv_diff', 'cm_inv_diff')},
+       {r6('b2.inv_diff_norm', 'cm_inv_diff_norm')},
+       {r6('ps.inv_diff_mom', 'cm_inv_diff_mom')},
+       {r6('pn.inv_diff_mom_norm', 'cm_inv_diff_mom_norm')},
+       {r6('ps.inv_var', 'cm_inv_var')},
+       {r6('CASE WHEN sg.sigma2 = 0 THEN NULL ELSE (b.auto_corr - u.mu_i * u.mu_i) / sg.sigma2 END', 'cm_corr')},
+       {r6('b.auto_corr', 'cm_auto_corr')},
+       {r6('b2.clust_tend', 'cm_clust_tend')},
+       {r6('b2.clust_shade', 'cm_clust_shade')},
+       {r6('b2.clust_prom', 'cm_clust_prom')},
+       {r6('CASE WHEN h.hx = 0 THEN NULL ELSE (b.joint_entr - h1.hxy1) / h.hx END', 'cm_info_corr1')},
+       {r6('CASE WHEN 1 - EXP(-2 * (h2.hxy2 - b.joint_entr)) < 0 THEN NULL ELSE SQRT(1 - EXP(-2 * (h2.hxy2 - b.joint_entr))) END', 'cm_info_corr2')}
+FROM base b
+JOIN base2 b2 ON b.conv_id = b2.conv_id
+JOIN pm_avg pa ON b.conv_id = pa.conv_id
+JOIN pm_stats ps ON b.conv_id = ps.conv_id
+JOIN pm_norm pn ON b.conv_id = pn.conv_id
+JOIN pp_avg qa ON b.conv_id = qa.conv_id
+JOIN pp_stats qs ON b.conv_id = qs.conv_id
+JOIN mu u ON b.conv_id = u.conv_id
+JOIN sig sg ON b.conv_id = sg.conv_id
+JOIN hx h ON b.conv_id = h.conv_id
+JOIN hxy1 h1 ON b.conv_id = h1.conv_id
+JOIN hxy2 h2 ON b.conv_id = h2.conv_id
+"""
+
+ORACLES["q_glrlm"] = f"""
+WITH t AS ({T}),
+{_ORD},
+marked AS (
+  SELECT conv_id, g, rn,
+         CASE WHEN LAG(g) OVER (PARTITION BY conv_id ORDER BY rn) IS DISTINCT FROM g THEN 1 ELSE 0 END AS brk
+  FROM ord
+),
+runs0 AS (
+  SELECT conv_id, g, SUM(brk) OVER (PARTITION BY conv_id ORDER BY rn) AS run_id
+  FROM marked
+),
+runs AS (
+  SELECT conv_id, run_id, CAST(MIN(g) AS DOUBLE) AS lvl, CAST(COUNT(*) AS DOUBLE) AS len
+  FROM runs0 GROUP BY conv_id, run_id
+),
+ns AS (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS n_s,
+              AVG(lvl) AS mu_i, AVG(len - 1) AS mu_j FROM runs GROUP BY conv_id),
+simple AS (
+  SELECT r.conv_id,
+         AVG(1.0 / (r.len * r.len)) AS sre,
+         AVG(r.len * r.len) AS lre,
+         AVG(1.0 / (r.lvl * r.lvl)) AS lgre,
+         AVG(r.lvl * r.lvl) AS hgre,
+         AVG(1.0 / (r.lvl * r.lvl * r.len * r.len)) AS srlge,
+         AVG(r.lvl * r.lvl / (r.len * r.len)) AS srhge,
+         AVG(r.len * r.len / (r.lvl * r.lvl)) AS lrlge,
+         AVG(r.lvl * r.lvl * r.len * r.len) AS lrhge,
+         AVG(POW(r.lvl - n.mu_i, 2)) AS gl_var,
+         AVG(POW((r.len - 1) - n.mu_j, 2)) AS rl_var
+  FROM runs r JOIN ns n ON r.conv_id = n.conv_id GROUP BY r.conv_id
+),
+bylvl AS (
+  SELECT conv_id, lvl, CAST(COUNT(*) AS DOUBLE) AS c FROM runs GROUP BY conv_id, lvl
+),
+bylen AS (
+  SELECT conv_id, len, CAST(COUNT(*) AS DOUBLE) AS c FROM runs GROUP BY conv_id, len
+),
+bycell AS (
+  SELECT conv_id, lvl, len, CAST(COUNT(*) AS DOUBLE) AS c FROM runs GROUP BY conv_id, lvl, len
+),
+glnu AS (SELECT conv_id, SUM(c * c) AS v FROM bylvl GROUP BY conv_id),
+rlnu AS (SELECT conv_id, SUM(c * c) AS v FROM bylen GROUP BY conv_id),
+entr AS (
+  SELECT b.conv_id, -SUM((b.c / n.n_s) * LOG2(b.c / n.n_s)) AS v
+  FROM bycell b JOIN ns n ON b.conv_id = n.conv_id GROUP BY b.conv_id
+)
+SELECT s.conv_id,
+       {r6('s.sre', 'rlm_sre')},
+       {r6('s.lre', 'rlm_lre')},
+       {r6('s.lgre', 'rlm_lgre')},
+       {r6('s.hgre', 'rlm_hgre')},
+       {r6('s.srlge', 'rlm_srlge')},
+       {r6('s.srhge', 'rlm_srhge')},
+       {r6('s.lrlge', 'rlm_lrlge')},
+       {r6('s.lrhge', 'rlm_lrhge')},
+       {r6('g.v / n.n_s', 'rlm_glnu')},
+       {r6('g.v / (n.n_s * n.n_s)', 'rlm_glnu_norm')},
+       {r6('rl.v / n.n_s', 'rlm_rlnu')},
+       {r6('rl.v / (n.n_s * n.n_s)', 'rlm_rlnu_norm')},
+       {r6('n.n_s / v.vc', 'rlm_r_perc')},
+       {r6('s.gl_var', 'rlm_gl_var')},
+       {r6('s.rl_var', 'rlm_rl_var')},
+       {r6('e.v', 'rlm_rl_entr')}
+FROM simple s
+JOIN ns n ON s.conv_id = n.conv_id
+JOIN vox v ON s.conv_id = v.conv_id
+JOIN glnu g ON s.conv_id = g.conv_id
+JOIN rlnu rl ON s.conv_id = rl.conv_id
+JOIN entr e ON s.conv_id = e.conv_id
+"""
+
+ORACLES["q_ngldm"] = f"""
+WITH t AS ({T}),
+{_ORD},
+deps AS (
+  SELECT conv_id, CAST(g AS DOUBLE) AS lvl,
+         CAST(CASE WHEN LAG(g) OVER w = g THEN 1 ELSE 0 END
+            + CASE WHEN LEAD(g) OVER w = g THEN 1 ELSE 0 END AS DOUBLE) AS dep
+  FROM ord
+  WINDOW w AS (PARTITION BY conv_id ORDER BY rn)
+),
+ns AS (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS n_s,
+              AVG(lvl) AS mu_i, AVG(dep) AS mu_j FROM deps GROUP BY conv_id),
+simple AS (
+  SELECT d.conv_id,
+         AVG(1.0 / POW(d.dep + 1, 2)) AS lde,
+         AVG(POW(d.dep + 1, 2)) AS hde,
+         AVG(1.0 / (d.lvl * d.lvl)) AS lgce,
+         AVG(d.lvl * d.lvl) AS hgce,
+         AVG(1.0 / (d.lvl * d.lvl * POW(d.dep + 1, 2))) AS ldlge,
+         AVG(d.lvl * d.lvl / POW(d.dep + 1, 2)) AS ldhge,
+         AVG(POW(d.dep + 1, 2) / (d.lvl * d.lvl)) AS hdlge,
+         AVG(POW(d.dep + 1, 2) * d.lvl * d.lvl) AS hdhge,
+         AVG(POW(d.lvl - n.mu_i, 2)) AS gl_var,
+         AVG(POW(d.dep - n.mu_j, 2)) AS dc_var
+  FROM deps d JOIN ns n ON d.conv_id = n.conv_id GROUP BY d.conv_id
+),
+bylvl AS (SELECT conv_id, lvl, CAST(COUNT(*) AS DOUBLE) AS c FROM deps GROUP BY conv_id, lvl),
+bydep AS (SELECT conv_id, dep, CAST(COUNT(*) AS DOUBLE) AS c FROM deps GROUP BY conv_id, dep),
+bycell AS (SELECT conv_id, lvl, dep, CAST(COUNT(*) AS DOUBLE) AS c FROM deps GROUP BY conv_id, lvl, dep),
+glnu AS (SELECT conv_id, SUM(c * c) AS v FROM bylvl GROUP BY conv_id),
+dcnu AS (SELECT conv_id, SUM(c * c) AS v FROM bydep GROUP BY conv_id),
+entr AS (
+  SELECT b.conv_id,
+         -SUM((b.c / n.n_s) * LOG2(b.c / n.n_s)) AS e,
+         SUM(POW(b.c / n.n_s, 2)) AS energy
+  FROM bycell b JOIN ns n ON b.conv_id = n.conv_id GROUP BY b.conv_id
+)
+SELECT s.conv_id,
+       {r6('s.lde', 'ngl_lde')},
+       {r6('s.hde', 'ngl_hde')},
+       {r6('s.lgce', 'ngl_lgce')},
+       {r6('s.hgce', 'ngl_hgce')},
+       {r6('s.ldlge', 'ngl_ldlge')},
+       {r6('s.ldhge', 'ngl_ldhge')},
+       {r6('s.hdlge', 'ngl_hdlge')},
+       {r6('s.hdhge', 'ngl_hdhge')},
+       {r6('g.v / n.n_s', 'ngl_glnu')},
+       {r6('g.v / (n.n_s * n.n_s)', 'ngl_glnu_norm')},
+       {r6('dc.v / n.n_s', 'ngl_dcnu')},
+       {r6('dc.v / (n.n_s * n.n_s)', 'ngl_dcnu_norm')},
+       {r6('n.n_s / v.vc', 'ngl_dc_perc')},
+       {r6('s.gl_var', 'ngl_gl_var')},
+       {r6('s.dc_var', 'ngl_dc_var')},
+       {r6('e.e', 'ngl_dc_entr')},
+       {r6('e.energy', 'ngl_dc_energy')}
+FROM simple s
+JOIN ns n ON s.conv_id = n.conv_id
+JOIN vox v ON s.conv_id = v.conv_id
+JOIN glnu g ON s.conv_id = g.conv_id
+JOIN dcnu dc ON s.conv_id = dc.conv_id
+JOIN entr e ON s.conv_id = e.conv_id
+"""
+
+ORACLES["q_ngtdm"] = f"""
+WITH t AS ({T}),
+{_ORD},
+nbr AS (
+  SELECT conv_id, g,
+         COALESCE(CAST(LAG(g) OVER w AS DOUBLE), 0) + COALESCE(CAST(LEAD(g) OVER w AS DOUBLE), 0) AS nb_sum,
+         (CASE WHEN LAG(g) OVER w IS NULL THEN 0 ELSE 1 END
+        + CASE WHEN LEAD(g) OVER w IS NULL THEN 0 ELSE 1 END) AS nb_cnt
+  FROM ord
+  WINDOW w AS (PARTITION BY conv_id ORDER BY rn)
+),
+lvl AS (
+  SELECT conv_id, CAST(g AS DOUBLE) AS i,
+         CAST(COUNT(*) AS DOUBLE) AS n_i,
+         SUM(ABS(g - nb_sum / nb_cnt)) AS s_i
+  FROM nbr WHERE nb_cnt > 0
+  GROUP BY conv_id, g
+),
+tots AS (
+  SELECT conv_id, SUM(n_i) AS n, CAST(COUNT(*) AS DOUBLE) AS n_g,
+         SUM(s_i) AS s2, SUM(n_i * s_i) AS ns
+  FROM lvl GROUP BY conv_id
+),
+pairs AS (
+  SELECT a.conv_id,
+         SUM(a.n_i * b.n_i * POW(a.i - b.i, 2)) AS q_contrast,
+         SUM(ABS(a.i * a.n_i - b.i * b.n_i)) AS q_busy,
+         SUM((a.n_i * a.s_i + b.n_i * b.s_i) * ABS(a.i - b.i) / ((a.n_i + b.n_i))) AS q_compl,
+         SUM((a.n_i + b.n_i) * POW(a.i - b.i, 2)) AS q_strength
+  FROM lvl a JOIN lvl b ON a.conv_id = b.conv_id
+  GROUP BY a.conv_id
+)
+SELECT t2.conv_id,
+       {r6('CASE WHEN t2.ns = 0 THEN 1000000.0 ELSE t2.n / t2.ns END', 'ngt_coarseness')},
+       {r6('CASE WHEN t2.n_g * (t2.n_g - 1) * t2.n = 0 THEN 0.0 ELSE (p.q_contrast / (t2.n * t2.n)) * t2.s2 / (t2.n_g * (t2.n_g - 1) * t2.n) END', 'ngt_contrast')},
+       {r6('CASE WHEN p.q_busy = 0 THEN 0.0 ELSE (t2.ns / t2.n) / (p.q_busy / t2.n) END', 'ngt_busyness')},
+       {r6('(p.q_compl / t2.n) ', 'ngt_complexity')},
+       {r6('CASE WHEN t2.s2 = 0 THEN 0.0 ELSE (p.q_strength / t2.n) / t2.s2 END', 'ngt_strength')}
+FROM tots t2 JOIN pairs p ON t2.conv_id = p.conv_id
+"""
+
+ORACLES["q_shape"] = f"""
+WITH t AS ({T}),
+gaps AS (
+  SELECT conv_id,
+         CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS DOUBLE) / 1e6 AS gap
+  FROM t
+),
+base AS (
+  SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS n_turns,
+         CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS DOUBLE) / 1e6 AS dur,
+         AVG(CASE WHEN tool IS NOT NULL THEN 1.0 ELSE 0.0 END) AS tool_frac
+  FROM t GROUP BY conv_id
+),
+gs AS (
+  SELECT conv_id, AVG(gap) AS gap_mean, stddev_pop(gap) AS gap_std, MAX(gap) AS gap_max,
+         1 + SUM(CASE WHEN gap > {GAP} THEN 1 ELSE 0 END) AS n_sessions
+  FROM gaps GROUP BY conv_id
+),
+re AS (
+  SELECT conv_id, -SUM(p * LOG2(p)) AS role_entropy FROM (
+    SELECT conv_id, CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY conv_id) AS p
+    FROM t GROUP BY conv_id, role
+  ) GROUP BY conv_id
+)
+SELECT b.conv_id,
+       {r6('b.n_turns', 'shape_n_turns')},
+       {r6('b.dur', 'shape_duration_sec')},
+       {r6('g.gap_mean', 'shape_gap_mean')},
+       {r6('g.gap_std', 'shape_gap_std')},
+       {r6('g.gap_max', 'shape_gap_max')},
+       {r6('g.n_sessions', 'shape_n_sessions')},
+       {r6('r.role_entropy', 'shape_role_entropy')},
+       {r6('b.tool_frac', 'shape_tool_frac')}
+FROM base b JOIN gs g ON b.conv_id = g.conv_id JOIN re r ON b.conv_id = r.conv_id
+"""
+
+# --- documents / embeddings ------------------------------------------------
+
+ORACLES["q_dedup_exact"] = f"""
+SELECT md5({NORM_DOC}) AS text_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+_SHINGLES3 = f"""
+toks AS (SELECT doc_id, {TOKS_DOC} AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(generate_series(1, len(tk) - 2),
+                               i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingle
+  FROM toks WHERE len(tk) >= 3
+)
+"""
+
+ORACLES["q_minhash_pairs"] = f"""
+WITH {_SHINGLES3},
+mh AS (
+  SELECT doc_id, p AS perm,
+         MIN(md5(CAST(p AS STRING) || '|' || shingle)) AS minhash
+  FROM (SELECT doc_id, shingle, UNNEST(generate_series(0, 7)) AS p FROM sh)
+  GROUP BY doc_id, p
+),
+banded AS (
+  SELECT doc_id, CAST(FLOOR(perm / 4) AS INT) AS band,
+         MAX(CASE WHEN perm % 4 = 0 THEN minhash END) || ',' ||
+         MAX(CASE WHEN perm % 4 = 1 THEN minhash END) || ',' ||
+         MAX(CASE WHEN perm % 4 = 2 THEN minhash END) || ',' ||
+         MAX(CASE WHEN perm % 4 = 3 THEN minhash END) AS band_key
+  FROM mh GROUP BY doc_id, CAST(FLOOR(perm / 4) AS INT)
+),
+sizes AS (SELECT band, band_key, COUNT(*) AS c FROM banded GROUP BY band, band_key),
+small AS (
+  SELECT banded.* FROM banded JOIN sizes USING (band, band_key) WHERE sizes.c <= 64
+)
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
+FROM small a JOIN small b USING (band, band_key)
+WHERE a.doc_id < b.doc_id
+"""
+
+ORACLES["q_ngram_jaccard"] = f"""
+WITH {_SHINGLES3},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS DOUBLE) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       {r6('n_common / (sa.n_sh + sb.n_sh - n_common)', 'jaccard')}
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+"""
+
+ORACLES["q_simhash"] = f"""
+WITH toks AS (
+  SELECT doc_id, md5(UNNEST({TOKS_DOC})) AS h FROM documents
+),
+bits AS (
+  SELECT doc_id, h, UNNEST(generate_series(0, 15)) AS bit FROM toks
+),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(
+           (CAST(FLOOR((strpos('0123456789abcdef', substr(h, CAST(FLOOR(bit / 4) AS INT) + 1, 1)) - 1)
+                 / POW(2, 3 - bit % 4)) AS INT) % 2) * 2 - 1
+         ) AS v
+  FROM bits GROUP BY doc_id, bit
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN POW(2, bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+ORACLES["q_text_quality"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_q,
+       {r6("length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / CAST(GREATEST(length(text), 1) AS DOUBLE)", 'punct_ratio')},
+       {r6("length(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(GREATEST(length(text), 1) AS DOUBLE)", 'digit_ratio')},
+       {r6("length(regexp_replace(text, '[^A-Z]', '', 'g')) / CAST(GREATEST(length(text), 1) AS DOUBLE)", 'upper_ratio')},
+       {r6(f"CAST(list_sum(list_transform({TOKS_RAW}, x -> length(x))) AS DOUBLE) / GREATEST(len({TOKS_RAW}), 1)", 'mean_word_len')},
+       {r6(f"CAST(len(list_filter({TOKS_RAW}, x -> x IN ({_STOPWORDS}))) AS DOUBLE) / GREATEST(len({TOKS_RAW}), 1)", 'stopword_ratio')}
+FROM documents
+"""
+
+ORACLES["q_lang_id"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         len(list_filter({TOKS_RAW}, x -> x IN ('der','die','und','nicht','ist'))) AS s_de,
+         len(list_filter({TOKS_RAW}, x -> x IN ('the','and','of','to','is'))) AS s_en,
+         len(list_filter({TOKS_RAW}, x -> x IN ('el','la','que','de','es'))) AS s_es,
+         len(list_filter({TOKS_RAW}, x -> x IN ('le','la','et','les','est'))) AS s_fr
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+            WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM s
+"""
+
+ORACLES["q_token_stats"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe
+FROM documents
+"""
+
+ORACLES["q_fingerprint"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN len({TOKS_RAW}) >= 4 THEN
+         list_min(list_transform(generate_series(1, len({TOKS_RAW}) - 3),
+                  i -> md5(array_to_string(list_slice({TOKS_RAW}, i, i + 3), ' '))))
+       ELSE md5(lower(trim(text))) END AS fingerprint
+FROM documents
+"""
+
+ORACLES["q_cosine_topk"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+s AS (
+  SELECT q.query_id, v.vec_id,
+         list_dot_product(v.ev, q.qv)
+           / (sqrt(list_dot_product(v.ev, v.ev)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM v CROSS JOIN q
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       {r6('cos', 'cosine')}, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+"""

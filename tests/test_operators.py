@@ -1,0 +1,167 @@
+"""Operator-level tests: as-of join, sessionization, backfill, dedup,
+similarity, checkpoint/resume — each vs a small independent pandas check."""
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from z_rad_spark.operators.asof import asof_state
+from z_rad_spark.operators.backfill import backfill
+from z_rad_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard
+from z_rad_spark.operators.sessionize import with_sessions
+from z_rad_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+from z_rad_spark.transcripts import TRANSCRIPT_SCHEMA, synth_transcripts_pdf, with_signal
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    pdf = synth_transcripts_pdf(n_convs=5, mean_turns=30, seed=8)
+    return with_signal(spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)), pdf
+
+
+def test_asof_join_matches_pandas(spark, tdf):
+    df, pdf = tdf
+    cutoffs = ["2024-01-01 06:00:00", "2024-01-05 00:00:00"]
+    got = (
+        asof_state(df, spark, cutoffs, ["signal", "turn_idx"])
+        .toPandas()
+        .set_index(["conv_id", "as_of"])
+        .sort_index()
+    )
+    pdf = pdf.copy()
+    pdf["signal"] = pdf["text"].map(lambda t: float(len(t.split(" "))))
+    for conv, cp in pdf.groupby("conv_id"):
+        cp = cp.sort_values(["ts", "turn_idx"], kind="mergesort")
+        for cut in cutoffs:
+            sel = cp[cp["ts"] <= pd.Timestamp(cut)]
+            row = got.loc[(conv, pd.Timestamp(cut))]
+            if len(sel) == 0:
+                assert pd.isna(row["signal"])
+            else:
+                assert row["signal"] == sel.iloc[-1]["signal"]
+                assert row["turn_idx"] == sel.iloc[-1]["turn_idx"]
+
+
+def test_sessionize_matches_pandas(spark, tdf):
+    df, pdf = tdf
+    got = with_sessions(df, 600.0).toPandas().sort_values(["conv_id", "ts", "turn_idx"])
+    for conv, cp in got.groupby("conv_id"):
+        gaps = cp["ts"].diff().dt.total_seconds()
+        want = (gaps > 600.0).fillna(False).cumsum()
+        assert list(cp["session_id"]) == list(want.astype(int))
+
+
+def test_backfill_nn_carries_forward(spark, tdf):
+    df, pdf = tdf
+    out = backfill(df, 3600, "signal", method="nn").toPandas()
+    pdf = pdf.copy()
+    pdf["signal"] = pdf["text"].map(lambda t: float(len(t.split(" "))))
+    for conv, cp in pdf.groupby("conv_id"):
+        cp = cp.sort_values(["ts", "turn_idx"], kind="mergesort")
+        sub = out[out["conv_id"] == conv].sort_values("grid_ts")
+        assert len(sub) > 0
+        for _, r in sub.iterrows():
+            sel = cp[cp["ts"] <= r["grid_ts"]]
+            if len(sel) == 0:
+                assert pd.isna(r["signal"])
+            else:
+                assert r["signal"] == sel.iloc[-1]["signal"]
+
+
+def test_backfill_linear_between_points(spark):
+    rows = [
+        ("c", 0, "user", "a", None, np.datetime64("2024-01-01T00:00:00", "us")),
+        ("c", 1, "user", "a b c", None, np.datetime64("2024-01-01T02:00:00", "us")),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    df = with_signal(spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA))
+    out = backfill(df, 3600, "signal", method="linear").toPandas().sort_values("grid_ts")
+    # grid: 00:00, 01:00, 02:00 -> values 1, 2, 3 (linear between 1 and 3)
+    assert list(out["signal"]) == [1.0, 2.0, 3.0]
+
+
+def test_exact_dedup(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "text": ["a  b", "a b", "c", "c "]}
+    )
+    out = exact_dedup(spark.createDataFrame(pdf)).toPandas()
+    assert len(out) == 2
+    assert set(out["dup_count"]) == {2}
+    assert set(out["keep_id"]) == {0, 2}
+
+
+def test_minhash_finds_near_dupes(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [base, base + " extra", "completely different words entirely unrelated content here now"],
+        }
+    )
+    pairs = minhash_lsh_pairs(spark.createDataFrame(docs), n=3, n_hashes=8, band_size=4).toPandas()
+    assert (0, 1) in set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 2) not in set(zip(pairs["id_a"], pairs["id_b"]))
+    jac = ngram_jaccard(spark.createDataFrame(docs), n=3).toPandas()
+    j01 = jac[(jac["id_a"] == 0) & (jac["id_b"] == 1)]["jaccard"].iloc[0]
+    assert 0.5 < j01 < 1.0
+
+
+def test_cosine_topk_exact_and_lsh_recall(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((60, 16)).astype(float)
+    pdf = pd.DataFrame({"vec_id": range(60), "embedding": [list(v) for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    q = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = cosine_topk(df, q, k=4).toPandas()
+    # rank 1 must be the query itself (cosine 1.0)
+    for qid, grp in got.groupby("query_id"):
+        top = grp.sort_values("rank").iloc[0]
+        assert top["vec_id"] == qid and abs(top["cosine"] - 1.0) < 1e-6
+        # verify against numpy
+        sims = vecs @ vecs[qid] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[qid]))
+        want = np.argsort(-sims, kind="stable")[:4]
+        assert set(grp["vec_id"]) == set(want)
+    # LSH variant returns a subset containing the self-match
+    lsh = lsh_bucket_topk(df, q, dim=16, k=4).toPandas()
+    for qid, grp in lsh.groupby("query_id"):
+        assert grp.sort_values("rank").iloc[0]["vec_id"] == qid
+
+
+def test_checkpoint_resume(spark, tdf, tmp_path):
+    from z_rad_spark.checkpoint import bucket_filter, run_resumable
+
+    df, _ = tdf
+    out_dir = str(tmp_path / "out")
+
+    def build(bucket, n_buckets):
+        return df.filter(bucket_filter(bucket, n_buckets)).groupBy("conv_id").count()
+
+    m1 = run_resumable(spark, build, out_dir, snapshot_id="snapA", n_buckets=4)
+    assert m1["computed"] == 4 and m1["skipped"] == 0
+    m2 = run_resumable(spark, build, out_dir, snapshot_id="snapA", n_buckets=4)
+    assert m2["computed"] == 0 and m2["skipped"] == 4
+    # input changed -> full recompute
+    m3 = run_resumable(spark, build, out_dir, snapshot_id="snapB", n_buckets=4)
+    assert m3["computed"] == 4
+    total = spark.read.parquet(os.path.join(out_dir, "bucket=*")).agg(F.sum("count")).collect()[0][0]
+    assert total == df.count()
+
+
+def test_media_decode_plumbing(spark):
+    from z_rad_spark.operators.multimodal import FEATURE_DIM, decode_features, synth_media
+
+    media = synth_media(spark, n=30, seed=5)
+    out = decode_features(media).toPandas()
+    assert len(out) == 30
+    assert all(len(f) == FEATURE_DIM for f in out["features"])
+    # deterministic: same payload -> same features
+    out2 = decode_features(media).toPandas().sort_values("media_id")
+    out1 = out.sort_values("media_id")
+    assert [list(a) for a in out1["features"]] == [list(b) for b in out2["features"]]

@@ -1,0 +1,105 @@
+"""Local mirror of the driver's correctness gate: run every
+__spark_entry__ query on Spark AND its DuckDB oracle, compare row count,
+column names, and values (column-name-sorted, order-insensitive).
+
+Usage: PYTHONPATH=/root/repo python tools/check_queries.py [sf_dir] [only...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(6)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(got.columns) != sorted(want.columns):
+        problems.append(f"schema: spark={sorted(got.columns)} duck={sorted(want.columns)}")
+        return problems
+    if len(got) != len(want):
+        problems.append(f"rowcount: spark={len(got)} duck={len(want)}")
+        return problems
+    g = norm_frame(got)
+    w = norm_frame(want)
+    for c in g.columns:
+        gv, wv = g[c].to_numpy(), w[c].to_numpy()
+        if np.issubdtype(g[c].dtype, np.floating):
+            ok = np.isclose(gv.astype(float), wv.astype(float), rtol=0, atol=1.5e-6, equal_nan=True)
+            gnan = pd.isna(gv)
+            wnan = pd.isna(wv)
+            ok = ok | (gnan & wnan)
+            bad = ~ok
+        else:
+            bad = ~(pd.Series(gv).fillna("<NULL>").eq(pd.Series(wv).fillna("<NULL>"))).to_numpy()
+        if bad.any():
+            i = int(np.argmax(bad))
+            problems.append(
+                f"values[{c}]: {int(bad.sum())}/{len(bad)} differ; first at row {i}: spark={gv[i]!r} duck={wv[i]!r}"
+            )
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from z_rad_spark.session import get_spark
+
+    spark = get_spark("check_queries", cores=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = e.queries()
+    orc = e.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"FAIL  {name}: spark error: {ex}")
+            failures += 1
+            continue
+        if name not in orc:
+            print(f"rows  {name}: {len(got)} rows (no oracle)")
+            continue
+        try:
+            want = con.execute(orc[name]).fetchdf()
+        except Exception as ex:
+            print(f"FAIL  {name}: duckdb error: {str(ex)[:300]}")
+            failures += 1
+            continue
+        problems = compare(got, want)
+        if problems:
+            failures += 1
+            print(f"FAIL  {name}: " + " | ".join(problems[:4]))
+        else:
+            print(f"OK    {name}: {len(got)} rows, {len(got.columns)} cols")
+    spark.stop()
+    print("FAILURES:", failures)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

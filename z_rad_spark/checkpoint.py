@@ -1,0 +1,124 @@
+"""Resumable runs: per-partition lineage manifests + idempotent overwrite.
+
+The north rule requires 10^12-turn jobs resumable from snapshot-aligned
+checkpoints. Design (Iceberg mapping in comments — this container has no
+Iceberg runtime jar, so the same contract is implemented over parquet
+directories):
+
+* Work is split into entity-range partitions (hash buckets of conv_id).
+* Each completed bucket writes its output under
+  ``out/bucket=<i>/`` (dynamic partition overwrite => idempotent) and a
+  manifest row: bucket id, input snapshot id, row/entity counts, wall
+  time, engine version. With Iceberg, snapshot_id comes from the table's
+  current snapshot and the write is a serializable REPLACE of the
+  bucket partition.
+* Resume = read the manifest dir, skip buckets whose manifest matches the
+  current input snapshot, recompute the rest. Kill -9 between write and
+  manifest costs one bucket recompute, never corruption (manifest is
+  written after the data commit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import __version__
+
+
+def input_snapshot_id(sf_dir: str) -> str:
+    """Stable id of the input data. Iceberg: table.currentSnapshot().snapshotId.
+    Parquet fallback: mtime+size digest of the files."""
+    parts = []
+    for root, _, files in os.walk(sf_dir):
+        for f in sorted(files):
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+    import hashlib
+
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_lineage")
+
+
+def load_manifests(out_dir: str) -> dict[int, dict]:
+    mdir = _manifest_dir(out_dir)
+    out = {}
+    if not os.path.isdir(mdir):
+        return out
+    for f in os.listdir(mdir):
+        if f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                m = json.load(fh)
+            out[m["bucket"]] = m
+    return out
+
+
+def write_manifest(out_dir: str, manifest: dict) -> None:
+    mdir = _manifest_dir(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(mdir, f"bucket-{manifest['bucket']:05d}.json"))
+
+
+def run_resumable(
+    spark: SparkSession,
+    build_df,  # callable (bucket:int, n_buckets:int) -> DataFrame
+    out_dir: str,
+    snapshot_id: str,
+    n_buckets: int = 8,
+) -> dict:
+    """Run a bucketed job with per-bucket manifests; skip completed buckets.
+
+    build_df must produce the output DataFrame for one bucket (the caller
+    filters its input by ``pmod(hash(conv_id), n_buckets) = bucket``).
+    Returns run metrics (buckets computed / skipped, rows, seconds).
+    """
+    done = load_manifests(out_dir)
+    computed = skipped = total_rows = 0
+    t0 = time.time()
+    for b in range(n_buckets):
+        m = done.get(b)
+        if m and m.get("snapshot_id") == snapshot_id and m.get("engine") == __version__:
+            skipped += 1
+            continue
+        tb = time.time()
+        df = build_df(b, n_buckets)
+        path = os.path.join(out_dir, f"bucket={b}")
+        df.write.mode("overwrite").parquet(path)
+        rows = spark.read.parquet(path).count()
+        write_manifest(
+            out_dir,
+            {
+                "bucket": b,
+                "snapshot_id": snapshot_id,
+                "rows": rows,
+                "engine": __version__,
+                "wall_sec": round(time.time() - tb, 3),
+                "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            },
+        )
+        computed += 1
+        total_rows += rows
+    return {
+        "buckets": n_buckets,
+        "computed": computed,
+        "skipped": skipped,
+        "rows_written": total_rows,
+        "wall_sec": round(time.time() - t0, 3),
+    }
+
+
+def bucket_filter(bucket: int, n_buckets: int):
+    """Deterministic conv_id -> bucket assignment for resumable runs."""
+    return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)) == bucket

