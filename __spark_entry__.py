@@ -355,6 +355,90 @@ def q_shape(spark, sf_dir):
     return _r6(out.select("conv_id", *_SHAPE_COLS), _SHAPE_COLS)
 
 
+_GLCM_COLS = [
+    "cm_joint_max", "cm_joint_avg", "cm_joint_var", "cm_joint_entr",
+    "cm_diff_avg", "cm_diff_var", "cm_diff_entr", "cm_sum_avg",
+    "cm_sum_var", "cm_sum_entr", "cm_energy", "cm_contrast",
+    "cm_dissimilarity", "cm_inv_diff", "cm_inv_diff_norm",
+    "cm_inv_diff_mom", "cm_inv_diff_mom_norm", "cm_inv_var", "cm_corr",
+    "cm_auto_corr", "cm_clust_tend", "cm_clust_shade", "cm_clust_prom",
+    "cm_info_corr1", "cm_info_corr2",
+]
+
+
+def q_glcm_dist(spark, sf_dir):
+    """Distributed GLCM (window pairs + cell groupBy): the scale path for
+    giant conversations — same values, same oracle as q_glcm."""
+    from z_rad_spark.operators.texture_sql import glcm_features_distributed
+
+    out = glcm_features_distributed(_t(spark, sf_dir), lags=(1,))
+    return _r6(out.select("conv_id", *_GLCM_COLS), _GLCM_COLS)
+
+
+def q_glrlm_dist(spark, sf_dir):
+    from z_rad_spark.operators.texture_sql import glrlm_features_distributed
+
+    cols = [
+        "rlm_sre", "rlm_lre", "rlm_lgre", "rlm_hgre", "rlm_srlge",
+        "rlm_srhge", "rlm_lrlge", "rlm_lrhge", "rlm_glnu", "rlm_glnu_norm",
+        "rlm_rlnu", "rlm_rlnu_norm", "rlm_r_perc", "rlm_gl_var",
+        "rlm_rl_var", "rlm_rl_entr",
+    ]
+    out = glrlm_features_distributed(_t(spark, sf_dir))
+    return _r6(out.select("conv_id", *cols), cols)
+
+
+def q_ngldm_dist(spark, sf_dir):
+    from z_rad_spark.operators.texture_sql import ngldm_features_distributed
+
+    cols = [
+        "ngl_lde", "ngl_hde", "ngl_lgce", "ngl_hgce", "ngl_ldlge",
+        "ngl_ldhge", "ngl_hdlge", "ngl_hdhge", "ngl_glnu", "ngl_glnu_norm",
+        "ngl_dcnu", "ngl_dcnu_norm", "ngl_dc_perc", "ngl_gl_var",
+        "ngl_dc_var", "ngl_dc_entr", "ngl_dc_energy",
+    ]
+    out = ngldm_features_distributed(_t(spark, sf_dir))
+    return _r6(out.select("conv_id", *cols), cols)
+
+
+def q_filter_mean(spark, sf_dir):
+    """Declarative mean filter (window sum / support, zero-pad semantics)."""
+    from z_rad_spark.operators.filtering import with_mean_filter
+
+    out = with_mean_filter(_t(spark, sf_dir), support=5)
+    return _r6(
+        out.select(
+            "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), F.col("signal_filt")
+        ),
+        ["signal_filt"],
+    )
+
+
+_IVH_COLS = ["ivh_v10", "ivh_v90", "ivh_i10", "ivh_i90", "ivh_diff_v10_v90", "ivh_diff_i10_i90"]
+
+
+def q_ivh(spark, sf_dir):
+    out = _extract(spark, sf_dir, ("ivh",))
+    return _r6(out.select("conv_id", *_IVH_COLS), _IVH_COLS)
+
+
+def q_local_peaks(spark, sf_dir):
+    out = _extract(spark, sf_dir, ("local",), local_radius=3)
+    return _r6(out.select("conv_id", "loc_peak_loc", "loc_peak_glob"), ["loc_peak_loc", "loc_peak_glob"])
+
+
+def q_extract_filtered(spark, sf_dir):
+    """Rows-only: full stats family over a LoG-filtered feature signal."""
+    cfg = FeatureConfig(
+        families=("stats", "hist"),
+        filter_name="log",
+        filter_params=(("sigma", 1.5),),
+        n_bins=8,
+        min_turns=3,
+    )
+    return extract_features(_t(spark, sf_dir), cfg, CUTOFFS)
+
+
 def q_extract_full(spark, sf_dir):
     """Flagship: every family at three cutoffs (rows-only driver check;
     value-level parity is covered family-by-family above and by pytest)."""
@@ -480,6 +564,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngldm": q_ngldm,
         "q_ngtdm": q_ngtdm,
         "q_shape": q_shape,
+        "q_ivh": q_ivh,
+        "q_glcm_dist": q_glcm_dist,
+        "q_glrlm_dist": q_glrlm_dist,
+        "q_ngldm_dist": q_ngldm_dist,
+        "q_local_peaks": q_local_peaks,
+        "q_filter_mean": q_filter_mean,
+        "q_extract_filtered": q_extract_filtered,
         "q_extract_full": q_extract_full,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_pairs": q_minhash_pairs,

@@ -790,3 +790,66 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
        {r6('cos', 'cosine')}, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 5
 """
+
+ORACLES["q_filter_mean"] = f"""
+WITH t AS ({T})
+SELECT conv_id, turn_idx,
+       {r6('SUM(signal) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) / 5.0', 'signal_filt')}
+FROM t
+"""
+
+ORACLES["q_ivh"] = f"""
+WITH t AS ({T}),
+rng AS (
+  SELECT conv_id, MIN(signal) AS lo, MAX(signal) AS hi, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM t GROUP BY conv_id
+),
+thr AS (
+  SELECT conv_id, lo, hi, n,
+         CAST(UNNEST(generate_series(CAST(lo AS BIGINT), CAST(hi AS BIGINT), 1)) AS DOUBLE) AS tv
+  FROM rng WHERE hi > lo
+),
+fv AS (
+  SELECT th.conv_id, th.tv, th.lo, th.hi,
+         1.0 - SUM(CASE WHEN t.signal < th.tv THEN 1 ELSE 0 END) / th.n AS f,
+         (th.tv - th.lo) / (th.hi - th.lo) AS intfrac
+  FROM thr th JOIN t ON t.conv_id = th.conv_id
+  GROUP BY th.conv_id, th.tv, th.lo, th.hi, th.n
+),
+agg AS (
+  SELECT conv_id,
+         MAX(CASE WHEN intfrac > 0.10 THEN f END) AS v10,
+         MAX(CASE WHEN intfrac > 0.90 THEN f END) AS v90,
+         MIN(CASE WHEN f <= 0.10 THEN tv END) AS i10,
+         MIN(CASE WHEN f <= 0.90 THEN tv END) AS i90
+  FROM fv GROUP BY conv_id
+)
+SELECT r.conv_id,
+       {r6('a.v10', 'ivh_v10')},
+       {r6('a.v90', 'ivh_v90')},
+       {r6('a.i10', 'ivh_i10')},
+       {r6('a.i90', 'ivh_i90')},
+       {r6('a.v10 - a.v90', 'ivh_diff_v10_v90')},
+       {r6('a.i10 - a.i90', 'ivh_diff_i10_i90')}
+FROM rng r LEFT JOIN agg a ON r.conv_id = a.conv_id
+"""
+
+ORACLES["q_local_peaks"] = f"""
+WITH t AS ({T}),
+roll AS (
+  SELECT conv_id, signal,
+         SUM(signal) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) / 7.0 AS rmean,
+         MAX(signal) OVER (PARTITION BY conv_id) AS smax
+  FROM t
+)
+SELECT conv_id,
+       {r6('MAX(CASE WHEN signal = smax THEN rmean END)', 'loc_peak_loc')},
+       {r6('MAX(rmean)', 'loc_peak_glob')}
+FROM roll GROUP BY conv_id
+"""
+
+# distributed texture variants share the single-path oracles exactly
+ORACLES["q_glcm_dist"] = ORACLES["q_glcm"]
+ORACLES["q_glrlm_dist"] = ORACLES["q_glrlm"]
+ORACLES["q_ngldm_dist"] = ORACLES["q_ngldm"]

@@ -72,6 +72,16 @@ class FeatureConfig:
     ivh_method: str = "direct"  # {direct, fixed_bin_size, fixed_bin_number}
     ivh_n_bins: int | None = None
     ivh_bin_size: float | None = None
+    # convolutional filter producing the feature signal (reference:
+    # zrad/filtering/factory.py:6-75; RoiData.feature_image selects the
+    # filtered image when present, zrad/preprocessing/roi.py:55-64).
+    # name in {mean, log, laws, gabor, wavelet}; params as (key, value)
+    # pairs to stay hashable, e.g. (("sigma", 2.0),)
+    filter_name: str | None = None
+    filter_params: tuple = ()
+    # opt-in O(n^2) temporal autocorrelation block (reference default-off
+    # morphology_correlation: zrad/radiomics/extractor.py:30-32)
+    enable_moran: bool = False
     # guards (reference analogue: zrad/preprocessing/masks.py:57-59)
     min_turns: int = 3
     # local-intensity rolling radius, in turns (reference radius is 6.2 mm:

@@ -60,6 +60,8 @@ def feature_names(cfg: FeatureConfig) -> list[str]:
         names += list(firstorder.LOCAL_NAMES)
     if "shape" in fam:
         names += list(shape.SHAPE_NAMES)
+        if cfg.enable_moran:
+            names += list(shape.MORAN_NAMES)
     cm_sfx, d_sfx = cfg.cm_suffix, cfg.dim_suffix
     if "glcm" in fam:
         names += [f"{n}_{cm_sfx}" for n in texture.GLCM_NAMES]
@@ -109,8 +111,17 @@ def compute_one(
     n = ts_us.size
     out["n_turns"] = int(n)
 
-    # intensity mask: signal where eligible else NaN (roi.py:88-119)
-    masked = prep.apply_eligibility(signal, eligible)
+    # feature signal: optionally filter-convolved (inside the cutoff slice,
+    # so the filter window can never read post-cutoff turns)
+    if cfg.filter_name is not None:
+        from .kernels.filters import apply_filter
+
+        feature_signal = apply_filter(signal, cfg.filter_name, **dict(cfg.filter_params))
+    else:
+        feature_signal = signal
+
+    # intensity mask: feature signal where eligible else NaN (roi.py:88-119)
+    masked = prep.apply_eligibility(feature_signal, eligible)
     # resegmentation: range on raw signal, then outlier on current mask
     masked = prep.resegment(masked, signal, cfg.intensity_range, cfg.outlier_sigma)
     n_eligible = int(np.sum(~np.isnan(masked)))
@@ -152,9 +163,11 @@ def compute_one(
         )
         out.update(firstorder.ivh_features(ivh_arr, lo, hi, step))
     if "local" in fam:
-        out.update(firstorder.local_features(signal, masked, cfg.local_radius))
+        out.update(firstorder.local_features(feature_signal, masked, cfg.local_radius))
     if "shape" in fam:
         out.update(shape.shape_features(ts_us, eligible, sessions, role_codes, tool_mask, masked))
+        if cfg.enable_moran:
+            out.update(shape.moran_geary(ts_us, masked))
 
     args = (cfg.aggr_dim, cfg.aggr_method)
     sw, sm = cfg.slice_weight, cfg.slice_median
@@ -245,6 +258,16 @@ def extract_features(df: DataFrame, cfg: FeatureConfig, cutoffs: Iterable) -> Da
     # structural leakage guard + scan-level pruning: nothing after the last
     # cutoff is ever read by the kernel
     prepared = prepared.filter(F.col("ts") <= F.lit(max_cut.item()))
+
+    # Explicit repartition before the grouped-map kernel: AQE coalesces
+    # shuffle partitions by BYTES, but kernel cost is per-row CPU — a
+    # byte-coalesced exchange serializes the whole extraction onto a few
+    # tasks (measured: flat 8->32-core scaling). A user-specified
+    # partition count is never coalesced by AQE, and hashpartitioning on
+    # conv_id satisfies the groupBy requirement, so no second shuffle.
+    spark = prepared.sparkSession
+    n_parts = max(2 * spark.sparkContext.defaultParallelism, 8)
+    prepared = prepared.repartition(n_parts, "conv_id")
 
     schema = output_schema(cfg)
     kernel = _make_kernel(cfg, cutoffs_us, [f.name for f in schema.fields])

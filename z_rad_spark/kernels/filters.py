@@ -1,0 +1,157 @@
+"""Convolutional filter kernels — 1-D temporal analogues of Z-Rad's
+feature-image producers (zrad/filtering/spatial.py, wavelet.py).
+
+Each takes the per-conversation signal vector (stable order) and returns
+the filtered vector; the extractor can then compute any feature family on
+the *filtered* signal, mirroring RoiData.feature_image selecting
+filtered_image when present (zrad/preprocessing/roi.py:55-64).
+
+Pure NumPy (this container ships no scipy/pywt): Gaussian/LoG taps are
+analytic, wavelet filter banks are hard-coded (Haar, db2), Laws kernels
+are the published 1-D vectors. All use zero-padded 'same' convolution
+(reference mode='constant', cval=0).
+
+Rotation-invariance notes: the reference averages/maxes over kernel
+orientations (spatial.py:263-291, wavelet.py:217-304); in 1-D the
+orientation group degenerates to {identity, reversal}, so symmetric
+kernels are automatically invariant and asymmetric ones (Laws E/W,
+wavelet H) average the forward and reversed responses.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Laws 1-D kernels, support 5 (zrad/filtering/spatial.py:215-236)
+LAWS_KERNELS = {
+    "L5": np.array([1, 4, 6, 4, 1], dtype=float) / np.sqrt(70.0),
+    "E5": np.array([-1, -2, 0, 2, 1], dtype=float) / np.sqrt(10.0),
+    "S5": np.array([-1, 0, 2, 0, -1], dtype=float) / np.sqrt(6.0),
+    "W5": np.array([-1, 2, 0, -2, 1], dtype=float) / np.sqrt(10.0),
+    "R5": np.array([1, -4, 6, -4, 1], dtype=float) / np.sqrt(70.0),
+    "L3": np.array([1, 2, 1], dtype=float) / np.sqrt(6.0),
+    "E3": np.array([-1, 0, 1], dtype=float) / np.sqrt(2.0),
+    "S3": np.array([-1, 2, -1], dtype=float) / np.sqrt(6.0),
+}
+
+# wavelet filter banks (pywt.Wavelet(name).filter_bank dec_lo/dec_hi)
+WAVELET_BANKS = {
+    "haar": (
+        np.array([0.7071067811865476, 0.7071067811865476]),
+        np.array([-0.7071067811865476, 0.7071067811865476]),
+    ),
+    "db2": (
+        np.array(
+            [-0.12940952255092145, 0.22414386804185735, 0.836516303737469, 0.48296291314469025]
+        ),
+        np.array(
+            [-0.48296291314469025, 0.836516303737469, -0.22414386804185735, -0.12940952255092145]
+        ),
+    ),
+}
+
+
+def _conv_same_zero(x: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """'same'-size correlation with zero padding outside the sequence,
+    centered like scipy.ndimage.convolve(mode='constant')."""
+    n = x.size
+    m = k.size
+    lpad = m // 2
+    rpad = m - 1 - lpad
+    xp = np.concatenate([np.zeros(lpad), np.nan_to_num(x, nan=0.0), np.zeros(rpad)])
+    # correlation (ndimage.convolve flips; our kernels are given in tap
+    # order so use np.convolve with the reversed kernel for correlation)
+    out = np.convolve(xp, k[::-1], mode="valid")
+    assert out.size == n
+    return out
+
+
+def mean_filter(x: np.ndarray, support: int = 5) -> np.ndarray:
+    """Box average (zrad/filtering/spatial.py:11-64), support^1 kernel."""
+    k = np.ones(support) / support
+    return _conv_same_zero(x, k)
+
+
+def _gauss_taps(sigma: float, cutoff: float = 4.0) -> np.ndarray:
+    r = int(np.ceil(cutoff * sigma))
+    t = np.arange(-r, r + 1, dtype=float)
+    g = np.exp(-(t**2) / (2 * sigma**2))
+    return g / g.sum()
+
+
+def log_filter(x: np.ndarray, sigma: float = 1.5, cutoff: float = 4.0) -> np.ndarray:
+    """Laplacian-of-Gaussian (zrad/filtering/spatial.py:67-141): the 1-D
+    second derivative of the normalized Gaussian."""
+    r = int(np.ceil(cutoff * sigma))
+    t = np.arange(-r, r + 1, dtype=float)
+    g = np.exp(-(t**2) / (2 * sigma**2))
+    g /= g.sum()
+    lap = g * (t**2 - sigma**2) / sigma**4
+    lap -= lap.mean()  # zero-sum like the discrete LoG
+    return _conv_same_zero(x, lap)
+
+
+def laws_filter(x: np.ndarray, kernel: str = "E5", invariance: str = "avg", energy_support: int | None = None) -> np.ndarray:
+    """Laws kernel response with 1-D rotation invariance = avg/max of the
+    forward and reversed kernels (spatial.py:263-291 degenerate case);
+    optional energy map = rolling mean of |response| (spatial.py:300-313)."""
+    k = LAWS_KERNELS[kernel]
+    fwd = _conv_same_zero(x, k)
+    rev = _conv_same_zero(x, k[::-1])
+    if invariance == "avg":
+        out = (fwd + rev) / 2.0
+    elif invariance == "max":
+        out = np.maximum(fwd, rev)
+    else:
+        out = fwd
+    if energy_support:
+        out = mean_filter(np.abs(out), energy_support)
+    return out
+
+
+def gabor_filter(x: np.ndarray, sigma: float = 2.0, wavelength: float = 4.0, cutoff: float = 3.0) -> np.ndarray:
+    """Complex Gabor magnitude (spatial.py:316-444): modulated Gaussian;
+    |real + i*imag| via hypot like the reference (spatial.py:432-434)."""
+    r = int(np.ceil(cutoff * sigma))
+    t = np.arange(-r, r + 1, dtype=float)
+    env = np.exp(-(t**2) / (2 * sigma**2))
+    re = env * np.cos(2 * np.pi * t / wavelength)
+    im = env * np.sin(2 * np.pi * t / wavelength)
+    return np.hypot(_conv_same_zero(x, re), _conv_same_zero(x, im))
+
+
+def _atrous(k: np.ndarray, level: int) -> np.ndarray:
+    """à-trous zero-stuffing for level-2+ decompositions
+    (zrad/filtering/wavelet.py:84-87)."""
+    if level <= 1:
+        return k
+    stuffed = np.zeros((k.size - 1) * 2 ** (level - 1) + 1)
+    stuffed[:: 2 ** (level - 1)] = k
+    return stuffed
+
+
+def wavelet_filter(x: np.ndarray, wavelet: str = "haar", band: str = "H", level: int = 1, invariance: str = "avg") -> np.ndarray:
+    """Undecimated wavelet response (zrad/filtering/wavelet.py:8-124):
+    L (approximation) or H (detail) filter taps convolved over the signal;
+    level-2 uses the zero-stuffed kernel; invariance averages forward and
+    reversed responses (the 1-D rotation group)."""
+    lo, hi = WAVELET_BANKS[wavelet]
+    k = _atrous(lo if band == "L" else hi, level)
+    fwd = _conv_same_zero(x, k)
+    if invariance == "avg":
+        rev = _conv_same_zero(x, k[::-1])
+        return (fwd + rev) / 2.0
+    return fwd
+
+
+FILTERS = {
+    "mean": mean_filter,
+    "log": log_filter,
+    "laws": laws_filter,
+    "gabor": gabor_filter,
+    "wavelet": wavelet_filter,
+}
+
+
+def apply_filter(x: np.ndarray, name: str, **params) -> np.ndarray:
+    return FILTERS[name](x, **params)

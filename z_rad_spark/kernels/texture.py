@@ -481,7 +481,8 @@ def _zone_family(g, session, eligible, aggr_dim, slice_weight, slice_median, kin
     if aggr_dim == "3D":
         M = build()
         vc = total * (voxel_scale_dirs if kind == "rlm" else 1)
-        return dict(zip(names, (matrix_feature_values(M, vc)[a] for a in TEXTURE_ATTRS)))
+        vals = matrix_feature_values(M, vc)
+        return dict(zip(names, (vals[a] for a in TEXTURE_ATTRS)))
 
     sess_ids = [s for s in np.unique(session) if np.any(finite & (session == s))]
     mats = [build(s) for s in sess_ids]
@@ -490,7 +491,8 @@ def _zone_family(g, session, eligible, aggr_dim, slice_weight, slice_median, kin
     if aggr_dim == "2.5D":
         M = _pad_stack(mats).sum(axis=0)
         vc = sum(counts) * (voxel_scale_dirs if kind == "rlm" else 1)
-        return dict(zip(names, (matrix_feature_values(M, vc)[a] for a in TEXTURE_ATTRS)))
+        vals = matrix_feature_values(M, vc)
+        return dict(zip(names, (vals[a] for a in TEXTURE_ATTRS)))
 
     # 2D: per-session features, weighted mean / median
     if slice_median and slice_weight:
@@ -604,8 +606,12 @@ def ngtdm_features(g, session, aggr_dim, slice_weight, slice_median) -> dict:
     if slice_median and slice_weight:
         raise ValueError("weighted median is not supported for texture aggregation")
     counts = [float(np.sum(finite & (session == s))) for s in sess_ids]
-    dicts = [ngtdm_feature_values(m) for m in mats]
-    weights = [c / total if slice_weight else 1.0 for c in counts]
+    # skip neighbourless sessions (single-turn): the reference raises a
+    # DataStructureError for them (ngtdm.py:133-134); at scale we exclude
+    # them from the per-session average instead
+    keep = [i for i, m in enumerate(mats) if m[:, 0].sum() > 0]
+    dicts = [ngtdm_feature_values(mats[i]) for i in keep]
+    weights = [counts[i] / total if slice_weight else 1.0 for i in keep]
     return _agg_dicts(dicts, NGTDM_NAMES, None if slice_median else weights, median=slice_median)
 
 

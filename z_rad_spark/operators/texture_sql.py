@@ -1,0 +1,157 @@
+"""Distributed texture-matrix plans — the giant-conversation scale path.
+
+The grouped-map extractor materializes one conversation per task; a
+10^8-turn conversation would blow that task. These plans instead build
+the texture matrices DECLARATIVELY:
+
+* pairs / runs / dependence counts come from window functions over
+  (conv_id, ts, turn_idx) — one pass, whole-stage codegen;
+* the matrix is a groupBy on (conv_id, cell) — the shuffle key includes
+  the cell, so ONE conversation's work spreads over many reducers
+  (map-side partial counts make the shuffle tiny: <= lvl^2 rows per
+  conversation per map task);
+* the final 16/25-formula reduction runs on <= lvl^2 rows per
+  conversation — a trivially small applyInPandas (or could be a second
+  groupBy; the kernel keeps formula code shared with the extractor).
+
+Results are value-identical to the extractor's 3D MERG path (tested), so
+the engine can switch paths per conversation size (operators/skew.py
+metrics drive the choice).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernels.texture import (
+    GLCM_NAMES,
+    GLRLM_NAMES,
+    NGLDM_ATTRS,
+    NGLDM_NAMES,
+    TEXTURE_ATTRS,
+    glcm_feature_values,
+    matrix_feature_values,
+)
+
+_W = lambda: Window.partitionBy("conv_id").orderBy("ts", "turn_idx")  # noqa: E731
+
+
+def _grey(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    return df.select("conv_id", "ts", "turn_idx", F.col(signal_col).cast("double").alias("g"))
+
+
+def glcm_cells(df: DataFrame, lags=(1,), signal_col: str = "signal") -> DataFrame:
+    """Symmetrized lag-k co-occurrence counts: (conv_id, i, j, c)."""
+    g = _grey(df, signal_col)
+    parts = []
+    for lag in lags:
+        lead = F.lead("g", lag).over(_W())
+        p = g.select("conv_id", F.col("g").alias("a"), lead.alias("b")).where(F.col("b").isNotNull())
+        parts.append(p)
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    sym = pairs.unionByName(pairs.select("conv_id", F.col("b").alias("a"), F.col("a").alias("b")))
+    return sym.groupBy("conv_id", F.col("a").cast("int").alias("i"), F.col("b").cast("int").alias("j")).agg(
+        F.count("*").cast("double").alias("c")
+    )
+
+
+def glrlm_cells(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """Run cells: (conv_id, lvl, len, c) via gaps-and-islands windows."""
+    g = _grey(df, signal_col)
+    w = _W()
+    brk = F.when(F.lag("g").over(w).isNull() | (F.lag("g").over(w) != F.col("g")), 1).otherwise(0)
+    marked = g.withColumn("brk", brk)
+    run_id = F.sum("brk").over(
+        Window.partitionBy("conv_id").orderBy("ts", "turn_idx").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = (
+        marked.withColumn("run_id", run_id)
+        .groupBy("conv_id", "run_id")
+        .agg(F.min("g").cast("int").alias("lvl"), F.count("*").cast("int").alias("len"))
+    )
+    return runs.groupBy("conv_id", "lvl", "len").agg(F.count("*").cast("double").alias("c"))
+
+
+def ngldm_cells(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """Dependence cells: (conv_id, lvl, dep, c)."""
+    g = _grey(df, signal_col)
+    w = _W()
+    dep = (
+        F.when(F.lag("g").over(w) == F.col("g"), 1).otherwise(0)
+        + F.when(F.lead("g").over(w) == F.col("g"), 1).otherwise(0)
+    )
+    return (
+        g.withColumn("dep", dep)
+        .groupBy("conv_id", F.col("g").cast("int").alias("lvl"), F.col("dep").cast("int").alias("dep"))
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+
+
+def _vox(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    return df.groupBy("conv_id").agg(
+        F.count("*").cast("double").alias("vc"),
+        F.max(F.col(signal_col)).cast("int").alias("gmax"),
+    )
+
+
+def _cells_to_features(cells: DataFrame, vox: DataFrame, kind: str) -> DataFrame:
+    """Reduce per-conversation cell lists with the shared kernel formulas.
+
+    Input cardinality is <= lvl*width per conversation — tiny; the
+    grouped-map here exists only to reuse the exact reducer code."""
+    joined = cells.join(vox, "conv_id")
+    if kind == "glcm":
+        names = GLCM_NAMES
+    elif kind == "glrlm":
+        names = GLRLM_NAMES
+    else:
+        names = NGLDM_NAMES
+    schema = T.StructType(
+        [T.StructField("conv_id", T.StringType(), False)]
+        + [T.StructField(n, T.DoubleType(), True) for n in names]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv = pdf["conv_id"].iloc[0]
+        vc = float(pdf["vc"].iloc[0])
+        if kind == "glcm":
+            lvl = int(pdf["gmax"].iloc[0]) + 1
+            m = np.zeros((lvl, lvl))
+            m[pdf["i"].to_numpy(), pdf["j"].to_numpy()] = pdf["c"].to_numpy()
+            vals = glcm_feature_values(m / m.sum())
+        elif kind == "glrlm":
+            lvl = int(pdf["gmax"].iloc[0]) + 1
+            width = int(pdf["len"].max())
+            m = np.zeros((lvl, width))
+            m[pdf["lvl"].to_numpy(), pdf["len"].to_numpy() - 1] = pdf["c"].to_numpy()
+            raw = matrix_feature_values(m, vc)
+            vals = dict(zip(GLRLM_NAMES, (raw[a] for a in TEXTURE_ATTRS)))
+        else:
+            lvl = int(pdf["gmax"].iloc[0]) + 1
+            m = np.zeros((lvl, 3))
+            m[pdf["lvl"].to_numpy(), pdf["dep"].to_numpy()] = pdf["c"].to_numpy()
+            raw = matrix_feature_values(m, vc, include_energy=True)
+            vals = dict(zip(NGLDM_NAMES, (raw[a] for a in NGLDM_ATTRS)))
+        row = {"conv_id": conv}
+        row.update(vals)
+        return pd.DataFrame([row], columns=[f.name for f in schema.fields])
+
+    return joined.groupBy("conv_id").applyInPandas(kernel, schema=schema)
+
+
+def glcm_features_distributed(df: DataFrame, lags=(1,), signal_col: str = "signal") -> DataFrame:
+    return _cells_to_features(glcm_cells(df, lags, signal_col), _vox(df, signal_col), "glcm")
+
+
+def glrlm_features_distributed(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    return _cells_to_features(glrlm_cells(df, signal_col), _vox(df, signal_col), "glrlm")
+
+
+def ngldm_features_distributed(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    return _cells_to_features(ngldm_cells(df, signal_col), _vox(df, signal_col), "ngldm")
