@@ -401,6 +401,154 @@ def q_ngldm_dist(spark, sf_dir):
     return _r6(out.select("conv_id", *cols), cols)
 
 
+def q_glszm(spark, sf_dir):
+    """GLSZM: in 1-D, zones == runs (26-connectivity degenerates to run
+    adjacency), so values coincide with GLRLM under different names —
+    an honest structural property, verified by its own oracle."""
+    cols = [
+        "szm_sze", "szm_lze", "szm_lgze", "szm_hgze", "szm_szlge",
+        "szm_szhge", "szm_lzlge", "szm_lzhge", "szm_glnu", "szm_glnu_norm",
+        "szm_zsnu", "szm_zsnu_norm", "szm_z_perc", "szm_gl_var",
+        "szm_zs_var", "szm_zs_entr",
+    ]
+    out = _extract(spark, sf_dir, ("glszm",))
+    sel = [F.col(f"{c}_3D").alias(c) for c in cols]
+    return _r6(out.select("conv_id", *sel), cols)
+
+
+def q_gldzm(spark, sf_dir):
+    """GLDZM: zones keyed by min distance to the conversation border."""
+    cols = [
+        "dzm_sde", "dzm_lde", "dzm_lgze", "dzm_hgze", "dzm_sdlge",
+        "dzm_sdhge", "dzm_ldlge", "dzm_ldhge", "dzm_glnu", "dzm_glnu_norm",
+        "dzm_zdnu", "dzm_zdnu_norm", "dzm_z_perc", "dzm_gl_var",
+        "dzm_zd_var", "dzm_zd_entr",
+    ]
+    out = _extract(spark, sf_dir, ("gldzm",))
+    sel = [F.col(f"{c}_3D").alias(c) for c in cols]
+    return _r6(out.select("conv_id", *sel), cols)
+
+
+def q_glcm_2d_avg(spark, sf_dir):
+    """2D AVER aggregation: per-session GLCM matrices, features per matrix,
+    plain mean across sessions (reference glcm.py:437-456 semantics:
+    feature-then-average, NaN-propagating)."""
+    cfg = FeatureConfig(
+        families=("glcm",), aggr_dim="2D", aggr_method="AVER", lags=(1,),
+        gap_seconds=GAP_SECONDS, min_turns=1,
+    )
+    out = extract_features(_t(spark, sf_dir), cfg, [END])
+    sel = [F.col(f"{c}_2D_avg").alias(c) for c in _GLCM_COLS]
+    return _r6(out.select("conv_id", *sel), _GLCM_COLS)
+
+
+def q_glcm_salted(spark, sf_dir):
+    """Skew path: salt-bucketed pair extraction with k-overlap borders —
+    exact (same oracle as q_glcm); turns_per_bucket=16 forces real splits
+    at test scale."""
+    from z_rad_spark.operators.texture_sql import glcm_features_salted
+
+    out = glcm_features_salted(_t(spark, sf_dir), lags=(1,), turns_per_bucket=16)
+    return _r6(out.select("conv_id", *_GLCM_COLS), _GLCM_COLS)
+
+
+_RESEG_COLS = ["stat_mean", "stat_var", "stat_median", "stat_min", "stat_max", "stat_cov", "stat_energy"]
+
+
+def q_reseg_stats(spark, sf_dir):
+    """Resegmentation order contract: range filter on the raw signal FIRST,
+    then mean±2σ outlier filter on the post-range population
+    (zrad/preprocessing/resegmentation.py:230-231); min-turn guard nulls."""
+    cfg = FeatureConfig(
+        families=("stats",), intensity_range=(2.0, 8.0), outlier_sigma=2.0,
+        gap_seconds=GAP_SECONDS, min_turns=3,
+    )
+    out = extract_features(_t(spark, sf_dir), cfg, [END])
+    return _r6(
+        out.select("conv_id", F.col("n_eligible").cast("long").alias("n_eligible"), *_RESEG_COLS),
+        _RESEG_COLS,
+    )
+
+
+def q_fbs_hist(spark, sf_dir):
+    """Fixed-bin-size discretization (floor((x-min)/w)+1, observed-min
+    anchor) feeding the histogram family."""
+    out = _extract(spark, sf_dir, ("hist",), bin_size=2.0)
+    return _r6(out.select("conv_id", *_HIST_COLS), _HIST_COLS)
+
+
+def q_ivh_fbs(spark, sf_dir):
+    """IVH with fixed_bin_size intensities: bin centers min+(g-0.5)*w,
+    threshold sweep step w (discretization.py:359-444)."""
+    out = _extract(spark, sf_dir, ("ivh",), ivh_method="fixed_bin_size", ivh_bin_size=2.0)
+    return _r6(out.select("conv_id", *_IVH_COLS), _IVH_COLS)
+
+
+def q_moran(spark, sf_dir):
+    """Opt-in O(n^2) temporal autocorrelation (Moran's I / Geary's C with
+    1/|dt| weights) — morphology_correlation analogue."""
+    out = _extract(spark, sf_dir, ("shape",), enable_moran=True)
+    return _r6(
+        out.select("conv_id", "shape_moran_i", "shape_geary_c"),
+        ["shape_moran_i", "shape_geary_c"],
+    )
+
+
+_SHAPE_FULL_COLS = [
+    "shape_n_turns", "shape_n_eligible", "shape_duration_sec",
+    "shape_turn_rate", "shape_gap_mean", "shape_gap_std", "shape_gap_max",
+    "shape_n_sessions", "shape_session_len_mean", "shape_role_entropy",
+    "shape_tool_frac", "shape_intensity_com_shift",
+]
+
+
+def q_shape_full(spark, sf_dir):
+    """All 12 conversation-shape features (the morphology-slot block)."""
+    out = _extract(spark, sf_dir, ("shape",))
+    return _r6(out.select("conv_id", *_SHAPE_FULL_COLS), _SHAPE_FULL_COLS)
+
+
+def _q_filter(spark, sf_dir, build):
+    out = build(_t(spark, sf_dir))
+    return _r6(
+        out.select(
+            "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "signal_filt"
+        ),
+        ["signal_filt"],
+    )
+
+
+def q_filter_log(spark, sf_dir):
+    """LoG filter as a pure window expression (taps shared with the
+    grouped-map kernel and the oracle)."""
+    from z_rad_spark.operators.filtering import with_log_filter
+
+    return _q_filter(spark, sf_dir, lambda t: with_log_filter(t, sigma=1.5))
+
+
+def q_filter_laws(spark, sf_dir):
+    """Laws S5 response + energy map (rolling mean of |response|)."""
+    from z_rad_spark.operators.filtering import with_laws_filter
+
+    return _q_filter(
+        spark, sf_dir, lambda t: with_laws_filter(t, kernel="S5", invariance="avg", energy_support=5)
+    )
+
+
+def q_filter_gabor(spark, sf_dir):
+    from z_rad_spark.operators.filtering import with_gabor_filter
+
+    return _q_filter(spark, sf_dir, lambda t: with_gabor_filter(t, sigma=2.0, wavelength=4.0))
+
+
+def q_filter_wavelet(spark, sf_dir):
+    from z_rad_spark.operators.filtering import with_wavelet_filter
+
+    return _q_filter(
+        spark, sf_dir, lambda t: with_wavelet_filter(t, wavelet="db2", band="H", level=1)
+    )
+
+
 def q_filter_mean(spark, sf_dir):
     """Declarative mean filter (window sum / support, zero-pad semantics)."""
     from z_rad_spark.operators.filtering import with_mean_filter
@@ -564,12 +712,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngldm": q_ngldm,
         "q_ngtdm": q_ngtdm,
         "q_shape": q_shape,
+        "q_shape_full": q_shape_full,
+        "q_glszm": q_glszm,
+        "q_gldzm": q_gldzm,
+        "q_glcm_2d_avg": q_glcm_2d_avg,
+        "q_glcm_salted": q_glcm_salted,
+        "q_reseg_stats": q_reseg_stats,
+        "q_fbs_hist": q_fbs_hist,
+        "q_ivh_fbs": q_ivh_fbs,
+        "q_moran": q_moran,
         "q_ivh": q_ivh,
         "q_glcm_dist": q_glcm_dist,
         "q_glrlm_dist": q_glrlm_dist,
         "q_ngldm_dist": q_ngldm_dist,
         "q_local_peaks": q_local_peaks,
         "q_filter_mean": q_filter_mean,
+        "q_filter_log": q_filter_log,
+        "q_filter_laws": q_filter_laws,
+        "q_filter_gabor": q_filter_gabor,
+        "q_filter_wavelet": q_filter_wavelet,
         "q_extract_filtered": q_extract_filtered,
         "q_extract_full": q_extract_full,
         "q_dedup_exact": q_dedup_exact,

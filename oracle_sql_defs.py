@@ -12,6 +12,8 @@ double->int (so FLOOR first), '/' on integers is float division (so
 FLOOR + CAST), and quantile_cont replaces percentile.
 """
 
+import math
+
 T = """
   SELECT 'c' || CAST(user_id AS STRING) AS conv_id,
          CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
@@ -301,178 +303,261 @@ ord AS (
 vox AS (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS vc, MAX(CAST(signal AS INT)) AS gmax FROM t GROUP BY conv_id)
 """
 
-ORACLES["q_glcm"] = f"""
+_GLCM_FEATS = [
+    ("cm_joint_max", "b.joint_max"),
+    ("cm_joint_avg", "b.joint_avg"),
+    ("cm_joint_var", "b2.joint_var"),
+    ("cm_joint_entr", "b.joint_entr"),
+    ("cm_diff_avg", "pa.diff_avg"),
+    ("cm_diff_var", "ps.diff_var"),
+    ("cm_diff_entr", "ps.diff_entr"),
+    ("cm_sum_avg", "qa.sum_avg"),
+    ("cm_sum_var", "qs.sum_var"),
+    ("cm_sum_entr", "qs.sum_entr"),
+    ("cm_energy", "b.energy"),
+    ("cm_contrast", "b.contrast"),
+    ("cm_dissimilarity", "b.dissim"),
+    ("cm_inv_diff", "b.inv_diff"),
+    ("cm_inv_diff_norm", "b2.inv_diff_norm"),
+    ("cm_inv_diff_mom", "ps.inv_diff_mom"),
+    ("cm_inv_diff_mom_norm", "pn.inv_diff_mom_norm"),
+    ("cm_inv_var", "ps.inv_var"),
+    ("cm_corr", "CASE WHEN sg.sigma2 = 0 THEN NULL ELSE (b.auto_corr - u.mu_i * u.mu_i) / sg.sigma2 END"),
+    ("cm_auto_corr", "b.auto_corr"),
+    ("cm_clust_tend", "b2.clust_tend"),
+    ("cm_clust_shade", "b2.clust_shade"),
+    ("cm_clust_prom", "b2.clust_prom"),
+    ("cm_info_corr1", "CASE WHEN h.hx = 0 THEN NULL ELSE (b.joint_entr - h1.hxy1) / h.hx END"),
+    ("cm_info_corr2", "CASE WHEN 1 - EXP(-2 * (h2.hxy2 - b.joint_entr)) < 0 THEN NULL ELSE SQRT(1 - EXP(-2 * (h2.hxy2 - b.joint_entr))) END"),
+]
+
+
+def _glcm_sql(per_session: bool) -> str:
+    """GLCM feature SQL, whole-conversation (3D MERG, lag 1) or
+    per-session-then-NaN-propagating-mean (2D AVER, lag 1). Both share the
+    exact formula CTEs; only the matrix grouping key differs. The grey-level
+    normalizers (gmax = conversation-level max, matching lvl in the kernel)
+    stay conversation-level in both."""
+    keys = ["conv_id", "sid"] if per_session else ["conv_id"]
+    K = ", ".join(keys)
+
+    def on(a, b):
+        return " AND ".join(f"{a}.{k} = {b}.{k}" for k in keys)
+
+    if per_session:
+        ordg = f"""
+g0 AS (
+  SELECT conv_id, CAST(signal AS INT) AS g, ts, turn_idx,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                   > {GAP} * 1000000 THEN 1 ELSE 0 END AS brk
+  FROM t
+),
+ordg AS (
+  SELECT conv_id, g,
+         SUM(brk) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS sid,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
+  FROM g0
+),"""
+    else:
+        ordg = """
+ordg AS (
+  SELECT conv_id, CAST(signal AS INT) AS g,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
+  FROM t
+),"""
+
+    body = f"""
 WITH t AS ({T}),
-{_ORD},
+{ordg}
+vox AS (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS vc, MAX(CAST(signal AS INT)) AS gmax FROM t GROUP BY conv_id),
 pairs0 AS (
-  SELECT conv_id, g AS a, LEAD(g) OVER (PARTITION BY conv_id ORDER BY rn) AS b
-  FROM ord
+  SELECT {K}, g AS a, LEAD(g) OVER (PARTITION BY {K} ORDER BY rn) AS b
+  FROM ordg
 ),
 pairs AS (
-  SELECT conv_id, a, b FROM pairs0 WHERE b IS NOT NULL
+  SELECT {K}, a, b FROM pairs0 WHERE b IS NOT NULL
   UNION ALL
-  SELECT conv_id, b, a FROM pairs0 WHERE b IS NOT NULL
+  SELECT {K}, b, a FROM pairs0 WHERE b IS NOT NULL
 ),
 cells AS (
-  SELECT conv_id, a AS i, b AS j, CAST(COUNT(*) AS DOUBLE) AS c
-  FROM pairs GROUP BY conv_id, a, b
+  SELECT {K}, a AS i, b AS j, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM pairs GROUP BY {K}, a, b
 ),
-tot AS (SELECT conv_id, SUM(c) AS s FROM cells GROUP BY conv_id),
+tot AS (SELECT {K}, SUM(c) AS s FROM cells GROUP BY {K}),
 p AS (
-  SELECT cells.conv_id, i, j, c / tot.s AS p
-  FROM cells JOIN tot ON cells.conv_id = tot.conv_id
+  SELECT {K}, i, j, c / s AS p
+  FROM cells JOIN tot USING ({K})
 ),
-marg AS (SELECT conv_id, j AS k, SUM(p) AS pk FROM p GROUP BY conv_id, j),
-mu AS (SELECT conv_id, SUM(pk * k) AS mu_i FROM marg GROUP BY conv_id),
+marg AS (SELECT {K}, j AS k, SUM(p) AS pk FROM p GROUP BY {K}, j),
+mu AS (SELECT {K}, SUM(pk * k) AS mu_i FROM marg GROUP BY {K}),
 sig AS (
-  SELECT m.conv_id, SUM(POW(m.k - u.mu_i, 2) * m.pk) AS sigma2
-  FROM marg m JOIN mu u ON m.conv_id = u.conv_id GROUP BY m.conv_id
+  SELECT {K}, SUM(POW(k - mu_i, 2) * pk) AS sigma2
+  FROM marg JOIN mu USING ({K}) GROUP BY {K}
 ),
 hx AS (
-  SELECT conv_id, -SUM(CASE WHEN pk > 0 THEN pk * LOG2(pk) END) AS hx
-  FROM marg GROUP BY conv_id
+  SELECT {K}, -SUM(CASE WHEN pk > 0 THEN pk * LOG2(pk) END) AS hx
+  FROM marg GROUP BY {K}
 ),
-pm AS (SELECT conv_id, ABS(i - j) AS k, SUM(p) AS pk FROM p GROUP BY conv_id, ABS(i - j)),
-pp AS (SELECT conv_id, i + j AS k, SUM(p) AS pk FROM p GROUP BY conv_id, i + j),
-pm_avg AS (SELECT conv_id, SUM(pk * k) AS diff_avg FROM pm GROUP BY conv_id),
-pp_avg AS (SELECT conv_id, SUM(pk * k) AS sum_avg FROM pp GROUP BY conv_id),
+pm AS (SELECT {K}, ABS(i - j) AS k, SUM(p) AS pk FROM p GROUP BY {K}, ABS(i - j)),
+pp AS (SELECT {K}, i + j AS k, SUM(p) AS pk FROM p GROUP BY {K}, i + j),
+pm_avg AS (SELECT {K}, SUM(pk * k) AS diff_avg FROM pm GROUP BY {K}),
+pp_avg AS (SELECT {K}, SUM(pk * k) AS sum_avg FROM pp GROUP BY {K}),
 pm_stats AS (
-  SELECT pm.conv_id,
-         SUM(pm.pk * POW(pm.k - a.diff_avg, 2)) AS diff_var,
-         -SUM(CASE WHEN pm.pk > 0 THEN pm.pk * LOG2(pm.pk) END) AS diff_entr,
-         SUM(pm.pk / (1 + pm.k * pm.k)) AS inv_diff_mom,
-         COALESCE(SUM(CASE WHEN pm.k > 0 THEN pm.pk / (pm.k * pm.k) END), 0) AS inv_var
-  FROM pm JOIN pm_avg a ON pm.conv_id = a.conv_id GROUP BY pm.conv_id
+  SELECT {K},
+         SUM(pk * POW(k - diff_avg, 2)) AS diff_var,
+         -SUM(CASE WHEN pk > 0 THEN pk * LOG2(pk) END) AS diff_entr,
+         SUM(pk / (1 + k * k)) AS inv_diff_mom,
+         COALESCE(SUM(CASE WHEN k > 0 THEN pk / (k * k) END), 0) AS inv_var
+  FROM pm JOIN pm_avg USING ({K}) GROUP BY {K}
 ),
 pm_norm AS (
-  SELECT pm.conv_id, SUM(pm.pk / (1 + POW(pm.k / v.gmax, 2))) AS inv_diff_mom_norm
-  FROM pm JOIN vox v ON pm.conv_id = v.conv_id GROUP BY pm.conv_id
+  SELECT {K}, SUM(pk / (1 + POW(k / gmax, 2))) AS inv_diff_mom_norm
+  FROM pm JOIN vox USING (conv_id) GROUP BY {K}
 ),
 pp_stats AS (
-  SELECT pp.conv_id,
-         SUM(pp.pk * POW(pp.k - a.sum_avg, 2)) AS sum_var,
-         -SUM(CASE WHEN pp.pk > 0 THEN pp.pk * LOG2(pp.pk) END) AS sum_entr
-  FROM pp JOIN pp_avg a ON pp.conv_id = a.conv_id GROUP BY pp.conv_id
+  SELECT {K},
+         SUM(pk * POW(k - sum_avg, 2)) AS sum_var,
+         -SUM(CASE WHEN pk > 0 THEN pk * LOG2(pk) END) AS sum_entr
+  FROM pp JOIN pp_avg USING ({K}) GROUP BY {K}
 ),
 base AS (
-  SELECT p.conv_id,
-         MAX(p.p) AS joint_max,
-         SUM(p.p * p.i) AS joint_avg,
-         -SUM(CASE WHEN p.p > 0 THEN p.p * LOG2(p.p) END) AS joint_entr,
-         SUM(p.p * p.p) AS energy,
-         SUM(p.p * POW(p.i - p.j, 2)) AS contrast,
-         SUM(p.p * ABS(p.i - p.j)) AS dissim,
-         SUM(p.p / (1 + ABS(p.i - p.j))) AS inv_diff,
-         SUM(p.p * p.i * p.j) AS auto_corr
-  FROM p GROUP BY p.conv_id
+  SELECT {K},
+         MAX(p) AS joint_max,
+         SUM(p * i) AS joint_avg,
+         -SUM(CASE WHEN p > 0 THEN p * LOG2(p) END) AS joint_entr,
+         SUM(p * p) AS energy,
+         SUM(p * POW(i - j, 2)) AS contrast,
+         SUM(p * ABS(i - j)) AS dissim,
+         SUM(p / (1 + ABS(i - j))) AS inv_diff,
+         SUM(p * i * j) AS auto_corr
+  FROM p GROUP BY {K}
 ),
 base2 AS (
-  SELECT p.conv_id,
-         SUM(p.p * POW(p.i - b.joint_avg, 2)) AS joint_var,
-         SUM(p.p / (1 + ABS(p.i - p.j) / v.gmax)) AS inv_diff_norm,
-         SUM(POW(p.i + p.j - 2 * u.mu_i, 2) * p.p) AS clust_tend,
-         SUM(POW(p.i + p.j - 2 * u.mu_i, 3) * p.p) AS clust_shade,
-         SUM(POW(p.i + p.j - 2 * u.mu_i, 4) * p.p) AS clust_prom
+  SELECT {K},
+         SUM(p * POW(i - joint_avg, 2)) AS joint_var,
+         SUM(p / (1 + ABS(i - j) / gmax)) AS inv_diff_norm,
+         SUM(POW(i + j - 2 * mu_i, 2) * p) AS clust_tend,
+         SUM(POW(i + j - 2 * mu_i, 3) * p) AS clust_shade,
+         SUM(POW(i + j - 2 * mu_i, 4) * p) AS clust_prom
   FROM p
-  JOIN base b ON p.conv_id = b.conv_id
-  JOIN mu u ON p.conv_id = u.conv_id
-  JOIN vox v ON p.conv_id = v.conv_id
-  GROUP BY p.conv_id
+  JOIN base USING ({K})
+  JOIN mu USING ({K})
+  JOIN vox USING (conv_id)
+  GROUP BY {K}
 ),
 hxy1 AS (
-  SELECT p.conv_id, -SUM(p.p * LOG2(mi.pk * mj.pk)) AS hxy1
+  SELECT {Kq('p', keys)}, -SUM(p.p * LOG2(mi.pk * mj.pk)) AS hxy1
   FROM p
-  JOIN marg mi ON p.conv_id = mi.conv_id AND p.i = mi.k
-  JOIN marg mj ON p.conv_id = mj.conv_id AND p.j = mj.k
+  JOIN marg mi ON {on('p', 'mi')} AND p.i = mi.k
+  JOIN marg mj ON {on('p', 'mj')} AND p.j = mj.k
   WHERE mi.pk > 0 AND mj.pk > 0
-  GROUP BY p.conv_id
+  GROUP BY {Kq('p', keys)}
 ),
 hxy2 AS (
-  SELECT mi.conv_id, -SUM(mi.pk * mj.pk * LOG2(mi.pk * mj.pk)) AS hxy2
-  FROM marg mi JOIN marg mj ON mi.conv_id = mj.conv_id
+  SELECT {Kq('mi', keys)}, -SUM(mi.pk * mj.pk * LOG2(mi.pk * mj.pk)) AS hxy2
+  FROM marg mi JOIN marg mj ON {on('mi', 'mj')}
   WHERE mi.pk > 0 AND mj.pk > 0
-  GROUP BY mi.conv_id
-)
-SELECT b.conv_id,
-       {r6('b.joint_max', 'cm_joint_max')},
-       {r6('b.joint_avg', 'cm_joint_avg')},
-       {r6('b2.joint_var', 'cm_joint_var')},
-       {r6('b.joint_entr', 'cm_joint_entr')},
-       {r6('pa.diff_avg', 'cm_diff_avg')},
-       {r6('ps.diff_var', 'cm_diff_var')},
-       {r6('ps.diff_entr', 'cm_diff_entr')},
-       {r6('qa.sum_avg', 'cm_sum_avg')},
-       {r6('qs.sum_var', 'cm_sum_var')},
-       {r6('qs.sum_entr', 'cm_sum_entr')},
-       {r6('b.energy', 'cm_energy')},
-       {r6('b.contrast', 'cm_contrast')},
-       {r6('b.dissim', 'cm_dissimilarity')},
-       {r6('b.inv_diff', 'cm_inv_diff')},
-       {r6('b2.inv_diff_norm', 'cm_inv_diff_norm')},
-       {r6('ps.inv_diff_mom', 'cm_inv_diff_mom')},
-       {r6('pn.inv_diff_mom_norm', 'cm_inv_diff_mom_norm')},
-       {r6('ps.inv_var', 'cm_inv_var')},
-       {r6('CASE WHEN sg.sigma2 = 0 THEN NULL ELSE (b.auto_corr - u.mu_i * u.mu_i) / sg.sigma2 END', 'cm_corr')},
-       {r6('b.auto_corr', 'cm_auto_corr')},
-       {r6('b2.clust_tend', 'cm_clust_tend')},
-       {r6('b2.clust_shade', 'cm_clust_shade')},
-       {r6('b2.clust_prom', 'cm_clust_prom')},
-       {r6('CASE WHEN h.hx = 0 THEN NULL ELSE (b.joint_entr - h1.hxy1) / h.hx END', 'cm_info_corr1')},
-       {r6('CASE WHEN 1 - EXP(-2 * (h2.hxy2 - b.joint_entr)) < 0 THEN NULL ELSE SQRT(1 - EXP(-2 * (h2.hxy2 - b.joint_entr))) END', 'cm_info_corr2')}
-FROM base b
-JOIN base2 b2 ON b.conv_id = b2.conv_id
-JOIN pm_avg pa ON b.conv_id = pa.conv_id
-JOIN pm_stats ps ON b.conv_id = ps.conv_id
-JOIN pm_norm pn ON b.conv_id = pn.conv_id
-JOIN pp_avg qa ON b.conv_id = qa.conv_id
-JOIN pp_stats qs ON b.conv_id = qs.conv_id
-JOIN mu u ON b.conv_id = u.conv_id
-JOIN sig sg ON b.conv_id = sg.conv_id
-JOIN hx h ON b.conv_id = h.conv_id
-JOIN hxy1 h1 ON b.conv_id = h1.conv_id
-JOIN hxy2 h2 ON b.conv_id = h2.conv_id
-"""
+  GROUP BY {Kq('mi', keys)}
+),
+feat AS (
+  SELECT {Kq('b', keys)},
+         {', '.join(f'{expr} AS {name}' for name, expr in _GLCM_FEATS)}
+  FROM base b
+  JOIN base2 b2 ON {on('b', 'b2')}
+  JOIN pm_avg pa ON {on('b', 'pa')}
+  JOIN pm_stats ps ON {on('b', 'ps')}
+  JOIN pm_norm pn ON {on('b', 'pn')}
+  JOIN pp_avg qa ON {on('b', 'qa')}
+  JOIN pp_stats qs ON {on('b', 'qs')}
+  JOIN mu u ON {on('b', 'u')}
+  JOIN sig sg ON {on('b', 'sg')}
+  JOIN hx h ON {on('b', 'h')}
+  JOIN hxy1 h1 ON {on('b', 'h1')}
+  JOIN hxy2 h2 ON {on('b', 'h2')}
+)"""
+    if not per_session:
+        sel = ",\n       ".join(r6(name, name) for name, _ in _GLCM_FEATS)
+        return f"{body}\nSELECT conv_id,\n       {sel}\nFROM feat"
+    # 2D AVER: plain mean over session matrices, NaN-propagating like
+    # np.average over dicts containing NaN (kernels/texture.py _agg_dicts);
+    # conversations with no pair-bearing session still emit an all-NULL row
+    sel = ",\n       ".join(
+        r6(f"CASE WHEN COUNT(*) <> COUNT({name}) THEN NULL ELSE AVG({name}) END", name)
+        for name, _ in _GLCM_FEATS
+    )
+    return (
+        f"{body},\nconvs AS (SELECT DISTINCT conv_id FROM t)\n"
+        f"SELECT convs.conv_id,\n       {sel}\n"
+        f"FROM convs LEFT JOIN feat USING (conv_id) GROUP BY convs.conv_id"
+    )
 
-ORACLES["q_glrlm"] = f"""
-WITH t AS ({T}),
-{_ORD},
+
+def Kq(tbl: str, keys: list) -> str:
+    return ", ".join(f"{tbl}.{k}" for k in keys)
+
+
+ORACLES["q_glcm"] = _glcm_sql(per_session=False)
+ORACLES["q_glcm_2d_avg"] = _glcm_sql(per_session=True)
+
+# shared gaps-and-islands run decomposition (keeps start/end positions for
+# the distance-zone family); runs == zones in 1-D
+_RUNS = """
 marked AS (
   SELECT conv_id, g, rn,
          CASE WHEN LAG(g) OVER (PARTITION BY conv_id ORDER BY rn) IS DISTINCT FROM g THEN 1 ELSE 0 END AS brk
   FROM ord
 ),
 runs0 AS (
-  SELECT conv_id, g, SUM(brk) OVER (PARTITION BY conv_id ORDER BY rn) AS run_id
+  SELECT conv_id, g, rn, SUM(brk) OVER (PARTITION BY conv_id ORDER BY rn) AS run_id
   FROM marked
 ),
 runs AS (
-  SELECT conv_id, run_id, CAST(MIN(g) AS DOUBLE) AS lvl, CAST(COUNT(*) AS DOUBLE) AS len
+  SELECT conv_id, run_id, CAST(MIN(g) AS DOUBLE) AS lvl, CAST(COUNT(*) AS DOUBLE) AS len,
+         MIN(rn) AS srn, MAX(rn) AS ern
   FROM runs0 GROUP BY conv_id, run_id
+)
+"""
+
+
+def _runs16_sql(names: list[str], width_expr: str | None = None) -> str:
+    """Shared 16-formula reducer SQL (texture_base.py:40-214 analogue) over
+    the run decomposition. ``names`` gives the 16 output aliases in
+    TEXTURE_ATTRS order. ``width_expr`` replaces the run length as the
+    matrix column key (GLDZM passes the min border distance); the
+    default (None) uses run length (GLRLM / 1-D GLSZM)."""
+    j = width_expr or "r.len"
+    return f"""
+WITH t AS ({T}),
+{_ORD},
+{_RUNS},
+dz AS (
+  SELECT r.conv_id, r.lvl, CAST({j} AS DOUBLE) AS jl
+  FROM runs r JOIN vox v ON r.conv_id = v.conv_id
 ),
 ns AS (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS n_s,
-              AVG(lvl) AS mu_i, AVG(len - 1) AS mu_j FROM runs GROUP BY conv_id),
+              AVG(lvl) AS mu_i, AVG(jl - 1) AS mu_j FROM dz GROUP BY conv_id),
 simple AS (
   SELECT r.conv_id,
-         AVG(1.0 / (r.len * r.len)) AS sre,
-         AVG(r.len * r.len) AS lre,
+         AVG(1.0 / (r.jl * r.jl)) AS sre,
+         AVG(r.jl * r.jl) AS lre,
          AVG(1.0 / (r.lvl * r.lvl)) AS lgre,
          AVG(r.lvl * r.lvl) AS hgre,
-         AVG(1.0 / (r.lvl * r.lvl * r.len * r.len)) AS srlge,
-         AVG(r.lvl * r.lvl / (r.len * r.len)) AS srhge,
-         AVG(r.len * r.len / (r.lvl * r.lvl)) AS lrlge,
-         AVG(r.lvl * r.lvl * r.len * r.len) AS lrhge,
+         AVG(1.0 / (r.lvl * r.lvl * r.jl * r.jl)) AS srlge,
+         AVG(r.lvl * r.lvl / (r.jl * r.jl)) AS srhge,
+         AVG(r.jl * r.jl / (r.lvl * r.lvl)) AS lrlge,
+         AVG(r.lvl * r.lvl * r.jl * r.jl) AS lrhge,
          AVG(POW(r.lvl - n.mu_i, 2)) AS gl_var,
-         AVG(POW((r.len - 1) - n.mu_j, 2)) AS rl_var
-  FROM runs r JOIN ns n ON r.conv_id = n.conv_id GROUP BY r.conv_id
+         AVG(POW((r.jl - 1) - n.mu_j, 2)) AS rl_var
+  FROM dz r JOIN ns n ON r.conv_id = n.conv_id GROUP BY r.conv_id
 ),
 bylvl AS (
-  SELECT conv_id, lvl, CAST(COUNT(*) AS DOUBLE) AS c FROM runs GROUP BY conv_id, lvl
+  SELECT conv_id, lvl, CAST(COUNT(*) AS DOUBLE) AS c FROM dz GROUP BY conv_id, lvl
 ),
 bylen AS (
-  SELECT conv_id, len, CAST(COUNT(*) AS DOUBLE) AS c FROM runs GROUP BY conv_id, len
+  SELECT conv_id, jl, CAST(COUNT(*) AS DOUBLE) AS c FROM dz GROUP BY conv_id, jl
 ),
 bycell AS (
-  SELECT conv_id, lvl, len, CAST(COUNT(*) AS DOUBLE) AS c FROM runs GROUP BY conv_id, lvl, len
+  SELECT conv_id, lvl, jl, CAST(COUNT(*) AS DOUBLE) AS c FROM dz GROUP BY conv_id, lvl, jl
 ),
 glnu AS (SELECT conv_id, SUM(c * c) AS v FROM bylvl GROUP BY conv_id),
 rlnu AS (SELECT conv_id, SUM(c * c) AS v FROM bylen GROUP BY conv_id),
@@ -481,22 +566,22 @@ entr AS (
   FROM bycell b JOIN ns n ON b.conv_id = n.conv_id GROUP BY b.conv_id
 )
 SELECT s.conv_id,
-       {r6('s.sre', 'rlm_sre')},
-       {r6('s.lre', 'rlm_lre')},
-       {r6('s.lgre', 'rlm_lgre')},
-       {r6('s.hgre', 'rlm_hgre')},
-       {r6('s.srlge', 'rlm_srlge')},
-       {r6('s.srhge', 'rlm_srhge')},
-       {r6('s.lrlge', 'rlm_lrlge')},
-       {r6('s.lrhge', 'rlm_lrhge')},
-       {r6('g.v / n.n_s', 'rlm_glnu')},
-       {r6('g.v / (n.n_s * n.n_s)', 'rlm_glnu_norm')},
-       {r6('rl.v / n.n_s', 'rlm_rlnu')},
-       {r6('rl.v / (n.n_s * n.n_s)', 'rlm_rlnu_norm')},
-       {r6('n.n_s / v.vc', 'rlm_r_perc')},
-       {r6('s.gl_var', 'rlm_gl_var')},
-       {r6('s.rl_var', 'rlm_rl_var')},
-       {r6('e.v', 'rlm_rl_entr')}
+       {r6('s.sre', names[0])},
+       {r6('s.lre', names[1])},
+       {r6('s.lgre', names[2])},
+       {r6('s.hgre', names[3])},
+       {r6('s.srlge', names[4])},
+       {r6('s.srhge', names[5])},
+       {r6('s.lrlge', names[6])},
+       {r6('s.lrhge', names[7])},
+       {r6('g.v / n.n_s', names[8])},
+       {r6('g.v / (n.n_s * n.n_s)', names[9])},
+       {r6('rl.v / n.n_s', names[10])},
+       {r6('rl.v / (n.n_s * n.n_s)', names[11])},
+       {r6('n.n_s / v.vc', names[12])},
+       {r6('s.gl_var', names[13])},
+       {r6('s.rl_var', names[14])},
+       {r6('e.v', names[15])}
 FROM simple s
 JOIN ns n ON s.conv_id = n.conv_id
 JOIN vox v ON s.conv_id = v.conv_id
@@ -504,6 +589,34 @@ JOIN glnu g ON s.conv_id = g.conv_id
 JOIN rlnu rl ON s.conv_id = rl.conv_id
 JOIN entr e ON s.conv_id = e.conv_id
 """
+
+
+ORACLES["q_glrlm"] = _runs16_sql(
+    ["rlm_sre", "rlm_lre", "rlm_lgre", "rlm_hgre", "rlm_srlge", "rlm_srhge",
+     "rlm_lrlge", "rlm_lrhge", "rlm_glnu", "rlm_glnu_norm", "rlm_rlnu",
+     "rlm_rlnu_norm", "rlm_r_perc", "rlm_gl_var", "rlm_rl_var", "rlm_rl_entr"]
+)
+
+# 1-D GLSZM: zones are runs (26-connectivity degenerates to run adjacency),
+# so the matrix equals GLRLM's — kernels/texture.py _zone_family 'szm'
+ORACLES["q_glszm"] = _runs16_sql(
+    ["szm_sze", "szm_lze", "szm_lgze", "szm_hgze", "szm_szlge", "szm_szhge",
+     "szm_lzlge", "szm_lzhge", "szm_glnu", "szm_glnu_norm", "szm_zsnu",
+     "szm_zsnu_norm", "szm_z_perc", "szm_gl_var", "szm_zs_var", "szm_zs_entr"]
+)
+
+# GLDZM: zone -> min taxicab distance to the conversation border; for a
+# contiguous run that is min over the run's two endpoints, each scored
+# min(position, n - position + 1) in 1-based positions (kernels/prep.py
+# border_distance + kernels/texture.py dzm_matrix)
+ORACLES["q_gldzm"] = _runs16_sql(
+    ["dzm_sde", "dzm_lde", "dzm_lgze", "dzm_hgze", "dzm_sdlge", "dzm_sdhge",
+     "dzm_ldlge", "dzm_ldhge", "dzm_glnu", "dzm_glnu_norm", "dzm_zdnu",
+     "dzm_zdnu_norm", "dzm_z_perc", "dzm_gl_var", "dzm_zd_var", "dzm_zd_entr"],
+    width_expr=(
+        "GREATEST(LEAST(LEAST(r.srn, v.vc - r.srn + 1), LEAST(r.ern, v.vc - r.ern + 1)), 1)"
+    ),
+)
 
 ORACLES["q_ngldm"] = f"""
 WITH t AS ({T}),
@@ -849,7 +962,328 @@ SELECT conv_id,
 FROM roll GROUP BY conv_id
 """
 
+# --- resegmentation / discretization variants ------------------------------
+
+# Range reseg on the RAW signal first, then mean±2σ outlier filter whose
+# stats come from the POST-RANGE population (order contract:
+# zrad/preprocessing/resegmentation.py:230-231); guard: <3 surviving turns
+# -> NULL features (masks.py:57-59 analogue)
+ORACLES["q_reseg_stats"] = f"""
+WITH t AS ({T}),
+r1 AS (SELECT conv_id, signal AS x FROM t WHERE signal >= 2 AND signal <= 8),
+st AS (SELECT conv_id, AVG(x) AS m, stddev_pop(x) AS s FROM r1 GROUP BY conv_id),
+r2 AS (
+  SELECT r1.conv_id, x FROM r1 JOIN st USING (conv_id)
+  WHERE x >= m - 2 * s AND x <= m + 2 * s
+),
+agg AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n, AVG(x) AS mean, var_pop(x) AS var,
+         CAST(quantile_cont(x, 0.5) AS DOUBLE) AS med, MIN(x) AS mn, MAX(x) AS mx,
+         CAST(SUM(x * x) AS DOUBLE) AS energy
+  FROM r2 GROUP BY conv_id
+),
+convs AS (SELECT DISTINCT conv_id FROM t)
+SELECT c.conv_id, COALESCE(a.n, 0) AS n_eligible,
+       {r6('CASE WHEN a.n >= 3 THEN a.mean END', 'stat_mean')},
+       {r6('CASE WHEN a.n >= 3 THEN a.var END', 'stat_var')},
+       {r6('CASE WHEN a.n >= 3 THEN a.med END', 'stat_median')},
+       {r6('CASE WHEN a.n >= 3 THEN a.mn END', 'stat_min')},
+       {r6('CASE WHEN a.n >= 3 THEN a.mx END', 'stat_max')},
+       {r6('CASE WHEN a.n >= 3 THEN (CASE WHEN a.mean = 0 THEN 1000000.0 ELSE SQRT(a.var) / a.mean END) END', 'stat_cov')},
+       {r6('CASE WHEN a.n >= 3 THEN a.energy END', 'stat_energy')}
+FROM convs c LEFT JOIN agg a USING (conv_id)
+"""
+
+# FBS discretization (floor((x - min)/w) + 1, observed-min anchor,
+# discretization.py:62-69) feeding the histogram family, whole conversation
+ORACLES["q_fbs_hist"] = f"""
+WITH t AS ({T}),
+rng AS (
+  SELECT conv_id, signal AS x, MIN(signal) OVER (PARTITION BY conv_id) AS mn
+  FROM t
+),
+g_ AS (
+  SELECT conv_id, FLOOR((x - mn) / 2.0) + 1 AS grey
+  FROM rng
+),
+counts AS (
+  SELECT conv_id, grey, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM g_ GROUP BY conv_id, grey
+),
+enriched AS (
+  SELECT conv_id, grey, c,
+         c / SUM(c) OVER wk AS p,
+         COUNT(*) OVER wk AS n_levels,
+         CASE WHEN LAG(c) OVER wl IS NULL AND LEAD(c) OVER wl IS NULL THEN NULL
+              WHEN LAG(c) OVER wl IS NULL THEN LEAD(c) OVER wl - c
+              WHEN LEAD(c) OVER wl IS NULL THEN c - LAG(c) OVER wl
+              ELSE (LEAD(c) OVER wl - LAG(c) OVER wl) / 2 END AS grad
+  FROM counts
+  WINDOW wk AS (PARTITION BY conv_id),
+         wl AS (PARTITION BY conv_id ORDER BY grey)
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY c DESC, grey ASC) AS rn_mode,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY grad DESC, grey ASC) AS rn_maxg,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY grad ASC, grey ASC) AS rn_ming
+  FROM enriched
+),
+agg AS (
+  SELECT conv_id,
+         -SUM(p * LOG2(p)) AS ih_entropy,
+         SUM(p * p) AS ih_uniformity,
+         MAX(CASE WHEN rn_mode = 1 THEN grey END) AS ih_mode,
+         MAX(CASE WHEN rn_maxg = 1 AND n_levels > 1 THEN grad END) AS ih_max_grad,
+         MAX(CASE WHEN rn_maxg = 1 AND n_levels > 1 THEN grey END) AS ih_max_grad_g,
+         MAX(CASE WHEN rn_ming = 1 AND n_levels > 1 THEN grad END) AS ih_min_grad,
+         MAX(CASE WHEN rn_ming = 1 AND n_levels > 1 THEN grey END) AS ih_min_grad_g
+  FROM ranked GROUP BY conv_id
+),
+mom AS (
+  SELECT conv_id,
+         AVG(grey) AS ih_mean, var_pop(grey) AS ih_var,
+         CAST(quantile_cont(grey, 0.5) AS DOUBLE) AS ih_median,
+         MIN(grey) AS ih_min, MAX(grey) AS ih_max
+  FROM g_ GROUP BY conv_id
+)
+SELECT m.conv_id,
+       {r6('m.ih_mean', 'ih_mean')},
+       {r6('m.ih_var', 'ih_var')},
+       {r6('m.ih_median', 'ih_median')},
+       {r6('m.ih_min', 'ih_min')},
+       {r6('m.ih_max', 'ih_max')},
+       {r6('a.ih_entropy', 'ih_entropy')},
+       {r6('a.ih_uniformity', 'ih_uniformity')},
+       {r6('a.ih_mode', 'ih_mode')},
+       {r6('a.ih_max_grad', 'ih_max_grad')},
+       {r6('a.ih_max_grad_g', 'ih_max_grad_g')},
+       {r6('a.ih_min_grad', 'ih_min_grad')},
+       {r6('a.ih_min_grad_g', 'ih_min_grad_g')}
+FROM mom m JOIN agg a USING (conv_id)
+"""
+
+# IVH on fixed_bin_size intensities: bin centers anchor+(g-0.5)*w, sweep
+# step w (discretization.py:359-444 + extraction_preparation.py:89-117)
+ORACLES["q_ivh_fbs"] = f"""
+WITH t AS ({T}),
+a0 AS (SELECT conv_id, signal AS x FROM t),
+anch AS (SELECT conv_id, MIN(x) AS anchor FROM a0 GROUP BY conv_id),
+arr AS (
+  SELECT a0.conv_id, anchor + (FLOOR((x - anchor) / 2.0) + 0.5) * 2.0 AS v
+  FROM a0 JOIN anch USING (conv_id)
+),
+rng AS (SELECT conv_id, MIN(v) AS lo, MAX(v) AS hi, CAST(COUNT(*) AS DOUBLE) AS n FROM arr GROUP BY conv_id),
+thr AS (
+  SELECT conv_id, lo, hi, n,
+         lo + UNNEST(generate_series(0, CAST((hi - lo) / 2.0 AS BIGINT))) * 2.0 AS tv
+  FROM rng WHERE hi > lo
+),
+fv AS (
+  SELECT th.conv_id, th.tv,
+         1.0 - SUM(CASE WHEN arr.v < th.tv THEN 1 ELSE 0 END) / th.n AS f,
+         (th.tv - th.lo) / (th.hi - th.lo) AS intfrac
+  FROM thr th JOIN arr ON arr.conv_id = th.conv_id
+  GROUP BY th.conv_id, th.tv, th.lo, th.hi, th.n
+),
+agg AS (
+  SELECT conv_id,
+         MAX(CASE WHEN intfrac > 0.10 THEN f END) AS v10,
+         MAX(CASE WHEN intfrac > 0.90 THEN f END) AS v90,
+         MIN(CASE WHEN f <= 0.10 THEN tv END) AS i10,
+         MIN(CASE WHEN f <= 0.90 THEN tv END) AS i90
+  FROM fv GROUP BY conv_id
+)
+SELECT r.conv_id,
+       {r6('a.v10', 'ivh_v10')},
+       {r6('a.v90', 'ivh_v90')},
+       {r6('a.i10', 'ivh_i10')},
+       {r6('a.i90', 'ivh_i90')},
+       {r6('a.v10 - a.v90', 'ivh_diff_v10_v90')},
+       {r6('a.i10 - a.i90', 'ivh_diff_i10_i90')}
+FROM rng r LEFT JOIN agg a ON r.conv_id = a.conv_id
+"""
+
+# Moran's I / Geary's C with 1/|dt|-second weights over all pairs
+# (morphology.py:283-395 analogue; kernels/shape.py moran_geary)
+ORACLES["q_moran"] = f"""
+WITH t AS ({T}),
+o AS (
+  SELECT conv_id, signal AS x, CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS tsec,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
+  FROM t
+),
+m AS (SELECT conv_id, AVG(x) AS mean, CAST(COUNT(*) AS DOUBLE) AS n FROM o GROUP BY conv_id),
+den AS (
+  SELECT o.conv_id, SUM(POW(o.x - m.mean, 2)) AS denom
+  FROM o JOIN m USING (conv_id) GROUP BY o.conv_id
+),
+pr AS (
+  SELECT a.conv_id,
+         SUM(CASE WHEN a.tsec <> b.tsec THEN 1.0 / ABS(a.tsec - b.tsec) ELSE 0 END) AS s0,
+         SUM(CASE WHEN a.tsec <> b.tsec THEN (a.x - m.mean) * (b.x - m.mean) / ABS(a.tsec - b.tsec) ELSE 0 END) AS crossp,
+         SUM(CASE WHEN a.tsec <> b.tsec THEN POW(a.x - b.x, 2) / ABS(a.tsec - b.tsec) ELSE 0 END) AS sqd
+  FROM o a
+  JOIN o b ON a.conv_id = b.conv_id AND a.rn <> b.rn
+  JOIN m ON m.conv_id = a.conv_id
+  GROUP BY a.conv_id
+)
+SELECT m.conv_id,
+       {r6('CASE WHEN m.n < 3 OR m.n > 2000 OR pr.s0 = 0 OR den.denom = 0 THEN NULL ELSE (m.n / pr.s0) * pr.crossp / den.denom END', 'shape_moran_i')},
+       {r6('CASE WHEN m.n < 3 OR m.n > 2000 OR pr.s0 = 0 OR den.denom = 0 THEN NULL ELSE ((m.n - 1) / (2 * pr.s0)) * pr.sqd / den.denom END', 'shape_geary_c')}
+FROM m
+LEFT JOIN pr ON m.conv_id = pr.conv_id
+LEFT JOIN den ON m.conv_id = den.conv_id
+"""
+
+# full 12-feature conversation-shape block (kernels/shape.py SHAPE_NAMES)
+ORACLES["q_shape_full"] = f"""
+WITH t AS ({T}),
+o AS (
+  SELECT conv_id, signal AS x, tool, role, ts, turn_idx,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) - 1 AS pos,
+         CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS DOUBLE) / 1e6 AS gap
+  FROM t
+),
+base AS (
+  SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS n_turns,
+         CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS DOUBLE) / 1e6 AS dur,
+         AVG(CASE WHEN tool IS NOT NULL THEN 1.0 ELSE 0.0 END) AS tool_frac,
+         AVG(CAST(pos AS DOUBLE)) AS com_geom,
+         SUM(pos * x) / SUM(x) AS com_int
+  FROM o GROUP BY conv_id
+),
+gs AS (
+  SELECT conv_id, AVG(gap) AS gap_mean, stddev_pop(gap) AS gap_std, MAX(gap) AS gap_max,
+         1 + SUM(CASE WHEN gap > {GAP} THEN 1 ELSE 0 END) AS n_sessions
+  FROM o GROUP BY conv_id
+),
+re AS (
+  SELECT conv_id, -SUM(p * LOG2(p)) AS role_entropy FROM (
+    SELECT conv_id, CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY conv_id) AS p
+    FROM o GROUP BY conv_id, role
+  ) GROUP BY conv_id
+)
+SELECT b.conv_id,
+       {r6('b.n_turns', 'shape_n_turns')},
+       {r6('b.n_turns', 'shape_n_eligible')},
+       {r6('b.dur', 'shape_duration_sec')},
+       {r6('CASE WHEN b.dur > 0 THEN b.n_turns / b.dur END', 'shape_turn_rate')},
+       {r6('g.gap_mean', 'shape_gap_mean')},
+       {r6('g.gap_std', 'shape_gap_std')},
+       {r6('g.gap_max', 'shape_gap_max')},
+       {r6('g.n_sessions', 'shape_n_sessions')},
+       {r6('b.n_turns / g.n_sessions', 'shape_session_len_mean')},
+       {r6('r.role_entropy', 'shape_role_entropy')},
+       {r6('b.tool_frac', 'shape_tool_frac')},
+       {r6('ABS(b.com_geom - b.com_int)', 'shape_intensity_com_shift')}
+FROM base b JOIN gs g ON b.conv_id = g.conv_id JOIN re r ON b.conv_id = r.conv_id
+"""
+
+# --- convolutional filter oracles ------------------------------------------
+# Taps are re-derived here with plain Python math (independent of the
+# engine's NumPy implementation) and embedded as SQL literals; the
+# convolution is a positional self-join with zero padding (COALESCE).
+
+
+def _py_log_taps(sigma=1.5, cutoff=4.0):
+    r = math.ceil(cutoff * sigma)
+    t = list(range(-r, r + 1))
+    g = [math.exp(-(x * x) / (2 * sigma * sigma)) for x in t]
+    s = sum(g)
+    g = [v / s for v in g]
+    lap = [g[i] * (t[i] * t[i] - sigma * sigma) / sigma**4 for i in range(len(t))]
+    mean = sum(lap) / len(lap)
+    return [v - mean for v in lap]
+
+
+def _py_gabor_taps(sigma=2.0, wavelength=4.0, cutoff=3.0):
+    r = math.ceil(cutoff * sigma)
+    t = list(range(-r, r + 1))
+    env = [math.exp(-(x * x) / (2 * sigma * sigma)) for x in t]
+    re = [env[i] * math.cos(2 * math.pi * t[i] / wavelength) for i in range(len(t))]
+    im = [env[i] * math.sin(2 * math.pi * t[i] / wavelength) for i in range(len(t))]
+    return re, im
+
+
+_S5 = [v / math.sqrt(6.0) for v in (-1.0, 0.0, 2.0, 0.0, -1.0)]
+_DB2_HI = [-0.48296291314469025, 0.836516303737469, -0.22414386804185735, -0.12940952255092145]
+_DB2_HI_AVG = [(a + b) / 2.0 for a, b in zip(_DB2_HI, reversed(_DB2_HI))]
+
+
+def _taps_values(taps) -> str:
+    lpad = len(taps) // 2
+    rows = ", ".join(f"({j - lpad}, {w!r})" for j, w in enumerate(taps))
+    return f"(VALUES {rows}) k(o, w)"
+
+
+def _conv_sql(taps) -> str:
+    """Zero-padded 'same' correlation: out[i] = sum_o w_o * x[i+o]."""
+    return f"""
+WITH t AS ({T}),
+ordf AS (
+  SELECT conv_id, turn_idx, signal,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
+  FROM t
+)
+SELECT a.conv_id, a.turn_idx,
+       {r6('SUM(k.w * COALESCE(b.signal, 0))', 'signal_filt')}
+FROM ordf a
+CROSS JOIN {_taps_values(taps)}
+LEFT JOIN ordf b ON b.conv_id = a.conv_id AND b.rn = a.rn + k.o
+GROUP BY a.conv_id, a.turn_idx
+"""
+
+
+ORACLES["q_filter_log"] = _conv_sql(_py_log_taps())
+ORACLES["q_filter_wavelet"] = _conv_sql(_DB2_HI_AVG)
+
+# Laws S5 (symmetric -> avg invariance == forward) + energy map: rolling
+# mean of |response|, support 5, zero-padded
+ORACLES["q_filter_laws"] = f"""
+WITH t AS ({T}),
+ordf AS (
+  SELECT conv_id, turn_idx, signal,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
+  FROM t
+),
+resp AS (
+  SELECT a.conv_id, a.turn_idx, a.rn, SUM(k.w * COALESCE(b.signal, 0)) AS r
+  FROM ordf a
+  CROSS JOIN {_taps_values(_S5)}
+  LEFT JOIN ordf b ON b.conv_id = a.conv_id AND b.rn = a.rn + k.o
+  GROUP BY a.conv_id, a.turn_idx, a.rn
+)
+SELECT conv_id, turn_idx,
+       {r6("SUM(ABS(r)) OVER (PARTITION BY conv_id ORDER BY rn ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) / 5.0", 'signal_filt')}
+FROM resp
+"""
+
+
+def _gabor_sql() -> str:
+    re, im = _py_gabor_taps()
+    lpad = len(re) // 2
+    rows = ", ".join(f"({j - lpad}, {re[j]!r}, {im[j]!r})" for j in range(len(re)))
+    return f"""
+WITH t AS ({T}),
+ordf AS (
+  SELECT conv_id, turn_idx, signal,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
+  FROM t
+)
+SELECT a.conv_id, a.turn_idx,
+       {r6('SQRT(POW(SUM(k.wre * COALESCE(b.signal, 0)), 2) + POW(SUM(k.wim * COALESCE(b.signal, 0)), 2))', 'signal_filt')}
+FROM ordf a
+CROSS JOIN (VALUES {rows}) k(o, wre, wim)
+LEFT JOIN ordf b ON b.conv_id = a.conv_id AND b.rn = a.rn + k.o
+GROUP BY a.conv_id, a.turn_idx
+"""
+
+
+ORACLES["q_filter_gabor"] = _gabor_sql()
+
 # distributed texture variants share the single-path oracles exactly
 ORACLES["q_glcm_dist"] = ORACLES["q_glcm"]
 ORACLES["q_glrlm_dist"] = ORACLES["q_glrlm"]
 ORACLES["q_ngldm_dist"] = ORACLES["q_ngldm"]
+ORACLES["q_glcm_salted"] = ORACLES["q_glcm"]

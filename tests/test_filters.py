@@ -97,6 +97,36 @@ def test_declarative_mean_matches_kernel(spark):
         np.testing.assert_allclose(grp["signal_filt"].to_numpy(), want, atol=1e-9)
 
 
+@pytest.mark.parametrize("op,kernel_fn", [
+    ("log", lambda x: flt.log_filter(x, sigma=1.5)),
+    ("laws", lambda x: flt.laws_filter(x, "S5", "avg", energy_support=5)),
+    ("gabor", lambda x: flt.gabor_filter(x, 2.0, 4.0)),
+    ("wavelet", lambda x: flt.wavelet_filter(x, "db2", "H", 1, "avg")),
+])
+def test_declarative_filters_match_kernel(spark, op, kernel_fn):
+    """The window-expression path and the grouped-map kernel path share
+    taps, so they must be value-identical per conversation."""
+    from z_rad_spark.operators import filtering as fop
+    from z_rad_spark.transcripts import TRANSCRIPT_SCHEMA, synth_transcripts_pdf, with_signal
+
+    builders = {
+        "log": lambda df: fop.with_log_filter(df, sigma=1.5),
+        "laws": lambda df: fop.with_laws_filter(df, "S5", "avg", energy_support=5),
+        "gabor": lambda df: fop.with_gabor_filter(df, 2.0, 4.0),
+        "wavelet": lambda df: fop.with_wavelet_filter(df, "db2", "H", 1, "avg"),
+    }
+    pdf = synth_transcripts_pdf(n_convs=3, mean_turns=25, seed=21)
+    df = with_signal(spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA))
+    got = (
+        builders[op](df)
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+    )
+    for conv, grp in got.groupby("conv_id"):
+        want = kernel_fn(grp["signal"].to_numpy(dtype=float))
+        np.testing.assert_allclose(grp["signal_filt"].to_numpy(), want, atol=1e-9)
+
+
 def test_filtered_extraction_no_leakage(spark):
     """The filter window must not read post-cutoff turns: poisoning them
     leaves filtered features identical (filter runs on the cutoff slice)."""

@@ -165,3 +165,38 @@ def test_media_decode_plumbing(spark):
     out2 = decode_features(media).toPandas().sort_values("media_id")
     out1 = out.sort_values("media_id")
     assert [list(a) for a in out1["features"]] == [list(b) for b in out2["features"]]
+
+
+def test_salted_glcm_exact_across_bucket_borders(spark, tdf):
+    """Salt-bucketed pair extraction (k-row overlap, left-endpoint
+    ownership) must reproduce the unsalted cell counts exactly — including
+    pairs that straddle bucket borders."""
+    from z_rad_spark.operators.texture_sql import glcm_cells, glcm_cells_salted
+
+    df, _ = tdf
+    for lags in [(1,), (1, 2, 3)]:
+        plain = glcm_cells(df, lags=lags).toPandas().sort_values(["conv_id", "i", "j"]).reset_index(drop=True)
+        salted = (
+            glcm_cells_salted(df, lags=lags, turns_per_bucket=7)
+            .toPandas()
+            .sort_values(["conv_id", "i", "j"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(plain, salted, check_exact=True)
+
+
+def test_salted_glcm_features_match_distributed(spark, tdf):
+    from z_rad_spark.operators.texture_sql import (
+        glcm_features_distributed,
+        glcm_features_salted,
+    )
+
+    df, _ = tdf
+    a = glcm_features_distributed(df, lags=(1,)).toPandas().sort_values("conv_id").reset_index(drop=True)
+    b = (
+        glcm_features_salted(df, lags=(1,), turns_per_bucket=11)
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=0, atol=1e-12)

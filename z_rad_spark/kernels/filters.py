@@ -79,16 +79,23 @@ def _gauss_taps(sigma: float, cutoff: float = 4.0) -> np.ndarray:
     return g / g.sum()
 
 
-def log_filter(x: np.ndarray, sigma: float = 1.5, cutoff: float = 4.0) -> np.ndarray:
-    """Laplacian-of-Gaussian (zrad/filtering/spatial.py:67-141): the 1-D
-    second derivative of the normalized Gaussian."""
+def log_taps(sigma: float = 1.5, cutoff: float = 4.0) -> np.ndarray:
+    """LoG kernel taps — exported so the declarative window-expression path
+    (operators/filtering.py) and the DuckDB oracles share the exact
+    coefficients with this kernel."""
     r = int(np.ceil(cutoff * sigma))
     t = np.arange(-r, r + 1, dtype=float)
     g = np.exp(-(t**2) / (2 * sigma**2))
     g /= g.sum()
     lap = g * (t**2 - sigma**2) / sigma**4
     lap -= lap.mean()  # zero-sum like the discrete LoG
-    return _conv_same_zero(x, lap)
+    return lap
+
+
+def log_filter(x: np.ndarray, sigma: float = 1.5, cutoff: float = 4.0) -> np.ndarray:
+    """Laplacian-of-Gaussian (zrad/filtering/spatial.py:67-141): the 1-D
+    second derivative of the normalized Gaussian."""
+    return _conv_same_zero(x, log_taps(sigma, cutoff))
 
 
 def laws_filter(x: np.ndarray, kernel: str = "E5", invariance: str = "avg", energy_support: int | None = None) -> np.ndarray:
@@ -109,15 +116,36 @@ def laws_filter(x: np.ndarray, kernel: str = "E5", invariance: str = "avg", ener
     return out
 
 
-def gabor_filter(x: np.ndarray, sigma: float = 2.0, wavelength: float = 4.0, cutoff: float = 3.0) -> np.ndarray:
-    """Complex Gabor magnitude (spatial.py:316-444): modulated Gaussian;
-    |real + i*imag| via hypot like the reference (spatial.py:432-434)."""
+def gabor_taps(sigma: float = 2.0, wavelength: float = 4.0, cutoff: float = 3.0):
+    """(real, imag) Gabor taps, shared with the declarative path/oracles."""
     r = int(np.ceil(cutoff * sigma))
     t = np.arange(-r, r + 1, dtype=float)
     env = np.exp(-(t**2) / (2 * sigma**2))
     re = env * np.cos(2 * np.pi * t / wavelength)
     im = env * np.sin(2 * np.pi * t / wavelength)
+    return re, im
+
+
+def gabor_filter(x: np.ndarray, sigma: float = 2.0, wavelength: float = 4.0, cutoff: float = 3.0) -> np.ndarray:
+    """Complex Gabor magnitude (spatial.py:316-444): modulated Gaussian;
+    |real + i*imag| via hypot like the reference (spatial.py:432-434)."""
+    re, im = gabor_taps(sigma, wavelength, cutoff)
     return np.hypot(_conv_same_zero(x, re), _conv_same_zero(x, im))
+
+
+def laws_taps(kernel: str = "S5", invariance: str = "avg") -> np.ndarray:
+    """Effective Laws taps after 1-D rotation invariance. 'avg' folds the
+    forward/reversed average into one kernel by linearity (only 'avg' and
+    'none' are linear; 'max' stays kernel-only)."""
+    k = LAWS_KERNELS[kernel]
+    return (k + k[::-1]) / 2.0 if invariance == "avg" else k
+
+
+def wavelet_taps(wavelet: str = "haar", band: str = "H", level: int = 1, invariance: str = "avg") -> np.ndarray:
+    """Effective wavelet taps (à-trous-stuffed, invariance-folded)."""
+    lo, hi = WAVELET_BANKS[wavelet]
+    k = _atrous(lo if band == "L" else hi, level)
+    return (k + k[::-1]) / 2.0 if invariance == "avg" else k
 
 
 def _atrous(k: np.ndarray, level: int) -> np.ndarray:

@@ -145,8 +145,54 @@ def _cells_to_features(cells: DataFrame, vox: DataFrame, kind: str) -> DataFrame
     return joined.groupBy("conv_id").applyInPandas(kernel, schema=schema)
 
 
+def glcm_cells_salted(
+    df: DataFrame, lags=(1,), turns_per_bucket: int = 100_000, signal_col: str = "signal"
+) -> DataFrame:
+    """Salt-bucketed co-occurrence counts — exact, for giant conversations.
+
+    Each conversation is split into ~turns_per_bucket row buckets with a
+    max(lags)-row overlap replicated (read-only, own=false) into the
+    previous bucket, so every lag-k pair is observed by exactly the bucket
+    owning its LEFT endpoint (SURVEY.md §4 item 2). The window partition
+    key becomes (conv_id, bucket): one conversation's pair extraction
+    spreads over many tasks instead of one, and the matrix merge is the
+    same associative cell groupBy as glcm_cells (sums of partial counts).
+    """
+    from .skew import with_salt_bucket
+
+    g = df.select("conv_id", "ts", "turn_idx", F.col(signal_col).cast("double").alias("g"))
+    b = with_salt_bucket(g, turns_per_bucket=turns_per_bucket, overlap=max(lags))
+    w = Window.partitionBy("conv_id", "bucket").orderBy("ts", "turn_idx")
+    parts = []
+    for lag in lags:
+        lead = F.lead("g", lag).over(w)
+        p = (
+            b.select("conv_id", "own", F.col("g").alias("a"), lead.alias("b"))
+            .where(F.col("b").isNotNull() & F.col("own"))
+            .drop("own")
+        )
+        parts.append(p)
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    sym = pairs.unionByName(pairs.select("conv_id", F.col("b").alias("a"), F.col("a").alias("b")))
+    return sym.groupBy(
+        "conv_id", F.col("a").cast("int").alias("i"), F.col("b").cast("int").alias("j")
+    ).agg(F.count("*").cast("double").alias("c"))
+
+
 def glcm_features_distributed(df: DataFrame, lags=(1,), signal_col: str = "signal") -> DataFrame:
     return _cells_to_features(glcm_cells(df, lags, signal_col), _vox(df, signal_col), "glcm")
+
+
+def glcm_features_salted(
+    df: DataFrame, lags=(1,), turns_per_bucket: int = 100_000, signal_col: str = "signal"
+) -> DataFrame:
+    """Value-identical to glcm_features_distributed (same oracle); the pair
+    extraction itself is parallel within a conversation."""
+    return _cells_to_features(
+        glcm_cells_salted(df, lags, turns_per_bucket, signal_col), _vox(df, signal_col), "glcm"
+    )
 
 
 def glrlm_features_distributed(df: DataFrame, signal_col: str = "signal") -> DataFrame:
