@@ -576,7 +576,13 @@ def q_local_peaks(spark, sf_dir):
 
 
 def q_extract_filtered(spark, sf_dir):
-    """Rows-only: full stats family over a LoG-filtered feature signal."""
+    """Flagship filtered path, value-verified: stats + histogram families
+    over a LoG-filtered feature signal with leakage-safe per-cutoff FBN(8)
+    discretization and the min-turn guard. The filter is applied INSIDE the
+    cutoff slice, so near-cutoff values differ per as_of — the oracle
+    convolves each (conv, as_of) prefix independently."""
+    from z_rad_spark.kernels.firstorder import HIST_NAMES, STATS_NAMES
+
     cfg = FeatureConfig(
         families=("stats", "hist"),
         filter_name="log",
@@ -584,7 +590,19 @@ def q_extract_filtered(spark, sf_dir):
         n_bins=8,
         min_turns=3,
     )
-    return extract_features(_t(spark, sf_dir), cfg, CUTOFFS)
+    out = extract_features(_t(spark, sf_dir), cfg, CUTOFFS)
+    cols = list(STATS_NAMES) + list(HIST_NAMES)
+    return _r6(
+        out.select(
+            "conv_id",
+            _us("as_of", "as_of_us"),
+            F.col("n_turns").cast("long").alias("n_turns"),
+            F.col("n_eligible").cast("long").alias("n_eligible"),
+            F.col("n_bins").cast("long").alias("n_bins"),
+            *cols,
+        ),
+        cols,
+    )
 
 
 def q_extract_full(spark, sf_dir):
@@ -668,6 +686,23 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic codebook (first 16 vectors), 4-probe search."""
+    from z_rad_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(emb, queries, n_centroids=16, n_probe=4, k=5)
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("vec_id").cast("long"),
+        "cosine",
+        F.col("rank").cast("int"),
+    )
+
+
 def q_lsh_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -743,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_cosine_topk": q_cosine_topk,
         "q_lsh_topk": q_lsh_topk,
+        "q_ivf_topk": q_ivf_topk,
         "q_media_features": q_media_features,
     }
 

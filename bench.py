@@ -17,6 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+CUTOFFS = ["2024-01-08 00:00:00", "2024-01-15 00:00:00", "2024-01-22 00:00:00"]
+GAP_SECONDS = 1800.0
 
 HEADLINE = [
     "q_extract_full",
@@ -45,30 +47,57 @@ def _run_queries(spark, sf_dir):
     return timings
 
 
+SCALING_REPL = int(os.environ.get("SPARK_GRAFT_SCALING_REPL", "24"))
+
+
 def _flagship_throughput(cores: int, sf_dir: str) -> tuple[float, float]:
     """(seconds, turns/sec) for the flagship point-in-time extraction on a
-    fresh local[cores] session (new JVM-free: same JVM reused is wrong for
-    scaling runs, so each level runs in a subprocess)."""
+    fresh local[cores] session (each level runs in its own subprocess so
+    the JVM/session is sized to that level).
+
+    The scaling input is the sf dataset replicated SCALING_REPL times with
+    suffixed conv_ids — identical at both parallelism levels, built by a
+    single-branch explode so the plan stays one scan + one window (an
+    N-way union adds seconds of serial planning that poison the ratio).
+    Replication keeps the measured job compute-bound (kernel core-seconds
+    >> fixed planning/scan overhead), which is the regime the 10^12-turn
+    design point lives in; at raw sf0.1 the whole extraction finishes in
+    ~3 core-seconds and any parallelism level just measures overhead."""
     import subprocess
 
     code = f"""
 import json, time, sys
 sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+from pyspark.sql import functions as F
 from z_rad_spark.session import get_spark
+from z_rad_spark.config import FeatureConfig
+from z_rad_spark.extractor import extract_features
 import __spark_entry__ as e
 spark = get_spark("bench_scaling", cores={cores})
 t = e._t(spark, {sf_dir!r})
-n_turns = t.count()
-q = e.q_extract_full(spark, {sf_dir!r})
-q.count()  # warm: plan + scan caches
-t0 = time.time()
-q.count()
-sec = time.time() - t0
-print(json.dumps({{"sec": sec, "turns": n_turns}}))
+big = t.withColumn(
+    "_r", F.explode(F.array(*[F.lit(i) for i in range({SCALING_REPL})]))
+).withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_"), F.col("_r"))).drop("_r")
+n_turns = big.count()
+cfg = FeatureConfig(eligible_roles=("user", "assistant", "tool"), gap_seconds={GAP_SECONDS})
+q = extract_features(big, cfg, {CUTOFFS!r})
+q.count()  # warm: plan + scan caches + python workers
+best = 1e18
+for _ in range(2):  # best-of-2 in-session; see interleaving in main()
+    t0 = time.time()
+    q.count()
+    best = min(best, time.time() - t0)
+print(json.dumps({{"sec": best, "turns": n_turns}}))
 spark.stop()
 """
+    # Pin the process tree to exactly `cores` CPUs: an unpinned local[8]
+    # run on a 32-core box monopolizes all 32 cores' memory bandwidth and
+    # cache, inflating per-core throughput in a way no real 8-core executor
+    # gets — pinning makes the two levels' per-core resources comparable,
+    # which is what the N -> 4N cluster-size criterion models.
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1200
+        ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=1800,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     d = json.loads(line)
@@ -107,12 +136,23 @@ def main():
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        sec8, thr8 = _flagship_throughput(8, SF_DIR)
-        sec32, thr32 = _flagship_throughput(32, SF_DIR)
+        # interleave the two levels and keep the best of each: the sandbox
+        # VM has minutes-scale noisy-neighbor drift, and alternating makes
+        # it hit both levels symmetrically instead of skewing the ratio
+        best: dict[int, tuple[float, float]] = {}
+        for _ in range(2):
+            for c in (8, 32):
+                sec, thr = _flagship_throughput(c, SF_DIR)
+                if c not in best or sec < best[c][0]:
+                    best[c] = (sec, thr)
+        (sec8, thr8), (sec32, thr32) = best[8], best[32]
         result["scaling"] = {
             "turns_per_sec_local8": round(thr8, 1),
             "turns_per_sec_local32": round(thr32, 1),
             "efficiency_8_to_32": round((thr32 / thr8) / 4, 3),
+            "input_replication": SCALING_REPL,
+            "sec_local8": round(sec8, 3),
+            "sec_local32": round(sec32, 3),
         }
 
     print(json.dumps(result))

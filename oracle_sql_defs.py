@@ -904,6 +904,47 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
 FROM r WHERE rank <= 5
 """
 
+ORACLES["q_ivf_topk"] = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, ev AS cv FROM v WHERE vec_id < 16),
+q AS (SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < 5),
+assign_s AS (
+  SELECT v.vec_id, v.ev, c.cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_dot_product(v.ev, c.cv)
+                    / (sqrt(list_dot_product(v.ev, v.ev)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                    c.cent_id ASC
+         ) AS rn
+  FROM v CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, ev, cent_id FROM assign_s WHERE rn = 1),
+probe_s AS (
+  SELECT q.query_id, q.qv, c.cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_dot_product(q.qv, c.cv)
+                    / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                    c.cent_id ASC
+         ) AS rn
+  FROM q CROSS JOIN cents c
+),
+probes AS (SELECT query_id, qv, cent_id FROM probe_s WHERE rn <= 4),
+s AS (
+  SELECT p.query_id, a.vec_id,
+         list_dot_product(a.ev, p.qv)
+           / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(p.qv, p.qv))) AS cos
+  FROM assigned a JOIN probes p USING (cent_id)
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       {r6('cos', 'cosine')}, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+"""
+
 ORACLES["q_filter_mean"] = f"""
 WITH t AS ({T})
 SELECT conv_id, turn_idx,
@@ -1281,6 +1322,193 @@ GROUP BY a.conv_id, a.turn_idx
 
 
 ORACLES["q_filter_gabor"] = _gabor_sql()
+
+# Flagship filtered extraction: LoG filter per (conv, as_of) PREFIX (the
+# filter window never reads past the cutoff), 18 stats on the filtered
+# signal, FBN(8) grey levels from per-(conv, as_of) min/max (leakage-safe),
+# full 23 histogram features, min-turn guard (<3 -> NULL features, n_bins 0)
+ORACLES["q_extract_filtered"] = f"""
+WITH t AS ({T}),
+rows0 AS (
+  SELECT t.conv_id, g.as_of, t.signal,
+         ROW_NUMBER() OVER (PARTITION BY t.conv_id, g.as_of ORDER BY t.ts, t.turn_idx) AS rn
+  FROM t JOIN {GRID} g(as_of) ON t.ts <= g.as_of
+),
+filt AS MATERIALIZED (
+  -- MATERIALIZED: float SUM order must be fixed once; re-evaluating this
+  -- CTE per reference can flip the last ulp of x, breaking the exact
+  -- x = max(x) comparison in the FBN bin assignment below
+  SELECT a.conv_id, a.as_of, a.rn, SUM(k.w * COALESCE(b.signal, 0)) AS x
+  FROM rows0 a
+  CROSS JOIN {{LOGTAPS}}
+  LEFT JOIN rows0 b ON b.conv_id = a.conv_id AND b.as_of = a.as_of AND b.rn = a.rn + k.o
+  GROUP BY a.conv_id, a.as_of, a.rn
+),
+basic AS (
+  SELECT conv_id, as_of,
+         CAST(COUNT(x) AS BIGINT) AS n,
+         AVG(x) AS mean, var_pop(x) AS var, MIN(x) AS mn, MAX(x) AS mx,
+         CAST(quantile_cont(x, 0.10) AS DOUBLE) AS p10,
+         CAST(quantile_cont(x, 0.25) AS DOUBLE) AS p25,
+         CAST(quantile_cont(x, 0.50) AS DOUBLE) AS med,
+         CAST(quantile_cont(x, 0.75) AS DOUBLE) AS p75,
+         CAST(quantile_cont(x, 0.90) AS DOUBLE) AS p90,
+         CAST(SUM(x * x) AS DOUBLE) AS energy,
+         SQRT(AVG(x * x)) AS rms
+  FROM filt GROUP BY conv_id, as_of
+),
+dev AS (
+  SELECT r.conv_id, r.as_of,
+         AVG(ABS(x - b.mean)) AS mad,
+         AVG(ABS(x - b.med)) AS medad,
+         AVG(POW(x - b.mean, 3)) AS m3,
+         AVG(POW(x - b.mean, 4)) AS m4
+  FROM filt r JOIN basic b USING (conv_id, as_of)
+  GROUP BY r.conv_id, r.as_of
+),
+tm AS (
+  SELECT r.conv_id, r.as_of, AVG(x) AS tmean
+  FROM filt r JOIN basic b USING (conv_id, as_of)
+  WHERE x >= b.p10 AND x <= b.p90
+  GROUP BY r.conv_id, r.as_of
+),
+rm AS (
+  SELECT r.conv_id, r.as_of, AVG(ABS(x - m.tmean)) AS rmad
+  FROM filt r JOIN basic b USING (conv_id, as_of) JOIN tm m USING (conv_id, as_of)
+  WHERE x >= b.p10 AND x <= b.p90
+  GROUP BY r.conv_id, r.as_of
+),
+g_ AS (
+  SELECT f.conv_id, f.as_of,
+         CASE WHEN b.mx = b.mn THEN 1.0
+              WHEN f.x = b.mx THEN 8.0
+              ELSE FLOOR(8 * (f.x - b.mn) / (b.mx - b.mn)) + 1 END AS grey
+  FROM filt f JOIN basic b USING (conv_id, as_of)
+),
+hb AS (
+  SELECT conv_id, as_of,
+         AVG(grey) AS mean, var_pop(grey) AS var, MIN(grey) AS mn, MAX(grey) AS mx,
+         CAST(quantile_cont(grey, 0.10) AS DOUBLE) AS p10,
+         CAST(quantile_cont(grey, 0.25) AS DOUBLE) AS p25,
+         CAST(quantile_cont(grey, 0.50) AS DOUBLE) AS med,
+         CAST(quantile_cont(grey, 0.75) AS DOUBLE) AS p75,
+         CAST(quantile_cont(grey, 0.90) AS DOUBLE) AS p90,
+         CAST(COUNT(DISTINCT grey) AS BIGINT) AS n_bins
+  FROM g_ GROUP BY conv_id, as_of
+),
+hdev AS (
+  SELECT g.conv_id, g.as_of,
+         AVG(ABS(grey - b.mean)) AS mad,
+         AVG(ABS(grey - b.med)) AS medad,
+         AVG(POW(grey - b.mean, 3)) AS m3,
+         AVG(POW(grey - b.mean, 4)) AS m4
+  FROM g_ g JOIN hb b USING (conv_id, as_of)
+  GROUP BY g.conv_id, g.as_of
+),
+htm AS (
+  SELECT g.conv_id, g.as_of, AVG(grey) AS tmean
+  FROM g_ g JOIN hb b USING (conv_id, as_of)
+  WHERE grey >= b.p10 AND grey <= b.p90
+  GROUP BY g.conv_id, g.as_of
+),
+hrm AS (
+  SELECT g.conv_id, g.as_of, AVG(ABS(grey - m.tmean)) AS rmad
+  FROM g_ g JOIN hb b USING (conv_id, as_of) JOIN htm m USING (conv_id, as_of)
+  WHERE grey >= b.p10 AND grey <= b.p90
+  GROUP BY g.conv_id, g.as_of
+),
+counts AS (
+  SELECT conv_id, as_of, grey, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM g_ GROUP BY conv_id, as_of, grey
+),
+enriched AS (
+  SELECT conv_id, as_of, grey, c,
+         c / SUM(c) OVER wk AS p,
+         COUNT(*) OVER wk AS n_levels,
+         CASE WHEN LAG(c) OVER wl IS NULL AND LEAD(c) OVER wl IS NULL THEN NULL
+              WHEN LAG(c) OVER wl IS NULL THEN LEAD(c) OVER wl - c
+              WHEN LEAD(c) OVER wl IS NULL THEN c - LAG(c) OVER wl
+              ELSE (LEAD(c) OVER wl - LAG(c) OVER wl) / 2 END AS grad
+  FROM counts
+  WINDOW wk AS (PARTITION BY conv_id, as_of),
+         wl AS (PARTITION BY conv_id, as_of ORDER BY grey)
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, as_of ORDER BY c DESC, grey ASC) AS rn_mode,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, as_of ORDER BY grad DESC, grey ASC) AS rn_maxg,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, as_of ORDER BY grad ASC, grey ASC) AS rn_ming
+  FROM enriched
+),
+hagg AS (
+  SELECT conv_id, as_of,
+         -SUM(p * LOG2(p)) AS entropy,
+         SUM(p * p) AS uniformity,
+         MAX(CASE WHEN rn_mode = 1 THEN grey END) AS mode,
+         MAX(CASE WHEN rn_maxg = 1 AND n_levels > 1 THEN grad END) AS max_grad,
+         MAX(CASE WHEN rn_maxg = 1 AND n_levels > 1 THEN grey END) AS max_grad_g,
+         MAX(CASE WHEN rn_ming = 1 AND n_levels > 1 THEN grad END) AS min_grad,
+         MAX(CASE WHEN rn_ming = 1 AND n_levels > 1 THEN grey END) AS min_grad_g
+  FROM ranked GROUP BY conv_id, as_of
+),
+probes AS (
+  SELECT c.conv_id, g.as_of
+  FROM (SELECT DISTINCT conv_id FROM t) c CROSS JOIN {GRID} g(as_of)
+)
+SELECT pr.conv_id, CAST(epoch_us(pr.as_of) AS BIGINT) AS as_of_us,
+       COALESCE(b.n, 0) AS n_turns,
+       COALESCE(b.n, 0) AS n_eligible,
+       CASE WHEN b.n >= 3 THEN hb.n_bins ELSE 0 END AS n_bins,
+       {r6('CASE WHEN b.n >= 3 THEN b.mean END', 'stat_mean')},
+       {r6('CASE WHEN b.n >= 3 THEN b.var END', 'stat_var')},
+       {r6('CASE WHEN b.n >= 3 THEN (CASE WHEN b.var = 0 THEN 0.0 ELSE d.m3 / POW(b.var, 1.5) END) END', 'stat_skew')},
+       {r6('CASE WHEN b.n >= 3 THEN (CASE WHEN b.var = 0 THEN 0.0 ELSE d.m4 / (b.var * b.var) - 3 END) END', 'stat_kurt')},
+       {r6('CASE WHEN b.n >= 3 THEN b.med END', 'stat_median')},
+       {r6('CASE WHEN b.n >= 3 THEN b.mn END', 'stat_min')},
+       {r6('CASE WHEN b.n >= 3 THEN b.p10 END', 'stat_p10')},
+       {r6('CASE WHEN b.n >= 3 THEN b.p90 END', 'stat_p90')},
+       {r6('CASE WHEN b.n >= 3 THEN b.mx END', 'stat_max')},
+       {r6('CASE WHEN b.n >= 3 THEN b.p75 - b.p25 END', 'stat_iqr')},
+       {r6('CASE WHEN b.n >= 3 THEN b.mx - b.mn END', 'stat_range')},
+       {r6('CASE WHEN b.n >= 3 THEN d.mad END', 'stat_mad')},
+       {r6('CASE WHEN b.n >= 3 THEN rm.rmad END', 'stat_rmad')},
+       {r6('CASE WHEN b.n >= 3 THEN d.medad END', 'stat_medad')},
+       {r6('CASE WHEN b.n >= 3 THEN (CASE WHEN b.mean = 0 THEN 1000000.0 ELSE SQRT(b.var) / b.mean END) END', 'stat_cov')},
+       {r6('CASE WHEN b.n >= 3 THEN (CASE WHEN b.p75 + b.p25 = 0 THEN 1000000.0 ELSE (b.p75 - b.p25) / (b.p75 + b.p25) END) END', 'stat_qcod')},
+       {r6('CASE WHEN b.n >= 3 THEN b.energy END', 'stat_energy')},
+       {r6('CASE WHEN b.n >= 3 THEN b.rms END', 'stat_rms')},
+       {r6('CASE WHEN b.n >= 3 THEN hb.mean END', 'ih_mean')},
+       {r6('CASE WHEN b.n >= 3 THEN hb.var END', 'ih_var')},
+       {r6('CASE WHEN b.n >= 3 THEN (CASE WHEN hb.var = 0 THEN 0.0 ELSE hd.m3 / POW(hb.var, 1.5) END) END', 'ih_skew')},
+       {r6('CASE WHEN b.n >= 3 THEN (CASE WHEN hb.var = 0 THEN 0.0 ELSE hd.m4 / (hb.var * hb.var) - 3 END) END', 'ih_kurt')},
+       {r6('CASE WHEN b.n >= 3 THEN hb.med END', 'ih_median')},
+       {r6('CASE WHEN b.n >= 3 THEN hb.mn END', 'ih_min')},
+       {r6('CASE WHEN b.n >= 3 THEN hb.p10 END', 'ih_p10')},
+       {r6('CASE WHEN b.n >= 3 THEN hb.p90 END', 'ih_p90')},
+       {r6('CASE WHEN b.n >= 3 THEN hb.mx END', 'ih_max')},
+       {r6('CASE WHEN b.n >= 3 THEN ha.mode END', 'ih_mode')},
+       {r6('CASE WHEN b.n >= 3 THEN hb.p75 - hb.p25 END', 'ih_iqr')},
+       {r6('CASE WHEN b.n >= 3 THEN hb.mx - hb.mn END', 'ih_range')},
+       {r6('CASE WHEN b.n >= 3 THEN hd.mad END', 'ih_mad')},
+       {r6('CASE WHEN b.n >= 3 THEN hr.rmad END', 'ih_rmad')},
+       {r6('CASE WHEN b.n >= 3 THEN hd.medad END', 'ih_medad')},
+       {r6('CASE WHEN b.n >= 3 THEN (CASE WHEN hb.mean = 0 THEN 1000000.0 ELSE SQRT(hb.var) / hb.mean END) END', 'ih_cov')},
+       {r6('CASE WHEN b.n >= 3 THEN (CASE WHEN hb.p75 + hb.p25 = 0 THEN 1000000.0 ELSE (hb.p75 - hb.p25) / (hb.p75 + hb.p25) END) END', 'ih_qcod')},
+       {r6('CASE WHEN b.n >= 3 THEN ha.entropy END', 'ih_entropy')},
+       {r6('CASE WHEN b.n >= 3 THEN ha.uniformity END', 'ih_uniformity')},
+       {r6('CASE WHEN b.n >= 3 THEN ha.max_grad END', 'ih_max_grad')},
+       {r6('CASE WHEN b.n >= 3 THEN ha.max_grad_g END', 'ih_max_grad_g')},
+       {r6('CASE WHEN b.n >= 3 THEN ha.min_grad END', 'ih_min_grad')},
+       {r6('CASE WHEN b.n >= 3 THEN ha.min_grad_g END', 'ih_min_grad_g')}
+FROM probes pr
+LEFT JOIN basic b ON pr.conv_id = b.conv_id AND pr.as_of = b.as_of
+LEFT JOIN dev d ON pr.conv_id = d.conv_id AND pr.as_of = d.as_of
+LEFT JOIN rm ON pr.conv_id = rm.conv_id AND pr.as_of = rm.as_of
+LEFT JOIN hb ON pr.conv_id = hb.conv_id AND pr.as_of = hb.as_of
+LEFT JOIN hdev hd ON pr.conv_id = hd.conv_id AND pr.as_of = hd.as_of
+LEFT JOIN hrm hr ON pr.conv_id = hr.conv_id AND pr.as_of = hr.as_of
+LEFT JOIN hagg ha ON pr.conv_id = ha.conv_id AND pr.as_of = ha.as_of
+""".replace("{LOGTAPS}", _taps_values(_py_log_taps()))
 
 # distributed texture variants share the single-path oracles exactly
 ORACLES["q_glcm_dist"] = ORACLES["q_glcm"]

@@ -200,3 +200,25 @@ def test_salted_glcm_features_match_distributed(spark, tdf):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=0, atol=1e-12)
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    from z_rad_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 16)).astype(float)
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": [list(v) for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    queries = df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(df, queries, k=5).toPandas()
+    approx = ivf_topk(df, queries, n_centroids=16, n_probe=8, k=5).toPandas()
+    # every query answered, ranks contiguous from 1
+    assert set(approx.query_id) == {0, 1, 2, 3}
+    for qid, grp in approx.groupby("query_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+    # probing half the cells must recover a reasonable share of true top-5
+    e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.vec_id) for r in approx.itertuples()}
+    assert len(e & a) / len(e) >= 0.5

@@ -194,30 +194,50 @@ def compute_one(
 
 
 def _make_kernel(cfg: FeatureConfig, cutoffs_us: list[int], columns: list[str]):
-    """Grouped-map kernel closure. The cutoff sweep shares one stable sort
-    per conversation; each cutoff sees a prefix (np.searchsorted on the
-    sorted ts axis)."""
+    """Grouped-map kernel closure over one BUCKET of conversations.
+
+    One kernel call per hash bucket, not per conversation: at 10^8+
+    conversations a per-conversation grouped map pays the Arrow/pandas
+    boundary cost 10^8 times; bucketing amortizes it to one crossing per
+    bucket while the per-conversation work stays pure NumPy slicing. Inside
+    a bucket, one stable lexicographic sort on (conv_id, ts, turn_idx)
+    yields every conversation as a contiguous slice; the cutoff sweep then
+    shares that single sort per conversation (np.searchsorted prefixes)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        # stable secondary sort — mergesort keeps (ts, turn_idx) ties stable
-        pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+        # stable secondary sort on integer keys: factorize conv_id once
+        # (string compares are the hot cost at scale) and np.lexsort —
+        # stable, so (ts, turn_idx) ties keep input order like mergesort
+        codes, conv_names = pd.factorize(pdf["conv_id"].to_numpy())
         ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        signal = pdf["signal"].to_numpy(dtype=np.float64)
-        eligible = pdf["eligible"].to_numpy(dtype=bool)
-        role_codes = pdf["role_code"].to_numpy(dtype=np.int64)
-        tool_mask = pdf["has_tool"].to_numpy(dtype=bool)
-        conv_id = pdf["conv_id"].iloc[0]
+        turn = pdf["turn_idx"].to_numpy(dtype=np.int64)
+        order = np.lexsort((turn, ts_us, codes))
+        codes = codes[order]
+        ts_us = ts_us[order]
+        signal = pdf["signal"].to_numpy(dtype=np.float64)[order]
+        eligible = pdf["eligible"].to_numpy(dtype=bool)[order]
+        role_codes = pdf["role_code"].to_numpy(dtype=np.int64)[order]
+        tool_mask = pdf["has_tool"].to_numpy(dtype=bool)[order]
+
+        # conversation boundaries within the sorted bucket
+        brk = np.nonzero(codes[1:] != codes[:-1])[0] + 1
+        starts = np.concatenate(([0], brk))
+        ends = np.concatenate((brk, [codes.size]))
 
         rows = []
-        for cut in cutoffs_us:
-            hi = int(np.searchsorted(ts_us, cut, side="right"))
-            row = {"conv_id": conv_id, "as_of": np.datetime64(cut, "us")}
-            row.update(
-                compute_one(
-                    ts_us[:hi], signal[:hi], eligible[:hi], role_codes[:hi], tool_mask[:hi], cfg
+        for s, e in zip(starts, ends):
+            t_slice = ts_us[s:e]
+            conv_id = conv_names[codes[s]]
+            for cut in cutoffs_us:
+                hi = s + int(np.searchsorted(t_slice, cut, side="right"))
+                row = {"conv_id": conv_id, "as_of": np.datetime64(cut, "us")}
+                row.update(
+                    compute_one(
+                        ts_us[s:hi], signal[s:hi], eligible[s:hi],
+                        role_codes[s:hi], tool_mask[s:hi], cfg,
+                    )
                 )
-            )
-            rows.append(row)
+                rows.append(row)
         return pd.DataFrame(rows, columns=columns)
 
     return kernel
@@ -259,16 +279,22 @@ def extract_features(df: DataFrame, cfg: FeatureConfig, cutoffs: Iterable) -> Da
     # cutoff is ever read by the kernel
     prepared = prepared.filter(F.col("ts") <= F.lit(max_cut.item()))
 
-    # Explicit repartition before the grouped-map kernel: AQE coalesces
-    # shuffle partitions by BYTES, but kernel cost is per-row CPU — a
-    # byte-coalesced exchange serializes the whole extraction onto a few
-    # tasks (measured: flat 8->32-core scaling). A user-specified
-    # partition count is never coalesced by AQE, and hashpartitioning on
-    # conv_id satisfies the groupBy requirement, so no second shuffle.
+    # Bucketed grouped map: the shuffle/group key is a hash bucket of
+    # conv_id, not conv_id itself. One Arrow exchange + one kernel call per
+    # bucket amortizes the Python boundary over thousands of conversations
+    # (at 10^8+ entities a per-entity grouped map is boundary-bound), while
+    # hash bucketing keeps every conversation wholly inside one bucket.
+    # Bucket count = 4x parallelism: enough granularity for AQE-free load
+    # balance, coarse enough that per-call overhead stays amortized. A
+    # user-specified repartition count is never coalesced by AQE (byte-based
+    # coalescing would serialize this CPU-bound stage onto few tasks), and
+    # hashpartitioning on bucket satisfies the groupBy — no second shuffle.
     spark = prepared.sparkSession
-    n_parts = max(2 * spark.sparkContext.defaultParallelism, 8)
-    prepared = prepared.repartition(n_parts, "conv_id")
+    n_parts = max(4 * spark.sparkContext.defaultParallelism, 8)
+    prepared = prepared.withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_parts)).cast("int")
+    ).repartition(n_parts, "bucket")
 
     schema = output_schema(cfg)
     kernel = _make_kernel(cfg, cutoffs_us, [f.name for f in schema.fields])
-    return prepared.groupBy("conv_id").applyInPandas(kernel, schema=schema)
+    return prepared.groupBy("bucket").applyInPandas(kernel, schema=schema)

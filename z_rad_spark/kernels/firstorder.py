@@ -79,6 +79,23 @@ IVH_NAMES = (
 LOCAL_NAMES = ("loc_peak_loc", "loc_peak_glob")
 
 
+def _pct_sorted(xs: np.ndarray, q: float) -> float:
+    """np.percentile('linear') on an already-sorted array — including
+    NumPy's exact lerp convention (b-(b-a)*(1-t) when t >= 0.5), so values
+    are bit-identical to np.percentile. One shared sort replaces the
+    re-sort inside every percentile call (the kernel hot spot)."""
+    h = (xs.size - 1) * (q / 100.0)
+    lo = int(h)
+    t = h - lo
+    a = xs[lo]
+    if t == 0.0:
+        return float(a)
+    b = xs[lo + 1]
+    if t >= 0.5:
+        return float(b - (b - a) * (1 - t))
+    return float(a + (b - a) * t)
+
+
 def _skewness(x: np.ndarray) -> float:
     """Biased skewness (reference: intensity.py:110-118)."""
     mu = np.mean(x)
@@ -127,30 +144,43 @@ def stats_features(masked: np.ndarray) -> dict:
     """18 first-order statistics on the valid (non-NaN) signal values.
 
     Reference: IntensityStatisticsFeatures.calculate_features
-    (zrad/radiomics/intensity.py:218-252).
+    (zrad/radiomics/intensity.py:218-252). All order statistics come from
+    ONE sort (np.percentile semantics preserved via _pct_sorted).
     """
     x = masked[~np.isnan(masked)]
     if x.size == 0:
         return {k: np.nan for k in STATS_NAMES}
+    xs = np.sort(x)
+    n = xs.size
+    mean = float(xs.mean())
+    d = xs - mean
+    v2 = float(np.mean(d * d))
+    p10 = _pct_sorted(xs, 10)
+    p25 = _pct_sorted(xs, 25)
+    med = _pct_sorted(xs, 50)
+    p75 = _pct_sorted(xs, 75)
+    p90 = _pct_sorted(xs, 90)
+    trimmed = xs[int(np.searchsorted(xs, p10, "left")): int(np.searchsorted(xs, p90, "right"))]
+    energy = float(np.sum(xs * xs))
     return {
-        "stat_mean": float(np.mean(x)),
-        "stat_var": float(np.std(x) ** 2),
-        "stat_skew": _skewness(x),
-        "stat_kurt": _kurtosis(x),
-        "stat_median": float(np.median(x)),
-        "stat_min": float(np.min(x)),
-        "stat_p10": float(np.percentile(x, 10)),
-        "stat_p90": float(np.percentile(x, 90)),
-        "stat_max": float(np.max(x)),
-        "stat_iqr": float(np.percentile(x, 75) - np.percentile(x, 25)),
-        "stat_range": float(np.max(x) - np.min(x)),
-        "stat_mad": float(np.mean(np.abs(x - np.mean(x)))),
-        "stat_rmad": _rmad(x),
-        "stat_medad": float(np.mean(np.abs(x - np.median(x)))),
-        "stat_cov": _cov(x),
-        "stat_qcod": _qcod(x),
-        "stat_energy": float(np.sum(x**2)),
-        "stat_rms": float(np.sqrt(np.mean(x**2))),
+        "stat_mean": mean,
+        "stat_var": v2,
+        "stat_skew": 0.0 if v2 == 0 else float(np.mean(d**3) / v2**1.5),
+        "stat_kurt": 0.0 if v2 == 0 else float(np.mean(d**4) / v2**2 - 3),
+        "stat_median": med,
+        "stat_min": float(xs[0]),
+        "stat_p10": p10,
+        "stat_p90": p90,
+        "stat_max": float(xs[-1]),
+        "stat_iqr": float(p75 - p25),
+        "stat_range": float(xs[-1] - xs[0]),
+        "stat_mad": float(np.mean(np.abs(d))),
+        "stat_rmad": float(np.mean(np.abs(trimmed - np.mean(trimmed)))),
+        "stat_medad": float(np.mean(np.abs(xs - med))),
+        "stat_cov": SENTINEL if mean == 0 else float(np.sqrt(v2) / mean),
+        "stat_qcod": SENTINEL if p75 + p25 == 0 else float((p75 - p25) / (p75 + p25)),
+        "stat_energy": energy,
+        "stat_rms": float(np.sqrt(energy / n)),
     }
 
 
@@ -164,26 +194,39 @@ def hist_features(grey: np.ndarray) -> dict:
     x = grey[~np.isnan(grey)]
     if x.size == 0:
         return {k: np.nan for k in HIST_NAMES}
-    values, counts = np.unique(x, return_counts=True)
+    xs = np.sort(x)
+    # run-length on the shared sorted array == np.unique(return_counts)
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(xs)) + 1))
+    values = xs[starts]
+    counts = np.diff(np.concatenate((starts, [xs.size])))
     p = counts / counts.sum()
+    mean = float(xs.mean())
+    d = xs - mean
+    v2 = float(np.mean(d * d))
+    p10 = _pct_sorted(xs, 10)
+    p25 = _pct_sorted(xs, 25)
+    med = _pct_sorted(xs, 50)
+    p75 = _pct_sorted(xs, 75)
+    p90 = _pct_sorted(xs, 90)
+    trimmed = xs[int(np.searchsorted(xs, p10, "left")): int(np.searchsorted(xs, p90, "right"))]
     out = {
-        "ih_mean": float(np.mean(x)),
-        "ih_var": float(np.std(x) ** 2),
-        "ih_skew": _skewness(x),
-        "ih_kurt": _kurtosis(x),
-        "ih_median": float(np.median(x)),
-        "ih_min": float(np.min(x)),
-        "ih_p10": float(np.percentile(x, 10)),
-        "ih_p90": float(np.percentile(x, 90)),
-        "ih_max": float(np.max(x)),
+        "ih_mean": mean,
+        "ih_var": v2,
+        "ih_skew": 0.0 if v2 == 0 else float(np.mean(d**3) / v2**1.5),
+        "ih_kurt": 0.0 if v2 == 0 else float(np.mean(d**4) / v2**2 - 3),
+        "ih_median": med,
+        "ih_min": float(xs[0]),
+        "ih_p10": p10,
+        "ih_p90": p90,
+        "ih_max": float(xs[-1]),
         "ih_mode": float(values[np.argmax(counts)]),
-        "ih_iqr": float(np.percentile(x, 75) - np.percentile(x, 25)),
-        "ih_range": float(np.max(x) - np.min(x)),
-        "ih_mad": float(np.mean(np.abs(x - np.mean(x)))),
-        "ih_rmad": _rmad(x),
-        "ih_medad": float(np.mean(np.abs(x - np.median(x)))),
-        "ih_cov": _cov(x),
-        "ih_qcod": _qcod(x),
+        "ih_iqr": float(p75 - p25),
+        "ih_range": float(xs[-1] - xs[0]),
+        "ih_mad": float(np.mean(np.abs(d))),
+        "ih_rmad": float(np.mean(np.abs(trimmed - np.mean(trimmed)))),
+        "ih_medad": float(np.mean(np.abs(xs - med))),
+        "ih_cov": SENTINEL if mean == 0 else float(np.sqrt(v2) / mean),
+        "ih_qcod": SENTINEL if p75 + p25 == 0 else float((p75 - p25) / (p75 + p25)),
         "ih_entropy": float(-np.sum(p * np.log2(p))),
         "ih_uniformity": float(np.sum(p * p)),
     }

@@ -49,9 +49,15 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: s
     posexplode over the token array, then a self-zip of offset slices —
     all generator expressions, no Python.
     """
-    toks = docs.select(
-        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("toks")
-    ).where(F.size("toks") >= n)
+    # A small-file corpus arrives as one input split; the explode below
+    # multiplies rows ~100x, so fan the docs out BEFORE the generator or
+    # the whole shingle/hash stage runs on a single task.
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 2)
+    toks = (
+        docs.select(F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("toks"))
+        .where(F.size("toks") >= n)
+        .repartition(n_parts, id_col)
+    )
     sh = toks.select(
         id_col,
         F.explode(
@@ -167,7 +173,8 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str
     integer arithmetic on the hex-digit index (portable SQL, no bitwise
     intrinsics needed). Output: (doc_id, simhash bigint).
     """
-    toks = docs.select(
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 2)
+    toks = docs.repartition(n_parts, id_col).select(
         F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
     )
     toks = toks.withColumn("h", F.md5(F.col("tok")))

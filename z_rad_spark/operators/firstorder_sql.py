@@ -36,51 +36,50 @@ def stats_asof(
 ) -> DataFrame:
     """18 intensity statistics per (conv_id, as_of), declaratively.
 
-    Four co-partitioned aggregation passes: basic aggregates, central
-    deviations, trimmed mean, trimmed deviations (rmad needs the trimmed
-    mean before its own deviation pass — the same order contract as the
-    kernel).
+    One exchange total: the order-free window pass attaches the per-group
+    mean/median/percentiles to every row, a second window projection over
+    the SAME partitioning derives the trimmed mean (no re-shuffle — the
+    rmad order contract: trimmed mean before its own deviation pass, as in
+    the kernel), and the final groupBy on the same keys reuses the
+    partitioning for everything else (mad/medad/central moments/rmad).
     """
     x = F.col(signal_col)
     rows = _expand(df.select("conv_id", "ts", signal_col), spark, cutoffs)
 
-    basic = rows.groupBy(*KEYS).agg(
-        F.count(x).alias("n"),
-        F.avg(x).alias("stat_mean"),
-        F.var_pop(x).alias("stat_var"),
-        F.min(x).alias("stat_min"),
-        F.max(x).alias("stat_max"),
-        F.percentile(x, F.lit(0.10)).alias("stat_p10"),
-        F.percentile(x, F.lit(0.25)).alias("_p25"),
-        F.percentile(x, F.lit(0.50)).alias("stat_median"),
-        F.percentile(x, F.lit(0.75)).alias("_p75"),
-        F.percentile(x, F.lit(0.90)).alias("stat_p90"),
-        F.sum(x * x).alias("stat_energy"),
-        F.sqrt(F.avg(x * x)).alias("stat_rms"),
+    w = Window.partitionBy(*KEYS)
+    r = rows.select(
+        *KEYS,
+        x.alias("_x"),
+        F.avg(x).over(w).alias("_mean"),
+        F.percentile(x, F.lit(0.10)).over(w).alias("_p10"),
+        F.percentile(x, F.lit(0.25)).over(w).alias("_p25"),
+        F.percentile(x, F.lit(0.50)).over(w).alias("_med"),
+        F.percentile(x, F.lit(0.75)).over(w).alias("_p75"),
+        F.percentile(x, F.lit(0.90)).over(w).alias("_p90"),
     )
+    trim = (F.col("_x") >= F.col("_p10")) & (F.col("_x") <= F.col("_p90"))
+    r = r.withColumn("_tmean", F.avg(F.when(trim, F.col("_x"))).over(w))
 
-    dev = (
-        rows.join(basic.select(*KEYS, "stat_mean", "stat_median", "stat_var"), KEYS)
-        .groupBy(*KEYS)
-        .agg(
-            F.avg(F.abs(x - F.col("stat_mean"))).alias("stat_mad"),
-            F.avg(F.abs(x - F.col("stat_median"))).alias("stat_medad"),
-            F.avg(F.pow(x - F.col("stat_mean"), 3)).alias("_m3"),
-            F.avg(F.pow(x - F.col("stat_mean"), 4)).alias("_m4"),
-        )
+    xx = F.col("_x")
+    out = r.groupBy(*KEYS).agg(
+        F.count(xx).alias("n"),
+        F.first("_mean").alias("stat_mean"),
+        F.var_pop(xx).alias("stat_var"),
+        F.min(xx).alias("stat_min"),
+        F.max(xx).alias("stat_max"),
+        F.first("_p10").alias("stat_p10"),
+        F.first("_p25").alias("_p25"),
+        F.first("_med").alias("stat_median"),
+        F.first("_p75").alias("_p75"),
+        F.first("_p90").alias("stat_p90"),
+        F.sum(xx * xx).alias("stat_energy"),
+        F.sqrt(F.avg(xx * xx)).alias("stat_rms"),
+        F.avg(F.abs(xx - F.col("_mean"))).alias("stat_mad"),
+        F.avg(F.abs(xx - F.col("_med"))).alias("stat_medad"),
+        F.avg(F.pow(xx - F.col("_mean"), 3)).alias("_m3"),
+        F.avg(F.pow(xx - F.col("_mean"), 4)).alias("_m4"),
+        F.avg(F.when(trim, F.abs(xx - F.col("_tmean")))).alias("stat_rmad"),
     )
-
-    trimmed = rows.join(basic.select(*KEYS, "stat_p10", "stat_p90"), KEYS).where(
-        (x >= F.col("stat_p10")) & (x <= F.col("stat_p90"))
-    )
-    tmean = trimmed.groupBy(*KEYS).agg(F.avg(x).alias("_tmean"))
-    rmad = (
-        trimmed.join(tmean, KEYS)
-        .groupBy(*KEYS)
-        .agg(F.avg(F.abs(x - F.col("_tmean"))).alias("stat_rmad"))
-    )
-
-    out = basic.join(dev, KEYS).join(rmad, KEYS)
     var = F.col("stat_var")
     out = out.select(
         *KEYS,

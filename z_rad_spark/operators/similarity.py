@@ -91,6 +91,66 @@ def with_lsh_bucket(
     return df.withColumn(out, bucket)
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize vectors to their
+    nearest centroid, probe only the query's ``n_probe`` nearest cells.
+
+    Centroids here are the first ``n_centroids`` vectors by id — a
+    deterministic placeholder for a trained k-means codebook (same plan
+    shape either way: the codebook is broadcast, assignment is one window
+    pass, probing is an equi-join on the low-cardinality cell id, so one
+    conversation-sized Exchange replaces the brute-force full cross join).
+    Recall < 1 by construction; cosine_topk is the exact baseline.
+    """
+    cents = (
+        vectors.where(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+    )
+    sim_vc = _dot(F.col(vec_col), F.col("cent_vec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("cent_vec"))
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(F.col("_cs").desc(), F.col("cent_id").asc())
+    assigned = (
+        vectors.crossJoin(F.broadcast(cents))
+        .withColumn("_cs", sim_vc.cast("double"))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .where(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cent_id")
+    )
+    sim_qc = _dot(F.col(query_vec), F.col("cent_vec")) / (
+        _norm(F.col(query_vec)) * _norm(F.col("cent_vec"))
+    )
+    w_probe = Window.partitionBy(query_id).orderBy(F.col("_cs").desc(), F.col("cent_id").asc())
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("_cs", sim_qc.cast("double"))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .where(F.col("_rn") <= n_probe)
+        .select(query_id, query_vec, "cent_id")
+    )
+    joined = assigned.join(F.broadcast(probes), "cent_id")
+    sim = _dot(F.col(vec_col), F.col(query_vec)) / (
+        _norm(F.col(vec_col)) * _norm(F.col(query_vec))
+    )
+    scored = joined.select(F.col(query_id), F.col(id_col), sim.cast("double").alias("cosine"))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def lsh_bucket_topk(
     vectors: DataFrame,
     queries: DataFrame,
