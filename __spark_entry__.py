@@ -442,6 +442,19 @@ def q_glcm_2d_avg(spark, sf_dir):
     return _r6(out.select("conv_id", *sel), _GLCM_COLS)
 
 
+def q_glcm_25d_merg(spark, sf_dir):
+    """2.5D MERG aggregation: pairs bounded by session borders, matrices
+    summed across sessions BEFORE normalizing (glcm.py:479-484 semantics:
+    merge-then-feature)."""
+    cfg = FeatureConfig(
+        families=("glcm",), aggr_dim="2.5D", aggr_method="MERG", lags=(1,),
+        gap_seconds=GAP_SECONDS, min_turns=1,
+    )
+    out = extract_features(_t(spark, sf_dir), cfg, [END])
+    sel = [F.col(f"{c}_2_5D_comb").alias(c) for c in _GLCM_COLS]
+    return _r6(out.select("conv_id", *sel), _GLCM_COLS)
+
+
 def q_glcm_salted(spark, sf_dir):
     """Skew path: salt-bucketed pair extraction with k-overlap borders —
     exact (same oracle as q_glcm); turns_per_bucket=16 forces real splits
@@ -751,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_glszm": q_glszm,
         "q_gldzm": q_gldzm,
         "q_glcm_2d_avg": q_glcm_2d_avg,
+        "q_glcm_25d_merg": q_glcm_25d_merg,
         "q_glcm_salted": q_glcm_salted,
         "q_reseg_stats": q_reseg_stats,
         "q_fbs_hist": q_fbs_hist,

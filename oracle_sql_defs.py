@@ -332,19 +332,26 @@ _GLCM_FEATS = [
 ]
 
 
-def _glcm_sql(per_session: bool) -> str:
-    """GLCM feature SQL, whole-conversation (3D MERG, lag 1) or
-    per-session-then-NaN-propagating-mean (2D AVER, lag 1). Both share the
-    exact formula CTEs; only the matrix grouping key differs. The grey-level
-    normalizers (gmax = conversation-level max, matching lvl in the kernel)
-    stay conversation-level in both."""
-    keys = ["conv_id", "sid"] if per_session else ["conv_id"]
+def _glcm_sql(per_session: bool, merge_sessions: bool = False) -> str:
+    """GLCM feature SQL in three aggregation modes (lag 1):
+
+    * per_session=False                 — whole-conversation pairs (3D MERG)
+    * per_session=True                  — per-session matrices, features per
+      matrix, NaN-propagating mean (2D AVER)
+    * per_session=True, merge_sessions  — pairs bounded by session borders
+      but matrices summed across sessions BEFORE normalizing (2.5D MERG)
+
+    All share the exact formula CTEs; only pair extraction and the matrix
+    grouping key differ. The grey-level normalizers (gmax = conversation-
+    level max, matching lvl in the kernel) stay conversation-level in all."""
+    keys = ["conv_id", "sid"] if (per_session and not merge_sessions) else ["conv_id"]
+    pair_keys = ["conv_id", "sid"] if per_session else ["conv_id"]
     K = ", ".join(keys)
 
     def on(a, b):
         return " AND ".join(f"{a}.{k} = {b}.{k}" for k in keys)
 
-    if per_session:
+    if per_session or merge_sessions:
         ordg = f"""
 g0 AS (
   SELECT conv_id, CAST(signal AS INT) AS g, ts, turn_idx,
@@ -366,12 +373,13 @@ ordg AS (
   FROM t
 ),"""
 
+    PK = ", ".join(pair_keys)
     body = f"""
 WITH t AS ({T}),
 {ordg}
 vox AS (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS vc, MAX(CAST(signal AS INT)) AS gmax FROM t GROUP BY conv_id),
 pairs0 AS (
-  SELECT {K}, g AS a, LEAD(g) OVER (PARTITION BY {K} ORDER BY rn) AS b
+  SELECT {PK}, g AS a, LEAD(g) OVER (PARTITION BY {PK} ORDER BY rn) AS b
   FROM ordg
 ),
 pairs AS (
@@ -475,9 +483,18 @@ feat AS (
   JOIN hxy1 h1 ON {on('b', 'h1')}
   JOIN hxy2 h2 ON {on('b', 'h2')}
 )"""
-    if not per_session:
+    if keys == ["conv_id"]:
         sel = ",\n       ".join(r6(name, name) for name, _ in _GLCM_FEATS)
-        return f"{body}\nSELECT conv_id,\n       {sel}\nFROM feat"
+        if not per_session:
+            return f"{body}\nSELECT conv_id,\n       {sel}\nFROM feat"
+        # session-bounded pairs: a conversation of singleton sessions has
+        # no pairs at all — the kernel still emits an all-NULL row for it
+        sel_null = ",\n       ".join(r6(f"feat.{name}", name) for name, _ in _GLCM_FEATS)
+        return (
+            f"{body},\nconvs AS (SELECT DISTINCT conv_id FROM t)\n"
+            f"SELECT convs.conv_id,\n       {sel_null}\n"
+            f"FROM convs LEFT JOIN feat USING (conv_id)"
+        )
     # 2D AVER: plain mean over session matrices, NaN-propagating like
     # np.average over dicts containing NaN (kernels/texture.py _agg_dicts);
     # conversations with no pair-bearing session still emit an all-NULL row
@@ -498,6 +515,7 @@ def Kq(tbl: str, keys: list) -> str:
 
 ORACLES["q_glcm"] = _glcm_sql(per_session=False)
 ORACLES["q_glcm_2d_avg"] = _glcm_sql(per_session=True)
+ORACLES["q_glcm_25d_merg"] = _glcm_sql(per_session=True, merge_sessions=True)
 
 # shared gaps-and-islands run decomposition (keeps start/end positions for
 # the distance-zone family); runs == zones in 1-D
