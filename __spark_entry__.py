@@ -465,6 +465,37 @@ def q_glcm_salted(spark, sf_dir):
     return _r6(out.select("conv_id", *_GLCM_COLS), _GLCM_COLS)
 
 
+def q_glrlm_salted(spark, sf_dir):
+    """Skew path for run-lengths: distributed RLE with cross-bucket run
+    merge — exact (same oracle as q_glrlm); turns_per_bucket=16 forces
+    runs to straddle bucket borders at test scale."""
+    from z_rad_spark.operators.texture_sql import glrlm_features_salted
+
+    cols = [
+        "rlm_sre", "rlm_lre", "rlm_lgre", "rlm_hgre", "rlm_srlge",
+        "rlm_srhge", "rlm_lrlge", "rlm_lrhge", "rlm_glnu", "rlm_glnu_norm",
+        "rlm_rlnu", "rlm_rlnu_norm", "rlm_r_perc", "rlm_gl_var",
+        "rlm_rl_var", "rlm_rl_entr",
+    ]
+    out = glrlm_features_salted(_t(spark, sf_dir), turns_per_bucket=16)
+    return _r6(out.select("conv_id", *cols), cols)
+
+
+def q_ngldm_salted(spark, sf_dir):
+    """Skew path for dependence counts: 1-row overlap on both sides of
+    every bucket border — exact (same oracle as q_ngldm)."""
+    from z_rad_spark.operators.texture_sql import ngldm_features_salted
+
+    cols = [
+        "ngl_lde", "ngl_hde", "ngl_lgce", "ngl_hgce", "ngl_ldlge",
+        "ngl_ldhge", "ngl_hdlge", "ngl_hdhge", "ngl_glnu", "ngl_glnu_norm",
+        "ngl_dcnu", "ngl_dcnu_norm", "ngl_dc_perc", "ngl_gl_var",
+        "ngl_dc_var", "ngl_dc_entr", "ngl_dc_energy",
+    ]
+    out = ngldm_features_salted(_t(spark, sf_dir), turns_per_bucket=16)
+    return _r6(out.select("conv_id", *cols), cols)
+
+
 _RESEG_COLS = ["stat_mean", "stat_var", "stat_median", "stat_min", "stat_max", "stat_cov", "stat_energy"]
 
 
@@ -766,6 +797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_glcm_2d_avg": q_glcm_2d_avg,
         "q_glcm_25d_merg": q_glcm_25d_merg,
         "q_glcm_salted": q_glcm_salted,
+        "q_glrlm_salted": q_glrlm_salted,
+        "q_ngldm_salted": q_ngldm_salted,
         "q_reseg_stats": q_reseg_stats,
         "q_fbs_hist": q_fbs_hist,
         "q_ivh_fbs": q_ivh_fbs,

@@ -1533,3 +1533,5 @@ ORACLES["q_glcm_dist"] = ORACLES["q_glcm"]
 ORACLES["q_glrlm_dist"] = ORACLES["q_glrlm"]
 ORACLES["q_ngldm_dist"] = ORACLES["q_ngldm"]
 ORACLES["q_glcm_salted"] = ORACLES["q_glcm"]
+ORACLES["q_glrlm_salted"] = ORACLES["q_glrlm"]
+ORACLES["q_ngldm_salted"] = ORACLES["q_ngldm"]

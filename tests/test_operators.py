@@ -222,3 +222,30 @@ def test_ivf_topk_recall_vs_exact(spark):
     e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
     a = {(r.query_id, r.vec_id) for r in approx.itertuples()}
     assert len(e & a) / len(e) >= 0.5
+
+
+def test_salted_runs_and_deps_exact(spark, tdf):
+    """Distributed RLE with cross-bucket merge and double-overlap dependence
+    counts must equal the unsalted window plans exactly, including runs
+    spanning multiple whole buckets (tiny bucket size forces that)."""
+    from z_rad_spark.operators.texture_sql import (
+        glrlm_cells,
+        glrlm_cells_salted,
+        ngldm_cells,
+        ngldm_cells_salted,
+    )
+
+    df, _ = tdf
+    for size in (5, 16):
+        a = glrlm_cells(df).toPandas().sort_values(["conv_id", "lvl", "len"]).reset_index(drop=True)
+        b = (
+            glrlm_cells_salted(df, turns_per_bucket=size)
+            .toPandas().sort_values(["conv_id", "lvl", "len"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
+        c = ngldm_cells(df).toPandas().sort_values(["conv_id", "lvl", "dep"]).reset_index(drop=True)
+        d = (
+            ngldm_cells_salted(df, turns_per_bucket=size)
+            .toPandas().sort_values(["conv_id", "lvl", "dep"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(c, d, check_exact=True)

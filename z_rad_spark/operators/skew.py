@@ -60,19 +60,32 @@ def repartition_range(df: DataFrame, n: int | None = None) -> DataFrame:
 
 
 def with_salt_bucket(
-    df: DataFrame, turns_per_bucket: int = 100_000, overlap: int = 4
+    df: DataFrame, turns_per_bucket: int = 100_000, overlap: int = 4,
+    overlap_before: int = 0,
 ) -> DataFrame:
     """Assign (bucket, own) per turn: bucket = floor(rank / size); the
     first ``overlap`` turns of each bucket are replicated into the
     previous bucket with own=false so lag-k windows up to k=overlap see
-    across the border without double counting."""
+    across the border without double counting. ``overlap_before`` also
+    replicates the LAST rows of the previous bucket forward (own=false),
+    for operators that look backwards (lag) as well as forwards (lead) —
+    e.g. NGLDM dependence counts need both neighbours of every own row."""
     w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
     df = df.withColumn("_rank", F.row_number().over(w) - 1)
     df = df.withColumn("bucket", (F.col("_rank") / turns_per_bucket).cast("int"))
-    own = df.withColumn("own", F.lit(True))
-    borrowed = (
-        df.where((F.col("_rank") % turns_per_bucket < overlap) & (F.col("bucket") > 0))
-        .withColumn("bucket", F.col("bucket") - 1)
-        .withColumn("own", F.lit(False))
-    )
-    return own.unionByName(borrowed).drop("_rank")
+    out = df.withColumn("own", F.lit(True))
+    if overlap:
+        borrowed = (
+            df.where((F.col("_rank") % turns_per_bucket < overlap) & (F.col("bucket") > 0))
+            .withColumn("bucket", F.col("bucket") - 1)
+            .withColumn("own", F.lit(False))
+        )
+        out = out.unionByName(borrowed)
+    if overlap_before:
+        borrowed_back = (
+            df.where(F.col("_rank") % turns_per_bucket >= turns_per_bucket - overlap_before)
+            .withColumn("bucket", F.col("bucket") + 1)
+            .withColumn("own", F.lit(False))
+        )
+        out = out.unionByName(borrowed_back)
+    return out.drop("_rank")

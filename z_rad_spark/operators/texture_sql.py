@@ -181,8 +181,96 @@ def glcm_cells_salted(
     ).agg(F.count("*").cast("double").alias("c"))
 
 
+def glrlm_cells_salted(
+    df: DataFrame, turns_per_bucket: int = 100_000, signal_col: str = "signal"
+) -> DataFrame:
+    """Salt-bucketed run cells — exact distributed RLE for giant
+    conversations. Buckets partition each conversation (no overlap); local
+    gaps-and-islands finds per-bucket runs; runs interior to a bucket are
+    final, and the <=2 border runs per bucket are merged across adjacent
+    buckets by a second (tiny) gaps-and-islands over the edge-run sequence
+    — a run spanning whole buckets chains through them exactly once.
+    """
+    from .skew import with_salt_bucket
+
+    g = df.select("conv_id", "ts", "turn_idx", F.col(signal_col).cast("double").alias("g"))
+    b = with_salt_bucket(g, turns_per_bucket=turns_per_bucket, overlap=0)
+    wb = Window.partitionBy("conv_id", "bucket").orderBy("ts", "turn_idx")
+    brk = F.when(F.lag("g").over(wb).isNull() | (F.lag("g").over(wb) != F.col("g")), 1).otherwise(0)
+    run_id = F.sum(brk).over(wb.rowsBetween(Window.unboundedPreceding, 0))
+    runs = (
+        b.withColumn("run_id", run_id)
+        .groupBy("conv_id", "bucket", "run_id")
+        .agg(F.min("g").cast("int").alias("lvl"), F.count("*").cast("long").alias("len"))
+    )
+    wmax = Window.partitionBy("conv_id", "bucket")
+    runs = runs.withColumn("n_runs", F.max("run_id").over(wmax))
+    runs = runs.withColumn("is_first", F.col("run_id") == 1).withColumn(
+        "is_last", F.col("run_id") == F.col("n_runs")
+    )
+    interior = runs.where(~F.col("is_first") & ~F.col("is_last")).select("conv_id", "lvl", "len")
+
+    edge = runs.where(F.col("is_first") | F.col("is_last"))
+    we = Window.partitionBy("conv_id").orderBy("bucket", "run_id")
+    cont = (
+        (F.col("bucket") == F.lag("bucket").over(we) + 1)
+        & F.lag("is_last").over(we)
+        & F.col("is_first")
+        & (F.col("lvl") == F.lag("lvl").over(we))
+    )
+    chain = F.sum(F.when(cont, 0).otherwise(1)).over(we.rowsBetween(Window.unboundedPreceding, 0))
+    merged = (
+        edge.withColumn("chain", chain)
+        .groupBy("conv_id", "chain")
+        .agg(F.min("lvl").alias("lvl"), F.sum("len").alias("len"))
+        .select("conv_id", "lvl", "len")
+    )
+    allruns = interior.unionByName(merged)
+    return allruns.groupBy(
+        "conv_id", "lvl", F.col("len").cast("int").alias("len")
+    ).agg(F.count("*").cast("double").alias("c"))
+
+
+def ngldm_cells_salted(
+    df: DataFrame, turns_per_bucket: int = 100_000, signal_col: str = "signal"
+) -> DataFrame:
+    """Salt-bucketed dependence cells: both neighbours of every own row are
+    visible via 1-row overlap on each side; borrowed rows never emit."""
+    from .skew import with_salt_bucket
+
+    g = df.select("conv_id", "ts", "turn_idx", F.col(signal_col).cast("double").alias("g"))
+    b = with_salt_bucket(g, turns_per_bucket=turns_per_bucket, overlap=1, overlap_before=1)
+    w = Window.partitionBy("conv_id", "bucket").orderBy("ts", "turn_idx")
+    dep = (
+        F.when(F.lag("g").over(w) == F.col("g"), 1).otherwise(0)
+        + F.when(F.lead("g").over(w) == F.col("g"), 1).otherwise(0)
+    )
+    return (
+        b.withColumn("dep", dep)
+        .where(F.col("own"))
+        .groupBy("conv_id", F.col("g").cast("int").alias("lvl"), F.col("dep").cast("int").alias("dep"))
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+
+
 def glcm_features_distributed(df: DataFrame, lags=(1,), signal_col: str = "signal") -> DataFrame:
     return _cells_to_features(glcm_cells(df, lags, signal_col), _vox(df, signal_col), "glcm")
+
+
+def glrlm_features_salted(
+    df: DataFrame, turns_per_bucket: int = 100_000, signal_col: str = "signal"
+) -> DataFrame:
+    return _cells_to_features(
+        glrlm_cells_salted(df, turns_per_bucket, signal_col), _vox(df, signal_col), "glrlm"
+    )
+
+
+def ngldm_features_salted(
+    df: DataFrame, turns_per_bucket: int = 100_000, signal_col: str = "signal"
+) -> DataFrame:
+    return _cells_to_features(
+        ngldm_cells_salted(df, turns_per_bucket, signal_col), _vox(df, signal_col), "ngldm"
+    )
 
 
 def glcm_features_salted(
