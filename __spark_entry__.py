@@ -169,6 +169,60 @@ def q_backfill_linear(spark, sf_dir):
     )
 
 
+def q_backfill_mask(spark, sf_dir):
+    """MaskResampler analogue: per grid step, fraction of eligible turns,
+    thresholded at 0.5 (partial-volume semantics)."""
+    from z_rad_spark.operators.backfill import backfill_eligible_frac
+
+    t = _t(spark, sf_dir).withColumn("eligible", F.col("role").isin("user", "assistant"))
+    out = backfill_eligible_frac(t, 86400, 0.5)
+    return _r6(
+        out.select("conv_id", _us("grid_ts", "grid_us"), "eligible_frac", "eligible_bin"),
+        ["eligible_frac"],
+    )
+
+
+def q_decay_norm(spark, sf_dir):
+    """PET-SUV-correction analogue: per-turn exponential decay correction
+    anchored at the conversation start (per-entity scalar broadcast +
+    pure column math, zrad/io/pet_suv.py:358-521 mapping)."""
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("conv_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    age_sec = (ts_us - F.min(ts_us).over(w)) / 1e6
+    suv = F.col("signal") * F.exp(F.lit(-0.6931471805599453) * age_sec / F.lit(6586.2))
+    return _r6(
+        t.select(
+            "conv_id",
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            suv.alias("suv"),
+        ),
+        ["suv"],
+    )
+
+
+def q_tool_names(spark, sf_dir):
+    """Structure-name listing analogue (zrad/io/dicom.py:367-383)."""
+    return _t(spark, sf_dir).where(F.col("tool").isNotNull()).select("tool").distinct()
+
+
+def q_mask_union(spark, sf_dir):
+    """Mask union across ROIs analogue (np.bitwise_or,
+    zrad/gui/prep_tab.py:114-119): bool_or grouped aggregation."""
+    t = _t(spark, sf_dir)
+    return t.groupBy("conv_id", F.date_trunc("day", "ts").alias("day")).agg(
+        F.expr("bool_or(tool IS NOT NULL)").alias("any_tool"),
+        F.expr("bool_or(role = 'system')").alias("any_system"),
+    ).select("conv_id", _us("day", "day_us"), "any_tool", "any_system")
+
+
+def q_dedup_turns(spark, sf_dir):
+    """Duplicate-slice removal analogue (zrad/io/dicom.py:56-87): the table
+    unioned with itself dedups back to one row per (conv_id, turn_idx)."""
+    t = _t(spark, sf_dir).select("conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "text")
+    return t.unionByName(t).dropDuplicates(["conv_id", "turn_idx"])
+
+
 def q_rollup(spark, sf_dir):
     t = _t(spark, sf_dir)
     return _r6(
@@ -593,6 +647,25 @@ def q_filter_wavelet(spark, sf_dir):
     )
 
 
+_NGT_COLS = ["ngt_coarseness", "ngt_contrast", "ngt_busyness", "ngt_complexity", "ngt_strength"]
+
+
+def q_ngtdm_dist(spark, sf_dir):
+    """Distributed NGTDM: lag/lead neighbour means + per-level groupBy."""
+    from z_rad_spark.operators.texture_sql import ngtdm_features_distributed
+
+    out = ngtdm_features_distributed(_t(spark, sf_dir))
+    return _r6(out.select("conv_id", *_NGT_COLS), _NGT_COLS)
+
+
+def q_ngtdm_salted(spark, sf_dir):
+    """Skew path: same plan with per-bucket windows (1-row overlaps)."""
+    from z_rad_spark.operators.texture_sql import ngtdm_features_distributed
+
+    out = ngtdm_features_distributed(_t(spark, sf_dir), turns_per_bucket=16)
+    return _r6(out.select("conv_id", *_NGT_COLS), _NGT_COLS)
+
+
 def q_filter_mean(spark, sf_dir):
     """Declarative mean filter (window sum / support, zero-pad semantics)."""
     from z_rad_spark.operators.filtering import with_mean_filter
@@ -783,6 +856,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_state": q_asof_state,
         "q_backfill_nn": q_backfill_nn,
         "q_backfill_linear": q_backfill_linear,
+        "q_backfill_mask": q_backfill_mask,
+        "q_decay_norm": q_decay_norm,
+        "q_tool_names": q_tool_names,
+        "q_mask_union": q_mask_union,
+        "q_dedup_turns": q_dedup_turns,
         "q_rollup": q_rollup,
         "q_stats_asof": q_stats_asof,
         "q_hist_asof": q_hist_asof,
@@ -807,6 +885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_glcm_dist": q_glcm_dist,
         "q_glrlm_dist": q_glrlm_dist,
         "q_ngldm_dist": q_ngldm_dist,
+        "q_ngtdm_dist": q_ngtdm_dist,
+        "q_ngtdm_salted": q_ngtdm_salted,
         "q_local_peaks": q_local_peaks,
         "q_filter_mean": q_filter_mean,
         "q_filter_log": q_filter_log,

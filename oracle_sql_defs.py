@@ -152,6 +152,41 @@ SELECT conv_id, CAST(epoch_us(grid_ts) AS BIGINT) AS grid_us, {r6('v', 'tok_lin'
 FROM lin
 """
 
+ORACLES["q_backfill_mask"] = f"""
+WITH t AS ({T})
+SELECT conv_id,
+       CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) * 86400000000 AS grid_us,
+       {r6("AVG(CASE WHEN role IN ('user','assistant') THEN 1.0 ELSE 0.0 END)", 'eligible_frac')},
+       AVG(CASE WHEN role IN ('user','assistant') THEN 1.0 ELSE 0.0 END) >= 0.5 AS eligible_bin
+FROM t GROUP BY conv_id, FLOOR(epoch_us(ts) / 86400000000)
+"""
+
+ORACLES["q_decay_norm"] = f"""
+WITH t AS ({T}),
+t0 AS (SELECT conv_id, MIN(epoch_us(ts)) AS t0 FROM t GROUP BY conv_id)
+SELECT t.conv_id, t.turn_idx,
+       {r6('t.signal * EXP(-0.6931471805599453 * ((epoch_us(t.ts) - t0.t0) / 1e6) / 6586.2)', 'suv')}
+FROM t JOIN t0 ON t.conv_id = t0.conv_id
+"""
+
+ORACLES["q_tool_names"] = f"""
+WITH t AS ({T})
+SELECT DISTINCT tool FROM t WHERE tool IS NOT NULL
+"""
+
+ORACLES["q_mask_union"] = f"""
+WITH t AS ({T})
+SELECT conv_id, CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+       BOOL_OR(tool IS NOT NULL) AS any_tool,
+       BOOL_OR(role = 'system') AS any_system
+FROM t GROUP BY conv_id, date_trunc('day', ts)
+"""
+
+ORACLES["q_dedup_turns"] = f"""
+WITH t AS ({T})
+SELECT DISTINCT conv_id, turn_idx, text FROM t
+"""
+
 ORACLES["q_rollup"] = f"""
 WITH t AS ({T})
 SELECT role, CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
@@ -1535,3 +1570,5 @@ ORACLES["q_ngldm_dist"] = ORACLES["q_ngldm"]
 ORACLES["q_glcm_salted"] = ORACLES["q_glcm"]
 ORACLES["q_glrlm_salted"] = ORACLES["q_glrlm"]
 ORACLES["q_ngldm_salted"] = ORACLES["q_ngldm"]
+ORACLES["q_ngtdm_dist"] = ORACLES["q_ngtdm"]
+ORACLES["q_ngtdm_salted"] = ORACLES["q_ngtdm"]

@@ -109,11 +109,11 @@ def backfill_eligible_frac(
 ) -> DataFrame:
     """MaskResampler analogue: fraction of eligible turns per grid step,
     thresholded to a boolean (interpolation.py:149-230, default 0.5)."""
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     bucketed = turns.withColumn(
         "grid_ts",
         F.timestamp_micros(
-            (F.unix_micros(F.col("ts")) / (step_seconds * 1_000_000)).cast("long")
-            * (step_seconds * 1_000_000)
+            (ts_us / (step_seconds * 1_000_000)).cast("long") * (step_seconds * 1_000_000)
         ),
     )
     agg = bucketed.groupBy(key, "grid_ts").agg(

@@ -32,9 +32,11 @@ from ..kernels.texture import (
     GLRLM_NAMES,
     NGLDM_ATTRS,
     NGLDM_NAMES,
+    NGTDM_NAMES,
     TEXTURE_ATTRS,
     glcm_feature_values,
     matrix_feature_values,
+    ngtdm_feature_values,
 )
 
 _W = lambda: Window.partitionBy("conv_id").orderBy("ts", "turn_idx")  # noqa: E731
@@ -251,6 +253,60 @@ def ngldm_cells_salted(
         .groupBy("conv_id", F.col("g").cast("int").alias("lvl"), F.col("dep").cast("int").alias("dep"))
         .agg(F.count("*").cast("double").alias("c"))
     )
+
+
+def ngtdm_cells(
+    df: DataFrame, signal_col: str = "signal", turns_per_bucket: int | None = None
+) -> DataFrame:
+    """Per-level (n_i, s_i) rows for NGTDM: neighbour mean via lag/lead,
+    aggregated per (conv_id, level). With ``turns_per_bucket`` the window
+    runs per salt bucket with 1-row overlap on each side — exact, and one
+    giant conversation's pass spreads over many tasks."""
+    g = _grey(df, signal_col)
+    if turns_per_bucket is None:
+        w = _W()
+        rows = g.withColumn("own", F.lit(True))
+    else:
+        from .skew import with_salt_bucket
+
+        rows = with_salt_bucket(g, turns_per_bucket=turns_per_bucket, overlap=1, overlap_before=1)
+        w = Window.partitionBy("conv_id", "bucket").orderBy("ts", "turn_idx")
+    lg, ld = F.lag("g").over(w), F.lead("g").over(w)
+    nb_sum = F.coalesce(lg, F.lit(0.0)) + F.coalesce(ld, F.lit(0.0))
+    nb_cnt = lg.isNotNull().cast("int") + ld.isNotNull().cast("int")
+    rows = (
+        rows.withColumn("nb_sum", nb_sum)
+        .withColumn("nb_cnt", nb_cnt)
+        .where(F.col("own") & (F.col("nb_cnt") > 0))
+    )
+    return rows.groupBy("conv_id", F.col("g").cast("int").alias("lvl")).agg(
+        F.count("*").cast("double").alias("n_i"),
+        F.sum(F.abs(F.col("g") - F.col("nb_sum") / F.col("nb_cnt"))).alias("s_i"),
+    )
+
+
+def ngtdm_features_distributed(
+    df: DataFrame, signal_col: str = "signal", turns_per_bucket: int | None = None
+) -> DataFrame:
+    """NGTDM features from per-level cells (<= lvl rows per conversation)."""
+    cells = ngtdm_cells(df, signal_col, turns_per_bucket)
+    vox = _vox(df, signal_col)
+    joined = cells.join(vox, "conv_id")
+    schema = T.StructType(
+        [T.StructField("conv_id", T.StringType(), False)]
+        + [T.StructField(n, T.DoubleType(), True) for n in NGTDM_NAMES]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        lvl = int(pdf["gmax"].iloc[0]) + 1
+        m = np.zeros((lvl, 2))
+        m[pdf["lvl"].to_numpy(), 0] = pdf["n_i"].to_numpy()
+        m[pdf["lvl"].to_numpy(), 1] = pdf["s_i"].to_numpy()
+        row = {"conv_id": pdf["conv_id"].iloc[0]}
+        row.update(ngtdm_feature_values(m))
+        return pd.DataFrame([row], columns=[f.name for f in schema.fields])
+
+    return joined.groupBy("conv_id").applyInPandas(kernel, schema=schema)
 
 
 def glcm_features_distributed(df: DataFrame, lags=(1,), signal_col: str = "signal") -> DataFrame:
