@@ -43,11 +43,16 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per doc via split + index explode.
+def word_shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id",
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles per doc via split + index explode.
 
     posexplode over the token array, then a self-zip of offset slices —
-    all generator expressions, no Python.
+    all generator expressions, no Python. ``distinct=False`` skips the
+    dedup shuffle for consumers whose downstream aggregate is
+    duplicate-idempotent (MIN in the minhash signature).
     """
     # A small-file corpus arrives as one input split; the explode below
     # multiplies rows ~100x, so fan the docs out BEFORE the generator or
@@ -67,7 +72,7 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: s
             )
         ).alias("shingle"),
     )
-    return sh.distinct()
+    return sh.distinct() if distinct else sh
 
 
 def minhash_signature(shingles: DataFrame, n_hashes: int = 16, id_col: str = "doc_id") -> DataFrame:
@@ -102,7 +107,11 @@ def minhash_lsh_pairs(
     (degenerate content; prevents quadratic bucket joins — the logged cap
     per 'no silent caps').
     """
-    sig = minhash_signature(word_shingles(docs, n, text_col, id_col), n_hashes, id_col)
+    # distinct=False: MIN over md5 hashes is duplicate-idempotent, so the
+    # shingle-dedup shuffle is pure waste on this path
+    sig = minhash_signature(
+        word_shingles(docs, n, text_col, id_col, distinct=False), n_hashes, id_col
+    )
     # band key = the band's minhashes concatenated in permutation order
     # (max-of-case per slot keeps the construction deterministic and
     # reproducible in plain SQL — each (doc, perm) has exactly one row)

@@ -101,6 +101,28 @@ def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return from_events(spark, events)
 
 
+def read_transcripts(spark: SparkSession, source: str, fmt: str = "parquet") -> DataFrame:
+    """Scan an existing transcripts table.
+
+    fmt='iceberg' reads an Iceberg table by name (catalog must be on the
+    classpath — the production path; scan benefits: snapshot isolation,
+    min/max file pruning for the ``ts <= cutoff`` predicate, and bucket
+    partition transforms on conv_id that remove the extractor's exchange).
+    fmt='parquet' reads a directory (the sandbox path). Columns are
+    validated against the canonical schema.
+    """
+    if fmt == "iceberg":
+        df = spark.read.format("iceberg").load(source)
+    elif fmt == "parquet":
+        df = spark.read.parquet(source)
+    else:
+        raise ValueError(f"unknown transcripts format {fmt!r}")
+    missing = {f.name for f in TRANSCRIPT_SCHEMA.fields} - set(df.columns)
+    if missing:
+        raise ValueError(f"transcripts table at {source!r} is missing columns {sorted(missing)}")
+    return df
+
+
 def with_signal(df: DataFrame, signal: str = "token_count") -> DataFrame:
     """Attach the per-turn scalar signal column (JVM-side expression).
 
