@@ -156,6 +156,36 @@ def q_asof_state(spark, sf_dir):
     )
 
 
+def q_asof_enrich(spark, sf_dir):
+    """General two-table as-of join: each order probes the latest transcript
+    state of its (deterministically mapped) conversation at its probe time —
+    the sort-merge union-tag as-of between two real tables."""
+    from z_rad_spark.operators.asof import asof_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base_us = 1704067200000000  # 2024-01-01 UTC
+    probes = orders.select(
+        F.concat(F.lit("c"), (F.col("o_custkey") % 150).cast("string")).alias("conv_id"),
+        F.timestamp_micros(
+            F.lit(base_us) + (F.col("o_orderkey") % 720).cast("long") * F.lit(3_600_000_000)
+        ).alias("as_of"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_totalprice"),
+    )
+    out = asof_join(_t(spark, sf_dir), probes, ["signal", "turn_idx"])
+    return _r6(
+        out.select(
+            "conv_id",
+            _us("as_of", "as_of_us"),
+            "o_orderkey",
+            "o_totalprice",
+            F.col("signal").alias("last_tok"),
+            F.col("turn_idx").cast("int").alias("last_turn_idx"),
+        ),
+        ["o_totalprice", "last_tok"],
+    )
+
+
 def q_backfill_nn(spark, sf_dir):
     out = backfill(_t(spark, sf_dir), 86400, "signal", method="nn")
     return out.select("conv_id", _us("grid_ts", "grid_us"), F.col("signal").alias("tok_locf"))
@@ -647,6 +677,21 @@ def q_filter_wavelet(spark, sf_dir):
     )
 
 
+def q_gldzm_dist(spark, sf_dir):
+    """Distributed GLDZM: declarative runs + border distances from global
+    positions (same oracle as q_gldzm)."""
+    from z_rad_spark.operators.texture_sql import gldzm_features_distributed
+
+    cols = [
+        "dzm_sde", "dzm_lde", "dzm_lgze", "dzm_hgze", "dzm_sdlge",
+        "dzm_sdhge", "dzm_ldlge", "dzm_ldhge", "dzm_glnu", "dzm_glnu_norm",
+        "dzm_zdnu", "dzm_zdnu_norm", "dzm_z_perc", "dzm_gl_var",
+        "dzm_zd_var", "dzm_zd_entr",
+    ]
+    out = gldzm_features_distributed(_t(spark, sf_dir))
+    return _r6(out.select("conv_id", *cols), cols)
+
+
 _NGT_COLS = ["ngt_coarseness", "ngt_contrast", "ngt_busyness", "ngt_complexity", "ngt_strength"]
 
 
@@ -854,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_lag_lead": q_lag_lead,
         "q_asof_state": q_asof_state,
+        "q_asof_enrich": q_asof_enrich,
         "q_backfill_nn": q_backfill_nn,
         "q_backfill_linear": q_backfill_linear,
         "q_backfill_mask": q_backfill_mask,
@@ -885,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_glcm_dist": q_glcm_dist,
         "q_glrlm_dist": q_glrlm_dist,
         "q_ngldm_dist": q_ngldm_dist,
+        "q_gldzm_dist": q_gldzm_dist,
         "q_ngtdm_dist": q_ngtdm_dist,
         "q_ngtdm_salted": q_ngtdm_salted,
         "q_local_peaks": q_local_peaks,

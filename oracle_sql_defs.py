@@ -104,6 +104,27 @@ SELECT conv_id, CAST(epoch_us(as_of) AS BIGINT) AS as_of_us,
 FROM j WHERE rn = 1
 """
 
+ORACLES["q_asof_enrich"] = f"""
+WITH t AS ({T}),
+probes AS (
+  SELECT 'c' || CAST(o_custkey % 150 AS STRING) AS conv_id,
+         CAST(1704067200000000 + (o_orderkey % 720) * 3600000000 AS BIGINT) AS as_of_us,
+         CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         o_totalprice
+  FROM orders
+),
+j AS (
+  SELECT p.conv_id, p.as_of_us, p.o_orderkey, p.o_totalprice, t.signal, t.turn_idx,
+         ROW_NUMBER() OVER (PARTITION BY p.o_orderkey ORDER BY t.ts DESC, t.turn_idx DESC) AS rn
+  FROM probes p LEFT JOIN t ON t.conv_id = p.conv_id AND epoch_us(t.ts) <= p.as_of_us
+)
+SELECT conv_id, as_of_us, o_orderkey,
+       {r6('o_totalprice', 'o_totalprice')},
+       {r6('signal', 'last_tok')},
+       CAST(turn_idx AS INT) AS last_turn_idx
+FROM j WHERE rn = 1
+"""
+
 _GRID_DAYS = f"""
 span AS (SELECT conv_id, date_trunc('minute', MIN(ts)) AS t0, MAX(ts) AS t1 FROM t GROUP BY conv_id),
 grid AS (SELECT conv_id, UNNEST(generate_series(t0, t1, INTERVAL 1 DAY)) AS grid_ts FROM span)
@@ -1571,4 +1592,5 @@ ORACLES["q_glcm_salted"] = ORACLES["q_glcm"]
 ORACLES["q_glrlm_salted"] = ORACLES["q_glrlm"]
 ORACLES["q_ngldm_salted"] = ORACLES["q_ngldm"]
 ORACLES["q_ngtdm_dist"] = ORACLES["q_ngtdm"]
+ORACLES["q_gldzm_dist"] = ORACLES["q_gldzm"]
 ORACLES["q_ngtdm_salted"] = ORACLES["q_ngtdm"]

@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 
 from ..kernels.texture import (
     GLCM_NAMES,
+    GLDZM_NAMES,
     GLRLM_NAMES,
     NGLDM_ATTRS,
     NGLDM_NAMES,
@@ -112,6 +113,8 @@ def _cells_to_features(cells: DataFrame, vox: DataFrame, kind: str) -> DataFrame
         names = GLCM_NAMES
     elif kind == "glrlm":
         names = GLRLM_NAMES
+    elif kind == "gldzm":
+        names = GLDZM_NAMES
     else:
         names = NGLDM_NAMES
     schema = T.StructType(
@@ -127,13 +130,14 @@ def _cells_to_features(cells: DataFrame, vox: DataFrame, kind: str) -> DataFrame
             m = np.zeros((lvl, lvl))
             m[pdf["i"].to_numpy(), pdf["j"].to_numpy()] = pdf["c"].to_numpy()
             vals = glcm_feature_values(m / m.sum())
-        elif kind == "glrlm":
+        elif kind in ("glrlm", "gldzm"):
             lvl = int(pdf["gmax"].iloc[0]) + 1
             width = int(pdf["len"].max())
             m = np.zeros((lvl, width))
             m[pdf["lvl"].to_numpy(), pdf["len"].to_numpy() - 1] = pdf["c"].to_numpy()
             raw = matrix_feature_values(m, vc)
-            vals = dict(zip(GLRLM_NAMES, (raw[a] for a in TEXTURE_ATTRS)))
+            out_names = GLRLM_NAMES if kind == "glrlm" else GLDZM_NAMES
+            vals = dict(zip(out_names, (raw[a] for a in TEXTURE_ATTRS)))
         else:
             lvl = int(pdf["gmax"].iloc[0]) + 1
             m = np.zeros((lvl, 3))
@@ -233,6 +237,40 @@ def glrlm_cells_salted(
     ).agg(F.count("*").cast("double").alias("c"))
 
 
+def gldzm_cells(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """Distance-zone cells: runs keyed by min taxicab distance to the
+    conversation border — min over the run's two endpoints, each scored
+    min(position, n - position + 1) in 1-based positions (the declarative
+    twin of kernels/prep.border_distance + kernels/texture.dzm_matrix)."""
+    g = _grey(df, signal_col)
+    w = _W()
+    brk = F.when(F.lag("g").over(w).isNull() | (F.lag("g").over(w) != F.col("g")), 1).otherwise(0)
+    rn = F.row_number().over(w)
+    marked = g.withColumn("rn", rn).withColumn("brk", brk)
+    run_id = F.sum("brk").over(
+        Window.partitionBy("conv_id").orderBy("ts", "turn_idx").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = (
+        marked.withColumn("run_id", run_id)
+        .groupBy("conv_id", "run_id")
+        .agg(
+            F.min("g").cast("int").alias("lvl"),
+            F.min("rn").cast("long").alias("srn"),
+            F.max("rn").cast("long").alias("ern"),
+        )
+    )
+    n = df.groupBy("conv_id").agg(F.count("*").cast("long").alias("_n"))
+    d = F.greatest(
+        F.least(
+            F.least(F.col("srn"), F.col("_n") - F.col("srn") + 1),
+            F.least(F.col("ern"), F.col("_n") - F.col("ern") + 1),
+        ),
+        F.lit(1),
+    )
+    zones = runs.join(n, "conv_id").select("conv_id", "lvl", d.cast("int").alias("len"))
+    return zones.groupBy("conv_id", "lvl", "len").agg(F.count("*").cast("double").alias("c"))
+
+
 def ngldm_cells_salted(
     df: DataFrame, turns_per_bucket: int = 100_000, signal_col: str = "signal"
 ) -> DataFrame:
@@ -311,6 +349,10 @@ def ngtdm_features_distributed(
 
 def glcm_features_distributed(df: DataFrame, lags=(1,), signal_col: str = "signal") -> DataFrame:
     return _cells_to_features(glcm_cells(df, lags, signal_col), _vox(df, signal_col), "glcm")
+
+
+def gldzm_features_distributed(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    return _cells_to_features(gldzm_cells(df, signal_col), _vox(df, signal_col), "gldzm")
 
 
 def glrlm_features_salted(
