@@ -526,6 +526,18 @@ def q_glcm_2d_avg(spark, sf_dir):
     return _r6(out.select("conv_id", *sel), _GLCM_COLS)
 
 
+def q_glcm_2d_wavg(spark, sf_dir):
+    """2D AVER with ROI-fraction slice weighting (extractor.py:55-56
+    semantics: weight = session turn share, normalized like np.average)."""
+    cfg = FeatureConfig(
+        families=("glcm",), aggr_dim="2D", aggr_method="AVER", lags=(1,),
+        slice_weight=True, gap_seconds=GAP_SECONDS, min_turns=1,
+    )
+    out = extract_features(_t(spark, sf_dir), cfg, [END])
+    sel = [F.col(f"{c}_2D_avg").alias(c) for c in _GLCM_COLS]
+    return _r6(out.select("conv_id", *sel), _GLCM_COLS)
+
+
 def q_glcm_25d_merg(spark, sf_dir):
     """2.5D MERG aggregation: pairs bounded by session borders, matrices
     summed across sessions BEFORE normalizing (glcm.py:479-484 semantics:
@@ -767,6 +779,34 @@ def q_extract_filtered(spark, sf_dir):
     )
 
 
+def q_flagship_slice(spark, sf_dir):
+    """Value-level verification of the flagship's ROI semantics: the same
+    config as q_extract_full (system turns masked out), checking a
+    representative column per family — eligibility holes must break runs,
+    skip co-occurrence pairs (lags 1..4, MERG), and shrink the stats
+    population, while sessions/roles still see every turn."""
+    cfg = FeatureConfig(eligible_roles=("user", "assistant", "tool"), gap_seconds=GAP_SECONDS)
+    out = extract_features(_t(spark, sf_dir), cfg, CUTOFFS)
+    cols = ["stat_mean", "stat_energy", "ih_entropy", "ih_mode",
+            "shape_n_sessions", "shape_role_entropy", "cm_contrast", "cm_joint_entr",
+            "rlm_sre", "rlm_rl_entr"]
+    return _r6(
+        out.select(
+            "conv_id",
+            _us("as_of", "as_of_us"),
+            F.col("n_turns").cast("long").alias("n_turns"),
+            F.col("n_eligible").cast("long").alias("n_eligible"),
+            "stat_mean", "stat_energy", "ih_entropy", "ih_mode",
+            "shape_n_sessions", "shape_role_entropy",
+            F.col("cm_contrast_3D_comb").alias("cm_contrast"),
+            F.col("cm_joint_entr_3D_comb").alias("cm_joint_entr"),
+            F.col("rlm_sre_3D_comb").alias("rlm_sre"),
+            F.col("rlm_rl_entr_3D_comb").alias("rlm_rl_entr"),
+        ),
+        cols,
+    )
+
+
 def q_extract_full(spark, sf_dir):
     """Flagship: every family at three cutoffs (rows-only driver check;
     value-level parity is covered family-by-family above and by pytest)."""
@@ -919,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_glszm": q_glszm,
         "q_gldzm": q_gldzm,
         "q_glcm_2d_avg": q_glcm_2d_avg,
+        "q_glcm_2d_wavg": q_glcm_2d_wavg,
         "q_glcm_25d_merg": q_glcm_25d_merg,
         "q_glcm_salted": q_glcm_salted,
         "q_glrlm_salted": q_glrlm_salted,
@@ -941,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_gabor": q_filter_gabor,
         "q_filter_wavelet": q_filter_wavelet,
         "q_extract_filtered": q_extract_filtered,
+        "q_flagship_slice": q_flagship_slice,
         "q_extract_full": q_extract_full,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_pairs": q_minhash_pairs,

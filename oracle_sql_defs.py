@@ -388,7 +388,7 @@ _GLCM_FEATS = [
 ]
 
 
-def _glcm_sql(per_session: bool, merge_sessions: bool = False) -> str:
+def _glcm_sql(per_session: bool, merge_sessions: bool = False, weighted: bool = False) -> str:
     """GLCM feature SQL in three aggregation modes (lag 1):
 
     * per_session=False                 — whole-conversation pairs (3D MERG)
@@ -551,13 +551,30 @@ feat AS (
             f"SELECT convs.conv_id,\n       {sel_null}\n"
             f"FROM convs LEFT JOIN feat USING (conv_id)"
         )
-    # 2D AVER: plain mean over session matrices, NaN-propagating like
+    # 2D AVER: (weighted) mean over session matrices, NaN-propagating like
     # np.average over dicts containing NaN (kernels/texture.py _agg_dicts);
-    # conversations with no pair-bearing session still emit an all-NULL row
-    sel = ",\n       ".join(
-        r6(f"CASE WHEN COUNT(*) <> COUNT({name}) THEN NULL ELSE AVG({name}) END", name)
-        for name, _ in _GLCM_FEATS
-    )
+    # conversations with no pair-bearing session still emit an all-NULL row.
+    # Weighted: session turn count / conversation turn count, normalized by
+    # the sum of participating weights exactly like np.average.
+    if weighted:
+        agg = "CASE WHEN COUNT(*) <> COUNT({n}) THEN NULL ELSE SUM({n} * fw.w) / SUM(fw.w) END"
+    else:
+        agg = "CASE WHEN COUNT(*) <> COUNT({n}) THEN NULL ELSE AVG({n}) END"
+    sel = ",\n       ".join(r6(agg.format(n=name), name) for name, _ in _GLCM_FEATS)
+    wjoin = """,
+ssize AS (SELECT conv_id, sid, CAST(COUNT(*) AS DOUBLE) AS sn FROM ordg GROUP BY conv_id, sid),
+totn AS (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS tn FROM ordg GROUP BY conv_id),
+fw AS (
+  SELECT feat.*, s.sn / tt.tn AS w
+  FROM feat JOIN ssize s ON feat.conv_id = s.conv_id AND feat.sid = s.sid
+            JOIN totn tt ON feat.conv_id = tt.conv_id
+)"""
+    if weighted:
+        return (
+            f"{body}{wjoin},\nconvs AS (SELECT DISTINCT conv_id FROM t)\n"
+            f"SELECT convs.conv_id,\n       {sel}\n"
+            f"FROM convs LEFT JOIN fw USING (conv_id) GROUP BY convs.conv_id"
+        )
     return (
         f"{body},\nconvs AS (SELECT DISTINCT conv_id FROM t)\n"
         f"SELECT convs.conv_id,\n       {sel}\n"
@@ -572,6 +589,7 @@ def Kq(tbl: str, keys: list) -> str:
 ORACLES["q_glcm"] = _glcm_sql(per_session=False)
 ORACLES["q_glcm_2d_avg"] = _glcm_sql(per_session=True)
 ORACLES["q_glcm_25d_merg"] = _glcm_sql(per_session=True, merge_sessions=True)
+ORACLES["q_glcm_2d_wavg"] = _glcm_sql(per_session=True, weighted=True)
 
 # shared gaps-and-islands run decomposition (keeps start/end positions for
 # the distance-zone family); runs == zones in 1-D
@@ -1583,6 +1601,138 @@ LEFT JOIN hdev hd ON pr.conv_id = hd.conv_id AND pr.as_of = hd.as_of
 LEFT JOIN hrm hr ON pr.conv_id = hr.conv_id AND pr.as_of = hr.as_of
 LEFT JOIN hagg ha ON pr.conv_id = ha.conv_id AND pr.as_of = ha.as_of
 """.replace("{LOGTAPS}", _taps_values(_py_log_taps()))
+
+# Flagship ROI semantics: system turns are masked (eligibility holes) —
+# stats/hist see only eligible values, GLCM pairs (lags 1..4, matrices
+# summed before normalizing) require BOTH endpoints eligible at original
+# index distance, runs break at holes, sessions/roles still see all turns
+ORACLES["q_flagship_slice"] = f"""
+WITH t AS ({T}),
+rows0 AS (
+  SELECT t.conv_id, g.as_of, t.signal, t.role, t.ts,
+         t.role IN ('user', 'assistant', 'tool') AS elig,
+         CAST(t.signal AS INT) AS gi,
+         ROW_NUMBER() OVER (PARTITION BY t.conv_id, g.as_of ORDER BY t.ts, t.turn_idx) AS rn
+  FROM t JOIN {GRID} g(as_of) ON t.ts <= g.as_of
+),
+nel AS (
+  SELECT conv_id, as_of, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(CASE WHEN elig THEN 1 END) AS BIGINT) AS ne
+  FROM rows0 GROUP BY conv_id, as_of
+),
+st AS (
+  SELECT conv_id, as_of, AVG(signal) AS mean, CAST(SUM(signal * signal) AS DOUBLE) AS energy
+  FROM rows0 WHERE elig GROUP BY conv_id, as_of
+),
+hc AS (
+  SELECT conv_id, as_of, gi, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM rows0 WHERE elig GROUP BY conv_id, as_of, gi
+),
+hist AS (
+  SELECT conv_id, as_of,
+         -SUM(p * LOG2(p)) AS entropy,
+         MAX(CASE WHEN rn_mode = 1 THEN gi END) AS mode
+  FROM (
+    SELECT conv_id, as_of, gi,
+           c / SUM(c) OVER (PARTITION BY conv_id, as_of) AS p,
+           ROW_NUMBER() OVER (PARTITION BY conv_id, as_of ORDER BY c DESC, gi ASC) AS rn_mode
+    FROM hc
+  )
+  GROUP BY conv_id, as_of
+),
+gaps AS (
+  SELECT conv_id, as_of,
+         CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY conv_id, as_of ORDER BY rn) AS DOUBLE) / 1e6 AS gap
+  FROM rows0
+),
+sess AS (
+  SELECT conv_id, as_of, 1 + SUM(CASE WHEN gap > {GAP} THEN 1 ELSE 0 END) AS n_sessions
+  FROM gaps GROUP BY conv_id, as_of
+),
+re AS (
+  SELECT conv_id, as_of, -SUM(p * LOG2(p)) AS role_entropy FROM (
+    SELECT conv_id, as_of,
+           CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY conv_id, as_of) AS p
+    FROM rows0 GROUP BY conv_id, as_of, role
+  ) GROUP BY conv_id, as_of
+),
+pairs0 AS (
+  SELECT a.conv_id, a.as_of, a.gi AS x, b.gi AS y
+  FROM rows0 a
+  JOIN (VALUES (1), (2), (3), (4)) lagv(k) ON TRUE
+  JOIN rows0 b ON b.conv_id = a.conv_id AND b.as_of = a.as_of AND b.rn = a.rn + lagv.k
+  WHERE a.elig AND b.elig
+),
+pairs AS (
+  SELECT conv_id, as_of, x AS i, y AS j FROM pairs0
+  UNION ALL
+  SELECT conv_id, as_of, y AS i, x AS j FROM pairs0
+),
+cells AS (
+  SELECT conv_id, as_of, i, j, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM pairs GROUP BY conv_id, as_of, i, j
+),
+glcm AS (
+  SELECT conv_id, as_of,
+         SUM((c / tot) * POW(i - j, 2)) AS contrast,
+         -SUM((c / tot) * LOG2(c / tot)) AS joint_entr
+  FROM (SELECT *, SUM(c) OVER (PARTITION BY conv_id, as_of) AS tot FROM cells)
+  GROUP BY conv_id, as_of
+),
+erows AS (
+  SELECT conv_id, as_of, gi, rn,
+         CASE WHEN LAG(rn) OVER w IS NULL OR rn - LAG(rn) OVER w > 1
+                   OR LAG(gi) OVER w IS DISTINCT FROM gi THEN 1 ELSE 0 END AS brk
+  FROM rows0 WHERE elig
+  WINDOW w AS (PARTITION BY conv_id, as_of ORDER BY rn)
+),
+runs AS (
+  SELECT conv_id, as_of, run_id, CAST(MIN(gi) AS DOUBLE) AS lvl, CAST(COUNT(*) AS DOUBLE) AS len
+  FROM (
+    SELECT *, SUM(brk) OVER (PARTITION BY conv_id, as_of ORDER BY rn) AS run_id FROM erows
+  ) GROUP BY conv_id, as_of, run_id
+),
+rl AS (
+  SELECT conv_id, as_of,
+         AVG(1.0 / (len * len)) AS sre,
+         CAST(COUNT(*) AS DOUBLE) AS n_s
+  FROM runs GROUP BY conv_id, as_of
+),
+rle AS (
+  SELECT r.conv_id, r.as_of, -SUM((cc.c / r.n_s) * LOG2(cc.c / r.n_s)) AS rl_entr
+  FROM (
+    SELECT conv_id, as_of, lvl, len, CAST(COUNT(*) AS DOUBLE) AS c
+    FROM runs GROUP BY conv_id, as_of, lvl, len
+  ) cc JOIN rl r ON cc.conv_id = r.conv_id AND cc.as_of = r.as_of
+  GROUP BY r.conv_id, r.as_of
+),
+probes AS (
+  SELECT c.conv_id, g.as_of
+  FROM (SELECT DISTINCT conv_id FROM t) c CROSS JOIN {GRID} g(as_of)
+)
+SELECT pr.conv_id, CAST(epoch_us(pr.as_of) AS BIGINT) AS as_of_us,
+       COALESCE(nel.n, 0) AS n_turns,
+       COALESCE(nel.ne, 0) AS n_eligible,
+       {r6('CASE WHEN nel.ne >= 3 THEN st.mean END', 'stat_mean')},
+       {r6('CASE WHEN nel.ne >= 3 THEN st.energy END', 'stat_energy')},
+       {r6('CASE WHEN nel.ne >= 3 THEN hist.entropy END', 'ih_entropy')},
+       {r6('CASE WHEN nel.ne >= 3 THEN hist.mode END', 'ih_mode')},
+       {r6('CASE WHEN nel.ne >= 3 THEN sess.n_sessions END', 'shape_n_sessions')},
+       {r6('CASE WHEN nel.ne >= 3 THEN re.role_entropy END', 'shape_role_entropy')},
+       {r6('CASE WHEN nel.ne >= 3 THEN glcm.contrast END', 'cm_contrast')},
+       {r6('CASE WHEN nel.ne >= 3 THEN glcm.joint_entr END', 'cm_joint_entr')},
+       {r6('CASE WHEN nel.ne >= 3 THEN rl.sre END', 'rlm_sre')},
+       {r6('CASE WHEN nel.ne >= 3 THEN rle.rl_entr END', 'rlm_rl_entr')}
+FROM probes pr
+LEFT JOIN nel ON pr.conv_id = nel.conv_id AND pr.as_of = nel.as_of
+LEFT JOIN st ON pr.conv_id = st.conv_id AND pr.as_of = st.as_of
+LEFT JOIN hist ON pr.conv_id = hist.conv_id AND pr.as_of = hist.as_of
+LEFT JOIN sess ON pr.conv_id = sess.conv_id AND pr.as_of = sess.as_of
+LEFT JOIN re ON pr.conv_id = re.conv_id AND pr.as_of = re.as_of
+LEFT JOIN glcm ON pr.conv_id = glcm.conv_id AND pr.as_of = glcm.as_of
+LEFT JOIN rl ON pr.conv_id = rl.conv_id AND pr.as_of = rl.as_of
+LEFT JOIN rle ON pr.conv_id = rle.conv_id AND pr.as_of = rle.as_of
+"""
 
 # distributed texture variants share the single-path oracles exactly
 ORACLES["q_glcm_dist"] = ORACLES["q_glcm"]

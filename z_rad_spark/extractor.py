@@ -231,12 +231,18 @@ def _make_kernel(cfg: FeatureConfig, cutoffs_us: list[int], columns: list[str]):
             for cut in cutoffs_us:
                 hi = s + int(np.searchsorted(t_slice, cut, side="right"))
                 row = {"conv_id": conv_id, "as_of": np.datetime64(cut, "us")}
-                row.update(
-                    compute_one(
-                        ts_us[s:hi], signal[s:hi], eligible[s:hi],
-                        role_codes[s:hi], tool_mask[s:hi], cfg,
+                try:
+                    row.update(
+                        compute_one(
+                            ts_us[s:hi], signal[s:hi], eligible[s:hi],
+                            role_codes[s:hi], tool_mask[s:hi], cfg,
+                        )
                     )
-                )
+                except Exception:
+                    # per-entity error isolation (rad_tab.py:109-112 skip &
+                    # log analogue): one bad conversation must not fail the
+                    # task at 10^8-entity scale — emit a null feature row
+                    row.update({"n_turns": int(hi - s)})
                 rows.append(row)
         return pd.DataFrame(rows, columns=columns)
 
