@@ -39,6 +39,8 @@ def _prep_conv(pdf, cutoff_us, cfg):
         masked = [m if (not math.isnan(m)) and lo <= s <= hi else float("nan") for m, s in zip(masked, signal)]
     if cfg.outlier_sigma:
         vals = [m for m in masked if not math.isnan(m)]
+        if not vals:
+            return ts_us, signal, eligible, masked, masked, orc.sessionize_oracle(list(ts_us), cfg.gap_seconds)
         mu = sum(vals) / len(vals)
         sd = math.sqrt(sum((v - mu) ** 2 for v in vals) / len(vals))
         masked = [
@@ -73,8 +75,15 @@ def _oracle_row(pdf, cutoff_us, cfg):
     for lag in cfg.lags:
         m = orc.glcm_matrix_oracle(grey, lag)
         msum = m if msum is None else [[a + b for a, b in zip(r1, r2)] for r1, r2 in zip(msum, m)]
-    gl = orc.glcm_features_oracle(msum)
-    out.update({f"{k}_3D_comb": v for k, v in gl.items()})
+    if sum(sum(r) for r in msum) == 0:
+        # no valid pair at any lag (holes isolate every eligible turn):
+        # the kernel emits NaN for the whole family
+        from z_rad_spark.kernels.texture import GLCM_NAMES
+
+        out.update({f"{k}_3D_comb": float("nan") for k in GLCM_NAMES})
+    else:
+        gl = orc.glcm_features_oracle(msum)
+        out.update({f"{k}_3D_comb": v for k, v in gl.items()})
 
     runs = orc.runs_oracle(grey, [0] * len(grey))
     width = max(r[1] for r in runs)
@@ -145,3 +154,46 @@ def test_extractor_output_cardinality(spark, synth_pdf):
     # (with null features) only if they have ANY turn <= max cutoff
     assert got.count() <= n_convs * len(CUTOFFS)
     assert got.filter("conv_id is null").count() == 0
+
+
+# IBSI config-matrix analogue (reference tests/test_ibsi_1.py:187-367:
+# configs A-E are distinct preprocessing recipes): each recipe exercises a
+# different reseg/discretization/eligibility combination end-to-end.
+CONFIG_MATRIX = {
+    "A": dict(eligible_roles=("user", "assistant"), n_bins=6),
+    "B": dict(intensity_range=(2.0, 8.0), bin_size=2.0),
+    "C": dict(outlier_sigma=2.5, n_bins=4),
+    "D": dict(intensity_range=(1.0, 7.0), outlier_sigma=2.0, bin_size=1.0),
+    "E": dict(min_turns=5),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CONFIG_MATRIX))
+def test_extractor_config_matrix(spark, name):
+    kw = CONFIG_MATRIX[name]
+    cfg = FeatureConfig(
+        families=("stats", "hist", "glcm", "glrlm", "ngtdm", "ngldm"),
+        aggr_dim="3D",
+        aggr_method="MERG",
+        **kw,
+    )
+    pdf = synth_transcripts_pdf(n_convs=5, mean_turns=25, seed=31)
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+    got = extract_features(df, cfg, CUTOFFS).toPandas().set_index(["conv_id", "as_of"]).sort_index()
+    checked = 0
+    for conv_id, cpdf in pdf.groupby("conv_id"):
+        for cut in CUTOFFS:
+            cut_us = int(np.datetime64(cut, "us").astype(np.int64))
+            want = _oracle_row(cpdf, cut_us, cfg)
+            row = got.loc[(conv_id, pd.Timestamp(cut))]
+            if want is None:
+                assert math.isnan(row["stat_mean"]), (name, conv_id, cut)
+                continue
+            for k, v in want.items():
+                gv = row[k]
+                if isinstance(v, float) and math.isnan(v):
+                    assert math.isnan(gv), (name, k)
+                else:
+                    assert gv == pytest.approx(v, rel=1e-9, abs=1e-12), (name, conv_id, cut, k)
+                checked += 1
+    assert checked > 300, (name, checked)
