@@ -175,12 +175,19 @@ def compute_one(
     if "glcm" in fam:
         vals = texture.glcm_features(grey, sessions, None, cfg.lags, sw, sm, *args)
         out.update({f"{k}_{cm_sfx}": v for k, v in vals.items()})
+    zone_vals = None
+    if "glrlm" in fam or "glszm" in fam:
+        # one run decomposition serves both: 1-D zones == runs and the
+        # voxel normalizer is identical (direction multiplicity 1), so
+        # GLSZM values equal GLRLM's under different names — asserted by
+        # tests/test_aggregations.py::test_glszm_equals_glrlm_matrix_in_1d
+        zone_vals = texture.glrlm_features(grey, sessions, eligible, cfg.aggr_dim, sw, sm)
     if "glrlm" in fam:
-        vals = texture.glrlm_features(grey, sessions, eligible, cfg.aggr_dim, sw, sm)
-        out.update({f"{k}_{cm_sfx}": v for k, v in vals.items()})
+        out.update({f"{k}_{cm_sfx}": v for k, v in zone_vals.items()})
     if "glszm" in fam:
-        vals = texture.glszm_features(grey, sessions, eligible, cfg.aggr_dim, sw, sm)
-        out.update({f"{k}_{d_sfx}": v for k, v in vals.items()})
+        out.update(
+            {f"{n}_{d_sfx}": v for n, v in zip(texture.GLSZM_NAMES, zone_vals.values())}
+        )
     if "gldzm" in fam:
         vals = texture.gldzm_features(grey, sessions, eligible, cfg.aggr_dim, sw, sm)
         out.update({f"{k}_{d_sfx}": v for k, v in vals.items()})

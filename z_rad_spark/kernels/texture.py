@@ -351,37 +351,42 @@ def matrix_feature_values(M: np.ndarray, voxel_count: float, include_energy: boo
     n_s = float(M.sum())
     if n_s == 0 or voxel_count == 0:
         return {n: np.nan for n in names}
-    i, j = np.indices(M.shape)
-    jl = (j + 1).astype(np.float64)
-    i_f = i.astype(np.float64)
-    nzi = i != 0
-
-    row = M.sum(axis=1)
-    col = M.sum(axis=0)
-    mu_i = float(np.sum(M * i_f / n_s))
-    mu_j = float(np.sum(M * j / n_s))
-    nzm = M != 0
+    # iterate nonzero cells only (matrices are sparse: <= one cell per
+    # distinct (level, length) pair); zero cells contribute 0 to every sum
+    ii, jj = np.nonzero(M)
+    cs = M[ii, jj]
+    i_f = ii.astype(np.float64)
+    jl = (jj + 1).astype(np.float64)
+    j_f = jj.astype(np.float64)
+    p = cs / n_s
+    i2 = i_f * i_f
+    jl2 = jl * jl
+    nzi = ii != 0
+    row2 = M.sum(axis=1)
+    col2 = M.sum(axis=0)
+    mu_i = float((p * i_f).sum())
+    mu_j = float((p * j_f).sum())
 
     out = {
-        "short_runs_emphasis": float(np.sum(M / jl**2) / n_s),
-        "long_runs_emphasis": float(np.sum(M * jl**2) / n_s),
-        "low_grey_level_run_emphasis": float(np.sum(M[nzi] / i_f[nzi] ** 2) / n_s),
-        "high_gr_lvl_emphasis": float(np.sum(M * i_f**2) / n_s),
-        "short_low_gr_lvl_emphasis": float(np.sum(M[nzi] / i_f[nzi] ** 2 / jl[nzi] ** 2) / n_s),
-        "short_high_gr_lvl_emphasis": float(np.sum(i_f**2 * M / jl**2) / n_s),
-        "long_low_gr_lvl_emphasis": float(np.sum(M[nzi] * jl[nzi] ** 2 / i_f[nzi] ** 2) / n_s),
-        "long_high_gr_lvl_emphasis": float(np.sum(M * jl**2 * i_f**2) / n_s),
-        "non_uniformity": float(np.sum(row**2) / n_s),
-        "norm_non_uniformity": float(np.sum(row**2) / n_s**2),
-        "length_non_uniformity": float(np.sum(col**2) / n_s),
-        "norm_length_non_uniformity": float(np.sum(col**2) / n_s**2),
+        "short_runs_emphasis": float((cs / jl2).sum() / n_s),
+        "long_runs_emphasis": float((cs * jl2).sum() / n_s),
+        "low_grey_level_run_emphasis": float((cs[nzi] / i2[nzi]).sum() / n_s),
+        "high_gr_lvl_emphasis": float((cs * i2).sum() / n_s),
+        "short_low_gr_lvl_emphasis": float((cs[nzi] / i2[nzi] / jl2[nzi]).sum() / n_s),
+        "short_high_gr_lvl_emphasis": float((i2 * cs / jl2).sum() / n_s),
+        "long_low_gr_lvl_emphasis": float((cs[nzi] * jl2[nzi] / i2[nzi]).sum() / n_s),
+        "long_high_gr_lvl_emphasis": float((cs * jl2 * i2).sum() / n_s),
+        "non_uniformity": float((row2 * row2).sum() / n_s),
+        "norm_non_uniformity": float((row2 * row2).sum() / n_s**2),
+        "length_non_uniformity": float((col2 * col2).sum() / n_s),
+        "norm_length_non_uniformity": float((col2 * col2).sum() / n_s**2),
         "percentage": float(n_s / voxel_count),
-        "gr_lvl_var": float(np.sum((i_f - mu_i) ** 2 * (M / n_s))),
-        "length_var": float(np.sum((j - mu_j) ** 2 * (M / n_s))),
-        "entropy": float(-np.sum((M[nzm] / n_s) * np.log2(M[nzm] / n_s))),
+        "gr_lvl_var": float(((i_f - mu_i) ** 2 * p).sum()),
+        "length_var": float(((j_f - mu_j) ** 2 * p).sum()),
+        "entropy": float(-(p * np.log2(p)).sum()),
     }
     if include_energy:
-        out["energy"] = float(np.sum((M[nzm] / n_s) ** 2))
+        out["energy"] = float((p * p).sum())
     return out
 
 
