@@ -104,3 +104,41 @@ def test_fbn_is_per_cutoff_not_global(spark):
     full = _feats(spark, pdf2, [cut])
     trunc = _feats(spark, pdf2.iloc[:30].reset_index(drop=True), [cut])
     pd.testing.assert_frame_equal(full, trunc, check_exact=True)
+
+
+def test_declarative_paths_zero_leakage(spark, pdf):
+    """The pure-JVM plans (as-of state, declarative stats/hist) must also
+    never read past the cutoff: poisoning post-cutoff turns leaves their
+    outputs bit-identical."""
+    from z_rad_spark.operators import firstorder_sql
+    from z_rad_spark.operators.asof import asof_state
+    from z_rad_spark.transcripts import with_signal
+
+    cutoffs = [CUT]
+
+    def run_all(frame):
+        df = with_signal(spark.createDataFrame(frame, schema=TRANSCRIPT_SCHEMA))
+        outs = {}
+        outs["asof"] = (
+            asof_state(df, spark, cutoffs, ["signal", "turn_idx"])
+            .toPandas().sort_values(["conv_id", "as_of"]).reset_index(drop=True)
+        )
+        outs["stats"] = (
+            firstorder_sql.stats_asof(df, spark, cutoffs)
+            .toPandas().sort_values(["conv_id", "as_of"]).reset_index(drop=True)
+        )
+        outs["hist"] = (
+            firstorder_sql.hist_asof(df, spark, cutoffs, 6)
+            .toPandas().sort_values(["conv_id", "as_of"]).reset_index(drop=True)
+        )
+        return outs
+
+    base = run_all(pdf)
+    poisoned = pdf.copy()
+    after = poisoned["ts"] > np.datetime64(CUT)
+    assert after.any()
+    poisoned.loc[after, "text"] = "POISON " * 99
+    poisoned.loc[after, "role"] = "system"
+    got = run_all(poisoned)
+    for k in base:
+        pd.testing.assert_frame_equal(base[k], got[k], check_exact=True)
