@@ -78,6 +78,11 @@ t = e._t(spark, {sf_dir!r})
 big = t.withColumn(
     "_r", F.explode(F.array(*[F.lit(i) for i in range({SCALING_REPL})]))
 ).withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_"), F.col("_r"))).drop("_r")
+# cache the materialized input: the measured job is the ENGINE (exchange +
+# kernel + aggregate) over an existing transcripts table, not the synthetic
+# derivation pipeline; the cache is already partitioned, so the scan side
+# stays parallel at both levels
+big = big.persist()
 n_turns = big.count()
 cfg = FeatureConfig(eligible_roles=("user", "assistant", "tool"), gap_seconds={GAP_SECONDS})
 q = extract_features(big, cfg, {CUTOFFS!r})
