@@ -253,6 +253,24 @@ def q_dedup_turns(spark, sf_dir):
     return t.unionByName(t).dropDuplicates(["conv_id", "turn_idx"])
 
 
+def q_json_props(spark, sf_dir):
+    """Semi-structured ingest: extract a JSON field from event metadata and
+    aggregate it per entity (get_json_object, JVM-side)."""
+    from z_rad_spark.operators.text import with_json_field
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = with_json_field(ev, "props", "$.k", "k")
+    return _r6(
+        ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+            F.count("k").cast("long").alias("n_k"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.avg("k").alias("k_avg"),
+            F.max("k").cast("long").alias("k_max"),
+        ),
+        ["k_avg"],
+    )
+
+
 def q_rollup(spark, sf_dir):
     t = _t(spark, sf_dir)
     return _r6(
@@ -549,6 +567,35 @@ def q_glcm_25d_merg(spark, sf_dir):
     out = extract_features(_t(spark, sf_dir), cfg, [END])
     sel = [F.col(f"{c}_2_5D_comb").alias(c) for c in _GLCM_COLS]
     return _r6(out.select("conv_id", *sel), _GLCM_COLS)
+
+
+def _q_glcm_variant(spark, sf_dir, aggr_dim, aggr_method, lags, suffix, **kw):
+    cfg = FeatureConfig(
+        families=("glcm",), aggr_dim=aggr_dim, aggr_method=aggr_method, lags=lags,
+        gap_seconds=GAP_SECONDS, min_turns=1, **kw,
+    )
+    out = extract_features(_t(spark, sf_dir), cfg, [END])
+    sel = [F.col(f"{c}_{suffix}").alias(c) for c in _GLCM_COLS]
+    return _r6(out.select("conv_id", *sel), _GLCM_COLS)
+
+
+def q_glcm_3d_aver(spark, sf_dir):
+    """3D AVER over the lag set {1,2,3}: features per lag-direction matrix,
+    plain NaN-propagating mean (glcm.py:497-502)."""
+    return _q_glcm_variant(spark, sf_dir, "3D", "AVER", (1, 2, 3), "3D_avg")
+
+
+def q_glcm_2d_slice_merg(spark, sf_dir):
+    """2D SLICE_MERG, lags {1,2}: per session, matrices summed over
+    directions BEFORE normalizing, features per session, mean
+    (glcm.py:458-477)."""
+    return _q_glcm_variant(spark, sf_dir, "2D", "SLICE_MERG", (1, 2), "2D_comb")
+
+
+def q_glcm_25d_dirmerg(spark, sf_dir):
+    """2.5D DIR_MERG, lags {1,2}: matrices summed over sessions per
+    direction, features per direction, mean (glcm.py:486-495)."""
+    return _q_glcm_variant(spark, sf_dir, "2.5D", "DIR_MERG", (1, 2), "2_5D_avg")
 
 
 def q_glcm_salted(spark, sf_dir):
@@ -948,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mask_union": q_mask_union,
         "q_dedup_turns": q_dedup_turns,
         "q_rollup": q_rollup,
+        "q_json_props": q_json_props,
         "q_stats_asof": q_stats_asof,
         "q_hist_asof": q_hist_asof,
         "q_glcm": q_glcm,
@@ -961,6 +1009,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_glcm_2d_avg": q_glcm_2d_avg,
         "q_glcm_2d_wavg": q_glcm_2d_wavg,
         "q_glcm_25d_merg": q_glcm_25d_merg,
+        "q_glcm_3d_aver": q_glcm_3d_aver,
+        "q_glcm_2d_slice_merg": q_glcm_2d_slice_merg,
+        "q_glcm_25d_dirmerg": q_glcm_25d_dirmerg,
         "q_glcm_salted": q_glcm_salted,
         "q_glrlm_salted": q_glrlm_salted,
         "q_ngldm_salted": q_ngldm_salted,

@@ -208,6 +208,16 @@ WITH t AS ({T})
 SELECT DISTINCT conv_id, turn_idx, text FROM t
 """
 
+ORACLES["q_json_props"] = f"""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(k) AS BIGINT) AS n_k,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       {r6('AVG(k)', 'k_avg')},
+       CAST(MAX(k) AS BIGINT) AS k_max
+FROM (SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY user_id
+"""
+
 ORACLES["q_rollup"] = f"""
 WITH t AS ({T})
 SELECT role, CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
@@ -388,26 +398,42 @@ _GLCM_FEATS = [
 ]
 
 
-def _glcm_sql(per_session: bool, merge_sessions: bool = False, weighted: bool = False) -> str:
-    """GLCM feature SQL in three aggregation modes (lag 1):
+def _glcm_sql(
+    lags=(1,),
+    session_bounded: bool = False,
+    per_session_matrix: bool = False,
+    per_lag_matrix: bool = False,
+    weighted: bool = False,
+) -> str:
+    """GLCM feature SQL covering the full aggregation-strategy matrix
+    (reference glcm.py:437-509 semantics; lag set = "directions"):
 
-    * per_session=False                 — whole-conversation pairs (3D MERG)
-    * per_session=True                  — per-session matrices, features per
-      matrix, NaN-propagating mean (2D AVER)
-    * per_session=True, merge_sessions  — pairs bounded by session borders
-      but matrices summed across sessions BEFORE normalizing (2.5D MERG)
+    * matrix grouping key = conv_id (+ sid if per_session_matrix)
+      (+ lag if per_lag_matrix) — "merge" sums pair counts across any key
+      NOT in the group BEFORE normalizing; "average" computes features per
+      matrix then (weighted) NaN-propagating-means them per conversation
+    * session_bounded — pairs may not cross session borders (2D/2.5D)
+    * 3D MERG = defaults; 3D AVER = per_lag; 2D AVER = session_bounded +
+      per_session (+ per_lag when multi-lag); 2D SLICE_MERG =
+      session_bounded + per_session; 2.5D MERG = session_bounded;
+      2.5D DIR_MERG = session_bounded + per_lag
 
     All share the exact formula CTEs; only pair extraction and the matrix
     grouping key differ. The grey-level normalizers (gmax = conversation-
     level max, matching lvl in the kernel) stay conversation-level in all."""
-    keys = ["conv_id", "sid"] if (per_session and not merge_sessions) else ["conv_id"]
-    pair_keys = ["conv_id", "sid"] if per_session else ["conv_id"]
+    keys = ["conv_id"]
+    if per_session_matrix:
+        keys.append("sid")
+    if per_lag_matrix:
+        keys.append("lag")
+    pair_keys = ["conv_id", "sid"] if session_bounded else ["conv_id"]
     K = ", ".join(keys)
+    averaged = keys != ["conv_id"]
 
     def on(a, b):
         return " AND ".join(f"{a}.{k} = {b}.{k}" for k in keys)
 
-    if per_session or merge_sessions:
+    if session_bounded:
         ordg = f"""
 g0 AS (
   SELECT conv_id, CAST(signal AS INT) AS g, ts, turn_idx,
@@ -430,13 +456,17 @@ ordg AS (
 ),"""
 
     PK = ", ".join(pair_keys)
+    lag_selects = "\n  UNION ALL\n".join(
+        f"  SELECT {PK}, {k} AS lag, g AS a,"
+        f" LEAD(g, {k}) OVER (PARTITION BY {PK} ORDER BY rn) AS b FROM ordg"
+        for k in lags
+    )
     body = f"""
 WITH t AS ({T}),
 {ordg}
 vox AS (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS vc, MAX(CAST(signal AS INT)) AS gmax FROM t GROUP BY conv_id),
 pairs0 AS (
-  SELECT {PK}, g AS a, LEAD(g) OVER (PARTITION BY {PK} ORDER BY rn) AS b
-  FROM ordg
+{lag_selects}
 ),
 pairs AS (
   SELECT {K}, a, b FROM pairs0 WHERE b IS NOT NULL
@@ -539,9 +569,9 @@ feat AS (
   JOIN hxy1 h1 ON {on('b', 'h1')}
   JOIN hxy2 h2 ON {on('b', 'h2')}
 )"""
-    if keys == ["conv_id"]:
+    if not averaged:
         sel = ",\n       ".join(r6(name, name) for name, _ in _GLCM_FEATS)
-        if not per_session:
+        if not session_bounded:
             return f"{body}\nSELECT conv_id,\n       {sel}\nFROM feat"
         # session-bounded pairs: a conversation of singleton sessions has
         # no pairs at all — the kernel still emits an all-NULL row for it
@@ -551,11 +581,12 @@ feat AS (
             f"SELECT convs.conv_id,\n       {sel_null}\n"
             f"FROM convs LEFT JOIN feat USING (conv_id)"
         )
-    # 2D AVER: (weighted) mean over session matrices, NaN-propagating like
-    # np.average over dicts containing NaN (kernels/texture.py _agg_dicts);
-    # conversations with no pair-bearing session still emit an all-NULL row.
-    # Weighted: session turn count / conversation turn count, normalized by
-    # the sum of participating weights exactly like np.average.
+    # averaged methods: features per matrix, then a (weighted) mean per
+    # conversation, NaN-propagating like np.average over dicts containing
+    # NaN (kernels/texture.py _agg_dicts); conversations with no
+    # pair-bearing matrix still emit an all-NULL row. Weighted: session
+    # turn count / conversation turn count, normalized by the sum of
+    # participating weights exactly like np.average.
     if weighted:
         agg = "CASE WHEN COUNT(*) <> COUNT({n}) THEN NULL ELSE SUM({n} * fw.w) / SUM(fw.w) END"
     else:
@@ -586,10 +617,13 @@ def Kq(tbl: str, keys: list) -> str:
     return ", ".join(f"{tbl}.{k}" for k in keys)
 
 
-ORACLES["q_glcm"] = _glcm_sql(per_session=False)
-ORACLES["q_glcm_2d_avg"] = _glcm_sql(per_session=True)
-ORACLES["q_glcm_25d_merg"] = _glcm_sql(per_session=True, merge_sessions=True)
-ORACLES["q_glcm_2d_wavg"] = _glcm_sql(per_session=True, weighted=True)
+ORACLES["q_glcm"] = _glcm_sql()
+ORACLES["q_glcm_2d_avg"] = _glcm_sql(session_bounded=True, per_session_matrix=True)
+ORACLES["q_glcm_25d_merg"] = _glcm_sql(session_bounded=True)
+ORACLES["q_glcm_2d_wavg"] = _glcm_sql(session_bounded=True, per_session_matrix=True, weighted=True)
+ORACLES["q_glcm_3d_aver"] = _glcm_sql(lags=(1, 2, 3), per_lag_matrix=True)
+ORACLES["q_glcm_2d_slice_merg"] = _glcm_sql(lags=(1, 2), session_bounded=True, per_session_matrix=True)
+ORACLES["q_glcm_25d_dirmerg"] = _glcm_sql(lags=(1, 2), session_bounded=True, per_lag_matrix=True)
 
 # shared gaps-and-islands run decomposition (keeps start/end positions for
 # the distance-zone family); runs == zones in 1-D

@@ -10,6 +10,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+def with_json_field(
+    df: DataFrame, json_col: str, path: str, out: str, cast: str = "long"
+) -> DataFrame:
+    """Extract one field from a JSON string column (JVM get_json_object —
+    semi-structured ingest for pipeline metadata like events.props)."""
+    return df.withColumn(out, F.get_json_object(F.col(json_col), path).cast(cast))
+
 # tiny deterministic stopword lists for the n-gram/stopword language
 # heuristic (rule-based on purpose: reproducible in any SQL engine)
 _LANG_MARKERS = {
