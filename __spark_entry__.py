@@ -608,6 +608,37 @@ def q_glcm_salted(spark, sf_dir):
     return _r6(out.select("conv_id", *_GLCM_COLS), _GLCM_COLS)
 
 
+_RLM_COLS = [
+    "rlm_sre", "rlm_lre", "rlm_lgre", "rlm_hgre", "rlm_srlge", "rlm_srhge",
+    "rlm_lrlge", "rlm_lrhge", "rlm_glnu", "rlm_glnu_norm", "rlm_rlnu",
+    "rlm_rlnu_norm", "rlm_r_perc", "rlm_gl_var", "rlm_rl_var", "rlm_rl_entr",
+]
+
+
+def q_glrlm_25d(spark, sf_dir):
+    """GLRLM 2.5D MERG: runs bounded by session borders, counts pooled
+    across sessions before the formulas."""
+    cfg = FeatureConfig(
+        families=("glrlm",), aggr_dim="2.5D", aggr_method="MERG",
+        gap_seconds=GAP_SECONDS, min_turns=1,
+    )
+    out = extract_features(_t(spark, sf_dir), cfg, [END])
+    sel = [F.col(f"{c}_2_5D_comb").alias(c) for c in _RLM_COLS]
+    return _r6(out.select("conv_id", *sel), _RLM_COLS)
+
+
+def q_glrlm_2d_avg(spark, sf_dir):
+    """GLRLM 2D AVER: 16 formulas per session (voxel count = session
+    size), plain mean across sessions."""
+    cfg = FeatureConfig(
+        families=("glrlm",), aggr_dim="2D", aggr_method="AVER",
+        gap_seconds=GAP_SECONDS, min_turns=1,
+    )
+    out = extract_features(_t(spark, sf_dir), cfg, [END])
+    sel = [F.col(f"{c}_2D_avg").alias(c) for c in _RLM_COLS]
+    return _r6(out.select("conv_id", *sel), _RLM_COLS)
+
+
 def q_glrlm_salted(spark, sf_dir):
     """Skew path for run-lengths: distributed RLE with cross-bucket run
     merge — exact (same oracle as q_glrlm); turns_per_bucket=16 forces
@@ -1014,6 +1045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_glcm_25d_dirmerg": q_glcm_25d_dirmerg,
         "q_glcm_salted": q_glcm_salted,
         "q_glrlm_salted": q_glrlm_salted,
+        "q_glrlm_25d": q_glrlm_25d,
+        "q_glrlm_2d_avg": q_glrlm_2d_avg,
         "q_ngldm_salted": q_ngldm_salted,
         "q_reseg_stats": q_reseg_stats,
         "q_fbs_hist": q_fbs_hist,

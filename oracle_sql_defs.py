@@ -717,6 +717,103 @@ JOIN entr e ON s.conv_id = e.conv_id
 """
 
 
+def _runs16_session_sql(names: list[str], merge: bool) -> str:
+    """Run-family SQL with session-bounded runs (runs break at gap
+    boundaries like slices): merge=True pools run counts across sessions
+    before the formulas (2.5D MERG); merge=False computes the 16 formulas
+    per session (voxel count = session size) then means them per
+    conversation (2D AVER, kernels/texture.py _zone_family)."""
+    K = "conv_id" if merge else "conv_id, sid"
+    vc = "v.vc" if merge else "sz.sn"
+    sql = f"""
+WITH t AS ({T}),
+g0 AS (
+  SELECT conv_id, CAST(signal AS INT) AS g, ts, turn_idx,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                   > {GAP} * 1000000 THEN 1 ELSE 0 END AS brk_s
+  FROM t
+),
+ord2 AS (
+  SELECT conv_id, g,
+         SUM(brk_s) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS sid,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
+  FROM g0
+),
+vox AS (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS vc FROM t GROUP BY conv_id),
+ssz AS (SELECT conv_id, sid, CAST(COUNT(*) AS DOUBLE) AS sn FROM ord2 GROUP BY conv_id, sid),
+marked AS (
+  SELECT conv_id, sid, g, rn,
+         CASE WHEN LAG(g) OVER w IS DISTINCT FROM g
+                   OR LAG(sid) OVER w IS DISTINCT FROM sid THEN 1 ELSE 0 END AS brk
+  FROM ord2 WINDOW w AS (PARTITION BY conv_id ORDER BY rn)
+),
+runs AS (
+  SELECT conv_id, MIN(sid) AS sid, CAST(MIN(g) AS DOUBLE) AS lvl,
+         CAST(COUNT(*) AS DOUBLE) AS jl
+  FROM (SELECT *, SUM(brk) OVER (PARTITION BY conv_id ORDER BY rn) AS run_id FROM marked)
+  GROUP BY conv_id, run_id
+),
+ns AS (SELECT {K}, CAST(COUNT(*) AS DOUBLE) AS n_s,
+              AVG(lvl) AS mu_i, AVG(jl - 1) AS mu_j FROM runs GROUP BY {K}),
+simple AS (
+  SELECT {K},
+         AVG(1.0 / (jl * jl)) AS sre,
+         AVG(jl * jl) AS lre,
+         AVG(1.0 / (lvl * lvl)) AS lgre,
+         AVG(lvl * lvl) AS hgre,
+         AVG(1.0 / (lvl * lvl * jl * jl)) AS srlge,
+         AVG(lvl * lvl / (jl * jl)) AS srhge,
+         AVG(jl * jl / (lvl * lvl)) AS lrlge,
+         AVG(lvl * lvl * jl * jl) AS lrhge,
+         AVG(POW(lvl - mu_i, 2)) AS gl_var,
+         AVG(POW((jl - 1) - mu_j, 2)) AS rl_var
+  FROM runs JOIN ns USING ({K}) GROUP BY {K}
+),
+glnu AS (
+  SELECT {K}, SUM(c * c) AS v FROM (
+    SELECT {K}, lvl, CAST(COUNT(*) AS DOUBLE) AS c FROM runs GROUP BY {K}, lvl
+  ) GROUP BY {K}
+),
+rlnu AS (
+  SELECT {K}, SUM(c * c) AS v FROM (
+    SELECT {K}, jl, CAST(COUNT(*) AS DOUBLE) AS c FROM runs GROUP BY {K}, jl
+  ) GROUP BY {K}
+),
+entr AS (
+  SELECT {K}, -SUM((c / n_s) * LOG2(c / n_s)) AS v FROM (
+    SELECT {K}, lvl, jl, CAST(COUNT(*) AS DOUBLE) AS c FROM runs GROUP BY {K}, lvl, jl
+  ) JOIN ns USING ({K}) GROUP BY {K}
+),
+feat AS (
+  SELECT {', '.join('s.' + k for k in K.split(', '))},
+         s.sre, s.lre, s.lgre, s.hgre, s.srlge, s.srhge, s.lrlge, s.lrhge,
+         g.v / n.n_s AS glnu_v, g.v / (n.n_s * n.n_s) AS glnu_n,
+         rl.v / n.n_s AS rlnu_v, rl.v / (n.n_s * n.n_s) AS rlnu_n,
+         n.n_s / {vc} AS perc, s.gl_var, s.rl_var, e.v AS entr_v
+  FROM simple s
+  JOIN ns n USING ({K})
+  JOIN glnu g USING ({K})
+  JOIN rlnu rl USING ({K})
+  JOIN entr e USING ({K})
+  JOIN vox v ON s.conv_id = v.conv_id
+  {'JOIN ssz sz ON s.conv_id = sz.conv_id AND s.sid = sz.sid' if not merge else ''}
+)
+"""
+    raw = ["sre", "lre", "lgre", "hgre", "srlge", "srhge", "lrlge", "lrhge",
+           "glnu_v", "glnu_n", "rlnu_v", "rlnu_n", "perc", "gl_var", "rl_var", "entr_v"]
+    if merge:
+        sel = ",\n       ".join(r6(rc, n) for rc, n in zip(raw, names))
+        return sql + f"SELECT conv_id,\n       {sel}\nFROM feat"
+    sel = ",\n       ".join(r6(f"AVG({rc})", n) for rc, n in zip(raw, names))
+    return sql + f"SELECT conv_id,\n       {sel}\nFROM feat GROUP BY conv_id"
+
+
+_RLM16 = ["rlm_sre", "rlm_lre", "rlm_lgre", "rlm_hgre", "rlm_srlge", "rlm_srhge",
+          "rlm_lrlge", "rlm_lrhge", "rlm_glnu", "rlm_glnu_norm", "rlm_rlnu",
+          "rlm_rlnu_norm", "rlm_r_perc", "rlm_gl_var", "rlm_rl_var", "rlm_rl_entr"]
+ORACLES["q_glrlm_25d"] = _runs16_session_sql(_RLM16, merge=True)
+ORACLES["q_glrlm_2d_avg"] = _runs16_session_sql(_RLM16, merge=False)
+
 ORACLES["q_glrlm"] = _runs16_sql(
     ["rlm_sre", "rlm_lre", "rlm_lgre", "rlm_hgre", "rlm_srlge", "rlm_srhge",
      "rlm_lrlge", "rlm_lrhge", "rlm_glnu", "rlm_glnu_norm", "rlm_rlnu",
