@@ -909,6 +909,15 @@ def q_minhash_pairs(spark, sf_dir):
     ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup clustering: LSH pairs -> connected components (iterative
+    min-label propagation; oracle = recursive-CTE transitive closure)."""
+    from z_rad_spark.operators.dedup import dup_clusters
+
+    out = dup_clusters(_docs(spark, sf_dir), n=3, n_hashes=8, band_size=4, max_bucket=64)
+    return out.select(F.col("doc_id").cast("long"), F.col("cluster_id").cast("long"))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     out = ngram_jaccard(_docs(spark, sf_dir), n=3, threshold=0.5)
     return _r6(
@@ -1070,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_full": q_extract_full,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_pairs": q_minhash_pairs,
+        "q_dup_clusters": q_dup_clusters,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash": q_simhash,
         "q_text_quality": q_text_quality,

@@ -1025,6 +1025,26 @@ FROM small a JOIN small b USING (band, band_key)
 WHERE a.doc_id < b.doc_id
 """
 
+# transitive closure of the candidate pairs (recursive CTE), then
+# cluster id = min reachable id — the oracle for min-label propagation
+ORACLES["q_dup_clusters"] = f"""
+WITH RECURSIVE pairs AS (
+  {{PAIRS}}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach (id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+""".replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip())
+
 ORACLES["q_ngram_jaccard"] = f"""
 WITH {_SHINGLES3},
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS n_sh FROM sh GROUP BY doc_id),

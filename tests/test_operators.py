@@ -249,3 +249,45 @@ def test_salted_runs_and_deps_exact(spark, tdf):
             .toPandas().sort_values(["conv_id", "lvl", "dep"]).reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(c, d, check_exact=True)
+
+
+def test_connected_components_vs_bruteforce(spark):
+    from z_rad_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(12)
+    edges = set()
+    for _ in range(60):
+        a, b = int(rng.integers(0, 40)), int(rng.integers(0, 40))
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(
+        pd.DataFrame(sorted(edges), columns=["id_a", "id_b"])
+    )
+    got = connected_components(pairs).toPandas().set_index("id")["cluster_id"].to_dict()
+
+    # brute-force union-find
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for a, b in edges:
+        for n in (a, b):
+            want[n] = find(n)
+    # normalize: representative = min member of component
+    comp = {}
+    for n, r in want.items():
+        comp.setdefault(find(r), []).append(n)
+    expect = {}
+    for r, members in comp.items():
+        m = min(members + [r])
+        for n in members:
+            expect[n] = m
+    assert got == expect

@@ -133,6 +133,69 @@ def minhash_lsh_pairs(
     return pairs.select("id_a", "id_b").distinct()
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components over a candidate-pair edge list by iterative
+    min-label propagation: each node repeatedly adopts the smallest label
+    in its neighbourhood until a fixpoint (<= diameter iterations, O(log n)
+    with the symmetric edge set in practice).
+
+    The loop is driver-side but each step is one co-partitioned join +
+    aggregate over the EDGE list (small: LSH candidates, not the corpus);
+    localCheckpoint truncates the lineage so plans stay flat. Output:
+    (id, cluster_id = min id in the component) for every node in an edge.
+    """
+    sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    for _ in range(max_iter):
+        nb_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels["id"] == nb_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def dup_clusters(
+    docs: DataFrame,
+    n: int = 3,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-duplicate clusters: MinHash-LSH candidate pairs -> connected
+    components -> (doc_id, cluster_id = min doc id in the cluster)."""
+    pairs = minhash_lsh_pairs(docs, n, n_hashes, band_size, text_col, id_col, max_bucket)
+    return connected_components(pairs).select(
+        F.col("id").alias(id_col), "cluster_id"
+    )
+
+
 def ngram_jaccard(
     docs: DataFrame,
     pairs: DataFrame | None = None,
