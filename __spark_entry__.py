@@ -932,6 +932,39 @@ def q_simhash(spark, sf_dir):
     )
 
 
+def q_hash_sample(spark, sf_dir):
+    """Reproducible 30% corpus sample via salted-md5 threshold."""
+    from z_rad_spark.operators.dedup import hash_sample
+
+    out = hash_sample(_docs(spark, sf_dir), rate=0.3, salt="s1")
+    return out.select(F.col("doc_id").cast("long"))
+
+
+def q_corpus_clean(spark, sf_dir):
+    """Composed cleaning pipeline: exact-dedup representative ∩ quality
+    thresholds ∩ language filter — the shape of a real pretraining-corpus
+    cleaning pass, as one declarative plan."""
+    from z_rad_spark.operators.dedup import exact_dedup
+
+    docs = _docs(spark, sf_dir)
+    q = with_quality(docs)
+    lang = with_lang_id(docs).select("doc_id", "lang_pred")
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    toks = with_token_counts(docs).select("doc_id", "n_tokens_ws")
+    out = (
+        q.join(keep, "doc_id")
+        .join(lang, "doc_id")
+        .join(toks, "doc_id")
+        .where(
+            (F.col("n_tokens_ws") >= 5)
+            & (F.col("stopword_ratio") >= 0.05)
+            & (F.col("lang_pred") != "und")
+        )
+        .select(F.col("doc_id").cast("long"), "lang_pred")
+    )
+    return out
+
+
 def q_text_quality(spark, sf_dir):
     out = with_quality(_docs(spark, sf_dir))
     return out.select(
@@ -1083,6 +1116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash": q_simhash,
         "q_text_quality": q_text_quality,
+        "q_hash_sample": q_hash_sample,
+        "q_corpus_clean": q_corpus_clean,
         "q_lang_id": q_lang_id,
         "q_token_stats": q_token_stats,
         "q_fingerprint": q_fingerprint,

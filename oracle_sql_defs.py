@@ -1081,6 +1081,45 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM votes GROUP BY doc_id
 """
 
+_SAMPLE_THR = format(int(0.3 * 16**8), "08x")
+ORACLES["q_hash_sample"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id
+FROM documents
+WHERE substr(md5('s1|' || CAST(doc_id AS STRING)), 1, 8) < '{_SAMPLE_THR}'
+"""
+
+ORACLES["q_corpus_clean"] = f"""
+WITH sw AS (
+  SELECT doc_id,
+         CAST(len(list_filter({TOKS_RAW}, x -> x IN ({_STOPWORDS}))) AS DOUBLE)
+           / GREATEST(len({TOKS_RAW}), 1) AS stopword_ratio,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens_ws
+  FROM documents
+),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+              WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+              WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+              WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM (
+    SELECT doc_id,
+           len(list_filter({TOKS_RAW}, x -> x IN ('der','die','und','nicht','ist'))) AS s_de,
+           len(list_filter({TOKS_RAW}, x -> x IN ('the','and','of','to','is'))) AS s_en,
+           len(list_filter({TOKS_RAW}, x -> x IN ('el','la','que','de','es'))) AS s_es,
+           len(list_filter({TOKS_RAW}, x -> x IN ('le','la','et','les','est'))) AS s_fr
+    FROM documents
+  )
+),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({NORM_DOC}))
+SELECT CAST(sw.doc_id AS BIGINT) AS doc_id, lang.lang_pred
+FROM sw
+JOIN keep ON sw.doc_id = keep.doc_id
+JOIN lang ON sw.doc_id = lang.doc_id
+WHERE sw.n_tokens_ws >= 5 AND sw.stopword_ratio >= 0.05 AND lang.lang_pred <> 'und'
+"""
+
 ORACLES["q_text_quality"] = f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_q,

@@ -133,6 +133,21 @@ def minhash_lsh_pairs(
     return pairs.select("id_a", "id_b").distinct()
 
 
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id", salt: str = "s1"
+) -> DataFrame:
+    """Deterministic hash sampling: keep rows whose salted-md5 prefix falls
+    below the rate threshold. Engine-portable (hex-string compare; no RNG,
+    no engine-specific hash), stable across runs/partitions — the right
+    sampling primitive for reproducible corpus subsets and train/val
+    splits at 100 TB (a different salt gives an independent sample)."""
+    thr = format(int(rate * 16**8), "08x")
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(key_col).cast("string"))), 1, 8
+    )
+    return df.where(h < F.lit(thr))
+
+
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
 ) -> DataFrame:
