@@ -22,15 +22,21 @@ GAP_SECONDS = 1800.0
 
 HEADLINE = [
     "q_extract_full",
+    "q_flagship_slice",
     "q_stats_asof",
     "q_hist_asof",
     "q_glcm",
+    "q_glrlm_dist",
     "q_asof_state",
+    "q_asof_enrich",
     "q_sessionize",
     "q_backfill_nn",
     "q_minhash_pairs",
+    "q_dup_clusters",
     "q_cosine_topk",
+    "q_ivf_topk",
     "q_dedup_exact",
+    "q_corpus_clean",
 ]
 
 
