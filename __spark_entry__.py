@@ -145,6 +145,44 @@ def q_lag_lead(spark, sf_dir):
     )
 
 
+def q_rolling_1h(spark, sf_dir):
+    """Trailing 1-hour RANGE-frame aggregates per turn (time-keyed window,
+    no self-join)."""
+    from z_rad_spark.operators.sessionize import with_rolling_time_window
+
+    out = with_rolling_time_window(_t(spark, sf_dir), 3600.0)
+    return _r6(
+        out.select(
+            "conv_id",
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            "roll_sum",
+            "roll_n",
+            "roll_mean",
+        ),
+        ["roll_sum", "roll_mean"],
+    )
+
+
+def q_decay_sum(spark, sf_dir):
+    """Exponentially time-decayed activity (tau = 1h): one stateful O(n)
+    pass per conversation in the Arrow kernel; the oracle is the O(n^2)
+    closed form."""
+    from z_rad_spark.operators.sessionize import with_time_decay_sum
+
+    out = with_time_decay_sum(_t(spark, sf_dir), 3600.0)
+    return _r6(out.select("conv_id", "turn_idx", "decay_sum"), ["decay_sum"])
+
+
+def q_vocab(spark, sf_dir):
+    """Per-conversation vocabulary size: explode + exact distinct count."""
+    t = _t(spark, sf_dir)
+    toks = t.select("conv_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    return toks.groupBy("conv_id").agg(
+        F.countDistinct("tok").cast("long").alias("n_vocab"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )
+
+
 def q_asof_state(spark, sf_dir):
     out = asof_state(_t(spark, sf_dir), spark, CUTOFFS, ["signal", "role", "turn_idx"])
     return out.select(
@@ -1058,6 +1096,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_transcripts": q_transcripts,
         "q_sessionize": q_sessionize,
         "q_lag_lead": q_lag_lead,
+        "q_rolling_1h": q_rolling_1h,
+        "q_decay_sum": q_decay_sum,
+        "q_vocab": q_vocab,
         "q_asof_state": q_asof_state,
         "q_asof_enrich": q_asof_enrich,
         "q_backfill_nn": q_backfill_nn,

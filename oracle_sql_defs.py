@@ -90,6 +90,39 @@ FROM t
 WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
 """
 
+ORACLES["q_rolling_1h"] = f"""
+WITH t AS ({T})
+SELECT conv_id, turn_idx,
+       {r6('SUM(signal) OVER w', 'roll_sum')},
+       CAST(COUNT(signal) OVER w AS BIGINT) AS roll_n,
+       {r6('(SUM(signal) OVER w) / (COUNT(signal) OVER w)', 'roll_mean')}
+FROM t
+WINDOW w AS (PARTITION BY conv_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["q_decay_sum"] = f"""
+WITH t AS ({T}),
+o AS (
+  SELECT conv_id, turn_idx, signal, CAST(epoch_us(ts) AS DOUBLE) AS tu,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
+  FROM t
+)
+SELECT a.conv_id, a.turn_idx,
+       {r6('SUM(b.signal * EXP(-(a.tu - b.tu) / 3600000000.0))', 'decay_sum')}
+FROM o a JOIN o b ON a.conv_id = b.conv_id AND b.rn <= a.rn
+GROUP BY a.conv_id, a.turn_idx
+"""
+
+ORACLES["q_vocab"] = f"""
+WITH t AS ({T})
+SELECT conv_id,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_vocab,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM (SELECT conv_id, UNNEST(string_split(text, ' ')) AS tok FROM t)
+GROUP BY conv_id
+"""
+
 ORACLES["q_asof_state"] = f"""
 WITH t AS ({T}),
 convs AS (SELECT DISTINCT conv_id FROM t),

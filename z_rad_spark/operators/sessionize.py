@@ -51,6 +51,84 @@ def with_lag_lead(df: DataFrame, cols: list[str], offsets: tuple = (1,)) -> Data
     return df
 
 
+def with_rolling_time_window(
+    df: DataFrame, window_seconds: float, signal_col: str = "signal"
+) -> DataFrame:
+    """Trailing time-range window aggregates per turn: sum/count/mean of
+    the signal over [ts - window_seconds, ts] within the conversation —
+    a RANGE frame keyed on the microsecond axis (one exchange + one sort,
+    streaming frame evaluation; no self-join)."""
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    df = df.withColumn("_ts_us", ts_us)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("_ts_us")
+        .rangeBetween(-int(window_seconds * 1_000_000), 0)
+    )
+    df = (
+        df.withColumn("roll_sum", F.sum(signal_col).over(w))
+        .withColumn("roll_n", F.count(signal_col).over(w).cast("long"))
+        .withColumn("roll_mean", F.col("roll_sum") / F.col("roll_n"))
+    )
+    return df.drop("_ts_us")
+
+
+def with_time_decay_sum(
+    df: DataFrame, tau_seconds: float, signal_col: str = "signal", out: str = "decay_sum"
+) -> DataFrame:
+    """Exponentially time-decayed activity: for each turn i,
+    sum_{j<=i} exp(-(t_i - t_j)/tau) * x_j — the classic feature-store
+    recency feature. Naive form is O(n^2); here it is ONE forward pass per
+    conversation via the recurrence s_i = x_i + s_{i-1} * exp(-dt/tau),
+    inside the bucketed Arrow kernel (stateful scans do not exist as Spark
+    window functions)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField(out, T.DoubleType(), True),
+        ]
+    )
+    tau_us = tau_seconds * 1e6
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(pdf["conv_id"].to_numpy())
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        turn = pdf["turn_idx"].to_numpy(dtype=np.int64)
+        order = np.lexsort((turn, ts_us, codes))
+        codes, ts_us, turn = codes[order], ts_us[order], turn[order]
+        x = pdf[signal_col].to_numpy(dtype=np.float64)[order]
+        conv = pdf["conv_id"].to_numpy()[order]
+        s = np.empty_like(x)
+        prev_code = -1
+        prev_s = 0.0
+        prev_t = 0
+        for i in range(x.size):
+            if codes[i] != prev_code:
+                prev_s = x[i]
+            else:
+                prev_s = x[i] + prev_s * np.exp(-(ts_us[i] - prev_t) / tau_us)
+            s[i] = prev_s
+            prev_code = codes[i]
+            prev_t = ts_us[i]
+        return pd.DataFrame(
+            {"conv_id": conv, "turn_idx": turn.astype("int32"), out: s}
+        )
+
+    spark = df.sparkSession
+    n_parts = max(2 * spark.sparkContext.defaultParallelism, 8)
+    bucketed = df.select("conv_id", "turn_idx", "ts", signal_col).withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_parts)).cast("int")
+    )
+    return bucketed.repartition(n_parts, "bucket").groupBy("bucket").applyInPandas(
+        kernel, schema=schema
+    )
+
+
 def session_stats(df: DataFrame, gap_seconds: float) -> DataFrame:
     """Per-session aggregate block: bounds, turn count, mean signal.
 
