@@ -478,6 +478,37 @@ def q_ngtdm(spark, sf_dir):
     return _r6(out.select("conv_id", *sel), cols)
 
 
+def q_ngldm_25d(spark, sf_dir):
+    """NGLDM 2.5D: dependence counts within gap sessions, matrices summed
+    across sessions before the formulas."""
+    cols = [
+        "ngl_lde", "ngl_hde", "ngl_lgce", "ngl_hgce", "ngl_ldlge",
+        "ngl_ldhge", "ngl_hdlge", "ngl_hdhge", "ngl_glnu", "ngl_glnu_norm",
+        "ngl_dcnu", "ngl_dcnu_norm", "ngl_dc_perc", "ngl_gl_var",
+        "ngl_dc_var", "ngl_dc_entr", "ngl_dc_energy",
+    ]
+    cfg = FeatureConfig(
+        families=("ngldm",), aggr_dim="2.5D", aggr_method="MERG",
+        gap_seconds=GAP_SECONDS, min_turns=1,
+    )
+    out = extract_features(_t(spark, sf_dir), cfg, [END])
+    sel = [F.col(f"{c}_2_5D").alias(c) for c in cols]
+    return _r6(out.select("conv_id", *sel), cols)
+
+
+def q_ngtdm_25d(spark, sf_dir):
+    """NGTDM 2.5D: neighbourhoods bounded by gap sessions, [n_i, s_i]
+    matrices summed across sessions."""
+    cols = ["ngt_coarseness", "ngt_contrast", "ngt_busyness", "ngt_complexity", "ngt_strength"]
+    cfg = FeatureConfig(
+        families=("ngtdm",), aggr_dim="2.5D", aggr_method="MERG",
+        gap_seconds=GAP_SECONDS, min_turns=1,
+    )
+    out = extract_features(_t(spark, sf_dir), cfg, [END])
+    sel = [F.col(f"{c}_2_5D").alias(c) for c in cols]
+    return _r6(out.select("conv_id", *sel), cols)
+
+
 _SHAPE_COLS = [
     "shape_n_turns",
     "shape_duration_sec",
@@ -1142,6 +1173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gldzm_dist": q_gldzm_dist,
         "q_ngtdm_dist": q_ngtdm_dist,
         "q_ngtdm_salted": q_ngtdm_salted,
+        "q_ngldm_25d": q_ngldm_25d,
+        "q_ngtdm_25d": q_ngtdm_25d,
         "q_local_peaks": q_local_peaks,
         "q_filter_mean": q_filter_mean,
         "q_filter_log": q_filter_log,

@@ -874,15 +874,39 @@ ORACLES["q_gldzm"] = _runs16_sql(
     ),
 )
 
-ORACLES["q_ngldm"] = f"""
+def _ngldm_sql(session_bounded: bool = False) -> str:
+    """NGLDM SQL; session_bounded computes dependence counts within gap
+    sessions (2.5D: per-session matrices summed before the formulas)."""
+    if session_bounded:
+        src = f"""
+g0 AS (
+  SELECT conv_id, CAST(signal AS INT) AS g, ts, turn_idx,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                   > {GAP} * 1000000 THEN 1 ELSE 0 END AS brk
+  FROM t
+),
+ord2 AS (
+  SELECT conv_id, g,
+         SUM(brk) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS sid,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
+  FROM g0
+),
+vox AS (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS vc, MAX(CAST(signal AS INT)) AS gmax FROM t GROUP BY conv_id)"""
+        win = "PARTITION BY conv_id, sid ORDER BY rn"
+        ord_name = "ord2"
+    else:
+        src = _ORD
+        win = "PARTITION BY conv_id ORDER BY rn"
+        ord_name = "ord"
+    return f"""
 WITH t AS ({T}),
-{_ORD},
+{src},
 deps AS (
   SELECT conv_id, CAST(g AS DOUBLE) AS lvl,
          CAST(CASE WHEN LAG(g) OVER w = g THEN 1 ELSE 0 END
             + CASE WHEN LEAD(g) OVER w = g THEN 1 ELSE 0 END AS DOUBLE) AS dep
-  FROM ord
-  WINDOW w AS (PARTITION BY conv_id ORDER BY rn)
+  FROM {ord_name}
+  WINDOW w AS ({win})
 ),
 ns AS (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS n_s,
               AVG(lvl) AS mu_i, AVG(dep) AS mu_j FROM deps GROUP BY conv_id),
@@ -937,16 +961,44 @@ JOIN dcnu dc ON s.conv_id = dc.conv_id
 JOIN entr e ON s.conv_id = e.conv_id
 """
 
-ORACLES["q_ngtdm"] = f"""
+
+ORACLES["q_ngldm"] = _ngldm_sql()
+ORACLES["q_ngldm_25d"] = _ngldm_sql(session_bounded=True)
+
+def _ngtdm_sql(session_bounded: bool = False) -> str:
+    """NGTDM SQL; session_bounded restricts the neighbourhood to the gap
+    session (2.5D: per-session [n_i, s_i] matrices summed)."""
+    if session_bounded:
+        src = f"""
+g0 AS (
+  SELECT conv_id, CAST(signal AS INT) AS g, ts, turn_idx,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                   > {GAP} * 1000000 THEN 1 ELSE 0 END AS brk
+  FROM t
+),
+ord2 AS (
+  SELECT conv_id, g,
+         SUM(brk) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS sid,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
+  FROM g0
+),
+vox AS (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS vc, MAX(CAST(signal AS INT)) AS gmax FROM t GROUP BY conv_id)"""
+        win = "PARTITION BY conv_id, sid ORDER BY rn"
+        ord_name = "ord2"
+    else:
+        src = _ORD
+        win = "PARTITION BY conv_id ORDER BY rn"
+        ord_name = "ord"
+    return f"""
 WITH t AS ({T}),
-{_ORD},
+{src},
 nbr AS (
   SELECT conv_id, g,
          COALESCE(CAST(LAG(g) OVER w AS DOUBLE), 0) + COALESCE(CAST(LEAD(g) OVER w AS DOUBLE), 0) AS nb_sum,
          (CASE WHEN LAG(g) OVER w IS NULL THEN 0 ELSE 1 END
         + CASE WHEN LEAD(g) OVER w IS NULL THEN 0 ELSE 1 END) AS nb_cnt
-  FROM ord
-  WINDOW w AS (PARTITION BY conv_id ORDER BY rn)
+  FROM {ord_name}
+  WINDOW w AS ({win})
 ),
 lvl AS (
   SELECT conv_id, CAST(g AS DOUBLE) AS i,
@@ -976,6 +1028,20 @@ SELECT t2.conv_id,
        {r6('(p.q_compl / t2.n) ', 'ngt_complexity')},
        {r6('CASE WHEN t2.s2 = 0 THEN 0.0 ELSE (p.q_strength / t2.n) / t2.s2 END', 'ngt_strength')}
 FROM tots t2 JOIN pairs p ON t2.conv_id = p.conv_id
+"""
+
+
+ORACLES["q_ngtdm"] = _ngtdm_sql()
+# session-bounded: a conversation whose sessions are all singletons has no
+# valid neighbourhood anywhere — the kernel still emits an all-NULL row
+ORACLES["q_ngtdm_25d"] = f"""
+WITH q AS (
+{_ngtdm_sql(session_bounded=True)}
+),
+convs AS (SELECT DISTINCT 'c' || CAST(user_id AS STRING) AS conv_id FROM events)
+SELECT convs.conv_id, q.ngt_coarseness, q.ngt_contrast, q.ngt_busyness,
+       q.ngt_complexity, q.ngt_strength
+FROM convs LEFT JOIN q USING (conv_id)
 """
 
 ORACLES["q_shape"] = f"""
