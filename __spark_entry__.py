@@ -372,6 +372,18 @@ _HIST_COLS = [
 ]
 
 
+DAILY_CUTOFFS = [f"2024-01-{d:02d} 00:00:00" for d in range(2, 31)]
+
+
+def q_stats_daily(spark, sf_dir):
+    """Production-shaped backfill sweep: the 18 statistics at a 29-day
+    daily cutoff grid (one pass, no per-cutoff rescans)."""
+    out = firstorder_sql.stats_asof(_t(spark, sf_dir), spark, DAILY_CUTOFFS)
+    return _r6(
+        out.select("conv_id", _us("as_of", "as_of_us"), "n_turns", *_STATS_COLS), _STATS_COLS
+    )
+
+
 def q_hist_asof(spark, sf_dir):
     out = firstorder_sql.hist_asof(_t(spark, sf_dir), spark, CUTOFFS, N_BINS)
     return _r6(out.select("conv_id", _us("as_of", "as_of_us"), *_HIST_COLS), _HIST_COLS)
@@ -1142,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup": q_rollup,
         "q_json_props": q_json_props,
         "q_stats_asof": q_stats_asof,
+        "q_stats_daily": q_stats_daily,
         "q_hist_asof": q_hist_asof,
         "q_glcm": q_glcm,
         "q_glrlm": q_glrlm,

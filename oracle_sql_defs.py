@@ -288,13 +288,13 @@ dev AS (
 tm AS (
   SELECT r.conv_id, r.as_of, AVG(x) AS tmean
   FROM rows_ r JOIN basic b USING (conv_id, as_of)
-  WHERE x >= b.p10 AND x <= b.p90
+  WHERE x >= b.p10 - 1e-9 AND x <= b.p90 + 1e-9
   GROUP BY r.conv_id, r.as_of
 ),
 rm AS (
   SELECT r.conv_id, r.as_of, AVG(ABS(x - m.tmean)) AS rmad
   FROM rows_ r JOIN basic b USING (conv_id, as_of) JOIN tm m USING (conv_id, as_of)
-  WHERE x >= b.p10 AND x <= b.p90
+  WHERE x >= b.p10 - 1e-9 AND x <= b.p90 + 1e-9
   GROUP BY r.conv_id, r.as_of
 )
 SELECT b.conv_id, CAST(epoch_us(b.as_of) AS BIGINT) AS as_of_us, b.n AS n_turns,
@@ -316,8 +316,16 @@ SELECT b.conv_id, CAST(epoch_us(b.as_of) AS BIGINT) AS as_of_us, b.n AS n_turns,
        {r6('CASE WHEN b.p75 + b.p25 = 0 THEN 1000000.0 ELSE (b.p75 - b.p25) / (b.p75 + b.p25) END', 'stat_qcod')},
        {r6('b.energy', 'stat_energy')},
        {r6('b.rms', 'stat_rms')}
-FROM basic b JOIN dev d USING (conv_id, as_of) JOIN rm USING (conv_id, as_of)
+FROM basic b JOIN dev d USING (conv_id, as_of) LEFT JOIN rm USING (conv_id, as_of)
 """
+
+# daily-grid sweep: same stats oracle over a 29-cutoff VALUES grid
+_GRID_DAILY = (
+    "(VALUES "
+    + ", ".join(f"(TIMESTAMP '2024-01-{d:02d} 00:00:00')" for d in range(2, 31))
+    + ")"
+)
+ORACLES["q_stats_daily"] = ORACLES["q_stats_asof"].replace(GRID, _GRID_DAILY)
 
 ORACLES["q_hist_asof"] = f"""
 WITH t AS ({T}),
@@ -1750,13 +1758,13 @@ dev AS (
 tm AS (
   SELECT r.conv_id, r.as_of, AVG(x) AS tmean
   FROM filt r JOIN basic b USING (conv_id, as_of)
-  WHERE x >= b.p10 AND x <= b.p90
+  WHERE x >= b.p10 - 1e-9 AND x <= b.p90 + 1e-9
   GROUP BY r.conv_id, r.as_of
 ),
 rm AS (
   SELECT r.conv_id, r.as_of, AVG(ABS(x - m.tmean)) AS rmad
   FROM filt r JOIN basic b USING (conv_id, as_of) JOIN tm m USING (conv_id, as_of)
-  WHERE x >= b.p10 AND x <= b.p90
+  WHERE x >= b.p10 - 1e-9 AND x <= b.p90 + 1e-9
   GROUP BY r.conv_id, r.as_of
 ),
 g_ AS (
@@ -1789,13 +1797,13 @@ hdev AS (
 htm AS (
   SELECT g.conv_id, g.as_of, AVG(grey) AS tmean
   FROM g_ g JOIN hb b USING (conv_id, as_of)
-  WHERE grey >= b.p10 AND grey <= b.p90
+  WHERE grey >= b.p10 - 1e-9 AND grey <= b.p90 + 1e-9
   GROUP BY g.conv_id, g.as_of
 ),
 hrm AS (
   SELECT g.conv_id, g.as_of, AVG(ABS(grey - m.tmean)) AS rmad
   FROM g_ g JOIN hb b USING (conv_id, as_of) JOIN htm m USING (conv_id, as_of)
-  WHERE grey >= b.p10 AND grey <= b.p90
+  WHERE grey >= b.p10 - 1e-9 AND grey <= b.p90 + 1e-9
   GROUP BY g.conv_id, g.as_of
 ),
 counts AS (
