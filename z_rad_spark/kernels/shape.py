@@ -38,7 +38,10 @@ def shape_features(ts_us, eligible, session, role_codes, tool_mask, masked_signa
     dur = float(ts_us[-1] - ts_us[0]) / 1e6
     gaps = np.diff(ts_us).astype(np.float64) / 1e6 if n > 1 else np.zeros(0)
     n_sessions = int(session[-1]) + 1 if n else 0
-    _, role_counts = np.unique(role_codes, return_counts=True)
+    # role codes are small non-negative ints (+ -1 for unknown): bincount
+    # beats np.unique's sort on every call
+    role_counts = np.bincount(role_codes + 1)
+    role_counts = role_counts[role_counts > 0]
     p = role_counts / role_counts.sum()
     role_entropy = float(-np.sum(p * np.log2(p)))
 

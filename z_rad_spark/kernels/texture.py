@@ -287,10 +287,26 @@ def glcm_features(g, session, sess_counts, lags, slice_weight, slice_median, agg
     total = int(finite.sum())
 
     if aggr_dim == "3D":
-        mats = [glcm_count_matrix(g, lag, lvl) for lag in lags]
         if aggr_method == "MERG":
-            P = _normalize(np.sum(mats, axis=0))
+            # merged matrix in ONE scatter-add: gather valid pair indices
+            # across all lags, add both symmetric directions at once
+            ai_all, bi_all = [], []
+            for lag in lags:
+                if g.size <= lag:
+                    continue
+                a, b = g[:-lag], g[lag:]
+                valid = ~np.isnan(a) & ~np.isnan(b)
+                if valid.any():
+                    ai_all.append(a[valid].astype(np.int64))
+                    bi_all.append(b[valid].astype(np.int64))
+            m = np.zeros((lvl, lvl), dtype=np.float64)
+            if ai_all:
+                ai = np.concatenate(ai_all)
+                bi = np.concatenate(bi_all)
+                np.add.at(m, (np.concatenate((ai, bi)), np.concatenate((bi, ai))), 1.0)
+            P = _normalize(m)
             return glcm_feature_values(P) if P is not None else {n: np.nan for n in GLCM_NAMES}
+        mats = [glcm_count_matrix(g, lag, lvl) for lag in lags]
         dicts = [glcm_feature_values(P) for P in map(_normalize, mats) if P is not None]
         return _agg_dicts(dicts, GLCM_NAMES)
 
