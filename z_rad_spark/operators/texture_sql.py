@@ -106,8 +106,11 @@ def _vox(df: DataFrame, signal_col: str = "signal") -> DataFrame:
 def _cells_to_features(cells: DataFrame, vox: DataFrame, kind: str) -> DataFrame:
     """Reduce per-conversation cell lists with the shared kernel formulas.
 
-    Input cardinality is <= lvl*width per conversation — tiny; the
-    grouped-map here exists only to reuse the exact reducer code."""
+    Input cardinality is <= lvl*width per conversation — tiny — so the
+    grouped map runs per hash BUCKET of conversations (one Arrow crossing
+    per bucket, numpy slicing per conversation inside), the same boundary
+    amortization as the extractor: a per-conversation grouped map at 10^8
+    entities is Python-boundary-bound, not compute-bound."""
     joined = cells.join(vox, "conv_id")
     if kind == "glcm":
         names = GLCM_NAMES
@@ -121,34 +124,45 @@ def _cells_to_features(cells: DataFrame, vox: DataFrame, kind: str) -> DataFrame
         [T.StructField("conv_id", T.StringType(), False)]
         + [T.StructField(n, T.DoubleType(), True) for n in names]
     )
+    columns = [f.name for f in schema.fields]
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        conv = pdf["conv_id"].iloc[0]
+    def one(pdf: pd.DataFrame) -> dict:
         vc = float(pdf["vc"].iloc[0])
         if kind == "glcm":
             lvl = int(pdf["gmax"].iloc[0]) + 1
             m = np.zeros((lvl, lvl))
             m[pdf["i"].to_numpy(), pdf["j"].to_numpy()] = pdf["c"].to_numpy()
-            vals = glcm_feature_values(m / m.sum())
-        elif kind in ("glrlm", "gldzm"):
+            return glcm_feature_values(m / m.sum())
+        if kind in ("glrlm", "gldzm"):
             lvl = int(pdf["gmax"].iloc[0]) + 1
             width = int(pdf["len"].max())
             m = np.zeros((lvl, width))
             m[pdf["lvl"].to_numpy(), pdf["len"].to_numpy() - 1] = pdf["c"].to_numpy()
             raw = matrix_feature_values(m, vc)
             out_names = GLRLM_NAMES if kind == "glrlm" else GLDZM_NAMES
-            vals = dict(zip(out_names, (raw[a] for a in TEXTURE_ATTRS)))
-        else:
-            lvl = int(pdf["gmax"].iloc[0]) + 1
-            m = np.zeros((lvl, 3))
-            m[pdf["lvl"].to_numpy(), pdf["dep"].to_numpy()] = pdf["c"].to_numpy()
-            raw = matrix_feature_values(m, vc, include_energy=True)
-            vals = dict(zip(NGLDM_NAMES, (raw[a] for a in NGLDM_ATTRS)))
-        row = {"conv_id": conv}
-        row.update(vals)
-        return pd.DataFrame([row], columns=[f.name for f in schema.fields])
+            return dict(zip(out_names, (raw[a] for a in TEXTURE_ATTRS)))
+        lvl = int(pdf["gmax"].iloc[0]) + 1
+        m = np.zeros((lvl, 3))
+        m[pdf["lvl"].to_numpy(), pdf["dep"].to_numpy()] = pdf["c"].to_numpy()
+        raw = matrix_feature_values(m, vc, include_energy=True)
+        return dict(zip(NGLDM_NAMES, (raw[a] for a in NGLDM_ATTRS)))
 
-    return joined.groupBy("conv_id").applyInPandas(kernel, schema=schema)
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for conv, grp in pdf.groupby("conv_id", sort=False):
+            row = {"conv_id": conv}
+            row.update(one(grp))
+            rows.append(row)
+        return pd.DataFrame(rows, columns=columns)
+
+    spark = joined.sparkSession
+    n_parts = max(2 * spark.sparkContext.defaultParallelism, 8)
+    bucketed = joined.withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_parts)).cast("int")
+    )
+    return bucketed.repartition(n_parts, "bucket").groupBy("bucket").applyInPandas(
+        kernel, schema=schema
+    )
 
 
 def glcm_cells_salted(
