@@ -1,0 +1,40 @@
+"""Integration test for the spark-submit entry point: fresh run, resumed
+run (all buckets skipped), and output readability."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_run_extract_cli_resume(tmp_path):
+    out_dir = str(tmp_path / "features")
+    cmd = [
+        sys.executable, "tools/run_extract.py",
+        "--input", "/root/testdata/sf0.001",
+        "--output", out_dir,
+        "--cutoffs", "2024-01-08 00:00:00", "2024-01-22 00:00:00",
+        "--families", "stats", "shape",
+        "--resume", "--buckets", "3", "--cores", "4",
+    ]
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=600, env=env, cwd="/root/repo")
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    m1 = json.loads([l for l in r1.stdout.splitlines() if l.startswith("{")][-1])
+    assert m1["run"]["computed"] == 3 and m1["run"]["skipped"] == 0
+    assert m1["run"]["rows_written"] > 0
+    assert m1["skew"]["n_convs"] > 0
+
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=600, env=env, cwd="/root/repo")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    m2 = json.loads([l for l in r2.stdout.splitlines() if l.startswith("{")][-1])
+    assert m2["run"]["computed"] == 0 and m2["run"]["skipped"] == 3
+
+    import pandas as pd
+    parts = [p for p in os.listdir(out_dir) if p.startswith("bucket=")]
+    assert len(parts) == 3
+    df = pd.concat(
+        pd.read_parquet(os.path.join(out_dir, p)) for p in parts
+    )
+    assert len(df) == m1["run"]["rows_written"]
+    assert "stat_mean" in df.columns and "shape_n_sessions" in df.columns
