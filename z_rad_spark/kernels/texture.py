@@ -184,73 +184,76 @@ def glcm_feature_values(P: np.ndarray) -> dict:
     """All 25 GLCM scalar reductions from a normalized probability matrix.
 
     Vectorized equivalents of zrad/radiomics/glcm.py:211-420 — including the
-    O(lvl^2) info-corr loops (glcm.py:252-281), replaced by outer products.
+    O(lvl^2) info-corr loops (glcm.py:252-281). Joint-matrix sums iterate
+    NONZERO cells only (P is sparse: <= one cell per observed pair value);
+    zero cells contribute 0 to every P-weighted sum.
     """
     lvl = P.shape[0]
-    i, j = np.indices(P.shape)
-    k_abs = np.abs(i - j).ravel()
-    k_sum = (i + j).ravel()
-    p_minus = np.bincount(k_abs, weights=P.ravel(), minlength=lvl)
-    p_plus = np.bincount(k_sum, weights=P.ravel(), minlength=2 * lvl - 1)
+    ii, jj = np.nonzero(P)
+    ps = P[ii, jj]
+    di = np.abs(ii - jj)
+    p_minus = np.bincount(di, weights=ps, minlength=lvl)
+    p_plus = np.bincount(ii + jj, weights=ps, minlength=2 * lvl - 1)
     km = np.arange(p_minus.size)
     kp = np.arange(p_plus.size)
 
-    joint_avg = float(np.sum(P * i))
-    diff_avg = float(np.sum(p_minus * km))
-    sum_avg = float(np.sum(p_plus * kp))
+    joint_avg = float((ps * ii).sum())
+    diff_avg = float((p_minus * km).sum())
+    sum_avg = float((p_plus * kp).sum())
 
-    nz = P > 0
-    joint_entr = float(-np.sum(P[nz] * np.log2(P[nz])))
+    joint_entr = float(-(ps * np.log2(ps)).sum())
     nzm = p_minus > 0
     nzp = p_plus > 0
 
-    p_i = P.sum(axis=0)
+    p_i = np.bincount(jj, weights=ps, minlength=lvl)
     idx = np.arange(lvl)
-    mu_i = float(np.sum(p_i * idx))
-    sigma_i2 = float(np.sum((idx - mu_i) ** 2 * p_i))
-    corr = np.nan if sigma_i2 == 0 else (float(np.sum(P * i * j)) - mu_i**2) / sigma_i2
+    mu_i = float((p_i * idx).sum())
+    sigma_i2 = float(((idx - mu_i) ** 2 * p_i).sum())
+    auto_corr = float((ps * ii * jj).sum())
+    corr = np.nan if sigma_i2 == 0 else (auto_corr - mu_i**2) / sigma_i2
 
     n_g = lvl - 1
     with np.errstate(divide="ignore", invalid="ignore"):
-        inv_diff_norm = np.nan if n_g == 0 else float(np.sum(P / (1 + np.abs(i - j) / n_g)))
-        inv_diff_mom_norm = np.nan if n_g == 0 else float(np.sum(p_minus / (1 + (km / n_g) ** 2)))
+        inv_diff_norm = np.nan if n_g == 0 else float((ps / (1 + di / n_g)).sum())
+        inv_diff_mom_norm = np.nan if n_g == 0 else float((p_minus / (1 + (km / n_g) ** 2)).sum())
 
-    # information correlations (vectorized glcm.py:252-281)
-    outer = np.outer(p_i, p_i)
-    onz = outer > 0
-    hx = float(-np.sum(p_i[p_i > 0] * np.log2(p_i[p_i > 0])))
-    log_outer = np.zeros_like(outer)
-    log_outer[onz] = np.log2(outer[onz])
-    hxy1 = float(-np.sum(P[onz] * log_outer[onz]))
-    hxy2 = float(-np.sum(outer[onz] * log_outer[onz]))
+    # information correlations (glcm.py:252-281): every nonzero cell has
+    # nonzero marginals, so hxy1 needs no masking; hxy2 runs on the
+    # compacted nonzero marginal vector
+    nzpi = p_i[p_i > 0]
+    hx = float(-(nzpi * np.log2(nzpi)).sum())
+    hxy1 = float(-(ps * np.log2(p_i[ii] * p_i[jj])).sum())
+    q = np.outer(nzpi, nzpi)
+    hxy2 = float(-(q * np.log2(q)).sum())
     info1 = np.nan if hx == 0 else (joint_entr - hxy1) / hx
     with np.errstate(invalid="ignore"):
         info2 = float(np.sqrt(1 - np.exp(-2 * (hxy2 - joint_entr))))
 
+    cdev = ii + jj - 2 * mu_i
     return {
-        "cm_joint_max": float(np.max(P)),
+        "cm_joint_max": float(ps.max()),
         "cm_joint_avg": joint_avg,
-        "cm_joint_var": float(np.sum(P * (i - joint_avg) ** 2)),
+        "cm_joint_var": float((ps * (ii - joint_avg) ** 2).sum()),
         "cm_joint_entr": joint_entr,
         "cm_diff_avg": diff_avg,
-        "cm_diff_var": float(np.sum(p_minus * (km - diff_avg) ** 2)),
-        "cm_diff_entr": float(-np.sum(p_minus[nzm] * np.log2(p_minus[nzm]))),
+        "cm_diff_var": float((p_minus * (km - diff_avg) ** 2).sum()),
+        "cm_diff_entr": float(-(p_minus[nzm] * np.log2(p_minus[nzm])).sum()),
         "cm_sum_avg": sum_avg,
-        "cm_sum_var": float(np.sum(p_plus * (kp - sum_avg) ** 2)),
-        "cm_sum_entr": float(-np.sum(p_plus[nzp] * np.log2(p_plus[nzp]))),
-        "cm_energy": float(np.sum(P * P)),
-        "cm_contrast": float(np.sum(P * (i - j) ** 2)),
-        "cm_dissimilarity": float(np.sum(P * np.abs(i - j))),
-        "cm_inv_diff": float(np.sum(P / (1 + np.abs(i - j)))),
+        "cm_sum_var": float((p_plus * (kp - sum_avg) ** 2).sum()),
+        "cm_sum_entr": float(-(p_plus[nzp] * np.log2(p_plus[nzp])).sum()),
+        "cm_energy": float((ps * ps).sum()),
+        "cm_contrast": float((ps * (ii - jj) ** 2).sum()),
+        "cm_dissimilarity": float((ps * di).sum()),
+        "cm_inv_diff": float((ps / (1 + di)).sum()),
         "cm_inv_diff_norm": inv_diff_norm,
-        "cm_inv_diff_mom": float(np.sum(p_minus / (1 + km**2))),
+        "cm_inv_diff_mom": float((p_minus / (1 + km**2)).sum()),
         "cm_inv_diff_mom_norm": inv_diff_mom_norm,
-        "cm_inv_var": float(np.sum(p_minus[1:] / km[1:] ** 2)) if lvl > 1 else 0.0,
+        "cm_inv_var": float((p_minus[1:] / km[1:] ** 2).sum()) if lvl > 1 else 0.0,
         "cm_corr": corr,
-        "cm_auto_corr": float(np.sum(P * i * j)),
-        "cm_clust_tend": float(np.sum((i + j - 2 * mu_i) ** 2 * P)),
-        "cm_clust_shade": float(np.sum((i + j - 2 * mu_i) ** 3 * P)),
-        "cm_clust_prom": float(np.sum((i + j - 2 * mu_i) ** 4 * P)),
+        "cm_auto_corr": auto_corr,
+        "cm_clust_tend": float((cdev**2 * ps).sum()),
+        "cm_clust_shade": float((cdev**3 * ps).sum()),
+        "cm_clust_prom": float((cdev**4 * ps).sum()),
         "cm_info_corr1": info1,
         "cm_info_corr2": info2,
     }
