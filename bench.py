@@ -72,13 +72,45 @@ def _flagship_throughput(cores: int, sf_dir: str) -> tuple[float, float]:
     import subprocess
 
     code = f"""
-import json, time, sys
+import json, os, time, sys
 sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
 from pyspark.sql import functions as F
 from z_rad_spark.session import get_spark
 from z_rad_spark.config import FeatureConfig
 from z_rad_spark.extractor import extract_features
 import __spark_entry__ as e
+
+CLK = os.sysconf("SC_CLK_TCK")
+
+def _tree_pids(root):
+    # walk /proc children links: covers the JVM and every (reused)
+    # pyspark worker daemon under it
+    pids, stack = [], [root]
+    while stack:
+        p = stack.pop()
+        pids.append(p)
+        try:
+            for tid in os.listdir(f"/proc/{{p}}/task"):
+                with open(f"/proc/{{p}}/task/{{tid}}/children") as f:
+                    stack += [int(c) for c in f.read().split()]
+        except OSError:
+            pass
+    return pids
+
+def cpu_tree_seconds():
+    # utime+stime of this process and all live descendants (JVM executor
+    # threads AND the Python kernel workers) — the actual compute consumed,
+    # which wall-clock on a noisy-neighbour VM is not
+    total = 0.0
+    for p in _tree_pids(os.getpid()):
+        try:
+            with open(f"/proc/{{p}}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            total += (int(parts[11]) + int(parts[12])) / CLK  # utime, stime
+        except OSError:
+            pass
+    return total
+
 spark = get_spark("bench_scaling", cores={cores})
 t = e._t(spark, {sf_dir!r})
 big = t.withColumn(
@@ -94,11 +126,16 @@ cfg = FeatureConfig(eligible_roles=("user", "assistant", "tool"), gap_seconds={G
 q = extract_features(big, cfg, {CUTOFFS!r})
 q.count()  # warm: plan + scan caches + python workers
 best = 1e18
+best_cpu = 0.0
 for _ in range(2):  # best-of-2 in-session; see interleaving in main()
+    c0 = cpu_tree_seconds()
     t0 = time.time()
     q.count()
-    best = min(best, time.time() - t0)
-print(json.dumps({{"sec": best, "turns": n_turns}}))
+    sec = time.time() - t0
+    cpu = cpu_tree_seconds() - c0
+    if sec < best:
+        best, best_cpu = sec, cpu
+print(json.dumps({{"sec": best, "cpu_sec": best_cpu, "turns": n_turns}}))
 spark.stop()
 """
     # Pin the process tree to exactly `cores` CPUs: an unpinned local[8]
@@ -112,7 +149,7 @@ spark.stop()
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     d = json.loads(line)
-    return d["sec"], d["turns"] / d["sec"]
+    return d["sec"], d["turns"] / d["sec"], d["cpu_sec"]
 
 
 def main():
@@ -150,13 +187,13 @@ def main():
         # interleave the two levels and keep the best of each: the sandbox
         # VM has minutes-scale noisy-neighbor drift, and alternating makes
         # it hit both levels symmetrically instead of skewing the ratio
-        best: dict[int, tuple[float, float]] = {}
+        best: dict[int, tuple[float, float, float]] = {}
         for _ in range(2):
             for c in (8, 32):
-                sec, thr = _flagship_throughput(c, SF_DIR)
+                sec, thr, cpu = _flagship_throughput(c, SF_DIR)
                 if c not in best or sec < best[c][0]:
-                    best[c] = (sec, thr)
-        (sec8, thr8), (sec32, thr32) = best[8], best[32]
+                    best[c] = (sec, thr, cpu)
+        (sec8, thr8, cpu8), (sec32, thr32, cpu32) = best[8], best[32]
         result["scaling"] = {
             "turns_per_sec_local8": round(thr8, 1),
             "turns_per_sec_local32": round(thr32, 1),
@@ -164,6 +201,17 @@ def main():
             "input_replication": SCALING_REPL,
             "sec_local8": round(sec8, 3),
             "sec_local32": round(sec32, 3),
+            # CPU-work evidence (process-tree utime+stime: JVM + python
+            # kernel workers). cpu_work_ratio ~= 1.0 means 4x parallelism
+            # adds NO extra compute — the plan itself is scale-invariant —
+            # so any wall-clock efficiency below 1.0 is contention/VM
+            # noise, not serialization. cpu_utilization = cpu_sec /
+            # (wall * cores): how busy the granted cores actually were.
+            "cpu_sec_local8": round(cpu8, 2),
+            "cpu_sec_local32": round(cpu32, 2),
+            "cpu_work_ratio_32_vs_8": round(cpu32 / cpu8, 3) if cpu8 else None,
+            "cpu_utilization_local8": round(cpu8 / (sec8 * 8), 3),
+            "cpu_utilization_local32": round(cpu32 / (sec32 * 32), 3),
         }
 
     print(json.dumps(result))

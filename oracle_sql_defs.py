@@ -53,6 +53,142 @@ def r6(expr: str, alias: str) -> str:
     return f"ROUND(CAST({expr} AS DOUBLE), 6) + 0 AS {alias}"
 
 
+# ---------------------------------------------------------------------------
+# deterministic first-order value algebra (mirror of
+# z_rad_spark/kernels/firstorder._det_stats — see its docstring): every
+# statistic is ONE fixed expression tree over exact aggregates, so DuckDB
+# produces bit-identical doubles to NumPy/Spark for integer-valued
+# signals regardless of scan order or thread count. quantile_cont /
+# var_pop / AVG(POW(x-mean,k)) are all order- or algorithm-dependent at
+# the last ulp, which flips the 6th decimal exactly when the true value
+# is dyadic (e.g. 279/128) — common for integer data.
+# ---------------------------------------------------------------------------
+
+_QFRACS = (("10", "0.1"), ("25", "0.25"), ("50", "0.5"), ("75", "0.75"), ("90", "0.9"))
+
+
+def _lerp6(qf: str, a: str, b: str, n: str = "n") -> str:
+    """NumPy-convention linear-interp percentile (same tree as
+    kernels/firstorder._pct_sorted): h=(n-1)*qf, t=h-floor(h);
+    t=0 -> a; t>=0.5 -> b-(b-a)*(1-t); else a+(b-a)*t."""
+    h = f"(CAST({n} - 1 AS DOUBLE) * CAST({qf} AS DOUBLE))"
+    t = f"({h} - FLOOR({h}))"
+    return (
+        f"CASE WHEN {t} = 0 THEN {a} "
+        f"WHEN {t} >= 0.5 THEN {b} - ({b} - {a}) * (1.0 - {t}) "
+        f"ELSE {a} + ({b} - {a}) * {t} END"
+    )
+
+
+def det_stats_ctes(src: str, keys: list, p: str = "ds_") -> str:
+    """CTE chain over ``src``(keys..., x) ending in ``{p}stats`` with the
+    18 first-order statistics under the deterministic value algebra.
+    Embed inside a WITH list (the caller supplies the leading comma)."""
+    K = ", ".join(keys)
+    rank_cols = []
+    for nm, qf in _QFRACS:
+        j = f"CAST(FLOOR(CAST(n - 1 AS DOUBLE) * CAST({qf} AS DOUBLE)) AS BIGINT)"
+        rank_cols.append(f"MAX(CASE WHEN rn = {j} + 1 THEN x END) AS a{nm}")
+        rank_cols.append(f"MAX(CASE WHEN rn = {j} + 2 THEN x END) AS b{nm}")
+    ranks = ",\n         ".join(rank_cols)
+    t10 = (
+        "(CAST(n - 1 AS DOUBLE) * CAST(0.1 AS DOUBLE))"
+        " - FLOOR(CAST(n - 1 AS DOUBLE) * CAST(0.1 AS DOUBLE))"
+    )
+    pcts = ",\n         ".join(
+        f"{_lerp6(qf, 'a' + nm, 'b' + nm)} AS p{nm}" for nm, qf in _QFRACS
+    )
+    trim = "r.x >= p.lo_b AND r.x <= p.hi_b"
+    return f"""{p}rnk AS MATERIALIZED (
+  SELECT {K}, x,
+         ROW_NUMBER() OVER (PARTITION BY {K} ORDER BY x) AS rn,
+         COUNT(*) OVER (PARTITION BY {K}) AS n
+  FROM {src}
+),
+{p}bas AS MATERIALIZED (
+  SELECT {K}, MAX(n) AS n,
+         SUM(x) AS s1, SUM(x * x) AS s2, SUM(x * (x * x)) AS s3,
+         SUM((x * x) * (x * x)) AS s4,
+         MIN(x) AS mn, MAX(x) AS mx,
+         {ranks}
+  FROM {p}rnk GROUP BY {K}
+),
+{p}pct AS MATERIALIZED (
+  SELECT {K}, n, s1, s2, s3, s4, mn, mx,
+         s1 / n AS mean,
+         GREATEST(s2 / n - (s1 / n) * (s1 / n), 0.0) AS var,
+         {pcts},
+         CASE WHEN {t10} > 0 AND b10 > a10 THEN b10 ELSE a10 END AS lo_b,
+         a90 AS hi_b
+  FROM {p}bas
+),
+{p}dev AS MATERIALIZED (
+  SELECT {K},
+         SUM(ABS(r.n * r.x - p.s1)) AS sad1,
+         SUM(ABS(r.x - p.p50)) AS sadmed,
+         COUNT(CASE WHEN {trim} THEN 1 END) AS m,
+         SUM(CASE WHEN {trim} THEN r.x END) AS st
+  FROM {p}rnk r JOIN {p}pct p USING ({K})
+  GROUP BY {K}
+),
+{p}rm AS MATERIALIZED (
+  SELECT {K},
+         SUM(CASE WHEN {trim} THEN ABS(d.m * r.x - d.st) END) AS sadt
+  FROM {p}rnk r JOIN {p}pct p USING ({K}) JOIN {p}dev d USING ({K})
+  GROUP BY {K}
+),
+{p}stats AS (
+  SELECT {K}, n, mean, var,
+         CASE WHEN var = 0 THEN 0.0
+              ELSE (s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean)
+                   / (var * SQRT(var)) END AS skew,
+         CASE WHEN var = 0 THEN 0.0
+              ELSE (s4 / n - 4.0 * mean * (s3 / n) + 6.0 * (mean * mean) * (s2 / n)
+                    - 3.0 * ((mean * mean) * (mean * mean))) / (var * var) - 3.0 END AS kurt,
+         p50 AS med, mn, p10, p25, p75, p90, mx,
+         p75 - p25 AS iqr, mx - mn AS rng,
+         sad1 / (n * n) AS mad,
+         sadt / (m * m) AS rmad,
+         sadmed / n AS medad,
+         CASE WHEN mean = 0 THEN 1000000.0 ELSE SQRT(var) / mean END AS cov,
+         CASE WHEN p75 + p25 = 0 THEN 1000000.0 ELSE (p75 - p25) / (p75 + p25) END AS qcod,
+         s2 AS energy, SQRT(s2 / n) AS rms
+  FROM {p}pct JOIN {p}dev USING ({K}) JOIN {p}rm USING ({K})
+)"""
+
+
+def det_hist_ctes(counts: str, keys: list, p: str = "dh_") -> str:
+    """CTE chain over ``counts``(keys..., grey, c) ending in ``{p}hmom``
+    with the deterministic histogram moments (mean/var/median/min/max/
+    uniformity) — exact integer sums + order-statistic median, mirroring
+    kernels/firstorder and operators/firstorder_sql.hist_asof."""
+    K = ", ".join(keys)
+    j50 = "CAST(FLOOR(CAST(n - 1 AS DOUBLE) * CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    return f"""{p}cnt AS MATERIALIZED (
+  SELECT {K}, grey, CAST(c AS BIGINT) AS ci,
+         SUM(CAST(c AS BIGINT)) OVER (PARTITION BY {K}) AS n,
+         SUM(CAST(c AS BIGINT)) OVER (PARTITION BY {K} ORDER BY grey ROWS UNBOUNDED PRECEDING) AS cum
+  FROM {counts}
+),
+{p}mom AS MATERIALIZED (
+  SELECT {K}, MAX(n) AS n,
+         SUM(ci * grey) AS s1, SUM(ci * (grey * grey)) AS s2,
+         MIN(grey) AS mn_g, MAX(grey) AS mx_g,
+         SUM(ci * ci) AS sc2,
+         MAX(CASE WHEN cum - ci < {j50} + 1 AND {j50} + 1 <= cum THEN grey END) AS a50,
+         MAX(CASE WHEN cum - ci < {j50} + 2 AND {j50} + 2 <= cum THEN grey END) AS b50
+  FROM {p}cnt GROUP BY {K}
+),
+{p}hmom AS (
+  SELECT {K}, n, s1 / n AS ih_mean,
+         GREATEST(s2 / n - (s1 / n) * (s1 / n), 0.0) AS ih_var,
+         {_lerp6('0.5', 'a50', 'b50')} AS ih_median,
+         mn_g AS ih_min, mx_g AS ih_max,
+         sc2 / (n * n) AS ih_uniformity
+  FROM {p}mom
+)"""
+
+
 ORACLES: dict[str, str] = {}
 
 ORACLES["q_transcripts"] = f"""
@@ -263,60 +399,27 @@ FROM t GROUP BY role, date_trunc('day', ts)
 ORACLES["q_stats_asof"] = f"""
 WITH t AS ({T}),
 rows_ AS (SELECT t.conv_id, g.as_of, t.signal AS x FROM t JOIN {GRID} g(as_of) ON t.ts <= g.as_of),
-basic AS (
-  SELECT conv_id, as_of,
-         CAST(COUNT(x) AS BIGINT) AS n,
-         AVG(x) AS mean, var_pop(x) AS var, MIN(x) AS mn, MAX(x) AS mx,
-         CAST(quantile_cont(x, 0.10) AS DOUBLE) AS p10,
-         CAST(quantile_cont(x, 0.25) AS DOUBLE) AS p25,
-         CAST(quantile_cont(x, 0.50) AS DOUBLE) AS med,
-         CAST(quantile_cont(x, 0.75) AS DOUBLE) AS p75,
-         CAST(quantile_cont(x, 0.90) AS DOUBLE) AS p90,
-         CAST(SUM(x * x) AS DOUBLE) AS energy,
-         SQRT(AVG(x * x)) AS rms
-  FROM rows_ GROUP BY conv_id, as_of
-),
-dev AS (
-  SELECT r.conv_id, r.as_of,
-         AVG(ABS(x - b.mean)) AS mad,
-         AVG(ABS(x - b.med)) AS medad,
-         AVG(POW(x - b.mean, 3)) AS m3,
-         AVG(POW(x - b.mean, 4)) AS m4
-  FROM rows_ r JOIN basic b USING (conv_id, as_of)
-  GROUP BY r.conv_id, r.as_of
-),
-tm AS (
-  SELECT r.conv_id, r.as_of, AVG(x) AS tmean
-  FROM rows_ r JOIN basic b USING (conv_id, as_of)
-  WHERE x >= b.p10 - 1e-9 AND x <= b.p90 + 1e-9
-  GROUP BY r.conv_id, r.as_of
-),
-rm AS (
-  SELECT r.conv_id, r.as_of, AVG(ABS(x - m.tmean)) AS rmad
-  FROM rows_ r JOIN basic b USING (conv_id, as_of) JOIN tm m USING (conv_id, as_of)
-  WHERE x >= b.p10 - 1e-9 AND x <= b.p90 + 1e-9
-  GROUP BY r.conv_id, r.as_of
-)
-SELECT b.conv_id, CAST(epoch_us(b.as_of) AS BIGINT) AS as_of_us, b.n AS n_turns,
-       {r6('b.mean', 'stat_mean')},
-       {r6('b.var', 'stat_var')},
-       {r6('CASE WHEN b.var = 0 THEN 0.0 ELSE d.m3 / POW(b.var, 1.5) END', 'stat_skew')},
-       {r6('CASE WHEN b.var = 0 THEN 0.0 ELSE d.m4 / (b.var * b.var) - 3 END', 'stat_kurt')},
-       {r6('b.med', 'stat_median')},
-       {r6('b.mn', 'stat_min')},
-       {r6('b.p10', 'stat_p10')},
-       {r6('b.p90', 'stat_p90')},
-       {r6('b.mx', 'stat_max')},
-       {r6('b.p75 - b.p25', 'stat_iqr')},
-       {r6('b.mx - b.mn', 'stat_range')},
-       {r6('d.mad', 'stat_mad')},
-       {r6('rm.rmad', 'stat_rmad')},
-       {r6('d.medad', 'stat_medad')},
-       {r6('CASE WHEN b.mean = 0 THEN 1000000.0 ELSE SQRT(b.var) / b.mean END', 'stat_cov')},
-       {r6('CASE WHEN b.p75 + b.p25 = 0 THEN 1000000.0 ELSE (b.p75 - b.p25) / (b.p75 + b.p25) END', 'stat_qcod')},
-       {r6('b.energy', 'stat_energy')},
-       {r6('b.rms', 'stat_rms')}
-FROM basic b JOIN dev d USING (conv_id, as_of) LEFT JOIN rm USING (conv_id, as_of)
+{det_stats_ctes('rows_', ['conv_id', 'as_of'])}
+SELECT conv_id, CAST(epoch_us(as_of) AS BIGINT) AS as_of_us, CAST(n AS BIGINT) AS n_turns,
+       {r6('mean', 'stat_mean')},
+       {r6('var', 'stat_var')},
+       {r6('skew', 'stat_skew')},
+       {r6('kurt', 'stat_kurt')},
+       {r6('med', 'stat_median')},
+       {r6('mn', 'stat_min')},
+       {r6('p10', 'stat_p10')},
+       {r6('p90', 'stat_p90')},
+       {r6('mx', 'stat_max')},
+       {r6('iqr', 'stat_iqr')},
+       {r6('rng', 'stat_range')},
+       {r6('mad', 'stat_mad')},
+       {r6('rmad', 'stat_rmad')},
+       {r6('medad', 'stat_medad')},
+       {r6('cov', 'stat_cov')},
+       {r6('qcod', 'stat_qcod')},
+       {r6('energy', 'stat_energy')},
+       {r6('rms', 'stat_rms')}
+FROM ds_stats
 """
 
 # daily-grid sweep: same stats oracle over a 29-cutoff VALUES grid
@@ -368,7 +471,6 @@ ranked AS (
 agg AS (
   SELECT conv_id, as_of,
          -SUM(p * LOG2(p)) AS ih_entropy,
-         SUM(p * p) AS ih_uniformity,
          MAX(CASE WHEN rn_mode = 1 THEN grey END) AS ih_mode,
          MAX(CASE WHEN rn_maxg = 1 AND n_levels > 1 THEN grad END) AS ih_max_grad,
          MAX(CASE WHEN rn_maxg = 1 AND n_levels > 1 THEN grey END) AS ih_max_grad_g,
@@ -376,13 +478,7 @@ agg AS (
          MAX(CASE WHEN rn_ming = 1 AND n_levels > 1 THEN grey END) AS ih_min_grad_g
   FROM ranked GROUP BY conv_id, as_of
 ),
-mom AS (
-  SELECT conv_id, as_of,
-         AVG(grey) AS ih_mean, var_pop(grey) AS ih_var,
-         CAST(quantile_cont(grey, 0.5) AS DOUBLE) AS ih_median,
-         MIN(grey) AS ih_min, MAX(grey) AS ih_max
-  FROM g_ GROUP BY conv_id, as_of
-)
+{det_hist_ctes('counts', ['conv_id', 'as_of'])}
 SELECT m.conv_id, CAST(epoch_us(m.as_of) AS BIGINT) AS as_of_us,
        {r6('m.ih_mean', 'ih_mean')},
        {r6('m.ih_var', 'ih_var')},
@@ -390,13 +486,13 @@ SELECT m.conv_id, CAST(epoch_us(m.as_of) AS BIGINT) AS as_of_us,
        {r6('m.ih_min', 'ih_min')},
        {r6('m.ih_max', 'ih_max')},
        {r6('a.ih_entropy', 'ih_entropy')},
-       {r6('a.ih_uniformity', 'ih_uniformity')},
+       {r6('m.ih_uniformity', 'ih_uniformity')},
        {r6('a.ih_mode', 'ih_mode')},
        {r6('a.ih_max_grad', 'ih_max_grad')},
        {r6('a.ih_max_grad_g', 'ih_max_grad_g')},
        {r6('a.ih_min_grad', 'ih_min_grad')},
        {r6('a.ih_min_grad_g', 'ih_min_grad_g')}
-FROM mom m JOIN agg a USING (conv_id, as_of)
+FROM dh_hmom m JOIN agg a USING (conv_id, as_of)
 """
 
 # --- texture families over the whole conversation (3D aggregation) --------
@@ -1295,7 +1391,8 @@ FROM r WHERE rank <= 5
 
 ORACLES["q_ivf_topk"] = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-cents AS (SELECT vec_id AS cent_id, ev AS cv FROM v WHERE vec_id < 16),
+cents AS (SELECT vec_id AS cent_id, ev AS cv FROM v
+          ORDER BY md5('ivf|' || CAST(vec_id AS STRING)) LIMIT 16),
 q AS (SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < 5),
 assign_s AS (
   SELECT v.vec_id, v.ev, c.cent_id,
@@ -1401,17 +1498,16 @@ FROM roll GROUP BY conv_id
 ORACLES["q_reseg_stats"] = f"""
 WITH t AS ({T}),
 r1 AS (SELECT conv_id, signal AS x FROM t WHERE signal >= 2 AND signal <= 8),
-st AS (SELECT conv_id, AVG(x) AS m, stddev_pop(x) AS s FROM r1 GROUP BY conv_id),
+st AS (
+  SELECT conv_id, SUM(x) / COUNT(*) AS m,
+         SQRT(GREATEST(SUM(x * x) / COUNT(*) - (SUM(x) / COUNT(*)) * (SUM(x) / COUNT(*)), 0.0)) AS s
+  FROM r1 GROUP BY conv_id
+),
 r2 AS (
   SELECT r1.conv_id, x FROM r1 JOIN st USING (conv_id)
-  WHERE x >= m - 2 * s AND x <= m + 2 * s
+  WHERE x >= m - 2.0 * s AND x <= m + 2.0 * s
 ),
-agg AS (
-  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n, AVG(x) AS mean, var_pop(x) AS var,
-         CAST(quantile_cont(x, 0.5) AS DOUBLE) AS med, MIN(x) AS mn, MAX(x) AS mx,
-         CAST(SUM(x * x) AS DOUBLE) AS energy
-  FROM r2 GROUP BY conv_id
-),
+{det_stats_ctes('r2', ['conv_id'])},
 convs AS (SELECT DISTINCT conv_id FROM t)
 SELECT c.conv_id, COALESCE(a.n, 0) AS n_eligible,
        {r6('CASE WHEN a.n >= 3 THEN a.mean END', 'stat_mean')},
@@ -1419,9 +1515,9 @@ SELECT c.conv_id, COALESCE(a.n, 0) AS n_eligible,
        {r6('CASE WHEN a.n >= 3 THEN a.med END', 'stat_median')},
        {r6('CASE WHEN a.n >= 3 THEN a.mn END', 'stat_min')},
        {r6('CASE WHEN a.n >= 3 THEN a.mx END', 'stat_max')},
-       {r6('CASE WHEN a.n >= 3 THEN (CASE WHEN a.mean = 0 THEN 1000000.0 ELSE SQRT(a.var) / a.mean END) END', 'stat_cov')},
+       {r6('CASE WHEN a.n >= 3 THEN a.cov END', 'stat_cov')},
        {r6('CASE WHEN a.n >= 3 THEN a.energy END', 'stat_energy')}
-FROM convs c LEFT JOIN agg a USING (conv_id)
+FROM convs c LEFT JOIN ds_stats a USING (conv_id)
 """
 
 # FBS discretization (floor((x - min)/w) + 1, observed-min anchor,
@@ -1462,7 +1558,6 @@ ranked AS (
 agg AS (
   SELECT conv_id,
          -SUM(p * LOG2(p)) AS ih_entropy,
-         SUM(p * p) AS ih_uniformity,
          MAX(CASE WHEN rn_mode = 1 THEN grey END) AS ih_mode,
          MAX(CASE WHEN rn_maxg = 1 AND n_levels > 1 THEN grad END) AS ih_max_grad,
          MAX(CASE WHEN rn_maxg = 1 AND n_levels > 1 THEN grey END) AS ih_max_grad_g,
@@ -1470,13 +1565,7 @@ agg AS (
          MAX(CASE WHEN rn_ming = 1 AND n_levels > 1 THEN grey END) AS ih_min_grad_g
   FROM ranked GROUP BY conv_id
 ),
-mom AS (
-  SELECT conv_id,
-         AVG(grey) AS ih_mean, var_pop(grey) AS ih_var,
-         CAST(quantile_cont(grey, 0.5) AS DOUBLE) AS ih_median,
-         MIN(grey) AS ih_min, MAX(grey) AS ih_max
-  FROM g_ GROUP BY conv_id
-)
+{det_hist_ctes('counts', ['conv_id'])}
 SELECT m.conv_id,
        {r6('m.ih_mean', 'ih_mean')},
        {r6('m.ih_var', 'ih_var')},
@@ -1484,13 +1573,13 @@ SELECT m.conv_id,
        {r6('m.ih_min', 'ih_min')},
        {r6('m.ih_max', 'ih_max')},
        {r6('a.ih_entropy', 'ih_entropy')},
-       {r6('a.ih_uniformity', 'ih_uniformity')},
+       {r6('m.ih_uniformity', 'ih_uniformity')},
        {r6('a.ih_mode', 'ih_mode')},
        {r6('a.ih_max_grad', 'ih_max_grad')},
        {r6('a.ih_max_grad_g', 'ih_max_grad_g')},
        {r6('a.ih_min_grad', 'ih_min_grad')},
        {r6('a.ih_min_grad_g', 'ih_min_grad_g')}
-FROM mom m JOIN agg a USING (conv_id)
+FROM dh_hmom m JOIN agg a USING (conv_id)
 """
 
 # IVH on fixed_bin_size intensities: bin centers anchor+(g-0.5)*w, sweep
@@ -1733,83 +1822,29 @@ filt AS MATERIALIZED (
   LEFT JOIN rows0 b ON b.conv_id = a.conv_id AND b.as_of = a.as_of AND b.rn = a.rn + k.o
   GROUP BY a.conv_id, a.as_of, a.rn
 ),
-basic AS (
-  SELECT conv_id, as_of,
-         CAST(COUNT(x) AS BIGINT) AS n,
-         AVG(x) AS mean, var_pop(x) AS var, MIN(x) AS mn, MAX(x) AS mx,
-         CAST(quantile_cont(x, 0.10) AS DOUBLE) AS p10,
-         CAST(quantile_cont(x, 0.25) AS DOUBLE) AS p25,
-         CAST(quantile_cont(x, 0.50) AS DOUBLE) AS med,
-         CAST(quantile_cont(x, 0.75) AS DOUBLE) AS p75,
-         CAST(quantile_cont(x, 0.90) AS DOUBLE) AS p90,
-         CAST(SUM(x * x) AS DOUBLE) AS energy,
-         SQRT(AVG(x * x)) AS rms
+{det_stats_ctes('filt', ['conv_id', 'as_of'])},
+xrng AS (
+  SELECT conv_id, as_of, MIN(x) AS mn, MAX(x) AS mx
   FROM filt GROUP BY conv_id, as_of
-),
-dev AS (
-  SELECT r.conv_id, r.as_of,
-         AVG(ABS(x - b.mean)) AS mad,
-         AVG(ABS(x - b.med)) AS medad,
-         AVG(POW(x - b.mean, 3)) AS m3,
-         AVG(POW(x - b.mean, 4)) AS m4
-  FROM filt r JOIN basic b USING (conv_id, as_of)
-  GROUP BY r.conv_id, r.as_of
-),
-tm AS (
-  SELECT r.conv_id, r.as_of, AVG(x) AS tmean
-  FROM filt r JOIN basic b USING (conv_id, as_of)
-  WHERE x >= b.p10 - 1e-9 AND x <= b.p90 + 1e-9
-  GROUP BY r.conv_id, r.as_of
-),
-rm AS (
-  SELECT r.conv_id, r.as_of, AVG(ABS(x - m.tmean)) AS rmad
-  FROM filt r JOIN basic b USING (conv_id, as_of) JOIN tm m USING (conv_id, as_of)
-  WHERE x >= b.p10 - 1e-9 AND x <= b.p90 + 1e-9
-  GROUP BY r.conv_id, r.as_of
 ),
 g_ AS (
   SELECT f.conv_id, f.as_of,
          CASE WHEN b.mx = b.mn THEN 1.0
               WHEN f.x = b.mx THEN 8.0
               ELSE FLOOR(8 * (f.x - b.mn) / (b.mx - b.mn)) + 1 END AS grey
-  FROM filt f JOIN basic b USING (conv_id, as_of)
+  FROM filt f JOIN xrng b USING (conv_id, as_of)
 ),
-hb AS (
-  SELECT conv_id, as_of,
-         AVG(grey) AS mean, var_pop(grey) AS var, MIN(grey) AS mn, MAX(grey) AS mx,
-         CAST(quantile_cont(grey, 0.10) AS DOUBLE) AS p10,
-         CAST(quantile_cont(grey, 0.25) AS DOUBLE) AS p25,
-         CAST(quantile_cont(grey, 0.50) AS DOUBLE) AS med,
-         CAST(quantile_cont(grey, 0.75) AS DOUBLE) AS p75,
-         CAST(quantile_cont(grey, 0.90) AS DOUBLE) AS p90,
-         CAST(COUNT(DISTINCT grey) AS BIGINT) AS n_bins
+gx AS (SELECT conv_id, as_of, grey AS x FROM g_),
+{det_stats_ctes('gx', ['conv_id', 'as_of'], p='hs_')},
+nb AS (
+  SELECT conv_id, as_of, CAST(COUNT(DISTINCT grey) AS BIGINT) AS n_bins
   FROM g_ GROUP BY conv_id, as_of
-),
-hdev AS (
-  SELECT g.conv_id, g.as_of,
-         AVG(ABS(grey - b.mean)) AS mad,
-         AVG(ABS(grey - b.med)) AS medad,
-         AVG(POW(grey - b.mean, 3)) AS m3,
-         AVG(POW(grey - b.mean, 4)) AS m4
-  FROM g_ g JOIN hb b USING (conv_id, as_of)
-  GROUP BY g.conv_id, g.as_of
-),
-htm AS (
-  SELECT g.conv_id, g.as_of, AVG(grey) AS tmean
-  FROM g_ g JOIN hb b USING (conv_id, as_of)
-  WHERE grey >= b.p10 - 1e-9 AND grey <= b.p90 + 1e-9
-  GROUP BY g.conv_id, g.as_of
-),
-hrm AS (
-  SELECT g.conv_id, g.as_of, AVG(ABS(grey - m.tmean)) AS rmad
-  FROM g_ g JOIN hb b USING (conv_id, as_of) JOIN htm m USING (conv_id, as_of)
-  WHERE grey >= b.p10 - 1e-9 AND grey <= b.p90 + 1e-9
-  GROUP BY g.conv_id, g.as_of
 ),
 counts AS (
   SELECT conv_id, as_of, grey, CAST(COUNT(*) AS DOUBLE) AS c
   FROM g_ GROUP BY conv_id, as_of, grey
 ),
+{det_hist_ctes('counts', ['conv_id', 'as_of'])},
 enriched AS (
   SELECT conv_id, as_of, grey, c,
          c / SUM(c) OVER wk AS p,
@@ -1847,55 +1882,53 @@ probes AS (
 SELECT pr.conv_id, CAST(epoch_us(pr.as_of) AS BIGINT) AS as_of_us,
        COALESCE(b.n, 0) AS n_turns,
        COALESCE(b.n, 0) AS n_eligible,
-       CASE WHEN b.n >= 3 THEN hb.n_bins ELSE 0 END AS n_bins,
+       CASE WHEN b.n >= 3 THEN nb.n_bins ELSE 0 END AS n_bins,
        {r6('CASE WHEN b.n >= 3 THEN b.mean END', 'stat_mean')},
        {r6('CASE WHEN b.n >= 3 THEN b.var END', 'stat_var')},
-       {r6('CASE WHEN b.n >= 3 THEN (CASE WHEN b.var = 0 THEN 0.0 ELSE d.m3 / POW(b.var, 1.5) END) END', 'stat_skew')},
-       {r6('CASE WHEN b.n >= 3 THEN (CASE WHEN b.var = 0 THEN 0.0 ELSE d.m4 / (b.var * b.var) - 3 END) END', 'stat_kurt')},
+       {r6('CASE WHEN b.n >= 3 THEN b.skew END', 'stat_skew')},
+       {r6('CASE WHEN b.n >= 3 THEN b.kurt END', 'stat_kurt')},
        {r6('CASE WHEN b.n >= 3 THEN b.med END', 'stat_median')},
        {r6('CASE WHEN b.n >= 3 THEN b.mn END', 'stat_min')},
        {r6('CASE WHEN b.n >= 3 THEN b.p10 END', 'stat_p10')},
        {r6('CASE WHEN b.n >= 3 THEN b.p90 END', 'stat_p90')},
        {r6('CASE WHEN b.n >= 3 THEN b.mx END', 'stat_max')},
-       {r6('CASE WHEN b.n >= 3 THEN b.p75 - b.p25 END', 'stat_iqr')},
-       {r6('CASE WHEN b.n >= 3 THEN b.mx - b.mn END', 'stat_range')},
-       {r6('CASE WHEN b.n >= 3 THEN d.mad END', 'stat_mad')},
-       {r6('CASE WHEN b.n >= 3 THEN rm.rmad END', 'stat_rmad')},
-       {r6('CASE WHEN b.n >= 3 THEN d.medad END', 'stat_medad')},
-       {r6('CASE WHEN b.n >= 3 THEN (CASE WHEN b.mean = 0 THEN 1000000.0 ELSE SQRT(b.var) / b.mean END) END', 'stat_cov')},
-       {r6('CASE WHEN b.n >= 3 THEN (CASE WHEN b.p75 + b.p25 = 0 THEN 1000000.0 ELSE (b.p75 - b.p25) / (b.p75 + b.p25) END) END', 'stat_qcod')},
+       {r6('CASE WHEN b.n >= 3 THEN b.iqr END', 'stat_iqr')},
+       {r6('CASE WHEN b.n >= 3 THEN b.rng END', 'stat_range')},
+       {r6('CASE WHEN b.n >= 3 THEN b.mad END', 'stat_mad')},
+       {r6('CASE WHEN b.n >= 3 THEN b.rmad END', 'stat_rmad')},
+       {r6('CASE WHEN b.n >= 3 THEN b.medad END', 'stat_medad')},
+       {r6('CASE WHEN b.n >= 3 THEN b.cov END', 'stat_cov')},
+       {r6('CASE WHEN b.n >= 3 THEN b.qcod END', 'stat_qcod')},
        {r6('CASE WHEN b.n >= 3 THEN b.energy END', 'stat_energy')},
        {r6('CASE WHEN b.n >= 3 THEN b.rms END', 'stat_rms')},
-       {r6('CASE WHEN b.n >= 3 THEN hb.mean END', 'ih_mean')},
-       {r6('CASE WHEN b.n >= 3 THEN hb.var END', 'ih_var')},
-       {r6('CASE WHEN b.n >= 3 THEN (CASE WHEN hb.var = 0 THEN 0.0 ELSE hd.m3 / POW(hb.var, 1.5) END) END', 'ih_skew')},
-       {r6('CASE WHEN b.n >= 3 THEN (CASE WHEN hb.var = 0 THEN 0.0 ELSE hd.m4 / (hb.var * hb.var) - 3 END) END', 'ih_kurt')},
-       {r6('CASE WHEN b.n >= 3 THEN hb.med END', 'ih_median')},
-       {r6('CASE WHEN b.n >= 3 THEN hb.mn END', 'ih_min')},
-       {r6('CASE WHEN b.n >= 3 THEN hb.p10 END', 'ih_p10')},
-       {r6('CASE WHEN b.n >= 3 THEN hb.p90 END', 'ih_p90')},
-       {r6('CASE WHEN b.n >= 3 THEN hb.mx END', 'ih_max')},
+       {r6('CASE WHEN b.n >= 3 THEN hs.mean END', 'ih_mean')},
+       {r6('CASE WHEN b.n >= 3 THEN hs.var END', 'ih_var')},
+       {r6('CASE WHEN b.n >= 3 THEN hs.skew END', 'ih_skew')},
+       {r6('CASE WHEN b.n >= 3 THEN hs.kurt END', 'ih_kurt')},
+       {r6('CASE WHEN b.n >= 3 THEN hs.med END', 'ih_median')},
+       {r6('CASE WHEN b.n >= 3 THEN hs.mn END', 'ih_min')},
+       {r6('CASE WHEN b.n >= 3 THEN hs.p10 END', 'ih_p10')},
+       {r6('CASE WHEN b.n >= 3 THEN hs.p90 END', 'ih_p90')},
+       {r6('CASE WHEN b.n >= 3 THEN hs.mx END', 'ih_max')},
        {r6('CASE WHEN b.n >= 3 THEN ha.mode END', 'ih_mode')},
-       {r6('CASE WHEN b.n >= 3 THEN hb.p75 - hb.p25 END', 'ih_iqr')},
-       {r6('CASE WHEN b.n >= 3 THEN hb.mx - hb.mn END', 'ih_range')},
-       {r6('CASE WHEN b.n >= 3 THEN hd.mad END', 'ih_mad')},
-       {r6('CASE WHEN b.n >= 3 THEN hr.rmad END', 'ih_rmad')},
-       {r6('CASE WHEN b.n >= 3 THEN hd.medad END', 'ih_medad')},
-       {r6('CASE WHEN b.n >= 3 THEN (CASE WHEN hb.mean = 0 THEN 1000000.0 ELSE SQRT(hb.var) / hb.mean END) END', 'ih_cov')},
-       {r6('CASE WHEN b.n >= 3 THEN (CASE WHEN hb.p75 + hb.p25 = 0 THEN 1000000.0 ELSE (hb.p75 - hb.p25) / (hb.p75 + hb.p25) END) END', 'ih_qcod')},
+       {r6('CASE WHEN b.n >= 3 THEN hs.iqr END', 'ih_iqr')},
+       {r6('CASE WHEN b.n >= 3 THEN hs.rng END', 'ih_range')},
+       {r6('CASE WHEN b.n >= 3 THEN hs.mad END', 'ih_mad')},
+       {r6('CASE WHEN b.n >= 3 THEN hs.rmad END', 'ih_rmad')},
+       {r6('CASE WHEN b.n >= 3 THEN hs.medad END', 'ih_medad')},
+       {r6('CASE WHEN b.n >= 3 THEN hs.cov END', 'ih_cov')},
+       {r6('CASE WHEN b.n >= 3 THEN hs.qcod END', 'ih_qcod')},
        {r6('CASE WHEN b.n >= 3 THEN ha.entropy END', 'ih_entropy')},
-       {r6('CASE WHEN b.n >= 3 THEN ha.uniformity END', 'ih_uniformity')},
+       {r6('CASE WHEN b.n >= 3 THEN hm.ih_uniformity END', 'ih_uniformity')},
        {r6('CASE WHEN b.n >= 3 THEN ha.max_grad END', 'ih_max_grad')},
        {r6('CASE WHEN b.n >= 3 THEN ha.max_grad_g END', 'ih_max_grad_g')},
        {r6('CASE WHEN b.n >= 3 THEN ha.min_grad END', 'ih_min_grad')},
        {r6('CASE WHEN b.n >= 3 THEN ha.min_grad_g END', 'ih_min_grad_g')}
 FROM probes pr
-LEFT JOIN basic b ON pr.conv_id = b.conv_id AND pr.as_of = b.as_of
-LEFT JOIN dev d ON pr.conv_id = d.conv_id AND pr.as_of = d.as_of
-LEFT JOIN rm ON pr.conv_id = rm.conv_id AND pr.as_of = rm.as_of
-LEFT JOIN hb ON pr.conv_id = hb.conv_id AND pr.as_of = hb.as_of
-LEFT JOIN hdev hd ON pr.conv_id = hd.conv_id AND pr.as_of = hd.as_of
-LEFT JOIN hrm hr ON pr.conv_id = hr.conv_id AND pr.as_of = hr.as_of
+LEFT JOIN ds_stats b ON pr.conv_id = b.conv_id AND pr.as_of = b.as_of
+LEFT JOIN nb ON pr.conv_id = nb.conv_id AND pr.as_of = nb.as_of
+LEFT JOIN hs_stats hs ON pr.conv_id = hs.conv_id AND pr.as_of = hs.as_of
+LEFT JOIN dh_hmom hm ON pr.conv_id = hm.conv_id AND pr.as_of = hm.as_of
 LEFT JOIN hagg ha ON pr.conv_id = ha.conv_id AND pr.as_of = ha.as_of
 """.replace("{LOGTAPS}", _taps_values(_py_log_taps()))
 
@@ -2031,6 +2064,68 @@ LEFT JOIN rl ON pr.conv_id = rl.conv_id AND pr.as_of = rl.as_of
 LEFT JOIN rle ON pr.conv_id = rle.conv_id AND pr.as_of = rle.as_of
 """
 
+ORACLES["q_semi_eligible"] = f"""
+WITH t AS ({T})
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(COUNT(CASE WHEN tool IS NOT NULL THEN 1 END) AS BIGINT) AS n_tool,
+       {r6('SUM(signal)', 'tok_sum')}
+FROM t
+WHERE conv_id IN (SELECT DISTINCT conv_id FROM t WHERE tool IS NOT NULL)
+GROUP BY conv_id
+"""
+
+ORACLES["q_anti_eligible"] = f"""
+WITH t AS ({T})
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+       {r6('SUM(signal)', 'tok_sum')}
+FROM t
+WHERE conv_id NOT IN (SELECT DISTINCT conv_id FROM t
+                      WHERE role = 'system' AND ts >= TIMESTAMP '2024-01-30 00:00:00')
+GROUP BY conv_id
+"""
+
+# IVH on FBN(1000) grey levels: fixed range [1, 1000], sweep step 1
+# (discretization.py:140-215; IBSI config E, tests/test_ibsi_1.py:338-367)
+ORACLES["q_ivh_fbn"] = f"""
+WITH t AS ({T}),
+rng0 AS (SELECT conv_id, MIN(signal) AS mn, MAX(signal) AS mx FROM t GROUP BY conv_id),
+arr AS (
+  SELECT t.conv_id,
+         CASE WHEN r.mx = r.mn THEN 1.0
+              WHEN t.signal = r.mx THEN 1000.0
+              ELSE FLOOR(1000 * (t.signal - r.mn) / (r.mx - r.mn)) + 1 END AS v
+  FROM t JOIN rng0 r USING (conv_id)
+),
+nn AS (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS n FROM arr GROUP BY conv_id),
+thr AS (
+  SELECT conv_id, n, CAST(UNNEST(generate_series(1, 1000, 1)) AS DOUBLE) AS tv
+  FROM nn
+),
+fv AS (
+  SELECT th.conv_id, th.tv,
+         1.0 - SUM(CASE WHEN a.v < th.tv THEN 1 ELSE 0 END) / th.n AS f,
+         (th.tv - 1.0) / (1000.0 - 1.0) AS intfrac
+  FROM thr th JOIN arr a ON a.conv_id = th.conv_id
+  GROUP BY th.conv_id, th.tv, th.n
+),
+agg AS (
+  SELECT conv_id,
+         MAX(CASE WHEN intfrac > 0.10 THEN f END) AS v10,
+         MAX(CASE WHEN intfrac > 0.90 THEN f END) AS v90,
+         MIN(CASE WHEN f <= 0.10 THEN tv END) AS i10,
+         MIN(CASE WHEN f <= 0.90 THEN tv END) AS i90
+  FROM fv GROUP BY conv_id
+)
+SELECT n0.conv_id,
+       {r6('a.v10', 'ivh_v10')},
+       {r6('a.v90', 'ivh_v90')},
+       {r6('a.i10', 'ivh_i10')},
+       {r6('a.i90', 'ivh_i90')},
+       {r6('a.v10 - a.v90', 'ivh_diff_v10_v90')},
+       {r6('a.i10 - a.i90', 'ivh_diff_i10_i90')}
+FROM nn n0 LEFT JOIN agg a ON n0.conv_id = a.conv_id
+"""
+
 # distributed texture variants share the single-path oracles exactly
 ORACLES["q_glcm_dist"] = ORACLES["q_glcm"]
 ORACLES["q_glrlm_dist"] = ORACLES["q_glrlm"]
@@ -2040,4 +2135,5 @@ ORACLES["q_glrlm_salted"] = ORACLES["q_glrlm"]
 ORACLES["q_ngldm_salted"] = ORACLES["q_ngldm"]
 ORACLES["q_ngtdm_dist"] = ORACLES["q_ngtdm"]
 ORACLES["q_gldzm_dist"] = ORACLES["q_gldzm"]
+ORACLES["q_gldzm_salted"] = ORACLES["q_gldzm"]
 ORACLES["q_ngtdm_salted"] = ORACLES["q_ngtdm"]

@@ -291,3 +291,83 @@ def test_connected_components_vs_bruteforce(spark):
         for n in members:
             expect[n] = m
     assert got == expect
+
+
+def test_salt_bucket_assignment_has_no_window(spark, tdf):
+    """Bucket assignment must be pure column arithmetic on the turn_idx
+    ordinal — a row_number window over bare conv_id would serialize the
+    very conversation the salting exists to split (one task per conv)."""
+    from z_rad_spark.operators.skew import with_salt_bucket
+
+    df, _ = tdf
+    plan = with_salt_bucket(df, turns_per_bucket=7)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # the explicit fallback (no ordinal column) still works but pays one
+    plan_fb = with_salt_bucket(df, turns_per_bucket=7, ordinal_col=None)
+    assert "Window" in plan_fb._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salt_bucket_matches_fallback(spark, tdf):
+    """turn_idx-derived buckets == row_number-derived buckets, row for row."""
+    from z_rad_spark.operators.skew import with_salt_bucket
+
+    df, _ = tdf
+    cols = ["conv_id", "turn_idx", "bucket", "own"]
+    a = with_salt_bucket(df, turns_per_bucket=7, overlap=2, overlap_before=1)
+    b = with_salt_bucket(df, turns_per_bucket=7, overlap=2, overlap_before=1, ordinal_col=None)
+    pa = a.select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
+    pb = b.select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa, pb)
+
+
+def test_gldzm_salted_matches_plain(spark, tdf):
+    """Salted distance-zone cells (runs merged across bucket borders with
+    positions) == the single-window gldzm_cells, exactly."""
+    from z_rad_spark.operators.texture_sql import gldzm_cells, gldzm_cells_salted
+
+    df, _ = tdf
+    key = ["conv_id", "lvl", "len"]
+    plain = gldzm_cells(df).toPandas().sort_values(key).reset_index(drop=True)
+    salted = gldzm_cells_salted(df, turns_per_bucket=7).toPandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, salted, check_exact=True)
+
+
+def test_semi_anti_join_partition(spark, tdf):
+    """semi + anti partition the conversations; membership matches pandas."""
+    from z_rad_spark.operators.joins import anti_eligible, semi_eligible
+
+    df, pdf = tdf
+    pred = F.col("role") == "tool"
+    semi = set(semi_eligible(df, pred).select("conv_id").distinct().toPandas()["conv_id"])
+    anti = set(anti_eligible(df, pred).select("conv_id").distinct().toPandas()["conv_id"])
+    have = set(pdf.loc[pdf["role"] == "tool", "conv_id"])
+    allc = set(pdf["conv_id"])
+    assert semi == have
+    assert anti == allc - have
+    assert semi.isdisjoint(anti)
+    # row counts preserved per conversation (no widening/dup from the join)
+    n_semi = semi_eligible(df, pred).count()
+    assert n_semi == int(pdf["conv_id"].isin(have).sum())
+
+
+def test_hash_sample_rate_edges(spark):
+    from z_rad_spark.operators.dedup import hash_sample
+
+    docs = spark.range(200).withColumnRenamed("id", "doc_id")
+    assert hash_sample(docs, 1.0).count() == 200
+    assert hash_sample(docs, 0.0).count() == 0
+    frac = hash_sample(docs, 0.4).count() / 200
+    assert 0.2 < frac < 0.6
+
+
+def test_connected_components_raises_without_convergence(spark):
+    """A chain longer than max_iter must raise, not silently return
+    partially-propagated cluster ids."""
+    from z_rad_spark.operators.dedup import connected_components
+
+    chain = pd.DataFrame({"id_a": range(9), "id_b": range(1, 10)})
+    pairs = spark.createDataFrame(chain)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=3)
+    ok = connected_components(pairs, max_iter=20).toPandas()
+    assert set(ok["cluster_id"]) == {0}

@@ -2,12 +2,19 @@
 __spark_entry__ query on Spark AND its DuckDB oracle, compare row count,
 column names, and values (column-name-sorted, order-insensitive).
 
+STRICT mode (default, matches the driver): the driver hashes the
+6dp-rounded values EXACTLY, so any cross-engine ULP difference that
+crosses a rounding boundary is a hard fail. Set STRICT=0 in the
+environment for the older tolerance compare (atol=1.5e-6) when
+bisecting.
+
 Usage: PYTHONPATH=/root/repo python tools/check_queries.py [sf_dir] [only...]
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -17,6 +24,8 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+STRICT = os.environ.get("STRICT", "1") != "0"
 
 
 def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
@@ -42,7 +51,13 @@ def compare(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     for c in g.columns:
         gv, wv = g[c].to_numpy(), w[c].to_numpy()
         if np.issubdtype(g[c].dtype, np.floating):
-            ok = np.isclose(gv.astype(float), wv.astype(float), rtol=0, atol=1.5e-6, equal_nan=True)
+            gf, wf = gv.astype(float), wv.astype(float)
+            if STRICT:
+                # exact equality of the 6dp-rounded doubles — what the
+                # driver's value hash enforces
+                ok = gf == wf
+            else:
+                ok = np.isclose(gf, wf, rtol=0, atol=1.5e-6, equal_nan=True)
             gnan = pd.isna(gv)
             wnan = pd.isna(wv)
             ok = ok | (gnan & wnan)

@@ -232,6 +232,9 @@ def _make_kernel(cfg: FeatureConfig, cutoffs_us: list[int], columns: list[str]):
         ends = np.concatenate((brk, [codes.size]))
 
         rows = []
+        n_failed = 0
+        first_err: Exception | None = None
+        first_err_conv = None
         for s, e in zip(starts, ends):
             t_slice = ts_us[s:e]
             conv_id = conv_names[codes[s]]
@@ -245,12 +248,26 @@ def _make_kernel(cfg: FeatureConfig, cutoffs_us: list[int], columns: list[str]):
                             role_codes[s:hi], tool_mask[s:hi], cfg,
                         )
                     )
-                except Exception:
+                except Exception as ex:
                     # per-entity error isolation (rad_tab.py:109-112 skip &
                     # log analogue): one bad conversation must not fail the
-                    # task at 10^8-entity scale — emit a null feature row
+                    # task at 10^8-entity scale — emit a null feature row,
+                    # but COUNT it and log the first exception per bucket so
+                    # a systematic kernel bug surfaces as a diagnosable
+                    # null-row storm, not silence
                     row.update({"n_turns": int(hi - s)})
+                    n_failed += 1
+                    if first_err is None:
+                        first_err, first_err_conv = ex, conv_id
                 rows.append(row)
+        if n_failed:
+            import logging
+
+            logging.getLogger("z_rad_spark.extractor").error(
+                "feature kernel: %d/%d (conv, cutoff) computations failed in "
+                "this bucket; first failure conv_id=%r: %r",
+                n_failed, len(rows), first_err_conv, first_err,
+            )
         return pd.DataFrame(rows, columns=columns)
 
     return kernel

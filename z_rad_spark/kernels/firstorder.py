@@ -96,33 +96,97 @@ def _pct_sorted(xs: np.ndarray, q: float) -> float:
     return float(a + (b - a) * t)
 
 
-def _skewness(x: np.ndarray) -> float:
-    """Biased skewness (reference: intensity.py:110-118)."""
-    mu = np.mean(x)
-    d = x - mu
-    v2 = np.mean(d**2)
-    if v2 == 0:
-        return 0.0
-    return float(np.mean(d**3) / v2**1.5)
+def _trim_bounds(xs: np.ndarray) -> tuple[float, float]:
+    """[p10, p90] trim membership in RANK space: the data-value bounds
+    equivalent to comparing against the exact-real lerp percentile. Using
+    order-statistic bounds (never the float lerp value) makes trim
+    membership identical across NumPy / Spark / DuckDB — the computed
+    lerp can round onto a data value and flip membership by one row,
+    which moves the trimmed mean far beyond the 6dp rounding the driver
+    hashes (reference semantics: intensity.py:132-137)."""
+    n = xs.size
+    h10 = (n - 1) * 0.1
+    j10 = int(h10)
+    t10 = h10 - j10
+    a10 = float(xs[j10])
+    if t10 == 0.0 or float(xs[j10 + 1]) <= a10:
+        lo_b = a10
+    else:
+        lo_b = float(xs[j10 + 1])
+    h90 = (n - 1) * 0.9
+    hi_b = float(xs[int(h90)])
+    return lo_b, hi_b
 
 
-def _kurtosis(x: np.ndarray) -> float:
-    """Biased excess kurtosis (reference: intensity.py:121-129)."""
-    mu = np.mean(x)
-    d = x - mu
-    v2 = np.mean(d**2)
-    if v2 == 0:
-        return 0.0
-    return float(np.mean(d**4) / v2**2 - 3)
+def _det_stats(xs: np.ndarray) -> dict:
+    """Order-independent "value algebra" for the 18 first-order
+    statistics, shared bit-for-bit with the SQL oracles and the
+    declarative plans: every statistic is ONE fixed expression tree over
+    exact aggregates (sums of integer-valued signals are exact in
+    float64; order statistics are data values), so NumPy, Spark and
+    DuckDB produce identical doubles regardless of row order,
+    partitioning or thread count. This is what the driver's 6dp-rounded
+    value hash requires: dyadic results like 279/128 = 2.1796875 sit
+    exactly on a rounding boundary, where a 1-ulp Welford-vs-two-pass
+    difference flips the 6th decimal.
 
-
-def _rmad(x: np.ndarray) -> float:
-    """Mean abs deviation on the [p10, p90]-trimmed values
-    (reference: intensity.py:132-137)."""
-    p10 = np.percentile(x, 10)
-    p90 = np.percentile(x, 90)
-    t = x[(x >= p10) & (x <= p90)]
-    return float(np.mean(np.abs(t - np.mean(t))))
+    ``xs`` must be sorted ascending, non-empty, NaN-free.
+    Reference formulas: zrad/radiomics/intensity.py:218-252.
+    """
+    n = xs.size
+    x2 = xs * xs
+    s1 = float(np.sum(xs))
+    s2 = float(np.sum(x2))
+    s3 = float(np.sum(x2 * xs))
+    s4 = float(np.sum(x2 * x2))
+    mean = s1 / n
+    var = max(s2 / n - mean * mean, 0.0)
+    p10 = _pct_sorted(xs, 10)
+    p25 = _pct_sorted(xs, 25)
+    med = _pct_sorted(xs, 50)
+    p75 = _pct_sorted(xs, 75)
+    p90 = _pct_sorted(xs, 90)
+    lo_b, hi_b = _trim_bounds(xs)
+    trimmed = xs[int(np.searchsorted(xs, lo_b, "left")): int(np.searchsorted(xs, hi_b, "right"))]
+    m = trimmed.size
+    st = float(np.sum(trimmed))
+    # scaled-integer deviations: |n*x - S| = n*|x - S/n| with EXACT terms
+    # for integer x (n*x and S are exact ints), so the sums are exact too
+    sad1 = float(np.sum(np.abs(n * xs - s1)))
+    sadmed = float(np.sum(np.abs(xs - med)))
+    sadt = float(np.sum(np.abs(m * trimmed - st)))
+    if var == 0:
+        skew = 0.0
+        kurt = 0.0
+    else:
+        skew = (s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean) / (var * np.sqrt(var))
+        kurt = (
+            s4 / n - 4.0 * mean * (s3 / n) + 6.0 * (mean * mean) * (s2 / n)
+            - 3.0 * ((mean * mean) * (mean * mean))
+        ) / (var * var) - 3.0
+    return {
+        "n": n,
+        "mean": mean,
+        "var": var,
+        "skew": float(skew),
+        "kurt": float(kurt),
+        "median": med,
+        "min": float(xs[0]),
+        "p10": p10,
+        "p25": p25,
+        "p75": p75,
+        "p90": p90,
+        "max": float(xs[-1]),
+        "iqr": float(p75 - p25),
+        "range": float(xs[-1] - xs[0]),
+        "mad": sad1 / (n * n),
+        "rmad": sadt / (m * m),
+        "medad": sadmed / n,
+        "cov": SENTINEL if mean == 0 else float(np.sqrt(var) / mean),
+        "qcod": SENTINEL if p75 + p25 == 0 else float((p75 - p25) / (p75 + p25)),
+        "energy": s2,
+        "rms": float(np.sqrt(s2 / n)),
+    }
 
 
 def _cov(x: np.ndarray) -> float:
@@ -150,37 +214,26 @@ def stats_features(masked: np.ndarray) -> dict:
     x = masked[~np.isnan(masked)]
     if x.size == 0:
         return {k: np.nan for k in STATS_NAMES}
-    xs = np.sort(x)
-    n = xs.size
-    mean = float(xs.mean())
-    d = xs - mean
-    v2 = float(np.mean(d * d))
-    p10 = _pct_sorted(xs, 10)
-    p25 = _pct_sorted(xs, 25)
-    med = _pct_sorted(xs, 50)
-    p75 = _pct_sorted(xs, 75)
-    p90 = _pct_sorted(xs, 90)
-    trimmed = xs[int(np.searchsorted(xs, p10, "left")): int(np.searchsorted(xs, p90, "right"))]
-    energy = float(np.sum(xs * xs))
+    d = _det_stats(np.sort(x))
     return {
-        "stat_mean": mean,
-        "stat_var": v2,
-        "stat_skew": 0.0 if v2 == 0 else float(np.mean(d**3) / v2**1.5),
-        "stat_kurt": 0.0 if v2 == 0 else float(np.mean(d**4) / v2**2 - 3),
-        "stat_median": med,
-        "stat_min": float(xs[0]),
-        "stat_p10": p10,
-        "stat_p90": p90,
-        "stat_max": float(xs[-1]),
-        "stat_iqr": float(p75 - p25),
-        "stat_range": float(xs[-1] - xs[0]),
-        "stat_mad": float(np.mean(np.abs(d))),
-        "stat_rmad": float(np.mean(np.abs(trimmed - np.mean(trimmed)))),
-        "stat_medad": float(np.mean(np.abs(xs - med))),
-        "stat_cov": SENTINEL if mean == 0 else float(np.sqrt(v2) / mean),
-        "stat_qcod": SENTINEL if p75 + p25 == 0 else float((p75 - p25) / (p75 + p25)),
-        "stat_energy": energy,
-        "stat_rms": float(np.sqrt(energy / n)),
+        "stat_mean": d["mean"],
+        "stat_var": d["var"],
+        "stat_skew": d["skew"],
+        "stat_kurt": d["kurt"],
+        "stat_median": d["median"],
+        "stat_min": d["min"],
+        "stat_p10": d["p10"],
+        "stat_p90": d["p90"],
+        "stat_max": d["max"],
+        "stat_iqr": d["iqr"],
+        "stat_range": d["range"],
+        "stat_mad": d["mad"],
+        "stat_rmad": d["rmad"],
+        "stat_medad": d["medad"],
+        "stat_cov": d["cov"],
+        "stat_qcod": d["qcod"],
+        "stat_energy": d["energy"],
+        "stat_rms": d["rms"],
     }
 
 
@@ -200,35 +253,30 @@ def hist_features(grey: np.ndarray) -> dict:
     values = xs[starts]
     counts = np.diff(np.concatenate((starts, [xs.size])))
     p = counts / counts.sum()
-    mean = float(xs.mean())
-    d = xs - mean
-    v2 = float(np.mean(d * d))
-    p10 = _pct_sorted(xs, 10)
-    p25 = _pct_sorted(xs, 25)
-    med = _pct_sorted(xs, 50)
-    p75 = _pct_sorted(xs, 75)
-    p90 = _pct_sorted(xs, 90)
-    trimmed = xs[int(np.searchsorted(xs, p10, "left")): int(np.searchsorted(xs, p90, "right"))]
+    n = xs.size
+    d = _det_stats(xs)
     out = {
-        "ih_mean": mean,
-        "ih_var": v2,
-        "ih_skew": 0.0 if v2 == 0 else float(np.mean(d**3) / v2**1.5),
-        "ih_kurt": 0.0 if v2 == 0 else float(np.mean(d**4) / v2**2 - 3),
-        "ih_median": med,
-        "ih_min": float(xs[0]),
-        "ih_p10": p10,
-        "ih_p90": p90,
-        "ih_max": float(xs[-1]),
+        "ih_mean": d["mean"],
+        "ih_var": d["var"],
+        "ih_skew": d["skew"],
+        "ih_kurt": d["kurt"],
+        "ih_median": d["median"],
+        "ih_min": d["min"],
+        "ih_p10": d["p10"],
+        "ih_p90": d["p90"],
+        "ih_max": d["max"],
         "ih_mode": float(values[np.argmax(counts)]),
-        "ih_iqr": float(p75 - p25),
-        "ih_range": float(xs[-1] - xs[0]),
-        "ih_mad": float(np.mean(np.abs(d))),
-        "ih_rmad": float(np.mean(np.abs(trimmed - np.mean(trimmed)))),
-        "ih_medad": float(np.mean(np.abs(xs - med))),
-        "ih_cov": SENTINEL if mean == 0 else float(np.sqrt(v2) / mean),
-        "ih_qcod": SENTINEL if p75 + p25 == 0 else float((p75 - p25) / (p75 + p25)),
+        "ih_iqr": d["iqr"],
+        "ih_range": d["range"],
+        "ih_mad": d["mad"],
+        "ih_rmad": d["rmad"],
+        "ih_medad": d["medad"],
+        "ih_cov": d["cov"],
+        "ih_qcod": d["qcod"],
         "ih_entropy": float(-np.sum(p * np.log2(p))),
-        "ih_uniformity": float(np.sum(p * p)),
+        # exact form sum(c^2)/n^2 — counts are ints, so both the sum and
+        # the one division are bit-identical to the SQL SUM(c*c)/(n*n)
+        "ih_uniformity": float(np.sum(counts * counts)) / (n * n),
     }
     if len(counts) > 1:
         grad = np.gradient(counts.astype(float))

@@ -43,8 +43,14 @@ def resegment_outlier(masked: np.ndarray, sigma: float | None) -> np.ndarray:
     valid = masked[~np.isnan(masked)]
     if valid.size == 0:
         return masked
-    mean = np.mean(valid)
-    std = np.std(valid)
+    # exact-moment mean/std (not np.std's two-pass): deterministic given
+    # exact sums, so the keep-predicate threshold is bit-identical to the
+    # SQL oracle's AVG / SQRT(GREATEST(SUM(x*x)/n - mean*mean, 0)) — a
+    # Welford-vs-two-pass ulp difference here flips MEMBERSHIP for values
+    # sitting exactly on mean +- sigma*std, which moves whole rows
+    n = valid.size
+    mean = float(np.sum(valid)) / n
+    std = np.sqrt(max(float(np.sum(valid * valid)) / n - mean * mean, 0.0))
     keep = (masked >= mean - sigma * std) & (masked <= mean + sigma * std)
     return np.where(keep & ~np.isnan(masked), masked, np.nan)
 

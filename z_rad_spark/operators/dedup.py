@@ -141,6 +141,13 @@ def hash_sample(
     no engine-specific hash), stable across runs/partitions — the right
     sampling primitive for reproducible corpus subsets and train/val
     splits at 100 TB (a different salt gives an independent sample)."""
+    if rate >= 1.0:
+        # rate=1.0 would format to the 9-char '100000000' and the 8-char
+        # hex prefixes compare lexicographically BELOW it only by accident
+        # of length — short-circuit to "keep everything" instead
+        return df
+    if rate <= 0.0:
+        return df.where(F.lit(False))
     thr = format(int(rate * 16**8), "08x")
     h = F.substring(
         F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(key_col).cast("string"))), 1, 8
@@ -166,6 +173,7 @@ def connected_components(
     )
     sym = sym.distinct().localCheckpoint(eager=True)
     labels = sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    changed = 0
     for _ in range(max_iter):
         nb_min = (
             sym.join(labels, sym["dst"] == labels["id"])
@@ -191,6 +199,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed > 0:
+        # labels are only partially propagated: components with diameter >
+        # max_iter (plausible for chained near-dup LSH graphs at corpus
+        # scale) would get WRONG cluster ids — refuse to return them
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 

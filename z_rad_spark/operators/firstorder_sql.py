@@ -7,16 +7,29 @@ This is the scale fast-path when only first-order families are requested:
 partial aggregation (map-side combine) applies, and Catalyst prunes
 columns down to (conv_id, ts, signal).
 
-Shape: a broadcast range-join against the tiny cutoff grid expands rows
-per cutoff; all later joins are on (conv_id, as_of), co-partitioned after
-one exchange, so AQE fuses them without extra shuffles.
+Two design contracts:
+
+* **Histogram rollup, not row expansion.** ``stats_asof`` never joins
+  every turn against every cutoff (O(turns x cutoffs) rows — unbounded
+  for dense grids at 10^12 turns). It compacts turns to
+  (conv_id, value, cutoff-interval) counts in ONE combine-heavy shuffle,
+  expands only the compacted histogram across the (tiny) cutoff grid,
+  and computes every statistic — including exact lerp percentiles and
+  the rank-trimmed rmad — from the weighted histogram.
+* **Deterministic value algebra.** Every statistic is the same fixed
+  expression tree over exact aggregates as kernels/firstorder._det_stats
+  and the DuckDB oracles (see that docstring): order statistics instead
+  of engine percentile lerp, raw moments over exact sums instead of
+  Welford, scaled-integer deviations. For integer-valued signals the
+  results are bit-identical across Spark / NumPy / DuckDB regardless of
+  partitioning — which the driver's 6dp value hash requires.
 """
 
 from __future__ import annotations
 
 from typing import Iterable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .asof import cutoff_grid
@@ -25,89 +38,177 @@ SENTINEL = 1_000_000.0
 
 KEYS = ["conv_id", "as_of"]
 
+_QFRACS = (("10", 0.1), ("25", 0.25), ("50", 0.5), ("75", 0.75), ("90", 0.9))
+
 
 def _expand(df: DataFrame, spark: SparkSession, cutoffs: Iterable[str]) -> DataFrame:
     grid = cutoff_grid(spark, cutoffs)
     return df.join(F.broadcast(grid), F.col("ts") <= F.col("as_of"))
 
 
+def _lerp(nm: str, qf: float) -> Column:
+    """NumPy-convention percentile lerp over order statistics a{nm}/b{nm}
+    (same tree as kernels/firstorder._pct_sorted and the SQL oracles)."""
+    h = (F.col("n") - 1).cast("double") * F.lit(qf)
+    t = h - F.floor(h)
+    a, b = F.col(f"a{nm}"), F.col(f"b{nm}")
+    return (
+        F.when(t == 0, a)
+        .when(t >= 0.5, b - (b - a) * (F.lit(1.0) - t))
+        .otherwise(a + (b - a) * t)
+    )
+
+
+def value_histogram_asof(
+    df: DataFrame, spark: SparkSession, cutoffs: Iterable[str], signal_col: str = "signal"
+) -> DataFrame:
+    """Per-(conv_id, as_of) value histogram WITHOUT expanding turns:
+
+    1. interval index = number of cutoffs strictly before ts (a literal
+       comparison chain — constant-folded, no join); rows past the last
+       cutoff are dropped at the scan.
+    2. ONE full-data shuffle: groupBy (conv_id, x, interval) with
+       map-side combine collapses 10^12 turns to
+       distinct-values x intervals per conversation.
+    3. The compacted histogram is broadcast-joined to the cutoff grid
+       (interval <= grid index) and re-aggregated — amplification is
+       bounded by the grid size on ALREADY-compacted rows.
+
+    Output: (conv_id, as_of, x, c).
+    """
+    cuts = sorted(cutoffs)
+    k = len(cuts)
+    x = F.col(signal_col).cast("double")
+    iv = F.lit(0)
+    for c in cuts:
+        iv = iv + F.when(F.col("ts") > F.to_timestamp(F.lit(c)), 1).otherwise(0)
+    base = df.select("conv_id", x.alias("x"), iv.alias("iv")).where(F.col("iv") < k)
+    h0 = base.groupBy("conv_id", "x", "iv").agg(F.count("*").cast("long").alias("c"))
+    grid = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cuts)], "gi int, as_of_str string"
+    ).select("gi", F.to_timestamp("as_of_str").alias("as_of"))
+    return (
+        h0.join(F.broadcast(grid), F.col("iv") <= F.col("gi"))
+        .groupBy("conv_id", "as_of", "x")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
 def stats_asof(
     df: DataFrame, spark: SparkSession, cutoffs: Iterable[str], signal_col: str = "signal"
 ) -> DataFrame:
-    """18 intensity statistics per (conv_id, as_of), declaratively.
+    """18 intensity statistics per (conv_id, as_of), declaratively, from
+    the as-of value histogram (see value_histogram_asof for the scale
+    shape and the module docstring for the determinism contract)."""
+    h = value_histogram_asof(df, spark, cutoffs, signal_col)
+    # the histogram feeds three aggregation passes (moments+ranks,
+    # deviations, trimmed deviations) — persist the compact intermediate
+    # so the full-data shuffle runs once, not three times
+    h = h.persist()
 
-    One exchange total: the order-free window pass attaches the per-group
-    mean/median/percentiles to every row, a second window projection over
-    the SAME partitioning derives the trimmed mean (no re-shuffle — the
-    rmad order contract: trimmed mean before its own deviation pass, as in
-    the kernel), and the final groupBy on the same keys reuses the
-    partitioning for everything else (mad/medad/central moments/rmad).
-    """
-    x = F.col(signal_col)
-    rows = _expand(df.select("conv_id", "ts", signal_col), spark, cutoffs)
-
-    w = Window.partitionBy(*KEYS)
-    r = rows.select(
-        *KEYS,
-        x.alias("_x"),
-        F.avg(x).over(w).alias("_mean"),
-        F.percentile(x, F.lit(0.10)).over(w).alias("_p10"),
-        F.percentile(x, F.lit(0.25)).over(w).alias("_p25"),
-        F.percentile(x, F.lit(0.50)).over(w).alias("_med"),
-        F.percentile(x, F.lit(0.75)).over(w).alias("_p75"),
-        F.percentile(x, F.lit(0.90)).over(w).alias("_p90"),
+    c, xx = F.col("c"), F.col("x")
+    wk = Window.partitionBy(*KEYS)
+    wo = Window.partitionBy(*KEYS).orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    r = h.select(
+        *KEYS, "x", "c",
+        F.sum("c").over(wk).alias("n"),
+        F.sum("c").over(wo).alias("cum"),
     )
-    trim = (F.col("_x") >= F.col("_p10")) & (F.col("_x") <= F.col("_p90"))
-    r = r.withColumn("_tmean", F.avg(F.when(trim, F.col("_x"))).over(w))
 
-    xx = F.col("_x")
-    out = r.groupBy(*KEYS).agg(
-        F.count(xx).alias("n"),
-        F.first("_mean").alias("stat_mean"),
-        F.var_pop(xx).alias("stat_var"),
-        F.min(xx).alias("stat_min"),
-        F.max(xx).alias("stat_max"),
-        F.first("_p10").alias("stat_p10"),
-        F.first("_p25").alias("_p25"),
-        F.first("_med").alias("stat_median"),
-        F.first("_p75").alias("_p75"),
-        F.first("_p90").alias("stat_p90"),
-        F.sum(xx * xx).alias("stat_energy"),
-        F.sqrt(F.avg(xx * xx)).alias("stat_rms"),
-        F.avg(F.abs(xx - F.col("_mean"))).alias("stat_mad"),
-        F.avg(F.abs(xx - F.col("_med"))).alias("stat_medad"),
-        F.avg(F.pow(xx - F.col("_mean"), 3)).alias("_m3"),
-        F.avg(F.pow(xx - F.col("_mean"), 4)).alias("_m4"),
-        F.avg(F.when(trim, F.abs(xx - F.col("_tmean")))).alias("stat_rmad"),
+    cum, n = F.col("cum"), F.col("n")
+
+    def at_rank(rank: Column) -> Column:
+        # value at 1-based rank r: the histogram row whose cumulative
+        # range [cum-c+1, cum] contains r
+        return F.max(F.when((cum - c < rank) & (rank <= cum), xx))
+
+    aggs = [
+        F.max(n).alias("n"),
+        F.sum(c * xx).alias("s1"),
+        F.sum(c * (xx * xx)).alias("s2"),
+        F.sum(c * ((xx * xx) * xx)).alias("s3"),
+        F.sum(c * ((xx * xx) * (xx * xx))).alias("s4"),
+        F.min(xx).alias("mn"),
+        F.max(xx).alias("mx"),
+    ]
+    for nm, qf in _QFRACS:
+        j = F.floor((n - 1).cast("double") * F.lit(qf)).cast("long")
+        aggs.append(at_rank(j + 1).alias(f"a{nm}"))
+        aggs.append(at_rank(j + 2).alias(f"b{nm}"))
+    bas = r.groupBy(*KEYS).agg(*aggs)
+
+    nn = F.col("n")
+    mean = F.col("s1") / nn
+    var = F.greatest(F.col("s2") / nn - (F.col("s1") / nn) * (F.col("s1") / nn), F.lit(0.0))
+    h10 = (nn - 1).cast("double") * F.lit(0.1)
+    t10 = h10 - F.floor(h10)
+    lo_b = F.when((t10 > 0) & (F.col("b10") > F.col("a10")), F.col("b10")).otherwise(F.col("a10"))
+    pct = bas.select(
+        *KEYS, "n", "s1", "s2", "s3", "s4", "mn", "mx",
+        mean.alias("mean"),
+        var.alias("var"),
+        *[_lerp(nm, qf).alias(f"p{nm}") for nm, qf in _QFRACS],
+        lo_b.alias("lo_b"),
+        F.col("a90").alias("hi_b"),
     )
-    var = F.col("stat_var")
-    out = out.select(
+
+    trim = (xx >= F.col("lo_b")) & (xx <= F.col("hi_b"))
+    dev = (
+        h.join(pct.select(*KEYS, "n", "s1", "p50", "lo_b", "hi_b"), KEYS)
+        .groupBy(*KEYS)
+        .agg(
+            F.sum(c * F.abs(F.col("n") * xx - F.col("s1"))).alias("sad1"),
+            F.sum(c * F.abs(xx - F.col("p50"))).alias("sadmed"),
+            F.sum(F.when(trim, c)).alias("m"),
+            F.sum(F.when(trim, c * xx)).alias("st"),
+        )
+    )
+    rm = (
+        h.join(pct.select(*KEYS, "lo_b", "hi_b"), KEYS)
+        .join(dev.select(*KEYS, "m", "st"), KEYS)
+        .groupBy(*KEYS)
+        .agg(F.sum(F.when(trim, c * F.abs(F.col("m") * xx - F.col("st")))).alias("sadt"))
+    )
+
+    j = pct.join(dev, KEYS).join(rm, KEYS)
+    mean, var = F.col("mean"), F.col("var")
+    s2n = F.col("s2") / nn
+    s3n = F.col("s3") / nn
+    s4n = F.col("s4") / nn
+    skew = F.when(var == 0, 0.0).otherwise(
+        (s3n - F.lit(3.0) * mean * s2n + F.lit(2.0) * mean * mean * mean)
+        / (var * F.sqrt(var))
+    )
+    kurt = F.when(var == 0, 0.0).otherwise(
+        (
+            s4n - F.lit(4.0) * mean * s3n + F.lit(6.0) * (mean * mean) * s2n
+            - F.lit(3.0) * ((mean * mean) * (mean * mean))
+        ) / (var * var) - F.lit(3.0)
+    )
+    return j.select(
         *KEYS,
-        F.col("n").cast("long").alias("n_turns"),
-        "stat_mean",
-        "stat_var",
-        F.when(var == 0, 0.0).otherwise(F.col("_m3") / F.pow(var, 1.5)).alias("stat_skew"),
-        F.when(var == 0, 0.0).otherwise(F.col("_m4") / (var * var) - 3).alias("stat_kurt"),
-        "stat_median",
-        "stat_min",
-        "stat_p10",
-        "stat_p90",
-        "stat_max",
-        (F.col("_p75") - F.col("_p25")).alias("stat_iqr"),
-        (F.col("stat_max") - F.col("stat_min")).alias("stat_range"),
-        "stat_mad",
-        "stat_rmad",
-        "stat_medad",
-        F.when(F.col("stat_mean") == 0, SENTINEL)
-        .otherwise(F.sqrt(var) / F.col("stat_mean"))
-        .alias("stat_cov"),
-        F.when(F.col("_p75") + F.col("_p25") == 0, SENTINEL)
-        .otherwise((F.col("_p75") - F.col("_p25")) / (F.col("_p75") + F.col("_p25")))
+        nn.cast("long").alias("n_turns"),
+        mean.alias("stat_mean"),
+        var.alias("stat_var"),
+        skew.alias("stat_skew"),
+        kurt.alias("stat_kurt"),
+        F.col("p50").alias("stat_median"),
+        F.col("mn").alias("stat_min"),
+        F.col("p10").alias("stat_p10"),
+        F.col("p90").alias("stat_p90"),
+        F.col("mx").alias("stat_max"),
+        (F.col("p75") - F.col("p25")).alias("stat_iqr"),
+        (F.col("mx") - F.col("mn")).alias("stat_range"),
+        (F.col("sad1") / (nn * nn)).alias("stat_mad"),
+        (F.col("sadt") / (F.col("m") * F.col("m"))).alias("stat_rmad"),
+        (F.col("sadmed") / nn).alias("stat_medad"),
+        F.when(mean == 0, SENTINEL).otherwise(F.sqrt(var) / mean).alias("stat_cov"),
+        F.when(F.col("p75") + F.col("p25") == 0, SENTINEL)
+        .otherwise((F.col("p75") - F.col("p25")) / (F.col("p75") + F.col("p25")))
         .alias("stat_qcod"),
-        "stat_energy",
-        "stat_rms",
+        F.col("s2").alias("stat_energy"),
+        F.sqrt(s2n).alias("stat_rms"),
     )
-    return out
 
 
 def fbn_grey_asof(
@@ -138,10 +239,15 @@ def hist_asof(
     per-level counts via lag/lead central differences
     (intensity.py:179-185, 284-324)."""
     g = fbn_grey_asof(df, spark, cutoffs, n_bins, signal_col)
-    counts = g.groupBy(*KEYS, "grey").agg(F.count("*").cast("double").alias("c"))
+    counts = g.groupBy(*KEYS, "grey").agg(F.count("*").cast("long").alias("ci"))
     wk = Window.partitionBy(*KEYS)
-    counts = counts.withColumn("total", F.sum("c").over(wk))
-    counts = counts.withColumn("p", F.col("c") / F.col("total"))
+    wo = Window.partitionBy(*KEYS).orderBy("grey").rowsBetween(Window.unboundedPreceding, 0)
+    counts = (
+        counts.withColumn("n", F.sum("ci").over(wk))
+        .withColumn("cum", F.sum("ci").over(wo))
+        .withColumn("c", F.col("ci").cast("double"))
+    )
+    counts = counts.withColumn("p", F.col("c") / F.col("n"))
     wl = Window.partitionBy(*KEYS).orderBy("grey")
     prev_c = F.lag("c").over(wl)
     next_c = F.lead("c").over(wl)
@@ -163,20 +269,41 @@ def hist_asof(
         .withColumn("rn_maxg", F.row_number().over(maxg_w))
         .withColumn("rn_ming", F.row_number().over(ming_w))
     )
+    # moments from the SAME counts pass with the deterministic value
+    # algebra (module docstring): exact integer sums, order-statistic
+    # median — no second scan of g, no var_pop/percentile lerp drift
+    ci, cum, n, gy = F.col("ci"), F.col("cum"), F.col("n"), F.col("grey")
+    j50 = F.floor((n - 1).cast("double") * F.lit(0.5)).cast("long")
     agg = counts.groupBy(*KEYS).agg(
         (-F.sum(F.col("p") * F.log2("p"))).alias("ih_entropy"),
-        F.sum(F.col("p") * F.col("p")).alias("ih_uniformity"),
+        (F.sum(ci * ci) / (F.max("n") * F.max("n"))).alias("ih_uniformity"),
         F.max(F.when(F.col("rn_mode") == 1, F.col("grey"))).alias("ih_mode"),
         F.max(F.when((F.col("rn_maxg") == 1) & (F.col("n_levels") > 1), F.col("grad"))).alias("ih_max_grad"),
         F.max(F.when((F.col("rn_maxg") == 1) & (F.col("n_levels") > 1), F.col("grey"))).alias("ih_max_grad_g"),
         F.max(F.when((F.col("rn_ming") == 1) & (F.col("n_levels") > 1), F.col("grad"))).alias("ih_min_grad"),
         F.max(F.when((F.col("rn_ming") == 1) & (F.col("n_levels") > 1), F.col("grey"))).alias("ih_min_grad_g"),
+        F.max("n").alias("n"),
+        F.sum(ci * gy).alias("s1"),
+        F.sum(ci * (gy * gy)).alias("s2"),
+        F.min(gy).alias("ih_min"),
+        F.max(gy).alias("ih_max"),
+        F.max(F.when((cum - ci < j50 + 1) & (j50 + 1 <= cum), gy)).alias("a50"),
+        F.max(F.when((cum - ci < j50 + 2) & (j50 + 2 <= cum), gy)).alias("b50"),
     )
-    moments = g.groupBy(*KEYS).agg(
-        F.avg("grey").alias("ih_mean"),
-        F.var_pop("grey").alias("ih_var"),
-        F.percentile(F.col("grey"), F.lit(0.5)).alias("ih_median"),
-        F.min("grey").alias("ih_min"),
-        F.max("grey").alias("ih_max"),
+    nn = F.col("n")
+    mean = F.col("s1") / nn
+    return agg.select(
+        *KEYS,
+        mean.alias("ih_mean"),
+        F.greatest(F.col("s2") / nn - (F.col("s1") / nn) * (F.col("s1") / nn), F.lit(0.0)).alias("ih_var"),
+        _lerp("50", 0.5).alias("ih_median"),
+        "ih_min",
+        "ih_max",
+        "ih_entropy",
+        "ih_uniformity",
+        "ih_mode",
+        "ih_max_grad",
+        "ih_max_grad_g",
+        "ih_min_grad",
+        "ih_min_grad_g",
     )
-    return moments.join(agg, KEYS)

@@ -105,16 +105,26 @@ def ivf_topk(
     """IVF-style approximate top-k: coarse-quantize vectors to their
     nearest centroid, probe only the query's ``n_probe`` nearest cells.
 
-    Centroids here are the first ``n_centroids`` vectors by id — a
-    deterministic placeholder for a trained k-means codebook (same plan
-    shape either way: the codebook is broadcast, assignment is one window
-    pass, probing is an equi-join on the low-cardinality cell id, so one
-    conversation-sized Exchange replaces the brute-force full cross join).
-    Recall < 1 by construction; cosine_topk is the exact baseline.
+    Centroids are a deterministic HASH sample of the corpus: the
+    ``n_centroids`` vectors with the smallest md5("ivf|" + id) — invariant
+    to data order and partitioning (unlike a head-by-id placeholder, whose
+    recall silently depends on row order), and computed as a distributed
+    top-K (TakeOrderedAndProject: map-side partial top-K, no full sort).
+    A trained k-means codebook slots into the same plan shape: the
+    codebook is broadcast, assignment is one window pass, probing is an
+    equi-join on the low-cardinality cell id, so one bounded Exchange
+    replaces the brute-force full cross join. Recall < 1 by construction;
+    cosine_topk is the exact baseline.
     """
     cents = (
-        vectors.where(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        vectors.select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("cent_vec"),
+            F.md5(F.concat(F.lit("ivf|"), F.col(id_col).cast("string"))).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(n_centroids)
+        .drop("_h")
     )
     sim_vc = _dot(F.col(vec_col), F.col("cent_vec")) / (
         _norm(F.col(vec_col)) * _norm(F.col("cent_vec"))

@@ -61,17 +61,30 @@ def repartition_range(df: DataFrame, n: int | None = None) -> DataFrame:
 
 def with_salt_bucket(
     df: DataFrame, turns_per_bucket: int = 100_000, overlap: int = 4,
-    overlap_before: int = 0,
+    overlap_before: int = 0, ordinal_col: str | None = "turn_idx",
 ) -> DataFrame:
-    """Assign (bucket, own) per turn: bucket = floor(rank / size); the
+    """Assign (bucket, own) per turn: bucket = floor(ordinal / size); the
     first ``overlap`` turns of each bucket are replicated into the
     previous bucket with own=false so lag-k windows up to k=overlap see
     across the border without double counting. ``overlap_before`` also
     replicates the LAST rows of the previous bucket forward (own=false),
     for operators that look backwards (lag) as well as forwards (lead) —
-    e.g. NGLDM dependence counts need both neighbours of every own row."""
-    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
-    df = df.withColumn("_rank", F.row_number().over(w) - 1)
+    e.g. NGLDM dependence counts need both neighbours of every own row.
+
+    ``ordinal_col`` names a 0-based contiguous per-conversation ordinal
+    consistent with the (ts, turn_idx) sort — ``turn_idx`` is exactly
+    that by construction (transcripts.py ROW_NUMBER derivation), so the
+    default path assigns buckets with PURE column arithmetic: no window,
+    hence no single-task per-conversation sort — the very skew this
+    operator exists to break. Pass ``ordinal_col=None`` for inputs
+    without such a column (filtered subsets); that fallback pays a
+    row_number window over bare conv_id and should be avoided for
+    genuinely giant conversations."""
+    if ordinal_col is None:
+        w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+        df = df.withColumn("_rank", F.row_number().over(w) - 1)
+    else:
+        df = df.withColumn("_rank", F.col(ordinal_col).cast("long"))
     df = df.withColumn("bucket", (F.col("_rank") / turns_per_bucket).cast("int"))
     out = df.withColumn("own", F.lit(True))
     if overlap:

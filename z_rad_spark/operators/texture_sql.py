@@ -103,14 +103,40 @@ def _vox(df: DataFrame, signal_col: str = "signal") -> DataFrame:
     )
 
 
+def _bucketed_reduce(joined: DataFrame, one, names) -> DataFrame:
+    """Grouped-map reduction per hash BUCKET of conversations (one Arrow
+    crossing per bucket, numpy slicing per conversation inside) — the same
+    boundary amortization as the extractor: a per-conversation grouped map
+    at 10^8 entities is Python-boundary-bound, not compute-bound."""
+    schema = T.StructType(
+        [T.StructField("conv_id", T.StringType(), False)]
+        + [T.StructField(n, T.DoubleType(), True) for n in names]
+    )
+    columns = [f.name for f in schema.fields]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for conv, grp in pdf.groupby("conv_id", sort=False):
+            row = {"conv_id": conv}
+            row.update(one(grp))
+            rows.append(row)
+        return pd.DataFrame(rows, columns=columns)
+
+    spark = joined.sparkSession
+    n_parts = max(2 * spark.sparkContext.defaultParallelism, 8)
+    bucketed = joined.withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_parts)).cast("int")
+    )
+    return bucketed.repartition(n_parts, "bucket").groupBy("bucket").applyInPandas(
+        kernel, schema=schema
+    )
+
+
 def _cells_to_features(cells: DataFrame, vox: DataFrame, kind: str) -> DataFrame:
     """Reduce per-conversation cell lists with the shared kernel formulas.
 
     Input cardinality is <= lvl*width per conversation — tiny — so the
-    grouped map runs per hash BUCKET of conversations (one Arrow crossing
-    per bucket, numpy slicing per conversation inside), the same boundary
-    amortization as the extractor: a per-conversation grouped map at 10^8
-    entities is Python-boundary-bound, not compute-bound."""
+    reduction runs through ``_bucketed_reduce``."""
     joined = cells.join(vox, "conv_id")
     if kind == "glcm":
         names = GLCM_NAMES
@@ -120,11 +146,6 @@ def _cells_to_features(cells: DataFrame, vox: DataFrame, kind: str) -> DataFrame
         names = GLDZM_NAMES
     else:
         names = NGLDM_NAMES
-    schema = T.StructType(
-        [T.StructField("conv_id", T.StringType(), False)]
-        + [T.StructField(n, T.DoubleType(), True) for n in names]
-    )
-    columns = [f.name for f in schema.fields]
 
     def one(pdf: pd.DataFrame) -> dict:
         vc = float(pdf["vc"].iloc[0])
@@ -147,22 +168,7 @@ def _cells_to_features(cells: DataFrame, vox: DataFrame, kind: str) -> DataFrame
         raw = matrix_feature_values(m, vc, include_energy=True)
         return dict(zip(NGLDM_NAMES, (raw[a] for a in NGLDM_ATTRS)))
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for conv, grp in pdf.groupby("conv_id", sort=False):
-            row = {"conv_id": conv}
-            row.update(one(grp))
-            rows.append(row)
-        return pd.DataFrame(rows, columns=columns)
-
-    spark = joined.sparkSession
-    n_parts = max(2 * spark.sparkContext.defaultParallelism, 8)
-    bucketed = joined.withColumn(
-        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_parts)).cast("int")
-    )
-    return bucketed.repartition(n_parts, "bucket").groupBy("bucket").applyInPandas(
-        kernel, schema=schema
-    )
+    return _bucketed_reduce(joined, one, names)
 
 
 def glcm_cells_salted(
@@ -201,16 +207,19 @@ def glcm_cells_salted(
     ).agg(F.count("*").cast("double").alias("c"))
 
 
-def glrlm_cells_salted(
+def _runs_salted(
     df: DataFrame, turns_per_bucket: int = 100_000, signal_col: str = "signal"
 ) -> DataFrame:
-    """Salt-bucketed run cells — exact distributed RLE for giant
-    conversations. Buckets partition each conversation (no overlap); local
-    gaps-and-islands finds per-bucket runs; runs interior to a bucket are
-    final, and the <=2 border runs per bucket are merged across adjacent
-    buckets by a second (tiny) gaps-and-islands over the edge-run sequence
-    — a run spanning whole buckets chains through them exactly once.
-    """
+    """Salt-bucketed exact distributed RLE with run POSITIONS — the shared
+    machinery for giant-conversation GLRLM and GLDZM. Buckets partition
+    each conversation (no overlap); local gaps-and-islands finds
+    per-bucket runs; runs interior to a bucket are final, and the <=2
+    border runs per bucket are merged across adjacent buckets by a second
+    (tiny) gaps-and-islands over the edge-run sequence — a run spanning
+    whole buckets chains through them exactly once. Output: one row per
+    final run (conv_id, lvl, len, srn, ern) with 1-based start/end
+    positions (srn/ern = turn_idx + 1, valid under the transcripts
+    ordinal contract)."""
     from .skew import with_salt_bucket
 
     g = df.select("conv_id", "ts", "turn_idx", F.col(signal_col).cast("double").alias("g"))
@@ -221,14 +230,21 @@ def glrlm_cells_salted(
     runs = (
         b.withColumn("run_id", run_id)
         .groupBy("conv_id", "bucket", "run_id")
-        .agg(F.min("g").cast("int").alias("lvl"), F.count("*").cast("long").alias("len"))
+        .agg(
+            F.min("g").cast("int").alias("lvl"),
+            F.count("*").cast("long").alias("len"),
+            (F.min("turn_idx") + 1).cast("long").alias("srn"),
+            (F.max("turn_idx") + 1).cast("long").alias("ern"),
+        )
     )
     wmax = Window.partitionBy("conv_id", "bucket")
     runs = runs.withColumn("n_runs", F.max("run_id").over(wmax))
     runs = runs.withColumn("is_first", F.col("run_id") == 1).withColumn(
         "is_last", F.col("run_id") == F.col("n_runs")
     )
-    interior = runs.where(~F.col("is_first") & ~F.col("is_last")).select("conv_id", "lvl", "len")
+    interior = runs.where(~F.col("is_first") & ~F.col("is_last")).select(
+        "conv_id", "lvl", "len", "srn", "ern"
+    )
 
     edge = runs.where(F.col("is_first") | F.col("is_last"))
     we = Window.partitionBy("conv_id").orderBy("bucket", "run_id")
@@ -242,13 +258,53 @@ def glrlm_cells_salted(
     merged = (
         edge.withColumn("chain", chain)
         .groupBy("conv_id", "chain")
-        .agg(F.min("lvl").alias("lvl"), F.sum("len").alias("len"))
-        .select("conv_id", "lvl", "len")
+        .agg(
+            F.min("lvl").alias("lvl"),
+            F.sum("len").alias("len"),
+            F.min("srn").alias("srn"),
+            F.max("ern").alias("ern"),
+        )
+        .select("conv_id", "lvl", "len", "srn", "ern")
     )
-    allruns = interior.unionByName(merged)
+    return interior.unionByName(merged)
+
+
+def glrlm_cells_salted(
+    df: DataFrame, turns_per_bucket: int = 100_000, signal_col: str = "signal"
+) -> DataFrame:
+    """Salt-bucketed run cells (conv_id, lvl, len, c) — see _runs_salted."""
+    allruns = _runs_salted(df, turns_per_bucket, signal_col)
     return allruns.groupBy(
         "conv_id", "lvl", F.col("len").cast("int").alias("len")
     ).agg(F.count("*").cast("double").alias("c"))
+
+
+def gldzm_cells_salted(
+    df: DataFrame, turns_per_bucket: int = 100_000, signal_col: str = "signal"
+) -> DataFrame:
+    """Salt-bucketed distance-zone cells: the same merged runs as GLRLM's
+    salted path, keyed by min taxicab distance of the run's endpoints to
+    the conversation border (identical distance formula to gldzm_cells).
+    Reference: zrad/radiomics/gldzm.py:28-159."""
+    runs = _runs_salted(df, turns_per_bucket, signal_col)
+    n = df.groupBy("conv_id").agg(F.count("*").cast("long").alias("_n"))
+    d = F.greatest(
+        F.least(
+            F.least(F.col("srn"), F.col("_n") - F.col("srn") + 1),
+            F.least(F.col("ern"), F.col("_n") - F.col("ern") + 1),
+        ),
+        F.lit(1),
+    )
+    zones = runs.join(n, "conv_id").select("conv_id", "lvl", d.cast("int").alias("len"))
+    return zones.groupBy("conv_id", "lvl", "len").agg(F.count("*").cast("double").alias("c"))
+
+
+def gldzm_features_salted(
+    df: DataFrame, turns_per_bucket: int = 100_000, signal_col: str = "signal"
+) -> DataFrame:
+    return _cells_to_features(
+        gldzm_cells_salted(df, turns_per_bucket, signal_col), _vox(df, signal_col), "gldzm"
+    )
 
 
 def gldzm_cells(df: DataFrame, signal_col: str = "signal") -> DataFrame:
@@ -340,25 +396,21 @@ def ngtdm_cells(
 def ngtdm_features_distributed(
     df: DataFrame, signal_col: str = "signal", turns_per_bucket: int | None = None
 ) -> DataFrame:
-    """NGTDM features from per-level cells (<= lvl rows per conversation)."""
+    """NGTDM features from per-level cells (<= lvl rows per conversation),
+    reduced per hash bucket — one Arrow crossing per bucket, not per
+    conversation (same amortization as every other distributed reducer)."""
     cells = ngtdm_cells(df, signal_col, turns_per_bucket)
     vox = _vox(df, signal_col)
     joined = cells.join(vox, "conv_id")
-    schema = T.StructType(
-        [T.StructField("conv_id", T.StringType(), False)]
-        + [T.StructField(n, T.DoubleType(), True) for n in NGTDM_NAMES]
-    )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def one(pdf: pd.DataFrame) -> dict:
         lvl = int(pdf["gmax"].iloc[0]) + 1
         m = np.zeros((lvl, 2))
         m[pdf["lvl"].to_numpy(), 0] = pdf["n_i"].to_numpy()
         m[pdf["lvl"].to_numpy(), 1] = pdf["s_i"].to_numpy()
-        row = {"conv_id": pdf["conv_id"].iloc[0]}
-        row.update(ngtdm_feature_values(m))
-        return pd.DataFrame([row], columns=[f.name for f in schema.fields])
+        return ngtdm_feature_values(m)
 
-    return joined.groupBy("conv_id").applyInPandas(kernel, schema=schema)
+    return _bucketed_reduce(joined, one, NGTDM_NAMES)
 
 
 def glcm_features_distributed(df: DataFrame, lags=(1,), signal_col: str = "signal") -> DataFrame:
