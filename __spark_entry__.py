@@ -848,6 +848,18 @@ def q_filter_wavelet(spark, sf_dir):
     )
 
 
+def q_filter_wavelet_db4(spark, sf_dir):
+    """Longer-support wavelet family (db4, 8 taps) through the same
+    declarative window path — the QMF-derived bank from
+    kernels/filters.wavelet_bank (reference accepts any pywt family,
+    zrad/filtering/wavelet.py:127-304)."""
+    from z_rad_spark.operators.filtering import with_wavelet_filter
+
+    return _q_filter(
+        spark, sf_dir, lambda t: with_wavelet_filter(t, wavelet="db4", band="H", level=1)
+    )
+
+
 def q_gldzm_dist(spark, sf_dir):
     """Distributed GLDZM: declarative runs + border distances from global
     positions (same oracle as q_gldzm)."""
@@ -1120,6 +1132,18 @@ def q_lsh_topk(spark, sf_dir):
     )
 
 
+def q_embed_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (semantic dedup), exact baseline —
+    threshold 0.3 calibrated to the synthetic embedding distribution; the
+    LSH multi-table scale path is recall-tested in pytest."""
+    from z_rad_spark.operators.similarity import embedding_near_dup_pairs
+
+    out = embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3, exact=True)
+    return out.select(
+        F.col("vec_id_a").cast("long"), F.col("vec_id_b").cast("long"), "cosine"
+    )
+
+
 def q_media_features(spark, sf_dir):
     from z_rad_spark.operators.multimodal import decode_features, synth_media
 
@@ -1237,6 +1261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semi_eligible": q_semi_eligible,
         "q_anti_eligible": q_anti_eligible,
         "q_ivh_fbn": q_ivh_fbn,
+        "q_filter_wavelet_db4": q_filter_wavelet_db4,
+        "q_embed_dups": q_embed_dups,
         # --- (4) values/plans changed this round ----------------------
         "q_stats_asof": q_stats_asof,
         "q_hist_asof": q_hist_asof,
@@ -1255,9 +1281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngldm": q_ngldm,
         "q_ngtdm": q_ngtdm,
         "q_gldzm": q_gldzm,
+        # --- long-green, unchanged (past the 50-query window) ---------
         "q_glszm": q_glszm,
         "q_shape_full": q_shape_full,
-        # --- long-green, unchanged (past the 50-query window) ---------
         "q_sessionize": q_sessionize,
         "q_lag_lead": q_lag_lead,
         "q_rolling_1h": q_rolling_1h,

@@ -112,6 +112,11 @@ def cpu_tree_seconds():
     return total
 
 spark = get_spark("bench_scaling", cores={cores})
+# identical bucket count at BOTH parallelism levels: partitioning is a
+# property of the dataset, not the cluster size — otherwise the 4N run
+# does 4x the Arrow-boundary crossings and the CPU-work comparison is
+# apples-to-oranges
+spark.conf.set("spark.z_rad_spark.extract.buckets", "128")
 t = e._t(spark, {sf_dir!r})
 big = t.withColumn(
     "_r", F.explode(F.array(*[F.lit(i) for i in range({SCALING_REPL})]))

@@ -1757,6 +1757,17 @@ GROUP BY a.conv_id, a.turn_idx
 ORACLES["q_filter_log"] = _conv_sql(_py_log_taps())
 ORACLES["q_filter_wavelet"] = _conv_sql(_DB2_HI_AVG)
 
+# db4 detail taps derived independently from the published dec_lo via the
+# orthogonal QMF relation dec_hi[k] = (-1)^(k+1) * dec_lo[n-1-k]
+_DB4_LO = [
+    -0.010597401784997278, 0.032883011666982945, 0.030841381835986965,
+    -0.18703481171888114, -0.02798376941698385, 0.6308807679295904,
+    0.7148465705525415, 0.23037781330885523,
+]
+_DB4_HI = [((-1.0) ** (k + 1)) * _DB4_LO[len(_DB4_LO) - 1 - k] for k in range(len(_DB4_LO))]
+_DB4_HI_AVG = [(a + b) / 2.0 for a, b in zip(_DB4_HI, reversed(_DB4_HI))]
+ORACLES["q_filter_wavelet_db4"] = _conv_sql(_DB4_HI_AVG)
+
 # Laws S5 (symmetric -> avg invariance == forward) + energy map: rolling
 # mean of |response|, support 5, zero-padded
 ORACLES["q_filter_laws"] = f"""
@@ -2062,6 +2073,15 @@ LEFT JOIN re ON pr.conv_id = re.conv_id AND pr.as_of = re.as_of
 LEFT JOIN glcm ON pr.conv_id = glcm.conv_id AND pr.as_of = glcm.as_of
 LEFT JOIN rl ON pr.conv_id = rl.conv_id AND pr.as_of = rl.as_of
 LEFT JOIN rle ON pr.conv_id = rle.conv_id AND pr.as_of = rle.as_of
+"""
+
+ORACLES["q_embed_dups"] = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       {r6('list_dot_product(a.ev, b.ev) / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev)))', 'cosine')}
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.ev, b.ev)
+      / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))) >= 0.3
 """
 
 ORACLES["q_semi_eligible"] = f"""

@@ -156,3 +156,47 @@ def test_filtered_extraction_no_leakage(spark):
     poisoned.loc[after, "text"] = "x " * 300
     got = run(poisoned)
     pd.testing.assert_frame_equal(base, got, check_exact=True)
+
+
+def test_wavelet_bank_families_valid():
+    """Every built-in bank satisfies the wavelet filter conditions
+    (sum lo = sqrt(2), sum hi = 0, unit energy) and the QMF-derived db2
+    high-pass equals the published pywt dec_hi exactly; unknown names
+    fail with a clear error (pywt pass-through is import-gated)."""
+    import numpy as np
+    import pytest
+
+    from z_rad_spark.kernels.filters import WAVELET_DEC_LO, wavelet_bank
+
+    for name in WAVELET_DEC_LO:
+        lo, hi = wavelet_bank(name)
+        assert abs(lo.sum() - np.sqrt(2)) < 1e-10, name
+        assert abs(hi.sum()) < 1e-10, name
+        assert abs((lo * lo).sum() - 1.0) < 1e-10, name
+        assert abs((hi * hi).sum() - 1.0) < 1e-10, name
+    lo, hi = wavelet_bank("db2")
+    assert np.array_equal(
+        hi,
+        np.array([-0.48296291314469025, 0.836516303737469,
+                  -0.22414386804185735, -0.12940952255092145]),
+    )
+    with pytest.raises(ValueError, match="unknown wavelet"):
+        wavelet_bank("not_a_wavelet")
+
+
+def test_wavelet_filter_new_families_run():
+    """db3/db4/sym4/coif1 taps drive both the kernel and the declarative
+    window path, and the two agree."""
+    import numpy as np
+
+    from z_rad_spark.kernels import filters as flt
+
+    x = np.arange(40, dtype=float) % 7
+    for name in ("db3", "db4", "sym4", "coif1"):
+        for band in ("L", "H"):
+            out = flt.wavelet_filter(x, name, band, level=1, invariance="avg")
+            assert out.shape == x.shape
+            assert np.isfinite(out).all()
+            taps = flt.wavelet_taps(name, band, 1, "avg")
+            brute = flt._conv_same_zero(x, taps)
+            np.testing.assert_allclose(out, brute, rtol=0, atol=1e-12)

@@ -371,3 +371,67 @@ def test_connected_components_raises_without_convergence(spark):
         connected_components(pairs, max_iter=3)
     ok = connected_components(pairs, max_iter=20).toPandas()
     assert set(ok["cluster_id"]) == {0}
+
+
+def test_snapshot_id_plumbing(spark, tmp_path):
+    """The checkpoint contract only touches the input through an opaque
+    snapshot-id string — exactly what Iceberg's currentSnapshot().snapshotId
+    provides — so this test passes unchanged on an Iceberg runtime:
+    (a) the id is deterministic for unchanged input and moves when the
+    input changes; (b) manifests record it; (c) a crash BETWEEN the data
+    commit and the manifest write costs exactly one bucket recompute."""
+    import os
+
+    from z_rad_spark.checkpoint import (
+        input_snapshot_id,
+        load_manifests,
+        run_resumable,
+    )
+
+    src = tmp_path / "src"
+    pd.DataFrame({"a": [1, 2, 3]}).to_parquet(src.mkdir() or src / "p.parquet")
+    id1 = input_snapshot_id(str(src))
+    assert input_snapshot_id(str(src)) == id1
+    pd.DataFrame({"a": [1, 2, 3, 4]}).to_parquet(src / "p.parquet")
+    assert input_snapshot_id(str(src)) != id1
+
+    out = str(tmp_path / "out")
+
+    def build(b, n):
+        return spark.range(10).withColumn(
+            "bucket", F.lit(b)
+        )
+
+    m1 = run_resumable(spark, build, out, snapshot_id="snapX", n_buckets=4)
+    assert (m1["computed"], m1["skipped"]) == (4, 0)
+    mans = load_manifests(out)
+    assert all(m["snapshot_id"] == "snapX" for m in mans.values())
+    # crash between data write and manifest: drop ONE manifest, keep data
+    os.remove(os.path.join(out, "_lineage", "bucket-00002.json"))
+    m2 = run_resumable(spark, build, out, snapshot_id="snapX", n_buckets=4)
+    assert (m2["computed"], m2["skipped"]) == (1, 3)
+
+
+def test_embedding_near_dup_lsh_recall(spark):
+    """Multi-table LSH candidate generation must recover most of the
+    exact near-dup pairs while examining far fewer than all pairs."""
+    from z_rad_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16))
+    # plant 10 near-dup pairs: small perturbations of existing vectors
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    rows += [(100 + i, (base[i] + 0.05 * rng.standard_normal(16)).tolist()) for i in range(10)]
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    exact = embedding_near_dup_pairs(emb, threshold=0.9, exact=True, dim=16).toPandas()
+    approx = embedding_near_dup_pairs(
+        emb, threshold=0.9, exact=False, dim=16, n_planes=6, n_tables=6
+    ).toPandas()
+    want = set(map(tuple, exact[["vec_id_a", "vec_id_b"]].to_numpy()))
+    got = set(map(tuple, approx[["vec_id_a", "vec_id_b"]].to_numpy()))
+    assert want, "planted near-dups must be found by the exact baseline"
+    assert got <= want  # approx never invents pairs (same cosine filter)
+    recall = len(got & want) / len(want)
+    assert recall >= 0.7, recall

@@ -1,0 +1,112 @@
+"""Structured Streaming surface: watermarked window aggregates and the
+applyInPandasWithState sessionizer, driven with file sources +
+availableNow triggers (deterministic, no timing races), including state
+continuation across a checkpointed restart. Parquet sinks are used
+because they support exactly-once recovery from the checkpoint (the
+memory sink does not)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("signal", T.DoubleType()),
+    ]
+)
+
+
+def _write_batch(spark, path, rows):
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "signal"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf, schema=SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_to_parquet(stream_out, out_path, checkpoint):
+    q = (
+        stream_out.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def _read_sink(spark, path):
+    try:
+        return spark.read.parquet(path).toPandas()
+    except Exception:
+        return pd.DataFrame()
+
+
+def test_streaming_window_stats_append_with_watermark(spark, tmp_path):
+    from z_rad_spark.streaming import streaming_window_stats
+
+    src = str(tmp_path / "src")
+    out_path = str(tmp_path / "out")
+    ck = str(tmp_path / "ck1")
+    _write_batch(
+        spark, src,
+        [
+            ("c1", 0, "2024-01-01 00:10:00", 2.0),
+            ("c1", 1, "2024-01-01 00:40:00", 3.0),
+            ("c1", 2, "2024-01-01 01:20:00", 5.0),
+        ],
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = streaming_window_stats(stream, window="1 hour", watermark="30 minutes")
+    _run_to_parquet(out, out_path, ck)
+    got = _read_sink(spark, out_path)
+    # watermark = 01:20 - 30min = 00:50 -> no window end <= 00:50 yet
+    assert len(got) == 0
+
+    # a late-advancing batch pushes the watermark past the first window;
+    # the restarted query recovers watermark state from the checkpoint
+    _write_batch(spark, src, [("c1", 3, "2024-01-01 03:00:00", 1.0)])
+    stream2 = spark.readStream.schema(SCHEMA).parquet(src)
+    out2 = streaming_window_stats(stream2, window="1 hour", watermark="30 minutes")
+    _run_to_parquet(out2, out_path, ck)
+    got = _read_sink(spark, out_path).sort_values("window_start_us")
+    assert len(got) >= 1
+    first = got.iloc[0]
+    assert first["n_turns"] == 2 and first["signal_sum"] == 5.0
+
+
+def test_streaming_sessionize_state_across_restart(spark, tmp_path):
+    from z_rad_spark.streaming import streaming_sessionize
+
+    src = str(tmp_path / "src2")
+    out_path = str(tmp_path / "out2")
+    ck = str(tmp_path / "ck2")
+    # batch 1: two turns 10 min apart (same session, stays OPEN in state)
+    _write_batch(
+        spark, src,
+        [
+            ("c1", 0, "2024-01-01 00:00:00", 1.0),
+            ("c1", 1, "2024-01-01 00:10:00", 2.0),
+        ],
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = streaming_sessionize(stream, gap_seconds=1800.0, watermark="10 minutes")
+    _run_to_parquet(out, out_path, ck)
+    assert len(_read_sink(spark, out_path)) == 0
+
+    # batch 2 after a RESTART (new query, same checkpoint): a turn 2h later
+    # closes the open session carried in the restored state
+    _write_batch(spark, src, [("c1", 2, "2024-01-01 02:10:00", 7.0)])
+    stream2 = spark.readStream.schema(SCHEMA).parquet(src)
+    out2 = streaming_sessionize(stream2, gap_seconds=1800.0, watermark="10 minutes")
+    _run_to_parquet(out2, out_path, ck)
+    got = _read_sink(spark, out_path)
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["n_turns"] == 2
+    assert row["signal_sum"] == 3.0
+    assert row["session_start_us"] == 1704067200000000
+    assert row["session_end_us"] == 1704067800000000

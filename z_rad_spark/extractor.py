@@ -320,7 +320,14 @@ def extract_features(df: DataFrame, cfg: FeatureConfig, cutoffs: Iterable) -> Da
     # coalescing would serialize this CPU-bound stage onto few tasks), and
     # hashpartitioning on bucket satisfies the groupBy — no second shuffle.
     spark = prepared.sparkSession
-    n_parts = max(4 * spark.sparkContext.defaultParallelism, 8)
+    # Bucket count defaults to 4x parallelism, overridable via
+    # spark.z_rad_spark.extract.buckets. On a real cluster you size the
+    # partition count to the DATASET, not to whichever cluster size runs
+    # the job — a fixed count across N and 4N executors is what makes
+    # cluster-size scaling comparisons (and reruns) apples-to-apples.
+    n_parts = int(spark.conf.get("spark.z_rad_spark.extract.buckets", "0")) or max(
+        4 * spark.sparkContext.defaultParallelism, 8
+    )
     prepared = prepared.withColumn(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_parts)).cast("int")
     ).repartition(n_parts, "bucket")

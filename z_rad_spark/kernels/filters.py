@@ -34,21 +34,62 @@ LAWS_KERNELS = {
     "S3": np.array([-1, 2, -1], dtype=float) / np.sqrt(6.0),
 }
 
-# wavelet filter banks (pywt.Wavelet(name).filter_bank dec_lo/dec_hi)
-WAVELET_BANKS = {
-    "haar": (
-        np.array([0.7071067811865476, 0.7071067811865476]),
-        np.array([-0.7071067811865476, 0.7071067811865476]),
-    ),
-    "db2": (
-        np.array(
-            [-0.12940952255092145, 0.22414386804185735, 0.836516303737469, 0.48296291314469025]
-        ),
-        np.array(
-            [-0.48296291314469025, 0.836516303737469, -0.22414386804185735, -0.12940952255092145]
-        ),
-    ),
+# wavelet decomposition low-pass taps (pywt.Wavelet(name).dec_lo order);
+# the high-pass is derived by the orthogonal QMF relation below, exactly
+# as pywt constructs dec_hi. Families beyond these built-ins resolve via
+# pywt when it is importable (reference accepts any pywt family name:
+# zrad/filtering/wavelet.py:127-304).
+WAVELET_DEC_LO = {
+    "haar": [0.7071067811865476, 0.7071067811865476],
+    "db2": [-0.12940952255092145, 0.22414386804185735, 0.836516303737469, 0.48296291314469025],
+    "db3": [
+        0.035226291882100656, -0.08544127388224149, -0.13501102001039084,
+        0.4598775021193313, 0.8068915093133388, 0.3326705529509569,
+    ],
+    "db4": [
+        -0.010597401784997278, 0.032883011666982945, 0.030841381835986965,
+        -0.18703481171888114, -0.02798376941698385, 0.6308807679295904,
+        0.7148465705525415, 0.23037781330885523,
+    ],
+    "sym4": [
+        -0.07576571478927333, -0.02963552764599851, 0.49761866763201545,
+        0.8037387518059161, 0.29785779560527736, -0.09921954357684722,
+        -0.012603967262037833, 0.0322231006040427,
+    ],
+    "coif1": [
+        -0.01565572813546454, -0.0727326195128539, 0.38486484686420286,
+        0.8525720202122554, 0.3378976624578092, -0.0727326195128539,
+    ],
 }
+
+
+def _qmf_hi(dec_lo: np.ndarray) -> np.ndarray:
+    """Orthogonal QMF high-pass from the low-pass:
+    dec_hi[k] = (-1)^(k+1) * dec_lo[n-1-k] (pywt convention)."""
+    n = dec_lo.size
+    signs = np.where(np.arange(n) % 2 == 0, -1.0, 1.0)
+    return signs * dec_lo[::-1]
+
+
+def wavelet_bank(wavelet: str) -> tuple[np.ndarray, np.ndarray]:
+    """(dec_lo, dec_hi) for a wavelet family: built-in coefficient tables
+    first, any other pywt family name via pywt when installed."""
+    if wavelet in WAVELET_DEC_LO:
+        lo = np.array(WAVELET_DEC_LO[wavelet])
+        return lo, _qmf_hi(lo)
+    try:
+        import pywt
+    except ImportError:
+        raise ValueError(
+            f"unknown wavelet {wavelet!r}; built-ins: {sorted(WAVELET_DEC_LO)} "
+            "(install pywt to use any pywt.Wavelet family name)"
+        ) from None
+    w = pywt.Wavelet(wavelet)
+    return np.asarray(w.dec_lo, dtype=float), np.asarray(w.dec_hi, dtype=float)
+
+
+# backwards-compatible view of the built-in banks
+WAVELET_BANKS = {name: wavelet_bank(name) for name in WAVELET_DEC_LO}
 
 
 def _conv_same_zero(x: np.ndarray, k: np.ndarray) -> np.ndarray:
@@ -143,7 +184,7 @@ def laws_taps(kernel: str = "S5", invariance: str = "avg") -> np.ndarray:
 
 def wavelet_taps(wavelet: str = "haar", band: str = "H", level: int = 1, invariance: str = "avg") -> np.ndarray:
     """Effective wavelet taps (à-trous-stuffed, invariance-folded)."""
-    lo, hi = WAVELET_BANKS[wavelet]
+    lo, hi = wavelet_bank(wavelet)
     k = _atrous(lo if band == "L" else hi, level)
     return (k + k[::-1]) / 2.0 if invariance == "avg" else k
 
@@ -163,7 +204,7 @@ def wavelet_filter(x: np.ndarray, wavelet: str = "haar", band: str = "H", level:
     L (approximation) or H (detail) filter taps convolved over the signal;
     level-2 uses the zero-stuffed kernel; invariance averages forward and
     reversed responses (the 1-D rotation group)."""
-    lo, hi = WAVELET_BANKS[wavelet]
+    lo, hi = wavelet_bank(wavelet)
     k = _atrous(lo if band == "L" else hi, level)
     fwd = _conv_same_zero(x, k)
     if invariance == "avg":

@@ -234,17 +234,31 @@ def ngram_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.0,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for candidate pairs.
 
     |A ∩ B| via shingle equi-join, |A|,|B| via per-doc counts; when pairs
     is None every colliding shingle pair is considered (exact all-pairs
-    over the inverted index — fine at test scale, LSH-capped at 100 TB).
+    over the inverted index — fine at test scale). At 100 TB either pass
+    LSH candidate ``pairs`` (minhash_lsh_pairs) or set ``max_doc_freq``:
+    shingles appearing in more than that many documents are dropped from
+    CANDIDATE GENERATION only (a stop-shingle occurring in 10^6 docs
+    would alone emit 10^12 join rows). The sizes used in the Jaccard
+    denominator are always the full per-doc shingle counts, so the
+    similarity of surviving pairs is a documented lower bound (missing
+    intersections on capped shingles), never an overestimate.
     """
     sh = word_shingles(docs, n, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    join_sh = sh
+    if pairs is None and max_doc_freq is not None:
+        df_counts = sh.groupBy("shingle").agg(F.countDistinct(id_col).alias("_df"))
+        join_sh = sh.join(
+            df_counts.where(F.col("_df") <= max_doc_freq).select("shingle"), "shingle"
+        )
+    a = join_sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = join_sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))

@@ -101,11 +101,14 @@ def stats_asof(
     the as-of value histogram (see value_histogram_asof for the scale
     shape and the module docstring for the determinism contract)."""
     h = value_histogram_asof(df, spark, cutoffs, signal_col)
-    # the histogram feeds three aggregation passes (moments+ranks,
-    # deviations, trimmed deviations) — persist the compact intermediate
-    # so the full-data shuffle runs once, not three times
-    h = h.persist()
 
+    # Single-consumer window-chained pipeline: every group-level scalar
+    # (sums, order statistics, trim bounds, trimmed sums) is attached to
+    # the histogram rows via unbounded windows over ONE (conv_id, as_of)
+    # partitioning, then a final groupBy on the same keys emits one row
+    # per group. No self-joins, no multi-consumption of the histogram
+    # subtree (which would recompute the full-data shuffle per consumer),
+    # and Catalyst folds the chained Window projections into one exchange.
     c, xx = F.col("c"), F.col("x")
     wk = Window.partitionBy(*KEYS)
     wo = Window.partitionBy(*KEYS).orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
@@ -120,57 +123,54 @@ def stats_asof(
     def at_rank(rank: Column) -> Column:
         # value at 1-based rank r: the histogram row whose cumulative
         # range [cum-c+1, cum] contains r
-        return F.max(F.when((cum - c < rank) & (rank <= cum), xx))
+        return F.max(F.when((cum - c < rank) & (rank <= cum), xx)).over(wk)
 
-    aggs = [
-        F.max(n).alias("n"),
-        F.sum(c * xx).alias("s1"),
-        F.sum(c * (xx * xx)).alias("s2"),
-        F.sum(c * ((xx * xx) * xx)).alias("s3"),
-        F.sum(c * ((xx * xx) * (xx * xx))).alias("s4"),
-        F.min(xx).alias("mn"),
-        F.max(xx).alias("mx"),
-    ]
+    rank_cols = []
     for nm, qf in _QFRACS:
         j = F.floor((n - 1).cast("double") * F.lit(qf)).cast("long")
-        aggs.append(at_rank(j + 1).alias(f"a{nm}"))
-        aggs.append(at_rank(j + 2).alias(f"b{nm}"))
-    bas = r.groupBy(*KEYS).agg(*aggs)
+        rank_cols.append(at_rank(j + 1).alias(f"a{nm}"))
+        rank_cols.append(at_rank(j + 2).alias(f"b{nm}"))
+    r = r.select(
+        *KEYS, "x", "c", "n", "cum",
+        F.sum(c * xx).over(wk).alias("s1"),
+        F.sum(c * (xx * xx)).over(wk).alias("s2"),
+        F.sum(c * ((xx * xx) * xx)).over(wk).alias("s3"),
+        F.sum(c * ((xx * xx) * (xx * xx))).over(wk).alias("s4"),
+        F.min(xx).over(wk).alias("mn"),
+        F.max(xx).over(wk).alias("mx"),
+        *rank_cols,
+    )
 
     nn = F.col("n")
-    mean = F.col("s1") / nn
-    var = F.greatest(F.col("s2") / nn - (F.col("s1") / nn) * (F.col("s1") / nn), F.lit(0.0))
+    mean_e = F.col("s1") / nn
+    var_e = F.greatest(F.col("s2") / nn - (F.col("s1") / nn) * (F.col("s1") / nn), F.lit(0.0))
     h10 = (nn - 1).cast("double") * F.lit(0.1)
     t10 = h10 - F.floor(h10)
     lo_b = F.when((t10 > 0) & (F.col("b10") > F.col("a10")), F.col("b10")).otherwise(F.col("a10"))
-    pct = bas.select(
-        *KEYS, "n", "s1", "s2", "s3", "s4", "mn", "mx",
-        mean.alias("mean"),
-        var.alias("var"),
+    r = r.select(
+        *KEYS, "x", "c", "n", "s1", "s2", "s3", "s4", "mn", "mx",
+        mean_e.alias("mean"),
+        var_e.alias("var"),
         *[_lerp(nm, qf).alias(f"p{nm}") for nm, qf in _QFRACS],
         lo_b.alias("lo_b"),
         F.col("a90").alias("hi_b"),
     )
-
     trim = (xx >= F.col("lo_b")) & (xx <= F.col("hi_b"))
-    dev = (
-        h.join(pct.select(*KEYS, "n", "s1", "p50", "lo_b", "hi_b"), KEYS)
-        .groupBy(*KEYS)
-        .agg(
-            F.sum(c * F.abs(F.col("n") * xx - F.col("s1"))).alias("sad1"),
-            F.sum(c * F.abs(xx - F.col("p50"))).alias("sadmed"),
-            F.sum(F.when(trim, c)).alias("m"),
-            F.sum(F.when(trim, c * xx)).alias("st"),
-        )
-    )
-    rm = (
-        h.join(pct.select(*KEYS, "lo_b", "hi_b"), KEYS)
-        .join(dev.select(*KEYS, "m", "st"), KEYS)
-        .groupBy(*KEYS)
-        .agg(F.sum(F.when(trim, c * F.abs(F.col("m") * xx - F.col("st")))).alias("sadt"))
+    r = r.withColumn("m", F.sum(F.when(trim, c)).over(wk)).withColumn(
+        "st", F.sum(F.when(trim, c * xx)).over(wk)
     )
 
-    j = pct.join(dev, KEYS).join(rm, KEYS)
+    firsts = [
+        F.first(col).alias(col)
+        for col in ["n", "s1", "s2", "s3", "s4", "mn", "mx", "mean", "var",
+                    "p10", "p25", "p50", "p75", "p90", "m"]
+    ]
+    j = r.groupBy(*KEYS).agg(
+        *firsts,
+        F.sum(c * F.abs(F.col("n") * xx - F.col("s1"))).alias("sad1"),
+        F.sum(c * F.abs(xx - F.col("p50"))).alias("sadmed"),
+        F.sum(F.when(trim, c * F.abs(F.col("m") * xx - F.col("st")))).alias("sadt"),
+    )
     mean, var = F.col("mean"), F.col("var")
     s2n = F.col("s2") / nn
     s3n = F.col("s3") / nn

@@ -125,6 +125,9 @@ def ivf_topk(
         .orderBy("_h")
         .limit(n_centroids)
         .drop("_h")
+        # the codebook is consumed by TWO broadcasts (assignment + probe);
+        # persist so the distributed top-K over the corpus runs once
+        .persist()
     )
     sim_vc = _dot(F.col(vec_col), F.col("cent_vec")) / (
         _norm(F.col(vec_col)) * _norm(F.col("cent_vec"))
@@ -158,6 +161,55 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id, id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    exact: bool = False,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine — the semantic-dedup mode
+    (exact/minhash/simhash cover surface text; this catches paraphrases).
+
+    ``exact=True``: all unordered pairs (id_a < id_b) scored — O(N^2),
+    the oracle-verifiable baseline for small corpora and recall tests.
+
+    ``exact=False`` (the 100 TB path): multi-table random-hyperplane LSH —
+    vectors colliding in ANY of ``n_tables`` sign-buckets become
+    candidates (union of T bucket equi-self-joins, never all-pairs), then
+    the exact cosine filter keeps pairs >= threshold. Per-table collision
+    probability for angle theta is (1 - theta/pi)^n_planes; recall is
+    1 - (1 - p)^n_tables, tuned by (n_planes, n_tables).
+
+    Output: (id_a, id_b, cosine) with id_a < id_b.
+    """
+    ida, idb = F.col(id_col + "_a"), F.col(id_col + "_b")
+    if exact:
+        a = vectors.select(F.col(id_col).alias(id_col + "_a"), F.col(vec_col).alias("_va"))
+        b = vectors.select(F.col(id_col).alias(id_col + "_b"), F.col(vec_col).alias("_vb"))
+        cand = a.crossJoin(b).where(ida < idb)
+    else:
+        parts = []
+        for t in range(n_tables):
+            v = with_lsh_bucket(vectors, vec_col, dim, n_planes, seed=17 + t)
+            a = v.select(F.col(id_col).alias(id_col + "_a"), F.col(vec_col).alias("_va"), "bucket")
+            b = v.select(F.col(id_col).alias(id_col + "_b"), F.col(vec_col).alias("_vb"), "bucket")
+            parts.append(a.join(b, "bucket").where(ida < idb).drop("bucket"))
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
+        cand = cand.dropDuplicates([id_col + "_a", id_col + "_b"])
+    sim = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        cand.withColumn("cosine", sim.cast("double"))
+        .where(F.col("cosine") >= threshold)
+        .select(id_col + "_a", id_col + "_b", F.round("cosine", 6).alias("cosine"))
     )
 
 
