@@ -1170,6 +1170,37 @@ def q_gldzm_salted(spark, sf_dir):
     return _r6(out.select("conv_id", *cols), cols)
 
 
+def q_glszm_25d(spark, sf_dir):
+    """GLSZM 2.5D: zones bounded by session borders, matrices pooled
+    across sessions before the 16 formulas (1-D zones ≡ runs)."""
+    from z_rad_spark.kernels.texture import GLSZM_NAMES
+
+    cfg = FeatureConfig(
+        families=("glszm",), aggr_dim="2.5D", aggr_method="MERG",
+        gap_seconds=GAP_SECONDS, min_turns=1,
+    )
+    out = extract_features(_t(spark, sf_dir), cfg, [END])
+    cols = list(GLSZM_NAMES)
+    sel = [F.col(f"{c}_2_5D").alias(c) for c in cols]
+    return _r6(out.select("conv_id", *sel), cols)
+
+
+def q_gldzm_25d(spark, sf_dir):
+    """GLDZM 2.5D: zones keyed by min taxicab distance to their SESSION
+    border (border_distance with session boundaries), matrices pooled
+    across sessions (zrad/radiomics/gldzm.py:28-159 per-slice path)."""
+    from z_rad_spark.kernels.texture import GLDZM_NAMES
+
+    cfg = FeatureConfig(
+        families=("gldzm",), aggr_dim="2.5D", aggr_method="MERG",
+        gap_seconds=GAP_SECONDS, min_turns=1,
+    )
+    out = extract_features(_t(spark, sf_dir), cfg, [END])
+    cols = list(GLDZM_NAMES)
+    sel = [F.col(f"{c}_2_5D").alias(c) for c in cols]
+    return _r6(out.select("conv_id", *sel), cols)
+
+
 def q_semi_eligible(spark, sf_dir):
     """Entity-level semi join: per-conversation rollup ONLY for
     conversations with >= 1 tool call (left_semi on the derived eligible
@@ -1263,6 +1294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivh_fbn": q_ivh_fbn,
         "q_filter_wavelet_db4": q_filter_wavelet_db4,
         "q_embed_dups": q_embed_dups,
+        "q_glszm_25d": q_glszm_25d,
+        "q_gldzm_25d": q_gldzm_25d,
         # --- (4) values/plans changed this round ----------------------
         "q_stats_asof": q_stats_asof,
         "q_hist_asof": q_hist_asof,
@@ -1279,9 +1312,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_glcm": q_glcm,
         "q_glrlm": q_glrlm,
         "q_ngldm": q_ngldm,
+        # --- long-green, unchanged (past the 50-query window) ---------
         "q_ngtdm": q_ngtdm,
         "q_gldzm": q_gldzm,
-        # --- long-green, unchanged (past the 50-query window) ---------
         "q_glszm": q_glszm,
         "q_shape_full": q_shape_full,
         "q_sessionize": q_sessionize,

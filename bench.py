@@ -54,6 +54,7 @@ def _run_queries(spark, sf_dir):
 
 
 SCALING_REPL = int(os.environ.get("SPARK_GRAFT_SCALING_REPL", "24"))
+SCALING_BUCKETS = int(os.environ.get("SPARK_GRAFT_SCALING_BUCKETS", "128"))
 
 
 def _flagship_throughput(cores: int, sf_dir: str) -> tuple[float, float]:
@@ -116,7 +117,7 @@ spark = get_spark("bench_scaling", cores={cores})
 # property of the dataset, not the cluster size — otherwise the 4N run
 # does 4x the Arrow-boundary crossings and the CPU-work comparison is
 # apples-to-oranges
-spark.conf.set("spark.z_rad_spark.extract.buckets", "128")
+spark.conf.set("spark.z_rad_spark.extract.buckets", "{SCALING_BUCKETS}")
 t = e._t(spark, {sf_dir!r})
 big = t.withColumn(
     "_r", F.explode(F.array(*[F.lit(i) for i in range({SCALING_REPL})]))

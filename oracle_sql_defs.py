@@ -854,14 +854,29 @@ JOIN entr e ON s.conv_id = e.conv_id
 """
 
 
-def _runs16_session_sql(names: list[str], merge: bool) -> str:
+def _runs16_session_sql(names: list[str], merge: bool, dzm_dist: bool = False) -> str:
     """Run-family SQL with session-bounded runs (runs break at gap
     boundaries like slices): merge=True pools run counts across sessions
     before the formulas (2.5D MERG); merge=False computes the 16 formulas
     per session (voxel count = session size) then means them per
-    conversation (2D AVER, kernels/texture.py _zone_family)."""
+    conversation (2D AVER, kernels/texture.py _zone_family).
+    ``dzm_dist`` replaces the run length with the zone's min taxicab
+    distance to its SESSION border (GLDZM 2.5D: kernels/prep.py
+    border_distance with session boundaries as the per-slice border)."""
     K = "conv_id" if merge else "conv_id, sid"
     vc = "v.vc" if merge else "sz.sn"
+    if dzm_dist:
+        runs_final = """
+sext AS (SELECT conv_id, sid, MIN(rn) AS s0, MAX(rn) AS s1 FROM ord2 GROUP BY conv_id, sid),
+runs AS (
+  SELECT r0.conv_id, r0.sid, r0.lvl,
+         CAST(GREATEST(LEAST(r0.srn - x.s0 + 1, x.s1 - r0.srn + 1,
+                             r0.ern - x.s0 + 1, x.s1 - r0.ern + 1), 1) AS DOUBLE) AS jl
+  FROM runs0 r0 JOIN sext x ON r0.conv_id = x.conv_id AND r0.sid = x.sid
+),"""
+    else:
+        runs_final = """
+runs AS (SELECT conv_id, sid, lvl, CAST(jl0 AS DOUBLE) AS jl FROM runs0),"""
     sql = f"""
 WITH t AS ({T}),
 g0 AS (
@@ -884,12 +899,12 @@ marked AS (
                    OR LAG(sid) OVER w IS DISTINCT FROM sid THEN 1 ELSE 0 END AS brk
   FROM ord2 WINDOW w AS (PARTITION BY conv_id ORDER BY rn)
 ),
-runs AS (
+runs0 AS (
   SELECT conv_id, MIN(sid) AS sid, CAST(MIN(g) AS DOUBLE) AS lvl,
-         CAST(COUNT(*) AS DOUBLE) AS jl
+         COUNT(*) AS jl0, MIN(rn) AS srn, MAX(rn) AS ern
   FROM (SELECT *, SUM(brk) OVER (PARTITION BY conv_id ORDER BY rn) AS run_id FROM marked)
   GROUP BY conv_id, run_id
-),
+),{runs_final}
 ns AS (SELECT {K}, CAST(COUNT(*) AS DOUBLE) AS n_s,
               AVG(lvl) AS mu_i, AVG(jl - 1) AS mu_j FROM runs GROUP BY {K}),
 simple AS (
@@ -950,6 +965,18 @@ _RLM16 = ["rlm_sre", "rlm_lre", "rlm_lgre", "rlm_hgre", "rlm_srlge", "rlm_srhge"
           "rlm_rlnu_norm", "rlm_r_perc", "rlm_gl_var", "rlm_rl_var", "rlm_rl_entr"]
 ORACLES["q_glrlm_25d"] = _runs16_session_sql(_RLM16, merge=True)
 ORACLES["q_glrlm_2d_avg"] = _runs16_session_sql(_RLM16, merge=False)
+
+_SZM16 = ["szm_sze", "szm_lze", "szm_lgze", "szm_hgze", "szm_szlge", "szm_szhge",
+          "szm_lzlge", "szm_lzhge", "szm_glnu", "szm_glnu_norm", "szm_zsnu",
+          "szm_zsnu_norm", "szm_z_perc", "szm_gl_var", "szm_zs_var", "szm_zs_entr"]
+_DZM16 = ["dzm_sde", "dzm_lde", "dzm_lgze", "dzm_hgze", "dzm_sdlge", "dzm_sdhge",
+          "dzm_ldlge", "dzm_ldhge", "dzm_glnu", "dzm_glnu_norm", "dzm_zdnu",
+          "dzm_zdnu_norm", "dzm_z_perc", "dzm_gl_var", "dzm_zd_var", "dzm_zd_entr"]
+# 2.5D zone families: zones bounded by session borders, matrices pooled
+# across sessions before the formulas; GLDZM keys zones by distance to
+# the SESSION border
+ORACLES["q_glszm_25d"] = _runs16_session_sql(_SZM16, merge=True)
+ORACLES["q_gldzm_25d"] = _runs16_session_sql(_DZM16, merge=True, dzm_dist=True)
 
 ORACLES["q_glrlm"] = _runs16_sql(
     ["rlm_sre", "rlm_lre", "rlm_lgre", "rlm_hgre", "rlm_srlge", "rlm_srhge",
