@@ -508,6 +508,38 @@ def q_ngldm_25d(spark, sf_dir):
     return _r6(out.select("conv_id", *sel), cols)
 
 
+def q_ngldm_2d_avg(spark, sf_dir):
+    """NGLDM 2D AVER: the 17 formulas computed per session (voxel count =
+    session size), plain-meaned across sessions."""
+    cols = [
+        "ngl_lde", "ngl_hde", "ngl_lgce", "ngl_hgce", "ngl_ldlge",
+        "ngl_ldhge", "ngl_hdlge", "ngl_hdhge", "ngl_glnu", "ngl_glnu_norm",
+        "ngl_dcnu", "ngl_dcnu_norm", "ngl_dc_perc", "ngl_gl_var",
+        "ngl_dc_var", "ngl_dc_entr", "ngl_dc_energy",
+    ]
+    cfg = FeatureConfig(
+        families=("ngldm",), aggr_dim="2D", aggr_method="AVER",
+        gap_seconds=GAP_SECONDS, min_turns=1,
+    )
+    out = extract_features(_t(spark, sf_dir), cfg, [END])
+    sel = [F.col(f"{c}_2D").alias(c) for c in cols]
+    return _r6(out.select("conv_id", *sel), cols)
+
+
+def q_ngtdm_2d_avg(spark, sf_dir):
+    """NGTDM 2D AVER: the 5 formulas per session, plain-meaned across
+    sessions; neighbourless (single-turn) sessions excluded like the
+    reference's DataStructureError skip (ngtdm.py:133-134)."""
+    cols = ["ngt_coarseness", "ngt_contrast", "ngt_busyness", "ngt_complexity", "ngt_strength"]
+    cfg = FeatureConfig(
+        families=("ngtdm",), aggr_dim="2D", aggr_method="AVER",
+        gap_seconds=GAP_SECONDS, min_turns=1,
+    )
+    out = extract_features(_t(spark, sf_dir), cfg, [END])
+    sel = [F.col(f"{c}_2D").alias(c) for c in cols]
+    return _r6(out.select("conv_id", *sel), cols)
+
+
 def q_ngtdm_25d(spark, sf_dir):
     """NGTDM 2.5D: neighbourhoods bounded by gap sessions, [n_i, s_i]
     matrices summed across sessions."""
@@ -1296,6 +1328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_dups": q_embed_dups,
         "q_glszm_25d": q_glszm_25d,
         "q_gldzm_25d": q_gldzm_25d,
+        "q_ngldm_2d_avg": q_ngldm_2d_avg,
+        "q_ngtdm_2d_avg": q_ngtdm_2d_avg,
         # --- (4) values/plans changed this round ----------------------
         "q_stats_asof": q_stats_asof,
         "q_hist_asof": q_hist_asof,
@@ -1310,9 +1344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- core contract + family anchors (round out the window) ----
         "q_transcripts": q_transcripts,
         "q_glcm": q_glcm,
+        # --- long-green, unchanged (past the 50-query window) ---------
         "q_glrlm": q_glrlm,
         "q_ngldm": q_ngldm,
-        # --- long-green, unchanged (past the 50-query window) ---------
         "q_ngtdm": q_ngtdm,
         "q_gldzm": q_gldzm,
         "q_glszm": q_glszm,

@@ -1005,10 +1005,13 @@ ORACLES["q_gldzm"] = _runs16_sql(
     ),
 )
 
-def _ngldm_sql(session_bounded: bool = False) -> str:
+def _ngldm_sql(session_bounded: bool = False, avg_2d: bool = False) -> str:
     """NGLDM SQL; session_bounded computes dependence counts within gap
-    sessions (2.5D: per-session matrices summed before the formulas)."""
-    if session_bounded:
+    sessions (2.5D: per-session matrices summed before the formulas);
+    avg_2d additionally computes the 17 formulas PER SESSION (voxel
+    count = session size) and plain-means them per conversation (2D
+    AVER, kernels/texture.ngldm_features)."""
+    if session_bounded or avg_2d:
         src = f"""
 g0 AS (
   SELECT conv_id, CAST(signal AS INT) AS g, ts, turn_idx,
@@ -1022,6 +1025,7 @@ ord2 AS (
          ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
   FROM g0
 ),
+ssz AS (SELECT conv_id, sid, CAST(COUNT(*) AS DOUBLE) AS sn FROM ord2 GROUP BY conv_id, sid),
 vox AS (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS vc, MAX(CAST(signal AS INT)) AS gmax FROM t GROUP BY conv_id)"""
         win = "PARTITION BY conv_id, sid ORDER BY rn"
         ord_name = "ord2"
@@ -1029,77 +1033,89 @@ vox AS (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS vc, MAX(CAST(signal AS INT))
         src = _ORD
         win = "PARTITION BY conv_id ORDER BY rn"
         ord_name = "ord"
-    return f"""
+    K = "conv_id, sid" if avg_2d else "conv_id"
+    sid_sel = ", sid" if avg_2d else ""
+    vc = "sz.sn" if avg_2d else "v.vc"
+    vc_join = (
+        "JOIN ssz sz ON s.conv_id = sz.conv_id AND s.sid = sz.sid"
+        if avg_2d
+        else "JOIN vox v ON s.conv_id = v.conv_id"
+    )
+    sql = f"""
 WITH t AS ({T}),
 {src},
 deps AS (
-  SELECT conv_id, CAST(g AS DOUBLE) AS lvl,
+  SELECT conv_id{sid_sel}, CAST(g AS DOUBLE) AS lvl,
          CAST(CASE WHEN LAG(g) OVER w = g THEN 1 ELSE 0 END
             + CASE WHEN LEAD(g) OVER w = g THEN 1 ELSE 0 END AS DOUBLE) AS dep
   FROM {ord_name}
   WINDOW w AS ({win})
 ),
-ns AS (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS n_s,
-              AVG(lvl) AS mu_i, AVG(dep) AS mu_j FROM deps GROUP BY conv_id),
+ns AS (SELECT {K}, CAST(COUNT(*) AS DOUBLE) AS n_s,
+              AVG(lvl) AS mu_i, AVG(dep) AS mu_j FROM deps GROUP BY {K}),
 simple AS (
-  SELECT d.conv_id,
-         AVG(1.0 / POW(d.dep + 1, 2)) AS lde,
-         AVG(POW(d.dep + 1, 2)) AS hde,
-         AVG(1.0 / (d.lvl * d.lvl)) AS lgce,
-         AVG(d.lvl * d.lvl) AS hgce,
-         AVG(1.0 / (d.lvl * d.lvl * POW(d.dep + 1, 2))) AS ldlge,
-         AVG(d.lvl * d.lvl / POW(d.dep + 1, 2)) AS ldhge,
-         AVG(POW(d.dep + 1, 2) / (d.lvl * d.lvl)) AS hdlge,
-         AVG(POW(d.dep + 1, 2) * d.lvl * d.lvl) AS hdhge,
-         AVG(POW(d.lvl - n.mu_i, 2)) AS gl_var,
-         AVG(POW(d.dep - n.mu_j, 2)) AS dc_var
-  FROM deps d JOIN ns n ON d.conv_id = n.conv_id GROUP BY d.conv_id
+  SELECT {K},
+         AVG(1.0 / POW(dep + 1, 2)) AS lde,
+         AVG(POW(dep + 1, 2)) AS hde,
+         AVG(1.0 / (lvl * lvl)) AS lgce,
+         AVG(lvl * lvl) AS hgce,
+         AVG(1.0 / (lvl * lvl * POW(dep + 1, 2))) AS ldlge,
+         AVG(lvl * lvl / POW(dep + 1, 2)) AS ldhge,
+         AVG(POW(dep + 1, 2) / (lvl * lvl)) AS hdlge,
+         AVG(POW(dep + 1, 2) * lvl * lvl) AS hdhge,
+         AVG(POW(lvl - mu_i, 2)) AS gl_var,
+         AVG(POW(dep - mu_j, 2)) AS dc_var
+  FROM deps JOIN ns USING ({K}) GROUP BY {K}
 ),
-bylvl AS (SELECT conv_id, lvl, CAST(COUNT(*) AS DOUBLE) AS c FROM deps GROUP BY conv_id, lvl),
-bydep AS (SELECT conv_id, dep, CAST(COUNT(*) AS DOUBLE) AS c FROM deps GROUP BY conv_id, dep),
-bycell AS (SELECT conv_id, lvl, dep, CAST(COUNT(*) AS DOUBLE) AS c FROM deps GROUP BY conv_id, lvl, dep),
-glnu AS (SELECT conv_id, SUM(c * c) AS v FROM bylvl GROUP BY conv_id),
-dcnu AS (SELECT conv_id, SUM(c * c) AS v FROM bydep GROUP BY conv_id),
+bylvl AS (SELECT {K}, lvl, CAST(COUNT(*) AS DOUBLE) AS c FROM deps GROUP BY {K}, lvl),
+bydep AS (SELECT {K}, dep, CAST(COUNT(*) AS DOUBLE) AS c FROM deps GROUP BY {K}, dep),
+bycell AS (SELECT {K}, lvl, dep, CAST(COUNT(*) AS DOUBLE) AS c FROM deps GROUP BY {K}, lvl, dep),
+glnu AS (SELECT {K}, SUM(c * c) AS v FROM bylvl GROUP BY {K}),
+dcnu AS (SELECT {K}, SUM(c * c) AS v FROM bydep GROUP BY {K}),
 entr AS (
-  SELECT b.conv_id,
-         -SUM((b.c / n.n_s) * LOG2(b.c / n.n_s)) AS e,
-         SUM(POW(b.c / n.n_s, 2)) AS energy
-  FROM bycell b JOIN ns n ON b.conv_id = n.conv_id GROUP BY b.conv_id
+  SELECT {K}, -SUM((c / n_s) * LOG2(c / n_s)) AS e,
+         SUM(c * c) / (MAX(n_s) * MAX(n_s)) AS energy
+  FROM bycell JOIN ns USING ({K}) GROUP BY {K}
+),
+feat AS (
+  SELECT {', '.join('s.' + k for k in K.split(', '))},
+         s.lde, s.hde, s.lgce, s.hgce, s.ldlge, s.ldhge, s.hdlge, s.hdhge,
+         g.v / n.n_s AS glnu_v, g.v / (n.n_s * n.n_s) AS glnu_n,
+         dc.v / n.n_s AS dcnu_v, dc.v / (n.n_s * n.n_s) AS dcnu_n,
+         n.n_s / {vc} AS perc, s.gl_var, s.dc_var, e.e AS entr_v, e.energy AS energy_v
+  FROM simple s
+  JOIN ns n USING ({K})
+  JOIN glnu g USING ({K})
+  JOIN dcnu dc USING ({K})
+  JOIN entr e USING ({K})
+  {vc_join}
 )
-SELECT s.conv_id,
-       {r6('s.lde', 'ngl_lde')},
-       {r6('s.hde', 'ngl_hde')},
-       {r6('s.lgce', 'ngl_lgce')},
-       {r6('s.hgce', 'ngl_hgce')},
-       {r6('s.ldlge', 'ngl_ldlge')},
-       {r6('s.ldhge', 'ngl_ldhge')},
-       {r6('s.hdlge', 'ngl_hdlge')},
-       {r6('s.hdhge', 'ngl_hdhge')},
-       {r6('g.v / n.n_s', 'ngl_glnu')},
-       {r6('g.v / (n.n_s * n.n_s)', 'ngl_glnu_norm')},
-       {r6('dc.v / n.n_s', 'ngl_dcnu')},
-       {r6('dc.v / (n.n_s * n.n_s)', 'ngl_dcnu_norm')},
-       {r6('n.n_s / v.vc', 'ngl_dc_perc')},
-       {r6('s.gl_var', 'ngl_gl_var')},
-       {r6('s.dc_var', 'ngl_dc_var')},
-       {r6('e.e', 'ngl_dc_entr')},
-       {r6('e.energy', 'ngl_dc_energy')}
-FROM simple s
-JOIN ns n ON s.conv_id = n.conv_id
-JOIN vox v ON s.conv_id = v.conv_id
-JOIN glnu g ON s.conv_id = g.conv_id
-JOIN dcnu dc ON s.conv_id = dc.conv_id
-JOIN entr e ON s.conv_id = e.conv_id
 """
+    raw = ["lde", "hde", "lgce", "hgce", "ldlge", "ldhge", "hdlge", "hdhge",
+           "glnu_v", "glnu_n", "dcnu_v", "dcnu_n", "perc", "gl_var", "dc_var",
+           "entr_v", "energy_v"]
+    names = ["ngl_lde", "ngl_hde", "ngl_lgce", "ngl_hgce", "ngl_ldlge", "ngl_ldhge",
+             "ngl_hdlge", "ngl_hdhge", "ngl_glnu", "ngl_glnu_norm", "ngl_dcnu",
+             "ngl_dcnu_norm", "ngl_dc_perc", "ngl_gl_var", "ngl_dc_var",
+             "ngl_dc_entr", "ngl_dc_energy"]
+    if avg_2d:
+        sel = ",\n       ".join(r6(f"AVG({rc})", n) for rc, n in zip(raw, names))
+        return sql + f"SELECT conv_id,\n       {sel}\nFROM feat GROUP BY conv_id"
+    sel = ",\n       ".join(r6(rc, n) for rc, n in zip(raw, names))
+    return sql + f"SELECT conv_id,\n       {sel}\nFROM feat"
 
 
 ORACLES["q_ngldm"] = _ngldm_sql()
 ORACLES["q_ngldm_25d"] = _ngldm_sql(session_bounded=True)
+ORACLES["q_ngldm_2d_avg"] = _ngldm_sql(avg_2d=True)
 
-def _ngtdm_sql(session_bounded: bool = False) -> str:
+def _ngtdm_sql(session_bounded: bool = False, avg_2d: bool = False) -> str:
     """NGTDM SQL; session_bounded restricts the neighbourhood to the gap
-    session (2.5D: per-session [n_i, s_i] matrices summed)."""
-    if session_bounded:
+    session (2.5D: per-session [n_i, s_i] matrices summed); avg_2d
+    computes the 5 formulas per session and plain-means them per
+    conversation, excluding neighbourless (single-turn) sessions — the
+    kernel's 2D AVER path (kernels/texture.ngtdm_features)."""
+    if session_bounded or avg_2d:
         src = f"""
 g0 AS (
   SELECT conv_id, CAST(signal AS INT) AS g, ts, turn_idx,
@@ -1120,11 +1136,16 @@ vox AS (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS vc, MAX(CAST(signal AS INT))
         src = _ORD
         win = "PARTITION BY conv_id ORDER BY rn"
         ord_name = "ord"
-    return f"""
+    K = "conv_id, sid" if avg_2d else "conv_id"
+    sid_sel = ", sid" if avg_2d else ""
+    pair_k = (
+        "a.conv_id = b.conv_id AND a.sid = b.sid" if avg_2d else "a.conv_id = b.conv_id"
+    )
+    sql = f"""
 WITH t AS ({T}),
 {src},
 nbr AS (
-  SELECT conv_id, g,
+  SELECT conv_id{sid_sel}, g,
          COALESCE(CAST(LAG(g) OVER w AS DOUBLE), 0) + COALESCE(CAST(LEAD(g) OVER w AS DOUBLE), 0) AS nb_sum,
          (CASE WHEN LAG(g) OVER w IS NULL THEN 0 ELSE 1 END
         + CASE WHEN LEAD(g) OVER w IS NULL THEN 0 ELSE 1 END) AS nb_cnt
@@ -1132,37 +1153,57 @@ nbr AS (
   WINDOW w AS ({win})
 ),
 lvl AS (
-  SELECT conv_id, CAST(g AS DOUBLE) AS i,
+  SELECT {K}, CAST(g AS DOUBLE) AS i,
          CAST(COUNT(*) AS DOUBLE) AS n_i,
          SUM(ABS(g - nb_sum / nb_cnt)) AS s_i
   FROM nbr WHERE nb_cnt > 0
-  GROUP BY conv_id, g
+  GROUP BY {K}, g
 ),
 tots AS (
-  SELECT conv_id, SUM(n_i) AS n, CAST(COUNT(*) AS DOUBLE) AS n_g,
+  SELECT {K}, SUM(n_i) AS n, CAST(COUNT(*) AS DOUBLE) AS n_g,
          SUM(s_i) AS s2, SUM(n_i * s_i) AS ns
-  FROM lvl GROUP BY conv_id
+  FROM lvl GROUP BY {K}
 ),
 pairs AS (
-  SELECT a.conv_id,
+  SELECT {', '.join('a.' + k for k in K.split(', '))},
          SUM(a.n_i * b.n_i * POW(a.i - b.i, 2)) AS q_contrast,
          SUM(ABS(a.i * a.n_i - b.i * b.n_i)) AS q_busy,
          SUM((a.n_i * a.s_i + b.n_i * b.s_i) * ABS(a.i - b.i) / ((a.n_i + b.n_i))) AS q_compl,
          SUM((a.n_i + b.n_i) * POW(a.i - b.i, 2)) AS q_strength
-  FROM lvl a JOIN lvl b ON a.conv_id = b.conv_id
-  GROUP BY a.conv_id
+  FROM lvl a JOIN lvl b ON {pair_k}
+  GROUP BY {', '.join('a.' + k for k in K.split(', '))}
+),
+feat AS (
+  SELECT {', '.join('t2.' + k for k in K.split(', '))},
+         CASE WHEN t2.ns = 0 THEN 1000000.0 ELSE t2.n / t2.ns END AS coarseness,
+         CASE WHEN t2.n_g * (t2.n_g - 1) * t2.n = 0 THEN 0.0 ELSE (p.q_contrast / (t2.n * t2.n)) * t2.s2 / (t2.n_g * (t2.n_g - 1) * t2.n) END AS contrast,
+         CASE WHEN p.q_busy = 0 THEN 0.0 ELSE (t2.ns / t2.n) / (p.q_busy / t2.n) END AS busyness,
+         (p.q_compl / t2.n) AS complexity,
+         CASE WHEN t2.s2 = 0 THEN 0.0 ELSE (p.q_strength / t2.n) / t2.s2 END AS strength
+  FROM tots t2 JOIN pairs p USING ({K})
 )
-SELECT t2.conv_id,
-       {r6('CASE WHEN t2.ns = 0 THEN 1000000.0 ELSE t2.n / t2.ns END', 'ngt_coarseness')},
-       {r6('CASE WHEN t2.n_g * (t2.n_g - 1) * t2.n = 0 THEN 0.0 ELSE (p.q_contrast / (t2.n * t2.n)) * t2.s2 / (t2.n_g * (t2.n_g - 1) * t2.n) END', 'ngt_contrast')},
-       {r6('CASE WHEN p.q_busy = 0 THEN 0.0 ELSE (t2.ns / t2.n) / (p.q_busy / t2.n) END', 'ngt_busyness')},
-       {r6('(p.q_compl / t2.n) ', 'ngt_complexity')},
-       {r6('CASE WHEN t2.s2 = 0 THEN 0.0 ELSE (p.q_strength / t2.n) / t2.s2 END', 'ngt_strength')}
-FROM tots t2 JOIN pairs p ON t2.conv_id = p.conv_id
 """
+    raw = ["coarseness", "contrast", "busyness", "complexity", "strength"]
+    names = ["ngt_coarseness", "ngt_contrast", "ngt_busyness", "ngt_complexity", "ngt_strength"]
+    if avg_2d:
+        # scaffold over ALL conversations: one whose sessions are all
+        # single-turn has no neighbourful session at all — the kernel
+        # still emits its row with NULL features (skip-not-raise contract)
+        sel = ",\n       ".join(r6(f"AVG({rc})", n) for rc, n in zip(raw, names))
+        return sql + (
+            ",\nfeatagg AS (SELECT conv_id,\n       "
+            + sel
+            + "\nFROM feat GROUP BY conv_id)\n"
+            "SELECT c.conv_id, "
+            + ", ".join(f"f.{n}" for n in names)
+            + "\nFROM (SELECT DISTINCT conv_id FROM t) c LEFT JOIN featagg f USING (conv_id)"
+        )
+    sel = ",\n       ".join(r6(rc, n) for rc, n in zip(raw, names))
+    return sql + f"SELECT conv_id,\n       {sel}\nFROM feat"
 
 
 ORACLES["q_ngtdm"] = _ngtdm_sql()
+ORACLES["q_ngtdm_2d_avg"] = _ngtdm_sql(avg_2d=True)
 # session-bounded: a conversation whose sessions are all singletons has no
 # valid neighbourhood anywhere — the kernel still emits an all-NULL row
 ORACLES["q_ngtdm_25d"] = f"""
@@ -1230,13 +1271,34 @@ sh AS (
 )
 """
 
+# deliberate mirror of z_rad_spark.operators.dedup.minhash_perm_constants
+# (kept inline so the oracle SQL stays importable without pyspark)
+def _minhash_ab(n_hashes: int) -> list:
+    out = []
+    x = 20240116
+    p = 2_147_483_647
+    for _ in range(n_hashes):
+        x = (1103515245 * x + 12345) % p
+        a = x or 1
+        x = (1103515245 * x + 12345) % p
+        out.append((a, x))
+    return out
+
+
+_MH_AB = "(VALUES " + ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(_minhash_ab(8))
+) + ") ab(p, a, b)"
+
 ORACLES["q_minhash_pairs"] = f"""
 WITH {_SHINGLES3},
 mh AS (
-  SELECT doc_id, p AS perm,
-         MIN(md5(CAST(p AS STRING) || '|' || shingle)) AS minhash
-  FROM (SELECT doc_id, shingle, UNNEST(generate_series(0, 7)) AS p FROM sh)
-  GROUP BY doc_id, p
+  SELECT doc_id, ab.p AS perm,
+         MIN((ab.a * hh.h + ab.b) % 2147483647) AS minhash
+  FROM (SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS h
+        FROM sh) hh
+  JOIN {_MH_AB} ON TRUE
+  GROUP BY doc_id, ab.p
 ),
 banded AS (
   SELECT doc_id, CAST(FLOOR(perm / 4) AS INT) AS band,
@@ -1291,24 +1353,18 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
 """
 
+_SIMHASH_BITS = " + ".join(
+    f"CASE WHEN SUM((((h >> {15 - b}) & 1) * 2 - 1)) > 0 THEN {1 << b} ELSE 0 END"
+    for b in range(16)
+)
 ORACLES["q_simhash"] = f"""
 WITH toks AS (
-  SELECT doc_id, md5(UNNEST({TOKS_DOC})) AS h FROM documents
-),
-bits AS (
-  SELECT doc_id, h, UNNEST(generate_series(0, 15)) AS bit FROM toks
-),
-votes AS (
-  SELECT doc_id, bit,
-         SUM(
-           (CAST(FLOOR((strpos('0123456789abcdef', substr(h, CAST(FLOOR(bit / 4) AS INT) + 1, 1)) - 1)
-                 / POW(2, 3 - bit % 4)) AS INT) % 2) * 2 - 1
-         ) AS v
-  FROM bits GROUP BY doc_id, bit
+  SELECT doc_id, CAST('0x' || substr(md5(UNNEST({TOKS_DOC})), 1, 4) AS BIGINT) AS h
+  FROM documents
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(SUM(CASE WHEN v > 0 THEN POW(2, bit) ELSE 0 END) AS BIGINT) AS simhash
-FROM votes GROUP BY doc_id
+       CAST({_SIMHASH_BITS} AS BIGINT) AS simhash
+FROM toks GROUP BY doc_id
 """
 
 _SAMPLE_THR = format(int(0.3 * 16**8), "08x")

@@ -405,7 +405,11 @@ def matrix_feature_values(M: np.ndarray, voxel_count: float, include_energy: boo
         "entropy": float(-(p * np.log2(p)).sum()),
     }
     if include_energy:
-        out["energy"] = float((p * p).sum())
+        # exact form sum(c^2)/n^2: counts are integers, so the sum and the
+        # single division are bit-identical to the SQL SUM(c*c)/(n_s*n_s)
+        # — sum(p^2) rounds each c/n term and its sum order flips dyadic
+        # results (e.g. 0.1240625) across the 6dp rounding boundary
+        out["energy"] = float((cs * cs).sum()) / (n_s * n_s)
     return out
 
 

@@ -75,19 +75,51 @@ def word_shingles(
     return sh.distinct() if distinct else sh
 
 
-def minhash_signature(shingles: DataFrame, n_hashes: int = 16, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, perm, minhash) — min over md5(salt || shingle) hex strings.
+# universal-hash permutation family over the Mersenne prime 2^31 - 1:
+# perm_i(h) = (a_i * h + b_i) mod P with h = md5(shingle) folded to
+# [0, P). Constants from a fixed LCG so the engine and the DuckDB oracle
+# embed the identical table; products stay < 2^62 (no 64-bit overflow in
+# either engine).
+MINHASH_P = 2_147_483_647
 
-    String-min over hex is a valid min-wise permutation family surrogate
-    and is byte-identical across engines (the DuckDB oracle reproduces it).
-    """
+
+def minhash_perm_constants(n_hashes: int) -> list[tuple[int, int]]:
+    out = []
+    x = 20240116
+    for _ in range(n_hashes):
+        x = (1103515245 * x + 12345) % MINHASH_P
+        a = x or 1
+        x = (1103515245 * x + 12345) % MINHASH_P
+        out.append((a, x))
+    return out
+
+
+def minhash_signature(shingles: DataFrame, n_hashes: int = 16, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, perm, minhash) — min over universal-hash permutations of
+    ONE md5 per shingle (folded to a 60-bit integer via the first 15 hex
+    chars, then reduced mod P). One hash invocation per shingle instead
+    of n_hashes salted md5s, and the 16x-amplified shuffle rows are
+    LONGs, not 32-char strings; map-side MIN combine collapses them to
+    n_hashes rows per doc per map task. Byte-identical in the DuckDB
+    oracle (CAST('0x'||substr AS BIGINT) == conv(substr, 16, 10))."""
+    ab = minhash_perm_constants(n_hashes)
+    h = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+        .cast("long") % F.lit(MINHASH_P)
+    ).alias("h")
+    base = shingles.select(id_col, h)
     perms = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("perm")
-    expanded = shingles.select(id_col, "shingle", perms)
-    h = F.md5(F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("shingle")))
+    a_arr = F.array(*[F.lit(a) for a, _ in ab])
+    b_arr = F.array(*[F.lit(b) for _, b in ab])
+    expanded = base.select(id_col, "h", perms)
+    val = (
+        F.element_at(a_arr, F.col("perm") + 1) * F.col("h")
+        + F.element_at(b_arr, F.col("perm") + 1)
+    ) % F.lit(MINHASH_P)
     return (
-        expanded.select(id_col, "perm", h.alias("h"))
+        expanded.select(id_col, "perm", val.alias("hv"))
         .groupBy(id_col, "perm")
-        .agg(F.min("h").alias("minhash"))
+        .agg(F.min("hv").alias("minhash"))
     )
 
 
@@ -294,21 +326,18 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str
     toks = docs.repartition(n_parts, id_col).select(
         F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
     )
-    toks = toks.withColumn("h", F.md5(F.col("tok")))
-    hexmap = "0123456789abcdef"
-    bit_rows = toks.select(
-        id_col,
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-    )
-    nibble = F.instr(F.lit(hexmap), F.substring(F.col("h"), (F.col("bit") / 4).cast("int") + 1, 1)) - 1
-    bit_val = (nibble / F.pow(F.lit(2.0), 3 - (F.col("bit") % 4))).cast("int") % 2
-    votes = bit_rows.select(id_col, "bit", (bit_val * 2 - 1).alias("vote"))
-    agg = votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
-    return agg.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("bit"))).otherwise(F.lit(0.0))
-        )
-        .cast("long")
-        .alias("simhash")
-    )
+    # one md5 per token folded to a `bits`-bit integer; the bit votes are
+    # `bits` conditional sums in ONE aggregation (shift/and integer ops,
+    # portable to the DuckDB oracle) — no per-bit row explosion, so the
+    # shuffle carries tokens, not tokens x bits
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, (bits + 3) // 4), 16, 10).cast("long")
+    toks = toks.select(id_col, h.alias("h"))
+    votes = [
+        F.sum(F.shiftright(F.col("h"), bits - 1 - b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sim = F.lit(0)
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return agg.select(id_col, sim.cast("long").alias("simhash"))
