@@ -1176,6 +1176,31 @@ def q_embed_dups(spark, sf_dir):
     )
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (emails/IPv4/phones redacted + counted). The
+    synthetic corpus carries no PII, so a deterministic augmentation
+    plants one of each on every third document — counts and the md5 of
+    the fully redacted text are value-verified."""
+    from z_rad_spark.operators.text import with_pii_redaction
+
+    docs = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@ex.io at 10.0.0."), (F.col("doc_id") % 250).cast("string"),
+        F.lit(" or +1 415 555 00"), (F.col("doc_id") % 89 + 10).cast("string"),
+    )
+    aug = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 3 == 0, planted).otherwise(F.col("text"))
+    )
+    out = with_pii_redaction(aug)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        "n_email", "n_ipv4", "n_phone",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
 def q_media_features(spark, sf_dir):
     from z_rad_spark.operators.multimodal import decode_features, synth_media
 
@@ -1330,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gldzm_25d": q_gldzm_25d,
         "q_ngldm_2d_avg": q_ngldm_2d_avg,
         "q_ngtdm_2d_avg": q_ngtdm_2d_avg,
+        "q_pii_redact": q_pii_redact,
         # --- (4) values/plans changed this round ----------------------
         "q_stats_asof": q_stats_asof,
         "q_hist_asof": q_hist_asof,
@@ -1343,8 +1369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngtdm_dist": q_ngtdm_dist,
         # --- core contract + family anchors (round out the window) ----
         "q_transcripts": q_transcripts,
-        "q_glcm": q_glcm,
         # --- long-green, unchanged (past the 50-query window) ---------
+        "q_glcm": q_glcm,
         "q_glrlm": q_glrlm,
         "q_ngldm": q_ngldm,
         "q_ngtdm": q_ngtdm,

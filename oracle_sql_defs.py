@@ -2158,6 +2158,41 @@ LEFT JOIN rl ON pr.conv_id = rl.conv_id AND pr.as_of = rl.as_of
 LEFT JOIN rle ON pr.conv_id = rle.conv_id AND pr.as_of = rle.as_of
 """
 
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+_PII_PHONE = "\\+[0-9][0-9 ()-]{7,}[0-9]"
+ORACLES["q_pii_redact"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact u' || CAST(doc_id AS STRING) || '@ex.io at 10.0.0.'
+                   || CAST(doc_id % 250 AS STRING) || ' or +1 415 555 00'
+                   || CAST(doc_id % 89 + 10 AS STRING)
+              ELSE text END AS t0
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(t0, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+         regexp_replace(t0, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM aug
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t1, '{_PII_IP}')) AS BIGINT) AS n_ipv4,
+         regexp_replace(t1, '{_PII_IP}', '<IP>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         CAST(len(regexp_extract_all(t2, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+         regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS t3
+  FROM s2
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_email, n_ipv4, n_phone,
+       md5(t3) AS redacted_md5
+FROM s3
+"""
+
 ORACLES["q_embed_dups"] = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,

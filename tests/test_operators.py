@@ -435,3 +435,22 @@ def test_embedding_near_dup_lsh_recall(spark):
     assert got <= want  # approx never invents pairs (same cosine filter)
     recall = len(got & want) / len(want)
     assert recall >= 0.7, recall
+
+
+def test_texture_features_auto_switches_on_skew(spark, tdf):
+    """The auto dispatcher picks the plain plan for small conversations
+    and the salted plan past the giant threshold — value-identical."""
+    from z_rad_spark.operators.texture_sql import texture_features_auto
+
+    df, _ = tdf
+    small = texture_features_auto(df, "glrlm", giant_threshold=10**6)
+    # tiny threshold forces the salted path on the same data
+    giant = texture_features_auto(df, "glrlm", giant_threshold=5, turns_per_bucket=7)
+    ps = small.toPandas().sort_values("conv_id").reset_index(drop=True)
+    pg = giant.toPandas().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(ps, pg, check_exact=False, rtol=0, atol=1e-12)
+    # the salted plan shape: no Window partitioned by bare conv_id alone
+    plan = giant._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan
+    with pytest.raises(ValueError, match="unknown texture family"):
+        texture_features_auto(df, "nope")

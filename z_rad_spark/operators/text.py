@@ -105,3 +105,28 @@ def with_fingerprint(df: DataFrame, n: int = 4, text_col: str = "text") -> DataF
     )
     fp = F.when(n_sh > 0, F.array_min(shingles)).otherwise(F.md5(F.lower(F.trim(F.col(text_col)))))
     return df.withColumn("fingerprint", fp)
+
+
+# PII patterns chosen from the RE2 ∩ Java-regex portable subset (no
+# lookaround/backrefs), so the Spark plan and the DuckDB oracle match
+# byte-for-byte. Order matters: emails are redacted before IPs so a
+# dotted domain is never half-eaten.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9 ()-]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / international-format phone numbers and
+    count each kind — the standard pretraining-corpus scrubbing pass,
+    expressed as pure regexp column expressions (whole-stage codegen; the
+    engine never materializes an unredacted copy downstream).
+
+    Adds ``text_redacted`` plus ``n_<kind>`` counts per document."""
+    out = F.col(text_col)
+    for kind, pat, repl in PII_PATTERNS:
+        df = df.withColumn(f"n_{kind}", F.regexp_count(out, F.lit(pat)).cast("long"))
+        out = F.regexp_replace(out, pat, repl)
+    return df.withColumn("text_redacted", out)

@@ -453,3 +453,44 @@ def glrlm_features_distributed(df: DataFrame, signal_col: str = "signal") -> Dat
 
 def ngldm_features_distributed(df: DataFrame, signal_col: str = "signal") -> DataFrame:
     return _cells_to_features(ngldm_cells(df, signal_col), _vox(df, signal_col), "ngldm")
+
+
+_AUTO_PATHS = {
+    "glcm": (glcm_features_distributed, glcm_features_salted),
+    "glrlm": (glrlm_features_distributed, glrlm_features_salted),
+    "gldzm": (gldzm_features_distributed, gldzm_features_salted),
+    "ngldm": (ngldm_features_distributed, ngldm_features_salted),
+    "ngtdm": (
+        ngtdm_features_distributed,
+        lambda df, turns_per_bucket=100_000, signal_col="signal": ngtdm_features_distributed(
+            df, signal_col, turns_per_bucket
+        ),
+    ),
+}
+
+
+def texture_features_auto(
+    df: DataFrame,
+    family: str,
+    signal_col: str = "signal",
+    giant_threshold: int = 1_000_000,
+    turns_per_bucket: int = 100_000,
+    **kw,
+) -> DataFrame:
+    """Pick the physical strategy from the DATA: the plain distributed
+    plan (single window pass per conversation) when no conversation
+    exceeds ``giant_threshold`` turns, else the salt-bucketed exact plan
+    whose per-conversation passes spread over many tasks. The decision
+    reads one driver-side summary row (operators/skew.skew_metrics) —
+    the module docstring's "metrics drive the choice", made concrete.
+    Both paths are value-identical (same oracles), so the switch is a
+    pure physical-plan decision, like AQE but keyed on entity skew."""
+    from .skew import skew_metrics
+
+    if family not in _AUTO_PATHS:
+        raise ValueError(f"unknown texture family {family!r}; one of {sorted(_AUTO_PATHS)}")
+    plain, salted = _AUTO_PATHS[family]
+    m = skew_metrics(df)
+    if m["max_turns"] > giant_threshold:
+        return salted(df, turns_per_bucket=turns_per_bucket, signal_col=signal_col, **kw)
+    return plain(df, signal_col=signal_col, **kw)
