@@ -293,6 +293,44 @@ def test_connected_components_vs_bruteforce(spark):
     assert got == expect
 
 
+def test_connected_components_star_matches_label_propagation(spark):
+    """large/small-star contraction == min-label propagation on random
+    graphs (same (id, cluster_id = component min) contract)."""
+    from z_rad_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        edges = set()
+        for _ in range(50):
+            a, b = int(rng.integers(0, 30)), int(rng.integers(0, 30))
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        pairs = spark.createDataFrame(
+            pd.DataFrame(sorted(edges), columns=["id_a", "id_b"])
+        )
+        want = connected_components(pairs).toPandas().set_index("id")["cluster_id"].to_dict()
+        got = connected_components_star(pairs).toPandas().set_index("id")["cluster_id"].to_dict()
+        assert got == want, f"trial {trial}"
+
+
+def test_connected_components_star_long_chain_few_rounds(spark):
+    """A 120-node path (diameter 119) must resolve within O(log n) rounds —
+    the exact case where min-label propagation needs 119 iterations.
+    max_iter=10 > log2(120) bounds the round count hard."""
+    from z_rad_spark.operators.dedup import connected_components_star
+
+    chain = pd.DataFrame(
+        {"id_a": [f"n{i:03d}" for i in range(119)],
+         "id_b": [f"n{i+1:03d}" for i in range(119)]}
+    )
+    out = connected_components_star(spark.createDataFrame(chain), max_iter=10).toPandas()
+    assert len(out) == 120
+    assert set(out["cluster_id"]) == {"n000"}
+
+
 def test_salt_bucket_assignment_has_no_window(spark, tdf):
     """Bucket assignment must be pure column arithmetic on the turn_idx
     ordinal — a row_number window over bare conv_id would serialize the

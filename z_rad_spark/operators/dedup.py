@@ -242,6 +242,92 @@ def connected_components(
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
+def connected_components_star(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components by the alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): converges in O(log n) rounds regardless of
+    component DIAMETER, unlike min-label propagation's O(diameter) —
+    the difference between 25 and 10^6 rounds on a chained near-dup
+    graph (doc A ~ B ~ C ~ ... built by overlapping crawl snapshots).
+
+    large-star: every neighbour larger than u links to min(N(u) ∪ {u});
+    small-star: every neighbour ≤ u (edges directed large→small) links
+    to the minimum. At the fixpoint the edge set IS the answer: a star
+    per component rooted at its minimum id. Each half-round is one
+    groupBy + one join on the edge list; the fingerprint used for the
+    fixpoint test (count + hash sum) rides the same action.
+
+    Output: (id, cluster_id = min id in the component) for every node
+    that appears in an edge — identical contract to
+    :func:`connected_components`.
+    """
+    edges = (
+        pairs.select(
+            F.greatest(id_a, id_b).alias("u"), F.least(id_a, id_b).alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _fingerprint(e: DataFrame) -> tuple[int, int]:
+        # per-edge hash folded to [0, 1e9) before the sum so the ANSI-mode
+        # long add cannot overflow below ~9e9 edges
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    fp = _fingerprint(edges)
+    converged = False
+    for _ in range(max_iter):
+        # large-star over the symmetric neighbourhood
+        sym = edges.select("u", "v").unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on large→small directed edges
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_fp = _fingerprint(small)
+        edges = small
+        if new_fp == fp:
+            converged = True
+            break
+        fp = new_fp
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not reach a fixpoint in {max_iter} "
+            "rounds; raise max_iter (expected O(log n) rounds)"
+        )
+    # fixpoint edge set is (node → component-min) for every non-root node
+    roots = edges.select(F.col("v").alias("id")).distinct().withColumn(
+        "cluster_id", F.col("id")
+    )
+    members = edges.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    return members.unionByName(roots).distinct()
+
+
 def dup_clusters(
     docs: DataFrame,
     n: int = 3,
@@ -250,13 +336,17 @@ def dup_clusters(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int = 64,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Near-duplicate clusters: MinHash-LSH candidate pairs -> connected
-    components -> (doc_id, cluster_id = min doc id in the cluster)."""
+    components -> (doc_id, cluster_id = min doc id in the cluster).
+
+    ``algorithm="star"`` (default) uses the O(log n)-round large/small-star
+    contraction — the scale path; ``"label"`` keeps min-label propagation
+    (O(diameter) rounds, fine for shallow graphs)."""
     pairs = minhash_lsh_pairs(docs, n, n_hashes, band_size, text_col, id_col, max_bucket)
-    return connected_components(pairs).select(
-        F.col("id").alias(id_col), "cluster_id"
-    )
+    cc = connected_components_star if algorithm == "star" else connected_components
+    return cc(pairs).select(F.col("id").alias(id_col), "cluster_id")
 
 
 def ngram_jaccard(
