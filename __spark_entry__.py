@@ -1201,6 +1201,42 @@ def q_pii_redact(spark, sf_dir):
     )
 
 
+def q_tfidf(spark, sf_dir):
+    """Top-5 TF-IDF tokens per document (smooth idf, sklearn formulation);
+    rank on the 6dp-rounded score with token-asc tie-break so the ordering
+    is engine-reproducible."""
+    from z_rad_spark.operators.text import tfidf_topk
+
+    out = tfidf_topk(_docs(spark, sf_dir), k=5)
+    return out.select(
+        F.col("doc_id").cast("long"), "token", "tfidf", F.col("rank").cast("long")
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language stratified sample (sampleBy analogue,
+    salted-md5 thresholds — reproducible across runs/partitions/engines)."""
+    from z_rad_spark.operators.text import stratified_sample
+
+    out = stratified_sample(
+        _docs(spark, sf_dir),
+        strata_col="lang",
+        rates={"en": 0.25, "de": 0.6, "fr": 1.0},
+        default_rate=0.1,
+        salt="strat1",
+    )
+    return out.select(F.col("doc_id").cast("long"), "lang")
+
+
+def q_top_tokens(spark, sf_dir):
+    """Per-language top-10 frequent tokens (heavy hitters over the
+    vocab-sized aggregate; integer counts, token-asc tie-break)."""
+    from z_rad_spark.operators.text import top_tokens
+
+    out = top_tokens(_docs(spark, sf_dir), k=10, group_col="lang")
+    return out.select("lang", "token", F.col("n").cast("long"), F.col("rank").cast("long"))
+
+
 def q_media_features(spark, sf_dir):
     from z_rad_spark.operators.multimodal import decode_features, synth_media
 
@@ -1394,6 +1430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup": q_rollup,
         "q_json_props": q_json_props,
         "q_shape": q_shape,
+        "q_tfidf": q_tfidf,
+        "q_stratified_sample": q_stratified_sample,
+        "q_top_tokens": q_top_tokens,
         "q_glcm_2d_avg": q_glcm_2d_avg,
         "q_glcm_2d_wavg": q_glcm_2d_wavg,
         "q_glcm_25d_merg": q_glcm_25d_merg,

@@ -2275,3 +2275,63 @@ ORACLES["q_ngtdm_dist"] = ORACLES["q_ngtdm"]
 ORACLES["q_gldzm_dist"] = ORACLES["q_gldzm"]
 ORACLES["q_gldzm_salted"] = ORACLES["q_gldzm"]
 ORACLES["q_ngtdm_salted"] = ORACLES["q_ngtdm"]
+
+# ---------------------------------------------------------------------------
+# corpus analytics additions: TF-IDF / stratified sampling / heavy hitters
+# ---------------------------------------------------------------------------
+
+ORACLES["q_tfidf"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_DOC}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM toks GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df_t FROM tf GROUP BY token),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+idf AS (
+  SELECT token, ln((n_docs + 1.0) / (df_t + 1.0)) + 1.0 AS idf
+  FROM dfreq CROSS JOIN n
+),
+scored AS (
+  SELECT tf.doc_id, tf.token, ROUND(tf.tf * idf.idf, 6) AS tfidf
+  FROM tf JOIN idf USING (token)
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, token,
+       {r6('tfidf', 'tfidf')},
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+# thresholds are the same 8-hex-digit literals the Spark plan embeds
+# (format(int(rate * 16**8), '08x'); 'gggggggg' sorts above all hex = keep-all)
+ORACLES["q_stratified_sample"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+FROM documents
+WHERE substr(md5('strat1|' || CAST(doc_id AS STRING)), 1, 8) <
+      CASE lang WHEN 'de' THEN '99999999'
+                WHEN 'en' THEN '40000000'
+                WHEN 'fr' THEN 'gggggggg'
+                ELSE '19999999' END
+"""
+
+ORACLES["q_top_tokens"] = f"""
+WITH toks AS (
+  SELECT lang, unnest({TOKS_DOC}) AS token FROM documents
+),
+counts AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks GROUP BY lang, token
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
+  FROM counts
+)
+SELECT lang, token, n, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10
+"""

@@ -492,3 +492,83 @@ def test_texture_features_auto_switches_on_skew(spark, tdf):
     assert "bucket" in plan
     with pytest.raises(ValueError, match="unknown texture family"):
         texture_features_auto(df, "nope")
+
+
+def test_tfidf_topk_matches_pandas(spark):
+    """tfidf_topk == a pandas/sklearn-formula reimplementation (smooth idf)."""
+    import math
+
+    from z_rad_spark.operators.text import tfidf_topk
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "spark join shuffle join",
+                "spark agg window agg agg",
+                "join window shuffle",
+                "spark spark spark unique",
+            ],
+        }
+    )
+    got = tfidf_topk(spark.createDataFrame(docs), k=2).toPandas()
+    # expected: tf * (ln((N+1)/(df+1)) + 1), top-2 per doc
+    from collections import Counter
+
+    toks = {r.doc_id: r.text.split() for r in docs.itertuples()}
+    df_t = Counter()
+    for ts in toks.values():
+        df_t.update(set(ts))
+    n = len(docs)
+    want = {}
+    for d, ts in toks.items():
+        scored = {
+            t: round(c * (math.log((n + 1) / (df_t[t] + 1)) + 1.0), 6)
+            for t, c in Counter(ts).items()
+        }
+        top = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        want[d] = top
+    for d, top in want.items():
+        sub = got[got.doc_id == d].sort_values("rank")
+        assert list(sub["token"]) == [t for t, _ in top]
+        assert [round(v, 6) for v in sub["tfidf"]] == [v for _, v in top]
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    from z_rad_spark.operators.text import stratified_sample
+
+    docs = spark.range(3000).withColumnRenamed("id", "doc_id").withColumn(
+        "lang", F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                             (F.col("doc_id") % 3 + 1).cast("int"))
+    )
+    rates = {"en": 0.2, "de": 0.8, "fr": 1.0}
+    s1 = stratified_sample(docs, "lang", rates, key_col="doc_id").toPandas()
+    s2 = stratified_sample(docs, "lang", rates, key_col="doc_id").toPandas()
+    pd.testing.assert_frame_equal(
+        s1.sort_values("doc_id").reset_index(drop=True),
+        s2.sort_values("doc_id").reset_index(drop=True),
+    )
+    frac = s1.groupby("lang").size() / 1000
+    assert abs(frac["en"] - 0.2) < 0.08
+    assert abs(frac["de"] - 0.8) < 0.08
+    assert frac["fr"] == 1.0  # rate >= 1 keeps every row
+    # different salt -> a genuinely different draw
+    s3 = stratified_sample(docs, "lang", rates, key_col="doc_id", salt="other").toPandas()
+    assert set(s3["doc_id"]) != set(s1["doc_id"])
+
+
+def test_top_tokens_matches_pandas(spark):
+    from z_rad_spark.operators.text import top_tokens
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "lang": ["en", "en", "en", "de", "de", "de"],
+            "text": ["a b a", "b c", "a a", "x y", "y y", "x z y"],
+        }
+    )
+    got = top_tokens(spark.createDataFrame(docs), k=2, group_col="lang").toPandas()
+    en = got[got.lang == "en"].sort_values("rank")
+    de = got[got.lang == "de"].sort_values("rank")
+    assert list(en["token"]) == ["a", "b"] and list(en["n"]) == [4, 2]
+    assert list(de["token"]) == ["y", "x"] and list(de["n"]) == [4, 2]

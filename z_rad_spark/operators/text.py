@@ -7,8 +7,10 @@ scalar features in the same spirit as the engine's per-turn signal.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from .dedup import normalize_text
 
 
 def with_json_field(
@@ -116,6 +118,108 @@ PII_PATTERNS = (
     ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
     ("phone", r"\+[0-9][0-9 ()-]{7,}[0-9]", "<PHONE>"),
 )
+
+
+def tfidf_topk(
+    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k TF-IDF tokens per document: tf = raw in-doc count, smooth
+    idf = ln((N+1)/(df+1)) + 1 (scikit-learn's formulation, public).
+
+    Plan shape: token explode -> (doc, token) count [one shuffle] ->
+    per-token doc frequency over the VOCAB-sized frame [one shuffle,
+    map-combined] -> join idf back [vocab-side small, broadcastable at
+    any realistic vocab] -> per-doc window top-k. The ln runs as a
+    vectorized Arrow pandas_udf over the vocab frame only (one value per
+    distinct token, not per occurrence) so the transcendental is glibc's
+    — bit-identical to the NumPy/DuckDB oracle; everything row-scale
+    stays JVM-side.
+
+    Ranking is on the 6dp-rounded score (ties broken by token asc), so
+    the ordering is reproducible across engines by construction.
+    """
+    import pandas as pd  # noqa: F401 — pandas_udf return type
+    from pyspark.sql.functions import pandas_udf
+
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").cast("double").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("double").alias("df_t"))
+    n_docs = docs.select(F.count("*").cast("double").alias("n_docs"))
+
+    @pandas_udf("double")
+    def _ln(x):  # glibc log over the vocab-sized Arrow batch
+        import numpy as np
+
+        return pd.Series(np.log(x.to_numpy()))
+
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).withColumn(
+        "idf", _ln((F.col("n_docs") + 1.0) / (F.col("df_t") + 1.0)) + 1.0
+    )
+    scored = tf.join(idf.select("token", "idf"), "token").withColumn(
+        "tfidf", F.round(F.col("tf") * F.col("idf"), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "token", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    key_col: str = "doc_id",
+    salt: str = "s1",
+) -> DataFrame:
+    """Deterministic per-stratum hash sampling: each stratum keeps rows
+    whose salted-md5 prefix falls under that stratum's threshold — the
+    reproducible analogue of ``sampleBy`` (no RNG, stable across runs,
+    partitions, and engines; a different salt gives an independent
+    draw). The thresholds are 8-hex-digit string literals computed once
+    at plan time, so the filter is a pure whole-stage-codegen CASE +
+    string compare with zero shuffles."""
+
+    def _thr(rate: float) -> str:
+        r = min(max(rate, 0.0), 1.0)
+        return format(min(int(r * 16**8), 16**8 - 1), "08x") if r < 1.0 else "g" * 8
+
+    # 'gggggggg' sorts above every hex string -> keep-all for rate >= 1
+    thr = F.lit(_thr(default_rate))
+    for value in sorted(rates):
+        thr = F.when(F.col(strata_col) == value, F.lit(_thr(rates[value]))).otherwise(thr)
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(key_col).cast("string"))), 1, 8
+    )
+    return df.where(h < thr)
+
+
+def top_tokens(
+    docs: DataFrame,
+    k: int = 10,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group top-k frequent tokens (heavy hitters): token explode ->
+    (group, token) count [one shuffle, map-side combined] -> per-group
+    window top-k over the VOCAB-sized aggregate. Integer counts with
+    token-asc tie-breaks: deterministic on any engine. The window runs
+    over ~|groups|x|vocab| rows, not the corpus."""
+    toks = docs.select(
+        F.col(group_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token")
+    )
+    counts = toks.groupBy(group_col, "token").agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(group_col, "token", "n", F.col("rank").cast("long").alias("rank"))
+    )
 
 
 def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
