@@ -5,10 +5,11 @@ DataFrame plans:
 
 * exact_dedup        — md5-hash groupBy (map-side partial agg for free)
 * minhash_lsh_pairs  — shingle -> minhash signature -> band bucketing ->
-                       bucket self-join. Hashes are md5 hex strings with
-                       per-permutation salts and string-min aggregation,
-                       so the scheme is engine-portable (DuckDB oracle
-                       computes the identical signature).
+                       in-bucket combination explode (bounded by the
+                       bucket cap; single consumption of the signature
+                       subtree, no self-join). The hash scheme is
+                       engine-portable (DuckDB oracle computes the
+                       identical signature).
 * ngram_jaccard      — exact n-gram Jaccard for candidate pairs
 * simhash            — bitwise majority over token hashes (Hamming-style
                        near-dup key)
@@ -54,14 +55,16 @@ def word_shingles(
     dedup shuffle for consumers whose downstream aggregate is
     duplicate-idempotent (MIN in the minhash signature).
     """
-    # A small-file corpus arrives as one input split; the explode below
-    # multiplies rows ~100x, so fan the docs out BEFORE the generator or
-    # the whole shingle/hash stage runs on a single task.
+    # A small-file corpus arrives as one input split; repartition the RAW
+    # docs before ANY per-doc compute so the regex normalization, the
+    # tokenization, and the explode all run across the cluster instead of
+    # in one scan task (the \s+ collapse alone is milliseconds per doc —
+    # serialized over a corpus it dominates the whole LSH job).
     n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 2)
     toks = (
-        docs.select(F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("toks"))
+        docs.repartition(n_parts, id_col)
+        .select(F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("toks"))
         .where(F.size("toks") >= n)
-        .repartition(n_parts, id_col)
     )
     sh = toks.select(
         id_col,
@@ -156,13 +159,31 @@ def minhash_lsh_pairs(
         .groupBy(id_col, "band")
         .agg(F.concat_ws(",", *slots).alias("band_key"))
     )
-    bucket_sizes = banded.groupBy("band", "band_key").agg(F.count("*").alias("bsz"))
-    keep_buckets = bucket_sizes.filter(F.col("bsz") <= max_bucket).select("band", "band_key")
-    small = banded.join(keep_buckets, ["band", "band_key"])
-    a = small.select(F.col(id_col).alias("id_a"), "band", "band_key")
-    b = small.select(F.col(id_col).alias("id_b"), "band", "band_key")
-    pairs = a.join(b, ["band", "band_key"]).where(F.col("id_a") < F.col("id_b"))
-    return pairs.select("id_a", "id_b").distinct()
+    # One aggregation emits each bucket's member list; pairs come from an
+    # in-row combination explode (bounded by max_bucket, so <= C(64,2)
+    # structs per bucket). Compared to the textbook bucket self-join this
+    # (a) consumes the shingle->signature subtree exactly ONCE — a self-
+    # join re-executes the whole upstream pipeline per side — and (b)
+    # replaces a shuffle join with a map-side explode.
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
 
 
 def hash_sample(
@@ -263,13 +284,15 @@ def connected_components_star(
     that appears in an edge — identical contract to
     :func:`connected_components`.
     """
+    # lazy checkpoints: the fingerprint action right after materializes
+    # them, so each round costs ONE job, not two
     edges = (
         pairs.select(
             F.greatest(id_a, id_b).alias("u"), F.least(id_a, id_b).alias("v")
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _fingerprint(e: DataFrame) -> tuple[int, int]:
@@ -307,7 +330,7 @@ def connected_components_star(
             .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_fp = _fingerprint(small)
         edges = small
@@ -371,7 +394,11 @@ def ngram_jaccard(
     similarity of surviving pairs is a documented lower bound (missing
     intersections on capped shingles), never an overestimate.
     """
-    sh = word_shingles(docs, n, text_col, id_col)
+    # sh feeds the size aggregate AND both sides of the intersection join
+    # (and optionally the doc-frequency filter): persist it so the
+    # shingle explode + regex normalization run once, not once per
+    # consumer (Spark re-executes a multi-consumed subtree from the scan).
+    sh = word_shingles(docs, n, text_col, id_col).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     join_sh = sh
     if pairs is None and max_doc_freq is not None:

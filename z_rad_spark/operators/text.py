@@ -141,7 +141,8 @@ def tfidf_topk(
     import pandas as pd  # noqa: F401 — pandas_udf return type
     from pyspark.sql.functions import pandas_udf
 
-    toks = docs.select(
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 2)
+    toks = docs.repartition(n_parts, id_col).select(
         F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token")
     )
     tf = toks.groupBy(id_col, "token").agg(F.count("*").cast("double").alias("tf"))
@@ -210,7 +211,8 @@ def top_tokens(
     window top-k over the VOCAB-sized aggregate. Integer counts with
     token-asc tie-breaks: deterministic on any engine. The window runs
     over ~|groups|x|vocab| rows, not the corpus."""
-    toks = docs.select(
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 2)
+    toks = docs.repartition(n_parts, id_col).select(
         F.col(group_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token")
     )
     counts = toks.groupBy(group_col, "token").agg(F.count("*").cast("long").alias("n"))
