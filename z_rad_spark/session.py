@@ -43,6 +43,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Wide feature plans (18-stat algebra, 25-feature texture reducers)
+        # generate methods past HotSpot's 8000-bytecode compile limit; by
+        # default those run INTERPRETED forever — thread dumps showed whole
+        # queries burning 10-50x CPU in interpreted codegen after enough
+        # distinct plans ran in one session. Compile huge methods and give
+        # the JIT room; same flags go to executors on a real cluster.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m")
+        .config("spark.executor.extraJavaOptions",
+                "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
