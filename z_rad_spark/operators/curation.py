@@ -1,0 +1,246 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+rule-based quality gates, benchmark decontamination, intra-document
+repetition, corpus-frequency token statistics, and source-level
+reputation. Companions to ``dedup.py`` (near-duplicate removal) and
+``text.py`` (per-document scoring).
+
+Design rules shared with the rest of the engine:
+
+* Everything is a declarative DataFrame plan — JVM-side column
+  expressions (split/transform/slice/aggregate), no Python UDFs.
+* Cross-row floating aggregates are avoided: every emitted ratio is a
+  single IEEE division of two exact integers, so DuckDB and Spark
+  produce bit-identical doubles (the engine's deterministic value
+  algebra — see kernels/firstorder.py).
+* Scale shape: one shuffle per groupBy on a high-cardinality key
+  (doc_id / gram hash / token), map-side combine everywhere, and the
+  only joins against small frames are broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _toks(text_col: str) -> F.Column:
+    """Whitespace tokens of the lowercased, trimmed text (the same
+    tokenizer as text.py's TOKS_RAW oracle fragment)."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def _word_ngrams(toks: F.Column, n: int) -> F.Column:
+    """Array of space-joined word n-grams; empty when the document has
+    fewer than ``n`` tokens (sequence() would go descending otherwise)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021, §A1.1):
+    word-count bounds, mean-word-length bounds, fraction of words with
+    an alphabetic character, and presence of common stopwords. Emits the
+    per-document metrics plus a single ``pass_gopher`` flag.
+
+    All metrics are exact-integer ratios (one IEEE division each), so the
+    plan is engine-portable bit-for-bit. Pure narrow column expressions:
+    no shuffle at all — this filter streams through a 100 TB scan.
+    """
+    toks = _toks(text_col)
+    n_words = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stops = ("the", "and", "of", "to", "is")
+    stop_hits = F.size(
+        F.array_distinct(F.filter(toks, lambda t: t.isin(*stops)))
+    )
+    safe_n = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = total_len.cast("double") / safe_n
+    alpha_frac = n_alpha.cast("double") / safe_n
+    return (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("alpha_frac", alpha_frac)
+        .withColumn("stop_hits", stop_hits.cast("long"))
+        .withColumn(
+            "pass_gopher",
+            (n_words >= min_words)
+            & (n_words <= max_words)
+            & (mean_wl >= min_mean_word_len)
+            & (mean_wl <= max_mean_word_len)
+            & (alpha_frac >= min_alpha_frac)
+            & (stop_hits >= min_stop_hits),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination by word n-gram overlap (the GPT-3 /
+    PaLM recipe: a training document is contaminated when it shares any
+    length-``n`` word n-gram with an evaluation document).
+
+    Plan: explode DISTINCT n-grams of both sides, inner-join on the gram
+    string, count distinct overlapping grams per training doc. The
+    benchmark side of a real run is small (eval sets, not the corpus) —
+    Spark broadcasts it under AQE; the train side shuffles once on the
+    gram key with map-side distinct. At 100 TB you would join on
+    ``xxhash64(gram)`` instead of the string to shrink the exchange —
+    the string join here keeps the plan engine-portable for the oracle.
+    Emits every train document with ``n_overlap_grams`` (0 for clean
+    ones) and a ``contaminated`` flag.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(_word_ngrams(_toks(text_col), n))).alias("gram"),
+        )
+
+    bench_grams = grams(benchmark).select("gram").distinct()
+    overlap = (
+        grams(train)
+        .join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_overlap_grams"))
+    )
+    return (
+        train.select(id_col)
+        .join(overlap, id_col, "left")
+        .withColumn("n_overlap_grams", F.coalesce("n_overlap_grams", F.lit(0)).cast("long"))
+        .withColumn("contaminated", F.col("n_overlap_grams") > 0)
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition metrics (Gopher §A1.1 repetition
+    filters): fraction of duplicate word 2-grams and 3-grams — i.e.
+    1 - distinct/total — per document. High values mark degenerate,
+    loop-generated, or boilerplate text.
+
+    Narrow per-row array expressions only (distinct counting happens
+    inside the token array, not across rows) — no shuffle, exact-integer
+    ratios.
+    """
+    toks = _toks(text_col)
+    out = df
+    for n in (2, 3):
+        g = _word_ngrams(toks, n)
+        total = F.size(g)
+        uniq = F.size(F.array_distinct(g))
+        out = out.withColumn(
+            f"dup_{n}gram_frac",
+            F.when(
+                total > 0,
+                (total - uniq).cast("double") / total.cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    return out
+
+
+def rare_token_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_max_count: int = 3,
+) -> DataFrame:
+    """Corpus-frequency token statistics: per document, the fraction of
+    token OCCURRENCES whose corpus-wide frequency is <= ``rare_max_count``
+    (rare), and the fraction appearing in only one document (OOV-ish).
+    A high rare fraction is the integer-exact stand-in for a low unigram
+    language-model log-probability — the engine avoids cross-row float
+    sums so the metric hashes identically on any engine.
+
+    Plan: one explode + groupBy(token) over the corpus (map-side
+    combine), then a second explode joined against that frequency table
+    — the classic two-pass TF/DF shape that scales linearly; the
+    frequency table is Zipf-bounded (vocabulary ≪ corpus) and shuffles
+    on the token key.
+    """
+    toks_tbl = df.select(
+        F.col(id_col), F.explode(_toks(text_col)).alias("token")
+    )
+    freq = toks_tbl.groupBy("token").agg(
+        F.count("*").cast("long").alias("corpus_tf"),
+        F.countDistinct(id_col).cast("long").alias("corpus_df"),
+    )
+    per_doc = (
+        toks_tbl.join(freq, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.countDistinct("token").cast("long").alias("n_distinct"),
+            F.sum("corpus_tf").cast("long").alias("_sum_tf"),
+            F.sum("corpus_df").cast("long").alias("_sum_df"),
+            F.sum(F.when(F.col("corpus_tf") <= rare_max_count, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+    )
+    n = F.col("n_tokens").cast("double")
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        (F.col("_sum_tf").cast("double") / n).alias("mean_tf"),
+        (F.col("_sum_df").cast("double") / n).alias("mean_df"),
+        (F.col("n_rare").cast("double") / n).alias("rare_frac"),
+    )
+
+
+def source_reputation(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    max_dup_rate: float = 0.5,
+) -> DataFrame:
+    """Source-level reputation: per source, document count, exact-dup
+    rate (1 - distinct normalized texts / docs), and mean doc length —
+    then each document flagged when its source exceeds ``max_dup_rate``.
+    The per-source frame is tiny (domains ≪ documents), so the join back
+    is a broadcast; dup counting reuses exact_dedup's md5 key.
+
+    ``mean_chars`` is sum(int)/count — exact integers into one division.
+    """
+    norm = F.md5(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))))
+    per_source = (
+        df.withColumn("_k", norm)
+        .groupBy(source_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("_k").cast("long").alias("n_unique"),
+            F.sum(F.length(text_col)).cast("long").alias("_sum_chars"),
+        )
+        .select(
+            source_col,
+            "n_docs",
+            (F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs").cast("double")).alias("dup_rate"),
+            (F.col("_sum_chars").cast("double") / F.col("n_docs").cast("double")).alias("mean_chars"),
+        )
+    )
+    return df.select(id_col, source_col).join(
+        F.broadcast(per_source), source_col
+    ).withColumn("bad_source", F.col("dup_rate") > max_dup_rate)

@@ -242,3 +242,97 @@ def lsh_bucket_topk(
         .where(F.col("rank") <= k)
         .select(query_id, id_col, F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """One k-means assignment step over the corpus: each vector labelled
+    with its highest-cosine centroid (spherical k-means; ties broken by
+    centroid id). With no ``centroids`` frame, seeds are the k vectors
+    with the smallest md5("km|" + id) — the same data-order-invariant
+    hash sample as ivf_topk's codebook, so the step is deterministic end
+    to end and engine-portable (DuckDB replays it bit-for-bit).
+
+    Plan shape: broadcast the k-row codebook, one narrow pass over the
+    corpus computing k fixed-order dot products per row, argmin via a
+    max_by-style window on (cosine desc, cent_id asc). One Exchange only
+    if the caller aggregates afterwards — assignment itself is
+    shuffle-free, which is what lets Lloyd iterations scale linearly.
+
+    Output: (vec_id, cluster_id, cosine) — cosine to the winning centroid,
+    rounded to 6dp like every float the engine emits.
+    """
+    if centroids is None:
+        centroids = (
+            vectors.select(
+                F.col(id_col).alias("cent_id"),
+                F.col(vec_col).alias("cent_vec"),
+                F.md5(F.concat(F.lit("km|"), F.col(id_col).cast("string"))).alias("_h"),
+            )
+            .orderBy("_h")
+            .limit(k)
+            .drop("_h")
+        )
+    sim = _dot(F.col(vec_col), F.col("cent_vec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("cent_vec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cs").desc(), F.col("cent_id").asc())
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .withColumn("_cs", sim.cast("double"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            id_col,
+            F.col("cent_id").alias("cluster_id"),
+            F.round("_cs", 6).alias("cosine"),
+        )
+    )
+
+
+def kmeans_lloyd(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means with ``iters`` Lloyd updates. Each update is a
+    distributed posexplode + groupBy(cluster, dim) mean — one bounded
+    shuffle on a (k x dim)-cardinality key — after which the tiny k x dim
+    centroid table is collected to the driver and re-broadcast as plan
+    literals for the next assignment (the standard Spark k-means shape:
+    per-iteration driver traffic is O(k*dim), independent of corpus size).
+    Means over float rows are NOT cross-engine bit-stable, so this path is
+    pytest-verified (inertia monotonicity, determinism across runs at
+    fixed partitioning) rather than oracle-hashed; kmeans_assign is the
+    hash-exact single step.
+    """
+    assigned = kmeans_assign(vectors, k=k, id_col=id_col, vec_col=vec_col)
+    for _ in range(iters):
+        new_cents = (
+            vectors.join(assigned.select(id_col, "cluster_id"), id_col)
+            .select("cluster_id", F.posexplode(F.col(vec_col)).alias("dim", "x"))
+            .groupBy("cluster_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                F.col("cluster_id").alias("cent_id"),
+                F.transform("dm", lambda s: s["m"]).alias("cent_vec"),
+            )
+        )
+        cents = new_cents.collect()
+        lit_cents = vectors.sparkSession.createDataFrame(
+            [(r["cent_id"], [float(x) for x in r["cent_vec"]]) for r in cents],
+            "cent_id long, cent_vec array<double>",
+        )
+        assigned = kmeans_assign(
+            vectors, k=k, id_col=id_col, vec_col=vec_col, centroids=lit_cents
+        )
+    return assigned
