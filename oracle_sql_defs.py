@@ -2494,3 +2494,40 @@ SELECT conv_id,
 FROM agg, mx
 WHERE ws + 3600000000 <= mx.m
 """
+
+
+ORACLES["q_interval_join"] = f"""
+WITH t AS ({T}),
+iv AS (
+  SELECT conv_id, ts AS start_ts, ts + INTERVAL 30 MINUTE AS end_ts
+  FROM t WHERE role = 'system'
+),
+hits AS (
+  SELECT p.conv_id, p.turn_idx, COUNT(*) AS n
+  FROM t p JOIN iv
+    ON p.conv_id = iv.conv_id AND p.ts >= iv.start_ts AND p.ts <= iv.end_ts
+  GROUP BY p.conv_id, p.turn_idx
+)
+SELECT t.conv_id, CAST(t.turn_idx AS INT) AS turn_idx,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_err_windows
+FROM t LEFT JOIN hits h ON t.conv_id = h.conv_id AND t.turn_idx = h.turn_idx
+"""
+
+ORACLES["q_shard_pack"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         len({TOKS_RAW}) AS n_tokens,
+         md5('shard1|' || CAST(doc_id AS STRING)) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+  FROM d
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_before AS BIGINT) AS cum_before,
+       CAST(FLOOR(cum_before / 2000) AS BIGINT) AS shard_id
+FROM c
+"""

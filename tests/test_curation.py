@@ -140,3 +140,64 @@ def test_kmeans_lloyd_converges_to_true_clusters(spark):
     # inertia proxy: every member's cosine to its centroid ~ 1
     rows = kmeans_lloyd(v, k=2, iters=3).collect()
     assert all(r["cosine"] > 0.99 for r in rows)
+
+
+def test_interval_join_bucketed_equals_naive(spark):
+    from z_rad_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame(
+        [("c1", 0, "2024-01-01 00:05:00"), ("c1", 1, "2024-01-01 01:30:00"),
+         ("c1", 2, "2024-01-01 03:00:00"), ("c2", 0, "2024-01-01 00:10:00")],
+        "conv_id string, turn_idx int, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ivals = spark.createDataFrame(
+        [("c1", "2024-01-01 00:00:00", "2024-01-01 02:00:00"),   # spans 3 buckets
+         ("c1", "2024-01-01 01:00:00", "2024-01-01 01:45:00"),
+         ("c2", "2024-01-01 05:00:00", "2024-01-01 06:00:00")],
+        "conv_id string, start_ts string, end_ts string",
+    ).withColumn("start_ts", F.to_timestamp("start_ts")).withColumn(
+        "end_ts", F.to_timestamp("end_ts"))
+
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], str(r["start_ts"]))
+        for r in interval_join(pts, ivals, bucket_seconds=3600).collect()
+    )
+    naive = sorted(
+        (r["conv_id"], r["turn_idx"], str(r["start_ts"]))
+        for r in pts.alias("p").join(
+            ivals.alias("i"),
+            (F.col("p.conv_id") == F.col("i.conv_id"))
+            & (F.col("p.ts") >= F.col("i.start_ts"))
+            & (F.col("p.ts") <= F.col("i.end_ts")),
+        ).select("p.conv_id", "p.turn_idx", "i.start_ts").collect()
+    )
+    assert got == naive
+    assert len(got) == 3  # c1/0 in iv1; c1/1 in iv1+iv2; c2 uncovered
+    # no nested-loop join in the physical plan
+    plan = interval_join(pts, ivals)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_shard_pack_exact_prefix_sum_and_budget(spark):
+    from z_rad_spark.operators.curation import shard_pack
+
+    docs = spark.createDataFrame(
+        [(i, 10 + (i % 7)) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    out = shard_pack(docs, budget=100).collect()
+    by_cum = sorted(out, key=lambda r: r["cum_before"])
+    # cum_before is a permutation prefix sum: consecutive and exact
+    run = 0
+    for r in by_cum:
+        assert r["cum_before"] == run
+        run += r["n_tokens"]
+        assert r["shard_id"] == r["cum_before"] // 100
+    # every shard except the last holds >= budget - max_doc tokens
+    tot = {}
+    for r in out:
+        tot[r["shard_id"]] = tot.get(r["shard_id"], 0) + r["n_tokens"]
+    last = max(tot)
+    assert all(v >= 100 - 16 for s, v in tot.items() if s != last)
+    # determinism across runs
+    again = {r["doc_id"]: r["shard_id"] for r in shard_pack(docs, budget=100).collect()}
+    assert again == {r["doc_id"]: r["shard_id"] for r in out}

@@ -19,7 +19,7 @@ Design rules shared with the rest of the engine:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -244,3 +244,60 @@ def source_reputation(
     return df.select(id_col, source_col).join(
         F.broadcast(per_source), source_col
     ).withColumn("bad_source", F.col("dup_rate") > max_dup_rate)
+
+
+def shard_pack(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "shard1",
+    prefix_chars: int = 2,
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to training shards so
+    each shard holds ~``budget`` tokens, in a deterministic hash order
+    (md5-salted — reproducible across runs, engines, and data layout).
+
+    The shard id of a document is ``floor(cum_before / budget)`` where
+    ``cum_before`` is the running token total of every document ahead of
+    it in hash order — a GLOBAL prefix sum, which a naive single window
+    (``ORDER BY hash`` over everything) would compute in ONE task. The
+    distributed shape instead:
+
+    1. range-bucket by the first ``prefix_chars`` hex chars of the hash
+       (bucket order == hash-prefix order, so (bucket, hash) sorting is
+       globally consistent),
+    2. per-bucket prefix sums in parallel (window within bucket),
+    3. per-bucket totals — a 16^prefix_chars-row frame — cumulated on the
+       driver-sized side and broadcast back as each bucket's offset.
+
+    This is the classic two-pass distributed scan: the only global step
+    touches one row per bucket, never per document. All arithmetic is
+    integer-exact, so the assignment hash-verifies against a single-window
+    SQL oracle.
+    """
+    h = F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    base = df.withColumn("_h", h).withColumn(
+        "_bk", F.substring("_h", 1, prefix_chars)
+    )
+    w_in = Window.partitionBy("_bk").orderBy("_h", id_col)
+    within_before = (
+        F.sum(token_col).over(
+            w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.col(token_col)
+    ).cast("long")
+    totals = base.groupBy("_bk").agg(F.sum(token_col).cast("long").alias("_tot"))
+    w_bk = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = totals.select(
+        "_bk", (F.sum("_tot").over(w_bk) - F.col("_tot")).cast("long").alias("_off")
+    )
+    packed = (
+        base.withColumn("_within", within_before)
+        .join(F.broadcast(offsets), "_bk")
+        .withColumn("cum_before", (F.col("_off") + F.col("_within")).cast("long"))
+        .withColumn(
+            "shard_id", F.floor(F.col("cum_before") / F.lit(int(budget))).cast("long")
+        )
+    )
+    return packed.drop("_h", "_bk", "_within", "_off")
