@@ -1541,6 +1541,28 @@ def q_shard_pack(spark, sf_dir):
     )
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic disjoint train/val/test split (salted-md5 range
+    buckets, dedup.hash_split): reproducible across runs, partitionings,
+    engines, and corpus growth; zero shuffle."""
+    from z_rad_spark.operators.dedup import hash_split
+
+    out = hash_split(
+        _docs(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "split")
+
+
+def q_source_cap(spark, sf_dir):
+    """Per-source document cap (max N pages per domain,
+    curation.cap_per_group): keep <= 20 docs per source in deterministic
+    salted-hash order — an unbiased reproducible per-group subset."""
+    from z_rad_spark.operators.curation import cap_per_group
+
+    out = cap_per_group(_docs(spark, sf_dir), group_col="source", cap=20)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -1616,6 +1638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round (driver checks the first 50 registry entries only):
         "q_interval_join": q_interval_join,
         "q_shard_pack": q_shard_pack,
+        "q_hash_split": q_hash_split,
+        "q_source_cap": q_source_cap,
         # values/plans changed this round, r1-green, siblings in-window
         # exercise the same changed code (skew fix -> salted family;
         # value algebra -> stats/hist/reseg; bucketed reducers -> dist):

@@ -2531,3 +2531,28 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(FLOOR(cum_before / 2000) AS BIGINT) AS shard_id
 FROM c
 """
+
+
+# hash_split thresholds: identical integer math to dedup.hash_split
+_SPLIT_T1 = format(int(0.8 * 16**8), "08x")
+_SPLIT_T2 = format(int((0.8 + 0.1) * 16**8), "08x")
+
+ORACLES["q_hash_split"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN substring(md5('split1|' || CAST(doc_id AS STRING)), 1, 8) < '{{t1}}' THEN 'train'
+            WHEN substring(md5('split1|' || CAST(doc_id AS STRING)), 1, 8) < '{{t2}}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""".format(t1=_SPLIT_T1, t2=_SPLIT_T2)
+
+ORACLES["q_source_cap"] = """
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap1|' || CAST(doc_id AS STRING)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM r WHERE rk <= 20
+"""

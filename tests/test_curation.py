@@ -201,3 +201,39 @@ def test_shard_pack_exact_prefix_sum_and_budget(spark):
     # determinism across runs
     again = {r["doc_id"]: r["shard_id"] for r in shard_pack(docs, budget=100).collect()}
     assert again == {r["doc_id"]: r["shard_id"] for r in out}
+
+
+def test_hash_split_disjoint_stable_and_growth_invariant(spark):
+    from z_rad_spark.operators.dedup import hash_split
+
+    small = spark.range(100).withColumnRenamed("id", "doc_id")
+    big = spark.range(1000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s_small = {r["doc_id"]: r["split"] for r in hash_split(small, fr).collect()}
+    s_big = {r["doc_id"]: r["split"] for r in hash_split(big, fr).collect()}
+    # growth invariance: a row's split never changes when the corpus grows
+    assert all(s_big[k] == v for k, v in s_small.items())
+    counts = {}
+    for v in s_big.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert 700 < counts["train"] < 900  # ~80% of 1000
+    with pytest.raises(ValueError):
+        hash_split(small, {"a": 0.5, "b": 0.2}).collect()
+
+
+def test_cap_per_group(spark):
+    from z_rad_spark.operators.curation import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 50 else "small") for i in range(60)],
+        "doc_id long, source string",
+    )
+    out = cap_per_group(df, group_col="source", cap=10).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src["big"]) == 10 and len(by_src["small"]) == 10
+    # deterministic selection
+    again = cap_per_group(df, group_col="source", cap=10).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}

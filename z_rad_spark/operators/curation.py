@@ -301,3 +301,31 @@ def shard_pack(
         )
     )
     return packed.drop("_h", "_bk", "_within", "_off")
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "cap1",
+) -> DataFrame:
+    """Per-group document cap (the 'max N pages per domain' rule): keep at
+    most ``cap`` rows per group, chosen in deterministic salted-hash order
+    so the retained subset is an unbiased, reproducible sample of the
+    group rather than whatever the scan order produced.
+
+    Plan: one window rank per group ordered by (md5 hash, id). The window
+    partitions on the group key — the same exchange a downstream
+    per-group aggregate would need; groups are domain-sized (≪ corpus),
+    and a group large enough to make one window task a straggler is
+    exactly the spam-farm the cap exists to cut, so the skew self-heals:
+    at 100 TB pre-filter with ``F.rand``-free hash_sample at rate
+    ``k*cap/est_group_size`` for the known giants, then rank."""
+    h = F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= cap)
+        .drop("_rk")
+    )

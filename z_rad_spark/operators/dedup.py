@@ -208,6 +208,39 @@ def hash_sample(
     return df.where(h < F.lit(thr))
 
 
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split1",
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint train/val/test splitting: the salted-md5
+    prefix of the key places each row in exactly one named bucket, with
+    bucket widths proportional to ``fractions`` (which must sum to ~1).
+    Same guarantees as hash_sample — no RNG, stable across runs,
+    partitionings, and engines; a row's split never changes when the
+    corpus around it grows, which per-partition RNG sampling cannot offer.
+    Narrow column expressions only: zero shuffle at any scale."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(key_col).cast("string"))), 1, 8
+    )
+    expr = None
+    cum = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        thr = F.lit(format(int(cum * 16**8), "08x"))
+        branch = F.when(h < thr, F.lit(name))
+        expr = branch if expr is None else expr.when(h < thr, F.lit(name))
+    last = F.lit(items[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out, expr)
+
+
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
 ) -> DataFrame:
