@@ -66,7 +66,12 @@ def _run_queries(spark, sf_dir, passes: int = 2):
 
 
 SCALING_REPL = int(os.environ.get("SPARK_GRAFT_SCALING_REPL", "24"))
-SCALING_BUCKETS = int(os.environ.get("SPARK_GRAFT_SCALING_BUCKETS", "128"))
+# 256 = 8 scheduling waves at 32 cores: measured on this box, the 4-wave
+# 128-bucket split leaves a straggler tail that caps utilization at ~0.6-0.7,
+# while 256 lifts it to ~0.8 at identical total CPU (512 starts paying real
+# Arrow-crossing overhead). Wave count, not bucket-size variance, is the
+# utilization lever: per-bucket totals are CLT-even at ~280 convs/bucket.
+SCALING_BUCKETS = int(os.environ.get("SPARK_GRAFT_SCALING_BUCKETS", "256"))
 
 
 def _flagship_throughput(cores: int, sf_dir: str) -> tuple[float, float]:
