@@ -1563,6 +1563,20 @@ def q_source_cap(spark, sf_dir):
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
 
 
+def q_hashed_embed(spark, sf_dir):
+    """Feature-hashing text embedding (hashing trick, 16 dims, md5
+    buckets, L2-normalized) — the vocabulary-free featurizer feeding the
+    similarity/dedup stack; norm is sqrt of one fixed integer expression
+    so every component hashes identically on any engine."""
+    from z_rad_spark.operators.text import hashed_embedding
+
+    out = hashed_embedding(_docs(spark, sf_dir), dims=16)
+    cols = [f"e{d:02d}" for d in range(16)]
+    return _r6(
+        out.select(F.col("doc_id").cast("long").alias("doc_id"), *cols), cols
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -1640,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shard_pack": q_shard_pack,
         "q_hash_split": q_hash_split,
         "q_source_cap": q_source_cap,
+        "q_hashed_embed": q_hashed_embed,
         # values/plans changed this round, r1-green, siblings in-window
         # exercise the same changed code (skew fix -> salted family;
         # value algebra -> stats/hist/reseg; bucketed reducers -> dist):

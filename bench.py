@@ -37,6 +37,12 @@ HEADLINE = [
     "q_ivf_topk",
     "q_dedup_exact",
     "q_corpus_clean",
+    # round-2 additions (new rows vs BENCH_r01 — per-query comparisons
+    # against r01 use the shared prefix above)
+    "q_decontaminate",
+    "q_shard_pack",
+    "q_interval_join",
+    "q_stream_window_stats",
 ]
 
 

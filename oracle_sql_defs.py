@@ -2556,3 +2556,52 @@ WITH r AS (
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM r WHERE rk <= 20
 """
+
+
+ORACLES["q_hashed_embed"] = """
+WITH tk AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(token), 1, 4))::BIGINT % 16 AS b
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents)
+),
+c AS (
+  SELECT doc_id,
+         SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS c0,
+         SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS c2,
+         SUM(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS c3,
+         SUM(CASE WHEN b = 4 THEN 1 ELSE 0 END) AS c4,
+         SUM(CASE WHEN b = 5 THEN 1 ELSE 0 END) AS c5,
+         SUM(CASE WHEN b = 6 THEN 1 ELSE 0 END) AS c6,
+         SUM(CASE WHEN b = 7 THEN 1 ELSE 0 END) AS c7,
+         SUM(CASE WHEN b = 8 THEN 1 ELSE 0 END) AS c8,
+         SUM(CASE WHEN b = 9 THEN 1 ELSE 0 END) AS c9,
+         SUM(CASE WHEN b = 10 THEN 1 ELSE 0 END) AS c10,
+         SUM(CASE WHEN b = 11 THEN 1 ELSE 0 END) AS c11,
+         SUM(CASE WHEN b = 12 THEN 1 ELSE 0 END) AS c12,
+         SUM(CASE WHEN b = 13 THEN 1 ELSE 0 END) AS c13,
+         SUM(CASE WHEN b = 14 THEN 1 ELSE 0 END) AS c14,
+         SUM(CASE WHEN b = 15 THEN 1 ELSE 0 END) AS c15
+  FROM tk GROUP BY doc_id
+),
+n AS (SELECT *, sqrt(CAST(c0 * c0 + c1 * c1 + c2 * c2 + c3 * c3 + c4 * c4 + c5 * c5 + c6 * c6 + c7 * c7 + c8 * c8 + c9 * c9 + c10 * c10 + c11 * c11 + c12 * c12 + c13 * c13 + c14 * c14 + c15 * c15 AS DOUBLE)) AS nrm FROM c)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       ROUND(CASE WHEN nrm > 0 THEN CAST(c0 AS DOUBLE) / nrm ELSE 0.0 END, 6) + 0 AS e00,
+       ROUND(CASE WHEN nrm > 0 THEN CAST(c1 AS DOUBLE) / nrm ELSE 0.0 END, 6) + 0 AS e01,
+       ROUND(CASE WHEN nrm > 0 THEN CAST(c2 AS DOUBLE) / nrm ELSE 0.0 END, 6) + 0 AS e02,
+       ROUND(CASE WHEN nrm > 0 THEN CAST(c3 AS DOUBLE) / nrm ELSE 0.0 END, 6) + 0 AS e03,
+       ROUND(CASE WHEN nrm > 0 THEN CAST(c4 AS DOUBLE) / nrm ELSE 0.0 END, 6) + 0 AS e04,
+       ROUND(CASE WHEN nrm > 0 THEN CAST(c5 AS DOUBLE) / nrm ELSE 0.0 END, 6) + 0 AS e05,
+       ROUND(CASE WHEN nrm > 0 THEN CAST(c6 AS DOUBLE) / nrm ELSE 0.0 END, 6) + 0 AS e06,
+       ROUND(CASE WHEN nrm > 0 THEN CAST(c7 AS DOUBLE) / nrm ELSE 0.0 END, 6) + 0 AS e07,
+       ROUND(CASE WHEN nrm > 0 THEN CAST(c8 AS DOUBLE) / nrm ELSE 0.0 END, 6) + 0 AS e08,
+       ROUND(CASE WHEN nrm > 0 THEN CAST(c9 AS DOUBLE) / nrm ELSE 0.0 END, 6) + 0 AS e09,
+       ROUND(CASE WHEN nrm > 0 THEN CAST(c10 AS DOUBLE) / nrm ELSE 0.0 END, 6) + 0 AS e10,
+       ROUND(CASE WHEN nrm > 0 THEN CAST(c11 AS DOUBLE) / nrm ELSE 0.0 END, 6) + 0 AS e11,
+       ROUND(CASE WHEN nrm > 0 THEN CAST(c12 AS DOUBLE) / nrm ELSE 0.0 END, 6) + 0 AS e12,
+       ROUND(CASE WHEN nrm > 0 THEN CAST(c13 AS DOUBLE) / nrm ELSE 0.0 END, 6) + 0 AS e13,
+       ROUND(CASE WHEN nrm > 0 THEN CAST(c14 AS DOUBLE) / nrm ELSE 0.0 END, 6) + 0 AS e14,
+       ROUND(CASE WHEN nrm > 0 THEN CAST(c15 AS DOUBLE) / nrm ELSE 0.0 END, 6) + 0 AS e15
+FROM n
+"""

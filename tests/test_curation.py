@@ -237,3 +237,21 @@ def test_cap_per_group(spark):
     # deterministic selection
     again = cap_per_group(df, group_col="source", cap=10).collect()
     assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+
+
+def test_hashed_embedding_unit_norm_and_composes_with_cosine(spark):
+    from z_rad_spark.operators.text import hashed_embedding
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha", "s"), (2, "alpha beta alpha", "s"),
+         (3, "zz yy xx ww vv uu", "s")],
+        "doc_id long, text string, source string",
+    )
+    out = hashed_embedding(df, dims=8)
+    rows = {r["doc_id"]: [r[f"e{d:02d}"] for d in range(8)] for r in out.collect()}
+    for v in rows.values():
+        assert sum(x * x for x in v) == pytest.approx(1.0)
+    # identical docs -> identical vectors; cosine(1,2) = 1
+    assert rows[1] == rows[2]
+    cos13 = sum(a * b for a, b in zip(rows[1], rows[3]))
+    assert cos13 < 0.999  # different token sets are not parallel

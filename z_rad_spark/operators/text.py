@@ -236,3 +236,50 @@ def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
         df = df.withColumn(f"n_{kind}", F.regexp_count(out, F.lit(pat)).cast("long"))
         out = F.regexp_replace(out, pat, repl)
     return df.withColumn("text_redacted", out)
+
+
+def hashed_embedding(
+    df: DataFrame, dims: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Feature-hashing text embedding (the hashing trick, Weinberger et
+    al. 2009): each token is assigned a bucket by the first 4 hex chars
+    of its md5 (engine-portable — no JVM-specific hash), the document
+    vector is the per-bucket token count, L2-normalized. The cheap,
+    vocabulary-free featurizer that feeds the similarity/dedup stack
+    (cosine_topk, embedding_near_dup_pairs, kmeans) when no trained
+    embeddings exist.
+
+    Emits ``dims`` wide columns ``e00..`` so values stay hash-exact
+    across engines (norm = sqrt of an integer sum in one fixed
+    expression; each component one IEEE division). Plan: one explode +
+    one groupBy(doc) with ``dims`` conditional-sum aggregates — a single
+    shuffle on the document key, map-side combined.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("long")
+        % dims
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+    ).withColumn("_b", bucket)
+    counts = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("_b") == d, 1).otherwise(0)).cast("long").alias(f"_c{d}")
+            for d in range(dims)
+        ]
+    )
+    norm_sq = None
+    for d in range(dims):
+        term = F.col(f"_c{d}") * F.col(f"_c{d}")
+        norm_sq = term if norm_sq is None else norm_sq + term
+    norm = F.sqrt(norm_sq.cast("double"))
+    out = counts.withColumn("_norm", norm)
+    for d in range(dims):
+        out = out.withColumn(
+            f"e{d:02d}",
+            F.when(
+                F.col("_norm") > 0, F.col(f"_c{d}").cast("double") / F.col("_norm")
+            ).otherwise(F.lit(0.0)),
+        )
+    return out.select(id_col, *[f"e{d:02d}" for d in range(dims)])
