@@ -1460,7 +1460,10 @@ def q_stream_window_stats(spark, sf_dir):
         F.col("ts").cast("timestamp").alias("ts"),
         (1 + F.abs(F.floor("value").cast("int")) % 9).cast("double").alias("signal"),
     )
-    base.coalesce(1).write.mode("overwrite").parquet(src)
+    # a handful of files written in parallel; availableNow with no file
+    # rate limit still processes them as ONE micro-batch, so file order
+    # cannot create late-drop nondeterminism
+    base.repartition(4).write.mode("overwrite").parquet(src)
     schema = T.StructType(
         [
             T.StructField("conv_id", T.StringType()),
@@ -1471,14 +1474,23 @@ def q_stream_window_stats(spark, sf_dir):
     stream = spark.readStream.schema(schema).parquet(src)
     out = streaming_window_stats(stream, window="1 hour", watermark="0 seconds")
     name = "q_stream_" + uuid.uuid4().hex
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # scope a low partition count to the stream: per-batch state-store
+    # commit cost is proportional to shuffle partitions, and the windowed
+    # state here is ~1 row/conversation-hour — 8 partitions ample at any
+    # tested sf (a real deployment sizes this to state volume, not cores)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     res = spark.table(name)
     return _r6(
         res.select(
