@@ -1589,6 +1589,64 @@ def q_hashed_embed(spark, sf_dir):
     )
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """Custom stateful streaming gate query: gap sessionization via
+    applyInPandasWithState (event-time timeout) replayed over the events
+    table with availableNow. Emitted set = sessions closed by an in-data
+    gap plus open sessions whose event-time timeout (last_ms + gap_ms)
+    fell strictly below the final watermark (max event ms, delay 0s) —
+    the batch SQL oracle replicates both rules, hash-verifying the
+    stateful operator's exactly-once emission contract end to end."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from z_rad_spark.streaming import streaming_sessionize
+
+    src = tempfile.mkdtemp(prefix="q_stream_sess_src_")
+    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        (1 + F.abs(F.floor("value").cast("int")) % 9).cast("double").alias("signal"),
+    )
+    base.repartition(4).write.mode("overwrite").parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("signal", T.DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_sessionize(stream, gap_seconds=GAP_SECONDS, watermark="0 seconds")
+    name = "q_stream_sess_" + uuid.uuid4().hex
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    res = spark.table(name)
+    return _r6(
+        res.select(
+            "conv_id",
+            F.col("session_start_us").cast("long"),
+            F.col("session_end_us").cast("long"),
+            F.col("n_turns").cast("long"),
+            "signal_sum",
+        ),
+        ["signal_sum"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -1667,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_split": q_hash_split,
         "q_source_cap": q_source_cap,
         "q_hashed_embed": q_hashed_embed,
+        "q_stream_sessionize": q_stream_sessionize,
         # values/plans changed this round, r1-green, siblings in-window
         # exercise the same changed code (skew fix -> salted family;
         # value algebra -> stats/hist/reseg; bucketed reducers -> dist):

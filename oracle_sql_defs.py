@@ -2605,3 +2605,42 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        ROUND(CASE WHEN nrm > 0 THEN CAST(c15 AS DOUBLE) / nrm ELSE 0.0 END, 6) + 0 AS e15
 FROM n
 """
+
+
+# batch replica of the stateful streaming sessionizer's append contract:
+# sessions closed by an in-data gap (every session but the conversation's
+# last), plus last sessions whose event-time timeout (end_ms + gap_ms)
+# fell strictly below the final watermark (max event ms, delay 0s —
+# Spark fires EventTimeTimeout when the watermark advances BEYOND the
+# set timestamp; both sides truncate to ms exactly as GroupState does)
+ORACLES["q_stream_sessionize"] = f"""
+WITH t AS ({T}),
+s AS (
+  SELECT conv_id, turn_idx, ts, signal,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {GAP * 1000000} THEN 1 ELSE 0 END AS brk
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+g AS (
+  SELECT conv_id, ts, signal,
+         SUM(brk) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+),
+agg AS (
+  SELECT conv_id, sid,
+         MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+         COUNT(*) AS n, SUM(signal) AS ssum
+  FROM g GROUP BY conv_id, sid
+),
+mx AS (SELECT MAX(epoch_us(ts)) AS m FROM t),
+last AS (SELECT conv_id, MAX(sid) AS last_sid FROM agg GROUP BY conv_id)
+SELECT agg.conv_id,
+       CAST(start_us AS BIGINT) AS session_start_us,
+       CAST(end_us AS BIGINT) AS session_end_us,
+       CAST(n AS BIGINT) AS n_turns,
+       ROUND(CAST(ssum AS DOUBLE), 6) + 0 AS signal_sum
+FROM agg
+JOIN last ON agg.conv_id = last.conv_id, mx
+WHERE agg.sid < last.last_sid
+   OR (end_us // 1000 + {GAP * 1000}) < (mx.m // 1000)
+"""
