@@ -1647,6 +1647,28 @@ def q_stream_sessionize(spark, sf_dir):
     )
 
 
+def q_sketch_stats(spark, sf_dir):
+    """Sketch aggregates per source (rows-only by design — HLL++ and
+    Greenwald-Khanna estimates are not engine-portable values; the
+    accuracy contract vs exact aggregates is pytest-verified in
+    tests/test_curation.py)."""
+    from z_rad_spark.operators.sketches import approx_distinct_by, approx_quantiles_by
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    )
+    d = approx_distinct_by(toks, "source", "token")
+    q = approx_quantiles_by(docs, "source", "n_chars", probabilities=(0.5, 0.9))
+    return d.join(q, "source").select(
+        "source",
+        "approx_distinct",
+        "n_rows",
+        F.col("p5").cast("long").alias("p50_chars"),
+        F.col("p9").cast("long").alias("p90_chars"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -1726,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_cap": q_source_cap,
         "q_hashed_embed": q_hashed_embed,
         "q_stream_sessionize": q_stream_sessionize,
+        "q_sketch_stats": q_sketch_stats,
         # values/plans changed this round, r1-green, siblings in-window
         # exercise the same changed code (skew fix -> salted family;
         # value algebra -> stats/hist/reseg; bucketed reducers -> dist):

@@ -255,3 +255,21 @@ def test_hashed_embedding_unit_norm_and_composes_with_cosine(spark):
     assert rows[1] == rows[2]
     cos13 = sum(a * b for a, b in zip(rows[1], rows[3]))
     assert cos13 < 0.999  # different token sets are not parallel
+
+
+def test_sketches_error_bounds_vs_exact(spark):
+    from z_rad_spark.operators.sketches import approx_distinct_by, approx_quantiles_by
+
+    df = spark.createDataFrame(
+        [(i % 3, f"v{i % 257}", float(i % 100)) for i in range(3000)],
+        "g int, v string, x double",
+    )
+    d = {r["g"]: r for r in approx_distinct_by(df, "g", "v", rsd=0.02).collect()}
+    for g in (0, 1, 2):
+        exact = df.where(F.col("g") == g).select("v").distinct().count()
+        assert abs(d[g]["approx_distinct"] - exact) <= max(3, 0.05 * exact)
+        assert d[g]["n_rows"] == 1000
+    q = {r["g"]: r for r in approx_quantiles_by(df, "g", "x", (0.5,)).collect()}
+    for g in (0, 1, 2):
+        # exact median of 0..99 uniform-ish: within 2 of 49/50
+        assert abs(q[g]["p5"] - 49.5) <= 2.5
