@@ -1669,6 +1669,35 @@ def q_sketch_stats(spark, sf_dir):
     )
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Sliding-window document chunking (20-token windows, stride 15,
+    tail kept) — RAG/pretraining prep; exact integer chunk starts."""
+    from z_rad_spark.operators.curation import chunk_documents
+
+    out = chunk_documents(_docs(spark, sf_dir), chunk_tokens=20, stride=15)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "chunk_text",
+        "n_chunk_tokens",
+    )
+
+
+def q_turn_pairs(spark, sf_dir):
+    """Instruction-tuning pair extraction: (user prompt, assistant
+    response) adjacent-turn pairs in the stable conversation order."""
+    from z_rad_spark.operators.sessionize import turn_pairs
+
+    out = turn_pairs(_t(spark, sf_dir))
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        _us("ts", "ts_us"),
+        "prompt",
+        "response",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -1749,6 +1778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hashed_embed": q_hashed_embed,
         "q_stream_sessionize": q_stream_sessionize,
         "q_sketch_stats": q_sketch_stats,
+        "q_chunk_docs": q_chunk_docs,
+        "q_turn_pairs": q_turn_pairs,
         # values/plans changed this round, r1-green, siblings in-window
         # exercise the same changed code (skew fix -> salted family;
         # value algebra -> stats/hist/reseg; bucketed reducers -> dist):

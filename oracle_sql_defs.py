@@ -2644,3 +2644,42 @@ JOIN last ON agg.conv_id = last.conv_id, mx
 WHERE agg.sid < last.last_sid
    OR (end_us // 1000 + {GAP * 1000}) < (mx.m // 1000)
 """
+
+
+ORACLES["q_chunk_docs"] = f"""
+WITH d AS (SELECT doc_id, {TOKS_RAW} AS tk FROM documents),
+s AS (
+  SELECT doc_id, tk,
+         1 + CAST(FLOOR((GREATEST(len(tk) - 20, 0) + 14) / 15.0) AS INT) AS n_starts
+  FROM d
+),
+c AS (
+  SELECT doc_id, unnest(generate_series(1, n_starts)) AS i, tk
+  FROM s
+),
+c2 AS (
+  SELECT doc_id, i - 1 AS chunk_idx,
+         array_to_string(list_slice(tk, (i - 1) * 15 + 1, (i - 1) * 15 + 20), ' ') AS chunk_text
+  FROM c
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       chunk_text,
+       CAST(len(string_split_regex(chunk_text, '\\s+')) AS BIGINT) AS n_chunk_tokens
+FROM c2
+"""
+
+ORACLES["q_turn_pairs"] = f"""
+WITH t AS ({T}),
+l AS (
+  SELECT conv_id, turn_idx, ts, role, text,
+         lag(role) OVER w AS pr, lag(text) OVER w AS pt
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+)
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+       epoch_us(ts) AS ts_us,
+       pt AS prompt, text AS response
+FROM l
+WHERE role = 'assistant' AND pr = 'user'
+"""

@@ -273,3 +273,44 @@ def test_sketches_error_bounds_vs_exact(spark):
     for g in (0, 1, 2):
         # exact median of 0..99 uniform-ish: within 2 of 49/50
         assert abs(q[g]["p5"] - 49.5) <= 2.5
+
+
+def test_chunk_documents_tail_and_coverage(spark):
+    from z_rad_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(47)), "s"),  # 47 tokens
+         (2, "a b c", "s")],                               # shorter than chunk
+        "doc_id long, text string, source string",
+    )
+    out = chunk_documents(df, chunk_tokens=20, stride=15).collect()
+    one = sorted((r for r in out if r["doc_id"] == 1), key=lambda r: r["chunk_idx"])
+    # starts 0,15,30 -> 3 chunks (1 + ceil(27/15) = 3); tail = tokens 30..46
+    assert [r["chunk_idx"] for r in one] == [0, 1, 2]
+    assert one[0]["n_chunk_tokens"] == 20 and one[2]["n_chunk_tokens"] == 17
+    assert one[0]["chunk_text"].startswith("t0 ") and one[2]["chunk_text"].endswith("t46")
+    # every token covered
+    covered = set()
+    for r in one:
+        covered.update(r["chunk_text"].split())
+    assert len(covered) == 47
+    two = [r for r in out if r["doc_id"] == 2]
+    assert len(two) == 1 and two[0]["n_chunk_tokens"] == 3
+
+
+def test_turn_pairs_adjacency(spark):
+    from z_rad_spark.operators.sessionize import turn_pairs
+
+    rows = [
+        ("c1", 0, "2024-01-01 00:00:00", "user", "q1"),
+        ("c1", 1, "2024-01-01 00:01:00", "assistant", "a1"),
+        ("c1", 2, "2024-01-01 00:02:00", "assistant", "a2"),   # no user before
+        ("c1", 3, "2024-01-01 00:03:00", "user", "q2"),
+        ("c1", 4, "2024-01-01 00:04:00", "tool", "t"),
+        ("c1", 5, "2024-01-01 00:05:00", "assistant", "a3"),   # tool between
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts string, role string, text string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = turn_pairs(df).collect()
+    assert [(r["prompt"], r["response"]) for r in out] == [("q1", "a1")]

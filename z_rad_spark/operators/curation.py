@@ -329,3 +329,45 @@ def cap_per_group(
         .where(F.col("_rk") <= cap)
         .drop("_rk")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 20,
+    stride: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking (RAG / pretraining prep): split
+    each document into ``chunk_tokens``-token windows advancing by
+    ``stride`` (overlap = chunk_tokens - stride), keeping the shorter
+    tail window so every token lands in >= 1 chunk.
+
+    Narrow per-row expressions (token array -> posexplode of slices):
+    the 100 TB plan is a streaming map with row amplification
+    ~ n_tokens/stride, no shuffle. Chunk starts are exact integer
+    arithmetic, so the (doc_id, chunk_idx, chunk_text) set is
+    engine-reproducible.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = _toks(text_col)
+    n = F.size(toks)
+    # starts: 0, stride, ..., with the last start covering the tail:
+    # n_starts = 1 + ceil(max(n - chunk, 0) / stride), in integer math
+    extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    n_starts = F.lit(1) + F.floor(
+        (extra + F.lit(stride - 1)) / F.lit(stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_starts - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_tokens)),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    )
+    return out.withColumn(
+        "n_chunk_tokens",
+        F.size(F.split(F.col("chunk_text"), r"\s+")).cast("long"),
+    )

@@ -143,3 +143,34 @@ def session_stats(df: DataFrame, gap_seconds: float) -> DataFrame:
         F.sum(F.col("signal")).alias("signal_sum"),
         F.avg(F.col("signal")).alias("signal_mean"),
     )
+
+
+def turn_pairs(
+    df: DataFrame,
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+) -> DataFrame:
+    """Instruction-tuning pair extraction from transcripts: every
+    ``response_role`` turn immediately preceded (in the stable
+    (ts, turn_idx) conversation order) by a ``prompt_role`` turn becomes
+    one (prompt, response) training example.
+
+    One window pass on the engine's canonical (conv_id, ts, turn_idx)
+    ordering — the same exchange every other per-conversation operator
+    uses. Emits conv_id, the response's turn_idx and ts, and the pair.
+    """
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    prev_role = F.lag("role").over(w)
+    prev_text = F.lag("text").over(w)
+    return (
+        df.withColumn("_pr", prev_role)
+        .withColumn("_pt", prev_text)
+        .where((F.col("role") == response_role) & (F.col("_pr") == prompt_role))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "ts",
+            F.col("_pt").alias("prompt"),
+            F.col("text").alias("response"),
+        )
+    )
