@@ -1698,6 +1698,73 @@ def q_turn_pairs(spark, sf_dir):
     )
 
 
+def q_conv_dedup(spark, sf_dir):
+    """Whole-conversation exact dedup: conversations hashed on their
+    ordered turn-text sequence (stable (ts, turn_idx) order), keeping the
+    lexicographically-smallest conv_id per hash — the transcript-level
+    twin of document exact_dedup. One map-side-combined groupBy per conv
+    + one tiny groupBy on the hash."""
+    t = _t(spark, sf_dir)
+    per_conv = (
+        t.groupBy("conv_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("ts"), F.col("turn_idx"), F.col("text")))
+                        ),
+                        lambda s: s["text"],
+                    ),
+                )
+            ).alias("conv_hash"),
+            F.count("*").cast("long").alias("n_turns"),
+        )
+    )
+    keep = per_conv.groupBy("conv_hash").agg(F.min("conv_id").alias("keep_id"))
+    return (
+        per_conv.join(keep, "conv_hash")
+        .select(
+            "conv_id",
+            "n_turns",
+            (F.col("conv_id") == F.col("keep_id")).cast("int").alias("is_canonical"),
+        )
+    )
+
+
+def q_conv_quality(spark, sf_dir):
+    """Conversation-level quality metrics for SFT curation: turn counts
+    per role, tool-call rate, mean assistant turn tokens, user/assistant
+    balance — exact-integer ratios over one per-conversation aggregate."""
+    t = _t(spark, sf_dir)
+    agg = t.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("long")).cast("long").alias("n_user"),
+        F.sum((F.col("role") == "assistant").cast("long")).cast("long").alias("n_assistant"),
+        F.sum(F.col("tool").isNotNull().cast("long")).cast("long").alias("n_tool"),
+        F.sum(F.when(F.col("role") == "assistant", F.col("signal")).otherwise(F.lit(0.0)))
+        .cast("double")
+        .alias("_asst_tok"),
+    )
+    out = agg.select(
+        "conv_id",
+        "n_turns",
+        "n_user",
+        "n_assistant",
+        (F.col("n_tool").cast("double") / F.col("n_turns").cast("double")).alias("tool_rate"),
+        F.when(
+            F.col("n_assistant") > 0,
+            F.col("_asst_tok") / F.col("n_assistant").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("mean_assistant_tokens"),
+        F.when(
+            F.col("n_assistant") > 0,
+            F.col("n_user").cast("double") / F.col("n_assistant").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("user_assistant_ratio"),
+    )
+    return _r6(out, ["tool_rate", "mean_assistant_tokens", "user_assistant_ratio"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -1780,6 +1847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sketch_stats": q_sketch_stats,
         "q_chunk_docs": q_chunk_docs,
         "q_turn_pairs": q_turn_pairs,
+        "q_conv_dedup": q_conv_dedup,
+        "q_conv_quality": q_conv_quality,
         # values/plans changed this round, r1-green, siblings in-window
         # exercise the same changed code (skew fix -> salted family;
         # value algebra -> stats/hist/reseg; bucketed reducers -> dist):

@@ -2683,3 +2683,39 @@ SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
 FROM l
 WHERE role = 'assistant' AND pr = 'user'
 """
+
+
+ORACLES["q_conv_dedup"] = f"""
+WITH t AS ({T}),
+pc AS (
+  SELECT conv_id,
+         md5(string_agg(text, '|' ORDER BY ts, turn_idx)) AS conv_hash,
+         COUNT(*) AS n_turns
+  FROM t GROUP BY conv_id
+),
+k AS (SELECT conv_hash, MIN(conv_id) AS keep_id FROM pc GROUP BY conv_hash)
+SELECT pc.conv_id, CAST(pc.n_turns AS BIGINT) AS n_turns,
+       CAST(CASE WHEN pc.conv_id = k.keep_id THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM pc JOIN k ON pc.conv_hash = k.conv_hash
+"""
+
+ORACLES["q_conv_quality"] = f"""
+WITH t AS ({T}),
+a AS (
+  SELECT conv_id,
+         COUNT(*) AS n_turns,
+         SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+         SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant,
+         SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool,
+         SUM(CASE WHEN role = 'assistant' THEN signal ELSE 0.0 END) AS asst_tok
+  FROM t GROUP BY conv_id
+)
+SELECT conv_id,
+       CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(n_user AS BIGINT) AS n_user,
+       CAST(n_assistant AS BIGINT) AS n_assistant,
+       {r6('CAST(n_tool AS DOUBLE) / CAST(n_turns AS DOUBLE)', 'tool_rate')},
+       {r6("CASE WHEN n_assistant > 0 THEN CAST(asst_tok AS DOUBLE) / CAST(n_assistant AS DOUBLE) ELSE 0.0 END", 'mean_assistant_tokens')},
+       {r6("CASE WHEN n_assistant > 0 THEN CAST(n_user AS DOUBLE) / CAST(n_assistant AS DOUBLE) ELSE 0.0 END", 'user_assistant_ratio')}
+FROM a
+"""
