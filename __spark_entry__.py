@@ -1765,6 +1765,32 @@ def q_conv_quality(spark, sf_dir):
     return _r6(out, ["tool_rate", "mean_assistant_tokens", "user_assistant_ratio"])
 
 
+def q_session_window(spark, sf_dir):
+    """Catalyst-native session windows (F.session_window, 30-min gap):
+    the declarative alternative to both the window-based sessionizer and
+    the stateful streaming one. NOTE the boundary difference the oracle
+    encodes: session_window merges events whose [ts, ts+gap) windows
+    OVERLAP, so a gap exactly == 30 min starts a NEW session (>= break),
+    while the engine's gap sessionizer breaks only on gap > limit —
+    documented operator semantics, both gate-verified."""
+    t = _t(spark, sf_dir)
+    out = (
+        t.groupBy("conv_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum("signal").cast("double").alias("signal_sum"),
+        )
+        .select(
+            "conv_id",
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end").cast("timestamp")).alias("session_end_us"),
+            "n_turns",
+            "signal_sum",
+        )
+    )
+    return _r6(out, ["signal_sum"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -1849,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_turn_pairs": q_turn_pairs,
         "q_conv_dedup": q_conv_dedup,
         "q_conv_quality": q_conv_quality,
+        "q_session_window": q_session_window,
         # values/plans changed this round, r1-green, siblings in-window
         # exercise the same changed code (skew fix -> salted family;
         # value algebra -> stats/hist/reseg; bucketed reducers -> dist):

@@ -2719,3 +2719,29 @@ SELECT conv_id,
        {r6("CASE WHEN n_assistant > 0 THEN CAST(n_user AS DOUBLE) / CAST(n_assistant AS DOUBLE) ELSE 0.0 END", 'user_assistant_ratio')}
 FROM a
 """
+
+
+# Catalyst session_window semantics: event windows [ts, ts+gap) merge on
+# OVERLAP, so a gap exactly equal to the 30-min limit STARTS a new session
+# (>= break) — unlike the engine's gap sessionizer (> break). Session end =
+# last event + gap.
+ORACLES["q_session_window"] = f"""
+WITH t AS ({T}),
+s AS (
+  SELECT conv_id, turn_idx, ts, signal,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {GAP * 1000000} THEN 1 ELSE 0 END AS brk
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+g AS (
+  SELECT conv_id, ts, signal,
+         SUM(brk) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT conv_id,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS session_start_us,
+       CAST(MAX(epoch_us(ts)) + {GAP * 1000000} AS BIGINT) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       ROUND(CAST(SUM(signal) AS DOUBLE), 6) + 0 AS signal_sum
+FROM g GROUP BY conv_id, sid
+"""
