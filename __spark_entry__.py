@@ -1439,30 +1439,36 @@ def q_kmeans_assign(spark, sf_dir):
     )
 
 
-def q_stream_window_stats(spark, sf_dir):
-    """Structured Streaming gate query: the events table replayed through
-    a file stream source into watermarked tumbling-window aggregates
-    (streaming.streaming_window_stats), availableNow trigger, memory
-    sink. Emitted set = append-mode contract: exactly the windows whose
-    end <= the final watermark (max event time, delay 0s) — the batch
-    SQL oracle replicates that cutoff, so this query hash-verifies the
-    streaming/batch consistency guarantee end to end."""
+def _replay_stream(spark, sf_dir, build_output, prefix):
+    """Shared harness for the streaming gate queries: replay the
+    events-derived (conv_id, ts, signal) frame through a file stream
+    source with an availableNow trigger into a memory sink, and return
+    the emitted table.
+
+    * The source copy is written with a handful of parallel files;
+      availableNow with no file rate limit processes them as ONE
+      micro-batch, so file order cannot create late-drop nondeterminism.
+    * Shuffle partitions are scoped to 8 for the stream only: per-batch
+      state-store commit cost is proportional to partitions, and the
+      state here is tiny (a real deployment sizes this to state volume,
+      not cores).
+    * awaitTermination's result is CHECKED — a timeout would otherwise
+      surface as a silent partial sink; the query is stopped and the
+      source copy deleted either way (the memory sink keeps the emitted
+      rows after the stream ends).
+    """
+    import shutil
     import tempfile
     import uuid
 
     from pyspark.sql import types as T
 
-    from z_rad_spark.streaming import streaming_window_stats
-
-    src = tempfile.mkdtemp(prefix="q_stream_src_")
+    src = tempfile.mkdtemp(prefix=prefix)
     base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
         F.col("ts").cast("timestamp").alias("ts"),
         (1 + F.abs(F.floor("value").cast("int")) % 9).cast("double").alias("signal"),
     )
-    # a handful of files written in parallel; availableNow with no file
-    # rate limit still processes them as ONE micro-batch, so file order
-    # cannot create late-drop nondeterminism
     base.repartition(4).write.mode("overwrite").parquet(src)
     schema = T.StructType(
         [
@@ -1472,14 +1478,11 @@ def q_stream_window_stats(spark, sf_dir):
         ]
     )
     stream = spark.readStream.schema(schema).parquet(src)
-    out = streaming_window_stats(stream, window="1 hour", watermark="0 seconds")
-    name = "q_stream_" + uuid.uuid4().hex
-    # scope a low partition count to the stream: per-batch state-store
-    # commit cost is proportional to shuffle partitions, and the windowed
-    # state here is ~1 row/conversation-hour — 8 partitions ample at any
-    # tested sf (a real deployment sizes this to state volume, not cores)
+    out = build_output(stream)
+    name = prefix + uuid.uuid4().hex
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    q = None
     try:
         q = (
             out.writeStream.format("memory")
@@ -1488,10 +1491,36 @@ def q_stream_window_stats(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(600)
+        if not finished:
+            raise RuntimeError(
+                f"{name}: streaming replay did not finish within 600s — "
+                "refusing to read a partial memory sink"
+            )
     finally:
+        if q is not None:
+            q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    res = spark.table(name)
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table(name)
+
+
+def q_stream_window_stats(spark, sf_dir):
+    """Structured Streaming gate query: the events table replayed through
+    a file stream source into watermarked tumbling-window aggregates
+    (streaming.streaming_window_stats), availableNow trigger, memory
+    sink. Emitted set = append-mode contract: exactly the windows whose
+    end <= the final watermark (max event time, delay 0s) — the batch
+    SQL oracle replicates that cutoff, so this query hash-verifies the
+    streaming/batch consistency guarantee end to end."""
+    from z_rad_spark.streaming import streaming_window_stats
+
+    res = _replay_stream(
+        spark,
+        sf_dir,
+        lambda s: streaming_window_stats(s, window="1 hour", watermark="0 seconds"),
+        "q_stream_",
+    )
     return _r6(
         res.select(
             "conv_id",
@@ -1597,44 +1626,14 @@ def q_stream_sessionize(spark, sf_dir):
     fell strictly below the final watermark (max event ms, delay 0s) —
     the batch SQL oracle replicates both rules, hash-verifying the
     stateful operator's exactly-once emission contract end to end."""
-    import tempfile
-    import uuid
-
-    from pyspark.sql import types as T
-
     from z_rad_spark.streaming import streaming_sessionize
 
-    src = tempfile.mkdtemp(prefix="q_stream_sess_src_")
-    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
-        F.col("ts").cast("timestamp").alias("ts"),
-        (1 + F.abs(F.floor("value").cast("int")) % 9).cast("double").alias("signal"),
+    res = _replay_stream(
+        spark,
+        sf_dir,
+        lambda s: streaming_sessionize(s, gap_seconds=GAP_SECONDS, watermark="0 seconds"),
+        "q_stream_sess_",
     )
-    base.repartition(4).write.mode("overwrite").parquet(src)
-    schema = T.StructType(
-        [
-            T.StructField("conv_id", T.StringType()),
-            T.StructField("ts", T.TimestampType()),
-            T.StructField("signal", T.DoubleType()),
-        ]
-    )
-    stream = spark.readStream.schema(schema).parquet(src)
-    out = streaming_sessionize(stream, gap_seconds=GAP_SECONDS, watermark="0 seconds")
-    name = "q_stream_sess_" + uuid.uuid4().hex
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    res = spark.table(name)
     return _r6(
         res.select(
             "conv_id",

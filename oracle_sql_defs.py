@@ -2689,7 +2689,7 @@ ORACLES["q_conv_dedup"] = f"""
 WITH t AS ({T}),
 pc AS (
   SELECT conv_id,
-         md5(string_agg(text, '|' ORDER BY ts, turn_idx)) AS conv_hash,
+         md5(string_agg(text, '|' ORDER BY ts, turn_idx, text)) AS conv_hash,
          COUNT(*) AS n_turns
   FROM t GROUP BY conv_id
 ),

@@ -314,3 +314,25 @@ def test_turn_pairs_adjacency(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = turn_pairs(df).collect()
     assert [(r["prompt"], r["response"]) for r in out] == [("q1", "a1")]
+
+
+def test_kmeans_lloyd_keeps_k_when_clusters_empty(spark):
+    """Clusters that lose every member retain their previous centroid
+    instead of silently shrinking k (code-review regression)."""
+    from z_rad_spark.operators.similarity import kmeans_lloyd
+
+    # 12 vectors in 2 tight clusters but k=6: >= 4 centroids go empty
+    rows = [(i, [1.0, 0.001 * i]) for i in range(6)] + [
+        (i, [0.0, 1.0 + 0.001 * i]) for i in range(6, 12)
+    ]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_lloyd(v, k=6, iters=2).collect()
+    assert len(out) == 12
+    m = {r["vec_id"]: r["cluster_id"] for r in out}
+    # every vector assigned, to a seeded centroid id (empty clusters kept
+    # their centroid — no shrinking-k KeyError / missing assignments), and
+    # the two orthogonal groups never share a centroid
+    assert set(m) == set(range(12))
+    left = {m[i] for i in range(6)}
+    right = {m[i] for i in range(6, 12)}
+    assert left.isdisjoint(right)

@@ -314,6 +314,19 @@ def kmeans_lloyd(
     hash-exact single step.
     """
     assigned = kmeans_assign(vectors, k=k, id_col=id_col, vec_col=vec_col)
+    # previous centroids by id: clusters that lose every member keep their
+    # old centroid instead of silently shrinking k mid-iteration
+    prev = {
+        int(r["cent_id"]): [float(x) for x in r["cent_vec"]]
+        for r in vectors.select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("cent_vec"),
+            F.md5(F.concat(F.lit("km|"), F.col(id_col).cast("string"))).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    }
     for _ in range(iters):
         new_cents = (
             vectors.join(assigned.select(id_col, "cluster_id"), id_col)
@@ -327,10 +340,13 @@ def kmeans_lloyd(
                 F.transform("dm", lambda s: s["m"]).alias("cent_vec"),
             )
         )
-        cents = new_cents.collect()
+        cur = {
+            int(r["cent_id"]): [float(x) for x in r["cent_vec"]]
+            for r in new_cents.collect()
+        }
+        prev = {cid: cur.get(cid, vec) for cid, vec in prev.items()}
         lit_cents = vectors.sparkSession.createDataFrame(
-            [(r["cent_id"], [float(x) for x in r["cent_vec"]]) for r in cents],
-            "cent_id long, cent_vec array<double>",
+            sorted(prev.items()), "cent_id long, cent_vec array<double>"
         )
         assigned = kmeans_assign(
             vectors, k=k, id_col=id_col, vec_col=vec_col, centroids=lit_cents
