@@ -1790,6 +1790,27 @@ def q_session_window(spark, sf_dir):
     return _r6(out, ["signal_sum"])
 
 
+def q_asof_tolerance(spark, sf_dir):
+    """As-of state with a staleness tolerance (pandas merge_asof
+    tolerance parity): matches older than 3 days null out — the matched
+    turn's ts rides the same running-last pass, zero extra shuffles."""
+    from z_rad_spark.operators.asof import asof_state
+
+    out = asof_state(
+        _t(spark, sf_dir),
+        spark,
+        CUTOFFS,
+        ["signal", "role"],
+        tolerance_seconds=3 * 86400.0,
+    )
+    return out.select(
+        "conv_id",
+        _us("as_of", "as_of_us"),
+        F.col("signal").alias("last_tok"),
+        F.col("role").alias("last_role"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -1875,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_conv_dedup": q_conv_dedup,
         "q_conv_quality": q_conv_quality,
         "q_session_window": q_session_window,
+        "q_asof_tolerance": q_asof_tolerance,
         # values/plans changed this round, r1-green, siblings in-window
         # exercise the same changed code (skew fix -> salted family;
         # value algebra -> stats/hist/reseg; bucketed reducers -> dist):

@@ -2745,3 +2745,21 @@ SELECT conv_id,
        ROUND(CAST(SUM(signal) AS DOUBLE), 6) + 0 AS signal_sum
 FROM g GROUP BY conv_id, sid
 """
+
+
+# as-of with staleness tolerance (pandas merge_asof tolerance parity):
+# matches older than 3 days null out
+ORACLES["q_asof_tolerance"] = f"""
+WITH t AS ({T}),
+convs AS (SELECT DISTINCT conv_id FROM t),
+probes AS (SELECT c.conv_id, g.as_of FROM convs c CROSS JOIN {GRID} g(as_of)),
+j AS (
+  SELECT p.conv_id, p.as_of, t.ts, t.signal, t.role,
+         ROW_NUMBER() OVER (PARTITION BY p.conv_id, p.as_of ORDER BY t.ts DESC, t.turn_idx DESC) AS rn
+  FROM probes p LEFT JOIN t ON t.conv_id = p.conv_id AND t.ts <= p.as_of
+)
+SELECT conv_id, CAST(epoch_us(as_of) AS BIGINT) AS as_of_us,
+       CASE WHEN epoch_us(as_of) - epoch_us(ts) <= 259200000000 THEN signal END AS last_tok,
+       CASE WHEN epoch_us(as_of) - epoch_us(ts) <= 259200000000 THEN role END AS last_role
+FROM j WHERE rn = 1
+"""

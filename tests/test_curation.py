@@ -336,3 +336,22 @@ def test_kmeans_lloyd_keeps_k_when_clusters_empty(spark):
     left = {m[i] for i in range(6)}
     right = {m[i] for i in range(6, 12)}
     assert left.isdisjoint(right)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from z_rad_spark.operators.asof import asof_state
+
+    df = spark.createDataFrame(
+        [("c1", 0, "2024-01-01 00:00:00", "user", 5.0),
+         ("c2", 0, "2024-01-09 00:00:00", "user", 7.0)],
+        "conv_id string, turn_idx int, ts string, role string, signal double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = asof_state(
+        df, spark, ["2024-01-10 00:00:00"], ["signal"], tolerance_seconds=3 * 86400.0
+    ).collect()
+    got = {r["conv_id"]: r["signal"] for r in out}
+    assert got["c1"] is None      # 9 days stale -> nulled
+    assert got["c2"] == 7.0       # 1 day -> kept
+    # without tolerance both match
+    out2 = asof_state(df, spark, ["2024-01-10 00:00:00"], ["signal"]).collect()
+    assert {r["conv_id"]: r["signal"] for r in out2} == {"c1": 5.0, "c2": 7.0}

@@ -46,9 +46,16 @@ def asof_join(
     turns_ts: str = "ts",
     probe_ts: str = "as_of",
     tie_break: str = "turn_idx",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each probe row (key, probe_ts), attach the latest value_cols from
     the turn with the greatest (ts, tie_break) such that ts <= probe_ts.
+
+    ``tolerance_seconds`` (pandas ``merge_asof(tolerance=...)`` parity):
+    when set, a match older than the tolerance is treated as no match —
+    values null, same as no prior turn. The matched turn's timestamp
+    rides the same running-last pass, so the staleness check adds zero
+    extra shuffles or sorts.
 
     Returns the probe rows + value columns (null when no prior turn).
     """
@@ -77,6 +84,20 @@ def asof_join(
     )
     for c in value_cols:
         u = u.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    if tolerance_seconds is not None:
+        tol_us = int(tolerance_seconds * 1_000_000)
+        u = u.withColumn(
+            "_mt",
+            F.last(
+                F.when(F.col("_src") == 0, F.unix_micros(F.col("_t").cast("timestamp"))),
+                ignorenulls=True,
+            ).over(w),
+        )
+        fresh = (
+            F.unix_micros(F.col("_t").cast("timestamp")) - F.col("_mt")
+        ) <= F.lit(tol_us)
+        for c in value_cols:
+            u = u.withColumn(c, F.when(fresh, F.col(c)))
     return u.filter(F.col("_src") == 1).select(
         F.col(key), F.col("_t").alias(probe_ts), *probe_extra, *value_cols
     )
@@ -88,6 +109,7 @@ def asof_state(
     cutoffs: Iterable[str],
     value_cols: list[str],
     key: str = "conv_id",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """State of every conversation at every cutoff: grid expansion + as-of.
 
@@ -95,4 +117,6 @@ def asof_state(
     the same hash partitioning)."""
     grid = cutoff_grid(spark, cutoffs)
     probes = expand_cutoffs(turns.select(key).distinct(), grid)
-    return asof_join(turns, probes, value_cols, key=key)
+    return asof_join(
+        turns, probes, value_cols, key=key, tolerance_seconds=tolerance_seconds
+    )
