@@ -38,3 +38,34 @@ def test_run_extract_cli_resume(tmp_path):
     )
     assert len(df) == m1["run"]["rows_written"]
     assert "stat_mean" in df.columns and "shape_n_sessions" in df.columns
+
+
+def test_run_curation_cli_and_resume(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "curated")
+    cmd = [
+        sys.executable, "tools/run_curation.py",
+        "--input", "/root/testdata/sf0.001",
+        "--output", out,
+        "--budget", "500",
+        "--cores", "4",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    c = m["counts"]
+    # monotone pipeline: each stage only drops rows; output is complete
+    assert c["input"] >= c["after_quality"] >= c["after_dedup"] >= c["after_decontamination"]
+    assert c["written"] == c["after_decontamination"] > 0
+    assert set(c["per_split"]) <= {"train", "val", "test"}
+    assert sum(c["per_split"].values()) == c["written"]
+
+    # resume: unchanged input + params -> skipped without recompute
+    r2 = subprocess.run(cmd + ["--resume"], capture_output=True, text=True,
+                        cwd="/root/repo", timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    m2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert m2.get("skipped") is True

@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Production entry point: end-to-end corpus curation as a Spark job —
+the training-data twin of run_extract.py.
+
+Pipeline (each stage a declarative plan over the previous one)::
+
+    documents
+      -> Gopher rule gate          (quality_rules; narrow, no shuffle)
+      -> repetition filter         (dup 2-gram fraction cap; narrow)
+      -> exact dedup               (md5 canonical keeper; 1 shuffle)
+      -> [--near-dup] MinHash+LSH near-dup clusters, keep cluster min
+      -> decontamination           (word 3-gram overlap vs --benchmark-mod
+                                    held-out subset; gram equi-join)
+      -> deterministic hash split  (train/val/test; zero shuffle)
+      -> token-budget shard packing per split (two-pass prefix sum)
+      -> parquet partitioned by (split), ordered by shard
+
+Run locally::
+
+    python tools/run_curation.py --input /root/testdata/sf0.01 \
+        --output /tmp/curated --budget 2000
+
+or via spark-submit with ``--py-files`` of a ``z_rad_spark/`` zip, same
+as run_extract.py. Resumability: the output manifest records the input
+snapshot id + parameters; a re-run with both unchanged is skipped
+(single-pass job — the bucketed per-partition resume of run_extract
+does not compose with the global prefix sum in shard packing).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MANIFEST = "_curation_manifest.json"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="sf dir containing documents.parquet")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--benchmark-mod", type=int, default=97,
+                    help="doc_id %% MOD == 0 is the held-out benchmark subset")
+    ap.add_argument("--max-dup-2gram", type=float, default=0.3)
+    ap.add_argument("--min-stop-hits", type=int, default=1,
+                    help="Gopher gate: distinct marker stopwords required")
+    ap.add_argument("--budget", type=int, default=2000, help="tokens per shard")
+    ap.add_argument("--splits", default="train:0.8,val:0.1,test:0.1")
+    ap.add_argument("--near-dup", action="store_true",
+                    help="also drop MinHash+LSH near-duplicate cluster members")
+    ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--resume", action="store_true",
+                    help="skip the run when the manifest matches input snapshot + params")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from z_rad_spark.checkpoint import input_snapshot_id
+    from z_rad_spark.operators.curation import (
+        decontaminate,
+        gopher_quality_rules,
+        repetition_stats,
+        shard_pack,
+    )
+    from z_rad_spark.operators.dedup import exact_dedup, hash_split
+    from z_rad_spark.session import get_spark
+
+    fractions = {}
+    for part in args.splits.split(","):
+        name, frac = part.split(":")
+        fractions[name] = float(frac)
+
+    params = {
+        "benchmark_mod": args.benchmark_mod,
+        "max_dup_2gram": args.max_dup_2gram,
+        "min_stop_hits": args.min_stop_hits,
+        "budget": args.budget,
+        "splits": args.splits,
+        "near_dup": bool(args.near_dup),
+    }
+    snap = input_snapshot_id(args.input)
+    mpath = os.path.join(args.output, MANIFEST)
+    if args.resume and os.path.exists(mpath):
+        with open(mpath) as fh:
+            prev = json.load(fh)
+        if prev.get("snapshot_id") == snap and prev.get("params") == params:
+            print(json.dumps({"skipped": True, "manifest": prev}))
+            return
+
+    spark = get_spark("z_rad_curation", cores=args.cores)
+    t0 = time.time()
+    docs = spark.read.parquet(f"{args.input}/documents.parquet")
+    counts = {"input": docs.count()}
+
+    gated = (
+        gopher_quality_rules(docs, min_stop_hits=args.min_stop_hits)
+        .where(F.col("pass_gopher"))
+        .select(docs.columns)
+    )
+    gated = (
+        repetition_stats(gated)
+        .where(F.col("dup_2gram_frac") <= args.max_dup_2gram)
+        .select(docs.columns)
+    )
+    # one narrow pass feeds every later stage: cache the gated survivors
+    gated = gated.persist()
+    counts["after_quality"] = gated.count()
+
+    keepers = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
+    deduped = gated.join(keepers, "doc_id", "left_semi")
+    if args.near_dup:
+        from z_rad_spark.operators.dedup import dup_clusters
+
+        members = dup_clusters(gated)  # (doc_id, cluster_id) for LSH-linked docs
+        keep = members.groupBy("cluster_id").agg(F.min("doc_id").alias("doc_id"))
+        losers = members.join(keep, ["cluster_id", "doc_id"], "left_anti").select("doc_id")
+        deduped = deduped.join(losers, "doc_id", "left_anti")
+    deduped = deduped.persist()
+    counts["after_dedup"] = deduped.count()
+
+    bench = docs.where(F.col("doc_id") % args.benchmark_mod == 0)
+    train_side = deduped.where(F.col("doc_id") % args.benchmark_mod != 0)
+    contam = decontaminate(train_side, bench).where(~F.col("contaminated")).select("doc_id")
+    clean = train_side.join(contam, "doc_id", "left_semi").persist()
+    counts["after_decontamination"] = clean.count()
+
+    split_docs = hash_split(clean, fractions)
+    packed = shard_pack(
+        split_docs.withColumn(
+            "n_tokens",
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("long"),
+        ),
+        budget=args.budget,
+        token_col="n_tokens",
+    )
+    out = packed.select(
+        "doc_id", "text", "source", "split", "n_tokens", "shard_id", "cum_before"
+    )
+    out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    counts["written"] = written.count()
+    counts["per_split"] = {
+        r["split"]: r["n"] for r in written.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+
+    manifest = {
+        "snapshot_id": snap,
+        "params": params,
+        "counts": counts,
+        "wall_sec": round(time.time() - t0, 3),
+        "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    with open(mpath, "w") as fh:
+        json.dump(manifest, fh)
+    print(json.dumps(manifest))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
