@@ -355,3 +355,27 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     # without tolerance both match
     out2 = asof_state(df, spark, ["2024-01-10 00:00:00"], ["signal"]).collect()
     assert {r["conv_id"]: r["signal"] for r in out2} == {"c1": 5.0, "c2": 7.0}
+
+
+def test_partition_invariance_of_new_operators(spark):
+    """Operator results must not depend on physical layout: the same
+    input split 1 way or 7 ways gives identical output — the property
+    that makes results reproducible across cluster sizes."""
+    from z_rad_spark.operators.curation import shard_pack
+    from z_rad_spark.operators.dedup import hash_split
+    from z_rad_spark.operators.text import hashed_embedding
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 13} tok{i % 5} the and word{i % 31}", f"s{i % 3}")
+         for i in range(120)],
+        "doc_id long, text string, source string",
+    ).withColumn("n_tokens", F.lit(5).cast("long"))
+
+    for build in (
+        lambda d: shard_pack(d, budget=40).select("doc_id", "shard_id", "cum_before"),
+        lambda d: hash_split(d, {"a": 0.5, "b": 0.5}).select("doc_id", "split"),
+        lambda d: hashed_embedding(d, dims=8),
+    ):
+        one = sorted(map(tuple, build(docs.coalesce(1)).collect()))
+        many = sorted(map(tuple, build(docs.repartition(7)).collect()))
+        assert one == many
