@@ -1811,6 +1811,28 @@ def q_asof_tolerance(spark, sf_dir):
     )
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming deduplication gate query: the replay deduplicated with
+    dropDuplicatesWithinWatermark on (conv_id, ts, signal) — the
+    bounded-state streaming dedup for at-least-once ingestion (state
+    expires once the watermark passes, unlike unbounded dropDuplicates).
+    Emitted set = first occurrence of each distinct tuple; the batch
+    oracle is a plain SELECT DISTINCT, hash-verifying the operator's
+    exactly-once emission."""
+    res = _replay_stream(
+        spark,
+        sf_dir,
+        lambda s: s.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            ["conv_id", "ts", "signal"]
+        ),
+        "q_stream_dedup_",
+    )
+    return _r6(
+        res.select("conv_id", _us("ts", "ts_us"), "signal"),
+        ["signal"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -1897,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_conv_quality": q_conv_quality,
         "q_session_window": q_session_window,
         "q_asof_tolerance": q_asof_tolerance,
+        "q_stream_dedup": q_stream_dedup,
         # values/plans changed this round, r1-green, siblings in-window
         # exercise the same changed code (skew fix -> salted family;
         # value algebra -> stats/hist/reseg; bucketed reducers -> dist):

@@ -2763,3 +2763,14 @@ SELECT conv_id, CAST(epoch_us(as_of) AS BIGINT) AS as_of_us,
        CASE WHEN epoch_us(as_of) - epoch_us(ts) <= 259200000000 THEN role END AS last_role
 FROM j WHERE rn = 1
 """
+
+
+# streaming dedup (dropDuplicatesWithinWatermark) over the replay: with
+# availableNow's single data batch every duplicate is inside the state
+# window, so the emitted set is exactly the distinct tuples
+ORACLES["q_stream_dedup"] = """
+SELECT DISTINCT 'c' || CAST(user_id AS STRING) AS conv_id,
+       epoch_us(ts) AS ts_us,
+       ROUND(CAST(CAST(1 + ABS(CAST(FLOOR(value) AS INT)) % 9 AS DOUBLE) AS DOUBLE), 6) + 0 AS signal
+FROM events
+"""
