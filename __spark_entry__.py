@@ -1663,8 +1663,8 @@ def q_sketch_stats(spark, sf_dir):
         "source",
         "approx_distinct",
         "n_rows",
-        F.col("p5").cast("long").alias("p50_chars"),
-        F.col("p9").cast("long").alias("p90_chars"),
+        F.col("p50").cast("long").alias("p50_chars"),
+        F.col("p90").cast("long").alias("p90_chars"),
     )
 
 

@@ -272,7 +272,7 @@ def test_sketches_error_bounds_vs_exact(spark):
     q = {r["g"]: r for r in approx_quantiles_by(df, "g", "x", (0.5,)).collect()}
     for g in (0, 1, 2):
         # exact median of 0..99 uniform-ish: within 2 of 49/50
-        assert abs(q[g]["p5"] - 49.5) <= 2.5
+        assert abs(q[g]["p50"] - 49.5) <= 2.5
 
 
 def test_chunk_documents_tail_and_coverage(spark):
@@ -379,3 +379,40 @@ def test_partition_invariance_of_new_operators(spark):
         one = sorted(map(tuple, build(docs.coalesce(1)).collect()))
         many = sorted(map(tuple, build(docs.repartition(7)).collect()))
         assert one == many
+
+
+def test_shard_pack_grouped_does_not_mix_groups(spark):
+    """With group_col, packing restarts per group: shards never mix
+    groups and each group's cum_before starts at 0 (code-review fix)."""
+    from z_rad_spark.operators.curation import shard_pack
+
+    docs = spark.createDataFrame(
+        [(i, 10, "train" if i % 2 == 0 else "val") for i in range(100)],
+        "doc_id long, n_tokens long, split string",
+    )
+    out = shard_pack(docs, budget=100, group_col="split").collect()
+    for split in ("train", "val"):
+        rows = sorted((r for r in out if r["split"] == split), key=lambda r: r["cum_before"])
+        run = 0
+        for r in rows:
+            assert r["cum_before"] == run  # restarts at 0 per group
+            run += r["n_tokens"]
+            assert r["shard_id"] == r["cum_before"] // 100
+
+
+def test_asof_tolerance_judges_per_column_value_ts(spark):
+    """A value forward-filled past newer NULL turns is judged stale by
+    ITS OWN turn's ts, not the newest turn's (code-review fix)."""
+    from z_rad_spark.operators.asof import asof_state
+
+    df = spark.createDataFrame(
+        [("c1", 0, "2024-01-01 00:00:00", "user", 5.0),
+         ("c1", 1, "2024-01-09 00:00:00", "user", None)],
+        "conv_id string, turn_idx int, ts string, role string, signal double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = asof_state(
+        df, spark, ["2024-01-10 00:00:00"], ["signal", "role"],
+        tolerance_seconds=3 * 86400.0,
+    ).collect()[0]
+    assert out["signal"] is None  # carried from day 0 -> 9 days stale
+    assert out["role"] == "user"  # role's match is day 9 -> fresh

@@ -137,6 +137,7 @@ def main() -> None:
         ),
         budget=args.budget,
         token_col="n_tokens",
+        group_col="split",
     )
     out = packed.select(
         "doc_id", "text", "source", "split", "n_tokens", "shard_id", "cum_before"

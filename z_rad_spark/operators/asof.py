@@ -82,22 +82,30 @@ def asof_join(
         .orderBy("_t", "_src", "_tie")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    if tolerance_seconds is not None:
+        # staleness is judged PER COLUMN against the ts of the turn whose
+        # value is actually carried: capture each column's matched ts
+        # BEFORE the forward fill (last ignorenulls can carry a value
+        # past newer turns whose column is NULL — judging against the
+        # newest turn's ts would mark that stale value fresh)
+        t_us = F.unix_micros(F.col("_t").cast("timestamp"))
+        for c in value_cols:
+            u = u.withColumn(
+                f"_mt_{c}",
+                F.last(
+                    F.when((F.col("_src") == 0) & F.col(c).isNotNull(), t_us),
+                    ignorenulls=True,
+                ).over(w),
+            )
     for c in value_cols:
         u = u.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     if tolerance_seconds is not None:
         tol_us = int(tolerance_seconds * 1_000_000)
-        u = u.withColumn(
-            "_mt",
-            F.last(
-                F.when(F.col("_src") == 0, F.unix_micros(F.col("_t").cast("timestamp"))),
-                ignorenulls=True,
-            ).over(w),
-        )
-        fresh = (
-            F.unix_micros(F.col("_t").cast("timestamp")) - F.col("_mt")
-        ) <= F.lit(tol_us)
+        t_us = F.unix_micros(F.col("_t").cast("timestamp"))
         for c in value_cols:
-            u = u.withColumn(c, F.when(fresh, F.col(c)))
+            u = u.withColumn(
+                c, F.when((t_us - F.col(f"_mt_{c}")) <= F.lit(tol_us), F.col(c))
+            )
     return u.filter(F.col("_src") == 1).select(
         F.col(key), F.col("_t").alias(probe_ts), *probe_extra, *value_cols
     )

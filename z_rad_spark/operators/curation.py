@@ -253,6 +253,7 @@ def shard_pack(
     id_col: str = "doc_id",
     salt: str = "shard1",
     prefix_chars: int = 2,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Greedy sequence packing: assign documents to training shards so
     each shard holds ~``budget`` tokens, in a deterministic hash order
@@ -276,25 +277,31 @@ def shard_pack(
     integer-exact, so the assignment hash-verifies against a single-window
     SQL oracle.
     """
+    # with group_col, packing is independent PER GROUP (e.g. per split —
+    # shards never mix train/val/test): every window/aggregate/offset key
+    # gains the group column, so the prefix sum restarts at 0 per group.
+    grp = [group_col] if group_col else []
     h = F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
     base = df.withColumn("_h", h).withColumn(
         "_bk", F.substring("_h", 1, prefix_chars)
     )
-    w_in = Window.partitionBy("_bk").orderBy("_h", id_col)
+    w_in = Window.partitionBy(*grp, "_bk").orderBy("_h", id_col)
     within_before = (
         F.sum(token_col).over(
             w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         - F.col(token_col)
     ).cast("long")
-    totals = base.groupBy("_bk").agg(F.sum(token_col).cast("long").alias("_tot"))
-    w_bk = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals = base.groupBy(*grp, "_bk").agg(F.sum(token_col).cast("long").alias("_tot"))
+    w_bk = Window.partitionBy(*grp).orderBy("_bk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     offsets = totals.select(
-        "_bk", (F.sum("_tot").over(w_bk) - F.col("_tot")).cast("long").alias("_off")
+        *grp, "_bk", (F.sum("_tot").over(w_bk) - F.col("_tot")).cast("long").alias("_off")
     )
     packed = (
         base.withColumn("_within", within_before)
-        .join(F.broadcast(offsets), "_bk")
+        .join(F.broadcast(offsets), [*grp, "_bk"])
         .withColumn("cum_before", (F.col("_off") + F.col("_within")).cast("long"))
         .withColumn(
             "shard_id", F.floor(F.col("cum_before") / F.lit(int(budget))).cast("long")
@@ -351,6 +358,12 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        raise ValueError(
+            f"stride ({stride}) > chunk_tokens ({chunk_tokens}) would leave "
+            "token gaps no chunk covers, breaking the every-token-covered "
+            "guarantee"
+        )
     toks = _toks(text_col)
     n = F.size(toks)
     # starts: 0, stride, ..., with the last start covering the tail:

@@ -159,7 +159,7 @@ def turn_pairs(
     ordering — the same exchange every other per-conversation operator
     uses. Emits conv_id, the response's turn_idx and ts, and the pair.
     """
-    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    w = _conv_window()
     prev_role = F.lag("role").over(w)
     prev_text = F.lag("text").over(w)
     return (

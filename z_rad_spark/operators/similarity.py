@@ -244,6 +244,21 @@ def lsh_bucket_topk(
     )
 
 
+
+def _seed_centroids(vectors, k, id_col="vec_id", vec_col="embedding"):
+    """Deterministic hash-sampled seed codebook shared by kmeans_assign
+    and kmeans_lloyd: the k vectors with the smallest md5("km|" + id)."""
+    return (
+        vectors.select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("cent_vec"),
+            F.md5(F.concat(F.lit("km|"), F.col(id_col).cast("string"))).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(k)
+    )
+
+
 def kmeans_assign(
     vectors: DataFrame,
     k: int = 8,
@@ -268,16 +283,7 @@ def kmeans_assign(
     rounded to 6dp like every float the engine emits.
     """
     if centroids is None:
-        centroids = (
-            vectors.select(
-                F.col(id_col).alias("cent_id"),
-                F.col(vec_col).alias("cent_vec"),
-                F.md5(F.concat(F.lit("km|"), F.col(id_col).cast("string"))).alias("_h"),
-            )
-            .orderBy("_h")
-            .limit(k)
-            .drop("_h")
-        )
+        centroids = _seed_centroids(vectors, k, id_col, vec_col).drop("_h")
     sim = _dot(F.col(vec_col), F.col("cent_vec")) / (
         _norm(F.col(vec_col)) * _norm(F.col("cent_vec"))
     )
@@ -318,14 +324,7 @@ def kmeans_lloyd(
     # old centroid instead of silently shrinking k mid-iteration
     prev = {
         int(r["cent_id"]): [float(x) for x in r["cent_vec"]]
-        for r in vectors.select(
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).alias("cent_vec"),
-            F.md5(F.concat(F.lit("km|"), F.col(id_col).cast("string"))).alias("_h"),
-        )
-        .orderBy("_h")
-        .limit(k)
-        .collect()
+        for r in _seed_centroids(vectors, k, id_col, vec_col).collect()
     }
     for _ in range(iters):
         new_cents = (

@@ -53,7 +53,8 @@ def approx_quantiles_by(
     the group key."""
     aggs = [
         F.percentile_approx(value_col, p, accuracy).alias(
-            f"p{str(p).replace('0.', '')}"
+            # stable names: 0.5 -> p50, 0.99 -> p99, 0.999 -> p99_9
+            "p" + f"{p * 100:g}".replace(".", "_")
         )
         for p in probabilities
     ]
