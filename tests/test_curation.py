@@ -416,3 +416,49 @@ def test_asof_tolerance_judges_per_column_value_ts(spark):
     ).collect()[0]
     assert out["signal"] is None  # carried from day 0 -> 9 days stale
     assert out["role"] == "user"  # role's match is day 9 -> fresh
+
+
+def test_ivf_with_trained_kmeans_codebook(spark):
+    """ivf_topk accepts a trained codebook: kmeans_lloyd centroids slot
+    into the same plan and recall vs brute force is at least as good as
+    the hash-seeded default on clustered data."""
+    from z_rad_spark.operators.similarity import cosine_topk, ivf_topk, kmeans_lloyd
+
+    import itertools
+    rows = []
+    for c, axis in enumerate(itertools.combinations(range(6), 2)):
+        for j in range(8):
+            v = [0.0] * 6
+            v[axis[0]] = 1.0
+            v[axis[1]] = 0.05 * j
+            rows.append((c * 8 + j, v))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows[:4]], "query_id long, query_vec array<double>"
+    )
+    # trained codebook: Lloyd centroids as (cent_id, cent_vec)
+    assigned = kmeans_lloyd(vecs, k=8, iters=2)
+    cents = (
+        vecs.join(assigned.select("vec_id", "cluster_id"), "vec_id")
+        .groupBy("cluster_id")
+        .agg(F.min("vec_id").alias("rep"))
+    )
+    codebook = cents.join(
+        vecs.select(F.col("vec_id").alias("rep"), F.col("embedding").alias("cent_vec")),
+        "rep",
+    ).select(F.col("cluster_id").alias("cent_id"), "cent_vec")
+
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(vecs, queries, k=5).collect()}
+    trained = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(vecs, queries, n_centroids=8, n_probe=3, k=5,
+                          centroids=codebook).collect()
+    }
+    default = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(vecs, queries, n_centroids=8, n_probe=3, k=5).collect()
+    }
+    recall_trained = len(trained & exact) / len(exact)
+    recall_default = len(default & exact) / len(exact)
+    assert recall_trained >= recall_default - 1e-9
+    assert recall_trained >= 0.6

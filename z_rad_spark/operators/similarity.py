@@ -101,9 +101,15 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize vectors to their
     nearest centroid, probe only the query's ``n_probe`` nearest cells.
+
+    ``centroids`` (cent_id, cent_vec) overrides the hash-sampled codebook
+    — pass ``kmeans_lloyd`` output joined back to vectors (or any trained
+    codebook) for recall above the hash-seeded default; the plan shape is
+    identical either way.
 
     Centroids are a deterministic HASH sample of the corpus: the
     ``n_centroids`` vectors with the smallest md5("ivf|" + id) — invariant
@@ -116,19 +122,20 @@ def ivf_topk(
     replaces the brute-force full cross join. Recall < 1 by construction;
     cosine_topk is the exact baseline.
     """
-    cents = (
-        vectors.select(
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).alias("cent_vec"),
-            F.md5(F.concat(F.lit("ivf|"), F.col(id_col).cast("string"))).alias("_h"),
+    if centroids is None:
+        centroids = (
+            vectors.select(
+                F.col(id_col).alias("cent_id"),
+                F.col(vec_col).alias("cent_vec"),
+                F.md5(F.concat(F.lit("ivf|"), F.col(id_col).cast("string"))).alias("_h"),
+            )
+            .orderBy("_h")
+            .limit(n_centroids)
+            .drop("_h")
         )
-        .orderBy("_h")
-        .limit(n_centroids)
-        .drop("_h")
-        # the codebook is consumed by TWO broadcasts (assignment + probe);
-        # persist so the distributed top-K over the corpus runs once
-        .persist()
-    )
+    # the codebook is consumed by TWO broadcasts (assignment + probe);
+    # persist so the distributed top-K / training job runs once
+    cents = centroids.persist()
     sim_vc = _dot(F.col(vec_col), F.col("cent_vec")) / (
         _norm(F.col(vec_col)) * _norm(F.col("cent_vec"))
     )
