@@ -159,16 +159,25 @@ def minhash_lsh_pairs(
         .groupBy(id_col, "band")
         .agg(F.concat_ws(",", *slots).alias("band_key"))
     )
-    # One aggregation emits each bucket's member list; pairs come from an
-    # in-row combination explode (bounded by max_bucket, so <= C(64,2)
-    # structs per bucket). Compared to the textbook bucket self-join this
-    # (a) consumes the shingle->signature subtree exactly ONCE — a self-
-    # join re-executes the whole upstream pipeline per side — and (b)
-    # replaces a shuffle join with a map-side explode.
+    # Bucket-size gate BEFORE any list is built: a window COUNT over the
+    # same (band, band_key) keys lets us drop rows of degenerate
+    # mega-buckets (millions of empty/boilerplate docs sharing one band
+    # signature) without ever materializing their id list in an
+    # aggregation buffer — WindowExec spills its sorted run to disk,
+    # whereas a collect_list buffer for one giant bucket cannot spill.
+    # The filter preserves the window's hash partitioning, so the
+    # collect_list groupBy below reuses it: still ONE exchange, and the
+    # shingle->signature subtree is still consumed exactly once (the
+    # textbook count-then-self-join re-executes it per side).
+    w = Window.partitionBy("band", "band_key")
+    sized = banded.withColumn("_bsz", F.count("*").over(w)).where(
+        (F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket)
+    )
+    # In-bucket combination explode (bounded by max_bucket, so <= C(64,2)
+    # structs per bucket) replaces a shuffle join with a map-side explode.
     buckets = (
-        banded.groupBy("band", "band_key")
+        sized.groupBy("band", "band_key")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
     pair_structs = F.flatten(
         F.transform(
@@ -233,7 +242,12 @@ def hash_split(
     items = list(fractions.items())
     for name, frac in items[:-1]:
         cum += frac
-        thr = F.lit(format(int(cum * 16**8), "08x"))
+        # cum can legitimately reach 1.0 mid-list ({'train': 1.0,
+        # 'test': 0.0} passes the sum check); int(1.0 * 16**8) formats to
+        # the 9-char '100000000' which string-compares BELOW most 8-char
+        # hex prefixes and would silently route ~15/16 of rows onward.
+        # 'gggggggg' sorts above every hex string = keep-all sentinel.
+        thr = F.lit("g" * 8 if cum >= 1.0 else format(int(cum * 16**8), "08x"))
         branch = F.when(h < thr, F.lit(name))
         expr = branch if expr is None else expr.when(h < thr, F.lit(name))
     last = F.lit(items[-1][0])
@@ -426,6 +440,12 @@ def ngram_jaccard(
     denominator are always the full per-doc shingle counts, so the
     similarity of surviving pairs is a documented lower bound (missing
     intersections on capped shingles), never an overestimate.
+
+    Cache lifetime: the shingle frame is persisted because it feeds three
+    consumers of one lazy plan; the blocks stay cached until the caller
+    evaluates the result and calls ``unpersist_intermediates(result)`` (or
+    ``spark.catalog.clearCache()``) — long-lived sessions issuing many
+    calls should do so to keep executor storage bounded.
     """
     # sh feeds the size aggregate AND both sides of the intersection join
     # (and optionally the doc-frequency filter): persist it so the
@@ -462,7 +482,21 @@ def ngram_jaccard(
             ).alias("jaccard"),
         )
     )
-    return out.where(F.col("jaccard") >= threshold)
+    out = out.where(F.col("jaccard") >= threshold)
+    out._zrs_cached = (sh,)  # see unpersist_intermediates
+    return out
+
+
+def unpersist_intermediates(df: DataFrame) -> None:
+    """Release intermediate frames an operator persisted while building
+    ``df``'s plan (recorded on the returned DataFrame as ``_zrs_cached``).
+
+    Operators like :func:`ngram_jaccard` cache a multi-consumed subtree;
+    because the result is lazy they cannot unpersist it themselves. Call
+    this after the final action on ``df`` (no-op if nothing was cached).
+    """
+    for cached in getattr(df, "_zrs_cached", ()):
+        cached.unpersist()
 
 
 def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

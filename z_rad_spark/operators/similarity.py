@@ -69,6 +69,74 @@ def cosine_topk(
     )
 
 
+def _codebook_rows(centroids) -> list[tuple]:
+    """Normalize a codebook argument to driver-side [(cent_id, [float...])].
+
+    Accepts a (cent_id, cent_vec) DataFrame (collected — it is k rows by
+    contract) or an already-collected list of rows/tuples. The codebook is
+    tiny, so folding it into plan literals beats keeping it distributed:
+    assignment becomes a NARROW expression instead of an N x k cross join
+    feeding a window exchange on vec_id (at 10^9 vectors x 16 centroids
+    that window alone shuffles 1.6e10 rows).
+    """
+    if isinstance(centroids, DataFrame):
+        centroids = centroids.collect()
+    out = []
+    for r in centroids:
+        cid, cvec = (r["cent_id"], r["cent_vec"]) if hasattr(r, "__fields__") else r
+        out.append((cid, [float(x) for x in cvec]))
+    return out
+
+
+def _lit_vec(vec: list[float]):
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _cent_scores(vec_col_expr, cents: list[tuple]):
+    """array<struct<cs:double, cent_id>> — cosine of the row's vector to
+    every codebook centroid, as ONE narrow expression over plan literals
+    (the with_lsh_bucket pattern). Zero shuffle, zero join."""
+    return F.array(
+        *[
+            F.struct(
+                (
+                    _dot(vec_col_expr, _lit_vec(cv))
+                    / (_norm(vec_col_expr) * _norm(_lit_vec(cv)))
+                )
+                .cast("double")
+                .alias("cs"),
+                F.lit(cid).alias("cent_id"),
+            )
+            for cid, cv in cents
+        ]
+    )
+
+
+def _argmax_score(scores):
+    """Best struct by (cs desc, cent_id asc) via a linear aggregate fold —
+    no expression-tree blowup, no window, works for any orderable id."""
+    return F.aggregate(
+        scores,
+        F.get(scores, 0),
+        lambda acc, s: F.when(
+            (s["cs"] > acc["cs"]) | ((s["cs"] == acc["cs"]) & (s["cent_id"] < acc["cent_id"])),
+            s,
+        ).otherwise(acc),
+    )
+
+
+def _desc_sort(scores):
+    """array_sort by (cs desc, cent_id asc) for top-n_probe slicing."""
+    return F.array_sort(
+        scores,
+        lambda l, r: F.when(l["cs"] > r["cs"], F.lit(-1))
+        .when(l["cs"] < r["cs"], F.lit(1))
+        .when(l["cent_id"] < r["cent_id"], F.lit(-1))
+        .when(l["cent_id"] > r["cent_id"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 17) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
@@ -101,25 +169,30 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
-    centroids: DataFrame | None = None,
+    centroids: DataFrame | list | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize vectors to their
     nearest centroid, probe only the query's ``n_probe`` nearest cells.
 
     ``centroids`` (cent_id, cent_vec) overrides the hash-sampled codebook
-    — pass ``kmeans_lloyd`` output joined back to vectors (or any trained
-    codebook) for recall above the hash-seeded default; the plan shape is
-    identical either way.
+    — pass ``kmeans_lloyd`` output (or any trained codebook, as a k-row
+    DataFrame or a collected list) for recall above the hash-seeded
+    default; the plan shape is identical either way.
 
     Centroids are a deterministic HASH sample of the corpus: the
     ``n_centroids`` vectors with the smallest md5("ivf|" + id) — invariant
     to data order and partitioning (unlike a head-by-id placeholder, whose
     recall silently depends on row order), and computed as a distributed
     top-K (TakeOrderedAndProject: map-side partial top-K, no full sort).
-    A trained k-means codebook slots into the same plan shape: the
-    codebook is broadcast, assignment is one window pass, probing is an
-    equi-join on the low-cardinality cell id, so one bounded Exchange
-    replaces the brute-force full cross join. Recall < 1 by construction;
+
+    Plan shape: the k x dim codebook is collected once and folded into
+    plan LITERALS (the with_lsh_bucket pattern), so cell assignment of the
+    N-row corpus is a narrow argmax expression — zero Exchange (the old
+    broadcast-crossjoin + row_number formulation shuffled N x k rows on
+    vec_id). Query probing slices the same literal score array to its top
+    ``n_probe`` cells. The only shuffles left are the cell equi-join
+    against the broadcast probes and the final per-query top-k window over
+    probed candidates — both bounded. Recall < 1 by construction;
     cosine_topk is the exact baseline.
     """
     if centroids is None:
@@ -133,30 +206,23 @@ def ivf_topk(
             .limit(n_centroids)
             .drop("_h")
         )
-    # the codebook is consumed by TWO broadcasts (assignment + probe);
-    # persist so the distributed top-K / training job runs once
-    cents = centroids.persist()
-    sim_vc = _dot(F.col(vec_col), F.col("cent_vec")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("cent_vec"))
+    # one collect of the k-row codebook (the distributed top-K / training
+    # job runs exactly once, and nothing is left persisted behind)
+    cents = _codebook_rows(centroids)
+    assigned = vectors.select(
+        id_col,
+        vec_col,
+        _argmax_score(_cent_scores(F.col(vec_col), cents))["cent_id"].alias("cent_id"),
     )
-    w_assign = Window.partitionBy(id_col).orderBy(F.col("_cs").desc(), F.col("cent_id").asc())
-    assigned = (
-        vectors.crossJoin(F.broadcast(cents))
-        .withColumn("_cs", sim_vc.cast("double"))
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .where(F.col("_rn") == 1)
-        .select(id_col, vec_col, "cent_id")
-    )
-    sim_qc = _dot(F.col(query_vec), F.col("cent_vec")) / (
-        _norm(F.col(query_vec)) * _norm(F.col("cent_vec"))
-    )
-    w_probe = Window.partitionBy(query_id).orderBy(F.col("_cs").desc(), F.col("cent_id").asc())
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("_cs", sim_qc.cast("double"))
-        .withColumn("_rn", F.row_number().over(w_probe))
-        .where(F.col("_rn") <= n_probe)
-        .select(query_id, query_vec, "cent_id")
+    probes = queries.select(
+        query_id,
+        query_vec,
+        F.explode(
+            F.transform(
+                F.slice(_desc_sort(_cent_scores(F.col(query_vec), cents)), 1, n_probe),
+                lambda s: s["cent_id"],
+            )
+        ).alias("cent_id"),
     )
     joined = assigned.join(F.broadcast(probes), "cent_id")
     sim = _dot(F.col(vec_col), F.col(query_vec)) / (
@@ -271,40 +337,37 @@ def kmeans_assign(
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    centroids: DataFrame | None = None,
+    centroids: DataFrame | list | None = None,
 ) -> DataFrame:
     """One k-means assignment step over the corpus: each vector labelled
     with its highest-cosine centroid (spherical k-means; ties broken by
-    centroid id). With no ``centroids`` frame, seeds are the k vectors
+    centroid id). With no ``centroids`` argument, seeds are the k vectors
     with the smallest md5("km|" + id) — the same data-order-invariant
     hash sample as ivf_topk's codebook, so the step is deterministic end
     to end and engine-portable (DuckDB replays it bit-for-bit).
+    ``centroids`` may be a (cent_id, cent_vec) DataFrame or a collected
+    list of (cent_id, vec) pairs.
 
-    Plan shape: broadcast the k-row codebook, one narrow pass over the
-    corpus computing k fixed-order dot products per row, argmin via a
-    max_by-style window on (cosine desc, cent_id asc). One Exchange only
-    if the caller aggregates afterwards — assignment itself is
-    shuffle-free, which is what lets Lloyd iterations scale linearly.
+    Plan shape: the k x dim codebook is collected once (k rows) and folded
+    into plan literals; each corpus row evaluates k fixed-order cosines
+    and an aggregate-fold argmax on (cosine desc, cent_id asc) — a single
+    NARROW projection. Genuinely shuffle-free: no join, no window, zero
+    Exchange between the scan and the assignment (asserted by
+    tests/test_plans.py), which is what lets Lloyd iterations scale
+    linearly. The previous formulation (broadcast cross join + row_number
+    over vec_id) shuffled N x k rows per step.
 
     Output: (vec_id, cluster_id, cosine) — cosine to the winning centroid,
     rounded to 6dp like every float the engine emits.
     """
     if centroids is None:
         centroids = _seed_centroids(vectors, k, id_col, vec_col).drop("_h")
-    sim = _dot(F.col(vec_col), F.col("cent_vec")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("cent_vec"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("_cs").desc(), F.col("cent_id").asc())
-    return (
-        vectors.crossJoin(F.broadcast(centroids))
-        .withColumn("_cs", sim.cast("double"))
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(
-            id_col,
-            F.col("cent_id").alias("cluster_id"),
-            F.round("_cs", 6).alias("cosine"),
-        )
+    cents = _codebook_rows(centroids)
+    best = _argmax_score(_cent_scores(F.col(vec_col), cents))
+    return vectors.select(
+        id_col,
+        best["cent_id"].alias("cluster_id"),
+        F.round(best["cs"], 6).alias("cosine"),
     )
 
 
@@ -326,13 +389,12 @@ def kmeans_lloyd(
     fixed partitioning) rather than oracle-hashed; kmeans_assign is the
     hash-exact single step.
     """
-    assigned = kmeans_assign(vectors, k=k, id_col=id_col, vec_col=vec_col)
-    # previous centroids by id: clusters that lose every member keep their
-    # old centroid instead of silently shrinking k mid-iteration
-    prev = {
-        int(r["cent_id"]): [float(x) for x in r["cent_vec"]]
-        for r in _seed_centroids(vectors, k, id_col, vec_col).collect()
-    }
+    # one seed collect feeds both the first assignment and the
+    # keep-old-centroid fallback (clusters that lose every member keep
+    # their previous centroid instead of silently shrinking k mid-run)
+    seed_rows = _codebook_rows(_seed_centroids(vectors, k, id_col, vec_col).drop("_h"))
+    assigned = kmeans_assign(vectors, k=k, id_col=id_col, vec_col=vec_col, centroids=seed_rows)
+    prev = {int(cid): vec for cid, vec in seed_rows}
     for _ in range(iters):
         new_cents = (
             vectors.join(assigned.select(id_col, "cluster_id"), id_col)
@@ -351,10 +413,7 @@ def kmeans_lloyd(
             for r in new_cents.collect()
         }
         prev = {cid: cur.get(cid, vec) for cid, vec in prev.items()}
-        lit_cents = vectors.sparkSession.createDataFrame(
-            sorted(prev.items()), "cent_id long, cent_vec array<double>"
-        )
         assigned = kmeans_assign(
-            vectors, k=k, id_col=id_col, vec_col=vec_col, centroids=lit_cents
+            vectors, k=k, id_col=id_col, vec_col=vec_col, centroids=sorted(prev.items())
         )
     return assigned

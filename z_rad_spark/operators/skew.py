@@ -95,8 +95,21 @@ def with_salt_bucket(
         )
         out = out.unionByName(borrowed)
     if overlap_before:
+        # last-bucket guard: without it the trailing rows of a
+        # conversation's FINAL bucket would be replicated into a phantom
+        # bucket+1 holding only own=false rows — correct (disowned rows
+        # emit nothing) but a wasted task group per conversation. The
+        # max own-bucket per conversation is a windowless broadcast-able
+        # aggregate over conv sizes.
+        last = conv_sizes(df).select(
+            "conv_id",
+            (((F.col("n_turns") - 1) / turns_per_bucket).cast("int")).alias("_max_bucket"),
+        )
         borrowed_back = (
             df.where(F.col("_rank") % turns_per_bucket >= turns_per_bucket - overlap_before)
+            .join(F.broadcast(last), "conv_id")
+            .where(F.col("bucket") + 1 <= F.col("_max_bucket"))
+            .drop("_max_bucket")
             .withColumn("bucket", F.col("bucket") + 1)
             .withColumn("own", F.lit(False))
         )
