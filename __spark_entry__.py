@@ -1238,11 +1238,43 @@ def q_top_tokens(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    from z_rad_spark.operators.multimodal import decode_features, synth_media
+    """Multimodal decode plumbing gate: documents.text re-cast as opaque
+    binary payloads (media_id = doc_id, kind by id mod 3) through the
+    Arrow-batched mapInPandas decode stage; the feature vector is
+    posexploded to scalar (dim_idx, value) rows so the driver's
+    canonicalizer can sort/hash them (array columns are unhashable).
+    The deterministic stub derives each feature byte from
+    sha256(payload), which the DuckDB oracle replays exactly —
+    sha256() hex substrings plus a REAL round-trip for the float32
+    storage of the features column."""
+    from z_rad_spark.operators.multimodal import decode_features
 
-    media = synth_media(spark, n=96, seed=5)
-    return decode_features(media).select(
-        F.col("media_id").cast("long"), "kind", "n_bytes", F.col("features")
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    media = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 96)
+        .select(
+            F.col("doc_id").cast("long").alias("media_id"),
+            F.element_at(kinds, (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+            F.encode("text", "UTF-8").alias("payload"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        )
+    )
+    out = decode_features(media).select(
+        F.col("media_id").cast("long"),
+        "kind",
+        F.col("n_bytes").cast("long"),
+        F.posexplode("features").alias("dim_idx", "value"),
+    )
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.col("dim_idx").cast("long"),
+        F.round(F.col("value").cast("double"), 6).alias("value"),
     )
 
 

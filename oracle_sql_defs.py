@@ -2774,3 +2774,22 @@ SELECT DISTINCT 'c' || CAST(user_id AS STRING) AS conv_id,
        ROUND(CAST(CAST(1 + ABS(CAST(FLOOR(value) AS INT)) % 9 AS DOUBLE) AS DOUBLE), 6) + 0 AS signal
 FROM events
 """
+
+
+# media decode stub: feature byte d of the sha256 of the UTF-8 payload,
+# stored as float32 Spark-side — replayed via a REAL round-trip so the
+# 6dp rounding sees the identical IEEE value
+ORACLES["q_media_features"] = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         sha256(text) AS h,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents WHERE doc_id < 96
+)
+SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(d.dim_idx AS BIGINT) AS dim_idx,
+       round(CAST(CAST(CAST('0x' || substr(h, 2 * d.dim_idx + 1, 2) AS INT) / 255.0 AS REAL) AS DOUBLE), 6) AS value
+FROM m, (SELECT unnest(range(8)) AS dim_idx) d
+"""
