@@ -389,6 +389,14 @@ def q_hist_asof(spark, sf_dir):
     return _r6(out.select("conv_id", _us("as_of", "as_of_us"), *_HIST_COLS), _HIST_COLS)
 
 
+def q_hist_daily(spark, sf_dir):
+    """Histogram features at the 29-day backfill grid — proves the
+    compacted fbn_hist_asof path at grid scale (amplification bounded by
+    distinct-values x cutoffs, never turns x cutoffs)."""
+    out = firstorder_sql.hist_asof(_t(spark, sf_dir), spark, DAILY_CUTOFFS, N_BINS)
+    return _r6(out.select("conv_id", _us("as_of", "as_of_us"), *_HIST_COLS), _HIST_COLS)
+
+
 def _extract(spark, sf_dir, families, **kw):
     cfg = FeatureConfig(
         families=families,
@@ -1957,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value algebra -> stats/hist/reseg; bucketed reducers -> dist):
         "q_stats_asof": q_stats_asof,
         "q_hist_asof": q_hist_asof,
+        "q_hist_daily": q_hist_daily,
         "q_reseg_stats": q_reseg_stats,
         "q_glcm_salted": q_glcm_salted,
         "q_glrlm_salted": q_glrlm_salted,

@@ -2793,3 +2793,7 @@ SELECT CAST(media_id AS BIGINT) AS media_id, kind,
        round(CAST(CAST(CAST('0x' || substr(h, 2 * d.dim_idx + 1, 2) AS INT) / 255.0 AS REAL) AS DOUBLE), 6) AS value
 FROM m, (SELECT unnest(range(8)) AS dim_idx) d
 """
+
+
+# daily-grid histogram sweep: same hist oracle over the 29-cutoff grid
+ORACLES["q_hist_daily"] = ORACLES["q_hist_asof"].replace(GRID, _GRID_DAILY)

@@ -358,6 +358,32 @@ def test_salt_bucket_matches_fallback(spark, tdf):
     pd.testing.assert_frame_equal(pa, pb)
 
 
+def test_salt_bucket_no_phantom_trailing_bucket(spark, tdf):
+    """overlap_before must not replicate a conversation's final rows into
+    a bucket past its last own bucket: the distinct-bucket count per
+    conversation equals ceil(n_turns / turns_per_bucket) exactly."""
+    import math
+
+    from z_rad_spark.operators.skew import with_salt_bucket
+
+    df, _ = tdf
+    out = (
+        with_salt_bucket(df, turns_per_bucket=7, overlap=2, overlap_before=3)
+        .groupBy("conv_id")
+        .agg(
+            F.countDistinct("bucket").alias("n_buckets"),
+            F.sum(F.when(F.col("own"), 1).otherwise(0)).alias("n_own"),
+        )
+        .toPandas()
+        .set_index("conv_id")
+    )
+    sizes = df.groupBy("conv_id").count().toPandas().set_index("conv_id")
+    for conv, row in sizes.iterrows():
+        n = int(row["count"])
+        assert int(out.loc[conv, "n_buckets"]) == math.ceil(n / 7), conv
+        assert int(out.loc[conv, "n_own"]) == n, conv
+
+
 def test_gldzm_salted_matches_plain(spark, tdf):
     """Salted distance-zone cells (runs merged across bucket borders with
     positions) == the single-window gldzm_cells, exactly."""

@@ -99,3 +99,64 @@ def test_hashed_embedding_single_shuffle(spark):
     plan = _plan(hashed_embedding(_docs(spark), dims=8))
     assert plan.count("Exchange") == 1
     assert "partial" in plan.lower()  # map-side partial aggregation present
+
+
+def _turns(spark, n_convs=4, n_turns=30):
+    rows = [
+        (f"c{c}", t, f"2024-01-{(t % 27) + 1:02d} 0{t % 10}:00:00", float((c * 7 + t) % 23))
+        for c in range(n_convs)
+        for t in range(n_turns)
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, ts_s string, signal double"
+    ).select("conv_id", "turn_idx", F.to_timestamp("ts_s").alias("ts"), "signal")
+
+
+def test_hist_asof_never_expands_turns_across_the_grid(spark):
+    """hist_asof must ride the compacted value histogram: the only
+    non-equi broadcast join allowed is (iv <= gi) over ALREADY-compacted
+    rows. A join whose condition touches the raw `ts` column is the
+    O(turns x cutoffs) expansion the module contract forbids."""
+    from z_rad_spark.operators import firstorder_sql
+
+    cutoffs = [f"2024-01-{d:02d} 00:00:00" for d in range(2, 31)]
+    plan = _plan(firstorder_sql.hist_asof(_turns(spark), spark, cutoffs, 6))
+    for line in plan.splitlines():
+        if "Join" in line:
+            assert "ts#" not in line, line
+
+
+def test_kmeans_assignment_is_shuffle_free(spark):
+    """Literal-codebook argmax: zero Exchange between the scan and the
+    assignment projection (the old crossjoin+row_number formulation
+    shuffled N x k rows on vec_id)."""
+    from z_rad_spark.operators.similarity import kmeans_assign
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * j) % 7) + 0.5 for j in range(4)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(0, [1.0, 0.0, 1.0, 0.0]), (1, [0.0, 1.0, 0.0, 1.0])]
+    plan = _plan(kmeans_assign(vecs, centroids=cents))
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_ivf_assignment_subtree_has_no_exchange(spark):
+    """ivf_topk's corpus-side cell assignment must stay narrow: the only
+    joins in the whole plan are broadcast (probe equi-join), and the only
+    Exchange is the final per-query top-k window over probed candidates."""
+    from z_rad_spark.operators.similarity import ivf_topk
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * j) % 7) + 0.5 for j in range(4)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.5, 0.25, 1.0])], "query_id long, query_vec array<double>"
+    )
+    plan = _plan(ivf_topk(vecs, qs, n_centroids=4, n_probe=2, k=3))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # one exchange for the top-k window, one SinglePartition feeding the
+    # broadcast probe side at most — never a hashpartitioning on vec_id
+    assert "hashpartitioning(vec_id" not in plan

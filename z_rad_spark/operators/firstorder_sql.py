@@ -211,23 +211,52 @@ def stats_asof(
     )
 
 
-def fbn_grey_asof(
-    df: DataFrame, spark: SparkSession, cutoffs: Iterable[str], n_bins: int, signal_col: str = "signal"
-) -> DataFrame:
-    """Leakage-safe FBN discretization per (conv_id, as_of): min/max come
-    from the cutoff-filtered population only (discretization.py:117-137);
-    a global min/max would be a temporal leak (SURVEY.md §4)."""
-    x = F.col(signal_col)
-    rows = _expand(df.select("conv_id", "ts", "turn_idx", signal_col), spark, cutoffs)
-    w = Window.partitionBy(*KEYS)
-    lo = F.min(x).over(w)
-    hi = F.max(x).over(w)
-    grey = (
+def _fbn_grey(x: Column, lo: Column, hi: Column, n_bins: int) -> Column:
+    """Leakage-safe FBN grey level (discretization.py:117-137): min/max
+    come from the cutoff-filtered population only — a global min/max
+    would be a temporal leak (SURVEY.md §4)."""
+    return (
         F.when(hi == lo, F.lit(1.0))
         .when(x == hi, F.lit(float(n_bins)))
         .otherwise(F.floor(n_bins * (x - lo) / (hi - lo)) + 1)
     )
+
+
+def fbn_grey_asof(
+    df: DataFrame, spark: SparkSession, cutoffs: Iterable[str], n_bins: int, signal_col: str = "signal"
+) -> DataFrame:
+    """PER-ROW FBN discretization per (conv_id, as_of) — for consumers
+    that need turn-level grey values. This path expands turns across the
+    cutoff grid (O(turns x cutoffs) rows before the shuffle); histogram /
+    distribution consumers must use :func:`fbn_hist_asof`, which bins the
+    COMPACTED value histogram instead and is grid-size safe."""
+    x = F.col(signal_col)
+    rows = _expand(df.select("conv_id", "ts", "turn_idx", signal_col), spark, cutoffs)
+    w = Window.partitionBy(*KEYS)
+    grey = _fbn_grey(x, F.min(x).over(w), F.max(x).over(w), n_bins)
     return rows.withColumn("grey", grey.cast("double"))
+
+
+def fbn_hist_asof(
+    df: DataFrame, spark: SparkSession, cutoffs: Iterable[str], n_bins: int, signal_col: str = "signal"
+) -> DataFrame:
+    """(conv_id, as_of, grey, ci) — the FBN grey-level histogram computed
+    entirely from the compacted value histogram, never from expanded
+    turns (the module's no-row-expansion contract, same shape as
+    stats_asof): per-group lo/hi are window min/max over the ALREADY
+    compacted (distinct-value x interval) rows, each compacted row is
+    binned carrying its count, and a groupBy on the same keys sums counts
+    per grey level. A daily/hourly backfill grid multiplies only the
+    compacted histogram, not the 10^12 raw turns."""
+    h = value_histogram_asof(df, spark, cutoffs, signal_col)
+    w = Window.partitionBy(*KEYS)
+    x = F.col("x")
+    grey = _fbn_grey(x, F.min(x).over(w), F.max(x).over(w), n_bins)
+    return (
+        h.select(*KEYS, grey.cast("double").alias("grey"), "c")
+        .groupBy(*KEYS, "grey")
+        .agg(F.sum("c").cast("long").alias("ci"))
+    )
 
 
 def hist_asof(
@@ -237,9 +266,13 @@ def hist_asof(
     declaratively: entropy, uniformity, mode (smallest level among maximal
     counts, matching np.unique+argmax), and the np.gradient max/min over
     per-level counts via lag/lead central differences
-    (intensity.py:179-185, 284-324)."""
-    g = fbn_grey_asof(df, spark, cutoffs, n_bins, signal_col)
-    counts = g.groupBy(*KEYS, "grey").agg(F.count("*").cast("long").alias("ci"))
+    (intensity.py:179-185, 284-324).
+
+    Scale shape: rides :func:`fbn_hist_asof`'s compacted histogram path —
+    one combine-heavy full-data shuffle, grid amplification bounded by
+    (distinct values x cutoffs), no turn expansion (plan-asserted by
+    tests/test_plans.py)."""
+    counts = fbn_hist_asof(df, spark, cutoffs, n_bins, signal_col)
     wk = Window.partitionBy(*KEYS)
     wo = Window.partitionBy(*KEYS).orderBy("grey").rowsBetween(Window.unboundedPreceding, 0)
     counts = (
