@@ -2749,19 +2749,32 @@ FROM g GROUP BY conv_id, sid
 
 # as-of with staleness tolerance (pandas merge_asof tolerance parity):
 # matches older than 3 days null out
+# per-COLUMN staleness, replicating the engine exactly: each value column
+# forward-fills past NULLs independently, so the match it is judged
+# against is the latest turn where THAT column is non-null (a row-level
+# rn=1 oracle coincides only while the data has no NULL value columns)
 ORACLES["q_asof_tolerance"] = f"""
 WITH t AS ({T}),
 convs AS (SELECT DISTINCT conv_id FROM t),
 probes AS (SELECT c.conv_id, g.as_of FROM convs c CROSS JOIN {GRID} g(as_of)),
-j AS (
-  SELECT p.conv_id, p.as_of, t.ts, t.signal, t.role,
+sig_m AS (
+  SELECT p.conv_id, p.as_of, t.ts, t.signal,
          ROW_NUMBER() OVER (PARTITION BY p.conv_id, p.as_of ORDER BY t.ts DESC, t.turn_idx DESC) AS rn
-  FROM probes p LEFT JOIN t ON t.conv_id = p.conv_id AND t.ts <= p.as_of
+  FROM probes p LEFT JOIN t
+    ON t.conv_id = p.conv_id AND t.ts <= p.as_of AND t.signal IS NOT NULL
+),
+role_m AS (
+  SELECT p.conv_id, p.as_of, t.ts, t.role,
+         ROW_NUMBER() OVER (PARTITION BY p.conv_id, p.as_of ORDER BY t.ts DESC, t.turn_idx DESC) AS rn
+  FROM probes p LEFT JOIN t
+    ON t.conv_id = p.conv_id AND t.ts <= p.as_of AND t.role IS NOT NULL
 )
-SELECT conv_id, CAST(epoch_us(as_of) AS BIGINT) AS as_of_us,
-       CASE WHEN epoch_us(as_of) - epoch_us(ts) <= 259200000000 THEN signal END AS last_tok,
-       CASE WHEN epoch_us(as_of) - epoch_us(ts) <= 259200000000 THEN role END AS last_role
-FROM j WHERE rn = 1
+SELECT p.conv_id, CAST(epoch_us(p.as_of) AS BIGINT) AS as_of_us,
+       CASE WHEN epoch_us(p.as_of) - epoch_us(s.ts) <= 259200000000 THEN s.signal END AS last_tok,
+       CASE WHEN epoch_us(p.as_of) - epoch_us(r.ts) <= 259200000000 THEN r.role END AS last_role
+FROM probes p
+LEFT JOIN sig_m s ON s.conv_id = p.conv_id AND s.as_of = p.as_of AND s.rn = 1
+LEFT JOIN role_m r ON r.conv_id = p.conv_id AND r.as_of = p.as_of AND r.rn = 1
 """
 
 

@@ -51,11 +51,16 @@ def asof_join(
     """For each probe row (key, probe_ts), attach the latest value_cols from
     the turn with the greatest (ts, tie_break) such that ts <= probe_ts.
 
-    ``tolerance_seconds`` (pandas ``merge_asof(tolerance=...)`` parity):
-    when set, a match older than the tolerance is treated as no match —
-    values null, same as no prior turn. The matched turn's timestamp
-    rides the same running-last pass, so the staleness check adds zero
-    extra shuffles or sorts.
+    ``tolerance_seconds``: when set, a match older than the tolerance is
+    treated as no match — values null, same as no prior turn. Staleness
+    is judged PER VALUE COLUMN: because the running last(ignorenulls)
+    forward-fills each column past newer turns whose column is NULL, the
+    match each column is judged against is the latest turn where THAT
+    column is non-null. This is deliberately stronger than pandas
+    ``merge_asof(tolerance=...)``, which judges the whole ROW against the
+    last matching turn's ts (the two coincide when value columns have no
+    NULLs). The matched timestamps ride the same running-last pass, so
+    the staleness check adds zero extra shuffles or sorts.
 
     Returns the probe rows + value columns (null when no prior turn).
     """

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -82,27 +83,57 @@ def streaming_sessionize(
         sig = rows["signal"].astype(float).to_numpy()
         order = ts_us.argsort(kind="stable")
         ts_us, sig = ts_us[order], sig[order]
+        if len(ts_us) == 0:
+            # empty microbatch for this key: keep the open session as-is
+            if state.exists:
+                state.setTimeoutTimestamp(state.get[1] // 1000 + gap_us // 1000)
+            return
 
+        # vectorized gap sessionization: segment starts are the positions
+        # where the inter-turn gap exceeds gap_us; per-segment aggregates
+        # via reduceat. The only scalar state is the open-session handoff
+        # — a 10^5-turn hot-conversation microbatch walks zero Python rows.
+        seg_starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(ts_us) > gap_us) + 1)
+        )
+        seg_ends = np.concatenate((seg_starts[1:], [len(ts_us)]))
+        seg_n = (seg_ends - seg_starts).astype("int64")
+        seg_sum = np.add.reduceat(sig, seg_starts)
+        seg_t0 = ts_us[seg_starts]
+        seg_t1 = ts_us[seg_ends - 1]
+
+        prior_closed = []
         if state.exists:
             start_us, last_us, n, ssum = state.get
-        else:
-            start_us = last_us = -1
-            n, ssum = 0, 0.0
-
-        closed = []
-        for t, s in zip(ts_us, sig):
-            if start_us < 0:
-                start_us, last_us, n, ssum = int(t), int(t), 1, float(s)
-            elif int(t) - last_us > gap_us:
-                closed.append([conv_id, start_us, last_us, n, ssum])
-                start_us, last_us, n, ssum = int(t), int(t), 1, float(s)
+            if int(seg_t0[0]) - last_us <= gap_us:
+                # first batch segment extends the open session
+                seg_t0[0] = start_us
+                seg_n[0] += n
+                seg_sum[0] += ssum
             else:
-                last_us, n, ssum = int(t), n + 1, ssum + float(s)
-        state.update((start_us, last_us, n, ssum))
+                prior_closed.append([conv_id, start_us, last_us, n, ssum])
+        state.update(
+            (int(seg_t0[-1]), int(seg_t1[-1]), int(seg_n[-1]), float(seg_sum[-1]))
+        )
         # close the open session once the watermark passes its gap window
-        state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
-        if closed:
-            yield pd.DataFrame(closed, columns=SESSION_SCHEMA.names)
+        state.setTimeoutTimestamp(int(seg_t1[-1]) // 1000 + gap_us // 1000)
+        m = len(seg_starts) - 1  # every segment but the last closes now
+        if m or prior_closed:
+            batch_closed = pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "session_start_us": seg_t0[:m],
+                    "session_end_us": seg_t1[:m],
+                    "n_turns": seg_n[:m],
+                    "signal_sum": seg_sum[:m],
+                }
+            )
+            if prior_closed:
+                batch_closed = pd.concat(
+                    [pd.DataFrame(prior_closed, columns=SESSION_SCHEMA.names), batch_closed],
+                    ignore_index=True,
+                )
+            yield batch_closed
 
     return (
         stream.withWatermark("ts", watermark)
