@@ -1019,10 +1019,26 @@ def q_flagship_slice(spark, sf_dir):
 
 
 def q_extract_full(spark, sf_dir):
-    """Flagship: every family at three cutoffs (rows-only driver check;
-    value-level parity is covered family-by-family above and by pytest)."""
+    """Flagship: every family at three cutoffs, VALUE-verified end to end —
+    the oracle (oracle_sql_defs.flagship_full_sql) replays the full kernel
+    per (conv_id, as_of) with eligibility-hole semantics for all 156
+    feature columns. Output normalized like every gate query: epoch-us
+    key, NaN -> NULL, 6dp rounding."""
     cfg = FeatureConfig(eligible_roles=("user", "assistant", "tool"), gap_seconds=GAP_SECONDS)
-    return extract_features(_t(spark, sf_dir), cfg, CUTOFFS)
+    out = extract_features(_t(spark, sf_dir), cfg, CUTOFFS)
+    feat_cols = [
+        c for c in out.columns
+        if c not in ("conv_id", "as_of", "n_turns", "n_eligible", "n_bins")
+    ]
+    out = out.select(
+        "conv_id",
+        _us("as_of", "as_of_us"),
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("n_eligible").cast("long").alias("n_eligible"),
+        F.col("n_bins").cast("long").alias("n_bins"),
+        *feat_cols,
+    )
+    return _r6(out, feat_cols)
 
 
 # ---------------------------------------------------------------------------

@@ -616,11 +616,11 @@ cells AS (
 ),
 tot AS (SELECT {K}, SUM(c) AS s FROM cells GROUP BY {K}),
 p AS (
-  SELECT {K}, i, j, c / s AS p
+  SELECT {K}, i, j, c, s, c / s AS p
   FROM cells JOIN tot USING ({K})
 ),
-marg AS (SELECT {K}, j AS k, SUM(p) AS pk FROM p GROUP BY {K}, j),
-mu AS (SELECT {K}, SUM(pk * k) AS mu_i FROM marg GROUP BY {K}),
+marg AS (SELECT {K}, j AS k, SUM(c) AS ck, MAX(s) AS ms, SUM(p) AS pk FROM p GROUP BY {K}, j),
+mu AS (SELECT {K}, SUM(ck * k) / MAX(ms) AS mu_i FROM marg GROUP BY {K}),
 sig AS (
   SELECT {K}, SUM(POW(k - mu_i, 2) * pk) AS sigma2
   FROM marg JOIN mu USING ({K}) GROUP BY {K}
@@ -629,10 +629,10 @@ hx AS (
   SELECT {K}, -SUM(CASE WHEN pk > 0 THEN pk * LOG2(pk) END) AS hx
   FROM marg GROUP BY {K}
 ),
-pm AS (SELECT {K}, ABS(i - j) AS k, SUM(p) AS pk FROM p GROUP BY {K}, ABS(i - j)),
-pp AS (SELECT {K}, i + j AS k, SUM(p) AS pk FROM p GROUP BY {K}, i + j),
-pm_avg AS (SELECT {K}, SUM(pk * k) AS diff_avg FROM pm GROUP BY {K}),
-pp_avg AS (SELECT {K}, SUM(pk * k) AS sum_avg FROM pp GROUP BY {K}),
+pm AS (SELECT {K}, ABS(i - j) AS k, SUM(c) AS ck, MAX(s) AS ms, SUM(p) AS pk FROM p GROUP BY {K}, ABS(i - j)),
+pp AS (SELECT {K}, i + j AS k, SUM(c) AS ck, MAX(s) AS ms, SUM(p) AS pk FROM p GROUP BY {K}, i + j),
+pm_avg AS (SELECT {K}, SUM(ck * k) / MAX(ms) AS diff_avg FROM pm GROUP BY {K}),
+pp_avg AS (SELECT {K}, SUM(ck * k) / MAX(ms) AS sum_avg FROM pp GROUP BY {K}),
 pm_stats AS (
   SELECT {K},
          SUM(pk * POW(k - diff_avg, 2)) AS diff_var,
@@ -653,14 +653,14 @@ pp_stats AS (
 ),
 base AS (
   SELECT {K},
-         MAX(p) AS joint_max,
-         SUM(p * i) AS joint_avg,
+         MAX(c) / MAX(s) AS joint_max,
+         SUM(c * i) / MAX(s) AS joint_avg,
          -SUM(CASE WHEN p > 0 THEN p * LOG2(p) END) AS joint_entr,
-         SUM(p * p) AS energy,
-         SUM(p * POW(i - j, 2)) AS contrast,
-         SUM(p * ABS(i - j)) AS dissim,
+         SUM(c * c) / (MAX(s) * MAX(s)) AS energy,
+         SUM(c * POW(i - j, 2)) / MAX(s) AS contrast,
+         SUM(c * ABS(i - j)) / MAX(s) AS dissim,
          SUM(p / (1 + ABS(i - j))) AS inv_diff,
-         SUM(p * i * j) AS auto_corr
+         SUM(c * i * j) / MAX(s) AS auto_corr
   FROM p GROUP BY {K}
 ),
 base2 AS (
@@ -2098,7 +2098,7 @@ cells AS (
 ),
 glcm AS (
   SELECT conv_id, as_of,
-         SUM((c / tot) * POW(i - j, 2)) AS contrast,
+         SUM(c * POW(i - j, 2)) / MAX(tot) AS contrast,
          -SUM((c / tot) * LOG2(c / tot)) AS joint_entr
   FROM (SELECT *, SUM(c) OVER (PARTITION BY conv_id, as_of) AS tot FROM cells)
   GROUP BY conv_id, as_of
@@ -2810,3 +2810,578 @@ FROM m, (SELECT unnest(range(8)) AS dim_idx) d
 
 # daily-grid histogram sweep: same hist oracle over the 29-cutoff grid
 ORACLES["q_hist_daily"] = ORACLES["q_hist_asof"].replace(GRID, _GRID_DAILY)
+
+
+# ---------------------------------------------------------------------------
+# flagship full-extract oracle: ALL families at the 3-cutoff grid with the
+# flagship config (system turns ineligible, direct discretization, 3D MERG,
+# lags 1-4, min_turns=3). Mirrors kernels/{firstorder,shape,texture}.py per
+# (conv_id, as_of) including eligibility-hole semantics: pairs form on
+# absolute positions and require both ends eligible; runs/zones break at
+# holes; GLDZM border distance restarts at holes and slice ends; NGTDM/NGLDM
+# neighbourhoods are positional with ineligible neighbours contributing
+# nothing. The min-turn guard nulls every feature (n_bins -> 0).
+# ---------------------------------------------------------------------------
+
+
+def _flagship_runs16(runsrc: str, jl: str, pfx: str) -> str:
+    """16-formula reducer over ``runsrc``(conv_id, as_of, lvl, {jl}) keyed
+    (conv_id, as_of), ending in ``{pfx}feat`` with the raw column names
+    sre..entr_v (texture_base.py:40-214 under the 1-D run degeneracy)."""
+    K = "conv_id, as_of"
+    return f"""{pfx}ns AS (SELECT {K}, CAST(COUNT(*) AS DOUBLE) AS n_s,
+              AVG(lvl) AS mu_i, AVG({jl} - 1) AS mu_j FROM {runsrc} GROUP BY {K}),
+{pfx}simple AS (
+  SELECT {K},
+         AVG(1.0 / ({jl} * {jl})) AS sre,
+         AVG({jl} * {jl}) AS lre,
+         AVG(1.0 / (lvl * lvl)) AS lgre,
+         AVG(lvl * lvl) AS hgre,
+         AVG(1.0 / (lvl * lvl * {jl} * {jl})) AS srlge,
+         AVG(lvl * lvl / ({jl} * {jl})) AS srhge,
+         AVG({jl} * {jl} / (lvl * lvl)) AS lrlge,
+         AVG(lvl * lvl * {jl} * {jl}) AS lrhge,
+         AVG(POW(lvl - mu_i, 2)) AS gl_var,
+         AVG(POW(({jl} - 1) - mu_j, 2)) AS rl_var
+  FROM {runsrc} JOIN {pfx}ns USING ({K}) GROUP BY {K}
+),
+{pfx}glnu AS (
+  SELECT {K}, SUM(c * c) AS v FROM (
+    SELECT {K}, lvl, CAST(COUNT(*) AS DOUBLE) AS c FROM {runsrc} GROUP BY {K}, lvl
+  ) GROUP BY {K}
+),
+{pfx}rlnu AS (
+  SELECT {K}, SUM(c * c) AS v FROM (
+    SELECT {K}, {jl} AS jlv, CAST(COUNT(*) AS DOUBLE) AS c FROM {runsrc} GROUP BY {K}, {jl}
+  ) GROUP BY {K}
+),
+{pfx}entr AS (
+  SELECT {K}, -SUM((c / n_s) * LOG2(c / n_s)) AS v FROM (
+    SELECT {K}, lvl, {jl} AS jlv, CAST(COUNT(*) AS DOUBLE) AS c FROM {runsrc} GROUP BY {K}, lvl, {jl}
+  ) JOIN {pfx}ns USING ({K}) GROUP BY {K}
+),
+{pfx}feat AS (
+  SELECT s.conv_id, s.as_of,
+         s.sre, s.lre, s.lgre, s.hgre, s.srlge, s.srhge, s.lrlge, s.lrhge,
+         g.v / n.n_s AS glnu_v, g.v / (n.n_s * n.n_s) AS glnu_n,
+         rl.v / n.n_s AS rlnu_v, rl.v / (n.n_s * n.n_s) AS rlnu_n,
+         n.n_s / m.vc AS perc, s.gl_var, s.rl_var, e.v AS entr_v
+  FROM {pfx}simple s
+  JOIN {pfx}ns n USING ({K})
+  JOIN {pfx}glnu g USING ({K})
+  JOIN {pfx}rlnu rl USING ({K})
+  JOIN {pfx}entr e USING ({K})
+  JOIN fmeta m USING ({K})
+)"""
+
+
+_RUNS16_RAW = ["sre", "lre", "lgre", "hgre", "srlge", "srhge", "lrlge", "lrhge",
+               "glnu_v", "glnu_n", "rlnu_v", "rlnu_n", "perc", "gl_var", "rl_var",
+               "entr_v"]
+
+
+def flagship_full_sql() -> str:
+    K = "conv_id, as_of"
+
+    def on(a, b):
+        return f"{a}.conv_id = {b}.conv_id AND {a}.as_of = {b}.as_of"
+
+    # ---- source + meta ----------------------------------------------------
+    src = f"""
+WITH t AS ({T}),
+fr AS MATERIALIZED (
+  SELECT t.conv_id, gg.as_of, t.ts, t.role, t.tool, t.signal,
+         t.role IN ('user', 'assistant', 'tool') AS elig,
+         CAST(t.signal AS INT) AS g,
+         ROW_NUMBER() OVER (PARTITION BY t.conv_id, gg.as_of ORDER BY t.ts, t.turn_idx) AS rn
+  FROM t JOIN {GRID} gg(as_of) ON t.ts <= gg.as_of
+),
+scaffold AS (
+  SELECT c.conv_id, gg.as_of
+  FROM (SELECT DISTINCT conv_id FROM t) c CROSS JOIN {GRID} gg(as_of)
+),
+fmeta AS MATERIALIZED (
+  SELECT {K}, CAST(COUNT(*) AS BIGINT) AS n_turns,
+         CAST(COUNT(CASE WHEN elig THEN 1 END) AS BIGINT) AS n_eligible,
+         CAST(COUNT(DISTINCT CASE WHEN elig THEN g END) AS BIGINT) AS nb,
+         MAX(CASE WHEN elig THEN g END) AS gmax,
+         CAST(COUNT(CASE WHEN elig THEN 1 END) AS DOUBLE) AS vc
+  FROM fr GROUP BY {K}
+),
+ev AS MATERIALIZED (
+  SELECT {K}, CAST(signal AS DOUBLE) AS x, rn FROM fr WHERE elig
+),
+{det_stats_ctes('ev', ['conv_id', 'as_of'], p='fx_')},"""
+
+    # ---- histogram extras (mode / entropy / uniformity / gradients) -------
+    hist = f"""
+hcnt AS MATERIALIZED (
+  SELECT {K}, x AS gy, CAST(COUNT(*) AS BIGINT) AS ci FROM ev GROUP BY {K}, x
+),
+hgrad0 AS (
+  SELECT {K}, gy, ci,
+         CAST(ci AS DOUBLE) AS c,
+         CAST(LAG(ci) OVER w AS DOUBLE) AS pc,
+         CAST(LEAD(ci) OVER w AS DOUBLE) AS nc,
+         SUM(ci) OVER (PARTITION BY {K}) AS n,
+         COUNT(*) OVER (PARTITION BY {K}) AS n_levels
+  FROM hcnt WINDOW w AS (PARTITION BY {K} ORDER BY gy)
+),
+hgrad AS (
+  SELECT {K}, gy, ci, c, n, n_levels,
+         CASE WHEN pc IS NULL AND nc IS NULL THEN NULL
+              WHEN pc IS NULL THEN nc - c
+              WHEN nc IS NULL THEN c - pc
+              ELSE (nc - pc) / 2 END AS grad
+  FROM hgrad0
+),
+hrank AS (
+  SELECT {K}, gy, ci, c, n, n_levels, grad,
+         ROW_NUMBER() OVER (PARTITION BY {K} ORDER BY c DESC, gy ASC) AS rn_mode,
+         ROW_NUMBER() OVER (PARTITION BY {K} ORDER BY grad DESC, gy ASC) AS rn_maxg,
+         ROW_NUMBER() OVER (PARTITION BY {K} ORDER BY grad ASC, gy ASC) AS rn_ming
+  FROM hgrad
+),
+hx2 AS (
+  SELECT {K},
+         MAX(CASE WHEN rn_mode = 1 THEN gy END) AS mode,
+         -SUM((c / n) * LOG2(c / n)) AS entropy,
+         SUM(ci * ci) / (MAX(n) * MAX(n)) AS uniformity,
+         MAX(CASE WHEN rn_maxg = 1 AND n_levels > 1 THEN grad END) AS max_grad,
+         MAX(CASE WHEN rn_maxg = 1 AND n_levels > 1 THEN gy END) AS max_grad_g,
+         MAX(CASE WHEN rn_ming = 1 AND n_levels > 1 THEN grad END) AS min_grad,
+         MAX(CASE WHEN rn_ming = 1 AND n_levels > 1 THEN gy END) AS min_grad_g
+  FROM hrank GROUP BY {K}
+),"""
+
+    # ---- IVH (direct: integer thresholds lo..hi, step 1) ------------------
+    # signal is 1 + |...| % 9 by the T derivation, so thresholds live in
+    # [1, 9]; the BETWEEN keeps only lo..hi per group
+    ivh = f"""
+ivh_rng AS (
+  SELECT {K}, MIN(gy) AS lo, MAX(gy) AS hi, MAX(n) AS n
+  FROM hgrad0 GROUP BY {K}
+),
+ivh_srs AS (SELECT UNNEST(range(1, 10)) AS tr),
+ivh_fv AS (
+  SELECT r.conv_id, r.as_of, s.tr,
+         1.0 - CAST(COALESCE(SUM(CASE WHEN h.gy < s.tr THEN h.ci END), 0) AS DOUBLE) / MAX(r.n) AS fv,
+         CAST(s.tr - MAX(r.lo) AS DOUBLE) / (MAX(r.hi) - MAX(r.lo)) AS ifr
+  FROM ivh_rng r
+  JOIN ivh_srs s ON s.tr >= r.lo AND s.tr <= r.hi
+  LEFT JOIN hcnt h ON {on('h', 'r')}
+  WHERE r.hi > r.lo
+  GROUP BY r.conv_id, r.as_of, s.tr
+),
+ivh_feat AS (
+  SELECT {K},
+         MAX(CASE WHEN ifr > 0.1 THEN fv END) AS v10,
+         MAX(CASE WHEN ifr > 0.9 THEN fv END) AS v90,
+         CAST(MIN(CASE WHEN fv <= 0.1 THEN tr END) AS DOUBLE) AS i10,
+         CAST(MIN(CASE WHEN fv <= 0.9 THEN tr END) AS DOUBLE) AS i90
+  FROM ivh_fv GROUP BY {K}
+),"""
+
+    # ---- local peaks (rolling radius 3, zero-padded, fixed window 7) ------
+    loc = f"""
+loc_roll AS (
+  SELECT {K}, rn, elig, CAST(signal AS DOUBLE) AS sig,
+         SUM(CAST(signal AS DOUBLE)) OVER (
+           PARTITION BY {K} ORDER BY rn ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+         ) / 7.0 AS roll
+  FROM fr
+),
+loc_mx AS (
+  SELECT {K}, MAX(CASE WHEN elig THEN CAST(signal AS DOUBLE) END) AS smax
+  FROM fr GROUP BY {K}
+),
+loc_feat AS (
+  SELECT l.conv_id, l.as_of,
+         MAX(CASE WHEN l.elig AND l.sig = x.smax THEN l.roll END) AS peak_loc,
+         MAX(CASE WHEN l.elig THEN l.roll END) AS peak_glob
+  FROM loc_roll l JOIN loc_mx x ON {on('l', 'x')}
+  GROUP BY l.conv_id, l.as_of
+),"""
+
+    # ---- shape ------------------------------------------------------------
+    shp = f"""
+shp_base AS (
+  SELECT {K},
+         CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS DOUBLE) / 1e6 AS dur,
+         AVG(CASE WHEN tool IS NOT NULL THEN 1.0 ELSE 0.0 END) AS tool_frac
+  FROM fr GROUP BY {K}
+),
+shp_gaps AS (
+  SELECT {K},
+         CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY {K} ORDER BY rn) AS DOUBLE) / 1e6 AS gap
+  FROM fr
+),
+shp_gs AS (
+  SELECT {K}, AVG(gap) AS gap_mean, stddev_pop(gap) AS gap_std, MAX(gap) AS gap_max,
+         1 + SUM(CASE WHEN gap > {GAP} THEN 1 ELSE 0 END) AS n_sessions
+  FROM shp_gaps GROUP BY {K}
+),
+shp_re AS (
+  SELECT {K}, -SUM(p * LOG2(p)) AS role_entropy FROM (
+    SELECT {K}, CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY {K}) AS p
+    FROM fr GROUP BY {K}, role
+  ) GROUP BY {K}
+),
+shp_com AS (
+  SELECT {K},
+         AVG(CASE WHEN elig THEN CAST(rn - 1 AS DOUBLE) END) AS com_geom,
+         SUM(CASE WHEN elig THEN CAST(rn - 1 AS DOUBLE) * CAST(signal AS DOUBLE) ELSE 0 END)
+           / SUM(CASE WHEN elig THEN CAST(signal AS DOUBLE) ELSE 0 END) AS com_int
+  FROM fr GROUP BY {K}
+),"""
+
+    # ---- GLCM (3D MERG, lags 1-4, both ends eligible) ---------------------
+    glcm = f"""
+cm_pairs0 AS (
+  SELECT a.conv_id, a.as_of, a.g AS x, b.g AS y
+  FROM fr a
+  JOIN (VALUES (1), (2), (3), (4)) lagv(k) ON TRUE
+  JOIN fr b ON {on('b', 'a')} AND b.rn = a.rn + lagv.k
+  WHERE a.elig AND b.elig
+),
+cm_pairs AS (
+  SELECT {K}, x AS i, y AS j FROM cm_pairs0
+  UNION ALL
+  SELECT {K}, y AS i, x AS j FROM cm_pairs0
+),
+cm_cells AS (
+  SELECT {K}, i, j, CAST(COUNT(*) AS DOUBLE) AS c FROM cm_pairs GROUP BY {K}, i, j
+),
+cm_tot AS (SELECT {K}, SUM(c) AS s FROM cm_cells GROUP BY {K}),
+cm_p AS MATERIALIZED (
+  SELECT {K}, i, j, c, s, c / s AS p FROM cm_cells JOIN cm_tot USING ({K})
+),
+cm_marg AS MATERIALIZED (SELECT {K}, j AS k, SUM(c) AS ck, MAX(s) AS ms, SUM(p) AS pk FROM cm_p GROUP BY {K}, j),
+cm_mu AS (SELECT {K}, SUM(ck * k) / MAX(ms) AS mu_i FROM cm_marg GROUP BY {K}),
+cm_sig AS (
+  SELECT {K}, SUM(POW(k - mu_i, 2) * pk) AS sigma2
+  FROM cm_marg JOIN cm_mu USING ({K}) GROUP BY {K}
+),
+cm_hx AS (
+  SELECT {K}, -SUM(CASE WHEN pk > 0 THEN pk * LOG2(pk) END) AS hx
+  FROM cm_marg GROUP BY {K}
+),
+cm_pm AS (SELECT {K}, ABS(i - j) AS k, SUM(c) AS ck, MAX(s) AS ms, SUM(p) AS pk FROM cm_p GROUP BY {K}, ABS(i - j)),
+cm_pp AS (SELECT {K}, i + j AS k, SUM(c) AS ck, MAX(s) AS ms, SUM(p) AS pk FROM cm_p GROUP BY {K}, i + j),
+cm_pm_avg AS (SELECT {K}, SUM(ck * k) / MAX(ms) AS diff_avg FROM cm_pm GROUP BY {K}),
+cm_pp_avg AS (SELECT {K}, SUM(ck * k) / MAX(ms) AS sum_avg FROM cm_pp GROUP BY {K}),
+cm_pm_stats AS (
+  SELECT {K},
+         SUM(pk * POW(k - diff_avg, 2)) AS diff_var,
+         -SUM(CASE WHEN pk > 0 THEN pk * LOG2(pk) END) AS diff_entr,
+         SUM(pk / (1 + k * k)) AS inv_diff_mom,
+         COALESCE(SUM(CASE WHEN k > 0 THEN pk / (k * k) END), 0) AS inv_var
+  FROM cm_pm JOIN cm_pm_avg USING ({K}) GROUP BY {K}
+),
+cm_pm_norm AS (
+  SELECT {K}, SUM(pk / (1 + POW(k / gmax, 2))) AS inv_diff_mom_norm
+  FROM cm_pm JOIN fmeta USING ({K}) GROUP BY {K}
+),
+cm_pp_stats AS (
+  SELECT {K},
+         SUM(pk * POW(k - sum_avg, 2)) AS sum_var,
+         -SUM(CASE WHEN pk > 0 THEN pk * LOG2(pk) END) AS sum_entr
+  FROM cm_pp JOIN cm_pp_avg USING ({K}) GROUP BY {K}
+),
+cm_base AS (
+  SELECT {K},
+         MAX(c) / MAX(s) AS joint_max,
+         SUM(c * i) / MAX(s) AS joint_avg,
+         -SUM(CASE WHEN p > 0 THEN p * LOG2(p) END) AS joint_entr,
+         SUM(c * c) / (MAX(s) * MAX(s)) AS energy,
+         SUM(c * POW(i - j, 2)) / MAX(s) AS contrast,
+         SUM(c * ABS(i - j)) / MAX(s) AS dissim,
+         SUM(p / (1 + ABS(i - j))) AS inv_diff,
+         SUM(c * i * j) / MAX(s) AS auto_corr
+  FROM cm_p GROUP BY {K}
+),
+cm_base2 AS (
+  SELECT {K},
+         SUM(p * POW(i - joint_avg, 2)) AS joint_var,
+         SUM(p / (1 + ABS(i - j) / gmax)) AS inv_diff_norm,
+         SUM(POW(i + j - 2 * mu_i, 2) * p) AS clust_tend,
+         SUM(POW(i + j - 2 * mu_i, 3) * p) AS clust_shade,
+         SUM(POW(i + j - 2 * mu_i, 4) * p) AS clust_prom
+  FROM cm_p
+  JOIN cm_base USING ({K})
+  JOIN cm_mu USING ({K})
+  JOIN fmeta USING ({K})
+  GROUP BY {K}
+),
+cm_hxy1 AS (
+  SELECT p.conv_id, p.as_of, -SUM(p.p * LOG2(mi.pk * mj.pk)) AS hxy1
+  FROM cm_p p
+  JOIN cm_marg mi ON {on('p', 'mi')} AND p.i = mi.k
+  JOIN cm_marg mj ON {on('p', 'mj')} AND p.j = mj.k
+  WHERE mi.pk > 0 AND mj.pk > 0
+  GROUP BY p.conv_id, p.as_of
+),
+cm_hxy2 AS (
+  SELECT mi.conv_id, mi.as_of, -SUM(mi.pk * mj.pk * LOG2(mi.pk * mj.pk)) AS hxy2
+  FROM cm_marg mi JOIN cm_marg mj ON {on('mi', 'mj')}
+  WHERE mi.pk > 0 AND mj.pk > 0
+  GROUP BY mi.conv_id, mi.as_of
+),
+cm_feat AS (
+  SELECT b.conv_id, b.as_of,
+         {', '.join(f'{expr} AS {name}' for name, expr in _GLCM_FEATS)}
+  FROM cm_base b
+  JOIN cm_base2 b2 ON {on('b', 'b2')}
+  JOIN cm_pm_avg pa ON {on('b', 'pa')}
+  JOIN cm_pm_stats ps ON {on('b', 'ps')}
+  JOIN cm_pm_norm pn ON {on('b', 'pn')}
+  JOIN cm_pp_avg qa ON {on('b', 'qa')}
+  JOIN cm_pp_stats qs ON {on('b', 'qs')}
+  JOIN cm_mu u ON {on('b', 'u')}
+  JOIN cm_sig sg ON {on('b', 'sg')}
+  JOIN cm_hx h ON {on('b', 'h')}
+  JOIN cm_hxy1 h1 ON {on('b', 'h1')}
+  JOIN cm_hxy2 h2 ON {on('b', 'h2')}
+),"""
+
+    # ---- runs / zones (holes break runs; islands give border distance) ----
+    runs = f"""
+rz_isl AS (
+  SELECT {K}, rn, g,
+         rn - ROW_NUMBER() OVER (PARTITION BY {K} ORDER BY rn) AS isl
+  FROM fr WHERE elig
+),
+rz_ext AS (
+  SELECT {K}, isl, MIN(rn) AS s0, MAX(rn) AS s1 FROM rz_isl GROUP BY {K}, isl
+),
+rz_marked AS (
+  SELECT {K}, g, rn, isl,
+         CASE WHEN LAG(rn) OVER w IS NULL OR rn - LAG(rn) OVER w > 1
+                   OR LAG(g) OVER w IS DISTINCT FROM g THEN 1 ELSE 0 END AS brk
+  FROM rz_isl WINDOW w AS (PARTITION BY {K} ORDER BY rn)
+),
+rz_runs0 AS (
+  SELECT {K}, MIN(isl) AS isl, CAST(MIN(g) AS DOUBLE) AS lvl,
+         CAST(COUNT(*) AS DOUBLE) AS rlen, MIN(rn) AS srn, MAX(rn) AS ern
+  FROM (SELECT *, SUM(brk) OVER (PARTITION BY {K} ORDER BY rn) AS run_id FROM rz_marked)
+  GROUP BY {K}, run_id
+),
+rz AS MATERIALIZED (
+  SELECT r.conv_id, r.as_of, r.lvl, r.rlen,
+         CAST(GREATEST(LEAST(r.srn - x.s0 + 1, x.s1 - r.srn + 1,
+                             r.ern - x.s0 + 1, x.s1 - r.ern + 1), 1) AS DOUBLE) AS dd
+  FROM rz_runs0 r JOIN rz_ext x ON {on('r', 'x')} AND r.isl = x.isl
+),
+{_flagship_runs16('rz', 'rlen', 'rl_')},
+{_flagship_runs16('rz', 'dd', 'dz_')},"""
+
+    # ---- NGTDM (positional neighbourhood, ineligible contribute nothing) --
+    ngt = f"""
+ngt_nbr0 AS (
+  SELECT {K}, g, elig,
+         COALESCE(CASE WHEN LAG(elig) OVER w THEN CAST(LAG(g) OVER w AS DOUBLE) END, 0)
+       + COALESCE(CASE WHEN LEAD(elig) OVER w THEN CAST(LEAD(g) OVER w AS DOUBLE) END, 0) AS nb_sum,
+         (CASE WHEN LAG(elig) OVER w THEN 1 ELSE 0 END
+        + CASE WHEN LEAD(elig) OVER w THEN 1 ELSE 0 END) AS nb_cnt
+  FROM fr WINDOW w AS (PARTITION BY {K} ORDER BY rn)
+),
+ngt_lvl AS (
+  SELECT {K}, CAST(g AS DOUBLE) AS i,
+         CAST(COUNT(*) AS DOUBLE) AS n_i,
+         SUM(ABS(g - nb_sum / nb_cnt)) AS s_i
+  FROM ngt_nbr0 WHERE elig AND nb_cnt > 0
+  GROUP BY {K}, g
+),
+ngt_tots AS (
+  SELECT {K}, SUM(n_i) AS n, CAST(COUNT(*) AS DOUBLE) AS n_g,
+         SUM(s_i) AS s2, SUM(n_i * s_i) AS ns
+  FROM ngt_lvl GROUP BY {K}
+),
+ngt_prs AS (
+  SELECT a.conv_id, a.as_of,
+         SUM(a.n_i * b.n_i * POW(a.i - b.i, 2)) AS q_contrast,
+         SUM(ABS(a.i * a.n_i - b.i * b.n_i)) AS q_busy,
+         SUM((a.n_i * a.s_i + b.n_i * b.s_i) * ABS(a.i - b.i) / ((a.n_i + b.n_i))) AS q_compl,
+         SUM((a.n_i + b.n_i) * POW(a.i - b.i, 2)) AS q_strength
+  FROM ngt_lvl a JOIN ngt_lvl b ON {on('a', 'b')}
+  GROUP BY a.conv_id, a.as_of
+),
+ngt_feat AS (
+  SELECT t2.conv_id, t2.as_of,
+         CASE WHEN t2.ns = 0 THEN 1000000.0 ELSE t2.n / t2.ns END AS coarseness,
+         CASE WHEN t2.n_g * (t2.n_g - 1) * t2.n = 0 THEN 0.0
+              ELSE (p.q_contrast / (t2.n * t2.n)) * t2.s2 / (t2.n_g * (t2.n_g - 1) * t2.n) END AS contrast,
+         CASE WHEN p.q_busy = 0 THEN 0.0 ELSE (t2.ns / t2.n) / (p.q_busy / t2.n) END AS busyness,
+         (p.q_compl / t2.n) AS complexity,
+         CASE WHEN t2.s2 = 0 THEN 0.0 ELSE (p.q_strength / t2.n) / t2.s2 END AS strength
+  FROM ngt_tots t2 JOIN ngt_prs p USING ({K})
+),"""
+
+    # ---- NGLDM (positional equal-neighbour dependence) --------------------
+    ngl = f"""
+ngl_deps0 AS (
+  SELECT {K}, elig, CAST(g AS DOUBLE) AS lvl,
+         CAST(CASE WHEN LAG(elig) OVER w AND LAG(g) OVER w = g THEN 1 ELSE 0 END
+            + CASE WHEN LEAD(elig) OVER w AND LEAD(g) OVER w = g THEN 1 ELSE 0 END AS DOUBLE) AS dep
+  FROM fr WINDOW w AS (PARTITION BY {K} ORDER BY rn)
+),
+ngl_deps AS MATERIALIZED (SELECT {K}, lvl, dep FROM ngl_deps0 WHERE elig),
+ngl_ns AS (SELECT {K}, CAST(COUNT(*) AS DOUBLE) AS n_s,
+              AVG(lvl) AS mu_i, AVG(dep) AS mu_j FROM ngl_deps GROUP BY {K}),
+ngl_simple AS (
+  SELECT {K},
+         AVG(1.0 / POW(dep + 1, 2)) AS lde,
+         AVG(POW(dep + 1, 2)) AS hde,
+         AVG(1.0 / (lvl * lvl)) AS lgce,
+         AVG(lvl * lvl) AS hgce,
+         AVG(1.0 / (lvl * lvl * POW(dep + 1, 2))) AS ldlge,
+         AVG(lvl * lvl / POW(dep + 1, 2)) AS ldhge,
+         AVG(POW(dep + 1, 2) / (lvl * lvl)) AS hdlge,
+         AVG(POW(dep + 1, 2) * lvl * lvl) AS hdhge,
+         AVG(POW(lvl - mu_i, 2)) AS gl_var,
+         AVG(POW(dep - mu_j, 2)) AS dc_var
+  FROM ngl_deps JOIN ngl_ns USING ({K}) GROUP BY {K}
+),
+ngl_glnu AS (
+  SELECT {K}, SUM(c * c) AS v FROM (
+    SELECT {K}, lvl, CAST(COUNT(*) AS DOUBLE) AS c FROM ngl_deps GROUP BY {K}, lvl
+  ) GROUP BY {K}
+),
+ngl_dcnu AS (
+  SELECT {K}, SUM(c * c) AS v FROM (
+    SELECT {K}, dep, CAST(COUNT(*) AS DOUBLE) AS c FROM ngl_deps GROUP BY {K}, dep
+  ) GROUP BY {K}
+),
+ngl_entr AS (
+  SELECT {K}, -SUM((c / n_s) * LOG2(c / n_s)) AS e,
+         SUM(c * c) / (MAX(n_s) * MAX(n_s)) AS energy
+  FROM (
+    SELECT {K}, lvl, dep, CAST(COUNT(*) AS DOUBLE) AS c FROM ngl_deps GROUP BY {K}, lvl, dep
+  ) JOIN ngl_ns USING ({K}) GROUP BY {K}
+),
+ngl_feat AS (
+  SELECT s.conv_id, s.as_of,
+         s.lde, s.hde, s.lgce, s.hgce, s.ldlge, s.ldhge, s.hdlge, s.hdhge,
+         g.v / n.n_s AS glnu_v, g.v / (n.n_s * n.n_s) AS glnu_n,
+         dc.v / n.n_s AS dcnu_v, dc.v / (n.n_s * n.n_s) AS dcnu_n,
+         n.n_s / m.vc AS perc, s.gl_var, s.dc_var, e.e AS entr_v, e.energy AS energy_v
+  FROM ngl_simple s
+  JOIN ngl_ns n USING ({K})
+  JOIN ngl_glnu g USING ({K})
+  JOIN ngl_dcnu dc USING ({K})
+  JOIN ngl_entr e USING ({K})
+  JOIN fmeta m USING ({K})
+)"""
+
+    # ---- final assembly ---------------------------------------------------
+    def G(expr, alias):
+        return r6(f"CASE WHEN m.n_eligible >= 3 THEN {expr} END", alias)
+
+    stats_map = [
+        ("stat_mean", "st.mean"), ("stat_var", "st.var"), ("stat_skew", "st.skew"),
+        ("stat_kurt", "st.kurt"), ("stat_median", "st.med"), ("stat_min", "st.mn"),
+        ("stat_p10", "st.p10"), ("stat_p90", "st.p90"), ("stat_max", "st.mx"),
+        ("stat_iqr", "st.iqr"), ("stat_range", "st.rng"), ("stat_mad", "st.mad"),
+        ("stat_rmad", "st.rmad"), ("stat_medad", "st.medad"), ("stat_cov", "st.cov"),
+        ("stat_qcod", "st.qcod"), ("stat_energy", "st.energy"), ("stat_rms", "st.rms"),
+    ]
+    # direct discretization: grey == signal, so the ih det-stat block equals
+    # the stat block value-for-value (kernels/firstorder.hist_features
+    # reuses _det_stats on the same sorted array)
+    hist_map = [
+        ("ih_mean", "st.mean"), ("ih_var", "st.var"), ("ih_skew", "st.skew"),
+        ("ih_kurt", "st.kurt"), ("ih_median", "st.med"), ("ih_min", "st.mn"),
+        ("ih_p10", "st.p10"), ("ih_p90", "st.p90"), ("ih_max", "st.mx"),
+        ("ih_mode", "hx.mode"), ("ih_iqr", "st.iqr"), ("ih_range", "st.rng"),
+        ("ih_mad", "st.mad"), ("ih_rmad", "st.rmad"), ("ih_medad", "st.medad"),
+        ("ih_cov", "st.cov"), ("ih_qcod", "st.qcod"), ("ih_entropy", "hx.entropy"),
+        ("ih_uniformity", "hx.uniformity"), ("ih_max_grad", "hx.max_grad"),
+        ("ih_max_grad_g", "hx.max_grad_g"), ("ih_min_grad", "hx.min_grad"),
+        ("ih_min_grad_g", "hx.min_grad_g"),
+    ]
+    ivh_map = [
+        ("ivh_v10", "iv.v10"), ("ivh_v90", "iv.v90"), ("ivh_i10", "iv.i10"),
+        ("ivh_i90", "iv.i90"), ("ivh_diff_v10_v90", "iv.v10 - iv.v90"),
+        ("ivh_diff_i10_i90", "iv.i10 - iv.i90"),
+    ]
+    loc_map = [("loc_peak_loc", "lc.peak_loc"), ("loc_peak_glob", "lc.peak_glob")]
+    shape_map = [
+        ("shape_n_turns", "CAST(m.n_turns AS DOUBLE)"),
+        ("shape_n_eligible", "CAST(m.n_eligible AS DOUBLE)"),
+        ("shape_duration_sec", "sb.dur"),
+        ("shape_turn_rate", "CASE WHEN sb.dur > 0 THEN CAST(m.n_turns AS DOUBLE) / sb.dur END"),
+        ("shape_gap_mean", "sg2.gap_mean"),
+        ("shape_gap_std", "sg2.gap_std"),
+        ("shape_gap_max", "sg2.gap_max"),
+        ("shape_n_sessions", "CAST(sg2.n_sessions AS DOUBLE)"),
+        ("shape_session_len_mean", "CAST(m.n_turns AS DOUBLE) / sg2.n_sessions"),
+        ("shape_role_entropy", "sr.role_entropy"),
+        ("shape_tool_frac", "sb.tool_frac"),
+        ("shape_intensity_com_shift", "ABS(sc.com_geom - sc.com_int)"),
+    ]
+    cm_map = [(f"{n}_3D_comb", f"cf.{n}") for n, _ in _GLCM_FEATS]
+    rlm_names = ["rlm_sre", "rlm_lre", "rlm_lgre", "rlm_hgre", "rlm_srlge",
+                 "rlm_srhge", "rlm_lrlge", "rlm_lrhge", "rlm_glnu", "rlm_glnu_norm",
+                 "rlm_rlnu", "rlm_rlnu_norm", "rlm_r_perc", "rlm_gl_var",
+                 "rlm_rl_var", "rlm_rl_entr"]
+    szm_names = ["szm_sze", "szm_lze", "szm_lgze", "szm_hgze", "szm_szlge",
+                 "szm_szhge", "szm_lzlge", "szm_lzhge", "szm_glnu", "szm_glnu_norm",
+                 "szm_zsnu", "szm_zsnu_norm", "szm_z_perc", "szm_gl_var",
+                 "szm_zs_var", "szm_zs_entr"]
+    dzm_names = ["dzm_sde", "dzm_lde", "dzm_lgze", "dzm_hgze", "dzm_sdlge",
+                 "dzm_sdhge", "dzm_ldlge", "dzm_ldhge", "dzm_glnu", "dzm_glnu_norm",
+                 "dzm_zdnu", "dzm_zdnu_norm", "dzm_z_perc", "dzm_gl_var",
+                 "dzm_zd_var", "dzm_zd_entr"]
+    rlm_map = [(f"{n}_3D_comb", f"rf.{raw}") for n, raw in zip(rlm_names, _RUNS16_RAW)]
+    szm_map = [(f"{n}_3D", f"rf.{raw}") for n, raw in zip(szm_names, _RUNS16_RAW)]
+    dzm_map = [(f"{n}_3D", f"df.{raw}") for n, raw in zip(dzm_names, _RUNS16_RAW)]
+    ngt_map = [(f"{n}_3D", f"nt.{raw}") for n, raw in zip(
+        ["ngt_coarseness", "ngt_contrast", "ngt_busyness", "ngt_complexity", "ngt_strength"],
+        ["coarseness", "contrast", "busyness", "complexity", "strength"])]
+    ngl_names = ["ngl_lde", "ngl_hde", "ngl_lgce", "ngl_hgce", "ngl_ldlge",
+                 "ngl_ldhge", "ngl_hdlge", "ngl_hdhge", "ngl_glnu", "ngl_glnu_norm",
+                 "ngl_dcnu", "ngl_dcnu_norm", "ngl_dc_perc", "ngl_gl_var",
+                 "ngl_dc_var", "ngl_dc_entr", "ngl_dc_energy"]
+    ngl_raw = ["lde", "hde", "lgce", "hgce", "ldlge", "ldhge", "hdlge", "hdhge",
+               "glnu_v", "glnu_n", "dcnu_v", "dcnu_n", "perc", "gl_var", "dc_var",
+               "entr_v", "energy_v"]
+    ngl_map = [(f"{n}_3D", f"nl.{raw}") for n, raw in zip(ngl_names, ngl_raw)]
+
+    all_feats = (stats_map + hist_map + ivh_map + loc_map + shape_map
+                 + cm_map + rlm_map + szm_map + dzm_map + ngt_map + ngl_map)
+    sel = ",\n       ".join(G(expr, alias) for alias, expr in all_feats)
+
+    return f"""{src}
+{hist}
+{ivh}
+{loc}
+{shp}
+{glcm}
+{runs}
+{ngt}
+{ngl}
+SELECT s0.conv_id,
+       CAST(epoch_us(s0.as_of) AS BIGINT) AS as_of_us,
+       COALESCE(m.n_turns, 0) AS n_turns,
+       COALESCE(m.n_eligible, 0) AS n_eligible,
+       CASE WHEN m.n_eligible >= 3 THEN m.nb ELSE 0 END AS n_bins,
+       {sel}
+FROM scaffold s0
+LEFT JOIN fmeta m USING (conv_id, as_of)
+LEFT JOIN fx_stats st USING (conv_id, as_of)
+LEFT JOIN hx2 hx USING (conv_id, as_of)
+LEFT JOIN ivh_feat iv USING (conv_id, as_of)
+LEFT JOIN loc_feat lc USING (conv_id, as_of)
+LEFT JOIN shp_base sb USING (conv_id, as_of)
+LEFT JOIN shp_gs sg2 USING (conv_id, as_of)
+LEFT JOIN shp_re sr USING (conv_id, as_of)
+LEFT JOIN shp_com sc USING (conv_id, as_of)
+LEFT JOIN cm_feat cf USING (conv_id, as_of)
+LEFT JOIN rl_feat rf USING (conv_id, as_of)
+LEFT JOIN dz_feat df USING (conv_id, as_of)
+LEFT JOIN ngt_feat nt USING (conv_id, as_of)
+LEFT JOIN ngl_feat nl USING (conv_id, as_of)
+"""
+
+
+ORACLES["q_extract_full"] = flagship_full_sql()

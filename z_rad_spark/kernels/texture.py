@@ -180,36 +180,51 @@ def glcm_count_matrix(g: np.ndarray, lag: int, lvl: int, session: np.ndarray | N
     return m
 
 
-def glcm_feature_values(P: np.ndarray) -> dict:
-    """All 25 GLCM scalar reductions from a normalized probability matrix.
+def glcm_feature_values(M: np.ndarray) -> dict:
+    """All 25 GLCM scalar reductions from a COUNT matrix (caller guarantees
+    M.sum() > 0; normalization happens inside).
 
     Vectorized equivalents of zrad/radiomics/glcm.py:211-420 — including the
     O(lvl^2) info-corr loops (glcm.py:252-281). Joint-matrix sums iterate
-    NONZERO cells only (P is sparse: <= one cell per observed pair value);
-    zero cells contribute 0 to every P-weighted sum.
+    NONZERO cells only (M is sparse: <= one cell per observed pair value);
+    zero cells contribute 0 to every weighted sum.
+
+    Determinism contract (same as kernels/firstorder._det_stats): every
+    reduction whose numerator is an INTEGER-weighted sum (max, averages,
+    energy, contrast, dissimilarity, auto-correlation, the marginal mean)
+    is computed as exact-integer-sum / total — one division at the end —
+    so NumPy's pairwise summation and SQL's sequential SUM produce the
+    bit-identical double. Summing pre-divided p-terms instead puts dyadic
+    true values (e.g. sum p^2 = 0.0340625) exactly on the driver's 6dp
+    rounding boundary, where a 1-ulp order difference flips the hash.
     """
-    lvl = P.shape[0]
-    ii, jj = np.nonzero(P)
-    ps = P[ii, jj]
+    s = float(M.sum())
+    lvl = M.shape[0]
+    ii, jj = np.nonzero(M)
+    cs = M[ii, jj]
+    ps = cs / s
     di = np.abs(ii - jj)
-    p_minus = np.bincount(di, weights=ps, minlength=lvl)
-    p_plus = np.bincount(ii + jj, weights=ps, minlength=2 * lvl - 1)
+    cm_minus = np.bincount(di, weights=cs, minlength=lvl)
+    cm_plus = np.bincount(ii + jj, weights=cs, minlength=2 * lvl - 1)
+    p_minus = cm_minus / s
+    p_plus = cm_plus / s
     km = np.arange(p_minus.size)
     kp = np.arange(p_plus.size)
 
-    joint_avg = float((ps * ii).sum())
-    diff_avg = float((p_minus * km).sum())
-    sum_avg = float((p_plus * kp).sum())
+    joint_avg = float((cs * ii).sum()) / s
+    diff_avg = float((cm_minus * km).sum()) / s
+    sum_avg = float((cm_plus * kp).sum()) / s
 
     joint_entr = float(-(ps * np.log2(ps)).sum())
     nzm = p_minus > 0
     nzp = p_plus > 0
 
-    p_i = np.bincount(jj, weights=ps, minlength=lvl)
+    c_i = np.bincount(jj, weights=cs, minlength=lvl)
+    p_i = c_i / s
     idx = np.arange(lvl)
-    mu_i = float((p_i * idx).sum())
+    mu_i = float((c_i * idx).sum()) / s
     sigma_i2 = float(((idx - mu_i) ** 2 * p_i).sum())
-    auto_corr = float((ps * ii * jj).sum())
+    auto_corr = float((cs * ii * jj).sum()) / s
     corr = np.nan if sigma_i2 == 0 else (auto_corr - mu_i**2) / sigma_i2
 
     n_g = lvl - 1
@@ -231,7 +246,7 @@ def glcm_feature_values(P: np.ndarray) -> dict:
 
     cdev = ii + jj - 2 * mu_i
     return {
-        "cm_joint_max": float(ps.max()),
+        "cm_joint_max": float(cs.max()) / s,
         "cm_joint_avg": joint_avg,
         "cm_joint_var": float((ps * (ii - joint_avg) ** 2).sum()),
         "cm_joint_entr": joint_entr,
@@ -241,9 +256,9 @@ def glcm_feature_values(P: np.ndarray) -> dict:
         "cm_sum_avg": sum_avg,
         "cm_sum_var": float((p_plus * (kp - sum_avg) ** 2).sum()),
         "cm_sum_entr": float(-(p_plus[nzp] * np.log2(p_plus[nzp])).sum()),
-        "cm_energy": float((ps * ps).sum()),
-        "cm_contrast": float((ps * (ii - jj) ** 2).sum()),
-        "cm_dissimilarity": float((ps * di).sum()),
+        "cm_energy": float((cs * cs).sum()) / (s * s),
+        "cm_contrast": float((cs * (ii - jj) ** 2).sum()) / s,
+        "cm_dissimilarity": float((cs * di).sum()) / s,
         "cm_inv_diff": float((ps / (1 + di)).sum()),
         "cm_inv_diff_norm": inv_diff_norm,
         "cm_inv_diff_mom": float((p_minus / (1 + km**2)).sum()),
@@ -307,10 +322,9 @@ def glcm_features(g, session, sess_counts, lags, slice_weight, slice_median, agg
                 ai = np.concatenate(ai_all)
                 bi = np.concatenate(bi_all)
                 np.add.at(m, (np.concatenate((ai, bi)), np.concatenate((bi, ai))), 1.0)
-            P = _normalize(m)
-            return glcm_feature_values(P) if P is not None else {n: np.nan for n in GLCM_NAMES}
+            return glcm_feature_values(m) if m.sum() > 0 else {n: np.nan for n in GLCM_NAMES}
         mats = [glcm_count_matrix(g, lag, lvl) for lag in lags]
-        dicts = [glcm_feature_values(P) for P in map(_normalize, mats) if P is not None]
+        dicts = [glcm_feature_values(m) for m in mats if m.sum() > 0]
         return _agg_dicts(dicts, GLCM_NAMES)
 
     # per-session matrices: sessions with no finite grey are skipped, like
@@ -325,14 +339,14 @@ def glcm_features(g, session, sess_counts, lags, slice_weight, slice_median, agg
 
     if aggr_dim == "2.5D":
         if aggr_method == "MERG":
-            P = _normalize(np.sum([m for row in per_sess for m in row], axis=0))
-            return glcm_feature_values(P) if P is not None else {n: np.nan for n in GLCM_NAMES}
+            msum = np.sum([m for row in per_sess for m in row], axis=0)
+            return glcm_feature_values(msum) if msum.sum() > 0 else {n: np.nan for n in GLCM_NAMES}
         # DIR_MERG: sum over sessions per lag, features per lag, plain mean
         dicts = []
         for li in range(len(lags)):
-            P = _normalize(np.sum([row[li] for row in per_sess], axis=0))
-            if P is not None:
-                dicts.append(glcm_feature_values(P))
+            msum = np.sum([row[li] for row in per_sess], axis=0)
+            if msum.sum() > 0:
+                dicts.append(glcm_feature_values(msum))
         return _agg_dicts(dicts, GLCM_NAMES)
 
     # 2D
@@ -341,16 +355,15 @@ def glcm_features(g, session, sess_counts, lags, slice_weight, slice_median, agg
     dicts, weights = [], []
     if aggr_method == "SLICE_MERG":
         for row, w in zip(per_sess, weights_per_sess):
-            P = _normalize(np.sum(row, axis=0))
-            if P is not None:
-                dicts.append(glcm_feature_values(P))
+            msum = np.sum(row, axis=0)
+            if msum.sum() > 0:
+                dicts.append(glcm_feature_values(msum))
                 weights.append(w)
     else:  # AVER
         for row, w in zip(per_sess, weights_per_sess):
             for m in row:
-                P = _normalize(m)
-                if P is not None:
-                    dicts.append(glcm_feature_values(P))
+                if m.sum() > 0:
+                    dicts.append(glcm_feature_values(m))
                     weights.append(w)
     return _agg_dicts(dicts, GLCM_NAMES, None if slice_median else weights, median=slice_median)
 

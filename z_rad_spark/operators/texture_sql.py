@@ -153,7 +153,7 @@ def _cells_to_features(cells: DataFrame, vox: DataFrame, kind: str) -> DataFrame
             lvl = int(pdf["gmax"].iloc[0]) + 1
             m = np.zeros((lvl, lvl))
             m[pdf["i"].to_numpy(), pdf["j"].to_numpy()] = pdf["c"].to_numpy()
-            return glcm_feature_values(m / m.sum())
+            return glcm_feature_values(m)
         if kind in ("glrlm", "gldzm"):
             lvl = int(pdf["gmax"].iloc[0]) + 1
             width = int(pdf["len"].max())
