@@ -1030,15 +1030,21 @@ def q_extract_full(spark, sf_dir):
         c for c in out.columns
         if c not in ("conv_id", "as_of", "n_turns", "n_eligible", "n_bins")
     ]
-    out = out.select(
+    def r6c(c):
+        col = F.col(c).cast("double")
+        col = F.when(F.isnan(col), F.lit(None).cast("double")).otherwise(col)
+        return (F.round(col, 6) + F.lit(0.0)).alias(c)
+
+    # one select, not 156 chained withColumns (each withColumn re-analyzes
+    # the whole plan — quadratic planning cost on a 161-col frame)
+    return out.select(
         "conv_id",
         _us("as_of", "as_of_us"),
         F.col("n_turns").cast("long").alias("n_turns"),
         F.col("n_eligible").cast("long").alias("n_eligible"),
         F.col("n_bins").cast("long").alias("n_bins"),
-        *feat_cols,
+        *[r6c(c) for c in feat_cols],
     )
-    return _r6(out, feat_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -1896,72 +1902,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness gate checks
-    the FIRST 50 entries (CORRECTNESS_r01 stopped at position 50), so
-    queries without a green driver row come first — (1) the 26 entries
-    unchecked in round 1, (2) the two round-1 hash-fails (fixed via the
-    deterministic value algebra), (3) queries new this round, (4) queries
-    whose values or plans changed this round and need re-verification.
-    Long-green unchanged queries sit past the window."""
+    the FIRST 50 entries, so the round-3 window closes the whole gate
+    debt — (1) the 14 queries registered past the round-2 window and
+    never driver-gated, (2) the 9 queries whose code changed in round 2
+    while holding stale round-1 green rows, (3) everything changed or new
+    THIS round (flagship value oracle, exact-form GLCM reductions, media
+    scalar rows, literal-codebook assignment, LSH bucket-size gate,
+    salted overlap guard, compacted FBN grid), and (4) the oldest
+    stale-green flagship-set queries re-greened with the leftover slots.
+    Long-green unchanged queries sit past the window. After this round
+    every registry entry holds a round-1..3 green row."""
     return {
-        # --- (1) unchecked in round 1 ---------------------------------
-        "q_extract_full": q_extract_full,
-        "q_flagship_slice": q_flagship_slice,
-        "q_extract_filtered": q_extract_filtered,
-        "q_filter_mean": q_filter_mean,
-        "q_filter_log": q_filter_log,
-        "q_filter_laws": q_filter_laws,
-        "q_filter_gabor": q_filter_gabor,
-        "q_filter_wavelet": q_filter_wavelet,
-        "q_local_peaks": q_local_peaks,
-        "q_ngldm_25d": q_ngldm_25d,
-        "q_ngtdm_25d": q_ngtdm_25d,
-        "q_dedup_exact": q_dedup_exact,
-        "q_minhash_pairs": q_minhash_pairs,
-        "q_dup_clusters": q_dup_clusters,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_simhash": q_simhash,
-        "q_text_quality": q_text_quality,
-        "q_hash_sample": q_hash_sample,
-        "q_corpus_clean": q_corpus_clean,
-        "q_lang_id": q_lang_id,
-        "q_token_stats": q_token_stats,
-        "q_fingerprint": q_fingerprint,
-        "q_cosine_topk": q_cosine_topk,
-        "q_lsh_topk": q_lsh_topk,
-        "q_ivf_topk": q_ivf_topk,
-        "q_media_features": q_media_features,
-        # --- (2) round-1 hash-fails, fixed ----------------------------
-        "q_stats_daily": q_stats_daily,
-        "q_fbs_hist": q_fbs_hist,
-        # --- (3) new this round ---------------------------------------
-        "q_gldzm_salted": q_gldzm_salted,
-        "q_semi_eligible": q_semi_eligible,
-        "q_anti_eligible": q_anti_eligible,
-        "q_ivh_fbn": q_ivh_fbn,
-        "q_filter_wavelet_db4": q_filter_wavelet_db4,
-        "q_embed_dups": q_embed_dups,
-        "q_glszm_25d": q_glszm_25d,
-        "q_gldzm_25d": q_gldzm_25d,
-        "q_ngldm_2d_avg": q_ngldm_2d_avg,
-        "q_ngtdm_2d_avg": q_ngtdm_2d_avg,
-        "q_pii_redact": q_pii_redact,
-        # --- (4) plan changed this round: bucketed NGTDM reducer ------
-        "q_ngtdm_dist": q_ngtdm_dist,
-        # --- (5) new curation / clustering / streaming block ----------
-        "q_quality_rules": q_quality_rules,
-        "q_decontaminate": q_decontaminate,
-        "q_repetition": q_repetition,
-        "q_rare_tokens": q_rare_tokens,
-        "q_source_reputation": q_source_reputation,
-        "q_kmeans_assign": q_kmeans_assign,
-        "q_stream_window_stats": q_stream_window_stats,
-        # --- (6) registered last round past the gate window -----------
-        "q_tfidf": q_tfidf,
-        "q_stratified_sample": q_stratified_sample,
-        "q_top_tokens": q_top_tokens,
-        # ===== gate window ends here (first 50 entries) ================
-        # new this round but past the window — rotate into the gate next
-        # round (driver checks the first 50 registry entries only):
+        # --- (1) never driver-gated (queued from round 2) ---
         "q_interval_join": q_interval_join,
         "q_shard_pack": q_shard_pack,
         "q_hash_split": q_hash_split,
@@ -1976,12 +1928,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_window": q_session_window,
         "q_asof_tolerance": q_asof_tolerance,
         "q_stream_dedup": q_stream_dedup,
-        # values/plans changed this round, r1-green, siblings in-window
-        # exercise the same changed code (skew fix -> salted family;
-        # value algebra -> stats/hist/reseg; bucketed reducers -> dist):
+        # --- (2) stale round-1 greens whose code changed in round 2 ---
         "q_stats_asof": q_stats_asof,
         "q_hist_asof": q_hist_asof,
-        "q_hist_daily": q_hist_daily,
         "q_reseg_stats": q_reseg_stats,
         "q_glcm_salted": q_glcm_salted,
         "q_glrlm_salted": q_glrlm_salted,
@@ -1989,43 +1938,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngtdm_salted": q_ngtdm_salted,
         "q_glrlm_dist": q_glrlm_dist,
         "q_gldzm_dist": q_gldzm_dist,
-        "q_transcripts": q_transcripts,
-        # --- long-green, unchanged (past the 50-query window) ---------
+        # --- (3) changed or new this round ---
+        "q_extract_full": q_extract_full,
+        "q_flagship_slice": q_flagship_slice,
+        "q_media_features": q_media_features,
+        "q_hist_daily": q_hist_daily,
         "q_glcm": q_glcm,
-        "q_glrlm": q_glrlm,
-        "q_ngldm": q_ngldm,
-        "q_ngtdm": q_ngtdm,
-        "q_gldzm": q_gldzm,
-        "q_glszm": q_glszm,
-        "q_shape_full": q_shape_full,
-        "q_sessionize": q_sessionize,
-        "q_lag_lead": q_lag_lead,
-        "q_rolling_1h": q_rolling_1h,
-        "q_decay_sum": q_decay_sum,
-        "q_vocab": q_vocab,
-        "q_asof_state": q_asof_state,
-        "q_asof_enrich": q_asof_enrich,
-        "q_backfill_nn": q_backfill_nn,
-        "q_backfill_linear": q_backfill_linear,
-        "q_backfill_mask": q_backfill_mask,
-        "q_decay_norm": q_decay_norm,
-        "q_tool_names": q_tool_names,
-        "q_mask_union": q_mask_union,
-        "q_dedup_turns": q_dedup_turns,
-        "q_rollup": q_rollup,
-        "q_json_props": q_json_props,
-        "q_shape": q_shape,
         "q_glcm_2d_avg": q_glcm_2d_avg,
         "q_glcm_2d_wavg": q_glcm_2d_wavg,
         "q_glcm_25d_merg": q_glcm_25d_merg,
         "q_glcm_3d_aver": q_glcm_3d_aver,
         "q_glcm_2d_slice_merg": q_glcm_2d_slice_merg,
         "q_glcm_25d_dirmerg": q_glcm_25d_dirmerg,
+        "q_gldzm_salted": q_gldzm_salted,
+        "q_kmeans_assign": q_kmeans_assign,
+        "q_ivf_topk": q_ivf_topk,
+        "q_minhash_pairs": q_minhash_pairs,
+        "q_dup_clusters": q_dup_clusters,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        # --- (4) oldest stale-green re-greens (flagship set) ---
+        "q_asof_state": q_asof_state,
+        "q_asof_enrich": q_asof_enrich,
+        "q_sessionize": q_sessionize,
+        "q_transcripts": q_transcripts,
+        "q_dedup_turns": q_dedup_turns,
+        "q_shape": q_shape,
+        "q_shape_full": q_shape_full,
+        "q_glrlm": q_glrlm,
+        "q_ivh": q_ivh,
+        "q_moran": q_moran,
+        # ===== gate window ends here (first 50 entries) ================
+        # green in round 1 or 2, unchanged since
+        "q_extract_filtered": q_extract_filtered,
+        "q_filter_mean": q_filter_mean,
+        "q_filter_log": q_filter_log,
+        "q_filter_laws": q_filter_laws,
+        "q_filter_gabor": q_filter_gabor,
+        "q_filter_wavelet": q_filter_wavelet,
+        "q_local_peaks": q_local_peaks,
+        "q_ngldm_25d": q_ngldm_25d,
+        "q_ngtdm_25d": q_ngtdm_25d,
+        "q_dedup_exact": q_dedup_exact,
+        "q_simhash": q_simhash,
+        "q_text_quality": q_text_quality,
+        "q_hash_sample": q_hash_sample,
+        "q_corpus_clean": q_corpus_clean,
+        "q_lang_id": q_lang_id,
+        "q_token_stats": q_token_stats,
+        "q_fingerprint": q_fingerprint,
+        "q_cosine_topk": q_cosine_topk,
+        "q_lsh_topk": q_lsh_topk,
+        "q_stats_daily": q_stats_daily,
+        "q_fbs_hist": q_fbs_hist,
+        "q_semi_eligible": q_semi_eligible,
+        "q_anti_eligible": q_anti_eligible,
+        "q_ivh_fbn": q_ivh_fbn,
+        "q_filter_wavelet_db4": q_filter_wavelet_db4,
+        "q_embed_dups": q_embed_dups,
+        "q_glszm_25d": q_glszm_25d,
+        "q_gldzm_25d": q_gldzm_25d,
+        "q_ngldm_2d_avg": q_ngldm_2d_avg,
+        "q_ngtdm_2d_avg": q_ngtdm_2d_avg,
+        "q_pii_redact": q_pii_redact,
+        "q_ngtdm_dist": q_ngtdm_dist,
+        "q_quality_rules": q_quality_rules,
+        "q_decontaminate": q_decontaminate,
+        "q_repetition": q_repetition,
+        "q_rare_tokens": q_rare_tokens,
+        "q_source_reputation": q_source_reputation,
+        "q_stream_window_stats": q_stream_window_stats,
+        "q_tfidf": q_tfidf,
+        "q_stratified_sample": q_stratified_sample,
+        "q_top_tokens": q_top_tokens,
+        "q_ngldm": q_ngldm,
+        "q_ngtdm": q_ngtdm,
+        "q_gldzm": q_gldzm,
+        "q_glszm": q_glszm,
+        "q_lag_lead": q_lag_lead,
+        "q_rolling_1h": q_rolling_1h,
+        "q_decay_sum": q_decay_sum,
+        "q_vocab": q_vocab,
+        "q_backfill_nn": q_backfill_nn,
+        "q_backfill_linear": q_backfill_linear,
+        "q_backfill_mask": q_backfill_mask,
+        "q_decay_norm": q_decay_norm,
+        "q_tool_names": q_tool_names,
+        "q_mask_union": q_mask_union,
+        "q_rollup": q_rollup,
+        "q_json_props": q_json_props,
         "q_glrlm_25d": q_glrlm_25d,
         "q_glrlm_2d_avg": q_glrlm_2d_avg,
         "q_ivh_fbs": q_ivh_fbs,
-        "q_moran": q_moran,
-        "q_ivh": q_ivh,
         "q_glcm_dist": q_glcm_dist,
         "q_ngldm_dist": q_ngldm_dist,
     }
