@@ -197,9 +197,10 @@ def _cpu_probe() -> float:
     return round(time.time() - t0, 3)
 
 
-# fast-window reference for the probe on this host (measured 2026-08-17,
+# fast-window reference for the probe on this host (measured 2026-08-17 on an
+# idle box right after a green full-mirror run,
 # BASELINE.md §host-bimodality); slow mode reads ~2x this
-CPU_PROBE_FAST_SEC = 0.11
+CPU_PROBE_FAST_SEC = 0.23
 
 
 def main():

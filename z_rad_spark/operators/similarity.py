@@ -92,17 +92,25 @@ def _lit_vec(vec: list[float]):
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
-def _cent_scores(vec_col_expr, cents: list[tuple]):
-    """array<struct<cs:double, cent_id>> — cosine of the row's vector to
-    every codebook centroid, as ONE narrow expression over plan literals
-    (the with_lsh_bucket pattern). Zero shuffle, zero join."""
-    return F.array(
+def _with_cent_scores(df: DataFrame, vec_col: str, cents: list[tuple], out: str = "_sc") -> DataFrame:
+    """Attach ``out`` = array<struct<cs:double, cent_id>>: cosine of the
+    row's vector to every codebook centroid, as ONE narrow expression over
+    plan literals (the with_lsh_bucket pattern). Zero shuffle, zero join.
+
+    Evaluation-cost contract: higher-order array expressions are
+    CodegenFallback (interpreted, no common-subexpression elimination), so
+    (a) the row norm is materialized ONCE in its own projection instead of
+    k times inside the array, (b) the centroid norms are constant-folded
+    literals, and (c) the score array itself is materialized as a column
+    so downstream argmax/sort references do not re-evaluate the k dot
+    products. CollapseProject keeps these projections separate because
+    the aliased expressions are non-cheap and multiply referenced.
+    """
+    df = df.withColumn("_nv", _norm(F.col(vec_col)))
+    scores = F.array(
         *[
             F.struct(
-                (
-                    _dot(vec_col_expr, _lit_vec(cv))
-                    / (_norm(vec_col_expr) * _norm(_lit_vec(cv)))
-                )
+                (_dot(F.col(vec_col), _lit_vec(cv)) / (F.col("_nv") * _norm(_lit_vec(cv))))
                 .cast("double")
                 .alias("cs"),
                 F.lit(cid).alias("cent_id"),
@@ -110,11 +118,14 @@ def _cent_scores(vec_col_expr, cents: list[tuple]):
             for cid, cv in cents
         ]
     )
+    return df.withColumn(out, scores).drop("_nv")
 
 
 def _argmax_score(scores):
     """Best struct by (cs desc, cent_id asc) via a linear aggregate fold —
-    no expression-tree blowup, no window, works for any orderable id."""
+    no expression-tree blowup, no window, works for any orderable id.
+    ``scores`` should be a cheap column reference (see _with_cent_scores):
+    it is evaluated twice (fold init + fold input)."""
     return F.aggregate(
         scores,
         F.get(scores, 0),
@@ -209,20 +220,26 @@ def ivf_topk(
     # one collect of the k-row codebook (the distributed top-K / training
     # job runs exactly once, and nothing is left persisted behind)
     cents = _codebook_rows(centroids)
-    assigned = vectors.select(
-        id_col,
-        vec_col,
-        _argmax_score(_cent_scores(F.col(vec_col), cents))["cent_id"].alias("cent_id"),
+    assigned = (
+        _with_cent_scores(vectors, vec_col, cents)
+        .select(
+            id_col,
+            vec_col,
+            _argmax_score(F.col("_sc"))["cent_id"].alias("cent_id"),
+        )
     )
-    probes = queries.select(
-        query_id,
-        query_vec,
-        F.explode(
-            F.transform(
-                F.slice(_desc_sort(_cent_scores(F.col(query_vec), cents)), 1, n_probe),
-                lambda s: s["cent_id"],
-            )
-        ).alias("cent_id"),
+    probes = (
+        _with_cent_scores(queries, query_vec, cents)
+        .select(
+            query_id,
+            query_vec,
+            F.explode(
+                F.transform(
+                    F.slice(_desc_sort(F.col("_sc")), 1, n_probe),
+                    lambda s: s["cent_id"],
+                )
+            ).alias("cent_id"),
+        )
     )
     joined = assigned.join(F.broadcast(probes), "cent_id")
     sim = _dot(F.col(vec_col), F.col(query_vec)) / (
@@ -363,8 +380,8 @@ def kmeans_assign(
     if centroids is None:
         centroids = _seed_centroids(vectors, k, id_col, vec_col).drop("_h")
     cents = _codebook_rows(centroids)
-    best = _argmax_score(_cent_scores(F.col(vec_col), cents))
-    return vectors.select(
+    best = _argmax_score(F.col("_sc"))
+    return _with_cent_scores(vectors, vec_col, cents).select(
         id_col,
         best["cent_id"].alias("cluster_id"),
         F.round(best["cs"], 6).alias("cosine"),
