@@ -16,6 +16,8 @@ Exchange on a low-cardinality bucket key followed by a local top-k.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -89,7 +91,22 @@ def _codebook_rows(centroids) -> list[tuple]:
 
 
 def _lit_vec(vec: list[float]):
-    return F.array(*[F.lit(float(x)) for x in vec])
+    # ONE ArrayType literal node, not dim x (Literal + CreateArray) nodes:
+    # Catalyst analysis cost on the codebook expressions is linear in tree
+    # size, and per-element literals made plan BUILD (not execution) the
+    # dominant cost of ivf/kmeans queries
+    return F.lit([float(x) for x in vec])
+
+
+def _seq_norm(vec: list[float]) -> float:
+    """Euclidean norm with a strict sequential left-to-right square-sum —
+    bit-identical to the Catalyst aggregate fold it replaces (and to the
+    DuckDB oracle's list_aggregate), unlike np.linalg.norm's pairwise
+    summation which can differ in the last ulp."""
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
 
 
 def _with_cent_scores(df: DataFrame, vec_col: str, cents: list[tuple], out: str = "_sc") -> DataFrame:
@@ -106,19 +123,37 @@ def _with_cent_scores(df: DataFrame, vec_col: str, cents: list[tuple], out: str 
     products. CollapseProject keeps these projections separate because
     the aliased expressions are non-cheap and multiply referenced.
     """
-    df = df.withColumn("_nv", _norm(F.col(vec_col)))
-    scores = F.array(
-        *[
-            F.struct(
-                (_dot(F.col(vec_col), _lit_vec(cv)) / (F.col("_nv") * _norm(_lit_vec(cv))))
-                .cast("double")
-                .alias("cs"),
-                F.lit(cid).alias("cent_id"),
-            )
-            for cid, cv in cents
-        ]
+    # The whole score array is built as ONE SQL string parsed by Spark in a
+    # single call: constructing 16 x (zip_with + aggregate + lambdas) via
+    # the Column API costs a py4j round-trip per node (~2.5s of driver time
+    # per query build); the parsed tree is identical.
+    def _d(x: float) -> str:
+        return f"CAST('{repr(float(x))}' AS DOUBLE)"
+
+    def _arr(vec: list[float]) -> str:
+        return "array(" + ", ".join(_d(x) for x in vec) + ")"
+
+    def _cid(cid) -> str:
+        if isinstance(cid, str):
+            return "'" + cid.replace("'", "''") + "'"
+        return f"CAST({int(cid)} AS BIGINT)"
+
+    entries = []
+    for cid, cv in cents:
+        dot = (
+            f"aggregate(zip_with({vec_col}, {_arr(cv)}, (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        entries.append(
+            f"named_struct('cs', CAST({dot} / (_nv * {_d(_seq_norm(cv))}) AS DOUBLE), "
+            f"'cent_id', {_cid(cid)})"
+        )
+    nv = (
+        f"sqrt(aggregate(transform({vec_col}, x -> x * x), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
     )
-    return df.withColumn(out, scores).drop("_nv")
+    df = df.withColumn("_nv", F.expr(nv))
+    return df.withColumn(out, F.expr("array(" + ", ".join(entries) + ")")).drop("_nv")
 
 
 def _argmax_score(scores):
@@ -164,8 +199,7 @@ def with_lsh_bucket(
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
+        bit = (_dot(F.col(vec_col), _lit_vec(p)) > 0).cast("long")
         bucket = bucket + bit * (2**i)
     return df.withColumn(out, bucket)
 
