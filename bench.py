@@ -182,7 +182,7 @@ spark.stop()
 
 
 def _cpu_probe() -> float:
-    """Fixed single-threaded matmul probe (seconds) — calibrates which
+    """Fixed single-threaded np.sort probe (seconds) — calibrates which
     hypervisor window this run landed in. BASELINE.md records the fast-
     window value; ~2x that means the 2x-bimodal slow mode and round-over-
     round comparisons of absolute seconds are noise, not regressions."""

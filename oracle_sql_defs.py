@@ -783,7 +783,12 @@ runs AS (
 
 
 def _runs16_sql(names: list[str], width_expr: str | None = None) -> str:
-    """Shared 16-formula reducer SQL (texture_base.py:40-214 analogue) over
+    """MIRROR CONTRACT: the 16 formula expressions here, in
+    _runs16_session_sql, and in _flagship_runs16 must stay identical —
+    a change to any one (e.g. an exact-form rewrite) must be replicated
+    in all three or the corresponding gates drift apart silently.
+
+    Shared 16-formula reducer SQL (texture_base.py:40-214 analogue) over
     the run decomposition. ``names`` gives the 16 output aliases in
     TEXTURE_ATTRS order. ``width_expr`` replaces the run length as the
     matrix column key (GLDZM passes the min border distance); the
@@ -855,7 +860,10 @@ JOIN entr e ON s.conv_id = e.conv_id
 
 
 def _runs16_session_sql(names: list[str], merge: bool, dzm_dist: bool = False) -> str:
-    """Run-family SQL with session-bounded runs (runs break at gap
+    """MIRROR CONTRACT: keep the 16 formulas in lockstep with
+    _runs16_sql and _flagship_runs16 (see _runs16_sql docstring).
+
+    Run-family SQL with session-bounded runs (runs break at gap
     boundaries like slices): merge=True pools run counts across sessions
     before the formulas (2.5D MERG); merge=False computes the 16 formulas
     per session (voxel count = session size) then means them per
@@ -2825,7 +2833,10 @@ ORACLES["q_hist_daily"] = ORACLES["q_hist_asof"].replace(GRID, _GRID_DAILY)
 
 
 def _flagship_runs16(runsrc: str, jl: str, pfx: str) -> str:
-    """16-formula reducer over ``runsrc``(conv_id, as_of, lvl, {jl}) keyed
+    """MIRROR CONTRACT: keep the 16 formulas in lockstep with
+    _runs16_sql and _runs16_session_sql (see _runs16_sql docstring).
+
+    16-formula reducer over ``runsrc``(conv_id, as_of, lvl, {jl}) keyed
     (conv_id, as_of), ending in ``{pfx}feat`` with the raw column names
     sre..entr_v (texture_base.py:40-214 under the 1-D run degeneracy)."""
     K = "conv_id, as_of"

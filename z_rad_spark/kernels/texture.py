@@ -274,13 +274,6 @@ def glcm_feature_values(M: np.ndarray) -> dict:
     }
 
 
-def _normalize(m: np.ndarray) -> np.ndarray | None:
-    s = m.sum()
-    if s == 0:
-        return None
-    return m / s
-
-
 def _agg_dicts(dicts, names, weights=None, median=False):
     """Feature-dict aggregation (reference: glcm.py:422-435,
     texture_base.py:70-78)."""

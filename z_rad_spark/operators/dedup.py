@@ -484,19 +484,34 @@ def ngram_jaccard(
     )
     out = out.where(F.col("jaccard") >= threshold)
     out._zrs_cached = (sh,)  # see unpersist_intermediates
+    _CACHED_FRAMES.append(sh)
     return out
 
 
-def unpersist_intermediates(df: DataFrame) -> None:
-    """Release intermediate frames an operator persisted while building
-    ``df``'s plan (recorded on the returned DataFrame as ``_zrs_cached``).
+#: every frame this module has persisted in the session, in order —
+#: survives DataFrame transformations that drop the per-frame attribute
+_CACHED_FRAMES: list = []
+
+
+def unpersist_intermediates(df: DataFrame | None = None) -> None:
+    """Release intermediate frames operators in this module persisted.
 
     Operators like :func:`ngram_jaccard` cache a multi-consumed subtree;
     because the result is lazy they cannot unpersist it themselves. Call
-    this after the final action on ``df`` (no-op if nothing was cached).
+    this after the final action. Pass the EXACT frame the operator
+    returned to release just its intermediates (the record rides a Python
+    attribute, so derived frames — ``.orderBy()`` etc. — lose it), or
+    call with no argument to release everything this module persisted in
+    the session. No-op if nothing is cached.
     """
-    for cached in getattr(df, "_zrs_cached", ()):
-        cached.unpersist()
+    if df is not None:
+        for cached in getattr(df, "_zrs_cached", ()):
+            cached.unpersist()
+            if cached in _CACHED_FRAMES:
+                _CACHED_FRAMES.remove(cached)
+        return
+    while _CACHED_FRAMES:
+        _CACHED_FRAMES.pop().unpersist()
 
 
 def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -138,22 +138,23 @@ def _with_cent_scores(df: DataFrame, vec_col: str, cents: list[tuple], out: str 
             return "'" + cid.replace("'", "''") + "'"
         return f"CAST({int(cid)} AS BIGINT)"
 
+    vc = "`" + vec_col.replace("`", "``") + "`"  # arbitrary column names
     entries = []
     for cid, cv in cents:
         dot = (
-            f"aggregate(zip_with({vec_col}, {_arr(cv)}, (x, y) -> x * y), "
+            f"aggregate(zip_with({vc}, {_arr(cv)}, (x, y) -> x * y), "
             "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
         entries.append(
-            f"named_struct('cs', CAST({dot} / (_nv * {_d(_seq_norm(cv))}) AS DOUBLE), "
+            f"named_struct('cs', CAST({dot} / (_zrs_nv * {_d(_seq_norm(cv))}) AS DOUBLE), "
             f"'cent_id', {_cid(cid)})"
         )
     nv = (
-        f"sqrt(aggregate(transform({vec_col}, x -> x * x), "
+        f"sqrt(aggregate(transform({vc}, x -> x * x), "
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
     )
-    df = df.withColumn("_nv", F.expr(nv))
-    return df.withColumn(out, F.expr("array(" + ", ".join(entries) + ")")).drop("_nv")
+    df = df.withColumn("_zrs_nv", F.expr(nv))
+    return df.withColumn(out, F.expr("array(" + ", ".join(entries) + ")")).drop("_zrs_nv")
 
 
 def _argmax_score(scores):
@@ -161,13 +162,21 @@ def _argmax_score(scores):
     no expression-tree blowup, no window, works for any orderable id.
     ``scores`` should be a cheap column reference (see _with_cent_scores):
     it is evaluated twice (fold init + fold input)."""
+    def better(acc, s):
+        # NULL cs (zero-norm vector: 0/0 is NULL without ANSI mode) loses
+        # to any non-NULL score; among all-NULL, smallest cent_id wins —
+        # the NULLS LAST behavior of the replaced row_number window and of
+        # the DuckDB oracles' default null ordering
+        tie = (s["cs"] == acc["cs"]) & (s["cent_id"] < acc["cent_id"])
+        return F.when(
+            acc["cs"].isNull(),
+            s["cs"].isNotNull() | (s["cent_id"] < acc["cent_id"]),
+        ).otherwise(s["cs"].isNotNull() & ((s["cs"] > acc["cs"]) | tie))
+
     return F.aggregate(
         scores,
         F.get(scores, 0),
-        lambda acc, s: F.when(
-            (s["cs"] > acc["cs"]) | ((s["cs"] == acc["cs"]) & (s["cent_id"] < acc["cent_id"])),
-            s,
-        ).otherwise(acc),
+        lambda acc, s: F.when(better(acc, s), s).otherwise(acc),
     )
 
 
@@ -175,7 +184,11 @@ def _desc_sort(scores):
     """array_sort by (cs desc, cent_id asc) for top-n_probe slicing."""
     return F.array_sort(
         scores,
-        lambda l, r: F.when(l["cs"] > r["cs"], F.lit(-1))
+        # NULL cs sorts last (transitively: null-vs-null falls through to
+        # the cent_id tie-break, null-vs-value always loses)
+        lambda l, r: F.when(l["cs"].isNull() & r["cs"].isNotNull(), F.lit(1))
+        .when(l["cs"].isNotNull() & r["cs"].isNull(), F.lit(-1))
+        .when(l["cs"] > r["cs"], F.lit(-1))
         .when(l["cs"] < r["cs"], F.lit(1))
         .when(l["cent_id"] < r["cent_id"], F.lit(-1))
         .when(l["cent_id"] > r["cent_id"], F.lit(1))
@@ -220,9 +233,10 @@ def ivf_topk(
     nearest centroid, probe only the query's ``n_probe`` nearest cells.
 
     ``centroids`` (cent_id, cent_vec) overrides the hash-sampled codebook
-    — pass ``kmeans_lloyd`` output (or any trained codebook, as a k-row
-    DataFrame or a collected list) for recall above the hash-seeded
-    default; the plan shape is identical either way.
+    — e.g. ``kmeans_lloyd`` cluster ids joined back to a representative
+    vector per cluster, or any trained codebook, as a k-row DataFrame or
+    a collected list of (cent_id, vec) pairs. Recall improves over the
+    hash-seeded default; the plan shape is identical either way.
 
     Centroids are a deterministic HASH sample of the corpus: the
     ``n_centroids`` vectors with the smallest md5("ivf|" + id) — invariant

@@ -98,13 +98,14 @@ def with_salt_bucket(
         # last-bucket guard: without it the trailing rows of a
         # conversation's FINAL bucket would be replicated into a phantom
         # bucket+1 holding only own=false rows — correct (disowned rows
-        # emit nothing) but a wasted task group per conversation. The
-        # max own-bucket per conversation is a windowless broadcast-able
-        # aggregate over conv sizes.
-        last = conv_sizes(df).select(
-            "conv_id",
-            (((F.col("n_turns") - 1) / turns_per_bucket).cast("int")).alias("_max_bucket"),
-        )
+        # emit nothing) but a wasted task group per conversation. The max
+        # OBSERVED bucket per conversation (not a count-derived one, so
+        # it stays correct even for filtered subsets that violate the
+        # contiguous-ordinal contract) is one windowless map-side-combined
+        # aggregate + broadcast; cheap next to the grouped-map kernel this
+        # operator feeds, but it IS an extra pass over the input — pass
+        # overlap_before=0 when only forward overlap is needed.
+        last = df.groupBy("conv_id").agg(F.max("bucket").alias("_max_bucket"))
         borrowed_back = (
             df.where(F.col("_rank") % turns_per_bucket >= turns_per_bucket - overlap_before)
             .join(F.broadcast(last), "conv_id")

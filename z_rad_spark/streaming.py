@@ -106,10 +106,17 @@ def streaming_sessionize(
         if state.exists:
             start_us, last_us, n, ssum = state.get
             if int(seg_t0[0]) - last_us <= gap_us:
-                # first batch segment extends the open session
+                # first batch segment extends the open session. Sum order
+                # is state-first (carried sum + batch-segment sum); the
+                # in-segment sum itself is reduceat-sequential. As with
+                # every float aggregate in the engine, bit-stability
+                # across arrival batching is guaranteed for
+                # integer-valued signals (exact sums); non-integer
+                # signals can differ in the last ulp from a single-batch
+                # replay — same contract as the SQL oracles' SUM.
                 seg_t0[0] = start_us
                 seg_n[0] += n
-                seg_sum[0] += ssum
+                seg_sum[0] = ssum + seg_sum[0]
             else:
                 prior_closed.append([conv_id, start_us, last_us, n, ssum])
         state.update(
