@@ -43,6 +43,10 @@ HEADLINE = [
     "q_shard_pack",
     "q_interval_join",
     "q_stream_window_stats",
+    # round-3 additions: the 29-cutoff grid proves the compacted FBN path
+    # at backfill scale; media exercises the Arrow decode stage
+    "q_hist_daily",
+    "q_media_features",
 ]
 
 

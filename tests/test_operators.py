@@ -224,6 +224,40 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert len(e & a) / len(e) >= 0.5
 
 
+def test_kmeans_zero_norm_vector_assigns_smallest_centroid(spark):
+    """A zero-norm vector scores NULL cosine against every centroid
+    (0/0 without ANSI mode); the argmax fold must fall back to the
+    smallest cent_id — NULLS LAST semantics of the old window plan and
+    of the DuckDB oracles — not to whichever centroid is first in
+    codebook order."""
+    from z_rad_spark.operators.similarity import ivf_topk, kmeans_assign
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    # codebook deliberately ordered with the LARGER id first
+    cents = [(7, [0.0, 1.0]), (2, [1.0, 0.0])]
+    out = (
+        kmeans_assign(df, centroids=cents)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert int(out.loc[0, "cluster_id"]) == 2  # smallest cent_id on all-NULL
+    assert pd.isna(out.loc[0, "cosine"])
+    assert int(out.loc[1, "cluster_id"]) == 2
+    assert int(out.loc[2, "cluster_id"]) == 7
+    # ivf: a zero-norm QUERY must not crash and probes smallest-id cells
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0], "query_vec": [[0.0, 0.0]]})
+    )
+    res = ivf_topk(df, queries, k=2, n_probe=1, centroids=cents).toPandas()
+    assert set(res["query_id"]) <= {0}
+
+
 def test_salted_runs_and_deps_exact(spark, tdf):
     """Distributed RLE with cross-bucket merge and double-overlap dependence
     counts must equal the unsalted window plans exactly, including runs

@@ -37,8 +37,18 @@ def _norm(a):
     )
 
 
+def _safe_div(num, den):
+    """NULL on zero denominator — ANSI-safe (Spark 4 defaults ANSI on, so
+    a bare x/0 THROWS); CASE WHEN evaluates the division lazily."""
+    return F.when(den != F.lit(0.0), num / den)
+
+
+def _cosine(a, b):
+    return _safe_div(_dot(a, b), _norm(a) * _norm(b))
+
+
 def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
-    sim = _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
+    sim = _cosine(F.col(a), F.col(b))
     return df.withColumn(out, sim.cast("double"))
 
 
@@ -57,9 +67,7 @@ def cosine_topk(
     determinism. Output: (query_id, vec_id, cosine, rank).
     """
     joined = vectors.crossJoin(F.broadcast(queries))
-    sim = _dot(F.col(vec_col), F.col(query_vec)) / (
-        _norm(F.col(vec_col)) * _norm(F.col(query_vec))
-    )
+    sim = _cosine(F.col(vec_col), F.col(query_vec))
     scored = joined.select(
         F.col(query_id), F.col(id_col), sim.cast("double").alias("cosine")
     )
@@ -146,7 +154,7 @@ def _with_cent_scores(df: DataFrame, vec_col: str, cents: list[tuple], out: str 
             "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
         entries.append(
-            f"named_struct('cs', CAST({dot} / (_zrs_nv * {_d(_seq_norm(cv))}) AS DOUBLE), "
+            f"named_struct('cs', CAST({dot} / nullif(_zrs_nv * {_d(_seq_norm(cv))}, CAST(0.0 AS DOUBLE)) AS DOUBLE), "
             f"'cent_id', {_cid(cid)})"
         )
     nv = (
@@ -290,9 +298,7 @@ def ivf_topk(
         )
     )
     joined = assigned.join(F.broadcast(probes), "cent_id")
-    sim = _dot(F.col(vec_col), F.col(query_vec)) / (
-        _norm(F.col(vec_col)) * _norm(F.col(query_vec))
-    )
+    sim = _cosine(F.col(vec_col), F.col(query_vec))
     scored = joined.select(F.col(query_id), F.col(id_col), sim.cast("double").alias("cosine"))
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
@@ -343,7 +349,7 @@ def embedding_near_dup_pairs(
         for p in parts[1:]:
             cand = cand.unionByName(p)
         cand = cand.dropDuplicates([id_col + "_a", id_col + "_b"])
-    sim = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    sim = _cosine(F.col("_va"), F.col("_vb"))
     return (
         cand.withColumn("cosine", sim.cast("double"))
         .where(F.col("cosine") >= threshold)
@@ -370,9 +376,7 @@ def lsh_bucket_topk(
     v = with_lsh_bucket(vectors, vec_col, dim, n_planes)
     q = with_lsh_bucket(queries, query_vec, dim, n_planes)
     joined = v.join(F.broadcast(q), "bucket")
-    sim = _dot(F.col(vec_col), F.col(query_vec)) / (
-        _norm(F.col(vec_col)) * _norm(F.col(query_vec))
-    )
+    sim = _cosine(F.col(vec_col), F.col(query_vec))
     scored = joined.select(F.col(query_id), F.col(id_col), sim.cast("double").alias("cosine"))
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
