@@ -49,8 +49,28 @@ _STOPWORDS = (
 # dedups it exactly like Spark's isin over the flattened list.
 
 
+def r6x(expr: str) -> str:
+    """Spark-parity 6dp rounding. Spark's round() HALF_UPs the SHORTEST
+    DECIMAL REPR of the double (BigDecimal.valueOf); DuckDB's ROUND on
+    DOUBLE follows the exact binary expansion — the two disagree exactly
+    when the shortest repr ends in ...5 at the 7th digit and the binary
+    value sits on the other side of the boundary (found at sf0.1 group
+    counts: cm_energy 0.0634375 et al). The VARCHAR -> DECIMAL round-trip
+    reproduces Spark bit-for-bit; NaN/inf pass through unrounded (the
+    driver compare already treats Spark-NULL == oracle-NaN as equal).
+    Scale 18 matters: a double's shortest repr has <= 17 significant
+    digits, so pre-rounding at scale 18 can never flip the 7th decimal
+    (scale 15 could — double-rounding through digits 7..15)."""
+    d = f"CAST({expr} AS DOUBLE)"
+    return (
+        f"CASE WHEN isfinite({d}) THEN "
+        f"CAST(ROUND(CAST(CAST({d} AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) + 0 "
+        f"ELSE {d} END"
+    )
+
+
 def r6(expr: str, alias: str) -> str:
-    return f"ROUND(CAST({expr} AS DOUBLE), 6) + 0 AS {alias}"
+    return f"{r6x(expr)} AS {alias}"
 
 
 # ---------------------------------------------------------------------------
@@ -1238,9 +1258,16 @@ base AS (
   FROM t GROUP BY conv_id
 ),
 gs AS (
-  SELECT conv_id, AVG(gap) AS gap_mean, stddev_pop(gap) AS gap_std, MAX(gap) AS gap_max,
+  SELECT conv_id, stddev_pop(gap) AS gap_std, MAX(gap) AS gap_max,
          1 + SUM(CASE WHEN gap > {GAP} THEN 1 ELSE 0 END) AS n_sessions
   FROM gaps GROUP BY conv_id
+),
+gm AS (
+  SELECT conv_id,
+         CASE WHEN COUNT(*) > 1 THEN
+           CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS DOUBLE) / (COUNT(*) - 1) / 1e6
+         END AS gap_mean
+  FROM t GROUP BY conv_id
 ),
 re AS (
   SELECT conv_id, -SUM(p * LOG2(p)) AS role_entropy FROM (
@@ -1251,13 +1278,13 @@ re AS (
 SELECT b.conv_id,
        {r6('b.n_turns', 'shape_n_turns')},
        {r6('b.dur', 'shape_duration_sec')},
-       {r6('g.gap_mean', 'shape_gap_mean')},
+       {r6('gm.gap_mean', 'shape_gap_mean')},
        {r6('g.gap_std', 'shape_gap_std')},
        {r6('g.gap_max', 'shape_gap_max')},
        {r6('g.n_sessions', 'shape_n_sessions')},
        {r6('r.role_entropy', 'shape_role_entropy')},
        {r6('b.tool_frac', 'shape_tool_frac')}
-FROM base b JOIN gs g ON b.conv_id = g.conv_id JOIN re r ON b.conv_id = r.conv_id
+FROM base b JOIN gs g ON b.conv_id = g.conv_id JOIN gm ON b.conv_id = gm.conv_id JOIN re r ON b.conv_id = r.conv_id
 """
 
 # --- documents / embeddings ------------------------------------------------
@@ -1764,8 +1791,15 @@ base AS (
   FROM o GROUP BY conv_id
 ),
 gs AS (
-  SELECT conv_id, AVG(gap) AS gap_mean, stddev_pop(gap) AS gap_std, MAX(gap) AS gap_max,
+  SELECT conv_id, stddev_pop(gap) AS gap_std, MAX(gap) AS gap_max,
          1 + SUM(CASE WHEN gap > {GAP} THEN 1 ELSE 0 END) AS n_sessions
+  FROM o GROUP BY conv_id
+),
+gm AS (
+  SELECT conv_id,
+         CASE WHEN COUNT(*) > 1 THEN
+           CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS DOUBLE) / (COUNT(*) - 1) / 1e6
+         END AS gap_mean
   FROM o GROUP BY conv_id
 ),
 re AS (
@@ -1779,7 +1813,7 @@ SELECT b.conv_id,
        {r6('b.n_turns', 'shape_n_eligible')},
        {r6('b.dur', 'shape_duration_sec')},
        {r6('CASE WHEN b.dur > 0 THEN b.n_turns / b.dur END', 'shape_turn_rate')},
-       {r6('g.gap_mean', 'shape_gap_mean')},
+       {r6('gm.gap_mean', 'shape_gap_mean')},
        {r6('g.gap_std', 'shape_gap_std')},
        {r6('g.gap_max', 'shape_gap_max')},
        {r6('g.n_sessions', 'shape_n_sessions')},
@@ -1787,7 +1821,7 @@ SELECT b.conv_id,
        {r6('r.role_entropy', 'shape_role_entropy')},
        {r6('b.tool_frac', 'shape_tool_frac')},
        {r6('ABS(b.com_geom - b.com_int)', 'shape_intensity_com_shift')}
-FROM base b JOIN gs g ON b.conv_id = g.conv_id JOIN re r ON b.conv_id = r.conv_id
+FROM base b JOIN gs g ON b.conv_id = g.conv_id JOIN gm ON b.conv_id = gm.conv_id JOIN re r ON b.conv_id = r.conv_id
 """
 
 # --- convolutional filter oracles ------------------------------------------
@@ -3028,9 +3062,16 @@ shp_gaps AS (
   FROM fr
 ),
 shp_gs AS (
-  SELECT {K}, AVG(gap) AS gap_mean, stddev_pop(gap) AS gap_std, MAX(gap) AS gap_max,
+  SELECT {K}, stddev_pop(gap) AS gap_std, MAX(gap) AS gap_max,
          1 + SUM(CASE WHEN gap > {GAP} THEN 1 ELSE 0 END) AS n_sessions
   FROM shp_gaps GROUP BY {K}
+),
+shp_gm AS (
+  SELECT {K},
+         CASE WHEN COUNT(*) > 1 THEN
+           CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS DOUBLE) / (COUNT(*) - 1) / 1e6
+         END AS gap_mean
+  FROM fr GROUP BY {K}
 ),
 shp_re AS (
   SELECT {K}, -SUM(p * LOG2(p)) AS role_entropy FROM (
@@ -3321,7 +3362,7 @@ ngl_feat AS (
         ("shape_n_eligible", "CAST(m.n_eligible AS DOUBLE)"),
         ("shape_duration_sec", "sb.dur"),
         ("shape_turn_rate", "CASE WHEN sb.dur > 0 THEN CAST(m.n_turns AS DOUBLE) / sb.dur END"),
-        ("shape_gap_mean", "sg2.gap_mean"),
+        ("shape_gap_mean", "gm2.gap_mean"),
         ("shape_gap_std", "sg2.gap_std"),
         ("shape_gap_max", "sg2.gap_max"),
         ("shape_n_sessions", "CAST(sg2.n_sessions AS DOUBLE)"),
@@ -3385,6 +3426,7 @@ LEFT JOIN ivh_feat iv USING (conv_id, as_of)
 LEFT JOIN loc_feat lc USING (conv_id, as_of)
 LEFT JOIN shp_base sb USING (conv_id, as_of)
 LEFT JOIN shp_gs sg2 USING (conv_id, as_of)
+LEFT JOIN shp_gm gm2 USING (conv_id, as_of)
 LEFT JOIN shp_re sr USING (conv_id, as_of)
 LEFT JOIN shp_com sc USING (conv_id, as_of)
 LEFT JOIN cm_feat cf USING (conv_id, as_of)

@@ -57,7 +57,11 @@ def shape_features(ts_us, eligible, session, role_codes, tool_mask, masked_signa
         "shape_n_eligible": float(el.sum()),
         "shape_duration_sec": dur,
         "shape_turn_rate": float(n / dur) if dur > 0 else np.nan,
-        "shape_gap_mean": float(np.mean(gaps)) if gaps.size else np.nan,
+        # exact form: the gap sum telescopes to (last - first), an exact
+        # integer, so ONE division chain replaces a float mean whose
+        # summation order differs between NumPy and SQL (at grid scale
+        # that ulp flipped the 6dp hash for ~0.5% of groups)
+        "shape_gap_mean": float(ts_us[-1] - ts_us[0]) / (n - 1) / 1e6 if gaps.size else np.nan,
         "shape_gap_std": float(np.std(gaps)) if gaps.size else np.nan,
         "shape_gap_max": float(np.max(gaps)) if gaps.size else np.nan,
         "shape_n_sessions": float(n_sessions),
