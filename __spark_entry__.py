@@ -1308,6 +1308,22 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprints (MOSS, SIGMOD'03) over the documents table:
+    windowed rightmost-min of k-gram hashes — positional near-dup
+    fingerprints guaranteed to catch any shared passage of k+w-1 tokens.
+    Pure per-document array expressions, zero shuffle before the
+    explode."""
+    from z_rad_spark.operators.dedup import winnow_fingerprints
+
+    out = winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("pos").cast("int"),
+        F.col("fp").cast("long"),
+    )
+
+
 def q_gldzm_salted(spark, sf_dir):
     """Skew path for distance zones: salted distributed RLE carrying run
     start/end positions across bucket borders, keyed by border distance —
@@ -1909,7 +1925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     THIS round (flagship value oracle, exact-form GLCM reductions, media
     scalar rows, literal-codebook assignment, LSH bucket-size gate,
     salted overlap guard, compacted FBN grid), and (4) the oldest
-    stale-green flagship-set queries re-greened with the leftover slots.
+    stale-green flagship-set queries re-greened with the leftover slots
+    (one slot goes to q_winnow, new this round).
     Long-green unchanged queries sit past the window. After this round
     every registry entry holds a round-1..3 green row."""
     return {
@@ -1966,9 +1983,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shape_full": q_shape_full,
         "q_glrlm": q_glrlm,
         "q_ivh": q_ivh,
-        "q_moran": q_moran,
+        "q_winnow": q_winnow,
         # ===== gate window ends here (first 50 entries) ================
         # green in round 1 or 2, unchanged since
+        "q_moran": q_moran,
         "q_extract_filtered": q_extract_filtered,
         "q_filter_mean": q_filter_mean,
         "q_filter_log": q_filter_log,

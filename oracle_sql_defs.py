@@ -3438,3 +3438,32 @@ LEFT JOIN ngl_feat nl USING (conv_id, as_of)
 
 
 ORACLES["q_extract_full"] = flagship_full_sql()
+
+
+# winnowing fingerprints: windowed rightmost-min (list_reduce folds left
+# with the first element as init and <= keeps later ties — identical to
+# the engine's aggregate fold); picks encoded pos*2^31+fp for the
+# distinct (struct list_distinct is unsupported), decoded on unnest
+ORACLES["q_winnow"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS_DOC} AS tk FROM documents),
+g0 AS (
+  SELECT doc_id,
+         list_transform({_duck_grams(3)},
+           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647) AS g
+  FROM toks WHERE len(tk) >= 6
+),
+picks AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           list_transform(generate_series(1, len(g) - 3),
+             j -> list_reduce(list_transform(generate_series(j, j + 3),
+                    i -> {{'pos': i, 'fp': g[i]}}),
+                  (a, b) -> CASE WHEN b.fp <= a.fp THEN b ELSE a END)),
+           s -> s['pos'] * 2147483648 + s['fp'])) AS ps
+  FROM g0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(e // 2147483648 AS INT) AS pos,
+       CAST(e % 2147483648 AS BIGINT) AS fp
+FROM (SELECT doc_id, UNNEST(ps) AS e FROM picks)
+"""

@@ -632,3 +632,30 @@ def test_top_tokens_matches_pandas(spark):
     de = got[got.lang == "de"].sort_values("rank")
     assert list(en["token"]) == ["a", "b"] and list(en["n"]) == [4, 2]
     assert list(de["token"]) == ["y", "x"] and list(de["n"]) == [4, 2]
+
+
+def test_winnow_shared_passage_guarantee(spark):
+    """Winnowing's coverage guarantee: any passage of >= k + w - 1 shared
+    tokens yields at least one COMMON fingerprint value between the two
+    documents; disjoint texts share none."""
+    from z_rad_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = k + w - 1 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, f"one two {shared} three four five six"),
+            (1, f"seven eight nine ten {shared} eleven"),
+            (2, "completely different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=3, w=4).toPandas()
+    by_doc = {d: set(g["fp"]) for d, g in fp.groupby("doc_id")}
+    assert by_doc[0] & by_doc[1], "shared passage must share a fingerprint"
+    assert not (by_doc[0] & by_doc.get(2, set()))
+    assert not (by_doc[1] & by_doc.get(2, set()))
+    # selections are deterministic across recomputation
+    fp2 = winnow_fingerprints(docs, k=3, w=4).toPandas()
+    a = fp.sort_values(["doc_id", "pos", "fp"]).reset_index(drop=True)
+    b = fp2.sort_values(["doc_id", "pos", "fp"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

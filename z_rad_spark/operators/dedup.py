@@ -540,3 +540,67 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str
     for b in range(bits):
         sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return agg.select(id_col, sim.cast("long").alias("simhash"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 3, w: int = 4, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03
+    — the MOSS algorithm): hash every word k-gram, slide a window of
+    ``w`` consecutive hashes, and select each window's MINIMUM hash
+    (ties -> rightmost), deduplicating repeated selections. The selected
+    set is guaranteed to share a fingerprint with any copy of a passage
+    of at least k + w - 1 tokens — positional, unlike MinHash's global
+    signature, so matches localize to document regions.
+
+    Engine-portable hashing (one md5 per k-gram folded mod 2^31-1, the
+    minhash convention) so the DuckDB oracle replays it exactly.
+
+    Scale shape: pure per-document array expressions — gram hashing, the
+    windowed rightmost-min fold, and the distinct all happen inside the
+    row (O(n*w) narrow compute, zero shuffle); only the final explode
+    feeds whatever aggregation the caller adds. Documents with fewer
+    than k + w - 1 tokens emit no fingerprints (the algorithm's contract).
+
+    Output: (doc_id, pos, fp) — pos is the 1-based k-gram index of the
+    selected hash.
+    """
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 2)
+    toks = (
+        docs.repartition(n_parts, id_col)
+        .select(F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("toks"))
+        .where(F.size("toks") >= k + w - 1)
+    )
+    gram_hash = lambda i: (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, k))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(MINHASH_P)
+    )
+    grams = toks.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (k - 1)), lambda i: gram_hash(i)
+        ).alias("g"),
+    )
+    # rightmost-min fold per window: <= keeps later (rightmost) ties,
+    # matching the reference algorithm's tie rule
+    g = F.col("g")
+    win_pick = F.transform(
+        F.sequence(F.lit(1), F.size(g) - (w - 1)),
+        lambda j: F.aggregate(
+            F.sequence(j + 1, j + (w - 1)),
+            F.struct(j.alias("pos"), F.element_at(g, j).alias("fp")),
+            lambda acc, i: F.when(
+                F.element_at(g, i) <= acc["fp"],
+                F.struct(i.alias("pos"), F.element_at(g, i).alias("fp")),
+            ).otherwise(acc),
+        ),
+    )
+    return (
+        grams.select(id_col, F.explode(F.array_distinct(win_pick)).alias("s"))
+        .select(id_col, F.col("s.pos").cast("int").alias("pos"), F.col("s.fp").alias("fp"))
+    )
