@@ -153,13 +153,20 @@ def _with_cent_scores(df: DataFrame, vec_col: str, cents: list[tuple], out: str 
             f"aggregate(zip_with({vc}, {_arr(cv)}, (x, y) -> x * y), "
             "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-        entries.append(
-            f"named_struct('cs', CAST({dot} / nullif(_zrs_nv * {_d(_seq_norm(cv))}, CAST(0.0 AS DOUBLE)) AS DOUBLE), "
-            f"'cent_id', {_cid(cid)})"
-        )
+        nc = _seq_norm(cv)
+        # ANSI-safe without any CASE inside the 16-entry array (a CASE/
+        # nullif PER ENTRY sends the optimizer into a minutes-long
+        # planning stall on this tree): the row norm is nullif'd ONCE
+        # below — x / NULL is NULL, never an error — and a zero-norm
+        # CENTROID is resolved at build time to a literal NULL score
+        if nc == 0.0:
+            cs = "CAST(NULL AS DOUBLE)"
+        else:
+            cs = f"CAST({dot} / (_zrs_nv * {_d(nc)}) AS DOUBLE)"
+        entries.append(f"named_struct('cs', {cs}, 'cent_id', {_cid(cid)})")
     nv = (
-        f"sqrt(aggregate(transform({vc}, x -> x * x), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+        f"nullif(sqrt(aggregate(transform({vc}, x -> x * x), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)), CAST(0.0 AS DOUBLE))"
     )
     df = df.withColumn("_zrs_nv", F.expr(nv))
     return df.withColumn(out, F.expr("array(" + ", ".join(entries) + ")")).drop("_zrs_nv")
