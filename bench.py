@@ -251,7 +251,10 @@ def main():
         # same-run relative comparisons are meaningful
         "cpu_probe_sec": [probe_start, probe_end],
         "cpu_probe_fast_ref": CPU_PROBE_FAST_SEC,
-        "slow_mode": min(probe_start, probe_end) > 1.5 * CPU_PROBE_FAST_SEC,
+        # start probe only: the end probe runs right after spark.stop()
+        # (JVM teardown GC) and a mid-run window flip would otherwise
+        # mask a half-poisoned run; pass_total_ratio tells the rest
+        "slow_mode": probe_start > 1.5 * CPU_PROBE_FAST_SEC,
         "pass_total_ratio": round(max(pt) / min(pt), 3) if min(pt) else None,
     }
 
