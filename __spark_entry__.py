@@ -1869,9 +1869,12 @@ def q_session_window(spark, sf_dir):
 
 
 def q_asof_tolerance(spark, sf_dir):
-    """As-of state with a staleness tolerance (pandas merge_asof
-    tolerance parity): matches older than 3 days null out — the matched
-    turn's ts rides the same running-last pass, zero extra shuffles."""
+    """As-of state with a staleness tolerance: matches older than 3 days
+    null out, judged PER VALUE COLUMN against the turn whose value is
+    actually carried (deliberately stronger than pandas merge_asof's
+    row-level rule — see asof.asof_join docstring; the two coincide when
+    value columns have no NULLs). The matched turn's ts rides the same
+    running-last pass, zero extra shuffles."""
     from z_rad_spark.operators.asof import asof_state
 
     out = asof_state(

@@ -60,11 +60,19 @@ def r6x(expr: str) -> str:
     driver compare already treats Spark-NULL == oracle-NaN as equal).
     Scale 18 matters: a double's shortest repr has <= 17 significant
     digits, so pre-rounding at scale 18 can never flip the 7th decimal
-    (scale 15 could — double-rounding through digits 7..15)."""
+    (scale 15 could — double-rounding through digits 7..15).
+
+    Magnitude guard: DECIMAL(38,18) holds only 20 integer digits, so a
+    finite |x| >= 1e20 would make the CAST error out (gate breaks with a
+    cast error instead of a value mismatch). Above 1e12 the double's ulp
+    spacing already exceeds 1e-4 > 1e-6, so 6dp rounding is the identity
+    in BOTH engines — plain ROUND is exact there and the decimal
+    round-trip is only applied where it matters (|x| < 1e12)."""
     d = f"CAST({expr} AS DOUBLE)"
     return (
-        f"CASE WHEN isfinite({d}) THEN "
+        f"CASE WHEN isfinite({d}) AND ABS({d}) < 1e12 THEN "
         f"CAST(ROUND(CAST(CAST({d} AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) + 0 "
+        f"WHEN isfinite({d}) THEN ROUND({d}, 6) + 0 "
         f"ELSE {d} END"
     )
 
@@ -2789,7 +2797,8 @@ FROM g GROUP BY conv_id, sid
 """
 
 
-# as-of with staleness tolerance (pandas merge_asof tolerance parity):
+# as-of with staleness tolerance (per-VALUE-COLUMN staleness — stronger
+# than pandas merge_asof's row-level rule; see asof.asof_join docstring):
 # matches older than 3 days null out
 # per-COLUMN staleness, replicating the engine exactly: each value column
 # forward-fills past NULLs independently, so the match it is judged

@@ -222,6 +222,19 @@ def test_hash_split_disjoint_stable_and_growth_invariant(spark):
         hash_split(small, {"a": 0.5, "b": 0.2}).collect()
 
 
+def test_hash_split_float_cum_near_one_keeps_all(spark):
+    """A cumulative fraction just below 1.0 can still truncate to exactly
+    16**8 (the 9-char '100000000' lexicographic trap) — the keep-all
+    sentinel must key on the INT threshold, not the float cum."""
+    from z_rad_spark.operators.dedup import hash_split
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    # 1 - 2**-53 < 1.0 but int((1 - 2**-53) * 16**8) == 16**8
+    fr = {"train": 1.0 - 2**-53, "test": 2**-53}
+    out = {r["doc_id"]: r["split"] for r in hash_split(df, fr).collect()}
+    assert set(out.values()) == {"train"}, "every row must land in the ~1.0 bucket"
+
+
 def test_cap_per_group(spark):
     from z_rad_spark.operators.curation import cap_per_group
 

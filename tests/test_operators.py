@@ -659,3 +659,20 @@ def test_winnow_shared_passage_guarantee(spark):
     a = fp.sort_values(["doc_id", "pos", "fp"]).reset_index(drop=True)
     b = fp2.sort_values(["doc_id", "pos", "fp"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_winnow_w1_selects_every_gram(spark):
+    """w=1 degenerates to 'every k-gram hash is a fingerprint' — the
+    windowed fold must not build the descending sequence(j+1, j) that
+    reads element_at(g, size+1) (an out-of-bounds error under ANSI)."""
+    from z_rad_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    fp = winnow_fingerprints(docs, k=3, w=1).toPandas()
+    # 5 tokens -> 3 k-grams, all selected at positions 1..3
+    assert sorted(fp["pos"]) == [1, 2, 3]
+    assert fp["fp"].nunique() == 3
+    with pytest.raises(ValueError):
+        winnow_fingerprints(docs, k=3, w=0)

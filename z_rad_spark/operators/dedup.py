@@ -247,7 +247,11 @@ def hash_split(
         # the 9-char '100000000' which string-compares BELOW most 8-char
         # hex prefixes and would silently route ~15/16 of rows onward.
         # 'gggggggg' sorts above every hex string = keep-all sentinel.
-        thr = F.lit("g" * 8 if cum >= 1.0 else format(int(cum * 16**8), "08x"))
+        # The sentinel keys on the INT threshold, not the float cum: a cum
+        # just below 1.0 (e.g. 1 - 2**-53) can still multiply-and-truncate
+        # to exactly 16**8, reproducing the 9-char bug past a float test.
+        thr_int = int(cum * 16**8)
+        thr = F.lit("g" * 8 if thr_int >= 16**8 else format(thr_int, "08x"))
         branch = F.when(h < thr, F.lit(name))
         expr = branch if expr is None else expr.when(h < thr, F.lit(name))
     last = F.lit(items[-1][0])
@@ -566,6 +570,8 @@ def winnow_fingerprints(
     Output: (doc_id, pos, fp) — pos is the 1-based k-gram index of the
     selected hash.
     """
+    if k < 1 or w < 1:
+        raise ValueError(f"winnow_fingerprints needs k >= 1 and w >= 1, got k={k} w={w}")
     n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 2)
     toks = (
         docs.repartition(n_parts, id_col)
@@ -589,17 +595,27 @@ def winnow_fingerprints(
     # rightmost-min fold per window: <= keeps later (rightmost) ties,
     # matching the reference algorithm's tie rule
     g = F.col("g")
-    win_pick = F.transform(
-        F.sequence(F.lit(1), F.size(g) - (w - 1)),
-        lambda j: F.aggregate(
-            F.sequence(j + 1, j + (w - 1)),
-            F.struct(j.alias("pos"), F.element_at(g, j).alias("fp")),
-            lambda acc, i: F.when(
-                F.element_at(g, i) <= acc["fp"],
-                F.struct(i.alias("pos"), F.element_at(g, i).alias("fp")),
-            ).otherwise(acc),
-        ),
-    )
+    if w == 1:
+        # degenerate window: every k-gram hash is selected. The fold below
+        # would build sequence(j+1, j) — a DESCENDING 2-element sequence
+        # whose first read is element_at(g, size+1), an out-of-bounds
+        # error under ANSI mode.
+        win_pick = F.transform(
+            F.sequence(F.lit(1), F.size(g)),
+            lambda j: F.struct(j.alias("pos"), F.element_at(g, j).alias("fp")),
+        )
+    else:
+        win_pick = F.transform(
+            F.sequence(F.lit(1), F.size(g) - (w - 1)),
+            lambda j: F.aggregate(
+                F.sequence(j + 1, j + (w - 1)),
+                F.struct(j.alias("pos"), F.element_at(g, j).alias("fp")),
+                lambda acc, i: F.when(
+                    F.element_at(g, i) <= acc["fp"],
+                    F.struct(i.alias("pos"), F.element_at(g, i).alias("fp")),
+                ).otherwise(acc),
+            ),
+        )
     return (
         grams.select(id_col, F.explode(F.array_distinct(win_pick)).alias("s"))
         .select(id_col, F.col("s.pos").cast("int").alias("pos"), F.col("s.fp").alias("fp"))

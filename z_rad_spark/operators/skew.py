@@ -102,13 +102,19 @@ def with_salt_bucket(
         # OBSERVED bucket per conversation (not a count-derived one, so
         # it stays correct even for filtered subsets that violate the
         # contiguous-ordinal contract) is one windowless map-side-combined
-        # aggregate + broadcast; cheap next to the grouped-map kernel this
-        # operator feeds, but it IS an extra pass over the input — pass
-        # overlap_before=0 when only forward overlap is needed.
+        # aggregate; cheap next to the grouped-map kernel this operator
+        # feeds, but it IS an extra pass over the input — pass
+        # overlap_before=0 when only forward overlap is needed. No
+        # broadcast hint: `last` is one row PER CONVERSATION, unbounded by
+        # any operator parameter, so a forced broadcast would hit the
+        # driver/broadcast limits exactly at the conversation counts this
+        # module targets — the equi-join stays on conv_id (the filtered
+        # left side is O(#buckets * overlap) rows) and AQE may still pick
+        # a broadcast when the frame is actually small.
         last = df.groupBy("conv_id").agg(F.max("bucket").alias("_max_bucket"))
         borrowed_back = (
             df.where(F.col("_rank") % turns_per_bucket >= turns_per_bucket - overlap_before)
-            .join(F.broadcast(last), "conv_id")
+            .join(last, "conv_id")
             .where(F.col("bucket") + 1 <= F.col("_max_bucket"))
             .drop("_max_bucket")
             .withColumn("bucket", F.col("bucket") + 1)
