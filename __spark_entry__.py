@@ -1181,16 +1181,25 @@ def q_ivf_topk(spark, sf_dir):
 
 
 def q_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN, FULL-value gated: the hyperplanes are seeded
+    literals (similarity._hyperplanes, PCG64 seed 17), so the DuckDB
+    oracle embeds the identical plane values and replays the bucket
+    assignment plus per-bucket exact-cosine top-k — recall < 1 vs
+    brute force is a property of the algorithm both engines share, not
+    a verification gap."""
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = lsh_bucket_topk(emb, queries, dim=64, k=5)
-    return out.select(
-        F.col("query_id").cast("long"),
-        F.col("vec_id").cast("long"),
-        "cosine",
-        F.col("rank").cast("int"),
+    return _r6(
+        out.select(
+            F.col("query_id").cast("long"),
+            F.col("vec_id").cast("long"),
+            "cosine",
+            F.col("rank").cast("int"),
+        ),
+        ["cosine"],
     )
 
 
@@ -1725,24 +1734,72 @@ def q_stream_sessionize(spark, sf_dir):
 
 
 def q_sketch_stats(spark, sf_dir):
-    """Sketch aggregates per source (rows-only by design — HLL++ and
-    Greenwald-Khanna estimates are not engine-portable values; the
-    accuracy contract vs exact aggregates is pytest-verified in
-    tests/test_curation.py)."""
+    """Sketch aggregates per source, VALUE-gated via the IBSI
+    tolerance-CSV pattern (reference tests/test_ibsi_1.py:19-41:
+    reference values *with tolerances* are still hard gates): HLL++ and
+    Greenwald-Khanna estimates are not engine-portable doubles, so the
+    gate row carries (a) the EXACT distinct count — hash-verified against
+    DuckDB — and (b) booleans asserting each estimate sits inside its
+    published error bound, computed Spark-side against the exact
+    aggregates; the oracle emits literal TRUE for those columns, so any
+    bound violation hash-mismatches the gate. The exact twins ride the
+    same plan only in this verification harness — the production
+    operators (operators/sketches.py) stay single-pass sketch-only."""
     from z_rad_spark.operators.sketches import approx_distinct_by, approx_quantiles_by
 
     docs = _docs(spark, sf_dir)
     toks = docs.select(
         "source", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
     )
-    d = approx_distinct_by(toks, "source", "token")
-    q = approx_quantiles_by(docs, "source", "n_chars", probabilities=(0.5, 0.9))
-    return d.join(q, "source").select(
+    d = (
+        approx_distinct_by(toks, "source", "token", rsd=0.02)
+        .drop("n_rows")  # token-row count; the gate's n_rows is per-document
+        .join(
+            toks.groupBy("source").agg(
+                F.countDistinct("token").cast("long").alias("exact_distinct")
+            ),
+            "source",
+        )
+    )
+    ests = approx_quantiles_by(
+        docs, "source", "n_chars", probabilities=(0.5, 0.9), accuracy=10_000
+    ).join(docs.groupBy("source").agg(F.count("*").cast("long").alias("n_rows")), "source")
+    # GK guarantee: the returned element's rank interval [lt+1, le] must
+    # intersect [p*n - eps, p*n + eps], eps = n/accuracy (+1 floor slack)
+    ranks = (
+        docs.join(F.broadcast(ests), "source")
+        .groupBy("source")
+        .agg(
+            *[
+                agg
+                for p, est in (("50", "p50"), ("90", "p90"))
+                for agg in (
+                    F.sum((F.col("n_chars") < F.col(est)).cast("long")).alias(f"lt{p}"),
+                    F.sum((F.col("n_chars") <= F.col(est)).cast("long")).alias(f"le{p}"),
+                )
+            ]
+        )
+    )
+    j = d.join(ests, "source").join(ranks, "source")
+    n = F.col("n_rows").cast("double")
+
+    def rank_ok(p_frac, lt, le):
+        eps = n / F.lit(10_000.0) + F.lit(1.0)
+        target = n * F.lit(p_frac)
+        return (F.col(lt) + 1 <= target + eps) & (F.col(le) >= target - eps)
+
+    # HLL++ rsd is one standard deviation; 5 sigma (min 1 count) = hard bound
+    dist_bound = F.greatest(F.col("exact_distinct") * F.lit(5 * 0.02), F.lit(1.0))
+    return j.select(
         "source",
-        "approx_distinct",
-        "n_rows",
-        F.col("p50").cast("long").alias("p50_chars"),
-        F.col("p90").cast("long").alias("p90_chars"),
+        "exact_distinct",
+        F.col("n_rows"),
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct")).cast("double")
+            <= dist_bound
+        ).alias("distinct_ok"),
+        rank_ok(0.5, "lt50", "le50").alias("p50_ok"),
+        rank_ok(0.9, "lt90", "le90").alias("p90_ok"),
     )
 
 

@@ -3476,3 +3476,68 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(e % 2147483648 AS BIGINT) AS fp
 FROM (SELECT doc_id, UNNEST(ps) AS e FROM picks)
 """
+
+
+# sketch stats, value-gated via the IBSI tolerance pattern (reference
+# tests/test_ibsi_1.py:19-41): the EXACT distinct count is hash-verified
+# cross-engine; the within-error-bound booleans are computed Spark-side
+# against exact aggregates, so the literal TRUEs here turn any bound
+# violation into a hash mismatch
+ORACLES["q_sketch_stats"] = """
+WITH toks AS (
+  SELECT source, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+),
+d AS (SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_distinct
+      FROM toks GROUP BY source),
+n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents GROUP BY source)
+SELECT d.source, d.exact_distinct, n.n_rows,
+       TRUE AS distinct_ok, TRUE AS p50_ok, TRUE AS p90_ok
+FROM d JOIN n USING (source)
+"""
+
+
+def _lsh_plane_values(dim: int = 64, n_planes: int = 8, seed: int = 17) -> str:
+    """Literal hyperplane rows replaying similarity._hyperplanes exactly:
+    same seeded PCG64 draw (platform-independent), each double rendered
+    via repr() (shortest round-trip repr -> DuckDB parses back the
+    identical double)."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+    return ",\n    ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(float(x)) for x in planes[i]) + "])"
+        for i in range(n_planes)
+    )
+
+
+# LSH-bucketed ANN: recall < 1 is irrelevant to correctness because the
+# oracle replays the SAME seeded-hyperplane bucket assignment (literal
+# planes above) and the same per-bucket exact-cosine top-k
+ORACLES["q_lsh_topk"] = f"""
+WITH planes(pi, pv) AS (VALUES
+    {_lsh_plane_values()}
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+b AS (
+  SELECT v.vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(v.ev, CAST(p.pv AS DOUBLE[])) > 0
+                  THEN CAST(POW(2.0, p.pi) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM v CROSS JOIN planes p GROUP BY v.vec_id
+),
+vv AS (SELECT v.vec_id, v.ev, b.bucket FROM v JOIN b USING (vec_id)),
+q AS (SELECT vec_id AS query_id, ev AS qv, bucket FROM vv WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, vv.vec_id,
+         list_dot_product(vv.ev, q.qv)
+           / (sqrt(list_dot_product(vv.ev, vv.ev)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM vv JOIN q ON vv.bucket = q.bucket
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       {r6('cos', 'cosine')}, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+"""
