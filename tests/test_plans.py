@@ -126,6 +126,35 @@ def test_hist_asof_never_expands_turns_across_the_grid(spark):
             assert "ts#" not in line, line
 
 
+def test_fbn_grey_asof_refuses_dense_grids(spark):
+    """fbn_grey_asof is the engine's only O(turns x cutoffs) expansion and
+    must refuse dense grids (the compacted fbn_hist_asof path serves
+    those); a small grid still works, and `_expand` has no other engine
+    call site (source-asserted so a new consumer cannot sneak in)."""
+    import pathlib
+
+    import pytest
+
+    from z_rad_spark.operators import firstorder_sql
+
+    dense = [f"2024-01-{d:02d} 00:00:00" for d in range(2, 31)]
+    with pytest.raises(ValueError, match="O\\(turns x cutoffs\\)"):
+        firstorder_sql.fbn_grey_asof(_turns(spark), spark, dense, 6)
+    small = firstorder_sql.fbn_grey_asof(
+        _turns(spark), spark, ["2024-01-15 00:00:00"], 6
+    )
+    assert small.where(F.col("grey").isNotNull()).count() > 0
+    # no other engine code may reach the _expand join
+    pkg = pathlib.Path(firstorder_sql.__file__).parent.parent
+    hits = [
+        p
+        for p in pkg.rglob("*.py")
+        for line in p.read_text().splitlines()
+        if "_expand(" in line and "def _expand" not in line
+    ]
+    assert hits == [pathlib.Path(firstorder_sql.__file__)], hits
+
+
 def test_kmeans_assignment_is_shuffle_free(spark):
     """Literal-codebook argmax: zero Exchange between the scan and the
     assignment projection (the old crossjoin+row_number formulation

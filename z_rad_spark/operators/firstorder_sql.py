@@ -222,14 +222,31 @@ def _fbn_grey(x: Column, lo: Column, hi: Column, n_bins: int) -> Column:
     )
 
 
+FBN_GREY_MAX_CUTOFFS = 8
+
+
 def fbn_grey_asof(
-    df: DataFrame, spark: SparkSession, cutoffs: Iterable[str], n_bins: int, signal_col: str = "signal"
+    df: DataFrame, spark: SparkSession, cutoffs: Iterable[str], n_bins: int,
+    signal_col: str = "signal", max_cutoffs: int = FBN_GREY_MAX_CUTOFFS,
 ) -> DataFrame:
     """PER-ROW FBN discretization per (conv_id, as_of) — for consumers
-    that need turn-level grey values. This path expands turns across the
-    cutoff grid (O(turns x cutoffs) rows before the shuffle); histogram /
-    distribution consumers must use :func:`fbn_hist_asof`, which bins the
-    COMPACTED value histogram instead and is grid-size safe."""
+    that need turn-level grey values. This is the engine's ONLY remaining
+    O(turns x cutoffs) expansion and has no internal consumers (every
+    histogram / distribution path rides :func:`fbn_hist_asof`, which bins
+    the COMPACTED value histogram and is grid-size safe) — it exists for
+    callers who genuinely need per-turn grey values at a handful of
+    cutoffs. To keep the footgun out of dense-grid plans it REFUSES grids
+    larger than ``max_cutoffs`` (raise the bound explicitly only if you
+    accept replicating every turn once per cutoff)."""
+    cutoffs = list(cutoffs)
+    if len(cutoffs) > max_cutoffs:
+        raise ValueError(
+            f"fbn_grey_asof expands every turn once per cutoff "
+            f"(O(turns x cutoffs)); got {len(cutoffs)} cutoffs > "
+            f"max_cutoffs={max_cutoffs}. Dense grids must use fbn_hist_asof "
+            f"(compacted-histogram path) instead; pass max_cutoffs "
+            f"explicitly only if you accept the expansion."
+        )
     x = F.col(signal_col)
     rows = _expand(df.select("conv_id", "ts", "turn_idx", signal_col), spark, cutoffs)
     w = Window.partitionBy(*KEYS)
