@@ -250,6 +250,31 @@ def q_backfill_mask(spark, sf_dir):
     )
 
 
+def q_backfill_cubic(spark, sf_dir):
+    """Non-uniform Catmull-Rom regrid (the BSpline-order-3 analogue,
+    zrad/preprocessing/interpolation.py:24-54): cubic Hermite through the
+    bracketing turns, finite-difference tangents from the second
+    bracketing turn per side, linear-style edge fallbacks."""
+    out = backfill(_t(spark, sf_dir), 86400, "signal", method="cubic")
+    return _r6(
+        out.select("conv_id", _us("grid_ts", "grid_us"), F.col("signal").alias("tok_cubic")),
+        ["tok_cubic"],
+    )
+
+
+def q_backfill_gauss(spark, sf_dir):
+    """Gaussian-kernel regrid (sitkGaussian analogue, interpolation.py:
+    24-54): kernel-weighted mean of turns within 3 sigma, scatter-shaped
+    (bounded per-turn cell explode + one groupBy, no per-key window)."""
+    from z_rad_spark.operators.backfill import backfill_gaussian
+
+    out = backfill_gaussian(_t(spark, sf_dir), 86400)
+    return _r6(
+        out.select("conv_id", _us("grid_ts", "grid_us"), F.col("signal").alias("tok_gauss")),
+        ["tok_gauss"],
+    )
+
+
 def q_decay_norm(spark, sf_dir):
     """PET-SUV-correction analogue: per-turn exponential decay correction
     anchored at the conversation start (per-entity scalar broadcast +
@@ -2044,6 +2069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_glrlm": q_glrlm,
         "q_ivh": q_ivh,
         "q_winnow": q_winnow,
+        "q_backfill_cubic": q_backfill_cubic,
+        "q_backfill_gauss": q_backfill_gauss,
         # ===== gate window ends here (first 50 entries) ================
         # green in round 1 or 2, unchanged since
         "q_moran": q_moran,

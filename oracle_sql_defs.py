@@ -370,6 +370,88 @@ SELECT conv_id, CAST(epoch_us(grid_ts) AS BIGINT) AS grid_us, {r6('v', 'tok_lin'
 FROM lin
 """
 
+# cubic: same prev/next scans as linear plus the rn=2 (second bracketing)
+# rows; the Hermite algebra below textually mirrors the Spark expression
+# tree (same literal forms, same left-associative order) so both engines
+# execute the identical double-op sequence
+ORACLES["q_backfill_cubic"] = f"""
+WITH t AS ({T}),
+{_GRID_DAYS},
+pr AS (
+  SELECT g.conv_id, g.grid_ts, t.signal, t.ts,
+         ROW_NUMBER() OVER (PARTITION BY g.conv_id, g.grid_ts ORDER BY t.ts DESC, t.turn_idx DESC) AS rn
+  FROM grid g LEFT JOIN t ON t.conv_id = g.conv_id AND t.ts <= g.grid_ts
+),
+nx AS (
+  SELECT g.conv_id, g.grid_ts, t.signal, t.ts,
+         ROW_NUMBER() OVER (PARTITION BY g.conv_id, g.grid_ts ORDER BY t.ts ASC, t.turn_idx ASC) AS rn
+  FROM grid g LEFT JOIN t ON t.conv_id = g.conv_id AND t.ts > g.grid_ts
+),
+w0 AS (
+  SELECT p1.conv_id, p1.grid_ts,
+         p1.signal AS v1, p1.ts AS pt1,
+         p2.signal AS v0, p2.ts AS pt0,
+         n1.signal AS v2, n1.ts AS nt1,
+         n2.signal AS v3, n2.ts AS nt2
+  FROM (SELECT * FROM pr WHERE rn = 1) p1
+  LEFT JOIN (SELECT * FROM pr WHERE rn = 2) p2 USING (conv_id, grid_ts)
+  LEFT JOIN (SELECT * FROM nx WHERE rn = 1) n1 USING (conv_id, grid_ts)
+  LEFT JOIN (SELECT * FROM nx WHERE rn = 2) n2 USING (conv_id, grid_ts)
+),
+w1 AS (
+  SELECT *,
+         CAST(epoch_us(pt0) AS DOUBLE) / 1000000.0 AS t0s,
+         CAST(epoch_us(pt1) AS DOUBLE) / 1000000.0 AS t1s,
+         CAST(epoch_us(nt1) AS DOUBLE) / 1000000.0 AS t2s,
+         CAST(epoch_us(nt2) AS DOUBLE) / 1000000.0 AS t3s,
+         CAST(epoch_us(grid_ts) AS DOUBLE) / 1000000.0 AS tgs,
+         epoch_us(nt1) - epoch_us(pt1) AS dt_us
+  FROM w0
+),
+w2 AS (
+  SELECT *,
+         t2s - t1s AS h,
+         CASE WHEN v0 IS NOT NULL AND t2s - t0s <> 0 THEN (v2 - v0) / (t2s - t0s)
+              ELSE CASE WHEN t2s - t1s <> 0 THEN (v2 - v1) / (t2s - t1s) END END AS m1,
+         CASE WHEN v3 IS NOT NULL AND t3s - t1s <> 0 THEN (v3 - v1) / (t3s - t1s)
+              ELSE CASE WHEN t2s - t1s <> 0 THEN (v2 - v1) / (t2s - t1s) END END AS m2,
+         CASE WHEN t2s - t1s <> 0 THEN (tgs - t1s) / (t2s - t1s) END AS s
+  FROM w1
+),
+w3 AS (SELECT *, s * s AS s2, s * s * s AS s3 FROM w2),
+cu AS (
+  SELECT conv_id, grid_ts,
+         CASE WHEN v1 IS NULL THEN v2
+              WHEN v2 IS NULL THEN v1
+              WHEN dt_us = 0 THEN v1
+              ELSE (2 * s3 - 3 * s2 + 1) * v1 + (s3 - 2 * s2 + s) * h * m1
+                   + (-2 * s3 + 3 * s2) * v2 + (s3 - s2) * h * m2
+         END AS v
+  FROM w3
+)
+SELECT conv_id, CAST(epoch_us(grid_ts) AS BIGINT) AS grid_us, {r6('v', 'tok_cubic')}
+FROM cu
+"""
+
+ORACLES["q_backfill_gauss"] = f"""
+WITH t AS ({T}),
+{_GRID_DAYS},
+j AS (
+  SELECT g.conv_id, g.grid_ts,
+         EXP(-0.5 * (CAST(epoch_us(g.grid_ts) - epoch_us(t.ts) AS DOUBLE) / 1000000.0 / 43200.0)
+                  * (CAST(epoch_us(g.grid_ts) - epoch_us(t.ts) AS DOUBLE) / 1000000.0 / 43200.0)) AS w,
+         t.signal AS v
+  FROM grid g JOIN t ON t.conv_id = g.conv_id
+       AND ABS(epoch_us(g.grid_ts) - epoch_us(t.ts)) <= 129600000000
+),
+a AS (
+  SELECT conv_id, grid_ts, SUM(w * v) / SUM(w) AS v
+  FROM j GROUP BY conv_id, grid_ts
+)
+SELECT g.conv_id, CAST(epoch_us(g.grid_ts) AS BIGINT) AS grid_us, {r6('a.v', 'tok_gauss')}
+FROM grid g LEFT JOIN a ON a.conv_id = g.conv_id AND a.grid_ts = g.grid_ts
+"""
+
 ORACLES["q_backfill_mask"] = f"""
 WITH t AS ({T})
 SELECT conv_id,

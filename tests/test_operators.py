@@ -85,6 +85,71 @@ def test_backfill_linear_between_points(spark):
     assert list(out["signal"]) == [1.0, 2.0, 3.0]
 
 
+def _mini_conv(spark, points):
+    rows = [
+        ("c", i, "user", "x", None, np.datetime64(ts, "us"))
+        for i, (ts, _) in enumerate(points)
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+    vals = spark.createDataFrame(
+        [(i, float(v)) for i, (_, v) in enumerate(points)], "turn_idx int, signal double"
+    )
+    return df.join(vals, "turn_idx")
+
+
+def test_backfill_cubic_interpolates_and_falls_back(spark):
+    """Catmull-Rom passes through the data, reproduces the closed-form
+    Hermite value between brackets, and degrades to the linear fallbacks
+    at the edges (no bracketing side -> the available side)."""
+    pts = [
+        ("2024-01-01T00:00:00", 0.0),
+        ("2024-01-01T01:00:00", 2.0),
+        ("2024-01-01T02:00:00", 1.0),
+        ("2024-01-01T03:00:00", 3.0),
+    ]
+    df = _mini_conv(spark, pts)
+    out = backfill(df, 1800, "signal", method="cubic").toPandas().sort_values("grid_ts")
+    got = dict(zip(out["grid_ts"].astype(str), out["signal"]))
+    # exact hits reproduce the data (dt_us==0 -> prev value)
+    assert got["2024-01-01 01:00:00"] == 2.0
+    assert got["2024-01-01 02:00:00"] == 1.0
+    # interior point 01:30 between (1h,2.0) and (2h,1.0), tangents from
+    # (0h,0.0) and (3h,3.0): s=0.5, m1=(1-0)/7200, m2=(3-2)/7200,
+    # v = h00*2 + h10*3600*m1 + h01*1 + h11*3600*m2
+    s = 0.5
+    h00, h10, h01, h11 = (
+        2 * s**3 - 3 * s**2 + 1,
+        s**3 - 2 * s**2 + s,
+        -2 * s**3 + 3 * s**2,
+        s**3 - s**2,
+    )
+    want = h00 * 2.0 + h10 * 3600 * (1.0 / 7200) + h01 * 1.0 + h11 * 3600 * (1.0 / 7200)
+    assert abs(got["2024-01-01 01:30:00"] - want) < 1e-12
+    # leading edge (only next side): falls back to next value
+    assert got["2024-01-01 00:00:00"] == 0.0
+
+
+def test_backfill_gaussian_weighted_mean_and_null_holes(spark):
+    from z_rad_spark.operators.backfill import backfill_gaussian
+
+    pts = [("2024-01-01T00:00:00", 4.0), ("2024-01-02T12:00:00", 8.0)]
+    df = _mini_conv(spark, pts)
+    # step 1h, sigma 30min, radius 90min: grid cells more than 90min from
+    # both turns must be NULL; the cell at a turn is dominated by it
+    out = backfill_gaussian(df, 3600, sigma_seconds=1800).toPandas()
+    out = out.sort_values("grid_ts").reset_index(drop=True)
+    by = dict(zip(out["grid_ts"].astype(str), out["signal"]))
+    assert by["2024-01-01 00:00:00"] == 4.0  # only turn in radius, w cancels
+    assert pd.isna(by["2024-01-01 12:00:00"])  # hole: no turn within 90min
+    assert by["2024-01-02 12:00:00"] == 8.0
+    # a cell 1h from turn A only: still exactly A's value
+    assert by["2024-01-01 01:00:00"] == 4.0
+    # every in-span grid row is present (holes as NULL, not missing rows)
+    assert len(out) == 37  # 36h span / 1h + 1
+
+
 def test_exact_dedup(spark):
     pdf = pd.DataFrame(
         {"doc_id": [0, 1, 2, 3], "text": ["a  b", "a b", "c", "c "]}
