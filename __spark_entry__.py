@@ -294,6 +294,36 @@ def q_decay_norm(spark, sf_dir):
     )
 
 
+def q_suv_norm(spark, sf_dir):
+    """PET SUV normalization variants (zrad/io/pet_suv.py:58-206): all
+    six body-model factors (BW / Du Bois BSA / Morgan LBM / James-128 /
+    Janmahasatian / IBW) as pure column math over a per-conversation
+    attribute frame, plus the mean signal normalized by body weight —
+    the per-entity-scalar broadcast shape of q_decay_norm."""
+    from z_rad_spark.operators.suv import synth_patient_attrs, with_suv_factors
+
+    t = _t(spark, sf_dir)
+    fac = with_suv_factors(synth_patient_attrs(t))
+    sig = t.groupBy("conv_id").agg(F.avg("signal").alias("_sig"))
+    out = fac.join(sig, "conv_id").select(
+        "conv_id",
+        "sex",
+        "weight_kg",
+        "height_cm",
+        "f_bw",
+        "f_bsa",
+        "f_lbm",
+        "f_lbm128",
+        "f_janma",
+        "f_ibw",
+        (F.col("_sig") / F.col("f_bw")).alias("sig_per_bw"),
+    )
+    return _r6(
+        out, ["weight_kg", "height_cm", "f_bw", "f_bsa", "f_lbm", "f_lbm128",
+              "f_janma", "f_ibw", "sig_per_bw"]
+    )
+
+
 def q_tool_names(spark, sf_dir):
     """Structure-name listing analogue (zrad/io/dicom.py:367-383)."""
     return _t(spark, sf_dir).where(F.col("tool").isNotNull()).select("tool").distinct()
@@ -2071,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow": q_winnow,
         "q_backfill_cubic": q_backfill_cubic,
         "q_backfill_gauss": q_backfill_gauss,
+        "q_suv_norm": q_suv_norm,
         # ===== gate window ends here (first 50 entries) ================
         # green in round 1 or 2, unchanged since
         "q_moran": q_moran,

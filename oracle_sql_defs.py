@@ -469,6 +469,61 @@ SELECT t.conv_id, t.turn_idx,
 FROM t JOIN t0 ON t.conv_id = t0.conv_id
 """
 
+# SUV normalization factors (pet_suv.py:58-206 parity): the attribute
+# frame replays synth_patient_attrs' numeric-suffix parse; every factor
+# textually mirrors the Spark expression tree (left-assoc double ops)
+ORACLES["q_suv_norm"] = f"""
+WITH t AS ({T}),
+ids AS (
+  SELECT DISTINCT conv_id,
+         ABS(CAST(regexp_replace(conv_id, '[^0-9]', '', 'g') AS BIGINT)) AS uid
+  FROM t
+),
+attrs AS (
+  SELECT conv_id,
+         50.0 + CAST(uid % 50 AS DOUBLE) AS weight_kg,
+         150.0 + CAST(uid % 40 AS DOUBLE) AS height_cm,
+         CASE CAST(uid % 3 AS INT) WHEN 0 THEN 'M' WHEN 1 THEN 'F' ELSE 'O' END AS sex
+  FROM ids
+),
+f0 AS (
+  SELECT *,
+         POW(weight_kg / height_cm, 2.0) AS woh2,
+         weight_kg / POW(height_cm * 0.01, 2.0) AS bmi
+  FROM attrs
+),
+fac AS (
+  SELECT conv_id, sex, weight_kg, height_cm,
+         weight_kg AS f_bw,
+         0.007184 * POW(height_cm, 0.725) * POW(weight_kg, 0.425) AS f_bsa,
+         CASE WHEN sex = 'M' THEN 1.10 * weight_kg - 120.0 * woh2
+              WHEN sex = 'F' THEN 1.07 * weight_kg - 148.0 * woh2
+              ELSE 0.5 * ((1.10 * weight_kg - 120.0 * woh2) + (1.07 * weight_kg - 148.0 * woh2)) END AS f_lbm,
+         CASE WHEN sex = 'M' THEN 1.10 * weight_kg - 128.0 * woh2
+              WHEN sex = 'F' THEN 1.07 * weight_kg - 148.0 * woh2
+              ELSE 0.5 * ((1.10 * weight_kg - 128.0 * woh2) + (1.07 * weight_kg - 148.0 * woh2)) END AS f_lbm128,
+         CASE WHEN sex = 'M' THEN 9270.0 * weight_kg / (6680.0 + 216.0 * bmi)
+              WHEN sex = 'F' THEN 9270.0 * weight_kg / (8780.0 + 244.0 * bmi)
+              ELSE 0.5 * ((9270.0 * weight_kg / (6680.0 + 216.0 * bmi)) + (9270.0 * weight_kg / (8780.0 + 244.0 * bmi))) END AS f_janma,
+         CASE WHEN sex = 'M' THEN 48.0 + 1.06 * (height_cm - 152.0)
+              WHEN sex = 'F' THEN 45.5 + 0.91 * (height_cm - 152.0)
+              ELSE 0.5 * ((48.0 + 1.06 * (height_cm - 152.0)) + (45.5 + 0.91 * (height_cm - 152.0))) END AS f_ibw
+  FROM f0
+),
+sig AS (SELECT conv_id, AVG(signal) AS s FROM t GROUP BY conv_id)
+SELECT fac.conv_id, fac.sex,
+       {r6('fac.weight_kg', 'weight_kg')},
+       {r6('fac.height_cm', 'height_cm')},
+       {r6('fac.f_bw', 'f_bw')},
+       {r6('fac.f_bsa', 'f_bsa')},
+       {r6('fac.f_lbm', 'f_lbm')},
+       {r6('fac.f_lbm128', 'f_lbm128')},
+       {r6('fac.f_janma', 'f_janma')},
+       {r6('fac.f_ibw', 'f_ibw')},
+       {r6('sig.s / fac.f_bw', 'sig_per_bw')}
+FROM fac JOIN sig USING (conv_id)
+"""
+
 ORACLES["q_tool_names"] = f"""
 WITH t AS ({T})
 SELECT DISTINCT tool FROM t WHERE tool IS NOT NULL

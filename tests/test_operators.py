@@ -150,6 +150,29 @@ def test_backfill_gaussian_weighted_mean_and_null_holes(spark):
     assert len(out) == 37  # 36h span / 1h + 1
 
 
+def test_suv_factors_match_reference_formulas(spark):
+    """Factor parity with the published body-model formulas
+    (pet_suv.py:58-206): spot-check one M, one F and the O=mean rule."""
+    from z_rad_spark.operators.suv import with_suv_factors
+
+    attrs = spark.createDataFrame(
+        [("a", 80.0, 180.0, "M"), ("b", 60.0, 165.0, "F"), ("c", 70.0, 170.0, "O")],
+        "conv_id string, weight_kg double, height_cm double, sex string",
+    )
+    got = {r["conv_id"]: r.asDict() for r in with_suv_factors(attrs).collect()}
+    m, f, o = got["a"], got["b"], got["c"]
+    assert m["f_bw"] == 80.0
+    assert abs(m["f_bsa"] - 0.007184 * 180.0**0.725 * 80.0**0.425) < 1e-12
+    assert abs(m["f_lbm"] - (1.10 * 80 - 120.0 * (80 / 180.0) ** 2)) < 1e-12
+    assert abs(m["f_lbm128"] - (1.10 * 80 - 128.0 * (80 / 180.0) ** 2)) < 1e-12
+    bmi_f = 60.0 / (1.65**2)
+    assert abs(f["f_janma"] - 9270.0 * 60 / (8780.0 + 244.0 * bmi_f)) < 1e-9
+    assert abs(f["f_ibw"] - (45.5 + 0.91 * (165.0 - 152.0))) < 1e-12
+    ibw_m, ibw_f = 48.0 + 1.06 * (170 - 152.0), 45.5 + 0.91 * (170 - 152.0)
+    assert abs(o["f_ibw"] - 0.5 * (ibw_m + ibw_f)) < 1e-12
+    assert all(v["f_lbm"] > 0 and v["f_bsa"] > 0 for v in got.values())
+
+
 def test_exact_dedup(spark):
     pdf = pd.DataFrame(
         {"doc_id": [0, 1, 2, 3], "text": ["a  b", "a b", "c", "c "]}
