@@ -1078,27 +1078,31 @@ def q_extract_full(spark, sf_dir):
     the oracle (oracle_sql_defs.flagship_full_sql) replays the full kernel
     per (conv_id, as_of) with eligibility-hole semantics for all 156
     feature columns. Output normalized like every gate query: epoch-us
-    key, NaN -> NULL, 6dp rounding."""
+    key, NaN -> NULL, 6dp rounding.
+
+    The normalization is ONE selectExpr of parsed SQL strings, not 156
+    py4j-built Column trees: the r3 gate variant spent 4-8 s per call in
+    DRIVER-side tree construction/analysis (execution was flat) — parsed
+    expressions cut the gate overhead to ~0.3 s over the raw flagship
+    measure (the plan-cost rule documented in BASELINE.md round-3)."""
     cfg = FeatureConfig(eligible_roles=("user", "assistant", "tool"), gap_seconds=GAP_SECONDS)
     out = extract_features(_t(spark, sf_dir), cfg, CUTOFFS)
     feat_cols = [
         c for c in out.columns
         if c not in ("conv_id", "as_of", "n_turns", "n_eligible", "n_bins")
     ]
-    def r6c(c):
-        col = F.col(c).cast("double")
-        col = F.when(F.isnan(col), F.lit(None).cast("double")).otherwise(col)
-        return (F.round(col, 6) + F.lit(0.0)).alias(c)
-
-    # one select, not 156 chained withColumns (each withColumn re-analyzes
-    # the whole plan — quadratic planning cost on a 161-col frame)
-    return out.select(
+    return out.selectExpr(
         "conv_id",
-        _us("as_of", "as_of_us"),
-        F.col("n_turns").cast("long").alias("n_turns"),
-        F.col("n_eligible").cast("long").alias("n_eligible"),
-        F.col("n_bins").cast("long").alias("n_bins"),
-        *[r6c(c) for c in feat_cols],
+        "CAST(unix_micros(CAST(as_of AS TIMESTAMP)) AS BIGINT) AS as_of_us",
+        "CAST(n_turns AS BIGINT) AS n_turns",
+        "CAST(n_eligible AS BIGINT) AS n_eligible",
+        "CAST(n_bins AS BIGINT) AS n_bins",
+        *[
+            # nanvl == the old when(isnan, NULL) branch; NULL passes through
+            f"round(nanvl(CAST(`{c}` AS DOUBLE), CAST(NULL AS DOUBLE)), 6)"
+            f" + CAST(0.0 AS DOUBLE) AS `{c}`"
+            for c in feat_cols
+        ],
     )
 
 
