@@ -803,7 +803,11 @@ pm_stats AS (
          SUM(pk * POW(k - diff_avg, 2)) AS diff_var,
          -SUM(CASE WHEN pk > 0 THEN pk * LOG2(pk) END) AS diff_entr,
          SUM(pk / (1 + k * k)) AS inv_diff_mom,
-         COALESCE(SUM(CASE WHEN k > 0 THEN pk / (k * k) END), 0) AS inv_var
+         -- ordered fold, k ascending, exact-numerator terms (ck/ms ==
+         -- the kernel's p_minus[k] bit-for-bit): matches _seq_sum in
+         -- kernels/texture.py so both engines run the same add sequence
+         list_reduce([0.0] || COALESCE(list((ck / ms) / (k * k) ORDER BY k) FILTER (WHERE k > 0), []),
+                     (acc, x) -> acc + x) AS inv_var
   FROM pm JOIN pm_avg USING ({K}) GROUP BY {K}
 ),
 pm_norm AS (
@@ -947,7 +951,9 @@ runs AS (
 """
 
 
-def _runs16_sql(names: list[str], width_expr: str | None = None) -> str:
+def _runs16_sql(
+    names: list[str], width_expr: str | None = None, ordered_recip: bool = False
+) -> str:
     """MIRROR CONTRACT: the 16 formula expressions here, in
     _runs16_session_sql, and in _flagship_runs16 must stay identical —
     a change to any one (e.g. an exact-form rewrite) must be replicated
@@ -957,8 +963,25 @@ def _runs16_sql(names: list[str], width_expr: str | None = None) -> str:
     the run decomposition. ``names`` gives the 16 output aliases in
     TEXTURE_ATTRS order. ``width_expr`` replaces the run length as the
     matrix column key (GLDZM passes the min border distance); the
-    default (None) uses run length (GLRLM / 1-D GLSZM)."""
+    default (None) uses run length (GLRLM / 1-D GLSZM).
+
+    ``ordered_recip`` (the DZM instantiations): compute sde/sdhge with
+    the ordered per-CELL fold — list((lvl asc, jl asc)) + list_reduce —
+    mirroring kernels/texture._seq_sum so the two engines execute the
+    identical double-add sequence (BASELINE.md round-3 update 2)."""
     j = width_expr or "r.len"
+    osum_cte = """
+osum AS (
+  SELECT b.conv_id,
+         list_reduce([0.0] || COALESCE(list(b.c / (b.jl * b.jl) ORDER BY b.lvl, b.jl), []),
+                     (acc, x) -> acc + x) AS sde_num,
+         list_reduce([0.0] || COALESCE(list(b.lvl * b.lvl * b.c / (b.jl * b.jl) ORDER BY b.lvl, b.jl), []),
+                     (acc, x) -> acc + x) AS sdhge_num
+  FROM bycell b GROUP BY b.conv_id
+),""" if ordered_recip else ""
+    sre_sel = "o.sde_num / n.n_s" if ordered_recip else "s.sre"
+    srhge_sel = "o.sdhge_num / n.n_s" if ordered_recip else "s.srhge"
+    osum_join = "\nJOIN osum o ON s.conv_id = o.conv_id" if ordered_recip else ""
     return f"""
 WITH t AS ({T}),
 {_ORD},
@@ -991,7 +1014,7 @@ bylen AS (
 ),
 bycell AS (
   SELECT conv_id, lvl, jl, CAST(COUNT(*) AS DOUBLE) AS c FROM dz GROUP BY conv_id, lvl, jl
-),
+),{osum_cte}
 glnu AS (SELECT conv_id, SUM(c * c) AS v FROM bylvl GROUP BY conv_id),
 rlnu AS (SELECT conv_id, SUM(c * c) AS v FROM bylen GROUP BY conv_id),
 entr AS (
@@ -999,12 +1022,12 @@ entr AS (
   FROM bycell b JOIN ns n ON b.conv_id = n.conv_id GROUP BY b.conv_id
 )
 SELECT s.conv_id,
-       {r6('s.sre', names[0])},
+       {r6(sre_sel, names[0])},
        {r6('s.lre', names[1])},
        {r6('s.lgre', names[2])},
        {r6('s.hgre', names[3])},
        {r6('s.srlge', names[4])},
-       {r6('s.srhge', names[5])},
+       {r6(srhge_sel, names[5])},
        {r6('s.lrlge', names[6])},
        {r6('s.lrhge', names[7])},
        {r6('g.v / n.n_s', names[8])},
@@ -1020,11 +1043,13 @@ JOIN ns n ON s.conv_id = n.conv_id
 JOIN vox v ON s.conv_id = v.conv_id
 JOIN glnu g ON s.conv_id = g.conv_id
 JOIN rlnu rl ON s.conv_id = rl.conv_id
-JOIN entr e ON s.conv_id = e.conv_id
+JOIN entr e ON s.conv_id = e.conv_id{osum_join}
 """
 
 
-def _runs16_session_sql(names: list[str], merge: bool, dzm_dist: bool = False) -> str:
+def _runs16_session_sql(
+    names: list[str], merge: bool, dzm_dist: bool = False, ordered_recip: bool = False
+) -> str:
     """MIRROR CONTRACT: keep the 16 formulas in lockstep with
     _runs16_sql and _flagship_runs16 (see _runs16_sql docstring).
 
@@ -1108,10 +1133,20 @@ entr AS (
   SELECT {K}, -SUM((c / n_s) * LOG2(c / n_s)) AS v FROM (
     SELECT {K}, lvl, jl, CAST(COUNT(*) AS DOUBLE) AS c FROM runs GROUP BY {K}, lvl, jl
   ) JOIN ns USING ({K}) GROUP BY {K}
-),
+),{'''
+osum AS (
+  SELECT ''' + K + ''',
+         list_reduce([0.0] || COALESCE(list(c / (jl * jl) ORDER BY lvl, jl), []),
+                     (acc, x) -> acc + x) AS sde_num,
+         list_reduce([0.0] || COALESCE(list(lvl * lvl * c / (jl * jl) ORDER BY lvl, jl), []),
+                     (acc, x) -> acc + x) AS sdhge_num
+  FROM (SELECT ''' + K + ''', lvl, jl, CAST(COUNT(*) AS DOUBLE) AS c FROM runs GROUP BY ''' + K + ''', lvl, jl)
+  GROUP BY ''' + K + '''
+),''' if ordered_recip else ''}
 feat AS (
   SELECT {', '.join('s.' + k for k in K.split(', '))},
-         s.sre, s.lre, s.lgre, s.hgre, s.srlge, s.srhge, s.lrlge, s.lrhge,
+         {'o.sde_num / n.n_s AS sre' if ordered_recip else 's.sre'}, s.lre, s.lgre, s.hgre, s.srlge,
+         {'o.sdhge_num / n.n_s AS srhge' if ordered_recip else 's.srhge'}, s.lrlge, s.lrhge,
          g.v / n.n_s AS glnu_v, g.v / (n.n_s * n.n_s) AS glnu_n,
          rl.v / n.n_s AS rlnu_v, rl.v / (n.n_s * n.n_s) AS rlnu_n,
          n.n_s / {vc} AS perc, s.gl_var, s.rl_var, e.v AS entr_v
@@ -1121,6 +1156,7 @@ feat AS (
   JOIN rlnu rl USING ({K})
   JOIN entr e USING ({K})
   JOIN vox v ON s.conv_id = v.conv_id
+  {f'JOIN osum o USING ({K})' if ordered_recip else ''}
   {'JOIN ssz sz ON s.conv_id = sz.conv_id AND s.sid = sz.sid' if not merge else ''}
 )
 """
@@ -1149,7 +1185,9 @@ _DZM16 = ["dzm_sde", "dzm_lde", "dzm_lgze", "dzm_hgze", "dzm_sdlge", "dzm_sdhge"
 # across sessions before the formulas; GLDZM keys zones by distance to
 # the SESSION border
 ORACLES["q_glszm_25d"] = _runs16_session_sql(_SZM16, merge=True)
-ORACLES["q_gldzm_25d"] = _runs16_session_sql(_DZM16, merge=True, dzm_dist=True)
+ORACLES["q_gldzm_25d"] = _runs16_session_sql(
+    _DZM16, merge=True, dzm_dist=True, ordered_recip=True
+)
 
 ORACLES["q_glrlm"] = _runs16_sql(
     ["rlm_sre", "rlm_lre", "rlm_lgre", "rlm_hgre", "rlm_srlge", "rlm_srhge",
@@ -1176,6 +1214,7 @@ ORACLES["q_gldzm"] = _runs16_sql(
     width_expr=(
         "GREATEST(LEAST(LEAST(r.srn, v.vc - r.srn + 1), LEAST(r.ern, v.vc - r.ern + 1)), 1)"
     ),
+    ordered_recip=True,
 )
 
 def _ngldm_sql(session_bounded: bool = False, avg_2d: bool = False) -> str:
@@ -3012,15 +3051,31 @@ ORACLES["q_hist_daily"] = ORACLES["q_hist_asof"].replace(GRID, _GRID_DAILY)
 # ---------------------------------------------------------------------------
 
 
-def _flagship_runs16(runsrc: str, jl: str, pfx: str) -> str:
+def _flagship_runs16(runsrc: str, jl: str, pfx: str, ordered_recip: bool = False) -> str:
     """MIRROR CONTRACT: keep the 16 formulas in lockstep with
     _runs16_sql and _runs16_session_sql (see _runs16_sql docstring).
 
     16-formula reducer over ``runsrc``(conv_id, as_of, lvl, {jl}) keyed
     (conv_id, as_of), ending in ``{pfx}feat`` with the raw column names
-    sre..entr_v (texture_base.py:40-214 under the 1-D run degeneracy)."""
+    sre..entr_v (texture_base.py:40-214 under the 1-D run degeneracy).
+    ``ordered_recip`` (DZM block): ordered per-cell folds for sde/sdhge,
+    same contract as _runs16_sql."""
     K = "conv_id, as_of"
-    return f"""{pfx}ns AS (SELECT {K}, CAST(COUNT(*) AS DOUBLE) AS n_s,
+    osum_cte = f"""
+{pfx}osum AS (
+  SELECT {K},
+         list_reduce([0.0] || COALESCE(list(c / (jlv * jlv) ORDER BY lvl, jlv), []),
+                     (acc, x) -> acc + x) AS sde_num,
+         list_reduce([0.0] || COALESCE(list(lvl * lvl * c / (jlv * jlv) ORDER BY lvl, jlv), []),
+                     (acc, x) -> acc + x) AS sdhge_num
+  FROM (SELECT {K}, lvl, {jl} AS jlv, CAST(COUNT(*) AS DOUBLE) AS c FROM {runsrc} GROUP BY {K}, lvl, {jl})
+  GROUP BY {K}
+),""" if ordered_recip else ""
+    sre_sel = f"o.sde_num / n.n_s" if ordered_recip else "s.sre"
+    srhge_sel = f"o.sdhge_num / n.n_s" if ordered_recip else "s.srhge"
+    osum_join = f"\n  JOIN {pfx}osum o USING ({K})" if ordered_recip else ""
+    return f"""{osum_cte}
+{pfx}ns AS (SELECT {K}, CAST(COUNT(*) AS DOUBLE) AS n_s,
               AVG(lvl) AS mu_i, AVG({jl} - 1) AS mu_j FROM {runsrc} GROUP BY {K}),
 {pfx}simple AS (
   SELECT {K},
@@ -3053,7 +3108,7 @@ def _flagship_runs16(runsrc: str, jl: str, pfx: str) -> str:
 ),
 {pfx}feat AS (
   SELECT s.conv_id, s.as_of,
-         s.sre, s.lre, s.lgre, s.hgre, s.srlge, s.srhge, s.lrlge, s.lrhge,
+         {sre_sel} AS sre, s.lre, s.lgre, s.hgre, s.srlge, {srhge_sel} AS srhge, s.lrlge, s.lrhge,
          g.v / n.n_s AS glnu_v, g.v / (n.n_s * n.n_s) AS glnu_n,
          rl.v / n.n_s AS rlnu_v, rl.v / (n.n_s * n.n_s) AS rlnu_n,
          n.n_s / m.vc AS perc, s.gl_var, s.rl_var, e.v AS entr_v
@@ -3062,7 +3117,7 @@ def _flagship_runs16(runsrc: str, jl: str, pfx: str) -> str:
   JOIN {pfx}glnu g USING ({K})
   JOIN {pfx}rlnu rl USING ({K})
   JOIN {pfx}entr e USING ({K})
-  JOIN fmeta m USING ({K})
+  JOIN fmeta m USING ({K}){osum_join}
 )"""
 
 
@@ -3273,7 +3328,11 @@ cm_pm_stats AS (
          SUM(pk * POW(k - diff_avg, 2)) AS diff_var,
          -SUM(CASE WHEN pk > 0 THEN pk * LOG2(pk) END) AS diff_entr,
          SUM(pk / (1 + k * k)) AS inv_diff_mom,
-         COALESCE(SUM(CASE WHEN k > 0 THEN pk / (k * k) END), 0) AS inv_var
+         -- ordered fold, k ascending, exact-numerator terms (ck/ms ==
+         -- the kernel's p_minus[k] bit-for-bit): matches _seq_sum in
+         -- kernels/texture.py so both engines run the same add sequence
+         list_reduce([0.0] || COALESCE(list((ck / ms) / (k * k) ORDER BY k) FILTER (WHERE k > 0), []),
+                     (acc, x) -> acc + x) AS inv_var
   FROM cm_pm JOIN cm_pm_avg USING ({K}) GROUP BY {K}
 ),
 cm_pm_norm AS (
@@ -3371,7 +3430,7 @@ rz AS MATERIALIZED (
   FROM rz_runs0 r JOIN rz_ext x ON {on('r', 'x')} AND r.isl = x.isl
 ),
 {_flagship_runs16('rz', 'rlen', 'rl_')},
-{_flagship_runs16('rz', 'dd', 'dz_')},"""
+{_flagship_runs16('rz', 'dd', 'dz_', ordered_recip=True)},"""
 
     # ---- NGTDM (positional neighbourhood, ineligible contribute nothing) --
     ngt = f"""

@@ -153,6 +153,21 @@ NGLDM_NAMES = (
 SENTINEL = 1_000_000.0
 
 
+def _seq_sum(a) -> float:
+    """Strict left-to-right sequential sum. The reciprocal-square
+    reductions (cm_inv_var, dzm_sde/sdhge) have non-dyadic terms whose
+    float sum is order-dependent in the last ulp; NumPy's pairwise/
+    unrolled reduction and SQL's unordered SUM can land on opposite sides
+    of a 6dp rounding boundary (~5 per 700k values at sf0.1 —
+    BASELINE.md round-3 update 2). The SQL oracles fold the same terms
+    with an ORDER BY-ed list_reduce, so both engines execute the
+    identical double-add sequence and agree bit-for-bit."""
+    acc = 0.0
+    for x in a:
+        acc += float(x)
+    return acc
+
+
 # --------------------------------------------------------------------------
 # GLCM
 # --------------------------------------------------------------------------
@@ -263,7 +278,8 @@ def glcm_feature_values(M: np.ndarray) -> dict:
         "cm_inv_diff_norm": inv_diff_norm,
         "cm_inv_diff_mom": float((p_minus / (1 + km**2)).sum()),
         "cm_inv_diff_mom_norm": inv_diff_mom_norm,
-        "cm_inv_var": float((p_minus[1:] / km[1:] ** 2).sum()) if lvl > 1 else 0.0,
+        # ordered fold (k ascending) — see _seq_sum; zero terms are no-ops
+        "cm_inv_var": _seq_sum(p_minus[1:] / km[1:] ** 2) if lvl > 1 else 0.0,
         "cm_corr": corr,
         "cm_auto_corr": auto_corr,
         "cm_clust_tend": float((cdev**2 * ps).sum()),
@@ -366,12 +382,23 @@ def glcm_features(g, session, sess_counts, lags, slice_weight, slice_median, agg
 # --------------------------------------------------------------------------
 
 
-def matrix_feature_values(M: np.ndarray, voxel_count: float, include_energy: bool = False) -> dict:
+def matrix_feature_values(
+    M: np.ndarray, voxel_count: float, include_energy: bool = False,
+    ordered_recip: bool = False,
+) -> dict:
     """Vectorized port of TextureFeatureBase._matrix_feature_values
     (zrad/radiomics/texture_base.py:40-214). M holds raw counts indexed
     [grey_level, length-1]; zero-denominator cases yield NaN instead of the
     reference's DataStructureError (scale contract: null rows, not
-    exceptions)."""
+    exceptions).
+
+    ``ordered_recip``: compute the two reciprocal-square reductions whose
+    cross-engine ulp drift was actually observed at sf0.1 (the GLDZM
+    sde/sdhge columns — BASELINE.md round-3 update 2) with the strict
+    sequential (lvl asc, jl asc) per-cell fold that the DZM oracles
+    mirror via ORDER BY-ed list_reduce. Enabled by the DZM family only;
+    the RLM/SZM/NGLDM twins keep the vectorized reduction (no observed
+    drift, and their oracles sum unordered)."""
     names = NGLDM_ATTRS if include_energy else TEXTURE_ATTRS
     n_s = float(M.sum())
     if n_s == 0 or voxel_count == 0:
@@ -392,13 +419,19 @@ def matrix_feature_values(M: np.ndarray, voxel_count: float, include_energy: boo
     mu_i = float((p * i_f).sum())
     mu_j = float((p * j_f).sum())
 
+    # np.nonzero is row-major: cells arrive (lvl asc, jl asc) — the same
+    # order the ordered_recip folds and their SQL mirrors use
+    sde_sum = _seq_sum(cs / jl2) if ordered_recip else float((cs / jl2).sum())
+    sdhge_sum = (
+        _seq_sum(i2 * cs / jl2) if ordered_recip else float((i2 * cs / jl2).sum())
+    )
     out = {
-        "short_runs_emphasis": float((cs / jl2).sum() / n_s),
+        "short_runs_emphasis": sde_sum / n_s,
         "long_runs_emphasis": float((cs * jl2).sum() / n_s),
         "low_grey_level_run_emphasis": float((cs[nzi] / i2[nzi]).sum() / n_s),
         "high_gr_lvl_emphasis": float((cs * i2).sum() / n_s),
         "short_low_gr_lvl_emphasis": float((cs[nzi] / i2[nzi] / jl2[nzi]).sum() / n_s),
-        "short_high_gr_lvl_emphasis": float((i2 * cs / jl2).sum() / n_s),
+        "short_high_gr_lvl_emphasis": sdhge_sum / n_s,
         "long_low_gr_lvl_emphasis": float((cs[nzi] * jl2[nzi] / i2[nzi]).sum() / n_s),
         "long_high_gr_lvl_emphasis": float((cs * jl2 * i2).sum() / n_s),
         "non_uniformity": float((row2 * row2).sum() / n_s),
@@ -512,10 +545,11 @@ def _zone_family(g, session, eligible, aggr_dim, slice_weight, slice_median, kin
             return dzm_matrix(levels, starts, ends, segdist, lvl)
         return rlm_matrix(levels, lengths, lvl)
 
+    ordered = kind == "dzm"  # see matrix_feature_values ordered_recip
     if aggr_dim == "3D":
         M = build()
         vc = total * (voxel_scale_dirs if kind == "rlm" else 1)
-        vals = matrix_feature_values(M, vc)
+        vals = matrix_feature_values(M, vc, ordered_recip=ordered)
         return dict(zip(names, (vals[a] for a in TEXTURE_ATTRS)))
 
     sess_ids = [s for s in np.unique(session) if np.any(finite & (session == s))]
@@ -525,13 +559,13 @@ def _zone_family(g, session, eligible, aggr_dim, slice_weight, slice_median, kin
     if aggr_dim == "2.5D":
         M = _pad_stack(mats).sum(axis=0)
         vc = sum(counts) * (voxel_scale_dirs if kind == "rlm" else 1)
-        vals = matrix_feature_values(M, vc)
+        vals = matrix_feature_values(M, vc, ordered_recip=ordered)
         return dict(zip(names, (vals[a] for a in TEXTURE_ATTRS)))
 
     # 2D: per-session features, weighted mean / median
     if slice_median and slice_weight:
         raise ValueError("weighted median is not supported for texture aggregation")
-    dicts = [matrix_feature_values(m, c) for m, c in zip(mats, counts)]
+    dicts = [matrix_feature_values(m, c, ordered_recip=ordered) for m, c in zip(mats, counts)]
     weights = [c / total if slice_weight else 1.0 for c in counts]
     vals = _agg_dicts(dicts, TEXTURE_ATTRS, None if slice_median else weights, median=slice_median)
     return dict(zip(names, (vals[a] for a in TEXTURE_ATTRS)))

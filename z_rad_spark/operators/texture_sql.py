@@ -159,7 +159,9 @@ def _cells_to_features(cells: DataFrame, vox: DataFrame, kind: str) -> DataFrame
             width = int(pdf["len"].max())
             m = np.zeros((lvl, width))
             m[pdf["lvl"].to_numpy(), pdf["len"].to_numpy() - 1] = pdf["c"].to_numpy()
-            raw = matrix_feature_values(m, vc)
+            # DZM rides the ordered sde/sdhge folds (kernels/texture
+            # ordered_recip contract) to match the q_gldzm* oracles
+            raw = matrix_feature_values(m, vc, ordered_recip=(kind == "gldzm"))
             out_names = GLRLM_NAMES if kind == "glrlm" else GLDZM_NAMES
             return dict(zip(out_names, (raw[a] for a in TEXTURE_ATTRS)))
         lvl = int(pdf["gmax"].iloc[0]) + 1
