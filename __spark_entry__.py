@@ -2037,62 +2037,101 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness gate checks
-    the FIRST 50 entries, so the round-3 window closes the whole gate
-    debt — (1) the 14 queries registered past the round-2 window and
-    never driver-gated, (2) the 9 queries whose code changed in round 2
-    while holding stale round-1 green rows, (3) everything changed or new
-    THIS round (flagship value oracle, exact-form GLCM reductions, media
-    scalar rows, literal-codebook assignment, LSH bucket-size gate,
-    salted overlap guard, compacted FBN grid), and (4) the oldest
-    stale-green flagship-set queries re-greened with the leftover slots
-    (one slot goes to q_winnow, new this round).
-    Long-green unchanged queries sit past the window. After this round
-    every registry entry holds a round-1..3 green row."""
+    the FIRST 50 entries. The round-4 window holds (1) everything changed
+    or new THIS round — the two newly value-oracled queries
+    (q_sketch_stats bound-gate, q_lsh_topk literal-hyperplane replay),
+    the new backfill/SUV operators, the selectExpr flagship gate, the
+    hash_split/winnow fixes, the five salted queries (skew.py broadcast
+    fix), and every query touched by the ordered reciprocal-square folds
+    (all GLCM variants + the GLDZM family) — and (2) the remaining
+    slots filled oldest-first: all 20 queries whose latest green driver
+    row is round-1-era, then the five round-2-era filter queries.
+    Entries past the window hold round-2/3 green rows with unchanged
+    code; ALL of them were additionally re-verified this round through
+    the strict local mirror (tools/check_queries.py, STRICT hash mode,
+    sf0.01) — see COVERAGE.md."""
     return {
-        # --- (1) never driver-gated (queued from round 2) ---
-        "q_interval_join": q_interval_join,
-        "q_shard_pack": q_shard_pack,
-        "q_hash_split": q_hash_split,
-        "q_source_cap": q_source_cap,
-        "q_hashed_embed": q_hashed_embed,
-        "q_stream_sessionize": q_stream_sessionize,
+        # --- (1a) new or rewritten this round ---
         "q_sketch_stats": q_sketch_stats,
-        "q_chunk_docs": q_chunk_docs,
-        "q_turn_pairs": q_turn_pairs,
-        "q_conv_dedup": q_conv_dedup,
-        "q_conv_quality": q_conv_quality,
-        "q_session_window": q_session_window,
+        "q_lsh_topk": q_lsh_topk,
+        "q_backfill_cubic": q_backfill_cubic,
+        "q_backfill_gauss": q_backfill_gauss,
+        "q_suv_norm": q_suv_norm,
+        "q_extract_full": q_extract_full,
+        "q_hash_split": q_hash_split,
+        "q_winnow": q_winnow,
         "q_asof_tolerance": q_asof_tolerance,
-        "q_stream_dedup": q_stream_dedup,
-        # --- (2) stale round-1 greens whose code changed in round 2 ---
-        "q_stats_asof": q_stats_asof,
-        "q_hist_asof": q_hist_asof,
-        "q_reseg_stats": q_reseg_stats,
+        # --- (1b) salted set: skew.py overlap-guard broadcast fix ---
         "q_glcm_salted": q_glcm_salted,
         "q_glrlm_salted": q_glrlm_salted,
         "q_ngldm_salted": q_ngldm_salted,
         "q_ngtdm_salted": q_ngtdm_salted,
-        "q_glrlm_dist": q_glrlm_dist,
-        "q_gldzm_dist": q_gldzm_dist,
-        # --- (3) changed or new this round ---
-        "q_extract_full": q_extract_full,
-        "q_flagship_slice": q_flagship_slice,
-        "q_media_features": q_media_features,
-        "q_hist_daily": q_hist_daily,
+        "q_gldzm_salted": q_gldzm_salted,
+        # --- (1c) ordered reciprocal-square folds (cm_inv_var / dzm_sde
+        #     / dzm_sdhge — kernels/texture._seq_sum + oracle list_reduce)
         "q_glcm": q_glcm,
+        "q_glcm_dist": q_glcm_dist,
         "q_glcm_2d_avg": q_glcm_2d_avg,
         "q_glcm_2d_wavg": q_glcm_2d_wavg,
         "q_glcm_25d_merg": q_glcm_25d_merg,
         "q_glcm_3d_aver": q_glcm_3d_aver,
         "q_glcm_2d_slice_merg": q_glcm_2d_slice_merg,
         "q_glcm_25d_dirmerg": q_glcm_25d_dirmerg,
-        "q_gldzm_salted": q_gldzm_salted,
+        "q_gldzm": q_gldzm,
+        "q_gldzm_dist": q_gldzm_dist,
+        "q_gldzm_25d": q_gldzm_25d,
+        # --- (2a) rotation: every remaining round-1-era green row ---
+        "q_backfill_nn": q_backfill_nn,
+        "q_backfill_linear": q_backfill_linear,
+        "q_backfill_mask": q_backfill_mask,
+        "q_decay_norm": q_decay_norm,
+        "q_decay_sum": q_decay_sum,
+        "q_glrlm_25d": q_glrlm_25d,
+        "q_glrlm_2d_avg": q_glrlm_2d_avg,
+        "q_glszm": q_glszm,
+        "q_ivh_fbs": q_ivh_fbs,
+        "q_json_props": q_json_props,
+        "q_lag_lead": q_lag_lead,
+        "q_mask_union": q_mask_union,
+        "q_moran": q_moran,
+        "q_ngldm": q_ngldm,
+        "q_ngldm_dist": q_ngldm_dist,
+        "q_ngtdm": q_ngtdm,
+        "q_rolling_1h": q_rolling_1h,
+        "q_rollup": q_rollup,
+        "q_tool_names": q_tool_names,
+        "q_vocab": q_vocab,
+        # --- (2b) rotation: oldest round-2-era rows (the filter set) ---
+        "q_filter_mean": q_filter_mean,
+        "q_filter_log": q_filter_log,
+        "q_filter_laws": q_filter_laws,
+        "q_filter_gabor": q_filter_gabor,
+        "q_filter_wavelet": q_filter_wavelet,
+        # ===== gate window ends here (first 50 entries) ================
+        # round-2/3 green rows, code unchanged; all strict-mirrored r4
+        "q_interval_join": q_interval_join,
+        "q_shard_pack": q_shard_pack,
+        "q_source_cap": q_source_cap,
+        "q_hashed_embed": q_hashed_embed,
+        "q_stream_sessionize": q_stream_sessionize,
+        "q_chunk_docs": q_chunk_docs,
+        "q_turn_pairs": q_turn_pairs,
+        "q_conv_dedup": q_conv_dedup,
+        "q_conv_quality": q_conv_quality,
+        "q_session_window": q_session_window,
+        "q_stream_dedup": q_stream_dedup,
+        "q_stats_asof": q_stats_asof,
+        "q_hist_asof": q_hist_asof,
+        "q_reseg_stats": q_reseg_stats,
+        "q_glrlm_dist": q_glrlm_dist,
+        "q_flagship_slice": q_flagship_slice,
+        "q_media_features": q_media_features,
+        "q_hist_daily": q_hist_daily,
         "q_kmeans_assign": q_kmeans_assign,
         "q_ivf_topk": q_ivf_topk,
         "q_minhash_pairs": q_minhash_pairs,
         "q_dup_clusters": q_dup_clusters,
         "q_ngram_jaccard": q_ngram_jaccard,
-        # --- (4) oldest stale-green re-greens (flagship set) ---
         "q_asof_state": q_asof_state,
         "q_asof_enrich": q_asof_enrich,
         "q_sessionize": q_sessionize,
@@ -2102,19 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shape_full": q_shape_full,
         "q_glrlm": q_glrlm,
         "q_ivh": q_ivh,
-        "q_winnow": q_winnow,
-        "q_backfill_cubic": q_backfill_cubic,
-        "q_backfill_gauss": q_backfill_gauss,
-        "q_suv_norm": q_suv_norm,
-        # ===== gate window ends here (first 50 entries) ================
-        # green in round 1 or 2, unchanged since
-        "q_moran": q_moran,
         "q_extract_filtered": q_extract_filtered,
-        "q_filter_mean": q_filter_mean,
-        "q_filter_log": q_filter_log,
-        "q_filter_laws": q_filter_laws,
-        "q_filter_gabor": q_filter_gabor,
-        "q_filter_wavelet": q_filter_wavelet,
         "q_local_peaks": q_local_peaks,
         "q_ngldm_25d": q_ngldm_25d,
         "q_ngtdm_25d": q_ngtdm_25d,
@@ -2127,7 +2154,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_stats": q_token_stats,
         "q_fingerprint": q_fingerprint,
         "q_cosine_topk": q_cosine_topk,
-        "q_lsh_topk": q_lsh_topk,
         "q_stats_daily": q_stats_daily,
         "q_fbs_hist": q_fbs_hist,
         "q_semi_eligible": q_semi_eligible,
@@ -2136,7 +2162,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_wavelet_db4": q_filter_wavelet_db4,
         "q_embed_dups": q_embed_dups,
         "q_glszm_25d": q_glszm_25d,
-        "q_gldzm_25d": q_gldzm_25d,
         "q_ngldm_2d_avg": q_ngldm_2d_avg,
         "q_ngtdm_2d_avg": q_ngtdm_2d_avg,
         "q_pii_redact": q_pii_redact,
@@ -2150,27 +2175,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf": q_tfidf,
         "q_stratified_sample": q_stratified_sample,
         "q_top_tokens": q_top_tokens,
-        "q_ngldm": q_ngldm,
-        "q_ngtdm": q_ngtdm,
-        "q_gldzm": q_gldzm,
-        "q_glszm": q_glszm,
-        "q_lag_lead": q_lag_lead,
-        "q_rolling_1h": q_rolling_1h,
-        "q_decay_sum": q_decay_sum,
-        "q_vocab": q_vocab,
-        "q_backfill_nn": q_backfill_nn,
-        "q_backfill_linear": q_backfill_linear,
-        "q_backfill_mask": q_backfill_mask,
-        "q_decay_norm": q_decay_norm,
-        "q_tool_names": q_tool_names,
-        "q_mask_union": q_mask_union,
-        "q_rollup": q_rollup,
-        "q_json_props": q_json_props,
-        "q_glrlm_25d": q_glrlm_25d,
-        "q_glrlm_2d_avg": q_glrlm_2d_avg,
-        "q_ivh_fbs": q_ivh_fbs,
-        "q_glcm_dist": q_glcm_dist,
-        "q_ngldm_dist": q_ngldm_dist,
     }
 
 
