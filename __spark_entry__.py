@@ -1532,6 +1532,24 @@ def q_repetition(spark, sf_dir):
     return _r6(out, ["dup_2gram_frac", "dup_3gram_frac"])
 
 
+def q_unigram_lm(spark, sf_dir):
+    """CCNet-style unigram LM quality score: add-one-smoothed corpus
+    unigram probabilities, per-document mean negative log-likelihood and
+    perplexity. The sum of logs is an ordered positional fold on both
+    engines, so the gate is a full value hash despite cross-row float
+    addition (the GLCM list_reduce pattern)."""
+    from z_rad_spark.operators.curation import unigram_logprob
+
+    out = unigram_logprob(_docs(spark, sf_dir))
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "nll",
+        "ppl",
+    )
+    return _r6(out, ["nll", "ppl"])
+
+
 def q_rare_tokens(spark, sf_dir):
     """Corpus-frequency token statistics per document (two-pass TF/DF
     shape): token counts, distinct tokens, mean corpus TF/DF of the
@@ -1582,6 +1600,24 @@ def q_kmeans_assign(spark, sf_dir):
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
         (F.col("cosine") + F.lit(0.0)).alias("cosine"),
+    )
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means cluster then within-cluster
+    cosine prune, min-id survivor. Threshold 0.3 calibrated to the
+    synthetic embedding distribution (same as q_embed_dups) so the prune
+    actually fires; the assignment is the deterministic hash-seeded
+    literal-codebook argmax the oracle replays exactly."""
+    from z_rad_spark.operators.similarity import semdedup
+
+    out = semdedup(_emb(spark, sf_dir), k=8, threshold=0.3)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("keep").cast("int").alias("keep"),
+        F.col("dup_of").cast("long").alias("dup_of"),
+        (F.col("dup_cosine") + F.lit(0.0)).alias("dup_cosine"),
     )
 
 
@@ -2040,12 +2076,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the FIRST 50 entries. The round-4 window holds (1) everything changed
     or new THIS round — the two newly value-oracled queries
     (q_sketch_stats bound-gate, q_lsh_topk literal-hyperplane replay),
-    the new backfill/SUV operators, the selectExpr flagship gate, the
+    the two operators new in r4 (q_semdedup, q_unigram_lm), the new
+    backfill/SUV operators, the selectExpr flagship gate, the
     hash_split/winnow fixes, the five salted queries (skew.py broadcast
     fix), and every query touched by the ordered reciprocal-square folds
     (all GLCM variants + the GLDZM family) — and (2) the remaining
     slots filled oldest-first: all 20 queries whose latest green driver
-    row is round-1-era, then the five round-2-era filter queries.
+    row is round-1-era, then the oldest round-2-era filter queries
+    (the two that no longer fit — q_filter_gabor, q_filter_wavelet —
+    keep their r2 green row plus this round's strict-mirror green).
     Entries past the window hold round-2/3 green rows with unchanged
     code; ALL of them were additionally re-verified this round through
     the strict local mirror (tools/check_queries.py, STRICT hash mode,
@@ -2060,6 +2099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_full": q_extract_full,
         "q_hash_split": q_hash_split,
         "q_winnow": q_winnow,
+        "q_semdedup": q_semdedup,
+        "q_unigram_lm": q_unigram_lm,
         "q_asof_tolerance": q_asof_tolerance,
         # --- (1b) salted set: skew.py overlap-guard broadcast fix ---
         "q_glcm_salted": q_glcm_salted,
@@ -2105,10 +2146,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_mean": q_filter_mean,
         "q_filter_log": q_filter_log,
         "q_filter_laws": q_filter_laws,
-        "q_filter_gabor": q_filter_gabor,
-        "q_filter_wavelet": q_filter_wavelet,
         # ===== gate window ends here (first 50 entries) ================
         # round-2/3 green rows, code unchanged; all strict-mirrored r4
+        "q_filter_gabor": q_filter_gabor,
+        "q_filter_wavelet": q_filter_wavelet,
         "q_interval_join": q_interval_join,
         "q_shard_pack": q_shard_pack,
         "q_source_cap": q_source_cap,

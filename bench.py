@@ -114,7 +114,8 @@ def cpu_tree_seconds():
 """
 
 
-DEDUP_SCALING_REPL = int(os.environ.get("SPARK_GRAFT_SCALING_DEDUP_REPL", "8"))
+DEDUP_SCALING_REPL = int(os.environ.get("SPARK_GRAFT_SCALING_DEDUP_REPL", "48"))
+DEDUP_SCALING_PARTS = int(os.environ.get("SPARK_GRAFT_SCALING_DEDUP_PARTS", "128"))
 
 
 def _dedup_throughput(cores: int, sf_dir: str, which: str) -> tuple[float, float, float]:
@@ -128,7 +129,14 @@ def _dedup_throughput(cores: int, sf_dir: str, which: str) -> tuple[float, float
     original corpus' dup structure and the workload (candidate pairs, CC
     edges) scales linearly with replication instead of quadratically
     (plain row replication would give every document R exact copies and
-    measure a vastly denser — and unrealistic — problem)."""
+    measure a vastly denser — and unrealistic — problem).
+
+    Fairness contract (same as the flagship harness): the replicated
+    input is REPARTITIONED to the same fixed DEDUP_SCALING_PARTS at both
+    levels (explode is narrow, so without it both levels inherit the
+    parquet file's few input splits and local[32] runs narrow stages
+    ~4-wide), and shuffle_partitions is pinned to the same value at both
+    levels so the two runs execute the identical physical plan."""
     import subprocess
 
     bodies = {
@@ -164,7 +172,8 @@ sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
 from pyspark.sql import functions as F
 from z_rad_spark.session import get_spark
 {_CPU_TREE_SRC}
-spark = get_spark("bench_dedup_scaling", cores={cores})
+spark = get_spark("bench_dedup_scaling", cores={cores},
+                  shuffle_partitions={DEDUP_SCALING_PARTS})
 docs = spark.read.parquet({sf_dir!r} + "/documents.parquet")
 R = {DEDUP_SCALING_REPL}
 big = docs.withColumn("_r", F.explode(F.array(*[F.lit(i) for i in range(R)])))
@@ -176,7 +185,7 @@ big = big.withColumn(
                     lambda t: F.concat(t, F.lit("x"), F.col("_r").cast("string"))),
         " ",
     ),
-).drop("_r").persist()
+).drop("_r").repartition({DEDUP_SCALING_PARTS}).persist()
 n_docs = big.count()
 {bodies[which]}
 best = 1e18

@@ -2650,6 +2650,30 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM pd
 """
 
+ORACLES["q_unigram_lm"] = f"""
+WITH d AS (SELECT doc_id, {TOKS_RAW} AS tk FROM documents),
+tok AS (
+  SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS token FROM d
+),
+freq AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM freq),
+lp AS (
+  SELECT tok.doc_id, tok.pos,
+         ln((CAST(f.tf AS DOUBLE) + 1.0) / (t.n + 1.0 * t.v)) AS l
+  FROM tok JOIN freq f USING (token), tot t
+),
+pd AS (
+  SELECT doc_id, COUNT(*) AS n,
+         list_reduce([0.0] || list(l ORDER BY pos), (acc, x) -> acc + x) AS s
+  FROM lp GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       {r6('-s / CAST(n AS DOUBLE)', 'nll')},
+       {r6('exp(-s / CAST(n AS DOUBLE))', 'ppl')}
+FROM pd
+"""
+
 ORACLES["q_source_reputation"] = f"""
 WITH ps AS (
   SELECT source,
@@ -2692,6 +2716,39 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
        CAST(cent_id AS BIGINT) AS cluster_id,
        {r6('cos', 'cosine')}
 FROM s WHERE rn = 1
+"""
+
+ORACLES["q_semdedup"] = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, ev AS cv FROM v
+          ORDER BY md5('km|' || CAST(vec_id AS STRING)) LIMIT 8),
+s AS (
+  SELECT v.vec_id, v.ev, c.cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_dot_product(v.ev, c.cv)
+                    / (sqrt(list_dot_product(v.ev, v.ev)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                    c.cent_id ASC
+         ) AS rn
+  FROM v CROSS JOIN cents c
+),
+asg AS (SELECT vec_id, cent_id AS cluster_id, ev FROM s WHERE rn = 1),
+p AS (
+  SELECT b.vec_id AS bid, MIN(a.vec_id) AS dup_of,
+         arg_min(list_dot_product(a.ev, b.ev)
+                 / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))),
+                 a.vec_id) AS dup_cos
+  FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.ev, b.ev)
+        / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))) >= 0.3
+  GROUP BY b.vec_id
+)
+SELECT CAST(g.vec_id AS BIGINT) AS vec_id,
+       CAST(g.cluster_id AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS keep,
+       CAST(p.dup_of AS BIGINT) AS dup_of,
+       {r6('p.dup_cos', 'dup_cosine')}
+FROM asg g LEFT JOIN p ON g.vec_id = p.bid
 """
 
 # batch replica of the streaming append-mode contract: tumbling 1h windows

@@ -222,6 +222,33 @@ def test_cosine_topk_exact_and_lsh_recall(spark):
         assert grp.sort_values("rank").iloc[0]["vec_id"] == qid
 
 
+def test_semdedup_min_id_survivor_and_cluster_gate(spark):
+    from z_rad_spark.operators.similarity import semdedup
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 10, 11],
+            "embedding": [
+                [1.0, 0.0], [0.999, 0.01], [0.998, 0.02],  # near-dup cluster
+                [0.0, 1.0], [-0.01, 0.999],                # second cluster
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = semdedup(df, threshold=0.99, centroids=cents).toPandas().set_index("vec_id")
+    assert out.loc[1, "keep"] == 1 and pd.isna(out.loc[1, "dup_of"])
+    # min-id survivor: 2 and 3 both point at 1, not at each other
+    assert out.loc[2, "keep"] == 0 and out.loc[2, "dup_of"] == 1
+    assert out.loc[3, "keep"] == 0 and out.loc[3, "dup_of"] == 1
+    assert out.loc[2, "dup_cosine"] > 0.99
+    assert out.loc[10, "keep"] == 1
+    assert out.loc[11, "keep"] == 0 and out.loc[11, "dup_of"] == 10
+    # oversized-cluster exemption: max_cluster=1 -> nothing pairable
+    out2 = semdedup(df, threshold=0.99, centroids=cents, max_cluster=1).toPandas()
+    assert (out2["keep"] == 1).all()
+
+
 def test_checkpoint_resume(spark, tdf, tmp_path):
     from z_rad_spark.checkpoint import bucket_filter, run_resumable
 

@@ -210,6 +210,67 @@ def rare_token_stats(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """CCNet-style language-model quality score (Wenzek et al. 2020 rank
+    documents by LM perplexity; this is the unigram self-scored variant):
+    ``p(t) = (tf(t) + a) / (N + a*V)`` with add-``a`` smoothing over the
+    corpus vocabulary, and per document
+
+        ``nll = -(1/n) * sum_i ln p(token_i)``,   ``ppl = exp(nll)``.
+
+    Cross-engine value contract: the per-document sum of logs is an
+    ORDERED left fold over token position (collect_list(pos, lp) ->
+    array_sort -> aggregate), matched in the DuckDB oracle by
+    ``list(lp ORDER BY pos)`` || ``list_reduce`` — the same fixed-order
+    float summation the GLCM reciprocal-square features use, so the
+    value-hash gate stays exact despite cross-row float addition.
+
+    Plan: the two-pass TF shape of ``rare_token_stats`` (explode +
+    groupBy(token) with map-side combine, join back on the Zipf-bounded
+    token key), plus one broadcast of the 1-row (N, V) totals; one
+    groupBy(doc) whose collect_list is bounded by document length.
+    """
+    toks_tbl = df.select(
+        F.col(id_col), F.posexplode(_toks(text_col)).alias("pos", "token")
+    )
+    freq = toks_tbl.groupBy("token").agg(F.count("*").cast("long").alias("tf"))
+    tot = freq.agg(
+        F.sum("tf").cast("double").alias("_N"),
+        F.count("*").cast("double").alias("_V"),
+    )
+    a = float(smoothing)
+    lp = F.log(
+        (F.col("tf").cast("double") + F.lit(a)) / (F.col("_N") + F.lit(a) * F.col("_V"))
+    )
+    per_doc = (
+        toks_tbl.join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_lp", lp)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.array_sort(F.collect_list(F.struct("pos", "_lp"))).alias("_arr"),
+        )
+    )
+    s = F.aggregate(
+        F.transform(F.col("_arr"), lambda r: r["_lp"]),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nll = -s / F.col("n_tokens").cast("double")
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        nll.alias("nll"),
+        F.exp(nll).alias("ppl"),
+    )
+
+
 def source_reputation(
     df: DataFrame,
     text_col: str = "text",

@@ -493,3 +493,82 @@ def kmeans_lloyd(
             vectors, k=k, id_col=id_col, vec_col=vec_col, centroids=sorted(prev.items())
         )
     return assigned
+
+
+def semdedup(
+    vectors: DataFrame,
+    k: int = 8,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | list | None = None,
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering then within-cluster cosine pruning.
+    Surface-text dedup (exact/minhash/simhash) misses paraphrases; this
+    catches them without the O(N^2) all-pairs scan — pairs are only
+    scored INSIDE a k-means cluster.
+
+    Keeper rule (deterministic, engine-portable): a vector is a duplicate
+    iff some SMALLER-id member of its cluster has cosine >= threshold —
+    the same min-id-survivor convention as exact_dedup, replayable in SQL
+    (the paper keeps the member farthest from the centroid; min-id is
+    order-free and needs no float tie-break).
+
+    Plan shape: assignment is the kmeans_assign narrow literal-codebook
+    argmax (zero Exchange, carrying the vector through); cluster sizes
+    are a k-row broadcast (k is bounded by the codebook, never by N);
+    pairing is a self-equi-join on cluster_id. At 100 TB the paper's
+    regime applies: k ~ sqrt(N) keeps clusters ~sqrt(N) so the
+    within-cluster quadratic term is ~N total; clusters above
+    ``max_cluster`` (degenerate — e.g. all-zero embeddings) are exempted
+    from pairing (members kept, flagged) rather than allowed to build a
+    quadratic bucket, the minhash max_bucket convention.
+
+    Output: (vec_id, cluster_id, keep, dup_of, dup_cosine) — dup_of is
+    the smallest qualifying smaller-id neighbour, dup_cosine its cosine
+    (6dp), both NULL for keepers.
+    """
+    if centroids is None:
+        centroids = _seed_centroids(vectors, k, id_col, vec_col).drop("_h")
+    cents = _codebook_rows(centroids)
+    best = _argmax_score(F.col("_sc"))
+    v = _with_cent_scores(vectors, vec_col, cents).select(
+        F.col(id_col),
+        F.col(vec_col),
+        best["cent_id"].alias("cluster_id"),
+    )
+    sizes = v.groupBy("cluster_id").agg(F.count("*").alias("_csize"))
+    v = v.join(F.broadcast(sizes), "cluster_id")
+
+    ida, idb = F.col(id_col + "_a"), F.col(id_col + "_b")
+    pairable = F.col("_csize") <= F.lit(max_cluster)
+    a = v.where(pairable).select(
+        "cluster_id", F.col(id_col).alias(id_col + "_a"), F.col(vec_col).alias("_va")
+    )
+    b = v.where(pairable).select(
+        "cluster_id", F.col(id_col).alias(id_col + "_b"), F.col(vec_col).alias("_vb")
+    )
+    dups = (
+        a.join(b, "cluster_id")
+        .where(ida < idb)
+        .withColumn("_cos", _cosine(F.col("_va"), F.col("_vb")).cast("double"))
+        .where(F.col("_cos") >= F.lit(threshold))
+        .groupBy(idb)
+        .agg(
+            F.min(ida).alias("dup_of"),
+            F.min_by("_cos", ida).alias("_dup_cos"),
+        )
+    )
+    return (
+        v.select(id_col, "cluster_id")
+        .join(dups, F.col(id_col) == idb, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.col("dup_of").isNull().cast("int").alias("keep"),
+            "dup_of",
+            F.round("_dup_cos", 6).alias("dup_cosine"),
+        )
+    )
