@@ -475,3 +475,26 @@ def test_ivf_with_trained_kmeans_codebook(spark):
     recall_default = len(default & exact) / len(exact)
     assert recall_trained >= recall_default - 1e-9
     assert recall_trained >= 0.6
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Two-doc corpus small enough to fold by hand.
+
+    Corpus tokens: doc1 = [a, a, b], doc2 = [b, c]  =>  tf: a=2 b=2 c=1,
+    N=5, V=3, add-1 smoothing => p(a)=p(b)=3/8, p(c)=2/8."""
+    import math
+
+    from z_rad_spark.operators.curation import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a A  b"), (2, " b c ")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+
+    nll1 = -(3 * math.log(3 / 8)) / 3
+    nll2 = -(math.log(3 / 8) + math.log(2 / 8)) / 2
+    assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 2
+    assert abs(got[1]["nll"] - nll1) < 1e-12
+    assert abs(got[2]["nll"] - nll2) < 1e-12
+    assert abs(got[1]["ppl"] - math.exp(nll1)) < 1e-12
+    assert abs(got[2]["ppl"] - math.exp(nll2)) < 1e-12

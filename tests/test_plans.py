@@ -189,3 +189,24 @@ def test_ivf_assignment_subtree_has_no_exchange(spark):
     # one exchange for the top-k window, one SinglePartition feeding the
     # broadcast probe side at most — never a hashpartitioning on vec_id
     assert "hashpartitioning(vec_id" not in plan
+
+
+def test_semdedup_plan_shape(spark):
+    """semdedup's assignment must stay the narrow literal-codebook argmax
+    (no Exchange before the cluster sizes are counted), the k-row sizes
+    frame must come back as a broadcast join, and the within-cluster
+    pairing must be an equi-join — never a cartesian product."""
+    from z_rad_spark.operators.similarity import semdedup
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * j) % 7) + 0.5 for j in range(4)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(0, [1.0, 0.0, 1.0, 0.0]), (1, [0.0, 1.0, 0.0, 1.0])]
+    plan = _plan(semdedup(vecs, threshold=0.99, centroids=cents))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the k-row sizes frame
+    # the pairing shuffle is keyed on cluster_id (bounded by the
+    # codebook), never an all-pairs join; the only vec_id-keyed exchange
+    # allowed is the final keeper left-join
+    assert "hashpartitioning(cluster_id" in plan
