@@ -1621,6 +1621,53 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """Cross-document line-level deduplication (RefinedWeb §3.3 / CCNet
+    boilerplate removal): the corpus re-segmented into deterministic
+    8-token lines (the synthetic documents carry no newlines), lines
+    whose normalized form occurs in more than one distinct document
+    dropped, survivors re-joined in original order. Output is the md5 of
+    the cleaned text (compact and byte-exact — string equality, not
+    float tolerance) plus kept/removed counts."""
+    from z_rad_spark.operators.dedup import line_dedup
+
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_lines = F.ceil(F.size(toks) / F.lit(8)).cast("int")
+    lined = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = line_dedup(lined, max_doc_freq=1)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("clean_text").alias("clean_md5"),
+        "n_lines",
+        "n_removed",
+    )
+
+
+def q_dsir(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram (1024
+    md5 buckets) log-likelihood ratio of a target domain — sources
+    src0/src1 — over the raw corpus, add-one smoothed. The per-document
+    sum of per-token log-ratios is an ordered positional fold on both
+    engines (the q_unigram_lm pattern), so the gate is a full value hash
+    despite cross-row float addition."""
+    from z_rad_spark.operators.curation import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("source").isin("src0", "src1"))
+    out = dsir_weights(docs, target, n_buckets=1024, smoothing=1.0)
+    out = out.select(F.col("doc_id").cast("long").alias("doc_id"), "n_tokens", "logw")
+    return _r6(out, ["logw"])
+
+
 def _replay_stream(spark, sf_dir, build_output, prefix):
     """Shared harness for the streaming gate queries: replay the
     events-derived (conv_id, ts, signal) frame through a file stream
@@ -2076,14 +2123,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the FIRST 50 entries. The round-4 window holds (1) everything changed
     or new THIS round — the two newly value-oracled queries
     (q_sketch_stats bound-gate, q_lsh_topk literal-hyperplane replay),
-    the two operators new in r4 (q_semdedup, q_unigram_lm), the new
-    backfill/SUV operators, the selectExpr flagship gate, the
-    hash_split/winnow fixes, the five salted queries (skew.py broadcast
-    fix), and every query touched by the ordered reciprocal-square folds
-    (all GLCM variants + the GLDZM family) — and (2) the remaining
-    slots filled oldest-first: all 20 queries whose latest green driver
-    row is round-1-era, then the oldest round-2-era filter queries
-    (the two that no longer fit — q_filter_gabor, q_filter_wavelet —
+    the four operators new in r4 (q_semdedup, q_unigram_lm,
+    q_line_dedup, q_dsir), the new backfill/SUV operators, the
+    selectExpr flagship gate, the hash_split/winnow fixes, the five
+    salted queries (skew.py broadcast fix), and every query touched by
+    the ordered reciprocal-square folds (all GLCM variants + the GLDZM
+    family) — and (2) the remaining slots filled oldest-first: all 20
+    queries whose latest green driver row is round-1-era, then the
+    oldest round-2-era filter query (the four that no longer fit —
+    q_filter_log, q_filter_laws, q_filter_gabor, q_filter_wavelet —
     keep their r2 green row plus this round's strict-mirror green).
     Entries past the window hold round-2/3 green rows with unchanged
     code; ALL of them were additionally re-verified this round through
@@ -2101,6 +2149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow": q_winnow,
         "q_semdedup": q_semdedup,
         "q_unigram_lm": q_unigram_lm,
+        "q_line_dedup": q_line_dedup,
+        "q_dsir": q_dsir,
         "q_asof_tolerance": q_asof_tolerance,
         # --- (1b) salted set: skew.py overlap-guard broadcast fix ---
         "q_glcm_salted": q_glcm_salted,
@@ -2142,12 +2192,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup": q_rollup,
         "q_tool_names": q_tool_names,
         "q_vocab": q_vocab,
-        # --- (2b) rotation: oldest round-2-era rows (the filter set) ---
+        # --- (2b) rotation: oldest round-2-era row (the filter path) ---
         "q_filter_mean": q_filter_mean,
-        "q_filter_log": q_filter_log,
-        "q_filter_laws": q_filter_laws,
         # ===== gate window ends here (first 50 entries) ================
         # round-2/3 green rows, code unchanged; all strict-mirrored r4
+        "q_filter_log": q_filter_log,
+        "q_filter_laws": q_filter_laws,
         "q_filter_gabor": q_filter_gabor,
         "q_filter_wavelet": q_filter_wavelet,
         "q_interval_join": q_interval_join,

@@ -2751,6 +2751,71 @@ SELECT CAST(g.vec_id AS BIGINT) AS vec_id,
 FROM asg g LEFT JOIN p ON g.vec_id = p.bid
 """
 
+# the gate query re-segments the corpus into deterministic 8-token lines
+# (the synthetic documents carry no newlines); the oracle replays the same
+# construction, then the RefinedWeb boilerplate rule: a line occurring in
+# >1 distinct documents is dropped, survivors re-joined in original order
+ORACLES["q_line_dedup"] = f"""
+WITH d AS (SELECT doc_id, {TOKS_RAW} AS tk FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS i, unnest(tk) AS token FROM d),
+lines AS (
+  SELECT doc_id, i // 8 AS lno, string_agg(token, ' ' ORDER BY i) AS line
+  FROM tok GROUP BY doc_id, i // 8
+),
+dfq AS (
+  SELECT md5(line) AS lkey, COUNT(DISTINCT doc_id) AS ddf
+  FROM lines GROUP BY md5(line)
+),
+m AS (
+  SELECT l.doc_id, l.lno, l.line, (q.ddf > 1) AS rm
+  FROM lines l JOIN dfq q ON md5(l.line) = q.lkey
+),
+agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_lines,
+         SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS n_removed,
+         COALESCE(string_agg(CASE WHEN NOT rm THEN line END, chr(10) ORDER BY lno), '') AS clean_text
+  FROM m GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(clean_text) AS clean_md5,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_removed AS BIGINT) AS n_removed
+FROM agg
+"""
+
+# DSIR replay: same md5 bucketing (15 hex chars -> BIGINT mod 1024), the
+# same add-one-smoothed per-bucket log densities as ONE ln of a quotient
+# (not ln-minus-ln), and the same ordered positional fold per document
+ORACLES["q_dsir"] = f"""
+WITH d AS (SELECT doc_id, source, {TOKS_RAW} AS tk FROM documents),
+tok AS (SELECT doc_id, source, generate_subscripts(tk, 1) AS pos, unnest(tk) AS token FROM d),
+bt AS (
+  SELECT doc_id, source, pos,
+         ('0x' || substring(md5(token), 1, 15))::BIGINT % 1024 AS b
+  FROM tok
+),
+rc AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS c FROM bt GROUP BY b),
+rn AS (SELECT SUM(c) AS n FROM rc),
+tc AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS c FROM bt WHERE source IN ('src0', 'src1') GROUP BY b),
+tn AS (SELECT SUM(c) AS n FROM tc),
+lr AS (
+  SELECT COALESCE(rc.b, tc.b) AS b,
+         COALESCE(ln((tc.c + 1.0) / (tn.n + 1024.0)), ln(1.0 / (tn.n + 1024.0)))
+         - COALESCE(ln((rc.c + 1.0) / (rn.n + 1024.0)), ln(1.0 / (rn.n + 1024.0))) AS lr
+  FROM rc FULL OUTER JOIN tc ON rc.b = tc.b, rn, tn
+),
+pd AS (
+  SELECT bt.doc_id, COUNT(*) AS n,
+         list_reduce([0.0] || list(lr.lr ORDER BY bt.pos), (acc, x) -> acc + x) AS s
+  FROM bt JOIN lr ON bt.b = lr.b GROUP BY bt.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       {r6('s', 'logw')}
+FROM pd
+"""
+
 # batch replica of the streaming append-mode contract: tumbling 1h windows
 # (epoch-aligned integer bucketing, same as Spark's window()), emitted iff
 # window_end <= final watermark = max event time (delay 0s)

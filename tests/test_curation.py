@@ -498,3 +498,57 @@ def test_unigram_logprob_hand_computed(spark):
     assert abs(got[2]["nll"] - nll2) < 1e-12
     assert abs(got[1]["ppl"] - math.exp(nll1)) < 1e-12
     assert abs(got[2]["ppl"] - math.exp(nll2)) < 1e-12
+
+
+def test_dsir_weights_match_python_replay(spark):
+    """Exact replay of the DSIR hashed-unigram log-ratio in pure Python
+    (same md5 bucketing, same add-a smoothing, same pos-ordered left
+    fold) — the operator must match to float equality; and a doc made of
+    target-domain tokens must outscore a doc of raw-only tokens."""
+    import hashlib
+    import math
+
+    from z_rad_spark.operators.curation import dsir_weights
+
+    B, a = 64, 1.0
+    raw = [
+        (0, "alpha beta gamma delta"),
+        (1, "epsilon zeta eta theta"),
+        (2, "alpha alpha beta beta"),
+        (3, "iota kappa lam mu"),
+    ]
+    tgt = [(10, "alpha beta alpha"), (11, "beta gamma gamma")]
+    docs = spark.createDataFrame(raw, "doc_id long, text string")
+    target = spark.createDataFrame(tgt, "doc_id long, text string")
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    def counts(rows):
+        c = {}
+        for _, text in rows:
+            for t in text.lower().split():
+                c[bucket(t)] = c.get(bucket(t), 0) + 1
+        return c, float(sum(c.values()))
+
+    rc, rn = counts(raw)
+    tc, tn = counts(tgt)
+
+    def lr(b):
+        lt = math.log((tc.get(b, 0) + a) / (tn + a * B))
+        lraw = math.log((rc.get(b, 0) + a) / (rn + a * B))
+        return lt - lraw
+
+    want = {}
+    for did, text in raw:
+        s = 0.0
+        for t in text.lower().split():
+            s += lr(bucket(t))  # pos-ordered left fold, same as the op
+        want[did] = s
+
+    got = {r["doc_id"]: r for r in dsir_weights(docs, target, n_buckets=B).collect()}
+    for did, text in raw:
+        assert got[did]["n_tokens"] == len(text.split())
+        assert got[did]["logw"] == want[did], did
+    # target-looking doc 2 (alpha/beta heavy) outscores raw-only doc 3
+    assert got[2]["logw"] > got[3]["logw"]

@@ -791,3 +791,47 @@ def test_winnow_w1_selects_every_gram(spark):
     assert fp["fp"].nunique() == 3
     with pytest.raises(ValueError):
         winnow_fingerprints(docs, k=3, w=0)
+
+
+def test_line_dedup_hand_computed(spark):
+    """Three docs; the cookie-banner line appears in docs 0 and 1 (in
+    different case/whitespace forms — the dedup key is the NORMALIZED
+    line), one doc-internal repeat does NOT trip the doc-frequency rule,
+    and doc 2 is untouched."""
+    from z_rad_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "unique zero\nCookie  Banner\nbody zero"),
+            (1, "cookie banner\nbody one\nbody one"),
+            (2, "all original\ncontent here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+
+    assert got[0]["clean_text"] == "unique zero\nbody zero"
+    assert (got[0]["n_lines"], got[0]["n_removed"]) == (3, 1)
+    # doc-internal duplicate 'body one' survives: df counts DISTINCT docs
+    assert got[1]["clean_text"] == "body one\nbody one"
+    assert (got[1]["n_lines"], got[1]["n_removed"]) == (3, 1)
+    assert got[2]["clean_text"] == "all original\ncontent here"
+    assert (got[2]["n_lines"], got[2]["n_removed"]) == (2, 0)
+
+
+def test_line_dedup_threshold_and_all_removed(spark):
+    """max_doc_freq=2 tolerates a 2-doc line; a doc whose every line is
+    boilerplate comes back as the empty string, not NULL."""
+    from z_rad_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "pair\nshared\nown zero"), (1, "pair\nshared\nown one"), (2, "shared")],
+        "doc_id long, text string",
+    )
+    got1 = {r["doc_id"]: r for r in line_dedup(docs, max_doc_freq=1).collect()}
+    assert got1[2]["clean_text"] == "" and got1[2]["n_removed"] == 1
+    got2 = {r["doc_id"]: r for r in line_dedup(docs, max_doc_freq=2).collect()}
+    # 'pair' (2 docs) now tolerated; 'shared' (3 docs) still removed
+    assert got2[0]["clean_text"] == "pair\nown zero"
+    assert got2[0]["n_removed"] == 1
+    assert got2[2]["clean_text"] == "" and got2[2]["n_removed"] == 1

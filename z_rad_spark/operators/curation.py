@@ -445,3 +445,87 @@ def chunk_documents(
         "n_chunk_tokens",
         F.size(F.split(F.col("chunk_text"), r"\s+")).cast("long"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR data-selection importance weights (Xie et al. 2023, Data
+    Selection for Language Models via Importance Resampling): score each
+    raw document by the log-likelihood ratio of a TARGET-domain hashed
+    unigram model over the RAW-corpus model,
+
+        ``logw(doc) = sum_i [ ln p_t(b_i) - ln p_r(b_i) ]``
+
+    with ``b_i = md5-bucket(token_i) mod n_buckets`` and add-``a``
+    smoothing over the fixed bucket space, so every bucket has mass in
+    both models and the ratio is always finite. High ``logw`` = looks
+    like the target domain; downstream selection is ``hash_sample`` /
+    top-quantile over ``logw`` (importance resampling).
+
+    Plan (scale-first): one explode+bucket pass per corpus -> two
+    ``n_buckets``-row aggregates; the per-bucket log-ratio table is a
+    bounded literal-sized frame BROADCAST back onto the raw token
+    stream (the one join hint in this module that is provably bounded:
+    ``n_buckets`` rows); one groupBy(doc) whose ordered fold matches
+    ``unigram_logprob``'s exact-summation contract (collect_list(pos,
+    lr) -> array_sort -> left fold), so the DuckDB oracle replays the
+    float sum term-for-term.
+    """
+    bucket = lambda tok: F.pmod(
+        F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    raw_toks = df.select(
+        F.col(id_col), F.posexplode(_toks(text_col)).alias("pos", "token")
+    ).withColumn("b", bucket(F.col("token")))
+    tgt_toks = target.select(F.posexplode(_toks(text_col)).alias("pos", "token")).select(
+        bucket(F.col("token")).alias("b")
+    )
+
+    a = float(smoothing)
+
+    def _logp(toks: DataFrame) -> DataFrame:
+        cnt = toks.groupBy("b").agg(F.count("*").cast("double").alias("c"))
+        # density over the FIXED bucket space: missing buckets get the
+        # smoothing floor a / (N + a*B), accounted via the N total
+        n = cnt.agg(F.sum("c").alias("_n"))
+        return (
+            cnt.crossJoin(F.broadcast(n))
+            .select("b", F.log((F.col("c") + F.lit(a)) / (F.col("_n") + F.lit(a * n_buckets))).alias("lp"), F.col("_n"))
+        )
+
+    lp_t = _logp(tgt_toks).select("b", F.col("lp").alias("lp_t"), F.col("_n").alias("_nt"))
+    lp_r = _logp(raw_toks.select("b")).select("b", F.col("lp").alias("lp_r"), F.col("_n").alias("_nr"))
+    # full outer over the observed buckets, floors for the absent side;
+    # n totals ride along so the floor term ln(a/(N+aB)) is computable
+    nt = F.first("_nt", ignorenulls=True)
+    nr = F.first("_nr", ignorenulls=True)
+    ratio = (
+        lp_t.join(lp_r, "b", "full_outer")
+        .crossJoin(F.broadcast(lp_t.agg(nt.alias("nt")).crossJoin(lp_r.agg(nr.alias("nr")))))
+        .select(
+            "b",
+            (
+                F.coalesce("lp_t", F.log(F.lit(a) / (F.col("nt") + F.lit(a * n_buckets))))
+                - F.coalesce("lp_r", F.log(F.lit(a) / (F.col("nr") + F.lit(a * n_buckets))))
+            ).alias("lr"),
+        )
+    )
+    per_doc = (
+        raw_toks.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.array_sort(F.collect_list(F.struct("pos", "lr"))).alias("_arr"),
+        )
+    )
+    s = F.aggregate(
+        F.transform(F.col("_arr"), lambda r: r["lr"]), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return per_doc.select(id_col, "n_tokens", s.alias("logw"))

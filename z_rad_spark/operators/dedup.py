@@ -620,3 +620,67 @@ def winnow_fingerprints(
         grams.select(id_col, F.explode(F.array_distinct(win_pick)).alias("s"))
         .select(id_col, F.col("s.pos").cast("int").alias("pos"), F.col("s.fp").alias("fp"))
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """Cross-document line-level deduplication (the RefinedWeb / CCNet
+    boilerplate filter: Penedo et al. 2023 §3.3 drop lines duplicated
+    across documents — nav menus, cookie banners, footers).
+
+    A line is removable when its NORMALIZED form (lower + collapsed
+    whitespace) occurs in more than ``max_doc_freq`` distinct documents.
+    Returns one row per input document: the cleaned text (surviving lines
+    re-joined by ``delim`` in original order), ``n_lines`` and
+    ``n_removed``.
+
+    Plan (scale-first):
+      1. posexplode lines — narrow.
+      2. doc-frequency per line KEY: ``md5(normalized line)`` so the
+         exchange moves 32-hex keys, never line bodies; two-level agg
+         (distinct (key, doc) -> count) with map-side partial combine.
+      3. equi-join lines -> over-frequent keys. The boilerplate set is
+         the join's build side; at web scale it is the ~per-mille of
+         line-classes crossing the threshold, so AQE picks a broadcast
+         when it fits — no hint forced (ADVICE r3: never force-broadcast
+         an unbounded frame).
+      4. ordered reassembly: groupBy(doc) -> array_sort(collect_list(
+         (pos, line))) -> concat_ws, bounded by document length.
+
+    Cross-engine value contract: dedup keys are md5 hex (DuckDB replays
+    byte-identically); reassembly order is the original line position, so
+    the output string is exact, not float-tolerant.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(delim), -1)).alias("pos", "line"),
+    ).withColumn("lkey", F.md5(normalize_text(F.col("line"))))
+    over = (
+        lines.select("lkey", id_col)
+        .distinct()
+        .groupBy("lkey")
+        .agg(F.count("*").cast("long").alias("line_df"))
+        .where(F.col("line_df") > max_doc_freq)
+        .select("lkey")
+    )
+    marked = lines.join(over.withColumn("_rm", F.lit(1)), "lkey", "left")
+    kept = F.filter(F.col("_arr"), lambda r: r["rm"].isNull())
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", F.col("line").alias("line"), F.col("_rm").alias("rm")))
+            ).alias("_arr")
+        )
+        .select(
+            id_col,
+            F.concat_ws(delim, F.transform(kept, lambda r: r["line"])).alias("clean_text"),
+            F.size("_arr").cast("long").alias("n_lines"),
+            (F.size("_arr") - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    )
