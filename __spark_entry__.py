@@ -1668,6 +1668,27 @@ def q_dsir(spark, sf_dir):
     return _r6(out, ["logw"])
 
 
+def q_domain_mix(spark, sf_dir):
+    """Deterministic domain-mixture sampling (Pile/DoReMi-style source
+    reweighting): per-source acceptance rates targeting a 0.5-budget mix
+    that up-weights src0-3 (3.0) over src4-9 (1.0) and src10-19 (0.25),
+    decided by an md5 hash threshold per document. The weight
+    coefficients live in oracle_sql_defs (imported here) so both engines
+    parse the identical doubles; the keep decision is an integer hash
+    compare — exact."""
+    from oracle_sql_defs import MIX_BUDGET, MIX_WEIGHTS
+    from z_rad_spark.operators.curation import domain_mix_sample
+
+    out = domain_mix_sample(_docs(spark, sf_dir), MIX_WEIGHTS, MIX_BUDGET)
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "rate",
+        "kept",
+    )
+    return _r6(out, ["rate"])
+
+
 def _replay_stream(spark, sf_dir, build_output, prefix):
     """Shared harness for the streaming gate queries: replay the
     events-derived (conv_id, ts, signal) frame through a file stream
@@ -2123,16 +2144,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the FIRST 50 entries. The round-4 window holds (1) everything changed
     or new THIS round — the two newly value-oracled queries
     (q_sketch_stats bound-gate, q_lsh_topk literal-hyperplane replay),
-    the four operators new in r4 (q_semdedup, q_unigram_lm,
-    q_line_dedup, q_dsir), the new backfill/SUV operators, the
-    selectExpr flagship gate, the hash_split/winnow fixes, the five
+    the five operators new in r4 (q_semdedup, q_unigram_lm,
+    q_line_dedup, q_dsir, q_domain_mix), the new backfill/SUV operators,
+    the selectExpr flagship gate, the hash_split/winnow fixes, the five
     salted queries (skew.py broadcast fix), and every query touched by
     the ordered reciprocal-square folds (all GLCM variants + the GLDZM
     family) — and (2) the remaining slots filled oldest-first: all 20
-    queries whose latest green driver row is round-1-era, then the
-    oldest round-2-era filter query (the four that no longer fit —
-    q_filter_log, q_filter_laws, q_filter_gabor, q_filter_wavelet —
-    keep their r2 green row plus this round's strict-mirror green).
+    queries whose latest green driver row is round-1-era (the filter set
+    no longer fits — q_filter_mean, q_filter_log, q_filter_laws,
+    q_filter_gabor, q_filter_wavelet keep their r2 green row plus this
+    round's strict-mirror green).
     Entries past the window hold round-2/3 green rows with unchanged
     code; ALL of them were additionally re-verified this round through
     the strict local mirror (tools/check_queries.py, STRICT hash mode,
@@ -2151,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_lm": q_unigram_lm,
         "q_line_dedup": q_line_dedup,
         "q_dsir": q_dsir,
+        "q_domain_mix": q_domain_mix,
         "q_asof_tolerance": q_asof_tolerance,
         # --- (1b) salted set: skew.py overlap-guard broadcast fix ---
         "q_glcm_salted": q_glcm_salted,
@@ -2192,10 +2214,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup": q_rollup,
         "q_tool_names": q_tool_names,
         "q_vocab": q_vocab,
-        # --- (2b) rotation: oldest round-2-era row (the filter path) ---
-        "q_filter_mean": q_filter_mean,
         # ===== gate window ends here (first 50 entries) ================
         # round-2/3 green rows, code unchanged; all strict-mirrored r4
+        "q_filter_mean": q_filter_mean,
         "q_filter_log": q_filter_log,
         "q_filter_laws": q_filter_laws,
         "q_filter_gabor": q_filter_gabor,

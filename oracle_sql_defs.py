@@ -2816,6 +2816,40 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM pd
 """
 
+# domain-mixture constants shared with the q_domain_mix gate query: the
+# entry file imports these, so both engines parse the IDENTICAL double
+# coefficients (budget * normalized weight, folded in Python)
+MIX_WEIGHTS = {
+    **{f"src{i}": 3.0 for i in range(4)},
+    **{f"src{i}": 1.0 for i in range(4, 10)},
+    **{f"src{i}": 0.25 for i in range(10, 20)},
+}
+MIX_BUDGET = 0.5
+_mix_wsum = float(sum(MIX_WEIGHTS.values()))
+_MIX_CASE = (
+    "CASE c.source "
+    + " ".join(
+        f"WHEN '{s}' THEN {MIX_BUDGET * (float(w) / _mix_wsum)!r}"
+        for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    + " ELSE 0.0 END"
+)
+
+ORACLES["q_domain_mix"] = f"""
+WITH c AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_src FROM documents GROUP BY source),
+t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_tot FROM documents),
+r AS (
+  SELECT c.source, LEAST(1.0, {_MIX_CASE} * t.n_tot / c.n_src) AS rate
+  FROM c, t
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       d.source,
+       {r6('r.rate', 'rate')},
+       CAST(CASE WHEN ('0x' || substring(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 < CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT) THEN 1 ELSE 0 END AS INT) AS kept
+FROM documents d JOIN r ON d.source = r.source
+"""
+
 # batch replica of the streaming append-mode contract: tumbling 1h windows
 # (epoch-aligned integer bucketing, same as Spark's window()), emitted iff
 # window_end <= final watermark = max event time (delay 0s)

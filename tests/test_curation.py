@@ -552,3 +552,35 @@ def test_dsir_weights_match_python_replay(spark):
         assert got[did]["logw"] == want[did], did
     # target-looking doc 2 (alpha/beta heavy) outscores raw-only doc 3
     assert got[2]["logw"] > got[3]["logw"]
+
+
+def test_domain_mix_sample_replay_and_mix(spark):
+    """Python replay of the per-source rate + hash threshold; capped
+    source keeps everything; zero-weight source drops everything."""
+    import hashlib
+
+    from z_rad_spark.operators.curation import domain_mix_sample
+
+    rows = [(i, f"s{i % 4}") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    # s0 over-demanded (caps at 1.0), s3 unweighted (rate 0)
+    weights = {"s0": 10.0, "s1": 1.0, "s2": 1.0}
+    budget = 0.5
+    got = domain_mix_sample(docs, weights, budget).collect()
+
+    wsum = sum(weights.values())
+    n_src, n_tot = 100.0, 400.0
+    want_rate = {
+        s: min(1.0, (budget * (w / wsum)) * n_tot / n_src) for s, w in weights.items()
+    }
+    want_rate["s3"] = 0.0
+    for r in got:
+        assert r["rate"] == want_rate[r["source"]], r["source"]
+        h = int(hashlib.md5(f"mix|{r['doc_id']}".encode()).hexdigest()[:8], 16)
+        assert r["kept"] == int(h < int(want_rate[r["source"]] * 4294967296.0)), r
+    kept_by = {}
+    for r in got:
+        kept_by.setdefault(r["source"], []).append(r["kept"])
+    assert all(k == 1 for k in kept_by["s0"])  # capped source keeps all
+    assert all(k == 0 for k in kept_by["s3"])  # unweighted source drops all
+    assert 0 < sum(kept_by["s1"]) < 100

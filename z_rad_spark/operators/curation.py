@@ -529,3 +529,58 @@ def dsir_weights(
         F.transform(F.col("_arr"), lambda r: r["lr"]), F.lit(0.0), lambda acc, v: acc + v
     )
     return per_doc.select(id_col, "n_tokens", s.alias("logw"))
+
+
+def domain_mix_sample(
+    docs: DataFrame,
+    weights: dict,
+    budget_frac: float,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic domain-mixture sampling (the Pile / DoReMi-style
+    reweighting pass): select ~``budget_frac * N`` documents whose
+    composition follows ``weights`` across sources, by per-source hash
+    thresholds.
+
+    Per source ``s``: acceptance rate
+    ``r_s = min(1, budget_frac * (w_s / W) * N / n_s)`` (``W`` = sum of
+    the weight dict, folded into a Python-literal coefficient so both
+    engines parse the identical double); a document is kept when the
+    first 8 hex chars of ``md5(salt|id)`` — a uniform 32-bit draw — fall
+    under ``floor(r_s * 2^32)``. Sources absent from ``weights`` get
+    rate 0 (dropped); over-demanded sources cap at 1 (keep-all, with the
+    shortfall visible in ``rate``).
+
+    Decisions are deterministic in (salt, id) alone given the per-source
+    counts, so reruns and engine replays agree bit-for-bit. Plan: one
+    tiny per-source count aggregate (map-side combined) broadcast back
+    onto the corpus — no shuffle of document rows at any point.
+
+    Returns every input document with ``rate`` and ``kept`` so callers
+    can audit the mix; filter on ``kept`` for the sampled corpus.
+    """
+    wsum = float(sum(weights.values()))
+    coef = {s: budget_frac * (float(w) / wsum) for s, w in weights.items()}
+    wb = F.lit(0.0)
+    for s, c in sorted(coef.items()):
+        wb = F.when(F.col(source_col) == s, F.lit(c)).otherwise(wb)
+
+    counts = docs.groupBy(source_col).agg(F.count("*").cast("double").alias("_n_src"))
+    n_tot = docs.select(F.count("*").cast("double").alias("_n_tot"))
+    rate = F.least(F.lit(1.0), wb * F.col("_n_tot") / F.col("_n_src"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(counts), source_col)
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn("rate", rate)
+        .withColumn("kept", (h < F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long")).cast("int"))
+        .drop("_n_src", "_n_tot")
+    )
