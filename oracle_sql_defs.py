@@ -2816,6 +2816,38 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM pd
 """
 
+# duplicate 8-gram span coverage: gram hashes replayed as md5 of the
+# space-joined token slice; covered tokens = n + sum(min(n, delta)) over
+# the sorted duplicated starts, expressed as a window lag (the starts are
+# strictly increasing per document, so lag(start) + n - 1 IS the furthest
+# previous interval end — no fold needed)
+ORACLES["q_dup_spans"] = f"""
+WITH d AS (SELECT doc_id, {TOKS_RAW} AS tk FROM documents),
+g AS (
+  SELECT doc_id, i, md5(array_to_string(list_slice(tk, i, i + 7), ' ')) AS gkey
+  FROM d, unnest(generate_series(1, len(tk) - 7)) AS t(i)
+),
+dup AS (SELECT gkey FROM g GROUP BY gkey HAVING COUNT(DISTINCT doc_id) >= 2),
+p AS (
+  SELECT g.doc_id, g.i,
+         g.i - lag(g.i) OVER (PARTITION BY g.doc_id ORDER BY g.i) AS delta
+  FROM g JOIN dup USING (gkey)
+),
+s AS (
+  SELECT doc_id, COUNT(*) AS n_dup_grams,
+         SUM(CASE WHEN delta IS NULL THEN 8 ELSE LEAST(8, delta) END) AS covered
+  FROM p GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(len(d.tk) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(COALESCE(s.covered, 0) AS BIGINT) AS covered_tokens,
+       {r6('CAST(COALESCE(s.covered, 0) AS DOUBLE) / CAST(len(d.tk) AS DOUBLE)', 'dup_frac')},
+       CAST(CASE WHEN CAST(COALESCE(s.covered, 0) AS DOUBLE) / CAST(len(d.tk) AS DOUBLE) >= 0.2
+                 THEN 1 ELSE 0 END AS INT) AS drop_doc
+FROM d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
 # domain-mixture constants shared with the q_domain_mix gate query: the
 # entry file imports these, so both engines parse the IDENTICAL double
 # coefficients (budget * normalized weight, folded in Python)

@@ -69,3 +69,39 @@ def test_run_curation_cli_and_resume(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     m2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert m2.get("skipped") is True
+
+
+def test_run_curation_cli_full_stages(tmp_path):
+    """All optional stages on at once: dup-span gate, DSIR floor,
+    domain-mixture sampling. Counts stay monotone through the added
+    stages and the manifest records the stage parameters."""
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "curated_full")
+    cmd = [
+        sys.executable, "tools/run_curation.py",
+        "--input", "/root/testdata/sf0.001",
+        "--output", out,
+        "--budget", "500",
+        "--cores", "4",
+        "--max-dup-span-frac", "0.8",
+        "--dsir-target-sources", "src0,src1",
+        "--dsir-min-logw", "-1000000",
+        "--mix", "src0:3,src1:1,src2:1,src3:1,src4:1,src5:1,src6:1,"
+                 "src7:1,src8:1,src9:1,src10:1,src11:1,src12:1,src13:1,"
+                 "src14:1,src15:1,src16:1,src17:1,src18:1,src19:1",
+        "--mix-budget", "0.8",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    c = m["counts"]
+    assert (
+        c["input"] >= c["after_quality"] >= c["after_dedup"]
+        >= c["after_decontamination"] >= c["after_dsir"] >= c["after_mix"]
+    )
+    assert c["written"] == c["after_mix"] > 0
+    assert m["params"]["max_dup_span_frac"] == 0.8
+    assert m["params"]["mix_budget"] == 0.8

@@ -835,3 +835,50 @@ def test_line_dedup_threshold_and_all_removed(spark):
     assert got2[0]["clean_text"] == "pair\nown zero"
     assert got2[0]["n_removed"] == 1
     assert got2[2]["clean_text"] == "" and got2[2]["n_removed"] == 1
+
+
+def test_dup_span_stats_hand_computed(spark):
+    """Shared 5-token passage under n=3 gives three overlapping
+    duplicated grams whose merged cover is 5 tokens (3 + 1 + 1), not 9;
+    a clean doc reports zeros; short docs (< n tokens) produce no grams
+    but still appear in the output."""
+    from z_rad_spark.operators.dedup import dup_span_stats
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{shared} zero tail words here"),
+            (1, f"one head {shared}"),
+            (2, "totally unrelated content words"),
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dup_span_stats(docs, n=3, drop_frac=0.5).collect()}
+
+    # doc 0: starts [1,2,3] -> covered 3 + 1 + 1 = 5 of 9 tokens
+    assert (got[0]["n_dup_grams"], got[0]["covered_tokens"]) == (3, 5)
+    assert got[0]["dup_frac"] == 5 / 9 and got[0]["drop_doc"] == 1
+    # doc 1: starts [3,4,5] -> same merged cover, 5 of 7 tokens
+    assert (got[1]["n_dup_grams"], got[1]["covered_tokens"]) == (3, 5)
+    assert got[1]["drop_doc"] == 1
+    assert (got[2]["n_dup_grams"], got[2]["covered_tokens"], got[2]["drop_doc"]) == (0, 0, 0)
+    assert (got[3]["n_tokens"], got[3]["n_dup_grams"], got[3]["dup_frac"]) == (2, 0, 0.0)
+
+
+def test_dup_span_stats_disjoint_spans_sum(spark):
+    """Two duplicated grams further apart than n merge nothing: covered
+    is exactly 2n."""
+    from z_rad_spark.operators.dedup import dup_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aa bb cc x1 x2 x3 x4 dd ee ff"),
+            (1, "aa bb cc y1 y2 y3 y4 dd ee ff"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dup_span_stats(docs, n=3).collect()}
+    # starts [1, 8] in both docs -> delta 7 > n -> covered = 3 + 3
+    assert got[0]["covered_tokens"] == 6 and got[1]["covered_tokens"] == 6
+    assert got[0]["n_dup_grams"] == 2

@@ -7,10 +7,13 @@ Pipeline (each stage a declarative plan over the previous one)::
     documents
       -> Gopher rule gate          (quality_rules; narrow, no shuffle)
       -> repetition filter         (dup 2-gram fraction cap; narrow)
+      -> [--max-dup-span-frac] duplicate 8-gram span coverage gate
       -> exact dedup               (md5 canonical keeper; 1 shuffle)
       -> [--near-dup] MinHash+LSH near-dup clusters, keep cluster min
       -> decontamination           (word 3-gram overlap vs --benchmark-mod
                                     held-out subset; gram equi-join)
+      -> [--dsir-target-sources] DSIR importance-weight floor
+      -> [--mix] domain-mixture sampling toward --mix-budget
       -> deterministic hash split  (train/val/test; zero shuffle)
       -> token-budget shard packing per split (two-pass prefix sum)
       -> parquet partitioned by (split), ordered by shard
@@ -53,6 +56,17 @@ def main() -> None:
     ap.add_argument("--splits", default="train:0.8,val:0.1,test:0.1")
     ap.add_argument("--near-dup", action="store_true",
                     help="also drop MinHash+LSH near-duplicate cluster members")
+    ap.add_argument("--max-dup-span-frac", type=float, default=None,
+                    help="drop docs whose duplicate 8-gram span coverage "
+                         "exceeds this fraction (Lee et al. substring-dedup gate)")
+    ap.add_argument("--dsir-target-sources", default=None,
+                    help="comma list of sources defining the DSIR target "
+                         "domain; keeps docs with logw >= --dsir-min-logw")
+    ap.add_argument("--dsir-min-logw", type=float, default=0.0)
+    ap.add_argument("--mix", default=None,
+                    help="domain-mixture weights 'src0:3,src1:1,...'; "
+                         "applied with --mix-budget before splitting")
+    ap.add_argument("--mix-budget", type=float, default=0.5)
     ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument("--resume", action="store_true",
                     help="skip the run when the manifest matches input snapshot + params")
@@ -82,6 +96,11 @@ def main() -> None:
         "budget": args.budget,
         "splits": args.splits,
         "near_dup": bool(args.near_dup),
+        "max_dup_span_frac": args.max_dup_span_frac,
+        "dsir_target_sources": args.dsir_target_sources,
+        "dsir_min_logw": args.dsir_min_logw,
+        "mix": args.mix,
+        "mix_budget": args.mix_budget,
     }
     snap = input_snapshot_id(args.input)
     mpath = os.path.join(args.output, MANIFEST)
@@ -107,6 +126,13 @@ def main() -> None:
         .where(F.col("dup_2gram_frac") <= args.max_dup_2gram)
         .select(docs.columns)
     )
+    if args.max_dup_span_frac is not None:
+        from z_rad_spark.operators.dedup import dup_span_stats
+
+        spans = dup_span_stats(gated, n=8).where(
+            F.col("dup_frac") <= args.max_dup_span_frac
+        )
+        gated = gated.join(spans.select("doc_id"), "doc_id", "left_semi")
     # one narrow pass feeds every later stage: cache the gated survivors
     gated = gated.persist()
     counts["after_quality"] = gated.count()
@@ -128,6 +154,30 @@ def main() -> None:
     contam = decontaminate(train_side, bench).where(~F.col("contaminated")).select("doc_id")
     clean = train_side.join(contam, "doc_id", "left_semi").persist()
     counts["after_decontamination"] = clean.count()
+
+    if args.dsir_target_sources:
+        from z_rad_spark.operators.curation import dsir_weights
+
+        tgt_sources = [s.strip() for s in args.dsir_target_sources.split(",")]
+        target = docs.where(F.col("source").isin(tgt_sources))
+        scored = dsir_weights(clean, target).where(
+            F.col("logw") >= args.dsir_min_logw
+        )
+        clean = clean.join(scored.select("doc_id"), "doc_id", "left_semi")
+        counts["after_dsir"] = clean.count()
+
+    if args.mix:
+        from z_rad_spark.operators.curation import domain_mix_sample
+
+        weights = {}
+        for part in args.mix.split(","):
+            name, w = part.split(":")
+            weights[name.strip()] = float(w)
+        mixed = domain_mix_sample(clean, weights, args.mix_budget).where(
+            F.col("kept") == 1
+        )
+        clean = clean.join(mixed.select("doc_id"), "doc_id", "left_semi")
+        counts["after_mix"] = clean.count()
 
     split_docs = hash_split(clean, fractions)
     packed = shard_pack(

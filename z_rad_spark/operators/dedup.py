@@ -684,3 +684,97 @@ def line_dedup(
             (F.size("_arr") - F.size(kept)).cast("long").alias("n_removed"),
         )
     )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    n: int = 8,
+    min_doc_freq: int = 2,
+    drop_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate n-gram span coverage — the fixed-length approximation of
+    exact-substring deduplication (Lee et al. 2022, Deduplicating
+    Training Data Makes Language Models Better: remove long token spans
+    that occur verbatim elsewhere in the corpus; suffix arrays find
+    arbitrary-length spans, production Spark pipelines approximate with
+    sliding fixed-``n`` grams).
+
+    A token position is COVERED when some n-gram starting at-or-before
+    it (within ``n``) occurs in at least ``min_doc_freq`` distinct
+    documents. Emits per document: token count, duplicated-gram start
+    count, covered-token count (overlaps merged), coverage fraction and
+    a drop decision at ``drop_frac``.
+
+    Plan (scale-first):
+      1. gram hashes as a per-document array expression (md5 of the
+         space-joined slice — narrow, no explode until the join key is
+         32-hex, never gram text).
+      2. gram doc-frequency: distinct (gram, doc) -> count, map-side
+         combined; the >= min_doc_freq set joins back by equi-key (AQE
+         picks broadcast when the duplicated set fits — unbounded, so
+         never hint-forced).
+      3. covered tokens WITHOUT an interval fold: duplicated starts are
+         strictly increasing per doc, so the merged-interval length is
+         ``n + sum(min(n, start_i - start_{i-1}))`` — a sorted-array
+         delta sum in exact integer arithmetic (the DuckDB oracle
+         replays it as a window ``lag``).
+
+    Reference cut semantics differ (they splice text); for curation the
+    decision-bearing output is the coverage fraction, same as the
+    repetition/Gopher filters.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    t_sz = F.size(toks)
+    gram_arr = F.when(
+        t_sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), t_sz - n + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(F.col(id_col), t_sz.alias("n_tokens"), gram_arr.alias("_g"))
+    grams = base.select(id_col, F.posexplode("_g").alias("_p0", "gkey")).select(
+        id_col, (F.col("_p0") + 1).alias("start"), "gkey"
+    )
+    dup = (
+        grams.select("gkey", id_col)
+        .distinct()
+        .groupBy("gkey")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") >= min_doc_freq)
+        .select("gkey")
+    )
+    starts = (
+        grams.join(dup, "gkey")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("start")).alias("_s"))
+    )
+    deltas = F.transform(
+        F.sequence(F.lit(1), F.size("_s") - 1),
+        lambda j: F.least(F.lit(n), F.element_at("_s", j + 1) - F.element_at("_s", j)),
+    )
+    covered = F.when(
+        F.size("_s") > 0,
+        F.lit(n) + F.aggregate(deltas, F.lit(0), lambda acc, v: acc + v),
+    ).otherwise(F.lit(0))
+    stats = starts.select(
+        id_col,
+        F.size("_s").cast("long").alias("n_dup_grams"),
+        covered.cast("long").alias("covered_tokens"),
+    )
+    out = base.select(id_col, "n_tokens").join(stats, id_col, "left")
+    frac = F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("double") / F.col(
+        "n_tokens"
+    ).cast("double")
+    return out.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+        frac.alias("dup_frac"),
+        (frac >= F.lit(drop_frac)).cast("int").alias("drop_doc"),
+    )
