@@ -210,3 +210,47 @@ def test_semdedup_plan_shape(spark):
     # codebook), never an all-pairs join; the only vec_id-keyed exchange
     # allowed is the final keeper left-join
     assert "hashpartitioning(cluster_id" in plan
+
+
+def test_dsir_ratio_table_broadcasts_onto_tokens(spark):
+    """The per-bucket log-ratio frame is bounded by n_buckets; the join
+    back onto the raw token stream must be a broadcast hash join — a
+    sort-merge there would shuffle every token at corpus scale."""
+    from z_rad_spark.operators.curation import dsir_weights
+
+    docs = _docs(spark)
+    plan = _plan(dsir_weights(docs, docs.where("source = 'src0'"), n_buckets=64))
+    assert "BroadcastHashJoin" in plan
+    # the only sort-merge allowed is the FullOuter merge of the two
+    # bounded (<= n_buckets rows) per-bucket frames; Spark cannot
+    # broadcast a full outer, and the inputs are bounded anyway
+    smjs = [l for l in plan.splitlines() if "SortMergeJoin" in l]
+    assert all("FullOuter" in l for l in smjs), smjs
+    assert "CartesianProduct" not in plan
+
+
+def test_domain_mix_never_shuffles_document_rows(spark):
+    """Only the tiny per-source count aggregate may exchange; the
+    document stream itself joins by broadcast and stays unshuffled, so
+    the sample scales as one narrow pass."""
+    from z_rad_spark.operators.curation import domain_mix_sample
+
+    plan = _plan(domain_mix_sample(_docs(spark), {"src0": 2.0, "src1": 1.0}, 0.5))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # every Exchange in the plan belongs to the count-aggregate subtrees
+    # (hashpartitioning on source / single partition), never on doc_id
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "doc_id" not in line, line
+
+
+def test_line_dedup_and_dup_spans_join_on_hash_keys(spark):
+    """Both dedup passes must join lines/grams on 32-hex md5 keys (never
+    text bodies) and must not degrade to nested loops."""
+    from z_rad_spark.operators.dedup import dup_span_stats, line_dedup
+
+    for df in (line_dedup(_docs(spark)), dup_span_stats(_docs(spark), n=3)):
+        plan = _plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
