@@ -555,11 +555,16 @@ def domain_mix_sample(
 
     Decisions are deterministic in (salt, id) alone given the per-source
     counts, so reruns and engine replays agree bit-for-bit. Plan: one
-    tiny per-source count aggregate (map-side combined) broadcast back
-    onto the corpus — no shuffle of document rows at any point.
+    tiny per-source count aggregate (map-side combined), FILTERED to the
+    weighted sources BEFORE its broadcast back onto the corpus — the
+    broadcast frame is bounded by ``len(weights)`` rows, never by the
+    data's source cardinality (a weight dict is a human-sized config;
+    the corpus' distinct-source count is not) — and no shuffle of
+    document rows at any point.
 
     Returns every input document with ``rate`` and ``kept`` so callers
     can audit the mix; filter on ``kept`` for the sampled corpus.
+    Sources absent from ``weights`` carry rate 0.0 / kept 0.
     """
     wsum = float(sum(weights.values()))
     coef = {s: budget_frac * (float(w) / wsum) for s, w in weights.items()}
@@ -567,9 +572,16 @@ def domain_mix_sample(
     for s, c in sorted(coef.items()):
         wb = F.when(F.col(source_col) == s, F.lit(c)).otherwise(wb)
 
-    counts = docs.groupBy(source_col).agg(F.count("*").cast("double").alias("_n_src"))
+    counts = (
+        docs.where(F.col(source_col).isin(list(weights)))
+        .groupBy(source_col)
+        .agg(F.count("*").cast("double").alias("_n_src"))
+    )
     n_tot = docs.select(F.count("*").cast("double").alias("_n_tot"))
-    rate = F.least(F.lit(1.0), wb * F.col("_n_tot") / F.col("_n_src"))
+    rate = F.when(
+        F.col("_n_src").isNotNull(),
+        F.least(F.lit(1.0), wb * F.col("_n_tot") / F.col("_n_src")),
+    ).otherwise(F.lit(0.0))
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))), 1, 8
@@ -578,7 +590,7 @@ def domain_mix_sample(
         10,
     ).cast("long")
     return (
-        docs.join(F.broadcast(counts), source_col)
+        docs.join(F.broadcast(counts), source_col, "left")
         .crossJoin(F.broadcast(n_tot))
         .withColumn("rate", rate)
         .withColumn("kept", (h < F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long")).cast("int"))
