@@ -584,3 +584,35 @@ def test_domain_mix_sample_replay_and_mix(spark):
     assert all(k == 1 for k in kept_by["s0"])  # capped source keeps all
     assert all(k == 0 for k in kept_by["s3"])  # unweighted source drops all
     assert 0 < sum(kept_by["s1"]) < 100
+
+
+def test_partition_invariance_of_round4_operators(spark):
+    """Same property for the round-4 additions: line dedup, dup-span
+    coverage, DSIR weights and domain-mixture sampling are all
+    layout-independent (1 partition == 7 partitions, element-exact)."""
+    from z_rad_spark.operators.curation import domain_mix_sample, dsir_weights
+    from z_rad_spark.operators.dedup import dup_span_stats, line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"tok{i % 13} tok{i % 5} the and word{i % 31} "
+                + ("shared passage of many tokens " if i % 4 == 0 else f"own{i} text "),
+                f"s{i % 3}",
+            )
+            for i in range(120)
+        ],
+        "doc_id long, text string, source string",
+    )
+    target = docs.where("source = 's0'")
+
+    for build in (
+        lambda d: line_dedup(d, delim=" "),
+        lambda d: dup_span_stats(d, n=3),
+        lambda d: dsir_weights(d, target, n_buckets=32),
+        lambda d: domain_mix_sample(d, {"s0": 2.0, "s1": 1.0}, 0.5),
+    ):
+        one = sorted(map(tuple, build(docs.coalesce(1)).collect()))
+        many = sorted(map(tuple, build(docs.repartition(7)).collect()))
+        assert one == many
