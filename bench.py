@@ -148,6 +148,10 @@ out = lambda: dup_clusters(big, n=3, n_hashes=8, band_size=4, max_bucket=64).cou
 from z_rad_spark.operators.dedup import minhash_lsh_pairs
 out = lambda: minhash_lsh_pairs(big, n=3, n_hashes=8, band_size=4, max_bucket=64).count()
 """,
+        "dup_spans": """
+from z_rad_spark.operators.dedup import dup_span_stats
+out = lambda: dup_span_stats(big, n=8).count()
+""",
         "corpus_clean": """
 from pyspark.sql import functions as F
 from z_rad_spark.operators.dedup import exact_dedup
@@ -419,7 +423,7 @@ def main():
         # north-rule evidence for the LLM-pipeline block: same two-level
         # pinned-subprocess protocol as the flagship, interleaved
         sd: dict = {}
-        for which in ("minhash_pairs", "dup_clusters", "corpus_clean"):
+        for which in ("minhash_pairs", "dup_clusters", "dup_spans", "corpus_clean"):
             best: dict[int, tuple[float, float, float]] = {}
             for _ in range(2):
                 for c in (8, 32):
