@@ -1621,6 +1621,66 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def q_pq_codes(spark, sf_dir):
+    """Product quantization codes (Jégou et al. 2011): each embedding
+    compressed to m=4 codebook indices (k=16 codewords per contiguous
+    16-dim subspace) plus the reconstruction error. Codebooks are the
+    deterministic md5('pq|') hash sample (rank in md5 order = codeword
+    index), distances are strict sequential squared-L2 folds, argmin ties
+    break to the smaller index — all replayed exactly by the DuckDB
+    oracle. Assignment is a chain of narrow projections: zero Exchange
+    between scan and codes (plan-asserted)."""
+    from z_rad_spark.operators.similarity import pq_codes
+
+    out = pq_codes(_emb(spark, sf_dir), m=4, k=16)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        *[F.col(f"code{s}").cast("int").alias(f"code{s}") for s in range(4)],
+        (F.col("recon_err") + F.lit(0.0)).alias("recon_err"),
+    )
+
+
+def q_pq_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-k (ADC): approximate L2 search where
+    the corpus side is touched only through its 4 int codes — each query
+    carries an m x k literal-math lookup table and a candidate's distance
+    is 4 element_at lookups summed in subspace order. The compressed
+    serving path under ivf_topk; exactness is cosine_topk's job, and the
+    oracle replays the quantization + lookups bit-for-bit."""
+    from z_rad_spark.operators.similarity import pq_adc_topk
+
+    e = _emb(spark, sf_dir)
+    qs = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pq_adc_topk(e, qs, m=4, k=16, topk=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        (F.col("approx_dist") + F.lit(0.0)).alias("approx_dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Hashed linear quality classifier (fastText/CCNet-style model
+    filter): tokens hash to 64 buckets (md5 first-4-hex, the
+    hashed_embedding bucket), score = mean bucket weight over the
+    document's tokens (strict left fold), prob = logistic(score), label
+    thresholded at 0.5. Weights are the deterministic seeded vector —
+    6dp-rounded literals both engines parse to identical doubles."""
+    from z_rad_spark.operators.curation import quality_classifier
+
+    out = quality_classifier(_docs(spark, sf_dir), dims=64, seed=41)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        (F.col("score") + F.lit(0.0)).alias("score"),
+        (F.col("prob") + F.lit(0.0)).alias("prob"),
+        "label",
+    )
+
+
 def q_line_dedup(spark, sf_dir):
     """Cross-document line-level deduplication (RefinedWeb §3.3 / CCNet
     boilerplate removal): the corpus re-segmented into deterministic
@@ -2165,8 +2225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the FIRST 50 entries. The round-4 window holds (1) everything changed
     or new THIS round — the two newly value-oracled queries
     (q_sketch_stats bound-gate, q_lsh_topk literal-hyperplane replay),
-    the six operators new in r4 (q_semdedup, q_unigram_lm,
-    q_line_dedup, q_dsir, q_domain_mix, q_dup_spans), the new
+    the nine operators new in r4 (q_semdedup, q_unigram_lm,
+    q_line_dedup, q_dsir, q_domain_mix, q_dup_spans, and the late-r4
+    trio q_pq_codes / q_pq_topk / q_quality_classifier), the new
     backfill/SUV operators,
     the selectExpr flagship gate, the hash_split/winnow fixes, the five
     salted queries (skew.py broadcast fix), and every query touched by
@@ -2175,7 +2236,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries whose latest green driver row is round-1-era (the filter set
     no longer fits — q_filter_mean, q_filter_log, q_filter_laws,
     q_filter_gabor, q_filter_wavelet keep their r2 green row plus this
-    round's strict-mirror green).
+    round's strict-mirror green; the late-r4 trio additionally displaced
+    q_lag_lead / q_rollup / q_vocab — the three simplest r1-era entries,
+    pure built-in window/rollup/distinct plans — which keep their r1
+    green row plus this round's strict-mirror green and sit first past
+    the marker for the r5 rotation).
     Entries past the window hold round-2/3 green rows with unchanged
     code; ALL of them were additionally re-verified this round through
     the strict local mirror (tools/check_queries.py, STRICT hash mode,
@@ -2196,6 +2261,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir": q_dsir,
         "q_domain_mix": q_domain_mix,
         "q_dup_spans": q_dup_spans,
+        "q_pq_codes": q_pq_codes,
+        "q_pq_topk": q_pq_topk,
+        "q_quality_classifier": q_quality_classifier,
         "q_asof_tolerance": q_asof_tolerance,
         # --- (1b) salted set: skew.py overlap-guard broadcast fix ---
         "q_glcm_salted": q_glcm_salted,
@@ -2226,17 +2294,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_glszm": q_glszm,
         "q_ivh_fbs": q_ivh_fbs,
         "q_json_props": q_json_props,
-        "q_lag_lead": q_lag_lead,
         "q_mask_union": q_mask_union,
         "q_moran": q_moran,
         "q_ngldm": q_ngldm,
         "q_ngldm_dist": q_ngldm_dist,
         "q_ngtdm": q_ngtdm,
         "q_rolling_1h": q_rolling_1h,
-        "q_rollup": q_rollup,
         "q_tool_names": q_tool_names,
-        "q_vocab": q_vocab,
         # ===== gate window ends here (first 50 entries) ================
+        # displaced by the late-r4 trio: r1 green rows + r4 strict mirror
+        "q_lag_lead": q_lag_lead,
+        "q_rollup": q_rollup,
+        "q_vocab": q_vocab,
         # round-2/3 green rows (q_glcm_2d_slice_merg: r3 row; its r4
         # ordered-fold refactor is gated via the three sibling GLCM
         # variants above); all strict-mirrored r4

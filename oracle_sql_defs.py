@@ -3925,3 +3925,118 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
        {r6('cos', 'cosine')}, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 5
 """
+
+
+# --- product quantization (pq_codes / pq_adc_topk replay) ------------------
+# codebooks: rank in md5('pq|'||id) order = codeword index; distances are
+# the same strict sequential squared-L2 left folds the engine evaluates
+# (list_reduce with a prepended 0.0 = Catalyst aggregate's zero init).
+
+_PQ_DIST = (
+    "list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(generate_series(1, 16), "
+    "i -> ({a}[{off} + i] - {b}[{off} + i]) * ({a}[{off} + i] - {b}[{off} + i])), "
+    "(acc, x) -> acc + x)"
+)
+
+_PQ_BASE = f"""
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+cb AS (SELECT ROW_NUMBER() OVER (ORDER BY md5('pq|' || CAST(vec_id AS STRING))) - 1 AS cw,
+              ev AS cv
+       FROM v ORDER BY md5('pq|' || CAST(vec_id AS STRING)) LIMIT 16),
+sub AS (SELECT UNNEST([0, 1, 2, 3]) AS s),
+d AS (
+  SELECT v.vec_id, sub.s, cb.cw,
+         {_PQ_DIST.format(a='v.ev', b='cb.cv', off='sub.s * 16')} AS d
+  FROM v CROSS JOIN sub CROSS JOIN cb
+),
+m AS (
+  SELECT vec_id, s, cw, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cw ASC) AS rn
+  FROM d
+),
+p AS (
+  SELECT vec_id,
+         MAX(CASE WHEN s = 0 THEN cw END) AS code0,
+         MAX(CASE WHEN s = 1 THEN cw END) AS code1,
+         MAX(CASE WHEN s = 2 THEN cw END) AS code2,
+         MAX(CASE WHEN s = 3 THEN cw END) AS code3,
+         MAX(CASE WHEN s = 0 THEN d END) AS d0,
+         MAX(CASE WHEN s = 1 THEN d END) AS d1,
+         MAX(CASE WHEN s = 2 THEN d END) AS d2,
+         MAX(CASE WHEN s = 3 THEN d END) AS d3
+  FROM m WHERE rn = 1 GROUP BY vec_id
+)"""
+
+ORACLES["q_pq_codes"] = f"""
+WITH {_PQ_BASE}
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(code0 AS INT) AS code0, CAST(code1 AS INT) AS code1,
+       CAST(code2 AS INT) AS code2, CAST(code3 AS INT) AS code3,
+       {r6('((d0 + d1) + d2) + d3', 'recon_err')}
+FROM p
+"""
+
+ORACLES["q_pq_topk"] = f"""
+WITH {_PQ_BASE},
+qt AS (
+  SELECT q.vec_id AS query_id, sub.s, cb.cw,
+         {_PQ_DIST.format(a='q.ev', b='cb.cv', off='sub.s * 16')} AS qd
+  FROM v q CROSS JOIN sub CROSS JOIN cb
+  WHERE q.vec_id < 5
+),
+a AS (
+  SELECT q0.query_id, p.vec_id,
+         ((q0.qd + q1.qd) + q2.qd) + q3.qd AS ad
+  FROM p
+  JOIN qt q0 ON q0.s = 0 AND q0.cw = p.code0
+  JOIN qt q1 ON q1.s = 1 AND q1.cw = p.code1 AND q1.query_id = q0.query_id
+  JOIN qt q2 ON q2.s = 2 AND q2.cw = p.code2 AND q2.query_id = q0.query_id
+  JOIN qt q3 ON q3.s = 3 AND q3.cw = p.code3 AND q3.query_id = q0.query_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ad ASC, vec_id ASC) AS rank
+  FROM a
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       {r6('ad', 'approx_dist')}, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+# --- hashed linear quality classifier ---------------------------------------
+# weight vector: the documented deterministic recipe (np.random.default_rng
+# seed 41 standard normals, 6dp-rounded) regenerated here INDEPENDENTLY of
+# the engine — both sides parse the same short decimal literals.
+
+def _classifier_w_sql(dims: int = 64, seed: int = 41) -> str:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vals = [round(float(x), 6) for x in rng.standard_normal(dims)]
+    return "[" + ", ".join(f"CAST('{repr(v)}' AS DOUBLE)" for v in vals) + "]"
+
+
+ORACLES["q_quality_classifier"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         len({TOKS_RAW}) AS n,
+         list_reduce([CAST(0.0 AS DOUBLE)] || list_transform({TOKS_RAW},
+             t -> ({_classifier_w_sql()})[CAST(('0x' || substring(md5(t), 1, 4))::BIGINT % 64 AS INT) + 1]),
+             (acc, x) -> acc + x) AS wsum
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, n, wsum / CAST(n AS DOUBLE) + 0 AS score
+  FROM s
+),
+pr AS (
+  SELECT doc_id, n, score, 1.0 / (1.0 + exp(-score)) AS prob
+  FROM sc
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       {r6('score', 'score')},
+       {r6('prob', 'prob')},
+       CASE WHEN prob >= 0.5 THEN 'keep' ELSE 'drop' END AS label
+FROM pr
+"""

@@ -616,3 +616,49 @@ def test_partition_invariance_of_round4_operators(spark):
         one = sorted(map(tuple, build(docs.coalesce(1)).collect()))
         many = sorted(map(tuple, build(docs.repartition(7)).collect()))
         assert one == many
+
+
+def test_quality_classifier_hand_computed(spark):
+    """Independent hashlib replay of the hashed-linear score on a tiny
+    corpus: bucket = first 4 md5 hex chars mod dims, score = mean bucket
+    weight, prob = logistic."""
+    import hashlib
+    import math
+
+    from z_rad_spark.operators.curation import classifier_weights, quality_classifier
+
+    docs = spark.createDataFrame(
+        [(0, "Alpha beta GAMMA"), (1, "delta"), (2, "x y z x y z")],
+        "doc_id long, text string",
+    )
+    w = classifier_weights(dims=8, seed=7)
+    got = quality_classifier(docs, dims=8, seed=7).toPandas().set_index("doc_id")
+    texts = {0: "alpha beta gamma", 1: "delta", 2: "x y z x y z"}
+    for did, text in texts.items():
+        toks = text.split(" ")
+        s = 0.0
+        for t in toks:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % 8
+            s += w[b]
+        score = s / len(toks)
+        prob = 1.0 / (1.0 + math.exp(-score))
+        assert got.loc[did, "n_tokens"] == len(toks)
+        assert abs(got.loc[did, "score"] - round(score, 6)) < 2e-6
+        assert abs(got.loc[did, "prob"] - round(prob, 6)) < 2e-6
+        assert got.loc[did, "label"] == ("keep" if prob >= 0.5 else "drop")
+
+
+def test_quality_classifier_threshold_and_custom_weights(spark):
+    from z_rad_spark.operators.curation import quality_classifier
+
+    docs = spark.createDataFrame([(0, "a a a")], "doc_id long, text string")
+    # all-positive weights force prob > 0.5 -> keep; threshold 1.1 -> drop
+    w = [1.0] * 4
+    keep = quality_classifier(docs, dims=4, weights=w).toPandas()
+    assert keep.label[0] == "keep" and keep.prob[0] > 0.5
+    drop = quality_classifier(docs, dims=4, weights=w, threshold=1.1).toPandas()
+    assert drop.label[0] == "drop"
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        quality_classifier(docs, dims=8, weights=w)

@@ -882,3 +882,84 @@ def test_dup_span_stats_disjoint_spans_sum(spark):
     # starts [1, 8] in both docs -> delta 7 > n -> covered = 3 + 3
     assert got[0]["covered_tokens"] == 6 and got[1]["covered_tokens"] == 6
     assert got[0]["n_dup_grams"] == 2
+
+
+def _pq_numpy(E, codebooks):
+    """Independent NumPy replay of PQ assignment (loops, not clever)."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    codes, errs = [], []
+    for ev in E:
+        cs, tot = [], 0.0
+        for s in range(m):
+            svec = ev[s * sub : (s + 1) * sub]
+            d = [sum((a - b) * (a - b) for a, b in zip(svec, cw)) for cw in codebooks[s]]
+            j = int(np.argmin(d))
+            cs.append(j)
+            tot += d[j]
+        codes.append(cs)
+        errs.append(tot)
+    return codes, errs
+
+
+def test_pq_codes_match_numpy_replay(spark):
+    from z_rad_spark.operators.similarity import pq_codes
+
+    E = [[float((i * j + i) % 5) - 1.5 for j in range(8)] for i in range(12)]
+    df = spark.createDataFrame(
+        [(i, e) for i, e in enumerate(E)], "vec_id long, embedding array<double>"
+    )
+    cbs = [
+        [[0.0, 0.0, 1.0, 1.0], [2.0, 2.0, -1.0, 0.0], [1.0, -1.5, 0.5, 2.5], [-1.0, 3.0, 0.0, 1.0]],
+        [[1.0, 1.0, 1.0, 1.0], [-1.5, 0.0, 2.0, 0.5], [0.0, 2.5, -1.0, 1.0], [3.0, 0.0, 0.0, -1.0]],
+    ]
+    got = pq_codes(df, m=2, k=4, codebooks=cbs).toPandas().sort_values("vec_id")
+    codes, errs = _pq_numpy(E, cbs)
+    assert got[["code0", "code1"]].values.tolist() == codes
+    import numpy as np
+
+    assert np.allclose(got["recon_err"], np.round(errs, 6), atol=2e-6)
+
+
+def test_pq_sampled_codebooks_partition_invariant(spark):
+    from z_rad_spark.operators.similarity import pq_codes
+
+    E = [[float((i * 3 + j * j) % 7) for j in range(8)] for i in range(30)]
+    df = spark.createDataFrame(
+        [(i, e) for i, e in enumerate(E)], "vec_id long, embedding array<double>"
+    )
+    a = pq_codes(df.repartition(1), m=2, k=4).toPandas().sort_values("vec_id").reset_index(drop=True)
+    b = pq_codes(df.repartition(7), m=2, k=4).toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_pq_adc_matches_lookup_replay_and_recalls_self(spark):
+    from z_rad_spark.operators.similarity import pq_adc_topk
+
+    import numpy as np
+
+    E = [[float((i * j + 2 * i) % 6) - 2.0 for j in range(8)] for i in range(15)]
+    df = spark.createDataFrame(
+        [(i, e) for i, e in enumerate(E)], "vec_id long, embedding array<double>"
+    )
+    cbs = [
+        [[0.0, 0.0, 1.0, 1.0], [2.0, 2.0, -1.0, 0.0], [1.0, -1.5, 0.5, 2.5], [-1.0, 3.0, 0.0, 1.0]],
+        [[1.0, 1.0, 1.0, 1.0], [-1.5, 0.0, 2.0, 0.5], [0.0, 2.5, -1.0, 1.0], [3.0, 0.0, 0.0, -1.0]],
+    ]
+    qs = df.where("vec_id < 3").selectExpr("vec_id as query_id", "embedding as query_vec")
+    got = pq_adc_topk(df, qs, m=2, k=4, topk=15, codebooks=cbs).toPandas()
+    codes, _ = _pq_numpy(E, cbs)
+    for _, row in got.iterrows():
+        q = E[int(row.query_id)]
+        want = 0.0
+        for s in range(2):
+            sv = q[s * 4 : (s + 1) * 4]
+            cw = cbs[s][codes[int(row.vec_id)][s]]
+            want += sum((a - b) * (a - b) for a, b in zip(sv, cw))
+        assert abs(row.approx_dist - round(want, 6)) < 2e-6
+    # rank is dense 1..n per query, deterministic tie-break by vec_id
+    for qid, grp in got.groupby("query_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert grp.sort_values("rank")["approx_dist"].is_monotonic_increasing

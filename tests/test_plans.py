@@ -254,3 +254,57 @@ def test_line_dedup_and_dup_spans_join_on_hash_keys(spark):
         plan = _plan(df)
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_pq_codes_assignment_is_narrow(spark):
+    """PQ assignment must be a chain of narrow projections over plan-
+    literal codebooks: zero Exchange, zero Join, zero Window between the
+    scan and the (codes, recon_err) projection."""
+    from z_rad_spark.operators.similarity import pq_codes
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * j) % 7) + 0.5 for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    cbs = [
+        [[0.0] * 4, [1.0] * 4],
+        [[0.5] * 4, [2.0] * 4],
+    ]
+    plan = _plan(pq_codes(vecs, m=2, k=2, codebooks=cbs))
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_pq_adc_scan_side_stays_uncompressed_free(spark):
+    """ADC top-k: the corpus side must reach the distance sum through its
+    int codes only — the query side (with its lookup tables) is broadcast
+    (the cosine_topk small-probe convention), and the only exchange is
+    the final bounded per-query top-k window. Never a shuffle keyed on
+    vec_id, never a cartesian product."""
+    from z_rad_spark.operators.similarity import pq_adc_topk
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * j) % 7) + 0.5 for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.5, 0.25, 1.0, 0.0, 2.0, 1.5, 0.75])],
+        "query_id long, query_vec array<double>",
+    )
+    cbs = [
+        [[0.0] * 4, [1.0] * 4],
+        [[0.5] * 4, [2.0] * 4],
+    ]
+    plan = _plan(pq_adc_topk(vecs, qs, m=2, k=2, topk=3, codebooks=cbs))
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # tiny probe side, by design
+    assert "hashpartitioning(vec_id" not in plan
+
+
+def test_quality_classifier_is_pure_map(spark):
+    """Model-based filtering is embarrassingly parallel: the scoring plan
+    must contain no Exchange at all — a pure projection over the scan."""
+    from z_rad_spark.operators.curation import quality_classifier
+
+    plan = _plan(quality_classifier(_docs(spark), dims=16))
+    assert "Exchange" not in plan and "Join" not in plan

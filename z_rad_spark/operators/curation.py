@@ -596,3 +596,74 @@ def domain_mix_sample(
         .withColumn("kept", (h < F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long")).cast("int"))
         .drop("_n_src", "_n_tot")
     )
+
+
+def classifier_weights(dims: int = 64, seed: int = 41) -> list[float]:
+    """Deterministic hashed-classifier weight vector: seeded standard
+    normals rounded to 6dp so the SAME short decimal literals parse to
+    identical doubles in Spark and DuckDB. A trained model would drop in
+    a learned vector of the same shape; the plan is identical."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [round(float(x), 6) for x in rng.standard_normal(dims)]
+
+
+def quality_classifier(
+    df: DataFrame,
+    dims: int = 64,
+    seed: int = 41,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: list[float] | None = None,
+) -> DataFrame:
+    """Linear quality classifier over hashed bag-of-words — the fastText
+    / CCNet-style model-based filter (Joulin et al. 2016; Wenzek et al.
+    2020) that sits next to the rule-based gopher_quality_rules: each
+    token hashes to one of ``dims`` buckets (first 4 hex chars of md5,
+    the hashed_embedding bucket — engine-portable), the document score is
+    the MEAN bucket weight plus a bias, and the keep probability is the
+    logistic of that score. Weights default to the deterministic seeded
+    vector (classifier_weights); pass a trained vector for a real model —
+    the plan does not change.
+
+    Plan shape: one narrow projection per document — a fold over the
+    token array against a plan-literal weight vector. No explode, no
+    shuffle, no join: at 100 TB this is a pure map over the corpus scan,
+    exactly like lang_id/text_quality. (Scoring is embarrassingly
+    parallel; only training needs aggregation, and training happens
+    offline.)
+
+    Output: (doc_id, n_tokens, score 6dp, prob 6dp, label) with
+    label = 'keep' iff prob >= threshold.
+    """
+    w = weights if weights is not None else classifier_weights(dims, seed)
+    if len(w) != dims:
+        raise ValueError(f"weights length {len(w)} != dims {dims}")
+    wlit = "array(" + ", ".join(f"CAST('{repr(float(x))}' AS DOUBLE)" for x in w) + ")"
+    # token -> bucket weight, summed in document order (strict left fold,
+    # bit-matched by the oracle's list_reduce over the same order)
+    fold = (
+        f"aggregate(transform(split(lower(trim({text_col})), '\\\\s+'), "
+        f"t -> element_at({wlit}, CAST(CAST(conv(substring(md5(t), 1, 4), 16, 10) AS BIGINT) % {dims} AS INT) + 1)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    out = df.withColumn("_n", F.size(_toks(text_col)))
+    out = out.withColumn(
+        "_score", F.expr(fold) / F.col("_n").cast("double") + F.lit(float(bias))
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_score")))
+    return (
+        out.withColumn("_prob", prob)
+        .select(
+            F.col(id_col),
+            F.col("_n").cast("long").alias("n_tokens"),
+            F.round("_score", 6).alias("score"),
+            F.round("_prob", 6).alias("prob"),
+            F.when(F.col("_prob") >= F.lit(float(threshold)), F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("label"),
+        )
+    )

@@ -572,3 +572,181 @@ def semdedup(
             F.round("_dup_cos", 6).alias("dup_cosine"),
         )
     )
+
+
+def _pq_sample_codebooks(
+    vectors: DataFrame, m: int, k: int, id_col: str, vec_col: str
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks from a hash sample of the corpus: the
+    ``k`` vectors with the smallest md5("pq|" + id) (data-order- and
+    partitioning-invariant, computed as a distributed top-K), each split
+    into ``m`` contiguous subvectors. codebooks[s][j] is subspace ``s``'s
+    j-th codeword, with j the 0-based rank in md5 order — an index both
+    engines can replay exactly (DuckDB: ROW_NUMBER() OVER the same md5
+    ordering). Production would train these with kmeans_lloyd per
+    subspace and pass them via ``codebooks``; the plan shape is identical
+    either way."""
+    rows = (
+        vectors.select(
+            F.col(vec_col).alias("_v"),
+            F.md5(F.concat(F.lit("pq|"), F.col(id_col).cast("string"))).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    rows = sorted(rows, key=lambda r: r["_h"])  # belt-and-braces: never trust collect order
+    dim = len(rows[0]["_v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [[float(x) for x in r["_v"][s * sub : (s + 1) * sub]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def _pq_dist_sql(sub_col: str, codeword: list[float]) -> str:
+    """Squared L2 distance of `sub_col` (array<double> column name) to a
+    literal codeword, as a strict sequential left fold — bit-identical to
+    the DuckDB oracle's list_reduce over the same index order."""
+
+    def _d(x: float) -> str:
+        return f"CAST('{repr(float(x))}' AS DOUBLE)"
+
+    arr = "array(" + ", ".join(_d(x) for x in codeword) + ")"
+    return (
+        f"aggregate(zip_with({sub_col}, {arr}, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+_PQ_ARGMIN = (
+    "aggregate(slice({a}, 2, {k1}), element_at({a}, 1), "
+    "(acc, s) -> IF(s.d < acc.d OR (s.d = acc.d AND s.cw < acc.cw), s, acc))"
+)
+
+
+def _with_pq_struct(
+    df: DataFrame, vec_col: str, codebooks: list[list[list[float]]], prefix: str
+) -> DataFrame:
+    """Attach per-subspace argmin structs ``{prefix}{s}`` = (d, cw): the
+    squared-L2-nearest codeword of the row's s-th subvector. Built the
+    _with_cent_scores way: each distance array is ONE parsed F.expr (the
+    Column-API equivalent costs a py4j round-trip per node), materialized
+    as its own column so the argmin fold doesn't re-evaluate k distances
+    (higher-order exprs are CodegenFallback with no CSE), and the whole
+    thing is a chain of narrow projections — zero shuffle, zero join
+    between the scan and the codes."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    df = df.withColumn("_pqv", F.col(vec_col).cast("array<double>"))
+    for s in range(m):
+        df = df.withColumn(f"_pqs{s}", F.slice("_pqv", s * sub + 1, sub))
+        entries = ", ".join(
+            f"named_struct('d', {_pq_dist_sql(f'_pqs{s}', cw)}, 'cw', {j})"
+            for j, cw in enumerate(codebooks[s])
+        )
+        df = df.withColumn(f"_pqd{s}", F.expr(f"array({entries})"))
+        df = df.withColumn(
+            f"{prefix}{s}", F.expr(_PQ_ARGMIN.format(a=f"_pqd{s}", k1=k - 1))
+        )
+    return df.drop("_pqv", *[f"_pqs{s}" for s in range(m)], *[f"_pqd{s}" for s in range(m)])
+
+
+def pq_codes(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Product quantization (Jégou et al., TPAMI 2011): compress each
+    vector to ``m`` codebook indices (one per contiguous subspace, k
+    codewords each) — the memory layer real ANN systems put UNDER the IVF
+    coarse quantizer at corpus scale. At 100 TB of float32x64 embeddings,
+    raw vectors are 256 B/row; m=4 x k=16 codes are 4 B/row (64x), which
+    is the difference between an index that fits in cluster RAM and one
+    that doesn't. Reference scope analogue: the engine's ANN stack
+    (ivf_topk / lsh_bucket_topk) gains its compressed serving path.
+
+    Plan shape: codebooks are plan literals (hash-sampled like ivf_topk's
+    centroids unless provided); assignment is a chain of narrow
+    projections per subspace — argmin over k fixed-order squared-L2
+    distances, ties to the smaller codeword index — with ZERO Exchange
+    between scan and codes (plan-asserted in tests/test_plans.py). The
+    reconstruction error column is the sum of the m subspace minima in
+    fixed subspace order (engine-portable, 6dp).
+
+    Output: (vec_id, code0..code{m-1} int, recon_err double 6dp).
+    """
+    if codebooks is None:
+        codebooks = _pq_sample_codebooks(vectors, m, k, id_col, vec_col)
+    out = _with_pq_struct(vectors, vec_col, codebooks, "_pqm")
+    err = None
+    cols = [F.col(id_col)]
+    for s in range(len(codebooks)):
+        cols.append(F.col(f"_pqm{s}")["cw"].cast("int").alias(f"code{s}"))
+        d = F.col(f"_pqm{s}")["d"]
+        err = d if err is None else err + d
+    cols.append(F.round(err, 6).alias("recon_err"))
+    return out.select(*cols)
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Asymmetric distance computation over PQ codes: approximate L2
+    top-k where the corpus side is touched ONLY through its m small int
+    codes. Each query builds an m x k lookup table (squared L2 from its
+    subvector to every codeword — plan-literal math on the tiny query
+    side), and a candidate's approximate distance is m table lookups
+    summed in subspace order. This is why PQ scales: at serving time the
+    scan reads 4 B/vector instead of 256 B, and the per-row work is
+    element_at, not dot products.
+
+    Plan shape: codes via pq_codes' narrow projections; the query side
+    (with its lookup-table array columns) is broadcast — the cosine_topk
+    convention for a small probe batch — so the only wide operation is
+    the final bounded per-query top-k window. Approximation error vs
+    exact L2 is bounded by quantization error (pytest-verified recall);
+    exactness is cosine_topk's job.
+
+    Output: (query_id, vec_id, approx_dist double 6dp, rank).
+    """
+    if codebooks is None:
+        codebooks = _pq_sample_codebooks(vectors, m, k, id_col, vec_col)
+    codes = pq_codes(vectors, m, k, id_col, vec_col, codebooks)
+    # per-subspace FULL distance tables on the query side (the argmin
+    # struct isn't enough — ADC needs the distance to every codeword)
+    mm = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = queries.withColumn("_qv", F.col(query_vec).cast("array<double>"))
+    for s in range(mm):
+        q = q.withColumn(f"_qsv{s}", F.slice("_qv", s * sub + 1, sub))
+        entries = ", ".join(_pq_dist_sql(f"_qsv{s}", cw) for cw in codebooks[s])
+        q = q.withColumn(f"_qt{s}", F.expr(f"array({entries})"))
+    q = q.select(query_id, *[f"_qt{s}" for s in range(mm)])
+    joined = codes.crossJoin(F.broadcast(q))
+    approx = None
+    for s in range(mm):
+        term = F.element_at(F.col(f"_qt{s}"), F.col(f"code{s}") + 1)
+        approx = term if approx is None else approx + term
+    w = Window.partitionBy(query_id).orderBy(F.col("_ad").asc(), F.col(id_col).asc())
+    return (
+        joined.withColumn("_ad", approx)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(query_id, id_col, F.round("_ad", 6).alias("approx_dist"), "rank")
+    )
