@@ -1550,6 +1550,24 @@ def q_unigram_lm(spark, sf_dir):
     return _r6(out, ["nll", "ppl"])
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Conditional bigram LM score (one Markov order up from
+    q_unigram_lm, toward CCNet's KenLM filter): token 0 by smoothed
+    unigram, token i>0 by (bigram count + a)/(history unigram + a*V).
+    The per-document log-sum is the same ordered positional fold, so the
+    gate is a full value hash."""
+    from z_rad_spark.operators.curation import bigram_logprob
+
+    out = bigram_logprob(_docs(spark, sf_dir))
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "nll",
+        "ppl",
+    )
+    return _r6(out, ["nll", "ppl"])
+
+
 def q_rare_tokens(spark, sf_dir):
     """Corpus-frequency token statistics per document (two-pass TF/DF
     shape): token counts, distinct tokens, mean corpus TF/DF of the
@@ -2227,8 +2245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (q_sketch_stats bound-gate, q_lsh_topk literal-hyperplane replay),
     the nine operators new in r4 (q_semdedup, q_unigram_lm,
     q_line_dedup, q_dsir, q_domain_mix, q_dup_spans, and the late-r4
-    trio q_pq_codes / q_pq_topk / q_quality_classifier), the new
-    backfill/SUV operators,
+    quartet q_pq_codes / q_pq_topk / q_quality_classifier /
+    q_bigram_lm), the new backfill/SUV operators,
     the selectExpr flagship gate, the hash_split/winnow fixes, the five
     salted queries (skew.py broadcast fix), and every query touched by
     the ordered reciprocal-square folds (all GLCM variants + the GLDZM
@@ -2236,11 +2254,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries whose latest green driver row is round-1-era (the filter set
     no longer fits — q_filter_mean, q_filter_log, q_filter_laws,
     q_filter_gabor, q_filter_wavelet keep their r2 green row plus this
-    round's strict-mirror green; the late-r4 trio additionally displaced
-    q_lag_lead / q_rollup / q_vocab — the three simplest r1-era entries,
-    pure built-in window/rollup/distinct plans — which keep their r1
-    green row plus this round's strict-mirror green and sit first past
-    the marker for the r5 rotation).
+    round's strict-mirror green; the late-r4 quartet additionally
+    displaced q_lag_lead / q_rollup / q_vocab / q_json_props — the four
+    simplest r1-era entries, pure built-in window/rollup/distinct/JSON
+    plans — which keep their r1 green row plus this round's
+    strict-mirror green and sit first past the marker for the r5
+    rotation).
     Entries past the window hold round-2/3 green rows with unchanged
     code; ALL of them were additionally re-verified this round through
     the strict local mirror (tools/check_queries.py, STRICT hash mode,
@@ -2264,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_codes": q_pq_codes,
         "q_pq_topk": q_pq_topk,
         "q_quality_classifier": q_quality_classifier,
+        "q_bigram_lm": q_bigram_lm,
         "q_asof_tolerance": q_asof_tolerance,
         # --- (1b) salted set: skew.py overlap-guard broadcast fix ---
         "q_glcm_salted": q_glcm_salted,
@@ -2293,7 +2313,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_glrlm_2d_avg": q_glrlm_2d_avg,
         "q_glszm": q_glszm,
         "q_ivh_fbs": q_ivh_fbs,
-        "q_json_props": q_json_props,
         "q_mask_union": q_mask_union,
         "q_moran": q_moran,
         "q_ngldm": q_ngldm,
@@ -2302,10 +2321,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_1h": q_rolling_1h,
         "q_tool_names": q_tool_names,
         # ===== gate window ends here (first 50 entries) ================
-        # displaced by the late-r4 trio: r1 green rows + r4 strict mirror
+        # displaced by the late-r4 quartet: r1 green rows + r4 strict mirror
         "q_lag_lead": q_lag_lead,
         "q_rollup": q_rollup,
         "q_vocab": q_vocab,
+        "q_json_props": q_json_props,
         # round-2/3 green rows (q_glcm_2d_slice_merg: r3 row; its r4
         # ordered-fold refactor is gated via the three sibling GLCM
         # variants above); all strict-mirrored r4

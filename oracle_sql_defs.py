@@ -4040,3 +4040,40 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CASE WHEN prob >= 0.5 THEN 'keep' ELSE 'drop' END AS label
 FROM pr
 """
+
+
+ORACLES["q_bigram_lm"] = f"""
+WITH d AS (SELECT doc_id, {TOKS_RAW} AS tk FROM documents),
+tok AS (
+  SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS token,
+         unnest(list_prepend(CAST(NULL AS VARCHAR), list_slice(tk, 1, len(tk) - 1))) AS prev
+  FROM d
+),
+freq AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM freq),
+big AS (
+  SELECT prev, token, COUNT(*) AS bc FROM tok WHERE prev IS NOT NULL GROUP BY prev, token
+),
+lp AS (
+  SELECT tok.doc_id, tok.pos,
+         CASE WHEN tok.prev IS NULL
+              THEN ln((CAST(f.tf AS DOUBLE) + 1.0) / (t.n + 1.0 * t.v))
+              ELSE ln((CAST(b.bc AS DOUBLE) + 1.0) / (CAST(fp.tf AS DOUBLE) + 1.0 * t.v))
+         END AS l
+  FROM tok
+  JOIN freq f USING (token)
+  LEFT JOIN freq fp ON fp.token = tok.prev
+  LEFT JOIN big b ON b.prev = tok.prev AND b.token = tok.token,
+  tot t
+),
+pd AS (
+  SELECT doc_id, COUNT(*) AS n,
+         list_reduce([0.0] || list(l ORDER BY pos), (acc, x) -> acc + x) AS s
+  FROM lp GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       {r6('-s / CAST(n AS DOUBLE)', 'nll')},
+       {r6('exp(-s / CAST(n AS DOUBLE))', 'ppl')}
+FROM pd
+"""

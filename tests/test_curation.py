@@ -662,3 +662,45 @@ def test_quality_classifier_threshold_and_custom_weights(spark):
 
     with _pt.raises(ValueError):
         quality_classifier(docs, dims=8, weights=w)
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Independent Python replay: corpus 'a b a' + 'b a', add-1
+    smoothing, token 0 unigram / token i>0 conditional bigram."""
+    import math
+
+    from z_rad_spark.operators.curation import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "b a")], "doc_id long, text string"
+    )
+    got = bigram_logprob(docs).toPandas().set_index("doc_id")
+    tf = {"a": 3, "b": 2}
+    N, V = 5.0, 2.0
+    bc = {("a", "b"): 1, ("b", "a"): 2}
+
+    def uni(t):
+        return math.log((tf[t] + 1.0) / (N + 1.0 * V))
+
+    def bi(p, t):
+        return math.log((bc.get((p, t), 0) + 1.0) / (tf[p] + 1.0 * V))
+
+    exp0 = -(uni("a") + bi("a", "b") + bi("b", "a")) / 3.0
+    exp1 = -(uni("b") + bi("b", "a")) / 2.0
+    assert abs(got.loc[0, "nll"] - exp0) < 1e-12
+    assert abs(got.loc[1, "nll"] - exp1) < 1e-12
+    assert abs(got.loc[0, "ppl"] - math.exp(exp0)) < 1e-12
+    assert got.loc[0, "n_tokens"] == 3 and got.loc[1, "n_tokens"] == 2
+
+
+def test_bigram_lower_ppl_than_unigram_on_repetitive_text(spark):
+    """A bigram model must beat the unigram on text with strong local
+    structure (the whole point of conditioning on the history)."""
+    from z_rad_spark.operators.curation import bigram_logprob, unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(i, "x y " * 20) for i in range(4)], "doc_id long, text string"
+    )
+    b = bigram_logprob(docs).toPandas().set_index("doc_id")
+    u = unigram_logprob(docs).toPandas().set_index("doc_id")
+    assert (b.ppl < u.ppl).all()

@@ -308,3 +308,17 @@ def test_quality_classifier_is_pure_map(spark):
 
     plan = _plan(quality_classifier(_docs(spark), dims=16))
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_bigram_logprob_builds_triples_without_a_lag_window(spark):
+    """The (pos, token, prev) table must come from the token array
+    narrowly (transform + inline) — a lag() formulation would add a
+    per-document Window sort before the counts even start. The only
+    wide ops allowed are the count groupBys, the token-keyed joins, and
+    the final per-doc fold; the totals frame must broadcast."""
+    from z_rad_spark.operators.curation import bigram_logprob
+
+    plan = _plan(bigram_logprob(_docs(spark)))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

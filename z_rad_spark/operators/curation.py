@@ -271,6 +271,88 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Conditional bigram LM quality score — one Markov order up from
+    ``unigram_logprob`` toward the CCNet 5-gram KenLM filter (Wenzek et
+    al. 2020). Token 0 is scored by the add-``a`` unigram; token i>0 by
+
+        ``p(t_i | t_{i-1}) = (c(t_{i-1} t_i) + a) / (tf(t_{i-1}) + a*V)``
+
+    with corpus bigram counts c, corpus unigram counts tf, and the
+    unigram vocabulary size V — a defined, engine-replayable model (the
+    history mass uses the FULL unigram count, the standard approximation
+    that avoids a separate history-position count). nll/ppl as in the
+    unigram: ordered positional log-sum fold, exact value hash.
+
+    Plan: the (pos, token, prev) triple table is built NARROWLY from the
+    token array (transform + inline — no lag window, no per-doc sort);
+    unigram and bigram count tables are one explode + groupBy each
+    (map-side combined, Zipf-bounded keys); scoring is three equi-joins
+    on token-ish keys plus a 1-row totals broadcast; the per-doc fold is
+    the unigram's collect_list(pos, lp) -> ordered aggregate.
+    """
+    toks = _toks(text_col)
+    triple = (
+        f"transform(sequence(0, size(_tk) - 1), "
+        f"i -> named_struct('pos', i, 'token', element_at(_tk, i + 1), "
+        f"'prev', IF(i = 0, CAST(NULL AS STRING), element_at(_tk, i))))"
+    )
+    t = (
+        df.select(F.col(id_col), toks.alias("_tk"))
+        .select(id_col, F.inline(F.expr(triple)))
+    )
+    freq = t.groupBy("token").agg(F.count("*").cast("long").alias("_tf"))
+    tot = freq.agg(
+        F.sum("_tf").cast("double").alias("_N"),
+        F.count("*").cast("double").alias("_V"),
+    )
+    big = (
+        t.where(F.col("prev").isNotNull())
+        .groupBy("prev", "token")
+        .agg(F.count("*").cast("long").alias("_bc"))
+    )
+    freq_p = freq.select(F.col("token").alias("prev"), F.col("_tf").alias("_tfp"))
+    a = float(smoothing)
+    lp = F.when(
+        F.col("prev").isNull(),
+        F.log((F.col("_tf").cast("double") + F.lit(a)) / (F.col("_N") + F.lit(a) * F.col("_V"))),
+    ).otherwise(
+        F.log(
+            (F.col("_bc").cast("double") + F.lit(a))
+            / (F.col("_tfp").cast("double") + F.lit(a) * F.col("_V"))
+        )
+    )
+    per_doc = (
+        t.join(freq, "token")
+        .join(freq_p, "prev", "left")
+        .join(big, ["prev", "token"], "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_lp", lp)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.array_sort(F.collect_list(F.struct("pos", "_lp"))).alias("_arr"),
+        )
+    )
+    s = F.aggregate(
+        F.transform(F.col("_arr"), lambda r: r["_lp"]),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nll = -s / F.col("n_tokens").cast("double")
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        nll.alias("nll"),
+        F.exp(nll).alias("ppl"),
+    )
+
+
 def source_reputation(
     df: DataFrame,
     text_col: str = "text",
