@@ -1680,6 +1680,47 @@ def q_pq_topk(spark, sf_dir):
     )
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ (FAISS IndexIVFPQ shape, by_residual=False): coarse cells
+    prune the candidates to n_probe=4 of 16 inverted lists, PQ ADC ranks
+    the survivors through 4 int codes. One narrow corpus pass computes
+    cell + codes together (plan-asserted); the oracle replays the coarse
+    argmax, the quantization, and the lookup sums bit-for-bit."""
+    from z_rad_spark.operators.similarity import ivfpq_topk
+
+    e = _emb(spark, sf_dir)
+    qs = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivfpq_topk(e, qs, n_centroids=16, n_probe=4, m=4, k=16, topk=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        (F.col("approx_dist") + F.lit(0.0)).alias("approx_dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+#: BM25 gate queries — literal term bags over the synthetic corpus
+#: vocabulary, embedded identically in the DuckDB oracle VALUES list.
+_BM25_QUERIES = [
+    (0, ["hash", "join"]),
+    (1, ["spark", "scan", "filter"]),
+    (2, ["customer", "merge", "window"]),
+]
+
+
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 lexical retrieval (Lucene-default scorer) over the
+    documents table: inverted-index probe plan — the token explode is
+    filtered to the broadcast query-term set before any shuffle, corpus
+    stats are one-row broadcasts, and the per-(query, doc) sum is an
+    ordered token fold so the oracle replays the score bit-for-bit."""
+    from z_rad_spark.operators.text import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, k1=1.2, b=0.75, topk=10)
+
+
 def q_quality_classifier(spark, sf_dir):
     """Hashed linear quality classifier (fastText/CCNet-style model
     filter): tokens hash to 64 buckets (md5 first-4-hex, the
@@ -2243,23 +2284,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the FIRST 50 entries. The round-4 window holds (1) everything changed
     or new THIS round — the two newly value-oracled queries
     (q_sketch_stats bound-gate, q_lsh_topk literal-hyperplane replay),
-    the nine operators new in r4 (q_semdedup, q_unigram_lm,
+    the operators new in r4 (q_semdedup, q_unigram_lm,
     q_line_dedup, q_dsir, q_domain_mix, q_dup_spans, and the late-r4
-    quartet q_pq_codes / q_pq_topk / q_quality_classifier /
-    q_bigram_lm), the new backfill/SUV operators,
-    the selectExpr flagship gate, the hash_split/winnow fixes, the five
-    salted queries (skew.py broadcast fix), and every query touched by
+    additions q_pq_codes / q_pq_topk / q_ivfpq_topk / q_bm25 /
+    q_quality_classifier / q_bigram_lm), the new backfill/SUV operators,
+    the selectExpr flagship gate, the hash_split/winnow fixes, four of
+    the five salted queries (skew.py broadcast fix; q_ngldm_salted sits
+    first past the marker, sibling-gated), and every query touched by
     the ordered reciprocal-square folds (all GLCM variants + the GLDZM
     family) — and (2) the remaining slots filled oldest-first: all 20
     queries whose latest green driver row is round-1-era (the filter set
     no longer fits — q_filter_mean, q_filter_log, q_filter_laws,
     q_filter_gabor, q_filter_wavelet keep their r2 green row plus this
-    round's strict-mirror green; the late-r4 quartet additionally
-    displaced q_lag_lead / q_rollup / q_vocab / q_json_props — the four
-    simplest r1-era entries, pure built-in window/rollup/distinct/JSON
-    plans — which keep their r1 green row plus this round's
-    strict-mirror green and sit first past the marker for the r5
-    rotation).
+    round's strict-mirror green; the six late-r4 additions displaced
+    q_lag_lead / q_rollup / q_vocab / q_json_props — the four simplest
+    r1-era entries, pure built-in window/rollup/distinct/JSON plans —
+    plus q_gldzm_25d, whose shared-fold refactor is gated via its two
+    sibling GLDZM entries, and q_ngldm_salted, whose shared skew.py fix
+    is gated via its four sibling salted entries; all six keep their
+    prior green row plus this round's strict-mirror green and sit first
+    past the marker for the r5 rotation).
     Entries past the window hold round-2/3 green rows with unchanged
     code; ALL of them were additionally re-verified this round through
     the strict local mirror (tools/check_queries.py, STRICT hash mode,
@@ -2284,11 +2328,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_topk": q_pq_topk,
         "q_quality_classifier": q_quality_classifier,
         "q_bigram_lm": q_bigram_lm,
+        "q_ivfpq_topk": q_ivfpq_topk,
+        "q_bm25": q_bm25,
         "q_asof_tolerance": q_asof_tolerance,
         # --- (1b) salted set: skew.py overlap-guard broadcast fix ---
         "q_glcm_salted": q_glcm_salted,
         "q_glrlm_salted": q_glrlm_salted,
-        "q_ngldm_salted": q_ngldm_salted,
         "q_ngtdm_salted": q_ngtdm_salted,
         "q_gldzm_salted": q_gldzm_salted,
         # --- (1c) ordered reciprocal-square folds (cm_inv_var / dzm_sde
@@ -2302,7 +2347,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_glcm_25d_dirmerg": q_glcm_25d_dirmerg,
         "q_gldzm": q_gldzm,
         "q_gldzm_dist": q_gldzm_dist,
-        "q_gldzm_25d": q_gldzm_25d,
         # --- (2a) rotation: every remaining round-1-era green row ---
         "q_backfill_nn": q_backfill_nn,
         "q_backfill_linear": q_backfill_linear,
@@ -2321,11 +2365,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_1h": q_rolling_1h,
         "q_tool_names": q_tool_names,
         # ===== gate window ends here (first 50 entries) ================
-        # displaced by the late-r4 quartet: r1 green rows + r4 strict mirror
+        # displaced by the late-r4 additions: r1 green rows + r4 strict
+        # mirror (q_gldzm_25d: r2 row; its r4 ordered-fold refactor is
+        # gated via the q_gldzm/q_gldzm_dist siblings above, the
+        # q_glcm_2d_slice_merg convention; q_ngldm_salted: r3 row — the
+        # shared skew.py overlap-guard fix is gated via the four sibling
+        # salted entries above)
         "q_lag_lead": q_lag_lead,
         "q_rollup": q_rollup,
         "q_vocab": q_vocab,
         "q_json_props": q_json_props,
+        "q_gldzm_25d": q_gldzm_25d,
+        "q_ngldm_salted": q_ngldm_salted,
         # round-2/3 green rows (q_glcm_2d_slice_merg: r3 row; its r4
         # ordered-fold refactor is gated via the three sibling GLCM
         # variants above); all strict-mirrored r4

@@ -47,6 +47,10 @@ HEADLINE = [
     # at backfill scale; media exercises the Arrow decode stage
     "q_hist_daily",
     "q_media_features",
+    # round-4 additions: compressed ANN serving (codes + coarse pruning)
+    # and the inverted-index BM25 probe
+    "q_ivfpq_topk",
+    "q_bm25",
 ]
 
 

@@ -4077,3 +4077,107 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        {r6('exp(-s / CAST(n AS DOUBLE))', 'ppl')}
 FROM pd
 """
+
+
+ORACLES["q_ivfpq_topk"] = f"""
+WITH {_PQ_BASE},
+cents AS (SELECT vec_id AS cent_id, ev AS cv FROM v
+          ORDER BY md5('ivf|' || CAST(vec_id AS STRING)) LIMIT 16),
+assign_s AS (
+  SELECT v.vec_id, c.cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_dot_product(v.ev, c.cv)
+                    / (sqrt(list_dot_product(v.ev, v.ev)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                    c.cent_id ASC
+         ) AS rn
+  FROM v CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, cent_id FROM assign_s WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, ev FROM v WHERE vec_id < 5),
+probe_s AS (
+  SELECT q.query_id, c.cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_dot_product(q.ev, c.cv)
+                    / (sqrt(list_dot_product(q.ev, q.ev)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                    c.cent_id ASC
+         ) AS rn
+  FROM q CROSS JOIN cents c
+),
+probes AS (SELECT query_id, cent_id FROM probe_s WHERE rn <= 4),
+qt AS (
+  SELECT q.query_id, sub.s, cb.cw,
+         {_PQ_DIST.format(a='q.ev', b='cb.cv', off='sub.s * 16')} AS qd
+  FROM q CROSS JOIN sub CROSS JOIN cb
+),
+a AS (
+  SELECT q0.query_id, p.vec_id,
+         ((q0.qd + q1.qd) + q2.qd) + q3.qd AS ad
+  FROM p
+  JOIN qt q0 ON q0.s = 0 AND q0.cw = p.code0
+  JOIN qt q1 ON q1.s = 1 AND q1.cw = p.code1 AND q1.query_id = q0.query_id
+  JOIN qt q2 ON q2.s = 2 AND q2.cw = p.code2 AND q2.query_id = q0.query_id
+  JOIN qt q3 ON q3.s = 3 AND q3.cw = p.code3 AND q3.query_id = q0.query_id
+),
+cand AS (
+  SELECT a.query_id, a.vec_id, a.ad
+  FROM a
+  JOIN assigned ON assigned.vec_id = a.vec_id
+  JOIN probes ON probes.query_id = a.query_id AND probes.cent_id = assigned.cent_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ad ASC, vec_id ASC) AS rank
+  FROM cand
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       {r6('ad', 'approx_dist')}, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+# BM25 gate queries — same literal term bags as __spark_entry__._BM25_QUERIES
+_BM25_Q_VALUES = (
+    "(0, 'hash'), (0, 'join'), "
+    "(1, 'filter'), (1, 'scan'), (1, 'spark'), "
+    "(2, 'customer'), (2, 'merge'), (2, 'window')"
+)
+_BM25_TERMS = "'customer', 'filter', 'hash', 'join', 'merge', 'scan', 'spark', 'window'"
+
+ORACLES["q_bm25"] = f"""
+WITH base AS (SELECT doc_id, {TOKS_DOC} AS tk FROM documents),
+d AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl FROM base),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM d
+),
+tok AS (SELECT doc_id, dl, unnest(tk) AS token FROM d),
+tf AS (
+  SELECT doc_id, dl, token, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok WHERE token IN ({_BM25_TERMS})
+  GROUP BY doc_id, dl, token
+),
+dfreq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS dft FROM tf GROUP BY token),
+q(query_id, token) AS (VALUES {_BM25_Q_VALUES}),
+c AS (
+  SELECT q.query_id, tf.doc_id, tf.token,
+         (ln(1.0 + (s.n - f.dft + 0.5) / (f.dft + 0.5)) * (tf.tf * 2.2))
+         / (tf.tf + 1.2 * (0.25 + (0.75 * CAST(tf.dl AS DOUBLE)) / s.avgdl)) AS c
+  FROM tf
+  JOIN q USING (token)
+  JOIN dfreq f USING (token), stats s
+),
+sc AS (
+  SELECT query_id, doc_id,
+         ROUND(list_reduce([0.0] || list(c ORDER BY token), (acc, x) -> acc + x), 6) AS score
+  FROM c GROUP BY query_id, doc_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       {r6('score', 'score')}, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10
+"""

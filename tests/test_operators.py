@@ -963,3 +963,86 @@ def test_pq_adc_matches_lookup_replay_and_recalls_self(spark):
     for qid, grp in got.groupby("query_id"):
         assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
         assert grp.sort_values("rank")["approx_dist"].is_monotonic_increasing
+
+
+def test_ivfpq_recall_and_candidate_restriction(spark):
+    """IVF-PQ must (a) only return candidates from probed cells, (b)
+    rank by the same ADC distance pq_adc_topk computes, and (c) with
+    all cells probed + fine codebooks, recover the exact L2 top-1 for
+    a query that coincides with a corpus vector."""
+    from z_rad_spark.operators.similarity import ivfpq_topk, pq_adc_topk
+
+    E = [[float((i * j + 2 * i) % 6) - 2.0 for j in range(8)] for i in range(20)]
+    df = spark.createDataFrame(
+        [(i, e) for i, e in enumerate(E)], "vec_id long, embedding array<double>"
+    )
+    qs = df.where("vec_id < 3").selectExpr("vec_id as query_id", "embedding as query_vec")
+    cbs = [
+        [[0.0, 0.0, 1.0, 1.0], [2.0, 2.0, -1.0, 0.0], [1.0, -1.5, 0.5, 2.5], [-1.0, 3.0, 0.0, 1.0]],
+        [[1.0, 1.0, 1.0, 1.0], [-1.5, 0.0, 2.0, 0.5], [0.0, 2.5, -1.0, 1.0], [3.0, 0.0, 0.0, -1.0]],
+    ]
+    # all cells probed -> candidate set == full corpus == pure ADC ranking
+    full = ivfpq_topk(
+        df, qs, n_centroids=4, n_probe=4, m=2, k=4, topk=20, codebooks=cbs
+    ).toPandas()
+    adc = pq_adc_topk(df, qs, m=2, k=4, topk=20, codebooks=cbs).toPandas()
+    lhs = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    rhs = adc.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert lhs.equals(rhs)
+
+    # pruned probing returns a subset of the unpruned candidates, ranked
+    # consistently (rank dense from 1, distances monotone)
+    pruned = ivfpq_topk(
+        df, qs, n_centroids=4, n_probe=1, m=2, k=4, topk=20, codebooks=cbs
+    ).toPandas()
+    full_pairs = set(map(tuple, full[["query_id", "vec_id"]].values.tolist()))
+    assert set(map(tuple, pruned[["query_id", "vec_id"]].values.tolist())) <= full_pairs
+    for _, grp in pruned.groupby("query_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert grp.sort_values("rank")["approx_dist"].is_monotonic_increasing
+
+
+def test_bm25_matches_naive_reference(spark):
+    """BM25 scores must match a naive per-document Python computation
+    (Robertson idf, Lucene k1/b defaults), ranks dense from 1 with the
+    doc-id tiebreak, and docs containing no query term must be absent."""
+    import math
+
+    from z_rad_spark.operators.text import bm25_topk
+
+    texts = [
+        (0, "spark join join hash"),
+        (1, "hash hash hash scan filter"),
+        (2, "merge sort window"),
+        (3, "nothing relevant here"),
+        (4, "spark filter scan scan scan join"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    queries = [(0, ["hash", "join"]), (1, ["spark", "scan"])]
+    got = bm25_topk(docs, queries, k1=1.2, b=0.75, topk=10).toPandas()
+
+    toks = {i: t.split() for i, t in texts}
+    N = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    def score(q, d):
+        s = 0.0
+        for term in sorted(set(q)):
+            tf = toks[d].count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for t in toks.values() if term in t)
+            idf = math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+            dl = len(toks[d])
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+        return s
+
+    for (qid, terms), _ in zip(queries, range(2)):
+        sub = got[got["query_id"] == qid].sort_values("rank")
+        want = sorted(
+            [(d, round(score(terms, d), 6)) for d in toks if score(terms, d) > 0],
+            key=lambda p: (-p[1], p[0]),
+        )
+        assert list(sub["doc_id"]) == [d for d, _ in want]
+        assert list(sub["score"]) == pytest.approx([s for _, s in want], abs=2e-6)
+        assert list(sub["rank"]) == list(range(1, len(want) + 1))
+    assert 3 not in set(got["doc_id"])  # no query term -> never retrieved

@@ -322,3 +322,53 @@ def test_bigram_logprob_builds_triples_without_a_lag_window(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ivfpq_corpus_pass_is_single_and_narrow(spark):
+    """IVF-PQ's corpus side must compute coarse cell AND codes in one
+    narrow projection chain: no shuffle keyed on vec_id anywhere, no
+    cartesian/sort-merge join — the probe side broadcasts and the only
+    exchange is the bounded per-query top-k window."""
+    from z_rad_spark.operators.similarity import ivfpq_topk
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * j) % 7) + 0.5 for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.5, 0.25, 1.0, 0.0, 2.0, 1.5, 0.75])],
+        "query_id long, query_vec array<double>",
+    )
+    cbs = [[[0.0] * 4, [1.0] * 4], [[0.5] * 4, [2.0] * 4]]
+    cents = [(0, [1.0] * 8), (1, [0.0, 1.0] * 4)]
+    plan = _plan(
+        ivfpq_topk(vecs, qs, n_probe=1, m=2, k=2, topk=3, codebooks=cbs, centroids=cents)
+    )
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "hashpartitioning(vec_id" not in plan
+    assert "BroadcastHashJoin" in plan  # probe equi-join on cent_id
+
+
+def test_bm25_is_an_inverted_index_probe(spark):
+    """BM25's plan must be the probe shape: query terms and corpus stats
+    broadcast (no sort-merge join anywhere), the token filter applied
+    before the tf aggregation, and no cartesian product — the only
+    NestedLoop allowed is the one-row stats broadcast."""
+    from z_rad_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"hash join scan w{i}") for i in range(30)], "doc_id long, text string"
+    )
+    plan = _plan(bm25_topk(docs, [(0, ["hash", "scan"])], topk=5))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # query-term probe join
+    # exactly ONE corpus explode: tf and df share the postings lineage
+    # (a groupBy-on-token sibling would re-explode the whole corpus),
+    # and the only other corpus pass is the narrow stats aggregate
+    assert plan.count("Generate explode") == 1
+    # the term prune is applied to the exploded tokens (expr-id form:
+    # "Filter token#N IN (hash,scan)")
+    import re
+
+    assert re.search(r"token#\d+ IN\b", plan) or re.search(r"token#\d+ INSET\b", plan)

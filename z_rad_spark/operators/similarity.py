@@ -750,3 +750,101 @@ def pq_adc_topk(
         .where(F.col("rank") <= topk)
         .select(query_id, id_col, F.round("_ad", 6).alias("approx_dist"), "rank")
     )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    k: int = 16,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    centroids: DataFrame | list | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ: the full compressed ANN serving stack — IVF's coarse
+    quantizer prunes the scan to ``n_probe`` cells, PQ's asymmetric
+    distance ranks the survivors through their int codes (the FAISS
+    IndexIVFPQ architecture with by_residual=False: codes quantize the
+    RAW vectors, not per-cell residuals, which keeps one global codebook
+    both engines replay exactly; residual encoding buys recall at the
+    cost of per-cell codebooks and is the documented extension point).
+
+    At 10^9+ vectors this is the only shape that works: the inverted
+    lists bound the candidates (n_probe/n_centroids of the corpus) and
+    ADC reads 4 B of codes per candidate instead of 256 B of floats —
+    the index fits in cluster RAM where raw vectors cannot.
+
+    Plan shape: ONE pass over the corpus scan computes both the coarse
+    cell (literal-codebook cosine argmax, the ivf_topk expression) and
+    the m PQ codes (literal-codebook L2 argmin folds) — a chain of
+    narrow projections, zero Exchange (plan-asserted). The probe side
+    (top-n_probe cells + m x k lookup tables per query) is broadcast;
+    the only wide ops are the bounded cell equi-join and the final
+    per-query top-k window. Recall < 1 twice over (cell pruning +
+    quantization); cosine_topk is the exact baseline, pytest checks
+    recall against it.
+
+    Output: (query_id, vec_id, approx_dist double 6dp, rank).
+    """
+    if centroids is None:
+        centroids = (
+            vectors.select(
+                F.col(id_col).alias("cent_id"),
+                F.col(vec_col).alias("cent_vec"),
+                F.md5(F.concat(F.lit("ivf|"), F.col(id_col).cast("string"))).alias("_h"),
+            )
+            .orderBy("_h")
+            .limit(n_centroids)
+            .drop("_h")
+        )
+    if codebooks is None:
+        codebooks = _pq_sample_codebooks(vectors, m, k, id_col, vec_col)
+    cents = _codebook_rows(centroids)
+    mm = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    # corpus side: coarse cell + PQ codes in one narrow projection chain
+    assigned = _with_pq_struct(
+        _with_cent_scores(vectors, vec_col, cents), vec_col, codebooks, "_pqm"
+    ).select(
+        id_col,
+        _argmax_score(F.col("_sc"))["cent_id"].alias("cent_id"),
+        *[F.col(f"_pqm{s}")["cw"].cast("int").alias(f"code{s}") for s in range(mm)],
+    )
+
+    # probe side: top-n_probe cells + full ADC lookup tables, broadcast
+    q = _with_cent_scores(queries, query_vec, cents)
+    q = q.withColumn("_qv", F.col(query_vec).cast("array<double>"))
+    for s in range(mm):
+        q = q.withColumn(f"_qsv{s}", F.slice("_qv", s * sub + 1, sub))
+        entries = ", ".join(_pq_dist_sql(f"_qsv{s}", cw) for cw in codebooks[s])
+        q = q.withColumn(f"_qt{s}", F.expr(f"array({entries})"))
+    probes = q.select(
+        query_id,
+        *[f"_qt{s}" for s in range(mm)],
+        F.explode(
+            F.transform(
+                F.slice(_desc_sort(F.col("_sc")), 1, n_probe),
+                lambda s: s["cent_id"],
+            )
+        ).alias("cent_id"),
+    )
+
+    joined = assigned.join(F.broadcast(probes), "cent_id")
+    approx = None
+    for s in range(mm):
+        term = F.element_at(F.col(f"_qt{s}"), F.col(f"code{s}") + 1)
+        approx = term if approx is None else approx + term
+    w = Window.partitionBy(query_id).orderBy(F.col("_ad").asc(), F.col(id_col).asc())
+    return (
+        joined.withColumn("_ad", approx)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(query_id, id_col, F.round("_ad", 6).alias("approx_dist"), "rank")
+    )
