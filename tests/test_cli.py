@@ -18,14 +18,14 @@ def test_run_extract_cli_resume(tmp_path):
         "--resume", "--buckets", "3", "--cores", "4",
     ]
     env = dict(os.environ, PYTHONPATH="/root/repo")
-    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=600, env=env, cwd="/root/repo")
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=1800, env=env, cwd="/root/repo")
     assert r1.returncode == 0, r1.stderr[-2000:]
     m1 = json.loads([l for l in r1.stdout.splitlines() if l.startswith("{")][-1])
     assert m1["run"]["computed"] == 3 and m1["run"]["skipped"] == 0
     assert m1["run"]["rows_written"] > 0
     assert m1["skew"]["n_convs"] > 0
 
-    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=600, env=env, cwd="/root/repo")
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=1800, env=env, cwd="/root/repo")
     assert r2.returncode == 0, r2.stderr[-2000:]
     m2 = json.loads([l for l in r2.stdout.splitlines() if l.startswith("{")][-1])
     assert m2["run"]["computed"] == 0 and m2["run"]["skipped"] == 3
@@ -53,7 +53,7 @@ def test_run_curation_cli_and_resume(tmp_path):
         "--budget", "500",
         "--cores", "4",
     ]
-    r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo", timeout=1800)
     assert r.returncode == 0, r.stderr[-2000:]
     m = json.loads(r.stdout.strip().splitlines()[-1])
     c = m["counts"]
@@ -65,7 +65,7 @@ def test_run_curation_cli_and_resume(tmp_path):
 
     # resume: unchanged input + params -> skipped without recompute
     r2 = subprocess.run(cmd + ["--resume"], capture_output=True, text=True,
-                        cwd="/root/repo", timeout=600)
+                        cwd="/root/repo", timeout=1800)
     assert r2.returncode == 0, r2.stderr[-2000:]
     m2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert m2.get("skipped") is True
@@ -87,6 +87,9 @@ def test_run_curation_cli_full_stages(tmp_path):
         "--budget", "500",
         "--cores", "4",
         "--max-dup-span-frac", "0.8",
+        "--min-classifier-prob", "0.01",
+        "--max-ppl", "1000000",
+        "--lm", "bigram",
         "--dsir-target-sources", "src0,src1",
         "--dsir-min-logw", "-1000000",
         "--mix", "src0:3,src1:1,src2:1,src3:1,src4:1,src5:1,src6:1,"
@@ -94,7 +97,7 @@ def test_run_curation_cli_full_stages(tmp_path):
                  "src14:1,src15:1,src16:1,src17:1,src18:1,src19:1",
         "--mix-budget", "0.8",
     ]
-    r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo", timeout=1800)
     assert r.returncode == 0, r.stderr[-2000:]
     m = json.loads(r.stdout.strip().splitlines()[-1])
     c = m["counts"]
@@ -105,3 +108,5 @@ def test_run_curation_cli_full_stages(tmp_path):
     assert c["written"] == c["after_mix"] > 0
     assert m["params"]["max_dup_span_frac"] == 0.8
     assert m["params"]["mix_budget"] == 0.8
+    assert m["params"]["min_classifier_prob"] == 0.01
+    assert m["params"]["max_ppl"] == 1000000 and m["params"]["lm"] == "bigram"

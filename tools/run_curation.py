@@ -8,6 +8,9 @@ Pipeline (each stage a declarative plan over the previous one)::
       -> Gopher rule gate          (quality_rules; narrow, no shuffle)
       -> repetition filter         (dup 2-gram fraction cap; narrow)
       -> [--max-dup-span-frac] duplicate 8-gram span coverage gate
+      -> [--min-classifier-prob] hashed linear quality classifier gate
+                                   (model-based filter; pure map)
+      -> [--max-ppl] LM perplexity gate (--lm unigram|bigram)
       -> exact dedup               (md5 canonical keeper; 1 shuffle)
       -> [--near-dup] MinHash+LSH near-dup clusters, keep cluster min
       -> decontamination           (word 3-gram overlap vs --benchmark-mod
@@ -28,6 +31,14 @@ as run_extract.py. Resumability: the output manifest records the input
 snapshot id + parameters; a re-run with both unchanged is skipped
 (single-pass job — the bucketed per-partition resume of run_extract
 does not compose with the global prefix sum in shard packing).
+
+Stage boundaries are lineage CUTS (``localCheckpoint``), not caches:
+every corpus-dependent stage references its input frame several times,
+so without truncation the analyzed logical plan grows multiplicatively
+with the number of chained stages and Catalyst analysis itself becomes
+the bottleneck (persist() does not help — cache substitution runs
+after analysis). On a cluster, swap ``localCheckpoint()`` for
+``checkpoint(dir)`` or an intermediate table.
 """
 
 from __future__ import annotations
@@ -59,6 +70,13 @@ def main() -> None:
     ap.add_argument("--max-dup-span-frac", type=float, default=None,
                     help="drop docs whose duplicate 8-gram span coverage "
                          "exceeds this fraction (Lee et al. substring-dedup gate)")
+    ap.add_argument("--min-classifier-prob", type=float, default=None,
+                    help="model-based filter: keep docs whose hashed-linear "
+                         "classifier keep-probability is >= this")
+    ap.add_argument("--max-ppl", type=float, default=None,
+                    help="perplexity filter: keep docs with LM ppl <= this")
+    ap.add_argument("--lm", choices=("unigram", "bigram"), default="unigram",
+                    help="which LM scores --max-ppl")
     ap.add_argument("--dsir-target-sources", default=None,
                     help="comma list of sources defining the DSIR target "
                          "domain; keeps docs with logw >= --dsir-min-logw")
@@ -97,6 +115,9 @@ def main() -> None:
         "splits": args.splits,
         "near_dup": bool(args.near_dup),
         "max_dup_span_frac": args.max_dup_span_frac,
+        "min_classifier_prob": args.min_classifier_prob,
+        "max_ppl": args.max_ppl,
+        "lm": args.lm,
         "dsir_target_sources": args.dsir_target_sources,
         "dsir_min_logw": args.dsir_min_logw,
         "mix": args.mix,
@@ -126,15 +147,40 @@ def main() -> None:
         .where(F.col("dup_2gram_frac") <= args.max_dup_2gram)
         .select(docs.columns)
     )
+    # Each optional gate below is CORPUS-DEPENDENT (n-gram doc
+    # frequencies, LM counts) and references the previous frame several
+    # times, so the ANALYZED logical plan grows multiplicatively with
+    # the number of chained stages. persist() does NOT fix that: cache
+    # substitution happens after analysis, so Catalyst still walks the
+    # exponentially expanded tree on every downstream action (observed:
+    # 3 gates + DSIR never finished at sf0.001 — pure driver-side
+    # analysis burn). localCheckpoint() TRUNCATES the lineage at a
+    # materialized RDD, which bounds every later plan at one leaf per
+    # stage. On a real cluster the same boundary is df.checkpoint(dir)
+    # or an intermediate table between mega-stages — the standard shape
+    # for production curation pipelines.
     if args.max_dup_span_frac is not None:
         from z_rad_spark.operators.dedup import dup_span_stats
 
         spans = dup_span_stats(gated, n=8).where(
             F.col("dup_frac") <= args.max_dup_span_frac
         )
-        gated = gated.join(spans.select("doc_id"), "doc_id", "left_semi")
-    # one narrow pass feeds every later stage: cache the gated survivors
-    gated = gated.persist()
+        gated = gated.join(spans.select("doc_id"), "doc_id", "left_semi").localCheckpoint()
+    if args.min_classifier_prob is not None:
+        from z_rad_spark.operators.curation import quality_classifier
+
+        scored = quality_classifier(gated).where(
+            F.col("prob") >= args.min_classifier_prob
+        )
+        gated = gated.join(scored.select("doc_id"), "doc_id", "left_semi").localCheckpoint()
+    if args.max_ppl is not None:
+        from z_rad_spark.operators.curation import bigram_logprob, unigram_logprob
+
+        lm = bigram_logprob if args.lm == "bigram" else unigram_logprob
+        ok = lm(gated).where(F.col("ppl") <= args.max_ppl)
+        gated = gated.join(ok.select("doc_id"), "doc_id", "left_semi")
+    # one narrow pass feeds every later stage: cut + materialize here
+    gated = gated.localCheckpoint()
     counts["after_quality"] = gated.count()
 
     keepers = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
@@ -146,13 +192,13 @@ def main() -> None:
         keep = members.groupBy("cluster_id").agg(F.min("doc_id").alias("doc_id"))
         losers = members.join(keep, ["cluster_id", "doc_id"], "left_anti").select("doc_id")
         deduped = deduped.join(losers, "doc_id", "left_anti")
-    deduped = deduped.persist()
+    deduped = deduped.localCheckpoint()
     counts["after_dedup"] = deduped.count()
 
     bench = docs.where(F.col("doc_id") % args.benchmark_mod == 0)
     train_side = deduped.where(F.col("doc_id") % args.benchmark_mod != 0)
     contam = decontaminate(train_side, bench).where(~F.col("contaminated")).select("doc_id")
-    clean = train_side.join(contam, "doc_id", "left_semi").persist()
+    clean = train_side.join(contam, "doc_id", "left_semi").localCheckpoint()
     counts["after_decontamination"] = clean.count()
 
     if args.dsir_target_sources:
@@ -163,7 +209,7 @@ def main() -> None:
         scored = dsir_weights(clean, target).where(
             F.col("logw") >= args.dsir_min_logw
         )
-        clean = clean.join(scored.select("doc_id"), "doc_id", "left_semi")
+        clean = clean.join(scored.select("doc_id"), "doc_id", "left_semi").localCheckpoint()
         counts["after_dsir"] = clean.count()
 
     if args.mix:
@@ -176,7 +222,7 @@ def main() -> None:
         mixed = domain_mix_sample(clean, weights, args.mix_budget).where(
             F.col("kept") == 1
         )
-        clean = clean.join(mixed.select("doc_id"), "doc_id", "left_semi")
+        clean = clean.join(mixed.select("doc_id"), "doc_id", "left_semi").localCheckpoint()
         counts["after_mix"] = clean.count()
 
     split_docs = hash_split(clean, fractions)
