@@ -1721,6 +1721,64 @@ def q_bm25(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, k1=1.2, b=0.75, topk=10)
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-10 fused with exact-cosine
+    dense top-10 by reciprocal-rank fusion (Cormack et al. 2009, the
+    Elasticsearch/OpenSearch hybrid default). Fusion cost is bounded by
+    the probe side (queries x k x retrievers rows); the fused score is
+    a fixed-order two-term sum the oracle replays bit-for-bit. The
+    synthetic corpus keys documents and embeddings 1:1 on id."""
+    from z_rad_spark.operators.similarity import cosine_topk, rrf_fuse
+    from z_rad_spark.operators.text import bm25_topk
+
+    lex = bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, topk=10).select(
+        "query_id", "doc_id", "rank"
+    )
+    e = _emb(spark, sf_dir)
+    qs = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dense = cosine_topk(e, qs, k=10).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse([lex, dense], k=60.0, topk=10).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "rrf_score",
+        "rank",
+    )
+
+
+def q_chat_template(spark, sf_dir):
+    """ChatML rendering of every conversation into one training-ready
+    string: linear transform + array_join over the sorted turn array
+    (no O(n^2) string fold), one groupBy(conv_id); the oracle replays
+    it as string_agg(... ORDER BY ts, turn_idx)."""
+    from z_rad_spark.operators.sessionize import render_chat_template
+
+    return render_chat_template(_t(spark, sf_dir)).select(
+        "conv_id", "n_turns", "n_chars", "rendered"
+    )
+
+
+def q_cdc_chunk(spark, sf_dir):
+    """Content-defined chunking (FastCDC idea at token granularity):
+    boundary after any token whose md5 leading hex digit < '2'
+    (p = 1/8, expected 8-token chunks), so edits re-chunk only their
+    neighborhood — chunk-hash dedup stays stable under insertion.
+    Pure per-document array exprs + one posexplode, zero shuffle."""
+    from z_rad_spark.operators.curation import cdc_chunk
+
+    return cdc_chunk(_docs(spark, sf_dir), boundary_bits=3).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "chunk_idx",
+        "n_tokens",
+        "chunk",
+    )
+
+
 def q_quality_classifier(spark, sf_dir):
     """Hashed linear quality classifier (fastText/CCNet-style model
     filter): tokens hash to 64 buckets (md5 first-4-hex, the
@@ -2287,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the operators new in r4 (q_semdedup, q_unigram_lm,
     q_line_dedup, q_dsir, q_domain_mix, q_dup_spans, and the late-r4
     additions q_pq_codes / q_pq_topk / q_ivfpq_topk / q_bm25 /
+    q_hybrid_rrf / q_chat_template / q_cdc_chunk /
     q_quality_classifier / q_bigram_lm), the new backfill/SUV operators,
     the selectExpr flagship gate, the hash_split/winnow fixes, four of
     the five salted queries (skew.py broadcast fix; q_ngldm_salted sits
@@ -2296,14 +2355,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries whose latest green driver row is round-1-era (the filter set
     no longer fits — q_filter_mean, q_filter_log, q_filter_laws,
     q_filter_gabor, q_filter_wavelet keep their r2 green row plus this
-    round's strict-mirror green; the six late-r4 additions displaced
+    round's strict-mirror green; the nine late-r4 additions displaced
     q_lag_lead / q_rollup / q_vocab / q_json_props — the four simplest
     r1-era entries, pure built-in window/rollup/distinct/JSON plans —
-    plus q_gldzm_25d, whose shared-fold refactor is gated via its two
-    sibling GLDZM entries, and q_ngldm_salted, whose shared skew.py fix
-    is gated via its four sibling salted entries; all six keep their
-    prior green row plus this round's strict-mirror green and sit first
-    past the marker for the r5 rotation).
+    plus five sibling-gated entries (q_gldzm_25d, q_ngldm_salted,
+    q_backfill_mask, q_glrlm_2d_avg, q_ngldm_dist — coverage rationale
+    at the marker below); all nine keep their prior green row plus this
+    round's strict-mirror green and sit first past the marker for the
+    r5 rotation).
     Entries past the window hold round-2/3 green rows with unchanged
     code; ALL of them were additionally re-verified this round through
     the strict local mirror (tools/check_queries.py, STRICT hash mode,
@@ -2330,6 +2389,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigram_lm": q_bigram_lm,
         "q_ivfpq_topk": q_ivfpq_topk,
         "q_bm25": q_bm25,
+        "q_hybrid_rrf": q_hybrid_rrf,
+        "q_chat_template": q_chat_template,
+        "q_cdc_chunk": q_cdc_chunk,
         "q_asof_tolerance": q_asof_tolerance,
         # --- (1b) salted set: skew.py overlap-guard broadcast fix ---
         "q_glcm_salted": q_glcm_salted,
@@ -2350,33 +2412,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (2a) rotation: every remaining round-1-era green row ---
         "q_backfill_nn": q_backfill_nn,
         "q_backfill_linear": q_backfill_linear,
-        "q_backfill_mask": q_backfill_mask,
         "q_decay_norm": q_decay_norm,
         "q_decay_sum": q_decay_sum,
         "q_glrlm_25d": q_glrlm_25d,
-        "q_glrlm_2d_avg": q_glrlm_2d_avg,
         "q_glszm": q_glszm,
         "q_ivh_fbs": q_ivh_fbs,
         "q_mask_union": q_mask_union,
         "q_moran": q_moran,
         "q_ngldm": q_ngldm,
-        "q_ngldm_dist": q_ngldm_dist,
         "q_ngtdm": q_ngtdm,
         "q_rolling_1h": q_rolling_1h,
         "q_tool_names": q_tool_names,
         # ===== gate window ends here (first 50 entries) ================
-        # displaced by the late-r4 additions: r1 green rows + r4 strict
-        # mirror (q_gldzm_25d: r2 row; its r4 ordered-fold refactor is
-        # gated via the q_gldzm/q_gldzm_dist siblings above, the
-        # q_glcm_2d_slice_merg convention; q_ngldm_salted: r3 row — the
-        # shared skew.py overlap-guard fix is gated via the four sibling
-        # salted entries above)
+        # displaced by the late-r4 additions: prior green rows + r4
+        # strict mirror. Sibling coverage for each displaced entry:
+        # q_gldzm_25d (r2 row; ordered-fold refactor gated via
+        # q_gldzm/q_gldzm_dist above); q_ngldm_salted (r3 row; skew.py
+        # fix gated via the four sibling salted entries);
+        # q_backfill_mask (r1 row; operators/backfill.py gated via
+        # q_backfill_nn/q_backfill_linear above); q_glrlm_2d_avg (r1
+        # row; GLRLM plans gated via q_glrlm/q_glrlm_dist/q_glrlm_25d/
+        # q_glrlm_salted above); q_ngldm_dist (r1 row; NGLDM matrix via
+        # q_ngldm above, distance-grid reuse via q_glrlm_dist/
+        # q_gldzm_dist above)
         "q_lag_lead": q_lag_lead,
         "q_rollup": q_rollup,
         "q_vocab": q_vocab,
         "q_json_props": q_json_props,
         "q_gldzm_25d": q_gldzm_25d,
         "q_ngldm_salted": q_ngldm_salted,
+        "q_backfill_mask": q_backfill_mask,
+        "q_glrlm_2d_avg": q_glrlm_2d_avg,
+        "q_ngldm_dist": q_ngldm_dist,
         # round-2/3 green rows (q_glcm_2d_slice_merg: r3 row; its r4
         # ordered-fold refactor is gated via the three sibling GLCM
         # variants above); all strict-mirrored r4

@@ -143,6 +143,13 @@ def _dedup_throughput(cores: int, sf_dir: str, which: str) -> tuple[float, float
     levels so the two runs execute the identical physical plan."""
     import subprocess
 
+    # dup_spans is a zero-shuffle narrow op an order of magnitude faster
+    # per doc than the shuffle workloads; at the shared replication it
+    # finishes in ~1 s and measures scheduler overhead, not scaling
+    # (observed: util 0.12 at 32 cores). Boost its input so the measured
+    # region is compute-bound like the others.
+    repl_boost = {"dup_spans": 8}
+
     bodies = {
         "dup_clusters": """
 from z_rad_spark.operators.dedup import dup_clusters
@@ -183,7 +190,7 @@ from z_rad_spark.session import get_spark
 spark = get_spark("bench_dedup_scaling", cores={cores},
                   shuffle_partitions={DEDUP_SCALING_PARTS})
 docs = spark.read.parquet({sf_dir!r} + "/documents.parquet")
-R = {DEDUP_SCALING_REPL}
+R = {DEDUP_SCALING_REPL * repl_boost.get(which, 1)}
 big = docs.withColumn("_r", F.explode(F.array(*[F.lit(i) for i in range(R)])))
 big = big.withColumn("doc_id", F.col("doc_id") * R + F.col("_r"))
 big = big.withColumn(
@@ -327,8 +334,14 @@ def _cpu_probe() -> float:
     import numpy as np
 
     # np.sort is single-threaded regardless of BLAS threadpool config, so
-    # the probe measures the core's speed, not the library's parallelism
+    # the probe measures the core's speed, not the library's parallelism.
+    # One un-timed pass first: a cold process reads 3-7x slower on its
+    # first iterations (frequency ramp + first-touch faults) even in the
+    # fast hypervisor window, which made the flag a false positive when
+    # the probe ran at process start (measured 2026-08-17: cold-process
+    # 0.7-2.7 s vs 0.25 s steady-state in the same window).
     a = np.random.default_rng(0).standard_normal(2_000_000)
+    np.sort(a)
     t0 = time.time()
     for _ in range(8):
         np.sort(a)

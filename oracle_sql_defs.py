@@ -4181,3 +4181,116 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
        {r6('score', 'score')}, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 10
 """
+
+
+ORACLES["q_hybrid_rrf"] = f"""
+WITH base AS (SELECT doc_id, {TOKS_DOC} AS tk FROM documents),
+d AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl FROM base),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM d
+),
+tok AS (SELECT doc_id, dl, unnest(tk) AS token FROM d),
+tf AS (
+  SELECT doc_id, dl, token, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok WHERE token IN ({_BM25_TERMS})
+  GROUP BY doc_id, dl, token
+),
+dfreq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS dft FROM tf GROUP BY token),
+q(query_id, token) AS (VALUES {_BM25_Q_VALUES}),
+c AS (
+  SELECT q.query_id, tf.doc_id, tf.token,
+         (ln(1.0 + (s.n - f.dft + 0.5) / (f.dft + 0.5)) * (tf.tf * 2.2))
+         / (tf.tf + 1.2 * (0.25 + (0.75 * CAST(tf.dl AS DOUBLE)) / s.avgdl)) AS c
+  FROM tf
+  JOIN q USING (token)
+  JOIN dfreq f USING (token), stats s
+),
+sc AS (
+  SELECT query_id, doc_id,
+         ROUND(list_reduce([0.0] || list(c ORDER BY token), (acc, x) -> acc + x), 6) AS score
+  FROM c GROUP BY query_id, doc_id
+),
+lex AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc QUALIFY rank <= 10
+),
+eq AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 3
+),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+es AS (
+  SELECT eq.query_id, ev.vec_id,
+         list_dot_product(ev.ev, eq.qv)
+           / (sqrt(list_dot_product(ev.ev, ev.ev)) * sqrt(list_dot_product(eq.qv, eq.qv))) AS cos
+  FROM ev CROSS JOIN eq
+),
+dense AS (
+  SELECT query_id, vec_id AS doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM es QUALIFY rank <= 10
+),
+-- fixed-order two-term sum, list order (lex, dense) — matches rrf_fuse
+f AS (
+  SELECT COALESCE(l.query_id, dn.query_id) AS query_id,
+         COALESCE(l.doc_id, dn.doc_id) AS doc_id,
+         COALESCE(1.0 / (60.0 + CAST(l.rank AS DOUBLE)), 0.0)
+         + COALESCE(1.0 / (60.0 + CAST(dn.rank AS DOUBLE)), 0.0) AS s
+  FROM lex l FULL OUTER JOIN dense dn
+    ON l.query_id = dn.query_id AND l.doc_id = dn.doc_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+  FROM f
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       {r6('s', 'rrf_score')}, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10
+"""
+
+
+ORACLES["q_chat_template"] = f"""
+WITH t AS ({T})
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(length(string_agg(
+         '<|im_start|>' || COALESCE(role, '') || chr(10) || COALESCE(text, '') || '<|im_end|>',
+         chr(10) ORDER BY ts, turn_idx)) AS BIGINT) AS n_chars,
+       string_agg(
+         '<|im_start|>' || COALESCE(role, '') || chr(10) || COALESCE(text, '') || '<|im_end|>',
+         chr(10) ORDER BY ts, turn_idx) AS rendered
+FROM t
+GROUP BY conv_id
+"""
+
+
+ORACLES["q_cdc_chunk"] = f"""
+WITH d AS (SELECT doc_id, {TOKS_RAW} AS tk FROM documents),
+tok AS (
+  SELECT doc_id, unnest(tk) AS token, generate_subscripts(tk, 1) AS i
+  FROM d
+),
+b AS (
+  SELECT doc_id, token, i,
+         CASE WHEN substring(md5(token), 1, 1) < '2' THEN 1 ELSE 0 END AS is_b
+  FROM tok
+),
+-- chunk id = number of boundaries strictly BEFORE this token (prefix
+-- count), the same partition cdc_chunk's edges/slice construction makes
+c AS (
+  SELECT doc_id, token, i,
+         CAST(COALESCE(SUM(is_b) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS chunk_idx
+  FROM b
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       chunk_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       string_agg(token, ' ' ORDER BY i) AS chunk
+FROM c
+GROUP BY doc_id, chunk_idx
+"""

@@ -1046,3 +1046,101 @@ def test_bm25_matches_naive_reference(spark):
         assert list(sub["score"]) == pytest.approx([s for _, s in want], abs=2e-6)
         assert list(sub["rank"]) == list(range(1, len(want) + 1))
     assert 3 not in set(got["doc_id"])  # no query term -> never retrieved
+
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    """RRF score must equal 1/(60+r_lex) + 1/(60+r_dense) with a zero
+    term for items missing from one list, ranked desc with id tiebreak."""
+    from z_rad_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id long, doc_id long, rank long"
+    )
+    dense = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)], "query_id long, doc_id long, rank long"
+    )
+    got = (
+        rrf_fuse([lex, dense], k=60.0, topk=10)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    want = {
+        11: 1.0 / 62 + 1.0 / 61,   # in both lists
+        10: 1.0 / 61,              # lex only
+        12: 1.0 / 63,              # lex only
+        13: 1.0 / 62,              # dense only
+    }
+    order = sorted(want, key=lambda d: (-want[d], d))
+    assert list(got["doc_id"]) == order
+    assert list(got["rank"]) == [1, 2, 3, 4]
+    for _, row in got.iterrows():
+        assert row["rrf_score"] == pytest.approx(round(want[row["doc_id"]], 6), abs=1e-9)
+
+
+def test_render_chat_template_order_and_nulls(spark):
+    """Rendering must follow (ts, turn_idx) order, join turns with
+    newlines, and render NULL role/text as empty strings."""
+    import datetime as dt
+
+    from z_rad_spark.operators.sessionize import render_chat_template
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("c1", 1, "assistant", "hi there", None, t0 + dt.timedelta(seconds=5)),
+        ("c1", 0, "user", "hello", None, t0),
+        ("c1", 2, None, None, None, t0 + dt.timedelta(seconds=9)),
+        ("c2", 0, "user", "solo", None, t0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {r["conv_id"]: r for r in render_chat_template(df).collect()}
+    want_c1 = (
+        "<|im_start|>user\nhello<|im_end|>\n"
+        "<|im_start|>assistant\nhi there<|im_end|>\n"
+        "<|im_start|>\n<|im_end|>"
+    )
+    assert got["c1"]["rendered"] == want_c1
+    assert got["c1"]["n_turns"] == 3 and got["c1"]["n_chars"] == len(want_c1)
+    assert got["c2"]["rendered"] == "<|im_start|>user\nsolo<|im_end|>"
+
+
+def test_cdc_chunk_partition_and_shift_resistance(spark):
+    """Chunks must partition the token stream exactly; every chunk except
+    the last must end at a boundary token with no interior boundary; and
+    inserting a token must leave chunks after its neighborhood unchanged
+    (the content-defined property fixed-size chunking lacks)."""
+    import hashlib
+
+    from z_rad_spark.operators.curation import cdc_chunk
+
+    words = [f"w{i:03d}" for i in range(400)]
+    text_a = " ".join(words)
+    text_b = " ".join(words[:7] + ["INSERTED"] + words[7:])
+    df = spark.createDataFrame(
+        [(0, text_a), (1, text_b)], "doc_id long, text string"
+    )
+    got = cdc_chunk(df, boundary_bits=3).toPandas()
+
+    def boundary(tok):
+        return hashlib.md5(tok.encode()).hexdigest()[0] < "2"
+
+    for doc_id, text in ((0, text_a), (1, text_b)):
+        sub = got[got["doc_id"] == doc_id].sort_values("chunk_idx")
+        toks = text.lower().split()
+        assert list(sub["chunk_idx"]) == list(range(len(sub)))
+        assert " ".join(sub["chunk"]) == " ".join(toks)   # exact partition
+        assert list(sub["n_tokens"]) == [len(c.split()) for c in sub["chunk"]]
+        for _, row in sub.iloc[:-1].iterrows():
+            ctoks = row["chunk"].split()
+            assert boundary(ctoks[-1])                    # ends at a boundary
+            assert not any(boundary(t) for t in ctoks[:-1])
+
+    a = list(got[got["doc_id"] == 0].sort_values("chunk_idx")["chunk"])
+    b = list(got[got["doc_id"] == 1].sort_values("chunk_idx")["chunk"])
+    # all chunks strictly after the edited neighborhood are identical
+    edited_b = [c for c in b if "inserted" in c]
+    assert len(edited_b) == 1
+    idx = b.index(edited_b[0])
+    assert b[idx + 1:] == a[a.index(b[idx + 1]):]

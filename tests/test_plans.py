@@ -372,3 +372,43 @@ def test_bm25_is_an_inverted_index_probe(spark):
     import re
 
     assert re.search(r"token#\d+ IN\b", plan) or re.search(r"token#\d+ INSET\b", plan)
+
+
+def test_cdc_chunk_is_shuffle_free(spark):
+    """Content-defined chunking must be pure per-row array expressions
+    plus one generate — zero Exchange at any corpus size."""
+    from z_rad_spark.operators.curation import cdc_chunk
+
+    df = spark.createDataFrame([(0, "a b c d e f g h")], "doc_id long, text string")
+    plan = cdc_chunk(df, boundary_bits=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Generate" in plan   # the single posexplode
+
+
+def test_render_chat_template_single_exchange_no_window(spark):
+    """Chat rendering is one groupBy(conv_id) aggregate: exactly one
+    Exchange, no Window, no Python UDFs."""
+    import datetime as dt
+
+    from z_rad_spark.operators.sessionize import render_chat_template
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "hi", None, dt.datetime(2024, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    plan = render_chat_template(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rrf_fuse_no_cartesian(spark):
+    """Fusion joins the bounded top-k frames on (query, item) — never a
+    cartesian/nested-loop product."""
+    from z_rad_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(0, 1, 1)], "query_id long, doc_id long, rank long")
+    b = spark.createDataFrame([(0, 2, 1)], "query_id long, doc_id long, rank long")
+    plan = rrf_fuse([a, b])._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

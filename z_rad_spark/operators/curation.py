@@ -749,3 +749,69 @@ def quality_classifier(
             .alias("label"),
         )
     )
+
+
+def cdc_chunk(
+    df: DataFrame,
+    boundary_bits: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/FastCDC idea, token
+    granularity): cut AFTER any token whose md5 leading hex digit is
+    below ``2^(4 - boundary_bits)`` — a boundary probability of
+    ``2^-boundary_bits``, i.e. expected chunk length ``2^boundary_bits``
+    tokens. Because boundaries depend only on LOCAL content, inserting
+    or deleting a token re-chunks just the neighborhood instead of
+    shifting every later chunk the way fixed-size windows do — the
+    property that makes chunk-hash dedup robust to edits
+    (``chunk_documents`` is the fixed-size counterpart).
+
+    Plan: pure per-document array expressions (transform/filter/slice)
+    plus one posexplode — ZERO shuffle at any corpus size; the chunk
+    table inherits the scan's partitioning. The boundary predicate is a
+    single-hex-digit string compare (digits sort identically in both
+    engines), and the DuckDB oracle replays chunk ids as a prefix count
+    of boundaries over UNNEST WITH ORDINALITY.
+
+    Real FastCDC adds min/max chunk clamps and a gear hash; both are
+    local-window tweaks that slot into the same boundary lambda (the
+    clamps make the predicate stateful, which costs the exact-SQL
+    replay — documented extension point, not implemented).
+
+    Output: (id_col, chunk_idx int 0-based, n_tokens long, chunk string).
+    """
+    if not 1 <= boundary_bits <= 4:
+        raise ValueError("boundary_bits must be in 1..4 (expected chunk 2..16 tokens)")
+    thresh_char = str(2 ** (4 - boundary_bits))
+    toks = df.select(F.col(id_col), _toks(text_col).alias("_tk"))
+    cuts = F.filter(
+        F.transform(
+            F.col("_tk"),
+            lambda t, i: F.when(
+                F.substring(F.md5(t), 1, 1) < F.lit(thresh_char), i + F.lit(1)
+            ).otherwise(F.lit(None).cast("integer")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    edges = F.array_distinct(
+        F.concat(F.array(F.lit(0)), cuts, F.array(F.size("_tk")))
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size("_edges") - 1),
+        lambda j: F.slice(
+            F.col("_tk"),
+            F.element_at(F.col("_edges"), j) + 1,
+            F.element_at(F.col("_edges"), j + 1) - F.element_at(F.col("_edges"), j),
+        ),
+    )
+    return (
+        toks.withColumn("_edges", edges)
+        .select(id_col, F.posexplode(chunks).alias("chunk_idx", "_ck"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size("_ck").cast("long").alias("n_tokens"),
+            F.array_join("_ck", " ").alias("chunk"),
+        )
+    )

@@ -174,3 +174,54 @@ def turn_pairs(
             F.col("text").alias("response"),
         )
     )
+
+
+def render_chat_template(
+    df: DataFrame,
+    start_tag: str = "<|im_start|>",
+    end_tag: str = "<|im_end|>",
+) -> DataFrame:
+    """Render each conversation into ONE training-ready string in the
+    ChatML shape every SFT pipeline materializes before tokenization:
+
+        ``<|im_start|>{role}\\n{text}<|im_end|>`` per turn, turns joined
+        by newlines, in the engine's canonical (ts, turn_idx) order.
+
+    Plan: one groupBy(conv_id) — collect_list of (ts, turn_idx, role,
+    text) structs, array_sort (struct comparison = lexicographic on
+    (ts, turn_idx), unique per conversation, so role/text never decide),
+    then a LINEAR transform + array_join (no O(n^2) incremental string
+    fold). State per group is the conversation itself — the same bound
+    as the extractor's grouped-map, with no Python crossing. The DuckDB
+    oracle replays it as string_agg(fmt ORDER BY ts, turn_idx).
+
+    NULL role/text render as '' (COALESCE) so a NULL never nulls out a
+    whole conversation's rendering.
+
+    Output: (conv_id, n_turns long, n_chars long, rendered string).
+    """
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("turn_idx"), F.col("role"), F.col("text")))
+    )
+    turn_fmt = lambda r: F.concat(
+        F.lit(start_tag),
+        F.coalesce(r["role"], F.lit("")),
+        F.lit("\n"),
+        F.coalesce(r["text"], F.lit("")),
+        F.lit(end_tag),
+    )
+    return (
+        df.groupBy("conv_id")
+        .agg(F.count("*").cast("long").alias("n_turns"), arr.alias("_arr"))
+        .select(
+            "conv_id",
+            "n_turns",
+            F.array_join(F.transform(F.col("_arr"), turn_fmt), "\n").alias("rendered"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            F.length("rendered").cast("long").alias("n_chars"),
+            "rendered",
+        )
+    )

@@ -848,3 +848,63 @@ def ivfpq_topk(
         .where(F.col("rank") <= topk)
         .select(query_id, id_col, F.round("_ad", 6).alias("approx_dist"), "rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: float = 60.0,
+    topk: int = 10,
+    query_id: str = "query_id",
+    item_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    the standard hybrid-retrieval combiner (Elasticsearch/OpenSearch
+    default for BM25 + dense-vector search):
+
+        ``score(q, d) = sum_i 1 / (k + rank_i(q, d))``
+
+    over the input ranked lists, items missing from a list contribute 0.
+    Rank-based, so it needs no score calibration between retrievers
+    whose scales differ (BM25 vs cosine).
+
+    Scale shape: each input is already a per-query top-k frame — at most
+    ``queries x k`` rows regardless of corpus size — so fusion cost is
+    bounded by the probe side, never the corpus. The frames are joined
+    full-outer in LIST ORDER on (query, item) and the score is the
+    FIXED-ORDER sum ``term_0 + ... + term_{n-1}`` with
+    ``term_i = coalesce(1/(k + rank_i), 0.0)`` — float addition order is
+    structural, so the DuckDB oracle replays the fused score
+    bit-for-bit. Final ranking: fused score desc, item id asc.
+
+    Output: (query_id, item_col, rrf_score double 6dp, rank).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    fused = None
+    for i, r in enumerate(rankings):
+        side = r.select(
+            F.col(query_id), F.col(item_col), F.col(rank_col).cast("long").alias(f"_r{i}")
+        )
+        fused = side if fused is None else fused.join(
+            side, [query_id, item_col], "full_outer"
+        )
+    score = None
+    for i in range(len(rankings)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"_r{i}").cast("double")),
+            F.lit(0.0),
+        )
+        score = term if score is None else score + term
+    w = Window.partitionBy(query_id).orderBy(F.desc("_s"), F.asc(item_col))
+    return (
+        fused.withColumn("_s", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            query_id,
+            item_col,
+            F.round("_s", 6).alias("rrf_score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
