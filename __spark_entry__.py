@@ -1239,6 +1239,25 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN quality evaluation: recall@5 and reciprocal rank of the IVF
+    index against the exact-cosine baseline, per query — the continuous
+    index-health check a production ANN deployment samples; cost bounded
+    by queries x k. Both rankings and the exact-integer-ratio metrics
+    replay in the oracle."""
+    from z_rad_spark.operators.similarity import retrieval_metrics
+
+    return retrieval_metrics(
+        q_ivf_topk(spark, sf_dir), q_cosine_topk(spark, sf_dir), k=5
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "n_truth",
+        "n_hit",
+        "recall_at_k",
+        "rr_at_k",
+    )
+
+
 def q_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN, FULL-value gated: the hyperplanes are seeded
     literals (similarity._hyperplanes, PCG64 seed 17), so the DuckDB
@@ -2030,6 +2049,20 @@ def q_shard_pack(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Fixed-context example packing (GPT-3-style concat-and-split at
+    context_len=512): documents in deterministic hash order are cut into
+    consecutive 512-token windows, straddling docs split across packs —
+    one (doc x pack) row with exact integer offsets, riding shard_pack's
+    two-pass distributed prefix sum (no global single-task sort)."""
+    from z_rad_spark.operators.curation import pack_sequences
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_tokens", F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("long")
+    )
+    return pack_sequences(docs, context_len=512, token_col="n_tokens")
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic disjoint train/val/test split (salted-md5 range
     buckets, dedup.hash_split): reproducible across runs, partitionings,
@@ -2345,8 +2378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the operators new in r4 (q_semdedup, q_unigram_lm,
     q_line_dedup, q_dsir, q_domain_mix, q_dup_spans, and the late-r4
     additions q_pq_codes / q_pq_topk / q_ivfpq_topk / q_bm25 /
-    q_hybrid_rrf / q_chat_template / q_cdc_chunk /
-    q_quality_classifier / q_bigram_lm), the new backfill/SUV operators,
+    q_hybrid_rrf / q_chat_template / q_cdc_chunk / q_ann_recall /
+    q_pack_sequences / q_quality_classifier / q_bigram_lm), the new
+    backfill/SUV operators,
     the selectExpr flagship gate, the hash_split/winnow fixes, four of
     the five salted queries (skew.py broadcast fix; q_ngldm_salted sits
     first past the marker, sibling-gated), and every query touched by
@@ -2355,14 +2389,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries whose latest green driver row is round-1-era (the filter set
     no longer fits — q_filter_mean, q_filter_log, q_filter_laws,
     q_filter_gabor, q_filter_wavelet keep their r2 green row plus this
-    round's strict-mirror green; the nine late-r4 additions displaced
-    q_lag_lead / q_rollup / q_vocab / q_json_props — the four simplest
-    r1-era entries, pure built-in window/rollup/distinct/JSON plans —
-    plus five sibling-gated entries (q_gldzm_25d, q_ngldm_salted,
-    q_backfill_mask, q_glrlm_2d_avg, q_ngldm_dist — coverage rationale
-    at the marker below); all nine keep their prior green row plus this
-    round's strict-mirror green and sit first past the marker for the
-    r5 rotation).
+    round's strict-mirror green; the eleven late-r4 additions displaced
+    q_lag_lead / q_rollup / q_vocab / q_json_props / q_decay_sum /
+    q_rolling_1h — the six simplest r1-era entries, pure built-in
+    window/rollup/distinct/JSON plans — plus five sibling-gated entries
+    (q_gldzm_25d, q_ngldm_salted, q_backfill_mask, q_glrlm_2d_avg,
+    q_ngldm_dist — coverage rationale at the marker below); all eleven
+    keep their prior green row plus this round's strict-mirror green
+    and sit first past the marker for the r5 rotation).
     Entries past the window hold round-2/3 green rows with unchanged
     code; ALL of them were additionally re-verified this round through
     the strict local mirror (tools/check_queries.py, STRICT hash mode,
@@ -2392,6 +2426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hybrid_rrf": q_hybrid_rrf,
         "q_chat_template": q_chat_template,
         "q_cdc_chunk": q_cdc_chunk,
+        "q_ann_recall": q_ann_recall,
+        "q_pack_sequences": q_pack_sequences,
         "q_asof_tolerance": q_asof_tolerance,
         # --- (1b) salted set: skew.py overlap-guard broadcast fix ---
         "q_glcm_salted": q_glcm_salted,
@@ -2413,7 +2449,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_backfill_nn": q_backfill_nn,
         "q_backfill_linear": q_backfill_linear,
         "q_decay_norm": q_decay_norm,
-        "q_decay_sum": q_decay_sum,
         "q_glrlm_25d": q_glrlm_25d,
         "q_glszm": q_glszm,
         "q_ivh_fbs": q_ivh_fbs,
@@ -2421,7 +2456,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_moran": q_moran,
         "q_ngldm": q_ngldm,
         "q_ngtdm": q_ngtdm,
-        "q_rolling_1h": q_rolling_1h,
         "q_tool_names": q_tool_names,
         # ===== gate window ends here (first 50 entries) ================
         # displaced by the late-r4 additions: prior green rows + r4
@@ -2439,6 +2473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup": q_rollup,
         "q_vocab": q_vocab,
         "q_json_props": q_json_props,
+        "q_decay_sum": q_decay_sum,
+        "q_rolling_1h": q_rolling_1h,
         "q_gldzm_25d": q_gldzm_25d,
         "q_ngldm_salted": q_ngldm_salted,
         "q_backfill_mask": q_backfill_mask,

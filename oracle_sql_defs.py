@@ -4294,3 +4294,53 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM c
 GROUP BY doc_id, chunk_idx
 """
+
+
+ORACLES["q_pack_sequences"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         len({TOKS_RAW}) AS n_tokens,
+         md5('pack1|' || CAST(doc_id AS STRING)) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS s
+  FROM d
+),
+e AS (
+  SELECT doc_id, s, n_tokens,
+         unnest(generate_series(CAST(FLOOR(s / 512) AS BIGINT),
+                                CAST(FLOOR((s + n_tokens - 1) / 512) AS BIGINT))) AS pack_id
+  FROM c WHERE n_tokens > 0
+)
+SELECT CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(GREATEST(s, pack_id * 512) - s AS BIGINT) AS doc_offset,
+       CAST(GREATEST(s, pack_id * 512) - pack_id * 512 AS BIGINT) AS pack_offset,
+       CAST(LEAST(s + n_tokens, (pack_id + 1) * 512)
+            - GREATEST(s, pack_id * 512) AS BIGINT) AS n_toks
+FROM e
+"""
+
+
+# ANN recall/MRR: composes the already-verified IVF and exact-cosine
+# oracle rankings as subqueries — the metric layer adds only exact
+# small-integer ratios on top.
+ORACLES["q_ann_recall"] = f"""
+WITH res AS ({{ivf}}),
+tru AS ({{cos}}),
+j AS (
+  SELECT t.query_id, t.vec_id, t.rank AS tr, r.rank AS rr
+  FROM tru t LEFT JOIN res r ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+  WHERE t.rank <= 5
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(COUNT(rr) AS BIGINT) AS n_hit,
+       ROUND(CAST(COUNT(rr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_k,
+       ROUND(MAX(CASE WHEN tr = 1 AND rr IS NOT NULL
+                      THEN 1.0 / CAST(rr AS DOUBLE) ELSE 0.0 END), 6) AS rr_at_k
+FROM j
+GROUP BY query_id
+""".format(ivf=ORACLES["q_ivf_topk"], cos=ORACLES["q_cosine_topk"])

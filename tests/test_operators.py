@@ -1144,3 +1144,62 @@ def test_cdc_chunk_partition_and_shift_resistance(spark):
     assert len(edited_b) == 1
     idx = b.index(edited_b[0])
     assert b[idx + 1:] == a[a.index(b[idx + 1]):]
+
+
+def test_pack_sequences_tiles_the_token_stream(spark):
+    """Packing invariants: per doc the slices are contiguous and sum to
+    its token count; per pack the slices tile [0, L) without overlap and
+    every pack except the last is exactly full; straddling docs split."""
+    from z_rad_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, 3 + (i * 7) % 12) for i in range(25)], "doc_id long, n_tokens long"
+    )
+    L = 10
+    got = pack_sequences(docs, context_len=L).toPandas()
+    want_total = sum(3 + (i * 7) % 12 for i in range(25))
+
+    per_doc = got.groupby("doc_id")
+    for doc_id, g in per_doc:
+        g = g.sort_values("pack_id")
+        n = 3 + (doc_id * 7) % 12
+        assert g["n_toks"].sum() == n
+        assert list(g["doc_offset"]) == [0] + list(g["n_toks"].cumsum())[:-1]
+        assert (g["n_toks"] > 0).all()
+        assert list(g["pack_id"]) == list(range(g["pack_id"].min(), g["pack_id"].max() + 1))
+
+    last_pack = got["pack_id"].max()
+    for pack_id, g in got.groupby("pack_id"):
+        g = g.sort_values("pack_offset")
+        starts, lens = list(g["pack_offset"]), list(g["n_toks"])
+        assert starts[0] == 0
+        for s0, l0, s1 in zip(starts, lens, starts[1:]):
+            assert s0 + l0 == s1            # no gaps, no overlap
+        total = starts[-1] + lens[-1]
+        assert total == L if pack_id != last_pack else total <= L
+    assert got["n_toks"].sum() == want_total
+    assert (got.groupby("doc_id").size() > 1).any()   # someone straddles
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """recall@k and rr@k against hand-built rankings, including a query
+    whose truth top-1 is missed entirely."""
+    from z_rad_spark.operators.similarity import retrieval_metrics
+
+    truth = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3),
+         (1, 20, 1), (1, 21, 2), (1, 22, 3)],
+        "query_id long, vec_id long, rank long",
+    )
+    result = spark.createDataFrame(
+        [(0, 11, 1), (0, 10, 2), (0, 99, 3),     # top-1 found at rank 2
+         (1, 21, 1), (1, 98, 2), (1, 97, 3)],    # top-1 (20) missed
+        "query_id long, vec_id long, rank long",
+    )
+    got = {r["query_id"]: r for r in retrieval_metrics(result, truth, k=3).collect()}
+    assert got[0]["n_truth"] == 3 and got[0]["n_hit"] == 2
+    assert got[0]["recall_at_k"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got[0]["rr_at_k"] == pytest.approx(0.5)
+    assert got[1]["n_hit"] == 1
+    assert got[1]["recall_at_k"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[1]["rr_at_k"] == 0.0

@@ -815,3 +815,65 @@ def cdc_chunk(
             F.array_join("_ck", " ").alias("chunk"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    context_len: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "pack1",
+    prefix_chars: int = 2,
+) -> DataFrame:
+    """Fixed-context example packing — the causal-LM pretraining layout
+    (GPT-3 Appendix B "documents are concatenated and split into
+    sequences of exactly the context length"; T5 'packing'): the
+    deterministic hash-ordered token stream is cut into consecutive
+    ``context_len`` windows, and a document that straddles a window
+    boundary is SPLIT across the adjoining packs. Downstream tokenizers
+    consume the emitted offsets to materialize input_ids and the
+    cross-document attention-mask resets.
+
+    One row per (document x pack it touches):
+
+        pack_id     global window index (token interval
+                    ``[pack_id*L, (pack_id+1)*L)``)
+        doc_offset  first token of this slice within the document
+        pack_offset position of the slice inside the pack
+        n_toks      slice length (> 0)
+
+    All pure integer arithmetic over ``shard_pack``'s two-pass
+    distributed prefix sum (``cum_before``) — no new shuffle beyond the
+    bucketed window it already does, and a doc explodes into at most
+    ``ceil(n/L)+1`` rows, so the expansion is bounded by the data's own
+    token count, never by the grid. Zero-token documents emit no rows.
+    """
+    L = int(context_len)
+    if L <= 0:
+        raise ValueError("context_len must be positive")
+    packed = shard_pack(
+        df, budget=L, token_col=token_col, id_col=id_col,
+        salt=salt, prefix_chars=prefix_chars,
+    )
+    s = F.col("cum_before").cast("long")
+    n = F.col(token_col).cast("long")
+    first = F.floor(s / L).cast("long")
+    last = F.floor((s + n - F.lit(1)) / L).cast("long")
+    out = (
+        packed.where(n > 0)
+        .select(
+            F.col(id_col),
+            s.alias("_s"),
+            n.alias("_n"),
+            F.explode(F.sequence(first, last)).alias("pack_id"),
+        )
+        .withColumn("_g0", F.greatest(F.col("_s"), F.col("pack_id") * L))
+        .withColumn("_g1", F.least(F.col("_s") + F.col("_n"), (F.col("pack_id") + 1) * L))
+    )
+    return out.select(
+        F.col("pack_id").cast("long").alias("pack_id"),
+        id_col,
+        (F.col("_g0") - F.col("_s")).cast("long").alias("doc_offset"),
+        (F.col("_g0") - F.col("pack_id") * L).cast("long").alias("pack_offset"),
+        (F.col("_g1") - F.col("_g0")).cast("long").alias("n_toks"),
+    )

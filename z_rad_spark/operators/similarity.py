@@ -908,3 +908,57 @@ def rrf_fuse(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def retrieval_metrics(
+    result: DataFrame,
+    truth: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    item_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """ANN quality evaluation against an exact baseline — the operator a
+    100 TB deployment runs CONTINUOUSLY on sampled queries, because every
+    approximate index (LSH / IVF / PQ) trades recall for scan cost and
+    that trade must be measured, not assumed:
+
+        recall_at_k  |result_topk ∩ truth_topk| / |truth_topk|
+        rr_at_k      1 / (result rank of truth's #1 item), 0 if absent
+                     (mean over queries = MRR@k)
+
+    Both sides are per-query top-k frames, so cost is bounded by
+    queries x k regardless of corpus size: one equi-join for the
+    intersection count, one for the truth-top-1 lookup, one groupBy.
+    Exact small-integer ratios — the oracle replays them exactly.
+
+    Output: (query_id, n_truth long, n_hit long, recall_at_k double,
+    rr_at_k double).
+    """
+    res = result.where(F.col(rank_col) <= k).select(
+        F.col(query_id), F.col(item_col), F.col(rank_col).cast("long").alias("_rr")
+    )
+    tru = truth.where(F.col(rank_col) <= k).select(
+        F.col(query_id), F.col(item_col), F.col(rank_col).cast("long").alias("_tr")
+    )
+    hits = tru.join(res, [query_id, item_col], "left")
+    per_q = hits.groupBy(query_id).agg(
+        F.count("*").cast("long").alias("n_truth"),
+        F.count("_rr").cast("long").alias("n_hit"),
+        # truth's #1 item: its reciprocal rank in the result (0 if missed)
+        F.max(
+            F.when(
+                (F.col("_tr") == 1) & F.col("_rr").isNotNull(),
+                F.lit(1.0) / F.col("_rr").cast("double"),
+            ).otherwise(F.lit(0.0))
+        ).alias("rr_at_k"),
+    )
+    return per_q.select(
+        query_id,
+        "n_truth",
+        "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.col("n_truth").cast("double"), 6).alias(
+            "recall_at_k"
+        ),
+        F.round("rr_at_k", 6).alias("rr_at_k"),
+    )
