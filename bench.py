@@ -143,12 +143,19 @@ def _dedup_throughput(cores: int, sf_dir: str, which: str) -> tuple[float, float
     levels so the two runs execute the identical physical plan."""
     import subprocess
 
-    # dup_spans is a zero-shuffle narrow op an order of magnitude faster
-    # per doc than the shuffle workloads; at the shared replication it
-    # finishes in ~1 s and measures scheduler overhead, not scaling
-    # (observed: util 0.12 at 32 cores). Boost its input so the measured
-    # region is compute-bound like the others.
-    repl_boost = {"dup_spans": 8}
+    # Measurement trap found 2026-08-18 (cost three bogus runs): timing
+    # `dup_span_stats(big).count()` measures NOTHING — the operator ends
+    # in a left join against an aggregate keyed on doc_id, so with no
+    # output column referenced Catalyst's unique-key join elimination
+    # drops the join AND the whole gram doc-frequency pipeline behind it
+    # (verified: the count's optimizedPlan has no Join and no md5; the
+    # output-sum's plan has both). Every dedup workload must therefore
+    # aggregate the operator's OUTPUT columns, never bare count(), unless
+    # the count itself forces the pipeline (inner joins / exploded pairs
+    # do; minhash_pairs, dup_clusters and corpus_clean qualify).
+    repl_boost: dict[str, int] = {}
+    repeats: dict[str, int] = {}
+    work_mult: dict[str, int] = {}
 
     bodies = {
         "dup_clusters": """
@@ -161,7 +168,10 @@ out = lambda: minhash_lsh_pairs(big, n=3, n_hashes=8, band_size=4, max_bucket=64
 """,
         "dup_spans": """
 from z_rad_spark.operators.dedup import dup_span_stats
-out = lambda: dup_span_stats(big, n=8).count()
+spans = dup_span_stats(big, n=8)
+out = lambda: spans.selectExpr(
+    "count(*) AS n", "sum(covered_tokens) AS c", "sum(n_tokens) AS t"
+).collect()[0]["n"]
 """,
         "corpus_clean": """
 from pyspark.sql import functions as F
@@ -202,18 +212,22 @@ big = big.withColumn(
     ),
 ).drop("_r").repartition({DEDUP_SCALING_PARTS}).persist()
 n_docs = big.count()
+WORK_MULT = {work_mult.get(which, 1)}
 {bodies[which]}
+REPEATS = {repeats.get(which, 1)}
 best = 1e18
 best_cpu = 0.0
 for _ in range(2):  # first pass doubles as warm; min keeps the clean one
     c0 = cpu_tree_seconds()
     t0 = time.time()
-    rows = out()
+    for _r in range(REPEATS):
+        rows = out()
     sec = time.time() - t0
     cpu = cpu_tree_seconds() - c0
     if sec < best:
         best, best_cpu = sec, cpu
-print(json.dumps({{"sec": best, "cpu_sec": best_cpu, "docs": n_docs, "rows": rows}}))
+print(json.dumps({{"sec": best, "cpu_sec": best_cpu,
+                   "docs": n_docs * REPEATS * WORK_MULT, "rows": rows}}))
 spark.stop()
 """
     p = subprocess.run(
@@ -438,9 +452,17 @@ def main():
 
     if os.environ.get("SPARK_GRAFT_SCALING_DEDUP") == "1":
         # north-rule evidence for the LLM-pipeline block: same two-level
-        # pinned-subprocess protocol as the flagship, interleaved
+        # pinned-subprocess protocol as the flagship, interleaved.
+        # SPARK_GRAFT_SCALING_DEDUP_WHICH=a,b reruns a subset (keeps a
+        # single-workload re-measure from paying for the full block).
         sd: dict = {}
-        for which in ("minhash_pairs", "dup_clusters", "dup_spans", "corpus_clean"):
+        which_env = os.environ.get("SPARK_GRAFT_SCALING_DEDUP_WHICH")
+        workloads = (
+            tuple(w for w in which_env.split(",") if w)
+            if which_env
+            else ("minhash_pairs", "dup_clusters", "dup_spans", "corpus_clean")
+        )
+        for which in workloads:
             best: dict[int, tuple[float, float, float]] = {}
             for _ in range(2):
                 for c in (8, 32):
