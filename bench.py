@@ -60,7 +60,21 @@ def _run_queries(spark, sf_dir, passes: int = 2):
     The sandbox host shows bimodal noise (identical runs swing 2x at
     minutes scale); a single sweep can land entirely inside a bad
     window. The min-of-2 is the standard noisy-host estimator of the
-    plan's actual cost; both sweep totals are reported raw alongside."""
+    plan's actual cost; both sweep totals are reported raw alongside.
+
+    Timing action: an aggregate that references EVERY output column
+    (count per column + the row count), not a bare ``count()``. Under
+    ``count()`` Catalyst prunes whatever doesn't change cardinality —
+    Window nodes (the as-of/sessionize/backfill family's entire
+    operator), unique-key left joins and the pipelines behind them, and
+    final-mile feature algebra — so 8 of 23 headline timings measured
+    little more than the input scan (audited 2026-08-18, plan-level:
+    q_stats_asof/q_hist_asof/q_hist_daily lost 5-8 Window + 2 Aggregate
+    nodes, q_asof_state/q_asof_enrich/q_sessionize/q_backfill_nn lost
+    every Window, q_shard_pack lost its prefix-sum). ``count(col)``
+    needs each column's nullity, so nothing above it is prunable, while
+    adding no per-row formatting/hash cost."""
+    from pyspark.sql import functions as F
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -69,7 +83,12 @@ def _run_queries(spark, sf_dir, passes: int = 2):
         total = 0.0
         for name in HEADLINE:
             t0 = time.time()
-            n = qs[name](spark, sf_dir).count()
+            df = qs[name](spark, sf_dir)
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.count(df[c]).alias(f"c{i}") for i, c in enumerate(df.columns)],
+            ).collect()[0]
+            n = row["n"]
             sec = round(time.time() - t0, 3)
             total += sec
             if name not in timings or sec < timings[name]:
