@@ -412,3 +412,36 @@ def test_rrf_fuse_no_cartesian(spark):
     plan = rrf_fuse([a, b])._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bench_timing_action_defeats_catalyst_pruning(spark):
+    """The benchmark contract (BASELINE.md round-4 updates 3-4): a bare
+    count() is NOT a valid timing action — Catalyst removes Window nodes
+    (cardinality-preserving) and unique-key left joins from a counted
+    plan, so the timed region can exclude the operator itself. The
+    per-column count aggregate bench.py uses must keep every node.
+
+    Pinned on the worst historical offender (the as-of family, whose
+    whole operator is Window nodes) using the same plan-level signal the
+    2026-08-18 audit used."""
+    import datetime as dt
+
+    from z_rad_spark.operators.asof import asof_state
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "hi", None, dt.datetime(2024, 1, 1), 1.0),
+         ("c1", 1, "tool", "ok", "search", dt.datetime(2024, 1, 1, 0, 5), 2.0)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, signal double",
+    )
+    df = asof_state(turns, spark, ["2024-01-01 01:00:00"], value_cols=["signal"])
+
+    counted = df.groupBy().count()._jdf.queryExecution().optimizedPlan().toString()
+    forced = df.agg(
+        F.count(F.lit(1)), *[F.count(df[c]) for c in df.columns]
+    )._jdf.queryExecution().optimizedPlan().toString()
+
+    # the hazard is real on this Spark version (count() loses the op)...
+    assert "Window" not in counted
+    # ...and the bench action restores it
+    assert "Window" in forced
