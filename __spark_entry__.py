@@ -2365,6 +2365,101 @@ def q_stream_dedup(spark, sf_dir):
     )
 
 
+def q_expanding_zscore(spark, sf_dir):
+    """Point-in-time standardization: each turn z-scored against its own
+    conversation's expanding history (sessionize.with_expanding_zscore)
+    — the leakage-safe normalization (ROWS UNBOUNDED PRECEDING frame
+    under the stable (ts, turn_idx) sort; no future turn is readable by
+    construction). Integer-valued signals keep every running sum exact,
+    so the oracle replays z bit-for-bit."""
+    from z_rad_spark.operators.sessionize import with_expanding_zscore
+
+    out = with_expanding_zscore(_t(spark, sf_dir))
+    out = out.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        _us("ts", "ts_us"),
+        F.col("n_so_far").cast("long").alias("n_so_far"),
+        "mean_so_far",
+        "z",
+    )
+    return _r6(out, ["mean_so_far", "z"])
+
+
+def q_cusum(spark, sf_dir):
+    """One-sided CUSUM drift monitoring per conversation
+    (drift.cusum_summary): alarm count, chart max, first alarm time.
+    The sequential recursion is computed by its closed form (prefix sum
+    minus running min — two window aggregates, no fold), and with
+    integer signals and the dyadic 5.5 reference every intermediate is
+    exact, so alarms replay bit-for-bit in the oracle."""
+    from z_rad_spark.operators.drift import cusum_summary
+
+    out = cusum_summary(_t(spark, sf_dir), target=5.0, slack=0.5, threshold=8.0)
+    out = out.select(
+        "conv_id", "n_turns", "n_alarms", "max_cusum", "first_alarm_us"
+    )
+    return _r6(out, ["max_cusum"])
+
+
+def q_hamming_topk(spark, sf_dir):
+    """Binary-quantized ANN baseline (similarity.binary_quantize +
+    hamming_topk): sign-bit codes packed into two 32-bit words, exact
+    top-k under Hamming distance for the first five vectors as queries.
+    Integer-exact end to end — XOR + popcount on both engines — so the
+    oracle replays ranks exactly (ties break on vec_id)."""
+    from z_rad_spark.operators.similarity import hamming_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = hamming_topk(emb, queries, k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("hamming").cast("int").alias("hamming"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_pca_cov(spark, sf_dir):
+    """Distributed covariance of the embedding corpus
+    (similarity.embedding_covariance): the one-pass PCA/whitening
+    statistics pass. Per-partition dense Gram partials (one BLAS call
+    per Arrow batch) + a d^2/2-row groupBy — the N x d element table is
+    never materialized, unlike the oracle's didactic unnest self-join.
+    cov = sxy/n - (sx/n)*(sy/n) with a fixed expression shape."""
+    from z_rad_spark.operators.similarity import embedding_covariance
+
+    out = embedding_covariance(_emb(spark, sf_dir))
+    out = out.select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        "n",
+        "cov",
+    )
+    return _r6(out, ["cov"])
+
+
+def q_stream_running_stats(spark, sf_dir):
+    """Stateful streaming point-in-time features
+    (streaming.streaming_running_stats via applyInPandasWithState): per
+    distinct (conv_id, ts), the running count/sum/max over every turn at
+    or before that timestamp — the streaming twin of the batch
+    expanding-window frame, emitted incrementally from O(1)
+    per-conversation state. The batch oracle recomputes the same
+    cumulative aggregates declaratively, hash-verifying the
+    streaming/batch consistency of the engine's leakage contract."""
+    from z_rad_spark.streaming import streaming_running_stats
+
+    res = _replay_stream(spark, sf_dir, streaming_running_stats, "q_stream_run_")
+    return _r6(
+        res.select("conv_id", "ts_us", "n_so_far", "signal_sum", "signal_max"),
+        ["signal_sum", "signal_max"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -2383,8 +2478,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     backfill/SUV operators,
     the selectExpr flagship gate, the hash_split/winnow fixes, four of
     the five salted queries (skew.py broadcast fix; q_ngldm_salted sits
-    first past the marker, sibling-gated), and every query touched by
-    the ordered reciprocal-square folds (all GLCM variants + the GLDZM
+    first past the marker, sibling-gated), the five session-2 operators
+    (q_expanding_zscore, q_cusum, q_hamming_topk, q_pca_cov,
+    q_stream_running_stats — these displaced five GLCM aggregation
+    variants whose ordered-fold refactor is sibling-gated via
+    q_glcm/q_glcm_dist and the GLDZM pair), and the queries touched by
+    the ordered reciprocal-square folds (GLCM core + the GLDZM
     family) — and (2) the remaining slots filled oldest-first: all 20
     queries whose latest green driver row is round-1-era (the filter set
     no longer fits — q_filter_mean, q_filter_log, q_filter_laws,
@@ -2434,15 +2533,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_glrlm_salted": q_glrlm_salted,
         "q_ngtdm_salted": q_ngtdm_salted,
         "q_gldzm_salted": q_gldzm_salted,
+        # --- (1d) new operators, session 2 of round 4 ---
+        "q_expanding_zscore": q_expanding_zscore,
+        "q_cusum": q_cusum,
+        "q_hamming_topk": q_hamming_topk,
+        "q_pca_cov": q_pca_cov,
+        "q_stream_running_stats": q_stream_running_stats,
         # --- (1c) ordered reciprocal-square folds (cm_inv_var / dzm_sde
         #     / dzm_sdhge — kernels/texture._seq_sum + oracle list_reduce)
         "q_glcm": q_glcm,
         "q_glcm_dist": q_glcm_dist,
-        "q_glcm_2d_avg": q_glcm_2d_avg,
-        "q_glcm_2d_wavg": q_glcm_2d_wavg,
-        "q_glcm_25d_merg": q_glcm_25d_merg,
-        "q_glcm_3d_aver": q_glcm_3d_aver,
-        "q_glcm_25d_dirmerg": q_glcm_25d_dirmerg,
         "q_gldzm": q_gldzm,
         "q_gldzm_dist": q_gldzm_dist,
         # --- (2a) rotation: every remaining round-1-era green row ---
@@ -2458,6 +2558,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngtdm": q_ngtdm,
         "q_tool_names": q_tool_names,
         # ===== gate window ends here (first 50 entries) ================
+        # displaced by the session-2 additions (q_expanding_zscore,
+        # q_cusum, q_hamming_topk, q_pca_cov, q_stream_running_stats):
+        # five GLCM aggregation variants whose r4 ordered-fold refactor
+        # is sibling-gated via q_glcm / q_glcm_dist above plus the GLDZM
+        # pair (same _seq_sum + oracle list_reduce change); all five keep
+        # their r2/r3 green rows and this round's strict-mirror green,
+        # and sit first past the marker for the r5 rotation.
+        "q_glcm_2d_avg": q_glcm_2d_avg,
+        "q_glcm_2d_wavg": q_glcm_2d_wavg,
+        "q_glcm_25d_merg": q_glcm_25d_merg,
+        "q_glcm_3d_aver": q_glcm_3d_aver,
+        "q_glcm_25d_dirmerg": q_glcm_25d_dirmerg,
         # displaced by the late-r4 additions: prior green rows + r4
         # strict mirror. Sibling coverage for each displaced entry:
         # q_gldzm_25d (r2 row; ordered-fold refactor gated via

@@ -4344,3 +4344,136 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
 FROM j
 GROUP BY query_id
 """.format(ivf=ORACLES["q_ivf_topk"], cos=ORACLES["q_cosine_topk"])
+
+
+# ---------------------------------------------------------------------------
+# round-4 session-2 additions: point-in-time normalization, CUSUM drift,
+# binary-quantized ANN, one-pass covariance, stateful streaming running
+# stats. Each mirrors the engine's fixed expression tree (docstrings on
+# the operators note where exactness comes from).
+# ---------------------------------------------------------------------------
+
+# expanding z-score: same one-pass identity (s2 - s*s/n)/n with the
+# GREATEST clamp, same operation order -> bit-identical for the
+# integer-valued signal
+ORACLES["q_expanding_zscore"] = f"""
+WITH t AS ({T}),
+e AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us, signal,
+         CAST(COUNT(signal) OVER w AS DOUBLE) AS n,
+         SUM(signal) OVER w AS s,
+         SUM(signal * signal) OVER w AS s2
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, ts_us,
+       CAST(n AS BIGINT) AS n_so_far,
+       {r6('s / n', 'mean_so_far')},
+       {r6("CASE WHEN SQRT(GREATEST((s2 - s * s / n) / n, 0.0)) > 0.0 "
+           "THEN (signal - s / n) / SQRT(GREATEST((s2 - s * s / n) / n, 0.0)) END", 'z')}
+FROM e
+"""
+
+
+# CUSUM closed form: s_t = P_t - LEAST(0, running-min P) — exact for
+# integer signals minus the dyadic 5.5 reference
+ORACLES["q_cusum"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us,
+         SUM(signal - 5.5) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv
+  FROM t
+),
+s AS (
+  SELECT conv_id, ts_us,
+         pv - LEAST(0.0, MIN(pv) OVER (PARTITION BY conv_id ORDER BY ts_us, turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cus
+  FROM p
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN cus > 8.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       {r6('MAX(cus)', 'max_cusum')},
+       CAST(MIN(CASE WHEN cus > 8.0 THEN ts_us END) AS BIGINT) AS first_alarm_us
+FROM s
+GROUP BY conv_id
+"""
+
+
+# binary sign codes: little-endian bits within each 32-dim half —
+# integer-exact end to end (XOR + popcount), so ranks replay exactly
+_BQ_CODES = """
+x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN v > 0 AND i < 32 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS lo,
+         CAST(SUM(CASE WHEN v > 0 AND i >= 32 THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS hi
+  FROM x GROUP BY vec_id
+)"""
+
+ORACLES["q_hamming_topk"] = f"""
+WITH {_BQ_CODES},
+d AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         bit_count(xor(c.lo, q.lo)) + bit_count(xor(c.hi, q.hi)) AS hd
+  FROM c CROSS JOIN (SELECT * FROM c WHERE vec_id < 5) q
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hd ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(hd AS INT) AS hamming, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+# one-pass covariance: the oracle is the didactic unnest self-join the
+# engine deliberately avoids; cov expression shape matches the engine
+# (sxy/n - (sx/n)*(sy/n))
+ORACLES["q_pca_cov"] = """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+p AS (
+  SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
+         SUM(a.v * b.v) AS sxy, SUM(a.v) AS sx, SUM(b.v) AS sy
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, CAST(n AS BIGINT) AS n,
+       ROUND(sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)), 6) + 0 AS cov
+FROM p
+"""
+
+
+# streaming running stats: cumulative per distinct (conv_id, ts) over the
+# replayed events-derived stream — per-ts groups then cumulative, the
+# same summation grouping as the stateful operator (exact for the
+# integer-valued signal)
+ORACLES["q_stream_running_stats"] = """
+WITH s AS (
+  SELECT 'c' || CAST(user_id AS STRING) AS conv_id, ts,
+         CAST(1 + ABS(CAST(FLOOR(value) AS INT)) % 9 AS DOUBLE) AS signal
+  FROM events
+),
+g AS (
+  SELECT conv_id, ts, COUNT(*) AS c, SUM(signal) AS sm, MAX(signal) AS mx
+  FROM s GROUP BY conv_id, ts
+)
+SELECT conv_id, epoch_us(ts) AS ts_us,
+       CAST(SUM(c) OVER w AS BIGINT) AS n_so_far,
+       ROUND(SUM(sm) OVER w, 6) + 0 AS signal_sum,
+       ROUND(MAX(mx) OVER w, 6) + 0 AS signal_max
+FROM g
+WINDOW w AS (PARTITION BY conv_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""

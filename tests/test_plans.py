@@ -445,3 +445,83 @@ def test_bench_timing_action_defeats_catalyst_pruning(spark):
     assert "Window" not in counted
     # ...and the bench action restores it
     assert "Window" in forced
+
+
+def _turns_df(spark, n=64):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i % 4}" for i in range(n)],
+            "turn_idx": list(range(n)),
+            "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(range(n), unit="m"),
+            "signal": [float(1 + i % 9) for i in range(n)],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_expanding_zscore_single_exchange(spark):
+    """All three running sums must ride ONE Window node over one
+    conv_id exchange — a refactor that splits them into stacked Window
+    sorts triples the sort cost at 10^12 turns."""
+    from z_rad_spark.operators.sessionize import with_expanding_zscore
+
+    plan = _plan(with_expanding_zscore(_turns_df(spark)))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+
+
+def test_cusum_is_two_stacked_windows_one_exchange(spark):
+    """The CUSUM closed form costs one exchange + one sort; the second
+    Window (running min over the prefix sum) must reuse the first's
+    partitioning — a second Exchange would mean the closed form lost its
+    point."""
+    from z_rad_spark.operators.drift import with_cusum
+
+    plan = _plan(with_cusum(_turns_df(spark)))
+    assert plan.count("Exchange") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_hamming_topk_broadcasts_packed_queries(spark):
+    """The packed query side is queries x 16 bytes — it must broadcast;
+    the corpus side must stay a narrow scan (no shuffle before the
+    bounded per-query top-k window)."""
+    import pandas as pd
+
+    from z_rad_spark.operators.similarity import hamming_topk
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(20),
+            "embedding": [[float((i + j) % 5 - 2) for j in range(64)] for i in range(20)],
+        }
+    )
+    vecs = spark.createDataFrame(pdf)
+    qs = vecs.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = _plan(hamming_topk(vecs, qs, k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_covariance_no_join_no_explode(spark):
+    """The one-pass Gram must never materialize the N x d element table:
+    no Join and no Generate(explode) in the plan — only mapInPandas
+    partials plus one tiny groupBy((i, j)) exchange."""
+    import pandas as pd
+
+    from z_rad_spark.operators.similarity import embedding_covariance
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(16),
+            "embedding": [[float((i * j) % 7 - 3) for j in range(64)] for i in range(16)],
+        }
+    )
+    plan = _plan(embedding_covariance(spark.createDataFrame(pdf)))
+    assert "Join" not in plan
+    assert "Generate" not in plan
+    assert plan.count("Exchange") == 1

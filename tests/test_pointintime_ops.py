@@ -1,0 +1,147 @@
+"""Round-4 session-2 operators: expanding z-score, CUSUM drift, binary
+Hamming ANN, one-pass covariance. Each is checked against an independent
+NumPy/pandas recomputation (the same double-verification model as the
+DuckDB gate oracles)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _turns(spark, n_conv=3, n_turns=40, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for c in range(n_conv):
+        base = pd.Timestamp("2024-01-01") + pd.Timedelta(hours=c)
+        for i in range(n_turns):
+            rows.append(
+                (
+                    f"c{c}",
+                    i,
+                    base + pd.Timedelta(seconds=int(rng.integers(0, 3600 * 24))),
+                    float(rng.integers(1, 10)),
+                )
+            )
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "signal"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_expanding_zscore_matches_pandas(spark):
+    from z_rad_spark.operators.sessionize import with_expanding_zscore
+
+    df, pdf = _turns(spark)
+    got = (
+        with_expanding_zscore(df)
+        .select("conv_id", "turn_idx", "n_so_far", "mean_so_far", "z")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pdf = pdf.sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+    g = pdf.groupby("conv_id")["signal"]
+    mean = g.expanding().mean().reset_index(level=0, drop=True)
+    std = g.expanding().std(ddof=0).reset_index(level=0, drop=True)
+    z = (pdf["signal"] - mean) / std.replace(0.0, np.nan)
+    want = pdf.assign(mean_so_far=mean, z=z).sort_values(
+        ["conv_id", "turn_idx"]
+    ).reset_index(drop=True)
+    assert np.allclose(got["mean_so_far"], want["mean_so_far"], atol=1e-12)
+    assert np.allclose(
+        got["z"].astype(float), want["z"].astype(float), atol=1e-9, equal_nan=True
+    )
+    # leakage guard: the first turn of every conversation has n_so_far=1
+    firsts = got.merge(
+        pdf.groupby("conv_id", as_index=False).head(0).reset_index(drop=True),
+        how="left",
+    )
+    assert (got.groupby("conv_id")["n_so_far"].min() == 1).all()
+    assert (got.groupby("conv_id")["n_so_far"].max() == 40).all()
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    from z_rad_spark.operators.drift import cusum_summary, with_cusum
+
+    df, pdf = _turns(spark, n_conv=4, n_turns=60, seed=11)
+    target, slack, thr = 5.0, 0.5, 8.0
+    got = (
+        with_cusum(df, target, slack, thr)
+        .select("conv_id", "turn_idx", "cusum", "cusum_alarm")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    # independent per-row recursion
+    pdf = pdf.sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+    want = []
+    for conv, grp in pdf.groupby("conv_id", sort=True):
+        s = 0.0
+        for _, row in grp.iterrows():
+            s = max(0.0, s + (row["signal"] - target - slack))
+            want.append((conv, row["turn_idx"], s, s > thr))
+    want = (
+        pd.DataFrame(want, columns=["conv_id", "turn_idx", "cusum", "cusum_alarm"])
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert np.allclose(got["cusum"], want["cusum"], atol=1e-9)
+    assert (got["cusum_alarm"] == want["cusum_alarm"]).all()
+
+    # summary consistency with the per-turn chart
+    summ = cusum_summary(df, target, slack, thr).toPandas().set_index("conv_id")
+    per = want.groupby("conv_id")
+    assert (summ["n_alarms"].sort_index() == per["cusum_alarm"].sum().sort_index()).all()
+    assert np.allclose(
+        summ["max_cusum"].sort_index(), per["cusum"].max().sort_index(), atol=1e-9
+    )
+
+
+def _vecs(spark, n=50, dim=64, seed=3):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(map(list, x))})
+    return spark.createDataFrame(pdf), x.astype(np.float64)
+
+
+def test_binary_quantize_bits(spark):
+    from z_rad_spark.operators.similarity import binary_quantize
+
+    df, x = _vecs(spark, n=10)
+    got = binary_quantize(df).select("vec_id", "code_lo", "code_hi").toPandas()
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    bits = (x > 0).astype(np.int64)
+    lo = (bits[:, :32] << np.arange(32)).sum(axis=1)
+    hi = (bits[:, 32:] << np.arange(32)).sum(axis=1)
+    assert (got["code_lo"].to_numpy() == lo).all()
+    assert (got["code_hi"].to_numpy() == hi).all()
+
+
+def test_hamming_topk_matches_numpy(spark):
+    from z_rad_spark.operators.similarity import hamming_topk
+
+    df, x = _vecs(spark, n=40)
+    queries = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = hamming_topk(df, queries, k=4).toPandas()
+    bits = (x > 0).astype(np.int8)
+    for q in range(3):
+        hd = (bits != bits[q]).sum(axis=1)
+        order = np.lexsort((np.arange(len(hd)), hd))[:4]
+        sub = got[got["query_id"] == q].sort_values("rank")
+        assert list(sub["vec_id"]) == list(order)
+        assert list(sub["hamming"]) == [int(hd[i]) for i in order]
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    from z_rad_spark.operators.similarity import embedding_covariance
+
+    df, x = _vecs(spark, n=80)
+    got = embedding_covariance(df).toPandas()
+    assert len(got) == 64 * 65 // 2
+    want = np.cov(x, rowvar=False, bias=True)
+    g = got.set_index(["i", "j"])["cov"]
+    iu = np.triu_indices(64)
+    gv = g.loc[list(zip(iu[0], iu[1]))].to_numpy()
+    assert np.allclose(gv, want[iu], atol=1e-6)
+    assert (got["n"] == 80).all()

@@ -110,3 +110,40 @@ def test_streaming_sessionize_state_across_restart(spark, tmp_path):
     assert row["signal_sum"] == 3.0
     assert row["session_start_us"] == 1704067200000000
     assert row["session_end_us"] == 1704067800000000
+
+
+def test_streaming_running_stats_state_across_restart(spark, tmp_path):
+    from z_rad_spark.streaming import streaming_running_stats
+
+    src = str(tmp_path / "src3")
+    out_path = str(tmp_path / "out3")
+    ck = str(tmp_path / "ck3")
+
+    def run(batch_rows):
+        _write_batch(spark, src, batch_rows)
+        stream = spark.readStream.schema(SCHEMA).parquet(src).select(
+            "conv_id", "ts", "signal"
+        )
+        _run_to_parquet(streaming_running_stats(stream), out_path, ck)
+
+    # batch 1: two turns (one duplicated timestamp)
+    run(
+        [
+            ("c1", 0, "2024-01-01 00:00:00", 2.0),
+            ("c1", 1, "2024-01-01 00:00:00", 4.0),
+            ("c1", 2, "2024-01-01 00:05:00", 1.0),
+        ]
+    )
+    got = _read_sink(spark, out_path).sort_values("ts_us").reset_index(drop=True)
+    assert list(got["n_so_far"]) == [2, 3]
+    assert list(got["signal_sum"]) == [6.0, 7.0]
+    assert list(got["signal_max"]) == [4.0, 4.0]
+
+    # batch 2 after a RESTART: state (n=3, sum=7, max=4) must carry over
+    run([("c1", 3, "2024-01-01 00:10:00", 9.0)])
+    got = _read_sink(spark, out_path).sort_values("ts_us").reset_index(drop=True)
+    assert len(got) == 3
+    last = got.iloc[-1]
+    assert last["n_so_far"] == 4
+    assert last["signal_sum"] == 16.0
+    assert last["signal_max"] == 9.0

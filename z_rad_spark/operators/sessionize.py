@@ -225,3 +225,50 @@ def render_chat_template(
             "rendered",
         )
     )
+
+
+def with_expanding_zscore(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """Point-in-time (expanding-window) standardization: each turn's
+    signal z-scored against the mean/std of its OWN conversation's
+    history up to and including itself — the leakage-safe normalization
+    a feature pipeline must use (a global z-score reads the future; this
+    one provably cannot: the frame is ROWS UNBOUNDED PRECEDING..CURRENT
+    under the engine's stable (ts, turn_idx) secondary sort).
+
+    Plan: one hash exchange on conv_id + one sort, three running sums in
+    a single Window node, whole-stage codegen — the same shape as
+    with_sessions, so a pipeline computing both reuses the exchange.
+
+    Variance uses the one-pass identity ``(s2 - s*s/n)/n`` (population)
+    with a GREATEST(.., 0) clamp; for integer-valued signals every
+    intermediate is exact, so the SQL oracle replays z bit-for-bit.
+
+    Adds: n_so_far long, mean_so_far double, z double (NULL while the
+    running std is 0 — the first turn, or a constant prefix).
+    """
+    x = F.col(signal_col).cast("double")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(*_ORDER)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # all three running aggregates in ONE select -> one Window node over
+    # one exchange (stacked withColumns would stack Window operators)
+    with_sums = df.select(
+        "*",
+        F.count(signal_col).over(w).alias("_n"),
+        F.sum(x).over(w).alias("_s"),
+        F.sum(x * x).over(w).alias("_s2"),
+    )
+    n = F.col("_n").cast("double")
+    s = F.col("_s")
+    mean = s / n
+    var = F.greatest((F.col("_s2") - s * s / n) / n, F.lit(0.0))
+    std = F.sqrt(var)
+    z = F.when(std > F.lit(0.0), (x - mean) / std)
+    return (
+        with_sums.withColumn("n_so_far", F.col("_n").cast("long"))
+        .withColumn("mean_so_far", mean)
+        .withColumn("z", z)
+        .drop("_n", "_s", "_s2")
+    )

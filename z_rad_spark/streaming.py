@@ -185,3 +185,87 @@ def streaming_window_stats(
             "signal_max",
         )
     )
+
+
+RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("n_so_far", T.LongType(), False),
+        T.StructField("signal_sum", T.DoubleType(), False),
+        T.StructField("signal_max", T.DoubleType(), False),
+    ]
+)
+
+_RUNNING_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType(), False),
+        T.StructField("ssum", T.DoubleType(), False),
+        T.StructField("smax", T.DoubleType(), False),
+    ]
+)
+
+
+def streaming_running_stats(stream: DataFrame) -> DataFrame:
+    """Incremental point-in-time features: for each distinct (conv_id,
+    ts) the stream has seen, emit the conversation's running count / sum
+    / max INCLUDING every turn at that timestamp — the streaming twin of
+    the batch expanding-window operators (sessionize.with_expanding_zscore
+    rides the same cumulative frame). The leakage contract is structural:
+    a row's aggregates are computed from state that, by construction,
+    only ever held turns with ts' <= ts.
+
+    Emission is keyed on DISTINCT ts (not per turn): count/sum/max are
+    order-independent within a tied timestamp, so the output is
+    deterministic under any arrival interleaving of same-ts turns —
+    which a per-turn emission could not guarantee on an unordered
+    stream.
+
+    State per conversation is three scalars (O(1), like the
+    sessionizer); the per-batch work is a vectorized sort + reduceat —
+    zero per-row Python. Restart-safety comes from the checkpointed
+    state store, same as the other streaming operators.
+    """
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
+            return
+        ts_us = rows["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        sig = rows["signal"].astype(float).to_numpy()
+        order = ts_us.argsort(kind="stable")
+        ts_us, sig = ts_us[order], sig[order]
+        # per distinct timestamp: count / sum / max via reduceat
+        uniq, starts = np.unique(ts_us, return_index=True)
+        counts = np.diff(np.concatenate((starts, [len(ts_us)])))
+        sums = np.add.reduceat(sig, starts)
+        maxs = np.maximum.reduceat(sig, starts)
+        n0, s0, m0 = (0, 0.0, float("-inf"))
+        if state.exists:
+            n0, s0, m0 = state.get
+        # carried state first, then batch-sequential — the documented sum
+        # order (exact for integer-valued signals)
+        cum_n = n0 + np.cumsum(counts)
+        cum_s = s0 + np.cumsum(sums)
+        cum_m = np.maximum.accumulate(np.maximum(maxs, m0))
+        state.update((int(cum_n[-1]), float(cum_s[-1]), float(cum_m[-1])))
+        yield pd.DataFrame(
+            {
+                "conv_id": conv_id,
+                "ts_us": uniq,
+                "n_so_far": cum_n,
+                "signal_sum": cum_s,
+                "signal_max": cum_m,
+            }
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=RUNNING_SCHEMA,
+        stateStructType=_RUNNING_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
