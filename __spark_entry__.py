@@ -2460,6 +2460,42 @@ def q_stream_running_stats(spark, sf_dir):
     )
 
 
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index per role between the pre-cutoff
+    reference window and the post-cutoff monitoring window
+    (drift.psi_drift): one aggregation pass over 2x9 conditional counts,
+    fixed-order term sum — exact counts + structural float order, so the
+    oracle replays the score (and the conventional band labels)
+    bit-for-bit."""
+    from z_rad_spark.operators.drift import psi_drift
+
+    out = psi_drift(_t(spark, sf_dir), split_ts="2024-01-15 00:00:00")
+    out = out.select("role", "n_ref", "n_cur", "psi", "drift_band")
+    return _r6(out, ["psi"])
+
+
+def q_temporal_split(spark, sf_dir):
+    """Purged walk-forward train/test split with embargo
+    (curation.temporal_split, López de Prado ch. 7): per-turn fold
+    assignment at the mid cutoff with a 1-day label horizon and a
+    12-hour embargo. Pure integer-microsecond predicates — zero
+    shuffles — and the oracle replays the exact assignment."""
+    from z_rad_spark.operators.curation import temporal_split
+
+    out = temporal_split(
+        _t(spark, sf_dir),
+        split_ts="2024-01-15 00:00:00",
+        horizon_seconds=86400.0,
+        embargo_seconds=43200.0,
+    )
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        _us("ts", "ts_us"),
+        "fold",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -2539,11 +2575,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hamming_topk": q_hamming_topk,
         "q_pca_cov": q_pca_cov,
         "q_stream_running_stats": q_stream_running_stats,
+        "q_psi_drift": q_psi_drift,
+        "q_temporal_split": q_temporal_split,
         # --- (1c) ordered reciprocal-square folds (cm_inv_var / dzm_sde
-        #     / dzm_sdhge — kernels/texture._seq_sum + oracle list_reduce)
+        #     / dzm_sdhge — kernels/texture._seq_sum + oracle list_reduce);
+        #     each family keeps a base + salted gate in-window (q_glcm +
+        #     q_glcm_salted, q_gldzm_dist + q_gldzm_salted) — q_glcm_dist
+        #     and q_gldzm moved first past the marker, sibling-gated
         "q_glcm": q_glcm,
-        "q_glcm_dist": q_glcm_dist,
-        "q_gldzm": q_gldzm,
         "q_gldzm_dist": q_gldzm_dist,
         # --- (2a) rotation: every remaining round-1-era green row ---
         "q_backfill_nn": q_backfill_nn,
@@ -2565,6 +2604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pair (same _seq_sum + oracle list_reduce change); all five keep
         # their r2/r3 green rows and this round's strict-mirror green,
         # and sit first past the marker for the r5 rotation.
+        "q_glcm_dist": q_glcm_dist,
+        "q_gldzm": q_gldzm,
         "q_glcm_2d_avg": q_glcm_2d_avg,
         "q_glcm_2d_wavg": q_glcm_2d_wavg,
         "q_glcm_25d_merg": q_glcm_25d_merg,

@@ -51,6 +51,12 @@ HEADLINE = [
     # and the inverted-index BM25 probe
     "q_ivfpq_topk",
     "q_bm25",
+    # round-4 session-2 additions: point-in-time normalization at full
+    # turn volume, the one-pass covariance statistics pass, and the
+    # binary-quantized ANN baseline
+    "q_expanding_zscore",
+    "q_pca_cov",
+    "q_hamming_topk",
 ]
 
 

@@ -4477,3 +4477,54 @@ FROM g
 WINDOW w AS (PARTITION BY conv_id ORDER BY ts
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+
+# PSI drift: fixed-order term sum over the 9 integer bins, add-one
+# smoothing; expression shape matches drift.psi_drift exactly
+def _psi_sql() -> str:
+    terms = []
+    for b in range(1, 10):
+        p = f"(CAST(r{b} + 1 AS DOUBLE) / CAST(n_ref + 9 AS DOUBLE))"
+        q = f"(CAST(c{b} + 1 AS DOUBLE) / CAST(n_cur + 9 AS DOUBLE))"
+        terms.append(f"(({p} - {q}) * ln({p} / {q}))")
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = f"({acc} + {t})"
+    return acc
+
+
+_PSI_COUNTS = ",\n         ".join(
+    f"COUNT(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' AND CAST(signal AS INT) = {b} THEN 1 END) AS r{b},\n"
+    f"         COUNT(CASE WHEN NOT (ts < TIMESTAMP '2024-01-15 00:00:00') AND CAST(signal AS INT) = {b} THEN 1 END) AS c{b}"
+    for b in range(1, 10)
+)
+
+ORACLES["q_psi_drift"] = f"""
+WITH t AS ({T}),
+g AS (
+  SELECT role,
+         COUNT(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 END) AS n_ref,
+         COUNT(CASE WHEN NOT (ts < TIMESTAMP '2024-01-15 00:00:00') THEN 1 END) AS n_cur,
+         {_PSI_COUNTS}
+  FROM t GROUP BY role
+),
+s AS (SELECT role, n_ref, n_cur, {_psi_sql()} AS psi_raw FROM g)
+SELECT role, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       {r6('psi_raw', 'psi')},
+       CASE WHEN psi_raw < 0.1 THEN 'stable'
+            WHEN psi_raw < 0.25 THEN 'drifting'
+            ELSE 'shifted' END AS drift_band
+FROM s
+"""
+
+
+# purged walk-forward split: exact integer-microsecond predicates
+ORACLES["q_temporal_split"] = f"""
+WITH t AS ({T})
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, epoch_us(ts) AS ts_us,
+       CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 'test'
+            WHEN epoch_us(ts) + 86400000000 > epoch_us(TIMESTAMP '2024-01-15 00:00:00') THEN 'purged'
+            WHEN epoch_us(ts) + 129600000000 > epoch_us(TIMESTAMP '2024-01-15 00:00:00') THEN 'embargo'
+            ELSE 'train' END AS fold
+FROM t
+"""

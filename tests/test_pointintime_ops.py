@@ -145,3 +145,66 @@ def test_embedding_covariance_matches_numpy(spark):
     gv = g.loc[list(zip(iu[0], iu[1]))].to_numpy()
     assert np.allclose(gv, want[iu], atol=1e-6)
     assert (got["n"] == 80).all()
+
+
+def test_psi_drift_matches_manual(spark):
+    import math
+
+    from z_rad_spark.operators.drift import psi_drift
+
+    df, pdf = _turns(spark, n_conv=5, n_turns=50, seed=23)
+    pdf["role"] = ["user", "assistant", "tool"] * (len(pdf) // 3) + ["user"] * (
+        len(pdf) % 3
+    )
+    df = spark.createDataFrame(pdf[["conv_id", "turn_idx", "ts", "signal", "role"]])
+    split = pd.Timestamp("2024-01-01 12:00:00")
+    got = psi_drift(df, split_ts="2024-01-01 12:00:00").toPandas().set_index("role")
+    for role, grp in pdf.groupby("role"):
+        ref = grp[grp["ts"] < split]["signal"]
+        cur = grp[grp["ts"] >= split]["signal"]
+        psi = 0.0
+        for b in range(1, 10):
+            p = ((ref == b).sum() + 1) / (len(ref) + 9)
+            q = ((cur == b).sum() + 1) / (len(cur) + 9)
+            psi += (p - q) * math.log(p / q)
+        assert got.loc[role, "n_ref"] == len(ref)
+        assert got.loc[role, "n_cur"] == len(cur)
+        assert abs(got.loc[role, "psi"] - psi) < 1e-9
+        band = "stable" if psi < 0.1 else ("drifting" if psi < 0.25 else "shifted")
+        assert got.loc[role, "drift_band"] == band
+
+
+def test_temporal_split_purge_and_embargo_boundaries(spark):
+    from z_rad_spark.operators.curation import temporal_split
+
+    rows = [
+        # (ts, expected fold) with split=12:00, horizon=2h, embargo=1h
+        ("2024-01-01 08:59:59", "train"),    # ts + h + e = 11:59:59 <= split
+        ("2024-01-01 09:00:00", "train"),    # 12:00:00 == split, not >
+        ("2024-01-01 09:00:01", "embargo"),  # 12:00:01 > split
+        ("2024-01-01 10:00:00", "embargo"),  # ts + h == split, not >
+        ("2024-01-01 10:00:01", "purged"),   # label window crosses split
+        ("2024-01-01 11:59:59", "purged"),
+        ("2024-01-01 12:00:00", "test"),
+        ("2024-01-01 15:00:00", "test"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": "c0",
+            "turn_idx": range(len(rows)),
+            "ts": pd.to_datetime([r[0] for r in rows]),
+            "signal": 1.0,
+        }
+    )
+    got = temporal_split(
+        spark.createDataFrame(pdf),
+        split_ts="2024-01-01 12:00:00",
+        horizon_seconds=7200.0,
+        embargo_seconds=3600.0,
+    ).toPandas().sort_values("turn_idx")
+    assert list(got["fold"]) == [r[1] for r in rows]
+    # leakage invariant: no train turn's label window reaches the test period
+    train = got[got["fold"] == "train"]
+    assert (
+        train["ts"] + pd.Timedelta(seconds=7200) <= pd.Timestamp("2024-01-01 12:00:00")
+    ).all()

@@ -877,3 +877,45 @@ def pack_sequences(
         (F.col("_g0") - F.col("pack_id") * L).cast("long").alias("pack_offset"),
         (F.col("_g1") - F.col("_g0")).cast("long").alias("n_toks"),
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    split_ts: str,
+    horizon_seconds: float = 0.0,
+    embargo_seconds: float = 0.0,
+) -> DataFrame:
+    """Purged time-based train/test split with an embargo period — the
+    leakage-safe evaluation split for point-in-time feature data (the
+    purged walk-forward split of López de Prado, *Advances in Financial
+    Machine Learning* ch. 7, adapted to transcript turns):
+
+    * ``test``    ts >= split_ts
+    * ``purged``  train-side turns whose LABEL WINDOW [ts, ts+horizon)
+                  overlaps the test period (ts + horizon > split_ts) —
+                  their labels read test-period outcomes, so keeping
+                  them in train leaks the future into training.
+    * ``embargo`` train-side turns inside the embargo buffer just before
+                  the purge boundary (serial correlation guard).
+    * ``train``   everything earlier.
+
+    The assignment is a pure per-row predicate chain — zero shuffles,
+    works unchanged at 10^12 turns, and composes with hash_split for the
+    conv-level IID split (this one is the TIME split; both are
+    deterministic so a resumed job reproduces the exact folds).
+
+    Output: input columns + fold string.
+    """
+    split = F.lit(split_ts).cast("timestamp")
+    ts = F.col("ts").cast("timestamp")
+    h_us = int(horizon_seconds * 1_000_000)
+    e_us = int(embargo_seconds * 1_000_000)
+    ts_us = F.unix_micros(ts)
+    split_us = F.unix_micros(split)
+    fold = (
+        F.when(ts >= split, "test")
+        .when(ts_us + F.lit(h_us) > split_us, "purged")
+        .when(ts_us + F.lit(h_us + e_us) > split_us, "embargo")
+        .otherwise("train")
+    )
+    return df.withColumn("fold", fold)

@@ -80,3 +80,60 @@ def cusum_summary(
         F.max("cusum").alias("max_cusum"),
         F.min(F.when(F.col("cusum_alarm"), ts_us)).cast("long").alias("first_alarm_us"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    split_ts: str,
+    signal_col: str = "signal",
+    n_bins: int = 9,
+    group_col: str = "role",
+) -> DataFrame:
+    """Population Stability Index between the distribution of an
+    integer-binned signal BEFORE a cutoff (reference window) and AT/AFTER
+    it (monitoring window), per group — the standard drift score a
+    pipeline tracks per source/model-version alongside the CUSUM chart:
+
+        PSI = sum_b (p_b - q_b) * ln(p_b / q_b)
+
+    with add-one (Laplace) smoothing so empty bins stay finite. The
+    conventional bands: <0.1 stable, 0.1-0.25 drifting, >=0.25 shifted.
+
+    Scale + determinism shape: ONE aggregation pass computes all
+    2*n_bins conditional counts (map-side partial, no bin explode), and
+    the PSI is the FIXED-ORDER sum ``term_1 + ... + term_B`` over known
+    bins — float addition order is structural, counts are exact
+    integers, so the SQL oracle replays the score bit-for-bit (same
+    contract as rrf_fuse). Bins are the integer signal values 1..n_bins.
+
+    Output: (group_col, n_ref long, n_cur long, psi double, drift_band
+    string).
+    """
+    x = F.col(signal_col).cast("int")
+    is_ref = F.col("ts").cast("timestamp") < F.lit(split_ts).cast("timestamp")
+    aggs = [
+        F.count(F.when(is_ref, 1)).alias("n_ref"),
+        F.count(F.when(~is_ref, 1)).alias("n_cur"),
+    ]
+    for b in range(1, n_bins + 1):
+        aggs.append(F.count(F.when(is_ref & (x == b), 1)).alias(f"_r{b}"))
+        aggs.append(F.count(F.when(~is_ref & (x == b), 1)).alias(f"_c{b}"))
+    g = df.groupBy(group_col).agg(*aggs)
+    nr = (F.col("n_ref") + F.lit(n_bins)).cast("double")
+    nc = (F.col("n_cur") + F.lit(n_bins)).cast("double")
+    psi = None
+    for b in range(1, n_bins + 1):
+        p = (F.col(f"_r{b}") + F.lit(1)).cast("double") / nr
+        q = (F.col(f"_c{b}") + F.lit(1)).cast("double") / nc
+        term = (p - q) * F.log(p / q)
+        psi = term if psi is None else psi + term
+    band = (
+        F.when(F.col("psi") < 0.1, "stable")
+        .when(F.col("psi") < 0.25, "drifting")
+        .otherwise("shifted")
+    )
+    return (
+        g.withColumn("psi", psi)
+        .withColumn("drift_band", band)
+        .select(group_col, "n_ref", "n_cur", "psi", "drift_band")
+    )
