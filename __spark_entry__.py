@@ -2496,6 +2496,63 @@ def q_temporal_split(spark, sf_dir):
     )
 
 
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic per role between the
+    pre-cutoff and post-cutoff windows (drift.ks_drift): exact integer
+    ECDF counts collapsed to |roles| x |values| rows before any window
+    runs; the only float ops are two divisions, abs, and max — the
+    oracle replays KS bit-for-bit."""
+    from z_rad_spark.operators.drift import ks_drift
+
+    out = ks_drift(_t(spark, sf_dir), split_ts="2024-01-15 00:00:00")
+    return _r6(out.select("role", "n_ref", "n_cur", "ks"), ["ks"])
+
+
+def q_mi_assoc(spark, sf_dir):
+    """Mutual information + chi-square between role and the integer
+    signal bins, per pre/post-cutoff window (drift.mi_association): one
+    aggregation pass over the 4x9 conditional-count grid, fixed-order
+    term chains — exact counts, oracle-replayable floats."""
+    from z_rad_spark.operators.drift import mi_association
+
+    out = mi_association(_t(spark, sf_dir), split_ts="2024-01-15 00:00:00")
+    return _r6(out.select("win", "n", "mi", "chi2"), ["mi", "chi2"])
+
+
+def q_role_transitions(spark, sf_dir):
+    """Per-conversation role-transition Markov features — the
+    conversation-shape analogue of the GLCM block
+    (sessionize.role_transitions): lag-1 role co-occurrence matrix
+    summarized to transition entropy + self-loop ratio, one reused
+    exchange on conv_id, fixed-order entropy chain."""
+    from z_rad_spark.operators.sessionize import role_transitions
+
+    out = role_transitions(_t(spark, sf_dir))
+    return _r6(out, ["self_loop_ratio", "trans_entropy"])
+
+
+def q_target_encode(spark, sf_dir):
+    """Leakage-safe expanding target encoding
+    (sessionize.with_expanding_target_encoding): running mean of the
+    signal over strictly earlier same-role turns in the same
+    conversation — ROWS UNBOUNDED PRECEDING..1 PRECEDING under the
+    stable (ts, turn_idx) sort, so no feature reads its own row or the
+    future. Frame-order running sums are the cross-engine-deterministic
+    contract q_expanding_zscore already rides."""
+    from z_rad_spark.operators.sessionize import with_expanding_target_encoding
+
+    out = with_expanding_target_encoding(_t(spark, sf_dir))
+    out = out.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        _us("ts", "ts_us"),
+        "role",
+        "n_prior",
+        "te",
+    )
+    return _r6(out, ["te"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -2577,6 +2634,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_running_stats": q_stream_running_stats,
         "q_psi_drift": q_psi_drift,
         "q_temporal_split": q_temporal_split,
+        # --- (1e) new operators, session 5 of round 4 ---
+        "q_ks_drift": q_ks_drift,
+        "q_mi_assoc": q_mi_assoc,
+        "q_role_transitions": q_role_transitions,
+        "q_target_encode": q_target_encode,
         # --- (1c) ordered reciprocal-square folds (cm_inv_var / dzm_sde
         #     / dzm_sdhge — kernels/texture._seq_sum + oracle list_reduce);
         #     each family keeps a base + salted gate in-window (q_glcm +
@@ -2592,11 +2654,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_glszm": q_glszm,
         "q_ivh_fbs": q_ivh_fbs,
         "q_mask_union": q_mask_union,
+        # ===== gate window ends here (first 50 entries) ================
+        # displaced by the session-5 additions (q_ks_drift, q_mi_assoc,
+        # q_role_transitions, q_target_encode — never-gated beats
+        # stale-green): four round-1-era rows that keep their green
+        # driver rows and this session's full-registry strict-mirror
+        # green; they sit first past the marker for the r5 rotation.
         "q_moran": q_moran,
         "q_ngldm": q_ngldm,
         "q_ngtdm": q_ngtdm,
         "q_tool_names": q_tool_names,
-        # ===== gate window ends here (first 50 entries) ================
         # displaced by the session-2 additions (q_expanding_zscore,
         # q_cusum, q_hamming_topk, q_pca_cov, q_stream_running_stats):
         # five GLCM aggregation variants whose r4 ordered-fold refactor

@@ -4528,3 +4528,152 @@ SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, epoch_us(ts) AS ts_us,
             ELSE 'train' END AS fold
 FROM t
 """
+
+
+# two-sample KS: exact integer ECDF counts; the only float ops are two
+# divisions, abs, max — expression shape matches drift.ks_drift exactly
+ORACLES["q_ks_drift"] = f"""
+WITH t AS ({T}),
+pv AS (
+  SELECT role, CAST(signal AS DOUBLE) AS val,
+         COUNT(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 END) AS r,
+         COUNT(CASE WHEN NOT (ts < TIMESTAMP '2024-01-15 00:00:00') THEN 1 END) AS c
+  FROM t WHERE signal IS NOT NULL
+  GROUP BY role, CAST(signal AS DOUBLE)
+),
+cum AS (
+  SELECT role,
+         SUM(r) OVER (PARTITION BY role ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+         SUM(c) OVER (PARTITION BY role ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+         SUM(r) OVER (PARTITION BY role) AS nr,
+         SUM(c) OVER (PARTITION BY role) AS nc
+  FROM pv
+)
+SELECT role,
+       CAST(MAX(nr) AS BIGINT) AS n_ref,
+       CAST(MAX(nc) AS BIGINT) AS n_cur,
+       {r6("MAX(CASE WHEN nr > 0 AND nc > 0 THEN ABS(CAST(cr AS DOUBLE) / CAST(nr AS DOUBLE) - CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE)) END)", "ks")}
+FROM cum GROUP BY role
+"""
+
+
+# MI + chi2 over the 4x9 (role, bin) grid per pre/post window:
+# fixed-order left-fold chains matching drift.mi_association exactly
+_MI_ROLES = ("assistant", "system", "tool", "user")
+
+
+def _fold(terms: list[str]) -> str:
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = f"({acc} + {t})"
+    return acc
+
+
+_MI_COUNTS = ",\n         ".join(
+    f"COUNT(CASE WHEN role = '{r}' AND CAST(signal AS INT) = {b} THEN 1 END) AS n_{r}_{b}"
+    for r in _MI_ROLES
+    for b in range(1, 10)
+)
+
+
+def _mi_chi_sql() -> tuple[str, str, str]:
+    n_tot = _fold([f"n_{r}_{b}" for r in _MI_ROLES for b in range(1, 10)])
+    marg_r = {r: _fold([f"n_{r}_{b}" for b in range(1, 10)]) for r in _MI_ROLES}
+    marg_b = {b: _fold([f"n_{r}_{b}" for r in _MI_ROLES]) for b in range(1, 10)}
+    big_n = f"CAST({n_tot} AS DOUBLE)"
+    mi_terms, chi_terms = [], []
+    for r in _MI_ROLES:
+        for b in range(1, 10):
+            c = f"CAST(n_{r}_{b} AS DOUBLE)"
+            nr = f"CAST({marg_r[r]} AS DOUBLE)"
+            nb = f"CAST({marg_b[b]} AS DOUBLE)"
+            mi_terms.append(
+                f"(CASE WHEN {c} > 0 THEN ({c} / {big_n}) * ln(({c} * {big_n}) / ({nr} * {nb})) ELSE 0.0 END)"
+            )
+            e = f"(({nr} * {nb}) / {big_n})"
+            chi_terms.append(
+                f"(CASE WHEN {e} > 0 THEN ({c} - {e}) * ({c} - {e}) / {e} ELSE 0.0 END)"
+            )
+    return n_tot, _fold(mi_terms), _fold(chi_terms)
+
+
+_MI_N, _MI_SUM, _CHI_SUM = _mi_chi_sql()
+
+ORACLES["q_mi_assoc"] = f"""
+WITH t AS ({T}),
+g AS (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'ref' ELSE 'cur' END AS win,
+         {_MI_COUNTS}
+  FROM t GROUP BY 1
+)
+SELECT win, CAST({_MI_N} AS BIGINT) AS n,
+       {r6(_MI_SUM, "mi")},
+       {r6(_CHI_SUM, "chi2")}
+FROM g
+"""
+
+
+# per-conversation role-transition Markov features: lag-1 co-occurrence
+# counts + fixed-order entropy chain matching sessionize.role_transitions
+def _trans_sql() -> tuple[str, str, str, str]:
+    counts = ",\n         ".join(
+        f"COUNT(CASE WHEN _from = '{a}' AND _to = '{b}' THEN 1 END) AS c_{a}_{b}"
+        for a in _MI_ROLES
+        for b in _MI_ROLES
+    )
+    n = "CAST(n AS DOUBLE)"
+    ent_terms, nz_terms = [], []
+    for a in _MI_ROLES:
+        for b in _MI_ROLES:
+            c = f"CAST(c_{a}_{b} AS DOUBLE)"
+            p = f"({c} / {n})"
+            ent_terms.append(
+                f"(CASE WHEN {c} > 0 THEN (-{p}) * log2({p}) ELSE 0.0 END)"
+            )
+            nz_terms.append(f"(CASE WHEN {c} > 0 THEN 1 ELSE 0 END)")
+    diag = _fold([f"c_{a}_{a}" for a in _MI_ROLES])
+    return counts, _fold(ent_terms), _fold(nz_terms), diag
+
+
+_TR_COUNTS, _TR_ENT, _TR_NZ, _TR_DIAG = _trans_sql()
+
+ORACLES["q_role_transitions"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id, role AS _to,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS _from
+  FROM t
+),
+g AS (
+  SELECT conv_id, COUNT(_from) AS n,
+         {_TR_COUNTS}
+  FROM p GROUP BY conv_id
+)
+SELECT conv_id,
+       CAST(n AS BIGINT) AS n_trans,
+       CAST(CASE WHEN n > 0 THEN {_TR_NZ} END AS BIGINT) AS n_distinct_trans,
+       {r6(f"CASE WHEN n > 0 THEN CAST({_TR_DIAG} AS DOUBLE) / CAST(n AS DOUBLE) END", "self_loop_ratio")},
+       {r6(f"CASE WHEN n > 0 THEN {_TR_ENT} END", "trans_entropy")}
+FROM g
+"""
+
+
+# leakage-safe expanding target encoding: past-only frame, frame-order
+# running sum (the q_expanding_zscore cross-engine contract)
+ORACLES["q_target_encode"] = f"""
+WITH t AS ({T}),
+w AS (
+  SELECT conv_id, turn_idx, ts, role,
+         COUNT(signal) OVER win AS np,
+         SUM(CAST(signal AS DOUBLE)) OVER win AS sp
+  FROM t
+  WINDOW win AS (PARTITION BY conv_id, role ORDER BY ts, turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, epoch_us(ts) AS ts_us, role,
+       CAST(COALESCE(np, 0) AS BIGINT) AS n_prior,
+       {r6("CASE WHEN np > 0 THEN sp / CAST(np AS DOUBLE) END", "te")}
+FROM w
+"""

@@ -208,3 +208,136 @@ def test_temporal_split_purge_and_embargo_boundaries(spark):
     assert (
         train["ts"] + pd.Timedelta(seconds=7200) <= pd.Timestamp("2024-01-01 12:00:00")
     ).all()
+
+
+def test_ks_drift_matches_manual(spark):
+    from z_rad_spark.operators.drift import ks_drift
+
+    df, pdf = _turns(spark, n_conv=4, n_turns=60, seed=31)
+    pdf["role"] = ["user", "assistant", "tool", "system"] * (len(pdf) // 4)
+    df = spark.createDataFrame(pdf[["conv_id", "turn_idx", "ts", "signal", "role"]])
+    split = pd.Timestamp("2024-01-01 12:00:00")
+    got = ks_drift(df, split_ts="2024-01-01 12:00:00").toPandas().set_index("role")
+    for role, grp in pdf.groupby("role"):
+        ref = grp[grp["ts"] < split]["signal"].to_numpy()
+        cur = grp[grp["ts"] >= split]["signal"].to_numpy()
+        assert got.loc[role, "n_ref"] == len(ref)
+        assert got.loc[role, "n_cur"] == len(cur)
+        vals = np.unique(np.concatenate([ref, cur]))
+        ks = max(
+            abs((ref <= v).sum() / len(ref) - (cur <= v).sum() / len(cur))
+            for v in vals
+        )
+        assert abs(got.loc[role, "ks"] - ks) < 1e-12
+
+
+def test_ks_drift_empty_side_is_null(spark):
+    from z_rad_spark.operators.drift import ks_drift
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": "c0",
+            "turn_idx": range(4),
+            "ts": pd.to_datetime(["2024-01-01"] * 4),
+            "signal": [1.0, 2.0, 3.0, 4.0],
+            "role": "user",
+        }
+    )
+    got = ks_drift(spark.createDataFrame(pdf), split_ts="2024-06-01").toPandas()
+    assert got["n_cur"].iloc[0] == 0
+    assert pd.isna(got["ks"].iloc[0])
+
+
+def test_mi_association_matches_manual(spark):
+    import math
+
+    from z_rad_spark.operators.drift import mi_association
+
+    df, pdf = _turns(spark, n_conv=4, n_turns=60, seed=37)
+    pdf["role"] = ["user", "assistant", "tool", "system"] * (len(pdf) // 4)
+    df = spark.createDataFrame(pdf[["conv_id", "turn_idx", "ts", "signal", "role"]])
+    split = pd.Timestamp("2024-01-01 12:00:00")
+    got = (
+        mi_association(df, split_ts="2024-01-01 12:00:00")
+        .toPandas()
+        .set_index("win")
+    )
+    for win, grp in pdf.groupby(np.where(pdf["ts"] < split, "ref", "cur")):
+        n = np.zeros((4, 9))
+        roles = ("assistant", "system", "tool", "user")
+        for i, r in enumerate(roles):
+            for b in range(1, 10):
+                n[i, b - 1] = ((grp["role"] == r) & (grp["signal"] == b)).sum()
+        N = n.sum()
+        mi = chi2 = 0.0
+        for i in range(4):
+            for j in range(9):
+                if n[i, j] > 0:
+                    mi += (n[i, j] / N) * math.log(
+                        n[i, j] * N / (n[i].sum() * n[:, j].sum())
+                    )
+                e = n[i].sum() * n[:, j].sum() / N
+                if e > 0:
+                    chi2 += (n[i, j] - e) ** 2 / e
+        assert got.loc[win, "n"] == N
+        assert abs(got.loc[win, "mi"] - mi) < 1e-9
+        assert abs(got.loc[win, "chi2"] - chi2) < 1e-9
+
+
+def test_role_transitions_matches_manual(spark):
+    import math
+
+    from z_rad_spark.operators.sessionize import role_transitions
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c0"] * 6 + ["c1"],
+            "turn_idx": list(range(6)) + [0],
+            "ts": pd.to_datetime(
+                [f"2024-01-01 00:0{i}:00" for i in range(6)]
+                + ["2024-01-01 00:00:00"]
+            ),
+            "role": ["user", "assistant", "user", "user", "tool", "assistant", "user"],
+        }
+    )
+    got = (
+        role_transitions(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("conv_id")
+    )
+    # c0 transitions: u->a, a->u, u->u, u->t, t->a  (5 total, all distinct)
+    assert got.loc["c0", "n_trans"] == 5
+    assert got.loc["c0", "n_distinct_trans"] == 5
+    assert abs(got.loc["c0", "self_loop_ratio"] - 1 / 5) < 1e-12
+    want_ent = -5 * (1 / 5) * math.log2(1 / 5)
+    assert abs(got.loc["c0", "trans_entropy"] - want_ent) < 1e-12
+    # single-turn conversation: no transitions, NULL features
+    assert got.loc["c1", "n_trans"] == 0
+    assert pd.isna(got.loc["c1", "trans_entropy"])
+    assert pd.isna(got.loc["c1", "self_loop_ratio"])
+
+
+def test_expanding_target_encoding_past_only(spark):
+    from z_rad_spark.operators.sessionize import with_expanding_target_encoding
+
+    df, pdf = _turns(spark, n_conv=3, n_turns=50, seed=41)
+    pdf["role"] = ["user", "assistant"] * (len(pdf) // 2)
+    df = spark.createDataFrame(pdf[["conv_id", "turn_idx", "ts", "signal", "role"]])
+    got = (
+        with_expanding_target_encoding(df)
+        .select("conv_id", "turn_idx", "role", "n_prior", "te")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pdf = pdf.sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+    for (conv, role), grp in pdf.groupby(["conv_id", "role"]):
+        sig = grp["signal"].to_numpy()
+        for k, (_, row) in enumerate(grp.iterrows()):
+            g = got[(got["conv_id"] == conv) & (got["turn_idx"] == row["turn_idx"])]
+            assert g["n_prior"].iloc[0] == k
+            if k == 0:
+                assert pd.isna(g["te"].iloc[0])
+            else:
+                # strictly-earlier same-role turns only: no self, no future
+                assert abs(g["te"].iloc[0] - sig[:k].mean()) < 1e-12

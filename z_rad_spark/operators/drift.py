@@ -137,3 +137,139 @@ def psi_drift(
         .withColumn("drift_band", band)
         .select(group_col, "n_ref", "n_cur", "psi", "drift_band")
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    split_ts: str,
+    signal_col: str = "signal",
+    group_col: str = "role",
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per group between
+    the pre-cutoff reference window and the at/after-cutoff monitoring
+    window: KS = max over observed values v of |F_ref(v) - F_cur(v)|,
+    the standard distribution-shift test a pipeline runs alongside the
+    PSI score (PSI is bin-smoothed and direction-signed per bin; KS is
+    the sup-norm on the raw ECDFs and needs no binning choice).
+
+    Scale + determinism shape: one partial-aggregated groupBy on
+    (group, value) collapses the input to at most |groups| x |distinct
+    values| rows BEFORE any window runs, so the cumulative-count windows
+    and the final max operate on a frame whose size is bounded by the
+    value cardinality, not the turn count. Every intermediate is an
+    exact integer count; the only float ops are two divisions, one
+    subtraction, abs, and max — all single IEEE operations with no
+    summation order — so the SQL oracle replays KS bit-for-bit.
+
+    NULL signals are excluded from both ECDFs. Groups with an empty
+    reference or monitoring window get ks = NULL.
+
+    Output: (group_col, n_ref long, n_cur long, ks double).
+    """
+    x = F.col(signal_col).cast("double")
+    is_ref = F.col("ts").cast("timestamp") < F.lit(split_ts).cast("timestamp")
+    per_val = (
+        df.where(x.isNotNull())
+        .groupBy(F.col(group_col), x.alias("_val"))
+        .agg(
+            F.count(F.when(is_ref, 1)).alias("_r"),
+            F.count(F.when(~is_ref, 1)).alias("_c"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("_val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = per_val.select(
+        group_col,
+        F.sum("_r").over(w_cum).alias("_cr"),
+        F.sum("_c").over(w_cum).alias("_cc"),
+        F.sum("_r").over(w_all).alias("_nr"),
+        F.sum("_c").over(w_all).alias("_nc"),
+    )
+    d = F.abs(
+        F.col("_cr").cast("double") / F.col("_nr").cast("double")
+        - F.col("_cc").cast("double") / F.col("_nc").cast("double")
+    )
+    return cum.groupBy(group_col).agg(
+        F.max("_nr").cast("long").alias("n_ref"),
+        F.max("_nc").cast("long").alias("n_cur"),
+        F.max(F.when((F.col("_nr") > 0) & (F.col("_nc") > 0), d)).alias("ks"),
+    )
+
+
+def mi_association(
+    df: DataFrame,
+    split_ts: str,
+    signal_col: str = "signal",
+    group_col: str = "role",
+    groups: tuple = ("assistant", "system", "tool", "user"),
+    n_bins: int = 9,
+) -> DataFrame:
+    """Mutual information and chi-square association between a
+    categorical column and an integer-binned signal, computed separately
+    for the pre-cutoff reference window and the at/after-cutoff
+    monitoring window — the feature-selection / dependence score a
+    pipeline tracks to catch a feature whose RELATIONSHIP to the target
+    drifts even when both marginals stay stable (PSI and KS are
+    marginal tests; this one is the joint test):
+
+        MI   = sum_{r,b} (n_rb/N) * ln(n_rb * N / (n_r * n_b))
+        chi2 = sum_{r,b} (n_rb - e_rb)^2 / e_rb,  e_rb = n_r * n_b / N
+
+    Scale + determinism shape: ONE aggregation pass computes all
+    |groups| x n_bins conditional counts per window (map-side partial,
+    two output rows total); marginals are exact integer sums of those
+    counts, and both scores are FIXED-ORDER term chains over the known
+    (group, bin) grid with zero-count terms contributing exactly 0 — so
+    the SQL oracle replays both scores bit-for-bit (same contract as
+    psi_drift). Cells whose expected count is 0 contribute 0 to chi2.
+
+    Output: (win string 'ref'|'cur', n long, mi double, chi2 double).
+    """
+    x = F.col(signal_col).cast("int")
+    win = F.when(
+        F.col("ts").cast("timestamp") < F.lit(split_ts).cast("timestamp"),
+        F.lit("ref"),
+    ).otherwise(F.lit("cur"))
+    aggs = []
+    for r in groups:
+        for b in range(1, n_bins + 1):
+            aggs.append(
+                F.count(F.when((F.col(group_col) == r) & (x == b), 1)).alias(
+                    f"_n_{r}_{b}"
+                )
+            )
+    g = df.groupBy(win.alias("win")).agg(*aggs)
+
+    def _chain(terms):
+        acc = None
+        for t in terms:
+            acc = t if acc is None else acc + t
+        return acc
+
+    n_tot = _chain([F.col(f"_n_{r}_{b}") for r in groups for b in range(1, n_bins + 1)])
+    marg_r = {r: _chain([F.col(f"_n_{r}_{b}") for b in range(1, n_bins + 1)]) for r in groups}
+    marg_b = {b: _chain([F.col(f"_n_{r}_{b}") for r in groups]) for b in range(1, n_bins + 1)}
+    N = n_tot.cast("double")
+    mi_terms, chi_terms = [], []
+    for r in groups:
+        for b in range(1, n_bins + 1):
+            c = F.col(f"_n_{r}_{b}").cast("double")
+            nr = marg_r[r].cast("double")
+            nb = marg_b[b].cast("double")
+            mi_terms.append(
+                F.when(c > 0, (c / N) * F.log(c * N / (nr * nb))).otherwise(F.lit(0.0))
+            )
+            e = nr * nb / N
+            chi_terms.append(
+                F.when(e > 0, (c - e) * (c - e) / e).otherwise(F.lit(0.0))
+            )
+    return g.select(
+        "win",
+        n_tot.cast("long").alias("n"),
+        _chain(mi_terms).alias("mi"),
+        _chain(chi_terms).alias("chi2"),
+    )

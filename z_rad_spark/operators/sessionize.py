@@ -272,3 +272,109 @@ def with_expanding_zscore(df: DataFrame, signal_col: str = "signal") -> DataFram
         .withColumn("z", z)
         .drop("_n", "_s", "_s2")
     )
+
+
+def role_transitions(
+    df: DataFrame, roles: tuple = ("assistant", "system", "tool", "user")
+) -> DataFrame:
+    """Per-conversation role-transition (first-order Markov) structure
+    features — the conversation-shape analogue of the engine's GLCM
+    texture block: where GLCM counts co-occurring grey levels at lag 1
+    along the turn sequence, this counts co-occurring ROLES at lag 1
+    and summarizes the 4x4 transition matrix into scalar features a
+    curation pipeline filters on (ping-pong user/assistant dialogs vs
+    tool-call storms vs system-spam have very different matrices).
+
+        trans_entropy   = -sum_ij p_ij * log2(p_ij),  p_ij = c_ij / n
+        self_loop_ratio = sum_i c_ii / n   (consecutive same-role turns)
+
+    Scale + determinism shape: one lag window under the engine's stable
+    (ts, turn_idx) order + one groupBy on the SAME key (conv_id), so
+    Catalyst reuses the single hash exchange; the |roles|^2 conditional
+    counts are map-side partials, and the entropy is a FIXED-ORDER term
+    chain over the known (prev, next) grid — exact integer counts, one
+    division and one log2 per term — so the SQL oracle replays both
+    features bit-for-bit. Conversations with a single turn (no
+    transition) get NULL features and n_trans = 0.
+
+    Output: (conv_id, n_trans long, n_distinct_trans long,
+    self_loop_ratio double, trans_entropy double).
+    """
+    prev = F.lag("role").over(_conv_window())
+    pairs = df.select("conv_id", F.col("role").alias("_to"), prev.alias("_from"))
+    aggs = [F.count("_from").alias("_n")]
+    for a in roles:
+        for b in roles:
+            aggs.append(
+                F.count(
+                    F.when((F.col("_from") == a) & (F.col("_to") == b), 1)
+                ).alias(f"_c_{a}_{b}")
+            )
+    g = pairs.groupBy("conv_id").agg(*aggs)
+
+    def _chain(terms):
+        acc = None
+        for t in terms:
+            acc = t if acc is None else acc + t
+        return acc
+
+    n = F.col("_n").cast("double")
+    ent_terms, nz_terms = [], []
+    for a in roles:
+        for b in roles:
+            c = F.col(f"_c_{a}_{b}").cast("double")
+            p = c / n
+            ent_terms.append(F.when(c > 0, -p * F.log2(p)).otherwise(F.lit(0.0)))
+            nz_terms.append(F.when(c > 0, 1).otherwise(0))
+    self_loops = _chain([F.col(f"_c_{a}_{a}") for a in roles])
+    has = F.col("_n") > 0
+    return g.select(
+        "conv_id",
+        F.col("_n").cast("long").alias("n_trans"),
+        F.when(has, _chain(nz_terms)).cast("long").alias("n_distinct_trans"),
+        F.when(has, self_loops.cast("double") / n).alias("self_loop_ratio"),
+        F.when(has, _chain(ent_terms)).alias("trans_entropy"),
+    )
+
+
+def with_expanding_target_encoding(
+    df: DataFrame, key_col: str = "role", signal_col: str = "signal"
+) -> DataFrame:
+    """Leakage-safe (past-only) target encoding within a conversation:
+    each turn gets the running mean of the signal over STRICTLY EARLIER
+    turns of the same key (role) in the same conversation — the
+    point-in-time-safe form of categorical target encoding (the naive
+    global per-category mean reads future rows; this frame is ROWS
+    UNBOUNDED PRECEDING .. 1 PRECEDING under the engine's stable
+    (ts, turn_idx) secondary sort, so it provably cannot).
+
+    Scale shape: one hash exchange on (conv_id, key) — partitions are
+    conversation-bounded, never category-bounded, so there is no
+    low-cardinality skew at 10^12 turns (a global per-category window
+    would put all of 'user' in ONE partition; composing this operator
+    per-conversation keeps every partition small, and a global encoding
+    is the separate two-pass broadcast-join pattern). Running sum/count
+    accumulate in frame order (the same cross-engine-deterministic
+    contract with_expanding_zscore rides); integer-valued signals make
+    the sum exact, with one division at the end.
+
+    Adds: n_prior long (earlier same-key turns), te double (NULL when
+    n_prior = 0 — the key's first turn in the conversation).
+    """
+    x = F.col(signal_col).cast("double")
+    w = (
+        Window.partitionBy("conv_id", key_col)
+        .orderBy(*_ORDER)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_sums = df.select(
+        "*",
+        F.count(signal_col).over(w).alias("_np"),
+        F.sum(x).over(w).alias("_sp"),
+    )
+    te = F.when(F.col("_np") > 0, F.col("_sp") / F.col("_np").cast("double"))
+    return (
+        with_sums.withColumn("n_prior", F.coalesce(F.col("_np"), F.lit(0)).cast("long"))
+        .withColumn("te", te)
+        .drop("_np", "_sp")
+    )
