@@ -2553,6 +2553,59 @@ def q_target_encode(spark, sf_dir):
     return _r6(out, ["te"])
 
 
+def q_mw_drift(spark, sf_dir):
+    """Mann-Whitney U / AUC rank drift per role between the pre/post
+    cutoff windows (drift.mw_drift): midrank sums kept as exact doubled
+    integers (long), U a multiple of 0.5, auc one division — zero float
+    summation, oracle replays bit-for-bit."""
+    from z_rad_spark.operators.drift import mw_drift
+
+    out = mw_drift(_t(spark, sf_dir), split_ts="2024-01-15 00:00:00")
+    return _r6(out.select("role", "n_ref", "n_cur", "u", "auc"), ["u", "auc"])
+
+
+def q_autocorr(spark, sf_dir):
+    """Per-conversation lag-1..3 autocorrelation of the turn signal
+    (sessionize.autocorr_features): exact long sufficient statistics
+    from one reused conv_id exchange; fixed single-op float chains —
+    oracle-replayable."""
+    from z_rad_spark.operators.sessionize import autocorr_features
+
+    out = autocorr_features(_t(spark, sf_dir), lags=(1, 2, 3))
+    return _r6(out, ["ac_1", "ac_2", "ac_3"])
+
+
+def q_loo_encode(spark, sf_dir):
+    """Leave-one-out + m-estimate smoothed target encoding of role
+    against the signal (encoding.with_loo_target_encoding): two
+    broadcast-joined exact-integer aggregates, no category windows —
+    the leakage-safe global encoder beside the expanding per-conv one."""
+    from z_rad_spark.operators.encoding import with_loo_target_encoding
+
+    out = with_loo_target_encoding(_t(spark, sf_dir), smoothing=10.0)
+    out = out.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        _us("ts", "ts_us"),
+        "role",
+        "n_other",
+        "te_loo",
+        "te_smooth",
+    )
+    return _r6(out, ["te_loo", "te_smooth"])
+
+
+def q_woe_iv(spark, sf_dir):
+    """Weight-of-evidence per role + information value against the
+    binary target signal >= 5 (encoding.woe_iv): one aggregation pass,
+    fixed-order count folds and iv term chain — exact integers in,
+    oracle-replayable floats out."""
+    from z_rad_spark.operators.encoding import woe_iv
+
+    out = woe_iv(_t(spark, sf_dir), threshold=5.0)
+    return _r6(out, ["woe", "iv"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -2639,6 +2692,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mi_assoc": q_mi_assoc,
         "q_role_transitions": q_role_transitions,
         "q_target_encode": q_target_encode,
+        # --- (1f) new operators, session 6 of round 4 ---
+        "q_mw_drift": q_mw_drift,
+        "q_autocorr": q_autocorr,
+        "q_loo_encode": q_loo_encode,
+        "q_woe_iv": q_woe_iv,
         # --- (1c) ordered reciprocal-square folds (cm_inv_var / dzm_sde
         #     / dzm_sdhge — kernels/texture._seq_sum + oracle list_reduce);
         #     each family keeps a base + salted gate in-window (q_glcm +
@@ -2650,16 +2708,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_backfill_nn": q_backfill_nn,
         "q_backfill_linear": q_backfill_linear,
         "q_decay_norm": q_decay_norm,
+        # ===== gate window ends here (first 50 entries) ================
+        # displaced by the session-5/6 additions (q_ks_drift, q_mi_assoc,
+        # q_role_transitions, q_target_encode, q_mw_drift, q_autocorr,
+        # q_loo_encode, q_woe_iv — never-gated beats stale-green): eight
+        # round-1-era rows that keep their green driver rows plus this
+        # round's full-registry strict-mirror green; they sit first past
+        # the marker for the r5 rotation.
         "q_glrlm_25d": q_glrlm_25d,
         "q_glszm": q_glszm,
         "q_ivh_fbs": q_ivh_fbs,
         "q_mask_union": q_mask_union,
-        # ===== gate window ends here (first 50 entries) ================
-        # displaced by the session-5 additions (q_ks_drift, q_mi_assoc,
-        # q_role_transitions, q_target_encode — never-gated beats
-        # stale-green): four round-1-era rows that keep their green
-        # driver rows and this session's full-registry strict-mirror
-        # green; they sit first past the marker for the r5 rotation.
         "q_moran": q_moran,
         "q_ngldm": q_ngldm,
         "q_ngtdm": q_ngtdm,

@@ -4677,3 +4677,144 @@ SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, epoch_us(ts) AS ts_us, role,
        {r6("CASE WHEN np > 0 THEN sp / CAST(np AS DOUBLE) END", "te")}
 FROM w
 """
+
+
+# Mann-Whitney U / AUC rank drift: midrank sums as exact doubled
+# integers, U a multiple of 0.5 — expression shape matches drift.mw_drift
+ORACLES["q_mw_drift"] = f"""
+WITH t AS ({T}),
+pv AS (
+  SELECT role, CAST(signal AS DOUBLE) AS val,
+         COUNT(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 END) AS r,
+         COUNT(CASE WHEN NOT (ts < TIMESTAMP '2024-01-15 00:00:00') THEN 1 END) AS c
+  FROM t WHERE signal IS NOT NULL
+  GROUP BY role, CAST(signal AS DOUBLE)
+),
+cb AS (
+  SELECT role, r, c, (r + c) AS t,
+         SUM(r + c) OVER (PARTITION BY role ORDER BY val
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (r + c) AS cbv
+  FROM pv
+),
+g AS (
+  SELECT role,
+         CAST(SUM(r) AS BIGINT) AS n_ref,
+         CAST(SUM(c) AS BIGINT) AS n_cur,
+         CAST(SUM(r * (2 * cbv + t + 1)) AS BIGINT) AS two_r
+  FROM cb GROUP BY role
+)
+SELECT role, n_ref, n_cur,
+       {r6("CASE WHEN n_ref > 0 AND n_cur > 0 THEN (CAST(two_r AS DOUBLE) - CAST(n_ref AS DOUBLE) * (CAST(n_ref AS DOUBLE) + 1.0)) / 2.0 END", "u")},
+       {r6("CASE WHEN n_ref > 0 AND n_cur > 0 THEN ((CAST(two_r AS DOUBLE) - CAST(n_ref AS DOUBLE) * (CAST(n_ref AS DOUBLE) + 1.0)) / 2.0) / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)) END", "auc")}
+FROM g
+"""
+
+
+# per-conversation lag-k autocorrelation: exact long sufficient
+# statistics + the fixed num/den chains of sessionize.autocorr_features
+_AC_LAGS = (1, 2, 3)
+
+_AC_LAGCOLS = ",\n         ".join(
+    f"LAG(CAST(signal AS BIGINT), {k}) OVER "
+    f"(PARTITION BY conv_id ORDER BY ts, turn_idx) AS l{k}"
+    for k in _AC_LAGS
+)
+_AC_AGGS = ",\n         ".join(
+    f"COUNT(CASE WHEN x IS NOT NULL AND l{k} IS NOT NULL THEN 1 END) AS m{k},\n"
+    f"         SUM(x * l{k}) AS p{k},\n"
+    f"         SUM(CASE WHEN x IS NOT NULL AND l{k} IS NOT NULL THEN x END) AS a{k},\n"
+    f"         SUM(CASE WHEN x IS NOT NULL AND l{k} IS NOT NULL THEN l{k} END) AS b{k}"
+    for k in _AC_LAGS
+)
+_AC_MEAN = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+_AC_DEN = f"(CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE) * {_AC_MEAN} * {_AC_MEAN})"
+_AC_OUT = ",\n       ".join(
+    r6(
+        f"CASE WHEN m{k} > 0 AND {_AC_DEN} <> 0.0 THEN "
+        f"(CAST(p{k} AS DOUBLE) - {_AC_MEAN} * CAST(a{k} AS DOUBLE) "
+        f"- {_AC_MEAN} * CAST(b{k} AS DOUBLE) "
+        f"+ CAST(m{k} AS DOUBLE) * {_AC_MEAN} * {_AC_MEAN}) / {_AC_DEN} END",
+        f"ac_{k}",
+    )
+    for k in _AC_LAGS
+)
+
+ORACLES["q_autocorr"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id, CAST(signal AS BIGINT) AS x,
+         {_AC_LAGCOLS}
+  FROM t
+),
+g AS (
+  SELECT conv_id, COUNT(x) AS n, SUM(x) AS s1, SUM(x * x) AS s2,
+         {_AC_AGGS}
+  FROM p GROUP BY conv_id
+)
+SELECT conv_id, CAST(n AS BIGINT) AS n,
+       {_AC_OUT}
+FROM g
+"""
+
+
+# leave-one-out + m-estimate target encoding: two exact-integer
+# aggregates joined back — matches encoding.with_loo_target_encoding
+ORACLES["q_loo_encode"] = f"""
+WITH t AS ({T}),
+s AS (
+  SELECT role, COUNT(CAST(signal AS BIGINT)) AS nk,
+         SUM(CAST(signal AS BIGINT)) AS sk
+  FROM t GROUP BY role
+),
+gl AS (SELECT SUM(nk) AS na, SUM(sk) AS sa FROM s),
+j AS (
+  SELECT t.conv_id, t.turn_idx, t.ts, t.role,
+         CAST(t.signal AS BIGINT) AS xl,
+         s.nk, s.sk, gl.na, gl.sa
+  FROM t LEFT JOIN s ON t.role = s.role CROSS JOIN gl
+)
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, epoch_us(ts) AS ts_us, role,
+       CAST(COALESCE(nk - CASE WHEN xl IS NOT NULL THEN 1 ELSE 0 END, 0) AS BIGINT) AS n_other,
+       {r6("CASE WHEN (nk - CASE WHEN xl IS NOT NULL THEN 1 ELSE 0 END) > 0 THEN CAST(sk - COALESCE(xl, 0) AS DOUBLE) / CAST(nk - CASE WHEN xl IS NOT NULL THEN 1 ELSE 0 END AS DOUBLE) END", "te_loo")},
+       {r6("CASE WHEN (CAST(nk - CASE WHEN xl IS NOT NULL THEN 1 ELSE 0 END AS DOUBLE) + 10.0) > 0 THEN (CAST(sk - COALESCE(xl, 0) AS DOUBLE) + 10.0 * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))) / (CAST(nk - CASE WHEN xl IS NOT NULL THEN 1 ELSE 0 END AS DOUBLE) + 10.0) END", "te_smooth")}
+FROM j
+"""
+
+
+# weight of evidence + information value: fixed-order count folds and
+# iv term chain over the known role list — matches encoding.woe_iv
+_WOE_COUNTS = ",\n         ".join(
+    f"COUNT(CASE WHEN role = '{k}' AND CAST(signal AS DOUBLE) >= 5.0 THEN 1 END) AS g_{k},\n"
+    f"         COUNT(CASE WHEN role = '{k}' AND NOT (CAST(signal AS DOUBLE) >= 5.0) THEN 1 END) AS b_{k}"
+    for k in _MI_ROLES
+)
+_WOE_G = "CAST(" + _fold([f"g_{k}" for k in _MI_ROLES]) + " AS DOUBLE)"
+_WOE_B = "CAST(" + _fold([f"b_{k}" for k in _MI_ROLES]) + " AS DOUBLE)"
+_WOE_IV_TERMS = []
+_WOE_ROWS = []
+for _k in _MI_ROLES:
+    _gk = f"CAST(g_{_k} AS DOUBLE)"
+    _bk = f"CAST(b_{_k} AS DOUBLE)"
+    _both = f"{_gk} > 0 AND {_bk} > 0"
+    _woe = f"ln(({_gk} / {_WOE_G}) / ({_bk} / {_WOE_B}))"
+    _WOE_IV_TERMS.append(
+        f"(CASE WHEN {_both} THEN ({_gk} / {_WOE_G} - {_bk} / {_WOE_B}) * {_woe} ELSE 0.0 END)"
+    )
+    _WOE_ROWS.append((_k, f"CASE WHEN {_both} THEN {_woe} END"))
+
+_WOE_IV = _fold(_WOE_IV_TERMS)
+_WOE_UNION = "\nUNION ALL\n".join(
+    f"SELECT '{k}' AS role, CAST(g_{k} AS BIGINT) AS n_good,"
+    f" CAST(b_{k} AS BIGINT) AS n_bad, {r6(w, 'woe')}, {r6(_WOE_IV, 'iv')} FROM g"
+    for k, w in _WOE_ROWS
+)
+
+ORACLES["q_woe_iv"] = f"""
+WITH t AS ({T}),
+g AS (
+  SELECT {_WOE_COUNTS}
+  FROM t WHERE signal IS NOT NULL
+)
+{_WOE_UNION}
+"""

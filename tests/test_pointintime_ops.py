@@ -341,3 +341,171 @@ def test_expanding_target_encoding_past_only(spark):
             else:
                 # strictly-earlier same-role turns only: no self, no future
                 assert abs(g["te"].iloc[0] - sig[:k].mean()) < 1e-12
+
+
+def test_mw_drift_matches_scipy_form(spark):
+    from z_rad_spark.operators.drift import mw_drift
+
+    df, pdf = _turns(spark, n_conv=4, n_turns=60, seed=43)
+    pdf["role"] = ["user", "assistant", "tool", "system"] * (len(pdf) // 4)
+    df = spark.createDataFrame(pdf[["conv_id", "turn_idx", "ts", "signal", "role"]])
+    split = pd.Timestamp("2024-01-01 12:00:00")
+    got = mw_drift(df, split_ts="2024-01-01 12:00:00").toPandas().set_index("role")
+    for role, grp in pdf.groupby("role"):
+        ref = grp[grp["ts"] < split]["signal"].to_numpy()
+        cur = grp[grp["ts"] >= split]["signal"].to_numpy()
+        # midranks via pandas rank (average method = the midrank rule)
+        allv = pd.Series(np.concatenate([ref, cur]))
+        ranks = allv.rank(method="average").to_numpy()
+        r_ref = ranks[: len(ref)].sum()
+        u = r_ref - len(ref) * (len(ref) + 1) / 2
+        assert got.loc[role, "n_ref"] == len(ref)
+        assert got.loc[role, "n_cur"] == len(cur)
+        assert abs(got.loc[role, "u"] - u) < 1e-9
+        assert abs(got.loc[role, "auc"] - u / (len(ref) * len(cur))) < 1e-12
+
+
+def test_mw_drift_empty_side_is_null(spark):
+    from z_rad_spark.operators.drift import mw_drift
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": "c0",
+            "turn_idx": range(4),
+            "ts": pd.to_datetime(["2024-01-01"] * 4),
+            "signal": [1.0, 2.0, 3.0, 4.0],
+            "role": "user",
+        }
+    )
+    got = mw_drift(spark.createDataFrame(pdf), split_ts="2024-06-01").toPandas()
+    assert got["n_cur"].iloc[0] == 0
+    assert pd.isna(got["u"].iloc[0])
+    assert pd.isna(got["auc"].iloc[0])
+
+
+def test_autocorr_matches_numpy(spark):
+    from z_rad_spark.operators.sessionize import autocorr_features
+
+    df, pdf = _turns(spark, n_conv=3, n_turns=50, seed=47)
+    got = (
+        autocorr_features(df, lags=(1, 2, 3))
+        .toPandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    pdf = pdf.sort_values(["conv_id", "ts", "turn_idx"])
+    for conv, grp in pdf.groupby("conv_id"):
+        x = grp["signal"].to_numpy()
+        m = x.mean()
+        den = ((x - m) ** 2).sum()
+        assert got.loc[conv, "n"] == len(x)
+        for k in (1, 2, 3):
+            r = ((x[k:] - m) * (x[:-k] - m)).sum() / den
+            assert abs(got.loc[conv, f"ac_{k}"] - r) < 1e-9
+
+
+def test_autocorr_constant_signal_is_null(spark):
+    from z_rad_spark.operators.sessionize import autocorr_features
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": "c0",
+            "turn_idx": range(5),
+            "ts": pd.date_range("2024-01-01", periods=5, freq="min"),
+            "signal": 3.0,
+        }
+    )
+    got = autocorr_features(spark.createDataFrame(pdf)).toPandas()
+    assert got["n"].iloc[0] == 5
+    assert pd.isna(got["ac_1"].iloc[0])
+
+
+def test_loo_encoding_excludes_self(spark):
+    from z_rad_spark.operators.encoding import with_loo_target_encoding
+
+    df, pdf = _turns(spark, n_conv=3, n_turns=30, seed=53)
+    pdf["role"] = ["user", "assistant"] * (len(pdf) // 2)
+    df = spark.createDataFrame(pdf[["conv_id", "turn_idx", "ts", "signal", "role"]])
+    got = (
+        with_loo_target_encoding(df, smoothing=10.0)
+        .select("conv_id", "turn_idx", "role", "n_other", "te_loo", "te_smooth")
+        .toPandas()
+    )
+    prior = pdf["signal"].mean()
+    key_stats = pdf.groupby("role")["signal"].agg(["sum", "count"])
+    for _, row in got.iterrows():
+        x = pdf[
+            (pdf["conv_id"] == row["conv_id"]) & (pdf["turn_idx"] == row["turn_idx"])
+        ]["signal"].iloc[0]
+        s, n = key_stats.loc[row["role"], "sum"], key_stats.loc[row["role"], "count"]
+        assert row["n_other"] == n - 1
+        assert abs(row["te_loo"] - (s - x) / (n - 1)) < 1e-12
+        want_smooth = (s - x + 10.0 * prior) / (n - 1 + 10.0)
+        assert abs(row["te_smooth"] - want_smooth) < 1e-12
+
+
+def test_loo_encoding_singleton_key_is_null(spark):
+    from z_rad_spark.operators.encoding import with_loo_target_encoding
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c0", "c0"],
+            "turn_idx": [0, 1],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:01:00"]
+            ),
+            "signal": [4.0, 7.0],
+            "role": ["user", "assistant"],
+        }
+    )
+    got = (
+        with_loo_target_encoding(spark.createDataFrame(pdf))
+        .select("role", "n_other", "te_loo")
+        .toPandas()
+        .set_index("role")
+    )
+    assert (got["n_other"] == 0).all()
+    assert got["te_loo"].isna().all()
+
+
+def test_woe_iv_matches_manual(spark):
+    import math
+
+    from z_rad_spark.operators.encoding import woe_iv
+
+    df, pdf = _turns(spark, n_conv=4, n_turns=60, seed=59)
+    pdf["role"] = ["user", "assistant", "tool", "system"] * (len(pdf) // 4)
+    df = spark.createDataFrame(pdf[["conv_id", "turn_idx", "ts", "signal", "role"]])
+    got = woe_iv(df, threshold=5.0).toPandas().set_index("role")
+    roles = ("assistant", "system", "tool", "user")
+    g = {k: int(((pdf["role"] == k) & (pdf["signal"] >= 5.0)).sum()) for k in roles}
+    b = {k: int(((pdf["role"] == k) & (pdf["signal"] < 5.0)).sum()) for k in roles}
+    G, B = sum(g.values()), sum(b.values())
+    iv = 0.0
+    for k in roles:
+        assert got.loc[k, "n_good"] == g[k]
+        assert got.loc[k, "n_bad"] == b[k]
+        woe = math.log((g[k] / G) / (b[k] / B))
+        assert abs(got.loc[k, "woe"] - woe) < 1e-12
+        iv += (g[k] / G - b[k] / B) * woe
+    assert np.allclose(got["iv"].to_numpy(), iv, atol=1e-12)
+
+
+def test_woe_iv_zero_count_category(spark):
+    from z_rad_spark.operators.encoding import woe_iv
+
+    # 'tool' never reaches the threshold: woe NULL, iv finite (term -> 0)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": "c0",
+            "turn_idx": range(8),
+            "ts": pd.date_range("2024-01-01", periods=8, freq="min"),
+            "signal": [8.0, 2.0, 8.0, 2.0, 1.0, 1.0, 8.0, 2.0],
+            "role": ["user", "user", "assistant", "assistant", "tool", "tool",
+                     "system", "system"],
+        }
+    )
+    got = woe_iv(spark.createDataFrame(pdf), threshold=5.0).toPandas().set_index("role")
+    assert got.loc["tool", "n_good"] == 0
+    assert pd.isna(got.loc["tool", "woe"])
+    assert np.isfinite(got["iv"]).all()

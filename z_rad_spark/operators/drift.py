@@ -273,3 +273,74 @@ def mi_association(
         _chain(mi_terms).alias("mi"),
         _chain(chi_terms).alias("chi2"),
     )
+
+
+def mw_drift(
+    df: DataFrame,
+    split_ts: str,
+    signal_col: str = "signal",
+    group_col: str = "role",
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) drift test per group between
+    the pre-cutoff reference window and the at/after-cutoff monitoring
+    window — the rank-based two-sample test a pipeline runs when the
+    signal's SCALE is unreliable (KS is sup-norm on the ECDFs; U is the
+    probability-of-superiority test, robust to any monotone transform
+    of the signal). Ties get average ranks (the standard midrank rule).
+
+        U   = R_ref - n_ref (n_ref + 1) / 2,  R_ref = midrank sum (ref)
+        auc = U / (n_ref * n_cur)             (P(ref > cur) + P(=)/2)
+
+    Scale + determinism shape: identical to ks_drift — one map-side
+    partially-aggregated groupBy on (group, value) bounds every window
+    by the value cardinality, not the turn count; the midrank sum is
+    kept as the INTEGER 2*R (for a tie block of size t starting above
+    cb ranks, each member's midrank is cb + (t+1)/2, so r * (2*cb + t
+    + 1) is the block's exact doubled contribution), summed exactly in
+    long. U is then a multiple of 0.5 and auc a single division — no
+    float summation anywhere, so the SQL oracle replays both
+    bit-for-bit. Long bound: 2R <= n(2n+1), exact for n < 2^31 per
+    group; beyond that cast the doubled-rank term to decimal(38,0).
+
+    NULL signals are excluded. Groups with an empty reference or
+    monitoring window get u = auc = NULL.
+
+    Output: (group_col, n_ref long, n_cur long, u double, auc double).
+    """
+    x = F.col(signal_col).cast("double")
+    is_ref = F.col("ts").cast("timestamp") < F.lit(split_ts).cast("timestamp")
+    per_val = (
+        df.where(x.isNotNull())
+        .groupBy(F.col(group_col), x.alias("_val"))
+        .agg(
+            F.count(F.when(is_ref, 1)).alias("_r"),
+            F.count(F.when(~is_ref, 1)).alias("_c"),
+        )
+        .withColumn("_t", F.col("_r") + F.col("_c"))
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("_val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cb = (F.sum("_t").over(w_cum) - F.col("_t")).alias("_cb")
+    g = per_val.select(group_col, "_r", "_c", "_t", cb).groupBy(group_col).agg(
+        F.sum("_r").cast("long").alias("n_ref"),
+        F.sum("_c").cast("long").alias("n_cur"),
+        F.sum(F.col("_r") * (F.lit(2) * F.col("_cb") + F.col("_t") + F.lit(1)))
+        .cast("long")
+        .alias("_two_r"),
+    )
+    nr = F.col("n_ref").cast("double")
+    nc = F.col("n_cur").cast("double")
+    u = (
+        F.col("_two_r").cast("double") - nr * (nr + F.lit(1.0))
+    ) / F.lit(2.0)
+    both = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    return g.select(
+        group_col,
+        "n_ref",
+        "n_cur",
+        F.when(both, u).alias("u"),
+        F.when(both, u / (nr * nc)).alias("auc"),
+    )

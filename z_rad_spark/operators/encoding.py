@@ -1,0 +1,173 @@
+"""Leakage-safe categorical encodings over the turn signal.
+
+The classical feature-engineering encoders a training pipeline applies
+to a categorical column before model fitting: leave-one-out target
+encoding (each row gets its category's mean signal EXCLUDING itself, so
+the encoding never reads the row's own target — Micci-Barreca, SIGKDD
+Explorations 2001), its m-estimate smoothed variant (shrinks sparse
+categories toward the global prior), and weight-of-evidence / IV
+scoring (the credit-scoring standard for ranking categorical features
+against a binary target).
+
+Scale shape: every encoder here is a two-pass broadcast pattern — one
+map-side-combined aggregate over the category key (output is
+|categories| rows, trivially broadcastable) joined or folded back, so
+there is NO window over a category partition (a per-category window
+would put all of one category in a single task — the low-cardinality
+skew trap this module exists to avoid at 10^12 turns). The per-category
+sufficient statistics are exact long integers for integer-valued
+signals, and every derived feature is a fixed chain of single IEEE
+float ops — so the SQL oracles replay each encoder bit-for-bit.
+
+The complementary WITHIN-conversation expanding (past-only) encoding
+lives in sessionize.with_expanding_target_encoding; this module is the
+global, cross-conversation form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_loo_target_encoding(
+    df: DataFrame,
+    key_col: str = "role",
+    signal_col: str = "signal",
+    smoothing: float = 10.0,
+) -> DataFrame:
+    """Leave-one-out target encoding with an m-estimate smoothed
+    companion: for each row, over all OTHER rows of the same key,
+
+        te_loo    = (S_k - x_i) / (n_k - 1)
+        te_smooth = (S_k - x_i + m * prior) / (n_k - 1 + m)
+
+    where S_k / n_k are the key's non-NULL signal sum/count, prior is
+    the global mean signal, and m = ``smoothing``. Excluding the row's
+    own target is what makes the encoding usable as a model feature
+    (the naive per-category mean leaks each row's own label into its
+    feature; the expanding form in sessionize is the stricter
+    time-ordered variant — this one is the standard i.i.d.-setting
+    encoder).
+
+    Plan shape: one aggregate to |keys| rows, one single-row global
+    aggregate, both joined back via broadcast — zero windows, zero
+    skew, one narrow pass over the input. Exact long sums (integer
+    signal contract) + fixed single-op float chains = bit-replayable.
+
+    NULL-signal rows subtract nothing and divide by the full n_k;
+    te_loo is NULL when no OTHER same-key signal exists (n_other = 0).
+
+    Adds: n_other long, te_loo double, te_smooth double.
+    """
+    xl = F.col(signal_col).cast("long")
+    stats = df.groupBy(key_col).agg(
+        F.count(xl).alias("_nk"),
+        F.sum(xl).alias("_sk"),
+    )
+    glob = stats.agg(
+        F.sum("_nk").alias("_na"),
+        F.sum("_sk").alias("_sa"),
+    )
+    joined = df.join(F.broadcast(stats), key_col, "left").join(
+        F.broadcast(glob)
+    )
+    own = F.when(xl.isNotNull(), xl).otherwise(F.lit(0))
+    n_other = F.col("_nk") - xl.isNotNull().cast("long")
+    s_other = (F.col("_sk") - own).cast("double")
+    prior = F.col("_sa").cast("double") / F.col("_na").cast("double")
+    m = F.lit(float(smoothing))
+    te_loo = F.when(n_other > 0, s_other / n_other.cast("double"))
+    te_smooth = F.when(
+        (n_other.cast("double") + m) > 0,
+        (s_other + m * prior) / (n_other.cast("double") + m),
+    )
+    return (
+        joined.withColumn("n_other", F.coalesce(n_other, F.lit(0)).cast("long"))
+        .withColumn("te_loo", te_loo)
+        .withColumn("te_smooth", te_smooth)
+        .drop("_nk", "_sk", "_na", "_sa")
+    )
+
+
+def woe_iv(
+    df: DataFrame,
+    threshold: float = 5.0,
+    signal_col: str = "signal",
+    key_col: str = "role",
+    keys: tuple = ("assistant", "system", "tool", "user"),
+) -> DataFrame:
+    """Weight of evidence per category and the feature's information
+    value against the binary target ``signal >= threshold``:
+
+        woe_k = ln( (g_k / G) / (b_k / B) )
+        iv    = sum_k (g_k / G - b_k / B) * woe_k
+
+    (g_k / b_k = the category's target-positive / target-negative
+    counts, G / B the totals over the listed keys). IV is the standard
+    screen for whether a categorical column carries any signal at all
+    (< 0.02 useless, > 0.5 suspicious — Siddiqi, Credit Risk
+    Scorecards 2006).
+
+    Scale + determinism shape: ONE aggregation pass computes all
+    2 x |keys| conditional counts map-side (single output row);
+    totals are fixed left-folds of those counts, woe is two divisions
+    and one ln per category, and iv is a FIXED-ORDER term chain over
+    the known key list (categories with a zero count contribute 0 and
+    get woe = NULL) — exact integers in, single-op float chains out,
+    so the SQL oracle replays both bit-for-bit.
+
+    NULL signals are excluded; rows whose key is not in ``keys`` are
+    excluded (list the full category set, or pre-bucket the tail into
+    an 'other' key — an unbounded category set would need the
+    two-pass broadcast pattern of with_loo_target_encoding instead).
+
+    Output: one row per key — (key_col, n_good long, n_bad long,
+    woe double, iv double; iv is the feature-level scalar, repeated).
+    """
+    x = F.col(signal_col).cast("double")
+    good = x >= F.lit(float(threshold))
+    aggs = []
+    for k in keys:
+        is_k = F.col(key_col) == k
+        aggs.append(F.count(F.when(is_k & good, 1)).alias(f"_g_{k}"))
+        aggs.append(F.count(F.when(is_k & ~good, 1)).alias(f"_b_{k}"))
+    g = df.where(x.isNotNull()).agg(*aggs)
+
+    def _chain(terms):
+        acc = None
+        for t in terms:
+            acc = t if acc is None else acc + t
+        return acc
+
+    G = _chain([F.col(f"_g_{k}") for k in keys]).cast("double")
+    B = _chain([F.col(f"_b_{k}") for k in keys]).cast("double")
+    woe_exprs, iv_terms = {}, []
+    for k in keys:
+        gk = F.col(f"_g_{k}").cast("double")
+        bk = F.col(f"_b_{k}").cast("double")
+        both = (gk > 0) & (bk > 0)
+        woe = F.log((gk / G) / (bk / B))
+        woe_exprs[k] = F.when(both, woe)
+        iv_terms.append(
+            F.when(both, (gk / G - bk / B) * woe).otherwise(F.lit(0.0))
+        )
+    iv = _chain(iv_terms)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("key"),
+                F.col(f"_g_{k}").cast("long").alias("n_good"),
+                F.col(f"_b_{k}").cast("long").alias("n_bad"),
+                woe_exprs[k].alias("woe"),
+            )
+            for k in keys
+        ]
+    )
+    return g.select(iv.alias("iv"), F.explode(rows).alias("r")).select(
+        F.col("r.key").alias(key_col),
+        F.col("r.n_good").alias("n_good"),
+        F.col("r.n_bad").alias("n_bad"),
+        F.col("r.woe").alias("woe"),
+        F.col("iv").alias("iv"),
+    )

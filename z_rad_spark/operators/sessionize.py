@@ -378,3 +378,73 @@ def with_expanding_target_encoding(
         .withColumn("te", te)
         .drop("_np", "_sp")
     )
+
+
+def autocorr_features(
+    df: DataFrame, signal_col: str = "signal", lags: tuple = (1, 2, 3)
+) -> DataFrame:
+    """Per-conversation lag-k autocorrelation of the turn signal — the
+    sequential-texture feature of the signal stream (the NGTDM of time:
+    high ac1 = slowly-varying signal, ac < 0 = alternating pattern, all
+    lags ~ 0 = white noise), the standard screen for periodic bot
+    traffic and template spam in a curation pipeline.
+
+        r_k = sum_t (x_t - m)(x_{t-k} - m) / sum_t (x_t - m)^2
+
+    computed over pairs where both ends are non-NULL, with m the
+    conversation mean over non-NULL signals (the textbook estimator
+    divides both sides by n so the ratio is identical).
+
+    Scale + determinism shape: the signal is integer-valued by the
+    engine's signal contract, so ALL sufficient statistics are exact
+    long integers — n, S1 = sum x, S2 = sum x^2 from one aggregate, and
+    per lag (m_k = pair count, P_k = sum x_t x_{t-k}, A_k/B_k = the
+    pair-restricted marginal sums) from |lags| lag windows that reuse
+    the SAME (conv_id, ts, turn_idx) sort and hash exchange as every
+    other per-conversation operator. The expansion
+
+        num_k = P_k - m*A_k - m*B_k + m_k*m*m,  den = S2 - n*m*m
+
+    is a fixed left-to-right chain of single IEEE ops on exact
+    integers, so the SQL oracle replays every coefficient bit-for-bit
+    (no float summation exists anywhere). ac_k is NULL when the
+    conversation is constant (den = 0) or has no lag-k pair.
+
+    Output: (conv_id, n long, ac_1 .. ac_K double).
+    """
+    xl = F.col(signal_col).cast("long")
+    cols = [F.col("conv_id"), xl.alias("_x")]
+    for k in lags:
+        cols.append(F.lag(xl, k).over(_conv_window()).alias(f"_l{k}"))
+    p = df.select(*cols)
+    aggs = [
+        F.count("_x").alias("_n"),
+        F.sum("_x").alias("_s1"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_s2"),
+    ]
+    for k in lags:
+        lk = F.col(f"_l{k}")
+        both = F.col("_x").isNotNull() & lk.isNotNull()
+        aggs += [
+            F.count(F.when(both, 1)).alias(f"_m{k}"),
+            F.sum(F.col("_x") * lk).alias(f"_p{k}"),
+            F.sum(F.when(both, F.col("_x"))).alias(f"_a{k}"),
+            F.sum(F.when(both, lk)).alias(f"_b{k}"),
+        ]
+    g = p.groupBy("conv_id").agg(*aggs)
+    mean = F.col("_s1").cast("double") / F.col("_n").cast("double")
+    den = (
+        F.col("_s2").cast("double")
+        - F.col("_n").cast("double") * mean * mean
+    )
+    out_cols = [F.col("conv_id"), F.col("_n").cast("long").alias("n")]
+    for k in lags:
+        num = (
+            F.col(f"_p{k}").cast("double")
+            - mean * F.col(f"_a{k}").cast("double")
+            - mean * F.col(f"_b{k}").cast("double")
+            + F.col(f"_m{k}").cast("double") * mean * mean
+        )
+        ok = (F.col(f"_m{k}") > 0) & (den != F.lit(0.0))
+        out_cols.append(F.when(ok, num / den).alias(f"ac_{k}"))
+    return g.select(*out_cols)
