@@ -525,3 +525,93 @@ def test_embedding_covariance_no_join_no_explode(spark):
     assert "Join" not in plan
     assert "Generate" not in plan
     assert plan.count("Exchange") == 1
+
+
+def _roled_turns_df(spark, n=64):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i % 4}" for i in range(n)],
+            "turn_idx": list(range(n)),
+            "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(range(n), unit="m"),
+            "signal": [float(1 + i % 9) for i in range(n)],
+            "role": [("user", "assistant", "tool", "system")[i % 4] for i in range(n)],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_ks_and_mw_drift_preaggregate_before_window(spark):
+    """Both rank tests must collapse to |groups| x |values| rows BEFORE
+    any window runs (the whole point of the shape at 10^12 turns): one
+    Window node, at least two aggregates (the per-value pre-agg and the
+    final per-group agg), no join of any kind."""
+    from z_rad_spark.operators.drift import ks_drift, mw_drift
+
+    for op in (ks_drift, mw_drift):
+        plan = _plan(op(_roled_turns_df(spark), split_ts="2024-01-01 00:30:00"))
+        # ks_drift stacks two frame specs (running + full-partition) on
+        # ONE role sort; both must sit above the per-value pre-agg
+        assert 1 <= plan.count("Window") <= 2
+        assert plan.count("HashAggregate") >= 2
+        assert "Join" not in plan
+
+
+def test_mi_and_woe_are_single_pass_aggregates(spark):
+    """The conditional-count grids must be ONE map-side-combined
+    aggregate — zero windows, zero joins (woe_iv's explode runs over the
+    single output row, not the input)."""
+    from z_rad_spark.operators.drift import mi_association
+    from z_rad_spark.operators.encoding import woe_iv
+
+    plan = _plan(mi_association(_roled_turns_df(spark), split_ts="2024-01-01 00:30:00"))
+    assert plan.count("Window") == 0
+    assert "Join" not in plan
+    plan = _plan(woe_iv(_roled_turns_df(spark)))
+    assert plan.count("Window") == 0
+    assert "Join" not in plan
+
+
+def test_role_transitions_reuses_conv_exchange(spark):
+    """The lag window and the groupBy share conv_id — Catalyst must
+    reuse the single hash exchange (a second Exchange would double the
+    shuffle for no reason)."""
+    from z_rad_spark.operators.sessionize import role_transitions
+
+    plan = _plan(role_transitions(_roled_turns_df(spark)))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+
+
+def test_autocorr_reuses_conv_exchange(spark):
+    """All |lags| lag windows must ride ONE Window node over one conv_id
+    exchange, and the groupBy must reuse that partitioning."""
+    from z_rad_spark.operators.sessionize import autocorr_features
+
+    plan = _plan(autocorr_features(_roled_turns_df(spark)))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+
+
+def test_expanding_target_encoding_single_exchange(spark):
+    """Past-only running sums over (conv_id, role): one exchange, one
+    Window node."""
+    from z_rad_spark.operators.sessionize import with_expanding_target_encoding
+
+    plan = _plan(with_expanding_target_encoding(_roled_turns_df(spark)))
+    assert plan.count("Exchange") <= 2  # (conv,role) grain may re-key
+    assert plan.count("Window") == 1
+
+
+def test_loo_encoding_has_no_category_window(spark):
+    """The global encoder must be the two-pass broadcast pattern — NO
+    window partitioned by the category (that is the low-cardinality
+    skew trap: all of 'user' in one task at 10^12 turns), and the joins
+    back must be broadcasts, never sort-merge."""
+    from z_rad_spark.operators.encoding import with_loo_target_encoding
+
+    plan = _plan(with_loo_target_encoding(_roled_turns_df(spark)))
+    assert plan.count("Window") == 0
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan

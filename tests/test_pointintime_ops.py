@@ -509,3 +509,41 @@ def test_woe_iv_zero_count_category(spark):
     assert got.loc["tool", "n_good"] == 0
     assert pd.isna(got.loc["tool", "woe"])
     assert np.isfinite(got["iv"]).all()
+
+
+def test_partition_invariance_of_session56_operators(spark):
+    """Every session-5/6 operator must give identical results whether
+    the input arrives in 1 partition or 7 — no operator may depend on
+    partition boundaries or intra-partition order (the distributed-
+    correctness contract every gate oracle assumes)."""
+    from z_rad_spark.operators.drift import ks_drift, mi_association, mw_drift
+    from z_rad_spark.operators.encoding import with_loo_target_encoding, woe_iv
+    from z_rad_spark.operators.sessionize import (
+        autocorr_features,
+        role_transitions,
+        with_expanding_target_encoding,
+    )
+
+    df, pdf = _turns(spark, n_conv=5, n_turns=40, seed=61)
+    pdf["role"] = ["user", "assistant", "tool", "system"] * (len(pdf) // 4)
+    base = spark.createDataFrame(
+        pdf[["conv_id", "turn_idx", "ts", "signal", "role"]]
+    )
+    ops = [
+        lambda d: ks_drift(d, split_ts="2024-01-01 12:00:00"),
+        lambda d: mw_drift(d, split_ts="2024-01-01 12:00:00"),
+        lambda d: mi_association(d, split_ts="2024-01-01 12:00:00"),
+        lambda d: role_transitions(d),
+        lambda d: autocorr_features(d),
+        lambda d: with_expanding_target_encoding(d).select(
+            "conv_id", "turn_idx", "n_prior", "te"
+        ),
+        lambda d: with_loo_target_encoding(d).select(
+            "conv_id", "turn_idx", "n_other", "te_loo", "te_smooth"
+        ),
+        lambda d: woe_iv(d),
+    ]
+    for op in ops:
+        one = sorted(map(tuple, op(base.repartition(1)).collect()))
+        many = sorted(map(tuple, op(base.repartition(7)).collect()))
+        assert one == many
