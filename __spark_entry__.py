@@ -2606,6 +2606,52 @@ def q_woe_iv(spark, sf_dir):
     return _r6(out, ["woe", "iv"])
 
 
+def q_signal_trend(spark, sf_dir):
+    """Per-conversation OLS slope/intercept/Pearson-r of the signal
+    against the turn ordinal (profile.signal_trend): six exact-long
+    sufficient statistics from one reused conv_id exchange; closed
+    forms are fixed single-op double chains — oracle-replayable."""
+    from z_rad_spark.operators.profile import signal_trend
+
+    out = signal_trend(_t(spark, sf_dir))
+    return _r6(out, ["slope", "intercept", "r"])
+
+
+def q_temporal_profile(spark, sf_dir):
+    """Per-conversation hour-of-day activity profile: peak hour
+    (earliest-wins), peak share, hour entropy, night/weekend fractions
+    (profile.temporal_profile): 24 exact map-side counts + fixed fold
+    chains — oracle-replayable."""
+    from z_rad_spark.operators.profile import temporal_profile
+
+    out = temporal_profile(_t(spark, sf_dir))
+    return _r6(
+        out, ["peak_frac", "hour_entropy", "night_frac", "weekend_frac"]
+    )
+
+
+def q_latency(spark, sf_dir):
+    """Per-conversation user->assistant response-latency stats
+    (profile.response_latency): exact microsecond-long gaps from one
+    lag window, min/max exact, mean one division. The mean is emitted
+    in SECONDS (one extra /1e6, identical in both engines): at the
+    raw microsecond magnitude (~1e10) the double's ulp exceeds 1e-6
+    and the oracle's decimal round-trip can land one ulp off Spark's
+    shortest-repr rounding — rescaling keeps the hash gate in the
+    precision zone where the r6 contract is exact."""
+    from z_rad_spark.operators.profile import response_latency
+
+    out = response_latency(_t(spark, sf_dir))
+    out = out.select(
+        "conv_id",
+        "n_resp",
+        (F.col("mean_us") / F.lit(1000000.0)).alias("mean_sec"),
+        "min_us",
+        "max_us",
+    )
+    return _r6(out, ["mean_sec"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -2697,6 +2743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_autocorr": q_autocorr,
         "q_loo_encode": q_loo_encode,
         "q_woe_iv": q_woe_iv,
+        "q_signal_trend": q_signal_trend,
+        "q_temporal_profile": q_temporal_profile,
+        "q_latency": q_latency,
         # --- (1c) ordered reciprocal-square folds (cm_inv_var / dzm_sde
         #     / dzm_sdhge — kernels/texture._seq_sum + oracle list_reduce);
         #     each family keeps a base + salted gate in-window (q_glcm +
@@ -2704,17 +2753,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     and q_gldzm moved first past the marker, sibling-gated
         "q_glcm": q_glcm,
         "q_gldzm_dist": q_gldzm_dist,
-        # --- (2a) rotation: every remaining round-1-era green row ---
-        "q_backfill_nn": q_backfill_nn,
-        "q_backfill_linear": q_backfill_linear,
-        "q_decay_norm": q_decay_norm,
         # ===== gate window ends here (first 50 entries) ================
         # displaced by the session-5/6 additions (q_ks_drift, q_mi_assoc,
         # q_role_transitions, q_target_encode, q_mw_drift, q_autocorr,
-        # q_loo_encode, q_woe_iv — never-gated beats stale-green): eight
-        # round-1-era rows that keep their green driver rows plus this
-        # round's full-registry strict-mirror green; they sit first past
-        # the marker for the r5 rotation.
+        # q_loo_encode, q_woe_iv, q_signal_trend, q_temporal_profile,
+        # q_latency — never-gated beats stale-green): eleven round-1-era
+        # rows that keep their green driver rows plus this round's
+        # full-registry strict-mirror green; they sit first past the
+        # marker for the r5 rotation.
+        "q_backfill_nn": q_backfill_nn,
+        "q_backfill_linear": q_backfill_linear,
+        "q_decay_norm": q_decay_norm,
         "q_glrlm_25d": q_glrlm_25d,
         "q_glszm": q_glszm,
         "q_ivh_fbs": q_ivh_fbs,

@@ -4818,3 +4818,94 @@ g AS (
 )
 {_WOE_UNION}
 """
+
+
+# per-conversation OLS trend of signal vs turn ordinal: six exact-long
+# sufficient statistics + the fixed double chains of profile.signal_trend
+_TR_NUM = "(CAST(n AS DOUBLE) * CAST(six AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sx AS DOUBLE))"
+_TR_DEN = "(CAST(n AS DOUBLE) * CAST(sii AS DOUBLE) - CAST(si AS DOUBLE) * CAST(si AS DOUBLE))"
+_TR_VARX = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+_TR_OK = f"n > 1 AND {_TR_DEN} <> 0.0"
+
+ORACLES["q_signal_trend"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) - 1 AS BIGINT) AS i,
+         CAST(signal AS BIGINT) AS x
+  FROM t
+),
+g AS (
+  SELECT conv_id, COUNT(x) AS n,
+         SUM(CASE WHEN x IS NOT NULL THEN i END) AS si,
+         SUM(CASE WHEN x IS NOT NULL THEN i * i END) AS sii,
+         SUM(x) AS sx, SUM(x * x) AS sxx, SUM(i * x) AS six
+  FROM p GROUP BY conv_id
+)
+SELECT conv_id, CAST(n AS BIGINT) AS n,
+       {r6(f"CASE WHEN {_TR_OK} THEN {_TR_NUM} / {_TR_DEN} END", "slope")},
+       {r6(f"CASE WHEN {_TR_OK} THEN (CAST(sx AS DOUBLE) - ({_TR_NUM} / {_TR_DEN}) * CAST(si AS DOUBLE)) / CAST(n AS DOUBLE) END", "intercept")},
+       {r6(f"CASE WHEN {_TR_OK} AND {_TR_VARX} > 0 THEN {_TR_NUM} / (sqrt({_TR_DEN}) * sqrt({_TR_VARX})) END", "r")}
+FROM g
+"""
+
+
+# per-conversation hour-of-day activity profile: 24 exact counts,
+# greatest + earliest-wins COALESCE peak, fixed entropy chain —
+# matches profile.temporal_profile (DuckDB dayofweek: 0=Sun..6=Sat;
+# Spark dayofweek: 1=Sun..7=Sat — weekend mapped semantically)
+_TP_COUNTS = ",\n         ".join(
+    f"COUNT(CASE WHEN hour(ts) = {h} THEN 1 END) AS h{h}" for h in range(24)
+)
+_TP_PEAK = "GREATEST(" + ", ".join(f"h{h}" for h in range(24)) + ")"
+_TP_PEAKH = "COALESCE(" + ", ".join(
+    f"CASE WHEN h{h} = {_TP_PEAK} THEN {h} END" for h in range(24)
+) + ")"
+_TP_ENT = _fold(
+    [
+        f"(CASE WHEN h{h} > 0 THEN (-(CAST(h{h} AS DOUBLE) / CAST(n AS DOUBLE))) * log2(CAST(h{h} AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END)"
+        for h in range(24)
+    ]
+)
+
+ORACLES["q_temporal_profile"] = f"""
+WITH t AS ({T}),
+g AS (
+  SELECT conv_id, COUNT(*) AS n,
+         COUNT(CASE WHEN hour(ts) <= 5 THEN 1 END) AS night,
+         COUNT(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 END) AS wkend,
+         {_TP_COUNTS}
+  FROM t GROUP BY conv_id
+)
+SELECT conv_id, CAST(n AS BIGINT) AS n,
+       CAST({_TP_PEAKH} AS INT) AS peak_hour,
+       {r6(f"CAST({_TP_PEAK} AS DOUBLE) / CAST(n AS DOUBLE)", "peak_frac")},
+       {r6(_TP_ENT, "hour_entropy")},
+       {r6("CAST(night AS DOUBLE) / CAST(n AS DOUBLE)", "night_frac")},
+       {r6("CAST(wkend AS DOUBLE) / CAST(n AS DOUBLE)", "weekend_frac")}
+FROM g
+"""
+
+
+# per-conversation user->assistant response latency: exact microsecond
+# gaps from one lag window — matches profile.response_latency
+ORACLES["q_latency"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id, role AS _to, epoch_us(ts) AS _ts,
+         LAG(role) OVER w AS _from,
+         LAG(epoch_us(ts)) OVER w AS _prev
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+pairs AS (
+  SELECT conv_id, _ts - _prev AS gap
+  FROM p WHERE _to = 'assistant' AND _from = 'user'
+)
+SELECT conv_id,
+       CAST(COUNT(gap) AS BIGINT) AS n_resp,
+       {r6("(CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(gap) AS DOUBLE)) / 1000000.0", "mean_sec")},
+       CAST(MIN(gap) AS BIGINT) AS min_us,
+       CAST(MAX(gap) AS BIGINT) AS max_us
+FROM pairs GROUP BY conv_id
+"""

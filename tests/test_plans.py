@@ -615,3 +615,24 @@ def test_loo_encoding_has_no_category_window(spark):
     assert plan.count("Window") == 0
     assert "SortMergeJoin" not in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_profile_operators_single_exchange(spark):
+    """signal_trend and response_latency: one conv_id exchange shared by
+    the window and the groupBy; temporal_profile: one aggregate, zero
+    windows, zero joins."""
+    from z_rad_spark.operators.profile import (
+        response_latency,
+        signal_trend,
+        temporal_profile,
+    )
+
+    plan = _plan(signal_trend(_roled_turns_df(spark)))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+    plan = _plan(response_latency(_roled_turns_df(spark)))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+    plan = _plan(temporal_profile(_roled_turns_df(spark)))
+    assert plan.count("Window") == 0
+    assert "Join" not in plan

@@ -547,3 +547,105 @@ def test_partition_invariance_of_session56_operators(spark):
         one = sorted(map(tuple, op(base.repartition(1)).collect()))
         many = sorted(map(tuple, op(base.repartition(7)).collect()))
         assert one == many
+
+
+def test_signal_trend_matches_numpy(spark):
+    from z_rad_spark.operators.profile import signal_trend
+
+    df, pdf = _turns(spark, n_conv=4, n_turns=50, seed=67)
+    got = signal_trend(df).toPandas().set_index("conv_id")
+    pdf = pdf.sort_values(["conv_id", "ts", "turn_idx"])
+    for conv, grp in pdf.groupby("conv_id"):
+        x = grp["signal"].to_numpy()
+        i = np.arange(len(x), dtype=float)
+        slope, intercept = np.polyfit(i, x, 1)
+        r = np.corrcoef(i, x)[0, 1]
+        assert got.loc[conv, "n"] == len(x)
+        assert abs(got.loc[conv, "slope"] - slope) < 1e-9
+        assert abs(got.loc[conv, "intercept"] - intercept) < 1e-9
+        assert abs(got.loc[conv, "r"] - r) < 1e-9
+
+
+def test_signal_trend_degenerate_is_null(spark):
+    from z_rad_spark.operators.profile import signal_trend
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c0", "c1", "c1"],
+            "turn_idx": [0, 0, 1],
+            "ts": pd.to_datetime(["2024-01-01 00:00:00"] * 3),
+            "signal": [5.0, 3.0, 3.0],
+        }
+    )
+    got = signal_trend(spark.createDataFrame(pdf)).toPandas().set_index("conv_id")
+    # single turn: no fit; constant signal: slope 0 but r undefined
+    assert pd.isna(got.loc["c0", "slope"])
+    assert abs(got.loc["c1", "slope"]) < 1e-12
+    assert pd.isna(got.loc["c1", "r"])
+
+
+def test_temporal_profile_matches_manual(spark):
+    import math
+
+    from z_rad_spark.operators.profile import temporal_profile
+
+    df, pdf = _turns(spark, n_conv=3, n_turns=60, seed=71)
+    got = temporal_profile(df).toPandas().set_index("conv_id")
+    for conv, grp in pdf.groupby("conv_id"):
+        hours = grp["ts"].dt.hour.to_numpy()
+        n = len(hours)
+        counts = np.bincount(hours, minlength=24)
+        assert got.loc[conv, "n"] == n
+        assert got.loc[conv, "peak_hour"] == int(np.argmax(counts))
+        assert abs(got.loc[conv, "peak_frac"] - counts.max() / n) < 1e-12
+        ent = -sum(
+            (c / n) * math.log2(c / n) for c in counts if c > 0
+        )
+        assert abs(got.loc[conv, "hour_entropy"] - ent) < 1e-9
+        assert abs(got.loc[conv, "night_frac"] - (hours <= 5).mean()) < 1e-12
+        wk = grp["ts"].dt.dayofweek.isin([5, 6]).mean()  # pandas: 5=Sat 6=Sun
+        assert abs(got.loc[conv, "weekend_frac"] - wk) < 1e-12
+
+
+def test_response_latency_matches_manual(spark):
+    from z_rad_spark.operators.profile import response_latency
+
+    df, pdf = _turns(spark, n_conv=4, n_turns=40, seed=73)
+    pdf["role"] = ["user", "assistant", "tool", "assistant"] * (len(pdf) // 4)
+    df = spark.createDataFrame(pdf[["conv_id", "turn_idx", "ts", "signal", "role"]])
+    got = response_latency(df).toPandas().set_index("conv_id")
+    pdf = pdf.sort_values(["conv_id", "ts", "turn_idx"])
+    for conv, grp in pdf.groupby("conv_id"):
+        roles = grp["role"].to_numpy()
+        ts_us = grp["ts"].astype("int64").to_numpy()  # ns -> but ratio-safe
+        ts_us = ts_us // 1000
+        gaps = [
+            ts_us[i] - ts_us[i - 1]
+            for i in range(1, len(roles))
+            if roles[i] == "assistant" and roles[i - 1] == "user"
+        ]
+        if not gaps:
+            assert conv not in got.index
+            continue
+        assert got.loc[conv, "n_resp"] == len(gaps)
+        assert got.loc[conv, "min_us"] == min(gaps)
+        assert got.loc[conv, "max_us"] == max(gaps)
+        assert abs(got.loc[conv, "mean_us"] - sum(gaps) / len(gaps)) < 1e-6
+
+
+def test_partition_invariance_of_profile_operators(spark):
+    from z_rad_spark.operators.profile import (
+        response_latency,
+        signal_trend,
+        temporal_profile,
+    )
+
+    df, pdf = _turns(spark, n_conv=5, n_turns=40, seed=79)
+    pdf["role"] = ["user", "assistant", "tool", "system"] * (len(pdf) // 4)
+    base = spark.createDataFrame(
+        pdf[["conv_id", "turn_idx", "ts", "signal", "role"]]
+    )
+    for op in (signal_trend, temporal_profile, response_latency):
+        one = sorted(map(tuple, op(base.repartition(1)).collect()))
+        many = sorted(map(tuple, op(base.repartition(7)).collect()))
+        assert one == many

@@ -1,0 +1,189 @@
+"""Per-conversation profile features: signal trend, temporal activity,
+response latency.
+
+The conversation-level summary features a curation pipeline filters and
+stratifies on, complementing the morphology block (kernels/shape.py —
+duration/gap/role-entropy) with the three families it does not cover:
+the signal's TREND along the turn axis (is quality degrading over the
+conversation?), the wall-clock ACTIVITY profile (when does the
+conversation happen — bot traffic has flat hour histograms and no
+weekend dip), and role-pair RESPONSE latency (user→assistant turnaround,
+the serving-quality signal).
+
+Scale + determinism shape shared by all three: one hash exchange on
+conv_id (the same exchange every per-conversation operator in the
+engine rides), map-side-combined exact integer sufficient statistics
+(the signal is integer-valued by the engine's signal contract;
+timestamps are exact microsecond longs; hour/weekday counts are
+integers), and every emitted float is a FIXED chain of single IEEE ops
+over those integers — so the DuckDB oracles replay every feature
+bit-for-bit. No float summation exists anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_ORDER = ("ts", "turn_idx")
+
+
+def _conv_window() -> Window:
+    return Window.partitionBy("conv_id").orderBy(*_ORDER)
+
+
+def signal_trend(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """Per-conversation OLS trend of the signal against the turn
+    ordinal (0-based position under the stable (ts, turn_idx) order):
+
+        slope     = (n*Six - Si*Sx) / (n*Sii - Si*Si)
+        intercept = (Sx - slope*Si) / n
+        r         = (n*Six - Si*Sx) /
+                    (sqrt(n*Sii - Si*Si) * sqrt(n*Sxx - Sx*Sx))
+
+    A negative slope on a quality signal = the conversation degrades as
+    it runs — the classic long-conversation filter criterion.
+
+    Determinism: the six sufficient statistics (n, Si, Sii, Sx, Sxx,
+    Six) are exact longs (ordinal and integer signal products); each is
+    cast to double ONCE and the closed forms are fixed chains of single
+    IEEE ops, so the SQL oracle replays slope/intercept/r bit-for-bit.
+    Long bound: Sii <= n^3/3, exact for conversations under ~3M turns;
+    the double chain itself has no magnitude limit.
+
+    NULL-signal turns keep their ordinal (position is positional) but
+    contribute to no sum. slope/intercept/r are NULL for degenerate
+    fits (fewer than 2 scored turns or a constant regressor/signal).
+
+    Output: (conv_id, n long, slope double, intercept double, r double).
+    """
+    i = (F.row_number().over(_conv_window()) - F.lit(1)).cast("long")
+    x = F.col(signal_col).cast("long")
+    p = df.select("conv_id", i.alias("_i"), x.alias("_x"))
+    scored = F.col("_x").isNotNull()
+    g = p.groupBy("conv_id").agg(
+        F.count("_x").alias("_n"),
+        F.sum(F.when(scored, F.col("_i"))).alias("_si"),
+        F.sum(F.when(scored, F.col("_i") * F.col("_i"))).alias("_sii"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_i") * F.col("_x")).alias("_six"),
+    )
+    n = F.col("_n").cast("double")
+    si = F.col("_si").cast("double")
+    sii = F.col("_sii").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    six = F.col("_six").cast("double")
+    num = n * six - si * sx
+    den = n * sii - si * si
+    varx = n * sxx - sx * sx
+    slope = num / den
+    ok = (F.col("_n") > 1) & (den != F.lit(0.0))
+    return g.select(
+        "conv_id",
+        F.col("_n").cast("long").alias("n"),
+        F.when(ok, slope).alias("slope"),
+        F.when(ok, (sx - slope * si) / n).alias("intercept"),
+        F.when(ok & (varx > 0), num / (F.sqrt(den) * F.sqrt(varx))).alias("r"),
+    )
+
+
+def temporal_profile(df: DataFrame) -> DataFrame:
+    """Per-conversation wall-clock activity profile: the hour-of-day
+    histogram summarized to peak hour (earliest hour on ties), peak
+    share, Shannon entropy (bits; 0 = single-hour burst, log2(24) ≈
+    4.58 = uniform — the bot-traffic flatness score), plus the night
+    (00-05h) and weekend fractions.
+
+    Determinism: 24 map-side hour counts + weekend/night counts per
+    conversation — all exact integers; the peak is greatest() over the
+    24 counts with a COALESCE first-match for the hour (earliest wins,
+    exactly mirrorable in SQL); the entropy is a fixed 24-term chain
+    with zero-count terms contributing exactly 0. All bit-replayable.
+
+    Hours and weekdays are taken in the session timezone (the engine
+    pins UTC); weekend = Saturday or Sunday.
+
+    Output: (conv_id, n long, peak_hour int, peak_frac double,
+    hour_entropy double, night_frac double, weekend_frac double).
+    """
+    hour = F.hour(F.col("ts").cast("timestamp"))
+    dow = F.dayofweek(F.col("ts").cast("timestamp"))  # 1=Sun .. 7=Sat
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.count(F.when(hour <= 5, 1)).alias("_night"),
+        F.count(F.when(dow.isin(1, 7), 1)).alias("_wkend"),
+    ]
+    for h in range(24):
+        aggs.append(F.count(F.when(hour == h, 1)).alias(f"_h{h}"))
+    g = df.groupBy("conv_id").agg(*aggs)
+
+    def _chain(terms):
+        acc = None
+        for t in terms:
+            acc = t if acc is None else acc + t
+        return acc
+
+    n = F.col("_n").cast("double")
+    peak_c = F.greatest(*[F.col(f"_h{h}") for h in range(24)])
+    peak_h = F.coalesce(
+        *[F.when(F.col(f"_h{h}") == peak_c, F.lit(h)) for h in range(24)]
+    )
+    ent_terms = []
+    for h in range(24):
+        c = F.col(f"_h{h}").cast("double")
+        p = c / n
+        ent_terms.append(F.when(c > 0, -p * F.log2(p)).otherwise(F.lit(0.0)))
+    return g.select(
+        "conv_id",
+        F.col("_n").cast("long").alias("n"),
+        peak_h.cast("int").alias("peak_hour"),
+        (peak_c.cast("double") / n).alias("peak_frac"),
+        _chain(ent_terms).alias("hour_entropy"),
+        (F.col("_night").cast("double") / n).alias("night_frac"),
+        (F.col("_wkend").cast("double") / n).alias("weekend_frac"),
+    )
+
+
+def response_latency(
+    df: DataFrame, from_role: str = "user", to_role: str = "assistant"
+) -> DataFrame:
+    """Per-conversation response-latency statistics for a role pair:
+    over every turn of ``to_role`` whose IMMEDIATELY preceding turn (in
+    the stable (ts, turn_idx) order) belongs to ``from_role``, the gap
+    between the two timestamps — the user→assistant turnaround a
+    serving-quality filter thresholds on.
+
+    Determinism: gaps are exact microsecond longs (timestamp
+    subtraction); min/max are exact and the mean is one exact long sum
+    + one division — bit-replayable. Conversations with no qualifying
+    response pair emit no row (the absence IS the feature; left-join
+    this output when a dense frame is needed).
+
+    One lag window + one groupBy on the same conv_id key — single
+    exchange, reused.
+
+    Output: (conv_id, n_resp long, mean_us double, min_us long,
+    max_us long).
+    """
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = _conv_window()
+    p = df.select(
+        "conv_id",
+        F.col("role").alias("_to"),
+        ts_us.alias("_ts"),
+        F.lag("role").over(w).alias("_from"),
+        F.lag(ts_us).over(w).alias("_prev_ts"),
+    )
+    pairs = p.where(
+        (F.col("_to") == to_role) & (F.col("_from") == from_role)
+    ).withColumn("_gap", F.col("_ts") - F.col("_prev_ts"))
+    return pairs.groupBy("conv_id").agg(
+        F.count("_gap").cast("long").alias("n_resp"),
+        (F.sum("_gap").cast("double") / F.count("_gap").cast("double")).alias(
+            "mean_us"
+        ),
+        F.min("_gap").cast("long").alias("min_us"),
+        F.max("_gap").cast("long").alias("max_us"),
+    )
