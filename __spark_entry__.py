@@ -2652,6 +2652,18 @@ def q_latency(spark, sf_dir):
     return _r6(out, ["mean_sec"])
 
 
+def q_freq_bins(spark, sf_dir):
+    """Deterministic equal-frequency binning of document length
+    (curation.equal_frequency_bins): exact integer floor-division rule
+    on the compacted value histogram (ties stay together — partition-
+    invariant, unlike NTILE), broadcast-joined back. Pure integer
+    output — bit-replayable."""
+    from z_rad_spark.operators.curation import equal_frequency_bins
+
+    out = equal_frequency_bins(_docs(spark, sf_dir), col="n_chars", n_bins=10)
+    return out.select("doc_id", "n_chars", "bin")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -2719,7 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_chunk": q_cdc_chunk,
         "q_ann_recall": q_ann_recall,
         "q_pack_sequences": q_pack_sequences,
-        "q_asof_tolerance": q_asof_tolerance,
+        "q_freq_bins": q_freq_bins,
         # --- (1b) salted set: skew.py overlap-guard broadcast fix ---
         "q_glcm_salted": q_glcm_salted,
         "q_glrlm_salted": q_glrlm_salted,
@@ -2761,6 +2773,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows that keep their green driver rows plus this round's
         # full-registry strict-mirror green; they sit first past the
         # marker for the r5 rotation.
+        # q_asof_tolerance displaced by q_freq_bins: it already holds a
+        # FRESH r3 gate row earned against the current r6-parity oracles
+        # (unlike the r1-era rows below), so it loses the least by waiting
+        # for the r5 rotation.
+        "q_asof_tolerance": q_asof_tolerance,
         "q_backfill_nn": q_backfill_nn,
         "q_backfill_linear": q_backfill_linear,
         "q_decay_norm": q_decay_norm,

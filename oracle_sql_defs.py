@@ -4909,3 +4909,27 @@ SELECT conv_id,
        CAST(MAX(gap) AS BIGINT) AS max_us
 FROM pairs GROUP BY conv_id
 """
+
+
+# deterministic equal-frequency binning on the compacted value
+# histogram: exact integer floor division — matches
+# curation.equal_frequency_bins (bin type: Spark `div` on longs ->
+# long; DuckDB // on bigints matches after the BIGINT cast)
+ORACLES["q_freq_bins"] = """
+WITH h AS (
+  SELECT CAST(n_chars AS BIGINT) AS v, COUNT(*) AS c
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cb
+  FROM h
+),
+tot AS (SELECT SUM(c) AS n FROM h),
+bins AS (
+  SELECT v, CAST(LEAST((cb * 10) // n, 9) AS BIGINT) AS bin
+  FROM cum CROSS JOIN tot
+)
+SELECT d.doc_id, d.n_chars, b.bin
+FROM documents d LEFT JOIN bins b ON CAST(d.n_chars AS BIGINT) = b.v
+"""

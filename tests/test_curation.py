@@ -704,3 +704,58 @@ def test_bigram_lower_ppl_than_unigram_on_repetitive_text(spark):
     b = bigram_logprob(docs).toPandas().set_index("doc_id")
     u = unigram_logprob(docs).toPandas().set_index("doc_id")
     assert (b.ppl < u.ppl).all()
+
+
+def test_equal_frequency_bins_matches_manual(spark):
+    import numpy as np
+    import pandas as pd
+
+    from z_rad_spark.operators.curation import equal_frequency_bins
+
+    rng = np.random.default_rng(83)
+    pdf = pd.DataFrame(
+        {"doc_id": range(200), "n_chars": rng.integers(10, 60, 200)}
+    )
+    got = (
+        equal_frequency_bins(spark.createDataFrame(pdf), n_bins=5)
+        .select("doc_id", "bin")
+        .toPandas()
+        .set_index("doc_id")["bin"]
+    )
+    counts = pdf.groupby("n_chars").size().sort_index()
+    cb = counts.cumsum() - counts
+    n = len(pdf)
+    want_bin = {v: min((cb[v] * 5) // n, 4) for v in counts.index}
+    for _, row in pdf.iterrows():
+        assert got[row["doc_id"]] == want_bin[row["n_chars"]]
+    # equal-depth up to tie mass: every bin holds >0 rows for a spread metric
+    sizes = got.value_counts()
+    assert set(sizes.index) == {0, 1, 2, 3, 4}
+
+
+def test_equal_frequency_bins_ties_stay_together(spark):
+    import pandas as pd
+
+    from z_rad_spark.operators.curation import equal_frequency_bins
+
+    # one value carries 60% of the mass: it must sit in ONE bin (no
+    # NTILE-style arbitrary splitting), and NULL metrics get NULL bins
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "n_chars": [5, 5, 5, 5, 5, 5, 1, 2, 98, None],
+        }
+    )
+    got = (
+        equal_frequency_bins(spark.createDataFrame(pdf), n_bins=4)
+        .select("doc_id", "n_chars", "bin")
+        .toPandas()
+    )
+    fives = got[got["n_chars"] == 5]["bin"]
+    assert fives.nunique() == 1
+    assert got[got["n_chars"].isna()]["bin"].isna().all()
+    # invariance under partitioning
+    df = spark.createDataFrame(pdf)
+    a = sorted(map(tuple, equal_frequency_bins(df.repartition(1), n_bins=4).select("doc_id", "bin").collect()))
+    b = sorted(map(tuple, equal_frequency_bins(df.repartition(7), n_bins=4).select("doc_id", "bin").collect()))
+    assert a == b

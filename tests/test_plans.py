@@ -636,3 +636,20 @@ def test_profile_operators_single_exchange(spark):
     plan = _plan(temporal_profile(_roled_turns_df(spark)))
     assert plan.count("Window") == 0
     assert "Join" not in plan
+
+
+def test_equal_frequency_bins_document_pass_is_broadcast_map(spark):
+    """The document-side pass must be a broadcast join (the bins frame
+    is |distinct values| rows); the only SinglePartition exchange allowed
+    feeds the cumulative window over the COMPACTED histogram aggregate,
+    never the raw document set."""
+    from z_rad_spark.operators.curation import equal_frequency_bins
+
+    plan = _plan(equal_frequency_bins(_docs(spark).withColumn(
+        "n_chars", F.length("text")
+    )))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for frag in plan.split("Exchange SinglePartition")[1:]:
+        head = frag.strip().splitlines()
+        assert any("HashAggregate" in ln for ln in head[:4]), plan

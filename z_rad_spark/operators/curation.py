@@ -919,3 +919,54 @@ def temporal_split(
         .otherwise("train")
     )
     return df.withColumn("fold", fold)
+
+
+def equal_frequency_bins(
+    df: DataFrame, col: str = "n_chars", n_bins: int = 10
+) -> DataFrame:
+    """Deterministic equal-frequency (quantile) binning of an integer
+    metric column — the length-stratification primitive (equal-depth
+    length buckets for stratified sampling / curriculum packing).
+
+    NTILE is the textbook tool but is WRONG here twice over: it splits
+    tied values across bins (so the binning depends on the engine's
+    tie order — not partition-invariant, not oracle-replayable), and it
+    windows over the full row set (a single-partition sort of every
+    document). This operator instead bins on the COMPACTED value
+    histogram: all rows sharing a value land in one bin, by the rule
+
+        bin(v) = min(floor(rows_below(v) * n_bins / n_rows), n_bins - 1)
+
+    computed in exact integer arithmetic (floor division) over
+    |distinct values| rows, then broadcast-joined back. The histogram
+    is bounded by the metric's cardinality (character/token counts:
+    thousands of distinct values at any corpus size), so the one
+    single-partition cumulative window runs over a tiny aggregate —
+    the same two-pass shape as shard_pack's offset frame — and the
+    document pass itself is a narrow broadcast-join map.
+
+    NULL metrics get a NULL bin. Bins are equal-frequency up to tie
+    mass: a value more frequent than n/n_bins occupies its whole bin
+    and may swallow neighbors (the deterministic price; NTILE would
+    have split it arbitrarily instead).
+
+    Adds: ``bin`` long in [0, n_bins).
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    x = F.col(col).cast("long")
+    hist = (
+        df.where(x.isNotNull())
+        .groupBy(x.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("_v", (F.sum("_c").over(w) - F.col("_c")).alias("_cb"))
+    tot = hist.agg(F.sum("_c").alias("_n"))
+    bins = cum.join(F.broadcast(tot)).select(
+        "_v",
+        F.least(
+            F.expr(f"(_cb * {int(n_bins)}) div _n"), F.lit(n_bins - 1)
+        ).alias("bin"),
+    )
+    return df.join(F.broadcast(bins), x == F.col("_v"), "left").drop("_v")
