@@ -4933,3 +4933,47 @@ bins AS (
 SELECT d.doc_id, d.n_chars, b.bin
 FROM documents d LEFT JOIN bins b ON CAST(d.n_chars AS BIGINT) = b.v
 """
+
+
+# Welch t + Cohen's d mean-shift drift: six exact-long sufficient
+# statistics, fixed single-op chains — matches drift.welch_drift
+_W_MR = "(CAST(COALESCE(sr, 0) AS DOUBLE) / NULLIF(CAST(nr AS DOUBLE), 0.0))"
+_W_MC = "(CAST(COALESCE(sc, 0) AS DOUBLE) / NULLIF(CAST(nc AS DOUBLE), 0.0))"
+_W_VR = (
+    "((CAST(nr AS DOUBLE) * CAST(COALESCE(qr, 0) AS DOUBLE)"
+    " - CAST(COALESCE(sr, 0) AS DOUBLE) * CAST(COALESCE(sr, 0) AS DOUBLE))"
+    " / NULLIF(CAST(nr AS DOUBLE) * (CAST(nr AS DOUBLE) - 1.0), 0.0))"
+)
+_W_VC = (
+    "((CAST(nc AS DOUBLE) * CAST(COALESCE(qc, 0) AS DOUBLE)"
+    " - CAST(COALESCE(sc, 0) AS DOUBLE) * CAST(COALESCE(sc, 0) AS DOUBLE))"
+    " / NULLIF(CAST(nc AS DOUBLE) * (CAST(nc AS DOUBLE) - 1.0), 0.0))"
+)
+_W_SE2 = f"({_W_VR} / NULLIF(CAST(nr AS DOUBLE), 0.0) + {_W_VC} / NULLIF(CAST(nc AS DOUBLE), 0.0))"
+_W_POOL = (
+    f"(((CAST(nr AS DOUBLE) - 1.0) * {_W_VR} + (CAST(nc AS DOUBLE) - 1.0) * {_W_VC})"
+    " / NULLIF(CAST(nr AS DOUBLE) + CAST(nc AS DOUBLE) - 2.0, 0.0))"
+)
+
+ORACLES["q_welch_drift"] = f"""
+WITH t AS ({T}),
+g AS (
+  SELECT role,
+         COUNT(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 END) AS nr,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN CAST(signal AS BIGINT) END) AS sr,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN CAST(signal AS BIGINT) * CAST(signal AS BIGINT) END) AS qr,
+         COUNT(CASE WHEN NOT (ts < TIMESTAMP '2024-01-15 00:00:00') THEN 1 END) AS nc,
+         SUM(CASE WHEN NOT (ts < TIMESTAMP '2024-01-15 00:00:00') THEN CAST(signal AS BIGINT) END) AS sc,
+         SUM(CASE WHEN NOT (ts < TIMESTAMP '2024-01-15 00:00:00') THEN CAST(signal AS BIGINT) * CAST(signal AS BIGINT) END) AS qc
+  FROM t WHERE signal IS NOT NULL
+  GROUP BY role
+)
+SELECT role,
+       CAST(nr AS BIGINT) AS n_ref,
+       CAST(nc AS BIGINT) AS n_cur,
+       {r6(f"CASE WHEN nr > 0 THEN {_W_MR} END", "mean_ref")},
+       {r6(f"CASE WHEN nc > 0 THEN {_W_MC} END", "mean_cur")},
+       {r6(f"CASE WHEN nr > 1 AND nc > 1 AND {_W_SE2} > 0 THEN ({_W_MR} - {_W_MC}) / sqrt({_W_SE2}) END", "t")},
+       {r6(f"CASE WHEN nr > 1 AND nc > 1 AND {_W_POOL} > 0 THEN ({_W_MR} - {_W_MC}) / sqrt({_W_POOL}) END", "d")}
+FROM g
+"""

@@ -649,3 +649,54 @@ def test_partition_invariance_of_profile_operators(spark):
         one = sorted(map(tuple, op(base.repartition(1)).collect()))
         many = sorted(map(tuple, op(base.repartition(7)).collect()))
         assert one == many
+
+
+def test_welch_drift_matches_manual(spark):
+    import math
+
+    from z_rad_spark.operators.drift import welch_drift
+
+    df, pdf = _turns(spark, n_conv=4, n_turns=60, seed=89)
+    pdf["role"] = ["user", "assistant", "tool", "system"] * (len(pdf) // 4)
+    df = spark.createDataFrame(pdf[["conv_id", "turn_idx", "ts", "signal", "role"]])
+    split = pd.Timestamp("2024-01-01 12:00:00")
+    got = (
+        welch_drift(df, split_ts="2024-01-01 12:00:00").toPandas().set_index("role")
+    )
+    for role, grp in pdf.groupby("role"):
+        ref = grp[grp["ts"] < split]["signal"].to_numpy()
+        cur = grp[grp["ts"] >= split]["signal"].to_numpy()
+        t = (ref.mean() - cur.mean()) / math.sqrt(
+            ref.var(ddof=1) / len(ref) + cur.var(ddof=1) / len(cur)
+        )
+        pooled = (
+            (len(ref) - 1) * ref.var(ddof=1) + (len(cur) - 1) * cur.var(ddof=1)
+        ) / (len(ref) + len(cur) - 2)
+        d = (ref.mean() - cur.mean()) / math.sqrt(pooled)
+        assert got.loc[role, "n_ref"] == len(ref)
+        assert abs(got.loc[role, "mean_ref"] - ref.mean()) < 1e-12
+        assert abs(got.loc[role, "mean_cur"] - cur.mean()) < 1e-12
+        assert abs(got.loc[role, "t"] - t) < 1e-9
+        assert abs(got.loc[role, "d"] - d) < 1e-9
+
+
+def test_welch_drift_degenerate_windows_are_null(spark):
+    from z_rad_spark.operators.drift import welch_drift
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": "c0",
+            "turn_idx": range(3),
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:01:00", "2024-06-02 00:00:00"]
+            ),
+            "signal": [1.0, 3.0, 5.0],
+            "role": "user",
+        }
+    )
+    got = welch_drift(spark.createDataFrame(pdf), split_ts="2024-06-01").toPandas()
+    # monitoring window has a single observation: t and d undefined
+    assert got["n_cur"].iloc[0] == 1
+    assert abs(got["mean_cur"].iloc[0] - 5.0) < 1e-12
+    assert pd.isna(got["t"].iloc[0])
+    assert pd.isna(got["d"].iloc[0])

@@ -344,3 +344,84 @@ def mw_drift(
         F.when(both, u).alias("u"),
         F.when(both, u / (nr * nc)).alias("auc"),
     )
+
+
+def welch_drift(
+    df: DataFrame,
+    split_ts: str,
+    signal_col: str = "signal",
+    group_col: str = "role",
+) -> DataFrame:
+    """Welch two-sample t statistic + Cohen's d effect size per group
+    between the pre-cutoff reference window and the at/after-cutoff
+    monitoring window — the parametric member of the drift battery
+    (PSI = binned divergence, KS = ECDF sup-norm, MW = rank/AUC; Welch
+    = mean shift in units of pooled spread, the one a dashboard trends):
+
+        t = (m_ref - m_cur) / sqrt(v_ref / n_ref + v_cur / n_cur)
+        d = (m_ref - m_cur) / sqrt(((n_ref - 1) v_ref
+                                    + (n_cur - 1) v_cur)
+                                   / (n_ref + n_cur - 2))
+
+    with m the window mean and v the unbiased (n-1) variance.
+
+    Scale + determinism shape: ONE map-side-combined aggregate computes
+    the six exact-long sufficient statistics (per-window count, sum,
+    sum of squares — integer signal contract); every emitted float is a
+    fixed chain of single IEEE ops over them (v = (n*sxx - sx*sx) /
+    (n*(n-1)) — exact integer numerator), so the SQL oracle replays t
+    and d bit-for-bit. No window function exists in the plan at all.
+
+    NULL signals are excluded. t is NULL unless both windows have >= 2
+    observations and a positive variance term; d additionally needs a
+    positive pooled variance.
+
+    Output: (group_col, n_ref long, n_cur long, mean_ref double,
+    mean_cur double, t double, d double).
+    """
+    x = F.col(signal_col).cast("long")
+    is_ref = F.col("ts").cast("timestamp") < F.lit(split_ts).cast("timestamp")
+    g = df.where(x.isNotNull()).groupBy(group_col).agg(
+        F.count(F.when(is_ref, 1)).alias("_nr"),
+        F.sum(F.when(is_ref, x)).alias("_sr"),
+        F.sum(F.when(is_ref, x * x)).alias("_qr"),
+        F.count(F.when(~is_ref, 1)).alias("_nc"),
+        F.sum(F.when(~is_ref, x)).alias("_sc"),
+        F.sum(F.when(~is_ref, x * x)).alias("_qc"),
+    )
+    def _nz(d):
+        # NULLIF-safe denominator: ANSI mode errors on /0 even inside a
+        # guarded CASE branch (the guard itself evaluates the division);
+        # dividing by NULL instead yields NULL, which every guard below
+        # already treats as "undefined" — the oracle mirrors with NULLIF
+        return F.when(d != F.lit(0.0), d)
+
+    nr = F.col("_nr").cast("double")
+    nc = F.col("_nc").cast("double")
+    m_r = F.coalesce(F.col("_sr"), F.lit(0)).cast("double") / _nz(nr)
+    m_c = F.coalesce(F.col("_sc"), F.lit(0)).cast("double") / _nz(nc)
+    # unbiased variance with an exact integer numerator: n*sxx - sx*sx
+    v_r = (
+        nr * F.coalesce(F.col("_qr"), F.lit(0)).cast("double")
+        - F.coalesce(F.col("_sr"), F.lit(0)).cast("double")
+        * F.coalesce(F.col("_sr"), F.lit(0)).cast("double")
+    ) / _nz(nr * (nr - F.lit(1.0)))
+    v_c = (
+        nc * F.coalesce(F.col("_qc"), F.lit(0)).cast("double")
+        - F.coalesce(F.col("_sc"), F.lit(0)).cast("double")
+        * F.coalesce(F.col("_sc"), F.lit(0)).cast("double")
+    ) / _nz(nc * (nc - F.lit(1.0)))
+    se2 = v_r / _nz(nr) + v_c / _nz(nc)
+    pooled = (
+        (nr - F.lit(1.0)) * v_r + (nc - F.lit(1.0)) * v_c
+    ) / _nz(nr + nc - F.lit(2.0))
+    both2 = (F.col("_nr") > 1) & (F.col("_nc") > 1)
+    return g.select(
+        group_col,
+        F.col("_nr").cast("long").alias("n_ref"),
+        F.col("_nc").cast("long").alias("n_cur"),
+        F.when(F.col("_nr") > 0, m_r).alias("mean_ref"),
+        F.when(F.col("_nc") > 0, m_c).alias("mean_cur"),
+        F.when(both2 & (se2 > 0), (m_r - m_c) / F.sqrt(se2)).alias("t"),
+        F.when(both2 & (pooled > 0), (m_r - m_c) / F.sqrt(pooled)).alias("d"),
+    )
