@@ -57,6 +57,14 @@ HEADLINE = [
     "q_expanding_zscore",
     "q_pca_cov",
     "q_hamming_topk",
+    # round-4 session-6 additions: the classical feature-engineering
+    # wave at full turn volume — the global broadcast encoder, the
+    # per-conversation trend/autocorrelation aggregates, and the
+    # rank-drift pre-aggregation shape
+    "q_loo_encode",
+    "q_signal_trend",
+    "q_autocorr",
+    "q_mw_drift",
 ]
 
 

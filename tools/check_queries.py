@@ -81,6 +81,16 @@ def main():
 
     spark = get_spark("check_queries", cores=8)
     con = duckdb.connect()
+    # Cap the oracle's buffer pool well below DuckDB's 80%-of-RAM default:
+    # without a cap the pool grows monotonically across the 150+ oracle
+    # queries (nothing evicts while under the limit) until the PROCESS
+    # hits the sandbox's per-process memory ceiling and tiny mallocs fail
+    # ("Out of Memory Error: Failed to allocate block of 3420 bytes" with
+    # 124 GB system-free). The cap forces eviction early; 24 GB clears
+    # the heaviest oracles (the GLCM matrix replays peak ~8-10 GB of
+    # unspillable list aggregates) while staying under the ceiling.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_mirror_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
