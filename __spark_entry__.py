@@ -2664,6 +2664,23 @@ def q_freq_bins(spark, sf_dir):
     return out.select("doc_id", "n_chars", "bin")
 
 
+def q_stream_cusum(spark, sf_dir):
+    """Stateful streaming CUSUM drift chart (streaming.streaming_cusum
+    via applyInPandasWithState): per distinct (conv_id, ts), the
+    closed-form chart value from O(1) carried state (prefix sum +
+    running floor), tied turns folded into one deterministic step. The
+    batch oracle replays the distinct-ts semantics declaratively —
+    dyadic-exact deviations make the streaming/batch hash match
+    bit-for-bit."""
+    from z_rad_spark.streaming import streaming_cusum
+
+    res = _replay_stream(spark, sf_dir, streaming_cusum, "q_stream_cusum_")
+    return _r6(
+        res.select("conv_id", "ts_us", "n_at_ts", "cusum", "cusum_alarm"),
+        ["cusum"],
+    )
+
+
 def q_welch_drift(spark, sf_dir):
     """Welch t + Cohen's d mean-shift drift per role between the
     pre/post cutoff windows (drift.welch_drift): six exact-long
@@ -2784,6 +2801,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows that keep their green driver rows plus this round's
         # full-registry strict-mirror green; they sit first past the
         # marker for the r5 rotation.
+        # q_stream_cusum is new in session 6 but every in-window slot now
+        # holds a new/changed-this-round entry; it waits for r5 with this
+        # session's two-scale strict-mirror green on record (BASELINE.md
+        # round-4 update 6).
+        "q_stream_cusum": q_stream_cusum,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

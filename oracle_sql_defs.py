@@ -4977,3 +4977,33 @@ SELECT role,
        {r6(f"CASE WHEN nr > 1 AND nc > 1 AND {_W_POOL} > 0 THEN ({_W_MR} - {_W_MC}) / sqrt({_W_POOL}) END", "d")}
 FROM g
 """
+
+
+# streaming CUSUM: batch replay of the distinct-ts closed form —
+# matches streaming.streaming_cusum (target 5.0 + slack 0.5 -> dyadic
+# reference 5.5; every deviation a dyadic rational, exact in float64)
+ORACLES["q_stream_cusum"] = f"""
+WITH t AS ({T}),
+g AS (
+  SELECT conv_id, ts, COUNT(*) AS c, SUM(CAST(signal AS BIGINT)) AS s
+  FROM t GROUP BY conv_id, ts
+),
+w AS (
+  SELECT conv_id, epoch_us(ts) AS ts_us, c,
+         SUM(CAST(s AS DOUBLE) - CAST(c AS DOUBLE) * 5.5)
+           OVER (PARTITION BY conv_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM g
+),
+m AS (
+  SELECT conv_id, ts_us, c, p,
+         LEAST(MIN(p) OVER (PARTITION BY conv_id ORDER BY ts_us
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               0.0) AS mn
+  FROM w
+)
+SELECT conv_id, ts_us, CAST(c AS BIGINT) AS n_at_ts,
+       {r6("p - mn", "cusum")},
+       (p - mn) > 8.0 AS cusum_alarm
+FROM m
+"""

@@ -147,3 +147,52 @@ def test_streaming_running_stats_state_across_restart(spark, tmp_path):
     assert last["n_so_far"] == 4
     assert last["signal_sum"] == 16.0
     assert last["signal_max"] == 9.0
+
+
+def test_streaming_cusum_matches_recursion_and_restarts(spark, tmp_path):
+    from z_rad_spark.streaming import streaming_cusum
+
+    src = str(tmp_path / "src4")
+    out_path = str(tmp_path / "out4")
+    ck = str(tmp_path / "ck4")
+
+    def run(batch_rows):
+        _write_batch(spark, src, batch_rows)
+        stream = spark.readStream.schema(SCHEMA).parquet(src).select(
+            "conv_id", "ts", "signal"
+        )
+        _run_to_parquet(
+            streaming_cusum(stream, target=5.0, slack=0.5, threshold=8.0),
+            out_path,
+            ck,
+        )
+
+    # batch 1: tied timestamps fold into one chart step (dev = 2+9-2*5.5)
+    run(
+        [
+            ("c1", 0, "2024-01-01 00:00:00", 2.0),
+            ("c1", 1, "2024-01-01 00:00:00", 9.0),
+            ("c1", 2, "2024-01-01 00:05:00", 9.0),
+            ("c1", 3, "2024-01-01 00:10:00", 9.0),
+        ]
+    )
+    got = _read_sink(spark, out_path).sort_values("ts_us").reset_index(drop=True)
+    # recursion: s = max(0, s + (x - 5.5)) stepped per distinct ts with
+    # tied deviations summed: steps 0.0, +3.5, +3.5 -> 0.0, 3.5, 7.0
+    assert list(got["n_at_ts"]) == [2, 1, 1]
+    assert list(got["cusum"]) == [0.0, 3.5, 7.0]
+    assert list(got["cusum_alarm"]) == [False, False, False]
+
+    # batch 2 after a RESTART: carried (P, m) must continue the chart
+    run([("c1", 4, "2024-01-01 00:15:00", 9.0)])
+    got = _read_sink(spark, out_path).sort_values("ts_us").reset_index(drop=True)
+    assert len(got) == 4
+    assert got.iloc[-1]["cusum"] == 10.5
+    assert bool(got.iloc[-1]["cusum_alarm"]) is True
+
+    # negative drift floors at zero via the running-min identity
+    run([("c1", 5, "2024-01-01 00:20:00", 1.0),
+         ("c1", 6, "2024-01-01 00:25:00", 1.0),
+         ("c1", 7, "2024-01-01 00:30:00", 1.0)])
+    got = _read_sink(spark, out_path).sort_values("ts_us").reset_index(drop=True)
+    assert list(got["cusum"]) == [0.0, 3.5, 7.0, 10.5, 6.0, 1.5, 0.0]

@@ -269,3 +269,101 @@ def streaming_running_stats(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("n_at_ts", T.LongType(), False),
+        T.StructField("cusum", T.DoubleType(), False),
+        T.StructField("cusum_alarm", T.BooleanType(), False),
+    ]
+)
+
+_CUSUM_STATE = T.StructType(
+    [
+        T.StructField("p", T.DoubleType(), False),
+        T.StructField("m", T.DoubleType(), False),
+    ]
+)
+
+
+def streaming_cusum(
+    stream: DataFrame,
+    target: float = 5.0,
+    slack: float = 0.5,
+    threshold: float = 8.0,
+) -> DataFrame:
+    """Streaming one-sided CUSUM drift chart — the stateful twin of the
+    batch drift.with_cusum closed form. Per conversation the state is
+    TWO scalars: the running prefix sum of deviations P and the running
+    floor m = min(0, min_j P_j); each emitted chart point is
+
+        s_t = P_t - m_t,      alarm when s_t > threshold
+
+    which equals the textbook recursion max(0, s + (x - target - slack))
+    (drift.py module docstring derives the identity).
+
+    Emission is per DISTINCT timestamp with all tied turns folded into
+    one chart step (their deviation sum is order-independent, so the
+    output is deterministic under any arrival interleaving of same-ts
+    turns — a per-turn emission could not order ties on a stream with
+    no turn_idx). The batch oracle replays the same distinct-ts
+    semantics declaratively.
+
+    Exactness contract: integer-valued signals and a dyadic-rational
+    target+slack make every deviation a dyadic rational, so prefix
+    sums, mins, and the subtraction are exact in float64 in ANY
+    accumulation order — the streaming output hash-matches the SQL
+    replay bit-for-bit.
+
+    Per-batch work is vectorized (reduceat + cumsum + running min);
+    state is O(1) per conversation; restart-safety comes from the
+    checkpointed state store. Cross-batch correctness assumes per-key
+    event-time-ordered arrival across micro-batches (the same
+    contract streaming_running_stats documents); within a batch any
+    order is handled.
+    """
+    ref = float(target) + float(slack)
+    thr = float(threshold)
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
+            return
+        ts_us = rows["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        sig = rows["signal"].astype(float).to_numpy()
+        order = ts_us.argsort(kind="stable")
+        ts_us, sig = ts_us[order], sig[order]
+        uniq, starts = np.unique(ts_us, return_index=True)
+        counts = np.diff(np.concatenate((starts, [len(ts_us)])))
+        # deviation sum per distinct ts: sum(x) - n*ref (dyadic-exact)
+        devs = np.add.reduceat(sig, starts) - counts * ref
+        p0, m0 = (0.0, 0.0)
+        if state.exists:
+            p0, m0 = state.get
+        p = p0 + np.cumsum(devs)
+        m = np.minimum.accumulate(np.minimum(p, m0))
+        s = p - m
+        state.update((float(p[-1]), float(m[-1])))
+        yield pd.DataFrame(
+            {
+                "conv_id": conv_id,
+                "ts_us": uniq,
+                "n_at_ts": counts.astype("int64"),
+                "cusum": s,
+                "cusum_alarm": s > thr,
+            }
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=CUSUM_SCHEMA,
+        stateStructType=_CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
