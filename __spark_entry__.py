@@ -2664,6 +2664,31 @@ def q_freq_bins(spark, sf_dir):
     return out.select("doc_id", "n_chars", "bin")
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training data
+    (similarity.mine_hard_negatives): per query, the top-5 most-similar
+    corpus vectors with a DIFFERENT label — exact broadcast baseline,
+    id-ascending tie-break, fixed-order cosine fold; the oracle replays
+    the ranking exactly. The scale path (ANN pool ->
+    filter_hard_negatives) is equivalence-tested in pytest."""
+    from z_rad_spark.operators.similarity import mine_hard_negatives
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = mine_hard_negatives(emb, queries, k=5)
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("vec_id").cast("long"),
+        F.col("neg_label").cast("int"),
+        "cosine",
+        F.col("rank").cast("int"),
+    )
+
+
 def q_stream_cusum(spark, sf_dir):
     """Stateful streaming CUSUM drift chart (streaming.streaming_cusum
     via applyInPandasWithState): per distinct (conv_id, ts), the
@@ -2801,11 +2826,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows that keep their green driver rows plus this round's
         # full-registry strict-mirror green; they sit first past the
         # marker for the r5 rotation.
-        # q_stream_cusum is new in session 6 but every in-window slot now
-        # holds a new/changed-this-round entry; it waits for r5 with this
-        # session's two-scale strict-mirror green on record (BASELINE.md
-        # round-4 update 6).
+        # q_stream_cusum / q_hard_negatives are new in session 6 but every
+        # in-window slot now holds a new/changed-this-round entry; they
+        # wait for r5 with this session's two-scale strict-mirror green on
+        # record (BASELINE.md round-4 updates 6-7).
         "q_stream_cusum": q_stream_cusum,
+        "q_hard_negatives": q_hard_negatives,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

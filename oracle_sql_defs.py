@@ -5007,3 +5007,30 @@ SELECT conv_id, ts_us, CAST(c AS BIGINT) AS n_at_ts,
        (p - mn) > 8.0 AS cusum_alarm
 FROM m
 """
+
+
+# hard-negative mining: exact broadcast baseline — matches
+# similarity.mine_hard_negatives (same fixed-order cosine fold and
+# id-ascending tie-break as q_cosine_topk)
+ORACLES["q_hard_negatives"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 5
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, label FROM embeddings),
+s AS (
+  SELECT q.query_id, v.vec_id, v.label AS neg_label,
+         list_dot_product(v.ev, q.qv)
+           / (sqrt(list_dot_product(v.ev, v.ev)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM v CROSS JOIN q
+  WHERE v.label <> q.qlabel AND v.vec_id <> q.query_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(neg_label AS INT) AS neg_label,
+       {r6("cos", "cosine")}, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+"""

@@ -1203,3 +1203,83 @@ def test_retrieval_metrics_hand_computed(spark):
     assert got[1]["n_hit"] == 1
     assert got[1]["recall_at_k"] == pytest.approx(1 / 3, abs=1e-6)
     assert got[1]["rr_at_k"] == 0.0
+
+
+def test_mine_hard_negatives_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from z_rad_spark.operators.similarity import mine_hard_negatives
+
+    rng = np.random.default_rng(97)
+    x = rng.standard_normal((60, 16))
+    labels = rng.integers(0, 4, 60)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(60),
+            "embedding": list(map(list, x)),
+            "label": labels,
+        }
+    )
+    vecs = spark.createDataFrame(pdf)
+    queries = vecs.where("vec_id < 4").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec", "label AS query_label"
+    )
+    got = mine_hard_negatives(vecs, queries, k=3).toPandas()
+    norms = np.linalg.norm(x, axis=1)
+    for q in range(4):
+        cos = (x @ x[q]) / (norms * norms[q])
+        mask = (labels != labels[q]) & (np.arange(60) != q)
+        cand = np.where(mask)[0]
+        order = cand[np.lexsort((cand, -cos[cand]))][:3]
+        sub = got[got["query_id"] == q].sort_values("rank")
+        assert list(sub["vec_id"]) == list(order)
+        # no same-label or self negatives, ever
+        assert (sub["neg_label"].to_numpy() != labels[q]).all()
+        assert (sub["vec_id"].to_numpy() != q).all()
+
+
+def test_filter_hard_negatives_equals_exact_on_full_pool(spark):
+    """The scale path (ANN pool -> label filter -> re-rank) must equal
+    the exact miner whenever the pool contains the full ranking — the
+    equivalence that justifies composing it with ivf/ivfpq/lsh top-k."""
+    import numpy as np
+    import pandas as pd
+
+    from z_rad_spark.operators.similarity import (
+        cosine_topk,
+        filter_hard_negatives,
+        mine_hard_negatives,
+    )
+
+    rng = np.random.default_rng(101)
+    x = rng.standard_normal((40, 8))
+    labels = rng.integers(0, 3, 40)
+    pdf = pd.DataFrame(
+        {"vec_id": range(40), "embedding": list(map(list, x)), "label": labels}
+    )
+    vecs = spark.createDataFrame(pdf)
+    queries = vecs.where("vec_id < 3").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec", "label AS query_label"
+    )
+    exact = (
+        mine_hard_negatives(vecs, queries, k=4)
+        .select("query_id", "vec_id", "rank")
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pool = cosine_topk(vecs, queries.drop("query_label"), k=40)
+    composed = (
+        filter_hard_negatives(
+            pool,
+            vecs.select("vec_id", "label"),
+            queries.selectExpr("query_id", "query_label AS label"),
+            k=4,
+        )
+        .select("query_id", "vec_id", "rank")
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert exact.equals(composed)

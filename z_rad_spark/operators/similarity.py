@@ -1127,3 +1127,110 @@ def embedding_covariance(
         F.col("n").cast("long").alias("n"),
         F.round(cov, 6).alias("cov"),
     )
+
+
+def mine_hard_negatives(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    query_label: str = "query_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training data:
+    for each query, the k most-similar corpus vectors whose LABEL
+    differs from the query's (and which are not the query itself) — the
+    near-miss impostors that make embedding models actually learn
+    (random negatives are trivially separable; the hard ones carry the
+    gradient).
+
+    This is the EXACT baseline, the same documented broadcast-crossJoin
+    shape as cosine_topk (queries are the small side): score all, drop
+    same-label and self, keep the bounded per-query top-k window. Ties
+    break on ``id_col`` ascending for determinism, so the SQL oracle
+    replays the ranking exactly (the cosine is a fixed-order fold over
+    the vector elements in both engines). At corpus scale, mine from an
+    ANN candidate pool instead: any of ivf_topk / ivfpq_topk /
+    lsh_bucket_topk feeding ``filter_hard_negatives`` — the composition
+    keeps the all-pairs scoring off the table entirely.
+
+    Output: (query_id, vec_id, neg_label, cosine, rank).
+    """
+    joined = vectors.crossJoin(F.broadcast(queries))
+    sim = _cosine(F.col(vec_col), F.col(query_vec))
+    scored = joined.where(
+        (F.col(label_col) != F.col(query_label))
+        & (F.col(id_col) != F.col(query_id))
+    ).select(
+        F.col(query_id),
+        F.col(id_col),
+        F.col(label_col).alias("neg_label"),
+        sim.cast("double").alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id, id_col, "neg_label", F.round("cosine", 6).alias("cosine"), "rank"
+        )
+    )
+
+
+def filter_hard_negatives(
+    candidates: DataFrame,
+    labels: DataFrame,
+    query_labels: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    query_id: str = "query_id",
+    score_col: str = "cosine",
+) -> DataFrame:
+    """The scale path of hard-negative mining: take an ANN candidate
+    pool (any of ivf_topk / ivfpq_topk / lsh_bucket_topk / cosine_topk
+    output — (query_id, vec_id, score, ...) rows, |queries| x k' of
+    them), attach corpus labels and query labels, drop same-label and
+    self pairs, and re-rank the survivors to the final top-k.
+
+    Plan shape: the candidate pool is tiny relative to the corpus, so
+    the label attachments are equi-joins with the pool as the build
+    side, and the re-rank window is bounded by k' rows per query —
+    nothing here ever touches the full corpus. Mine with k' > k so
+    same-label candidates do not starve the output (a pool of 3-4x k
+    is the usual rule).
+
+    Output: (query_id, vec_id, neg_label, score_col, rank).
+    """
+    pool = (
+        candidates.join(
+            F.broadcast(labels.select(F.col(id_col), F.col(label_col))), id_col
+        )
+        .join(
+            F.broadcast(
+                query_labels.select(
+                    F.col(query_id), F.col(label_col).alias("_qlabel")
+                )
+            ),
+            query_id,
+        )
+        .where(
+            (F.col(label_col) != F.col("_qlabel"))
+            & (F.col(id_col) != F.col(query_id))
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        pool.select(
+            query_id, id_col, F.col(label_col).alias("neg_label"), score_col
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
