@@ -2706,6 +2706,40 @@ def q_stream_cusum(spark, sf_dir):
     )
 
 
+def q_stream_psi(spark, sf_dir):
+    """Streaming PSI drift monitor (streaming.streaming_psi): per
+    closed 1-day tumbling window, the binned signal distribution scored
+    against the pre-cutoff reference histogram (computed batch-side and
+    folded in as literals — 9 driver-side longs). Same add-one
+    smoothing, fixed-order term chain, and bands as the batch
+    drift.psi_drift; the oracle recomputes the reference from the same
+    predicate and replays every window's score bit-for-bit."""
+    from z_rad_spark.streaming import streaming_psi
+
+    ref_row = (
+        _t(spark, sf_dir)
+        .where(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .agg(
+            *[
+                F.count(F.when(F.col("signal").cast("int") == b, 1)).alias(f"r{b}")
+                for b in range(1, 10)
+            ]
+        )
+        .collect()[0]
+    )
+    ref = [int(ref_row[f"r{b}"]) for b in range(1, 10)]
+    res = _replay_stream(
+        spark,
+        sf_dir,
+        lambda s: streaming_psi(s, ref, window="1 day", watermark="0 seconds"),
+        "q_stream_psi_",
+    )
+    return _r6(
+        res.select("window_start_us", "window_end_us", "n", "psi", "drift_band"),
+        ["psi"],
+    )
+
+
 def q_welch_drift(spark, sf_dir):
     """Welch t + Cohen's d mean-shift drift per role between the
     pre/post cutoff windows (drift.welch_drift): six exact-long
@@ -2832,6 +2866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # record (BASELINE.md round-4 updates 6-7).
         "q_stream_cusum": q_stream_cusum,
         "q_hard_negatives": q_hard_negatives,
+        "q_stream_psi": q_stream_psi,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

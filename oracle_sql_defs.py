@@ -5034,3 +5034,54 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
        {r6("cos", "cosine")}, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 5
 """
+
+
+# streaming PSI: batch replay of the closed 1-day tumbling windows —
+# matches streaming.streaming_psi (reference = pre-cutoff counts, same
+# add-one smoothing, same fixed-order term chain as q_psi_drift)
+def _spsi_terms() -> str:
+    terms = []
+    for b in range(1, 10):
+        p = f"(CAST(r{b} + 1 AS DOUBLE) / CAST(rt + 9 AS DOUBLE))"
+        q = f"(CAST(c{b} + 1 AS DOUBLE) / CAST(n + 9 AS DOUBLE))"
+        terms.append(f"(({p} - {q}) * ln({p} / {q}))")
+    return _fold(terms)
+
+
+_SPSI_WCOUNTS = ",\n         ".join(
+    f"COUNT(CASE WHEN CAST(signal AS INT) = {b} THEN 1 END) AS c{b}"
+    for b in range(1, 10)
+)
+_SPSI_RCOUNTS = ",\n         ".join(
+    f"COUNT(CASE WHEN CAST(signal AS INT) = {b} THEN 1 END) AS r{b}"
+    for b in range(1, 10)
+)
+
+ORACLES["q_stream_psi"] = f"""
+WITH t AS ({T}),
+ref AS (
+  SELECT COUNT(*) AS rt,
+         {_SPSI_RCOUNTS}
+  FROM t WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+),
+mx AS (SELECT MAX(epoch_us(ts)) AS m FROM t),
+w AS (
+  SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS ws,
+         COUNT(*) AS n,
+         {_SPSI_WCOUNTS}
+  FROM t GROUP BY 1
+),
+s AS (
+  SELECT ws, n, {_spsi_terms()} AS psi
+  FROM w CROSS JOIN ref CROSS JOIN mx
+  WHERE ws + 86400000000 <= mx.m
+)
+SELECT CAST(ws AS BIGINT) AS window_start_us,
+       CAST(ws + 86400000000 AS BIGINT) AS window_end_us,
+       CAST(n AS BIGINT) AS n,
+       {r6("psi", "psi")},
+       CASE WHEN psi < 0.1 THEN 'stable'
+            WHEN psi < 0.25 THEN 'drifting'
+            ELSE 'shifted' END AS drift_band
+FROM s
+"""

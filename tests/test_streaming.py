@@ -196,3 +196,46 @@ def test_streaming_cusum_matches_recursion_and_restarts(spark, tmp_path):
          ("c1", 7, "2024-01-01 00:30:00", 1.0)])
     got = _read_sink(spark, out_path).sort_values("ts_us").reset_index(drop=True)
     assert list(got["cusum"]) == [0.0, 3.5, 7.0, 10.5, 6.0, 1.5, 0.0]
+
+
+def test_streaming_psi_flags_injected_drift(spark, tmp_path):
+    import math
+
+    from z_rad_spark.streaming import streaming_psi
+
+    src = str(tmp_path / "src5")
+    out_path = str(tmp_path / "out5")
+    ck = str(tmp_path / "ck5")
+
+    # reference: uniform over bins 1..3; day 1 matches it, day 2 is a
+    # point mass on bin 9 — day 1 must read stable, day 2 shifted
+    ref = [10, 10, 10] + [0] * 6
+    rows = []
+    for i in range(30):
+        rows.append((f"c{i%3}", i, f"2024-01-01 0{i%8}:00:00", float(1 + i % 3)))
+    for i in range(30):
+        rows.append((f"c{i%3}", 30 + i, f"2024-01-02 0{i%8}:00:00", 9.0))
+    # day 3 sentinel so both full days close under the 0s watermark
+    rows.append(("c0", 99, "2024-01-03 00:00:00", 1.0))
+    _write_batch(spark, src, rows)
+    stream = spark.readStream.schema(SCHEMA).parquet(src).select(
+        "conv_id", "ts", "signal"
+    )
+    _run_to_parquet(
+        streaming_psi(stream, ref, window="1 day", watermark="0 seconds"),
+        out_path,
+        ck,
+    )
+    got = _read_sink(spark, out_path).sort_values("window_start_us").reset_index(drop=True)
+    assert len(got) == 2
+    assert got.loc[0, "drift_band"] == "stable"
+    assert got.loc[1, "drift_band"] == "shifted"
+    # replay the smoothed PSI for day 2 by hand
+    rt = sum(ref) + 9
+    n = 30 + 9
+    psi = 0.0
+    for b in range(1, 10):
+        p = (ref[b - 1] + 1) / rt
+        q = ((30 if b == 9 else 0) + 1) / n
+        psi += (p - q) * math.log(p / q)
+    assert abs(got.loc[1, "psi"] - psi) < 1e-9

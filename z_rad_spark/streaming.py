@@ -367,3 +367,64 @@ def streaming_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_psi(
+    stream: DataFrame,
+    ref_counts: list,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    signal_col: str = "signal",
+) -> DataFrame:
+    """Streaming Population Stability Index per tumbling window: each
+    closed window's binned signal distribution scored against a FIXED
+    reference histogram (``ref_counts``: the per-bin counts of a batch
+    profiling run, bins = integer signal values 1..len(ref_counts)) —
+    the continuously-updating twin of the batch drift.psi_drift, with
+    the same add-one smoothing and conventional bands (<0.1 stable,
+    0.1-0.25 drifting, >=0.25 shifted).
+
+    Plan shape: ONE watermarked windowed aggregation with n_bins
+    map-side conditional counts (partial aggregation + state store, no
+    Python, no bin explode); the PSI is a fixed-order term chain over
+    the known bins with the reference side folded in as LITERALS — so
+    the append-mode emission is deterministic and the batch oracle
+    replays the score bit-for-bit. State per window is n_bins+1 longs.
+
+    Output: (window_start_us, window_end_us, n long, psi double,
+    drift_band string).
+    """
+    n_bins = len(ref_counts)
+    ref_total = float(sum(int(c) for c in ref_counts)) + float(n_bins)
+    x = F.col(signal_col).cast("int")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for b in range(1, n_bins + 1):
+        aggs.append(F.count(F.when(x == b, 1)).alias(f"_c{b}"))
+    g = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(*aggs)
+    )
+    nc = (F.col("n") + F.lit(n_bins)).cast("double")
+    psi = None
+    for b in range(1, n_bins + 1):
+        p = F.lit(float(int(ref_counts[b - 1]) + 1)) / F.lit(ref_total)
+        q = (F.col(f"_c{b}") + F.lit(1)).cast("double") / nc
+        term = (p - q) * F.log(p / q)
+        psi = term if psi is None else psi + term
+    band = (
+        F.when(F.col("psi") < 0.1, "stable")
+        .when(F.col("psi") < 0.25, "drifting")
+        .otherwise("shifted")
+    )
+    return (
+        g.withColumn("psi", psi)
+        .withColumn("drift_band", band)
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            F.unix_micros(F.col("w.end")).alias("window_end_us"),
+            "n",
+            "psi",
+            "drift_band",
+        )
+    )
