@@ -2706,6 +2706,23 @@ def q_stream_cusum(spark, sf_dir):
     )
 
 
+def q_rand_project(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection to 8 dims
+    (similarity.random_project): literal seeded Gaussian matrix, one
+    parsed fixed-order chain per output dim — pure narrow map, zero
+    shuffles; the oracle regenerates the identical matrix (PCG64 +
+    repr round-trip, the q_lsh_topk contract). The fitted-PCA twin
+    (fit_pca + pca_project) shares this exact projection codepath and
+    is numpy-parity pytested."""
+    from z_rad_spark.operators.similarity import random_project
+
+    out = random_project(_emb(spark, sf_dir), dim=64, out_dim=8, seed=29)
+    cols = [f"p{j}" for j in range(1, 9)]
+    return _r6(
+        out.select(F.col("vec_id").cast("long"), *cols), cols
+    )
+
+
 def q_stream_psi(spark, sf_dir):
     """Streaming PSI drift monitor (streaming.streaming_psi): per
     closed 1-day tumbling window, the binned signal distribution scored
@@ -2867,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_cusum": q_stream_cusum,
         "q_hard_negatives": q_hard_negatives,
         "q_stream_psi": q_stream_psi,
+        "q_rand_project": q_rand_project,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -5085,3 +5085,31 @@ SELECT CAST(ws AS BIGINT) AS window_start_us,
             ELSE 'shifted' END AS drift_band
 FROM s
 """
+
+
+# JL random projection: literal seeded Gaussian matrix regenerated here
+# (PCG64 is platform-independent; repr round-trips each double exactly),
+# fixed left-assoc chains matching similarity._projection_expr
+def _rand_project_cols(dim: int = 64, out_dim: int = 8, seed: int = 29) -> str:
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((out_dim, dim))
+    s = 1.0 / float(np.sqrt(out_dim))
+    cols = []
+    for j in range(out_dim):
+        terms = [
+            f"ev[{i + 1}] * {float(planes[j][i])!r}" for i in range(dim)
+        ]
+        chain = terms[0]
+        for t in terms[1:]:
+            chain = f"({chain} + {t})"
+        cols.append(r6(f"(({chain}) * {s!r})", f"p{j + 1}"))
+    return ",\n       ".join(cols)
+
+
+ORACLES["q_rand_project"] = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       {_rand_project_cols()}
+FROM v
+"""

@@ -1283,3 +1283,60 @@ def test_filter_hard_negatives_equals_exact_on_full_pool(spark):
         .reset_index(drop=True)
     )
     assert exact.equals(composed)
+
+
+def test_random_project_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from z_rad_spark.operators.similarity import random_project
+
+    rng = np.random.default_rng(103)
+    x = rng.standard_normal((50, 16))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(50), "embedding": list(map(list, x))})
+    )
+    got = (
+        random_project(df, dim=16, out_dim=4, seed=29)
+        .select("vec_id", "p1", "p2", "p3", "p4")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    planes = np.random.default_rng(29).standard_normal((4, 16))
+    want = (x @ planes.T) / np.sqrt(4)
+    assert np.abs(got[["p1", "p2", "p3", "p4"]].to_numpy() - want).max() < 1e-12
+
+
+def test_fit_pca_and_project_match_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from z_rad_spark.operators.similarity import fit_pca, pca_project
+
+    rng = np.random.default_rng(107)
+    # anisotropic cloud so the principal axes are well separated
+    x = rng.standard_normal((120, 12)) * np.linspace(5, 0.1, 12)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(120), "embedding": list(map(list, x))})
+    )
+    mean, comps, ev = fit_pca(df, dim=12, k=3)
+    assert np.abs(np.array(mean) - x.mean(axis=0)).max() < 1e-9
+    # eigenvalues descend and match numpy's (cov rounded 6dp upstream)
+    assert ev[0] >= ev[1] >= ev[2]
+    C = np.cov(x, rowvar=False, bias=True)
+    vals = np.sort(np.linalg.eigvalsh(C))[::-1][:3]
+    assert np.abs(np.array(ev) - vals).max() < 1e-4
+    # projection equals the centered matrix product exactly
+    got = (
+        pca_project(df, mean, comps)
+        .select("vec_id", "pc1", "pc2", "pc3")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want = (x - np.array(mean)) @ np.array(comps).T
+    assert np.abs(got[["pc1", "pc2", "pc3"]].to_numpy() - want).max() < 1e-12
+    # sign convention: each component's largest-|coeff| entry is positive
+    for c in comps:
+        assert c[int(np.argmax(np.abs(c)))] > 0

@@ -653,3 +653,24 @@ def test_equal_frequency_bins_document_pass_is_broadcast_map(spark):
     for frag in plan.split("Exchange SinglePartition")[1:]:
         head = frag.strip().splitlines()
         assert any("HashAggregate" in ln for ln in head[:4]), plan
+
+
+def test_projections_are_pure_narrow_maps(spark):
+    """random_project / pca_project must be zero-shuffle scans: no
+    Exchange, no Join, no Window — one parsed chain per output dim."""
+    import pandas as pd
+
+    from z_rad_spark.operators.similarity import pca_project, random_project
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(8), "embedding": [[float(i + j) for j in range(6)] for i in range(8)]}
+        )
+    )
+    for built in (
+        random_project(df, dim=6, out_dim=2),
+        pca_project(df, [0.0] * 6, [[1.0, 0, 0, 0, 0, 0], [0, 1.0, 0, 0, 0, 0]]),
+    ):
+        plan = _plan(built)
+        assert "Exchange" not in plan
+        assert "Join" not in plan and "Window" not in plan

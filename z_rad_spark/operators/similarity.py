@@ -1234,3 +1234,122 @@ def filter_hard_negatives(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def _projection_expr(
+    vec_col: str, weights: list, mean: list | None = None, scale: float | None = None
+) -> str:
+    """One output dimension of a literal-matrix projection as a parsed
+    SQL string: a FIXED left-to-right chain of (x_i - m_i) * w_i terms.
+    Parsed expressions, not py4j Column trees — the plan-cost rule from
+    BASELINE.md round-3 (large literal trees built per-Column stall the
+    driver); and the fixed chain is what lets the DuckDB oracle replay
+    the projection bit-for-bit (both engines evaluate left-assoc)."""
+    terms = []
+    for i, w in enumerate(weights, start=1):
+        x = f"element_at({vec_col}, {i})"
+        if mean is not None:
+            x = f"({x} - {mean[i - 1]!r})"
+        terms.append(f"{x} * {float(w)!r}")
+    chain = terms[0]
+    for t in terms[1:]:
+        chain = f"({chain} + {t})"
+    if scale is not None:
+        chain = f"({chain}) * {float(scale)!r}"
+    return chain
+
+
+def random_project(
+    df: DataFrame,
+    dim: int,
+    out_dim: int = 8,
+    seed: int = 29,
+    vec_col: str = "embedding",
+    prefix: str = "p",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` dims: a
+    seeded Gaussian matrix (scaled 1/sqrt(out_dim), the JL convention
+    that preserves expected norms) folded in as LITERALS — the
+    dimensionality reducer in front of ANN indexing when the fitted-PCA
+    pass is not worth a pipeline stage.
+
+    Plan shape: a pure narrow map (zero shuffles, zero joins, no
+    Python) — each output dim is one parsed fixed-order expression
+    chain, so the projection is deterministic, partition-invariant, and
+    SQL-oracle-replayable (the oracle regenerates the identical seeded
+    matrix: PCG64 is platform-independent, and repr() round-trips each
+    double exactly — the q_lsh_topk literal-hyperplane contract).
+
+    Adds: ``{prefix}1 .. {prefix}{out_dim}`` double columns.
+    """
+    planes = np.random.default_rng(seed).standard_normal((out_dim, dim))
+    s = 1.0 / float(np.sqrt(out_dim))
+    out = df
+    for j in range(out_dim):
+        out = out.withColumn(
+            f"{prefix}{j + 1}",
+            F.expr(_projection_expr(vec_col, planes[j].tolist(), scale=s)),
+        )
+    return out
+
+
+def fit_pca(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 8,
+    vec_col: str = "embedding",
+) -> tuple:
+    """Fit a PCA basis from the one-pass distributed covariance
+    (embedding_covariance) — the only driver-side work is the d x d
+    eigendecomposition (64x64 here; microseconds) plus the d element
+    means from ONE map-side aggregate fold. Eigenvector sign is fixed
+    by making each component's largest-|coefficient| entry positive, so
+    the basis is deterministic end to end (eigh is deterministic for a
+    fixed symmetric input; the covariance is hash-verified exact).
+
+    Returns (mean: list[d], components: list[k][d] — descending
+    eigenvalue order, explained: list[k] eigenvalues).
+    """
+    sums = vectors.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"_s{i}")
+            for i in range(dim)
+        ],
+    ).collect()[0]
+    n = sums["_n"]
+    mean = [float(sums[f"_s{i}"]) / n for i in range(dim)]
+    cov_rows = embedding_covariance(vectors, vec_col=vec_col, dim=dim).collect()
+    C = np.zeros((dim, dim))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = r["cov"]
+        C[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append(v.tolist())
+    return mean, comps, [float(vals[i]) for i in order]
+
+
+def pca_project(
+    df: DataFrame,
+    mean: list,
+    components: list,
+    vec_col: str = "embedding",
+    prefix: str = "pc",
+) -> DataFrame:
+    """Project onto a fitted PCA basis (fit_pca output): center on the
+    literal mean, then the same fixed-order literal-chain projection as
+    random_project — a pure narrow map sharing its determinism and
+    oracle-replay contract. Adds ``{prefix}1..{prefix}k`` doubles."""
+    out = df
+    for j, comp in enumerate(components):
+        out = out.withColumn(
+            f"{prefix}{j + 1}",
+            F.expr(_projection_expr(vec_col, list(comp), mean=list(mean))),
+        )
+    return out
