@@ -2706,6 +2706,24 @@ def q_stream_cusum(spark, sf_dir):
     )
 
 
+def q_echo_score(spark, sf_dir):
+    """Per-turn echo (lag-1 distinct-token Jaccard) over transcripts
+    (sessionize.with_echo_score): exact set sizes, one division, one
+    lag window on the shared conv_id exchange — oracle-replayable."""
+    from z_rad_spark.operators.sessionize import with_echo_score
+
+    out = with_echo_score(_t(spark, sf_dir))
+    out = out.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        _us("ts", "ts_us"),
+        "n_common",
+        "n_union",
+        "echo",
+    )
+    return _r6(out, ["echo"])
+
+
 def q_rand_project(spark, sf_dir):
     """Johnson-Lindenstrauss random projection to 8 dims
     (similarity.random_project): literal seeded Gaussian matrix, one
@@ -2885,6 +2903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hard_negatives": q_hard_negatives,
         "q_stream_psi": q_stream_psi,
         "q_rand_project": q_rand_project,
+        "q_echo_score": q_echo_score,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -5113,3 +5113,29 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
        {_rand_project_cols()}
 FROM v
 """
+
+
+# per-turn echo score: lag-1 distinct-token Jaccard — matches
+# sessionize.with_echo_score (|A∪B| derived from distinct counts, so no
+# reliance on cross-engine union-dedup semantics)
+ORACLES["q_echo_score"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id, turn_idx, ts,
+         list_distinct({TOKS_RAW}) AS tk,
+         LAG(list_distinct({TOKS_RAW}))
+           OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS pk
+  FROM t
+),
+s AS (
+  SELECT conv_id, turn_idx, ts, pk,
+         CAST(length(list_intersect(tk, pk)) AS BIGINT) AS i,
+         CAST(length(tk) + length(pk) - length(list_intersect(tk, pk)) AS BIGINT) AS u
+  FROM p
+)
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, epoch_us(ts) AS ts_us,
+       CASE WHEN pk IS NOT NULL THEN i END AS n_common,
+       CASE WHEN pk IS NOT NULL THEN u END AS n_union,
+       {r6("CASE WHEN pk IS NOT NULL AND u > 0 THEN CAST(i AS DOUBLE) / CAST(u AS DOUBLE) END", "echo")}
+FROM s
+"""

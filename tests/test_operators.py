@@ -1340,3 +1340,44 @@ def test_fit_pca_and_project_match_numpy(spark):
     # sign convention: each component's largest-|coeff| entry is positive
     for c in comps:
         assert c[int(np.argmax(np.abs(c)))] > 0
+
+
+def test_mahalanobis_score_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from z_rad_spark.operators.similarity import fit_pca, mahalanobis_score
+
+    rng = np.random.default_rng(109)
+    x = rng.standard_normal((150, 10)) * np.linspace(4, 0.5, 10)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(150), "embedding": list(map(list, x))})
+    )
+    mean, comps, ev = fit_pca(df, dim=10, k=10)
+    got = (
+        mahalanobis_score(df, mean, comps, ev)
+        .select("vec_id", "maha2")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # full-rank fitted basis: d^2 = (x-m)^T C^-1 (x-m) up to the 6dp
+    # covariance rounding the fit inherits
+    C = np.cov(x, rowvar=False, bias=True)
+    Ci = np.linalg.inv(C)
+    xc = x - x.mean(axis=0)
+    want = np.einsum("ij,jk,ik->i", xc, Ci, xc)
+    assert np.abs(got["maha2"].to_numpy() - want).max() < 1e-3
+    # a gross outlier scores far above the bulk
+    far = x.copy()
+    far[0] = 50.0
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(150), "embedding": list(map(list, far))})
+    )
+    got2 = (
+        mahalanobis_score(df2, mean, comps, ev)
+        .select("vec_id", "maha2")
+        .toPandas()
+        .set_index("vec_id")["maha2"]
+    )
+    assert got2[0] > 10 * got2[1:].max()

@@ -700,3 +700,34 @@ def test_welch_drift_degenerate_windows_are_null(spark):
     assert abs(got["mean_cur"].iloc[0] - 5.0) < 1e-12
     assert pd.isna(got["t"].iloc[0])
     assert pd.isna(got["d"].iloc[0])
+
+
+def test_echo_score_matches_manual(spark):
+    from z_rad_spark.operators.sessionize import with_echo_score
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c0"] * 4,
+            "turn_idx": range(4),
+            "ts": pd.date_range("2024-01-01", periods=4, freq="min"),
+            "text": [
+                "the cat sat",
+                "the cat SAT down",   # case-folded: {the,cat,sat,down}
+                "entirely new words here",
+                "entirely new words here",  # exact echo
+            ],
+        }
+    )
+    got = (
+        with_echo_score(spark.createDataFrame(pdf))
+        .select("turn_idx", "n_common", "n_union", "echo")
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    assert pd.isna(got.loc[0, "echo"])  # first turn: no predecessor
+    assert got.loc[1, "n_common"] == 3 and got.loc[1, "n_union"] == 4
+    assert abs(got.loc[1, "echo"] - 0.75) < 1e-12
+    assert got.loc[2, "n_common"] == 0
+    assert abs(got.loc[2, "echo"]) < 1e-12
+    assert abs(got.loc[3, "echo"] - 1.0) < 1e-12

@@ -448,3 +448,45 @@ def autocorr_features(
         ok = (F.col(f"_m{k}") > 0) & (den != F.lit(0.0))
         out_cols.append(F.when(ok, num / den).alias(f"ac_{k}"))
     return g.select(*out_cols)
+
+
+def with_echo_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-turn echo score: distinct-token Jaccard similarity between a
+    turn's text and the IMMEDIATELY preceding turn's (stable (ts,
+    turn_idx) order) — the parroting/copy detector (assistants echoing
+    the user, template loops, quote-heavy spam all score high; the
+    complementary cross-document form is dedup.ngram_jaccard).
+
+    Exactness: both set sizes are exact integers (|A ∩ B| from the
+    deduplicating array intersection; |A ∪ B| = |A| + |B| - |A ∩ B|
+    from distinct counts, avoiding any reliance on union-dedup
+    semantics), and the score is one division — SQL-oracle-replayable
+    bit-for-bit. One lag window on the engine's shared conv_id
+    exchange; tokens are the lower/trim/whitespace-split norm the
+    curation block uses.
+
+    Adds: n_common long, n_union long, echo double (NULL on the first
+    turn of a conversation or when both token sets are empty).
+    """
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    w = _conv_window()
+    with_t = df.withColumn("_tk", toks).withColumn(
+        "_pk", F.lag("_tk").over(w)
+    )
+    inter = F.size(F.array_intersect(F.col("_tk"), F.col("_pk")))
+    union = F.size("_tk") + F.size("_pk") - inter
+    echo = F.when(
+        F.col("_pk").isNotNull() & (union > 0),
+        inter.cast("double") / union.cast("double"),
+    )
+    return (
+        with_t.withColumn(
+            "n_common",
+            F.when(F.col("_pk").isNotNull(), inter).cast("long"),
+        )
+        .withColumn(
+            "n_union", F.when(F.col("_pk").isNotNull(), union).cast("long")
+        )
+        .withColumn("echo", echo)
+        .drop("_tk", "_pk")
+    )

@@ -1353,3 +1353,43 @@ def pca_project(
             F.expr(_projection_expr(vec_col, list(comp), mean=list(mean))),
         )
     return out
+
+
+def mahalanobis_score(
+    df: DataFrame,
+    mean: list,
+    components: list,
+    eigvals: list,
+    vec_col: str = "embedding",
+    out: str = "maha2",
+    min_eigval: float = 1e-9,
+) -> DataFrame:
+    """Squared Mahalanobis distance of each embedding from the fitted
+    distribution (fit_pca output) — the standard embedding OUTLIER score
+    a curation pipeline thresholds to drop corrupt/off-manifold vectors:
+
+        d^2 = sum_j ((x - m) . v_j)^2 / lambda_j
+
+    over the fitted components (all d for the exact distance; the top-k
+    truncation scores distance within the retained subspace). Components
+    with eigenvalue <= ``min_eigval`` are skipped (a degenerate axis
+    would divide by ~0 and dominate the score with float noise).
+
+    Same zero-shuffle literal-chain codepath as pca_project: each
+    projection is one parsed fixed-order expression, the score one more
+    fixed chain of squares — narrow map, deterministic, no Python.
+
+    Adds: ``out`` double column.
+    """
+    proj_exprs = []
+    for comp, lam in zip(components, eigvals):
+        if lam <= min_eigval:
+            continue
+        p = _projection_expr(vec_col, list(comp), mean=list(mean))
+        proj_exprs.append(f"(({p}) * ({p}) / {float(lam)!r})")
+    if not proj_exprs:
+        return df.withColumn(out, F.lit(None).cast("double"))
+    chain = proj_exprs[0]
+    for t in proj_exprs[1:]:
+        chain = f"({chain} + {t})"
+    return df.withColumn(out, F.expr(chain))
