@@ -2706,6 +2706,34 @@ def q_stream_cusum(spark, sf_dir):
     )
 
 
+def q_role_runs(spark, sf_dir):
+    """Per-conversation same-role run structure (gaps-and-islands, two
+    row_numbers on one conv_id exchange — sessionize.role_run_stats):
+    exact integers + one division, oracle-replayable."""
+    from z_rad_spark.operators.sessionize import role_run_stats
+
+    out = role_run_stats(_t(spark, sf_dir))
+    return _r6(out, ["mean_run"])
+
+
+def q_rank_norm(spark, sf_dir):
+    """Per-conversation midrank quantile normalization of the signal
+    (sessionize.with_rank_normalize): doubled-midrank exact integers
+    (the mw_drift trick, windowed), ties share one u — deterministic
+    under any partitioning, oracle-replayable."""
+    from z_rad_spark.operators.sessionize import with_rank_normalize
+
+    out = with_rank_normalize(_t(spark, sf_dir))
+    out = out.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        _us("ts", "ts_us"),
+        "signal",
+        "rank_u",
+    )
+    return _r6(out, ["signal", "rank_u"])
+
+
 def q_echo_score(spark, sf_dir):
     """Per-turn echo (lag-1 distinct-token Jaccard) over transcripts
     (sessionize.with_echo_score): exact set sizes, one division, one
@@ -2904,6 +2932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_psi": q_stream_psi,
         "q_rand_project": q_rand_project,
         "q_echo_score": q_echo_score,
+        "q_role_runs": q_role_runs,
+        "q_rank_norm": q_rank_norm,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -5139,3 +5139,49 @@ SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, epoch_us(ts) AS ts_us,
        {r6("CASE WHEN pk IS NOT NULL AND u > 0 THEN CAST(i AS DOUBLE) / CAST(u AS DOUBLE) END", "echo")}
 FROM s
 """
+
+
+# same-role run structure: difference-of-row_numbers islands — matches
+# sessionize.role_run_stats
+ORACLES["q_role_runs"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id, role,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+           - ROW_NUMBER() OVER (PARTITION BY conv_id, role ORDER BY ts, turn_idx) AS isl
+  FROM t
+),
+runs AS (
+  SELECT conv_id, role, isl, COUNT(*) AS len
+  FROM p GROUP BY conv_id, role, isl
+)
+SELECT conv_id,
+       CAST(SUM(len) AS BIGINT) AS n_turns,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(len) AS BIGINT) AS max_run,
+       {r6("CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", "mean_run")}
+FROM runs GROUP BY conv_id
+"""
+
+
+# midrank quantile normalization: doubled-midrank exact integers —
+# matches sessionize.with_rank_normalize
+ORACLES["q_rank_norm"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id, turn_idx, ts, CAST(signal AS DOUBLE) AS x
+  FROM t
+),
+w AS (
+  SELECT conv_id, turn_idx, ts, x,
+         COUNT(x) OVER (PARTITION BY conv_id, x) AS tt,
+         COUNT(x) OVER (PARTITION BY conv_id ORDER BY x ASC NULLS LAST
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS upto,
+         COUNT(x) OVER (PARTITION BY conv_id) AS n
+  FROM p
+)
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, epoch_us(ts) AS ts_us,
+       {r6("x", "signal")},
+       {r6("CASE WHEN x IS NOT NULL THEN (CAST(2 * (upto - tt) + tt + 1 AS DOUBLE) / 2.0 - 0.5) / CAST(n AS DOUBLE) END", "rank_u")}
+FROM w
+"""

@@ -731,3 +731,43 @@ def test_echo_score_matches_manual(spark):
     assert got.loc[2, "n_common"] == 0
     assert abs(got.loc[2, "echo"]) < 1e-12
     assert abs(got.loc[3, "echo"] - 1.0) < 1e-12
+
+
+def test_role_run_stats_matches_manual(spark):
+    from z_rad_spark.operators.sessionize import role_run_stats
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c0"] * 7 + ["c1"],
+            "turn_idx": list(range(7)) + [0],
+            "ts": list(pd.date_range("2024-01-01", periods=7, freq="min"))
+            + [pd.Timestamp("2024-01-01")],
+            "role": ["user", "user", "assistant", "user", "user", "user", "tool",
+                     "assistant"],
+        }
+    )
+    got = role_run_stats(spark.createDataFrame(pdf)).toPandas().set_index("conv_id")
+    assert got.loc["c0", "n_turns"] == 7
+    assert got.loc["c0", "n_runs"] == 4
+    assert got.loc["c0", "max_run"] == 3
+    assert abs(got.loc["c0", "mean_run"] - 7 / 4) < 1e-12
+    assert got.loc["c1", "n_runs"] == 1 and got.loc["c1", "max_run"] == 1
+
+
+def test_rank_normalize_matches_scipy_form(spark):
+    from z_rad_spark.operators.sessionize import with_rank_normalize
+
+    df, pdf = _turns(spark, n_conv=3, n_turns=40, seed=113)
+    got = (
+        with_rank_normalize(df)
+        .select("conv_id", "turn_idx", "rank_u")
+        .toPandas()
+        .set_index(["conv_id", "turn_idx"])["rank_u"]
+    )
+    for conv, grp in pdf.groupby("conv_id"):
+        r = grp["signal"].rank(method="average")  # midranks
+        u = (r - 0.5) / len(grp)
+        for (_, row), want in zip(grp.iterrows(), u):
+            assert abs(got[(conv, row["turn_idx"])] - want) < 1e-12
+    # ties share the same u; u strictly inside (0, 1)
+    assert got.min() > 0 and got.max() < 1

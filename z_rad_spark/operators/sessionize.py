@@ -490,3 +490,76 @@ def with_echo_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("echo", echo)
         .drop("_tk", "_pk")
     )
+
+
+def role_run_stats(df: DataFrame) -> DataFrame:
+    """Per-conversation same-role RUN structure (gaps-and-islands): the
+    longest consecutive same-role streak, the run count, and the mean
+    run length — the burst detector that separates ping-pong dialogs
+    (max run 1-2) from tool-call storms and system-spam (long runs),
+    complementing role_transitions' self_loop_ratio with the streak
+    LENGTH distribution it cannot see.
+
+    Shape: the island id is the classic difference of two row_numbers
+    (global turn ordinal minus per-(conv, role) ordinal — constant
+    within a streak, distinct across streaks), both windows on the SAME
+    conv_id exchange; one groupBy per island then one per conversation,
+    all exact integers (mean = turns/runs, one division) — the SQL
+    oracle replays every value bit-for-bit.
+
+    Output: (conv_id, n_turns long, n_runs long, max_run long,
+    mean_run double).
+    """
+    w = _conv_window()
+    wr = Window.partitionBy("conv_id", "role").orderBy(*_ORDER)
+    p = df.select(
+        "conv_id",
+        "role",
+        (F.row_number().over(w) - F.row_number().over(wr)).alias("_isl"),
+    )
+    runs = p.groupBy("conv_id", "role", "_isl").agg(
+        F.count(F.lit(1)).alias("_len")
+    )
+    return runs.groupBy("conv_id").agg(
+        F.sum("_len").cast("long").alias("n_turns"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max("_len").cast("long").alias("max_run"),
+        (F.sum("_len").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_run"
+        ),
+    )
+
+
+def with_rank_normalize(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """Per-conversation rank (quantile) normalization of the signal:
+    each turn gets its midrank percentile u = (r - 0.5) / n, with r the
+    average (midrank) rank of its signal among the conversation's
+    non-NULL signals — the monotone-invariant normalization that makes
+    signals comparable across conversations with wildly different
+    scales (the per-conversation twin of the global equal-frequency
+    binning in curation.equal_frequency_bins).
+
+    Exactness: midranks are exact multiples of 0.5 (computed as exact
+    integers cb + (t+1)/2 over the per-value counts — the mw_drift
+    doubled-rank trick, windowed within the conversation), so u is one
+    subtraction + one division — bit-replayable. Values tie to the SAME
+    u (deterministic under any partitioning, unlike percent_rank over
+    raw rows which splits ties by arrival order).
+
+    Adds: rank_u double (NULL for NULL signals).
+    """
+    x = F.col(signal_col).cast("double")
+    wv = Window.partitionBy("conv_id", x).orderBy(F.lit(1))
+    wc = (
+        Window.partitionBy("conv_id")
+        .orderBy(x.asc_nulls_last())
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    # rows strictly below = running count up to and incl. this value,
+    # minus the tie-block size; midrank = cb + (t + 1) / 2
+    t = F.count(x).over(wv)
+    upto = F.count(x).over(wc)
+    n = F.count(x).over(Window.partitionBy("conv_id"))
+    two_mid = F.lit(2) * (upto - t) + t + F.lit(1)  # doubled midrank, exact int
+    u = (two_mid.cast("double") / F.lit(2.0) - F.lit(0.5)) / n.cast("double")
+    return df.withColumn("rank_u", F.when(x.isNotNull(), u))
