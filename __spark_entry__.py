@@ -2706,6 +2706,34 @@ def q_stream_cusum(spark, sf_dir):
     )
 
 
+def q_vocab_growth(spark, sf_dir):
+    """Per-turn vocabulary-growth curve (sessionize.with_vocab_growth):
+    first-occurrence flags over (conv, token), per-turn regroup, running
+    vocab sum — pure exact integers, oracle-replayable."""
+    from z_rad_spark.operators.sessionize import with_vocab_growth
+
+    out = with_vocab_growth(_t(spark, sf_dir))
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        _us("ts", "ts_us"),
+        "n_distinct",
+        "n_new",
+        "vocab",
+    )
+
+
+def q_spearman_trend(spark, sf_dir):
+    """Per-conversation Spearman rho of the signal vs the turn ordinal
+    (sessionize.spearman_trend): Pearson on doubled midranks — six
+    exact-long sufficient statistics, fixed double chains, monotone-
+    invariant; oracle-replayable."""
+    from z_rad_spark.operators.sessionize import spearman_trend
+
+    out = spearman_trend(_t(spark, sf_dir))
+    return _r6(out, ["rho"])
+
+
 def q_role_runs(spark, sf_dir):
     """Per-conversation same-role run structure (gaps-and-islands, two
     row_numbers on one conv_id exchange — sessionize.role_run_stats):
@@ -2934,6 +2962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_echo_score": q_echo_score,
         "q_role_runs": q_role_runs,
         "q_rank_norm": q_rank_norm,
+        "q_spearman_trend": q_spearman_trend,
+        "q_vocab_growth": q_vocab_growth,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -5185,3 +5185,66 @@ SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, epoch_us(ts) AS ts_us,
        {r6("CASE WHEN x IS NOT NULL THEN (CAST(2 * (upto - tt) + tt + 1 AS DOUBLE) / 2.0 - 0.5) / CAST(n AS DOUBLE) END", "rank_u")}
 FROM w
 """
+
+
+# Spearman rho of signal vs turn ordinal: Pearson on doubled midranks —
+# matches sessionize.spearman_trend (same chains as q_signal_trend)
+_SP_NUM = "(CAST(n AS DOUBLE) * CAST(sir AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sr AS DOUBLE))"
+_SP_DENI = "(CAST(n AS DOUBLE) * CAST(sii AS DOUBLE) - CAST(si AS DOUBLE) * CAST(si AS DOUBLE))"
+_SP_DENR = "(CAST(n AS DOUBLE) * CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))"
+
+ORACLES["q_spearman_trend"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id, CAST(signal AS DOUBLE) AS x, ts, turn_idx
+  FROM t
+),
+w AS (
+  SELECT conv_id, x,
+         CAST(2 * (COUNT(x) OVER (PARTITION BY conv_id ORDER BY x ASC NULLS LAST
+                                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - COUNT(x) OVER (PARTITION BY conv_id, x))
+              + COUNT(x) OVER (PARTITION BY conv_id, x) + 1 AS BIGINT) AS r2,
+         CAST(COUNT(x) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+              AS BIGINT) AS i
+  FROM p
+),
+g AS (
+  SELECT conv_id, COUNT(*) AS n,
+         SUM(i) AS si, SUM(i * i) AS sii,
+         SUM(r2) AS sr, SUM(r2 * r2) AS srr, SUM(i * r2) AS sir
+  FROM w WHERE x IS NOT NULL GROUP BY conv_id
+)
+SELECT conv_id, CAST(n AS BIGINT) AS n,
+       {r6(f"CASE WHEN n > 1 AND {_SP_DENI} > 0 AND {_SP_DENR} > 0 THEN {_SP_NUM} / (sqrt({_SP_DENI}) * sqrt({_SP_DENR})) END", "rho")}
+FROM g
+"""
+
+
+# vocabulary-growth curve: first-occurrence flags over (conv, token) —
+# matches sessionize.with_vocab_growth (pure exact integers)
+ORACLES["q_vocab_growth"] = f"""
+WITH t AS ({T}),
+ex AS (
+  SELECT conv_id, turn_idx, ts, UNNEST(list_distinct({TOKS_RAW})) AS tok
+  FROM t
+),
+fl AS (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY conv_id, tok ORDER BY ts, turn_idx) = 1
+              THEN 1 ELSE 0 END AS neu
+  FROM ex
+),
+pt AS (
+  SELECT conv_id, turn_idx, ts,
+         COUNT(*) AS nd, SUM(neu) AS nn
+  FROM fl GROUP BY conv_id, turn_idx, ts
+)
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, epoch_us(ts) AS ts_us,
+       CAST(nd AS BIGINT) AS n_distinct,
+       CAST(nn AS BIGINT) AS n_new,
+       CAST(SUM(nn) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab
+FROM pt
+"""

@@ -771,3 +771,68 @@ def test_rank_normalize_matches_scipy_form(spark):
             assert abs(got[(conv, row["turn_idx"])] - want) < 1e-12
     # ties share the same u; u strictly inside (0, 1)
     assert got.min() > 0 and got.max() < 1
+
+
+def test_spearman_trend_matches_pandas(spark):
+    from z_rad_spark.operators.sessionize import spearman_trend
+
+    df, pdf = _turns(spark, n_conv=4, n_turns=60, seed=127)
+    got = spearman_trend(df).toPandas().set_index("conv_id")
+    pdf = pdf.sort_values(["conv_id", "ts", "turn_idx"])
+    for conv, grp in pdf.groupby("conv_id"):
+        s = pd.Series(grp["signal"].to_numpy())
+        # spearman = pearson on midranks (scipy-free; the ordinal's
+        # ranks are itself, so pearson(ordinal, midranks(signal)))
+        want = pd.Series(np.arange(len(s)), dtype=float).corr(
+            s.rank(method="average")
+        )
+        assert got.loc[conv, "n"] == len(s)
+        assert abs(got.loc[conv, "rho"] - want) < 1e-9
+
+
+def test_spearman_trend_monotone_invariance_and_nulls(spark):
+    from z_rad_spark.operators.sessionize import spearman_trend
+
+    base = pd.DataFrame(
+        {
+            "conv_id": "c0",
+            "turn_idx": range(6),
+            "ts": pd.date_range("2024-01-01", periods=6, freq="min"),
+            "signal": [1.0, 2.0, 4.0, 3.0, 5.0, 6.0],
+        }
+    )
+    r1 = spearman_trend(spark.createDataFrame(base)).toPandas()["rho"][0]
+    squared = base.assign(signal=base["signal"] ** 3)  # monotone transform
+    r2 = spearman_trend(spark.createDataFrame(squared)).toPandas()["rho"][0]
+    assert abs(r1 - r2) < 1e-12
+    const = base.assign(signal=2.0)
+    r3 = spearman_trend(spark.createDataFrame(const)).toPandas()
+    assert pd.isna(r3["rho"][0])
+
+
+def test_vocab_growth_matches_manual(spark):
+    from z_rad_spark.operators.sessionize import with_vocab_growth
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c0"] * 4,
+            "turn_idx": range(4),
+            "ts": pd.date_range("2024-01-01", periods=4, freq="min"),
+            "text": [
+                "a b c",        # 3 new -> vocab 3
+                "b c d",        # 1 new (d) -> vocab 4
+                "a a a",        # 0 new, 1 distinct -> vocab 4
+                "e f",          # 2 new -> vocab 6
+            ],
+        }
+    )
+    got = (
+        with_vocab_growth(spark.createDataFrame(pdf))
+        .select("turn_idx", "n_distinct", "n_new", "vocab")
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    assert list(got["n_distinct"]) == [3, 3, 1, 2]
+    assert list(got["n_new"]) == [3, 1, 0, 2]
+    assert list(got["vocab"]) == [3, 4, 4, 6]

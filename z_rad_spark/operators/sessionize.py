@@ -563,3 +563,110 @@ def with_rank_normalize(df: DataFrame, signal_col: str = "signal") -> DataFrame:
     two_mid = F.lit(2) * (upto - t) + t + F.lit(1)  # doubled midrank, exact int
     u = (two_mid.cast("double") / F.lit(2.0) - F.lit(0.5)) / n.cast("double")
     return df.withColumn("rank_u", F.when(x.isNotNull(), u))
+
+
+def spearman_trend(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """Per-conversation Spearman rank correlation between the signal
+    and the turn ordinal — the robust (monotone-invariant) twin of
+    profile.signal_trend's Pearson r: outlier turns cannot drag it, and
+    any monotone rescaling of the signal leaves it unchanged. Ties get
+    midranks (the standard rho with tie correction, since this IS
+    Pearson computed on midranks).
+
+    Exactness: Pearson is scale/shift-invariant, so rho is computed on
+    the DOUBLED midranks (exact integers, the mw_drift trick) and the
+    0-based ordinal — all six sufficient statistics are exact longs
+    from one aggregate over one conv_id exchange (the midrank windows
+    reuse it), and the closed form is the same fixed single-op double
+    chain as signal_trend — the SQL oracle replays rho bit-for-bit.
+
+    NULL signals are excluded from both ranks and ordinals (rho is a
+    statement about the scored turns). NULL when fewer than 2 scored
+    turns or when either side is constant.
+
+    Output: (conv_id, n long, rho double).
+    """
+    x = F.col(signal_col).cast("double")
+    wv = Window.partitionBy("conv_id", x).orderBy(F.lit(1))
+    wc = (
+        Window.partitionBy("conv_id")
+        .orderBy(x.asc_nulls_last())
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    wo = Window.partitionBy("conv_id").orderBy(*_ORDER)
+    t = F.count(x).over(wv)
+    upto = F.count(x).over(wc)
+    two_r = (F.lit(2) * (upto - t) + t + F.lit(1)).cast("long")
+    # ordinal among SCORED turns only, under the stable order
+    i = (F.count(x).over(wo.rowsBetween(Window.unboundedPreceding, 0)) - 1).cast(
+        "long"
+    )
+    p = df.select(
+        "conv_id",
+        F.when(x.isNotNull(), two_r).alias("_r2"),
+        F.when(x.isNotNull(), i).alias("_i"),
+    ).where(F.col("_r2").isNotNull())
+    g = p.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_i").alias("_si"),
+        F.sum(F.col("_i") * F.col("_i")).alias("_sii"),
+        F.sum("_r2").alias("_sr"),
+        F.sum(F.col("_r2") * F.col("_r2")).alias("_srr"),
+        F.sum(F.col("_i") * F.col("_r2")).alias("_sir"),
+    )
+    n = F.col("_n").cast("double")
+    si = F.col("_si").cast("double")
+    sii = F.col("_sii").cast("double")
+    sr = F.col("_sr").cast("double")
+    srr = F.col("_srr").cast("double")
+    sir = F.col("_sir").cast("double")
+    num = n * sir - si * sr
+    deni = n * sii - si * si
+    denr = n * srr - sr * sr
+    ok = (F.col("_n") > 1) & (deni > 0) & (denr > 0)
+    return g.select(
+        "conv_id",
+        F.col("_n").cast("long").alias("n"),
+        F.when(ok, num / (F.sqrt(deni) * F.sqrt(denr))).alias("rho"),
+    )
+
+
+def with_vocab_growth(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-turn vocabulary-growth curve: how many of the turn's distinct
+    tokens are NEW to the conversation, and the conversation's running
+    vocabulary size — the Heaps'-law trace whose flatness separates
+    templated/looping conversations (vocab saturates immediately) from
+    substantive ones (steady growth). Complements with_echo_score: echo
+    sees only lag-1 repetition; this sees repetition against the WHOLE
+    history.
+
+    Shape: one distinct-token explode (the TF-IDF/BM25 cost class), a
+    first-occurrence row_number over (conv_id, token) under the stable
+    (ts, turn_idx) order, a per-turn regroup, and a running sum on the
+    conv_id exchange. All outputs are exact integers — trivially
+    SQL-oracle-replayable.
+
+    Output: (conv_id, turn_idx, ts, n_distinct long — the turn's
+    distinct tokens, n_new long — first occurrences, vocab long —
+    running distinct-token count including this turn).
+    """
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    ex = df.select(
+        "conv_id", "turn_idx", "ts", F.explode(toks).alias("_tok")
+    )
+    w_first = Window.partitionBy("conv_id", "_tok").orderBy(*_ORDER)
+    flagged = ex.withColumn(
+        "_new", (F.row_number().over(w_first) == 1).cast("long")
+    )
+    per_turn = flagged.groupBy("conv_id", "turn_idx", "ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum("_new").cast("long").alias("n_new"),
+    )
+    w_run = (
+        Window.partitionBy("conv_id")
+        .orderBy(*_ORDER)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_turn.withColumn(
+        "vocab", F.sum("n_new").over(w_run).cast("long")
+    )
