@@ -2706,6 +2706,27 @@ def q_stream_cusum(spark, sf_dir):
     )
 
 
+def q_conv_features(spark, sf_dir):
+    """The composed per-conversation feature table
+    (profile.conversation_features): seven conversation-level operators
+    equi-joined on conv_id — 24 features, one row per conversation. The
+    oracle composes the SAME component oracles (each already hash-green
+    standalone) with the same joins; the latency mean is rescaled to
+    seconds like q_latency (r6 precision zone)."""
+    from z_rad_spark.operators.profile import conversation_features
+
+    out = conversation_features(_t(spark, sf_dir))
+    out = out.withColumn(
+        "mean_sec", F.col("mean_us") / F.lit(1000000.0)
+    ).drop("mean_us")
+    floats = [
+        "slope", "intercept", "r", "self_loop_ratio", "trans_entropy",
+        "mean_run", "ac_1", "ac_2", "ac_3", "rho", "peak_frac",
+        "hour_entropy", "night_frac", "weekend_frac", "mean_sec",
+    ]
+    return _r6(out, floats)
+
+
 def q_vocab_growth(spark, sf_dir):
     """Per-turn vocabulary-growth curve (sessionize.with_vocab_growth):
     first-occurrence flags over (conv, token), per-turn regroup, running
@@ -2964,6 +2985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rank_norm": q_rank_norm,
         "q_spearman_trend": q_spearman_trend,
         "q_vocab_growth": q_vocab_growth,
+        "q_conv_features": q_conv_features,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

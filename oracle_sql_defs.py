@@ -5248,3 +5248,34 @@ SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, epoch_us(ts) AS ts_us,
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab
 FROM pt
 """
+
+
+# composed per-conversation feature table: the component oracles (each
+# hash-green standalone) joined on conv_id — matches
+# profile.conversation_features + the q_conv_features gate projection.
+# Re-rounding already-6dp values is the identity, so reusing the
+# component oracles verbatim is exact.
+ORACLES["q_conv_features"] = f"""
+WITH st AS ({ORACLES["q_signal_trend"]}),
+rt AS ({ORACLES["q_role_transitions"]}),
+rr AS ({ORACLES["q_role_runs"]}),
+ac AS ({ORACLES["q_autocorr"]}),
+sp AS ({ORACLES["q_spearman_trend"]}),
+tp AS ({ORACLES["q_temporal_profile"]}),
+rl AS ({ORACLES["q_latency"]})
+SELECT st.conv_id, st.n, st.slope, st.intercept, st.r,
+       rt.n_trans, rt.n_distinct_trans, rt.self_loop_ratio, rt.trans_entropy,
+       rr.n_runs, rr.max_run, rr.mean_run,
+       ac.ac_1, ac.ac_2, ac.ac_3,
+       sp.rho,
+       tp.peak_hour, tp.peak_frac, tp.hour_entropy, tp.night_frac, tp.weekend_frac,
+       rl.n_resp AS n_responses, rl.min_us, rl.max_us,
+       rl.mean_sec
+FROM st
+JOIN rt USING (conv_id)
+JOIN rr USING (conv_id)
+JOIN ac USING (conv_id)
+JOIN sp USING (conv_id)
+JOIN tp USING (conv_id)
+LEFT JOIN rl USING (conv_id)
+"""

@@ -674,3 +674,45 @@ def test_projections_are_pure_narrow_maps(spark):
         plan = _plan(built)
         assert "Exchange" not in plan
         assert "Join" not in plan and "Window" not in plan
+
+
+def test_rank_family_reuses_conv_exchange(spark):
+    """rank-normalize / spearman ride midrank windows keyed on conv_id
+    (plus the per-(conv, value) tie window — same key prefix): no join,
+    and the exchange count stays bounded (value-keyed + conv-keyed),
+    never one per window."""
+    from z_rad_spark.operators.sessionize import (
+        spearman_trend,
+        with_rank_normalize,
+    )
+
+    plan = _plan(with_rank_normalize(_roled_turns_df(spark)))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 3
+    plan = _plan(spearman_trend(_roled_turns_df(spark)))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 4
+
+
+def test_role_runs_two_windows_one_exchange_family(spark):
+    """Gaps-and-islands: the (conv) and (conv, role) row_number windows
+    plus two aggregates — no join anywhere."""
+    from z_rad_spark.operators.sessionize import role_run_stats
+
+    plan = _plan(role_run_stats(_roled_turns_df(spark)))
+    assert "Join" not in plan
+    assert plan.count("Window") == 2
+
+
+def test_vocab_growth_shuffles_token_level_once(spark):
+    """The explode must stay narrow; the only exchanges are the
+    (conv, token) first-occurrence window, the per-turn regroup, and
+    the conv running sum — no join, no cartesian."""
+    from z_rad_spark.operators.sessionize import with_vocab_growth
+
+    df = _roled_turns_df(spark).withColumn(
+        "text", F.concat_ws(" ", F.lit("tok"), F.col("turn_idx").cast("string"))
+    )
+    plan = _plan(with_vocab_growth(df))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 3

@@ -836,3 +836,24 @@ def test_vocab_growth_matches_manual(spark):
     assert list(got["n_distinct"]) == [3, 3, 1, 2]
     assert list(got["n_new"]) == [3, 1, 0, 2]
     assert list(got["vocab"]) == [3, 4, 4, 6]
+
+
+def test_conversation_features_composition_consistency(spark):
+    from z_rad_spark.operators.profile import (
+        conversation_features,
+        signal_trend,
+    )
+    from z_rad_spark.operators.sessionize import role_transitions
+
+    df, pdf = _turns(spark, n_conv=4, n_turns=30, seed=131)
+    pdf["role"] = ["user", "assistant", "tool", "system"] * (len(pdf) // 4)
+    base = spark.createDataFrame(
+        pdf[["conv_id", "turn_idx", "ts", "signal", "role"]]
+    )
+    wide = conversation_features(base).toPandas().set_index("conv_id")
+    assert len(wide) == 4 and len(wide.columns) == 24
+    # composed columns equal the standalone operators'
+    st = signal_trend(base).toPandas().set_index("conv_id")
+    rt = role_transitions(base).toPandas().set_index("conv_id")
+    assert np.allclose(wide["slope"], st.loc[wide.index, "slope"], atol=0)
+    assert (wide["n_trans"] == rt.loc[wide.index, "n_trans"]).all()

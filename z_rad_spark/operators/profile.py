@@ -187,3 +187,41 @@ def response_latency(
         F.min("_gap").cast("long").alias("min_us"),
         F.max("_gap").cast("long").alias("max_us"),
     )
+
+
+def conversation_features(df: DataFrame) -> DataFrame:
+    """One wide per-conversation feature frame composing the
+    conversation-level operators: role-transition Markov structure,
+    same-role run lengths, lag-1..3 signal autocorrelation, signal
+    trend (OLS + Pearson r), Spearman rank trend, temporal activity
+    profile, and user→assistant response latency — the single table a
+    curation pipeline filters/stratifies conversations on.
+
+    Every input operator groups on conv_id with the same exchange
+    discipline, so the composition is |conversations|-sized frames
+    equi-joined on conv_id (Catalyst broadcasts or co-partitions;
+    nothing here re-touches the turn-level data). Latency columns are
+    NULL for conversations with no user→assistant pair (left join —
+    the absence is the feature).
+
+    Output: conv_id + 24 feature columns, one row per conversation.
+    """
+    from .sessionize import autocorr_features, role_run_stats, role_transitions
+    from .sessionize import spearman_trend as _spearman
+
+    rt = role_transitions(df)
+    rr = role_run_stats(df).drop("n_turns")
+    ac = autocorr_features(df).drop("n")
+    st = signal_trend(df)
+    sp = _spearman(df).drop("n")
+    tp = temporal_profile(df).drop("n")
+    rl = response_latency(df).withColumnRenamed("n_resp", "n_responses")
+    out = (
+        st.join(rt, "conv_id")
+        .join(rr, "conv_id")
+        .join(ac, "conv_id")
+        .join(sp, "conv_id")
+        .join(tp, "conv_id")
+        .join(rl, "conv_id", "left")
+    )
+    return out
