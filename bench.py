@@ -65,6 +65,10 @@ HEADLINE = [
     "q_signal_trend",
     "q_autocorr",
     "q_mw_drift",
+    # session-6 late additions: the token-level explode cost class
+    # (vocab growth) and the seven-way conversation-profile join
+    "q_vocab_growth",
+    "q_conv_features",
 ]
 
 
