@@ -80,19 +80,30 @@ def main():
     from z_rad_spark.session import get_spark
 
     spark = get_spark("check_queries", cores=8)
-    con = duckdb.connect()
-    # Cap the oracle's buffer pool well below DuckDB's 80%-of-RAM default:
-    # without a cap the pool grows monotonically across the 150+ oracle
-    # queries (nothing evicts while under the limit) until the PROCESS
-    # hits the sandbox's per-process memory ceiling and tiny mallocs fail
-    # ("Out of Memory Error: Failed to allocate block of 3420 bytes" with
-    # 124 GB system-free). The cap forces eviction early; 24 GB clears
-    # the heaviest oracles (the GLCM matrix replays peak ~8-10 GB of
-    # unspillable list aggregates) while staying under the ceiling.
-    con.execute("SET memory_limit='24GB'")
-    con.execute("SET temp_directory='/tmp/duckdb_mirror_spill'")
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    # DuckDB memory discipline, tuned by failure mode (2026-08-18):
+    # the default memory_limit is 80% of RAM (100 GiB here) but the
+    # sandbox caps the PROCESS far lower, and the buffer pool grows
+    # monotonically across 160+ oracle queries (nothing evicts while
+    # under its own limit) until tiny mallocs fail ("Failed to allocate
+    # block of 3420 bytes" with 124 GB system-free). A 24 GB cap still
+    # breaches the process ceiling mid-sweep; an 8 GB cap survives the
+    # sweep but is too small for the two heaviest GLCM matrix-replay
+    # oracles (~8-10 GB of unspillable list aggregates, "7.4 GiB/7.4 GiB
+    # used"). So: 12 GB cap + RECONNECT-AND-RETRY on OOM — a fresh
+    # connection drops the accumulated pool, giving the heavy oracle the
+    # whole 12 GB to itself.
+    def fresh_con():
+        c = duckdb.connect()
+        c.execute("SET memory_limit='12GB'")
+        c.execute("SET temp_directory='/tmp/duckdb_mirror_spill'")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return c
+
+    con = fresh_con()
 
     qs = e.queries()
     orc = e.oracle_sql()
@@ -112,9 +123,22 @@ def main():
         try:
             want = con.execute(orc[name]).fetchdf()
         except Exception as ex:
-            print(f"FAIL  {name}: duckdb error: {str(ex)[:300]}")
-            failures += 1
-            continue
+            if "Out of Memory" in str(ex):
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = fresh_con()
+                try:
+                    want = con.execute(orc[name]).fetchdf()
+                except Exception as ex2:
+                    print(f"FAIL  {name}: duckdb error (post-reconnect): {str(ex2)[:300]}")
+                    failures += 1
+                    continue
+            else:
+                print(f"FAIL  {name}: duckdb error: {str(ex)[:300]}")
+                failures += 1
+                continue
         problems = compare(got, want)
         if problems:
             failures += 1
