@@ -2528,7 +2528,10 @@ def q_role_transitions(spark, sf_dir):
     from z_rad_spark.operators.sessionize import role_transitions
 
     out = role_transitions(_t(spark, sf_dir))
-    return _r6(out, ["self_loop_ratio", "trans_entropy"])
+    return _r6(
+        out,
+        ["self_loop_ratio", "trans_entropy", "prev_entropy", "cond_entropy"],
+    )
 
 
 def q_target_encode(spark, sf_dir):
@@ -2709,7 +2712,7 @@ def q_stream_cusum(spark, sf_dir):
 def q_conv_features(spark, sf_dir):
     """The composed per-conversation feature table
     (profile.conversation_features): seven conversation-level operators
-    equi-joined on conv_id — 24 features, one row per conversation. The
+    equi-joined on conv_id — 26 features, one row per conversation. The
     oracle composes the SAME component oracles (each already hash-green
     standalone) with the same joins; the latency mean is rescaled to
     seconds like q_latency (r6 precision zone)."""
@@ -2721,6 +2724,7 @@ def q_conv_features(spark, sf_dir):
     ).drop("mean_us")
     floats = [
         "slope", "intercept", "r", "self_loop_ratio", "trans_entropy",
+        "prev_entropy", "cond_entropy",
         "mean_run", "ac_1", "ac_2", "ac_3", "rho", "peak_frac",
         "hour_entropy", "night_frac", "weekend_frac", "mean_sec",
     ]

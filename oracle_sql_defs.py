@@ -4617,7 +4617,7 @@ FROM g
 
 # per-conversation role-transition Markov features: lag-1 co-occurrence
 # counts + fixed-order entropy chain matching sessionize.role_transitions
-def _trans_sql() -> tuple[str, str, str, str]:
+def _trans_sql() -> tuple[str, str, str, str, str]:
     counts = ",\n         ".join(
         f"COUNT(CASE WHEN _from = '{a}' AND _to = '{b}' THEN 1 END) AS c_{a}_{b}"
         for a in _MI_ROLES
@@ -4634,10 +4634,17 @@ def _trans_sql() -> tuple[str, str, str, str]:
             )
             nz_terms.append(f"(CASE WHEN {c} > 0 THEN 1 ELSE 0 END)")
     diag = _fold([f"c_{a}_{a}" for a in _MI_ROLES])
-    return counts, _fold(ent_terms), _fold(nz_terms), diag
+    marg_terms = []
+    for a in _MI_ROLES:
+        ra = "CAST(" + _fold([f"c_{a}_{b}" for b in _MI_ROLES]) + " AS DOUBLE)"
+        pa = f"({ra} / {n})"
+        marg_terms.append(
+            f"(CASE WHEN {ra} > 0 THEN (-{pa}) * log2({pa}) ELSE 0.0 END)"
+        )
+    return counts, _fold(ent_terms), _fold(nz_terms), diag, _fold(marg_terms)
 
 
-_TR_COUNTS, _TR_ENT, _TR_NZ, _TR_DIAG = _trans_sql()
+_TR_COUNTS, _TR_ENT, _TR_NZ, _TR_DIAG, _TR_MARG = _trans_sql()
 
 ORACLES["q_role_transitions"] = f"""
 WITH t AS ({T}),
@@ -4655,7 +4662,9 @@ SELECT conv_id,
        CAST(n AS BIGINT) AS n_trans,
        CAST(CASE WHEN n > 0 THEN {_TR_NZ} END AS BIGINT) AS n_distinct_trans,
        {r6(f"CASE WHEN n > 0 THEN CAST({_TR_DIAG} AS DOUBLE) / CAST(n AS DOUBLE) END", "self_loop_ratio")},
-       {r6(f"CASE WHEN n > 0 THEN {_TR_ENT} END", "trans_entropy")}
+       {r6(f"CASE WHEN n > 0 THEN {_TR_ENT} END", "trans_entropy")},
+       {r6(f"CASE WHEN n > 0 THEN {_TR_MARG} END", "prev_entropy")},
+       {r6(f"CASE WHEN n > 0 THEN ({_TR_ENT} - {_TR_MARG}) END", "cond_entropy")}
 FROM g
 """
 
@@ -5265,6 +5274,7 @@ tp AS ({ORACLES["q_temporal_profile"]}),
 rl AS ({ORACLES["q_latency"]})
 SELECT st.conv_id, st.n, st.slope, st.intercept, st.r,
        rt.n_trans, rt.n_distinct_trans, rt.self_loop_ratio, rt.trans_entropy,
+       rt.prev_entropy, rt.cond_entropy,
        rr.n_runs, rr.max_run, rr.mean_run,
        ac.ac_1, ac.ac_2, ac.ac_3,
        sp.rho,

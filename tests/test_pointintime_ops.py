@@ -851,9 +851,32 @@ def test_conversation_features_composition_consistency(spark):
         pdf[["conv_id", "turn_idx", "ts", "signal", "role"]]
     )
     wide = conversation_features(base).toPandas().set_index("conv_id")
-    assert len(wide) == 4 and len(wide.columns) == 24
+    assert len(wide) == 4 and len(wide.columns) == 26
     # composed columns equal the standalone operators'
     st = signal_trend(base).toPandas().set_index("conv_id")
     rt = role_transitions(base).toPandas().set_index("conv_id")
     assert np.allclose(wide["slope"], st.loc[wide.index, "slope"], atol=0)
     assert (wide["n_trans"] == rt.loc[wide.index, "n_trans"]).all()
+
+
+def test_role_transitions_conditional_entropy(spark):
+    import math
+
+    from z_rad_spark.operators.sessionize import role_transitions
+
+    # deterministic ping-pong: next role fully determined by previous
+    pdf = pd.DataFrame(
+        {
+            "conv_id": "c0",
+            "turn_idx": range(8),
+            "ts": pd.date_range("2024-01-01", periods=8, freq="min"),
+            "role": ["user", "assistant"] * 4,
+        }
+    )
+    got = role_transitions(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    # 7 transitions: 4x u->a, 3x a->u; H(prev) = H({4/7, 3/7});
+    # H(pair) equals it exactly, so H(next|prev) = 0 (fully predictable)
+    hp = -(4 / 7) * math.log2(4 / 7) - (3 / 7) * math.log2(3 / 7)
+    assert abs(got["prev_entropy"] - hp) < 1e-12
+    assert abs(got["cond_entropy"]) < 1e-12
+    assert abs(got["trans_entropy"] - hp) < 1e-12

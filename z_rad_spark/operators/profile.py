@@ -191,7 +191,8 @@ def response_latency(
 
 def conversation_features(df: DataFrame) -> DataFrame:
     """One wide per-conversation feature frame composing the
-    conversation-level operators: role-transition Markov structure,
+    conversation-level operators: role-transition Markov structure (incl. the conditional-entropy
+    predictability),
     same-role run lengths, lag-1..3 signal autocorrelation, signal
     trend (OLS + Pearson r), Spearman rank trend, temporal activity
     profile, and user→assistant response latency — the single table a
@@ -204,7 +205,7 @@ def conversation_features(df: DataFrame) -> DataFrame:
     NULL for conversations with no user→assistant pair (left join —
     the absence is the feature).
 
-    Output: conv_id + 24 feature columns, one row per conversation.
+    Output: conv_id + 26 feature columns, one row per conversation.
     """
     from .sessionize import autocorr_features, role_run_stats, role_transitions
     from .sessionize import spearman_trend as _spearman

@@ -298,7 +298,8 @@ def role_transitions(
     transition) get NULL features and n_trans = 0.
 
     Output: (conv_id, n_trans long, n_distinct_trans long,
-    self_loop_ratio double, trans_entropy double).
+    self_loop_ratio double, trans_entropy double, prev_entropy double,
+    cond_entropy double — H(next|prev), the Markov predictability).
     """
     prev = F.lag("role").over(_conv_window())
     pairs = df.select("conv_id", F.col("role").alias("_to"), prev.alias("_from"))
@@ -327,6 +328,16 @@ def role_transitions(
             ent_terms.append(F.when(c > 0, -p * F.log2(p)).otherwise(F.lit(0.0)))
             nz_terms.append(F.when(c > 0, 1).otherwise(0))
     self_loops = _chain([F.col(f"_c_{a}_{a}") for a in roles])
+    # marginal (prev-role) entropy from the exact row sums, and the
+    # conditional entropy H(next | prev) = H(pair) - H(prev) — the
+    # Markov PREDICTABILITY of the dialog (0 = next role fully
+    # determined by the previous one; log2(|roles|) = uniform)
+    marg_terms = []
+    for a in roles:
+        ra = _chain([F.col(f"_c_{a}_{b}") for b in roles]).cast("double")
+        pa = ra / n
+        marg_terms.append(F.when(ra > 0, -pa * F.log2(pa)).otherwise(F.lit(0.0)))
+    prev_entropy = _chain(marg_terms)
     has = F.col("_n") > 0
     return g.select(
         "conv_id",
@@ -334,6 +345,8 @@ def role_transitions(
         F.when(has, _chain(nz_terms)).cast("long").alias("n_distinct_trans"),
         F.when(has, self_loops.cast("double") / n).alias("self_loop_ratio"),
         F.when(has, _chain(ent_terms)).alias("trans_entropy"),
+        F.when(has, prev_entropy).alias("prev_entropy"),
+        F.when(has, _chain(ent_terms) - prev_entropy).alias("cond_entropy"),
     )
 
 
