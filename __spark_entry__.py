@@ -2709,6 +2709,38 @@ def q_stream_cusum(spark, sf_dir):
     )
 
 
+def q_embed_stats(spark, sf_dir):
+    """Per-vector embedding data-quality screen
+    (similarity.embedding_stats): dim/norm/zeros/non-finite + ok flag —
+    pure narrow map; the norm is the engine's standard fixed-order fold,
+    oracle-replayable."""
+    from z_rad_spark.operators.similarity import embedding_stats
+
+    out = embedding_stats(_emb(spark, sf_dir), dim=64)
+    out = out.select(
+        F.col("vec_id").cast("long"),
+        "dim",
+        "norm",
+        "n_zero",
+        "n_nonfinite",
+        "ok",
+    )
+    return _r6(out, ["norm"])
+
+
+def q_trending_tokens(spark, sf_dir):
+    """Daily top-5 tokens by document frequency over transcripts
+    (text.trending_tokens): distinct-token explode, one (day, token)
+    aggregate, bounded per-day top-k with the (count desc, token asc)
+    tie-break — exact integers, oracle-replayable."""
+    from z_rad_spark.operators.text import trending_tokens
+
+    out = trending_tokens(_t(spark, sf_dir), k=5)
+    return out.select(
+        F.col("day").cast("string").alias("day"), "token", "n_docs", "rank"
+    )
+
+
 def q_conv_features(spark, sf_dir):
     """The composed per-conversation feature table
     (profile.conversation_features): seven conversation-level operators
@@ -2990,6 +3022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_spearman_trend": q_spearman_trend,
         "q_vocab_growth": q_vocab_growth,
         "q_conv_features": q_conv_features,
+        "q_embed_stats": q_embed_stats,
+        "q_trending_tokens": q_trending_tokens,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -5289,3 +5289,53 @@ JOIN sp USING (conv_id)
 JOIN tp USING (conv_id)
 LEFT JOIN rl USING (conv_id)
 """
+
+
+# embedding data-quality screen: fixed-order norm fold — matches
+# similarity.embedding_stats (DuckDB list folds evaluate in order; NaN
+# check via isnan, Inf via abs() = 'infinity')
+ORACLES["q_embed_stats"] = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+),
+s AS (
+  SELECT vec_id,
+         CAST(length(ev) AS INT) AS dim,
+         CAST(length(list_filter(ev, x -> x IS NULL OR isnan(x) OR abs(x) = 'infinity'::DOUBLE)) AS INT) AS n_nonfinite,
+         sqrt(list_aggregate(list_transform(ev, x -> x * x), 'sum')) AS rawnorm,
+         CAST(length(list_filter(ev, x -> x = 0.0)) AS INT) AS n_zero
+  FROM v
+),
+t AS (
+  SELECT vec_id, dim,
+         CASE WHEN n_nonfinite = 0 THEN rawnorm END AS norm,
+         n_zero, n_nonfinite
+  FROM s
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, dim,
+       {r6("norm", "norm")},
+       n_zero, n_nonfinite,
+       (n_nonfinite = 0 AND norm IS NOT NULL AND norm > 0 AND dim = 64) AS ok
+FROM t
+"""
+
+
+# daily trending tokens: document-frequency top-k with the
+# (count desc, token asc) tie-break — matches text.trending_tokens
+ORACLES["q_trending_tokens"] = f"""
+WITH t AS ({T}),
+ex AS (
+  SELECT CAST(ts AS DATE) AS day, UNNEST(list_distinct({TOKS_RAW})) AS token
+  FROM t
+),
+c AS (
+  SELECT day, token, COUNT(*) AS n_docs FROM ex GROUP BY day, token
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY day ORDER BY n_docs DESC, token ASC) AS rank
+  FROM c
+)
+SELECT CAST(day AS VARCHAR) AS day, token,
+       CAST(n_docs AS BIGINT) AS n_docs, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+"""

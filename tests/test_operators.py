@@ -1381,3 +1381,68 @@ def test_mahalanobis_score_matches_numpy(spark):
         .set_index("vec_id")["maha2"]
     )
     assert got2[0] > 10 * got2[1:].max()
+
+
+def test_embedding_stats_flags_corrupt_vectors(spark):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from z_rad_spark.operators.similarity import embedding_stats
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(5),
+            "embedding": [
+                [1.0, 2.0, 2.0],            # norm 3, ok
+                [0.0, 0.0, 0.0],            # all-zero -> not ok
+                [float("nan"), 1.0, 1.0],   # NaN -> not ok, norm NULL
+                [float("inf"), 1.0, 1.0],   # Inf -> not ok
+                [3.0, 4.0, 0.0],            # norm 5, one zero, ok
+            ],
+        }
+    )
+    got = (
+        embedding_stats(spark.createDataFrame(pdf), dim=3)
+        .select("vec_id", "dim", "norm", "n_zero", "n_nonfinite", "ok")
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert abs(got.loc[0, "norm"] - 3.0) < 1e-12
+    assert bool(got.loc[0, "ok"]) is True
+    assert got.loc[1, "n_zero"] == 3 and bool(got.loc[1, "ok"]) is False
+    assert got.loc[2, "n_nonfinite"] == 1 and pd.isna(got.loc[2, "norm"])
+    assert bool(got.loc[2, "ok"]) is False
+    assert got.loc[3, "n_nonfinite"] == 1 and bool(got.loc[3, "ok"]) is False
+    assert abs(got.loc[4, "norm"] - 5.0) < 1e-12 and bool(got.loc[4, "ok"]) is True
+
+
+def test_trending_tokens_doc_frequency_and_tiebreak(spark):
+    import pandas as pd
+
+    from z_rad_spark.operators.text import trending_tokens
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "ts": pd.to_datetime(
+                ["2024-01-01 01:00", "2024-01-01 02:00",
+                 "2024-01-01 03:00", "2024-01-02 01:00"]
+            ),
+            "text": [
+                "spam spam spam alpha",   # spam counts ONCE (doc frequency)
+                "alpha beta",
+                "beta gamma",
+                "only day two",
+            ],
+        }
+    )
+    got = trending_tokens(spark.createDataFrame(pdf), k=2).toPandas()
+    d1 = got[got["day"] == pd.Timestamp("2024-01-01").date()].sort_values("rank")
+    # day 1: alpha=2, beta=2, gamma=1, spam=1 -> top2 alpha, beta (tie ->
+    # token asc)
+    assert list(d1["token"]) == ["alpha", "beta"]
+    assert list(d1["n_docs"]) == [2, 2]
+    d2 = got[got["day"] == pd.Timestamp("2024-01-02").date()].sort_values("rank")
+    assert list(d2["token"]) == ["day", "only"]

@@ -1393,3 +1393,54 @@ def mahalanobis_score(
     for t in proj_exprs[1:]:
         chain = f"({chain} + {t})"
     return df.withColumn(out, F.expr(chain))
+
+
+def embedding_stats(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """Per-vector data-quality screen for an embedding column — the
+    cheap narrow map a pipeline runs BEFORE indexing 10^9 vectors to
+    quarantine corrupt rows (all-zero vectors from a failed encoder
+    batch, NaN/Inf from an fp16 overflow, wrong dimensionality from a
+    version mix):
+
+        dim          actual array length
+        norm         Euclidean norm (fixed-order fold, oracle-exact)
+        n_zero       exactly-zero elements
+        n_nonfinite  NaN, +/-Inf, or NULL elements
+        ok           dim matches (when ``dim`` given), norm finite and
+                     positive, zero non-finite elements
+
+    Pure column expressions, zero shuffles. The norm fold is the same
+    left-to-right aggregate every cosine in the engine uses, so the
+    DuckDB oracle replays it bit-for-bit.
+
+    Adds: dim int, norm double, n_zero int, n_nonfinite int, ok boolean.
+    """
+    v = F.col(vec_col)
+    sq = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, y: acc + y
+    )
+    n_zero = F.size(F.filter(v, lambda x: x == F.lit(0.0)))
+    # NULL elements count as corrupt too: Arrow interchange maps a NaN
+    # inside a list to NULL, and a NULL poisons the norm fold anyway
+    n_nonfin = F.size(
+        F.filter(
+            v,
+            lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+        )
+    )
+    norm = F.sqrt(sq)
+    out = (
+        df.withColumn("dim", F.size(v).cast("int"))
+        .withColumn("n_nonfinite", n_nonfin.cast("int"))
+        .withColumn(
+            "norm",
+            F.when(F.col("n_nonfinite") == 0, norm),
+        )
+        .withColumn("n_zero", n_zero.cast("int"))
+    )
+    ok = (F.col("n_nonfinite") == 0) & F.col("norm").isNotNull() & (F.col("norm") > 0)
+    if dim is not None:
+        ok = ok & (F.col("dim") == int(dim))
+    return out.withColumn("ok", ok)

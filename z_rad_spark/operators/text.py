@@ -400,3 +400,48 @@ def bm25_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def trending_tokens(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily trending tokens: the top-k tokens per UTC day by document
+    (turn) frequency — the monitoring query a corpus pipeline trends to
+    catch a scraper suddenly flooding one template or a new spam
+    campaign (a token that jumps into the daily top-k overnight).
+
+    Counting is DOCUMENT frequency (each turn counts a token once —
+    distinct tokens per turn before the explode), which is robust to
+    one pathological document repeating a token millions of times.
+
+    Plan shape: distinct-token explode (the TF-IDF cost class), ONE
+    map-side-combined groupBy on (day, token), then a bounded top-k
+    window per day (row_number over counts with the deterministic
+    (count desc, token asc) tie-break — oracle-replayable exactly).
+    The per-day state is |distinct tokens that day|, never turns.
+
+    Output: (day date, token string, n_docs long, rank int).
+    """
+    from pyspark.sql import Window
+
+    toks = F.array_distinct(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    )
+    ex = df.select(
+        F.to_date(F.col(ts_col).cast("timestamp")).alias("day"),
+        F.explode(toks).alias("token"),
+    )
+    counts = ex.groupBy("day", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("n_docs").desc(), F.col("token").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("day", "token", "n_docs", "rank")
+    )
