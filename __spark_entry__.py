@@ -2709,6 +2709,23 @@ def q_stream_cusum(spark, sf_dir):
     )
 
 
+def q_daily_activity(spark, sf_dir):
+    """Daily active/new/retained conversations (profile.daily_activity):
+    distinct (conv, day) grid, min-day firsts, day+1 self equi-join —
+    exact integers + one division, oracle-replayable."""
+    from z_rad_spark.operators.profile import daily_activity
+
+    out = daily_activity(_t(spark, sf_dir))
+    out = out.select(
+        F.col("day").cast("string").alias("day"),
+        "n_active",
+        "n_new",
+        "n_retained",
+        "retention",
+    )
+    return _r6(out, ["retention"])
+
+
 def q_embed_stats(spark, sf_dir):
     """Per-vector embedding data-quality screen
     (similarity.embedding_stats): dim/norm/zeros/non-finite + ok flag —
@@ -3024,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_conv_features": q_conv_features,
         "q_embed_stats": q_embed_stats,
         "q_trending_tokens": q_trending_tokens,
+        "q_daily_activity": q_daily_activity,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

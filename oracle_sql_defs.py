@@ -5339,3 +5339,32 @@ SELECT CAST(day AS VARCHAR) AS day, token,
        CAST(n_docs AS BIGINT) AS n_docs, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 5
 """
+
+
+# daily activity rollup: distinct (conv, day) grid + min-day firsts +
+# day+1 self-join — matches profile.daily_activity
+ORACLES["q_daily_activity"] = f"""
+WITH t AS ({T}),
+grid AS (SELECT DISTINCT conv_id, CAST(ts AS DATE) AS day FROM t),
+firsts AS (SELECT conv_id, MIN(day) AS fday FROM grid GROUP BY conv_id),
+nxt AS (SELECT conv_id, day - 1 AS day, 1 AS m FROM grid),
+j AS (
+  SELECT g.day, f.fday = g.day AS is_new, n.m
+  FROM grid g
+  JOIN firsts f USING (conv_id)
+  LEFT JOIN nxt n ON n.conv_id = g.conv_id AND n.day = g.day
+),
+o AS (
+  SELECT day,
+         COUNT(*) AS n_active,
+         COUNT(CASE WHEN is_new THEN 1 END) AS n_new,
+         COUNT(m) AS n_retained
+  FROM j GROUP BY day
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST(n_retained AS BIGINT) AS n_retained,
+       {r6("CAST(n_retained AS DOUBLE) / CAST(n_active AS DOUBLE)", "retention")}
+FROM o
+"""

@@ -880,3 +880,37 @@ def test_role_transitions_conditional_entropy(spark):
     assert abs(got["prev_entropy"] - hp) < 1e-12
     assert abs(got["cond_entropy"]) < 1e-12
     assert abs(got["trans_entropy"] - hp) < 1e-12
+
+
+def test_daily_activity_matches_manual(spark):
+    from z_rad_spark.operators.profile import daily_activity
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "a", "b", "b", "c"],
+            "turn_idx": [0, 1, 2, 0, 1, 0],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 10:00", "2024-01-01 11:00",  # a day1 (2 turns)
+                    "2024-01-02 09:00",                       # a day2
+                    "2024-01-01 10:00",                       # b day1
+                    "2024-01-03 10:00",                       # b day3 (gap)
+                    "2024-01-02 10:00",                       # c day2 (new)
+                ]
+            ),
+        }
+    )
+    got = (
+        daily_activity(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    # day1: active {a,b}, both new; retained next day = {a} -> 1/2
+    # day2: active {a,c}, new {c}; retained = {} (b returns but wasn't
+    #        active day2; a not active day3) -> 0
+    # day3: active {b}, new 0; retained 0 (no day4)
+    assert list(got["n_active"]) == [2, 2, 1]
+    assert list(got["n_new"]) == [2, 1, 0]
+    assert list(got["n_retained"]) == [1, 0, 0]
+    assert abs(got.loc[0, "retention"] - 0.5) < 1e-12

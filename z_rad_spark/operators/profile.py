@@ -226,3 +226,49 @@ def conversation_features(df: DataFrame) -> DataFrame:
         .join(rl, "conv_id", "left")
     )
     return out
+
+
+def daily_activity(df: DataFrame) -> DataFrame:
+    """Daily corpus activity rollup: per UTC day, the number of active
+    conversations, how many are NEW (first-ever day), and next-day
+    retention — the monitoring dashboard's top line (a scraper outage
+    shows as an actives cliff; a bot flood as a new-conversation spike
+    with zero retention).
+
+        n_active    distinct conversations with >= 1 turn that day
+        n_new       whose first-ever active day is that day
+        n_retained  of that day's actives, how many are also active
+                    the NEXT calendar day
+        retention   n_retained / n_active
+
+    Shape: turns collapse to the distinct (conv, day) grid first (one
+    map-side-combined aggregate — the state is conversation-days, never
+    turns), firsts come from a min-day aggregate on the SAME grid, and
+    retention is a self equi-join of the grid on (conv, day+1) — all
+    exact integers + one division, oracle-replayable. The final per-day
+    rollup is |days| rows.
+
+    Output: (day date, n_active long, n_new long, n_retained long,
+    retention double).
+    """
+    day = F.to_date(F.col("ts").cast("timestamp"))
+    grid = df.select("conv_id", day.alias("day")).distinct()
+    firsts = grid.groupBy("conv_id").agg(F.min("day").alias("_first"))
+    nxt = grid.select(
+        "conv_id", F.date_sub(F.col("day"), 1).alias("day"), F.lit(1).alias("_n")
+    )
+    # no broadcast hint: firsts is one row PER CONVERSATION, unbounded
+    # by any parameter (the skew.py lesson) — the equi-join stays on
+    # conv_id and AQE may still broadcast when it is actually small
+    j = grid.join(firsts, "conv_id").join(nxt, ["conv_id", "day"], "left")
+    out = j.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.count(F.when(F.col("_first") == F.col("day"), 1))
+        .cast("long")
+        .alias("n_new"),
+        F.count("_n").cast("long").alias("n_retained"),
+    )
+    return out.withColumn(
+        "retention",
+        F.col("n_retained").cast("double") / F.col("n_active").cast("double"),
+    )
