@@ -2916,6 +2916,85 @@ def q_welch_drift(spark, sf_dir):
     return _r6(out, ["mean_ref", "mean_cur", "t", "d"])
 
 
+def q_source_concentration(spark, sf_dir):
+    """Per-language source-concentration profile over documents
+    (curation.source_concentration): HHI / effective-source count /
+    top-source share from ONE (lang, source) aggregate — the sum of
+    squared counts stays an exact long, each float is one division,
+    oracle-replayable."""
+    from z_rad_spark.operators.curation import source_concentration
+
+    out = source_concentration(_docs(spark, sf_dir))
+    return _r6(out, ["hhi", "eff_sources", "top_share"])
+
+
+def q_robust_scale(spark, sf_dir):
+    """Per-conversation median/MAD robust z-score of the signal
+    (sessionize.with_robust_scale): both medians located by the at-rank
+    window trick (no collect), NumPy lerp convention; integer signals
+    make med/MAD exact multiples of 0.25 — oracle-replayable."""
+    from z_rad_spark.operators.sessionize import with_robust_scale
+
+    out = with_robust_scale(_t(spark, sf_dir))
+    out = out.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        _us("ts", "ts_us"),
+        "signal",
+        "med",
+        "mad",
+        "robust_z",
+    )
+    return _r6(out, ["med", "mad", "robust_z"])
+
+
+def q_ewm_smooth(spark, sf_dir):
+    """Truncated exponentially-weighted moving average of the signal
+    (sessionize.with_ewm_smooth, alpha=0.5 lookback=8): 8 LAG reads in
+    one window node, power-of-two weights — exact for integer signals,
+    oracle-replayable."""
+    from z_rad_spark.operators.sessionize import with_ewm_smooth
+
+    out = with_ewm_smooth(_t(spark, sf_dir))
+    out = out.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        _us("ts", "ts_us"),
+        "signal",
+        "ewm",
+        "ewm_n",
+    )
+    return _r6(out, ["ewm"])
+
+
+def q_pmi(spark, sf_dir):
+    """Per-language top-20 PMI collocations over documents
+    (text.pmi_collocations, min_count=2 at test scale): bigram/unigram
+    exact-long counts, vocab-sized broadcast joins, pmi = one fixed
+    multiply/divide/log2 chain — oracle-replayable."""
+    from z_rad_spark.operators.text import pmi_collocations
+
+    out = pmi_collocations(_docs(spark, sf_dir), k=20, min_count=2)
+    return _r6(out, ["pmi"])
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Daily bigram novelty over transcripts (text.ngram_novelty):
+    distinct (day, gram) grid, per-gram first-seen day with exchange
+    reuse on the gram key, exact counts + one division —
+    oracle-replayable."""
+    from z_rad_spark.operators.text import ngram_novelty
+
+    out = ngram_novelty(_t(spark, sf_dir), n=2)
+    out = out.select(
+        F.col("day").cast("string").alias("day"),
+        "n_grams",
+        "n_new",
+        "novelty",
+    )
+    return _r6(out, ["novelty"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -3042,6 +3121,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_stats": q_embed_stats,
         "q_trending_tokens": q_trending_tokens,
         "q_daily_activity": q_daily_activity,
+        # session-7 additions (same rationale as q_stream_cusum above:
+        # every in-window slot already holds a new/changed-this-round
+        # entry; these five wait for r5 with this session's strict-mirror
+        # green on record)
+        "q_source_concentration": q_source_concentration,
+        "q_robust_scale": q_robust_scale,
+        "q_ewm_smooth": q_ewm_smooth,
+        "q_pmi": q_pmi,
+        "q_ngram_novelty": q_ngram_novelty,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

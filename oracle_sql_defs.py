@@ -5368,3 +5368,170 @@ SELECT CAST(day AS VARCHAR) AS day,
        {r6("CAST(n_retained AS DOUBLE) / CAST(n_active AS DOUBLE)", "retention")}
 FROM o
 """
+
+
+# per-language source concentration: one (lang, source) count, exact
+# long sum-of-squares, one division per float — matches
+# curation.source_concentration
+ORACLES["q_source_concentration"] = f"""
+WITH per AS (
+  SELECT lang AS g, source AS s, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY lang, source
+),
+a AS (
+  SELECT g,
+         CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_sources,
+         CAST(SUM(c * c) AS BIGINT) AS ssq,
+         CAST(MAX(c) AS BIGINT) AS cmax
+  FROM per GROUP BY g
+)
+SELECT g AS lang, n_docs, n_sources,
+       {r6("CAST(ssq AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))", "hhi")},
+       {r6("(CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) / CAST(ssq AS DOUBLE)", "eff_sources")},
+       {r6("CAST(cmax AS DOUBLE) / CAST(n_docs AS DOUBLE)", "top_share")}
+FROM a
+"""
+
+
+# per-conversation median/MAD robust z: both medians replayed with the
+# NumPy lerp convention over sorted per-conversation lists (frac is 0 or
+# 0.5, so med = a or a + 0.5*(b-a) — the same IEEE chain as the Spark
+# at-rank windows) — matches sessionize.with_robust_scale
+_MED_LIST = (
+    "CASE WHEN (n - 1) % 2 = 0 THEN arr[(n - 1) // 2 + 1] "
+    "ELSE arr[(n - 1) // 2 + 1] "
+    "+ 0.5 * (arr[(n - 1) // 2 + 2] - arr[(n - 1) // 2 + 1]) END"
+)
+
+ORACLES["q_robust_scale"] = f"""
+WITH t AS ({T}),
+m1 AS (
+  SELECT conv_id, list_sort(list(signal)) AS arr, COUNT(signal) AS n
+  FROM t WHERE signal IS NOT NULL GROUP BY conv_id
+),
+med AS (SELECT conv_id, {_MED_LIST} AS med FROM m1),
+d AS (
+  SELECT t.conv_id, ABS(t.signal - med.med) AS dev
+  FROM t JOIN med USING (conv_id) WHERE t.signal IS NOT NULL
+),
+m2 AS (
+  SELECT conv_id, list_sort(list(dev)) AS arr, COUNT(dev) AS n
+  FROM d GROUP BY conv_id
+),
+mad AS (SELECT conv_id, {_MED_LIST} AS mad FROM m2)
+SELECT t.conv_id, CAST(t.turn_idx AS INT) AS turn_idx, epoch_us(t.ts) AS ts_us,
+       t.signal,
+       {r6("med.med", "med")},
+       {r6("mad.mad", "mad")},
+       {r6("CASE WHEN t.signal IS NOT NULL AND mad.mad > 0 "
+           "THEN (t.signal - med.med) / (1.4826 * mad.mad) END", "robust_z")}
+FROM t
+LEFT JOIN med USING (conv_id)
+LEFT JOIN mad USING (conv_id)
+"""
+
+
+# truncated EWMA: the same literal-weight fixed-order fold over 8 LAG
+# reads — matches sessionize.with_ewm_smooth(alpha=0.5, lookback=8)
+def _ewm_sql() -> str:
+    terms_num, terms_den, terms_cnt = [], [], []
+    for j in range(8):
+        v = "signal" if j == 0 else f"LAG(signal, {j}) OVER w"
+        wt = repr(0.5 ** j)
+        terms_num.append(f"CASE WHEN {v} IS NOT NULL THEN {wt} * {v} ELSE 0.0 END")
+        terms_den.append(f"CASE WHEN {v} IS NOT NULL THEN {wt} ELSE 0.0 END")
+        terms_cnt.append(f"CASE WHEN {v} IS NOT NULL THEN 1 ELSE 0 END")
+    num = " + ".join(["0.0"] + terms_num)
+    den = " + ".join(["0.0"] + terms_den)
+    cnt = " + ".join(["0"] + terms_cnt)
+    return f"""
+WITH t AS ({T}),
+e AS (
+  SELECT conv_id, turn_idx, ts, signal,
+         {num} AS num, {den} AS den, {cnt} AS cnt
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+)
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, epoch_us(ts) AS ts_us,
+       signal,
+       {r6("CASE WHEN den > 0 THEN num / den END", "ewm")},
+       CAST(cnt AS BIGINT) AS ewm_n
+FROM e
+"""
+
+
+ORACLES["q_ewm_smooth"] = _ewm_sql()
+
+
+# per-language PMI collocations: bigram/unigram exact-long counts over
+# the normalized token stream; pmi = log2((c_xy*M*M)/((c_x*c_y)*N)) in
+# the engine's exact operation order — matches text.pmi_collocations
+# (k=20, min_count=2). Bigram strings re-split losslessly (normalized
+# tokens contain no spaces).
+ORACLES["q_pmi"] = f"""
+WITH base AS (
+  SELECT lang AS g, {TOKS_DOC} AS tk FROM documents
+),
+uc AS (
+  SELECT g, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT g, UNNEST(tk) AS tok FROM base
+  ) GROUP BY g, tok
+),
+bc AS (
+  SELECT g, bigram, CAST(COUNT(*) AS BIGINT) AS c_xy FROM (
+    SELECT g, UNNEST(list_transform(generate_series(1, len(tk) - 1),
+                     i -> array_to_string(list_slice(tk, i, i + 1), ' '))) AS bigram
+    FROM base WHERE len(tk) >= 2
+  ) GROUP BY g, bigram HAVING COUNT(*) >= 2
+),
+tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS m_uni FROM uc GROUP BY g),
+nb AS (
+  SELECT g, CAST(SUM(GREATEST(len(tk) - 1, 0)) AS BIGINT) AS n_bi
+  FROM base GROUP BY g
+),
+s AS (
+  SELECT bc.g, bc.bigram, bc.c_xy AS n,
+         LOG2(((CAST(bc.c_xy AS DOUBLE) * CAST(tot.m_uni AS DOUBLE)) * CAST(tot.m_uni AS DOUBLE))
+              / ((CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) * CAST(nb.n_bi AS DOUBLE))) AS pmi
+  FROM bc
+  JOIN uc u1 ON u1.g = bc.g AND u1.tok = string_split(bc.bigram, ' ')[1]
+  JOIN uc u2 ON u2.g = bc.g AND u2.tok = string_split(bc.bigram, ' ')[2]
+  JOIN tot ON tot.g = bc.g
+  JOIN nb ON nb.g = bc.g
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY pmi DESC, bigram ASC) AS rank
+  FROM s
+)
+SELECT g AS lang, bigram, n, {r6("pmi", "pmi")}, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 20
+"""
+
+
+# daily bigram novelty: distinct (day, gram) grid + per-gram first-seen
+# day + exact counts — matches text.ngram_novelty(n=2)
+ORACLES["q_ngram_novelty"] = f"""
+WITH t AS ({T}),
+dg AS (
+  SELECT DISTINCT day, gram FROM (
+    SELECT CAST(ts AS DATE) AS day,
+           UNNEST(list_distinct(list_transform(
+             generate_series(1, GREATEST(len(tk) - 1, 0)),
+             i -> array_to_string(list_slice(tk, i, i + 1), ' ')))) AS gram
+    FROM (SELECT ts, {TOKS_RAW} AS tk FROM t)
+  )
+),
+first AS (SELECT gram, MIN(day) AS first_day FROM dg GROUP BY gram),
+o AS (
+  SELECT dg.day,
+         COUNT(*) AS n_grams,
+         COUNT(CASE WHEN dg.day = first.first_day THEN 1 END) AS n_new
+  FROM dg JOIN first USING (gram) GROUP BY dg.day
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_new AS BIGINT) AS n_new,
+       {r6("CAST(n_new AS DOUBLE) / CAST(n_grams AS DOUBLE)", "novelty")}
+FROM o
+"""

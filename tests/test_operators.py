@@ -1446,3 +1446,100 @@ def test_trending_tokens_doc_frequency_and_tiebreak(spark):
     assert list(d1["n_docs"]) == [2, 2]
     d2 = got[got["day"] == pd.Timestamp("2024-01-02").date()].sort_values("rank")
     assert list(d2["token"]) == ["day", "only"]
+
+
+def test_source_concentration_hhi_hand_check(spark):
+    import pandas as pd
+
+    from z_rad_spark.operators.curation import source_concentration
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "lang": ["en"] * 6 + ["de"] * 4,
+            # en: s0 x4, s1 x2 -> hhi = (16+4)/36; de: one source -> hhi 1
+            "source": ["s0"] * 4 + ["s1"] * 2 + ["s9"] * 4,
+            "text": ["x"] * 10,
+        }
+    )
+    got = (
+        source_concentration(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("lang")
+    )
+    assert got.loc["en", "n_docs"] == 6 and got.loc["en", "n_sources"] == 2
+    assert abs(got.loc["en", "hhi"] - 20.0 / 36.0) < 1e-12
+    assert abs(got.loc["en", "eff_sources"] - 36.0 / 20.0) < 1e-12
+    assert abs(got.loc["en", "top_share"] - 4.0 / 6.0) < 1e-12
+    assert got.loc["de", "hhi"] == 1.0 and got.loc["de", "eff_sources"] == 1.0
+    assert got.loc["de", "top_share"] == 1.0
+
+
+def test_pmi_collocations_hand_check(spark):
+    import math
+
+    import pandas as pd
+
+    from z_rad_spark.operators.text import pmi_collocations
+
+    # 4 docs, one lang: "new york" always adjacent; "the the" never.
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "lang": ["en"] * 4,
+            "text": [
+                "new york is the big apple",
+                "the new york subway",
+                "i love new york",
+                "the weather the rain",
+            ],
+        }
+    )
+    got = pmi_collocations(
+        spark.createDataFrame(pdf), k=5, min_count=2
+    ).toPandas()
+    ny = got[got["bigram"] == "new york"].iloc[0]
+    # counts: c_xy("new york")=3, c("new")=3, c("york")=3, M=18, N=14
+    assert ny["n"] == 3
+    want = math.log2((3 * 18 * 18) / ((3 * 3) * 14))
+    assert abs(ny["pmi"] - want) < 1e-12
+    # rank 1 within the lang and nothing below min_count surfaced
+    assert int(ny["rank"]) == 1
+    assert (got["n"] >= 2).all()
+
+
+def test_ngram_novelty_hand_check_and_short_docs(spark):
+    import pandas as pd
+
+    from z_rad_spark.operators.text import ngram_novelty
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 5,
+            "ts": pd.to_datetime(
+                ["2024-01-01 05:00", "2024-01-01 09:00",
+                 "2024-01-02 05:00", "2024-01-02 06:00", "2024-01-02 07:00"]
+            ),
+            "text": [
+                "a b c",        # day1 grams: {a b, b c}
+                "a b",          # day1 dup of "a b"
+                "a b x",        # day2: "a b" old, "b x" new
+                "solo",         # 1 token -> no grams (regression: Spark
+                                # sequence(1,0) is DESCENDING, must not error)
+                "",             # empty text -> no grams
+            ],
+        }
+    )
+    got = (
+        ngram_novelty(spark.createDataFrame(pdf), n=2)
+        .toPandas()
+        .set_index("day")
+        .sort_index()
+    )
+    import datetime
+
+    d1 = got.loc[datetime.date(2024, 1, 1)]
+    d2 = got.loc[datetime.date(2024, 1, 2)]
+    assert d1["n_grams"] == 2 and d1["n_new"] == 2 and d1["novelty"] == 1.0
+    assert d2["n_grams"] == 2 and d2["n_new"] == 1
+    assert abs(d2["novelty"] - 0.5) < 1e-12

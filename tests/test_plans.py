@@ -716,3 +716,70 @@ def test_vocab_growth_shuffles_token_level_once(spark):
     plan = _plan(with_vocab_growth(df))
     assert "Join" not in plan
     assert plan.count("Exchange") <= 3
+
+
+def test_robust_scale_one_exchange_no_join(spark):
+    """Both median locations ride rank windows whose keys are satisfied
+    by ONE conv_id hash exchange — no join, no per-group collect."""
+    from z_rad_spark.operators.sessionize import with_robust_scale
+
+    plan = _plan(with_robust_scale(_roled_turns_df(spark)))
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_ewm_smooth_single_window_node(spark):
+    """The truncated EWMA is `lookback` LAG reads in ONE window node on
+    one conv_id exchange — a refactor that splits it into per-lag
+    windows or adds a self-join would multiply the scale cost."""
+    from z_rad_spark.operators.sessionize import with_ewm_smooth
+
+    plan = _plan(with_ewm_smooth(_roled_turns_df(spark)))
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+
+
+def test_pmi_joins_stay_broadcast(spark):
+    """The unigram/total frames are vocab-sized: every join onto the
+    bigram aggregate must broadcast; nothing may degrade to a
+    sort-merge join or nested loop over the corpus-scale side."""
+    from z_rad_spark.operators.text import pmi_collocations
+
+    docs = _docs(spark).withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de")
+    )
+    plan = _plan(pmi_collocations(docs, min_count=1))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_novelty_no_nested_loop(spark):
+    """First-seen join is an equi-join on the gram key over two frames
+    already partitioned on gram — never a nested loop, and the
+    exchange count stays bounded (distinct, first-seen agg, join
+    alignment, final day rollup)."""
+    from z_rad_spark.operators.text import ngram_novelty
+
+    df = _roled_turns_df(spark).withColumn(
+        "text", F.concat_ws(" ", F.lit("tok"), F.col("turn_idx").cast("string"))
+    )
+    plan = _plan(ngram_novelty(df))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 4
+
+
+def test_source_concentration_two_aggregates_no_join(spark):
+    """One corpus-scale (group, source) aggregate, then a rollup over
+    the tiny per-source frame — two exchanges, no join anywhere."""
+    from z_rad_spark.operators.curation import source_concentration
+
+    docs = _docs(spark).withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de")
+    )
+    plan = _plan(source_concentration(docs))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2

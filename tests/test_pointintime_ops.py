@@ -914,3 +914,155 @@ def test_daily_activity_matches_manual(spark):
     assert list(got["n_new"]) == [2, 1, 0]
     assert list(got["n_retained"]) == [1, 0, 0]
     assert abs(got.loc[0, "retention"] - 0.5) < 1e-12
+
+
+def test_robust_scale_matches_numpy(spark):
+    from z_rad_spark.operators.sessionize import with_robust_scale
+
+    df, pdf = _turns(spark, n_conv=4, n_turns=31, seed=71)
+    got = (
+        with_robust_scale(df)
+        .select("conv_id", "turn_idx", "med", "mad", "robust_z")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    for conv, grp in pdf.groupby("conv_id"):
+        x = grp["signal"].to_numpy()
+        med = float(np.median(x))
+        mad = float(np.median(np.abs(x - med)))
+        sub = got[got["conv_id"] == conv]
+        assert np.allclose(sub["med"], med, atol=0)
+        assert np.allclose(sub["mad"], mad, atol=0)
+        g = grp.sort_values("turn_idx")
+        if mad > 0:
+            want = (g["signal"].to_numpy() - med) / (1.4826 * mad)
+            assert np.allclose(
+                sub.sort_values("turn_idx")["robust_z"].to_numpy(), want,
+                atol=1e-12,
+            )
+
+
+def test_robust_scale_null_and_constant_edge_cases(spark):
+    import pandas as pd
+
+    from z_rad_spark.operators.sessionize import with_robust_scale
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a"] * 4 + ["b"] * 3,
+            "turn_idx": [0, 1, 2, 3, 0, 1, 2],
+            "ts": pd.to_datetime(["2024-01-01"] * 7)
+            + pd.to_timedelta(range(7), unit="m"),
+            # a: one NULL among {1, 3, 10}; b: constant -> mad 0
+            "signal": [1.0, None, 3.0, 10.0, 5.0, 5.0, 5.0],
+        }
+    )
+    got = (
+        with_robust_scale(spark.createDataFrame(pdf))
+        .select("conv_id", "turn_idx", "med", "mad", "robust_z")
+        .toPandas()
+        .set_index(["conv_id", "turn_idx"])
+        .sort_index()
+    )
+    # conv a: med of [1,3,10] = 3, deviations [2,0,7] -> mad 2
+    assert (got.loc["a"]["med"] == 3.0).all()
+    assert (got.loc["a"]["mad"] == 2.0).all()
+    assert pd.isna(got.loc[("a", 1), "robust_z"])  # NULL signal -> NULL z
+    assert abs(got.loc[("a", 3), "robust_z"] - 7.0 / (1.4826 * 2.0)) < 1e-12
+    # conv b: constant -> mad 0 -> z NULL everywhere
+    assert (got.loc["b"]["mad"] == 0.0).all()
+    assert got.loc["b"]["robust_z"].isna().all()
+
+
+def test_ewm_smooth_matches_pandas(spark):
+    from z_rad_spark.operators.sessionize import with_ewm_smooth
+
+    df, pdf = _turns(spark, n_conv=3, n_turns=30, seed=73)
+    alpha = 0.5
+    lookback = 8
+    got = (
+        with_ewm_smooth(df, alpha=alpha, lookback=lookback)
+        .select("conv_id", "turn_idx", "ewm", "ewm_n")
+        .toPandas()
+        .set_index(["conv_id", "turn_idx"])
+        .sort_index()
+    )
+    for conv, grp in pdf.groupby("conv_id"):
+        g = grp.sort_values(["ts", "turn_idx"])
+        xs = g["signal"].to_list()
+        idx = g["turn_idx"].to_list()
+        for k in range(len(xs)):
+            lo = max(0, k - lookback + 1)
+            window = xs[lo : k + 1][::-1]  # lag order: j=0 is current
+            num = sum(alpha**j * v for j, v in enumerate(window))
+            den = sum(alpha**j for j in range(len(window)))
+            assert abs(got.loc[(conv, idx[k]), "ewm"] - num / den) < 1e-12
+            assert got.loc[(conv, idx[k]), "ewm_n"] == len(window)
+
+
+def test_ewm_smooth_imputes_null_signal_from_history(spark):
+    import pandas as pd
+
+    from z_rad_spark.operators.sessionize import with_ewm_smooth
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a"] * 4,
+            "turn_idx": [0, 1, 2, 3],
+            "ts": pd.to_datetime(["2024-01-01"] * 4)
+            + pd.to_timedelta(range(4), unit="m"),
+            "signal": [None, 4.0, None, 8.0],
+        }
+    )
+    got = (
+        with_ewm_smooth(spark.createDataFrame(pdf))
+        .select("turn_idx", "ewm", "ewm_n")
+        .toPandas()
+        .set_index("turn_idx")
+        .sort_index()
+    )
+    # turn 0: no history at all -> NULL, n = 0
+    assert pd.isna(got.loc[0, "ewm"]) and got.loc[0, "ewm_n"] == 0
+    # turn 2 (NULL signal): smoothed from turn 1 only = 4.0
+    assert got.loc[2, "ewm"] == 4.0 and got.loc[2, "ewm_n"] == 1
+    # turn 3: (1*8 + 0.25*4) / (1 + 0.25) = 7.2
+    assert abs(got.loc[3, "ewm"] - 7.2) < 1e-12 and got.loc[3, "ewm_n"] == 2
+
+
+def test_ewm_smooth_validates_params(spark):
+    import pytest
+
+    from z_rad_spark.operators.sessionize import with_ewm_smooth
+
+    df, _ = _turns(spark, n_conv=1, n_turns=3, seed=1)
+    with pytest.raises(ValueError):
+        with_ewm_smooth(df, alpha=0.0)
+    with pytest.raises(ValueError):
+        with_ewm_smooth(df, alpha=1.5)
+    with pytest.raises(ValueError):
+        with_ewm_smooth(df, lookback=0)
+
+
+def test_partition_invariance_of_session7_operators(spark):
+    """Session-7 operators must give identical results at 1 and 7 input
+    partitions (the distributed-correctness contract)."""
+    from z_rad_spark.operators.sessionize import (
+        with_ewm_smooth,
+        with_robust_scale,
+    )
+
+    df, pdf = _turns(spark, n_conv=5, n_turns=40, seed=79)
+    base = spark.createDataFrame(pdf)
+    ops = [
+        lambda d: with_robust_scale(d).select(
+            "conv_id", "turn_idx", "med", "mad", "robust_z"
+        ),
+        lambda d: with_ewm_smooth(d).select(
+            "conv_id", "turn_idx", "ewm", "ewm_n"
+        ),
+    ]
+    for op in ops:
+        one = sorted(map(tuple, op(base.repartition(1)).collect()))
+        many = sorted(map(tuple, op(base.repartition(7)).collect()))
+        assert one == many

@@ -16,6 +16,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+import time
 
 import duckdb
 import numpy as np
@@ -83,16 +84,14 @@ def main():
 
     # DuckDB memory discipline, tuned by failure mode (2026-08-18):
     # the default memory_limit is 80% of RAM (100 GiB here) but the
-    # sandbox caps the PROCESS far lower, and the buffer pool grows
-    # monotonically across 160+ oracle queries (nothing evicts while
-    # under its own limit) until tiny mallocs fail ("Failed to allocate
-    # block of 3420 bytes" with 124 GB system-free). A 24 GB cap still
-    # breaches the process ceiling mid-sweep; an 8 GB cap survives the
-    # sweep but is too small for the two heaviest GLCM matrix-replay
-    # oracles (~8-10 GB of unspillable list aggregates, "7.4 GiB/7.4 GiB
-    # used"). So: 12 GB cap + RECONNECT-AND-RETRY on OOM — a fresh
-    # connection drops the accumulated pool, giving the heavy oracle the
-    # whole 12 GB to itself.
+    # sandbox caps the PROCESS far lower, and a long-lived connection's
+    # buffer pool grows monotonically across 160+ oracle queries
+    # (nothing evicts while under its own limit) until tiny mallocs fail
+    # ("Failed to allocate block of 3420 bytes" with 124 GB system-free;
+    # intermittent even under a 12 GB cap). Strategy: a 12 GB cap big
+    # enough for the heaviest single oracle (the GLCM matrix replays
+    # peak ~8-10 GB of unspillable list aggregates), applied to a FRESH
+    # connection per oracle below.
     def fresh_con():
         c = duckdb.connect()
         c.execute("SET memory_limit='12GB'")
@@ -102,8 +101,6 @@ def main():
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
         return c
-
-    con = fresh_con()
 
     qs = e.queries()
     orc = e.oracle_sql()
@@ -120,25 +117,36 @@ def main():
         if name not in orc:
             print(f"rows  {name}: {len(got)} rows (no oracle)")
             continue
-        try:
-            want = con.execute(orc[name]).fetchdf()
-        except Exception as ex:
-            if "Out of Memory" in str(ex):
-                try:
-                    con.close()
-                except Exception:
-                    pass
+        # One fresh connection PER ORACLE: closing the connection frees
+        # its buffer pool, so the python process's steady-state DuckDB
+        # footprint is a single query's peak instead of the sweep's
+        # monotone accumulation (which intermittently breached the
+        # sandbox's process ceiling even under a 12 GB cap — the
+        # reconnect-on-OOM retry itself OOM'd once). View creation over
+        # parquet is metadata-only (~ms), negligible against the query.
+        want = None
+        err = None
+        for attempt in range(2):
+            try:
                 con = fresh_con()
                 try:
                     want = con.execute(orc[name]).fetchdf()
-                except Exception as ex2:
-                    print(f"FAIL  {name}: duckdb error (post-reconnect): {str(ex2)[:300]}")
-                    failures += 1
-                    continue
-            else:
-                print(f"FAIL  {name}: duckdb error: {str(ex)[:300]}")
-                failures += 1
-                continue
+                finally:
+                    con.close()
+                err = None
+                break
+            except Exception as ex:
+                err = ex
+                if "Out of Memory" not in str(ex):
+                    break
+                import gc
+
+                gc.collect()
+                time.sleep(2.0)
+        if err is not None:
+            print(f"FAIL  {name}: duckdb error: {str(err)[:300]}")
+            failures += 1
+            continue
         problems = compare(got, want)
         if problems:
             failures += 1

@@ -970,3 +970,49 @@ def equal_frequency_bins(
         ).alias("bin"),
     )
     return df.join(F.broadcast(bins), x == F.col("_v"), "left").drop("_v")
+
+
+def source_concentration(
+    docs: DataFrame,
+    group_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-group source-concentration profile: the Herfindahl-Hirschman
+    index of document share across sources,
+
+        hhi         = sum_s (c_s / n)^2  =  sum_s c_s^2 / n^2
+        eff_sources = 1 / hhi            =  n^2 / sum_s c_s^2
+
+    plus the top source's share — the mixture-health monitor a corpus
+    pipeline alarms on (hhi -> 1 means one crawler dominates the
+    group; eff_sources is the "equivalent number of equal sources").
+
+    Plan shape: one map-side-combined groupBy on (group, source) —
+    the only corpus-scale shuffle — then a rollup over the tiny
+    (group x source) aggregate. The sum of SQUARED counts is kept as
+    an exact long (no float share summation exists: sum c_s^2 <= n^2,
+    exact for groups under ~3G docs), so hhi/eff/top_share are each
+    ONE division over exact integers — SQL-replayable bit-for-bit.
+
+    Output: (group, n_docs long, n_sources long, hhi double,
+    eff_sources double, top_share double).
+    """
+    per_src = docs.groupBy(
+        F.col(group_col).alias("g"), F.col(source_col).alias("s")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    g = per_src.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq"),
+        F.max("c").cast("long").alias("cmax"),
+    )
+    n = F.col("n_docs").cast("double")
+    ssq = F.col("ssq").cast("double")
+    return g.select(
+        F.col("g").alias(group_col),
+        "n_docs",
+        "n_sources",
+        (ssq / (n * n)).alias("hhi"),
+        ((n * n) / ssq).alias("eff_sources"),
+        (F.col("cmax").cast("double") / n).alias("top_share"),
+    )

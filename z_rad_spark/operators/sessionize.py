@@ -683,3 +683,128 @@ def with_vocab_growth(df: DataFrame, text_col: str = "text") -> DataFrame:
     return per_turn.withColumn(
         "vocab", F.sum("n_new").over(w_run).cast("long")
     )
+
+
+def with_robust_scale(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """Per-conversation robust standardization: each turn's signal
+    centered on the conversation's MEDIAN and scaled by its MAD
+    (median absolute deviation), z = (x - med) / (1.4826 * mad) — the
+    outlier-immune twin of a plain z-score (a single pathological turn
+    moves mean/std arbitrarily but cannot move med/MAD), the scaling a
+    curation pipeline applies before thresholding heavy-tailed signals.
+    1.4826 (~ 1/Phi^-1(3/4)) makes MAD consistent for the std under
+    normality — the classical robust-statistics constant.
+
+    Median convention is NumPy linear interpolation (the engine-wide
+    percentile convention, kernels/firstorder._pct_sorted): with n
+    scored turns, h = (n-1)/2, med = arr[floor(h)] + (h - floor(h)) *
+    (arr[floor(h)+1] - arr[floor(h)]). Both medians are found WITHOUT
+    collecting the group: the at-rank window trick (the
+    firstorder_sql.stats_asof pattern) — a range-cumulative count
+    locates the row whose tie-block covers the target rank, and an
+    unbounded max broadcasts it to the group.
+
+    Scale + determinism: ONE hash exchange on conv_id (HashPartitioning
+    on conv_id satisfies every (conv_id, value) window's clustering,
+    so the value-ordered windows add sorts, never exchanges); all rank
+    arithmetic is exact integers. For integer-valued signals (the
+    engine's signal contract) the median is an exact multiple of 0.5,
+    deviations are exact multiples of 0.5, the MAD an exact multiple
+    of 0.25 — every emitted float is a fixed chain of single IEEE ops
+    over exact values, so the SQL oracle replays med/mad/z
+    bit-for-bit.
+
+    Adds: med double, mad double, robust_z double (NULL when the
+    signal is NULL or the MAD is 0 — a constant-majority
+    conversation).
+    """
+    x = F.col(signal_col).cast("double")
+    wk = Window.partitionBy("conv_id")
+
+    def _median_of(v, out):
+        """Attach the per-conversation NumPy-convention median of
+        column v (NULLs excluded) as `out`, via rank windows."""
+        wv = Window.partitionBy("conv_id", v).orderBy(F.lit(1))
+        wc = (
+            Window.partitionBy("conv_id")
+            .orderBy(v.asc_nulls_last())
+            .rangeBetween(Window.unboundedPreceding, 0)
+        )
+        t = F.count(v).over(wv)
+        upto = F.count(v).over(wc)
+        n = F.count(v).over(wk)
+        j = F.floor((n - 1).cast("double") * F.lit(0.5)).cast("long")
+
+        def at_rank(rank):
+            return F.max(
+                F.when((upto - t < rank) & (rank <= upto), v)
+            ).over(wk)
+
+        a, b = at_rank(j + 1), at_rank(j + 2)
+        h = (n - 1).cast("double") * F.lit(0.5)
+        frac = h - F.floor(h)
+        med = F.when(frac > 0, a + frac * (b - a)).otherwise(a)
+        return med.alias(out)
+
+    step1 = df.select("*", _median_of(x, "med"))
+    d = F.when(x.isNotNull(), F.abs(x - F.col("med")))
+    step2 = step1.select("*", _median_of(d, "mad"))
+    z = F.when(
+        x.isNotNull() & (F.col("mad") > 0),
+        (x - F.col("med")) / (F.lit(1.4826) * F.col("mad")),
+    )
+    return step2.withColumn("robust_z", z)
+
+
+def with_ewm_smooth(
+    df: DataFrame,
+    signal_col: str = "signal",
+    alpha: float = 0.5,
+    lookback: int = 8,
+) -> DataFrame:
+    """Point-in-time exponentially-weighted moving average of the
+    signal under the stable (ts, turn_idx) order, with a TRUNCATED
+    kernel: ewm_k = sum_{j<lookback} alpha^j * x_{k-j} / sum alpha^j
+    over the lags that exist and are non-NULL (pandas
+    ewm(adjust=True).mean() restricted to the last `lookback` turns).
+    Truncation is the scale move: an exact EWMA is a linear recurrence
+    (inherently sequential per conversation), while the truncated form
+    is `lookback` LAG reads in ONE window node over the engine's
+    shared conv_id exchange — embarrassingly parallel, and the dropped
+    tail is bounded by alpha^lookback (0.4% of total weight at the
+    0.5^8 default). NULL-signal turns contribute no term but still
+    RECEIVE a smoothed value from their history — the EWMA doubles as
+    a leakage-safe imputer (it reads only ts <= current under the
+    stable order).
+
+    Determinism: the weights are Python-float literals embedded in the
+    plan; each term is one multiply, the numerator/denominator are
+    FIXED-ORDER fold chains, and the result one division — the SQL
+    oracle replays the same literal chain bit-for-bit. At the default
+    alpha = 0.5 every weight is a power of two, so each term and both
+    folds are EXACT for integer-valued signals (no rounding anywhere).
+
+    Adds: ewm double, ewm_n long (number of contributing turns; ewm is
+    NULL when it is 0 — the conversation's first turn with a NULL
+    signal).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if lookback < 1:
+        raise ValueError(f"lookback must be >= 1, got {lookback}")
+    x = F.col(signal_col).cast("double")
+    w = _conv_window()
+    lags = [x if j == 0 else F.lag(x, j).over(w) for j in range(lookback)]
+    weights = [alpha ** j for j in range(lookback)]
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    cnt = F.lit(0)
+    for v, wt in zip(lags, weights):
+        num = num + F.when(v.isNotNull(), F.lit(wt) * v).otherwise(F.lit(0.0))
+        den = den + F.when(v.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        cnt = cnt + F.when(v.isNotNull(), 1).otherwise(0)
+    return df.select(
+        "*",
+        F.when(den > 0, num / den).alias("ewm"),
+        cnt.cast("long").alias("ewm_n"),
+    )

@@ -445,3 +445,160 @@ def trending_tokens(
         .where(F.col("rank") <= k)
         .select("day", "token", "n_docs", "rank")
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group top-k collocations: adjacent token bigrams ranked by
+    pointwise mutual information,
+
+        pmi = log2( p(xy) / (p(x) p(y)) )
+            = log2( (c_xy * M * M) / ((c_x * c_y) * N) )
+
+    with c_xy the bigram count, c_x/c_y unigram counts, N/M the total
+    bigram/unigram positions in the group — the classical collocation
+    detector (Church & Hanks 1990): bigrams that co-occur far more than
+    their parts predict ("new york" scores; "of the" does not, both
+    parts being everywhere). A pretraining pipeline trends these to
+    spot template floods and boilerplate glue phrases.
+
+    Plan shape: ONE corpus-scale shuffle each for bigram and unigram
+    counts (both map-side combined); the unigram side and the per-group
+    totals are VOCAB-sized, so both joins onto the bigram aggregate are
+    broadcasts; the `min_count` filter prunes the rank window's input
+    before it runs (the long tail of hapax bigrams — the bulk of the
+    count table — never reaches the window). The final top-k window
+    partitions by group over the filtered vocab-sized aggregate, the
+    top_tokens cost class.
+
+    Determinism: counts are exact longs; pmi is one fixed chain of
+    casts, three multiplies, a divide and a log2 — SQL-replayable —
+    and ties break on the bigram string.
+
+    Output: (group, bigram string, n long, pmi double, rank int).
+    """
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 2)
+    base = docs.repartition(n_parts, id_col).select(
+        F.col(group_col).alias("g"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_tk"),
+    )
+    uni = (
+        base.select("g", F.explode("_tk").alias("tok"))
+        .groupBy("g", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    grams = F.expr(
+        "transform(sequence(1, size(_tk) - 1),"
+        " i -> struct(element_at(_tk, i) AS t1, element_at(_tk, i + 1) AS t2))"
+    )
+    bi_all = (
+        base.where(F.size("_tk") >= 2)
+        .select("g", F.explode(grams).alias("b"))
+        .select("g", F.col("b.t1").alias("t1"), F.col("b.t2").alias("t2"))
+        .groupBy("g", "t1", "t2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    )
+    bi = bi_all.where(F.col("c_xy") >= min_count)
+    tot = uni.groupBy("g").agg(
+        F.sum("c").cast("long").alias("m_uni")
+    )
+    # N (bigram positions) must count ALL bigrams, not just the
+    # min_count survivors. Sum the UNFILTERED bigram aggregate — a
+    # vocab-sized input whose exchange is shared with `bi` (identical
+    # subtree -> ReuseExchange), so N costs no extra corpus scan.
+    n_bi = bi_all.groupBy("g").agg(F.sum("c_xy").cast("long").alias("n_bi"))
+    j = (
+        bi.join(F.broadcast(uni.withColumnRenamed("tok", "t1").withColumnRenamed("c", "c_x")), ["g", "t1"])
+        .join(F.broadcast(uni.withColumnRenamed("tok", "t2").withColumnRenamed("c", "c_y")), ["g", "t2"])
+        .join(F.broadcast(tot), "g")
+        .join(F.broadcast(n_bi), "g")
+    )
+    cxy = F.col("c_xy").cast("double")
+    cx = F.col("c_x").cast("double")
+    cy = F.col("c_y").cast("double")
+    m = F.col("m_uni").cast("double")
+    nb = F.col("n_bi").cast("double")
+    pmi = F.log2(((cxy * m) * m) / ((cx * cy) * nb))
+    scored = j.select(
+        F.col("g").alias(group_col),
+        F.concat_ws(" ", "t1", "t2").alias("bigram"),
+        F.col("c_xy").alias("n"),
+        pmi.alias("pmi"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("pmi").desc(), F.col("bigram").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(group_col, "bigram", "n", "pmi", "rank")
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily n-gram novelty: for each UTC day, the fraction of that
+    day's DISTINCT token n-grams never seen on any earlier day — the
+    corpus-freshness monitor (a scraper stuck re-crawling yesterday's
+    pages sends novelty to 0; a new source coming online spikes it).
+
+    Plan shape: n-gram explode -> distinct (day, gram) [one shuffle on
+    the pair, map-side combined by the partial distinct] -> per-gram
+    first-seen day [one shuffle on gram] -> the day totals join the
+    first-seen table ON GRAM, where both sides are already hash-
+    partitioned — Catalyst reuses the exchange, no third shuffle of
+    the gram-scale data; the final per-day rollup moves |days| x 2
+    longs. All counts exact integers; novelty is one division.
+
+    Output: (day date, n_grams long — distinct n-grams that day,
+    n_new long — first seen that day, novelty double).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # Spark's sequence(1, 0) is the DESCENDING [1, 0] (not empty), so a
+    # turn with < n tokens must be guarded explicitly or slice() sees
+    # start = 0 and errors under ANSI mode.
+    grams = F.array_distinct(
+        F.expr(
+            f"CASE WHEN size(_tk) >= {n} THEN"
+            f" transform(sequence(1, size(_tk) - {n - 1}),"
+            f" i -> array_join(slice(_tk, i, {n}), ' '))"
+            f" ELSE array() END"
+        )
+    )
+    dg = (
+        df.select(
+            F.to_date(F.col(ts_col).cast("timestamp")).alias("day"),
+            toks.alias("_tk"),
+        )
+        .select("day", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    first = dg.groupBy("gram").agg(F.min("day").alias("first_day"))
+    per_day = (
+        dg.join(first, "gram")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count(F.when(F.col("day") == F.col("first_day"), 1))
+            .cast("long")
+            .alias("n_new"),
+        )
+    )
+    return per_day.select(
+        "day",
+        "n_grams",
+        "n_new",
+        (F.col("n_new").cast("double") / F.col("n_grams").cast("double")).alias(
+            "novelty"
+        ),
+    )
