@@ -2343,6 +2343,58 @@ def q_asof_tolerance(spark, sf_dir):
     )
 
 
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of state (pandas merge_asof direction='forward' parity,
+    pytest-verified): for each conversation x cutoff, the EARLIEST turn
+    at-or-after the cutoff — the mirrored running-last pass over the same
+    single hash exchange (descending sort, build-before-probe at equal
+    ts), asof.asof_join direction='forward'. The lookahead primitive for
+    label construction ("what happens next after this point in time")."""
+    from z_rad_spark.operators.asof import asof_state
+
+    out = asof_state(
+        _t(spark, sf_dir),
+        spark,
+        CUTOFFS,
+        ["signal", "role", "turn_idx"],
+        direction="forward",
+    )
+    return out.select(
+        "conv_id",
+        _us("as_of", "as_of_us"),
+        F.col("signal").alias("next_tok"),
+        F.col("role").alias("next_role"),
+        F.col("turn_idx").cast("int").alias("next_turn_idx"),
+    )
+
+
+def q_asof_nearest(spark, sf_dir):
+    """Nearest as-of state with a 2-day tolerance (pandas merge_asof
+    direction='nearest' parity on null-free columns, pytest-verified):
+    both scans ride ONE hash exchange (Window/Sort/Window/Sort on the
+    same HashPartitioning — plan-asserted); per value column the closer
+    match by |turn ts - cutoff| wins, ties to backward. `tool` (NULL on
+    most turns) exercises the engine's per-column semantics: each
+    column is judged against the nearest turn where THAT column is
+    non-null."""
+    from z_rad_spark.operators.asof import asof_state
+
+    out = asof_state(
+        _t(spark, sf_dir),
+        spark,
+        CUTOFFS,
+        ["signal", "tool"],
+        direction="nearest",
+        tolerance_seconds=2 * 86400.0,
+    )
+    return out.select(
+        "conv_id",
+        _us("as_of", "as_of_us"),
+        F.col("signal").alias("near_tok"),
+        F.col("tool").alias("near_tool"),
+    )
+
+
 def q_stream_dedup(spark, sf_dir):
     """Streaming deduplication gate query: the replay deduplicated with
     dropDuplicatesWithinWatermark on (conv_id, ts, signal) — the
@@ -3130,6 +3182,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ewm_smooth": q_ewm_smooth,
         "q_pmi": q_pmi,
         "q_ngram_novelty": q_ngram_novelty,
+        # session-8: asof.py direction variants (forward/nearest). The
+        # refactor touching the backward path was re-mirrored the same
+        # session across ALL asof_join/asof_state consumers (q_asof_state,
+        # q_asof_enrich, q_asof_tolerance + these two) at sf0.01 and
+        # sf0.1, STRICT hash mode — see BASELINE.md round-4 updates.
+        "q_asof_forward": q_asof_forward,
+        "q_asof_nearest": q_asof_nearest,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -3192,6 +3192,71 @@ LEFT JOIN sig_m s ON s.conv_id = p.conv_id AND s.as_of = p.as_of AND s.rn = 1
 LEFT JOIN role_m r ON r.conv_id = p.conv_id AND r.as_of = p.as_of AND r.rn = 1
 """
 
+# forward as-of: the EARLIEST turn at-or-after each cutoff — smallest
+# (ts, turn_idx), inclusive (mirror of q_asof_state's greatest-(ts,tie))
+ORACLES["q_asof_forward"] = f"""
+WITH t AS ({T}),
+convs AS (SELECT DISTINCT conv_id FROM t),
+probes AS (SELECT c.conv_id, g.as_of FROM convs c CROSS JOIN {GRID} g(as_of)),
+j AS (
+  SELECT p.conv_id, p.as_of, t.signal, t.role, t.turn_idx,
+         ROW_NUMBER() OVER (PARTITION BY p.conv_id, p.as_of ORDER BY t.ts, t.turn_idx) AS rn
+  FROM probes p LEFT JOIN t ON t.conv_id = p.conv_id AND t.ts >= p.as_of
+)
+SELECT conv_id, CAST(epoch_us(as_of) AS BIGINT) AS as_of_us,
+       signal AS next_tok, role AS next_role, CAST(turn_idx AS INT) AS next_turn_idx
+FROM j WHERE rn = 1
+"""
+
+# nearest as-of with tolerance, judged PER VALUE COLUMN (each column's
+# candidates restricted to turns where that column is non-null — the
+# engine's running-last-ignorenulls semantics); ties go backward
+ORACLES["q_asof_nearest"] = f"""
+WITH t AS ({T}),
+convs AS (SELECT DISTINCT conv_id FROM t),
+probes AS (SELECT c.conv_id, g.as_of FROM convs c CROSS JOIN {GRID} g(as_of)),
+sig_b AS (
+  SELECT p.conv_id, p.as_of, t.signal AS v, epoch_us(t.ts) AS mt,
+         ROW_NUMBER() OVER (PARTITION BY p.conv_id, p.as_of ORDER BY t.ts DESC, t.turn_idx DESC) AS rn
+  FROM probes p LEFT JOIN t
+    ON t.conv_id = p.conv_id AND t.ts <= p.as_of AND t.signal IS NOT NULL
+),
+sig_f AS (
+  SELECT p.conv_id, p.as_of, t.signal AS v, epoch_us(t.ts) AS mt,
+         ROW_NUMBER() OVER (PARTITION BY p.conv_id, p.as_of ORDER BY t.ts, t.turn_idx) AS rn
+  FROM probes p LEFT JOIN t
+    ON t.conv_id = p.conv_id AND t.ts >= p.as_of AND t.signal IS NOT NULL
+),
+tool_b AS (
+  SELECT p.conv_id, p.as_of, t.tool AS v, epoch_us(t.ts) AS mt,
+         ROW_NUMBER() OVER (PARTITION BY p.conv_id, p.as_of ORDER BY t.ts DESC, t.turn_idx DESC) AS rn
+  FROM probes p LEFT JOIN t
+    ON t.conv_id = p.conv_id AND t.ts <= p.as_of AND t.tool IS NOT NULL
+),
+tool_f AS (
+  SELECT p.conv_id, p.as_of, t.tool AS v, epoch_us(t.ts) AS mt,
+         ROW_NUMBER() OVER (PARTITION BY p.conv_id, p.as_of ORDER BY t.ts, t.turn_idx) AS rn
+  FROM probes p LEFT JOIN t
+    ON t.conv_id = p.conv_id AND t.ts >= p.as_of AND t.tool IS NOT NULL
+)
+SELECT p.conv_id, CAST(epoch_us(p.as_of) AS BIGINT) AS as_of_us,
+       CASE WHEN sb.mt IS NOT NULL
+              AND (sf.mt IS NULL OR epoch_us(p.as_of) - sb.mt <= sf.mt - epoch_us(p.as_of))
+            THEN CASE WHEN epoch_us(p.as_of) - sb.mt <= 172800000000 THEN sb.v END
+            ELSE CASE WHEN sf.mt - epoch_us(p.as_of) <= 172800000000 THEN sf.v END
+       END AS near_tok,
+       CASE WHEN tb.mt IS NOT NULL
+              AND (tf.mt IS NULL OR epoch_us(p.as_of) - tb.mt <= tf.mt - epoch_us(p.as_of))
+            THEN CASE WHEN epoch_us(p.as_of) - tb.mt <= 172800000000 THEN tb.v END
+            ELSE CASE WHEN tf.mt - epoch_us(p.as_of) <= 172800000000 THEN tf.v END
+       END AS near_tool
+FROM probes p
+LEFT JOIN sig_b sb ON sb.conv_id = p.conv_id AND sb.as_of = p.as_of AND sb.rn = 1
+LEFT JOIN sig_f sf ON sf.conv_id = p.conv_id AND sf.as_of = p.as_of AND sf.rn = 1
+LEFT JOIN tool_b tb ON tb.conv_id = p.conv_id AND tb.as_of = p.as_of AND tb.rn = 1
+LEFT JOIN tool_f tf ON tf.conv_id = p.conv_id AND tf.as_of = p.as_of AND tf.rn = 1
+"""
+
 
 # streaming dedup (dropDuplicatesWithinWatermark) over the replay: with
 # availableNow's single data batch every duplicate is inside the state

@@ -46,6 +46,104 @@ def test_asof_join_matches_pandas(spark, tdf):
                 assert row["turn_idx"] == sel.iloc[-1]["turn_idx"]
 
 
+def test_asof_join_directions_match_pandas_merge_asof(spark):
+    """asof_join direction='backward'|'forward'|'nearest', with and
+    without tolerance, must reproduce pandas merge_asof exactly on
+    null-free value columns (where the engine's per-column and pandas's
+    row-level semantics coincide) — including a probe key with no turns
+    and probes outside the turn span on both sides."""
+    from z_rad_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for cid in range(6):
+        n = int(rng.integers(5, 40))
+        ts = np.sort(rng.integers(0, 100_000, n))
+        for i, t in enumerate(ts):
+            rows.append(
+                (
+                    f"c{cid}",
+                    i,
+                    float(rng.integers(1, 9)),
+                    pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=int(t)),
+                )
+            )
+    turns = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "signal", "ts"])
+    probes_rows = [
+        (f"c{cid}", pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=int(t)))
+        for cid in range(7)  # c6 has no turns at all
+        for t in rng.integers(-5_000, 110_000, 8)
+    ]
+    probes = pd.DataFrame(probes_rows, columns=["conv_id", "as_of"])
+    sturns, sprobes = spark.createDataFrame(turns), spark.createDataFrame(probes)
+    for direction in ["backward", "forward", "nearest"]:
+        for tol in [None, 5_000.0]:
+            got = (
+                asof_join(
+                    sturns,
+                    sprobes,
+                    ["signal"],
+                    direction=direction,
+                    tolerance_seconds=tol,
+                )
+                .toPandas()
+                .sort_values(["conv_id", "as_of"])
+                .reset_index(drop=True)
+            )
+            want = (
+                pd.merge_asof(
+                    probes.sort_values("as_of"),
+                    turns.sort_values("ts"),
+                    left_on="as_of",
+                    right_on="ts",
+                    by="conv_id",
+                    direction=direction,
+                    tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+                )[["conv_id", "as_of", "signal"]]
+                .sort_values(["conv_id", "as_of"])
+                .reset_index(drop=True)
+            )
+            both_null = got["signal"].isna() & want["signal"].isna()
+            assert ((got["signal"] == want["signal"]) | both_null).all(), (
+                direction,
+                tol,
+            )
+
+
+def test_asof_nearest_rides_one_exchange(spark, tdf):
+    """direction='nearest' runs both scans over a SINGLE hash exchange:
+    the forward window shares the backward window's HashPartitioning, so
+    Catalyst plans Window/Sort/Window/Sort — a second Sort, never a
+    second Exchange."""
+    from z_rad_spark.operators.asof import asof_state
+
+    plan = (
+        asof_state(
+            spark.createDataFrame(
+                synth_transcripts_pdf(n_convs=3, mean_turns=10, seed=3),
+                schema=TRANSCRIPT_SCHEMA,
+            ),
+            spark,
+            ["2024-01-05 00:00:00"],
+            ["turn_idx"],
+            direction="nearest",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly two hash exchanges in the whole plan: the probe side's own
+    # distinct, and ONE on the unioned frame feeding Sort/Window (back)
+    # then Sort/Window (forward) with no exchange between them
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    lines = plan.splitlines()
+    w_idx = [i for i, l in enumerate(lines) if l.lstrip().startswith(("+- Window", ":- Window"))]
+    assert len(w_idx) == 2, plan
+    between = lines[min(w_idx) + 1 : max(w_idx)]
+    assert any("Sort" in l for l in between), plan
+    assert not any("Exchange" in l for l in between), plan
+
+
 def test_sessionize_matches_pandas(spark, tdf):
     df, pdf = tdf
     got = with_sessions(df, 600.0).toPandas().sort_values(["conv_id", "ts", "turn_idx"])

@@ -47,17 +47,38 @@ def asof_join(
     probe_ts: str = "as_of",
     tie_break: str = "turn_idx",
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each probe row (key, probe_ts), attach the latest value_cols from
     the turn with the greatest (ts, tie_break) such that ts <= probe_ts.
 
-    ``tolerance_seconds``: when set, a match older than the tolerance is
-    treated as no match — values null, same as no prior turn. Staleness
-    is judged PER VALUE COLUMN: because the running last(ignorenulls)
-    forward-fills each column past newer turns whose column is NULL, the
-    match each column is judged against is the latest turn where THAT
-    column is non-null. This is deliberately stronger than pandas
-    ``merge_asof(tolerance=...)``, which judges the whole ROW against the
+    ``direction`` (pandas ``merge_asof`` parity, both inclusive):
+
+    * ``'backward'`` (default) — the turn with the greatest
+      (ts, tie_break) such that ts <= probe_ts; the running-last pass
+      described above.
+    * ``'forward'`` — the turn with the SMALLEST (ts, tie_break) such
+      that ts >= probe_ts: the mirrored pass — same union frame, same
+      single hash exchange on the key, a second sort DESCENDING on
+      (t, tie) with build rows still scanning before probe rows at
+      equal t (inclusive), and the identical running
+      last(ignorenulls); "the most recently scanned build value" in a
+      descending scan IS the earliest turn at-or-after the probe.
+    * ``'nearest'`` — both passes over the ONE exchange (Catalyst
+      plans Window/Sort/Window/Sort on the same HashPartitioning — no
+      second shuffle), then per value column the closer of the two
+      matches by |turn ts - probe ts|, ties to backward (the pandas
+      convention).
+
+    ``tolerance_seconds``: when set, a match farther than the tolerance
+    (older for backward, later for forward, |distance| for nearest) is
+    treated as no match — values null, same as no matching turn.
+    Tolerance and nearest-ness are judged PER VALUE COLUMN: because the
+    running last(ignorenulls) fills each column past adjacent turns
+    whose column is NULL, the match each column is judged against is
+    the nearest turn where THAT column is non-null. This is
+    deliberately stronger than pandas ``merge_asof(tolerance=...)``,
+    which judges the whole ROW against the
     last matching turn's ts (the two coincide when value columns have no
     NULLs). The matched timestamps ride the same running-last pass, so
     the staleness check adds zero extra shuffles or sorts.
@@ -81,38 +102,81 @@ def asof_join(
         *[F.lit(None).cast(turns.schema[c].dataType).alias(c) for c in value_cols],
         *[F.col(c) for c in probe_extra],
     )
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     u = t.unionByName(p)
-    w = (
+    t_us = F.unix_micros(F.col("_t").cast("timestamp"))
+    tol_us = (
+        int(tolerance_seconds * 1_000_000) if tolerance_seconds is not None else None
+    )
+    # Backward scan: ascending (t, src, tie) — build rows sort before
+    # probe rows at equal t (inclusive match), running last(ignorenulls)
+    # carries the greatest (t, tie) build value seen so far.
+    w_b = (
         Window.partitionBy(key)
         .orderBy("_t", "_src", "_tie")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    if tolerance_seconds is not None:
-        # staleness is judged PER COLUMN against the ts of the turn whose
-        # value is actually carried: capture each column's matched ts
-        # BEFORE the forward fill (last ignorenulls can carry a value
-        # past newer turns whose column is NULL — judging against the
-        # newest turn's ts would mark that stale value fresh)
-        t_us = F.unix_micros(F.col("_t").cast("timestamp"))
-        for c in value_cols:
+    # Forward scan: the mirror — DESCENDING t with build still scanning
+    # before probe at equal t (src ascending) and tie DESCENDING, so the
+    # most recently scanned build row when a probe is reached is the
+    # SMALLEST (t, tie) at-or-after it. Same partitioning as w_b: one
+    # hash exchange serves both passes (the second pass adds a Sort,
+    # never an Exchange).
+    w_f = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_t").desc(), F.col("_src").asc(), F.col("_tie").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    need_b = direction in ("backward", "nearest")
+    need_f = direction in ("forward", "nearest")
+    need_mt = tol_us is not None or direction == "nearest"
+
+    def _match(c, w, side):
+        """Per-column matched value (+ matched ts when needed): judged
+        against the nearest turn where THAT column is non-null — the
+        matched ts is captured from the same scan BEFORE the fill (last
+        ignorenulls can carry a value past adjacent turns whose column
+        is NULL; judging against the newest scanned turn's ts would
+        mislabel that carried value)."""
+        nonlocal u
+        if need_mt:
             u = u.withColumn(
-                f"_mt_{c}",
+                f"_mt{side}_{c}",
                 F.last(
                     F.when((F.col("_src") == 0) & F.col(c).isNotNull(), t_us),
                     ignorenulls=True,
                 ).over(w),
             )
+        u = u.withColumn(f"_v{side}_{c}", F.last(F.col(c), ignorenulls=True).over(w))
+
     for c in value_cols:
-        u = u.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
-    if tolerance_seconds is not None:
-        tol_us = int(tolerance_seconds * 1_000_000)
-        t_us = F.unix_micros(F.col("_t").cast("timestamp"))
-        for c in value_cols:
-            u = u.withColumn(
-                c, F.when((t_us - F.col(f"_mt_{c}")) <= F.lit(tol_us), F.col(c))
+        if need_b:
+            _match(c, w_b, "b")
+        if need_f:
+            _match(c, w_f, "f")
+    out_vals = []
+    for c in value_cols:
+        if direction == "backward":
+            v = F.col(f"_vb_{c}")
+            if tol_us is not None:
+                v = F.when((t_us - F.col(f"_mtb_{c}")) <= F.lit(tol_us), v)
+        elif direction == "forward":
+            v = F.col(f"_vf_{c}")
+            if tol_us is not None:
+                v = F.when((F.col(f"_mtf_{c}") - t_us) <= F.lit(tol_us), v)
+        else:  # nearest: closer of the two matches, ties to backward
+            d_b = t_us - F.col(f"_mtb_{c}")
+            d_f = F.col(f"_mtf_{c}") - t_us
+            use_b = F.col(f"_mtb_{c}").isNotNull() & (
+                F.col(f"_mtf_{c}").isNull() | (d_b <= d_f)
             )
+            v = F.when(use_b, F.col(f"_vb_{c}")).otherwise(F.col(f"_vf_{c}"))
+            if tol_us is not None:
+                v = F.when(F.when(use_b, d_b).otherwise(d_f) <= F.lit(tol_us), v)
+        out_vals.append(v.alias(c))
     return u.filter(F.col("_src") == 1).select(
-        F.col(key), F.col("_t").alias(probe_ts), *probe_extra, *value_cols
+        F.col(key), F.col("_t").alias(probe_ts), *probe_extra, *out_vals
     )
 
 
@@ -123,6 +187,7 @@ def asof_state(
     value_cols: list[str],
     key: str = "conv_id",
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """State of every conversation at every cutoff: grid expansion + as-of.
 
@@ -131,5 +196,10 @@ def asof_state(
     grid = cutoff_grid(spark, cutoffs)
     probes = expand_cutoffs(turns.select(key).distinct(), grid)
     return asof_join(
-        turns, probes, value_cols, key=key, tolerance_seconds=tolerance_seconds
+        turns,
+        probes,
+        value_cols,
+        key=key,
+        tolerance_seconds=tolerance_seconds,
+        direction=direction,
     )
