@@ -1587,6 +1587,26 @@ def q_bigram_lm(spark, sf_dir):
     return _r6(out, ["nll", "ppl"])
 
 
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split: bigram-LM perplexity per document,
+    bucketed per language by value cutoffs on the 6dp-rounded nll
+    (cumulative-count thresholds on a compacted (lang, nll6) histogram —
+    ties share a bucket, so the assignment is engine-order independent
+    and the gate is a full value hash including the bucket label)."""
+    from z_rad_spark.operators.curation import perplexity_buckets
+
+    out = perplexity_buckets(_docs(spark, sf_dir))
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "n_tokens",
+        "nll",
+        "ppl",
+        "bucket",
+    )
+    return _r6(out, ["nll", "ppl"])
+
+
 def q_rare_tokens(spark, sf_dir):
     """Corpus-frequency token statistics per document (two-pass TF/DF
     shape): token counts, distinct tokens, mean corpus TF/DF of the
@@ -3107,6 +3127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_topk": q_pq_topk,
         "q_quality_classifier": q_quality_classifier,
         "q_bigram_lm": q_bigram_lm,
+        "q_ppl_buckets": q_ppl_buckets,
         "q_ivfpq_topk": q_ivfpq_topk,
         "q_bm25": q_bm25,
         "q_hybrid_rrf": q_hybrid_rrf,

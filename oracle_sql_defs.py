@@ -4144,6 +4144,75 @@ FROM pd
 """
 
 
+# CCNet head/middle/tail: the q_bigram_lm chain, then per-language VALUE
+# cutoffs on the r6-rounded nll computed over a compacted (lang, nll6)
+# histogram — cumulative count >= n * frac picks the cutoff score, ties
+# share a bucket. Fraction literals are repr(1/3) / repr(1/3 + 1/3) so
+# both engines multiply by the identical IEEE double.
+ORACLES["q_ppl_buckets"] = f"""
+WITH d AS (SELECT doc_id, lang, {TOKS_RAW} AS tk FROM documents),
+tok AS (
+  SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS token,
+         unnest(list_prepend(CAST(NULL AS VARCHAR), list_slice(tk, 1, len(tk) - 1))) AS prev
+  FROM d
+),
+freq AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM freq),
+big AS (
+  SELECT prev, token, COUNT(*) AS bc FROM tok WHERE prev IS NOT NULL GROUP BY prev, token
+),
+lp AS (
+  SELECT tok.doc_id, tok.pos,
+         CASE WHEN tok.prev IS NULL
+              THEN ln((CAST(f.tf AS DOUBLE) + 1.0) / (t.n + 1.0 * t.v))
+              ELSE ln((CAST(b.bc AS DOUBLE) + 1.0) / (CAST(fp.tf AS DOUBLE) + 1.0 * t.v))
+         END AS l
+  FROM tok
+  JOIN freq f USING (token)
+  LEFT JOIN freq fp ON fp.token = tok.prev
+  LEFT JOIN big b ON b.prev = tok.prev AND b.token = tok.token,
+  tot t
+),
+pd AS (
+  SELECT doc_id, COUNT(*) AS n,
+         list_reduce([0.0] || list(l ORDER BY pos), (acc, x) -> acc + x) AS s
+  FROM lp GROUP BY doc_id
+),
+scored AS (
+  SELECT pd.doc_id, d0.lang, pd.n AS n_tokens,
+         -pd.s / CAST(pd.n AS DOUBLE) AS nll,
+         {r6x('-pd.s / CAST(pd.n AS DOUBLE)')} AS nll6
+  FROM pd JOIN (SELECT doc_id, lang FROM documents) d0 USING (doc_id)
+),
+hist AS (
+  SELECT lang, nll6, COUNT(*) AS c FROM scored GROUP BY lang, nll6
+),
+cum AS (
+  SELECT lang, nll6,
+         SUM(c) OVER (PARTITION BY lang ORDER BY nll6) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+cuts AS (
+  SELECT lang,
+         MIN(CASE WHEN CAST(cum AS DOUBLE) >= CAST(n AS DOUBLE) * {1.0 / 3.0!r}
+                  THEN nll6 END) AS head_cut,
+         MIN(CASE WHEN CAST(cum AS DOUBLE) >= CAST(n AS DOUBLE) * {1.0 / 3.0 + 1.0 / 3.0!r}
+                  THEN nll6 END) AS mid_cut
+  FROM cum GROUP BY lang
+)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+       s.lang,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       {r6('s.nll', 'nll')},
+       {r6('exp(s.nll)', 'ppl')},
+       CASE WHEN s.nll6 <= c.head_cut THEN 'head'
+            WHEN s.nll6 <= c.mid_cut THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN cuts c USING (lang)
+"""
+
+
 ORACLES["q_ivfpq_topk"] = f"""
 WITH {_PQ_BASE},
 cents AS (SELECT vec_id AS cent_id, ev AS cv FROM v

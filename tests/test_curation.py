@@ -706,6 +706,54 @@ def test_bigram_lower_ppl_than_unigram_on_repetitive_text(spark):
     assert (b.ppl < u.ppl).all()
 
 
+def test_perplexity_buckets_fractions_and_order(spark):
+    """CCNet split invariants: within each language the head bucket
+    holds the lowest-nll docs, buckets are contiguous in score order,
+    and the head reaches at least ceil(n/3) docs (value cutoffs round a
+    tie-group UP into the lower bucket, never down)."""
+    import math
+
+    from z_rad_spark.operators.curation import perplexity_buckets
+
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for i in range(30):
+        lang = "en" if i % 2 == 0 else "de"
+        # vary repetitiveness so perplexities spread out
+        k = 1 + (i % 5)
+        text = " ".join(words[: 1 + i % 6] * k)
+        rows.append((i, text, lang))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = perplexity_buckets(docs).toPandas()
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang, g in got.groupby("lang"):
+        g = g.sort_values(["nll", "doc_id"]).reset_index(drop=True)
+        ranks = g.bucket.map(order)
+        assert ranks.is_monotonic_increasing, f"{lang}: buckets not contiguous in nll order"
+        n = len(g)
+        assert (g.bucket == "head").sum() >= math.ceil(n / 3.0) - (
+            # a tie group straddling the cutoff is pulled entirely into head,
+            # so head can only be >= the rank target, never below it
+            0
+        )
+        assert set(g.bucket) <= {"head", "middle", "tail"}
+
+
+def test_perplexity_buckets_ties_share_bucket(spark):
+    """Equal-score documents must land in the same bucket even when a
+    rank split would separate them."""
+    from z_rad_spark.operators.curation import perplexity_buckets
+
+    # 6 identical docs -> one tie group; all must share one bucket
+    docs = spark.createDataFrame(
+        [(i, "same same same", "en") for i in range(6)],
+        "doc_id long, text string, lang string",
+    )
+    got = perplexity_buckets(docs).toPandas()
+    assert got.bucket.nunique() == 1
+    assert got.bucket.iloc[0] == "head"
+
+
 def test_equal_frequency_bins_matches_manual(spark):
     import numpy as np
     import pandas as pd

@@ -783,3 +783,32 @@ def test_source_concentration_two_aggregates_no_join(spark):
     plan = _plan(source_concentration(docs))
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_ppl_buckets_window_on_compacted_histogram_only(spark):
+    """The per-language quantile window must run on the compacted
+    (lang, nll6) histogram, never on the document frame: the plan's
+    Window nodes sit strictly downstream of the histogram aggregate,
+    and the cutoff frame joins back via broadcast (one row/language)."""
+    from z_rad_spark.operators.curation import perplexity_buckets
+
+    docs = _docs(spark).withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de")
+    )
+    out = perplexity_buckets(docs)
+    out.collect()  # the reuse pins need the FINAL adaptive plan
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    # the cuts frame (one row per language) must come back as a broadcast
+    # hash join, not a shuffled sort-merge join
+    assert "BroadcastHashJoin" in plan
+    # the scored frame feeds both the histogram branch and the output
+    # join; at runtime the shared bigram-chain exchanges must be REUSED,
+    # not recomputed (textual duplication in the logical tree is fine,
+    # a second execution of the corpus-scale chain is not)
+    assert "ReusedExchange" in plan
+    # every Window partitions by lang over the compacted histogram; a
+    # window keyed on doc-level columns would mean the quantile sort ran
+    # on the raw document frame
+    for frag in plan.split("Window [")[1:]:
+        assert "lang" in frag.split("windowspecdefinition")[1][:120]

@@ -353,6 +353,67 @@ def bigram_logprob(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    head_frac: float = 1.0 / 3.0,
+    middle_frac: float = 1.0 / 3.0,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """CCNet head/middle/tail corpus split (Wenzek et al. 2020 §4.4):
+    score every document with the conditional bigram LM
+    (``bigram_logprob``), then bucket PER LANGUAGE by perplexity —
+    lowest-nll ``head_frac`` of documents is ``head``, the next
+    ``middle_frac`` is ``middle``, the rest ``tail``.
+
+    Cutoffs are VALUE cutoffs on the 6dp-rounded nll, not row-rank
+    splits: per language, ``head_cut`` is the smallest rounded nll whose
+    cumulative document count reaches ``head_frac * n``; ties share a
+    bucket (equal-score documents are never split across buckets, and
+    the assignment is independent of any engine's tie-break order).
+
+    Scale shape: the per-language sort that the quantile needs runs on a
+    COMPACTED ``(lang, nll6) -> count`` histogram, never on the document
+    frame (the hist_asof pattern) — languages are few, so a window over
+    raw documents would be one mega-partition per language; over the
+    compacted frame it is bounded by distinct 6dp scores. The cutoff
+    frame is one row per language and broadcasts back; everything else
+    is the bigram chain plus one doc_id equi-join to recover ``lang``.
+    """
+    scored = bigram_logprob(df, text_col=text_col, id_col=id_col, smoothing=smoothing)
+    scored = scored.join(df.select(id_col, lang_col), id_col)
+    s = scored.withColumn("_nll6", F.round("nll", 6))
+    hist = s.groupBy(lang_col, "_nll6").agg(F.count("*").cast("long").alias("_c"))
+    w = Window.partitionBy(lang_col).orderBy("_nll6")
+    cum = hist.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+        "_n", F.sum("_c").over(Window.partitionBy(lang_col))
+    )
+    cuts = cum.groupBy(lang_col).agg(
+        F.min(
+            F.when(
+                F.col("_cum").cast("double") >= F.col("_n").cast("double") * F.lit(head_frac),
+                F.col("_nll6"),
+            )
+        ).alias("_head_cut"),
+        F.min(
+            F.when(
+                F.col("_cum").cast("double")
+                >= F.col("_n").cast("double") * F.lit(head_frac + middle_frac),
+                F.col("_nll6"),
+            )
+        ).alias("_mid_cut"),
+    )
+    out = s.join(F.broadcast(cuts), lang_col).withColumn(
+        "bucket",
+        F.when(F.col("_nll6") <= F.col("_head_cut"), F.lit("head"))
+        .when(F.col("_nll6") <= F.col("_mid_cut"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return out.select(id_col, lang_col, "n_tokens", "nll", "ppl", "bucket")
+
+
 def source_reputation(
     df: DataFrame,
     text_col: str = "text",
