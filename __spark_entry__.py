@@ -2988,6 +2988,44 @@ def q_welch_drift(spark, sf_dir):
     return _r6(out, ["mean_ref", "mean_cur", "t", "d"])
 
 
+def q_js_drift(spark, sf_dir):
+    """Jensen-Shannon divergence + normalized JS distance per role
+    between the pre/post cutoff windows (drift.js_drift): one 2x9
+    conditional-count aggregate, fixed-order term chain over the known
+    bins — exact counts + structural float order, oracle-replayable
+    bit-for-bit like psi_drift."""
+    from z_rad_spark.operators.drift import js_drift
+
+    out = js_drift(_t(spark, sf_dir), split_ts="2024-01-15 00:00:00")
+    return _r6(out, ["jsd", "js_dist"])
+
+
+def q_w1_drift(spark, sf_dir):
+    """Wasserstein-1 (earth mover's) drift per role between the pre/post
+    cutoff windows (drift.w1_drift): compacted (role, value) histogram,
+    then an ORDER-FREE exact-integer sum of |CR*NC - CC*NR| * gap with
+    one final division — the oracle replays W1 bit-for-bit regardless
+    of aggregation order."""
+    from z_rad_spark.operators.drift import w1_drift
+
+    out = w1_drift(_t(spark, sf_dir), split_ts="2024-01-15 00:00:00")
+    return _r6(out, ["w1"])
+
+
+def q_page_hinkley(spark, sf_dir):
+    """Page-Hinkley self-referenced mean-shift monitoring per
+    conversation (drift.page_hinkley_summary): running mean -> prefix
+    deviation sum -> running min, all on one conv_id exchange under the
+    stable (ts, turn_idx) order — the float summation order is
+    structural, so alarms replay bit-for-bit in the oracle's identical
+    window spec."""
+    from z_rad_spark.operators.drift import page_hinkley_summary
+
+    out = page_hinkley_summary(_t(spark, sf_dir), delta=0.25, threshold=12.0)
+    out = out.select("conv_id", "n_turns", "n_alarms", "max_ph", "first_alarm_us")
+    return _r6(out, ["max_ph"])
+
+
 def q_source_concentration(spark, sf_dir):
     """Per-language source-concentration profile over documents
     (curation.source_concentration): HHI / effective-source count /
@@ -3083,9 +3121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_hybrid_rrf / q_chat_template / q_cdc_chunk / q_ann_recall /
     q_pack_sequences / q_quality_classifier / q_bigram_lm), the new
     backfill/SUV operators,
-    the selectExpr flagship gate, the hash_split/winnow fixes, four of
-    the five salted queries (skew.py broadcast fix; q_ngldm_salted sits
-    first past the marker, sibling-gated), the five session-2 operators
+    the selectExpr flagship gate, the hash_split/winnow fixes, three of
+    the five salted queries (skew.py broadcast fix; q_ngldm_salted and
+    q_glrlm_salted sit past the marker, sibling-gated), the five
+    session-2 operators
     (q_expanding_zscore, q_cusum, q_hamming_topk, q_pca_cov,
     q_stream_running_stats — these displaced five GLCM aggregation
     variants whose ordered-fold refactor is sibling-gated via
@@ -3138,7 +3177,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_freq_bins": q_freq_bins,
         # --- (1b) salted set: skew.py overlap-guard broadcast fix ---
         "q_glcm_salted": q_glcm_salted,
-        "q_glrlm_salted": q_glrlm_salted,
         "q_welch_drift": q_welch_drift,
         "q_gldzm_salted": q_gldzm_salted,
         # --- (1d) new operators, session 2 of round 4 ---
@@ -3170,6 +3208,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_glcm": q_glcm,
         "q_gldzm_dist": q_gldzm_dist,
         # ===== gate window ends here (first 50 entries) ================
+        # displaced by q_ppl_buckets (session-8, never-gated beats
+        # stale-green): q_glrlm_salted holds a fresh r3 green row and the
+        # skew.py overlap-guard fix stays sibling-gated in-window via
+        # q_glcm_salted + q_gldzm_salted (same bucketize code path).
+        "q_glrlm_salted": q_glrlm_salted,
         # displaced by the session-5/6 additions (q_ks_drift, q_mi_assoc,
         # q_role_transitions, q_target_encode, q_mw_drift, q_autocorr,
         # q_loo_encode, q_woe_iv, q_signal_trend, q_temporal_profile,
@@ -3210,6 +3253,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sf0.1, STRICT hash mode — see BASELINE.md round-4 updates.
         "q_asof_forward": q_asof_forward,
         "q_asof_nearest": q_asof_nearest,
+        # session-9 additions (same rationale as q_stream_cusum above:
+        # every in-window slot already holds a new/changed-this-round
+        # entry; these wait for r5 with this session's strict-mirror
+        # green on record)
+        "q_js_drift": q_js_drift,
+        "q_w1_drift": q_w1_drift,
+        "q_page_hinkley": q_page_hinkley,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

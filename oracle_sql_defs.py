@@ -5122,6 +5122,118 @@ FROM g
 """
 
 
+# Jensen-Shannon: same 2x9 exact-count grid as PSI, fixed-order term
+# chain with the identical parenthesization drift.js_drift builds
+def _jsd_sql() -> str:
+    terms = []
+    for b in range(1, 10):
+        p = f"(CAST(r{b} + 1 AS DOUBLE) / CAST(n_ref + 9 AS DOUBLE))"
+        q = f"(CAST(c{b} + 1 AS DOUBLE) / CAST(n_cur + 9 AS DOUBLE))"
+        m = f"(({p} + {q}) / 2.0)"
+        terms.append(f"(((0.5 * {p}) * ln({p} / {m})) + ((0.5 * {q}) * ln({q} / {m})))")
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = f"({acc} + {t})"
+    return acc
+
+
+ORACLES["q_js_drift"] = f"""
+WITH t AS ({T}),
+g AS (
+  SELECT role,
+         COUNT(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 END) AS n_ref,
+         COUNT(CASE WHEN NOT (ts < TIMESTAMP '2024-01-15 00:00:00') THEN 1 END) AS n_cur,
+         {_PSI_COUNTS}
+  FROM t GROUP BY role
+),
+s AS (SELECT role, n_ref, n_cur, {_jsd_sql()} AS jsd_raw FROM g)
+SELECT role, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       {r6('jsd_raw', 'jsd')},
+       {r6('sqrt(jsd_raw / 0.6931471805599453)', 'js_dist')}
+FROM s
+"""
+
+
+# Wasserstein-1: compacted (role, value) histogram; the moved-mass sum
+# runs on exact common-denominator BIGINTs |CR*NC - CC*NR| * gap, so it
+# is aggregation-order free in BOTH engines; one final division
+ORACLES["q_w1_drift"] = f"""
+WITH t AS ({T}),
+pv AS (
+  SELECT role, CAST(signal AS BIGINT) AS val,
+         COUNT(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 END) AS r,
+         COUNT(CASE WHEN NOT (ts < TIMESTAMP '2024-01-15 00:00:00') THEN 1 END) AS c
+  FROM t WHERE signal IS NOT NULL
+  GROUP BY role, CAST(signal AS BIGINT)
+),
+cum AS (
+  SELECT role,
+         SUM(r) OVER (PARTITION BY role ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+         SUM(c) OVER (PARTITION BY role ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+         SUM(r) OVER (PARTITION BY role) AS nr,
+         SUM(c) OVER (PARTITION BY role) AS nc,
+         LEAD(val) OVER (PARTITION BY role ORDER BY val) - val AS gap
+  FROM pv
+)
+SELECT role,
+       CAST(MAX(nr) AS BIGINT) AS n_ref,
+       CAST(MAX(nc) AS BIGINT) AS n_cur,
+       {r6("CASE WHEN MAX(nr) > 0 AND MAX(nc) > 0 THEN CAST(SUM(ABS(cr * nc - cc * nr) * gap) AS DOUBLE) / (CAST(MAX(nr) AS DOUBLE) * CAST(MAX(nc) AS DOUBLE)) END", "w1")}
+FROM cum GROUP BY role
+"""
+
+
+# Page-Hinkley: the running mean rides exact integer prefix sums (any
+# aggregation order), but the prefix sum of float deviations is
+# order-sensitive — so the oracle folds it EXPLICITLY in (ts, turn_idx)
+# order via list_reduce over the per-conversation deviation list,
+# matching Spark's sequential running-frame accumulation (bounded-turn
+# conversations make the O(n^2) oracle fold cheap; the engine itself
+# stays O(n) windowed)
+ORACLES["q_page_hinkley"] = f"""
+WITH t AS ({T}),
+b AS (
+  SELECT conv_id, turn_idx, ts, epoch_us(ts) AS ts_us,
+         (CAST(signal AS DOUBLE)
+          - (CAST(SUM(CAST(signal AS BIGINT)) OVER w AS DOUBLE)
+             / CAST(COUNT(*) OVER w AS DOUBLE))) - 0.25 AS dev
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+l AS (
+  SELECT conv_id,
+         list(dev ORDER BY ts, turn_idx) AS devs,
+         list(ts_us ORDER BY ts, turn_idx) AS tss
+  FROM b GROUP BY conv_id
+),
+u AS (
+  SELECT conv_id, devs, generate_subscripts(devs, 1) AS i, unnest(tss) AS ts_us
+  FROM l
+),
+p AS (
+  SELECT conv_id, i, ts_us,
+         list_reduce([0.0] || devs[1:i], (a, x) -> a + x) AS pv
+  FROM u
+),
+s AS (
+  SELECT conv_id, ts_us,
+         pv - MIN(pv) OVER (PARTITION BY conv_id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+  FROM p
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN ph > 12.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       {r6('MAX(ph)', 'max_ph')},
+       CAST(MIN(CASE WHEN ph > 12.0 THEN ts_us END) AS BIGINT) AS first_alarm_us
+FROM s
+GROUP BY conv_id
+"""
+
+
 # streaming CUSUM: batch replay of the distinct-ts closed form —
 # matches streaming.streaming_cusum (target 5.0 + slack 0.5 -> dyadic
 # reference 5.5; every deviation a dyadic rational, exact in float64)

@@ -812,3 +812,31 @@ def test_ppl_buckets_window_on_compacted_histogram_only(spark):
     # on the raw document frame
     for frag in plan.split("Window [")[1:]:
         assert "lang" in frag.split("windowspecdefinition")[1][:120]
+
+
+def test_js_and_w1_drift_plan_shapes(spark):
+    """js_drift is PSI's shape: ONE map-side-combined aggregate, zero
+    windows, zero joins. w1_drift is KS's shape: per-value pre-agg
+    BEFORE any window (cum counts + lead run on the compacted frame),
+    no join."""
+    from z_rad_spark.operators.drift import js_drift, w1_drift
+
+    plan = _plan(js_drift(_roled_turns_df(spark), split_ts="2024-01-01 00:30:00"))
+    assert plan.count("Window") == 0
+    assert "Join" not in plan
+
+    plan = _plan(w1_drift(_roled_turns_df(spark), split_ts="2024-01-01 00:30:00"))
+    assert 1 <= plan.count("Window") <= 2
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+
+
+def test_page_hinkley_single_exchange(spark):
+    """The Page-Hinkley window stack (running mean -> prefix deviation
+    sum -> running min) must ride ONE conv_id exchange like CUSUM; a
+    second Exchange means the stacked specs stopped sharing the sort."""
+    from z_rad_spark.operators.drift import with_page_hinkley
+
+    plan = _plan(with_page_hinkley(_turns_df(spark)))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan

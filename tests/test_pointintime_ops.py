@@ -1066,3 +1066,146 @@ def test_partition_invariance_of_session7_operators(spark):
         one = sorted(map(tuple, op(base.repartition(1)).collect()))
         many = sorted(map(tuple, op(base.repartition(7)).collect()))
         assert one == many
+
+
+def test_js_drift_matches_manual_and_bounds(spark):
+    from z_rad_spark.operators.drift import js_drift
+
+    df, pdf = _turns(spark, n_conv=5, n_turns=50, seed=23)
+    df = df.withColumn("role", F.when(F.col("turn_idx") % 2 == 0, "user").otherwise("assistant"))
+    pdf = pdf.assign(role=np.where(pdf.turn_idx % 2 == 0, "user", "assistant"))
+    split = pd.Timestamp("2024-01-01 12:00:00")
+    got = js_drift(df, split_ts=str(split)).toPandas().set_index("role").sort_index()
+    for role, grp in pdf.groupby("role"):
+        ref = grp[grp.ts < split]
+        cur = grp[~(grp.ts < split)]
+        nr, nc = len(ref) + 9, len(cur) + 9
+        jsd = 0.0
+        for b in range(1, 10):
+            p = (int((ref.signal == b).sum()) + 1) / nr
+            q = (int((cur.signal == b).sum()) + 1) / nc
+            m = (p + q) / 2.0
+            jsd += 0.5 * p * np.log(p / m) + 0.5 * q * np.log(q / m)
+        row = got.loc[role]
+        assert row.n_ref == len(ref) and row.n_cur == len(cur)
+        assert np.isclose(row.jsd, jsd, atol=1e-12)
+        assert 0.0 <= row.jsd <= np.log(2.0) + 1e-12
+        assert np.isclose(row.js_dist, np.sqrt(jsd / np.log(2.0)), atol=1e-12)
+
+
+def test_js_drift_symmetric_under_window_swap(spark):
+    """JSD(P, Q) == JSD(Q, P): mirroring time around the cutoff swaps the
+    reference and monitoring windows and must leave the score unchanged."""
+    from z_rad_spark.operators.drift import js_drift
+
+    df, pdf = _turns(spark, n_conv=4, n_turns=40, seed=5)
+    df = df.withColumn("role", F.lit("user"))
+    split = pd.Timestamp("2024-01-01 12:00:00")
+    a = js_drift(df, split_ts=str(split)).toPandas().iloc[0]
+    mirrored = pdf.assign(
+        ts=split + (split - pdf.ts) + pd.Timedelta(seconds=1), role="user"
+    )
+    b = js_drift(spark.createDataFrame(mirrored), split_ts=str(split)).toPandas().iloc[0]
+    assert a.n_ref == b.n_cur and a.n_cur == b.n_ref
+    assert np.isclose(a.jsd, b.jsd, atol=1e-12)
+
+
+def test_w1_drift_matches_manual_cdf_integral(spark):
+    from z_rad_spark.operators.drift import w1_drift
+
+    df, pdf = _turns(spark, n_conv=5, n_turns=50, seed=31)
+    split = pd.Timestamp("2024-01-01 12:00:00")
+    got = w1_drift(df.withColumn("role", F.lit("all")), split_ts=str(split)).toPandas().iloc[0]
+    ref = pdf[pdf.ts < split].signal.to_numpy()
+    cur = pdf[~(pdf.ts < split)].signal.to_numpy()
+    vals = np.unique(np.concatenate([ref, cur]))
+    cr = np.array([(ref <= v).sum() for v in vals]) / len(ref)
+    cc = np.array([(cur <= v).sum() for v in vals]) / len(cur)
+    want = float(np.sum(np.abs(cr[:-1] - cc[:-1]) * np.diff(vals)))
+    assert got.n_ref == len(ref) and got.n_cur == len(cur)
+    assert np.isclose(got.w1, want, atol=1e-12)
+
+
+def test_w1_drift_point_masses_and_identity(spark):
+    """Degenerate checks: identical windows give W1=0; point masses at a
+    and b give exactly |a-b|."""
+    from z_rad_spark.operators.drift import w1_drift
+
+    rows = []
+    for i in range(20):
+        # same distribution both sides of the cutoff
+        rows.append(("c0", i, pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i), float(1 + i % 5), "same"))
+        # ref all 2, cur all 7
+        val = 2.0 if i < 10 else 7.0
+        rows.append(("c1", i, pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i), val, "shift"))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "signal", "role"])
+    df = spark.createDataFrame(pdf)
+    got = (
+        w1_drift(df, split_ts="2024-01-01 10:00:00")
+        .toPandas()
+        .set_index("role")
+    )
+    # c0: hours 0..9 are signals 1..5,1..5 ; hours 10..19 the same multiset
+    assert np.isclose(got.loc["same"].w1, 0.0, atol=1e-15)
+    assert np.isclose(got.loc["shift"].w1, 5.0, atol=1e-15)
+
+
+def test_page_hinkley_matches_recursion(spark):
+    from z_rad_spark.operators.drift import page_hinkley_summary, with_page_hinkley
+
+    df, pdf = _turns(spark, n_conv=4, n_turns=60, seed=17)
+    delta, thr = 0.25, 12.0
+    got = (
+        with_page_hinkley(df, delta, thr)
+        .select("conv_id", "turn_idx", "ph", "ph_alarm")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pdf = pdf.sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+    want = []
+    for conv, grp in pdf.groupby("conv_id", sort=True):
+        s = cnt = 0.0
+        pv = 0.0
+        run_min = np.inf
+        for _, row in grp.iterrows():
+            s += row["signal"]
+            cnt += 1
+            pv += row["signal"] - s / cnt - delta
+            run_min = min(run_min, pv)
+            ph = pv - run_min
+            want.append((conv, row["turn_idx"], ph, ph > thr))
+    want = (
+        pd.DataFrame(want, columns=["conv_id", "turn_idx", "ph", "ph_alarm"])
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert np.allclose(got["ph"], want["ph"], atol=1e-9)
+    assert (got["ph_alarm"] == want["ph_alarm"]).all()
+
+    summ = page_hinkley_summary(df, delta, thr).toPandas().set_index("conv_id")
+    per = want.groupby("conv_id")
+    assert (summ["n_alarms"].sort_index() == per["ph_alarm"].sum().sort_index()).all()
+    assert np.allclose(summ["max_ph"].sort_index(), per["ph"].max().sort_index(), atol=1e-9)
+
+
+def test_page_hinkley_alarms_on_mean_shift_only(spark):
+    from z_rad_spark.operators.drift import page_hinkley_summary
+
+    rows = []
+    for i in range(80):
+        # flat conversation: constant signal -> ph stays at -delta*0 = 0-ish
+        rows.append(("flat", i, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i), 5.0))
+        # shifted conversation: 50 turns at 2, then 30 turns at 9
+        rows.append(
+            ("shift", i, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i), 2.0 if i < 50 else 9.0)
+        )
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "signal"])
+    got = (
+        page_hinkley_summary(spark.createDataFrame(pdf), delta=0.25, threshold=12.0)
+        .toPandas()
+        .set_index("conv_id")
+    )
+    assert got.loc["flat"].n_alarms == 0
+    assert got.loc["shift"].n_alarms > 0
+    assert got.loc["shift"].first_alarm_us is not None

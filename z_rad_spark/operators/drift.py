@@ -425,3 +425,205 @@ def welch_drift(
         F.when(both2 & (se2 > 0), (m_r - m_c) / F.sqrt(se2)).alias("t"),
         F.when(both2 & (pooled > 0), (m_r - m_c) / F.sqrt(pooled)).alias("d"),
     )
+
+
+def js_drift(
+    df: DataFrame,
+    split_ts: str,
+    signal_col: str = "signal",
+    n_bins: int = 9,
+    group_col: str = "role",
+) -> DataFrame:
+    """Jensen-Shannon divergence between the binned signal distribution
+    BEFORE a cutoff (reference window) and AT/AFTER it (monitoring
+    window), per group — the symmetric, bounded companion to psi_drift
+    (PSI is unbounded and blows up on near-empty bins even smoothed; JSD
+    is bounded by ln 2, so dashboards can threshold it absolutely):
+
+        JSD = 0.5 * sum_b p_b ln(p_b / m_b) + 0.5 * sum_b q_b ln(q_b / m_b)
+        m_b = (p_b + q_b) / 2
+
+    with add-one (Laplace) smoothing so every bin mass is positive.
+    Also emits js_dist = sqrt(JSD / ln 2), the [0, 1]-normalized metric
+    form (Endres & Schindelin 2003).
+
+    Scale + determinism shape: identical to psi_drift — ONE map-side
+    partial aggregation computes all 2*n_bins conditional counts (no bin
+    explode, no window), and both score sums are FIXED-ORDER term chains
+    over the known bins, so counts are exact integers and the float op
+    order is structural: the SQL oracle replays bit-for-bit. Bins are
+    the integer signal values 1..n_bins.
+
+    Output: (group_col, n_ref long, n_cur long, jsd double, js_dist
+    double).
+    """
+    x = F.col(signal_col).cast("int")
+    is_ref = F.col("ts").cast("timestamp") < F.lit(split_ts).cast("timestamp")
+    aggs = [
+        F.count(F.when(is_ref, 1)).alias("n_ref"),
+        F.count(F.when(~is_ref, 1)).alias("n_cur"),
+    ]
+    for b in range(1, n_bins + 1):
+        aggs.append(F.count(F.when(is_ref & (x == b), 1)).alias(f"_r{b}"))
+        aggs.append(F.count(F.when(~is_ref & (x == b), 1)).alias(f"_c{b}"))
+    g = df.groupBy(group_col).agg(*aggs)
+    nr = (F.col("n_ref") + F.lit(n_bins)).cast("double")
+    nc = (F.col("n_cur") + F.lit(n_bins)).cast("double")
+    jsd = None
+    for b in range(1, n_bins + 1):
+        p = (F.col(f"_r{b}") + F.lit(1)).cast("double") / nr
+        q = (F.col(f"_c{b}") + F.lit(1)).cast("double") / nc
+        m = (p + q) / F.lit(2.0)
+        term = F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q * F.log(q / m)
+        jsd = term if jsd is None else jsd + term
+    out = g.withColumn("jsd", jsd)
+    return out.select(
+        group_col,
+        "n_ref",
+        "n_cur",
+        "jsd",
+        F.sqrt(F.col("jsd") / F.lit(0.6931471805599453)).alias("js_dist"),
+    )
+
+
+def w1_drift(
+    df: DataFrame,
+    split_ts: str,
+    signal_col: str = "signal",
+    group_col: str = "role",
+) -> DataFrame:
+    """Wasserstein-1 (earth mover's) distance between the reference
+    (pre-cutoff) and monitoring (at/after-cutoff) signal distributions,
+    per group — the drift score that weighs HOW FAR the mass moved, not
+    just that it moved (KS is the ECDF sup-norm; W1 is its L1 integral):
+
+        W1 = integral |F_ref(v) - F_cur(v)| dv
+           = sum_i |CR_i/NR - CC_i/NC| * (v_{i+1} - v_i)
+
+    over the sorted distinct observed values v_i with cumulative counts
+    CR/CC.
+
+    Scale + determinism shape: like ks_drift, one partial-aggregated
+    groupBy on (group, value) compacts the input to |groups| x |distinct
+    values| rows before any window runs. Determinism is stronger than
+    KS needs: a float SUM over the value frame would be engine-order
+    dependent, so the sum runs on the COMMON-DENOMINATOR integers
+    |CR_i * NC - CC_i * NR| * gap_i — exact longs under the integer
+    signal contract (the engine-wide contract every drift operator
+    states), summed exactly, with ONE division by NR * NC at the end.
+    The SQL oracle replays W1 bit-for-bit regardless of either engine's
+    aggregation order.
+
+    NULL signals are excluded. Groups with an empty window get w1 NULL.
+
+    Output: (group_col, n_ref long, n_cur long, w1 double).
+    """
+    x = F.col(signal_col).cast("long")
+    is_ref = F.col("ts").cast("timestamp") < F.lit(split_ts).cast("timestamp")
+    per_val = (
+        df.where(x.isNotNull())
+        .groupBy(F.col(group_col), x.alias("_val"))
+        .agg(
+            F.count(F.when(is_ref, 1)).alias("_r"),
+            F.count(F.when(~is_ref, 1)).alias("_c"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("_val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(group_col)
+    w_seq = Window.partitionBy(group_col).orderBy("_val")
+    cum = per_val.select(
+        group_col,
+        F.col("_val"),
+        F.sum("_r").over(w_cum).alias("_cr"),
+        F.sum("_c").over(w_cum).alias("_cc"),
+        F.sum("_r").over(w_all).alias("_nr"),
+        F.sum("_c").over(w_all).alias("_nc"),
+        (F.lead("_val").over(w_seq) - F.col("_val")).alias("_gap"),
+    )
+    num = F.abs(F.col("_cr") * F.col("_nc") - F.col("_cc") * F.col("_nr")) * F.col(
+        "_gap"
+    )
+    return cum.groupBy(group_col).agg(
+        F.max("_nr").cast("long").alias("n_ref"),
+        F.max("_nc").cast("long").alias("n_cur"),
+        F.when(
+            (F.max("_nr") > 0) & (F.max("_nc") > 0),
+            F.sum(num).cast("double")
+            / (F.max("_nr").cast("double") * F.max("_nc").cast("double")),
+        ).alias("w1"),
+    )
+
+
+def with_page_hinkley(
+    df: DataFrame,
+    delta: float = 0.25,
+    threshold: float = 12.0,
+    signal_col: str = "signal",
+) -> DataFrame:
+    """Per-turn Page-Hinkley statistic and alarm flag for an upward mean
+    shift (Page 1954; the sequential test Gama et al. 2014 recommend for
+    stream drift): the cumulative deviation of the signal from its own
+    RUNNING mean,
+
+        PH_t = sum_{i<=t} (x_i - mbar_i - delta),  mbar_i = mean(x_1..x_i)
+        alarm when PH_t - min_{j<=t} PH_j > threshold.
+
+    Unlike CUSUM this needs no externally supplied target — the running
+    mean is the target — which is why monitoring stacks run both: CUSUM
+    against the SLO constant, Page-Hinkley against self-history.
+
+    Scale + determinism shape: the same closed-form window stack as
+    with_cusum — running mean, then prefix sum of deviations, then
+    running min, all over the engine's stable (ts, turn_idx) order on
+    ONE conv_id exchange and one sort (Catalyst collapses same-spec
+    windows into a single Window node chain). Float summation order is
+    STRUCTURAL (cumulative over a total order), so the SQL oracle
+    replays the chart bit-for-bit with the same window spec.
+
+    Adds: ph double (PH_t - running min), ph_alarm boolean.
+    """
+    run = (
+        Window.partitionBy("conv_id")
+        .orderBy(*_ORDER)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    x = F.col(signal_col).cast("double")
+    mbar = F.avg(x).over(run)
+    dev = x - mbar - F.lit(float(delta))
+    inner = df.withColumn("_ph_p", F.sum(dev).over(run))
+    # second pass over the SAME window spec: running min of the prefix
+    # series needs _ph_p materialized as a column first
+    ph = F.col("_ph_p") - F.min("_ph_p").over(run)
+    return (
+        inner.withColumn("ph", ph)
+        .withColumn("ph_alarm", F.col("ph") > F.lit(float(threshold)))
+        .drop("_ph_p")
+    )
+
+
+def page_hinkley_summary(
+    df: DataFrame,
+    delta: float = 0.25,
+    threshold: float = 12.0,
+    signal_col: str = "signal",
+) -> DataFrame:
+    """Per-conversation Page-Hinkley monitoring summary: alarm count,
+    chart maximum, and the first alarm's timestamp (epoch micros; NULL
+    when the chart never crosses). Mirrors cusum_summary so dashboards
+    can trend the two side by side.
+
+    Output: (conv_id, n_turns long, n_alarms long, max_ph double,
+    first_alarm_us long).
+    """
+    charted = with_page_hinkley(df, delta, threshold, signal_col)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return charted.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum(F.col("ph_alarm").cast("long")).cast("long").alias("n_alarms"),
+        F.max("ph").alias("max_ph"),
+        F.min(F.when(F.col("ph_alarm"), ts_us)).cast("long").alias("first_alarm_us"),
+    )
