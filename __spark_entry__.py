@@ -3026,6 +3026,39 @@ def q_page_hinkley(spark, sf_dir):
     return _r6(out, ["max_ph"])
 
 
+def q_arrival_stats(spark, sf_dir):
+    """Per-conversation arrival-process fingerprint
+    (profile.arrival_stats): whole-second gap mean/CV, Goh-Barabási
+    burstiness, hourly Fano factor over the full span. Exact integer
+    gap sums and the (n*Sxx - Sx^2)/n^2 variance form make every float
+    a fixed single-op chain — oracle-replayable."""
+    from z_rad_spark.operators.profile import arrival_stats
+
+    out = arrival_stats(_t(spark, sf_dir))
+    return _r6(out, ["mean_gap_s", "cv_gap", "burstiness", "fano_hourly"])
+
+
+def q_count_encode(spark, sf_dir):
+    """Count / frequency / log-count / dense-popularity-rank / rare-flag
+    encoding of the document source column
+    (encoding.count_frequency_encode): one aggregate to |categories|
+    rows, rank window on that compacted frame only, broadcast join back
+    — integer counts + single-op floats, oracle-replayable."""
+    from z_rad_spark.operators.encoding import count_frequency_encode
+
+    out = count_frequency_encode(_docs(spark, sf_dir), "source", min_count=20)
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "cat_count",
+        "cat_freq",
+        "cat_logc",
+        "cat_rank",
+        "is_rare",
+    )
+    return _r6(out, ["cat_freq", "cat_logc"])
+
+
 def q_source_concentration(spark, sf_dir):
     """Per-language source-concentration profile over documents
     (curation.source_concentration): HHI / effective-source count /
@@ -3260,6 +3293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_js_drift": q_js_drift,
         "q_w1_drift": q_w1_drift,
         "q_page_hinkley": q_page_hinkley,
+        "q_arrival_stats": q_arrival_stats,
+        "q_count_encode": q_count_encode,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -5781,3 +5781,84 @@ SELECT CAST(day AS VARCHAR) AS day,
        {r6("CAST(n_new AS DOUBLE) / CAST(n_grams AS DOUBLE)", "novelty")}
 FROM o
 """
+
+
+# arrival-process fingerprint: exact integer whole-second gap sums, the
+# (n*Sxx - Sx^2)/n^2 variance form, and the hourly Fano fold
+# (B*Sum(c^2) - n^2)/(B*n) — every intermediate an exact integer in
+# double range, every float one IEEE op; parenthesization mirrors
+# profile.arrival_stats
+ORACLES["q_arrival_stats"] = f"""
+WITH t AS ({T}),
+g0 AS (
+  SELECT conv_id, epoch_us(ts) AS ts_us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev
+  FROM t
+),
+g1 AS (
+  SELECT conv_id, ts_us,
+         CASE WHEN prev IS NOT NULL
+              THEN ((ts_us - prev) - (ts_us - prev) % 1000000) // 1000000 END AS gap_s
+  FROM g0
+),
+g AS (
+  SELECT conv_id, COUNT(*) AS n, MIN(ts_us) AS f, MAX(ts_us) AS l,
+         COUNT(gap_s) AS ng,
+         COALESCE(SUM(gap_s), 0) AS sg,
+         COALESCE(SUM(gap_s * gap_s), 0) AS sgg
+  FROM g1 GROUP BY conv_id
+),
+ph AS (
+  SELECT conv_id,
+         (epoch_us(ts) - epoch_us(ts) % 3600000000) // 3600000000 AS hb,
+         COUNT(*) AS c
+  FROM t GROUP BY conv_id, (epoch_us(ts) - epoch_us(ts) % 3600000000) // 3600000000
+),
+h AS (
+  SELECT conv_id, MIN(hb) AS hb0, MAX(hb) AS hb1,
+         SUM(c * c) AS scc, SUM(c) AS nh
+  FROM ph GROUP BY conv_id
+),
+s AS (
+  SELECT g.conv_id, g.n, g.f, g.l, g.ng,
+         CAST(g.sg AS DOUBLE) / NULLIF(CAST(g.ng AS DOUBLE), 0.0) AS mu,
+         sqrt((CAST(g.ng AS DOUBLE) * CAST(g.sgg AS DOUBLE)
+               - CAST(g.sg AS DOUBLE) * CAST(g.sg AS DOUBLE))
+              / NULLIF(CAST(g.ng AS DOUBLE) * CAST(g.ng AS DOUBLE), 0.0)) AS sd,
+         CAST((h.hb1 - h.hb0 + 1) * h.scc - h.nh * h.nh AS DOUBLE)
+           / CAST((h.hb1 - h.hb0 + 1) * h.nh AS DOUBLE) AS fano
+  FROM g JOIN h USING (conv_id)
+)
+SELECT conv_id,
+       CAST(n AS BIGINT) AS n_turns,
+       CAST(((l - f) - (l - f) % 1000000) // 1000000 AS BIGINT) AS span_s,
+       {r6('CASE WHEN ng > 0 THEN mu END', 'mean_gap_s')},
+       {r6('CASE WHEN ng > 0 AND mu > 0 THEN sd / mu END', 'cv_gap')},
+       {r6('CASE WHEN ng > 0 AND (sd + mu) > 0 THEN (sd - mu) / (sd + mu) END', 'burstiness')},
+       {r6('fano', 'fano_hourly')}
+FROM s
+"""
+
+
+# count/frequency encoding: the category frame is the only place a rank
+# window runs; ties rank by name so the assignment is engine-order free
+ORACLES["q_count_encode"] = f"""
+WITH c AS (SELECT source, COUNT(*) AS cat_count FROM documents GROUP BY source),
+tot AS (SELECT SUM(cat_count) AS n FROM c),
+e AS (
+  SELECT source, cat_count,
+         CAST(cat_count AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE) AS cat_freq,
+         ln(1.0 + CAST(cat_count AS DOUBLE)) AS cat_logc,
+         CAST(DENSE_RANK() OVER (ORDER BY cat_count DESC, source ASC) AS INT) AS cat_rank,
+         cat_count < 20 AS is_rare
+  FROM c
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       d.source,
+       CAST(e.cat_count AS BIGINT) AS cat_count,
+       {r6('e.cat_freq', 'cat_freq')},
+       {r6('e.cat_logc', 'cat_logc')},
+       e.cat_rank,
+       e.is_rare
+FROM documents d JOIN e USING (source)
+"""

@@ -840,3 +840,30 @@ def test_page_hinkley_single_exchange(spark):
     plan = _plan(with_page_hinkley(_turns_df(spark)))
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_arrival_stats_one_window_no_cartesian(spark):
+    """The gap side is one lag window sharing the conv_id exchange with
+    its groupBy; the hourly side pre-compacts to (conv, hour) counts —
+    only ONE Window may exist in the whole plan and no cartesian/
+    nested-loop join anywhere."""
+    from z_rad_spark.operators.profile import arrival_stats
+
+    plan = _plan(arrival_stats(_turns_df(spark)))
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_count_encode_rank_on_compacted_frame_broadcast_back(spark):
+    """The rank window runs on the |categories| aggregate only (one
+    Window, downstream of a HashAggregate) and the encoded frame comes
+    back via broadcast — a SortMergeJoin would shuffle the full input
+    on a low-cardinality key."""
+    from z_rad_spark.operators.encoding import count_frequency_encode
+
+    docs = _docs(spark).withColumn("source", (F.col("doc_id") % 5).cast("string"))
+    plan = _plan(count_frequency_encode(docs, "source"))
+    assert plan.count("Window") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1209,3 +1209,92 @@ def test_page_hinkley_alarms_on_mean_shift_only(spark):
     assert got.loc["flat"].n_alarms == 0
     assert got.loc["shift"].n_alarms > 0
     assert got.loc["shift"].first_alarm_us is not None
+
+
+def test_arrival_stats_matches_pandas(spark):
+    from z_rad_spark.operators.profile import arrival_stats
+
+    df, pdf = _turns(spark, n_conv=5, n_turns=40, seed=41)
+    got = arrival_stats(df).toPandas().set_index("conv_id").sort_index()
+    for conv, grp in pdf.groupby("conv_id"):
+        grp = grp.sort_values(["ts", "turn_idx"])
+        us = grp.ts.astype("int64") // 1000
+        gaps = (np.diff(us) // 1_000_000).astype(np.int64)
+        row = got.loc[conv]
+        assert row.n_turns == len(grp)
+        assert row.span_s == (us.iloc[-1] - us.iloc[0]) // 1_000_000
+        mu = gaps.mean()
+        sd = gaps.std(ddof=0)
+        assert np.isclose(row.mean_gap_s, mu, atol=1e-9)
+        assert np.isclose(row.cv_gap, sd / mu, atol=1e-9)
+        assert np.isclose(row.burstiness, (sd - mu) / (sd + mu), atol=1e-9)
+        # hourly Fano over the FULL span, empty buckets as zeros
+        hb = us // 3_600_000_000
+        nb = int(hb.max() - hb.min() + 1)
+        counts = np.zeros(nb)
+        for b in hb:
+            counts[int(b - hb.min())] += 1
+        fano = counts.var() / counts.mean()
+        assert np.isclose(row.fano_hourly, fano, atol=1e-9)
+
+
+def test_arrival_stats_burstiness_extremes(spark):
+    """Perfectly periodic gaps give burstiness exactly -1 (sigma = 0);
+    a bursty train (many zero gaps + one huge gap) goes positive."""
+    from z_rad_spark.operators.profile import arrival_stats
+
+    rows = []
+    for i in range(30):
+        rows.append(("periodic", i, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=10 * i), 1.0))
+        # bursty: 29 turns in the same minute, then one 12h later
+        t = pd.Timestamp("2024-01-01") + (pd.Timedelta(seconds=i) if i < 29 else pd.Timedelta(hours=12))
+        rows.append(("bursty", i, t, 1.0))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "signal"])
+    got = arrival_stats(spark.createDataFrame(pdf)).toPandas().set_index("conv_id")
+    assert got.loc["periodic"].burstiness == -1.0
+    assert got.loc["bursty"].burstiness > 0.5
+    # the periodic conversation spreads ~1 turn/10min -> hourly Fano < 1
+    assert got.loc["periodic"].fano_hourly < 1.0
+    # the burst concentrates 29 turns into one hour bucket -> Fano >> 1
+    assert got.loc["bursty"].fano_hourly > 5.0
+
+
+def test_count_frequency_encode_matches_pandas(spark):
+    from z_rad_spark.operators.encoding import count_frequency_encode
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "source": [f"s{i % 7}" for i in range(35)] + ["s_rare"] * 5,
+        }
+    )
+    got = (
+        count_frequency_encode(spark.createDataFrame(pdf), "source", min_count=5)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    vc = pdf.source.value_counts()
+    n = len(pdf)
+    for _, row in got.iterrows():
+        c = vc[row.source]
+        assert row.cat_count == c
+        assert np.isclose(row.cat_freq, c / n, atol=1e-15)
+        assert np.isclose(row.cat_logc, np.log1p(c), atol=1e-12)
+        assert row.is_rare == (c < 5)
+    # dense rank is deterministic: ordering by rank equals ordering by
+    # (count desc, source asc), and ranks are dense 1..k
+    ranked = (
+        got[["source", "cat_count", "cat_rank"]]
+        .drop_duplicates()
+        .sort_values("cat_rank")
+        .reset_index(drop=True)
+    )
+    by_key = (
+        ranked.sort_values(["cat_count", "source"], ascending=[False, True])
+        .source.tolist()
+    )
+    assert ranked.source.tolist() == by_key
+    assert sorted(ranked.cat_rank.unique()) == list(
+        range(1, ranked.cat_rank.nunique() + 1)
+    )

@@ -171,3 +171,53 @@ def woe_iv(
         F.col("r.woe").alias("woe"),
         F.col("iv").alias("iv"),
     )
+
+
+def count_frequency_encode(
+    df: DataFrame,
+    cat_col: str = "source",
+    min_count: int = 5,
+) -> DataFrame:
+    """Count / frequency encoding of a categorical column plus a dense
+    popularity rank and a rare-category flag — the zero-leakage encoders
+    every tabular pipeline starts with (target-free, so unlike the
+    target encoders in this module they need no leave-one-out guard):
+
+      cat_count  — rows in the category (exact long)
+      cat_freq   — cat_count / N (one division)
+      cat_logc   — ln(1 + cat_count) (count de-skewed, one log)
+      cat_rank   — dense rank by count DESC, category ASC on ties
+                   (deterministic: equal-count categories rank by name)
+      is_rare    — cat_count < min_count (hash-bucket candidates)
+
+    Scale shape: one map-side-combined aggregate to |categories| rows;
+    the rank window runs on THAT compacted frame only (never on the
+    input — the module-doc category-skew rule), and the encoded frame
+    broadcasts back onto the input. N rides the same compacted frame as
+    an exact integer sum, so no second pass over the data exists.
+
+    Output: input columns + the five encodings.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(cat_col)).agg(
+        F.count("*").cast("long").alias("cat_count")
+    )
+    # the compacted frame is |categories| rows — a global window here is
+    # bounded by the category cardinality, not the data. The total-count
+    # sum shares the rank's (partition, order) spec with a full frame so
+    # Catalyst emits ONE Window node.
+    w = Window.orderBy(F.col("cat_count").desc(), F.col(cat_col).asc())
+    tot = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    enc = counts.select(
+        cat_col,
+        "cat_count",
+        (
+            F.col("cat_count").cast("double")
+            / F.sum("cat_count").over(tot).cast("double")
+        ).alias("cat_freq"),
+        F.log(F.lit(1.0) + F.col("cat_count").cast("double")).alias("cat_logc"),
+        F.dense_rank().over(w).cast("int").alias("cat_rank"),
+        (F.col("cat_count") < F.lit(int(min_count))).alias("is_rare"),
+    )
+    return df.join(F.broadcast(enc), cat_col)

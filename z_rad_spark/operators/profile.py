@@ -272,3 +272,104 @@ def daily_activity(df: DataFrame) -> DataFrame:
         "retention",
         F.col("n_retained").cast("double") / F.col("n_active").cast("double"),
     )
+
+
+def arrival_stats(df: DataFrame) -> DataFrame:
+    """Per-conversation inter-arrival statistics: whole-second turn gaps
+    (mean, coefficient of variation), the Goh-Barabási burstiness index
+    B = (sigma - mu) / (sigma + mu) (B -> -1 periodic, 0 Poisson, -> 1
+    bursty — the bot-vs-human arrival fingerprint), and the hourly Fano
+    factor (variance/mean of turns per wall-clock hour over the
+    conversation's FULL span, empty hours counted as zeros; Fano 1 =
+    Poisson, >> 1 = clumped).
+
+    Determinism: gaps are exact integer seconds (floor of the exact
+    microsecond difference), so sum and sum-of-squares are exact longs;
+    sigma^2 = (n*Sgg - Sg*Sg) / n^2 has an exact integer numerator.
+    The Fano factor folds the same trick over the hour buckets:
+    Fano = (B*Sum(c^2) - n^2) / (B*n) with B = span hour-buckets — one
+    exact integer numerator, one division. All bit-replayable.
+
+    Scale shape: one lag window + one groupBy sharing the conv_id
+    exchange for the gap side; the hourly side compacts to (conv, hour
+    bucket) counts before its per-conversation fold; the two one-row-
+    per-conversation frames meet in a conv_id equi-join.
+
+    Output: (conv_id, n_turns long, span_s long, mean_gap_s double,
+    cv_gap double, burstiness double, fano_hourly double).
+    """
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = _conv_window()
+    gaps = df.select(
+        "conv_id",
+        ts_us.alias("_ts"),
+        F.lag(ts_us).over(w).alias("_prev"),
+    ).withColumn(
+        "_gap_s",
+        F.when(
+            F.col("_prev").isNotNull(),
+            ((F.col("_ts") - F.col("_prev")) - (F.col("_ts") - F.col("_prev")) % 1000000)
+            / F.lit(1000000),
+        ).cast("long"),
+    )
+    g = gaps.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.min("_ts").alias("_first"),
+        F.max("_ts").alias("_last"),
+        F.count("_gap_s").cast("long").alias("_ng"),
+        F.coalesce(F.sum("_gap_s"), F.lit(0)).alias("_sg"),
+        F.coalesce(F.sum(F.col("_gap_s") * F.col("_gap_s")), F.lit(0)).alias("_sgg"),
+    )
+    ng = F.col("_ng").cast("double")
+    mu = F.col("_sg").cast("double") / F.when(ng > 0, ng)
+    var = (
+        ng * F.col("_sgg").cast("double")
+        - F.col("_sg").cast("double") * F.col("_sg").cast("double")
+    ) / F.when(ng > 0, ng * ng)
+    sd = F.sqrt(var)
+    # hourly Fano over the full span: counts per hour bucket, then the
+    # exact-integer fold (empty buckets contribute 0 to both sums)
+    hb = (ts_us - ts_us % 3600000000) / F.lit(3600000000)
+    per_h = df.groupBy("conv_id", hb.cast("long").alias("_hb")).agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    h = per_h.groupBy("conv_id").agg(
+        F.min("_hb").alias("_hb0"),
+        F.max("_hb").alias("_hb1"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_scc"),
+        F.sum("_c").cast("long").alias("_nh"),
+    )
+    nb = (F.col("_hb1") - F.col("_hb0") + F.lit(1)).cast("long")
+    fano = (
+        (nb * F.col("_scc") - F.col("_nh") * F.col("_nh")).cast("double")
+        / (nb * F.col("_nh")).cast("double")
+    )
+    return (
+        g.join(h.select("conv_id", "_hb0", "_hb1", "_scc", "_nh"), "conv_id")
+        .select(
+            "conv_id",
+            F.col("_n").alias("n_turns"),
+            (
+                (F.col("_last") - F.col("_first"))
+                - (F.col("_last") - F.col("_first")) % 1000000
+            ).cast("long")
+            .alias("_span_us"),
+            F.when(F.col("_ng") > 0, mu).alias("mean_gap_s"),
+            F.when((F.col("_ng") > 0) & (mu > 0), sd / mu).alias("cv_gap"),
+            F.when((F.col("_ng") > 0) & ((sd + mu) > 0), (sd - mu) / (sd + mu)).alias(
+                "burstiness"
+            ),
+            fano.alias("fano_hourly"),
+        )
+        .withColumn("span_s", (F.col("_span_us") / F.lit(1000000)).cast("long"))
+        .drop("_span_us")
+        .select(
+            "conv_id",
+            "n_turns",
+            "span_s",
+            "mean_gap_s",
+            "cv_gap",
+            "burstiness",
+            "fano_hourly",
+        )
+    )
