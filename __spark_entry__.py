@@ -1140,6 +1140,48 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric n-gram containment (dedup.ngram_containment): the
+    subsumption detector Jaccard misses — both directional fractions
+    plus the min-denominator max, thresholded at 0.8. Exact integer
+    shingle counts, three single divisions — oracle-replayable."""
+    from z_rad_spark.operators.dedup import ngram_containment
+
+    out = ngram_containment(_docs(spark, sf_dir), n=3, threshold=0.8)
+    return _r6(
+        out.select(
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            "contain_a",
+            "contain_b",
+            "containment",
+        ),
+        ["contain_a", "contain_b", "containment"],
+    )
+
+
+def q_dup_survivors(spark, sf_dir):
+    """Canonical-document selection after near-dup clustering
+    (dedup.dup_survivors): every doc assigned a cluster (singletons
+    self-cluster), one survivor per cluster by (max tokens, min id) —
+    a groupBy MIN over the (-n_toks, id) struct, no per-cluster window.
+    The oracle replays the LSH clustering via recursive CTE and the
+    pick via a rank window on the tiny cluster frame."""
+    from z_rad_spark.operators.dedup import dup_survivors
+
+    out = dup_survivors(
+        _docs(spark, sf_dir), n=3, n_hashes=8, band_size=4, max_bucket=64
+    )
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("cluster_id").cast("long"),
+        "n_toks",
+        F.col("survivor_doc_id").cast("long"),
+        "is_survivor",
+        "n_members",
+    )
+
+
 def q_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir), bits=16).select(
         F.col("doc_id").cast("long"), F.col("simhash").cast("long")
@@ -3295,6 +3337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_page_hinkley": q_page_hinkley,
         "q_arrival_stats": q_arrival_stats,
         "q_count_encode": q_count_encode,
+        "q_containment": q_containment,
+        "q_dup_survivors": q_dup_survivors,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -5862,3 +5862,70 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        e.is_rare
 FROM documents d JOIN e USING (source)
 """
+
+
+# asymmetric containment: the jaccard chain with per-direction
+# denominators; the threshold predicate replays Spark's exact
+# double-division compare
+ORACLES["q_containment"] = f"""
+WITH {_SHINGLES3},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       {r6('CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE)', 'contain_a')},
+       {r6('CAST(n_common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE)', 'contain_b')},
+       {r6('CAST(n_common AS DOUBLE) / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE)', 'containment')}
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.8
+"""
+
+
+# survivor selection: the dup_clusters recursive closure, singletons
+# self-clustered via LEFT JOIN, then the (n_toks DESC, doc_id ASC)
+# rank-1 pick per cluster — deterministic pure-integer ordering
+ORACLES["q_dup_survivors"] = f"""
+WITH RECURSIVE pairs AS (
+  {{PAIRS}}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach (id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id
+),
+clus AS (
+  SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY id
+),
+nt AS (SELECT doc_id, CAST(len({TOKS_DOC}) AS BIGINT) AS n_toks FROM documents),
+assigned AS (
+  SELECT nt.doc_id, COALESCE(c.cluster_id, nt.doc_id) AS cluster_id, nt.n_toks
+  FROM nt LEFT JOIN clus c ON c.doc_id = nt.doc_id
+),
+ranked AS (
+  SELECT cluster_id, doc_id, n_toks,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_toks DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS nm
+  FROM assigned
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+       CAST(a.cluster_id AS BIGINT) AS cluster_id,
+       a.n_toks,
+       CAST(p.survivor AS BIGINT) AS survivor_doc_id,
+       a.doc_id = p.survivor AS is_survivor,
+       CAST(p.nm AS BIGINT) AS n_members
+FROM assigned a
+JOIN (SELECT cluster_id, doc_id AS survivor, nm FROM ranked WHERE rn = 1) p
+  USING (cluster_id)
+""".replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip())

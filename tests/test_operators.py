@@ -1641,3 +1641,87 @@ def test_ngram_novelty_hand_check_and_short_docs(spark):
     assert d1["n_grams"] == 2 and d1["n_new"] == 2 and d1["novelty"] == 1.0
     assert d2["n_grams"] == 2 and d2["n_new"] == 1
     assert abs(d2["novelty"] - 0.5) < 1e-12
+
+
+def test_containment_detects_subsumption_jaccard_misses(spark):
+    from z_rad_spark.operators.dedup import ngram_containment
+
+    short = "alpha beta gamma delta epsilon"
+    long_doc = short + " " + " ".join(f"word{i}" for i in range(40))
+    docs = pd.DataFrame({"doc_id": [0, 1], "text": [short, long_doc]})
+    got = ngram_containment(spark.createDataFrame(docs), n=3).toPandas()
+    row = got[(got.id_a == 0) & (got.id_b == 1)].iloc[0]
+    # every shingle of the short doc appears in the long one
+    assert row.contain_a == 1.0
+    assert row.containment == 1.0
+    assert row.contain_b < 0.15
+    # manual parity: shingle sets
+    def shingles(t):
+        w = t.lower().split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sa, sb = shingles(short), shingles(long_doc)
+    inter = len(sa & sb)
+    assert np.isclose(row.contain_a, inter / len(sa), atol=1e-12)
+    assert np.isclose(row.contain_b, inter / len(sb), atol=1e-12)
+
+
+def test_containment_threshold_filters(spark):
+    from z_rad_spark.operators.dedup import ngram_containment
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "one two three four five",
+                "one two three four five six",
+                "totally different content with other words",
+            ],
+        }
+    )
+    got = ngram_containment(spark.createDataFrame(docs), n=3, threshold=0.9).toPandas()
+    assert set(zip(got.id_a, got.id_b)) == {(0, 1)}
+
+
+def test_dup_survivors_longest_then_min_id(spark):
+    from z_rad_spark.operators.dedup import dup_survivors
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                base,                      # cluster with 1; shorter
+                base + " extra tail",      # longest -> survivor
+                "completely different words entirely unrelated content here now",
+                "another singleton document with its own distinct content words",
+            ],
+        }
+    )
+    got = (
+        dup_survivors(spark.createDataFrame(docs), n=3, n_hashes=8, band_size=4)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # 0 and 1 cluster together; survivor is 1 (more tokens)
+    assert got.loc[0].cluster_id == got.loc[1].cluster_id == 0
+    assert got.loc[0].survivor_doc_id == 1 and not got.loc[0].is_survivor
+    assert got.loc[1].is_survivor
+    assert got.loc[0].n_members == 2
+    # singletons self-cluster and self-survive
+    for d in (2, 3):
+        assert got.loc[d].cluster_id == d
+        assert got.loc[d].is_survivor
+        assert got.loc[d].n_members == 1
+
+
+def test_dup_survivors_tie_breaks_min_id(spark):
+    from z_rad_spark.operators.dedup import dup_survivors
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = pd.DataFrame({"doc_id": [5, 9], "text": [base, base]})
+    got = dup_survivors(spark.createDataFrame(docs), n=3, n_hashes=8, band_size=4).toPandas()
+    assert (got.survivor_doc_id == 5).all()
+    assert got.set_index("doc_id").loc[5].is_survivor
+    assert not got.set_index("doc_id").loc[9].is_survivor

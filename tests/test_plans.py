@@ -867,3 +867,16 @@ def test_count_encode_rank_on_compacted_frame_broadcast_back(spark):
     assert plan.count("Window") == 1
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dup_survivors_no_per_cluster_window(spark):
+    """The survivor pick must be a groupBy MIN over the (-n_toks, id)
+    struct — a per-cluster Window would single-task a mega-cluster. No
+    Window node may exist anywhere in the plan (the cluster assignment
+    itself is joins + aggregates only)."""
+    from z_rad_spark.operators.dedup import dup_survivors
+
+    docs = _docs(spark)
+    plan = _plan(dup_survivors(docs, n=3, n_hashes=8, band_size=4))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

@@ -778,3 +778,134 @@ def dup_span_stats(
         frac.alias("dup_frac"),
         (frac >= F.lit(drop_frac)).cast("int").alias("drop_doc"),
     )
+
+
+def ngram_containment(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric word-n-gram containment for candidate pairs (Broder
+    1997 §2): Jaccard misses SUBSUMPTION — a short document pasted whole
+    into a long one scores a tiny |A∩B|/|A∪B| but containment
+    |A∩B|/|A| is ~1. This is the quote/boilerplate/excerpt detector a
+    corpus pipeline runs next to the symmetric near-dup pass.
+
+    Emits both directions plus the symmetric max:
+      contain_a = |A∩B| / |A|   (how much of A lives inside B)
+      contain_b = |A∩B| / |B|
+      containment = |A∩B| / min(|A|, |B|)
+
+    Same scale contract as ngram_jaccard: pass LSH candidate ``pairs``
+    or set ``max_doc_freq`` at corpus scale (the df-cap drops
+    stop-shingles from candidate generation only, so surviving scores
+    are documented lower bounds); denominators are always the full
+    per-doc shingle counts. The shingle frame is persisted for its three
+    consumers — release with ``unpersist_intermediates``.
+    """
+    sh = word_shingles(docs, n, text_col, id_col).persist()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    join_sh = sh
+    if pairs is None and max_doc_freq is not None:
+        df_counts = sh.groupBy("shingle").agg(F.countDistinct(id_col).alias("_df"))
+        join_sh = sh.join(
+            df_counts.where(F.col("_df") <= max_doc_freq).select("shingle"), "shingle"
+        )
+    a = join_sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = join_sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["id_a", "id_b"])
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_common").cast("double") / F.col("n_a").cast("double")).alias(
+                "contain_a"
+            ),
+            (F.col("n_common").cast("double") / F.col("n_b").cast("double")).alias(
+                "contain_b"
+            ),
+            (
+                F.col("n_common").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+    )
+    out = out.where(F.col("containment") >= threshold)
+    out._zrs_cached = (sh,)
+    _CACHED_FRAMES.append(sh)
+    return out
+
+
+def dup_survivors(
+    docs: DataFrame,
+    clusters: DataFrame | None = None,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **cluster_kwargs,
+) -> DataFrame:
+    """Canonical-document selection over near-duplicate clusters: the
+    step after dup_clusters that actually CUTS the corpus. Every
+    document gets its cluster (singletons cluster with themselves), and
+    each cluster keeps exactly one survivor — the member with the most
+    normalized tokens, ties broken by the smallest id (deterministic:
+    the pick is a pure function of (token count, id), never of engine
+    order).
+
+    Scale shape: the cluster assignment is dup_clusters' O(log n) star
+    contraction; the survivor pick is ONE groupBy(cluster) MIN over the
+    (-n_toks, id) struct — no per-cluster window, no collect_list, so a
+    mega-cluster (the failure mode of real web dedup) costs a map-side
+    combine, not a single-task sort. The per-cluster pick frame
+    (|clusters| rows) joins back on cluster_id.
+
+    Output: (doc_id, cluster_id, n_toks long, survivor_doc_id,
+    is_survivor boolean, n_members long).
+    """
+    if clusters is None:
+        clusters = dup_clusters(
+            docs, n=n, text_col=text_col, id_col=id_col, **cluster_kwargs
+        )
+    toks = docs.select(
+        F.col(id_col),
+        F.size(F.split(normalize_text(F.col(text_col)), " ")).cast("long").alias(
+            "n_toks"
+        ),
+    )
+    assigned = toks.join(
+        clusters.select(id_col, "cluster_id"), id_col, "left"
+    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    pick = assigned.groupBy("cluster_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("n_toks")).alias("_neg"), F.col(id_col).alias("_id")
+            )
+        ).alias("_best"),
+        F.count("*").cast("long").alias("n_members"),
+    )
+    pick = pick.select(
+        "cluster_id", F.col("_best._id").alias("survivor_doc_id"), "n_members"
+    )
+    return assigned.join(pick, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "n_toks",
+        "survivor_doc_id",
+        (F.col(id_col) == F.col("survivor_doc_id")).alias("is_survivor"),
+        "n_members",
+    )
