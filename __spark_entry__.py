@@ -1264,6 +1264,23 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_mmr(spark, sf_dir):
+    """MMR-diversified top-5 over an exact cosine top-20 pool
+    (similarity.mmr_topk, lambda=0.7): greedy rerank in a grouped-map
+    kernel whose every dot product is the engine-wide sequential-fold
+    idiom, ties on the smaller id — the oracle replays picks and scores
+    bit-for-bit with unrolled argmax steps."""
+    from z_rad_spark.operators.similarity import mmr_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = mmr_topk(emb, queries, k=5, pool=20, lam=0.7)
+    out = out.select("query_id", "vec_id", "mmr_rank", "rel", "score")
+    return _r6(out, ["rel", "score"])
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN: deterministic codebook (first 16 vectors), 4-probe search."""
     from z_rad_spark.operators.similarity import ivf_topk
@@ -3339,6 +3356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_count_encode": q_count_encode,
         "q_containment": q_containment,
         "q_dup_survivors": q_dup_survivors,
+        "q_mmr": q_mmr,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

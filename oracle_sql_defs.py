@@ -5929,3 +5929,87 @@ FROM assigned a
 JOIN (SELECT cluster_id, doc_id AS survivor, nm FROM ranked WHERE rn = 1) p
   USING (cluster_id)
 """.replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip())
+
+
+def _mmr_sql(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    """Unrolled greedy MMR replay: step i picks argmax of
+    (lam*rel - (1-lam)*max-sim-to-selected) over the remaining pool,
+    ties on the smaller vec_id. Every cosine is the list_dot_product
+    chain (the sequential-fold parity idiom); the first step scores
+    with max-sim 0.0 exactly as the kernel does. (1-lam) is embedded as
+    the IEEE repr so both engines multiply by the identical double."""
+
+    def cos(a, b):
+        return (
+            f"(list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+        )
+
+    mu = 1.0 - lam
+    ctes = [
+        f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+q AS (SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < 5),
+pool AS (
+  SELECT query_id, vec_id, cos, ev FROM (
+    SELECT q.query_id, v.vec_id, {cos('v.ev', 'q.qv')} AS cos, v.ev,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos('v.ev', 'q.qv')} DESC, v.vec_id ASC) AS rn
+    FROM v CROSS JOIN q)
+  WHERE rn <= {pool}
+),
+out1 AS (
+  SELECT query_id, vec_id, cos, ev, 0.0 AS ms FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY ({lam!r} * cos) - ({mu!r} * 0.0) DESC,
+                                          vec_id ASC) AS rn
+    FROM pool)
+  WHERE rn = 1
+)"""
+    ]
+    for i in range(2, k + 1):
+        prev_ids = " UNION ALL ".join(
+            f"SELECT query_id, vec_id FROM out{j}" for j in range(1, i)
+        )
+        prev_vecs = " UNION ALL ".join(
+            f"SELECT query_id, ev FROM out{j}" for j in range(1, i)
+        )
+        ctes.append(
+            f"""rem{i} AS (
+  SELECT p.query_id, p.vec_id, p.cos, p.ev FROM pool p
+  LEFT JOIN ({prev_ids}) s
+    ON s.query_id = p.query_id AND s.vec_id = p.vec_id
+  WHERE s.vec_id IS NULL
+),
+ms{i} AS (
+  SELECT r.query_id, r.vec_id, r.cos, MAX({cos('r.ev', 's.ev')}) AS ms
+  FROM rem{i} r JOIN ({prev_vecs}) s ON s.query_id = r.query_id
+  GROUP BY r.query_id, r.vec_id, r.cos
+),
+out{i} AS (
+  SELECT m.query_id, m.vec_id, m.cos, p.ev, m.ms FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY ({lam!r} * cos) - ({mu!r} * ms) DESC,
+                                          vec_id ASC) AS rn
+    FROM ms{i}) m
+  JOIN pool p ON p.query_id = m.query_id AND p.vec_id = m.vec_id
+  WHERE m.rn = 1
+)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT query_id, vec_id, {i} AS mmr_rank, cos, "
+        f"({lam!r} * cos) - ({mu!r} * ms) AS score FROM out{i}"
+        for i in range(1, k + 1)
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(mmr_rank AS INT) AS mmr_rank,
+       {r6('cos', 'rel')},
+       {r6('score', 'score')}
+FROM ({finals})
+"""
+
+
+ORACLES["q_mmr"] = _mmr_sql(k=5, pool=20, lam=0.7)

@@ -1725,3 +1725,52 @@ def test_dup_survivors_tie_breaks_min_id(spark):
     assert (got.survivor_doc_id == 5).all()
     assert got.set_index("doc_id").loc[5].is_survivor
     assert not got.set_index("doc_id").loc[9].is_survivor
+
+
+def test_mmr_diversifies_near_duplicate_hits(spark):
+    from z_rad_spark.operators.similarity import cosine_topk, mmr_topk
+
+    # query q; a and a2 nearly identical (both very relevant); b diverse
+    # but slightly less relevant. Plain cosine ranks (a, a2, ...);
+    # MMR must rank (a, b, ...) because a2 is redundant.
+    q = [1.0, 0.0, 0.0, 0.0]
+    a = [0.99, 0.1, 0.0, 0.0]
+    a2 = [0.992, 0.1, 0.0, 0.01]
+    b = [0.8, 0.0, 0.6, 0.0]
+    fill = [[0.1, 0.9, 0.2, 0.1], [0.0, 0.5, 0.5, 0.7]]
+    pdf = pd.DataFrame(
+        {"vec_id": range(5), "embedding": [a, a2, b] + fill}
+    )
+    vecs = spark.createDataFrame(pdf)
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0], "query_vec": [q]})
+    )
+    plain = cosine_topk(vecs, qdf, k=3).toPandas().sort_values("rank")
+    assert list(plain.vec_id[:2]) in ([0, 1], [1, 0])
+    got = mmr_topk(vecs, qdf, k=3, pool=5, lam=0.5).toPandas().sort_values("mmr_rank")
+    assert got.vec_id.iloc[0] in (0, 1)      # rank 1 = argmax relevance
+    assert got.vec_id.iloc[1] == 2           # rank 2 skips the near-dup
+    assert len(got) == 3
+    assert got.vec_id.is_unique
+    # scores strictly ordered within the greedy path is NOT guaranteed
+    # (later picks can score higher than earlier against different
+    # selected sets), but rank-1's score must be lam * its relevance
+    assert np.isclose(got.score.iloc[0], 0.5 * got.rel.iloc[0], atol=1e-12)
+
+
+def test_mmr_lambda_one_matches_cosine_order(spark):
+    from z_rad_spark.operators.similarity import cosine_topk, mmr_topk
+
+    rng = np.random.default_rng(9)
+    vecs_np = rng.standard_normal((30, 8))
+    pdf = pd.DataFrame({"vec_id": range(30), "embedding": [list(v) for v in vecs_np]})
+    vecs = spark.createDataFrame(pdf)
+    qdf = vecs.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plain = cosine_topk(vecs, qdf, k=4).toPandas()
+    got = mmr_topk(vecs, qdf, k=4, pool=10, lam=1.0).toPandas()
+    for qid in (0, 1):
+        p = plain[plain.query_id == qid].sort_values("rank").vec_id.tolist()
+        m = got[got.query_id == qid].sort_values("mmr_rank").vec_id.tolist()
+        assert p == m

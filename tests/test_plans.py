@@ -880,3 +880,29 @@ def test_dup_survivors_no_per_cluster_window(spark):
     plan = _plan(dup_survivors(docs, n=3, n_hashes=8, band_size=4))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mmr_pool_is_bounded_before_grouped_map(spark):
+    """The grouped-map kernel must see only the bounded cosine top-pool
+    rows: the plan needs the per-query rank Window + its filter BELOW
+    FlatMapGroupsInPandas, the query side broadcast, and no
+    SortMergeJoin for the broadcastable sides."""
+    from z_rad_spark.operators.similarity import mmr_topk
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(30),
+            "embedding": [[float((i * 7 + j) % 5 - 2) for j in range(8)] for i in range(30)],
+        }
+    )
+    vecs = spark.createDataFrame(pdf)
+    qdf = vecs.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = _plan(mmr_topk(vecs, qdf, k=3, pool=8))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    # the pool filter (rank <= pool) must exist upstream of the kernel
+    assert "Window" in plan

@@ -60,11 +60,15 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    rounded: bool = True,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     queries is broadcast (small dim side); ties broken by vec_id for
     determinism. Output: (query_id, vec_id, cosine, rank).
+    ``rounded=False`` keeps the raw double cosine (internal consumers
+    like mmr_topk score on the unrounded value; the 6dp rounding is an
+    output-normalization convention, not part of the ranking).
     """
     joined = vectors.crossJoin(F.broadcast(queries))
     sim = _cosine(F.col(vec_col), F.col(query_vec))
@@ -72,10 +76,11 @@ def cosine_topk(
         F.col(query_id), F.col(id_col), sim.cast("double").alias("cosine")
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    out_cos = F.round("cosine", 6) if rounded else F.col("cosine")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(query_id, id_col, F.round("cosine", 6).alias("cosine"), "rank")
+        .select(query_id, id_col, out_cos.alias("cosine"), "rank")
     )
 
 
@@ -1444,3 +1449,85 @@ def embedding_stats(
     if dim is not None:
         ok = ok & (F.col("dim") == int(dim))
     return out.withColumn("ok", ok)
+
+
+def mmr_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998): greedily pick the candidate maximizing
+
+        score = lam * rel(d) - (1 - lam) * max_{s in S} cos(d, s)
+
+    so near-duplicate hits don't crowd the result list — the reranker a
+    retrieval pipeline runs after exact/ANN top-N.
+
+    Scale + determinism shape: relevance and the candidate POOL come
+    from the distributed exact cosine pass (``cosine_topk`` unrounded,
+    broadcast queries, bounded per-query window); only the <= ``pool``
+    surviving candidates per query enter a grouped-map kernel
+    (one Arrow batch per query — the §2.14 grouped-map-only contract,
+    never per-row Python). The greedy selection is a pure function of
+    (score, id): every dot product is a strict sequential left fold
+    (identical to F.aggregate and DuckDB's list_dot_product, the
+    engine-wide parity idiom), ties break on the smaller id, and the
+    first pick scores with max-sim 0.0 — so the SQL oracle replays
+    picks AND scores bit-for-bit with unrolled argmax steps.
+
+    Output: (query_id, vec_id, mmr_rank int, rel double, score double).
+    """
+    import math
+
+    import pandas as pd
+
+    mu = 1.0 - lam
+    cand = cosine_topk(
+        vectors, queries, k=pool, id_col=id_col, vec_col=vec_col,
+        query_id=query_id, query_vec=query_vec, rounded=False,
+    ).select(query_id, id_col, F.col("cosine").alias("rel"))
+    cand = cand.join(
+        vectors.select(F.col(id_col), F.col(vec_col).alias("_ev")), id_col
+    )
+
+    def _dotf(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def _cosf(a, b):
+        return _dotf(a, b) / (math.sqrt(_dotf(a, a)) * math.sqrt(_dotf(b, b)))
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        cands = [
+            (int(r[id_col]), float(r["rel"]), [float(x) for x in r["_ev"]])
+            for r in pdf.to_dict("records")
+        ]
+        qid = pdf[query_id].iloc[0]
+        selected: list = []
+        out = []
+        while cands and len(selected) < k:
+            best = None
+            for vid, rel, v in cands:
+                ms = max((_cosf(v, sv) for sv in selected), default=0.0)
+                score = (lam * rel) - (mu * ms)
+                if best is None or score > best[1] or (score == best[1] and vid < best[0]):
+                    best = (vid, score, rel, v)
+            vid, score, rel, v = best
+            selected.append(v)
+            out.append((qid, vid, len(selected), rel, score))
+            cands = [c for c in cands if c[0] != vid]
+        return pd.DataFrame(
+            out, columns=[query_id, id_col, "mmr_rank", "rel", "score"]
+        )
+
+    schema = f"{query_id} long, {id_col} long, mmr_rank int, rel double, score double"
+    return cand.groupBy(query_id).applyInPandas(_kernel, schema=schema)
