@@ -1666,6 +1666,34 @@ def q_ppl_buckets(spark, sf_dir):
     return _r6(out, ["nll", "ppl"])
 
 
+def q_lexical_diversity(spark, sf_dir):
+    """Per-document vocabulary-richness profile (text.lexical_diversity):
+    TTR, hapax ratio, token entropy, Simpson repeat rate, Yule's K,
+    chars/bytes per token. Integer sufficient statistics are order-free;
+    the two float sums fold over the token-sorted frequency array (the
+    list_reduce parity idiom) — oracle-replayable bit-for-bit."""
+    from z_rad_spark.operators.text import lexical_diversity
+
+    out = lexical_diversity(_docs(spark, sf_dir))
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "n_types",
+        "ttr",
+        "hapax_ratio",
+        "entropy_bits",
+        "simpson",
+        "yule_k",
+        "chars_per_token",
+        "bytes_per_token",
+    )
+    return _r6(
+        out,
+        ["ttr", "hapax_ratio", "entropy_bits", "simpson", "yule_k",
+         "chars_per_token", "bytes_per_token"],
+    )
+
+
 def q_rare_tokens(spark, sf_dir):
     """Corpus-frequency token statistics per document (two-pass TF/DF
     shape): token counts, distinct tokens, mean corpus TF/DF of the
@@ -3357,6 +3385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_containment": q_containment,
         "q_dup_survivors": q_dup_survivors,
         "q_mmr": q_mmr,
+        "q_lexical_diversity": q_lexical_diversity,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -6013,3 +6013,53 @@ FROM ({finals})
 
 
 ORACLES["q_mmr"] = _mmr_sql(k=5, pool=20, lam=0.7)
+
+
+# lexical diversity: integer (N, V, sum f^2, hapax) + two ordered float
+# folds over the token-sorted per-doc frequency list — list_reduce
+# mirrors F.aggregate's strict left fold; the per-row n comes from an
+# (order-free) integer window sum
+ORACLES["q_lexical_diversity"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_RAW}) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+),
+tfn AS (
+  SELECT doc_id, tok, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM tf
+),
+per AS (
+  SELECT doc_id,
+         CAST(MAX(n) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(c * c) AS BIGINT) AS sff,
+         CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS hapax,
+         list_reduce(
+           [0.0] || list((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                          * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                         ORDER BY tok),
+           (a, x) -> a + x) AS ent_acc,
+         list_reduce(
+           [0.0] || list((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                         ORDER BY tok),
+           (a, x) -> a + x) AS simpson_raw
+  FROM tfn GROUP BY doc_id
+),
+lens AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS nch,
+         CAST(strlen(text) AS BIGINT) AS nby
+  FROM documents
+)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+       p.n_tokens, p.n_types,
+       {r6('CAST(p.n_types AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)', 'ttr')},
+       {r6('CAST(p.hapax AS DOUBLE) / CAST(p.n_types AS DOUBLE)', 'hapax_ratio')},
+       {r6('-p.ent_acc', 'entropy_bits')},
+       {r6('p.simpson_raw', 'simpson')},
+       {r6('10000.0 * CAST(p.sff - p.n_tokens AS DOUBLE) / (CAST(p.n_tokens AS DOUBLE) * CAST(p.n_tokens AS DOUBLE))', 'yule_k')},
+       {r6('CAST(l.nch AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)', 'chars_per_token')},
+       {r6('CAST(l.nby AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)', 'bytes_per_token')}
+FROM per p JOIN lens l USING (doc_id)
+"""

@@ -807,3 +807,53 @@ def test_equal_frequency_bins_ties_stay_together(spark):
     a = sorted(map(tuple, equal_frequency_bins(df.repartition(1), n_bins=4).select("doc_id", "bin").collect()))
     b = sorted(map(tuple, equal_frequency_bins(df.repartition(7), n_bins=4).select("doc_id", "bin").collect()))
     assert a == b
+
+
+def test_lexical_diversity_hand_computed(spark):
+    import numpy as np
+    import pandas as pd
+
+    from z_rad_spark.operators.text import lexical_diversity
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [
+                    "a b a c a b",          # N=6, V=3, f = a:3 b:2 c:1
+                    "x x x x",              # N=4, V=1 (degenerate)
+                ],
+            }
+        )
+    )
+    got = lexical_diversity(docs).toPandas().set_index("doc_id").sort_index()
+    r0 = got.loc[0]
+    assert r0.n_tokens == 6 and r0.n_types == 3
+    assert np.isclose(r0.ttr, 3 / 6)
+    assert np.isclose(r0.hapax_ratio, 1 / 3)
+    ps = np.array([3, 2, 1]) / 6.0
+    assert np.isclose(r0.entropy_bits, -(ps * np.log2(ps)).sum(), atol=1e-9)
+    assert np.isclose(r0.simpson, (ps ** 2).sum(), atol=1e-12)
+    # Yule's K = 1e4 * (sum f^2 - N) / N^2 = 1e4 * (14 - 6) / 36
+    assert np.isclose(r0.yule_k, 1e4 * (14 - 6) / 36, atol=1e-9)
+    assert np.isclose(r0.chars_per_token, len("a b a c a b") / 6, atol=1e-12)
+    r1 = got.loc[1]
+    assert r1.n_types == 1 and r1.hapax_ratio == 0.0
+    assert r1.entropy_bits == 0.0
+    assert r1.simpson == 1.0
+
+
+def test_lexical_diversity_entropy_bounds(spark):
+    """0 <= H <= log2(V); all-distinct tokens hit the upper bound."""
+    import numpy as np
+    import pandas as pd
+
+    from z_rad_spark.operators.text import lexical_diversity
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": [" ".join(f"w{i}" for i in range(16))]})
+    )
+    got = lexical_diversity(docs).toPandas().iloc[0]
+    assert np.isclose(got.entropy_bits, 4.0, atol=1e-12)
+    assert np.isclose(got.ttr, 1.0)
+    assert np.isclose(got.hapax_ratio, 1.0)

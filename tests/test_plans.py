@@ -906,3 +906,15 @@ def test_mmr_pool_is_bounded_before_grouped_map(spark):
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     # the pool filter (rank <= pool) must exist upstream of the kernel
     assert "Window" in plan
+
+
+def test_lexical_diversity_no_window_bounded_collect(spark):
+    """One (doc, token) aggregate + one doc aggregate + the length join:
+    no Window node (the per-doc total is an in-aggregate sum) and no
+    cartesian anywhere; the only collect_list is the per-doc frequency
+    array (bounded by per-doc vocabulary)."""
+    from z_rad_spark.operators.text import lexical_diversity
+
+    plan = _plan(lexical_diversity(_docs(spark)))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

@@ -602,3 +602,70 @@ def ngram_novelty(
             "novelty"
         ),
     )
+
+
+def lexical_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document lexical-diversity profile — the vocabulary-richness
+    block of a corpus quality report (Tweedie & Baayen 1998):
+
+      n_tokens / n_types / ttr   type-token ratio
+      hapax_ratio                types occurring once / types
+      entropy_bits               Shannon entropy of the token distribution
+      simpson                    repeat-rate sum p_i^2 (1/simpson = eff. vocab)
+      yule_k                     10^4 * (sum f_i^2 - N) / N^2 (length-robust)
+      chars_per_token / bytes_per_token   tokenizer-fertility proxies
+
+    Scale + determinism shape: one (doc, token) count shuffle, then one
+    groupBy(doc). The integer statistics (N, V, sum f^2, hapax) are
+    exact order-free sums; the two float sums (entropy, Simpson) fold
+    over the TOKEN-SORTED per-doc frequency array via F.aggregate — a
+    strict sequential order the DuckDB oracle replays with
+    list_reduce(list(term ORDER BY token)). The collect_list is bounded
+    by per-document vocabulary (the same per-doc bound every chunking
+    operator in the engine documents).
+
+    Output: (id_col, n_tokens long, n_types long, ttr, hapax_ratio,
+    entropy_bits, simpson, yule_k, chars_per_token, bytes_per_token).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok"),
+    )
+    tf = toks.groupBy(id_col, "_tok").agg(F.count("*").cast("long").alias("_c"))
+    per = tf.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_sff"),
+        F.count(F.when(F.col("_c") == 1, 1)).cast("long").alias("_hapax"),
+        F.sort_array(F.collect_list(F.struct("_tok", "_c"))).alias("_arr"),
+    )
+    n = F.col("n_tokens").cast("double")
+    v = F.col("n_types").cast("double")
+    p = lambda s: s["_c"].cast("double") / n  # noqa: E731
+    ent = -F.aggregate(
+        F.col("_arr"), F.lit(0.0), lambda a, s: a + p(s) * F.log2(p(s))
+    )
+    simp = F.aggregate(F.col("_arr"), F.lit(0.0), lambda a, s: a + p(s) * p(s))
+    lens = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("_nch"),
+        F.octet_length(F.col(text_col)).cast("long").alias("_nby"),
+    )
+    return per.join(lens, id_col).select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        (v / n).alias("ttr"),
+        (F.col("_hapax").cast("double") / v).alias("hapax_ratio"),
+        ent.alias("entropy_bits"),
+        simp.alias("simpson"),
+        (
+            F.lit(10000.0)
+            * (F.col("_sff") - F.col("n_tokens")).cast("double")
+            / (n * n)
+        ).alias("yule_k"),
+        (F.col("_nch").cast("double") / n).alias("chars_per_token"),
+        (F.col("_nby").cast("double") / n).alias("bytes_per_token"),
+    )
