@@ -1317,6 +1317,52 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_quantiles(spark, sf_dir):
+    """Per-role exact quantile table on the compacted value histogram
+    (encoding.value_quantiles): smallest value whose cumulative count
+    reaches p*n, ties collapse — engine-order free, literal-prob IEEE
+    multiply shared with the oracle."""
+    from z_rad_spark.operators.encoding import value_quantiles
+
+    out = value_quantiles(
+        _t(spark, sf_dir), probs=(0.1, 0.25, 0.5, 0.75, 0.9), group_col="role"
+    )
+    out = out.select("role", "n", "q_1", "q_25", "q_5", "q_75", "q_9")
+    return _r6(out, ["q_1", "q_25", "q_5", "q_75", "q_9"])
+
+
+def q_winsorize(spark, sf_dir):
+    """Per-role p05/p95 winsorization (encoding.winsorize): value
+    cutoffs from the compacted histogram broadcast back, clip via
+    least/greatest — deterministic bounds, oracle-replayable."""
+    from z_rad_spark.operators.encoding import winsorize
+
+    out = winsorize(_t(spark, sf_dir), lower=0.05, upper=0.95, group_col="role")
+    out = out.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        _us("ts", "ts_us"),
+        "role",
+        F.col("signal").cast("double").alias("signal"),
+        F.col("_lo").alias("lo"),
+        F.col("_hi").alias("hi"),
+        "signal_w",
+    )
+    return _r6(out, ["signal", "lo", "hi", "signal_w"])
+
+
+def q_ndcg(spark, sf_dir):
+    """nDCG@5 of the IVF index vs the exact-cosine baseline
+    (similarity.ndcg_at_k): binary gains, driver-precomputed literal
+    discount weights shared with the oracle — fixed-order chains, no
+    cross-engine transcendental, bit-replayable."""
+    from z_rad_spark.operators.similarity import ndcg_at_k
+
+    out = ndcg_at_k(q_ivf_topk(spark, sf_dir), q_cosine_topk(spark, sf_dir), k=5)
+    out = out.select("query_id", "n_truth", "dcg", "idcg", "ndcg")
+    return _r6(out, ["dcg", "idcg", "ndcg"])
+
+
 def q_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN, FULL-value gated: the hyperplanes are seeded
     literals (similarity._hyperplanes, PCG64 seed 17), so the DuckDB
@@ -3386,6 +3432,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_survivors": q_dup_survivors,
         "q_mmr": q_mmr,
         "q_lexical_diversity": q_lexical_diversity,
+        "q_ndcg": q_ndcg,
+        "q_quantiles": q_quantiles,
+        "q_winsorize": q_winsorize,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

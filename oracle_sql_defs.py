@@ -6063,3 +6063,102 @@ SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
        {r6('CAST(l.nby AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)', 'bytes_per_token')}
 FROM per p JOIN lens l USING (doc_id)
 """
+
+
+def _ndcg_sql(k: int = 5) -> str:
+    """nDCG@k replay: the discount weights are the SAME Python-computed
+    literals the Spark plan embeds — fixed-order add chains, no SQL
+    transcendental anywhere."""
+    import math
+
+    w = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+
+    def _fold(terms):
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = f"({acc} + {t})"
+        return acc
+
+    dcg_cols = ",\n       ".join(
+        f"MAX(CASE WHEN rr = {i + 1} AND hit = 1 THEN {w[i]!r} END) AS d{i}"
+        for i in range(k)
+    )
+    dcg = _fold([f"COALESCE(d{i}, 0.0)" for i in range(k)])
+    idcg = _fold(
+        [f"(CASE WHEN n_truth >= {i + 1} THEN {w[i]!r} ELSE 0.0 END)" for i in range(k)]
+    )
+    return f"""
+WITH res AS ({{ivf}}),
+tru AS ({{cos}}),
+nt AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth FROM tru WHERE rank <= {k} GROUP BY query_id),
+j AS (
+  SELECT r.query_id, r.rank AS rr,
+         CASE WHEN t.vec_id IS NOT NULL THEN 1 END AS hit
+  FROM res r LEFT JOIN (SELECT query_id, vec_id FROM tru WHERE rank <= {k}) t
+    ON t.query_id = r.query_id AND t.vec_id = r.vec_id
+  WHERE r.rank <= {k}
+),
+g AS (
+  SELECT query_id,
+       {dcg_cols}
+  FROM j GROUP BY query_id
+),
+s AS (
+  SELECT g.query_id, nt.n_truth, {dcg} AS dcg_raw, {idcg} AS idcg_raw
+  FROM g JOIN nt USING (query_id)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, n_truth,
+       {r6('dcg_raw', 'dcg')},
+       {r6('idcg_raw', 'idcg')},
+       {r6('dcg_raw / idcg_raw', 'ndcg')}
+FROM s
+""".format(ivf=ORACLES["q_ivf_topk"], cos=ORACLES["q_cosine_topk"])
+
+
+ORACLES["q_ndcg"] = _ndcg_sql(5)
+
+
+# per-group quantiles + winsorization: the compacted-histogram value
+# cutoff (cum >= n * p with literal probabilities) — the hist_asof /
+# ppl_buckets convention
+_QCUT = """h AS (
+  SELECT role, CAST(signal AS DOUBLE) AS val, COUNT(*) AS c
+  FROM t WHERE signal IS NOT NULL GROUP BY role, CAST(signal AS DOUBLE)
+),
+cum AS (
+  SELECT role, val,
+         SUM(c) OVER (PARTITION BY role ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY role) AS n
+  FROM h
+)"""
+
+ORACLES["q_quantiles"] = f"""
+WITH t AS ({T}),
+{_QCUT}
+SELECT role, CAST(MAX(n) AS BIGINT) AS n,
+       {r6("MIN(CASE WHEN CAST(cum AS DOUBLE) >= CAST(n AS DOUBLE) * 0.1 THEN val END)", "q_1")},
+       {r6("MIN(CASE WHEN CAST(cum AS DOUBLE) >= CAST(n AS DOUBLE) * 0.25 THEN val END)", "q_25")},
+       {r6("MIN(CASE WHEN CAST(cum AS DOUBLE) >= CAST(n AS DOUBLE) * 0.5 THEN val END)", "q_5")},
+       {r6("MIN(CASE WHEN CAST(cum AS DOUBLE) >= CAST(n AS DOUBLE) * 0.75 THEN val END)", "q_75")},
+       {r6("MIN(CASE WHEN CAST(cum AS DOUBLE) >= CAST(n AS DOUBLE) * 0.9 THEN val END)", "q_9")}
+FROM cum GROUP BY role
+"""
+
+ORACLES["q_winsorize"] = f"""
+WITH t AS ({T}),
+{_QCUT},
+cuts AS (
+  SELECT role,
+         MIN(CASE WHEN CAST(cum AS DOUBLE) >= CAST(n AS DOUBLE) * 0.05 THEN val END) AS lo,
+         MIN(CASE WHEN CAST(cum AS DOUBLE) >= CAST(n AS DOUBLE) * 0.95 THEN val END) AS hi
+  FROM cum GROUP BY role
+)
+SELECT t.conv_id, CAST(t.turn_idx AS INT) AS turn_idx, epoch_us(t.ts) AS ts_us,
+       t.role,
+       {r6('CAST(t.signal AS DOUBLE)', 'signal')},
+       {r6('c.lo', 'lo')},
+       {r6('c.hi', 'hi')},
+       {r6('LEAST(GREATEST(CAST(t.signal AS DOUBLE), c.lo), c.hi)', 'signal_w')}
+FROM t JOIN cuts c USING (role)
+"""

@@ -1774,3 +1774,40 @@ def test_mmr_lambda_one_matches_cosine_order(spark):
         p = plain[plain.query_id == qid].sort_values("rank").vec_id.tolist()
         m = got[got.query_id == qid].sort_values("mmr_rank").vec_id.tolist()
         assert p == m
+
+
+def test_ndcg_hand_computed(spark):
+    import math
+
+    from z_rad_spark.operators.similarity import ndcg_at_k
+
+    # truth top-3: items 10, 11, 12 ; result top-3: 10, 99, 12
+    res = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0, 0, 0], "vec_id": [10, 99, 12], "rank": [1, 2, 3]})
+    )
+    tru = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0, 0, 0], "vec_id": [10, 11, 12], "rank": [1, 2, 3]})
+    )
+    got = ndcg_at_k(res, tru, k=3).toPandas().iloc[0]
+    w = [1 / math.log2(i + 1) for i in (1, 2, 3)]
+    dcg = w[0] + w[2]          # hits at ranks 1 and 3
+    idcg = sum(w)
+    assert got.n_truth == 3
+    assert np.isclose(got.dcg, dcg, atol=1e-12)
+    assert np.isclose(got.idcg, idcg, atol=1e-12)
+    assert np.isclose(got.ndcg, dcg / idcg, atol=1e-12)
+
+
+def test_ndcg_perfect_and_zero(spark):
+    from z_rad_spark.operators.similarity import ndcg_at_k
+
+    tru = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0] * 3 + [1] * 3, "vec_id": [1, 2, 3, 4, 5, 6], "rank": [1, 2, 3] * 2})
+    )
+    # query 0: perfect; query 1: disjoint
+    res = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0] * 3 + [1] * 3, "vec_id": [1, 2, 3, 7, 8, 9], "rank": [1, 2, 3] * 2})
+    )
+    got = ndcg_at_k(res, tru, k=3).toPandas().set_index("query_id")
+    assert np.isclose(got.loc[0].ndcg, 1.0, atol=1e-12)
+    assert got.loc[1].ndcg == 0.0

@@ -918,3 +918,19 @@ def test_lexical_diversity_no_window_bounded_collect(spark):
     plan = _plan(lexical_diversity(_docs(spark)))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quantiles_window_on_compacted_histogram(spark):
+    """The cumulative windows must run on the (group, value) aggregate,
+    never on the raw frame: HashAggregate below the Window, and
+    winsorize's cutoff frame comes back via broadcast."""
+    from z_rad_spark.operators.encoding import value_quantiles, winsorize
+
+    plan = _plan(value_quantiles(_roled_turns_df(spark), group_col="role"))
+    assert 1 <= plan.count("Window") <= 2
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+
+    plan = _plan(winsorize(_roled_turns_df(spark), group_col="role"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

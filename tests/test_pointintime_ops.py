@@ -1298,3 +1298,36 @@ def test_count_frequency_encode_matches_pandas(spark):
     assert sorted(ranked.cat_rank.unique()) == list(
         range(1, ranked.cat_rank.nunique() + 1)
     )
+
+
+def test_value_quantiles_matches_numpy_convention(spark):
+    from z_rad_spark.operators.encoding import value_quantiles
+
+    df, pdf = _turns(spark, n_conv=6, n_turns=50, seed=53)
+    df = df.withColumn("role", F.when(F.col("turn_idx") % 2 == 0, "a").otherwise("b"))
+    pdf = pdf.assign(role=np.where(pdf.turn_idx % 2 == 0, "a", "b"))
+    got = value_quantiles(df, probs=(0.25, 0.5, 0.75), group_col="role").toPandas().set_index("role")
+    for role, grp in pdf.groupby("role"):
+        vals = np.sort(grp.signal.to_numpy())
+        n = len(vals)
+        for p, col in ((0.25, "q_25"), (0.5, "q_5"), (0.75, "q_75")):
+            # smallest value whose cumulative count reaches p*n ==
+            # the ceil-index order statistic
+            want = vals[int(np.ceil(p * n)) - 1]
+            assert got.loc[role][col] == want, (role, p)
+        assert got.loc[role].n == n
+
+
+def test_winsorize_clips_to_group_cutoffs(spark):
+    from z_rad_spark.operators.encoding import value_quantiles, winsorize
+
+    df, pdf = _turns(spark, n_conv=6, n_turns=60, seed=59)
+    df = df.withColumn("role", F.lit("all"))
+    q = value_quantiles(df, probs=(0.05, 0.95), group_col="role").toPandas().iloc[0]
+    got = winsorize(df, lower=0.05, upper=0.95, group_col="role").toPandas()
+    assert (got.signal_w >= q.q_05).all()
+    assert (got.signal_w <= q.q_95).all()
+    inside = (got.signal >= q.q_05) & (got.signal <= q.q_95)
+    assert (got.signal_w[inside] == got.signal[inside]).all()
+    assert (got.signal_w[got.signal < q.q_05] == q.q_05).all()
+    assert (got.signal_w[got.signal > q.q_95] == q.q_95).all()

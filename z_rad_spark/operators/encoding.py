@@ -221,3 +221,90 @@ def count_frequency_encode(
         (F.col("cat_count") < F.lit(int(min_count))).alias("is_rare"),
     )
     return df.join(F.broadcast(enc), cat_col)
+
+
+def value_quantiles(
+    df: DataFrame,
+    signal_col: str = "signal",
+    probs: tuple = (0.25, 0.5, 0.75),
+    group_col: str = "role",
+) -> DataFrame:
+    """Per-group exact quantile table on the COMPACTED value histogram:
+    q_p = the smallest observed value whose cumulative count reaches
+    ceil-style p * n (the hist_asof / perplexity_buckets cutoff
+    convention — ties collapse to one value, so the answer is a pure
+    function of the distribution, not of engine order).
+
+    Scale shape: one (group, value) aggregate compacts the input to
+    |groups| x |distinct values| rows; the cumulative window and the
+    per-group fold run on THAT frame only — a percentile over raw rows
+    would sort one mega-partition per group. Probabilities are embedded
+    as literal doubles, so the p * n comparison is the identical IEEE
+    multiply in the SQL oracle.
+
+    Output: (group_col, n long, q_<p> double ...) — one row per group.
+    """
+    from pyspark.sql import Window
+
+    x = F.col(signal_col).cast("double")
+    hist = (
+        df.where(x.isNotNull())
+        .groupBy(F.col(group_col), x.alias("_val"))
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("_val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = hist.select(
+        group_col,
+        "_val",
+        F.sum("_c").over(w_cum).alias("_cum"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    aggs = [F.max("_n").cast("long").alias("n")]
+    for p in probs:
+        name = f"q_{str(p).replace('.', '')[1:] or '0'}"
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("_cum").cast("double")
+                    >= F.col("_n").cast("double") * F.lit(float(p)),
+                    F.col("_val"),
+                )
+            ).alias(name)
+        )
+    return cum.groupBy(group_col).agg(*aggs)
+
+
+def winsorize(
+    df: DataFrame,
+    signal_col: str = "signal",
+    lower: float = 0.05,
+    upper: float = 0.95,
+    group_col: str = "role",
+) -> DataFrame:
+    """Per-group winsorization (percentile clipping): values below the
+    lower value-cutoff rise to it, values above the upper cutoff fall to
+    it — the outlier guard a feature pipeline applies before scaling.
+    Cutoffs are the value_quantiles convention (smallest value whose
+    cumulative count reaches p * n on the compacted histogram), so the
+    clip bounds are deterministic and the one-row-per-group cutoff frame
+    broadcasts back onto the input.
+
+    Adds: <signal_col>_w double (clipped), plus _lo/_hi bound columns.
+    """
+    q = value_quantiles(df, signal_col, (lower, upper), group_col)
+    lo_name = f"q_{str(lower).replace('.', '')[1:] or '0'}"
+    hi_name = f"q_{str(upper).replace('.', '')[1:] or '0'}"
+    cuts = q.select(
+        group_col,
+        F.col(lo_name).alias("_lo"),
+        F.col(hi_name).alias("_hi"),
+    )
+    x = F.col(signal_col).cast("double")
+    return df.join(F.broadcast(cuts), group_col).withColumn(
+        f"{signal_col}_w", F.least(F.greatest(x, F.col("_lo")), F.col("_hi"))
+    )

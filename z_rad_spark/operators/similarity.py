@@ -1531,3 +1531,71 @@ def mmr_topk(
 
     schema = f"{query_id} long, {id_col} long, mmr_rank int, rel double, score double"
     return cand.groupBy(query_id).applyInPandas(_kernel, schema=schema)
+
+
+def ndcg_at_k(
+    result: DataFrame,
+    truth: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    item_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """nDCG@k of an ANN result list against the exact baseline with
+    binary gains — the rank-POSITION-aware companion to
+    retrieval_metrics (recall says how many truth items came back; nDCG
+    says whether they came back near the top):
+
+        DCG  = sum_i  hit_i * w_i,        w_i = 1 / log2(i + 1)
+        iDCG = sum_{i <= min(k, n_truth)} w_i
+        nDCG = DCG / iDCG
+
+    Determinism: the discount weights are PRECOMPUTED driver-side and
+    embedded as identical literals in the plan and in the SQL oracle, so
+    neither engine evaluates a transcendental — DCG/iDCG are fixed-order
+    chains of literal-times-indicator adds, bit-replayable. Cost is
+    bounded by queries x k like retrieval_metrics: one equi-join, one
+    groupBy.
+
+    Output: (query_id, n_truth long, dcg double, idcg double, ndcg
+    double).
+    """
+    import math
+
+    w = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+    res = result.where(F.col(rank_col) <= k).select(
+        F.col(query_id), F.col(item_col), F.col(rank_col).cast("int").alias("_rr")
+    )
+    tru = truth.where(F.col(rank_col) <= k).select(F.col(query_id), F.col(item_col))
+    n_tru = tru.groupBy(query_id).agg(F.count("*").cast("long").alias("n_truth"))
+    hits = res.join(
+        tru.withColumn("_hit", F.lit(1)), [query_id, item_col], "left"
+    )
+
+    def _chain(terms):
+        acc = None
+        for t in terms:
+            acc = t if acc is None else acc + t
+        return acc
+
+    dcg_terms = [
+        F.max(
+            F.when((F.col("_rr") == i + 1) & (F.col("_hit") == 1), F.lit(w[i]))
+        ).alias(f"_d{i}")
+        for i in range(k)
+    ]
+    g = hits.groupBy(query_id).agg(*dcg_terms).join(n_tru, query_id)
+    dcg = _chain([F.coalesce(F.col(f"_d{i}"), F.lit(0.0)) for i in range(k)])
+    idcg = _chain(
+        [
+            F.when(F.col("n_truth") >= i + 1, F.lit(w[i])).otherwise(F.lit(0.0))
+            for i in range(k)
+        ]
+    )
+    return g.select(
+        query_id,
+        "n_truth",
+        dcg.alias("dcg"),
+        idcg.alias("idcg"),
+        (dcg / idcg).alias("ndcg"),
+    )
