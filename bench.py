@@ -69,6 +69,14 @@ HEADLINE = [
     # (vocab growth) and the seven-way conversation-profile join
     "q_vocab_growth",
     "q_conv_features",
+    # session-9 additions: the end-of-pipeline dedup cut (clusters +
+    # survivor pick), the grouped-map MMR rerank, the (doc, token)
+    # shuffle + ordered-fold cost class, and the stacked-window
+    # sequential drift chart
+    "q_dup_survivors",
+    "q_mmr",
+    "q_lexical_diversity",
+    "q_page_hinkley",
 ]
 
 
