@@ -2914,6 +2914,25 @@ def q_stream_cusum(spark, sf_dir):
     )
 
 
+def q_stream_page_hinkley(spark, sf_dir):
+    """Stateful streaming Page-Hinkley mean-shift chart
+    (streaming.streaming_page_hinkley via applyInPandasWithState): per
+    distinct (conv_id, ts), dev = (sx - c*mbar) - c*delta with the
+    running mean from exact integer state, prefix-folded with the
+    carried seed prepended. The batch oracle replays the distinct-ts
+    fold with list_reduce in ts order — bit-for-bit."""
+    from z_rad_spark.streaming import streaming_page_hinkley
+
+    res = _replay_stream(
+        spark, sf_dir, lambda s: streaming_page_hinkley(s, 0.25, 12.0),
+        "q_stream_ph_",
+    )
+    return _r6(
+        res.select("conv_id", "ts_us", "n_at_ts", "ph", "ph_alarm"),
+        ["ph"],
+    )
+
+
 def q_daily_activity(spark, sf_dir):
     """Daily active/new/retained conversations (profile.daily_activity):
     distinct (conv, day) grid, min-day firsts, day+1 self equi-join —
@@ -3435,6 +3454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ndcg": q_ndcg,
         "q_quantiles": q_quantiles,
         "q_winsorize": q_winsorize,
+        "q_stream_page_hinkley": q_stream_page_hinkley,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

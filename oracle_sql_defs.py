@@ -6162,3 +6162,57 @@ SELECT t.conv_id, CAST(t.turn_idx AS INT) AS turn_idx, epoch_us(t.ts) AS ts_us,
        {r6('LEAST(GREATEST(CAST(t.signal AS DOUBLE), c.lo), c.hi)', 'signal_w')}
 FROM t JOIN cuts c USING (role)
 """
+
+
+# streaming Page-Hinkley: batch replay of the distinct-ts semantics —
+# exact integer cumulative (n, s) via windows (order-free), the float
+# deviation prefix folded EXPLICITLY in ts order with the zero seed
+# prepended (matching the kernel's seed-prepended cumsum)
+ORACLES["q_stream_page_hinkley"] = f"""
+WITH t AS ({T}),
+g AS (
+  SELECT conv_id, ts, COUNT(*) AS c, SUM(CAST(signal AS BIGINT)) AS sx
+  FROM t GROUP BY conv_id, ts
+),
+w AS (
+  SELECT conv_id, ts, epoch_us(ts) AS ts_us, c, sx,
+         SUM(c) OVER win AS cn, SUM(sx) OVER win AS cs
+  FROM g
+  WINDOW win AS (PARTITION BY conv_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+b AS (
+  SELECT conv_id, ts_us, c,
+         (CAST(sx AS DOUBLE)
+          - CAST(c AS DOUBLE) * (CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE)))
+         - CAST(c AS DOUBLE) * 0.25 AS dev
+  FROM w
+),
+l AS (
+  SELECT conv_id,
+         list(dev ORDER BY ts_us) AS devs,
+         list(ts_us ORDER BY ts_us) AS tss,
+         list(c ORDER BY ts_us) AS cc
+  FROM b GROUP BY conv_id
+),
+u AS (
+  SELECT conv_id, devs, generate_subscripts(devs, 1) AS i,
+         unnest(tss) AS ts_us, unnest(cc) AS c
+  FROM l
+),
+p AS (
+  SELECT conv_id, i, ts_us, c,
+         list_reduce([0.0] || devs[1:i], (a, x) -> a + x) AS pv
+  FROM u
+),
+s AS (
+  SELECT conv_id, ts_us, c,
+         pv - MIN(pv) OVER (PARTITION BY conv_id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+  FROM p
+)
+SELECT conv_id, ts_us, CAST(c AS BIGINT) AS n_at_ts,
+       {r6('ph', 'ph')},
+       ph > 12.0 AS ph_alarm
+FROM s
+"""

@@ -239,3 +239,58 @@ def test_streaming_psi_flags_injected_drift(spark, tmp_path):
         q = ((30 if b == 9 else 0) + 1) / n
         psi += (p - q) * math.log(p / q)
     assert abs(got.loc[1, "psi"] - psi) < 1e-9
+
+
+def test_streaming_page_hinkley_matches_recursion_and_restarts(spark, tmp_path):
+    import numpy as np
+
+    from z_rad_spark.streaming import streaming_page_hinkley
+
+    src = str(tmp_path / "src_ph")
+    out_path = str(tmp_path / "out_ph")
+    ck = str(tmp_path / "ck_ph")
+
+    def run(batch_rows):
+        _write_batch(spark, src, batch_rows)
+        stream = spark.readStream.schema(SCHEMA).parquet(src).select(
+            "conv_id", "ts", "signal"
+        )
+        _run_to_parquet(
+            streaming_page_hinkley(stream, delta=0.25, threshold=12.0),
+            out_path,
+            ck,
+        )
+
+    # batch 1: a tied pair folds into one step; flat-ish signal
+    run(
+        [
+            ("c1", 0, "2024-01-01 00:00:00", 2.0),
+            ("c1", 1, "2024-01-01 00:00:00", 4.0),
+            ("c1", 2, "2024-01-01 00:05:00", 3.0),
+        ]
+    )
+    # batch 2 after a RESTART: a large upward shift
+    run(
+        [
+            ("c1", 3, "2024-01-01 00:10:00", 9.0),
+            ("c1", 4, "2024-01-01 00:15:00", 9.0),
+        ]
+    )
+    got = _read_sink(spark, out_path).sort_values("ts_us").reset_index(drop=True)
+    assert list(got["n_at_ts"]) == [2, 1, 1, 1]
+
+    # independent recursion on the distinct-ts semantics
+    steps = [(2, 6.0), (1, 3.0), (1, 9.0), (1, 9.0)]  # (count, signal sum)
+    n = s = 0
+    pv, runmin = 0.0, np.inf
+    want_ph = []
+    for c, sx in steps:
+        n += c
+        s += sx
+        mbar = s / n
+        pv += (sx - c * mbar) - c * 0.25
+        runmin = min(runmin, pv)
+        want_ph.append(pv - runmin)
+    assert np.allclose(got["ph"].to_numpy(), want_ph, atol=1e-12)
+    # the shift drives the chart strictly up across the restart boundary
+    assert got["ph"].iloc[-1] > got["ph"].iloc[-2] > 0.0

@@ -428,3 +428,104 @@ def streaming_psi(
             "drift_band",
         )
     )
+
+
+PH_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("n_at_ts", T.LongType(), False),
+        T.StructField("ph", T.DoubleType(), False),
+        T.StructField("ph_alarm", T.BooleanType(), False),
+    ]
+)
+
+_PH_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType(), False),
+        T.StructField("s", T.LongType(), False),
+        T.StructField("p", T.DoubleType(), False),
+        T.StructField("m", T.DoubleType(), False),
+    ]
+)
+
+
+def streaming_page_hinkley(
+    stream: DataFrame,
+    delta: float = 0.25,
+    threshold: float = 12.0,
+) -> DataFrame:
+    """Streaming Page-Hinkley mean-shift chart — the self-referenced
+    companion to streaming_cusum (no external target: the running mean
+    IS the target). State per conversation is FOUR scalars: turn count
+    n, integer signal sum s, the float prefix sum P of deviations, and
+    the running chart floor m = min_j P_j.
+
+    Distinct-ts semantics (the same contract as streaming_cusum): tied
+    turns fold into one chart step whose deviation is
+
+        dev_t = (sx_t - c_t * mbar_t) - c_t * delta
+
+    with sx_t/c_t the tie group's signal sum/count and mbar_t the
+    running mean AFTER absorbing the group (an exact integer-sums
+    division). The chart point is ph_t = P_t - m_t, alarm when
+    ph_t > threshold. Group sums make every step order-independent
+    under any same-ts arrival interleaving.
+
+    Determinism: n and s are exact integers in any order; dev_t is a
+    fixed single-op float chain; P accumulates by a STRICT sequential
+    left fold (the state seed is prepended before the cumulative sum,
+    so cross-batch resumes produce the identical rounding path), and
+    the SQL oracle replays the same fold with list_reduce over the
+    ts-ordered deviation list. m is an order-free running min.
+    Per-batch work is vectorized; state is O(1) per conversation; the
+    cross-batch contract is per-key event-time-ordered arrival like
+    every stateful operator in this module.
+    """
+    d = float(delta)
+    thr = float(threshold)
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
+            return
+        ts_us = rows["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        sig = rows["signal"].astype("int64").to_numpy()
+        order = ts_us.argsort(kind="stable")
+        ts_us, sig = ts_us[order], sig[order]
+        uniq, starts = np.unique(ts_us, return_index=True)
+        counts = np.diff(np.concatenate((starts, [len(ts_us)])))
+        sx = np.add.reduceat(sig, starts)
+        n0, s0, p0, m0 = (0, 0, 0.0, np.inf)
+        if state.exists:
+            n0, s0, p0, m0 = state.get
+        cn = n0 + np.cumsum(counts)
+        cs = s0 + np.cumsum(sx)          # exact integer prefix sums
+        mbar = cs.astype(np.float64) / cn.astype(np.float64)
+        devs = (sx.astype(np.float64) - counts * mbar) - counts * d
+        # strict left fold with the carried seed: cumsum over the
+        # seed-prepended vector reproduces ((p0 + d1) + d2) + ...
+        p = np.cumsum(np.concatenate(([p0], devs)))[1:]
+        m = np.minimum.accumulate(np.minimum(p, m0))
+        ph = p - m
+        state.update((int(cn[-1]), int(cs[-1]), float(p[-1]), float(m[-1])))
+        yield pd.DataFrame(
+            {
+                "conv_id": conv_id,
+                "ts_us": uniq,
+                "n_at_ts": counts.astype("int64"),
+                "ph": ph,
+                "ph_alarm": ph > thr,
+            }
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=PH_SCHEMA,
+        stateStructType=_PH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
