@@ -1317,6 +1317,42 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_feature_cross(spark, sf_dir):
+    """Hashing-trick (role x tool) interaction feature
+    (encoding.with_feature_cross): salted-md5 first-8-hex modulo 256 —
+    the engine-portable hash convention, zero shuffle, oracle replays
+    buckets exactly."""
+    from z_rad_spark.operators.encoding import with_feature_cross
+
+    out = with_feature_cross(_t(spark, sf_dir), ("role", "tool"), 256, salt="x1")
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        _us("ts", "ts_us"),
+        "role",
+        "tool",
+        "cross_bucket",
+    )
+
+
+def q_calibration(spark, sf_dir):
+    """Reliability table + ECE for the hashed quality classifier against
+    the lang=='en' outcome (encoding.calibration_bins): bins floor the
+    6dp-rounded probability, per-bin confidence folds c*prob6 over the
+    sorted compacted histogram, ECE folds (n/N)*gap in bin order — all
+    the ordered-fold parity idiom, oracle-replayable."""
+    from z_rad_spark.operators.curation import quality_classifier
+    from z_rad_spark.operators.encoding import calibration_bins
+
+    scored = quality_classifier(_docs(spark, sf_dir), dims=64, seed=41)
+    labels = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("lang") == "en").alias("label_true")
+    )
+    out = calibration_bins(scored.join(labels, "doc_id"), "prob", "label_true", 10)
+    out = out.select("bin", "n", "n_pos", "acc", "conf", "gap", "ece")
+    return _r6(out, ["acc", "conf", "gap", "ece"])
+
+
 def q_quantiles(spark, sf_dir):
     """Per-role exact quantile table on the compacted value histogram
     (encoding.value_quantiles): smallest value whose cumulative count
@@ -3455,6 +3491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantiles": q_quantiles,
         "q_winsorize": q_winsorize,
         "q_stream_page_hinkley": q_stream_page_hinkley,
+        "q_feature_cross": q_feature_cross,
+        "q_calibration": q_calibration,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -6216,3 +6216,69 @@ SELECT conv_id, ts_us, CAST(c AS BIGINT) AS n_at_ts,
        ph > 12.0 AS ph_alarm
 FROM s
 """
+
+
+# hashing-trick feature cross: the hash_sample md5 convention —
+# first-8-hex integer modulo bucket count, NULLs folded to '<null>'
+ORACLES["q_feature_cross"] = f"""
+WITH t AS ({T})
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, epoch_us(ts) AS ts_us,
+       role, tool,
+       CAST(CAST(('0x' || substring(md5('x1' || '|' ||
+              concat_ws('|', coalesce(role, '<null>'), coalesce(tool, '<null>'))),
+            1, 8)) AS BIGINT) % 256 AS INT) AS cross_bucket
+FROM t
+"""
+
+
+# calibration / ECE: the quality-classifier chain (raw prob), Spark-parity
+# 6dp rounding for the bin key, per-bin confidence folded over the sorted
+# compacted histogram, ECE folded in bin order — all ordered-fold idioms
+ORACLES["q_calibration"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         len({TOKS_RAW}) AS n,
+         list_reduce([CAST(0.0 AS DOUBLE)] || list_transform({TOKS_RAW},
+             t -> ({_classifier_w_sql()})[CAST(('0x' || substring(md5(t), 1, 4))::BIGINT % 64 AS INT) + 1]),
+             (acc, x) -> acc + x) AS wsum
+  FROM documents
+),
+sc AS (SELECT doc_id, n, wsum / CAST(n AS DOUBLE) + 0 AS score FROM s),
+pr AS (SELECT doc_id, 1.0 / (1.0 + exp(-score)) AS prob FROM sc),
+lab AS (
+  SELECT {r6x('pr.prob')} AS p6, (d.lang = 'en') AS y
+  FROM pr JOIN documents d USING (doc_id)
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR(p6 * 10.0) AS INT), 9) AS bin, p6,
+         COUNT(*) AS c, COUNT(CASE WHEN y THEN 1 END) AS pos
+  FROM lab GROUP BY LEAST(CAST(FLOOR(p6 * 10.0) AS INT), 9), p6
+),
+per AS (
+  SELECT bin, SUM(c) AS n, SUM(pos) AS n_pos,
+         list_reduce([0.0] || list(CAST(c AS DOUBLE) * p6 ORDER BY p6),
+                     (a, x) -> a + x) AS conf_sum
+  FROM binned GROUP BY bin
+),
+g AS (
+  SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+         CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+         conf_sum / CAST(n AS DOUBLE) AS conf,
+         ABS(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+             - conf_sum / CAST(n AS DOUBLE)) AS gap
+  FROM per
+),
+e AS (
+  SELECT list_reduce(
+           [0.0] || list((CAST(n AS DOUBLE) / CAST(Nt AS DOUBLE)) * gap
+                         ORDER BY bin),
+           (a, x) -> a + x) AS ece
+  FROM (SELECT bin, n, gap, SUM(n) OVER () AS Nt FROM g)
+)
+SELECT g.bin, g.n, g.n_pos,
+       {r6('g.acc', 'acc')},
+       {r6('g.conf', 'conf')},
+       {r6('g.gap', 'gap')},
+       {r6('e.ece', 'ece')}
+FROM g, e
+"""

@@ -1331,3 +1331,54 @@ def test_winsorize_clips_to_group_cutoffs(spark):
     assert (got.signal_w[inside] == got.signal[inside]).all()
     assert (got.signal_w[got.signal < q.q_05] == q.q_05).all()
     assert (got.signal_w[got.signal > q.q_95] == q.q_95).all()
+
+
+def test_feature_cross_deterministic_and_bounded(spark):
+    from z_rad_spark.operators.encoding import with_feature_cross
+
+    pdf = pd.DataFrame(
+        {
+            "role": ["user", "assistant", None, "user"],
+            "tool": ["checkout", None, "register", "checkout"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    a = with_feature_cross(df, ("role", "tool"), 64).toPandas()
+    b = with_feature_cross(df, ("role", "tool"), 64).toPandas()
+    assert (a.cross_bucket == b.cross_bucket).all()           # stable
+    assert a.cross_bucket.between(0, 63).all()                # bounded
+    # identical inputs collide; different inputs (here) don't all collide
+    assert a.cross_bucket.iloc[0] == a.cross_bucket.iloc[3]
+    assert a.cross_bucket.nunique() > 1
+    # a different salt gives an independent mapping
+    c = with_feature_cross(df, ("role", "tool"), 64, salt="x2").toPandas()
+    assert (a.cross_bucket != c.cross_bucket).any()
+
+
+def test_calibration_bins_hand_computed(spark):
+    from z_rad_spark.operators.encoding import calibration_bins
+
+    # 6 rows in bin 2 (probs .20-.29), 4 rows in bin 9 (probs >= .9)
+    pdf = pd.DataFrame(
+        {
+            "prob": [0.21, 0.22, 0.22, 0.25, 0.28, 0.29, 0.91, 0.95, 0.99, 1.0],
+            "label_true": [False, False, True, False, False, True,
+                           True, True, True, False],
+        }
+    )
+    got = (
+        calibration_bins(spark.createDataFrame(pdf), "prob", "label_true", 10)
+        .toPandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    assert set(got.index) == {2, 9}
+    b2, b9 = got.loc[2], got.loc[9]
+    assert b2.n == 6 and b2.n_pos == 2
+    assert np.isclose(b2.acc, 2 / 6, atol=1e-12)
+    assert np.isclose(b2.conf, np.mean([0.21, 0.22, 0.22, 0.25, 0.28, 0.29]), atol=1e-9)
+    assert b9.n == 4 and b9.n_pos == 3
+    # prob 1.0 floors to bin 10 -> clamped to 9
+    want_ece = (6 / 10) * abs(b2.acc - b2.conf) + (4 / 10) * abs(b9.acc - b9.conf)
+    assert np.isclose(got.ece.iloc[0], want_ece, atol=1e-9)
+    assert (got.ece == got.ece.iloc[0]).all()

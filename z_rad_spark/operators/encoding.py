@@ -308,3 +308,105 @@ def winsorize(
     return df.join(F.broadcast(cuts), group_col).withColumn(
         f"{signal_col}_w", F.least(F.greatest(x, F.col("_lo")), F.col("_hi"))
     )
+
+
+def with_feature_cross(
+    df: DataFrame,
+    cols: tuple = ("role", "tool"),
+    n_buckets: int = 1024,
+    salt: str = "x1",
+    out: str = "cross_bucket",
+) -> DataFrame:
+    """Hashing-trick feature cross: the categorical interaction
+    feature (col_a x col_b x ...) mapped to a fixed bucket space — the
+    standard way to feed pairwise category interactions to a linear
+    model without materializing the cross-product vocabulary (Weinberger
+    et al., ICML 2009).
+
+    Engine-portable hash (the hash_sample/hashed_embedding convention):
+    salted md5 of the '|'-joined values, first 8 hex digits as an
+    integer, modulo n_buckets — no engine-specific hash function, so
+    the SQL oracle replays buckets exactly. NULL components fold to the
+    literal '<null>' so (NULL, x) and ('<null>', x) collide only if the
+    user actually uses that sentinel.
+
+    Adds: <out> int — a pure narrow expression, zero shuffle.
+    """
+    key = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in cols]
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.lit("|"), key)), 1, 8), 16, 10
+    ).cast("long")
+    return df.withColumn(out, (h % F.lit(int(n_buckets))).cast("int"))
+
+
+def calibration_bins(
+    df: DataFrame,
+    prob_col: str = "prob",
+    label_col: str = "label_true",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability (calibration) table for a probabilistic classifier:
+    rows bucket by predicted probability into ``n_bins`` equal-width
+    bins; each bin reports its observed positive rate vs its mean
+    confidence, plus the expected calibration error
+
+        ECE = sum_b (n_b / N) * |acc_b - conf_b|
+
+    (Naeini et al., AAAI 2015) — the screen that catches a quality
+    classifier whose scores stopped meaning probabilities after a
+    corpus shift.
+
+    Determinism shape: the bin index floors the 6dp-ROUNDED probability
+    (both engines agree on the rounded value by the engine-wide r6
+    convention); per-bin counts and positives are exact integers; the
+    mean confidence folds c * prob6 over the SORTED compacted
+    (bin, prob6) histogram — the ordered-fold parity idiom, bounded by
+    distinct 6dp scores, never a raw-row float sum. ECE is a fixed
+    n_bins-term chain. All bit-replayable.
+
+    Output: (bin int, n long, n_pos long, acc double, conf double,
+    gap double, ece double — the feature-level scalar, repeated).
+    """
+    p6 = F.round(F.col(prob_col).cast("double"), 6)
+    b = F.least(
+        F.floor(p6 * F.lit(float(n_bins))).cast("int"), F.lit(int(n_bins) - 1)
+    )
+    hist = df.groupBy(b.alias("bin"), p6.alias("_p6")).agg(
+        F.count("*").cast("long").alias("_c"),
+        F.count(F.when(F.col(label_col).cast("boolean"), 1))
+        .cast("long")
+        .alias("_pos"),
+    )
+    per_bin = hist.groupBy("bin").agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.sum("_pos").cast("long").alias("n_pos"),
+        F.sort_array(F.collect_list(F.struct("_p6", "_c"))).alias("_arr"),
+    )
+    conf_sum = F.aggregate(
+        F.col("_arr"),
+        F.lit(0.0),
+        lambda a, s: a + s["_c"].cast("double") * s["_p6"],
+    )
+    per_bin = per_bin.select(
+        "bin",
+        "n",
+        "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias("acc"),
+        (conf_sum / F.col("n").cast("double")).alias("conf"),
+    ).withColumn("gap", F.abs(F.col("acc") - F.col("conf")))
+    # ECE: ordered fold over the bin-sorted (n, gap) list on the
+    # <= n_bins-row frame — one single-row aggregate, N an exact integer
+    ece = per_bin.groupBy().agg(
+        F.sum("n").cast("long").alias("_N"),
+        F.sort_array(F.collect_list(F.struct("bin", "n", "gap"))).alias("_bins"),
+    )
+    ece_val = F.aggregate(
+        F.col("_bins"),
+        F.lit(0.0),
+        lambda a, s: a
+        + (s["n"].cast("double") / F.col("_N").cast("double")) * s["gap"],
+    )
+    ece = ece.select(ece_val.alias("ece"))
+    return per_bin.join(F.broadcast(ece))
