@@ -110,3 +110,29 @@ def test_run_curation_cli_full_stages(tmp_path):
     assert m["params"]["mix_budget"] == 0.8
     assert m["params"]["min_classifier_prob"] == 0.01
     assert m["params"]["max_ppl"] == 1000000 and m["params"]["lm"] == "bigram"
+
+
+def test_run_curation_cli_survivor_policy_longest(tmp_path):
+    """--near-dup with --survivor-policy longest keeps the longest
+    cluster member instead of the smallest id; the manifest records the
+    policy and the count stays monotone."""
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "curated_surv")
+    cmd = [
+        sys.executable, "tools/run_curation.py",
+        "--input", "/root/testdata/sf0.001",
+        "--output", out,
+        "--budget", "500",
+        "--cores", "4",
+        "--near-dup",
+        "--survivor-policy", "longest",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo", timeout=1800)
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["params"]["survivor_policy"] == "longest"
+    c = m["counts"]
+    assert c["input"] >= c["after_quality"] >= c["after_dedup"] > 0

@@ -12,7 +12,8 @@ Pipeline (each stage a declarative plan over the previous one)::
                                    (model-based filter; pure map)
       -> [--max-ppl] LM perplexity gate (--lm unigram|bigram)
       -> exact dedup               (md5 canonical keeper; 1 shuffle)
-      -> [--near-dup] MinHash+LSH near-dup clusters, keep cluster min
+      -> [--near-dup] MinHash+LSH near-dup clusters; survivor per
+                      cluster by --survivor-policy (min-id | longest)
       -> decontamination           (word 3-gram overlap vs --benchmark-mod
                                     held-out subset; gram equi-join)
       -> [--dsir-target-sources] DSIR importance-weight floor
@@ -67,6 +68,12 @@ def main() -> None:
     ap.add_argument("--splits", default="train:0.8,val:0.1,test:0.1")
     ap.add_argument("--near-dup", action="store_true",
                     help="also drop MinHash+LSH near-duplicate cluster members")
+    ap.add_argument("--survivor-policy", choices=("min-id", "longest"),
+                    default="min-id",
+                    help="which near-dup cluster member survives: the "
+                         "smallest doc_id (default) or the longest "
+                         "document, ties to the smallest id "
+                         "(dedup.dup_survivors)")
     ap.add_argument("--max-dup-span-frac", type=float, default=None,
                     help="drop docs whose duplicate 8-gram span coverage "
                          "exceeds this fraction (Lee et al. substring-dedup gate)")
@@ -114,6 +121,7 @@ def main() -> None:
         "budget": args.budget,
         "splits": args.splits,
         "near_dup": bool(args.near_dup),
+        "survivor_policy": args.survivor_policy,
         "max_dup_span_frac": args.max_dup_span_frac,
         "min_classifier_prob": args.min_classifier_prob,
         "max_ppl": args.max_ppl,
@@ -186,11 +194,17 @@ def main() -> None:
     keepers = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
     deduped = gated.join(keepers, "doc_id", "left_semi")
     if args.near_dup:
-        from z_rad_spark.operators.dedup import dup_clusters
+        if args.survivor_policy == "longest":
+            from z_rad_spark.operators.dedup import dup_survivors
 
-        members = dup_clusters(gated)  # (doc_id, cluster_id) for LSH-linked docs
-        keep = members.groupBy("cluster_id").agg(F.min("doc_id").alias("doc_id"))
-        losers = members.join(keep, ["cluster_id", "doc_id"], "left_anti").select("doc_id")
+            surv = dup_survivors(gated)
+            losers = surv.where(~F.col("is_survivor")).select("doc_id")
+        else:
+            from z_rad_spark.operators.dedup import dup_clusters
+
+            members = dup_clusters(gated)  # (doc_id, cluster_id) for LSH-linked docs
+            keep = members.groupBy("cluster_id").agg(F.min("doc_id").alias("doc_id"))
+            losers = members.join(keep, ["cluster_id", "doc_id"], "left_anti").select("doc_id")
         deduped = deduped.join(losers, "doc_id", "left_anti")
     deduped = deduped.localCheckpoint()
     counts["after_dedup"] = deduped.count()
