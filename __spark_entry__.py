@@ -1317,6 +1317,17 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_pair_corr(spark, sf_dir):
+    """Per-conversation Pearson coupling between adjacent user->assistant
+    signals (profile.pair_signal_correlation): five exact-long pair
+    statistics, integer-numerator closed form — oracle-replayable."""
+    from z_rad_spark.operators.profile import pair_signal_correlation
+
+    out = pair_signal_correlation(_t(spark, sf_dir))
+    out = out.select("conv_id", "n_pairs", "mean_prompt", "mean_response", "r")
+    return _r6(out, ["mean_prompt", "mean_response", "r"])
+
+
 def q_feature_cross(spark, sf_dir):
     """Hashing-trick (role x tool) interaction feature
     (encoding.with_feature_cross): salted-md5 first-8-hex modulo 256 —
@@ -3493,6 +3504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_page_hinkley": q_stream_page_hinkley,
         "q_feature_cross": q_feature_cross,
         "q_calibration": q_calibration,
+        "q_pair_corr": q_pair_corr,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -6282,3 +6282,42 @@ SELECT g.bin, g.n, g.n_pos,
        {r6('e.ece', 'ece')}
 FROM g, e
 """
+
+
+# prompt->response signal coupling: exact integer pair statistics, the
+# integer-numerator Pearson closed form — parenthesization mirrors
+# profile.pair_signal_correlation
+ORACLES["q_pair_corr"] = f"""
+WITH t AS ({T}),
+p0 AS (
+  SELECT conv_id, role, CAST(signal AS BIGINT) AS y,
+         LAG(role) OVER w AS pr,
+         LAG(CAST(signal AS BIGINT)) OVER w AS x
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+pairs AS (
+  SELECT conv_id, x, y FROM p0
+  WHERE role = 'assistant' AND pr = 'user' AND x IS NOT NULL AND y IS NOT NULL
+),
+g AS (
+  SELECT conv_id, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pairs GROUP BY conv_id
+),
+s AS (
+  SELECT conv_id, n,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my
+  FROM g
+)
+SELECT conv_id, CAST(n AS BIGINT) AS n_pairs,
+       {r6('mx', 'mean_prompt')},
+       {r6('my', 'mean_response')},
+       {r6('CASE WHEN n > 1 AND vx > 0 AND vy > 0 THEN num / sqrt(vx * vy) END', 'r')}
+FROM s
+"""

@@ -1382,3 +1382,51 @@ def test_calibration_bins_hand_computed(spark):
     want_ece = (6 / 10) * abs(b2.acc - b2.conf) + (4 / 10) * abs(b9.acc - b9.conf)
     assert np.isclose(got.ece.iloc[0], want_ece, atol=1e-9)
     assert (got.ece == got.ece.iloc[0]).all()
+
+
+def test_pair_signal_correlation_matches_numpy(spark):
+    from z_rad_spark.operators.profile import pair_signal_correlation
+
+    rng = np.random.default_rng(61)
+    rows = []
+    for c in range(4):
+        t0 = pd.Timestamp("2024-01-01")
+        for i in range(40):
+            role = "user" if i % 2 == 0 else "assistant"
+            rows.append((f"c{c}", i, t0 + pd.Timedelta(minutes=i), role,
+                         float(rng.integers(1, 10))))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "role", "signal"])
+    got = (
+        pair_signal_correlation(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    for conv, grp in pdf.groupby("conv_id"):
+        grp = grp.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        xs, ys = [], []
+        for i in range(1, len(grp)):
+            if grp.role[i] == "assistant" and grp.role[i - 1] == "user":
+                xs.append(grp.signal[i - 1])
+                ys.append(grp.signal[i])
+        row = got.loc[conv]
+        assert row.n_pairs == len(xs)
+        assert np.isclose(row.mean_prompt, np.mean(xs), atol=1e-12)
+        assert np.isclose(row.mean_response, np.mean(ys), atol=1e-12)
+        want_r = np.corrcoef(xs, ys)[0, 1]
+        assert np.isclose(row.r, want_r, atol=1e-9)
+
+
+def test_pair_signal_correlation_degenerate_null(spark):
+    from z_rad_spark.operators.profile import pair_signal_correlation
+
+    # constant responses -> zero variance -> r NULL
+    rows = []
+    for i in range(10):
+        role = "user" if i % 2 == 0 else "assistant"
+        sig = float(1 + i % 4) if role == "user" else 5.0
+        rows.append(("c0", i, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i), role, sig))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "role", "signal"])
+    got = pair_signal_correlation(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    assert got.n_pairs == 5
+    assert pd.isna(got.r)

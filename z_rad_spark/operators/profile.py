@@ -373,3 +373,75 @@ def arrival_stats(df: DataFrame) -> DataFrame:
             "fano_hourly",
         )
     )
+
+
+def pair_signal_correlation(
+    df: DataFrame,
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+    signal_col: str = "signal",
+) -> DataFrame:
+    """Per-conversation Pearson correlation between adjacent
+    (prompt, response) role-pair signals: does the assistant's signal
+    track the user's on the immediately preceding turn? The dialog
+    coupling feature next to response_latency (latency says how fast
+    the reply comes; this says whether its intensity follows the
+    prompt's).
+
+    Pairs are the turn_pairs contract: every response_role turn whose
+    immediately preceding turn (stable (ts, turn_idx) order) is
+    prompt_role. Determinism: five exact-long sufficient statistics per
+    conversation (integer signal contract), Pearson r as the
+    integer-numerator closed form
+
+        r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    — one sqrt, two divisions-worth of float ops, bit-replayable.
+    r is NULL when either marginal variance is zero or n < 2.
+
+    One lag window + one groupBy sharing the conv_id exchange.
+
+    Output: (conv_id, n_pairs long, mean_prompt double, mean_response
+    double, r double).
+    """
+    w = _conv_window()
+    x = F.lag(F.col(signal_col).cast("long")).over(w)
+    prev_role = F.lag("role").over(w)
+    pairs = (
+        df.withColumn("_x", x)
+        .withColumn("_pr", prev_role)
+        .where(
+            (F.col("role") == response_role)
+            & (F.col("_pr") == prompt_role)
+            & F.col("_x").isNotNull()
+            & F.col(signal_col).isNotNull()
+        )
+        .select("conv_id", "_x", F.col(signal_col).cast("long").alias("_y"))
+    )
+    g = pairs.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    num = n * F.col("_sxy").cast("double") - F.col("_sx").cast("double") * F.col(
+        "_sy"
+    ).cast("double")
+    vx = n * F.col("_sxx").cast("double") - F.col("_sx").cast("double") * F.col(
+        "_sx"
+    ).cast("double")
+    vy = n * F.col("_syy").cast("double") - F.col("_sy").cast("double") * F.col(
+        "_sy"
+    ).cast("double")
+    return g.select(
+        "conv_id",
+        "n_pairs",
+        (F.col("_sx").cast("double") / n).alias("mean_prompt"),
+        (F.col("_sy").cast("double") / n).alias("mean_response"),
+        F.when(
+            (F.col("n_pairs") > 1) & (vx > 0) & (vy > 0), num / F.sqrt(vx * vy)
+        ).alias("r"),
+    )
