@@ -1317,6 +1317,18 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend per conversation (profile.theil_sen_trend,
+    opt-in O(n^2) like Moran's I): pairwise-slope median over the turn
+    ordinal + residual-median intercept — each slope one exact-integer
+    division, medians sorted picks, oracle-replayable."""
+    from z_rad_spark.operators.profile import theil_sen_trend
+
+    out = theil_sen_trend(_t(spark, sf_dir))
+    out = out.select("conv_id", "n_turns", "sen_slope", "sen_intercept")
+    return _r6(out, ["sen_slope", "sen_intercept"])
+
+
 def q_pair_corr(spark, sf_dir):
     """Per-conversation Pearson coupling between adjacent user->assistant
     signals (profile.pair_signal_correlation): five exact-long pair
@@ -3505,6 +3517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_feature_cross": q_feature_cross,
         "q_calibration": q_calibration,
         "q_pair_corr": q_pair_corr,
+        "q_theil_sen": q_theil_sen,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -6321,3 +6321,43 @@ SELECT conv_id, CAST(n AS BIGINT) AS n_pairs,
        {r6('CASE WHEN n > 1 AND vx > 0 AND vy > 0 THEN num / sqrt(vx * vy) END', 'r')}
 FROM s
 """
+
+
+# Theil-Sen: the same nested pairwise-slope list build, sort, and
+# median picks (1-based list indexing mirrors Spark's 0-based F.get)
+_TS_MED = (
+    "CASE WHEN len({a}) % 2 = 1 THEN ({a})[len({a}) // 2 + 1] "
+    "ELSE ((({a})[len({a}) // 2]) + (({a})[len({a}) // 2 + 1])) / 2.0 END"
+)
+
+ORACLES["q_theil_sen"] = f"""
+WITH t AS ({T}),
+l AS (
+  SELECT conv_id,
+         list(CAST(signal AS DOUBLE) ORDER BY ts, turn_idx) AS ys,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM t GROUP BY conv_id
+),
+sl AS (
+  SELECT conv_id, n, ys,
+         CASE WHEN n >= 2 THEN list_sort(flatten(
+           list_transform(generate_series(1, CAST(n AS INT) - 1), i ->
+             list_transform(generate_series(i + 1, CAST(n AS INT)), j ->
+               (ys[j] - ys[i]) / CAST(j - i AS DOUBLE))))) END AS s
+  FROM l
+),
+sp AS (
+  SELECT conv_id, n, ys,
+         CASE WHEN n >= 2 THEN {_TS_MED.format(a='s')} END AS slope
+  FROM sl
+),
+ic AS (
+  SELECT conv_id, n, slope,
+         CASE WHEN n >= 2 THEN {_TS_MED.format(a="list_sort(list_transform(generate_series(1, CAST(n AS INT)), i -> ys[i] - slope * CAST(i - 1 AS DOUBLE)))")} END AS icept
+  FROM sp
+)
+SELECT conv_id, n AS n_turns,
+       {r6('slope', 'sen_slope')},
+       {r6('icept', 'sen_intercept')}
+FROM ic
+"""

@@ -1430,3 +1430,47 @@ def test_pair_signal_correlation_degenerate_null(spark):
     got = pair_signal_correlation(spark.createDataFrame(pdf)).toPandas().iloc[0]
     assert got.n_pairs == 5
     assert pd.isna(got.r)
+
+
+def test_theil_sen_matches_reference_and_resists_outlier(spark):
+    from z_rad_spark.operators.profile import theil_sen_trend
+
+    rows = []
+    # clean linear trend y = 2x + 3
+    for i in range(20):
+        rows.append(("lin", i, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i), float(2 * i + 3)))
+    # same trend with one wild outlier at i=10
+    for i in range(20):
+        y = 2 * i + 3 if i != 10 else 500.0
+        rows.append(("out", i, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i), float(y)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "signal"])
+    got = theil_sen_trend(spark.createDataFrame(pdf)).toPandas().set_index("conv_id")
+    assert np.isclose(got.loc["lin"].sen_slope, 2.0, atol=1e-12)
+    assert np.isclose(got.loc["lin"].sen_intercept, 3.0, atol=1e-12)
+    # the robust slope barely moves under one outlier
+    assert abs(got.loc["out"].sen_slope - 2.0) < 0.2
+
+    # independent reference: median of all pairwise slopes
+    def sen(y):
+        sl = []
+        for i in range(len(y)):
+            for j in range(i + 1, len(y)):
+                sl.append((y[j] - y[i]) / (j - i))
+        sl.sort()
+        m = len(sl)
+        return sl[m // 2] if m % 2 else (sl[m // 2 - 1] + sl[m // 2]) / 2.0
+
+    y_out = [2 * i + 3 if i != 10 else 500.0 for i in range(20)]
+    assert np.isclose(got.loc["out"].sen_slope, sen(y_out), atol=1e-12)
+
+
+def test_theil_sen_single_turn_null(spark):
+    from z_rad_spark.operators.profile import theil_sen_trend
+
+    pdf = pd.DataFrame(
+        [("solo", 0, pd.Timestamp("2024-01-01"), 4.0)],
+        columns=["conv_id", "turn_idx", "ts", "signal"],
+    )
+    got = theil_sen_trend(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    assert got.n_turns == 1
+    assert pd.isna(got.sen_slope) and pd.isna(got.sen_intercept)

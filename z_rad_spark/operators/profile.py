@@ -445,3 +445,73 @@ def pair_signal_correlation(
             (F.col("n_pairs") > 1) & (vx > 0) & (vy > 0), num / F.sqrt(vx * vy)
         ).alias("r"),
     )
+
+
+def theil_sen_trend(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """Theil-Sen robust trend per conversation: the median over all turn
+    pairs (i < j) of the slope (y_j - y_i) / (j - i) against the turn
+    ordinal, plus the matching intercept median(y_i - slope * i) — the
+    outlier-resistant companion to signal_trend's OLS (one wild turn
+    moves OLS; the pairwise-median slope shrugs it off; Sen 1968).
+
+    OPT-IN O(n^2) per conversation (the Moran's-I cost contract): the
+    pairwise slope array is built as a nested higher-order expression
+    over the per-conversation signal array — n(n-1)/2 doubles per
+    conversation, fine for bounded-turn transcripts, wrong for
+    million-event keys. Use signal_trend for the O(n) screen and this
+    for the robust confirm.
+
+    Determinism: each slope is ONE division of an exact integer-valued
+    difference pair; the median picks sorted elements (even case:
+    midpoint, two single ops) — the SQL oracle replays the same nested
+    list build, sort, and picks. NULL when n < 2.
+
+    Output: (conv_id, n_turns long, sen_slope double, sen_intercept
+    double).
+    """
+    g = df.groupBy("conv_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("ts"),
+                    F.col("turn_idx"),
+                    F.col(signal_col).cast("double").alias("_y"),
+                )
+            )
+        ).alias("_a"),
+        F.count("*").cast("long").alias("n_turns"),
+    )
+    g = g.withColumn("_ys", F.transform(F.col("_a"), lambda s: s["_y"]))
+    n = F.size("_ys")
+    slopes = F.array_sort(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), n - F.lit(2)),
+                lambda i: F.transform(
+                    F.sequence(i + F.lit(1), n - F.lit(1)),
+                    lambda j: (F.get("_ys", j) - F.get("_ys", i))
+                    / (j - i).cast("double"),
+                ),
+            )
+        )
+    )
+    g = g.withColumn("_s", F.when(n >= 2, slopes))
+
+    def _median(arr):
+        m = F.size(arr)
+        mid = F.floor(m / 2).cast("int")
+        return F.when(
+            m % 2 == 1, F.get(arr, mid)
+        ).otherwise((F.get(arr, mid - 1) + F.get(arr, mid)) / F.lit(2.0))
+
+    g = g.withColumn("sen_slope", F.when(n >= 2, _median(F.col("_s"))))
+    resid = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(1)),
+            lambda i: F.get("_ys", i) - F.col("sen_slope") * i.cast("double"),
+        )
+    )
+    g = g.withColumn(
+        "sen_intercept", F.when(n >= 2, _median(F.when(n >= 2, resid)))
+    )
+    return g.select("conv_id", "n_turns", "sen_slope", "sen_intercept")
