@@ -1317,6 +1317,22 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_flag_retries(spark, sf_dir):
+    """Retry/double-send flags inside conversations (dedup.flag_retries,
+    5-minute window): one lag window over (conv, content-hash), exact
+    integer microsecond gaps — oracle-replayable."""
+    from z_rad_spark.operators.dedup import flag_retries
+
+    out = flag_retries(_t(spark, sf_dir), window_seconds=300.0)
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        _us("ts", "ts_us"),
+        "text",
+        "is_retry",
+    )
+
+
 def q_theil_sen(spark, sf_dir):
     """Theil-Sen robust trend per conversation (profile.theil_sen_trend,
     opt-in O(n^2) like Moran's I): pairwise-slope median over the turn
@@ -3518,6 +3534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_calibration": q_calibration,
         "q_pair_corr": q_pair_corr,
         "q_theil_sen": q_theil_sen,
+        "q_flag_retries": q_flag_retries,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

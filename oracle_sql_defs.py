@@ -6361,3 +6361,20 @@ SELECT conv_id, n AS n_turns,
        {r6('icept', 'sen_intercept')}
 FROM ic
 """
+
+
+# retry flags: gaps-and-islands head detection on (conv, content-hash)
+# with exact integer microsecond gaps
+ORACLES["q_flag_retries"] = f"""
+WITH t AS ({T}),
+g AS (
+  SELECT conv_id, turn_idx, ts, text,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY conv_id, md5({NORM_DOC})
+           ORDER BY ts, turn_idx) AS gap
+  FROM t
+)
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, epoch_us(ts) AS ts_us, text,
+       COALESCE(gap <= 300000000, FALSE) AS is_retry
+FROM g
+"""

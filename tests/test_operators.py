@@ -1811,3 +1811,46 @@ def test_ndcg_perfect_and_zero(spark):
     got = ndcg_at_k(res, tru, k=3).toPandas().set_index("query_id")
     assert np.isclose(got.loc[0].ndcg, 1.0, atol=1e-12)
     assert got.loc[1].ndcg == 0.0
+
+
+def test_flag_retries_burst_semantics(spark):
+    from z_rad_spark.operators.dedup import flag_retries
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        # burst of 3 identical within 60s: head kept, two retries
+        ("c0", 0, t0, "hello there"),
+        ("c0", 1, t0 + pd.Timedelta(seconds=10), "hello there"),
+        ("c0", 2, t0 + pd.Timedelta(seconds=50), "Hello   THERE"),  # normalizes equal
+        # same content far later: new burst head, NOT a retry
+        ("c0", 3, t0 + pd.Timedelta(hours=2), "hello there"),
+        # different content interleaved: never a retry
+        ("c0", 4, t0 + pd.Timedelta(seconds=20), "something else"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "text"])
+    got = (
+        flag_retries(spark.createDataFrame(pdf), window_seconds=60.0)
+        .toPandas()
+        .set_index("turn_idx")
+        .sort_index()
+    )
+    assert not got.loc[0].is_retry
+    assert got.loc[1].is_retry
+    assert got.loc[2].is_retry          # within 60s of turn 1 (same hash)
+    assert not got.loc[3].is_retry      # 2h later: new burst
+    assert not got.loc[4].is_retry
+
+
+def test_flag_retries_cross_conversation_independent(spark):
+    from z_rad_spark.operators.dedup import flag_retries
+
+    t0 = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        [
+            ("a", 0, t0, "same msg"),
+            ("b", 0, t0 + pd.Timedelta(seconds=5), "same msg"),
+        ],
+        columns=["conv_id", "turn_idx", "ts", "text"],
+    )
+    got = flag_retries(spark.createDataFrame(pdf), window_seconds=60.0).toPandas()
+    assert not got.is_retry.any()       # retries never cross conversations

@@ -909,3 +909,40 @@ def dup_survivors(
         (F.col(id_col) == F.col("survivor_doc_id")).alias("is_survivor"),
         "n_members",
     )
+
+
+def flag_retries(
+    df: DataFrame,
+    window_seconds: float = 60.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Retry/double-send detection inside conversations: a turn is a
+    RETRY when an identical (normalized) message appeared in the same
+    conversation within ``window_seconds`` before it — the client-retry
+    / double-tap artifact a transcript pipeline strips before training
+    (exact_dedup removes global copies; this keeps legitimate repeats
+    that are far apart in time and only drops the burst tail).
+
+    Burst semantics (gaps-and-islands): within each (conv_id, content
+    hash) the turns sort by (ts, turn_idx); a turn starts a new burst
+    when its gap from the previous identical message exceeds the
+    window. The burst head is kept, every follower is flagged. The flag
+    is a pure function of exact integer microsecond gaps — engine-order
+    free, oracle-replayable.
+
+    Scale shape: ONE lag window over (conv_id, content-hash) — same
+    cost class as every per-conversation window in the engine; no
+    self-join, no collect.
+
+    Adds: is_retry boolean.
+    """
+    from pyspark.sql import Window
+
+    win_us = int(float(window_seconds) * 1_000_000)
+    h = F.md5(normalize_text(F.col(text_col)))
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("conv_id", h).orderBy("ts", "turn_idx")
+    gap = ts_us - F.lag(ts_us).over(w)
+    return df.withColumn(
+        "is_retry", F.coalesce(gap <= F.lit(win_us), F.lit(False))
+    )
