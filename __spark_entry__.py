@@ -1317,6 +1317,24 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_topic_boundaries(spark, sf_dir):
+    """TextTiling-style topic-shift boundaries (k=3 blocks, Jaccard
+    cohesion < 0.15) per conversation
+    (sessionize.with_topic_boundaries): bounded k-row window frames,
+    distinct-set integer sizes, one division — oracle-replayable."""
+    from z_rad_spark.operators.sessionize import with_topic_boundaries
+
+    out = with_topic_boundaries(_t(spark, sf_dir), k=3, threshold=0.15)
+    out = out.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        _us("ts", "ts_us"),
+        "cohesion",
+        "is_boundary",
+    )
+    return _r6(out, ["cohesion"])
+
+
 def q_flag_retries(spark, sf_dir):
     """Retry/double-send flags inside conversations (dedup.flag_retries,
     5-minute window): one lag window over (conv, content-hash), exact
@@ -3535,6 +3553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pair_corr": q_pair_corr,
         "q_theil_sen": q_theil_sen,
         "q_flag_retries": q_flag_retries,
+        "q_topic_boundaries": q_topic_boundaries,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

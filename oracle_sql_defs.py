@@ -6378,3 +6378,39 @@ SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, epoch_us(ts) AS ts_us, text,
        COALESCE(gap <= 300000000, FALSE) AS is_retry
 FROM g
 """
+
+
+# TextTiling boundaries: k-row window list frames, distinct-set Jaccard
+# (integer sizes, order-free), one division
+ORACLES["q_topic_boundaries"] = f"""
+WITH t AS ({T}),
+b AS (
+  SELECT conv_id, turn_idx, ts,
+         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS tk
+  FROM t
+),
+w AS (
+  SELECT conv_id, turn_idx, ts,
+         list_distinct(flatten(list(tk) OVER lf)) AS l,
+         list_distinct(flatten(list(tk) OVER rf)) AS r,
+         COUNT(*) OVER lf AS nl,
+         COUNT(*) OVER rf AS nr
+  FROM b
+  WINDOW lf AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         rf AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+                ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+),
+s AS (
+  SELECT conv_id, turn_idx, ts, nl, nr,
+         len(list_filter(l, x -> list_contains(r, x))) AS inter,
+         len(list_distinct(l || r)) AS un
+  FROM w
+)
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, epoch_us(ts) AS ts_us,
+       {r6("CASE WHEN nl = 3 AND nr = 3 AND un > 0 THEN CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) END", "cohesion")},
+       COALESCE(CASE WHEN nl = 3 AND nr = 3 AND un > 0
+                     THEN CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) END < 0.15,
+                FALSE) AS is_boundary
+FROM s
+"""

@@ -1854,3 +1854,51 @@ def test_flag_retries_cross_conversation_independent(spark):
     )
     got = flag_retries(spark.createDataFrame(pdf), window_seconds=60.0).toPandas()
     assert not got.is_retry.any()       # retries never cross conversations
+
+
+def test_topic_boundaries_fire_on_vocabulary_shift(spark):
+    from z_rad_spark.operators.sessionize import with_topic_boundaries
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # 6 turns about topic A, then 6 about topic B (disjoint vocab)
+    a = ["alpha beta gamma", "beta gamma alpha", "gamma alpha beta"]
+    b = ["delta epsilon zeta", "epsilon zeta delta", "zeta delta epsilon"]
+    for i in range(12):
+        text = a[i % 3] if i < 6 else b[i % 3]
+        rows.append(("c0", i, t0 + pd.Timedelta(minutes=i), text))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "text"])
+    got = (
+        with_topic_boundaries(spark.createDataFrame(pdf), k=3, threshold=0.15)
+        .toPandas()
+        .set_index("turn_idx")
+        .sort_index()
+    )
+    # the boundary after turn 5 separates disjoint vocab: cohesion 0
+    assert got.loc[5].cohesion == 0.0 and got.loc[5].is_boundary
+    # a boundary fully inside topic A sees identical sets: cohesion 1
+    assert got.loc[2].cohesion == 1.0 and not got.loc[2].is_boundary
+    # one topic-B turn leaking into the right block halves cohesion
+    assert got.loc[3].cohesion == 0.5 and not got.loc[3].is_boundary
+    # edges with incomplete frames: NULL cohesion, never fire
+    assert pd.isna(got.loc[0].cohesion) and not got.loc[0].is_boundary
+    assert pd.isna(got.loc[11].cohesion) and not got.loc[11].is_boundary
+
+
+def test_topic_boundaries_jaccard_hand_computed(spark):
+    from z_rad_spark.operators.sessionize import with_topic_boundaries
+
+    t0 = pd.Timestamp("2024-01-01")
+    texts = ["a b", "b c", "c d", "d e", "e f", "f g"]
+    pdf = pd.DataFrame(
+        [("c0", i, t0 + pd.Timedelta(minutes=i), texts[i]) for i in range(6)],
+        columns=["conv_id", "turn_idx", "ts", "text"],
+    )
+    got = (
+        with_topic_boundaries(spark.createDataFrame(pdf), k=3, threshold=0.5)
+        .toPandas()
+        .set_index("turn_idx")
+    )
+    # boundary after turn 2: left = {a,b,c,d}, right = {d,e,f,g}
+    assert np.isclose(got.loc[2].cohesion, 1 / 7, atol=1e-12)
+    assert got.loc[2].is_boundary

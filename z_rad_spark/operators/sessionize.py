@@ -808,3 +808,63 @@ def with_ewm_smooth(
         F.when(den > 0, num / den).alias("ewm"),
         cnt.cast("long").alias("ewm_n"),
     )
+
+
+def with_topic_boundaries(
+    df: DataFrame,
+    k: int = 3,
+    threshold: float = 0.15,
+    text_col: str = "text",
+) -> DataFrame:
+    """TextTiling-style topic-shift detection (Hearst, CL 1997, the
+    block-comparison form): at each turn boundary, lexical cohesion is
+    the Jaccard similarity between the DISTINCT token sets of the k
+    turns ending here and the k turns starting next; a boundary fires
+    where cohesion drops below ``threshold`` — the cheap topic
+    segmenter a transcript pipeline uses to split long conversations
+    into coherent training chunks (the stricter alternative to fixed
+    chunking and gap-based sessionizing).
+
+    Scale + determinism shape: per-turn distinct token arrays, then TWO
+    bounded window frames (k rows back / k rows forward) whose
+    collect_list is capped by k — never a whole-conversation buffer.
+    Cohesion is |A ∩ B| / |A ∪ B| over distinct sets (integer sizes,
+    one division); set membership is order-free, so the SQL oracle
+    replays it exactly. Boundaries where either side has fewer than k
+    turns report NULL cohesion and never fire.
+
+    Adds: cohesion double, is_boundary boolean.
+    """
+    from pyspark.sql import Window
+
+    toks = F.array_distinct(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    )
+    base = df.withColumn("_tk", toks)
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    left_f = w.rowsBetween(-(k - 1), 0)
+    right_f = w.rowsBetween(1, k)
+    left = F.array_distinct(F.flatten(F.collect_list("_tk").over(left_f)))
+    right = F.array_distinct(F.flatten(F.collect_list("_tk").over(right_f)))
+    n_left = F.count("*").over(left_f)
+    n_right = F.count("*").over(right_f)
+    out = (
+        base.withColumn("_l", left)
+        .withColumn("_r", right)
+        .withColumn("_nl", n_left)
+        .withColumn("_nr", n_right)
+    )
+    inter = F.size(F.array_intersect("_l", "_r"))
+    union = F.size(F.array_union("_l", "_r"))
+    cohesion = F.when(
+        (F.col("_nl") == k) & (F.col("_nr") == k) & (union > 0),
+        inter.cast("double") / union.cast("double"),
+    )
+    return (
+        out.withColumn("cohesion", cohesion)
+        .withColumn(
+            "is_boundary",
+            F.coalesce(F.col("cohesion") < F.lit(float(threshold)), F.lit(False)),
+        )
+        .drop("_tk", "_l", "_r", "_nl", "_nr")
+    )
