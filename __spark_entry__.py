@@ -1317,6 +1317,39 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_changepoint(spark, sf_dir):
+    """Most-likely mean changepoint per conversation
+    (profile.changepoint): the argmax of the INTEGER statistic
+    |n*S_t - t*S_n| over exact prefix sums — not one float comparison
+    in the selection; oracle-replayable."""
+    from z_rad_spark.operators.profile import changepoint
+
+    out = changepoint(_t(spark, sf_dir))
+    out = out.select(
+        "conv_id", "n_turns", "cp_turn", "cp_ts_us",
+        "mean_left", "mean_right", "mean_gap", "g_stat",
+    )
+    return _r6(out, ["mean_left", "mean_right", "mean_gap", "g_stat"])
+
+
+def q_rolling_median(spark, sf_dir):
+    """Rolling median + MAD over the trailing 5 turns
+    (sessionize.with_rolling_median): bounded frame collect, sorted
+    element picks — oracle-replayable."""
+    from z_rad_spark.operators.sessionize import with_rolling_median
+
+    out = with_rolling_median(_t(spark, sf_dir), k=5)
+    out = out.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        _us("ts", "ts_us"),
+        "n_in_frame",
+        "roll_median",
+        "roll_mad",
+    )
+    return _r6(out, ["roll_median", "roll_mad"])
+
+
 def q_topic_boundaries(spark, sf_dir):
     """TextTiling-style topic-shift boundaries (k=3 blocks, Jaccard
     cohesion < 0.15) per conversation
@@ -3554,6 +3587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_theil_sen": q_theil_sen,
         "q_flag_retries": q_flag_retries,
         "q_topic_boundaries": q_topic_boundaries,
+        "q_changepoint": q_changepoint,
+        "q_rolling_median": q_rolling_median,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -6414,3 +6414,65 @@ SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, epoch_us(ts) AS ts_us,
                 FALSE) AS is_boundary
 FROM s
 """
+
+
+# changepoint: exact-integer argmax of |n*S_t - t*S_n| with earliest-t
+# tie-break, means/gap computed only at the winning split
+ORACLES["q_changepoint"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id, epoch_us(ts) AS ts_us,
+         SUM(CAST(signal AS BIGINT)) OVER w AS st,
+         COUNT(*) OVER w AS tt,
+         SUM(CAST(signal AS BIGINT)) OVER (PARTITION BY conv_id) AS sn,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cand AS (
+  SELECT conv_id, ts_us, st, tt, sn, n,
+         ABS(n * st - tt * sn) AS g,
+         ROW_NUMBER() OVER (PARTITION BY conv_id
+                            ORDER BY ABS(n * st - tt * sn) DESC, tt ASC) AS rn
+  FROM p WHERE tt < n
+),
+sizes AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns FROM t GROUP BY conv_id),
+best AS (SELECT * FROM cand WHERE rn = 1)
+SELECT s.conv_id, s.n_turns,
+       CAST(b.tt - 1 AS BIGINT) AS cp_turn,
+       CAST(b.ts_us AS BIGINT) AS cp_ts_us,
+       {r6('CAST(b.st AS DOUBLE) / CAST(b.tt AS DOUBLE)', 'mean_left')},
+       {r6('CAST(b.sn - b.st AS DOUBLE) / (CAST(b.n AS DOUBLE) - CAST(b.tt AS DOUBLE))', 'mean_right')},
+       {r6('CAST(b.sn - b.st AS DOUBLE) / (CAST(b.n AS DOUBLE) - CAST(b.tt AS DOUBLE)) - CAST(b.st AS DOUBLE) / CAST(b.tt AS DOUBLE)', 'mean_gap')},
+       {r6('CAST(b.g AS DOUBLE) / (CAST(b.n AS DOUBLE) * CAST(b.n AS DOUBLE))', 'g_stat')}
+FROM sizes s LEFT JOIN best b USING (conv_id)
+"""
+
+
+# rolling median/MAD: bounded k-row frame list, sorted element picks
+_RM_MED = (
+    "CASE WHEN len({a}) % 2 = 1 THEN ({a})[len({a}) // 2 + 1] "
+    "ELSE ((({a})[len({a}) // 2]) + (({a})[len({a}) // 2 + 1])) / 2.0 END"
+)
+
+ORACLES["q_rolling_median"] = f"""
+WITH t AS ({T}),
+w AS (
+  SELECT conv_id, turn_idx, ts,
+         list_sort(list(CAST(signal AS DOUBLE)) OVER fr) AS fr
+  FROM t
+  WINDOW fr AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+),
+m AS (
+  SELECT conv_id, turn_idx, ts, fr,
+         {_RM_MED.format(a='fr')} AS med
+  FROM w
+)
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, epoch_us(ts) AS ts_us,
+       CAST(len(fr) AS BIGINT) AS n_in_frame,
+       {r6('med', 'roll_median')},
+       {r6(_RM_MED.format(a='list_sort(list_transform(fr, v -> ABS(v - med)))'), 'roll_mad')}
+FROM m
+"""

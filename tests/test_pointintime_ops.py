@@ -1474,3 +1474,76 @@ def test_theil_sen_single_turn_null(spark):
     got = theil_sen_trend(spark.createDataFrame(pdf)).toPandas().iloc[0]
     assert got.n_turns == 1
     assert pd.isna(got.sen_slope) and pd.isna(got.sen_intercept)
+
+
+def test_changepoint_finds_injected_shift(spark):
+    from z_rad_spark.operators.profile import changepoint
+
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    # mean 2 for 30 turns, then mean 8 for 20 turns -> cp after turn 29
+    for i in range(50):
+        rows.append(("shift", i, t0 + pd.Timedelta(minutes=i), 2.0 if i < 30 else 8.0))
+        rows.append(("flat", i, t0 + pd.Timedelta(minutes=i), 5.0))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "signal"])
+    got = changepoint(spark.createDataFrame(pdf)).toPandas().set_index("conv_id")
+    s = got.loc["shift"]
+    assert s.cp_turn == 29
+    assert np.isclose(s.mean_left, 2.0) and np.isclose(s.mean_right, 8.0)
+    assert np.isclose(s.mean_gap, 6.0)
+    # flat conversation: every split has G = 0 -> earliest t wins
+    f = got.loc["flat"]
+    assert f.cp_turn == 0 and f.g_stat == 0.0
+
+
+def test_changepoint_matches_bruteforce_argmax(spark):
+    from z_rad_spark.operators.profile import changepoint
+
+    rng = np.random.default_rng(71)
+    sig = rng.integers(1, 10, size=40).astype(float)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 40,
+            "turn_idx": range(40),
+            "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(range(40), unit="m"),
+            "signal": sig,
+        }
+    )
+    got = changepoint(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    S = np.cumsum(sig)
+    n = 40
+    G = np.abs(n * S[:-1] - np.arange(1, n) * S[-1])
+    t_star = int(np.argmax(G)) + 1      # ties -> earliest via argmax
+    assert got.cp_turn == t_star - 1
+    assert np.isclose(got.g_stat, G[t_star - 1] / n**2, atol=1e-9)
+
+
+def test_rolling_median_matches_pandas(spark):
+    from z_rad_spark.operators.sessionize import with_rolling_median
+
+    df, pdf = _turns(spark, n_conv=3, n_turns=30, seed=77)
+    got = (
+        with_rolling_median(df, k=5)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pdf = pdf.sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+    med = (
+        pdf.groupby("conv_id")["signal"]
+        .rolling(5, min_periods=1)
+        .median()
+        .reset_index(level=0, drop=True)
+    )
+    want = pdf.assign(roll_median=med).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert np.allclose(got.roll_median, want.roll_median, atol=1e-12)
+    # MAD hand-check on the first full frame of the first conversation
+    # (pdf is already in (conv, ts, turn_idx) order)
+    conv0 = pdf.conv_id.iloc[0]
+    g0 = pdf[pdf.conv_id == conv0].head(5).signal.to_numpy()
+    mad = np.median(np.abs(g0 - np.median(g0)))
+    first_full_idx = pdf[pdf.conv_id == conv0].turn_idx.iloc[4]
+    row = got[(got.conv_id == conv0) & (got.turn_idx == first_full_idx)].iloc[0]
+    assert row.n_in_frame == 5
+    assert np.isclose(row.roll_mad, mad, atol=1e-12)
+    assert (got.n_in_frame <= 5).all() and (got.n_in_frame >= 1).all()

@@ -515,3 +515,74 @@ def theil_sen_trend(df: DataFrame, signal_col: str = "signal") -> DataFrame:
         "sen_intercept", F.when(n >= 2, _median(F.when(n >= 2, resid)))
     )
     return g.select("conv_id", "n_turns", "sen_slope", "sen_intercept")
+
+
+def changepoint(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """Single most-likely mean changepoint per conversation (binary
+    segmentation step 1, the at-most-one-change CUSUM statistic): the
+    split t maximizing |t-prefix mean - suffix mean| weighted by the
+    split sizes — equivalently the INTEGER statistic
+
+        G_t = |n * S_t - t * S_n|,   t = 1 .. n-1
+
+    over exact prefix sums, which is what makes the operator fully
+    order-free: the argmax compares exact longs (ties to the earliest
+    t), so there is not a single float comparison in the selection; the
+    emitted left/right means and their gap are single divisions at the
+    winning split only.
+
+    One prefix-sum window + one groupBy MAX over a (G, -t, payload)
+    struct sharing the conv_id exchange — the same cost class as every
+    per-conversation aggregate.
+
+    Output: (conv_id, n_turns long, cp_turn long — the last turn index
+    of the left segment in (ts, turn_idx) ordinal terms, cp_ts_us long,
+    mean_left double, mean_right double, mean_gap double, g_stat
+    double = G / n^2, the scale-free score). Conversations with n < 2
+    emit NULLs for the changepoint fields.
+    """
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(*(("ts", "turn_idx")))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    x = F.col(signal_col).cast("long")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = df.select(
+        "conv_id",
+        ts_us.alias("_ts"),
+        F.sum(x).over(w).alias("_st"),
+        F.count("*").over(w).alias("_t"),
+        F.sum(x).over(Window.partitionBy("conv_id")).alias("_sn"),
+        F.count("*").over(Window.partitionBy("conv_id")).alias("_n"),
+    )
+    g = F.abs(F.col("_n") * F.col("_st") - F.col("_t") * F.col("_sn"))
+    cand = p.where(F.col("_t") < F.col("_n")).select(
+        "conv_id",
+        F.struct(
+            g.alias("g"),
+            (-F.col("_t")).alias("negt"),
+            F.col("_t").alias("t"),
+            F.col("_ts").alias("ts"),
+            F.col("_st").alias("st"),
+            F.col("_sn").alias("sn"),
+            F.col("_n").alias("n"),
+        ).alias("_c"),
+    )
+    best = cand.groupBy("conv_id").agg(F.max("_c").alias("_b"))
+    sizes = df.groupBy("conv_id").agg(F.count("*").cast("long").alias("n_turns"))
+    b = F.col("_b")
+    t = b["t"].cast("double")
+    n = b["n"].cast("double")
+    ml = b["st"].cast("double") / t
+    mr = (b["sn"] - b["st"]).cast("double") / (n - t)
+    return sizes.join(best, "conv_id", "left").select(
+        "conv_id",
+        "n_turns",
+        (b["t"] - F.lit(1)).cast("long").alias("cp_turn"),
+        b["ts"].cast("long").alias("cp_ts_us"),
+        ml.alias("mean_left"),
+        mr.alias("mean_right"),
+        (mr - ml).alias("mean_gap"),
+        (b["g"].cast("double") / (n * n)).alias("g_stat"),
+    )

@@ -868,3 +868,47 @@ def with_topic_boundaries(
         )
         .drop("_tk", "_l", "_r", "_nl", "_nr")
     )
+
+
+def with_rolling_median(
+    df: DataFrame, k: int = 5, signal_col: str = "signal"
+) -> DataFrame:
+    """Rolling median and MAD (median absolute deviation) over the
+    trailing ``k`` turns — the robust twin of the rolling mean/std
+    window block (one wild turn saturates a mean filter; the median
+    shrugs, and MAD is the robust spread the z-score-style outlier
+    flags should divide by).
+
+    Scale + determinism shape: the frame collect is bounded by ``k``
+    (never a whole-conversation buffer); both medians are sorted-array
+    element picks (even count: midpoint, two single float ops) over
+    values collected from an explicitly sorted copy — engine collection
+    order is irrelevant, so the SQL oracle replays every value exactly.
+
+    Adds: n_in_frame long, roll_median double, roll_mad double.
+    """
+    x = F.col(signal_col).cast("double")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("ts", "turn_idx")
+        .rowsBetween(-(k - 1), 0)
+    )
+
+    def _median(arr):
+        m = F.size(arr)
+        mid = F.floor(m / 2).cast("int")
+        return F.when(m % 2 == 1, F.get(arr, mid)).otherwise(
+            (F.get(arr, mid - 1) + F.get(arr, mid)) / F.lit(2.0)
+        )
+
+    out = df.withColumn("_fr", F.array_sort(F.collect_list(x).over(w)))
+    med = _median(F.col("_fr"))
+    out = out.withColumn("roll_median", med)
+    dev = F.array_sort(
+        F.transform(F.col("_fr"), lambda v: F.abs(v - F.col("roll_median")))
+    )
+    return (
+        out.withColumn("n_in_frame", F.size("_fr").cast("long"))
+        .withColumn("roll_mad", _median(dev))
+        .drop("_fr")
+    )
