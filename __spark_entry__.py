@@ -1317,6 +1317,40 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Shuffle-free co-located join via bucketed tables
+    (layout.write_bucketed + colocated_join): both sides persisted
+    bucketed on conv_id (one file per bucket, sorted), then joined with
+    zero Exchange (plan pinned in tests/test_plans.py). The value gate
+    proves result parity with the plain join the oracle replays."""
+    import tempfile
+    import uuid
+
+    from z_rad_spark.layout import colocated_join, write_bucketed
+
+    t = _t(spark, sf_dir).select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        _us("ts", "ts_us"),
+        F.col("signal").cast("double").alias("signal"),
+    )
+    dim = t.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum(F.col("signal").cast("long")).cast("long").alias("sum_signal"),
+    )
+    sfx = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="zrs_gate_bucket_")
+    write_bucketed(t, f"{base}/facts", f"zrs_gf_{sfx}", "conv_id", 8,
+                   sort_cols=("conv_id", "ts_us", "turn_idx"))
+    write_bucketed(dim, f"{base}/dim", f"zrs_gd_{sfx}", "conv_id", 8,
+                   sort_cols=("conv_id",))
+    out = colocated_join(spark, f"zrs_gf_{sfx}", f"zrs_gd_{sfx}", "conv_id")
+    out = out.select(
+        "conv_id", "turn_idx", "ts_us", "signal", "n_turns", "sum_signal"
+    )
+    return _r6(out, ["signal"])
+
+
 def q_changepoint(spark, sf_dir):
     """Most-likely mean changepoint per conversation
     (profile.changepoint): the argmax of the INTEGER statistic
@@ -3589,6 +3623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topic_boundaries": q_topic_boundaries,
         "q_changepoint": q_changepoint,
         "q_rolling_median": q_rolling_median,
+        "q_bucketed_join": q_bucketed_join,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -6476,3 +6476,24 @@ SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, epoch_us(ts) AS ts_us,
        {r6(_RM_MED.format(a='list_sort(list_transform(fr, v -> ABS(v - med)))'), 'roll_mad')}
 FROM m
 """
+
+
+# bucketed co-located join: the VALUE contract is layout-independent —
+# a plain join replay (the zero-Exchange plan shape is pytest-pinned)
+ORACLES["q_bucketed_join"] = f"""
+WITH t AS ({T}),
+f AS (
+  SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, epoch_us(ts) AS ts_us,
+         CAST(signal AS DOUBLE) AS signal
+  FROM t
+),
+d AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+         CAST(SUM(CAST(signal AS BIGINT)) AS BIGINT) AS sum_signal
+  FROM f GROUP BY conv_id
+)
+SELECT f.conv_id, f.turn_idx, f.ts_us,
+       {r6('f.signal', 'signal')},
+       d.n_turns, d.sum_signal
+FROM f JOIN d USING (conv_id)
+"""

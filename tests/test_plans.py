@@ -934,3 +934,40 @@ def test_quantiles_window_on_compacted_histogram(spark):
     plan = _plan(winsorize(_roled_turns_df(spark), group_col="role"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_has_zero_exchange(spark):
+    """The layout module's whole point: two tables bucketed on conv_id
+    with equal bucket counts join with NO Exchange on either side (the
+    bucketed scans satisfy the join distribution), independent of data
+    size — the 100 TB fact-to-fact join shape. Broadcast is disabled so
+    the test exercises the sort-merge path the layout exists for."""
+    import tempfile
+    import uuid
+
+    from z_rad_spark.layout import colocated_join, write_bucketed
+
+    t = _turns_df(spark)
+    dim = t.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    sfx = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="zrs_bucket_")
+    write_bucketed(t, f"{base}/facts", f"zrs_facts_{sfx}", "conv_id", 8,
+                   sort_cols=("conv_id", "ts", "turn_idx"))
+    write_bucketed(dim, f"{base}/dim", f"zrs_dim_{sfx}", "conv_id", 8,
+                   sort_cols=("conv_id",))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = colocated_join(spark, f"zrs_facts_{sfx}", f"zrs_dim_{sfx}", "conv_id")
+        n = j.count()
+        assert n == t.count()
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan          # the whole point
+        # join result parity with the unbucketed plan
+        plain = t.join(dim, "conv_id").count()
+        assert n == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS zrs_facts_{sfx}")
+        spark.sql(f"DROP TABLE IF EXISTS zrs_dim_{sfx}")
