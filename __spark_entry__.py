@@ -3144,8 +3144,8 @@ def q_trending_tokens(spark, sf_dir):
 
 def q_conv_features(spark, sf_dir):
     """The composed per-conversation feature table
-    (profile.conversation_features): seven conversation-level operators
-    equi-joined on conv_id — 26 features, one row per conversation. The
+    (profile.conversation_features): eleven conversation-level operators
+    equi-joined on conv_id — 38 features, one row per conversation. The
     oracle composes the SAME component oracles (each already hash-green
     standalone) with the same joins; the latency mean is rescaled to
     seconds like q_latency (r6 precision zone)."""
@@ -3160,6 +3160,8 @@ def q_conv_features(spark, sf_dir):
         "prev_entropy", "cond_entropy",
         "mean_run", "ac_1", "ac_2", "ac_3", "rho", "peak_frac",
         "hour_entropy", "night_frac", "weekend_frac", "mean_sec",
+        "mean_gap_s", "cv_gap", "burstiness", "fano_hourly",
+        "cp_gap", "cp_stat", "sen_slope", "sen_intercept", "pair_r",
     ]
     return _r6(out, floats)
 

@@ -5517,7 +5517,11 @@ rr AS ({ORACLES["q_role_runs"]}),
 ac AS ({ORACLES["q_autocorr"]}),
 sp AS ({ORACLES["q_spearman_trend"]}),
 tp AS ({ORACLES["q_temporal_profile"]}),
-rl AS ({ORACLES["q_latency"]})
+rl AS ({ORACLES["q_latency"]}),
+ar AS ({{AR}}),
+cp AS ({{CP}}),
+sen AS ({{SEN}}),
+pc AS ({{PC}})
 SELECT st.conv_id, st.n, st.slope, st.intercept, st.r,
        rt.n_trans, rt.n_distinct_trans, rt.self_loop_ratio, rt.trans_entropy,
        rt.prev_entropy, rt.cond_entropy,
@@ -5525,6 +5529,10 @@ SELECT st.conv_id, st.n, st.slope, st.intercept, st.r,
        ac.ac_1, ac.ac_2, ac.ac_3,
        sp.rho,
        tp.peak_hour, tp.peak_frac, tp.hour_entropy, tp.night_frac, tp.weekend_frac,
+       ar.span_s, ar.mean_gap_s, ar.cv_gap, ar.burstiness, ar.fano_hourly,
+       cp.cp_turn, cp.mean_gap AS cp_gap, cp.g_stat AS cp_stat,
+       sen.sen_slope, sen.sen_intercept,
+       pc.n_pairs, pc.r AS pair_r,
        rl.n_resp AS n_responses, rl.min_us, rl.max_us,
        rl.mean_sec
 FROM st
@@ -5533,6 +5541,10 @@ JOIN rr USING (conv_id)
 JOIN ac USING (conv_id)
 JOIN sp USING (conv_id)
 JOIN tp USING (conv_id)
+JOIN ar USING (conv_id)
+JOIN cp USING (conv_id)
+JOIN sen USING (conv_id)
+LEFT JOIN pc USING (conv_id)
 LEFT JOIN rl USING (conv_id)
 """
 
@@ -6497,3 +6509,15 @@ SELECT f.conv_id, f.turn_idx, f.ts_us,
        d.n_turns, d.sum_signal
 FROM f JOIN d USING (conv_id)
 """
+
+
+# the composed conversation_features oracle references four component
+# oracles defined later in this module — substitute them now that every
+# ORACLES entry exists
+ORACLES["q_conv_features"] = (
+    ORACLES["q_conv_features"]
+    .replace("{AR}", ORACLES["q_arrival_stats"].strip())
+    .replace("{CP}", ORACLES["q_changepoint"].strip())
+    .replace("{SEN}", ORACLES["q_theil_sen"].strip())
+    .replace("{PC}", ORACLES["q_pair_corr"].strip())
+)

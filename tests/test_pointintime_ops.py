@@ -851,12 +851,20 @@ def test_conversation_features_composition_consistency(spark):
         pdf[["conv_id", "turn_idx", "ts", "signal", "role"]]
     )
     wide = conversation_features(base).toPandas().set_index("conv_id")
-    assert len(wide) == 4 and len(wide.columns) == 26
+    assert len(wide) == 4 and len(wide.columns) == 38
     # composed columns equal the standalone operators'
     st = signal_trend(base).toPandas().set_index("conv_id")
     rt = role_transitions(base).toPandas().set_index("conv_id")
     assert np.allclose(wide["slope"], st.loc[wide.index, "slope"], atol=0)
     assert (wide["n_trans"] == rt.loc[wide.index, "n_trans"]).all()
+    # session-9 columns equal their standalone operators too
+    from z_rad_spark.operators.profile import arrival_stats, changepoint
+
+    ar = arrival_stats(base).toPandas().set_index("conv_id")
+    cp = changepoint(base).toPandas().set_index("conv_id")
+    assert np.allclose(wide["burstiness"], ar.loc[wide.index, "burstiness"], atol=0)
+    assert (wide["cp_turn"] == cp.loc[wide.index, "cp_turn"]).all()
+    assert np.allclose(wide["cp_gap"], cp.loc[wide.index, "mean_gap"], atol=0)
 
 
 def test_role_transitions_conditional_entropy(spark):

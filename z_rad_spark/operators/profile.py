@@ -194,18 +194,20 @@ def conversation_features(df: DataFrame) -> DataFrame:
     conversation-level operators: role-transition Markov structure (incl. the conditional-entropy
     predictability),
     same-role run lengths, lag-1..3 signal autocorrelation, signal
-    trend (OLS + Pearson r), Spearman rank trend, temporal activity
-    profile, and user→assistant response latency — the single table a
-    curation pipeline filters/stratifies conversations on.
+    trend (OLS + Pearson r), Theil-Sen robust trend, Spearman rank
+    trend, temporal activity profile, arrival-process burstiness/Fano,
+    the most-likely mean changepoint, prompt→response signal coupling,
+    and user→assistant response latency — the single table a curation
+    pipeline filters/stratifies conversations on.
 
     Every input operator groups on conv_id with the same exchange
     discipline, so the composition is |conversations|-sized frames
     equi-joined on conv_id (Catalyst broadcasts or co-partitions;
-    nothing here re-touches the turn-level data). Latency columns are
-    NULL for conversations with no user→assistant pair (left join —
-    the absence is the feature).
+    nothing here re-touches the turn-level data). Latency and
+    pair-coupling columns are NULL for conversations with no
+    user→assistant pair (left joins — the absence is the feature).
 
-    Output: conv_id + 26 feature columns, one row per conversation.
+    Output: conv_id + 38 feature columns, one row per conversation.
     """
     from .sessionize import autocorr_features, role_run_stats, role_transitions
     from .sessionize import spearman_trend as _spearman
@@ -217,12 +219,27 @@ def conversation_features(df: DataFrame) -> DataFrame:
     sp = _spearman(df).drop("n")
     tp = temporal_profile(df).drop("n")
     rl = response_latency(df).withColumnRenamed("n_resp", "n_responses")
+    ar = arrival_stats(df).drop("n_turns")
+    pc = pair_signal_correlation(df).select(
+        "conv_id", "n_pairs", F.col("r").alias("pair_r")
+    )
+    cp = changepoint(df).select(
+        "conv_id",
+        "cp_turn",
+        F.col("mean_gap").alias("cp_gap"),
+        F.col("g_stat").alias("cp_stat"),
+    )
+    sen = theil_sen_trend(df).select("conv_id", "sen_slope", "sen_intercept")
     out = (
         st.join(rt, "conv_id")
         .join(rr, "conv_id")
         .join(ac, "conv_id")
         .join(sp, "conv_id")
         .join(tp, "conv_id")
+        .join(ar, "conv_id")
+        .join(cp, "conv_id")
+        .join(sen, "conv_id")
+        .join(pc, "conv_id", "left")
         .join(rl, "conv_id", "left")
     )
     return out
