@@ -1317,6 +1317,36 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_zipf(spark, sf_dir):
+    """Zipf's-law OLS fit per language over the top-100 tokens
+    (text.zipf_fit): bounded heavy-hitter rank table, four OLS sums
+    folded over the rank-sorted list — oracle-replayable."""
+    from z_rad_spark.operators.text import zipf_fit
+
+    out = zipf_fit(_docs(spark, sf_dir), k=100)
+    out = out.select("lang", "k_used", "zipf_slope", "zipf_intercept")
+    return _r6(out, ["zipf_slope", "zipf_intercept"])
+
+
+def q_markup_density(spark, sf_dir):
+    """Structural-noise screens per document (text.with_markup_density):
+    URL/e-mail/code-fence/HTML counts + densities — narrow regexp_count
+    expressions, oracle-replayable."""
+    from z_rad_spark.operators.text import with_markup_density
+
+    out = with_markup_density(_docs(spark, sf_dir))
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_urls",
+        "n_emails",
+        "n_fences",
+        "n_html",
+        "url_density",
+        "html_density",
+    )
+    return _r6(out, ["url_density", "html_density"])
+
+
 def q_bucketed_join(spark, sf_dir):
     """Shuffle-free co-located join via bucketed tables
     (layout.write_bucketed + colocated_join): both sides persisted
@@ -3626,6 +3656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_changepoint": q_changepoint,
         "q_rolling_median": q_rolling_median,
         "q_bucketed_join": q_bucketed_join,
+        "q_zipf": q_zipf,
+        "q_markup_density": q_markup_density,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -6521,3 +6521,67 @@ ORACLES["q_conv_features"] = (
     .replace("{SEN}", ORACLES["q_theil_sen"].strip())
     .replace("{PC}", ORACLES["q_pair_corr"].strip())
 )
+
+
+# Zipf fit: the top_tokens rank table bounded at k=100, four OLS sums
+# as rank-ordered list folds, slope/intercept with the identical
+# parenthesization text.zipf_fit builds
+ORACLES["q_zipf"] = f"""
+WITH toks AS (
+  SELECT lang, unnest({TOKS_DOC}) AS token FROM documents
+),
+counts AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks GROUP BY lang, token
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
+  FROM counts
+),
+top AS (SELECT lang, rank, n FROM r WHERE rank <= 100),
+per AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS k_used,
+         list_reduce([0.0] || list(ln(CAST(rank AS DOUBLE)) ORDER BY rank),
+                     (a, x) -> a + x) AS sx,
+         list_reduce([0.0] || list(ln(CAST(n AS DOUBLE)) ORDER BY rank),
+                     (a, x) -> a + x) AS sy,
+         list_reduce([0.0] || list(ln(CAST(rank AS DOUBLE)) * ln(CAST(n AS DOUBLE)) ORDER BY rank),
+                     (a, x) -> a + x) AS sxy,
+         list_reduce([0.0] || list(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)) ORDER BY rank),
+                     (a, x) -> a + x) AS sxx
+  FROM top GROUP BY lang
+),
+s AS (
+  SELECT lang, k_used,
+         CAST(k_used AS DOUBLE) * sxx - sx * sx AS den,
+         (CAST(k_used AS DOUBLE) * sxy - sx * sy)
+           / (CAST(k_used AS DOUBLE) * sxx - sx * sx) AS slope,
+         sx, sy
+  FROM per
+)
+SELECT lang, k_used,
+       {r6('CASE WHEN k_used > 1 AND den <> 0 THEN slope END', 'zipf_slope')},
+       {r6('CASE WHEN k_used > 1 AND den <> 0 THEN (sy - slope * sx) / CAST(k_used AS DOUBLE) END', 'zipf_intercept')}
+FROM s
+"""
+
+
+# markup density: shared RE2-safe patterns, counts + one division
+_URL_CNT = "len(regexp_extract_all(text, 'https?://[^\\s]+'))"
+_EMAIL_CNT = (
+    "len(regexp_extract_all(text,"
+    " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))"
+)
+_HTML_CNT = "len(regexp_extract_all(text, '<[A-Za-z][^>]*>'))"
+_SAFE_LEN = "CAST(GREATEST(length(text), 1) AS DOUBLE)"
+
+ORACLES["q_markup_density"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({_URL_CNT} AS BIGINT) AS n_urls,
+       CAST({_EMAIL_CNT} AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '```')) AS BIGINT) AS n_fences,
+       CAST({_HTML_CNT} AS BIGINT) AS n_html,
+       {r6(f"CAST({_URL_CNT} AS DOUBLE) / {_SAFE_LEN}", "url_density")},
+       {r6(f"CAST({_HTML_CNT} AS DOUBLE) / {_SAFE_LEN}", "html_density")}
+FROM documents
+"""

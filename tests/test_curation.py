@@ -857,3 +857,61 @@ def test_lexical_diversity_entropy_bounds(spark):
     assert np.isclose(got.entropy_bits, 4.0, atol=1e-12)
     assert np.isclose(got.ttr, 1.0)
     assert np.isclose(got.hapax_ratio, 1.0)
+
+
+def test_zipf_fit_recovers_synthetic_power_law(spark):
+    import numpy as np
+    import pandas as pd
+
+    from z_rad_spark.operators.text import zipf_fit
+
+    # build a corpus whose token counts follow count(rank) = C * rank^-1
+    # exactly: token w_r appears round(1000/r) times
+    words = []
+    for r in range(1, 51):
+        words += [f"w{r:03d}"] * round(1000 / r)
+    rng = np.random.default_rng(83)
+    rng.shuffle(words)
+    docs = [" ".join(words[i::10]) for i in range(10)]
+    pdf = pd.DataFrame({"doc_id": range(10), "text": docs, "lang": "en"})
+    got = zipf_fit(spark.createDataFrame(pdf), k=50).toPandas().iloc[0]
+    assert got.k_used == 50
+    # rounding of 1000/r keeps the fit within a few percent of -1
+    assert -1.05 < got.zipf_slope < -0.95
+    # independent OLS reference on the exact same (rank, count) table
+    counts = sorted(
+        pd.Series(words).value_counts().items(),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:50]
+    x = np.log(np.arange(1, 51, dtype=float))
+    y = np.log(np.array([c for _, c in counts], dtype=float))
+    slope = (50 * (x * y).sum() - x.sum() * y.sum()) / (50 * (x * x).sum() - x.sum() ** 2)
+    assert np.isclose(got.zipf_slope, slope, atol=1e-6)
+
+
+def test_markup_density_counts(spark):
+    import pandas as pd
+
+    from z_rad_spark.operators.text import with_markup_density
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "see https://a.example/x and http://b.example "
+                "mail me@example.com ```code``` <div class=x>hi</div>",
+                "plain text only",
+            ],
+        }
+    )
+    got = with_markup_density(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    r0 = got.loc[0]
+    assert r0.n_urls == 2
+    assert r0.n_emails == 1
+    assert r0.n_fences == 2
+    assert r0.n_html == 1          # <div ...> only: </div> starts with '/', not a letter
+    r1 = got.loc[1]
+    assert (
+        r1.n_urls == r1.n_emails == r1.n_fences == r1.n_html == 0
+    )
+    assert r1.url_density == 0.0

@@ -669,3 +669,88 @@ def lexical_diversity(
         (F.col("_nch").cast("double") / n).alias("chars_per_token"),
         (F.col("_nby").cast("double") / n).alias("bytes_per_token"),
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    k: int = 100,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zipf's-law fit per group: OLS of ln(count) on ln(rank) over the
+    top-``k`` tokens — the corpus-health number every data report
+    quotes (natural text sits near slope -1; template/boilerplate
+    floods flatten it, spam dumps steepen it; Zipf 1949, Piantadosi
+    2014 review).
+
+    Scale + determinism shape: the rank table is top_tokens' bounded
+    top-k (heavy-hitter window over the vocab-sized aggregate, integer
+    counts, token-asc ties); the four OLS sums then fold over the
+    RANK-SORTED k-element list — the ordered-fold parity idiom, k
+    bounded by the operator parameter, so the whole fit costs one
+    vocab-shuffle plus a k-row fold regardless of corpus size.
+
+    Output: (group_col, k_used long, zipf_slope double, zipf_intercept
+    double). Groups with fewer than 2 distinct tokens emit NULL fits.
+    """
+    ranks = top_tokens(docs, k=k, group_col=group_col, text_col=text_col, id_col=id_col)
+    per = ranks.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("k_used"),
+        F.sort_array(
+            F.collect_list(F.struct("rank", "n"))
+        ).alias("_a"),
+    )
+    x = lambda s: F.log(s["rank"].cast("double"))  # noqa: E731
+    y = lambda s: F.log(s["n"].cast("double"))  # noqa: E731
+
+    def _fold(term):
+        return F.aggregate(F.col("_a"), F.lit(0.0), lambda a, s: a + term(s))
+
+    kk = F.col("k_used").cast("double")
+    sx = _fold(x)
+    sy = _fold(y)
+    sxy = _fold(lambda s: x(s) * y(s))
+    sxx = _fold(lambda s: x(s) * x(s))
+    den = kk * sxx - sx * sx
+    slope = (kk * sxy - sx * sy) / den
+    return per.select(
+        group_col,
+        "k_used",
+        F.when((F.col("k_used") > 1) & (den != 0), slope).alias("zipf_slope"),
+        F.when(
+            (F.col("k_used") > 1) & (den != 0), (sy - slope * sx) / kk
+        ).alias("zipf_intercept"),
+    )
+
+
+def with_markup_density(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Structural-noise flags per document: URL, e-mail, code-fence, and
+    HTML-tag counts plus their per-character densities — the RefinedWeb/
+    C4-style boilerplate screens that run next to the quality ratios
+    (a doc that is half URLs is link spam regardless of its stopword
+    ratio).
+
+    Pure narrow regexp_count expressions (shared RE2-safe pattern
+    subset, no lookaround), zero shuffle; densities are one division by
+    the character count. Oracle-replayable.
+
+    Adds: n_urls, n_emails, n_fences, n_html long; url_density,
+    html_density double.
+    """
+    t = F.col(text_col)
+    n_chars = F.greatest(F.length(t), F.lit(1)).cast("double")
+    urls = F.regexp_count(t, F.lit(r"https?://[^\s]+"))
+    emails = F.regexp_count(
+        t, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+")
+    )
+    fences = F.regexp_count(t, F.lit("```"))
+    html = F.regexp_count(t, F.lit(r"<[A-Za-z][^>]*>"))
+    return (
+        df.withColumn("n_urls", urls.cast("long"))
+        .withColumn("n_emails", emails.cast("long"))
+        .withColumn("n_fences", fences.cast("long"))
+        .withColumn("n_html", html.cast("long"))
+        .withColumn("url_density", urls.cast("double") / n_chars)
+        .withColumn("html_density", html.cast("double") / n_chars)
+    )
