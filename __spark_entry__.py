@@ -1317,6 +1317,21 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_loss_spans(spark, sf_dir):
+    """ChatML render + assistant loss-mask character spans
+    (sessionize.render_with_loss_spans): pure integer offset arithmetic
+    over the sorted turn array, spans serialized 's-e,...' — the
+    substring contract is pytest-proven; the oracle replays offsets
+    with window sums."""
+    from z_rad_spark.operators.sessionize import render_with_loss_spans
+
+    out = render_with_loss_spans(_t(spark, sf_dir))
+    return out.select(
+        "conv_id", "n_turns", "n_chars", "n_mask_spans", "mask_chars",
+        "spans", "rendered",
+    )
+
+
 def q_zipf(spark, sf_dir):
     """Zipf's-law OLS fit per language over the top-100 tokens
     (text.zipf_fit): bounded heavy-hitter rank table, four OLS sums
@@ -3658,6 +3673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bucketed_join": q_bucketed_join,
         "q_zipf": q_zipf,
         "q_markup_density": q_markup_density,
+        "q_loss_spans": q_loss_spans,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -6585,3 +6585,40 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        {r6(f"CAST({_HTML_CNT} AS DOUBLE) / {_SAFE_LEN}", "html_density")}
 FROM documents
 """
+
+
+# loss-mask spans: integer offset arithmetic replayed with window sums;
+# the render is the q_chat_template string_agg form
+ORACLES["q_loss_spans"] = f"""
+WITH t AS ({T}),
+seg AS (
+  SELECT conv_id, ts, turn_idx,
+         COALESCE(role, '') AS role, COALESCE(text, '') AS text,
+         12 + length(COALESCE(role, '')) + 1
+            + length(COALESCE(text, '')) + 10 AS L
+  FROM t
+),
+o AS (
+  SELECT conv_id, ts, turn_idx, role, text, L,
+         COALESCE(SUM(L + 1) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM seg
+),
+sp AS (
+  SELECT conv_id,
+         CAST(COUNT(*) AS BIGINT) AS n_turns,
+         CAST(COUNT(CASE WHEN role = 'assistant' THEN 1 END) AS BIGINT) AS n_mask_spans,
+         CAST(COALESCE(SUM(CASE WHEN role = 'assistant' THEN length(text) END), 0) AS BIGINT) AS mask_chars,
+         COALESCE(string_agg(CASE WHEN role = 'assistant' THEN
+             CAST(off + 12 + length(role) + 1 AS VARCHAR) || '-' ||
+             CAST(off + 12 + length(role) + 1 + length(text) AS VARCHAR) END,
+             ',' ORDER BY ts, turn_idx), '') AS spans,
+         string_agg('<|im_start|>' || role || chr(10) || text || '<|im_end|>',
+                    chr(10) ORDER BY ts, turn_idx) AS rendered
+  FROM o GROUP BY conv_id
+)
+SELECT conv_id, n_turns,
+       CAST(length(rendered) AS BIGINT) AS n_chars,
+       n_mask_spans, mask_chars, spans, rendered
+FROM sp
+"""

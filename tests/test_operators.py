@@ -1902,3 +1902,39 @@ def test_topic_boundaries_jaccard_hand_computed(spark):
     # boundary after turn 2: left = {a,b,c,d}, right = {d,e,f,g}
     assert np.isclose(got.loc[2].cohesion, 1 / 7, atol=1e-12)
     assert got.loc[2].is_boundary
+
+
+def test_render_with_loss_spans_slices_assistant_text(spark):
+    from z_rad_spark.operators.sessionize import render_with_loss_spans
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        ("c0", 0, t0, "user", "hello there"),
+        ("c0", 1, t0 + pd.Timedelta(minutes=1), "assistant", "hi, how can I help?"),
+        ("c0", 2, t0 + pd.Timedelta(minutes=2), "user", "what is 2+2"),
+        ("c0", 3, t0 + pd.Timedelta(minutes=3), "assistant", "4"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "role", "text"])
+    got = render_with_loss_spans(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    assert got.n_mask_spans == 2
+    rendered = got.rendered
+    assert got.n_chars == len(rendered)
+    texts = []
+    for span in got.spans.split(","):
+        s, e = map(int, span.split("-"))
+        texts.append(rendered[s:e])
+    assert texts == ["hi, how can I help?", "4"]
+    assert got.mask_chars == len(texts[0]) + len(texts[1])
+    # spans never cover the user turns or the tags
+    assert "hello" not in "".join(texts)
+
+
+def test_render_with_loss_spans_no_assistant(spark):
+    from z_rad_spark.operators.sessionize import render_with_loss_spans
+
+    pdf = pd.DataFrame(
+        [("c0", 0, pd.Timestamp("2024-01-01"), "user", "just me")],
+        columns=["conv_id", "turn_idx", "ts", "role", "text"],
+    )
+    got = render_with_loss_spans(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    assert got.n_mask_spans == 0 and got.mask_chars == 0 and got.spans == ""

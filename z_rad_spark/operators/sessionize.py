@@ -912,3 +912,116 @@ def with_rolling_median(
         .withColumn("roll_mad", _median(dev))
         .drop("_fr")
     )
+
+
+def render_with_loss_spans(
+    df: DataFrame,
+    mask_role: str = "assistant",
+    start_tag: str = "<|im_start|>",
+    end_tag: str = "<|im_end|>",
+) -> DataFrame:
+    """ChatML rendering plus LOSS-MASK SPANS: the (start, end) character
+    offsets of every ``mask_role`` turn's text inside the rendered
+    string — what an SFT pipeline actually needs (train on assistant
+    tokens only; the render without offsets forces a re-parse after
+    tokenization).
+
+    Offsets are pure integer arithmetic over the same sorted turn array
+    render_chat_template uses: segment i starts at
+    sum_{j<i}(len(segment_j) + 1) (the '\\n' joiner), and the text
+    inside a segment starts after ``start_tag + role + '\\n'``. Spans
+    are emitted 0-based, end-exclusive, serialized as
+    ``start-end`` joined by ',' so the value gate hashes a plain
+    string on both engines.
+
+    Same plan shape as the renderer: one groupBy(conv_id), a linear
+    transform, no Python. The pytest proves substring(rendered, span)
+    == the turn text.
+
+    Output: (conv_id, n_turns long, n_chars long, n_mask_spans long,
+    mask_chars long, spans string, rendered string).
+    """
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("ts"), F.col("turn_idx"), F.col("role"), F.col("text"))
+        )
+    )
+    pre = len(start_tag)
+    post = len(end_tag)
+    turn_fmt = lambda r: F.concat(  # noqa: E731
+        F.lit(start_tag),
+        F.coalesce(r["role"], F.lit("")),
+        F.lit("\n"),
+        F.coalesce(r["text"], F.lit("")),
+        F.lit(end_tag),
+    )
+    seg_len = lambda r: (  # noqa: E731
+        F.lit(pre)
+        + F.length(F.coalesce(r["role"], F.lit("")))
+        + F.lit(1)
+        + F.length(F.coalesce(r["text"], F.lit("")))
+        + F.lit(post)
+    ).cast("long")
+    g = df.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"), arr.alias("_arr")
+    )
+    # prefix offsets: fold an array accumulator whose last element is the
+    # next segment's start (array copies are O(n^2) but n = turns)
+    offs = F.aggregate(
+        F.col("_arr"),
+        F.array(F.lit(0).cast("long")),
+        lambda acc, r: F.concat(
+            acc, F.array(F.element_at(acc, -1) + seg_len(r) + F.lit(1))
+        ),
+    )
+    g = g.withColumn("_offs", offs)
+    n = F.size("_arr")
+    span = lambda i: F.struct(  # noqa: E731
+        (
+            F.element_at("_offs", i + 1)
+            + F.lit(pre)
+            + F.length(F.coalesce(F.get("_arr", i)["role"], F.lit("")))
+            + F.lit(1)
+        ).alias("s"),
+        (
+            F.element_at("_offs", i + 1)
+            + F.lit(pre)
+            + F.length(F.coalesce(F.get("_arr", i)["role"], F.lit("")))
+            + F.lit(1)
+            + F.length(F.coalesce(F.get("_arr", i)["text"], F.lit("")))
+        ).alias("e"),
+    )
+    spans = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(1)),
+            lambda i: F.when(
+                F.coalesce(F.get("_arr", i)["role"], F.lit("")) == mask_role,
+                span(i),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    g = g.withColumn("_spans", spans)
+    return g.select(
+        "conv_id",
+        "n_turns",
+        F.length(
+            F.array_join(F.transform(F.col("_arr"), turn_fmt), "\n")
+        ).cast("long").alias("n_chars"),
+        F.size("_spans").cast("long").alias("n_mask_spans"),
+        F.aggregate(
+            F.col("_spans"),
+            F.lit(0).cast("long"),
+            lambda a, s: a + (s["e"] - s["s"]),
+        ).alias("mask_chars"),
+        F.array_join(
+            F.transform(
+                F.col("_spans"),
+                lambda s: F.concat(
+                    s["s"].cast("string"), F.lit("-"), s["e"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("spans"),
+        F.array_join(F.transform(F.col("_arr"), turn_fmt), "\n").alias("rendered"),
+    )
