@@ -1317,6 +1317,31 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff (curation.snapshot_diff): two deterministic
+    synthetic snapshots of the documents table (old drops doc_id%11==0,
+    new drops %13==0 and rewrites %7==0), classified added/removed/
+    changed/unchanged via one full-outer id join + normalized-md5
+    compare — oracle-replayable."""
+    from z_rad_spark.operators.curation import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 11 != 0)
+    new = docs.where(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    out = snapshot_diff(old, new)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "status",
+        "old_hash",
+        "new_hash",
+    )
+
+
 def q_loss_spans(spark, sf_dir):
     """ChatML render + assistant loss-mask character spans
     (sessionize.render_with_loss_spans): pure integer offset arithmetic
@@ -3674,6 +3699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zipf": q_zipf,
         "q_markup_density": q_markup_density,
         "q_loss_spans": q_loss_spans,
+        "q_snapshot_diff": q_snapshot_diff,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -6622,3 +6622,26 @@ SELECT conv_id, n_turns,
        n_mask_spans, mask_chars, spans, rendered
 FROM sp
 """
+
+
+# snapshot diff: full-outer id join + normalized-md5 content compare
+# over the same deterministic synthetic snapshots the gate builds
+ORACLES["q_snapshot_diff"] = f"""
+WITH o AS (
+  SELECT doc_id, md5({NORM_DOC}) AS old_hash
+  FROM documents WHERE doc_id % 11 <> 0
+),
+n0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+),
+n AS (SELECT doc_id, md5({NORM_DOC}) AS new_hash FROM n0)
+SELECT CAST(COALESCE(o.doc_id, n.doc_id) AS BIGINT) AS doc_id,
+       CASE WHEN o.old_hash IS NULL THEN 'added'
+            WHEN n.new_hash IS NULL THEN 'removed'
+            WHEN o.old_hash = n.new_hash THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.old_hash, n.new_hash
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""

@@ -915,3 +915,33 @@ def test_markup_density_counts(spark):
         r1.n_urls == r1.n_emails == r1.n_fences == r1.n_html == 0
     )
     assert r1.url_density == 0.0
+
+
+def test_snapshot_diff_classification(spark):
+    import pandas as pd
+
+    from z_rad_spark.operators.curation import snapshot_diff
+
+    old = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["same", "will change", "whitespace   only", "gone"],
+            }
+        )
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 5],
+                "text": ["same", "changed!", "Whitespace only", "fresh"],
+            }
+        )
+    )
+    got = snapshot_diff(old, new).toPandas().set_index("doc_id").sort_index()
+    assert got.loc[1].status == "unchanged"
+    assert got.loc[2].status == "changed"
+    # whitespace-collapse + lowercase folds to equal content
+    assert got.loc[3].status == "unchanged"
+    assert got.loc[4].status == "removed" and pd.isna(got.loc[4].new_hash)
+    assert got.loc[5].status == "added" and pd.isna(got.loc[5].old_hash)

@@ -1077,3 +1077,43 @@ def source_concentration(
         ((n * n) / ssq).alias("eff_sources"),
         (F.col("cmax").cast("double") / n).alias("top_share"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff: classify every document id across two
+    crawls/dumps as ``added`` / ``removed`` / ``changed`` / ``unchanged``
+    — the audit a pipeline runs before incremental re-processing (only
+    ``added`` + ``changed`` re-enter the quality/dedup stages; a spike
+    in ``changed`` flags a source rewriting history).
+
+    Content equality is the exact_dedup md5 of the normalized text, so
+    whitespace-only churn counts as unchanged. ONE full-outer equi-join
+    on the id — at 100 TB both sides hash-partition on the same key and
+    co-locate (or ride bucketed layouts via layout.write_bucketed, zero
+    shuffle); the md5 compare is a narrow expression.
+
+    Output: (id_col, status string, old_hash string, new_hash string).
+    """
+    def _h(df):
+        return df.select(
+            F.col(id_col),
+            F.md5(
+                F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+            ).alias("_h"),
+        )
+
+    o = _h(old).withColumnRenamed("_h", "old_hash")
+    n = _h(new).withColumnRenamed("_h", "new_hash")
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(id_col, status.alias("status"), "old_hash", "new_hash")
