@@ -1317,6 +1317,26 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental near-dup screen (dedup.incremental_dup_candidates):
+    a synthetic delta (every 10th doc, text appended, ids offset by 1e6)
+    screened against the full corpus — cross-side LSH candidates only,
+    both-sides bucket gate before any list, oracle-replayable."""
+    from z_rad_spark.operators.dedup import incremental_dup_candidates
+
+    docs = _docs(spark, sf_dir)
+    new = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail marker")).alias("text"),
+    )
+    out = incremental_dup_candidates(
+        new, docs, n=3, n_hashes=8, band_size=4, max_bucket=64
+    )
+    return out.select(
+        F.col("new_id").cast("long"), F.col("corpus_id").cast("long")
+    )
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Corpus snapshot diff (curation.snapshot_diff): two deterministic
     synthetic snapshots of the documents table (old drops doc_id%11==0,
@@ -3700,6 +3720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_markup_density": q_markup_density,
         "q_loss_spans": q_loss_spans,
         "q_snapshot_diff": q_snapshot_diff,
+        "q_incremental_dedup": q_incremental_dedup,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

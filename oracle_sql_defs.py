@@ -6645,3 +6645,52 @@ SELECT CAST(COALESCE(o.doc_id, n.doc_id) AS BIGINT) AS doc_id,
        o.old_hash, n.new_hash
 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 """
+
+
+# incremental dedup: the q_minhash_pairs machinery over the UNION of
+# corpus (side 0) and the synthetic delta (side 1, ids + 1e6, text with
+# the appended marker); buckets must hold both sides; pairs cross-side
+ORACLES["q_incremental_dedup"] = f"""
+WITH src AS (
+  SELECT doc_id, text, 0 AS side FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' tail marker' AS text, 1 AS side
+  FROM documents WHERE doc_id % 10 = 0
+),
+toks AS (SELECT doc_id, side, {TOKS_DOC} AS tk FROM src),
+sh AS (
+  SELECT doc_id, side,
+         UNNEST(list_transform(generate_series(1, len(tk) - 2),
+                               i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingle
+  FROM toks WHERE len(tk) >= 3
+),
+mh AS (
+  SELECT doc_id, side, ab.p AS perm,
+         MIN((ab.a * hh.h + ab.b) % 2147483647) AS minhash
+  FROM (SELECT doc_id, side,
+               CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS h
+        FROM sh) hh
+  JOIN {_MH_AB} ON TRUE
+  GROUP BY doc_id, side, ab.p
+),
+banded AS (
+  SELECT doc_id, side, CAST(FLOOR(perm / 4) AS INT) AS band,
+         MAX(CASE WHEN perm % 4 = 0 THEN minhash END) || ',' ||
+         MAX(CASE WHEN perm % 4 = 1 THEN minhash END) || ',' ||
+         MAX(CASE WHEN perm % 4 = 2 THEN minhash END) || ',' ||
+         MAX(CASE WHEN perm % 4 = 3 THEN minhash END) AS band_key
+  FROM mh GROUP BY doc_id, side, CAST(FLOOR(perm / 4) AS INT)
+),
+sizes AS (
+  SELECT band, band_key, COUNT(*) AS c, SUM(side) AS nn
+  FROM banded GROUP BY band, band_key
+),
+small AS (
+  SELECT banded.* FROM banded JOIN sizes USING (band, band_key)
+  WHERE sizes.c <= 64 AND sizes.nn >= 1 AND sizes.c > sizes.nn
+)
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS new_id,
+                CAST(b.doc_id AS BIGINT) AS corpus_id
+FROM small a JOIN small b USING (band, band_key)
+WHERE a.side = 1 AND b.side = 0
+"""

@@ -1938,3 +1938,41 @@ def test_render_with_loss_spans_no_assistant(spark):
     )
     got = render_with_loss_spans(spark.createDataFrame(pdf)).toPandas().iloc[0]
     assert got.n_mask_spans == 0 and got.mask_chars == 0 and got.spans == ""
+
+
+def test_incremental_dedup_finds_cross_side_near_dups_only(spark):
+    from z_rad_spark.operators.dedup import incremental_dup_candidates
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    base,
+                    base + " slightly different ending",
+                    "completely different words entirely unrelated content here now",
+                ],
+            }
+        )
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [100, 101],
+                "text": [
+                    base + " extra",                       # near-dup of 0 (and 1)
+                    "fresh unseen content nothing like the corpus at all folks",
+                ],
+            }
+        )
+    )
+    got = incremental_dup_candidates(
+        new, corpus, n=3, n_hashes=8, band_size=4
+    ).toPandas()
+    pairs = set(zip(got.new_id, got.corpus_id))
+    assert (100, 0) in pairs
+    # the fresh doc matches nothing
+    assert not any(nid == 101 for nid, _ in pairs)
+    # never within-side pairs
+    assert (got.new_id >= 100).all() and (got.corpus_id < 100).all()

