@@ -1317,6 +1317,17 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_langid_eval(spark, sf_dir):
+    """Language-ID confusion matrix + accuracy against the labeled lang
+    column (text.langid_eval): one aggregation to |langs|^2 cells,
+    exact integer ratios — oracle-replayable."""
+    from z_rad_spark.operators.text import langid_eval
+
+    out = langid_eval(_docs(spark, sf_dir))
+    out = out.select("lang", "lang_pred", "n", "row_frac", "accuracy")
+    return _r6(out, ["row_frac", "accuracy"])
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental near-dup screen (dedup.incremental_dup_candidates):
     a synthetic delta (every 10th doc, text appended, ids offset by 1e6)
@@ -3721,6 +3732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_loss_spans": q_loss_spans,
         "q_snapshot_diff": q_snapshot_diff,
         "q_incremental_dedup": q_incremental_dedup,
+        "q_langid_eval": q_langid_eval,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -6694,3 +6694,21 @@ SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS new_id,
 FROM small a JOIN small b USING (band, band_key)
 WHERE a.side = 1 AND b.side = 0
 """
+
+
+# langid eval: the q_lang_id predictor joined to the labeled lang,
+# |langs|^2 cells, exact integer ratios
+ORACLES["q_langid_eval"] = f"""
+WITH p AS ({ORACLES["q_lang_id"]}),
+j AS (
+  SELECT d.lang, p.lang_pred FROM documents d JOIN p USING (doc_id)
+),
+cells AS (
+  SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+  FROM j GROUP BY lang, lang_pred
+)
+SELECT lang, lang_pred, n,
+       {r6('CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE)', 'row_frac')},
+       {r6("CAST(SUM(CASE WHEN lang = lang_pred THEN n END) OVER () AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)", 'accuracy')}
+FROM cells
+"""

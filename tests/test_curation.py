@@ -945,3 +945,33 @@ def test_snapshot_diff_classification(spark):
     assert got.loc[3].status == "unchanged"
     assert got.loc[4].status == "removed" and pd.isna(got.loc[4].new_hash)
     assert got.loc[5].status == "added" and pd.isna(got.loc[5].old_hash)
+
+
+def test_langid_eval_confusion_and_accuracy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from z_rad_spark.operators.text import langid_eval
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": [
+                "the cat and the dog is here",       # en -> en
+                "der hund und die katze ist nicht",  # de -> de
+                "el perro es la casa que de",        # es -> es
+                "nothing matching markers xyzzy",    # en -> und (miss)
+            ],
+            "lang": ["en", "de", "es", "en"],
+        }
+    )
+    got = langid_eval(spark.createDataFrame(pdf)).toPandas()
+    cells = {(r.lang, r.lang_pred): r.n for _, r in got.iterrows()}
+    assert cells[("en", "en")] == 1
+    assert cells[("de", "de")] == 1
+    assert cells[("es", "es")] == 1
+    assert cells[("en", "und")] == 1
+    assert np.isclose(got.accuracy.iloc[0], 3 / 4)
+    assert (got.accuracy == got.accuracy.iloc[0]).all()
+    en_rows = got[got.lang == "en"]
+    assert np.isclose(en_rows.row_frac.sum(), 1.0)

@@ -754,3 +754,42 @@ def with_markup_density(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("url_density", urls.cast("double") / n_chars)
         .withColumn("html_density", html.cast("double") / n_chars)
     )
+
+
+def langid_eval(df: DataFrame, true_col: str = "lang") -> DataFrame:
+    """Language-ID confusion matrix against labeled data: per
+    (true, predicted) cell the count, the row fraction (recall
+    direction), and the model's overall accuracy — the eval table that
+    says whether the n-gram heuristic is good enough for the corpus at
+    hand before it gates anything.
+
+    One aggregation over the scored frame (|langs|^2 cells); accuracy is
+    an exact integer ratio computed on the same compacted frame via a
+    full-frame window sum, so nothing touches the corpus twice. All
+    exact integers + single divisions — oracle-replayable.
+
+    Output: (lang, lang_pred, n long, row_frac double, accuracy double —
+    the model-level scalar, repeated).
+    """
+    from pyspark.sql import Window
+
+    scored = with_lang_id(df)
+    cells = scored.groupBy(true_col, "lang_pred").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w_row = Window.partitionBy(true_col)
+    w_all = Window.partitionBy()
+    return cells.select(
+        true_col,
+        "lang_pred",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w_row).cast("double")).alias(
+            "row_frac"
+        ),
+        (
+            F.sum(F.when(F.col(true_col) == F.col("lang_pred"), F.col("n")))
+            .over(w_all)
+            .cast("double")
+            / F.sum("n").over(w_all).cast("double")
+        ).alias("accuracy"),
+    )
