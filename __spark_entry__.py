@@ -3194,6 +3194,26 @@ def q_stream_page_hinkley(spark, sf_dir):
     )
 
 
+def q_stream_range_join(spark, sf_dir):
+    """Watermarked stream-stream range join
+    (streaming.streaming_range_join): low-signal turns x high-signal
+    state events of the same conversation within the trailing hour —
+    inner join, append mode, two-sided range predicate (bounded state).
+    The batch oracle replays the exact pair set as a plain range
+    join."""
+    from z_rad_spark.streaming import streaming_range_join
+
+    res = _replay_stream(
+        spark, sf_dir,
+        lambda s: streaming_range_join(s, high_threshold=8.0, range_seconds=3600.0),
+        "q_stream_rj_",
+    )
+    return _r6(
+        res.select("conv_id", "ts_us", "signal", "state_ts_us", "state_val"),
+        ["signal", "state_val"],
+    )
+
+
 def q_daily_activity(spark, sf_dir):
     """Daily active/new/retained conversations (profile.daily_activity):
     distinct (conv, day) grid, min-day firsts, day+1 self equi-join —
@@ -3733,6 +3753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_diff": q_snapshot_diff,
         "q_incremental_dedup": q_incremental_dedup,
         "q_langid_eval": q_langid_eval,
+        "q_stream_range_join": q_stream_range_join,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -6712,3 +6712,29 @@ SELECT lang, lang_pred, n,
        {r6("CAST(SUM(CASE WHEN lang = lang_pred THEN n END) OVER () AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)", 'accuracy')}
 FROM cells
 """
+
+
+# stream-stream range join: batch replay — the same signal split and
+# two-sided range predicate as streaming_range_join (events-derived
+# stream frame, NOT the transcripts derivation: no turn_idx exists on
+# the stream)
+ORACLES["q_stream_range_join"] = f"""
+WITH s AS (
+  SELECT 'c' || CAST(user_id AS STRING) AS conv_id,
+         ts,
+         CAST(1 + ABS(CAST(FLOOR(value) AS INT)) % 9 AS DOUBLE) AS signal
+  FROM events
+),
+lo AS (SELECT conv_id, ts, signal FROM s WHERE signal < 8.0),
+hi AS (SELECT conv_id AS s_conv_id, ts AS state_ts, signal AS state_val
+       FROM s WHERE signal >= 8.0)
+SELECT lo.conv_id,
+       epoch_us(lo.ts) AS ts_us,
+       {r6('lo.signal', 'signal')},
+       epoch_us(hi.state_ts) AS state_ts_us,
+       {r6('hi.state_val', 'state_val')}
+FROM lo JOIN hi
+  ON hi.s_conv_id = lo.conv_id
+ AND hi.state_ts <= lo.ts
+ AND hi.state_ts >= lo.ts - INTERVAL 3600 SECONDS
+"""

@@ -294,3 +294,37 @@ def test_streaming_page_hinkley_matches_recursion_and_restarts(spark, tmp_path):
     assert np.allclose(got["ph"].to_numpy(), want_ph, atol=1e-12)
     # the shift drives the chart strictly up across the restart boundary
     assert got["ph"].iloc[-1] > got["ph"].iloc[-2] > 0.0
+
+
+def test_streaming_range_join_pairs(spark, tmp_path):
+    from z_rad_spark.streaming import streaming_range_join
+
+    src = str(tmp_path / "src_rj")
+    out_path = str(tmp_path / "out_rj")
+    ck = str(tmp_path / "ck_rj")
+    rows = [
+        # state event (signal >= 8) at t0
+        ("c1", 0, "2024-01-01 10:00:00", 9.0),
+        # low turns: inside the hour window, at the boundary, and outside
+        ("c1", 1, "2024-01-01 10:30:00", 3.0),
+        ("c1", 2, "2024-01-01 11:00:00", 4.0),   # exactly 1h after: included
+        ("c1", 3, "2024-01-01 11:00:01", 5.0),   # 1h+1s: excluded
+        # other conversation: never joins across convs
+        ("c2", 0, "2024-01-01 10:10:00", 2.0),
+        # low turn BEFORE the state event: excluded (state_ts <= ts fails)
+        ("c1", 4, "2024-01-01 09:59:00", 2.0),
+    ]
+    _write_batch(spark, src, rows)
+    stream = spark.readStream.schema(SCHEMA).parquet(src).select(
+        "conv_id", "ts", "signal"
+    )
+    _run_to_parquet(
+        streaming_range_join(stream, high_threshold=8.0, range_seconds=3600.0),
+        out_path,
+        ck,
+    )
+    got = _read_sink(spark, out_path).sort_values("ts_us").reset_index(drop=True)
+    assert len(got) == 2
+    assert set(got.signal) == {3.0, 4.0}
+    assert (got.state_val == 9.0).all()
+    assert (got.conv_id == "c1").all()

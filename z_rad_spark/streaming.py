@@ -529,3 +529,61 @@ def streaming_page_hinkley(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_range_join(
+    stream: DataFrame,
+    high_threshold: float = 8.0,
+    range_seconds: float = 3600.0,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM range join — the Structured Streaming
+    capability the rest of this module's stateful operators don't
+    exercise: two event streams joined on key + an event-time range,
+    with watermarks bounding the join state so Spark can evict rows
+    that can no longer match (the unbounded-state trap of naive
+    stream-stream joins).
+
+    Shape here: the turn stream self-splits into LOW-signal turns and
+    HIGH-signal 'state events' (signal >= high_threshold); each low
+    turn joins every state event of its conversation from the previous
+    ``range_seconds`` — the streaming form of the point-in-interval
+    enrichment (the batch interval_join / asof_join family). Inner
+    join + append mode: the emitted set is exactly the pairs whose
+    range condition holds, deterministic under any arrival order, so
+    the batch oracle replays it as a plain range join.
+
+    State contract: both sides carry the same watermark; the range
+    predicate is two-sided (state_ts in (ts - range, ts]), which is
+    what lets the state store expire both sides — an open-ended
+    condition would grow state forever.
+
+    Output: (conv_id, ts_us long, signal double, state_ts_us long,
+    state_val double).
+    """
+    thr = float(high_threshold)
+    turns = stream.where(F.col("signal") < thr).withWatermark("ts", watermark)
+    states = (
+        stream.where(F.col("signal") >= thr)
+        .select(
+            F.col("conv_id").alias("s_conv_id"),
+            F.col("ts").alias("state_ts"),
+            F.col("signal").alias("state_val"),
+        )
+        .withWatermark("state_ts", watermark)
+    )
+    rng = F.expr(f"INTERVAL {int(range_seconds)} SECONDS")
+    joined = turns.join(
+        states,
+        (F.col("conv_id") == F.col("s_conv_id"))
+        & (F.col("state_ts") <= F.col("ts"))
+        & (F.col("state_ts") >= F.col("ts") - rng),
+        "inner",
+    )
+    return joined.select(
+        "conv_id",
+        F.unix_micros("ts").cast("long").alias("ts_us"),
+        F.col("signal"),
+        F.unix_micros("state_ts").cast("long").alias("state_ts_us"),
+        "state_val",
+    )
