@@ -1317,6 +1317,24 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_loop_detection(spark, sf_dir):
+    """Generation-loop detector (dedup.loop_detection): the most
+    repeated 3-gram per document with its repeat count and slot
+    fraction — (doc, gram) counts, per-doc MIN over (-count, gram),
+    exact integers, oracle-replayable."""
+    from z_rad_spark.operators.dedup import loop_detection
+
+    out = loop_detection(_docs(spark, sf_dir), n=3)
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_grams",
+        "max_repeat",
+        "top_gram",
+        "loop_frac",
+    )
+    return _r6(out, ["loop_frac"])
+
+
 def q_langid_eval(spark, sf_dir):
     """Language-ID confusion matrix + accuracy against the labeled lang
     column (text.langid_eval): one aggregation to |langs|^2 cells,
@@ -3754,6 +3772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_dedup": q_incremental_dedup,
         "q_langid_eval": q_langid_eval,
         "q_stream_range_join": q_stream_range_join,
+        "q_loop_detection": q_loop_detection,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

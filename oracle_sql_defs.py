@@ -6738,3 +6738,35 @@ FROM lo JOIN hi
  AND hi.state_ts <= lo.ts
  AND hi.state_ts >= lo.ts - INTERVAL 3600 SECONDS
 """
+
+
+# loop detection: NON-distinct shingles (occurrence counts), per-doc
+# argmax by (count desc, gram asc); short docs emit the zero row
+ORACLES["q_loop_detection"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS_DOC} AS tk FROM documents),
+sh AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(tk) - 2),
+                               i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingle
+  FROM toks WHERE len(tk) >= 3
+),
+counts AS (
+  SELECT doc_id, shingle, CAST(COUNT(*) AS BIGINT) AS c
+  FROM sh GROUP BY doc_id, shingle
+),
+tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams FROM counts GROUP BY doc_id),
+best AS (
+  SELECT doc_id, shingle, c FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY c DESC, shingle ASC) AS rn
+    FROM counts) WHERE rn = 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(t.n_grams, 0) AS n_grams,
+       COALESCE(b.c, 0) AS max_repeat,
+       b.shingle AS top_gram,
+       {r6('CAST(b.c AS DOUBLE) / CAST(t.n_grams AS DOUBLE)', 'loop_frac')}
+FROM documents d
+LEFT JOIN tot t ON t.doc_id = d.doc_id
+LEFT JOIN best b ON b.doc_id = d.doc_id
+"""

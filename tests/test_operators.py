@@ -1976,3 +1976,29 @@ def test_incremental_dedup_finds_cross_side_near_dups_only(spark):
     assert not any(nid == 101 for nid, _ in pairs)
     # never within-side pairs
     assert (got.new_id >= 100).all() and (got.corpus_id < 100).all()
+
+
+def test_loop_detection_flags_looping_doc(spark):
+    from z_rad_spark.operators.dedup import loop_detection
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "stuck in a loop stuck in a loop stuck in a loop",  # loops
+                "a perfectly normal sentence with unique words only here",
+                "x",                                                 # < n words
+            ],
+        }
+    )
+    got = loop_detection(spark.createDataFrame(docs), n=3).toPandas().set_index("doc_id")
+    r0 = got.loc[0]
+    # 12 words -> 10 3-gram slots; 'stuck in a' and 'in a loop' occur 3x;
+    # tie-break picks the lexicographically smaller gram
+    assert r0.max_repeat == 3
+    assert r0.top_gram == "in a loop"
+    assert np.isclose(r0.loop_frac, 3 / 10)
+    r1 = got.loc[1]
+    assert r1.max_repeat == 1
+    r2 = got.loc[2]
+    assert r2.n_grams == 0 and r2.max_repeat == 0 and r2.top_gram is None

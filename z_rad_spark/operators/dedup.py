@@ -1035,3 +1035,56 @@ def incremental_dup_candidates(
         .select("p.new_id", "p.corpus_id")
         .distinct()
     )
+
+
+def loop_detection(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Degenerate-repetition (generation-loop) detector: the most
+    repeated word n-gram WITHIN each document — the screen that catches
+    model output stuck in a loop ('the the the', repeated sentence
+    tails), which global dedup never sees because the loop lives inside
+    one document. Complements repetition_stats' dup-fraction: this one
+    names the worst offender and how hard it loops.
+
+    max_repeat = occurrences of the most frequent n-gram (ties: the
+    lexicographically smallest gram — deterministic); loop_frac = the
+    fraction of all n-gram slots that worst gram occupies.
+
+    One (doc, gram) count shuffle + one per-doc MIN over the
+    (-count, gram) struct — no per-doc window, exact integers, one
+    division. Documents shorter than n words emit max_repeat 0.
+
+    Output: (id_col, n_grams long, max_repeat long, top_gram string,
+    loop_frac double).
+    """
+    sh = word_shingles(docs, n, text_col, id_col, distinct=False)
+    counts = sh.groupBy(id_col, "shingle").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    per = counts.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_grams"),
+        F.min(
+            F.struct((-F.col("_c")).alias("_neg"), F.col("shingle").alias("_g"))
+        ).alias("_best"),
+    )
+    best_c = -F.col("_best._neg")
+    out = per.select(
+        id_col,
+        "n_grams",
+        best_c.cast("long").alias("max_repeat"),
+        F.col("_best._g").alias("top_gram"),
+        (best_c.cast("double") / F.col("n_grams").cast("double")).alias("loop_frac"),
+    )
+    short = docs.select(F.col(id_col)).join(out.select(id_col), id_col, "left_anti")
+    empty = short.select(
+        id_col,
+        F.lit(0).cast("long").alias("n_grams"),
+        F.lit(0).cast("long").alias("max_repeat"),
+        F.lit(None).cast("string").alias("top_gram"),
+        F.lit(None).cast("double").alias("loop_frac"),
+    )
+    return out.unionByName(empty)
