@@ -1317,6 +1317,18 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_volume_anomaly(spark, sf_dir):
+    """Daily volume anomaly flags per role (profile.volume_anomaly):
+    modified z-score against the group's own day-count distribution —
+    sorted-pick median/MAD over the bounded day grid, broadcast back,
+    oracle-replayable."""
+    from z_rad_spark.operators.profile import volume_anomaly
+
+    out = volume_anomaly(_t(spark, sf_dir), group_col="role")
+    out = out.select("role", "day", "n", "med", "mad", "mz", "is_anomaly")
+    return _r6(out, ["med", "mad", "mz"])
+
+
 def q_loop_detection(spark, sf_dir):
     """Generation-loop detector (dedup.loop_detection): the most
     repeated 3-gram per document with its repeat count and slot
@@ -3773,6 +3785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_langid_eval": q_langid_eval,
         "q_stream_range_join": q_stream_range_join,
         "q_loop_detection": q_loop_detection,
+        "q_volume_anomaly": q_volume_anomaly,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

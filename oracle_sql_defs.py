@@ -6770,3 +6770,35 @@ FROM documents d
 LEFT JOIN tot t ON t.doc_id = d.doc_id
 LEFT JOIN best b ON b.doc_id = d.doc_id
 """
+
+
+# daily volume anomaly: sorted-pick median/MAD over the per-group day
+# counts (the _TS_MED element-pick form), modified z with the 0.6745
+# literal, mirrored parenthesization
+ORACLES["q_volume_anomaly"] = f"""
+WITH t AS ({T}),
+counts AS (
+  SELECT role, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM t GROUP BY role, strftime(ts, '%Y-%m-%d')
+),
+l AS (
+  SELECT role, list_sort(list(CAST(n AS DOUBLE))) AS ns FROM counts GROUP BY role
+),
+m AS (
+  SELECT role, ns, {_TS_MED.format(a='ns')} AS med FROM l
+),
+mm AS (
+  SELECT role, med,
+         {_TS_MED.format(a='list_sort(list_transform(ns, v -> ABS(v - med)))')} AS mad
+  FROM m
+)
+SELECT c.role, c.day, c.n,
+       {r6('p.med', 'med')},
+       {r6('p.mad', 'mad')},
+       {r6('CASE WHEN p.mad > 0 THEN 0.6745 * (CAST(c.n AS DOUBLE) - p.med) / p.mad END', 'mz')},
+       COALESCE(CASE WHEN p.mad > 0
+                     THEN ABS(0.6745 * (CAST(c.n AS DOUBLE) - p.med) / p.mad) > 3.5 END,
+                FALSE) AS is_anomaly
+FROM counts c JOIN mm p USING (role)
+"""

@@ -1555,3 +1555,41 @@ def test_rolling_median_matches_pandas(spark):
     assert row.n_in_frame == 5
     assert np.isclose(row.roll_mad, mad, atol=1e-12)
     assert (got.n_in_frame <= 5).all() and (got.n_in_frame >= 1).all()
+
+
+def test_volume_anomaly_flags_spike_day(spark):
+    from z_rad_spark.operators.profile import volume_anomaly
+
+    rows = []
+    # 14 normal days (~10 turns) and one 100-turn spike day
+    for d in range(15):
+        n = 100 if d == 7 else 10
+        for i in range(n):
+            rows.append(
+                (f"c{i % 3}", i,
+                 pd.Timestamp("2024-01-01") + pd.Timedelta(days=d, minutes=i),
+                 1.0, "user")
+            )
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "signal", "role"])
+    got = volume_anomaly(spark.createDataFrame(pdf), group_col="role").toPandas()
+    spike = got[got.day == "2024-01-08"].iloc[0]
+    # fourteen identical days -> med 10, MAD 0: the documented zero-MAD
+    # suppression (mz NULL, never anomalous) — a degenerate-spread series
+    # cannot be scored robustly
+    assert spike.med == 10.0 and spike.mad == 0.0
+    assert pd.isna(spike.mz) and not got.is_anomaly.any()
+    # with day-count spread the spike day must flag
+    rows2 = []
+    for d in range(15):
+        n = 100 if d == 7 else 10 + d % 3
+        for i in range(n):
+            rows2.append(
+                (f"c{i % 3}", i,
+                 pd.Timestamp("2024-02-01") + pd.Timedelta(days=d, minutes=i),
+                 1.0, "user")
+            )
+    pdf2 = pd.DataFrame(rows2, columns=["conv_id", "turn_idx", "ts", "signal", "role"])
+    got2 = volume_anomaly(spark.createDataFrame(pdf2), group_col="role").toPandas()
+    spike2 = got2[got2.day == "2024-02-08"].iloc[0]
+    assert spike2.is_anomaly and spike2.mz > 3.5
+    assert not got2[got2.day != "2024-02-08"].is_anomaly.any()

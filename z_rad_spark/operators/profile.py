@@ -603,3 +603,62 @@ def changepoint(df: DataFrame, signal_col: str = "signal") -> DataFrame:
         (mr - ml).alias("mean_gap"),
         (b["g"].cast("double") / (n * n)).alias("g_stat"),
     )
+
+
+def volume_anomaly(df: DataFrame, group_col: str = "role") -> DataFrame:
+    """Daily volume anomaly flags per group: each (group, UTC day)'s
+    turn count scored against the group's own daily distribution with
+    the robust modified z-score
+
+        mz = 0.6745 * (n - median) / MAD,   anomaly when |mz| > 3.5
+
+    (Iglewicz & Hoaglin 1993 — the outage/bot-flood detector that one
+    wild day cannot poison, unlike a mean/std chart).
+
+    Scale + determinism shape: the day grid is tiny (groups x days), so
+    the median/MAD are sorted-array element picks over the per-group
+    collected day-count list (bounded by the calendar, not the data);
+    counts are exact integers and the score is two subtractions, one
+    multiply, one division. Bit-replayable.
+
+    Output: (group_col, day string, n long, med double, mad double,
+    mz double, is_anomaly boolean). mz is NULL (never anomalous) when
+    MAD = 0.
+    """
+    day = F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
+    counts = df.groupBy(F.col(group_col), day.alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+    def _median(arr):
+        m = F.size(arr)
+        mid = F.floor(m / 2).cast("int")
+        return F.when(m % 2 == 1, F.get(arr, mid)).otherwise(
+            (F.get(arr, mid - 1) + F.get(arr, mid)) / F.lit(2.0)
+        )
+
+    per = counts.groupBy(group_col).agg(
+        F.sort_array(F.collect_list(F.col("n").cast("double"))).alias("_ns")
+    )
+    per = per.withColumn("med", _median(F.col("_ns")))
+    per = per.withColumn(
+        "mad",
+        _median(
+            F.array_sort(
+                F.transform(F.col("_ns"), lambda v: F.abs(v - F.col("med")))
+            )
+        ),
+    ).select(group_col, "med", "mad")
+    out = counts.join(F.broadcast(per), group_col)
+    mz = F.lit(0.6745) * (F.col("n").cast("double") - F.col("med")) / F.col("mad")
+    return out.select(
+        group_col,
+        "day",
+        "n",
+        "med",
+        "mad",
+        F.when(F.col("mad") > 0, mz).alias("mz"),
+        F.coalesce(
+            F.when(F.col("mad") > 0, F.abs(mz) > F.lit(3.5)), F.lit(False)
+        ).alias("is_anomaly"),
+    )
