@@ -1317,6 +1317,18 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_tfidf_embed(spark, sf_dir):
+    """TF-IDF-weighted hashed embedding (text.tfidf_hashed_embedding,
+    16 dims): exact tf/df integers, token-sorted per-bucket weight
+    folds, fixed-chain L2 norm — oracle-replayable."""
+    from z_rad_spark.operators.text import tfidf_hashed_embedding
+
+    out = tfidf_hashed_embedding(_docs(spark, sf_dir), dims=16)
+    cols = [f"e{d:02d}" for d in range(16)]
+    out = out.select(F.col("doc_id").cast("long").alias("doc_id"), *cols)
+    return _r6(out, cols)
+
+
 def q_volume_anomaly(spark, sf_dir):
     """Daily volume anomaly flags per role (profile.volume_anomaly):
     modified z-score against the group's own day-count distribution —
@@ -3786,6 +3798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_range_join": q_stream_range_join,
         "q_loop_detection": q_loop_detection,
         "q_volume_anomaly": q_volume_anomaly,
+        "q_tfidf_embed": q_tfidf_embed,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

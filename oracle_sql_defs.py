@@ -6802,3 +6802,61 @@ SELECT c.role, c.day, c.n,
                 FALSE) AS is_anomaly
 FROM counts c JOIN mm p USING (role)
 """
+
+
+# TF-IDF hashed embedding: exact tf/df, token-ordered per-bucket weight
+# folds, fixed-chain norm — mirrors text.tfidf_hashed_embedding
+def _tfidf_embed_sql(dims: int = 16) -> str:
+    vcols = ",\n         ".join(
+        f"COALESCE(MAX(CASE WHEN b = {d} THEN v END), 0.0) AS v{d}"
+        for d in range(dims)
+    )
+    norm_terms = " + ".join(f"(v{d} * v{d})" for d in range(dims))
+    # left-nested chain to match the Spark fold order exactly
+    acc = f"(v0 * v0)"
+    for d in range(1, dims):
+        acc = f"({acc} + (v{d} * v{d}))"
+    ecols = ",\n       ".join(
+        f"CASE WHEN nrm > 0 THEN v{d} / nrm ELSE 0.0 END AS raw_e{d:02d}"
+        for d in range(dims)
+    )
+    final = ",\n       ".join(
+        r6(f"raw_e{d:02d}", f"e{d:02d}") for d in range(dims)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_RAW}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, token),
+dfc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS dfq FROM tf GROUP BY token),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         CAST(('0x' || substring(md5(tf.token), 1, 4)) AS BIGINT) % {dims} AS b,
+         CAST(tf.tf AS DOUBLE)
+           * (ln(CAST(nd.N + 1 AS DOUBLE) / CAST(dfc.dfq + 1 AS DOUBLE)) + 1.0) AS w
+  FROM tf JOIN dfc USING (token), nd
+),
+pb AS (
+  SELECT doc_id, b,
+         list_reduce([0.0] || list(w ORDER BY token), (a, x) -> a + x) AS v
+  FROM scored GROUP BY doc_id, b
+),
+wide AS (
+  SELECT doc_id,
+         {vcols}
+  FROM pb GROUP BY doc_id
+),
+nrm AS (SELECT *, sqrt({acc}) AS nrm FROM wide),
+raw AS (
+  SELECT doc_id,
+       {ecols}
+  FROM nrm
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {final}
+FROM raw
+"""
+
+
+ORACLES["q_tfidf_embed"] = _tfidf_embed_sql(16)

@@ -975,3 +975,48 @@ def test_langid_eval_confusion_and_accuracy(spark):
     assert (got.accuracy == got.accuracy.iloc[0]).all()
     en_rows = got[got.lang == "en"]
     assert np.isclose(en_rows.row_frac.sum(), 1.0)
+
+
+def test_tfidf_hashed_embedding_downweights_ubiquitous_tokens(spark):
+    import numpy as np
+    import pandas as pd
+
+    from z_rad_spark.operators.text import hashed_embedding, tfidf_hashed_embedding
+
+    # 'common' appears in every doc (df = N -> idf ~ ln(N+1/N+1)=0 -> w=tf*1);
+    # each doc also has a unique token (df=1 -> higher idf weight)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [f"common common common unique{i}" for i in range(6)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = tfidf_hashed_embedding(df, dims=16).toPandas().set_index("doc_id")
+    raw = hashed_embedding(df, dims=16).toPandas().set_index("doc_id")
+    # unit norm both ways
+    for frame in (got, raw):
+        norms = np.sqrt((frame.to_numpy() ** 2).sum(axis=1))
+        assert np.allclose(norms, 1.0, atol=1e-12)
+    # manual reference for doc 0
+    import math
+
+    N = 6
+    w_common = 3 * (math.log((N + 1) / (6 + 1)) + 1)      # df=6
+    w_uniq = 1 * (math.log((N + 1) / (1 + 1)) + 1)        # df=1
+    # tfidf gives the unique token RELATIVELY more mass than raw counts
+    ratio_tfidf = w_uniq / w_common
+    ratio_raw = 1 / 3
+    assert ratio_tfidf > ratio_raw
+    # and the embedding actually reflects it: the bucket holding the
+    # unique token carries more relative mass under tfidf
+    def bucket(tok):
+        import hashlib
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % 16
+
+    b_c, b_u = bucket("common"), bucket("unique0")
+    if b_c != b_u:
+        r0, g0 = raw.loc[0], got.loc[0]
+        assert abs(g0[f"e{b_u:02d}"] / g0[f"e{b_c:02d}"]) > abs(
+            r0[f"e{b_u:02d}"] / r0[f"e{b_c:02d}"]
+        )

@@ -793,3 +793,75 @@ def langid_eval(df: DataFrame, true_col: str = "lang") -> DataFrame:
             / F.sum("n").over(w_all).cast("double")
         ).alias("accuracy"),
     )
+
+
+def tfidf_hashed_embedding(
+    df: DataFrame, dims: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """TF-IDF-weighted feature-hashing embedding: hashed_embedding with
+    each token contributing tf * (ln((N+1)/(df+1)) + 1) instead of a
+    raw count — the standard upgrade that stops stopword mass from
+    dominating every bucket (Salton & Buckley 1988 weighting, smoothed
+    so unseen-df never divides by zero).
+
+    Determinism shape: tf and df are exact integers; each token's
+    weight is a fixed float chain; the PER-BUCKET sums fold over the
+    TOKEN-SORTED (token, weight) list — the engine's ordered-fold
+    parity idiom (a plain SUM over floats would be engine-order
+    dependent) — and the bucket lists are bounded by per-document
+    vocabulary. One (doc, token) aggregate, one token equi-join to the
+    df side, one (doc, bucket) fold, one doc regroup.
+
+    Emits ``dims`` wide columns ``e00..`` L2-normalized like
+    hashed_embedding (norm = fixed chain over the dims bucket values).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").cast("long").alias("_tf"))
+    dfc = tf.groupBy("token").agg(F.count("*").cast("long").alias("_df"))
+    n_docs = df.select(F.count("*").cast("long").alias("_N"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("long") % dims
+    )
+    w = F.col("_tf").cast("double") * (
+        F.log(
+            (F.col("_N") + F.lit(1)).cast("double")
+            / (F.col("_df") + F.lit(1)).cast("double")
+        )
+        + F.lit(1.0)
+    )
+    scored = (
+        tf.join(dfc, "token")
+        .join(F.broadcast(n_docs))
+        .select(id_col, "token", bucket.alias("_b"), w.alias("_w"))
+    )
+    per_bucket = scored.groupBy(id_col, "_b").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("token", "_w"))),
+            F.lit(0.0),
+            lambda a, s: a + s["_w"],
+        ).alias("_v")
+    )
+    wide = per_bucket.groupBy(id_col).agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("_b") == d, F.col("_v"))), F.lit(0.0)
+            ).alias(f"_v{d}")
+            for d in range(dims)
+        ]
+    )
+    norm_sq = None
+    for d in range(dims):
+        term = F.col(f"_v{d}") * F.col(f"_v{d}")
+        norm_sq = term if norm_sq is None else norm_sq + term
+    out = wide.withColumn("_norm", F.sqrt(norm_sq))
+    for d in range(dims):
+        out = out.withColumn(
+            f"e{d:02d}",
+            F.when(F.col("_norm") > 0, F.col(f"_v{d}") / F.col("_norm")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    return out.select(id_col, *[f"e{d:02d}" for d in range(dims)])
