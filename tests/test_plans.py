@@ -991,3 +991,48 @@ def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
     assert one_day in plan or "isnotnull(day" in plan
     # the filter never appears as a post-scan Filter on the partition col
     assert q.count() == t.where(F.col("day") == one_day).count()
+
+
+def test_late_session_operator_plan_shapes(spark):
+    """Plan pins for the session-9 late operators: each one's key scale
+    property — no per-group Window where a groupBy fold suffices, no
+    cartesian products, the single bucket-gate window in the
+    incremental LSH screen."""
+    import pandas as pd
+
+    from z_rad_spark.operators.dedup import incremental_dup_candidates, loop_detection
+    from z_rad_spark.operators.profile import changepoint, theil_sen_trend, volume_anomaly
+    from z_rad_spark.operators.sessionize import render_with_loss_spans
+    from z_rad_spark.operators.curation import snapshot_diff
+    from z_rad_spark.operators.text import tfidf_hashed_embedding
+
+    t = _turns_df(spark).withColumn("role", F.lit("user")).withColumn(
+        "text", F.concat(F.lit("w"), (F.col("turn_idx") % 7).cast("string"))
+    )
+    docs = _docs(spark)
+
+    plan = _plan(changepoint(t))
+    assert plan.count("Window") <= 2 and "CartesianProduct" not in plan
+
+    plan = _plan(theil_sen_trend(t))
+    assert "Window" not in plan and "CartesianProduct" not in plan
+
+    plan = _plan(render_with_loss_spans(t))
+    assert "Window" not in plan and "Join" not in plan
+
+    plan = _plan(volume_anomaly(t))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    plan = _plan(loop_detection(docs))
+    assert "Window" not in plan and "CartesianProduct" not in plan
+
+    plan = _plan(snapshot_diff(docs, docs.withColumn("text", F.upper("text"))))
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(tfidf_hashed_embedding(docs, dims=8))
+    assert "Window" not in plan and "CartesianProduct" not in plan
+
+    new = docs.select((F.col("doc_id") + 500).alias("doc_id"), "text")
+    plan = _plan(incremental_dup_candidates(new, docs, n_hashes=8))
+    assert plan.count("Window") == 1 and "CartesianProduct" not in plan
