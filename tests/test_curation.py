@@ -1020,3 +1020,58 @@ def test_tfidf_hashed_embedding_downweights_ubiquitous_tokens(spark):
         assert abs(g0[f"e{b_u:02d}"] / g0[f"e{b_c:02d}"]) > abs(
             r0[f"e{b_u:02d}"] / r0[f"e{b_c:02d}"]
         )
+
+
+def test_partition_invariance_of_session9_operators(spark):
+    """Layout independence for the session-9 wave: 1 partition == 7
+    partitions, element-exact, for the operators whose folds or argmaxes
+    could naively depend on engine order."""
+    import pandas as pd
+
+    from z_rad_spark.operators.dedup import loop_detection, ngram_containment
+    from z_rad_spark.operators.encoding import count_frequency_encode, value_quantiles
+    from z_rad_spark.operators.profile import arrival_stats, changepoint, theil_sen_trend
+    from z_rad_spark.operators.text import lexical_diversity, tfidf_hashed_embedding, zipf_fit
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"tok{i % 13} tok{i % 5} the and word{i % 31} more{i % 3} text here",
+             f"s{i % 4}", "en" if i % 2 == 0 else "de")
+            for i in range(100)
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    turns = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": [f"c{i % 5}" for i in range(150)],
+                "turn_idx": list(range(150)),
+                "ts": pd.Timestamp("2024-01-01")
+                + pd.to_timedelta([i * 37 % 977 for i in range(150)], unit="m"),
+                "signal": [float(1 + (i * 7) % 9) for i in range(150)],
+                "role": [("user", "assistant")[i % 2] for i in range(150)],
+            }
+        )
+    )
+    doc_ops = (
+        lambda d: lexical_diversity(d),
+        lambda d: tfidf_hashed_embedding(d, dims=8),
+        lambda d: zipf_fit(d, k=20),
+        lambda d: loop_detection(d, n=2),
+        lambda d: ngram_containment(d, n=2, threshold=0.5),
+        lambda d: count_frequency_encode(d, "source"),
+    )
+    for build in doc_ops:
+        one = sorted(map(tuple, build(docs.coalesce(1)).collect()))
+        many = sorted(map(tuple, build(docs.repartition(7)).collect()))
+        assert one == many
+    turn_ops = (
+        lambda d: arrival_stats(d),
+        lambda d: changepoint(d),
+        lambda d: theil_sen_trend(d),
+        lambda d: value_quantiles(d, group_col="role"),
+    )
+    for build in turn_ops:
+        one = sorted(map(tuple, build(turns.coalesce(1)).collect()))
+        many = sorted(map(tuple, build(turns.repartition(7)).collect()))
+        assert one == many
