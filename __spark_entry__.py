@@ -1317,6 +1317,27 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_kfold_encode(spark, sf_dir):
+    """K-fold out-of-fold target encoding (5 folds, conversation-grouped
+    md5 fold hash; encoding.with_kfold_target_encoding): the CV-regime
+    member of the encoder family — exact (key, fold) integer sums,
+    broadcast back, oracle-replayable."""
+    from z_rad_spark.operators.encoding import with_kfold_target_encoding
+
+    out = with_kfold_target_encoding(_t(spark, sf_dir), k=5)
+    out = out.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        _us("ts", "ts_us"),
+        "role",
+        "fold",
+        "n_oof",
+        "te_oof",
+        "te_oof_smooth",
+    )
+    return _r6(out, ["te_oof", "te_oof_smooth"])
+
+
 def q_tfidf_embed(spark, sf_dir):
     """TF-IDF-weighted hashed embedding (text.tfidf_hashed_embedding,
     16 dims): exact tf/df integers, token-sorted per-bucket weight
@@ -3799,6 +3820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_loop_detection": q_loop_detection,
         "q_volume_anomaly": q_volume_anomaly,
         "q_tfidf_embed": q_tfidf_embed,
+        "q_kfold_encode": q_kfold_encode,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -6860,3 +6860,30 @@ FROM raw
 
 
 ORACLES["q_tfidf_embed"] = _tfidf_embed_sql(16)
+
+
+# k-fold OOF target encoding: conversation-grouped md5 fold, exact
+# (key, fold) integer sums, same float chains as the LOO encoder
+ORACLES["q_kfold_encode"] = f"""
+WITH t AS ({T}),
+b AS (
+  SELECT conv_id, turn_idx, ts, role, signal,
+         CAST(CAST(('0x' || substring(md5('f1' || '|' || conv_id), 1, 8)) AS BIGINT) % 5 AS INT) AS fold
+  FROM t
+),
+pkf AS (
+  SELECT role, fold, COUNT(CAST(signal AS BIGINT)) AS nkf,
+         COALESCE(SUM(CAST(signal AS BIGINT)), 0) AS skf
+  FROM b GROUP BY role, fold
+),
+pk AS (SELECT role, SUM(nkf) AS nk, SUM(skf) AS sk FROM pkf GROUP BY role),
+g AS (SELECT SUM(nk) AS na, SUM(sk) AS sa FROM pk)
+SELECT b.conv_id, CAST(b.turn_idx AS INT) AS turn_idx, epoch_us(b.ts) AS ts_us,
+       b.role, b.fold,
+       CAST(COALESCE(pk.nk - pkf.nkf, 0) AS BIGINT) AS n_oof,
+       {r6("CASE WHEN pk.nk - pkf.nkf > 0 THEN CAST(pk.sk - pkf.skf AS DOUBLE) / CAST(pk.nk - pkf.nkf AS DOUBLE) END", "te_oof")},
+       {r6("CASE WHEN CAST(pk.nk - pkf.nkf AS DOUBLE) + 10.0 > 0 THEN (CAST(pk.sk - pkf.skf AS DOUBLE) + 10.0 * (CAST(g.sa AS DOUBLE) / CAST(g.na AS DOUBLE))) / (CAST(pk.nk - pkf.nkf AS DOUBLE) + 10.0) END", "te_oof_smooth")}
+FROM b
+LEFT JOIN pkf ON pkf.role = b.role AND pkf.fold = b.fold
+LEFT JOIN pk ON pk.role = b.role, g
+"""

@@ -1593,3 +1593,32 @@ def test_volume_anomaly_flags_spike_day(spark):
     spike2 = got2[got2.day == "2024-02-08"].iloc[0]
     assert spike2.is_anomaly and spike2.mz > 3.5
     assert not got2[got2.day != "2024-02-08"].is_anomaly.any()
+
+
+def test_kfold_encoding_excludes_own_fold(spark):
+    from z_rad_spark.operators.encoding import with_kfold_target_encoding
+
+    df, pdf = _turns(spark, n_conv=8, n_turns=25, seed=97)
+    df = df.withColumn("role", F.when(F.col("turn_idx") % 2 == 0, "a").otherwise("b"))
+    pdf = pdf.assign(role=np.where(pdf.turn_idx % 2 == 0, "a", "b"))
+    got = with_kfold_target_encoding(df, k=3, salt="t").toPandas()
+    # fold is constant within a conversation (grouped assignment)
+    assert (got.groupby("conv_id").fold.nunique() == 1).all()
+    # reference: per (role, fold) sums
+    import hashlib
+
+    def fold_of(conv):
+        return int(hashlib.md5(f"t|{conv}".encode()).hexdigest()[:8], 16) % 3
+
+    pdf = pdf.assign(fold=pdf.conv_id.map(fold_of))
+    for _, row in got.head(50).iterrows():
+        same_key = pdf[pdf.role == row.role]
+        oof = same_key[same_key.fold != row.fold].signal
+        assert row.n_oof == len(oof)
+        assert np.isclose(row.te_oof, oof.mean(), atol=1e-9)
+    # the encoding never equals the naive per-key mean when folds differ
+    naive = pdf.groupby("role").signal.mean()
+    assert not np.allclose(
+        got.drop_duplicates(["role", "fold"]).te_oof.to_numpy(),
+        naive[got.drop_duplicates(["role", "fold"]).role].to_numpy(),
+    )

@@ -410,3 +410,72 @@ def calibration_bins(
     )
     ece = ece.select(ece_val.alias("ece"))
     return per_bin.join(F.broadcast(ece))
+
+
+def with_kfold_target_encoding(
+    df: DataFrame,
+    key_col: str = "role",
+    signal_col: str = "signal",
+    k: int = 5,
+    salt: str = "f1",
+    smoothing: float = 10.0,
+) -> DataFrame:
+    """K-fold out-of-fold target encoding: each row's fold comes from a
+    deterministic salted-md5 hash of its conversation (whole
+    conversations share a fold — the grouped assignment that stops
+    intra-conversation leakage), and its encoding is the category mean
+    computed from the OTHER folds only:
+
+        te_oof = (S_key - S_key_fold) / (n_key - n_key_fold)
+        te_oof_smooth adds the m-estimate prior like the LOO encoder.
+
+    This is the standard CV-consistent encoder (leave-one-out is its
+    k=n limit; expanding is its time-ordered cousin — the three cover
+    the i.i.d./CV/temporal regimes).
+
+    Scale + determinism shape: ONE aggregate over (key, fold) —
+    |keys| x k rows — then the per-key totals fold from those same rows
+    (a second tiny aggregate), both broadcast back; exact long sums,
+    fixed float chains, engine-portable fold hash (md5 — the
+    hash_split convention). No window anywhere.
+
+    Adds: fold int, n_oof long, te_oof double, te_oof_smooth double.
+    """
+    xl = F.col(signal_col).cast("long")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.lit("|"), F.col("conv_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % k
+    ).cast("int")
+    base = df.withColumn("fold", fold)
+    per_kf = base.groupBy(key_col, "fold").agg(
+        F.count(xl).alias("_nkf"), F.coalesce(F.sum(xl), F.lit(0)).alias("_skf")
+    )
+    per_k = per_kf.groupBy(key_col).agg(
+        F.sum("_nkf").alias("_nk"), F.sum("_skf").alias("_sk")
+    )
+    glob = per_k.agg(F.sum("_nk").alias("_na"), F.sum("_sk").alias("_sa"))
+    joined = (
+        base.join(F.broadcast(per_kf), [key_col, "fold"], "left")
+        .join(F.broadcast(per_k), key_col, "left")
+        .join(F.broadcast(glob))
+    )
+    n_oof = F.col("_nk") - F.col("_nkf")
+    s_oof = (F.col("_sk") - F.col("_skf")).cast("double")
+    prior = F.col("_sa").cast("double") / F.col("_na").cast("double")
+    m = F.lit(float(smoothing))
+    te = F.when(n_oof > 0, s_oof / n_oof.cast("double"))
+    te_s = F.when(
+        (n_oof.cast("double") + m) > 0, (s_oof + m * prior) / (n_oof.cast("double") + m)
+    )
+    return (
+        joined.withColumn("n_oof", F.coalesce(n_oof, F.lit(0)).cast("long"))
+        .withColumn("te_oof", te)
+        .withColumn("te_oof_smooth", te_s)
+        .drop("_nkf", "_skf", "_nk", "_sk", "_na", "_sa")
+    )
