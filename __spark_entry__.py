@@ -1317,6 +1317,25 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_quantile_transform(spark, sf_dir):
+    """Per-role midrank ECDF quantile transform
+    (encoding.quantile_transform): u = (2*cum - c)/(2n) on the
+    compacted value histogram, broadcast back — ties share one u,
+    oracle-replayable."""
+    from z_rad_spark.operators.encoding import quantile_transform
+
+    out = quantile_transform(_t(spark, sf_dir), group_col="role")
+    out = out.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        _us("ts", "ts_us"),
+        "role",
+        F.col("signal").cast("double").alias("signal"),
+        "u",
+    )
+    return _r6(out, ["signal", "u"])
+
+
 def q_kfold_encode(spark, sf_dir):
     """K-fold out-of-fold target encoding (5 folds, conversation-grouped
     md5 fold hash; encoding.with_kfold_target_encoding): the CV-regime
@@ -3821,6 +3840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_volume_anomaly": q_volume_anomaly,
         "q_tfidf_embed": q_tfidf_embed,
         "q_kfold_encode": q_kfold_encode,
+        "q_quantile_transform": q_quantile_transform,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

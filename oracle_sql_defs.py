@@ -6887,3 +6887,25 @@ FROM b
 LEFT JOIN pkf ON pkf.role = b.role AND pkf.fold = b.fold
 LEFT JOIN pk ON pk.role = b.role, g
 """
+
+
+# midrank ECDF quantile transform on the compacted value histogram
+ORACLES["q_quantile_transform"] = f"""
+WITH t AS ({T}),
+h AS (
+  SELECT role, CAST(signal AS DOUBLE) AS val, COUNT(*) AS c
+  FROM t WHERE signal IS NOT NULL GROUP BY role, CAST(signal AS DOUBLE)
+),
+e AS (
+  SELECT role, val,
+         CAST(2 * SUM(c) OVER (PARTITION BY role ORDER BY val
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS DOUBLE)
+         / CAST(2 * SUM(c) OVER (PARTITION BY role) AS DOUBLE) AS u
+  FROM h
+)
+SELECT t.conv_id, CAST(t.turn_idx AS INT) AS turn_idx, epoch_us(t.ts) AS ts_us,
+       t.role,
+       {r6('CAST(t.signal AS DOUBLE)', 'signal')},
+       {r6('e.u', 'u')}
+FROM t LEFT JOIN e ON e.role = t.role AND e.val = CAST(t.signal AS DOUBLE)
+"""

@@ -1622,3 +1622,23 @@ def test_kfold_encoding_excludes_own_fold(spark):
         got.drop_duplicates(["role", "fold"]).te_oof.to_numpy(),
         naive[got.drop_duplicates(["role", "fold"]).role].to_numpy(),
     )
+
+
+def test_quantile_transform_midrank_ecdf(spark):
+    from z_rad_spark.operators.encoding import quantile_transform
+
+    df, pdf = _turns(spark, n_conv=4, n_turns=50, seed=101)
+    df = df.withColumn("role", F.lit("all"))
+    got = quantile_transform(df, group_col="role").toPandas()
+    vals = pdf.signal.to_numpy()
+    n = len(vals)
+    for v in np.unique(vals):
+        below = (vals < v).sum()
+        c = (vals == v).sum()
+        u_want = (2 * (below + c) - c) / (2 * n)
+        sub = got[got.signal == v]
+        assert np.allclose(sub.u, u_want, atol=1e-12)
+    # u in (0, 1), monotone in the value
+    assert (got.u > 0).all() and (got.u < 1).all()
+    m = got.groupby("signal").u.first().sort_index()
+    assert m.is_monotonic_increasing

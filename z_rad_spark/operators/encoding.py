@@ -479,3 +479,52 @@ def with_kfold_target_encoding(
         .withColumn("te_oof_smooth", te_s)
         .drop("_nkf", "_skf", "_nk", "_sk", "_na", "_sa")
     )
+
+
+def quantile_transform(
+    df: DataFrame,
+    signal_col: str = "signal",
+    group_col: str = "role",
+) -> DataFrame:
+    """Global (per-group) quantile transform: map each value to its
+    midrank ECDF position u = (2*cum - c) / (2*n) in (0, 1) — the
+    uniformizing transform that makes downstream thresholds
+    distribution-free (sessionize.with_rank_normalize is the
+    within-conversation cousin; this is the cross-corpus form a model
+    feature actually uses).
+
+    Ties share one u (midrank), so the mapping is a pure function of
+    the distribution. Scale shape: the ECDF lives on the compacted
+    (group, value) histogram — cum/count windows never touch the raw
+    frame — and maps back via broadcast of the |groups| x |values|
+    table. Exact integers, one division.
+
+    Adds: u double (NULL signals pass through as NULL).
+    """
+    from pyspark.sql import Window
+
+    x = F.col(signal_col).cast("double")
+    hist = (
+        df.where(x.isNotNull())
+        .groupBy(F.col(group_col), x.alias("_val"))
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("_val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(group_col)
+    ecdf = hist.select(
+        F.col(group_col).alias("_g"),
+        "_val",
+        (
+            (F.lit(2) * F.sum("_c").over(w_cum) - F.col("_c")).cast("double")
+            / (F.lit(2) * F.sum("_c").over(w_all)).cast("double")
+        ).alias("u"),
+    )
+    return df.join(
+        F.broadcast(ecdf),
+        (F.col(group_col) == F.col("_g")) & (x == F.col("_val")),
+        "left",
+    ).drop("_g", "_val")
