@@ -1317,6 +1317,17 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_vocab_turnover(spark, sf_dir):
+    """Weekly top-20 vocabulary turnover per role (text.vocab_turnover):
+    heavy-hitter sets per (role, epoch-week), lagged Jaccard over the
+    tiny (group, week) frame — exact set sizes, oracle-replayable."""
+    from z_rad_spark.operators.text import vocab_turnover
+
+    out = vocab_turnover(_t(spark, sf_dir), k=20, group_col="role")
+    out = out.select("role", "week", "n_top", "n_common", "turnover")
+    return _r6(out, ["turnover"])
+
+
 def q_quantile_transform(spark, sf_dir):
     """Per-role midrank ECDF quantile transform
     (encoding.quantile_transform): u = (2*cum - c)/(2n) on the
@@ -3841,6 +3852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_embed": q_tfidf_embed,
         "q_kfold_encode": q_kfold_encode,
         "q_quantile_transform": q_quantile_transform,
+        "q_vocab_turnover": q_vocab_turnover,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -77,6 +77,10 @@ HEADLINE = [
     "q_mmr",
     "q_lexical_diversity",
     "q_page_hinkley",
+    # late session-9: the two-pass TF/DF + per-bucket-fold embedding and
+    # the cross-frame incremental LSH screen
+    "q_tfidf_embed",
+    "q_incremental_dedup",
 ]
 
 

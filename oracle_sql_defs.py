@@ -6909,3 +6909,36 @@ SELECT t.conv_id, CAST(t.turn_idx AS INT) AS turn_idx, epoch_us(t.ts) AS ts_us,
        {r6('e.u', 'u')}
 FROM t LEFT JOIN e ON e.role = t.role AND e.val = CAST(t.signal AS DOUBLE)
 """
+
+
+# weekly vocabulary turnover: top-k heavy hitters per (group, epoch
+# week), lagged set Jaccard — integer set sizes, one division
+ORACLES["q_vocab_turnover"] = f"""
+WITH t AS ({T}),
+toks AS (
+  SELECT role, (epoch_us(ts) // 86400000000) // 7 AS week,
+         unnest({TOKS_RAW}) AS token
+  FROM t
+),
+counts AS (
+  SELECT role, week, token, COUNT(*) AS n FROM toks GROUP BY role, week, token
+),
+top AS (
+  SELECT role, week, list_sort(list(token)) AS s FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY role, week
+                                 ORDER BY n DESC, token ASC) AS r
+    FROM counts) WHERE r <= 20
+  GROUP BY role, week
+),
+lagd AS (
+  SELECT role, week, s,
+         LAG(s) OVER (PARTITION BY role ORDER BY week) AS p
+  FROM top
+)
+SELECT role, CAST(week AS BIGINT) AS week,
+       CAST(len(s) AS BIGINT) AS n_top,
+       CASE WHEN p IS NOT NULL
+            THEN CAST(len(list_filter(s, x -> list_contains(p, x))) AS BIGINT) END AS n_common,
+       {r6("CASE WHEN p IS NOT NULL AND len(list_distinct(s || p)) > 0 THEN 1.0 - CAST(len(list_filter(s, x -> list_contains(p, x))) AS DOUBLE) / CAST(len(list_distinct(s || p)) AS DOUBLE) END", "turnover")}
+FROM lagd
+"""

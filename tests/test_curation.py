@@ -1075,3 +1075,32 @@ def test_partition_invariance_of_session9_operators(spark):
         one = sorted(map(tuple, build(turns.coalesce(1)).collect()))
         many = sorted(map(tuple, build(turns.repartition(7)).collect()))
         assert one == many
+
+
+def test_vocab_turnover_detects_week_shift(spark):
+    import numpy as np
+    import pandas as pd
+
+    from z_rad_spark.operators.text import vocab_turnover
+
+    rows = []
+    # week 1: vocab A; week 2: same vocab; week 3: disjoint vocab
+    vocab = {0: "aa bb cc", 1: "aa bb cc", 2: "xx yy zz"}
+    for w, text in vocab.items():
+        for i in range(10):
+            rows.append(
+                ("c0", i, pd.Timestamp("2024-01-01") + pd.Timedelta(weeks=w, hours=i),
+                 1.0, "user", text)
+            )
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "signal", "role", "text"])
+    got = (
+        vocab_turnover(spark.createDataFrame(pdf), k=5, group_col="role")
+        .toPandas()
+        .sort_values("week")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 3
+    assert pd.isna(got.turnover.iloc[0])          # first week: no previous
+    assert got.turnover.iloc[1] == 0.0            # identical vocab
+    assert got.turnover.iloc[2] == 1.0            # disjoint vocab
+    assert (got.n_top == 3).all()

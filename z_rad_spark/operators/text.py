@@ -865,3 +865,65 @@ def tfidf_hashed_embedding(
             ),
         )
     return out.select(id_col, *[f"e{d:02d}" for d in range(dims)])
+
+
+def vocab_turnover(
+    df: DataFrame,
+    k: int = 20,
+    group_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Weekly vocabulary turnover per group: 1 - Jaccard between a
+    week's top-k token set and the previous week's — the corpus
+    monitor that catches a scraper/source change as a vocabulary cliff
+    (trending_tokens names each day's winners; this one scores how
+    much the LIST ITSELF churned).
+
+    Weeks are the deterministic integer bucket epoch_days // 7 (no
+    ISO-week cross-engine hazard). Top-k is the heavy-hitter window
+    over the (group, week, token) aggregate with (count desc, token
+    asc) ties; the week-over-week comparison lags the k-element sorted
+    array over the TINY (group, week) frame. Set sizes are exact
+    integers; turnover is one division.
+
+    Output: (group_col, week long, n_top long, n_common long, turnover
+    double — NULL for each group's first week).
+    """
+    from pyspark.sql import Window
+
+    week = (
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400000000)
+    ).cast("long") / F.lit(7)
+    toks = df.select(
+        F.col(group_col),
+        week.cast("long").alias("week"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("token"),
+    )
+    counts = toks.groupBy(group_col, "week", "token").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w_rank = Window.partitionBy(group_col, "week").orderBy(
+        F.desc("n"), F.asc("token")
+    )
+    top = (
+        counts.withColumn("_r", F.row_number().over(w_rank))
+        .where(F.col("_r") <= k)
+        .groupBy(group_col, "week")
+        .agg(F.array_sort(F.collect_list("token")).alias("_set"))
+    )
+    w_lag = Window.partitionBy(group_col).orderBy("week")
+    top = top.withColumn("_prev", F.lag("_set").over(w_lag))
+    inter = F.size(F.array_intersect("_set", "_prev"))
+    union = F.size(F.array_union("_set", "_prev"))
+    return top.select(
+        group_col,
+        "week",
+        F.size("_set").cast("long").alias("n_top"),
+        F.when(F.col("_prev").isNotNull(), inter).cast("long").alias("n_common"),
+        F.when(
+            F.col("_prev").isNotNull() & (union > 0),
+            F.lit(1.0) - inter.cast("double") / union.cast("double"),
+        ).alias("turnover"),
+    )
