@@ -1317,6 +1317,20 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_dialog_acts(spark, sf_dir):
+    """Heuristic dialog-act tags per turn + per-conversation mix
+    (sessionize.with_dialog_acts / dialog_act_rates): narrow literal
+    membership + one regexp, exact integer rollup — oracle-replayable."""
+    from z_rad_spark.operators.sessionize import dialog_act_rates
+
+    out = dialog_act_rates(_t(spark, sf_dir))
+    out = out.select(
+        "conv_id", "n_turns", "n_question", "n_command",
+        "question_rate", "command_rate",
+    )
+    return _r6(out, ["question_rate", "command_rate"])
+
+
 def q_vocab_turnover(spark, sf_dir):
     """Weekly top-20 vocabulary turnover per role (text.vocab_turnover):
     heavy-hitter sets per (role, epoch-week), lagged Jaccard over the
@@ -3853,6 +3867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kfold_encode": q_kfold_encode,
         "q_quantile_transform": q_quantile_transform,
         "q_vocab_turnover": q_vocab_turnover,
+        "q_dialog_acts": q_dialog_acts,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

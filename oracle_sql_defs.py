@@ -6942,3 +6942,29 @@ SELECT role, CAST(week AS BIGINT) AS week,
        {r6("CASE WHEN p IS NOT NULL AND len(list_distinct(s || p)) > 0 THEN 1.0 - CAST(len(list_filter(s, x -> list_contains(p, x))) AS DOUBLE) / CAST(len(list_distinct(s || p)) AS DOUBLE) END", "turnover")}
 FROM lagd
 """
+
+
+# dialog acts: the same literal word lists and regexp, exact rollup
+_DA_INTERROG = ("'what','why','how','when','where','who','which',"
+                "'is','are','can','could','do','does','did','will','would'")
+_DA_IMPER = ("'do','make','write','show','give','list','explain','find',"
+             "'create','run','stop','add','remove','fix','update'")
+
+ORACLES["q_dialog_acts"] = f"""
+WITH t AS ({T}),
+tagged AS (
+  SELECT conv_id,
+         CASE WHEN regexp_matches(text, '\\?\\s*$')
+                   OR ({TOKS_RAW})[1] IN ({_DA_INTERROG}) THEN 'question'
+              WHEN ({TOKS_RAW})[1] IN ({_DA_IMPER}) THEN 'command'
+              ELSE 'statement' END AS act
+  FROM t
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(COUNT(CASE WHEN act = 'question' THEN 1 END) AS BIGINT) AS n_question,
+       CAST(COUNT(CASE WHEN act = 'command' THEN 1 END) AS BIGINT) AS n_command,
+       {r6("CAST(COUNT(CASE WHEN act = 'question' THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", "question_rate")},
+       {r6("CAST(COUNT(CASE WHEN act = 'command' THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", "command_rate")}
+FROM tagged GROUP BY conv_id
+"""

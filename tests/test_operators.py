@@ -2002,3 +2002,26 @@ def test_loop_detection_flags_looping_doc(spark):
     assert r1.max_repeat == 1
     r2 = got.loc[2]
     assert r2.n_grams == 0 and r2.max_repeat == 0 and r2.top_gram is None
+
+
+def test_dialog_acts_heuristics(spark):
+    from z_rad_spark.operators.sessionize import dialog_act_rates, with_dialog_acts
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        ("c0", 0, t0, "user", "what is the weather"),          # interrogative word
+        ("c0", 1, t0 + pd.Timedelta(minutes=1), "assistant", "It is sunny today"),
+        ("c0", 2, t0 + pd.Timedelta(minutes=2), "user", "tell me more ?"),   # trailing ?
+        ("c0", 3, t0 + pd.Timedelta(minutes=3), "user", "write a poem"),     # imperative
+        ("c0", 4, t0 + pd.Timedelta(minutes=4), "assistant", "Here you go"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "role", "text"])
+    tagged = with_dialog_acts(spark.createDataFrame(pdf)).toPandas().set_index("turn_idx")
+    assert tagged.loc[0].dialog_act == "question"
+    assert tagged.loc[1].dialog_act == "statement"
+    assert tagged.loc[2].dialog_act == "question"
+    assert tagged.loc[3].dialog_act == "command"
+    assert tagged.loc[4].dialog_act == "statement"
+    rates = dialog_act_rates(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    assert rates.n_question == 2 and rates.n_command == 1
+    assert np.isclose(rates.question_rate, 2 / 5)

@@ -92,9 +92,15 @@ def main():
     # enough for the heaviest single oracle (the GLCM matrix replays
     # peak ~8-10 GB of unspillable list aggregates), applied to a FRESH
     # connection per oracle below.
+    # SPARK_GRAFT_DUCK_MEM overrides when the box is under concurrent
+    # memory pressure (e.g. parallel sweep chunks): a smaller cap makes
+    # DuckDB spill instead of failing tiny mallocs at the process
+    # ceiling.
+    duck_mem = os.environ.get("SPARK_GRAFT_DUCK_MEM", "12GB")
+
     def fresh_con():
         c = duckdb.connect()
-        c.execute("SET memory_limit='12GB'")
+        c.execute(f"SET memory_limit='{duck_mem}'")
         c.execute("SET temp_directory='/tmp/duckdb_mirror_spill'")
         for t in TABLES:
             c.execute(

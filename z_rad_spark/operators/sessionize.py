@@ -1025,3 +1025,71 @@ def render_with_loss_spans(
         ).alias("spans"),
         F.array_join(F.transform(F.col("_arr"), turn_fmt), "\n").alias("rendered"),
     )
+
+
+_INTERROGATIVES = (
+    "what", "why", "how", "when", "where", "who", "which",
+    "is", "are", "can", "could", "do", "does", "did", "will", "would",
+)
+_IMPERATIVES = (
+    "do", "make", "write", "show", "give", "list", "explain", "find",
+    "create", "run", "stop", "add", "remove", "fix", "update",
+)
+
+
+def with_dialog_acts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic dialog-act tags per turn plus the per-conversation
+    question rate — the cheap conversational-structure features an SFT
+    curation pass stratifies on (a corpus of statements trains a
+    different model than one of questions):
+
+      'question'  — ends with '?' or opens with an interrogative word
+      'command'   — opens with a bare imperative verb (and is not a
+                    question)
+      'statement' — everything else
+
+    Pure narrow expressions (one lowercase split, two literal-list
+    membership tests, one regexp) — zero shuffle for the tags; the
+    conversation rollup is one groupBy with exact integer counts.
+
+    Adds: dialog_act string, and (via the companion rollup join)
+    question_rate double per conversation.
+    """
+    first = F.element_at(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), 1)
+    is_q = F.col(text_col).rlike(r"\?\s*$") | first.isin(*_INTERROGATIVES)
+    is_cmd = first.isin(*_IMPERATIVES)
+    act = (
+        F.when(is_q, F.lit("question"))
+        .when(is_cmd, F.lit("command"))
+        .otherwise(F.lit("statement"))
+    )
+    return df.withColumn("dialog_act", act)
+
+
+def dialog_act_rates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-conversation dialog-act mix: counts and rates of the three
+    heuristic acts (with_dialog_acts). Exact integers + single
+    divisions — oracle-replayable.
+
+    Output: (conv_id, n_turns long, n_question long, n_command long,
+    question_rate double, command_rate double).
+    """
+    tagged = with_dialog_acts(df, text_col)
+    g = tagged.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.count(F.when(F.col("dialog_act") == "question", 1))
+        .cast("long")
+        .alias("n_question"),
+        F.count(F.when(F.col("dialog_act") == "command", 1))
+        .cast("long")
+        .alias("n_command"),
+    )
+    n = F.col("n_turns").cast("double")
+    return g.select(
+        "conv_id",
+        "n_turns",
+        "n_question",
+        "n_command",
+        (F.col("n_question").cast("double") / n).alias("question_rate"),
+        (F.col("n_command").cast("double") / n).alias("command_rate"),
+    )
