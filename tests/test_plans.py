@@ -1036,3 +1036,33 @@ def test_late_session_operator_plan_shapes(spark):
     new = docs.select((F.col("doc_id") + 500).alias("doc_id"), "text")
     plan = _plan(incremental_dup_candidates(new, docs, n_hashes=8))
     assert plan.count("Window") == 1 and "CartesianProduct" not in plan
+
+
+def test_final_session9_plan_shapes(spark):
+    """Plan pins for the last session-9 wave: encoder broadcasts, no
+    raw-frame windows where the compacted form exists, zero cartesians."""
+    from z_rad_spark.operators.encoding import (
+        quantile_transform,
+        with_kfold_target_encoding,
+    )
+    from z_rad_spark.operators.sessionize import dialog_act_rates
+    from z_rad_spark.operators.text import vocab_turnover
+
+    t = _roled_turns_df(spark).withColumn(
+        "text", F.concat(F.lit("w"), (F.col("turn_idx") % 7).cast("string"))
+    )
+
+    plan = _plan(quantile_transform(t, group_col="role"))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    plan = _plan(with_kfold_target_encoding(t, k=3))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = _plan(dialog_act_rates(t))
+    assert "Window" not in plan and "Join" not in plan
+
+    # two Window nodes (heavy-hitter rank on the vocab frame, week lag on
+    # the tiny (group, week) frame) — 4 textual mentions in the AQE plan
+    plan = _plan(vocab_turnover(t, k=5))
+    assert plan.count("Window") <= 4 and "CartesianProduct" not in plan
