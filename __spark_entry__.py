@@ -1317,6 +1317,23 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_length_buckets(spark, sf_dir):
+    """Power-of-two sequence-length buckets + padding-waste fraction
+    (curation.length_buckets, 16..4096): fixed integer CASE chain, one
+    division — oracle-replayable. Docs longer than the max bucket show
+    a negative pad_frac (the truncation signal)."""
+    from z_rad_spark.operators.curation import length_buckets
+
+    out = length_buckets(_docs(spark, sf_dir))
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "bucket_ceil",
+        "pad_frac",
+    )
+    return _r6(out, ["pad_frac"])
+
+
 def q_dialog_acts(spark, sf_dir):
     """Heuristic dialog-act tags per turn + per-conversation mix
     (sessionize.with_dialog_acts / dialog_act_rates): narrow literal
@@ -3868,6 +3885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_transform": q_quantile_transform,
         "q_vocab_turnover": q_vocab_turnover,
         "q_dialog_acts": q_dialog_acts,
+        "q_length_buckets": q_length_buckets,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

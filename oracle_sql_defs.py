@@ -6968,3 +6968,26 @@ SELECT conv_id,
        {r6("CAST(COUNT(CASE WHEN act = 'command' THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", "command_rate")}
 FROM tagged GROUP BY conv_id
 """
+
+
+# length buckets: the same fixed CASE chain over powers of two
+def _lb_case(n_expr: str, lo: int = 16, hi: int = 4096) -> str:
+    ceilings = []
+    b = lo
+    while b < hi:
+        ceilings.append(b)
+        b *= 2
+    ceilings.append(hi)
+    parts = " ".join(f"WHEN {n_expr} <= {c} THEN {c}" for c in ceilings)
+    return f"CASE {parts} ELSE {hi} END"
+
+
+ORACLES["q_length_buckets"] = f"""
+WITH n AS (
+  SELECT doc_id, CAST(len({TOKS_RAW}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+       CAST({_lb_case('n_tokens')} AS BIGINT) AS bucket_ceil,
+       {r6(f"1.0 - CAST(n_tokens AS DOUBLE) / CAST({_lb_case('n_tokens')} AS DOUBLE)", "pad_frac")}
+FROM n
+"""

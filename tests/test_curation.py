@@ -1104,3 +1104,24 @@ def test_vocab_turnover_detects_week_shift(spark):
     assert got.turnover.iloc[1] == 0.0            # identical vocab
     assert got.turnover.iloc[2] == 1.0            # disjoint vocab
     assert (got.n_top == 3).all()
+
+
+def test_length_buckets_powers_of_two(spark):
+    import numpy as np
+    import pandas as pd
+
+    from z_rad_spark.operators.curation import length_buckets
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(5),
+            "text": [
+                " ".join(["w"] * n) for n in (3, 16, 17, 100, 9000)
+            ],
+        }
+    )
+    got = length_buckets(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    assert list(got.bucket_ceil) == [16, 16, 32, 128, 4096]
+    assert np.isclose(got.loc[2].pad_frac, 1 - 17 / 32)
+    # over-max doc: negative pad_frac = truncation signal
+    assert got.loc[4].pad_frac < 0

@@ -1117,3 +1117,44 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(id_col, status.alias("status"), "old_hash", "new_hash")
+
+
+def length_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_bucket: int = 16,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Power-of-two sequence-length bucketing — the dynamic-batching
+    prep step (examples batched within a bucket pad to the bucket
+    ceiling, so bucket assignment IS the padding-waste budget):
+
+      bucket_ceil = smallest power of two >= n_tokens (clamped to
+      [min_bucket, max_bucket]); pad_frac = 1 - n_tokens / bucket_ceil.
+
+    Pure integer expressions (ceil-log2 via bit length arithmetic —
+    exp2(ceil(log2 n)) would round through floats; the loop-free
+    integer form can't), zero shuffle. The per-bucket occupancy report
+    a pipeline trends comes free from one groupBy over the output.
+
+    Adds: n_tokens long, bucket_ceil long, pad_frac double.
+    """
+    n = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).cast("long")
+    # smallest power of two >= n without float log: walk the candidate
+    # ceilings as a fixed CASE chain over the clamped range
+    ceilings = []
+    b = int(min_bucket)
+    while b < int(max_bucket):
+        ceilings.append(b)
+        b *= 2
+    ceilings.append(int(max_bucket))
+    expr = F.lit(int(max_bucket))
+    for c in reversed(ceilings):
+        expr = F.when(n <= c, F.lit(c)).otherwise(expr)
+    out = df.withColumn("n_tokens", n).withColumn("bucket_ceil", expr.cast("long"))
+    return out.withColumn(
+        "pad_frac",
+        F.lit(1.0)
+        - F.col("n_tokens").cast("double") / F.col("bucket_ceil").cast("double"),
+    )
