@@ -1317,6 +1317,16 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_corpus_report(spark, sf_dir):
+    """One-row corpus datasheet (curation.corpus_report): doc/token/char
+    totals, distinct langs/sources, exact-dup rate, mean lengths — one
+    aggregation pass, oracle-replayable."""
+    from z_rad_spark.operators.curation import corpus_report
+
+    out = corpus_report(_docs(spark, sf_dir))
+    return _r6(out, ["dup_rate", "mean_tokens", "mean_chars"])
+
+
 def q_length_buckets(spark, sf_dir):
     """Power-of-two sequence-length buckets + padding-waste fraction
     (curation.length_buckets, 16..4096): fixed integer CASE chain, one
@@ -3886,6 +3896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_turnover": q_vocab_turnover,
         "q_dialog_acts": q_dialog_acts,
         "q_length_buckets": q_length_buckets,
+        "q_corpus_report": q_corpus_report,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -6991,3 +6991,22 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
        {r6(f"1.0 - CAST(n_tokens AS DOUBLE) / CAST({_lb_case('n_tokens')} AS DOUBLE)", "pad_frac")}
 FROM n
 """
+
+
+# corpus datasheet: one aggregation pass, exact integers + divisions
+ORACLES["q_corpus_report"] = f"""
+WITH g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({TOKS_RAW})) AS BIGINT) AS n_tokens,
+         CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(COUNT(DISTINCT md5({NORM_DOC})) AS BIGINT) AS n_unique_texts
+  FROM documents
+)
+SELECT n_docs, n_tokens, n_chars, n_langs, n_sources, n_unique_texts,
+       {r6('1.0 - CAST(n_unique_texts AS DOUBLE) / CAST(n_docs AS DOUBLE)', 'dup_rate')},
+       {r6('CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)', 'mean_tokens')},
+       {r6('CAST(n_chars AS DOUBLE) / CAST(n_docs AS DOUBLE)', 'mean_chars')}
+FROM g
+"""

@@ -1125,3 +1125,27 @@ def test_length_buckets_powers_of_two(spark):
     assert np.isclose(got.loc[2].pad_frac, 1 - 17 / 32)
     # over-max doc: negative pad_frac = truncation signal
     assert got.loc[4].pad_frac < 0
+
+
+def test_corpus_report_hand_computed(spark):
+    import numpy as np
+    import pandas as pd
+
+    from z_rad_spark.operators.curation import corpus_report
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": ["a b c", "a  b   c", "x y", "unique words here"],
+            "lang": ["en", "en", "de", "en"],
+            "source": ["s0", "s1", "s0", "s2"],
+        }
+    )
+    got = corpus_report(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    assert got.n_docs == 4
+    assert got.n_langs == 2 and got.n_sources == 3
+    # docs 0 and 1 normalize to identical text
+    assert got.n_unique_texts == 3
+    assert np.isclose(got.dup_rate, 1 - 3 / 4)
+    assert got.n_tokens == 3 + 3 + 2 + 3
+    assert np.isclose(got.mean_tokens, 11 / 4)

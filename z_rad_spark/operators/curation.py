@@ -1158,3 +1158,47 @@ def length_buckets(
         F.lit(1.0)
         - F.col("n_tokens").cast("double") / F.col("bucket_ceil").cast("double"),
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """One-row corpus datasheet: the headline numbers a dataset card
+    quotes (Gebru et al., 'Datasheets for Datasets') — document/token/
+    char totals, distinct languages and sources, the exact-duplicate
+    rate, and mean document length. ONE aggregation pass (count-distinct
+    rides the same map-side pass via approx-free exact distincts on the
+    md5/string keys), exact integers + single divisions.
+
+    Output: (n_docs long, n_tokens long, n_chars long, n_langs long,
+    n_sources long, n_unique_texts long, dup_rate double,
+    mean_tokens double, mean_chars double).
+    """
+    toks = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).cast("long")
+    norm_h = F.md5(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))))
+    g = df.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+        F.sum(F.length(F.col(text_col))).cast("long").alias("n_chars"),
+        F.countDistinct(F.col(lang_col)).cast("long").alias("n_langs"),
+        F.countDistinct(F.col(source_col)).cast("long").alias("n_sources"),
+        F.countDistinct(norm_h).cast("long").alias("n_unique_texts"),
+    )
+    n = F.col("n_docs").cast("double")
+    return g.select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_langs",
+        "n_sources",
+        "n_unique_texts",
+        (
+            F.lit(1.0) - F.col("n_unique_texts").cast("double") / n
+        ).alias("dup_rate"),
+        (F.col("n_tokens").cast("double") / n).alias("mean_tokens"),
+        (F.col("n_chars").cast("double") / n).alias("mean_chars"),
+    )
