@@ -1317,6 +1317,24 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_readability(spark, sf_dir):
+    """Flesch-proxy readability per document (text.with_readability):
+    sentence/word/vowel-cluster counts, fixed formula chain —
+    oracle-replayable."""
+    from z_rad_spark.operators.text import with_readability
+
+    out = with_readability(_docs(spark, sf_dir))
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_sentences",
+        "n_words",
+        "words_per_sentence",
+        "syllables_per_word",
+        "flesch",
+    )
+    return _r6(out, ["words_per_sentence", "syllables_per_word", "flesch"])
+
+
 def q_corpus_report(spark, sf_dir):
     """One-row corpus datasheet (curation.corpus_report): doc/token/char
     totals, distinct langs/sources, exact-dup rate, mean lengths — one
@@ -3897,6 +3915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dialog_acts": q_dialog_acts,
         "q_length_buckets": q_length_buckets,
         "q_corpus_report": q_corpus_report,
+        "q_readability": q_readability,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

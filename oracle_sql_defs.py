@@ -7010,3 +7010,22 @@ SELECT n_docs, n_tokens, n_chars, n_langs, n_sources, n_unique_texts,
        {r6('CAST(n_chars AS DOUBLE) / CAST(n_docs AS DOUBLE)', 'mean_chars')}
 FROM g
 """
+
+
+# readability proxy: same regexp counts, min-1 clamps, fixed formula
+ORACLES["q_readability"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
+         GREATEST(len({TOKS_RAW}), 1) AS words,
+         GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS syls
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(sents AS BIGINT) AS n_sentences,
+       CAST(words AS BIGINT) AS n_words,
+       {r6('CAST(words AS DOUBLE) / CAST(sents AS DOUBLE)', 'words_per_sentence')},
+       {r6('CAST(syls AS DOUBLE) / CAST(words AS DOUBLE)', 'syllables_per_word')},
+       {r6('206.835 - 1.015 * (CAST(words AS DOUBLE) / CAST(sents AS DOUBLE)) - 84.6 * (CAST(syls AS DOUBLE) / CAST(words AS DOUBLE))', 'flesch')}
+FROM s
+"""

@@ -1149,3 +1149,31 @@ def test_corpus_report_hand_computed(spark):
     assert np.isclose(got.dup_rate, 1 - 3 / 4)
     assert got.n_tokens == 3 + 3 + 2 + 3
     assert np.isclose(got.mean_tokens, 11 / 4)
+
+
+def test_readability_hand_computed(spark):
+    import numpy as np
+    import pandas as pd
+
+    from z_rad_spark.operators.text import with_readability
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "The cat sat. The dog ran!",   # 2 sentences, 6 words
+                "no terminal punctuation here",  # clamps to 1 sentence
+            ],
+        }
+    )
+    got = with_readability(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    r0 = got.loc[0]
+    assert r0.n_sentences == 2 and r0.n_words == 6
+    assert np.isclose(r0.words_per_sentence, 3.0)
+    # vowel clusters: the-cat-sat-the-dog-ran -> e,a,a,e,o,a = 6
+    assert np.isclose(r0.syllables_per_word, 1.0)
+    assert np.isclose(r0.flesch, 206.835 - 1.015 * 3.0 - 84.6 * 1.0, atol=1e-9)
+    r1 = got.loc[1]
+    assert r1.n_sentences == 1
+    # short simple text scores higher than long-word text would
+    assert r1.flesch < r0.flesch  # more syllables per word

@@ -927,3 +927,42 @@ def vocab_turnover(
             F.lit(1.0) - inter.cast("double") / union.cast("double"),
         ).alias("turnover"),
     )
+
+
+def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sentence statistics + a Flesch-reading-ease PROXY per document —
+    the classic readability screen (C4/Gopher-era pipelines gate on
+    crude fluency signals; Flesch 1948 is the standard formula):
+
+        flesch ~= 206.835 - 1.015 * words_per_sentence
+                          - 84.6 * syllables_per_word
+
+    with sentences = terminal-punctuation runs (min 1) and syllables
+    approximated by vowel-cluster count (the standard cheap proxy; the
+    PROXY label is honest — no dictionary hyphenation exists here).
+
+    Pure regexp_count/length expressions (shared RE2-safe subset), zero
+    shuffle; three divisions and the fixed formula chain. NULL-safe via
+    the min-1 clamps. Oracle-replayable.
+
+    Adds: n_sentences long, n_words long, words_per_sentence double,
+    syllables_per_word double, flesch double.
+    """
+    t = F.col(text_col)
+    sents = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)).cast("long")
+    words = F.greatest(
+        F.size(F.split(F.lower(F.trim(t)), r"\s+")), F.lit(1)
+    ).cast("long")
+    syls = F.greatest(
+        F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")), F.lit(1)
+    ).cast("long")
+    wps = words.cast("double") / sents.cast("double")
+    spw = syls.cast("double") / words.cast("double")
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    return (
+        df.withColumn("n_sentences", sents)
+        .withColumn("n_words", words)
+        .withColumn("words_per_sentence", wps)
+        .withColumn("syllables_per_word", spw)
+        .withColumn("flesch", flesch)
+    )
