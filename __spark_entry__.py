@@ -1317,6 +1317,21 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_event_uplift(spark, sf_dir):
+    """Per-conversation event study around the first system (error) turn
+    (profile.event_uplift): struct-MIN anchor, strict before/after
+    windows on the (ts, turn_idx) order, exact integer sums —
+    oracle-replayable."""
+    from z_rad_spark.operators.profile import event_uplift
+
+    out = event_uplift(_t(spark, sf_dir), event_role="system")
+    out = out.select(
+        "conv_id", "has_event", "n_before", "n_after",
+        "mean_before", "mean_after", "uplift",
+    )
+    return _r6(out, ["mean_before", "mean_after", "uplift"])
+
+
 def q_readability(spark, sf_dir):
     """Flesch-proxy readability per document (text.with_readability):
     sentence/word/vowel-cluster counts, fixed formula chain —
@@ -3916,6 +3931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_length_buckets": q_length_buckets,
         "q_corpus_report": q_corpus_report,
         "q_readability": q_readability,
+        "q_event_uplift": q_event_uplift,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -7029,3 +7029,35 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        {r6('206.835 - 1.015 * (CAST(words AS DOUBLE) / CAST(sents AS DOUBLE)) - 84.6 * (CAST(syls AS DOUBLE) / CAST(words AS DOUBLE))', 'flesch')}
 FROM s
 """
+
+
+# event uplift: (ts, turn_idx) struct-min anchor, strict before/after
+# tuple comparison, exact integer window sums
+ORACLES["q_event_uplift"] = f"""
+WITH t AS ({T}),
+a AS (
+  SELECT conv_id,
+         MIN(CASE WHEN role = 'system'
+                  THEN ROW(epoch_us(ts), CAST(turn_idx AS BIGINT)) END) AS ev
+  FROM t GROUP BY conv_id
+),
+j AS (
+  SELECT t.conv_id, CAST(t.signal AS BIGINT) AS x,
+         ROW(epoch_us(t.ts), CAST(t.turn_idx AS BIGINT)) AS k, a.ev
+  FROM t JOIN a USING (conv_id)
+),
+g AS (
+  SELECT conv_id,
+         BOOL_OR(ev IS NOT NULL) AS has_event,
+         CAST(COUNT(CASE WHEN k < ev THEN x END) AS BIGINT) AS n_before,
+         CAST(COUNT(CASE WHEN k > ev THEN x END) AS BIGINT) AS n_after,
+         SUM(CASE WHEN k < ev THEN x END) AS sb,
+         SUM(CASE WHEN k > ev THEN x END) AS sa
+  FROM j GROUP BY conv_id
+)
+SELECT conv_id, has_event, n_before, n_after,
+       {r6('CASE WHEN n_before > 0 THEN CAST(sb AS DOUBLE) / CAST(n_before AS DOUBLE) END', 'mean_before')},
+       {r6('CASE WHEN n_after > 0 THEN CAST(sa AS DOUBLE) / CAST(n_after AS DOUBLE) END', 'mean_after')},
+       {r6('CASE WHEN n_after > 0 THEN CAST(sa AS DOUBLE) / CAST(n_after AS DOUBLE) END - CASE WHEN n_before > 0 THEN CAST(sb AS DOUBLE) / CAST(n_before AS DOUBLE) END', 'uplift')}
+FROM g
+"""

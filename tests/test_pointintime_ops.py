@@ -1642,3 +1642,30 @@ def test_quantile_transform_midrank_ecdf(spark):
     assert (got.u > 0).all() and (got.u < 1).all()
     m = got.groupby("signal").u.first().sort_index()
     assert m.is_monotonic_increasing
+
+
+def test_event_uplift_windows_and_anchor(spark):
+    from z_rad_spark.operators.profile import event_uplift
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        # conversation with an error at turn 2: before = {4, 6}, after = {2, 2}
+        ("c0", 0, t0, "user", 4.0),
+        ("c0", 1, t0 + pd.Timedelta(minutes=1), "assistant", 6.0),
+        ("c0", 2, t0 + pd.Timedelta(minutes=2), "system", 9.0),   # anchor (excluded)
+        ("c0", 3, t0 + pd.Timedelta(minutes=3), "user", 2.0),
+        ("c0", 4, t0 + pd.Timedelta(minutes=4), "assistant", 2.0),
+        # conversation with no event
+        ("c1", 0, t0, "user", 5.0),
+        ("c1", 1, t0 + pd.Timedelta(minutes=1), "assistant", 5.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "role", "signal"])
+    got = event_uplift(spark.createDataFrame(pdf)).toPandas().set_index("conv_id")
+    c0 = got.loc["c0"]
+    assert c0.has_event
+    assert c0.n_before == 2 and c0.n_after == 2
+    assert np.isclose(c0.mean_before, 5.0) and np.isclose(c0.mean_after, 2.0)
+    assert np.isclose(c0.uplift, -3.0)
+    c1 = got.loc["c1"]
+    assert not c1.has_event
+    assert c1.n_before == 0 and pd.isna(c1.uplift)

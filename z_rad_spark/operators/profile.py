@@ -662,3 +662,57 @@ def volume_anomaly(df: DataFrame, group_col: str = "role") -> DataFrame:
             F.when(F.col("mad") > 0, F.abs(mz) > F.lit(3.5)), F.lit(False)
         ).alias("is_anomaly"),
     )
+
+
+def event_uplift(
+    df: DataFrame,
+    event_role: str = "system",
+    signal_col: str = "signal",
+) -> DataFrame:
+    """Per-conversation event study: the signal's mean BEFORE vs AFTER
+    the conversation's first ``event_role`` turn (the engine's error
+    marker), and their difference — the interrupted-time-series uplift
+    a quality dashboard attributes to the event ('does an error turn
+    depress the rest of the conversation?').
+
+    The event anchor is the (ts, turn_idx)-minimal event turn (exact
+    struct MIN — deterministic under ties); 'before' is strictly
+    earlier in that order, 'after' is strictly later (the event turn
+    itself belongs to neither window). Exact integer sums, two
+    divisions, one subtraction. Conversations without an event emit
+    has_event = false and NULL windows.
+
+    One groupBy for the anchor + one conditional re-aggregate over the
+    same conv_id exchange; the anchor frame joins back on conv_id.
+
+    Output: (conv_id, has_event boolean, n_before long, n_after long,
+    mean_before double, mean_after double, uplift double).
+    """
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    key = F.struct(ts_us.alias("t"), F.col("turn_idx").cast("long").alias("i"))
+    anchors = df.groupBy("conv_id").agg(
+        F.min(F.when(F.col("role") == event_role, key)).alias("_ev")
+    )
+    j = df.join(anchors, "conv_id")
+    k = key
+    before = k < F.col("_ev")
+    after = k > F.col("_ev")
+    x = F.col(signal_col).cast("long")
+    g = j.groupBy("conv_id").agg(
+        F.max(F.col("_ev").isNotNull()).alias("has_event"),
+        F.count(F.when(before, x)).cast("long").alias("n_before"),
+        F.count(F.when(after, x)).cast("long").alias("n_after"),
+        F.sum(F.when(before, x)).alias("_sb"),
+        F.sum(F.when(after, x)).alias("_sa"),
+    )
+    mb = F.col("_sb").cast("double") / F.when(F.col("n_before") > 0, F.col("n_before").cast("double"))
+    ma = F.col("_sa").cast("double") / F.when(F.col("n_after") > 0, F.col("n_after").cast("double"))
+    return g.select(
+        "conv_id",
+        "has_event",
+        "n_before",
+        "n_after",
+        mb.alias("mean_before"),
+        ma.alias("mean_after"),
+        (ma - mb).alias("uplift"),
+    )
