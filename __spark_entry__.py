@@ -1317,6 +1317,17 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_role_style(spark, sf_dir):
+    """Pairwise role style distance (text.role_style_distance): hashed
+    64-bucket token-count profiles, exact-integer cosine per role pair
+    — oracle-replayable."""
+    from z_rad_spark.operators.text import role_style_distance
+
+    out = role_style_distance(_t(spark, sf_dir), dims=64)
+    out = out.select("role_a", "role_b", "cosine", "dist")
+    return _r6(out, ["cosine", "dist"])
+
+
 def q_event_uplift(spark, sf_dir):
     """Per-conversation event study around the first system (error) turn
     (profile.event_uplift): struct-MIN anchor, strict before/after
@@ -3932,6 +3943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_report": q_corpus_report,
         "q_readability": q_readability,
         "q_event_uplift": q_event_uplift,
+        "q_role_style": q_role_style,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -7061,3 +7061,41 @@ SELECT conv_id, has_event, n_before, n_after,
        {r6('CASE WHEN n_after > 0 THEN CAST(sa AS DOUBLE) / CAST(n_after AS DOUBLE) END - CASE WHEN n_before > 0 THEN CAST(sb AS DOUBLE) / CAST(n_before AS DOUBLE) END', 'uplift')}
 FROM g
 """
+
+
+# role style distance: 64-bucket hashed profiles, exact-integer cosine;
+# the SQL builds the per-(role, bucket) counts then the fixed 64-term
+# chains per pair — parenthesization matches the left-fold
+def _style_sql(dims: int = 64) -> str:
+    def fold(fmt):
+        acc = fmt.format(d=0)
+        for d in range(1, dims):
+            acc = f"({acc} + {fmt.format(d=d)})"
+        return acc
+
+    dot = fold("(CAST(a.c{d} AS DOUBLE) * CAST(b.c{d} AS DOUBLE))")
+    na = fold("(CAST(a.c{d} AS DOUBLE) * CAST(a.c{d} AS DOUBLE))")
+    nb = fold("(CAST(b.c{d} AS DOUBLE) * CAST(b.c{d} AS DOUBLE))")
+    ccols = ",\n         ".join(
+        f"SUM(CASE WHEN b = {d} THEN 1 ELSE 0 END) AS c{d}" for d in range(dims)
+    )
+    return f"""
+WITH t AS ({T}),
+toks AS (
+  SELECT role,
+         CAST(('0x' || substring(md5(tok), 1, 4)) AS BIGINT) % {dims} AS b
+  FROM (SELECT role, unnest({TOKS_RAW}) AS tok FROM t)
+),
+prof AS (
+  SELECT role,
+         {ccols}
+  FROM toks GROUP BY role
+)
+SELECT a.role AS role_a, b.role AS role_b,
+       {r6(f"CASE WHEN sqrt({na}) > 0 AND sqrt({nb}) > 0 THEN ({dot}) / (sqrt({na}) * sqrt({nb})) END", "cosine")},
+       {r6(f"1.0 - CASE WHEN sqrt({na}) > 0 AND sqrt({nb}) > 0 THEN ({dot}) / (sqrt({na}) * sqrt({nb})) END", "dist")}
+FROM prof a JOIN prof b ON a.role < b.role
+"""
+
+
+ORACLES["q_role_style"] = _style_sql(64)

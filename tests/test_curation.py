@@ -1177,3 +1177,29 @@ def test_readability_hand_computed(spark):
     assert r1.n_sentences == 1
     # short simple text scores higher than long-word text would
     assert r1.flesch < r0.flesch  # more syllables per word
+
+
+def test_role_style_distance_separates_styles(spark):
+    import numpy as np
+    import pandas as pd
+
+    from z_rad_spark.operators.text import role_style_distance
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(30):
+        rows.append(("c0", 3 * i, t0 + pd.Timedelta(minutes=3 * i), "user",
+                     "alpha beta gamma delta", 1.0))
+        rows.append(("c0", 3 * i + 1, t0 + pd.Timedelta(minutes=3 * i + 1), "twin",
+                     "alpha beta gamma delta", 1.0))
+        rows.append(("c0", 3 * i + 2, t0 + pd.Timedelta(minutes=3 * i + 2), "assistant",
+                     "zeta eta theta iota", 1.0))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "role", "text", "signal"])
+    got = role_style_distance(spark.createDataFrame(pdf), dims=64).toPandas()
+    got = got.set_index(got.role_a + "|" + got.role_b)
+    # identical vocab -> cosine 1, dist 0
+    assert np.isclose(got.loc["twin|user"].cosine, 1.0, atol=1e-12)
+    # disjoint vocab -> cosine 0 (unless a 64-bucket hash collision,
+    # which these eight tokens happen not to have)
+    assert got.loc["assistant|user"].cosine < 0.5
+    assert len(got) == 3  # C(3,2) unordered pairs

@@ -966,3 +966,68 @@ def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("syllables_per_word", spw)
         .withColumn("flesch", flesch)
     )
+
+
+def role_style_distance(
+    df: DataFrame,
+    dims: int = 64,
+    text_col: str = "text",
+    group_col: str = "role",
+) -> DataFrame:
+    """Pairwise style distance between roles: cosine between each
+    role's hashed token-count profile (the hashed_embedding bucket, 64
+    dims, exact integer counts) — the cheap stylometry check that says
+    whether 'assistant' text is drifting toward 'user' text (synthetic
+    data contamination) or the roles are collapsing.
+
+    ONE aggregation computes all |groups| x dims counts map-side (the
+    group frame is |groups| rows); the pairwise cosine is a fixed
+    dims-term chain over exact integers per pair on the tiny self-cross
+    of that frame. Deterministic end to end.
+
+    Output: (role_a, role_b, cosine double, dist double = 1 - cosine)
+    for each unordered pair (role_a < role_b).
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("long") % dims
+    )
+    toks = df.select(
+        F.col(group_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+    ).withColumn("_b", bucket)
+    prof = toks.groupBy(group_col).agg(
+        *[
+            F.sum(F.when(F.col("_b") == d, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_c{d}")
+            for d in range(dims)
+        ]
+    )
+    a = prof.select(
+        F.col(group_col).alias("role_a"),
+        *[F.col(f"_c{d}").alias(f"_a{d}") for d in range(dims)],
+    )
+    b = prof.select(
+        F.col(group_col).alias("role_b"),
+        *[F.col(f"_c{d}").alias(f"_b{d}") for d in range(dims)],
+    )
+    pairs = a.join(F.broadcast(b), F.col("role_a") < F.col("role_b"))
+
+    def _chain(terms):
+        acc = None
+        for t in terms:
+            acc = t if acc is None else acc + t
+        return acc
+
+    dot = _chain(
+        [F.col(f"_a{d}").cast("double") * F.col(f"_b{d}").cast("double") for d in range(dims)]
+    )
+    na = F.sqrt(_chain([F.col(f"_a{d}").cast("double") * F.col(f"_a{d}").cast("double") for d in range(dims)]))
+    nb = F.sqrt(_chain([F.col(f"_b{d}").cast("double") * F.col(f"_b{d}").cast("double") for d in range(dims)]))
+    cos = F.when((na > 0) & (nb > 0), dot / (na * nb))
+    return pairs.select(
+        "role_a",
+        "role_b",
+        cos.alias("cosine"),
+        (F.lit(1.0) - cos).alias("dist"),
+    )
