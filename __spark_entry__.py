@@ -1317,6 +1317,25 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Per-row Bernoulli sampling with the quality-classifier
+    probability as the keep rate (dedup.weighted_sample over
+    curation.quality_classifier): salted-md5 uniform vs the raw prob —
+    reproducible across engines, oracle-replayable."""
+    from z_rad_spark.operators.curation import quality_classifier
+    from z_rad_spark.operators.dedup import weighted_sample
+
+    scored = quality_classifier(_docs(spark, sf_dir), dims=64, seed=41)
+    out = weighted_sample(scored, "prob", key_col="doc_id", salt="w1")
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("prob") + F.lit(0.0)).alias("prob"),
+        "u",
+        "keep",
+    )
+    return _r6(out, ["prob", "u"])
+
+
 def q_role_style(spark, sf_dir):
     """Pairwise role style distance (text.role_style_distance): hashed
     64-bucket token-count profiles, exact-integer cosine per role pair
@@ -3944,6 +3963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_readability": q_readability,
         "q_event_uplift": q_event_uplift,
         "q_role_style": q_role_style,
+        "q_weighted_sample": q_weighted_sample,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

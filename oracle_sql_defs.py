@@ -7099,3 +7099,31 @@ FROM prof a JOIN prof b ON a.role < b.role
 
 
 ORACLES["q_role_style"] = _style_sql(64)
+
+
+# weighted Bernoulli sampling: the classifier chain's raw prob as the
+# keep rate, salted-md5 uniform, raw-double compare
+ORACLES["q_weighted_sample"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         len({TOKS_RAW}) AS n,
+         list_reduce([CAST(0.0 AS DOUBLE)] || list_transform({TOKS_RAW},
+             t -> ({_classifier_w_sql()})[CAST(('0x' || substring(md5(t), 1, 4))::BIGINT % 64 AS INT) + 1]),
+             (acc, x) -> acc + x) AS wsum
+  FROM documents
+),
+pr AS (
+  SELECT doc_id, 1.0 / (1.0 + exp(-(wsum / CAST(n AS DOUBLE) + 0))) AS prob
+  FROM s
+),
+d AS (
+  SELECT doc_id, prob,
+         CAST(CAST(('0x' || substring(md5('w1' || '|' || CAST(doc_id AS STRING)), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+  FROM pr
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {r6('prob', 'prob')},
+       {r6('u', 'u')},
+       u < LEAST(GREATEST(prob, 0.0), 1.0) AS keep
+FROM d
+"""

@@ -2025,3 +2025,33 @@ def test_dialog_acts_heuristics(spark):
     rates = dialog_act_rates(spark.createDataFrame(pdf)).toPandas().iloc[0]
     assert rates.n_question == 2 and rates.n_command == 1
     assert np.isclose(rates.question_rate, 2 / 5)
+
+
+def test_weighted_sample_respects_probabilities(spark):
+    import hashlib
+
+    from z_rad_spark.operators.dedup import weighted_sample
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(400),
+            # deterministic spread of keep rates: 0.0, 0.25, 0.5, 1.0
+            "w": [(0.0, 0.25, 0.5, 1.0)[i % 4] for i in range(400)],
+        }
+    )
+    got = weighted_sample(spark.createDataFrame(pdf), "w").toPandas()
+    # exact endpoint behavior
+    assert not got[got.w == 0.0].keep.any()
+    assert got[got.w == 1.0].keep.all()
+    # intermediate rates land near their expectation (md5 uniformity)
+    r25 = got[got.w == 0.25].keep.mean()
+    r50 = got[got.w == 0.5].keep.mean()
+    assert 0.1 < r25 < 0.45
+    assert 0.3 < r50 < 0.7
+    # reproducible: u is the documented salted-md5 uniform
+    row = got.iloc[0]
+    want_u = int(hashlib.md5(f"w1|{row.doc_id}".encode()).hexdigest()[:8], 16) / 16**8
+    assert abs(row.u - want_u) < 1e-15
+    # stable across recomputation
+    again = weighted_sample(spark.createDataFrame(pdf), "w").toPandas()
+    assert (got.sort_values("doc_id").keep.values == again.sort_values("doc_id").keep.values).all()

@@ -1088,3 +1088,39 @@ def loop_detection(
         F.lit(None).cast("double").alias("loop_frac"),
     )
     return out.unionByName(empty)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "w1",
+) -> DataFrame:
+    """Deterministic per-row Bernoulli sampling with row-specific keep
+    probabilities — the execution step for importance weights (pair
+    with curation.dsir_weights: compute the weight, clamp to [0, 1],
+    and THIS decides who stays). hash_sample is the constant-rate
+    special case; the same salted-md5 uniform makes the draw
+    reproducible across runs, partitionings, and engines (a different
+    salt gives an independent draw).
+
+    u = first-8-hex(md5(salt|key)) / 16^8 in [0, 1); keep when
+    u < clamp(weight, 0, 1). Pure narrow expressions, zero shuffle.
+
+    Adds: u double, keep boolean.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(key_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16 ** 8))
+    )
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    out = df.withColumn("u", u)
+    return out.withColumn("keep", F.col("u") < w)
