@@ -1317,6 +1317,17 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_time_weighted_mean(spark, sf_dir):
+    """Time-weighted signal mean per conversation
+    (profile.time_weighted_mean): hold-duration weights in exact
+    microseconds, integer products, one division — oracle-replayable."""
+    from z_rad_spark.operators.profile import time_weighted_mean
+
+    out = time_weighted_mean(_t(spark, sf_dir))
+    out = out.select("conv_id", "n_held", "held_us", "twm", "plain_mean")
+    return _r6(out, ["twm", "plain_mean"])
+
+
 def q_weighted_sample(spark, sf_dir):
     """Per-row Bernoulli sampling with the quality-classifier
     probability as the keep rate (dedup.weighted_sample over
@@ -3964,6 +3975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_uplift": q_event_uplift,
         "q_role_style": q_role_style,
         "q_weighted_sample": q_weighted_sample,
+        "q_time_weighted_mean": q_time_weighted_mean,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

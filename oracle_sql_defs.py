@@ -7127,3 +7127,28 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        u < LEAST(GREATEST(prob, 0.0), 1.0) AS keep
 FROM d
 """
+
+
+# time-weighted mean: lead-gap hold weights, exact integer products
+ORACLES["q_time_weighted_mean"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id, CAST(signal AS BIGINT) AS x,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+           - epoch_us(ts) AS h
+  FROM t
+),
+g AS (
+  SELECT conv_id,
+         CAST(COUNT(*) AS BIGINT) AS n_held,
+         CAST(SUM(h) AS BIGINT) AS held_us,
+         SUM(x * h) AS sxh,
+         SUM(x) AS sx
+  FROM p WHERE h IS NOT NULL AND x IS NOT NULL
+  GROUP BY conv_id
+)
+SELECT conv_id, n_held, held_us,
+       {r6('CASE WHEN held_us > 0 THEN CAST(sxh AS DOUBLE) / CAST(held_us AS DOUBLE) END', 'twm')},
+       {r6('CAST(sx AS DOUBLE) / CAST(n_held AS DOUBLE)', 'plain_mean')}
+FROM g
+"""

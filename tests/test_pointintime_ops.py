@@ -1669,3 +1669,25 @@ def test_event_uplift_windows_and_anchor(spark):
     c1 = got.loc["c1"]
     assert not c1.has_event
     assert c1.n_before == 0 and pd.isna(c1.uplift)
+
+
+def test_time_weighted_mean_hand_computed(spark):
+    from z_rad_spark.operators.profile import time_weighted_mean
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        # signal 2 held for 3600s, burst of 9s held 1s each, last excluded
+        ("c0", 0, t0, 2.0),
+        ("c0", 1, t0 + pd.Timedelta(hours=1), 9.0),
+        ("c0", 2, t0 + pd.Timedelta(hours=1, seconds=1), 9.0),
+        ("c0", 3, t0 + pd.Timedelta(hours=1, seconds=2), 5.0),  # last: no hold
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "signal"])
+    got = time_weighted_mean(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    assert got.n_held == 3
+    held = 3600e6 + 1e6 + 1e6
+    want = (2 * 3600e6 + 9 * 1e6 + 9 * 1e6) / held
+    assert np.isclose(got.twm, want, atol=1e-12)
+    # the burst dominates the plain mean but barely moves the TWM
+    assert np.isclose(got.plain_mean, (2 + 9 + 9) / 3, atol=1e-12)
+    assert got.twm < 2.1 and got.plain_mean > 6.0

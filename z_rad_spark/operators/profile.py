@@ -716,3 +716,49 @@ def event_uplift(
         ma.alias("mean_after"),
         (ma - mb).alias("uplift"),
     )
+
+
+def time_weighted_mean(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """Per-conversation TIME-weighted signal mean: each turn's signal
+    weighted by how long it 'held' (the gap to the next turn in exact
+    microseconds) — the telemetry-correct average for state-like
+    signals, where the arithmetic mean over-counts rapid-fire turns
+    (a 1-second burst of ten 9s should not dominate an hour at 2).
+
+        twm = sum(x_i * hold_us_i) / sum(hold_us_i)
+
+    The last turn holds nothing (no successor) and is excluded, which
+    is the standard last-observation convention for bounded windows.
+    Exact integer products and sums (signal <= 9, holds <= the
+    conversation span — products well inside int64), one division.
+    One lead window + one groupBy on the shared conv_id exchange.
+
+    Output: (conv_id, n_held long, held_us long, twm double,
+    plain_mean double — the unweighted mean over the same held turns,
+    for the over-count diagnostic twm - plain_mean).
+    """
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = _conv_window()
+    hold = F.lead(ts_us).over(w) - ts_us
+    x = F.col(signal_col).cast("long")
+    p = df.select("conv_id", x.alias("_x"), hold.alias("_h")).where(
+        F.col("_h").isNotNull() & F.col("_x").isNotNull()
+    )
+    g = p.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_held"),
+        F.sum("_h").cast("long").alias("held_us"),
+        F.sum(F.col("_x") * F.col("_h")).alias("_sxh"),
+        F.sum("_x").alias("_sx"),
+    )
+    return g.select(
+        "conv_id",
+        "n_held",
+        "held_us",
+        F.when(
+            F.col("held_us") > 0,
+            F.col("_sxh").cast("double") / F.col("held_us").cast("double"),
+        ).alias("twm"),
+        (F.col("_sx").cast("double") / F.col("n_held").cast("double")).alias(
+            "plain_mean"
+        ),
+    )
