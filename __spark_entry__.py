@@ -1317,6 +1317,17 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_oscillation(spark, sf_dir):
+    """Signal direction-flip statistics per conversation
+    (profile.oscillation_stats): exact integer move signs, flips
+    between consecutive nonzero moves — oracle-replayable."""
+    from z_rad_spark.operators.profile import oscillation_stats
+
+    out = oscillation_stats(_t(spark, sf_dir))
+    out = out.select("conv_id", "n_turns", "n_moves", "n_flips", "flip_rate")
+    return _r6(out, ["flip_rate"])
+
+
 def q_time_weighted_mean(spark, sf_dir):
     """Time-weighted signal mean per conversation
     (profile.time_weighted_mean): hold-duration weights in exact
@@ -3976,6 +3987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_role_style": q_role_style,
         "q_weighted_sample": q_weighted_sample,
         "q_time_weighted_mean": q_time_weighted_mean,
+        "q_oscillation": q_oscillation,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

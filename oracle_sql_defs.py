@@ -7152,3 +7152,35 @@ SELECT conv_id, n_held, held_us,
        {r6('CAST(sx AS DOUBLE) / CAST(n_held AS DOUBLE)', 'plain_mean')}
 FROM g
 """
+
+
+# oscillation: exact integer move signs, flips between consecutive
+# nonzero moves (lag over the nonzero-only frame)
+ORACLES["q_oscillation"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id, ts, turn_idx,
+         CASE WHEN CAST(signal AS BIGINT)
+                   - LAG(CAST(signal AS BIGINT)) OVER w > 0 THEN 1
+              WHEN CAST(signal AS BIGINT)
+                   - LAG(CAST(signal AS BIGINT)) OVER w < 0 THEN -1 END AS s
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+m AS (
+  SELECT conv_id, s,
+         LAG(s) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev
+  FROM p WHERE s IS NOT NULL
+),
+g AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_moves,
+         CAST(COUNT(CASE WHEN prev IS NOT NULL AND s <> prev THEN 1 END) AS BIGINT) AS n_flips
+  FROM m GROUP BY conv_id
+),
+sizes AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns FROM t GROUP BY conv_id)
+SELECT sizes.conv_id, sizes.n_turns,
+       COALESCE(g.n_moves, 0) AS n_moves,
+       COALESCE(g.n_flips, 0) AS n_flips,
+       {r6('CASE WHEN COALESCE(g.n_moves, 0) > 1 THEN CAST(COALESCE(g.n_flips, 0) AS DOUBLE) / CAST(COALESCE(g.n_moves, 0) - 1 AS DOUBLE) END', 'flip_rate')}
+FROM sizes LEFT JOIN g USING (conv_id)
+"""

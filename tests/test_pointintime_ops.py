@@ -1691,3 +1691,22 @@ def test_time_weighted_mean_hand_computed(spark):
     # the burst dominates the plain mean but barely moves the TWM
     assert np.isclose(got.plain_mean, (2 + 9 + 9) / 3, atol=1e-12)
     assert got.twm < 2.1 and got.plain_mean > 6.0
+
+
+def test_oscillation_hand_computed(spark):
+    from z_rad_spark.operators.profile import oscillation_stats
+
+    t0 = pd.Timestamp("2024-01-01")
+    # signals: 1,3,3,2,4 -> moves +, 0(skip), -, + -> signs [+,-,+] -> 2 flips
+    sig = [1.0, 3.0, 3.0, 2.0, 4.0]
+    rows = [("c0", i, t0 + pd.Timedelta(minutes=i), sig[i]) for i in range(5)]
+    # monotone conversation: zero flips
+    rows += [("c1", i, t0 + pd.Timedelta(minutes=i), float(1 + i)) for i in range(5)]
+    # constant conversation: zero moves
+    rows += [("c2", i, t0 + pd.Timedelta(minutes=i), 5.0) for i in range(5)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "signal"])
+    got = oscillation_stats(spark.createDataFrame(pdf)).toPandas().set_index("conv_id")
+    assert got.loc["c0"].n_moves == 3 and got.loc["c0"].n_flips == 2
+    assert np.isclose(got.loc["c0"].flip_rate, 1.0)
+    assert got.loc["c1"].n_flips == 0 and got.loc["c1"].flip_rate == 0.0
+    assert got.loc["c2"].n_moves == 0 and pd.isna(got.loc["c2"].flip_rate)

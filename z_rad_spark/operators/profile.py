@@ -762,3 +762,55 @@ def time_weighted_mean(df: DataFrame, signal_col: str = "signal") -> DataFrame:
             "plain_mean"
         ),
     )
+
+
+def oscillation_stats(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """Per-conversation signal oscillation: how often the signal's
+    DIRECTION flips (an up-move followed by a down-move or vice versa,
+    zero moves transparent) — the dither/volatility feature
+    autocorrelation misses (a slow sine and a fast square wave can share
+    lag-1 autocorrelation; their flip rates differ wildly).
+
+    sign of each nonzero move is an exact integer; a flip is a sign
+    change between consecutive NONZERO moves (the last-nonzero-sign
+    carry rides a windowed MAX over the move ordinal — still exact
+    integers end to end). flip_rate = n_flips / (n_moves - 1).
+
+    Two stacked windows on the shared conv_id exchange + one groupBy.
+
+    Output: (conv_id, n_turns long, n_moves long, n_flips long,
+    flip_rate double — NULL when fewer than 2 nonzero moves).
+    """
+    w = _conv_window()
+    x = F.col(signal_col).cast("long")
+    d = x - F.lag(x).over(w)
+    sgn = F.when(d > 0, F.lit(1)).when(d < 0, F.lit(-1))
+    p = df.select("conv_id", F.col("ts"), F.col("turn_idx"), sgn.alias("_s"))
+    # last nonzero sign BEFORE this row: lag over the nonzero-only frame
+    moves = p.where(F.col("_s").isNotNull()).select(
+        "conv_id",
+        "ts",
+        "turn_idx",
+        "_s",
+        F.lag("_s").over(_conv_window()).alias("_prev"),
+    )
+    g = moves.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_moves"),
+        F.count(F.when(F.col("_prev").isNotNull() & (F.col("_s") != F.col("_prev")), 1))
+        .cast("long")
+        .alias("n_flips"),
+    )
+    sizes = df.groupBy("conv_id").agg(F.count("*").cast("long").alias("n_turns"))
+    out = sizes.join(g, "conv_id", "left")
+    nm = F.coalesce(F.col("n_moves"), F.lit(0))
+    return out.select(
+        "conv_id",
+        "n_turns",
+        nm.cast("long").alias("n_moves"),
+        F.coalesce(F.col("n_flips"), F.lit(0)).cast("long").alias("n_flips"),
+        F.when(
+            nm > 1,
+            F.coalesce(F.col("n_flips"), F.lit(0)).cast("double")
+            / (nm - F.lit(1)).cast("double"),
+        ).alias("flip_rate"),
+    )
