@@ -1317,6 +1317,23 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_code_switching(spark, sf_dir):
+    """Code-switching screen per document (text.with_code_switching):
+    fixed-priority marker tags, adjacent-tag switch counts over the
+    ordered tagged subsequence — oracle-replayable."""
+    from z_rad_spark.operators.text import with_code_switching
+
+    out = with_code_switching(_docs(spark, sf_dir))
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tagged",
+        "n_langs",
+        "n_switches",
+        "switch_rate",
+    )
+    return _r6(out, ["switch_rate"])
+
+
 def q_oscillation(spark, sf_dir):
     """Signal direction-flip statistics per conversation
     (profile.oscillation_stats): exact integer move signs, flips
@@ -3988,6 +4005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": q_weighted_sample,
         "q_time_weighted_mean": q_time_weighted_mean,
         "q_oscillation": q_oscillation,
+        "q_code_switching": q_code_switching,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -7184,3 +7184,31 @@ SELECT sizes.conv_id, sizes.n_turns,
        {r6('CASE WHEN COALESCE(g.n_moves, 0) > 1 THEN CAST(COALESCE(g.n_flips, 0) AS DOUBLE) / CAST(COALESCE(g.n_moves, 0) - 1 AS DOUBLE) END', 'flip_rate')}
 FROM sizes LEFT JOIN g USING (conv_id)
 """
+
+
+# code switching: the same fixed-priority marker tagging, adjacent-tag
+# switches over the ordered tagged list
+_CS_TAG = (
+    "CASE WHEN x IN ('the','and','of','to','is') THEN 'en' "
+    "WHEN x IN ('der','die','und','nicht','ist') THEN 'de' "
+    "WHEN x IN ('le','la','et','les','est') THEN 'fr' "
+    "WHEN x IN ('el','la','que','de','es') THEN 'es' END"
+)
+
+ORACLES["q_code_switching"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform({TOKS_RAW}, x -> {_CS_TAG}),
+                     t -> t IS NOT NULL) AS tags
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(tags) AS BIGINT) AS n_tagged,
+       CAST(len(list_distinct(tags)) AS INT) AS n_langs,
+       CAST(CASE WHEN len(tags) >= 2
+                 THEN len(list_filter(generate_series(2, len(tags)),
+                                      i -> tags[i] <> tags[i - 1]))
+                 ELSE 0 END AS BIGINT) AS n_switches,
+       {r6("CASE WHEN len(tags) >= 2 THEN CAST(CASE WHEN len(tags) >= 2 THEN len(list_filter(generate_series(2, len(tags)), i -> tags[i] <> tags[i - 1])) ELSE 0 END AS DOUBLE) / CAST(len(tags) - 1 AS DOUBLE) END", "switch_rate")}
+FROM s
+"""

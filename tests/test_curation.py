@@ -1203,3 +1203,33 @@ def test_role_style_distance_separates_styles(spark):
     # which these eight tokens happen not to have)
     assert got.loc["assistant|user"].cosine < 0.5
     assert len(got) == 3  # C(3,2) unordered pairs
+
+
+def test_code_switching_counts(spark):
+    import numpy as np
+    import pandas as pd
+
+    from z_rad_spark.operators.text import with_code_switching
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "the der the der",            # en/de alternating: 3 switches
+                "the and of to is",           # pure en: 0 switches
+                "xyzzy quux no markers at",   # nothing tagged ('at' not a marker)
+            ],
+        }
+    )
+    got = with_code_switching(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    r0 = got.loc[0]
+    assert r0.n_tagged == 4 and r0.n_langs == 2 and r0.n_switches == 3
+    assert np.isclose(r0.switch_rate, 1.0)
+    r1 = got.loc[1]
+    assert r1.n_langs == 1 and r1.n_switches == 0 and r1.switch_rate == 0.0
+    r2 = got.loc[2]
+    assert r2.n_tagged == 0 and pd.isna(r2.switch_rate)
+    # priority: 'la' tags fr (first list containing it), never es
+    pdf2 = pd.DataFrame({"doc_id": [0], "text": ["la el la"]})
+    g2 = with_code_switching(spark.createDataFrame(pdf2)).toPandas().iloc[0]
+    assert g2.n_langs == 2 and g2.n_switches == 2

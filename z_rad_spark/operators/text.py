@@ -1031,3 +1031,54 @@ def role_style_distance(
         cos.alias("cosine"),
         (F.lit(1.0) - cos).alias("dist"),
     )
+
+
+def with_code_switching(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Code-switching detection per document: how often the text
+    alternates between languages, measured over the marker-word
+    sequence (the multilingual-curation screen — heavy switching means
+    either genuine code-switched text, concatenation artifacts, or a
+    broken scraper interleaving pages).
+
+    Each token is tagged by the FIRST language whose marker list
+    contains it (fixed en/de/fr/es priority — deterministic for the
+    ambiguous Romance articles); the tagged subsequence keeps token
+    order, and a switch is an adjacent tag change. Pure array
+    expressions over per-document tokens, zero shuffle; exact integer
+    counts, one division.
+
+    Adds: n_tagged long, n_langs int, n_switches long, switch_rate
+    double (NULL when fewer than 2 tagged tokens).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+    def tag(t):
+        e = None
+        for lang in ("en", "de", "fr", "es"):
+            cond = t.isin(*_LANG_MARKERS[lang])
+            e = F.when(cond, F.lit(lang)) if e is None else e.when(cond, F.lit(lang))
+        return e
+
+    tags = F.filter(F.transform(toks, tag), lambda x: x.isNotNull())
+    out = df.withColumn("_tags", tags)
+    n = F.size("_tags")
+    switches = F.size(
+        F.filter(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.get("_tags", i) != F.get("_tags", i - 1),
+        )
+    )
+    return (
+        out.withColumn("n_tagged", n.cast("long"))
+        .withColumn("n_langs", F.size(F.array_distinct("_tags")).cast("int"))
+        .withColumn(
+            "n_switches", F.when(n >= 2, switches).otherwise(F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "switch_rate",
+            F.when(
+                n >= 2, F.col("n_switches").cast("double") / (n - F.lit(1)).cast("double")
+            ),
+        )
+        .drop("_tags")
+    )
