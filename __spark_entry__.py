@@ -1317,6 +1317,21 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_signal_transitions(spark, sf_dir):
+    """First-order Markov entropies of the signal sequence per
+    conversation (profile.signal_transition_entropy): exact transition
+    counts, ordered folds over the sorted compacted cell lists,
+    H(cur|prev) = H(joint) - H(prev) — oracle-replayable."""
+    from z_rad_spark.operators.profile import signal_transition_entropy
+
+    out = signal_transition_entropy(_t(spark, sf_dir))
+    out = out.select(
+        "conv_id", "n_trans", "n_cells",
+        "joint_entropy", "prev_entropy", "cond_entropy",
+    )
+    return _r6(out, ["joint_entropy", "prev_entropy", "cond_entropy"])
+
+
 def q_code_switching(spark, sf_dir):
     """Code-switching screen per document (text.with_code_switching):
     fixed-priority marker tags, adjacent-tag switch counts over the
@@ -4006,6 +4021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_weighted_mean": q_time_weighted_mean,
         "q_oscillation": q_oscillation,
         "q_code_switching": q_code_switching,
+        "q_signal_transitions": q_signal_transitions,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

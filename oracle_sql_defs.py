@@ -7212,3 +7212,49 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        {r6("CASE WHEN len(tags) >= 2 THEN CAST(CASE WHEN len(tags) >= 2 THEN len(list_filter(generate_series(2, len(tags)), i -> tags[i] <> tags[i - 1])) ELSE 0 END AS DOUBLE) / CAST(len(tags) - 1 AS DOUBLE) END", "switch_rate")}
 FROM s
 """
+
+
+# signal transition entropies: ordered folds over the sorted compacted
+# (prev, cur) cell lists; same term shape as the Spark HOFs
+ORACLES["q_signal_transitions"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id,
+         CAST(signal AS BIGINT) AS cur,
+         LAG(CAST(signal AS BIGINT)) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev
+  FROM t
+),
+q AS (SELECT * FROM p WHERE prev IS NOT NULL AND cur IS NOT NULL),
+cells AS (
+  SELECT conv_id, prev, cur, CAST(COUNT(*) AS BIGINT) AS c
+  FROM q GROUP BY conv_id, prev, cur
+),
+tot AS (SELECT conv_id, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY conv_id),
+per AS (
+  SELECT cells.conv_id,
+         MAX(tot.n) AS n_trans,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         list_reduce([0.0] || list((CAST(c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                                   * log2(CAST(c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                                   ORDER BY prev, cur),
+                     (a, x) -> a + x) AS jacc
+  FROM cells JOIN tot USING (conv_id) GROUP BY cells.conv_id
+),
+marg AS (
+  SELECT conv_id, prev, CAST(COUNT(*) AS BIGINT) AS c
+  FROM q GROUP BY conv_id, prev
+),
+perm AS (
+  SELECT marg.conv_id,
+         list_reduce([0.0] || list((CAST(c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                                   * log2(CAST(c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                                   ORDER BY prev),
+                     (a, x) -> a + x) AS pacc
+  FROM marg JOIN tot USING (conv_id) GROUP BY marg.conv_id
+)
+SELECT per.conv_id, per.n_trans, per.n_cells,
+       {r6('-per.jacc', 'joint_entropy')},
+       {r6('-perm.pacc', 'prev_entropy')},
+       {r6('(-per.jacc) - (-perm.pacc)', 'cond_entropy')}
+FROM per JOIN perm USING (conv_id)
+"""

@@ -1710,3 +1710,47 @@ def test_oscillation_hand_computed(spark):
     assert np.isclose(got.loc["c0"].flip_rate, 1.0)
     assert got.loc["c1"].n_flips == 0 and got.loc["c1"].flip_rate == 0.0
     assert got.loc["c2"].n_moves == 0 and pd.isna(got.loc["c2"].flip_rate)
+
+
+def test_signal_transition_entropy_extremes(spark):
+    from z_rad_spark.operators.profile import signal_transition_entropy
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # deterministic cycle 1->2->1->2: H(cur|prev) = 0 (fully predictable)
+    for i in range(20):
+        rows.append(("cycle", i, t0 + pd.Timedelta(minutes=i), float(1 + i % 2)))
+    # constant: single cell, all entropies 0
+    for i in range(10):
+        rows.append(("const", i, t0 + pd.Timedelta(minutes=i), 5.0))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "signal"])
+    got = signal_transition_entropy(spark.createDataFrame(pdf)).toPandas().set_index("conv_id")
+    cyc = got.loc["cycle"]
+    assert cyc.n_trans == 19 and cyc.n_cells == 2
+    assert abs(cyc.cond_entropy) < 1e-12
+    assert cyc.joint_entropy > 0.9          # prev is ~uniform over {1,2}
+    con = got.loc["const"]
+    assert con.joint_entropy == 0.0 and con.cond_entropy == 0.0
+
+    # reference entropy check on a random conversation
+    rng = np.random.default_rng(113)
+    sig = rng.integers(1, 5, 50).astype(float)
+    pdf2 = pd.DataFrame(
+        {
+            "conv_id": "r",
+            "turn_idx": range(50),
+            "ts": t0 + pd.to_timedelta(range(50), unit="m"),
+            "signal": sig,
+        }
+    )
+    got2 = signal_transition_entropy(spark.createDataFrame(pdf2)).toPandas().iloc[0]
+    from collections import Counter
+
+    pairs = Counter(zip(sig[:-1], sig[1:]))
+    n = sum(pairs.values())
+    joint = -sum((c / n) * np.log2(c / n) for c in pairs.values())
+    prevs = Counter(sig[:-1])
+    ph = -sum((c / n) * np.log2(c / n) for c in prevs.values())
+    assert np.isclose(got2.joint_entropy, joint, atol=1e-9)
+    assert np.isclose(got2.prev_entropy, ph, atol=1e-9)
+    assert np.isclose(got2.cond_entropy, joint - ph, atol=1e-9)

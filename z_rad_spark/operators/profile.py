@@ -814,3 +814,68 @@ def oscillation_stats(df: DataFrame, signal_col: str = "signal") -> DataFrame:
             / (nm - F.lit(1)).cast("double"),
         ).alias("flip_rate"),
     )
+
+
+def signal_transition_entropy(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """First-order Markov structure of the SIGNAL sequence per
+    conversation: joint/marginal/conditional entropy over (prev, cur)
+    signal-value transitions — the numeric twin of the role-transition
+    predictability block (a flat conditional entropy means the signal
+    wanders; near zero means it tracks itself).
+
+    Counts per (conv, prev, cur) are exact integers; the three
+    entropies fold over the (prev, cur)-SORTED compacted transition
+    list per conversation (ordered-fold parity idiom; at most
+    |values|^2 cells per conversation). H(cur|prev) = H(joint) -
+    H(prev) — two folds and one subtraction.
+
+    Output: (conv_id, n_trans long, n_cells long, joint_entropy double,
+    prev_entropy double, cond_entropy double — NULL for conversations
+    with no transition).
+    """
+    w = _conv_window()
+    x = F.col(signal_col).cast("long")
+    p = df.select(
+        "conv_id", x.alias("_cur"), F.lag(x).over(w).alias("_prev")
+    ).where(F.col("_prev").isNotNull() & F.col("_cur").isNotNull())
+    cells = p.groupBy("conv_id", "_prev", "_cur").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    per = cells.groupBy("conv_id").agg(
+        F.sum("_c").cast("long").alias("n_trans"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.sort_array(F.collect_list(F.struct("_prev", "_cur", "_c"))).alias("_a"),
+    )
+    n = F.col("n_trans").cast("double")
+
+    def _h(arr, key_fields):
+        # fold -p*log2(p) over the sorted cell list, merging cells that
+        # share the key via a pre-aggregation in the lambda would need
+        # state; instead marginals get their own compacted frame below
+        return -F.aggregate(
+            arr,
+            F.lit(0.0),
+            lambda a, s: a
+            + (s["_c"].cast("double") / n) * F.log2(s["_c"].cast("double") / n),
+        )
+
+    joint = _h(F.col("_a"), None)
+    marg = p.groupBy("conv_id", "_prev").agg(F.count("*").cast("long").alias("_c"))
+    perm = marg.groupBy("conv_id").agg(
+        F.sort_array(F.collect_list(F.struct("_prev", "_c"))).alias("_m")
+    )
+    out = per.join(perm, "conv_id")
+    prev_h = -F.aggregate(
+        F.col("_m"),
+        F.lit(0.0),
+        lambda a, s: a
+        + (s["_c"].cast("double") / n) * F.log2(s["_c"].cast("double") / n),
+    )
+    return out.select(
+        "conv_id",
+        "n_trans",
+        "n_cells",
+        joint.alias("joint_entropy"),
+        prev_h.alias("prev_entropy"),
+        (joint - prev_h).alias("cond_entropy"),
+    )
