@@ -1317,6 +1317,22 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_truncate_middle(spark, sf_dir):
+    """Head+tail middle-drop truncation at a 64-token budget
+    (curation.truncate_middle): array slice/concat, integer budget
+    split — oracle-replayable."""
+    from z_rad_spark.operators.curation import truncate_middle
+
+    out = truncate_middle(_docs(spark, sf_dir), max_tokens=64)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "was_truncated",
+        "text_trunc",
+        "n_tokens_out",
+    )
+
+
 def q_signal_transitions(spark, sf_dir):
     """First-order Markov entropies of the signal sequence per
     conversation (profile.signal_transition_entropy): exact transition
@@ -4022,6 +4038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_oscillation": q_oscillation,
         "q_code_switching": q_code_switching,
         "q_signal_transitions": q_signal_transitions,
+        "q_truncate_middle": q_truncate_middle,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -7258,3 +7258,20 @@ SELECT per.conv_id, per.n_trans, per.n_cells,
        {r6('(-per.jacc) - (-perm.pacc)', 'cond_entropy')}
 FROM per JOIN perm USING (conv_id)
 """
+
+
+# middle-drop truncation: the same head/tail slices and marker join
+ORACLES["q_truncate_middle"] = f"""
+WITH s AS (
+  SELECT doc_id, {TOKS_RAW} AS tk FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       len(tk) > 64 AS was_truncated,
+       CASE WHEN len(tk) > 64
+            THEN array_to_string(list_slice(tk, 1, 48), ' ') || ' ' || '...' || ' '
+                 || array_to_string(list_slice(tk, len(tk) - 15, len(tk)), ' ')
+            ELSE array_to_string(tk, ' ') END AS text_trunc,
+       CAST(CASE WHEN len(tk) > 64 THEN 65 ELSE len(tk) END AS BIGINT) AS n_tokens_out
+FROM s
+"""

@@ -1233,3 +1233,28 @@ def test_code_switching_counts(spark):
     pdf2 = pd.DataFrame({"doc_id": [0], "text": ["la el la"]})
     g2 = with_code_switching(spark.createDataFrame(pdf2)).toPandas().iloc[0]
     assert g2.n_langs == 2 and g2.n_switches == 2
+
+
+def test_truncate_middle_keeps_head_and_tail(spark):
+    import pandas as pd
+
+    from z_rad_spark.operators.curation import truncate_middle
+
+    long_text = " ".join(f"w{i}" for i in range(100))
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1], "text": [long_text, "short doc here"]}
+    )
+    got = (
+        truncate_middle(spark.createDataFrame(pdf), max_tokens=64)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    r0 = got.loc[0]
+    assert r0.was_truncated and r0.n_tokens == 100
+    toks = r0.text_trunc.split(" ")
+    assert len(toks) == 65 and r0.n_tokens_out == 65
+    assert toks[:48] == [f"w{i}" for i in range(48)]          # head kept
+    assert toks[48] == "..."
+    assert toks[-16:] == [f"w{i}" for i in range(84, 100)]    # tail kept
+    r1 = got.loc[1]
+    assert not r1.was_truncated and r1.text_trunc == "short doc here"

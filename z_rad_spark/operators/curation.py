@@ -1202,3 +1202,49 @@ def corpus_report(
         (F.col("n_tokens").cast("double") / n).alias("mean_tokens"),
         (F.col("n_chars").cast("double") / n).alias("mean_chars"),
     )
+
+
+def truncate_middle(
+    df: DataFrame,
+    max_tokens: int = 64,
+    head_frac: float = 0.75,
+    text_col: str = "text",
+    marker: str = "...",
+) -> DataFrame:
+    """Head+tail truncation for context fitting: documents longer than
+    ``max_tokens`` keep the first ``head_frac`` and the last
+    ``1 - head_frac`` of the budget with a marker between — the
+    standard long-document policy (plain head-truncation throws away
+    conclusions; the middle is the cheapest cut; Longformer/LED-era
+    preprocessing convention).
+
+    Pure array arithmetic (slice/concat on the token array, integer
+    head/tail sizes computed once from literals), zero shuffle. Short
+    documents pass through unchanged with was_truncated = false.
+
+    Adds: n_tokens long, was_truncated boolean, text_trunc string,
+    n_tokens_out long.
+    """
+    head_n = int(max_tokens * head_frac)
+    tail_n = int(max_tokens) - head_n
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    truncated = F.concat_ws(
+        " ",
+        F.concat_ws(" ", F.slice(toks, 1, head_n)),
+        F.lit(marker),
+        F.concat_ws(" ", F.slice(toks, -tail_n, tail_n)),
+    )
+    over = n > max_tokens
+    out_text = F.when(over, truncated).otherwise(
+        F.concat_ws(" ", toks)
+    )
+    return (
+        df.withColumn("n_tokens", n.cast("long"))
+        .withColumn("was_truncated", over)
+        .withColumn("text_trunc", out_text)
+        .withColumn(
+            "n_tokens_out",
+            F.when(over, F.lit(head_n + 1 + tail_n)).otherwise(n).cast("long"),
+        )
+    )
