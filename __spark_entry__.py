@@ -1690,10 +1690,9 @@ def q_bucketed_join(spark, sf_dir):
     (layout.write_bucketed + colocated_join): both sides persisted
     bucketed on conv_id (one file per bucket, sorted), then joined with
     zero Exchange (plan pinned in tests/test_plans.py). The value gate
-    proves result parity with the plain join the oracle replays."""
-    import tempfile
-    import uuid
-
+    proves result parity with the plain join the oracle replays.
+    FIXED paths + overwrite mode: repeated sweeps/bench runs reuse the
+    same /tmp footprint instead of accumulating orphaned dirs."""
     from z_rad_spark.layout import colocated_join, write_bucketed
 
     t = _t(spark, sf_dir).select(
@@ -1706,13 +1705,12 @@ def q_bucketed_join(spark, sf_dir):
         F.count("*").cast("long").alias("n_turns"),
         F.sum(F.col("signal").cast("long")).cast("long").alias("sum_signal"),
     )
-    sfx = uuid.uuid4().hex[:8]
-    base = tempfile.mkdtemp(prefix="zrs_gate_bucket_")
-    write_bucketed(t, f"{base}/facts", f"zrs_gf_{sfx}", "conv_id", 8,
+    base = "/tmp/zrs_gate_bucket"
+    write_bucketed(t, f"{base}/facts", "zrs_gate_facts", "conv_id", 8,
                    sort_cols=("conv_id", "ts_us", "turn_idx"))
-    write_bucketed(dim, f"{base}/dim", f"zrs_gd_{sfx}", "conv_id", 8,
+    write_bucketed(dim, f"{base}/dim", "zrs_gate_dim", "conv_id", 8,
                    sort_cols=("conv_id",))
-    out = colocated_join(spark, f"zrs_gf_{sfx}", f"zrs_gd_{sfx}", "conv_id")
+    out = colocated_join(spark, "zrs_gate_facts", "zrs_gate_dim", "conv_id")
     out = out.select(
         "conv_id", "turn_idx", "ts_us", "signal", "n_turns", "sum_signal"
     )

@@ -5180,7 +5180,7 @@ cum AS (
 SELECT role,
        CAST(MAX(nr) AS BIGINT) AS n_ref,
        CAST(MAX(nc) AS BIGINT) AS n_cur,
-       {r6("CASE WHEN MAX(nr) > 0 AND MAX(nc) > 0 THEN CAST(SUM(ABS(cr * nc - cc * nr) * gap) AS DOUBLE) / (CAST(MAX(nr) AS DOUBLE) * CAST(MAX(nc) AS DOUBLE)) END", "w1")}
+       {r6("CASE WHEN MAX(nr) > 0 AND MAX(nc) > 0 THEN CAST(SUM(ABS(CAST(cr AS HUGEINT) * CAST(nc AS HUGEINT) - CAST(cc AS HUGEINT) * CAST(nr AS HUGEINT)) * CAST(gap AS HUGEINT)) AS DOUBLE) / (CAST(MAX(nr) AS DOUBLE) * CAST(MAX(nc) AS DOUBLE)) END", "w1")}
 FROM cum GROUP BY role
 """
 
@@ -6462,11 +6462,10 @@ FROM sizes s LEFT JOIN best b USING (conv_id)
 """
 
 
-# rolling median/MAD: bounded k-row frame list, sorted element picks
-_RM_MED = (
-    "CASE WHEN len({a}) % 2 = 1 THEN ({a})[len({a}) // 2 + 1] "
-    "ELSE ((({a})[len({a}) // 2]) + (({a})[len({a}) // 2 + 1])) / 2.0 END"
-)
+# rolling median/MAD: bounded k-row frame list, sorted element picks —
+# the SAME element-pick macro as _TS_MED (one engine-wide convention,
+# mirrored by operators/exprs.sorted_median)
+_RM_MED = _TS_MED
 
 ORACLES["q_rolling_median"] = f"""
 WITH t AS ({T}),
@@ -7269,9 +7268,9 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(tk) AS BIGINT) AS n_tokens,
        len(tk) > 64 AS was_truncated,
        CASE WHEN len(tk) > 64
-            THEN array_to_string(list_slice(tk, 1, 48), ' ') || ' ' || '...' || ' '
+            THEN array_to_string(list_slice(tk, 1, 47), ' ') || ' ' || '...' || ' '
                  || array_to_string(list_slice(tk, len(tk) - 15, len(tk)), ' ')
             ELSE array_to_string(tk, ' ') END AS text_trunc,
-       CAST(CASE WHEN len(tk) > 64 THEN 65 ELSE len(tk) END AS BIGINT) AS n_tokens_out
+       CAST(CASE WHEN len(tk) > 64 THEN 64 ELSE len(tk) END AS BIGINT) AS n_tokens_out
 FROM s
 """

@@ -1252,9 +1252,10 @@ def test_truncate_middle_keeps_head_and_tail(spark):
     r0 = got.loc[0]
     assert r0.was_truncated and r0.n_tokens == 100
     toks = r0.text_trunc.split(" ")
-    assert len(toks) == 65 and r0.n_tokens_out == 65
-    assert toks[:48] == [f"w{i}" for i in range(48)]          # head kept
-    assert toks[48] == "..."
+    # marker counts against the budget: output is EXACTLY max_tokens
+    assert len(toks) == 64 and r0.n_tokens_out == 64
+    assert toks[:47] == [f"w{i}" for i in range(47)]          # head kept
+    assert toks[47] == "..."
     assert toks[-16:] == [f"w{i}" for i in range(84, 100)]    # tail kept
     r1 = got.loc[1]
     assert not r1.was_truncated and r1.text_trunc == "short doc here"

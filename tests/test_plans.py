@@ -968,9 +968,12 @@ def test_bucketed_join_has_zero_exchange(spark):
         plain = t.join(dim, "conv_id").count()
         assert n == plain
     finally:
+        import shutil
+
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS zrs_facts_{sfx}")
         spark.sql(f"DROP TABLE IF EXISTS zrs_dim_{sfx}")
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):

@@ -1754,3 +1754,36 @@ def test_signal_transition_entropy_extremes(spark):
     assert np.isclose(got2.joint_entropy, joint, atol=1e-9)
     assert np.isclose(got2.prev_entropy, ph, atol=1e-9)
     assert np.isclose(got2.cond_entropy, joint - ph, atol=1e-9)
+
+
+def test_encoders_pass_through_null_keys(spark):
+    """Review regression: count_frequency_encode and winsorize must ADD
+    columns, never drop rows — NULL categories/groups pass through with
+    NULL encodings / unclipped values."""
+    from z_rad_spark.operators.encoding import count_frequency_encode, winsorize
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "source": ["a", "a", None, "b", None, "a"],
+        }
+    )
+    got = count_frequency_encode(spark.createDataFrame(pdf), "source").toPandas()
+    assert len(got) == 6                              # nothing dropped
+    nulls = got[got.source.isna()]
+    assert len(nulls) == 2 and nulls.cat_count.isna().all()
+
+    t = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 6,
+            "turn_idx": range(6),
+            "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(range(6), unit="m"),
+            "signal": [1.0, 9.0, 5.0, 5.0, 5.0, 5.0],
+            "role": ["u", "u", "u", "u", None, None],
+        }
+    )
+    got = winsorize(spark.createDataFrame(t), lower=0.25, upper=0.75, group_col="role").toPandas()
+    assert len(got) == 6                              # nothing dropped
+    # NULL-group rows keep their raw value unclipped
+    nulls = got[got.role.isna()]
+    assert (nulls.signal_w == nulls.signal).all()

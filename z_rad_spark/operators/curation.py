@@ -1220,13 +1220,17 @@ def truncate_middle(
 
     Pure array arithmetic (slice/concat on the token array, integer
     head/tail sizes computed once from literals), zero shuffle. Short
-    documents pass through unchanged with was_truncated = false.
+    documents pass through unchanged with was_truncated = false. The
+    marker counts AGAINST the budget (head + marker + tail ==
+    max_tokens exactly), so a packer sized to max_tokens never
+    overflows on a truncated document.
 
     Adds: n_tokens long, was_truncated boolean, text_trunc string,
     n_tokens_out long.
     """
-    head_n = int(max_tokens * head_frac)
-    tail_n = int(max_tokens) - head_n
+    budget = int(max_tokens) - 1  # one slot reserved for the marker
+    head_n = int(budget * head_frac)
+    tail_n = budget - head_n
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     n = F.size(toks)
     truncated = F.concat_ws(
@@ -1245,6 +1249,6 @@ def truncate_middle(
         .withColumn("text_trunc", out_text)
         .withColumn(
             "n_tokens_out",
-            F.when(over, F.lit(head_n + 1 + tail_n)).otherwise(n).cast("long"),
+            F.when(over, F.lit(int(max_tokens))).otherwise(n).cast("long"),
         )
     )

@@ -973,6 +973,7 @@ def incremental_dup_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int = 64,
+    corpus_banded: bool = False,
 ) -> DataFrame:
     """Incremental near-dup screening: candidate pairs between a NEW
     batch and the EXISTING corpus via banded minhash LSH — the shape an
@@ -981,13 +982,14 @@ def incremental_dup_candidates(
     the index is the steady state; pairs WITHIN the new batch are
     minhash_lsh_pairs' job on the delta alone).
 
-    Both sides build the same _band_keys frame; buckets are size-gated
-    like minhash_lsh_pairs and must contain BOTH sides (a one-sided
-    bucket can't produce a cross pair — the filter drops it before any
-    list materializes). In production the corpus side's band keys are
-    computed once and PERSISTED (they are pure functions of the text) —
-    this operator accepts any (id, band, band_key)-shaped corpus frame
-    via ``corpus_banded=True`` semantics below.
+    Both sides contribute the same _band_keys frame; buckets are
+    size-gated like minhash_lsh_pairs and must contain BOTH sides (a
+    one-sided bucket can't produce a cross pair — the filter drops it
+    before any list materializes). In production the corpus side's band
+    keys are computed once and PERSISTED (they are pure functions of
+    the text): pass ``corpus_banded=True`` and supply ``corpus`` as the
+    (id_col, band, band_key) frame _band_keys produced, and the corpus
+    never re-tokenizes.
 
     Output: (new_id, corpus_id) distinct candidate pairs.
     """
@@ -998,8 +1000,13 @@ def incremental_dup_candidates(
         .select(F.col(id_col).alias("_id"), "band", "band_key")
         .withColumn("_side", F.lit(1))
     )
+    corpus_keys = (
+        corpus
+        if corpus_banded
+        else _band_keys(corpus, n, n_hashes, band_size, text_col, id_col)
+    )
     cb = (
-        _band_keys(corpus, n, n_hashes, band_size, text_col, id_col)
+        corpus_keys
         .select(F.col(id_col).alias("_id"), "band", "band_key")
         .withColumn("_side", F.lit(0))
     )

@@ -508,11 +508,13 @@ def w1_drift(
     values| rows before any window runs. Determinism is stronger than
     KS needs: a float SUM over the value frame would be engine-order
     dependent, so the sum runs on the COMMON-DENOMINATOR integers
-    |CR_i * NC - CC_i * NR| * gap_i — exact longs under the integer
-    signal contract (the engine-wide contract every drift operator
-    states), summed exactly, with ONE division by NR * NC at the end.
-    The SQL oracle replays W1 bit-for-bit regardless of either engine's
-    aggregation order.
+    |CR_i * NC - CC_i * NR| * gap_i — carried as DECIMAL so the
+    products stay exact past int64 (window counts of ~2e9 per side
+    would overflow a long product; the decimal sizing below is exact to
+    1e14 rows per side, and the oracle mirrors with HUGEINT) — summed
+    exactly, with ONE division by NR * NC at the end. The SQL oracle
+    replays W1 bit-for-bit regardless of either engine's aggregation
+    order.
 
     NULL signals are excluded. Groups with an empty window get w1 NULL.
 
@@ -544,9 +546,14 @@ def w1_drift(
         F.sum("_c").over(w_all).alias("_nc"),
         (F.lead("_val").over(w_seq) - F.col("_val")).alias("_gap"),
     )
-    num = F.abs(F.col("_cr") * F.col("_nc") - F.col("_cc") * F.col("_nr")) * F.col(
-        "_gap"
-    )
+    # decimal sizing: counts as DECIMAL(14,0) and gaps as DECIMAL(4,0)
+    # keep every product within Spark's exact 38-digit cap
+    # (14+14+1 = 29-digit cross products, +4+1 = 34 after the gap) —
+    # exact for window counts up to 1e14 per side, vs ~3e9 for int64
+    num = F.abs(
+        F.col("_cr").cast("decimal(14,0)") * F.col("_nc").cast("decimal(14,0)")
+        - F.col("_cc").cast("decimal(14,0)") * F.col("_nr").cast("decimal(14,0)")
+    ) * F.col("_gap").cast("decimal(4,0)")
     return cum.groupBy(group_col).agg(
         F.max("_nr").cast("long").alias("n_ref"),
         F.max("_nc").cast("long").alias("n_cur"),

@@ -220,7 +220,10 @@ def count_frequency_encode(
         F.dense_rank().over(w).cast("int").alias("cat_rank"),
         (F.col("cat_count") < F.lit(int(min_count))).alias("is_rare"),
     )
-    return df.join(F.broadcast(enc), cat_col)
+    # LEFT join: a NULL category never equi-matches, and the contract is
+    # 'adds columns' — rows must pass through with NULL encodings, not
+    # vanish (the quantile_transform convention)
+    return df.join(F.broadcast(enc), cat_col, "left")
 
 
 def value_quantiles(
@@ -305,8 +308,15 @@ def winsorize(
         F.col(hi_name).alias("_hi"),
     )
     x = F.col(signal_col).cast("double")
-    return df.join(F.broadcast(cuts), group_col).withColumn(
-        f"{signal_col}_w", F.least(F.greatest(x, F.col("_lo")), F.col("_hi"))
+    # LEFT join (the 'adds columns' contract): rows whose group has no
+    # cutoffs — NULL group, or all-NULL signals — keep their value
+    # unclipped instead of vanishing
+    return df.join(F.broadcast(cuts), group_col, "left").withColumn(
+        f"{signal_col}_w",
+        F.when(
+            F.col("_lo").isNotNull() & F.col("_hi").isNotNull(),
+            F.least(F.greatest(x, F.col("_lo")), F.col("_hi")),
+        ).otherwise(x),
     )
 
 

@@ -514,12 +514,7 @@ def theil_sen_trend(df: DataFrame, signal_col: str = "signal") -> DataFrame:
     )
     g = g.withColumn("_s", F.when(n >= 2, slopes))
 
-    def _median(arr):
-        m = F.size(arr)
-        mid = F.floor(m / 2).cast("int")
-        return F.when(
-            m % 2 == 1, F.get(arr, mid)
-        ).otherwise((F.get(arr, mid - 1) + F.get(arr, mid)) / F.lit(2.0))
+    from .exprs import sorted_median as _median
 
     g = g.withColumn("sen_slope", F.when(n >= 2, _median(F.col("_s"))))
     resid = F.array_sort(
@@ -630,12 +625,7 @@ def volume_anomaly(df: DataFrame, group_col: str = "role") -> DataFrame:
         F.count("*").cast("long").alias("n")
     )
 
-    def _median(arr):
-        m = F.size(arr)
-        mid = F.floor(m / 2).cast("int")
-        return F.when(m % 2 == 1, F.get(arr, mid)).otherwise(
-            (F.get(arr, mid - 1) + F.get(arr, mid)) / F.lit(2.0)
-        )
+    from .exprs import sorted_median as _median
 
     per = counts.groupBy(group_col).agg(
         F.sort_array(F.collect_list(F.col("n").cast("double"))).alias("_ns")

@@ -894,12 +894,7 @@ def with_rolling_median(
         .rowsBetween(-(k - 1), 0)
     )
 
-    def _median(arr):
-        m = F.size(arr)
-        mid = F.floor(m / 2).cast("int")
-        return F.when(m % 2 == 1, F.get(arr, mid)).otherwise(
-            (F.get(arr, mid - 1) + F.get(arr, mid)) / F.lit(2.0)
-        )
+    from .exprs import sorted_median as _median
 
     out = df.withColumn("_fr", F.array_sort(F.collect_list(x).over(w)))
     med = _median(F.col("_fr"))

@@ -554,9 +554,10 @@ def streaming_range_join(
     the batch oracle replays it as a plain range join.
 
     State contract: both sides carry the same watermark; the range
-    predicate is two-sided (state_ts in (ts - range, ts]), which is
-    what lets the state store expire both sides — an open-ended
-    condition would grow state forever.
+    predicate is two-sided and CLOSED on both ends (state_ts in
+    [ts - range, ts] — a state event exactly range_seconds old still
+    matches), which is what lets the state store expire both sides —
+    an open-ended condition would grow state forever.
 
     Output: (conv_id, ts_us long, signal double, state_ts_us long,
     state_val double).
