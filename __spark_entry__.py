@@ -1317,6 +1317,32 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_role_token_ratios(spark, sf_dir):
+    """Per-conversation assistant/user token balance
+    (profile.role_token_ratios): conditional exact-integer token sums,
+    one division — oracle-replayable."""
+    from z_rad_spark.operators.profile import role_token_ratios
+
+    out = role_token_ratios(_t(spark, sf_dir))
+    out = out.select("conv_id", "n_turns", "tokens_num", "tokens_den", "token_ratio")
+    return _r6(out, ["token_ratio"])
+
+
+def q_template_groups(spark, sf_dir):
+    """Source-level template detection (dedup.template_groups, 8-token
+    prefix, min group 3): one (source, prefix-hash) count joined back
+    co-partitioned — oracle-replayable."""
+    from z_rad_spark.operators.dedup import template_groups
+
+    out = template_groups(_docs(spark, sf_dir), prefix_tokens=8, min_group=3)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "template_size",
+        "is_templated",
+    )
+
+
 def q_truncate_middle(spark, sf_dir):
     """Head+tail middle-drop truncation at a 64-token budget
     (curation.truncate_middle): array slice/concat, integer budget
@@ -4037,6 +4063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_code_switching": q_code_switching,
         "q_signal_transitions": q_signal_transitions,
         "q_truncate_middle": q_truncate_middle,
+        "q_role_token_ratios": q_role_token_ratios,
+        "q_template_groups": q_template_groups,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -7274,3 +7274,37 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(CASE WHEN len(tk) > 64 THEN 64 ELSE len(tk) END AS BIGINT) AS n_tokens_out
 FROM s
 """
+
+
+# role token balance: conditional integer token sums, one division
+ORACLES["q_role_token_ratios"] = f"""
+WITH t AS ({T}),
+g AS (
+  SELECT conv_id,
+         CAST(COUNT(*) AS BIGINT) AS n_turns,
+         CAST(COALESCE(SUM(CASE WHEN role = 'assistant' THEN len({TOKS_RAW}) END), 0) AS BIGINT) AS tokens_num,
+         CAST(COALESCE(SUM(CASE WHEN role = 'user' THEN len({TOKS_RAW}) END), 0) AS BIGINT) AS tokens_den
+  FROM t GROUP BY conv_id
+)
+SELECT conv_id, n_turns, tokens_num, tokens_den,
+       {r6('CASE WHEN tokens_den > 0 THEN CAST(tokens_num AS DOUBLE) / CAST(tokens_den AS DOUBLE) END', 'token_ratio')}
+FROM g
+"""
+
+
+# template detection: (source, 8-token normalized-prefix md5) counts
+ORACLES["q_template_groups"] = f"""
+WITH b AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_slice({TOKS_DOC}, 1, 8), ' ')) AS pfx
+  FROM documents
+),
+c AS (
+  SELECT source, pfx, CAST(COUNT(*) AS BIGINT) AS template_size
+  FROM b GROUP BY source, pfx
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id, b.source,
+       c.template_size,
+       c.template_size >= 3 AS is_templated
+FROM b JOIN c USING (source, pfx)
+"""

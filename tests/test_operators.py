@@ -2055,3 +2055,52 @@ def test_weighted_sample_respects_probabilities(spark):
     # stable across recomputation
     again = weighted_sample(spark.createDataFrame(pdf), "w").toPandas()
     assert (got.sort_values("doc_id").keep.values == again.sort_values("doc_id").keep.values).all()
+
+
+def test_role_token_ratios(spark):
+    from z_rad_spark.operators.profile import role_token_ratios
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        ("c0", 0, t0, "user", "short q"),
+        ("c0", 1, t0 + pd.Timedelta(minutes=1), "assistant",
+         "a much longer reply with many more tokens here"),
+        ("c1", 0, t0, "assistant", "no user at all"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "role", "text"])
+    got = role_token_ratios(spark.createDataFrame(pdf)).toPandas().set_index("conv_id")
+    c0 = got.loc["c0"]
+    assert c0.tokens_den == 2 and c0.tokens_num == 9
+    assert np.isclose(c0.token_ratio, 9 / 2)
+    c1 = got.loc["c1"]
+    assert c1.tokens_den == 0 and pd.isna(c1.token_ratio)
+
+
+def test_template_groups_detects_shared_prefix(spark):
+    from z_rad_spark.operators.dedup import template_groups
+
+    prefix = "dear customer thank you for your recent order with"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(5),
+            "text": [
+                prefix + " widget a",
+                prefix + " widget b and some extra words",
+                prefix + " gadget c",
+                "completely unrelated document text here",
+                prefix + " widget a",  # same prefix, DIFFERENT source
+            ],
+            "source": ["s0", "s0", "s0", "s0", "s1"],
+        }
+    )
+    got = (
+        template_groups(spark.createDataFrame(pdf), prefix_tokens=8, min_group=3)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # docs 0-2 share (s0, 8-token prefix) -> templated
+    assert got.loc[0].template_size == 3 and got.loc[0].is_templated
+    assert got.loc[1].is_templated and got.loc[2].is_templated
+    assert got.loc[3].template_size == 1 and not got.loc[3].is_templated
+    # same prefix under another source is its own group of 1
+    assert got.loc[4].template_size == 1 and not got.loc[4].is_templated

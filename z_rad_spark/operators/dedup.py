@@ -1131,3 +1131,39 @@ def weighted_sample(
     w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
     out = df.withColumn("u", u)
     return out.withColumn("keep", F.col("u") < w)
+
+
+def template_groups(
+    docs: DataFrame,
+    prefix_tokens: int = 8,
+    min_group: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Source-level template/boilerplate detection: documents of the
+    same source sharing their first ``prefix_tokens`` normalized tokens
+    form a template group — the mail-merge / scraper-boilerplate
+    pattern line_dedup (exact whole-line) and minhash (whole-document
+    similarity) both miss when the template's TAIL varies.
+
+    One (source, prefix-hash) count aggregate joined back on the same
+    key — co-partitioned, no broadcast of an unbounded frame. Exact
+    integers; the md5 prefix key is the engine-portable hash
+    convention. Documents shorter than the prefix hash whatever tokens
+    they have (a 3-token doc can still be a template).
+
+    Adds: template_size long (docs sharing this source+prefix),
+    is_templated boolean (template_size >= min_group).
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    prefix = F.md5(
+        F.concat_ws(" ", F.slice(toks, 1, prefix_tokens))
+    )
+    base = docs.withColumn("_pfx", prefix)
+    counts = base.groupBy(source_col, "_pfx").agg(
+        F.count("*").cast("long").alias("template_size")
+    )
+    return base.join(counts, [source_col, "_pfx"]).withColumn(
+        "is_templated", F.col("template_size") >= F.lit(int(min_group))
+    ).drop("_pfx")

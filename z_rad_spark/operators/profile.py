@@ -869,3 +869,41 @@ def signal_transition_entropy(df: DataFrame, signal_col: str = "signal") -> Data
         prev_h.alias("prev_entropy"),
         (joint - prev_h).alias("cond_entropy"),
     )
+
+
+def role_token_ratios(
+    df: DataFrame,
+    text_col: str = "text",
+    num_role: str = "assistant",
+    den_role: str = "user",
+) -> DataFrame:
+    """Per-conversation verbosity balance: whitespace-token totals per
+    role and the assistant/user token ratio — the SFT length-balance
+    stat (a corpus of one-word prompts with essay replies trains a
+    different model than balanced dialog; stratify on this before
+    packing).
+
+    One aggregation pass with conditional exact-integer token sums; the
+    ratio is one division (NULL when the denominator role contributed
+    no tokens).
+
+    Output: (conv_id, n_turns long, tokens_num long, tokens_den long,
+    token_ratio double).
+    """
+    n_toks = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).cast("long")
+    g = df.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.coalesce(F.sum(F.when(F.col("role") == num_role, n_toks)), F.lit(0))
+        .cast("long")
+        .alias("tokens_num"),
+        F.coalesce(F.sum(F.when(F.col("role") == den_role, n_toks)), F.lit(0))
+        .cast("long")
+        .alias("tokens_den"),
+    )
+    return g.withColumn(
+        "token_ratio",
+        F.when(
+            F.col("tokens_den") > 0,
+            F.col("tokens_num").cast("double") / F.col("tokens_den").cast("double"),
+        ),
+    )
