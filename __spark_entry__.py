@@ -1317,6 +1317,17 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_max_drawdown(spark, sf_dir):
+    """Maximum signal drawdown per conversation (profile.max_drawdown):
+    running-peak window, exact integer (dd, -ordinal) argmax — no float
+    comparisons; the fraction is one division. Oracle-replayable."""
+    from z_rad_spark.operators.profile import max_drawdown
+
+    out = max_drawdown(_t(spark, sf_dir))
+    out = out.select("conv_id", "n", "peak", "max_dd", "dd_frac")
+    return _r6(out, ["dd_frac"])
+
+
 def q_role_token_ratios(spark, sf_dir):
     """Per-conversation assistant/user token balance
     (profile.role_token_ratios): conditional exact-integer token sums,
@@ -4065,6 +4076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_truncate_middle": q_truncate_middle,
         "q_role_token_ratios": q_role_token_ratios,
         "q_template_groups": q_template_groups,
+        "q_max_drawdown": q_max_drawdown,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

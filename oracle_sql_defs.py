@@ -7308,3 +7308,34 @@ SELECT CAST(b.doc_id AS BIGINT) AS doc_id, b.source,
        c.template_size >= 3 AS is_templated
 FROM b JOIN c USING (source, pfx)
 """
+
+
+# max drawdown: running-peak window, integer (dd, -ordinal, peak) argmax
+ORACLES["q_max_drawdown"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id,
+         CAST(signal AS BIGINT) AS x,
+         MAX(CAST(signal AS BIGINT)) OVER w AS peak,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS i
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+d AS (SELECT conv_id, peak - x AS dd, i, peak FROM p),
+best AS (
+  SELECT conv_id, dd, peak FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id
+                                 ORDER BY dd DESC, i ASC) AS rn
+    FROM d) WHERE rn = 1
+),
+sizes AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MAX(CAST(signal AS BIGINT)) AS BIGINT) AS peak_all
+  FROM t GROUP BY conv_id
+)
+SELECT s.conv_id, s.n, s.peak_all AS peak,
+       CAST(b.dd AS BIGINT) AS max_dd,
+       {r6('CASE WHEN b.peak > 0 THEN CAST(b.dd AS DOUBLE) / CAST(b.peak AS DOUBLE) END', 'dd_frac')}
+FROM sizes s JOIN best b USING (conv_id)
+"""

@@ -1787,3 +1787,21 @@ def test_encoders_pass_through_null_keys(spark):
     # NULL-group rows keep their raw value unclipped
     nulls = got[got.role.isna()]
     assert (nulls.signal_w == nulls.signal).all()
+
+
+def test_max_drawdown_hand_computed(spark):
+    from z_rad_spark.operators.profile import max_drawdown
+
+    t0 = pd.Timestamp("2024-01-01")
+    # 3, 8, 5, 2, 7: peak runs 3,8,8,8,8 -> dd 0,0,3,6,1 -> max_dd 6 at peak 8
+    sig = [3.0, 8.0, 5.0, 2.0, 7.0]
+    rows = [("c0", i, t0 + pd.Timedelta(minutes=i), sig[i]) for i in range(5)]
+    # monotone up: zero drawdown
+    rows += [("c1", i, t0 + pd.Timedelta(minutes=i), float(1 + i)) for i in range(5)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "signal"])
+    got = max_drawdown(spark.createDataFrame(pdf)).toPandas().set_index("conv_id")
+    c0 = got.loc["c0"]
+    assert c0.peak == 8 and c0.max_dd == 6
+    assert np.isclose(c0.dd_frac, 6 / 8)
+    c1 = got.loc["c1"]
+    assert c1.max_dd == 0 and c1.dd_frac == 0.0

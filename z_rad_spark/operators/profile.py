@@ -907,3 +907,59 @@ def role_token_ratios(
             F.col("tokens_num").cast("double") / F.col("tokens_den").cast("double"),
         ),
     )
+
+
+def max_drawdown(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """Per-conversation maximum drawdown of the signal: the deepest drop
+    from a running peak, in absolute units and as a fraction of that
+    peak — the 'how badly did quality collapse mid-conversation'
+    summary (the trend/changepoint block says WHERE it moved; drawdown
+    bounds the worst excursion).
+
+        dd_t   = peak_t - x_t,    peak_t = running max under the stable
+                                  (ts, turn_idx) order
+        max_dd = max_t dd_t;  the fractional form divides by the peak AT
+        the argmax step (exact integer argmax over (dd, -ordinal):
+        earliest deepest step wins — no float comparison).
+
+    Exact integers end to end (running max, subtraction, argmax struct);
+    the fraction is one division. One running window + one groupBy on
+    the shared conv_id exchange.
+
+    Output: (conv_id, n long, peak long, max_dd long, dd_frac double —
+    NULL when the peak at the worst step is 0).
+    """
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(*_ORDER)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    x = F.col(signal_col).cast("long")
+    ord_w = Window.partitionBy("conv_id").orderBy(*_ORDER)
+    p = df.select(
+        "conv_id",
+        x.alias("_x"),
+        F.max(x).over(w).alias("_peak"),
+        (F.row_number().over(ord_w)).cast("long").alias("_i"),
+    ).withColumn("_dd", F.col("_peak") - F.col("_x"))
+    best = p.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("_peak").cast("long").alias("peak"),
+        F.max(
+            F.struct(
+                F.col("_dd").alias("dd"),
+                (-F.col("_i")).alias("negi"),
+                F.col("_peak").alias("pk"),
+            )
+        ).alias("_b"),
+    )
+    b = F.col("_b")
+    return best.select(
+        "conv_id",
+        "n",
+        "peak",
+        b["dd"].cast("long").alias("max_dd"),
+        F.when(
+            b["pk"] > 0, b["dd"].cast("double") / b["pk"].cast("double")
+        ).alias("dd_frac"),
+    )
