@@ -1317,6 +1317,23 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary fraction per document against the corpus
+    top-200 vocabulary (text.oov_rate): two-pass TF, heavy-hitter
+    vocab cut, broadcast membership join — exact integers,
+    oracle-replayable."""
+    from z_rad_spark.operators.text import oov_rate
+
+    out = oov_rate(_docs(spark, sf_dir), vocab_k=200)
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "n_oov",
+        "oov_frac",
+    )
+    return _r6(out, ["oov_frac"])
+
+
 def q_max_drawdown(spark, sf_dir):
     """Maximum signal drawdown per conversation (profile.max_drawdown):
     running-peak window, exact integer (dd, -ordinal) argmax — no float
@@ -4077,6 +4094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_role_token_ratios": q_role_token_ratios,
         "q_template_groups": q_template_groups,
         "q_max_drawdown": q_max_drawdown,
+        "q_oov_rate": q_oov_rate,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

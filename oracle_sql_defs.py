@@ -7339,3 +7339,27 @@ SELECT s.conv_id, s.n, s.peak_all AS peak,
        {r6('CASE WHEN b.peak > 0 THEN CAST(b.dd AS DOUBLE) / CAST(b.peak AS DOUBLE) END', 'dd_frac')}
 FROM sizes s JOIN best b USING (conv_id)
 """
+
+
+# OOV rate: two-pass TF, (count desc, token asc) top-k vocab, membership
+ORACLES["q_oov_rate"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_RAW}) AS token FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS r
+    FROM counts) WHERE r <= 200
+),
+g AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(CASE WHEN v.token IS NULL THEN 1 END) AS BIGINT) AS n_oov
+  FROM toks t LEFT JOIN vocab v USING (token)
+  GROUP BY t.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, n_oov,
+       {r6('CASE WHEN n_tokens > 0 THEN CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) END', 'oov_frac')}
+FROM g
+"""

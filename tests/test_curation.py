@@ -1259,3 +1259,27 @@ def test_truncate_middle_keeps_head_and_tail(spark):
     assert toks[-16:] == [f"w{i}" for i in range(84, 100)]    # tail kept
     r1 = got.loc[1]
     assert not r1.was_truncated and r1.text_trunc == "short doc here"
+
+
+def test_oov_rate_against_topk_vocab(spark):
+    import numpy as np
+    import pandas as pd
+
+    from z_rad_spark.operators.text import oov_rate
+
+    # corpus: 'common' dominates; with vocab_k=1 only it is in-vocab
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "common common rare1",
+                "common rare2 rare3 rare4",
+                "common common common",
+            ],
+        }
+    )
+    got = oov_rate(spark.createDataFrame(pdf), vocab_k=1).toPandas().set_index("doc_id")
+    assert got.loc[0].n_tokens == 3 and got.loc[0].n_oov == 1
+    assert np.isclose(got.loc[0].oov_frac, 1 / 3)
+    assert np.isclose(got.loc[1].oov_frac, 3 / 4)
+    assert got.loc[2].n_oov == 0 and got.loc[2].oov_frac == 0.0

@@ -1082,3 +1082,49 @@ def with_code_switching(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("_tags")
     )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_k: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``vocab_k`` token vocabulary — the tokenizer-coverage proxy (a
+    doc whose tokens mostly fall outside the head vocabulary will
+    fragment into many subword pieces and waste context; spam/garbage
+    shows the same tail-heavy signature).
+
+    Two-pass TF shape: one global token count, the top-k cut with the
+    (count desc, token asc) heavy-hitter tie-break on the vocab-sized
+    frame, then a token-level LEFT SEMI-style membership join and one
+    per-doc aggregate. The vocabulary frame is k rows — broadcast. All
+    exact integers, one division.
+
+    Output: (id_col, n_tokens long, n_oov long, oov_frac double — NULL
+    for empty docs).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(F.count("*").cast("long").alias("_n"))
+    w = Window.orderBy(F.desc("_n"), F.asc("token"))
+    vocab = (
+        counts.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= vocab_k)
+        .select("token", F.lit(True).alias("_in_vocab"))
+    )
+    tagged = toks.join(F.broadcast(vocab), "token", "left")
+    g = tagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.count(F.when(F.col("_in_vocab").isNull(), 1)).cast("long").alias("n_oov"),
+    )
+    return g.withColumn(
+        "oov_frac",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        ),
+    )
