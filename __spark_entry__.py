@@ -1317,6 +1317,17 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_von_neumann(spark, sf_dir):
+    """Von Neumann randomness ratio per conversation
+    (profile.von_neumann_ratio): exact integer MSSD + variance
+    sufficient statistics, three divisions — oracle-replayable."""
+    from z_rad_spark.operators.profile import von_neumann_ratio
+
+    out = von_neumann_ratio(_t(spark, sf_dir))
+    out = out.select("conv_id", "n", "mssd", "variance", "vn")
+    return _r6(out, ["mssd", "variance", "vn"])
+
+
 def q_oov_rate(spark, sf_dir):
     """Out-of-vocabulary fraction per document against the corpus
     top-200 vocabulary (text.oov_rate): two-pass TF, heavy-hitter
@@ -4095,6 +4106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_template_groups": q_template_groups,
         "q_max_drawdown": q_max_drawdown,
         "q_oov_rate": q_oov_rate,
+        "q_von_neumann": q_von_neumann,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

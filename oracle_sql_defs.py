@@ -7363,3 +7363,34 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, n_oov,
        {r6('CASE WHEN n_tokens > 0 THEN CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) END', 'oov_frac')}
 FROM g
 """
+
+
+# von Neumann ratio: exact integer MSSD/variance sufficient statistics
+ORACLES["q_von_neumann"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id, CAST(signal AS BIGINT) AS x,
+         CAST(signal AS BIGINT)
+           - LAG(CAST(signal AS BIGINT)) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS d
+  FROM t
+),
+g AS (
+  SELECT conv_id,
+         CAST(COUNT(x) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(x * x) AS sxx,
+         COALESCE(SUM(d * d), 0) AS sdd
+  FROM p GROUP BY conv_id
+),
+s AS (
+  SELECT conv_id, n,
+         CAST(sdd AS DOUBLE) / CASE WHEN n > 1 THEN CAST(n AS DOUBLE) - 1.0 END AS mssd,
+         (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / CASE WHEN n > 1 THEN CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) END AS variance
+  FROM g
+)
+SELECT conv_id, n,
+       {r6('mssd', 'mssd')},
+       {r6('variance', 'variance')},
+       {r6('CASE WHEN variance > 0 THEN mssd / variance END', 'vn')}
+FROM s
+"""

@@ -1805,3 +1805,27 @@ def test_max_drawdown_hand_computed(spark):
     assert np.isclose(c0.dd_frac, 6 / 8)
     c1 = got.loc["c1"]
     assert c1.max_dd == 0 and c1.dd_frac == 0.0
+
+
+def test_von_neumann_ratio_regimes(spark):
+    from z_rad_spark.operators.profile import von_neumann_ratio
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # strong trend: vn well below 2
+    for i in range(40):
+        rows.append(("trend", i, t0 + pd.Timedelta(minutes=i), float(1 + i % 9 if False else min(9, 1 + i // 5))))
+    # perfect alternation 1,9,1,9: vn well above 2
+    for i in range(40):
+        rows.append(("alt", i, t0 + pd.Timedelta(minutes=i), 1.0 if i % 2 == 0 else 9.0))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "signal"])
+    got = von_neumann_ratio(spark.createDataFrame(pdf)).toPandas().set_index("conv_id")
+    assert got.loc["trend"].vn < 1.0
+    assert got.loc["alt"].vn > 3.0
+    # reference recomputation for the alternating series
+    x = np.array([1.0 if i % 2 == 0 else 9.0 for i in range(40)])
+    mssd = (np.diff(x) ** 2).sum() / (len(x) - 1)
+    var = x.var(ddof=1)
+    assert np.isclose(got.loc["alt"].mssd, mssd, atol=1e-9)
+    assert np.isclose(got.loc["alt"].variance, var, atol=1e-9)
+    assert np.isclose(got.loc["alt"].vn, mssd / var, atol=1e-9)

@@ -963,3 +963,47 @@ def max_drawdown(df: DataFrame, signal_col: str = "signal") -> DataFrame:
             b["pk"] > 0, b["dd"].cast("double") / b["pk"].cast("double")
         ).alias("dd_frac"),
     )
+
+
+def von_neumann_ratio(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """Von Neumann ratio per conversation — the classic
+    randomness-vs-trend test on the successive differences
+    (von Neumann 1941):
+
+        vn = (sum d_i^2 / (n - 1)) / s^2,   d_i = x_{i+1} - x_i,
+        s^2 the unbiased variance
+
+    vn ~ 2 for serially independent values; << 2 means positive serial
+    correlation (trend/stickiness), >> 2 alternation — the one-number
+    companion to the full lag-k autocorrelation block.
+
+    Exact integer sufficient statistics (sum d^2 from a lag window;
+    n*Sxx - Sx^2 variance form), two divisions and one final divide —
+    bit-replayable. One lag window + one groupBy on the shared conv_id
+    exchange. NULL when n < 2 or zero variance.
+
+    Output: (conv_id, n long, mssd double, variance double, vn double).
+    """
+    w = _conv_window()
+    x = F.col(signal_col).cast("long")
+    d = x - F.lag(x).over(w)
+    p = df.select("conv_id", x.alias("_x"), d.alias("_d"))
+    g = p.groupBy("conv_id").agg(
+        F.count("_x").cast("long").alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.coalesce(F.sum(F.col("_d") * F.col("_d")), F.lit(0)).alias("_sdd"),
+    )
+    n = F.col("n").cast("double")
+    mssd = F.col("_sdd").cast("double") / F.when(F.col("n") > 1, n - F.lit(1.0))
+    var = (
+        n * F.col("_sxx").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sx").cast("double")
+    ) / F.when(F.col("n") > 1, n * (n - F.lit(1.0)))
+    return g.select(
+        "conv_id",
+        "n",
+        mssd.alias("mssd"),
+        var.alias("variance"),
+        F.when(var > 0, mssd / var).alias("vn"),
+    )
