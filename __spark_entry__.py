@@ -1317,6 +1317,17 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_langid_kappa(spark, sf_dir):
+    """Cohen's kappa for the language-ID heuristic (text.langid_kappa):
+    one single-row aggregate of exact diagonal + marginal counts, fixed
+    chains over the literal label grid — oracle-replayable."""
+    from z_rad_spark.operators.text import langid_kappa
+
+    out = langid_kappa(_docs(spark, sf_dir))
+    out = out.select("n", "accuracy", "p_e", "kappa")
+    return _r6(out, ["accuracy", "p_e", "kappa"])
+
+
 def q_von_neumann(spark, sf_dir):
     """Von Neumann randomness ratio per conversation
     (profile.von_neumann_ratio): exact integer MSSD + variance
@@ -4107,6 +4118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_max_drawdown": q_max_drawdown,
         "q_oov_rate": q_oov_rate,
         "q_von_neumann": q_von_neumann,
+        "q_langid_kappa": q_langid_kappa,
         # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
         # q_welch_drift: both hold FRESH r3 gate rows earned against the
         # current r6-parity oracles, and the r4 ordered-fold refactor did

@@ -7394,3 +7394,42 @@ SELECT conv_id, n,
        {r6('CASE WHEN variance > 0 THEN mssd / variance END', 'vn')}
 FROM s
 """
+
+
+# Cohen's kappa for langid: single-row diagonal + marginals, fixed
+# chains over the literal label grid
+def _kappa_sql() -> str:
+    labels = ("en", "de", "es", "fr", "und")
+    rcols = ",\n         ".join(
+        f"CAST(COUNT(CASE WHEN d.lang = '{l}' THEN 1 END) AS BIGINT) AS r_{l},\n"
+        f"         CAST(COUNT(CASE WHEN p.lang_pred = '{l}' THEN 1 END) AS BIGINT) AS c_{l}"
+        for l in labels
+    )
+    pe_terms = [
+        f"((CAST(r_{l} AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(c_{l} AS DOUBLE) / CAST(n AS DOUBLE)))"
+        for l in labels
+    ]
+    pe = pe_terms[0]
+    for t in pe_terms[1:]:
+        pe = f"({pe} + {t})"
+    return f"""
+WITH pr AS ({ORACLES["q_lang_id"]}),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {rcols},
+         CAST(COUNT(CASE WHEN d.lang = p.lang_pred THEN 1 END) AS BIGINT) AS diag
+  FROM documents d JOIN pr p USING (doc_id)
+),
+s AS (
+  SELECT n, CAST(diag AS DOUBLE) / CAST(n AS DOUBLE) AS po, {pe} AS pe
+  FROM g
+)
+SELECT n,
+       {r6('po', 'accuracy')},
+       {r6('pe', 'p_e')},
+       {r6('CASE WHEN pe <> 1.0 THEN (po - pe) / (1.0 - pe) END', 'kappa')}
+FROM s
+"""
+
+
+ORACLES["q_langid_kappa"] = _kappa_sql()

@@ -1283,3 +1283,31 @@ def test_oov_rate_against_topk_vocab(spark):
     assert np.isclose(got.loc[0].oov_frac, 1 / 3)
     assert np.isclose(got.loc[1].oov_frac, 3 / 4)
     assert got.loc[2].n_oov == 0 and got.loc[2].oov_frac == 0.0
+
+
+def test_langid_kappa_hand_computed(spark):
+    import numpy as np
+    import pandas as pd
+
+    from z_rad_spark.operators.text import langid_kappa
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": [
+                "the cat and the dog is here",       # en -> en
+                "der hund und die katze ist nicht",  # de -> de
+                "el perro es la casa que de",        # es -> es
+                "nothing matching markers xyzzy",    # en -> und (miss)
+            ],
+            "lang": ["en", "de", "es", "en"],
+        }
+    )
+    got = langid_kappa(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    assert got.n == 4
+    po = 3 / 4
+    # rows: en 2, de 1, es 1; cols: en 1, de 1, es 1, und 1
+    pe = (2 / 4) * (1 / 4) + (1 / 4) * (1 / 4) + (1 / 4) * (1 / 4) + 0
+    assert np.isclose(got.accuracy, po)
+    assert np.isclose(got.p_e, pe, atol=1e-12)
+    assert np.isclose(got.kappa, (po - pe) / (1 - pe), atol=1e-12)

@@ -1128,3 +1128,54 @@ def oov_rate(
             F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
         ),
     )
+
+
+def langid_kappa(
+    df: DataFrame,
+    true_col: str = "lang",
+    labels: tuple = ("en", "de", "es", "fr", "und"),
+) -> DataFrame:
+    """Cohen's kappa for the language-ID heuristic against labeled data
+    — chance-corrected agreement (accuracy flatters any classifier on a
+    skewed language mix; kappa does not):
+
+        kappa = (p_o - p_e) / (1 - p_e),
+        p_e = sum_l p_row(l) * p_col(l)
+
+    over the fixed literal label grid. ONE aggregation computes the
+    diagonal and both marginals as exact integer conditional counts on
+    a single row; p_o/p_e/kappa are fixed chains over the literal label
+    list. Oracle-replayable.
+
+    Output: one row — (n long, accuracy double, p_e double, kappa
+    double).
+    """
+    scored = with_lang_id(df)
+    aggs = [F.count("*").cast("long").alias("_n")]
+    for l in labels:
+        aggs.append(
+            F.count(F.when(F.col(true_col) == l, 1)).cast("long").alias(f"_r_{l}")
+        )
+        aggs.append(
+            F.count(F.when(F.col("lang_pred") == l, 1)).cast("long").alias(f"_c_{l}")
+        )
+    aggs.append(
+        F.count(F.when(F.col(true_col) == F.col("lang_pred"), 1))
+        .cast("long")
+        .alias("_diag")
+    )
+    g = scored.agg(*aggs)
+    n = F.col("_n").cast("double")
+    po = F.col("_diag").cast("double") / n
+    pe = None
+    for l in labels:
+        term = (F.col(f"_r_{l}").cast("double") / n) * (
+            F.col(f"_c_{l}").cast("double") / n
+        )
+        pe = term if pe is None else pe + term
+    return g.select(
+        F.col("_n").alias("n"),
+        po.alias("accuracy"),
+        pe.alias("p_e"),
+        F.when(pe != F.lit(1.0), (po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
