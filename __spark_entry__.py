@@ -3914,6 +3914,41 @@ def q_ngram_novelty(spark, sf_dir):
     return _r6(out, ["novelty"])
 
 
+def q_hurst_rs(spark, sf_dir):
+    """Rescaled-range (R/S) Hurst statistic per conversation
+    (profile.hurst_rs): exact integer prefix sums, fixed per-row
+    deviation chains, max/min over deterministic doubles —
+    oracle-replayable."""
+    from z_rad_spark.operators.profile import hurst_rs
+
+    out = hurst_rs(_t(spark, sf_dir))
+    out = out.select("conv_id", "n", "rng", "sdev", "rs", "hurst")
+    return _r6(out, ["rng", "sdev", "rs", "hurst"])
+
+
+def q_sax_word(spark, sf_dir):
+    """SAX motif word per conversation (profile.sax_word, w=4,
+    4-symbol Gaussian alphabet): integer PAA sufficient statistics,
+    fixed standardization chain, breakpoint CASE — exact string
+    output, oracle-replayable."""
+    from z_rad_spark.operators.profile import sax_word
+
+    out = sax_word(_t(spark, sf_dir), w=4)
+    return out.select("conv_id", "n", "n_segments", "word")
+
+
+def q_cuped(spark, sf_dir):
+    """CUPED-adjusted per-conversation post-period signal totals
+    (drift.cuped_adjusted): exact integer half-split sums + global
+    moment broadcast, fixed theta/adjustment chains —
+    oracle-replayable."""
+    from z_rad_spark.operators.drift import cuped_adjusted
+
+    out = cuped_adjusted(_t(spark, sf_dir))
+    out = out.select("conv_id", "n", "pre", "post", "theta", "adjusted")
+    return _r6(out, ["theta", "adjusted"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4007,16 +4042,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_loo_encode": q_loo_encode,
         "q_woe_iv": q_woe_iv,
         "q_signal_trend": q_signal_trend,
-        "q_temporal_profile": q_temporal_profile,
         "q_latency": q_latency,
-        # --- (1c) ordered reciprocal-square folds (cm_inv_var / dzm_sde
-        #     / dzm_sdhge — kernels/texture._seq_sum + oracle list_reduce);
-        #     each family keeps a base + salted gate in-window (q_glcm +
-        #     q_glcm_salted, q_gldzm_dist + q_gldzm_salted) — q_glcm_dist
-        #     and q_gldzm moved first past the marker, sibling-gated
+        # --- (1g) new operators, session 10 of round 4 (never-gated
+        #     beats stale-green; displaced: q_glcm + q_gldzm_dist — the
+        #     ordered reciprocal-square folds stay sibling-gated via
+        #     q_glcm_salted/q_gldzm_salted in (1b), same kernels/
+        #     texture._seq_sum + oracle list_reduce path — and
+        #     q_temporal_profile, whose conditional-count-grid +
+        #     fixed-chain pattern is sibling-gated via
+        #     q_role_transitions in (1e))
+        "q_hurst_rs": q_hurst_rs,
+        "q_sax_word": q_sax_word,
+        "q_cuped": q_cuped,
+        # ===== gate window ends here (first 50 entries) ================
+        # displaced by the session-10 additions (q_hurst_rs, q_sax_word,
+        # q_cuped — never-gated beats stale-green): the ordered-fold pair
+        # stays sibling-gated in-window via the salted variants, and
+        # q_temporal_profile via q_role_transitions (see the (1g) note).
         "q_glcm": q_glcm,
         "q_gldzm_dist": q_gldzm_dist,
-        # ===== gate window ends here (first 50 entries) ================
+        "q_temporal_profile": q_temporal_profile,
         # displaced by q_ppl_buckets (session-8, never-gated beats
         # stale-green): q_glrlm_salted holds a fresh r3 green row and the
         # skew.py overlap-guard fix stays sibling-gated in-window via

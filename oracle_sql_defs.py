@@ -7433,3 +7433,143 @@ FROM s
 
 
 ORACLES["q_langid_kappa"] = _kappa_sql()
+
+
+# R/S Hurst: exact integer prefix sums, fixed per-row deviation chains,
+# max/min over deterministic doubles, exact-integer variance numerator
+ORACLES["q_hurst_rs"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id,
+         CAST(signal AS BIGINT) AS x,
+         SUM(CAST(signal AS BIGINT)) OVER w AS prefix,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n,
+         SUM(CAST(signal AS BIGINT)) OVER (PARTITION BY conv_id) AS sx
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+d AS (
+  SELECT conv_id, x, n,
+         CAST(prefix AS DOUBLE)
+           - CAST(i AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS dev
+  FROM p
+),
+g AS (
+  SELECT conv_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         MAX(dev) AS dmax, MIN(dev) AS dmin,
+         SUM(x) AS sxg, SUM(x * x) AS sxx
+  FROM d GROUP BY conv_id
+),
+s AS (
+  SELECT conv_id, n,
+         dmax - dmin AS rng,
+         SQRT(CAST(n * sxx - sxg * sxg AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sdev
+  FROM g
+),
+f AS (
+  SELECT conv_id, n, rng, sdev,
+         CASE WHEN n > 1 AND sdev > 0 THEN rng / sdev END AS rs
+  FROM s
+)
+SELECT conv_id, n,
+       {r6('rng', 'rng')},
+       {r6('sdev', 'sdev')},
+       {r6('rs', 'rs')},
+       {r6('CASE WHEN n > 1 AND rs > 0 THEN LN(rs) / LN(CAST(n AS DOUBLE)) END', 'hurst')}
+FROM f
+"""
+
+
+# SAX word: integer PAA segments, fixed standardization chain, literal
+# Gaussian-quartile breakpoints, word assembled in explicit seg order
+ORACLES["q_sax_word"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id,
+         CAST(signal AS BIGINT) AS x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS BIGINT) - 1 AS i0,
+         CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n,
+         SUM(CAST(signal AS BIGINT)) OVER (PARTITION BY conv_id) AS sx,
+         SUM(CAST(signal AS BIGINT) * CAST(signal AS BIGINT)) OVER (PARTITION BY conv_id) AS sxx
+  FROM t
+),
+segd AS (
+  SELECT conv_id, x, n, sx, sxx,
+         CAST(FLOOR(CAST(i0 * 4 AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS seg
+  FROM p
+),
+segg AS (
+  SELECT conv_id, seg,
+         SUM(x) AS ssum, CAST(COUNT(*) AS BIGINT) AS scnt,
+         MIN(n) AS n, MIN(sx) AS sxg, MIN(sxx) AS sxx
+  FROM segd GROUP BY conv_id, seg
+),
+z AS (
+  SELECT conv_id, seg, n,
+         CASE WHEN SQRT(CAST(n * sxx - sxg * sxg AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) > 0
+              THEN (CAST(ssum AS DOUBLE) / CAST(scnt AS DOUBLE)
+                    - CAST(sxg AS DOUBLE) / CAST(n AS DOUBLE))
+                   / SQRT(CAST(n * sxx - sxg * sxg AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+              ELSE 0.0 END AS zval
+  FROM segg
+),
+sym AS (
+  SELECT conv_id, seg, n,
+         CASE WHEN zval < -0.6745 THEN 'a'
+              WHEN zval < 0.0 THEN 'b'
+              WHEN zval < 0.6745 THEN 'c'
+              ELSE 'd' END AS s
+  FROM z
+)
+SELECT conv_id,
+       CAST(MIN(n) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       string_agg(s, '' ORDER BY seg) AS word
+FROM sym GROUP BY conv_id
+"""
+
+
+# CUPED: exact integer half-split sums, global moments, fixed
+# theta / mean-pre / adjusted chains
+ORACLES["q_cuped"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id,
+         CAST(signal AS BIGINT) AS x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS BIGINT) - 1 AS i0,
+         CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n
+  FROM t
+),
+conv AS (
+  SELECT conv_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CASE WHEN i0 * 2 < n THEN x END), 0) AS BIGINT) AS pre,
+         CAST(COALESCE(SUM(CASE WHEN i0 * 2 >= n THEN x END), 0) AS BIGINT) AS post
+  FROM p GROUP BY conv_id
+),
+gmom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         SUM(pre) AS sp, SUM(pre * pre) AS spp,
+         SUM(post) AS sq, SUM(pre * post) AS spq
+  FROM conv
+),
+j AS (
+  SELECT c.conv_id, c.n, c.pre, c.post,
+         CASE WHEN g.m > 1
+                   AND CAST(g.m AS HUGEINT) * g.spp - CAST(g.sp AS HUGEINT) * g.sp <> 0
+              THEN CAST(CAST(g.m AS HUGEINT) * g.spq - CAST(g.sp AS HUGEINT) * g.sq AS DOUBLE)
+                   / CAST(CAST(g.m AS HUGEINT) * g.spp - CAST(g.sp AS HUGEINT) * g.sp AS DOUBLE) END AS theta,
+         CAST(g.sp AS DOUBLE) / CAST(g.m AS DOUBLE) AS mean_pre
+  FROM conv c CROSS JOIN gmom g
+)
+SELECT conv_id, n, pre, post,
+       {r6('theta', 'theta')},
+       {r6('CAST(post AS DOUBLE) - theta * (CAST(pre AS DOUBLE) - mean_pre)', 'adjusted')}
+FROM j
+"""

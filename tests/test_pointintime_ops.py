@@ -1829,3 +1829,95 @@ def test_von_neumann_ratio_regimes(spark):
     assert np.isclose(got.loc["alt"].mssd, mssd, atol=1e-9)
     assert np.isclose(got.loc["alt"].variance, var, atol=1e-9)
     assert np.isclose(got.loc["alt"].vn, mssd / var, atol=1e-9)
+
+
+def test_hurst_rs_regimes(spark):
+    from z_rad_spark.operators.profile import hurst_rs
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # persistent monotone ramp: hurst near 1
+    for i in range(64):
+        rows.append(("trend", i, t0 + pd.Timedelta(minutes=i), float(1 + min(8, i // 8))))
+    # perfect alternation: strongly mean-reverting, hurst well below 0.5
+    for i in range(64):
+        rows.append(("alt", i, t0 + pd.Timedelta(minutes=i), 1.0 if i % 2 == 0 else 9.0))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "signal"])
+    got = hurst_rs(spark.createDataFrame(pdf)).toPandas().set_index("conv_id")
+    assert got.loc["trend"].hurst > 0.8
+    assert got.loc["alt"].hurst < 0.4
+    # reference recomputation of the full R/S chain for the ramp
+    x = np.array([1 + min(8, i // 8) for i in range(64)], dtype=float)
+    dev = np.cumsum(x) - np.arange(1, 65) * x.mean()
+    r = dev.max() - dev.min()
+    s = x.std(ddof=0)
+    assert np.isclose(got.loc["trend"].rng, r, atol=1e-9)
+    assert np.isclose(got.loc["trend"].sdev, s, atol=1e-9)
+    assert np.isclose(got.loc["trend"].hurst, np.log(r / s) / np.log(64), atol=1e-9)
+    # constant signal: S = 0 -> rs/hurst NULL
+    pdf2 = pd.DataFrame(
+        [("flat", i, t0 + pd.Timedelta(minutes=i), 5.0) for i in range(10)],
+        columns=["conv_id", "turn_idx", "ts", "signal"],
+    )
+    flat = hurst_rs(spark.createDataFrame(pdf2)).toPandas().iloc[0]
+    assert flat.rng == 0.0 and pd.isna(flat.rs) and pd.isna(flat.hurst)
+
+
+def test_sax_word_shapes(spark):
+    from z_rad_spark.operators.profile import sax_word
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # monotone up over 4 clean segments of 4: word 'abcd'
+    up = [1, 1, 1, 1, 3, 3, 3, 3, 6, 6, 6, 6, 9, 9, 9, 9]
+    for i, v in enumerate(up):
+        rows.append(("up", i, t0 + pd.Timedelta(minutes=i), float(v)))
+    # mirrored decay: word 'dcba'
+    for i, v in enumerate(up[::-1]):
+        rows.append(("down", i, t0 + pd.Timedelta(minutes=i), float(v)))
+    # constant: zero variance -> all 'c' by convention
+    for i in range(8):
+        rows.append(("flat", i, t0 + pd.Timedelta(minutes=i), 4.0))
+    # shorter than w: one symbol per turn
+    for i in range(3):
+        rows.append(("tiny", i, t0 + pd.Timedelta(minutes=i), float(1 + 4 * i)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "signal"])
+    got = sax_word(spark.createDataFrame(pdf), w=4).toPandas().set_index("conv_id")
+    assert got.loc["up"].word == "abcd"
+    assert got.loc["down"].word == "dcba"
+    assert got.loc["flat"].word == "cccc"
+    assert got.loc["tiny"].n_segments == 3 and len(got.loc["tiny"].word) == 3
+    # level/scale invariance: the same shape at a different level hashes
+    # to the same word (the whole point of SAX)
+    rows2 = [("up2", i, t0 + pd.Timedelta(minutes=i), float(v + 0)) for i, v in enumerate([2, 2, 2, 2, 4, 4, 4, 4, 6, 6, 6, 6, 8, 8, 8, 8])]
+    pdf2 = pd.DataFrame(rows2, columns=["conv_id", "turn_idx", "ts", "signal"])
+    got2 = sax_word(spark.createDataFrame(pdf2), w=4).toPandas().iloc[0]
+    assert got2.word == "abcd"
+
+
+def test_cuped_variance_reduction(spark):
+    from z_rad_spark.operators.drift import cuped_adjusted
+
+    rng = np.random.RandomState(7)
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # conversations with a persistent per-conversation level: pre strongly
+    # predicts post, so CUPED should shrink cross-conversation variance
+    levels = rng.randint(1, 8, size=40)
+    for c, lvl in enumerate(levels):
+        for i in range(10):
+            v = float(min(9, max(1, lvl + rng.randint(-1, 2))))
+            rows.append((f"c{c:02d}", i, t0 + pd.Timedelta(minutes=i), v))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "signal"])
+    got = cuped_adjusted(spark.createDataFrame(pdf)).toPandas()
+    pre = got.pre.to_numpy(float)
+    post = got.post.to_numpy(float)
+    theta = got.theta.iloc[0]
+    want_theta = np.cov(pre, post, ddof=0)[0, 1] / pre.var(ddof=0)
+    assert np.isclose(theta, want_theta, atol=1e-9)
+    adj = got.adjusted.to_numpy(float)
+    assert np.allclose(adj, post - theta * (pre - pre.mean()), atol=1e-9)
+    # the advertised guarantee: Var(adjusted) <= Var(post)
+    assert adj.var(ddof=0) < post.var(ddof=0) * 0.9
+    # half-split bookkeeping: pre + post covers every turn's signal
+    assert (got.pre + got.post).sum() == int(pdf.signal.sum())

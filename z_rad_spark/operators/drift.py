@@ -634,3 +634,86 @@ def page_hinkley_summary(
         F.max("ph").alias("max_ph"),
         F.min(F.when(F.col("ph_alarm"), ts_us)).cast("long").alias("first_alarm_us"),
     )
+
+
+def cuped_adjusted(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013)
+    over per-conversation signal totals: the first half of each
+    conversation's turns (ordinal < n/2 under the stable (ts, turn_idx)
+    order) is the pre-period covariate, the rest the post-period
+    metric, and the adjusted metric removes the component of post-
+    period variance the pre-period already predicts:
+
+        theta    = cov(pre, post) / var(pre)
+        adjusted = post - theta * (pre - mean(pre))
+
+    Var(adjusted) = Var(post) * (1 - corr^2) — the standard online-
+    experimentation trick for tightening conversation-level metrics
+    before any A/B comparison downstream.
+
+    Determinism: pre/post are exact integer sums (the half-split
+    condition 2*i0 < n is pure integer arithmetic); the cross-
+    conversation moments (m, Sp, Spp, Sq, Spq) are exact longs; theta,
+    mean(pre), and every adjusted value are fixed IEEE chains over
+    single casts of those longs — bit-replayable in SQL. theta is NULL
+    (and adjusted = NULL) when var(pre) = 0 or m < 2.
+
+    Scale: one conv_id groupBy (the shared exchange), one global
+    1-row aggregate broadcast back over the conversation frame — no
+    second shuffle, no driver collect.
+
+    Output: (conv_id, n long, pre long, post long, theta double,
+    adjusted double).
+    """
+    x = F.col(signal_col).cast("long")
+    scored = df.where(x.isNotNull())
+    ord_w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    full = (
+        Window.partitionBy("conv_id")
+        .orderBy("ts", "turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    p = scored.select(
+        "conv_id",
+        x.alias("_x"),
+        (F.row_number().over(ord_w).cast("long") - F.lit(1)).alias("_i0"),
+        F.count(x).over(full).alias("_n"),
+    )
+    is_pre = (F.col("_i0") * F.lit(2)) < F.col("_n")
+    conv = p.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.coalesce(F.sum(F.when(is_pre, F.col("_x"))), F.lit(0)).cast("long").alias("pre"),
+        F.coalesce(F.sum(F.when(~is_pre, F.col("_x"))), F.lit(0)).cast("long").alias("post"),
+    )
+    glob = conv.agg(
+        F.count("*").cast("long").alias("_m"),
+        F.sum("pre").alias("_sp"),
+        F.sum(F.col("pre") * F.col("pre")).alias("_spp"),
+        F.sum("post").alias("_sq"),
+        F.sum(F.col("pre") * F.col("post")).alias("_spq"),
+    )
+    j = conv.crossJoin(F.broadcast(glob))
+    md = F.col("_m").cast("double")
+    sp = F.col("_sp").cast("double")
+    # the cross-moment products m*Spq / Sp*Sq would overflow a long once
+    # the corpus' total signal mass passes ~3e9 (true at 10^12 turns), so
+    # they ride DECIMAL(19,0)->(38,0) products — exact headroom to 1e38,
+    # mirrored by HUGEINT in the oracle (the w1_drift precedent)
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    den = dec("_m") * dec("_spp") - dec("_sp") * dec("_sp")
+    num = dec("_m") * dec("_spq") - dec("_sp") * dec("_sq")
+    theta = F.when(
+        (F.col("_m") > 1) & (den != F.lit(0)), num.cast("double") / den.cast("double")
+    )
+    mean_pre = sp / md
+    adjusted = F.col("post").cast("double") - theta * (
+        F.col("pre").cast("double") - mean_pre
+    )
+    return j.select(
+        "conv_id",
+        "n",
+        "pre",
+        "post",
+        theta.alias("theta"),
+        adjusted.alias("adjusted"),
+    )

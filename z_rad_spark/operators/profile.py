@@ -1007,3 +1007,168 @@ def von_neumann_ratio(df: DataFrame, signal_col: str = "signal") -> DataFrame:
         var.alias("variance"),
         F.when(var > 0, mssd / var).alias("vn"),
     )
+
+
+def hurst_rs(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """Single-window rescaled-range (R/S) statistic per conversation —
+    the classic Hurst long-memory probe (Hurst 1951; Mandelbrot &
+    Wallis 1969) on the turn-ordered signal:
+
+        dev_i = prefix_i - i * mean      (cumulative deviation)
+        R     = max_i dev_i - min_i dev_i
+        S     = population std
+        rs    = R / S,   hurst = ln(rs) / ln(n)
+
+    hurst ~ 0.5 for an uncorrelated signal, -> 1 for persistent trends,
+    -> 0 for mean-reverting alternation — the long-memory companion to
+    the von Neumann lag-1 ratio ([[von_neumann_ratio]] above tests ONE
+    lag; R/S integrates over every horizon at once).
+
+    Determinism: the ordinal and prefix sum are exact longs (integer
+    window sum under the stable (ts, turn_idx) order); each dev_i is a
+    fixed 3-op IEEE chain (cast, multiply, subtract) over those exact
+    longs, and max/min over deterministic doubles are value-based — so
+    the SQL oracle replays R bit-for-bit. S uses the exact-integer
+    variance numerator n*Sxx - Sx^2 (single sqrt). No float summation
+    anywhere.
+
+    Scale: one running window + one full-partition window + one groupBy,
+    all on the shared conv_id exchange — a single shuffle, map-side
+    combined. NULL-signal turns are excluded up front (the ordinal must
+    index scored turns for the prefix/mean algebra to agree).
+
+    Output: (conv_id, n long, rng double, sdev double, rs double — NULL
+    when S = 0 or n < 2, hurst double — NULL when rs <= 0 or n < 2).
+    """
+    x = F.col(signal_col).cast("long")
+    scored = df.where(x.isNotNull())
+    run = (
+        Window.partitionBy("conv_id")
+        .orderBy(*_ORDER)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    full = (
+        Window.partitionBy("conv_id")
+        .orderBy(*_ORDER)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ord_w = Window.partitionBy("conv_id").orderBy(*_ORDER)
+    p = scored.select(
+        "conv_id",
+        x.alias("_x"),
+        F.sum(x).over(run).alias("_prefix"),
+        F.row_number().over(ord_w).cast("long").alias("_i"),
+        F.count(x).over(full).alias("_n"),
+        F.sum(x).over(full).alias("_sx"),
+    )
+    mean = F.col("_sx").cast("double") / F.col("_n").cast("double")
+    dev = F.col("_prefix").cast("double") - F.col("_i").cast("double") * mean
+    g = p.withColumn("_dev", dev).groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("_dev").alias("_dmax"),
+        F.min("_dev").alias("_dmin"),
+        F.sum("_x").alias("_sxg"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    nd = F.col("n").cast("double")
+    rng = F.col("_dmax") - F.col("_dmin")
+    var_num = F.col("n") * F.col("_sxx") - F.col("_sxg") * F.col("_sxg")
+    sdev = F.sqrt(var_num.cast("double") / (nd * nd))
+    rs = F.when((F.col("n") > 1) & (sdev > 0), rng / sdev)
+    hurst = F.when((F.col("n") > 1) & (rs > 0), F.log(rs) / F.log(nd))
+    return g.select(
+        "conv_id",
+        "n",
+        rng.alias("rng"),
+        sdev.alias("sdev"),
+        rs.alias("rs"),
+        hurst.alias("hurst"),
+    )
+
+
+def sax_word(df: DataFrame, w: int = 4, signal_col: str = "signal") -> DataFrame:
+    """SAX symbolization (Lin, Keogh, Lonardi & Chiu, DMKD 2003) of the
+    per-conversation signal: piecewise-aggregate approximation into
+    ``w`` equal-width segments under the stable (ts, turn_idx) order,
+    each segment mean standardized by the conversation's own mean/std
+    and mapped onto the 4-symbol Gaussian-equiprobable alphabet
+
+        z < -0.6745 -> 'a',  z < 0 -> 'b',  z < 0.6745 -> 'c',
+        else 'd'         (breakpoints = N(0,1) quartiles)
+
+    The resulting word ('dcba' = monotone decay, 'bdbd' = oscillation)
+    is the groupable motif key the raw signal can never be — identical
+    shapes hash together regardless of level or scale.
+
+    Determinism: segment index = floor(i*w/n) over exact longs (the
+    double quotient of sub-2^53 integers cannot round across an integer
+    boundary since |i*w/n - k| >= 1/n >> ulp when not exact); the PAA
+    mean, conversation mean, and std are fixed IEEE chains over exact
+    integer sums (same variance chain as [[hurst_rs]]); breakpoint
+    comparisons on deterministic doubles; the word is assembled in
+    explicit seg order. Zero-variance conversations standardize to
+    z = 0 -> all-'c' words by convention.
+
+    Scale: ordinal window + (conv, seg) groupBy + conv groupBy — the
+    seg key is a refinement of conv_id, so AQE coalesces everything
+    onto the one conv_id exchange; the final collect_list holds at most
+    ``w`` structs per group. Conversations shorter than ``w`` turns get
+    one symbol per turn (min(n, w)-length words).
+
+    Output: (conv_id, n long, n_segments long, word string).
+    """
+    if w < 1:
+        raise ValueError(f"sax_word: w must be >= 1, got {w}")
+    x = F.col(signal_col).cast("long")
+    scored = df.where(x.isNotNull())
+    full = (
+        Window.partitionBy("conv_id")
+        .orderBy(*_ORDER)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ord_w = Window.partitionBy("conv_id").orderBy(*_ORDER)
+    p = scored.select(
+        "conv_id",
+        x.alias("_x"),
+        (F.row_number().over(ord_w).cast("long") - F.lit(1)).alias("_i0"),
+        F.count(x).over(full).alias("_n"),
+        F.sum(x).over(full).alias("_sx"),
+        F.sum(x * x).over(full).alias("_sxx"),
+    ).withColumn(
+        "_seg",
+        F.floor(
+            (F.col("_i0") * F.lit(int(w))).cast("double")
+            / F.col("_n").cast("double")
+        ).cast("long"),
+    )
+    seg = p.groupBy("conv_id", "_seg").agg(
+        F.sum("_x").alias("_ssum"),
+        F.count("*").cast("long").alias("_scnt"),
+        F.first("_n").alias("_n"),
+        F.first("_sx").alias("_sxg"),
+        F.first("_sxx").alias("_sxx"),
+    )
+    nd = F.col("_n").cast("double")
+    mean = F.col("_sxg").cast("double") / nd
+    var_num = F.col("_n") * F.col("_sxx") - F.col("_sxg") * F.col("_sxg")
+    sdev = F.sqrt(var_num.cast("double") / (nd * nd))
+    paa = F.col("_ssum").cast("double") / F.col("_scnt").cast("double")
+    z = F.when(sdev > 0, (paa - mean) / sdev).otherwise(F.lit(0.0))
+    sym = (
+        F.when(z < F.lit(-0.6745), F.lit("a"))
+        .when(z < F.lit(0.0), F.lit("b"))
+        .when(z < F.lit(0.6745), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    g = seg.withColumn("_sym", sym).groupBy("conv_id").agg(
+        F.first("_n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_segments"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_seg"), F.col("_sym")))),
+                lambda s: s["_sym"],
+            ),
+            "",
+        ).alias("word"),
+    )
+    return g.select("conv_id", "n", "n_segments", "word")
