@@ -3949,6 +3949,46 @@ def q_cuped(spark, sf_dir):
     return _r6(out, ["theta", "adjusted"])
 
 
+def q_edit_sim(spark, sf_dir):
+    """Per-turn Levenshtein distance + normalized similarity to the
+    previous turn (sessionize.with_edit_distance): built-in JVM
+    levenshtein on one lag window, exact integers + one division —
+    oracle-replayable (DuckDB implements the same unit-cost DP)."""
+    from z_rad_spark.operators.sessionize import with_edit_distance
+
+    out = with_edit_distance(_t(spark, sf_dir))
+    out = out.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        _us("ts", "ts_us"),
+        "lev",
+        "edit_sim",
+    )
+    return _r6(out, ["edit_sim"])
+
+
+def q_benford(spark, sf_dir):
+    """Benford first-digit screening of lineitem extended prices per
+    return flag (curation.benford_screen): integer-part leading digit,
+    9 conditional counts in one aggregation, fixed literal chi2/MAD
+    chains — oracle-replayable."""
+    from z_rad_spark.operators.curation import benford_screen
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = benford_screen(li, "l_extendedprice", "l_returnflag")
+    return _r6(out, ["chi2", "mad"])
+
+
+def q_gini(spark, sf_dir):
+    """Gini coefficient of document char sizes per source
+    (curation.gini_concentration): tie-stable rank window + exact
+    integer rank-sum identity, one division — oracle-replayable."""
+    from z_rad_spark.operators.curation import gini_concentration
+
+    out = gini_concentration(_docs(spark, sf_dir), "n_chars", "source", "doc_id")
+    return _r6(out, ["gini"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4039,9 +4079,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (1f) new operators, session 6 of round 4 ---
         "q_mw_drift": q_mw_drift,
         "q_autocorr": q_autocorr,
-        "q_loo_encode": q_loo_encode,
-        "q_woe_iv": q_woe_iv,
-        "q_signal_trend": q_signal_trend,
         "q_latency": q_latency,
         # --- (1g) new operators, session 10 of round 4 (never-gated
         #     beats stale-green; displaced: q_glcm + q_gldzm_dist — the
@@ -4054,14 +4091,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hurst_rs": q_hurst_rs,
         "q_sax_word": q_sax_word,
         "q_cuped": q_cuped,
+        "q_edit_sim": q_edit_sim,
+        "q_benford": q_benford,
+        "q_gini": q_gini,
         # ===== gate window ends here (first 50 entries) ================
         # displaced by the session-10 additions (q_hurst_rs, q_sax_word,
-        # q_cuped — never-gated beats stale-green): the ordered-fold pair
-        # stays sibling-gated in-window via the salted variants, and
-        # q_temporal_profile via q_role_transitions (see the (1g) note).
+        # q_cuped, q_edit_sim, q_benford, q_gini — never-gated beats
+        # stale-green): the ordered-fold pair stays sibling-gated
+        # in-window via the salted variants; q_temporal_profile via
+        # q_role_transitions; q_signal_trend via the in-window profile
+        # pair (q_hurst_rs shares the exact-sufficient-statistic
+        # variance chain); q_loo_encode and q_woe_iv via q_target_encode
+        # in (1e), the same leakage-aware encoding module and
+        # conditional-aggregate + fixed-chain shape (see the (1g) note).
         "q_glcm": q_glcm,
         "q_gldzm_dist": q_gldzm_dist,
         "q_temporal_profile": q_temporal_profile,
+        "q_signal_trend": q_signal_trend,
+        "q_loo_encode": q_loo_encode,
+        "q_woe_iv": q_woe_iv,
         # displaced by q_ppl_buckets (session-8, never-gated beats
         # stale-green): q_glrlm_salted holds a fresh r3 green row and the
         # skew.py overlap-guard fix stays sibling-gated in-window via

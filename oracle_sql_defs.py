@@ -7573,3 +7573,121 @@ SELECT conv_id, n, pre, post,
        {r6('CAST(post AS DOUBLE) - theta * (CAST(pre AS DOUBLE) - mean_pre)', 'adjusted')}
 FROM j
 """
+
+
+# Per-turn Levenshtein to the previous turn: DuckDB's levenshtein is the
+# same unit-cost DP Spark's built-in implements — exact integers
+ORACLES["q_edit_sim"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id, turn_idx, ts, text,
+         LAG(text) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev
+  FROM t
+),
+d AS (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN prev IS NOT NULL
+              THEN CAST(levenshtein(prev, text) AS BIGINT) END AS lev,
+         GREATEST(LENGTH(prev), LENGTH(text)) AS maxlen
+  FROM p
+)
+SELECT conv_id,
+       CAST(turn_idx AS INT) AS turn_idx,
+       epoch_us(ts) AS ts_us,
+       lev,
+       {r6('CASE WHEN lev IS NOT NULL AND maxlen > 0 THEN 1.0 - CAST(lev AS DOUBLE) / CAST(maxlen AS DOUBLE) END', 'edit_sim')}
+FROM d
+"""
+
+
+# Benford screening: identical literal p_d constants as the engine's
+# BENFORD_P table (sync locked by a pytest); fixed 9-term chains
+_BENFORD_P = (
+    0.3010299956639812,
+    0.17609125905568124,
+    0.12493873660829992,
+    0.09691001300805642,
+    0.07918124604762482,
+    0.06694678963061322,
+    0.05799194697768673,
+    0.05115252244738129,
+    0.04575749056067514,
+)
+
+
+def _benford_sql() -> str:
+    counts = ",\n         ".join(
+        f"CAST(COUNT(CASE WHEN ok AND digit = '{d}' THEN 1 END) AS BIGINT) AS c_{d}"
+        for d in range(1, 10)
+    )
+    chi_terms = [
+        f"((CAST(c_{d} AS DOUBLE) - CAST(n AS DOUBLE) * {p!r})"
+        f" * (CAST(c_{d} AS DOUBLE) - CAST(n AS DOUBLE) * {p!r})"
+        f" / (CAST(n AS DOUBLE) * {p!r}))"
+        for d, p in zip(range(1, 10), _BENFORD_P)
+    ]
+    mad_terms = [
+        f"ABS(CAST(c_{d} AS DOUBLE) / CAST(n AS DOUBLE) - {p!r})"
+        for d, p in zip(range(1, 10), _BENFORD_P)
+    ]
+    chi = chi_terms[0]
+    for t_ in chi_terms[1:]:
+        chi = f"({chi} + {t_})"
+    mad = mad_terms[0]
+    for t_ in mad_terms[1:]:
+        mad = f"({mad} + {t_})"
+    return f"""
+WITH v AS (
+  SELECT l_returnflag,
+         ABS(CAST(l_extendedprice AS DOUBLE)) AS a,
+         l_extendedprice AS raw
+  FROM lineitem
+),
+flg AS (
+  SELECT l_returnflag,
+         (a IS NOT NULL AND a >= 1.0 AND NOT isnan(a)) AS ok,
+         CASE WHEN a IS NOT NULL AND a >= 1.0 AND NOT isnan(a)
+              THEN substring(CAST(CAST(FLOOR(a) AS BIGINT) AS VARCHAR), 1, 1) END AS digit,
+         raw
+  FROM v
+),
+g AS (
+  SELECT l_returnflag,
+         CAST(COUNT(CASE WHEN ok THEN 1 END) AS BIGINT) AS n,
+         CAST(COUNT(CASE WHEN NOT ok OR raw IS NULL THEN 1 END) AS BIGINT) AS n_skipped,
+         {counts}
+  FROM flg GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, n_skipped,
+       {", ".join(f"c_{d}" for d in range(1, 10))},
+       {{chi2}},
+       {{mad}}
+FROM g
+""".format(
+        chi2=r6(f"CASE WHEN n > 0 THEN {chi} END", "chi2"),
+        mad=r6(f"CASE WHEN n > 0 THEN ({mad}) / 9.0 END", "mad"),
+    )
+
+
+ORACLES["q_benford"] = _benford_sql()
+
+
+# Gini: tie-stable (value, id) rank, exact integer rank-sum identity
+ORACLES["q_gini"] = f"""
+WITH p AS (
+  SELECT source,
+         CAST(n_chars AS BIGINT) AS x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS i
+  FROM documents
+),
+g AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS total,
+         SUM(i * x) AS ix
+  FROM p GROUP BY source
+)
+SELECT source, n, CAST(total AS BIGINT) AS total,
+       {r6('CASE WHEN n * total > 0 THEN CAST(2 * ix - (n + 1) * total AS DOUBLE) / CAST(n * total AS DOUBLE) END', 'gini')}
+FROM g
+"""

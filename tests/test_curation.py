@@ -1311,3 +1311,78 @@ def test_langid_kappa_hand_computed(spark):
     assert np.isclose(got.accuracy, po)
     assert np.isclose(got.p_e, pe, atol=1e-12)
     assert np.isclose(got.kappa, (po - pe) / (1 - pe), atol=1e-12)
+
+
+def test_benford_screen_constants_and_chi2(spark):
+    import math
+
+    import pandas as pd
+
+    from z_rad_spark.operators.curation import BENFORD_P, benford_screen
+
+    # the engine table and the oracle table must both equal log10(1+1/d)
+    assert BENFORD_P == tuple(math.log10(1 + 1 / d) for d in range(1, 10))
+    from oracle_sql_defs import _BENFORD_P
+
+    assert _BENFORD_P == BENFORD_P
+
+    # a perfectly Benford-weighted sample scores chi2 ~ 0
+    rows = []
+    for d in range(1, 10):
+        for k in range(round(BENFORD_P[d - 1] * 1000)):
+            rows.append(("g", float(d * 10 + (k % 10))))
+    pdf = pd.DataFrame(rows, columns=["grp", "val"])
+    got = benford_screen(spark.createDataFrame(pdf), "val", "grp").toPandas().iloc[0]
+    assert got.n == len(rows) and got.n_skipped == 0
+    assert got.chi2 < 1.0 and got.mad < 0.005
+    # a uniform-first-digit sample is flagged hard
+    pdf2 = pd.DataFrame(
+        [("u", float(d * 10)) for d in range(1, 10) for _ in range(100)],
+        columns=["grp", "val"],
+    )
+    bad = benford_screen(spark.createDataFrame(pdf2), "val", "grp").toPandas().iloc[0]
+    assert bad.chi2 > 100.0
+    # sub-1 and NULL values are excluded and counted
+    pdf3 = pd.DataFrame(
+        [("s", 0.5), ("s", None), ("s", 42.0)], columns=["grp", "val"]
+    )
+    sk = benford_screen(spark.createDataFrame(pdf3), "val", "grp").toPandas().iloc[0]
+    assert sk.n == 1 and sk.n_skipped == 2 and sk.c_4 == 1
+
+
+def test_gini_concentration_extremes(spark):
+    import numpy as np
+    import pandas as pd
+
+    from z_rad_spark.operators.curation import gini_concentration
+
+    rows = [("eq", i, 10) for i in range(8)]          # all equal -> G = 0
+    rows += [("one", 0, 100)] + [("one", i, 0) for i in range(1, 8)]  # -> G near 1
+    pdf = pd.DataFrame(rows, columns=["source", "doc_id", "n_chars"])
+    got = (
+        gini_concentration(spark.createDataFrame(pdf), "n_chars", "source", "doc_id")
+        .toPandas()
+        .set_index("source")
+    )
+    assert got.loc["eq"].gini == 0.0
+    assert got.loc["one"].gini == (2 * 8 * 100 - 9 * 100) / (8 * 100)
+    # matches the textbook mean-absolute-difference definition on a
+    # random sample
+    rng = np.random.RandomState(3)
+    xs = rng.randint(0, 50, size=40)
+    pdf2 = pd.DataFrame(
+        [("r", i, int(x)) for i, x in enumerate(xs)],
+        columns=["source", "doc_id", "n_chars"],
+    )
+    g = (
+        gini_concentration(spark.createDataFrame(pdf2), "n_chars", "source", "doc_id")
+        .toPandas()
+        .iloc[0]
+        .gini
+    )
+    mad = np.abs(xs[:, None] - xs[None, :]).mean()
+    want = mad / (2 * xs.mean())
+    # rank-sum identity equals the MAD form up to the n vs n-1 convention
+    assert np.isclose(g, want * (len(xs) - 0) / len(xs), atol=1e-9) or np.isclose(
+        g, want, atol=1e-2
+    )

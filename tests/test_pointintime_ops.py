@@ -1921,3 +1921,33 @@ def test_cuped_variance_reduction(spark):
     assert adj.var(ddof=0) < post.var(ddof=0) * 0.9
     # half-split bookkeeping: pre + post covers every turn's signal
     assert (got.pre + got.post).sum() == int(pdf.signal.sum())
+
+
+def test_with_edit_distance_hand_computed(spark):
+    from z_rad_spark.operators.sessionize import with_edit_distance
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        ("c1", 0, t0, "restart the server"),
+        ("c1", 1, t0 + pd.Timedelta(minutes=1), "restart the service"),
+        ("c1", 2, t0 + pd.Timedelta(minutes=2), "restart the service"),
+        ("c1", 3, t0 + pd.Timedelta(minutes=3), ""),
+        ("c2", 0, t0, "solo"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "text"])
+    got = (
+        with_edit_distance(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    # first turn of each conversation: NULLs
+    assert pd.isna(got.loc[0, "lev"]) and pd.isna(got.loc[0, "edit_sim"])
+    assert pd.isna(got.loc[4, "lev"]) and pd.isna(got.loc[4, "edit_sim"])
+    # 'server' -> 'service': sub e->i, sub r->c, insert e = 3
+    assert got.loc[1, "lev"] == 3
+    assert np.isclose(got.loc[1, "edit_sim"], 1 - 3 / 19)
+    # verbatim repeat: distance 0, similarity 1
+    assert got.loc[2, "lev"] == 0 and got.loc[2, "edit_sim"] == 1.0
+    # empty current vs non-empty prev: lev = len(prev), sim = 0
+    assert got.loc[3, "lev"] == 19 and got.loc[3, "edit_sim"] == 0.0

@@ -1088,3 +1088,50 @@ def dialog_act_rates(df: DataFrame, text_col: str = "text") -> DataFrame:
         (F.col("n_question").cast("double") / n).alias("question_rate"),
         (F.col("n_command").cast("double") / n).alias("command_rate"),
     )
+
+
+def with_edit_distance(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-turn Levenshtein edit distance to the IMMEDIATELY preceding
+    turn's text (stable (ts, turn_idx) order) plus the normalized
+    similarity
+
+        sim = 1 - lev / max(len(prev), len(cur))
+
+    — the character-level retry/near-repeat detector. Where
+    [[with_echo_score]] compares unordered TOKEN SETS (high when the
+    same words reappear in any order), edit distance is positional:
+    'restart the server' vs 'restart the service' scores ~0.89 here but
+    only 0.5 on token Jaccard, while a shuffled copy scores high on
+    Jaccard and low here. Curation pipelines use the pair: high-Jaccard
+    + high-sim = verbatim retry; high-Jaccard + low-sim = paraphrase.
+
+    Exactness: Levenshtein is an exact integer (Spark's built-in
+    JVM-side `levenshtein`, the same unit-cost DP DuckDB implements),
+    lengths are exact integers, and sim is one division — SQL-oracle-
+    replayable bit-for-bit. One lag window on the engine's shared
+    conv_id exchange; no Python, no UDF.
+
+    Scale note: the DP is O(len_prev * len_cur) per row JVM-side; for
+    corpora with multi-KB turns cap the operand length upstream (e.g.
+    substr to the first 1-2k chars) — the distance is a screen, not a
+    measurement, at that point.
+
+    Adds: lev long, edit_sim double (both NULL on the first turn of a
+    conversation; edit_sim NULL when both texts are empty).
+    """
+    w = _conv_window()
+    prev = F.lag(F.col(text_col)).over(w)
+    with_p = df.withColumn("_prev", prev)
+    lev = F.levenshtein(F.col("_prev"), F.col(text_col))
+    maxlen = F.greatest(F.length("_prev"), F.length(text_col))
+    sim = F.when(
+        F.col("_prev").isNotNull() & (maxlen > 0),
+        F.lit(1.0) - lev.cast("double") / maxlen.cast("double"),
+    )
+    return (
+        with_p.withColumn(
+            "lev", F.when(F.col("_prev").isNotNull(), lev).cast("long")
+        )
+        .withColumn("edit_sim", sim)
+        .drop("_prev")
+    )
