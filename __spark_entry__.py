@@ -3989,6 +3989,20 @@ def q_gini(spark, sf_dir):
     return _r6(out, ["gini"])
 
 
+
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test + Kendall tau-b per conversation
+    (profile.mann_kendall): exact integer pairwise sign sum S, exact
+    run-length tie terms, fixed 1-3-op IEEE chains for var_s/z/tau —
+    oracle-replayable (the DuckDB oracle replays the pairwise
+    self-join and tie table in exact integers)."""
+    from z_rad_spark.operators.profile import mann_kendall
+
+    out = mann_kendall(_t(spark, sf_dir))
+    out = out.select("conv_id", "n", "s", "tie_pairs", "var_s", "z", "tau_b")
+    return _r6(out, ["var_s", "z", "tau_b"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4062,7 +4076,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (1b) salted set: skew.py overlap-guard broadcast fix ---
         "q_glcm_salted": q_glcm_salted,
         "q_welch_drift": q_welch_drift,
-        "q_gldzm_salted": q_gldzm_salted,
         # --- (1d) new operators, session 2 of round 4 ---
         "q_expanding_zscore": q_expanding_zscore,
         "q_cusum": q_cusum,
@@ -4094,6 +4107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_edit_sim": q_edit_sim,
         "q_benford": q_benford,
         "q_gini": q_gini,
+        "q_mann_kendall": q_mann_kendall,
         # ===== gate window ends here (first 50 entries) ================
         # displaced by the session-10 additions (q_hurst_rs, q_sax_word,
         # q_cuped, q_edit_sim, q_benford, q_gini — never-gated beats
@@ -4104,6 +4118,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # variance chain); q_loo_encode and q_woe_iv via q_target_encode
         # in (1e), the same leakage-aware encoding module and
         # conditional-aggregate + fixed-chain shape (see the (1g) note).
+        # q_gldzm_salted (fresh r3 green) displaced by q_mann_kendall
+        # (never-gated): the salted-bucketing path stays sibling-gated
+        # in-window via q_glcm_salted, the same skew.py operator.
+        "q_gldzm_salted": q_gldzm_salted,
         "q_glcm": q_glcm,
         "q_gldzm_dist": q_gldzm_dist,
         "q_temporal_profile": q_temporal_profile,

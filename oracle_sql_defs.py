@@ -7691,3 +7691,56 @@ SELECT source, n, CAST(total AS BIGINT) AS total,
        {r6('CASE WHEN n * total > 0 THEN CAST(2 * ix - (n + 1) * total AS DOUBLE) / CAST(n * total AS DOUBLE) END', 'gini')}
 FROM g
 """
+
+
+# Mann-Kendall: exact-integer pairwise self-join for S, run-length tie
+# table for the variance correction; var_s/z/tau are the same fixed
+# IEEE chains the engine emits over exact BIGINTs
+ORACLES["q_mann_kendall"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id,
+         CAST(signal AS BIGINT) AS y,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS i
+  FROM t WHERE signal IS NOT NULL
+),
+base AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY conv_id
+),
+pr AS (
+  SELECT a.conv_id,
+         CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM p a JOIN p b ON a.conv_id = b.conv_id AND b.i > a.i
+  GROUP BY a.conv_id
+),
+tg AS (SELECT conv_id, y, CAST(COUNT(*) AS BIGINT) AS t FROM p GROUP BY conv_id, y),
+ta AS (
+  SELECT conv_id,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+         CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS tie_pairs
+  FROM tg GROUP BY conv_id
+),
+j AS (
+  SELECT base.conv_id, base.n,
+         COALESCE(pr.s, 0) AS s,
+         COALESCE(ta.tie_pairs, 0) AS tie_pairs,
+         COALESCE(ta.tie_term, 0) AS tie_term
+  FROM base LEFT JOIN pr USING (conv_id) LEFT JOIN ta USING (conv_id)
+),
+c AS (
+  SELECT conv_id, n, s, tie_pairs,
+         CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0 AS vs,
+         (n * (n - 1)) // 2 AS d
+  FROM j
+)
+SELECT conv_id, n, s, tie_pairs,
+       {r6('CASE WHEN n >= 2 THEN vs END', 'var_s')},
+       {r6('''CASE WHEN n >= 2 AND vs > 0 THEN
+            CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / SQRT(vs)
+                 WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / SQRT(vs)
+                 ELSE 0.0 END END''', 'z')},
+       {r6('''CASE WHEN n >= 2 AND d * (d - tie_pairs) > 0 THEN
+            CAST(s AS DOUBLE) / SQRT(CAST(d * (d - tie_pairs) AS DOUBLE)) END''', 'tau_b')}
+FROM c
+"""

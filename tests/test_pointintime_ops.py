@@ -1951,3 +1951,45 @@ def test_with_edit_distance_hand_computed(spark):
     assert got.loc[2, "lev"] == 0 and got.loc[2, "edit_sim"] == 1.0
     # empty current vs non-empty prev: lev = len(prev), sim = 0
     assert got.loc[3, "lev"] == 19 and got.loc[3, "edit_sim"] == 0.0
+
+
+def test_mann_kendall_hand_computed(spark):
+    from z_rad_spark.operators.profile import mann_kendall
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    for i, v in enumerate([1, 2, 3, 4, 5, 6]):
+        rows.append(("up", i, t0 + pd.Timedelta(minutes=i), v))
+    for i, v in enumerate([1, 2, 2, 3]):
+        rows.append(("tie", i, t0 + pd.Timedelta(minutes=i), v))
+    for i in range(4):
+        rows.append(("flat", i, t0 + pd.Timedelta(minutes=i), 7))
+    rows.append(("one", 0, t0, 5))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "signal"])
+    got = mann_kendall(spark.createDataFrame(pdf)).toPandas().set_index("conv_id")
+    # strictly increasing: S = n(n-1)/2, tau = 1, var = n(n-1)(2n+5)/18
+    up = got.loc["up"]
+    assert up.s == 15 and up.tie_pairs == 0
+    assert np.isclose(up.var_s, 6 * 5 * 17 / 18)
+    assert np.isclose(up.z, 14 / np.sqrt(6 * 5 * 17 / 18))
+    assert up.tau_b == 1.0
+    # [1,2,2,3]: S = 5; one tie group t=2 -> tie_term 18, Ty = 1;
+    # var = (4*3*13 - 18)/18; z = 4/sqrt(var); tau = 5/sqrt(6*5)
+    tie = got.loc["tie"]
+    assert tie.s == 5 and tie.tie_pairs == 1
+    assert np.isclose(tie.var_s, 138 / 18)
+    assert np.isclose(tie.z, 4 / np.sqrt(138 / 18))
+    assert np.isclose(tie.tau_b, 5 / np.sqrt(30))
+    # constant signal: everything tied -> var 0, z/tau NULL
+    flat = got.loc["flat"]
+    assert flat.s == 0 and flat.tie_pairs == 6 and flat.var_s == 0.0
+    assert pd.isna(flat.z) and pd.isna(flat.tau_b)
+    # single turn: NULL stats
+    one = got.loc["one"]
+    assert one.s == 0 and pd.isna(one.var_s) and pd.isna(one.z) and pd.isna(one.tau_b)
+    # anti-monotone: S = -15, z uses the +1 correction
+    rows2 = [("dn", i, t0 + pd.Timedelta(minutes=i), 9 - i) for i in range(6)]
+    pdf2 = pd.DataFrame(rows2, columns=["conv_id", "turn_idx", "ts", "signal"])
+    dn = mann_kendall(spark.createDataFrame(pdf2)).toPandas().iloc[0]
+    assert dn.s == -15 and dn.tau_b == -1.0
+    assert np.isclose(dn.z, -14 / np.sqrt(6 * 5 * 17 / 18))

@@ -1172,3 +1172,123 @@ def sax_word(df: DataFrame, w: int = 4, signal_col: str = "signal") -> DataFrame
         ).alias("word"),
     )
     return g.select("conv_id", "n", "n_segments", "word")
+
+
+def mann_kendall(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """Mann-Kendall trend test + Kendall's tau-b per conversation
+    (Mann 1945; Kendall 1975) on the turn-ordered signal:
+
+        S     = sum_{i<j} sign(y_j - y_i)
+        VarS  = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18
+        z     = (S - 1)/sqrt(VarS)  if S > 0,  (S + 1)/sqrt(VarS) if
+                S < 0,  0 if S = 0        (the continuity correction)
+        tau_b = S / sqrt(D * (D - Ty)),  D = n(n-1)/2, Ty = tied pairs
+
+    the NONPARAMETRIC companion to [[signal_trend]]'s OLS slope and
+    [[theil_sen_trend]]'s robust magnitude: S depends only on the SIGN
+    pattern, so it detects any monotone drift regardless of shape, and
+    the tie-corrected z gives an actual significance level (the turn
+    axis (ts, turn_idx) is strictly ordered, so the time-side tie term
+    is zero and tau-b's denominator uses D unmodified on that side).
+
+    OPT-IN O(n^2) per conversation (the theil_sen_trend cost contract):
+    S is a nested higher-order expression over the per-conversation
+    signal array — fine for bounded-turn transcripts, wrong for
+    million-event keys. The tie terms are O(n log n) (run lengths on
+    the sorted array), not pairwise.
+
+    Determinism: the signal is integer-valued by the engine's signal
+    contract, so every sign and equality is exact; S, the tie sums, n,
+    and D are exact longs, and var_s / z / tau are FIXED 1-3-op IEEE
+    chains over those longs — the SQL oracle replays an exact-integer
+    pairwise self-join and run-length tie table bit-for-bit.
+
+    Output: (conv_id, n long, s long, tie_pairs long, var_s double,
+    z double — NULL when n < 2 or VarS = 0, tau_b double — NULL when
+    n < 2 or the denominator is 0).
+    """
+    y = F.col(signal_col).cast("long")
+    scored = df.where(y.isNotNull())
+    g = scored.groupBy("conv_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ts"), F.col("turn_idx"), y.alias("_y")))
+        ).alias("_a"),
+        F.count("*").cast("long").alias("n"),
+    )
+    g = g.withColumn("_ys", F.transform(F.col("_a"), lambda s: s["_y"])).drop("_a")
+    n = F.col("n")
+    nn = F.size("_ys")
+    s_terms = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), nn - F.lit(2)),
+            lambda i: F.transform(
+                F.sequence(i + F.lit(1), nn - F.lit(1)),
+                lambda j: F.signum(
+                    (F.get("_ys", j) - F.get("_ys", i)).cast("double")
+                ).cast("long"),
+            ),
+        )
+    )
+    g = g.withColumn(
+        "s",
+        F.when(
+            n >= 2,
+            F.aggregate(
+                s_terms, F.lit(0).cast("long"), lambda acc, v: acc + v
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    # run lengths of equal values on the sorted array -> tie-group sizes
+    ysrt = F.array_sort("_ys")
+    g = g.withColumn("_ysrt", ysrt)
+    starts = F.filter(
+        F.sequence(F.lit(0), nn - F.lit(1)),
+        lambda i: (i == 0) | (F.get("_ysrt", i) != F.get("_ysrt", i - 1)),
+    )
+    g = g.withColumn("_starts", starts)
+    m = F.size("_starts")
+    sizes = F.transform(
+        F.sequence(F.lit(0), m - F.lit(1)),
+        lambda k: (
+            F.when(k < m - 1, F.get("_starts", k + 1)).otherwise(nn)
+            - F.get("_starts", k)
+        ).cast("long"),
+    )
+    g = g.withColumn("_sizes", sizes)
+    zero = F.lit(0).cast("long")
+    tie_term = F.aggregate(
+        F.col("_sizes"),
+        zero,
+        lambda acc, t: acc + t * (t - 1) * (2 * t + 5),
+    )
+    tie_pairs = F.aggregate(
+        F.col("_sizes"),
+        zero,
+        lambda acc, t: acc + (t * (t - 1) / 2).cast("long"),
+    )
+    g = g.withColumn("_tie_term", tie_term).withColumn("tie_pairs", tie_pairs)
+    var_num = n * (n - 1) * (2 * n + 5) - F.col("_tie_term")
+    var_s = var_num.cast("double") / F.lit(18.0)
+    s = F.col("s")
+    sq = F.sqrt(var_s)
+    z = F.when(
+        (n >= 2) & (var_s > 0),
+        F.when(s > 0, (s - 1).cast("double") / sq)
+        .when(s < 0, (s + 1).cast("double") / sq)
+        .otherwise(F.lit(0.0)),
+    )
+    d_pairs = (n * (n - 1) / 2).cast("long")
+    tau_den = d_pairs * (d_pairs - F.col("tie_pairs"))
+    tau = F.when(
+        (n >= 2) & (tau_den > 0),
+        s.cast("double") / F.sqrt(tau_den.cast("double")),
+    )
+    return g.select(
+        "conv_id",
+        "n",
+        "s",
+        "tie_pairs",
+        F.when(n >= 2, var_s).alias("var_s"),
+        z.alias("z"),
+        tau.alias("tau_b"),
+    )
