@@ -4003,6 +4003,35 @@ def q_mann_kendall(spark, sf_dir):
     return _r6(out, ["var_s", "z", "tau_b"])
 
 
+
+def q_rbo(spark, sf_dir):
+    """Rank-biased overlap between the BM25 lexical top-10 and the
+    exact-cosine dense top-10 (similarity.rank_biased_overlap, p=0.9):
+    exact integer prefix-overlap counts, plan-time literal weights,
+    fixed left-associated 10-term chain — oracle-replayable (the DuckDB
+    oracle rebuilds both rankings and embeds the identical weight
+    literals)."""
+    from z_rad_spark.operators.similarity import cosine_topk, rank_biased_overlap
+    from z_rad_spark.operators.text import bm25_topk
+
+    lex = bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, topk=10).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "rank",
+    )
+    e = _emb(spark, sf_dir)
+    qs = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dense = cosine_topk(e, qs, k=10).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("doc_id"),
+        "rank",
+    )
+    out = rank_biased_overlap(lex, dense, p=0.9, k=10)
+    return _r6(out, ["overlap_k", "rbo"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4060,10 +4089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir": q_dsir,
         "q_domain_mix": q_domain_mix,
         "q_dup_spans": q_dup_spans,
-        "q_pq_codes": q_pq_codes,
         "q_pq_topk": q_pq_topk,
         "q_quality_classifier": q_quality_classifier,
-        "q_bigram_lm": q_bigram_lm,
         "q_ppl_buckets": q_ppl_buckets,
         "q_ivfpq_topk": q_ivfpq_topk,
         "q_bm25": q_bm25,
@@ -4075,6 +4102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_freq_bins": q_freq_bins,
         # --- (1b) salted set: skew.py overlap-guard broadcast fix ---
         "q_glcm_salted": q_glcm_salted,
+        "q_gldzm_salted": q_gldzm_salted,
         "q_welch_drift": q_welch_drift,
         # --- (1d) new operators, session 2 of round 4 ---
         "q_expanding_zscore": q_expanding_zscore,
@@ -4108,6 +4136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_benford": q_benford,
         "q_gini": q_gini,
         "q_mann_kendall": q_mann_kendall,
+        "q_rbo": q_rbo,
         # ===== gate window ends here (first 50 entries) ================
         # displaced by the session-10 additions (q_hurst_rs, q_sax_word,
         # q_cuped, q_edit_sim, q_benford, q_gini — never-gated beats
@@ -4118,10 +4147,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # variance chain); q_loo_encode and q_woe_iv via q_target_encode
         # in (1e), the same leakage-aware encoding module and
         # conditional-aggregate + fixed-chain shape (see the (1g) note).
-        # q_gldzm_salted (fresh r3 green) displaced by q_mann_kendall
-        # (never-gated): the salted-bucketing path stays sibling-gated
-        # in-window via q_glcm_salted, the same skew.py operator.
-        "q_gldzm_salted": q_gldzm_salted,
+        # q_pq_codes and q_bigram_lm displaced by q_mann_kendall and
+        # q_rbo (never-gated beats sibling-covered): q_pq_topk calls
+        # pq_codes internally and q_ppl_buckets calls bigram_logprob
+        # internally, so both displaced code paths stay value-gated
+        # in-window through their callers.
+        "q_pq_codes": q_pq_codes,
+        "q_bigram_lm": q_bigram_lm,
         "q_glcm": q_glcm,
         "q_gldzm_dist": q_gldzm_dist,
         "q_temporal_profile": q_temporal_profile,

@@ -7744,3 +7744,98 @@ SELECT conv_id, n, s, tie_pairs,
             CAST(s AS DOUBLE) / SQRT(CAST(d * (d - tie_pairs) AS DOUBLE)) END''', 'tau_b')}
 FROM c
 """
+
+
+# Rank-biased overlap between the BM25 lexical top-10 and the dense
+# cosine top-10: rebuilds both rankings with the same CTEs as
+# q_hybrid_rrf, then replays the fixed left-associated weight chain
+# with the identical plan-time Python float literals (0.9 ** (d-1))
+def _rbo_sql(p: float = 0.9, k: int = 10) -> str:
+    xs = ",\n         ".join(
+        f"CAST(len(list_intersect(aa[1:{d}], bb[1:{d}])) AS BIGINT) AS x{d}"
+        for d in range(1, k + 1)
+    )
+    chain = None
+    for d in range(1, k + 1):
+        term = f"({(p ** (d - 1))!r} * CAST(x{d} AS DOUBLE) / {float(d)!r})"
+        chain = term if chain is None else f"({chain} + {term})"
+    rbo = f"{(1.0 - p)!r} * {chain}"
+    return f"""
+WITH base AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS tk FROM documents),
+d AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl FROM base),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM d
+),
+tok AS (SELECT doc_id, dl, unnest(tk) AS token FROM d),
+tf AS (
+  SELECT doc_id, dl, token, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok WHERE token IN ({_BM25_TERMS})
+  GROUP BY doc_id, dl, token
+),
+dfreq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS dft FROM tf GROUP BY token),
+q(query_id, token) AS (VALUES {_BM25_Q_VALUES}),
+c AS (
+  SELECT q.query_id, tf.doc_id, tf.token,
+         (ln(1.0 + (s.n - f.dft + 0.5) / (f.dft + 0.5)) * (tf.tf * 2.2))
+         / (tf.tf + 1.2 * (0.25 + (0.75 * CAST(tf.dl AS DOUBLE)) / s.avgdl)) AS c
+  FROM tf
+  JOIN q USING (token)
+  JOIN dfreq f USING (token), stats s
+),
+sc AS (
+  SELECT query_id, doc_id,
+         ROUND(list_reduce([0.0] || list(c ORDER BY token), (acc, x) -> acc + x), 6) AS score
+  FROM c GROUP BY query_id, doc_id
+),
+lex AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc QUALIFY rank <= 10
+),
+eq AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 3
+),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+es AS (
+  SELECT eq.query_id, ev.vec_id,
+         list_dot_product(ev.ev, eq.qv)
+           / (sqrt(list_dot_product(ev.ev, ev.ev)) * sqrt(list_dot_product(eq.qv, eq.qv))) AS cos
+  FROM ev CROSS JOIN eq
+),
+dense AS (
+  SELECT query_id, vec_id AS doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM es QUALIFY rank <= 10
+),
+la AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id,
+         list(CAST(doc_id AS BIGINT) ORDER BY rank) AS aa
+  FROM lex GROUP BY query_id
+),
+lb AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id,
+         list(CAST(doc_id AS BIGINT) ORDER BY rank) AS bb
+  FROM dense GROUP BY query_id
+),
+j AS (SELECT la.query_id, aa, bb FROM la JOIN lb USING (query_id)),
+x AS (
+  SELECT query_id,
+         CAST(len(aa) AS BIGINT) AS n_a,
+         CAST(len(bb) AS BIGINT) AS n_b,
+         {xs}
+  FROM j
+)
+SELECT query_id, n_a, n_b, x{k} AS x_k,
+       {{overlap}},
+       {{rbo}}
+FROM x
+""".format(
+        overlap=r6(f"CAST(x{k} AS DOUBLE) / {float(k)!r}", "overlap_k"),
+        rbo=r6(rbo, "rbo"),
+    )
+
+
+ORACLES["q_rbo"] = _rbo_sql()

@@ -2104,3 +2104,47 @@ def test_template_groups_detects_shared_prefix(spark):
     assert got.loc[3].template_size == 1 and not got.loc[3].is_templated
     # same prefix under another source is its own group of 1
     assert got.loc[4].template_size == 1 and not got.loc[4].is_templated
+
+
+def test_rank_biased_overlap_hand_computed(spark):
+    import numpy as np
+    import pandas as pd
+
+    from z_rad_spark.operators.similarity import rank_biased_overlap
+
+    # q1: identical rankings -> every X_d = d, rbo = (1-p) sum p^(d-1)
+    # q2: disjoint rankings -> rbo = 0
+    # q3: reversed top-3 (a=[1,2,3], b=[3,2,1]) -> X_1=0, X_2=0, X_3=3
+    a_rows = [(1, i, i) for i in range(1, 4)]
+    a_rows += [(2, 10 + i, i) for i in range(1, 4)]
+    a_rows += [(3, i, i) for i in range(1, 4)]
+    b_rows = [(1, i, i) for i in range(1, 4)]
+    b_rows += [(2, 20 + i, i) for i in range(1, 4)]
+    b_rows += [(3, 4 - i, i) for i in range(1, 4)]
+    cols = ["query_id", "doc_id", "rank"]
+    a = spark.createDataFrame(pd.DataFrame(a_rows, columns=cols))
+    b = spark.createDataFrame(pd.DataFrame(b_rows, columns=cols))
+    p = 0.9
+    got = (
+        rank_biased_overlap(a, b, p=p, k=3)
+        .toPandas()
+        .set_index("query_id")
+        .sort_index()
+    )
+    full = (1 - p) * sum(p ** (d - 1) * d / d for d in range(1, 4))
+    assert np.isclose(got.loc[1].rbo, full)
+    assert got.loc[1].x_k == 3 and got.loc[1].overlap_k == 1.0
+    assert got.loc[2].rbo == 0.0 and got.loc[2].x_k == 0
+    # X_1 = |{1} ∩ {3}| = 0, X_2 = |{1,2} ∩ {3,2}| = 1, X_3 = 3
+    rev = (1 - p) * (0.0 + p * 1 / 2 + p ** 2 * 3 / 3)
+    assert np.isclose(got.loc[3].rbo, rev)
+    # short lists clamp: a has 2 items, b has 3 -> X_3 = |a ∩ b[:3]|
+    a2 = spark.createDataFrame(pd.DataFrame([(9, 1, 1), (9, 2, 2)], columns=cols))
+    b2 = spark.createDataFrame(
+        pd.DataFrame([(9, 2, 1), (9, 3, 2), (9, 1, 3)], columns=cols)
+    )
+    g2 = rank_biased_overlap(a2, b2, p=p, k=3).toPandas().iloc[0]
+    assert g2.n_a == 2 and g2.n_b == 3 and g2.x_k == 2
+    # X_1 = |{1} ∩ {2}| = 0, X_2 = |{1,2} ∩ {2,3}| = 1, X_3 = 2
+    want = (1 - p) * (0.0 + p * 1 / 2 + p ** 2 * 2 / 3)
+    assert np.isclose(g2.rbo, want)

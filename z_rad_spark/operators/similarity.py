@@ -1599,3 +1599,88 @@ def ndcg_at_k(
         idcg.alias("idcg"),
         (dcg / idcg).alias("ndcg"),
     )
+
+
+def rank_biased_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    p: float = 0.9,
+    k: int = 10,
+    query_id: str = "query_id",
+    item_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Truncated rank-biased overlap between two per-query rankings
+    (Webber, Moffat & Zobel, TOIS 2010) — the top-weighted agreement
+    score retrieval teams use to answer 'how differently do these two
+    rankers order the SAME corpus?' (lexical vs dense, old index vs
+    new, exact vs ANN), where Kendall/Spearman over-weight the tail:
+
+        X_d  = |A[1..d] ∩ B[1..d]|          (prefix overlap)
+        rbo  = (1 - p) * sum_{d=1..k} p^(d-1) * X_d / d
+
+    p sets the top-weight (p=0.9 puts ~86% of the mass in the top 10);
+    this is the TRUNCATED prefix-agreement sum over the available
+    depths — lists shorter than d contribute their full prefix (the
+    practical variant; the paper's extrapolated RBO_ext adds a
+    residual this operator deliberately omits so the score stays an
+    exact replayable sum).
+
+    Scale + determinism: both inputs are already per-query top-k
+    frames, so cost is bounded by queries x k^2 element comparisons
+    after ONE query_id equi-join of two k-row-per-query aggregates —
+    corpus size never appears. X_d is an exact integer (array_intersect
+    of distinct ranked ids); the weights p^(d-1) are plan-time Python
+    float literals and the sum is a FIXED left-associated k-term chain,
+    so the SQL oracle embeds the identical literals and replays the
+    score bit-for-bit.
+
+    Output: (query_id, n_a long, n_b long, x_k long, overlap_k double
+    = X_k / k, rbo double).
+    """
+
+    def _arr(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.where(F.col(rank_col) <= k)
+            .groupBy(query_id)
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col(rank_col).cast("long").alias("_r"),
+                                F.col(item_col).cast("long").alias("_i"),
+                            )
+                        )
+                    ),
+                    lambda s: s["_i"],
+                ).alias(name)
+            )
+        )
+
+    j = _arr(a, "_a").join(_arr(b, "_b"), query_id)
+    for d in range(1, k + 1):
+        j = j.withColumn(
+            f"_x{d}",
+            F.size(
+                F.array_intersect(
+                    F.slice("_a", 1, d), F.slice("_b", 1, d)
+                )
+            ).cast("long"),
+        )
+    acc = None
+    for d in range(1, k + 1):
+        term = (
+            F.lit(p ** (d - 1))
+            * F.col(f"_x{d}").cast("double")
+            / F.lit(float(d))
+        )
+        acc = term if acc is None else acc + term
+    return j.select(
+        query_id,
+        F.size("_a").cast("long").alias("n_a"),
+        F.size("_b").cast("long").alias("n_b"),
+        F.col(f"_x{k}").alias("x_k"),
+        (F.col(f"_x{k}").cast("double") / F.lit(float(k))).alias("overlap_k"),
+        (F.lit(1.0 - p) * acc).alias("rbo"),
+    )
