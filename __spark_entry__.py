@@ -4032,6 +4032,17 @@ def q_rbo(spark, sf_dir):
     return _r6(out, ["overlap_k", "rbo"])
 
 
+
+def q_funnel(spark, sf_dir):
+    """Ordered role funnel user -> assistant -> tool per conversation
+    (sessionize.funnel_steps): exact integer ordinals, sequential
+    conditional MINs, integer stage count — oracle-replayable with no
+    rounding at all."""
+    from z_rad_spark.operators.sessionize import funnel_steps
+
+    return funnel_steps(_t(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4092,7 +4103,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_topk": q_pq_topk,
         "q_quality_classifier": q_quality_classifier,
         "q_ppl_buckets": q_ppl_buckets,
-        "q_ivfpq_topk": q_ivfpq_topk,
         "q_bm25": q_bm25,
         "q_hybrid_rrf": q_hybrid_rrf,
         "q_chat_template": q_chat_template,
@@ -4137,7 +4147,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gini": q_gini,
         "q_mann_kendall": q_mann_kendall,
         "q_rbo": q_rbo,
+        "q_funnel": q_funnel,
         # ===== gate window ends here (first 50 entries) ================
+        # q_ivfpq_topk displaced by q_funnel (never-gated beats
+        # sibling-covered): its two halves stay gated in-window — the
+        # IVF routing through q_ivf_topk's green r3 row + the shared
+        # ADC lookup path through q_pq_topk.
+        "q_ivfpq_topk": q_ivfpq_topk,
         # displaced by the session-10 additions (q_hurst_rs, q_sax_word,
         # q_cuped, q_edit_sim, q_benford, q_gini — never-gated beats
         # stale-green): the ordered-fold pair stays sibling-gated

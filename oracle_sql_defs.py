@@ -7839,3 +7839,35 @@ FROM x
 
 
 ORACLES["q_rbo"] = _rbo_sql()
+
+
+# Ordered role funnel: exact integer ordinals and sequential
+# conditional MINs — pure integer output, nothing to round
+ORACLES["q_funnel"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id, role,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS BIGINT) AS i
+  FROM t
+),
+s1 AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+         CAST(MIN(CASE WHEN role = 'user' THEN i END) AS BIGINT) AS i_1
+  FROM p GROUP BY conv_id
+),
+s2 AS (
+  SELECT p.conv_id, MAX(s1.n_turns) AS n_turns, MAX(s1.i_1) AS i_1,
+         CAST(MIN(CASE WHEN p.role = 'assistant' AND p.i > s1.i_1 THEN p.i END) AS BIGINT) AS i_2
+  FROM p JOIN s1 USING (conv_id) GROUP BY p.conv_id
+),
+s3 AS (
+  SELECT p.conv_id, MAX(s2.n_turns) AS n_turns, MAX(s2.i_1) AS i_1, MAX(s2.i_2) AS i_2,
+         CAST(MIN(CASE WHEN p.role = 'tool' AND p.i > s2.i_2 THEN p.i END) AS BIGINT) AS i_3
+  FROM p JOIN s2 USING (conv_id) GROUP BY p.conv_id
+)
+SELECT conv_id, n_turns, i_1, i_2, i_3,
+       CAST((CASE WHEN i_1 IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN i_2 IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN i_3 IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS reached
+FROM s3
+"""

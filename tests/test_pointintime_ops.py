@@ -1993,3 +1993,46 @@ def test_mann_kendall_hand_computed(spark):
     dn = mann_kendall(spark.createDataFrame(pdf2)).toPandas().iloc[0]
     assert dn.s == -15 and dn.tau_b == -1.0
     assert np.isclose(dn.z, -14 / np.sqrt(6 * 5 * 17 / 18))
+
+
+def test_funnel_steps_ordering_semantics(spark):
+    from z_rad_spark.operators.sessionize import funnel_steps
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        # full funnel in order: user(1) assistant(2) tool(3)
+        ("full", 0, t0, "user"),
+        ("full", 1, t0 + pd.Timedelta(minutes=1), "assistant"),
+        ("full", 2, t0 + pd.Timedelta(minutes=2), "tool"),
+        # out of order: assistant first, then user -> stage 1 only
+        # (the assistant turn BEFORE the first user turn must not count)
+        ("ooo", 0, t0, "assistant"),
+        ("ooo", 1, t0 + pd.Timedelta(minutes=1), "user"),
+        ("ooo", 2, t0 + pd.Timedelta(minutes=2), "tool"),
+        # tool before assistant: user -> tool -> assistant reaches 2
+        # and i_3 must be NULL (no tool AFTER the assistant turn)
+        ("skip", 0, t0, "user"),
+        ("skip", 1, t0 + pd.Timedelta(minutes=1), "tool"),
+        ("skip", 2, t0 + pd.Timedelta(minutes=2), "assistant"),
+        # never starts: no user turn at all
+        ("none", 0, t0, "assistant"),
+        ("none", 1, t0 + pd.Timedelta(minutes=1), "tool"),
+        # repeated roles: first qualifying turn wins
+        ("rep", 0, t0, "user"),
+        ("rep", 1, t0 + pd.Timedelta(minutes=1), "user"),
+        ("rep", 2, t0 + pd.Timedelta(minutes=2), "assistant"),
+        ("rep", 3, t0 + pd.Timedelta(minutes=3), "assistant"),
+        ("rep", 4, t0 + pd.Timedelta(minutes=4), "tool"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "role"])
+    got = funnel_steps(spark.createDataFrame(pdf)).toPandas().set_index("conv_id")
+    full = got.loc["full"]
+    assert (full.i_1, full.i_2, full.i_3, full.reached) == (1, 2, 3, 3)
+    ooo = got.loc["ooo"]
+    assert ooo.i_1 == 2 and pd.isna(ooo.i_2) and pd.isna(ooo.i_3) and ooo.reached == 1
+    skip = got.loc["skip"]
+    assert skip.i_1 == 1 and skip.i_2 == 3 and pd.isna(skip.i_3) and skip.reached == 2
+    none = got.loc["none"]
+    assert pd.isna(none.i_1) and none.reached == 0 and none.n_turns == 2
+    rep = got.loc["rep"]
+    assert (rep.i_1, rep.i_2, rep.i_3, rep.reached) == (1, 3, 5, 3)

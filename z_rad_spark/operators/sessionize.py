@@ -1135,3 +1135,72 @@ def with_edit_distance(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("edit_sim", sim)
         .drop("_prev")
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: tuple[str, ...] = ("user", "assistant", "tool"),
+    role_col: str = "role",
+) -> DataFrame:
+    """Ordered-step funnel per conversation — the product-analytics
+    primitive ('view -> click -> purchase') applied to dialogue flow:
+    step k counts as reached only at the FIRST turn matching steps[k]
+    that comes STRICTLY AFTER the turn where step k-1 was reached, so
+    'assistant then user then tool' reaches stage 1, not 3, for the
+    (user, assistant, tool) funnel.
+
+    Mechanics: each turn gets its stable (ts, turn_idx) ordinal; stage
+    1 is MIN(ordinal | role = steps[0]), stage k is MIN(ordinal |
+    role = steps[k-1] AND ordinal > stage_{k-1}) — len(steps)
+    sequential conditional aggregations, each one groupBy + join ON THE
+    SAME conv_id key (co-partitioned exchanges; AQE reuses the
+    partitioning, so the extra passes are map-side cheap, and the pass
+    count is the literal funnel depth, never data-dependent).
+
+    Determinism: ordinals are exact row_number longs under the stable
+    order; every MIN and comparison is integer — nothing to round, the
+    SQL oracle replays it bit-for-bit.
+
+    Output: (conv_id, n_turns long, i_1..i_len long — the 1-based
+    ordinal where each stage was reached, NULL once a stage is missed,
+    reached int = number of stages reached).
+    """
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    base = df.select(
+        "conv_id",
+        F.col(role_col).alias("_role"),
+        F.row_number().over(w).cast("long").alias("_i"),
+    )
+    cur = base.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.min(F.when(F.col("_role") == steps[0], F.col("_i"))).alias("i_1"),
+    )
+    for k in range(2, len(steps) + 1):
+        prev = f"i_{k - 1}"
+        carry = [F.max("n_turns").alias("n_turns")] + [
+            F.max(f"i_{j}").alias(f"i_{j}") for j in range(1, k)
+        ]
+        cur = (
+            base.join(cur, "conv_id")
+            .groupBy("conv_id")
+            .agg(
+                *carry,
+                F.min(
+                    F.when(
+                        (F.col("_role") == steps[k - 1])
+                        & (F.col("_i") > F.col(prev)),
+                        F.col("_i"),
+                    )
+                ).alias(f"i_{k}"),
+            )
+        )
+    reached = None
+    for k in range(1, len(steps) + 1):
+        term = F.when(F.col(f"i_{k}").isNotNull(), 1).otherwise(0)
+        reached = term if reached is None else reached + term
+    return cur.select(
+        "conv_id",
+        "n_turns",
+        *[f"i_{k}" for k in range(1, len(steps) + 1)],
+        reached.cast("int").alias("reached"),
+    )
