@@ -4043,6 +4043,26 @@ def q_funnel(spark, sf_dir):
     return funnel_steps(_t(spark, sf_dir))
 
 
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix over the raw events stream
+    (profile.cohort_retention): Monday-start week truncation, exact
+    integer user-week counts, one division — oracle-replayable with a
+    single rounded column."""
+    from z_rad_spark.operators.profile import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = cohort_retention(ev)
+    out = out.select(
+        F.col("cohort_week").cast("string").alias("cohort_week"),
+        "week_offset",
+        "n_cohort",
+        "n_active",
+        "retention",
+    )
+    return _r6(out, ["retention"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4149,6 +4169,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rbo": q_rbo,
         "q_funnel": q_funnel,
         # ===== gate window ends here (first 50 entries) ================
+        # q_cohort_retention (added last; exact-integer counts + one
+        # division, strict-mirrored at sf0.01+sf0.1 on addition) sits
+        # below the window — every remaining in-window entry gates
+        # never-driver-gated code with no sibling coverage, which beats
+        # rotating this single-division matrix in.
+        "q_cohort_retention": q_cohort_retention,
         # q_ivfpq_topk displaced by q_funnel (never-gated beats
         # sibling-covered): its two halves stay gated in-window — the
         # IVF routing through q_ivf_topk's green r3 row + the shared

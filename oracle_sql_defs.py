@@ -7871,3 +7871,32 @@ SELECT conv_id, n_turns, i_1, i_2, i_3,
           + (CASE WHEN i_3 IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS reached
 FROM s3
 """
+
+
+# Weekly cohort retention: Monday-start weeks, exact (user, week)
+# distinct pairs, integer counts, one division
+ORACLES["q_cohort_retention"] = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+),
+first AS (SELECT u, MIN(wk) AS cohort_week FROM uw GROUP BY u),
+sizes AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort
+  FROM first GROUP BY cohort_week
+),
+act AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, uw.wk) // 7 AS INT) AS week_offset,
+         uw.u
+  FROM uw JOIN first f USING (u)
+),
+cells AS (
+  SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM act GROUP BY cohort_week, week_offset
+)
+SELECT CAST(c.cohort_week AS VARCHAR) AS cohort_week,
+       c.week_offset, s.n_cohort, c.n_active,
+       {r6('CAST(c.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE)', 'retention')}
+FROM cells c JOIN sizes s USING (cohort_week)
+"""

@@ -2036,3 +2036,33 @@ def test_funnel_steps_ordering_semantics(spark):
     assert pd.isna(none.i_1) and none.reached == 0 and none.n_turns == 2
     rep = got.loc["rep"]
     assert (rep.i_1, rep.i_2, rep.i_3, rep.reached) == (1, 3, 5, 3)
+
+
+def test_cohort_retention_hand_computed(spark):
+    from z_rad_spark.operators.profile import cohort_retention
+
+    # week of 2024-01-01 (Mon) and week of 2024-01-08 (Mon)
+    rows = [
+        # u1: first week 0, active weeks 0 and 1
+        (1, pd.Timestamp("2024-01-02 10:00")),
+        (1, pd.Timestamp("2024-01-03 10:00")),  # same week, dedup to one
+        (1, pd.Timestamp("2024-01-09 10:00")),
+        # u2: first week 0 only
+        (2, pd.Timestamp("2024-01-05 10:00")),
+        # u3: first week 1 only (its own cohort)
+        (3, pd.Timestamp("2024-01-10 10:00")),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    got = (
+        cohort_retention(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    got["cohort_week"] = got["cohort_week"].astype(str)
+    # cohort 2024-01-01: 2 users; offset 0 -> both, offset 1 -> u1 only
+    assert list(got.cohort_week) == ["2024-01-01", "2024-01-01", "2024-01-08"]
+    assert list(got.week_offset) == [0, 1, 0]
+    assert list(got.n_cohort) == [2, 2, 1]
+    assert list(got.n_active) == [2, 1, 1]
+    assert list(got.retention) == [1.0, 0.5, 1.0]

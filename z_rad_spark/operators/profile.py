@@ -1292,3 +1292,67 @@ def mann_kendall(df: DataFrame, signal_col: str = "signal") -> DataFrame:
         z.alias("z"),
         tau.alias("tau_b"),
     )
+
+
+def cohort_retention(
+    df: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Weekly cohort retention matrix — the standard growth-analytics
+    triangle over any (user, timestamp) activity stream: users are
+    cohorted by the ISO week of their FIRST activity, and cell
+    (cohort_week, week_offset) counts how many of them were active
+    exactly offset weeks later:
+
+        retention = n_active / n_cohort
+
+    Mechanics + scale: activity collapses to DISTINCT (user, week)
+    pairs FIRST (one groupBy — the row count drops from events to
+    user-weeks before anything else happens), the cohort week is a MIN
+    over those pairs, and the matrix is one count per (cohort, offset)
+    — three aggregations, all map-side combined, the join back to the
+    user-week frame on the user key it is already hashed by. No
+    distinct-count sketch is needed because (user, week) is already
+    unique when counted.
+
+    Determinism: week truncation is calendar arithmetic (Monday-start
+    ISO weeks in both engines), the offset is an exact integer day
+    difference of two week-starts divided by 7 (always a whole
+    number), counts are exact longs, and retention is one division —
+    the SQL oracle replays everything bit-for-bit.
+
+    Output: (cohort_week date, week_offset int, n_cohort long,
+    n_active long, retention double), one row per non-empty cell.
+    """
+    uw = (
+        df.select(
+            F.col(user_col).alias("_u"),
+            F.to_date(F.date_trunc("week", F.col(ts_col))).alias("_wk"),
+        )
+        .groupBy("_u", "_wk")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    first = uw.groupBy("_u").agg(F.min("_wk").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("n_cohort")
+    )
+    act = uw.join(first, "_u").select(
+        "cohort_week",
+        (F.datediff(F.col("_wk"), F.col("cohort_week")) / 7)
+        .cast("int")
+        .alias("week_offset"),
+        "_u",
+    )
+    cells = act.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("long").alias("n_active")
+    )
+    out = cells.join(sizes, "cohort_week")
+    return out.select(
+        "cohort_week",
+        "week_offset",
+        "n_cohort",
+        "n_active",
+        (F.col("n_active").cast("double") / F.col("n_cohort").cast("double")).alias(
+            "retention"
+        ),
+    )
