@@ -4063,6 +4063,19 @@ def q_cohort_retention(spark, sf_dir):
     return _r6(out, ["retention"])
 
 
+
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival for time-to-first-tool-call with right
+    censoring (profile.kaplan_meier, 60 s buckets): exact long
+    durations/risk sets, fixed left-fold prefix products —
+    oracle-replayable (the DuckDB oracle folds the identical factor
+    list with list_reduce)."""
+    from z_rad_spark.operators.profile import kaplan_meier
+
+    out = kaplan_meier(_t(spark, sf_dir), event_role="tool", bucket_s=60)
+    return _r6(out, ["s_km"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4175,6 +4188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-gated code with no sibling coverage, which beats
         # rotating this single-division matrix in.
         "q_cohort_retention": q_cohort_retention,
+        "q_kaplan_meier": q_kaplan_meier,
         # q_ivfpq_topk displaced by q_funnel (never-gated beats
         # sibling-covered): its two halves stay gated in-window — the
         # IVF routing through q_ivf_topk's green r3 row + the shared

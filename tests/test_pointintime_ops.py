@@ -2066,3 +2066,53 @@ def test_cohort_retention_hand_computed(spark):
     assert list(got.n_cohort) == [2, 2, 1]
     assert list(got.n_active) == [2, 1, 1]
     assert list(got.retention) == [1.0, 0.5, 1.0]
+
+
+def test_kaplan_meier_hand_computed(spark):
+    from z_rad_spark.operators.profile import kaplan_meier
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+
+    def conv(cid, *turns):
+        for i, (mins, role) in enumerate(turns):
+            rows.append((cid, i, t0 + pd.Timedelta(minutes=mins), role))
+
+    # events at bucket 1 (c1) and bucket 2 (c2, c4); censored at 2 (c3)
+    conv("c1", (0, "user"), (1, "tool"))
+    conv("c2", (0, "user"), (1, "assistant"), (2, "tool"))
+    conv("c3", (0, "user"), (2, "assistant"))
+    conv("c4", (0, "user"), (2, "tool"))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "role"])
+    got = (
+        kaplan_meier(spark.createDataFrame(pdf), bucket_s=60)
+        .toPandas()
+        .sort_values("t_bucket")
+        .reset_index(drop=True)
+    )
+    # t=1: n_risk 4, d 1 -> S = 3/4; t=2: n_risk 3, d 2, c 1 -> S = 1/4
+    assert list(got.t_bucket) == [1, 2]
+    assert list(got.n_risk) == [4, 3]
+    assert list(got.d) == [1, 2]
+    assert list(got.c) == [0, 1]
+    assert np.allclose(got.s_km, [0.75, 0.75 * (1 - 2 / 3)])
+    # event-time ties with an event in bucket 0 (tool on the first turn)
+    rows2 = []
+    for cid in ("a", "b"):
+        rows2.append((cid, 0, t0, "tool"))
+    rows2.append(("c", 0, t0, "user"))
+    rows2.append(("c", 1, t0 + pd.Timedelta(minutes=5), "assistant"))
+    pdf2 = pd.DataFrame(rows2, columns=["conv_id", "turn_idx", "ts", "role"])
+    g2 = (
+        kaplan_meier(spark.createDataFrame(pdf2), bucket_s=60)
+        .toPandas()
+        .sort_values("t_bucket")
+        .reset_index(drop=True)
+    )
+    # bucket 0: both instant-tool convs are events with duration 0,
+    # n_risk = 3 -> S = 1/3; bucket 5: censored only, S unchanged
+    assert list(g2.t_bucket) == [0, 5]
+    assert list(g2.n_risk) == [3, 1]
+    assert list(g2.d) == [2, 0]
+    assert list(g2.c) == [0, 1]
+    assert np.allclose(g2.s_km, [1 / 3, 1 / 3])

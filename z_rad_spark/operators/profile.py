@@ -1356,3 +1356,119 @@ def cohort_retention(
             "retention"
         ),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    event_role: str = "tool",
+    bucket_s: int = 60,
+    role_col: str = "role",
+) -> DataFrame:
+    """Kaplan-Meier survival curve (Kaplan & Meier 1958) for
+    time-to-first-``event_role`` across conversations, with right
+    censoring — the estimator behind 'how long until a conversation
+    first reaches a tool call?', where conversations that never get
+    there are CENSORED at their last turn rather than dropped (dropping
+    them biases the curve optimistic; KM is the standard fix):
+
+        S(t) = prod_{t_i <= t} (1 - d_i / n_i)
+
+    over event-time buckets t_i, with d_i = events at t_i and n_i =
+    conversations still at risk (duration >= t_i).
+
+    Mechanics + scale: durations collapse per conversation (the shared
+    conv_id exchange), then the curve is built on the BUCKETED duration
+    axis (`bucket_s`-second resolution, floor) — the post-aggregation
+    frame has one row per distinct bucket, so the final single-group
+    assembly touches a bounded grid, never the corpus (callers control
+    the bound through bucket_s; the corpus-sized stages are all
+    map-side-combined groupBys).
+
+    Determinism: durations are exact microsecond longs; buckets are one
+    floor over a < 2^53 quotient; d/c/n_risk are exact longs (n_risk =
+    total - prefix count, computed by slicing the sorted struct array);
+    each factor (1 - d/n) is a fixed 3-op chain and S is a LEFT FOLD in
+    bucket order — the SQL oracle replays the identical fold with
+    list_reduce. Buckets where d = 0 contribute a factor of exactly
+    1.0, so including censor-only rows changes nothing but documents
+    the censoring pattern.
+
+    Output: (t_bucket long — bucket index, t_start_s long — bucket
+    start in seconds, n_risk long, d long — events, c long — censored,
+    s_km double — survival AFTER this bucket), one row per non-empty
+    bucket, ascending.
+    """
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_conv = df.groupBy("conv_id").agg(
+        F.min(ts_us).alias("_t0"),
+        F.min(F.when(F.col(role_col) == event_role, ts_us)).alias("_tev"),
+        F.max(ts_us).alias("_tend"),
+    )
+    is_event = F.col("_tev").isNotNull()
+    dur_us = F.when(is_event, F.col("_tev") - F.col("_t0")).otherwise(
+        F.col("_tend") - F.col("_t0")
+    )
+    bucket = F.floor(dur_us / F.lit(float(bucket_s) * 1e6)).cast("long")
+    per_t = (
+        per_conv.select(bucket.alias("t_bucket"), is_event.alias("_e"))
+        .groupBy("t_bucket")
+        .agg(
+            F.count(F.when(F.col("_e"), 1)).cast("long").alias("d"),
+            F.count(F.when(~F.col("_e"), 1)).cast("long").alias("c"),
+        )
+    )
+    one = per_t.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct("t_bucket", "d", "c"))
+        ).alias("_a")
+    )
+    m = F.size("_a")
+    total = F.aggregate(
+        F.col("_a"),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + s["d"] + s["c"],
+    )
+    one = one.withColumn("_total", total)
+    # n_risk_i = total - sum of (d + c) over buckets before i
+    rows = F.transform(
+        F.sequence(F.lit(0), m - F.lit(1)),
+        lambda i: F.struct(
+            F.get("_a", i)["t_bucket"].alias("t_bucket"),
+            F.get("_a", i)["d"].alias("d"),
+            F.get("_a", i)["c"].alias("c"),
+            (
+                F.col("_total")
+                - F.aggregate(
+                    F.slice("_a", F.lit(1), i),
+                    F.lit(0).cast("long"),
+                    lambda acc, s: acc + s["d"] + s["c"],
+                )
+            ).alias("n_risk"),
+        ),
+    )
+    one = one.withColumn("_rows", rows)
+    # left-fold prefix products of (1 - d/n) in bucket order
+    surv = F.transform(
+        F.sequence(F.lit(0), m - F.lit(1)),
+        lambda i: F.aggregate(
+            F.slice("_rows", F.lit(1), i + 1),
+            F.lit(1.0),
+            lambda acc, s: acc
+            * (
+                F.lit(1.0)
+                - s["d"].cast("double") / s["n_risk"].cast("double")
+            ),
+        ),
+    )
+    one = one.withColumn("_s", surv)
+    out = one.select(
+        F.posexplode("_rows").alias("_i", "_r"), F.col("_s")
+    ).select(
+        F.col("_r")["t_bucket"].alias("t_bucket"),
+        (F.col("_r")["t_bucket"] * F.lit(int(bucket_s))).alias("t_start_s"),
+        F.col("_r")["n_risk"].alias("n_risk"),
+        F.col("_r")["d"].alias("d"),
+        F.col("_r")["c"].alias("c"),
+        F.get("_s", F.col("_i")).alias("s_km"),
+    )
+    return out
