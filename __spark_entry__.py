@@ -4076,6 +4076,19 @@ def q_kaplan_meier(spark, sf_dir):
     return _r6(out, ["s_km"])
 
 
+
+def q_log_rank(spark, sf_dir):
+    """Two-sample log-rank test, weekend-start vs weekday-start
+    conversations (profile.log_rank, 60 s buckets): exact long risk
+    sets, fixed per-bucket chains, bucket-ordered left folds —
+    oracle-replayable (the DuckDB oracle folds the identical term
+    lists with list_reduce)."""
+    from z_rad_spark.operators.profile import log_rank
+
+    out = log_rank(_t(spark, sf_dir), event_role="tool", bucket_s=60)
+    return _r6(out, ["o_minus_e", "var_lr", "z", "chi2"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4189,6 +4202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotating this single-division matrix in.
         "q_cohort_retention": q_cohort_retention,
         "q_kaplan_meier": q_kaplan_meier,
+        "q_log_rank": q_log_rank,
         # q_ivfpq_topk displaced by q_funnel (never-gated beats
         # sibling-covered): its two halves stay gated in-window — the
         # IVF routing through q_ivf_topk's green r3 row + the shared

@@ -7960,3 +7960,78 @@ SELECT t_bucket, t_start_s, n_risk, d, c,
        {r6('s', 's_km')}
 FROM rowed
 """
+
+
+# Log-rank: exact integer risk sets via window prefix sums on the
+# bucket grid; the two totals are list_reduce left folds over the
+# bucket-ordered term lists — same order as the engine's aggregate fold
+ORACLES["q_log_rank"] = f"""
+WITH t AS ({T}),
+r AS (
+  SELECT conv_id, role, epoch_us(ts) AS tus,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn,
+         (dayofweek(ts) IN (0, 6)) AS g1
+  FROM t
+),
+pc AS (
+  SELECT conv_id,
+         MAX(CASE WHEN rn = 1 THEN g1 END) AS grp1,
+         MIN(tus) AS t0,
+         MIN(CASE WHEN role = 'tool' THEN tus END) AS tev,
+         MAX(tus) AS tend
+  FROM r GROUP BY conv_id
+),
+d0 AS (
+  SELECT grp1, (tev IS NOT NULL) AS e,
+         CAST(FLOOR(CAST(CASE WHEN tev IS NOT NULL THEN tev - t0
+                              ELSE tend - t0 END AS DOUBLE) / 60000000.0) AS BIGINT) AS tb
+  FROM pc
+),
+pt AS (
+  SELECT tb,
+         CAST(COUNT(CASE WHEN grp1 AND e THEN 1 END) AS BIGINT) AS d1,
+         CAST(COUNT(CASE WHEN grp1 AND NOT e THEN 1 END) AS BIGINT) AS c1,
+         CAST(COUNT(CASE WHEN NOT grp1 AND e THEN 1 END) AS BIGINT) AS d2,
+         CAST(COUNT(CASE WHEN NOT grp1 AND NOT e THEN 1 END) AS BIGINT) AS c2
+  FROM d0 GROUP BY tb
+),
+o AS (
+  SELECT tb, d1, d2,
+         CAST(SUM(d1 + c1) OVER () - COALESCE(SUM(d1 + c1) OVER (ORDER BY tb
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1,
+         CAST(SUM(d2 + c2) OVER () - COALESCE(SUM(d2 + c2) OVER (ORDER BY tb
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n2
+  FROM pt
+),
+terms AS (
+  SELECT tb, d1, d2, n1, n2,
+         CASE WHEN d1 + d2 > 0 AND n1 + n2 > 1
+              THEN CAST(d1 AS DOUBLE)
+                   - CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                     / CAST(n1 + n2 AS DOUBLE)
+              ELSE 0.0 END AS numt,
+         CASE WHEN d1 + d2 > 0 AND n1 + n2 > 1
+              THEN CAST(d1 + d2 AS DOUBLE)
+                   * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                   * (CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                   * (CAST(n1 + n2 - d1 - d2 AS DOUBLE)
+                      / CAST(n1 + n2 - 1 AS DOUBLE))
+              ELSE 0.0 END AS vart
+  FROM o
+),
+g AS (
+  SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+         CAST(MAX(n2) AS BIGINT) AS n2,
+         CAST(SUM(d1) AS BIGINT) AS d1,
+         CAST(SUM(d2) AS BIGINT) AS d2,
+         list_reduce([0.0] || list(numt ORDER BY tb), (p, q) -> p + q) AS num,
+         list_reduce([0.0] || list(vart ORDER BY tb), (p, q) -> p + q) AS var
+  FROM terms
+)
+SELECT n1, n2, d1, d2,
+       {r6('num', 'o_minus_e')},
+       {r6('var', 'var_lr')},
+       {r6('CASE WHEN var > 0 THEN num / SQRT(var) END', 'z')},
+       {r6('CASE WHEN var > 0 THEN num * num / var END', 'chi2')}
+FROM g
+"""

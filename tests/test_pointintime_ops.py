@@ -2116,3 +2116,41 @@ def test_kaplan_meier_hand_computed(spark):
     assert list(g2.d) == [2, 0]
     assert list(g2.c) == [0, 1]
     assert np.allclose(g2.s_km, [1 / 3, 1 / 3])
+
+
+def test_log_rank_hand_computed(spark):
+    from z_rad_spark.operators.profile import log_rank
+
+    sat = pd.Timestamp("2024-01-06")  # Saturday
+    mon = pd.Timestamp("2024-01-08")  # Monday
+    rows = []
+
+    def conv(cid, start, *turns):
+        for i, (mins, role) in enumerate(turns):
+            rows.append((cid, i, start + pd.Timedelta(minutes=mins), role))
+
+    conv("w1", sat, (0, "user"), (1, "tool"))
+    conv("w2", sat, (0, "user"), (3, "tool"))
+    conv("d1", mon, (0, "user"), (1, "tool"))
+    conv("d2", mon, (0, "user"), (3, "assistant"))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "role"])
+    got = log_rank(spark.createDataFrame(pdf), bucket_s=60).toPandas().iloc[0]
+    # bucket 1: d1=1 d2=1 n1=2 n2=2 -> num 0, var 2*(1/2)*(1/2)*(2/3)
+    # bucket 3: d1=1 c2=1 n1=1 n2=1 -> num 0.5, var 0.25
+    var = 2 * 0.5 * 0.5 * (2 / 3) + 0.25
+    assert (got.n1, got.n2, got.d1, got.d2) == (2, 2, 2, 1)
+    assert np.isclose(got.o_minus_e, 0.5)
+    assert np.isclose(got.var_lr, var)
+    assert np.isclose(got.z, 0.5 / np.sqrt(var))
+    assert np.isclose(got.chi2, 0.25 / var)
+    # identical survival in both groups -> O - E = 0 exactly
+    rows2 = []
+    conv2 = lambda cid, start: [
+        rows2.append((cid, i, start + pd.Timedelta(minutes=m), r))
+        for i, (m, r) in enumerate([(0, "user"), (2, "tool")])
+    ]
+    conv2("a", sat)
+    conv2("b", mon)
+    pdf2 = pd.DataFrame(rows2, columns=["conv_id", "turn_idx", "ts", "role"])
+    g2 = log_rank(spark.createDataFrame(pdf2), bucket_s=60).toPandas().iloc[0]
+    assert g2.o_minus_e == 0.0

@@ -1472,3 +1472,136 @@ def kaplan_meier(
         F.get("_s", F.col("_i")).alias("s_km"),
     )
     return out
+
+
+def log_rank(
+    df: DataFrame,
+    group_expr: F.Column | None = None,
+    event_role: str = "tool",
+    bucket_s: int = 60,
+    role_col: str = "role",
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966; Peto & Peto 1972) for a
+    survival difference between two conversation cohorts — the
+    significance companion to [[kaplan_meier]] ('do weekend
+    conversations reach a tool call slower?'):
+
+        O - E = sum_t (d1_t - d_t * n1_t / n_t)
+        V     = sum_t d_t (n1_t/n_t)(n2_t/n_t)(n_t - d_t)/(n_t - 1)
+        z     = (O - E) / sqrt(V),   chi2 = z^2   (1 dof)
+
+    `group_expr` is a boolean column over the input rows; a
+    conversation belongs to group 1 when the expr is true on its FIRST
+    turn (stable (ts, turn_idx) order). Default: first turn on a
+    weekend.
+
+    Mechanics + scale: identical duration/censoring collapse as
+    kaplan_meier (per-conversation groupBy on the shared conv_id
+    exchange, then the BUCKETED grid), so the only single-group stage
+    touches one row per distinct duration bucket. At-risk counts are
+    window prefix sums of exact longs on that bounded grid.
+
+    Determinism: every n/d count is an exact long; each bucket's two
+    terms are fixed chains over single casts; and the two totals are
+    LEFT FOLDS over the bucket-ordered term arrays — the SQL oracle
+    replays the same fold with list_reduce, so z and chi2 match
+    bit-for-bit. Buckets with d = 0 or n <= 1 contribute exactly 0.
+
+    Output: one row — (n1 long, n2 long, d1 long, d2 long,
+    o_minus_e double, var_lr double, z double, chi2 double; z/chi2
+    NULL when V = 0).
+    """
+    if group_expr is None:
+        group_expr = F.dayofweek(F.col("ts").cast("timestamp")).isin(1, 7)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("conv_id").orderBy(*_ORDER)
+    flagged = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_g1", group_expr
+    )
+    per_conv = flagged.groupBy("conv_id").agg(
+        F.max(F.when(F.col("_rn") == 1, F.col("_g1"))).alias("_grp1"),
+        F.min(ts_us).alias("_t0"),
+        F.min(F.when(F.col(role_col) == event_role, ts_us)).alias("_tev"),
+        F.max(ts_us).alias("_tend"),
+    )
+    is_event = F.col("_tev").isNotNull()
+    dur_us = F.when(is_event, F.col("_tev") - F.col("_t0")).otherwise(
+        F.col("_tend") - F.col("_t0")
+    )
+    bucket = F.floor(dur_us / F.lit(float(bucket_s) * 1e6)).cast("long")
+    per_t = (
+        per_conv.select(
+            bucket.alias("tb"), is_event.alias("_e"), F.col("_grp1").alias("_g")
+        )
+        .groupBy("tb")
+        .agg(
+            F.count(F.when(F.col("_g") & F.col("_e"), 1)).cast("long").alias("d1"),
+            F.count(F.when(F.col("_g") & ~F.col("_e"), 1)).cast("long").alias("c1"),
+            F.count(F.when(~F.col("_g") & F.col("_e"), 1)).cast("long").alias("d2"),
+            F.count(F.when(~F.col("_g") & ~F.col("_e"), 1)).cast("long").alias("c2"),
+        )
+    )
+    # at-risk prefix sums on the bounded bucket grid (single ordered
+    # scan over one row per bucket — never the corpus)
+    wg = Window.orderBy("tb").rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.orderBy("tb").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p = per_t.select(
+        "tb",
+        "d1",
+        "d2",
+        (
+            F.sum(F.col("d1") + F.col("c1")).over(wt)
+            - F.coalesce(F.sum(F.col("d1") + F.col("c1")).over(wg), F.lit(0))
+        ).alias("n1"),
+        (
+            F.sum(F.col("d2") + F.col("c2")).over(wt)
+            - F.coalesce(F.sum(F.col("d2") + F.col("c2")).over(wg), F.lit(0))
+        ).alias("n2"),
+    )
+    n = F.col("n1") + F.col("n2")
+    d = F.col("d1") + F.col("d2")
+    nd = n.cast("double")
+    ok = (d > 0) & (n > 1)
+    e1 = d.cast("double") * F.col("n1").cast("double") / nd
+    num_t = F.when(ok, F.col("d1").cast("double") - e1).otherwise(F.lit(0.0))
+    var_t = F.when(
+        ok,
+        d.cast("double")
+        * (F.col("n1").cast("double") / nd)
+        * (F.col("n2").cast("double") / nd)
+        * ((n - d).cast("double") / (n - 1).cast("double")),
+    ).otherwise(F.lit(0.0))
+    terms = p.select(
+        "tb", "d1", "d2", "n1", "n2",
+        num_t.alias("_numt"), var_t.alias("_vart"),
+    )
+    g = terms.groupBy().agg(
+        F.sum("d1").cast("long").alias("d1"),
+        F.sum("d2").cast("long").alias("d2"),
+        F.sort_array(
+            F.collect_list(F.struct("tb", "_numt", "_vart"))
+        ).alias("_a"),
+    )
+    zero = F.lit(0.0)
+    num = F.aggregate(F.col("_a"), zero, lambda acc, s: acc + s["_numt"])
+    var = F.aggregate(F.col("_a"), zero, lambda acc, s: acc + s["_vart"])
+    g = g.withColumn("_num", num).withColumn("_var", var)
+    z = F.when(F.col("_var") > 0, F.col("_num") / F.sqrt("_var"))
+    totals = terms.groupBy().agg(
+        F.max("n1").cast("long").alias("n1"), F.max("n2").cast("long").alias("n2")
+    )
+    out = g.crossJoin(F.broadcast(totals))
+    return out.select(
+        "n1",
+        "n2",
+        "d1",
+        "d2",
+        F.col("_num").alias("o_minus_e"),
+        F.col("_var").alias("var_lr"),
+        z.alias("z"),
+        F.when(F.col("_var") > 0, F.col("_num") * F.col("_num") / F.col("_var")).alias(
+            "chi2"
+        ),
+    )
