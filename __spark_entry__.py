@@ -4089,6 +4089,18 @@ def q_log_rank(spark, sf_dir):
     return _r6(out, ["o_minus_e", "var_lr", "z", "chi2"])
 
 
+
+def q_rfm(spark, sf_dir):
+    """RFM per user over purchase events (profile.rfm_features): exact
+    long recency/frequency/integer-cents monetary, one convenience
+    division — oracle-replayable."""
+    from z_rad_spark.operators.profile import rfm_features
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = rfm_features(ev)
+    return _r6(out, ["monetary"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4203,6 +4215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohort_retention": q_cohort_retention,
         "q_kaplan_meier": q_kaplan_meier,
         "q_log_rank": q_log_rank,
+        "q_rfm": q_rfm,
         # q_ivfpq_topk displaced by q_funnel (never-gated beats
         # sibling-covered): its two halves stay gated in-window — the
         # IVF routing through q_ivf_topk's green r3 row + the shared

@@ -8035,3 +8035,23 @@ SELECT n1, n2, d1, d2,
        {r6('CASE WHEN var > 0 THEN num * num / var END', 'chi2')}
 FROM g
 """
+
+
+# RFM: exact longs throughout (integer cents; day-floor of exact
+# microsecond difference); one convenience division
+ORACLES["q_rfm"] = f"""
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+u AS (
+  SELECT user_id,
+         MAX(epoch_us(ts)) AS last_,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100.0) AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(FLOOR(CAST(mx.m - u.last_ AS DOUBLE) / 86400000000.0) AS BIGINT) AS recency_days,
+       frequency, monetary_cents,
+       {r6('CAST(monetary_cents AS DOUBLE) / 100.0', 'monetary')}
+FROM u, mx
+"""

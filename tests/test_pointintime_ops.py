@@ -2154,3 +2154,26 @@ def test_log_rank_hand_computed(spark):
     pdf2 = pd.DataFrame(rows2, columns=["conv_id", "turn_idx", "ts", "role"])
     g2 = log_rank(spark.createDataFrame(pdf2), bucket_s=60).toPandas().iloc[0]
     assert g2.o_minus_e == 0.0
+
+
+def test_rfm_features_hand_computed(spark):
+    from z_rad_spark.operators.profile import rfm_features
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        # u1: two purchases, last 3 days before corpus max, 12.34 + 5.00
+        (1, t0, "purchase", 12.34),
+        (1, t0 + pd.Timedelta(days=2), "purchase", 5.00),
+        # u2: one purchase at corpus max
+        (2, t0 + pd.Timedelta(days=5), "purchase", 0.99),
+        # u3: views only -> no row
+        (3, t0 + pd.Timedelta(days=1), "view", 1.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "value"])
+    got = rfm_features(spark.createDataFrame(pdf)).toPandas().set_index("user_id")
+    assert 3 not in got.index
+    u1 = got.loc[1]
+    assert (u1.recency_days, u1.frequency, u1.monetary_cents) == (3, 2, 1734)
+    assert u1.monetary == 17.34
+    u2 = got.loc[2]
+    assert (u2.recency_days, u2.frequency, u2.monetary_cents) == (0, 1, 99)

@@ -1605,3 +1605,58 @@ def log_rank(
             "chi2"
         ),
     )
+
+
+def rfm_features(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    event_type: str = "purchase",
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) per user — the classic
+    customer-value triple over an event stream, the cohort-retention
+    sibling for VALUE segmentation ([[cohort_retention]] asks 'did they
+    come back?'; RFM asks 'how recently, how often, for how much?'):
+
+        recency_days   = floor((corpus max ts - last event ts) / 1 day)
+        frequency      = count of qualifying events
+        monetary_cents = sum of floor(value * 100)
+
+    Scale + determinism: one groupBy on the user key (map-side
+    combined) + a 1-row corpus-max aggregate broadcast back — two
+    aggregations, no window. ALL THREE metrics are exact longs: the
+    day floor is one division of exact microsecond longs (< 2^53), and
+    monetary sums integer CENTS (floor(value*100) is one fixed double
+    op per row; summing longs is order-free, where summing doubles is
+    not — the engine-wide no-float-summation rule). The only double
+    emitted is the one-division monetary convenience column.
+
+    Users with NO qualifying event emit no row (the absence is the
+    segment; left-join when a dense frame is needed).
+
+    Output: (user_col, recency_days long, frequency long,
+    monetary_cents long, monetary double).
+    """
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = df.where(F.col(type_col) == event_type)
+    per_u = ev.groupBy(user_col).agg(
+        F.max(ts_us).alias("_last"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(F.floor(F.col(value_col).cast("double") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    mx = df.groupBy().agg(F.max(ts_us).alias("_mx"))
+    out = per_u.crossJoin(F.broadcast(mx))
+    day_us = F.lit(86400000000.0)
+    return out.select(
+        user_col,
+        F.floor((F.col("_mx") - F.col("_last")).cast("double") / day_us)
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+        (F.col("monetary_cents").cast("double") / F.lit(100.0)).alias("monetary"),
+    )
