@@ -4207,11 +4207,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rbo": q_rbo,
         "q_funnel": q_funnel,
         # ===== gate window ends here (first 50 entries) ================
-        # q_cohort_retention (added last; exact-integer counts + one
-        # division, strict-mirrored at sf0.01+sf0.1 on addition) sits
-        # below the window — every remaining in-window entry gates
-        # never-driver-gated code with no sibling coverage, which beats
-        # rotating this single-division matrix in.
+        # The four growth/survival-analytics queries added last
+        # (q_cohort_retention, q_kaplan_meier, q_log_rank, q_rfm) sit
+        # below the window: each was strict-mirrored hash-green at
+        # sf0.01 AND sf0.1 on addition, and every remaining in-window
+        # entry gates never-driver-gated code with no sibling coverage,
+        # which beats rotating these in.
         "q_cohort_retention": q_cohort_retention,
         "q_kaplan_meier": q_kaplan_meier,
         "q_log_rank": q_log_rank,
