@@ -7446,7 +7446,7 @@ p AS (
          CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS BIGINT) AS i,
          CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n,
          SUM(CAST(signal AS BIGINT)) OVER (PARTITION BY conv_id) AS sx
-  FROM t
+  FROM t WHERE signal IS NOT NULL
   WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
@@ -7495,7 +7495,7 @@ p AS (
          CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n,
          SUM(CAST(signal AS BIGINT)) OVER (PARTITION BY conv_id) AS sx,
          SUM(CAST(signal AS BIGINT) * CAST(signal AS BIGINT)) OVER (PARTITION BY conv_id) AS sxx
-  FROM t
+  FROM t WHERE signal IS NOT NULL
 ),
 segd AS (
   SELECT conv_id, x, n, sx, sxx,
@@ -7544,7 +7544,7 @@ p AS (
          CAST(signal AS BIGINT) AS x,
          CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS BIGINT) - 1 AS i0,
          CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n
-  FROM t
+  FROM t WHERE signal IS NOT NULL
 ),
 conv AS (
   SELECT conv_id,
@@ -7554,9 +7554,11 @@ conv AS (
   FROM p GROUP BY conv_id
 ),
 gmom AS (
+  -- per-row products ride HUGEINT (mirrors the engine's DECIMAL(38,0)
+  -- products) so pre ~3e9 cannot overflow the BIGINT multiply
   SELECT CAST(COUNT(*) AS BIGINT) AS m,
-         SUM(pre) AS sp, SUM(pre * pre) AS spp,
-         SUM(post) AS sq, SUM(pre * post) AS spq
+         SUM(pre) AS sp, SUM(CAST(pre AS HUGEINT) * pre) AS spp,
+         SUM(post) AS sq, SUM(CAST(pre AS HUGEINT) * post) AS spq
   FROM conv
 ),
 j AS (

@@ -685,12 +685,18 @@ def cuped_adjusted(df: DataFrame, signal_col: str = "signal") -> DataFrame:
         F.coalesce(F.sum(F.when(is_pre, F.col("_x"))), F.lit(0)).cast("long").alias("pre"),
         F.coalesce(F.sum(F.when(~is_pre, F.col("_x"))), F.lit(0)).cast("long").alias("post"),
     )
+    # per-row products pre*pre / pre*post ride DECIMAL(19,0)x(19,0) ->
+    # DECIMAL(38,0) so a single conversation with pre ~3e9 (the signal-mass
+    # scale the cross-moment comment below assumes) cannot silently wrap a
+    # LONG product (Spark non-ANSI wraps; DuckDB BIGINT errors) — the oracle
+    # mirrors with HUGEINT per-row products, same ~1e38 exact headroom
+    _d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     glob = conv.agg(
         F.count("*").cast("long").alias("_m"),
         F.sum("pre").alias("_sp"),
-        F.sum(F.col("pre") * F.col("pre")).alias("_spp"),
+        F.sum(_d19("pre") * _d19("pre")).alias("_spp"),
         F.sum("post").alias("_sq"),
-        F.sum(F.col("pre") * F.col("post")).alias("_spq"),
+        F.sum(_d19("pre") * _d19("post")).alias("_spq"),
     )
     j = conv.crossJoin(F.broadcast(glob))
     md = F.col("_m").cast("double")
@@ -700,8 +706,10 @@ def cuped_adjusted(df: DataFrame, signal_col: str = "signal") -> DataFrame:
     # they ride DECIMAL(19,0)->(38,0) products — exact headroom to 1e38,
     # mirrored by HUGEINT in the oracle (the w1_drift precedent)
     dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
-    den = dec("_m") * dec("_spp") - dec("_sp") * dec("_sp")
-    num = dec("_m") * dec("_spq") - dec("_sp") * dec("_sq")
+    # _spp/_spq are already DECIMAL(38,0) sums (see glob above) — don't
+    # re-narrow them to (19,0); past ~1e38 Spark yields NULL (never a wrap)
+    den = dec("_m") * F.col("_spp") - dec("_sp") * dec("_sp")
+    num = dec("_m") * F.col("_spq") - dec("_sp") * dec("_sq")
     theta = F.when(
         (F.col("_m") > 1) & (den != F.lit(0)), num.cast("double") / den.cast("double")
     )

@@ -1649,7 +1649,14 @@ def rank_biased_overlap(
                         F.collect_list(
                             F.struct(
                                 F.col(rank_col).cast("long").alias("_r"),
-                                F.col(item_col).cast("long").alias("_i"),
+                                # item ids pass through in their NATIVE type
+                                # (string UUIDs, longs, ...): the struct sort
+                                # is decided by the unique per-query rank, and
+                                # array_intersect only needs equality, so no
+                                # lossy numeric cast happens here — callers
+                                # that want canonical long ids (q_rbo) cast
+                                # at the call site
+                                F.col(item_col).alias("_i"),
                             )
                         )
                     ),
