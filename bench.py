@@ -81,6 +81,13 @@ HEADLINE = [
     # the cross-frame incremental LSH screen
     "q_tfidf_embed",
     "q_incremental_dedup",
+    # r5 additions (VERDICT r4 #6): the heavy r4 newcomers previously
+    # invisible to regression tracking, plus one salted texture path
+    "q_semdedup",
+    "q_bigram_lm",
+    "q_ppl_buckets",
+    "q_pack_sequences",
+    "q_glcm_salted",
 ]
 
 
@@ -101,9 +108,17 @@ def _run_queries(spark, sf_dir, passes: int = 2):
     little more than the input scan (audited 2026-08-18, plan-level:
     q_stats_asof/q_hist_asof/q_hist_daily lost 5-8 Window + 2 Aggregate
     nodes, q_asof_state/q_asof_enrich/q_sessionize/q_backfill_nn lost
-    every Window, q_shard_pack lost its prefix-sum). ``count(col)``
-    needs each column's nullity, so nothing above it is prunable, while
-    adding no per-row formatting/hash cost."""
+    every Window, q_shard_pack lost its prefix-sum).
+
+    The unprunable action is ``count(1) + bit_xor(xxhash64(struct(all
+    hashable cols)))``: the row hash references every column's VALUE
+    (stronger than count(col)'s nullity — and what a downstream consumer
+    actually pays for), while being ONE aggregate expression instead of
+    161 — on the 161-column flagship the per-column count variant spent
+    ~1.9 s extra purely in driver-side tree construction + analysis
+    (measured r5, same warm session: 5.03 s vs 3.11 s; bare pruned
+    count() 2.28 s), which is harness cost, not plan cost. Map-typed
+    columns (not hashable by xxhash64) keep a count(col) each."""
     from pyspark.sql import functions as F
     import __spark_entry__ as entrymod
 
@@ -114,10 +129,19 @@ def _run_queries(spark, sf_dir, passes: int = 2):
         for name in HEADLINE:
             t0 = time.time()
             df = qs[name](spark, sf_dir)
-            row = df.agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.count(df[c]).alias(f"c{i}") for i, c in enumerate(df.columns)],
-            ).collect()[0]
+            hashable = [c for c, dt in df.dtypes if not dt.startswith("map")]
+            maps = [c for c in df.columns if c not in hashable]
+            aggs = [F.count(F.lit(1)).alias("n")]
+            if hashable:
+                aggs.append(
+                    F.expr(
+                        "bit_xor(xxhash64(struct("
+                        + ", ".join(f"`{c}`" for c in hashable)
+                        + ")))"
+                    ).alias("h")
+                )
+            aggs += [F.count(df[c]).alias(f"m{i}") for i, c in enumerate(maps)]
+            row = df.agg(*aggs).collect()[0]
             n = row["n"]
             sec = round(time.time() - t0, 3)
             total += sec
@@ -425,6 +449,12 @@ def main():
     import __spark_entry__ as entrymod
 
     n_turns = entrymod._t(spark, SF_DIR).count()
+
+    # untimed session warm-up: run the flagship action once so JVM/codegen
+    # warm-up, parquet footer reads, and executor-thread spin-up don't land
+    # on whichever query happens to run first in pass 1 (BENCH_r04 charged
+    # ~5 s of session cold-start to q_extract_full purely by sweep position)
+    entrymod.q_extract_full(spark, SF_DIR).count()
 
     timings = _run_queries(spark, SF_DIR)
     # sum of per-query minima == one clean sweep (comparable to BENCH_r01's
