@@ -2102,6 +2102,34 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_decode(spark, sf_dir):
+    """REAL media decode gate (r5): doc ids < 48 become genuine BMP (even
+    ids) / 16-bit PCM WAV (odd ids) payloads via
+    multimodal.synth_codec_media, then multimodal.decode_stats parses the
+    BINARY with the stdlib struct codecs and emits exact integer
+    sufficient statistics of the decoded pixels/samples. The DuckDB
+    oracle never sees the bytes — it replays the documented pixel/sample
+    generating rule with generate_series, so any decoder defect (row
+    padding, BGR/RGB order, bottom-up flip, RIFF chunk walk, sample
+    endianness) breaks the value hash. mean1 is the one derived double
+    (s1 / n_units, a single exact division)."""
+    from z_rad_spark.operators.multimodal import decode_stats, synth_codec_media
+
+    ids = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 48)
+        .select(F.col("doc_id").cast("long").alias("media_id"))
+    )
+    stats = decode_stats(synth_codec_media(ids))
+    out = stats.select(
+        "media_id",
+        "fmt",
+        *[F.col(c).cast("long").alias(c) for c in ("n_units", "s1", "s2", "s3", "s4", "s5")],
+        (F.col("s1").cast("double") / F.col("n_units").cast("double")).alias("mean1"),
+    )
+    return _r6(out, ["mean1"])
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (MOSS, SIGMOD'03) over the documents table:
     windowed rightmost-min of k-gram hashes — positional near-dup
@@ -4427,6 +4455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_glrlm_dist": q_glrlm_dist,
         "q_flagship_slice": q_flagship_slice,
         "q_media_features": q_media_features,
+        "q_media_decode": q_media_decode,
         "q_hist_daily": q_hist_daily,
         "q_kmeans_assign": q_kmeans_assign,
         "q_ivf_topk": q_ivf_topk,

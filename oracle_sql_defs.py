@@ -3288,6 +3288,71 @@ FROM m, (SELECT unnest(range(8)) AS dim_idx) d
 """
 
 
+# REAL-decode gate: the engine builds genuine BMP/WAV binaries (even/odd
+# media_id) and parses them back with stdlib struct codecs; this oracle
+# replays the documented pixel/sample GENERATING RULE (multimodal.
+# synth_codec_media) via generate_series and never touches the bytes —
+# so the value hash verifies the decoder itself (row padding, BGR order,
+# bottom-up flip, RIFF chunk walk, sample endianness)
+ORACLES["q_media_decode"] = f"""
+WITH ids AS (
+  SELECT CAST(doc_id AS BIGINT) AS mid FROM documents WHERE doc_id < 48
+),
+bmp_px AS (
+  -- fixed-size series + bound filter (this DuckDB's generate_series has
+  -- no lateral column parameters); max h = 6, max w = 8
+  SELECT i.mid,
+         (5 + i.mid % 4) * (4 + i.mid % 3) AS n_units,
+         y.y, x.x, c.c,
+         (i.mid*37 + y.y*11 + x.x*7 + c.c*13) % 251 AS v
+  FROM ids i,
+       generate_series(0, 5) AS y(y),
+       generate_series(0, 7) AS x(x),
+       generate_series(0, 2) AS c(c)
+  WHERE i.mid % 2 = 0
+    AND y.y < 4 + i.mid % 3 AND x.x < 5 + i.mid % 4
+),
+bmp_g AS (
+  SELECT mid, 'bmp' AS fmt,
+         CAST(MIN(n_units) AS BIGINT) AS n_units,
+         CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS s3,
+         CAST(SUM(v * (x + 1)) AS BIGINT) AS s4,
+         CAST(SUM(v * (y + 1)) AS BIGINT) AS s5
+  FROM bmp_px GROUP BY mid
+),
+wav_s AS (
+  -- max n_units = 48
+  SELECT i.mid,
+         32 + i.mid % 17 AS n_units,
+         8000 + 100 * (i.mid % 5) AS rate,
+         s.i,
+         ((i.mid*73 + s.i*129) % 4001) - 2000 AS s
+  FROM ids i,
+       generate_series(0, 47) AS s(i)
+  WHERE i.mid % 2 = 1 AND s.i < 32 + i.mid % 17
+),
+wav_l AS (
+  SELECT *, LAG(s) OVER (PARTITION BY mid ORDER BY i) AS sp FROM wav_s
+),
+wav_g AS (
+  SELECT mid, 'wav' AS fmt,
+         CAST(MIN(n_units) AS BIGINT) AS n_units,
+         CAST(SUM(s) AS BIGINT) AS s1,
+         CAST(SUM(s * s) AS BIGINT) AS s2,
+         CAST(COALESCE(SUM(CASE WHEN sp * s < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS s3,
+         CAST(MAX(ABS(s)) AS BIGINT) AS s4,
+         CAST(MIN(rate) AS BIGINT) AS s5
+  FROM wav_l GROUP BY mid
+),
+u AS (SELECT * FROM bmp_g UNION ALL SELECT * FROM wav_g)
+SELECT mid AS media_id, fmt, n_units, s1, s2, s3, s4, s5,
+       {r6('CAST(s1 AS DOUBLE) / CAST(n_units AS DOUBLE)', 'mean1')}
+FROM u
+"""
+
+
 # daily-grid histogram sweep: same hist oracle over the 29-cutoff grid
 ORACLES["q_hist_daily"] = ORACLES["q_hist_asof"].replace(GRID, _GRID_DAILY)
 

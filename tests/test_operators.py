@@ -380,6 +380,98 @@ def test_media_decode_plumbing(spark):
     assert [list(a) for a in out1["features"]] == [list(b) for b in out2["features"]]
 
 
+def test_bmp_codec_roundtrip():
+    """encode_bmp/decode_bmp are exact inverses for every 4-byte row
+    padding case (w=5,6,7 pad 1/2/3 bytes; w=8 pad 0) and reject
+    non-BMP / unsupported-flavor payloads loudly."""
+    import numpy as np
+    import pytest
+
+    from z_rad_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(7)
+    for w in (5, 6, 7, 8):
+        px = rng.integers(0, 256, size=(4, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+    # top-down variant (negative height) decodes to the same orientation
+    px = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    data = bytearray(encode_bmp(px))
+    import struct as st
+
+    h = st.unpack_from("<i", data, 22)[0]
+    st.pack_into("<i", data, 22, -h)
+    body_off = st.unpack_from("<I", data, 10)[0]
+    stride = (5 * 3 + 3) & ~3
+    rows = bytes(data[body_off:])
+    flipped = b"".join(
+        rows[i * stride : (i + 1) * stride] for i in reversed(range(h))
+    )
+    data[body_off:] = flipped
+    assert np.array_equal(decode_bmp(bytes(data)), px)
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM not really a bitmap header at all.....")
+    with pytest.raises(ValueError):
+        decode_bmp(b"plain text payload")
+
+
+def test_wav_codec_roundtrip():
+    """encode_wav/decode_wav round-trip samples and rate exactly, walk
+    past extra RIFF chunks, and reject non-PCM payloads."""
+    import numpy as np
+    import pytest
+
+    from z_rad_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    for n in (1, 33, 48):  # odd byte-length data chunk exercises word padding
+        s = rng.integers(-2000, 2000, size=n).astype(np.int16)
+        out, rate = decode_wav(encode_wav(s, 12345))
+        assert rate == 12345 and np.array_equal(out, s)
+    # extra chunk before data: chunk walk must skip it
+    s = np.array([1, -2, 3], dtype=np.int16)
+    raw = bytearray(encode_wav(s, 8000))
+    import struct as st
+
+    extra = b"LIST" + st.pack("<I", 4) + b"INFO"
+    patched = bytes(raw[:12]) + extra + bytes(raw[12:])
+    patched = b"RIFF" + st.pack("<I", len(patched) - 8) + patched[8:]
+    out, rate = decode_wav(patched)
+    assert rate == 8000 and np.array_equal(out, s)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVE")
+
+
+def test_real_decode_stats_match_rule(spark):
+    """decode_stats on synth_codec_media payloads must reproduce the
+    generating rule's sufficient statistics — computed here independently
+    in numpy (the DuckDB oracle replays the same rule in SQL)."""
+    import numpy as np
+
+    from z_rad_spark.operators.multimodal import decode_stats, synth_codec_media
+
+    ids = spark.range(0, 20).selectExpr("id AS media_id")
+    got = decode_stats(synth_codec_media(ids)).toPandas().set_index("media_id").sort_index()
+    for mid in range(20):
+        row = got.loc[mid]
+        if mid % 2 == 0:
+            w, h = 5 + mid % 4, 4 + mid % 3
+            y = np.arange(h)[:, None, None]
+            x = np.arange(w)[None, :, None]
+            c = np.arange(3)[None, None, :]
+            v = (mid * 37 + y * 11 + x * 7 + c * 13) % 251
+            assert row["fmt"] == "bmp" and row["n_units"] == w * h
+            assert row["s1"] == v[:, :, 0].sum() and row["s3"] == v[:, :, 2].sum()
+            assert row["s4"] == (v * (x + 1)).sum() and row["s5"] == (v * (y + 1)).sum()
+        else:
+            n = 32 + mid % 17
+            i = np.arange(n)
+            s = ((mid * 73 + i * 129) % 4001) - 2000
+            assert row["fmt"] == "wav" and row["n_units"] == n
+            assert row["s1"] == s.sum() and row["s2"] == (s * s).sum()
+            assert row["s3"] == int(np.count_nonzero(s[:-1] * s[1:] < 0))
+            assert row["s4"] == np.abs(s).max() and row["s5"] == 8000 + 100 * (mid % 5)
+
+
 def test_salted_glcm_exact_across_bucket_borders(spark, tdf):
     """Salt-bucketed pair extraction (k-row overlap, left-endpoint
     ownership) must reproduce the unsalted cell counts exactly — including
