@@ -45,6 +45,21 @@ def input_snapshot_id(sf_dir: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
 
 
+def iceberg_snapshot_id(spark: SparkSession, table: str) -> str:
+    """Current snapshot id of an Iceberg table — the production value of
+    ``input_snapshot_id`` (requires the iceberg-spark-runtime jar on the
+    session classpath; exercised by tests/test_iceberg.py when one is
+    present). Reads the table's ``.snapshots`` metadata table, so it works
+    against any catalog without JVM-internal API calls."""
+    row = spark.sql(
+        f"SELECT snapshot_id FROM {table}.snapshots "
+        "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
+    ).collect()
+    if not row:
+        raise ValueError(f"Iceberg table {table!r} has no snapshots")
+    return str(row[0][0])
+
+
 def _manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_lineage")
 
