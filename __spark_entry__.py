@@ -4135,43 +4135,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order is deliberate: the driver's correctness gate checks
-    the FIRST 50 entries. The round-4 window holds (1) everything changed
-    or new THIS round — the two newly value-oracled queries
-    (q_sketch_stats bound-gate, q_lsh_topk literal-hyperplane replay),
-    the operators new in r4 (q_semdedup, q_unigram_lm,
-    q_line_dedup, q_dsir, q_domain_mix, q_dup_spans, and the late-r4
-    additions q_pq_codes / q_pq_topk / q_ivfpq_topk / q_bm25 /
-    q_hybrid_rrf / q_chat_template / q_cdc_chunk / q_ann_recall /
-    q_pack_sequences / q_quality_classifier / q_bigram_lm), the new
-    backfill/SUV operators,
-    the selectExpr flagship gate, the hash_split/winnow fixes, three of
-    the five salted queries (skew.py broadcast fix; q_ngldm_salted and
-    q_glrlm_salted sit past the marker, sibling-gated), the five
-    session-2 operators
-    (q_expanding_zscore, q_cusum, q_hamming_topk, q_pca_cov,
-    q_stream_running_stats — these displaced five GLCM aggregation
-    variants whose ordered-fold refactor is sibling-gated via
-    q_glcm/q_glcm_dist and the GLDZM pair), and the queries touched by
-    the ordered reciprocal-square folds (GLCM core + the GLDZM
-    family) — and (2) the remaining slots filled oldest-first: all 20
-    queries whose latest green driver row is round-1-era (the filter set
-    no longer fits — q_filter_mean, q_filter_log, q_filter_laws,
-    q_filter_gabor, q_filter_wavelet keep their r2 green row plus this
-    round's strict-mirror green; the eleven late-r4 additions displaced
-    q_lag_lead / q_rollup / q_vocab / q_json_props / q_decay_sum /
-    q_rolling_1h — the six simplest r1-era entries, pure built-in
-    window/rollup/distinct/JSON plans — plus five sibling-gated entries
-    (q_gldzm_25d, q_ngldm_salted, q_backfill_mask, q_glrlm_2d_avg,
-    q_ngldm_dist — coverage rationale at the marker below); all eleven
-    keep their prior green row plus this round's strict-mirror green
-    and sit first past the marker for the r5 rotation).
-    Entries past the window hold round-2/3 green rows with unchanged
-    code; ALL of them were additionally re-verified this round through
-    the strict local mirror (tools/check_queries.py, STRICT hash mode,
-    sf0.01) — see COVERAGE.md."""
+    """Registry order is the driver-gate window: the FIRST 50 entries
+    are value-gated each round. Since r5 the window is selected
+    MECHANICALLY by tools/gate_ledger.py (see COVERAGE.md): entries whose
+    engine/oracle code changed since their last gated round come first,
+    then explicit pins, then everything else ascending by
+    last_gated_round (never-gated before stale), tie-broken by registry
+    position — so the order below doubles as the rotation queue for
+    future rounds. Regenerate with:
+
+        python tools/gate_ledger.py --changed <...> --pin <...> --emit
+
+    Round-5 window: 6 changed-this-round entries (the r5 advice fixes
+    + the new real-codec media gate), 4 judge-pinned stale rows
+    (VERDICT r4 #1), and 40 never-driver-gated entries in ledger
+    order; 46 of 50 slots were not in the r4 window. Entries past
+    the marker keep their prior green rows; every registry entry is
+    additionally strict-mirrored (tools/check_queries.py, STRICT hash
+    mode, sf0.01) before each handoff — see COVERAGE.md."""
     return {
-        # --- (1a) new or rewritten this round ---
+        # --- engine/oracle code changed this round ---
+        "q_media_decode": q_media_decode,
+        "q_media_features": q_media_features,
+        "q_hurst_rs": q_hurst_rs,
+        "q_sax_word": q_sax_word,
+        "q_cuped": q_cuped,
+        "q_rbo": q_rbo,
+        # --- judge-pinned stale rows (VERDICT r4 #1) ---
+        "q_tfidf": q_tfidf,
+        "q_top_tokens": q_top_tokens,
+        "q_stratified_sample": q_stratified_sample,
+        "q_stream_window_stats": q_stream_window_stats,
+        # --- never driver-gated, ledger order ---
+        "q_cohort_retention": q_cohort_retention,
+        "q_kaplan_meier": q_kaplan_meier,
+        "q_log_rank": q_log_rank,
+        "q_rfm": q_rfm,
+        "q_ivfpq_topk": q_ivfpq_topk,
+        "q_pq_codes": q_pq_codes,
+        "q_bigram_lm": q_bigram_lm,
+        "q_temporal_profile": q_temporal_profile,
+        "q_signal_trend": q_signal_trend,
+        "q_loo_encode": q_loo_encode,
+        "q_woe_iv": q_woe_iv,
+        "q_stream_cusum": q_stream_cusum,
+        "q_hard_negatives": q_hard_negatives,
+        "q_stream_psi": q_stream_psi,
+        "q_rand_project": q_rand_project,
+        "q_echo_score": q_echo_score,
+        "q_role_runs": q_role_runs,
+        "q_rank_norm": q_rank_norm,
+        "q_spearman_trend": q_spearman_trend,
+        "q_vocab_growth": q_vocab_growth,
+        "q_conv_features": q_conv_features,
+        "q_embed_stats": q_embed_stats,
+        "q_trending_tokens": q_trending_tokens,
+        "q_daily_activity": q_daily_activity,
+        "q_source_concentration": q_source_concentration,
+        "q_robust_scale": q_robust_scale,
+        "q_ewm_smooth": q_ewm_smooth,
+        "q_pmi": q_pmi,
+        "q_ngram_novelty": q_ngram_novelty,
+        "q_asof_forward": q_asof_forward,
+        "q_asof_nearest": q_asof_nearest,
+        "q_js_drift": q_js_drift,
+        "q_w1_drift": q_w1_drift,
+        "q_page_hinkley": q_page_hinkley,
+        "q_arrival_stats": q_arrival_stats,
+        "q_count_encode": q_count_encode,
+        "q_containment": q_containment,
+        "q_dup_survivors": q_dup_survivors,
+        "q_mmr": q_mmr,
+        "q_lexical_diversity": q_lexical_diversity,
+        # ===== gate window ends here (first 50 entries) ================
+        # Everything below keeps its newest green driver row (see
+        # tools/gate_ledger.py for the live last_gated_round table) and
+        # queues for future rotations in this order.
         "q_sketch_stats": q_sketch_stats,
         "q_lsh_topk": q_lsh_topk,
         "q_backfill_cubic": q_backfill_cubic,
@@ -4196,11 +4235,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_recall": q_ann_recall,
         "q_pack_sequences": q_pack_sequences,
         "q_freq_bins": q_freq_bins,
-        # --- (1b) salted set: skew.py overlap-guard broadcast fix ---
         "q_glcm_salted": q_glcm_salted,
         "q_gldzm_salted": q_gldzm_salted,
         "q_welch_drift": q_welch_drift,
-        # --- (1d) new operators, session 2 of round 4 ---
         "q_expanding_zscore": q_expanding_zscore,
         "q_cusum": q_cusum,
         "q_hamming_topk": q_hamming_topk,
@@ -4208,128 +4245,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_running_stats": q_stream_running_stats,
         "q_psi_drift": q_psi_drift,
         "q_temporal_split": q_temporal_split,
-        # --- (1e) new operators, session 5 of round 4 ---
         "q_ks_drift": q_ks_drift,
         "q_mi_assoc": q_mi_assoc,
         "q_role_transitions": q_role_transitions,
         "q_target_encode": q_target_encode,
-        # --- (1f) new operators, session 6 of round 4 ---
         "q_mw_drift": q_mw_drift,
         "q_autocorr": q_autocorr,
         "q_latency": q_latency,
-        # --- (1g) new operators, session 10 of round 4 (never-gated
-        #     beats stale-green; displaced: q_glcm + q_gldzm_dist — the
-        #     ordered reciprocal-square folds stay sibling-gated via
-        #     q_glcm_salted/q_gldzm_salted in (1b), same kernels/
-        #     texture._seq_sum + oracle list_reduce path — and
-        #     q_temporal_profile, whose conditional-count-grid +
-        #     fixed-chain pattern is sibling-gated via
-        #     q_role_transitions in (1e))
-        "q_hurst_rs": q_hurst_rs,
-        "q_sax_word": q_sax_word,
-        "q_cuped": q_cuped,
         "q_edit_sim": q_edit_sim,
         "q_benford": q_benford,
         "q_gini": q_gini,
         "q_mann_kendall": q_mann_kendall,
-        "q_rbo": q_rbo,
         "q_funnel": q_funnel,
-        # ===== gate window ends here (first 50 entries) ================
-        # The four growth/survival-analytics queries added last
-        # (q_cohort_retention, q_kaplan_meier, q_log_rank, q_rfm) sit
-        # below the window: each was strict-mirrored hash-green at
-        # sf0.01 AND sf0.1 on addition, and every remaining in-window
-        # entry gates never-driver-gated code with no sibling coverage,
-        # which beats rotating these in.
-        "q_cohort_retention": q_cohort_retention,
-        "q_kaplan_meier": q_kaplan_meier,
-        "q_log_rank": q_log_rank,
-        "q_rfm": q_rfm,
-        # q_ivfpq_topk displaced by q_funnel (never-gated beats
-        # sibling-covered): its two halves stay gated in-window — the
-        # IVF routing through q_ivf_topk's green r3 row + the shared
-        # ADC lookup path through q_pq_topk.
-        "q_ivfpq_topk": q_ivfpq_topk,
-        # displaced by the session-10 additions (q_hurst_rs, q_sax_word,
-        # q_cuped, q_edit_sim, q_benford, q_gini — never-gated beats
-        # stale-green): the ordered-fold pair stays sibling-gated
-        # in-window via the salted variants; q_temporal_profile via
-        # q_role_transitions; q_signal_trend via the in-window profile
-        # pair (q_hurst_rs shares the exact-sufficient-statistic
-        # variance chain); q_loo_encode and q_woe_iv via q_target_encode
-        # in (1e), the same leakage-aware encoding module and
-        # conditional-aggregate + fixed-chain shape (see the (1g) note).
-        # q_pq_codes and q_bigram_lm displaced by q_mann_kendall and
-        # q_rbo (never-gated beats sibling-covered): q_pq_topk calls
-        # pq_codes internally and q_ppl_buckets calls bigram_logprob
-        # internally, so both displaced code paths stay value-gated
-        # in-window through their callers.
-        "q_pq_codes": q_pq_codes,
-        "q_bigram_lm": q_bigram_lm,
         "q_glcm": q_glcm,
         "q_gldzm_dist": q_gldzm_dist,
-        "q_temporal_profile": q_temporal_profile,
-        "q_signal_trend": q_signal_trend,
-        "q_loo_encode": q_loo_encode,
-        "q_woe_iv": q_woe_iv,
-        # displaced by q_ppl_buckets (session-8, never-gated beats
-        # stale-green): q_glrlm_salted holds a fresh r3 green row and the
-        # skew.py overlap-guard fix stays sibling-gated in-window via
-        # q_glcm_salted + q_gldzm_salted (same bucketize code path).
         "q_glrlm_salted": q_glrlm_salted,
-        # displaced by the session-5/6 additions (q_ks_drift, q_mi_assoc,
-        # q_role_transitions, q_target_encode, q_mw_drift, q_autocorr,
-        # q_loo_encode, q_woe_iv, q_signal_trend, q_temporal_profile,
-        # q_latency — never-gated beats stale-green): eleven round-1-era
-        # rows that keep their green driver rows plus this round's
-        # full-registry strict-mirror green; they sit first past the
-        # marker for the r5 rotation.
-        # q_stream_cusum / q_hard_negatives are new in session 6 but every
-        # in-window slot now holds a new/changed-this-round entry; they
-        # wait for r5 with this session's two-scale strict-mirror green on
-        # record (BASELINE.md round-4 updates 6-7).
-        "q_stream_cusum": q_stream_cusum,
-        "q_hard_negatives": q_hard_negatives,
-        "q_stream_psi": q_stream_psi,
-        "q_rand_project": q_rand_project,
-        "q_echo_score": q_echo_score,
-        "q_role_runs": q_role_runs,
-        "q_rank_norm": q_rank_norm,
-        "q_spearman_trend": q_spearman_trend,
-        "q_vocab_growth": q_vocab_growth,
-        "q_conv_features": q_conv_features,
-        "q_embed_stats": q_embed_stats,
-        "q_trending_tokens": q_trending_tokens,
-        "q_daily_activity": q_daily_activity,
-        # session-7 additions (same rationale as q_stream_cusum above:
-        # every in-window slot already holds a new/changed-this-round
-        # entry; these five wait for r5 with this session's strict-mirror
-        # green on record)
-        "q_source_concentration": q_source_concentration,
-        "q_robust_scale": q_robust_scale,
-        "q_ewm_smooth": q_ewm_smooth,
-        "q_pmi": q_pmi,
-        "q_ngram_novelty": q_ngram_novelty,
-        # session-8: asof.py direction variants (forward/nearest). The
-        # refactor touching the backward path was re-mirrored the same
-        # session across ALL asof_join/asof_state consumers (q_asof_state,
-        # q_asof_enrich, q_asof_tolerance + these two) at sf0.01 and
-        # sf0.1, STRICT hash mode — see BASELINE.md round-4 updates.
-        "q_asof_forward": q_asof_forward,
-        "q_asof_nearest": q_asof_nearest,
-        # session-9 additions (same rationale as q_stream_cusum above:
-        # every in-window slot already holds a new/changed-this-round
-        # entry; these wait for r5 with this session's strict-mirror
-        # green on record)
-        "q_js_drift": q_js_drift,
-        "q_w1_drift": q_w1_drift,
-        "q_page_hinkley": q_page_hinkley,
-        "q_arrival_stats": q_arrival_stats,
-        "q_count_encode": q_count_encode,
-        "q_containment": q_containment,
-        "q_dup_survivors": q_dup_survivors,
-        "q_mmr": q_mmr,
-        "q_lexical_diversity": q_lexical_diversity,
         "q_ndcg": q_ndcg,
         "q_quantiles": q_quantiles,
         "q_winsorize": q_winsorize,
@@ -4374,12 +4304,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_oov_rate": q_oov_rate,
         "q_von_neumann": q_von_neumann,
         "q_langid_kappa": q_langid_kappa,
-        # q_asof_tolerance / q_ngtdm_salted displaced by q_freq_bins /
-        # q_welch_drift: both hold FRESH r3 gate rows earned against the
-        # current r6-parity oracles, and the r4 ordered-fold refactor did
-        # not touch NGTDM (judge-diffable: zero ngtdm hits in the
-        # 5105217..HEAD kernels/texture.py diff), so they lose the least
-        # by waiting for the r5 rotation.
         "q_asof_tolerance": q_asof_tolerance,
         "q_ngtdm_salted": q_ngtdm_salted,
         "q_backfill_nn": q_backfill_nn,
@@ -4393,13 +4317,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngldm": q_ngldm,
         "q_ngtdm": q_ngtdm,
         "q_tool_names": q_tool_names,
-        # displaced by the session-2 additions (q_expanding_zscore,
-        # q_cusum, q_hamming_topk, q_pca_cov, q_stream_running_stats):
-        # five GLCM aggregation variants whose r4 ordered-fold refactor
-        # is sibling-gated via q_glcm / q_glcm_dist above plus the GLDZM
-        # pair (same _seq_sum + oracle list_reduce change); all five keep
-        # their r2/r3 green rows and this round's strict-mirror green,
-        # and sit first past the marker for the r5 rotation.
         "q_glcm_dist": q_glcm_dist,
         "q_gldzm": q_gldzm,
         "q_glcm_2d_avg": q_glcm_2d_avg,
@@ -4407,17 +4324,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_glcm_25d_merg": q_glcm_25d_merg,
         "q_glcm_3d_aver": q_glcm_3d_aver,
         "q_glcm_25d_dirmerg": q_glcm_25d_dirmerg,
-        # displaced by the late-r4 additions: prior green rows + r4
-        # strict mirror. Sibling coverage for each displaced entry:
-        # q_gldzm_25d (r2 row; ordered-fold refactor gated via
-        # q_gldzm/q_gldzm_dist above); q_ngldm_salted (r3 row; skew.py
-        # fix gated via the four sibling salted entries);
-        # q_backfill_mask (r1 row; operators/backfill.py gated via
-        # q_backfill_nn/q_backfill_linear above); q_glrlm_2d_avg (r1
-        # row; GLRLM plans gated via q_glrlm/q_glrlm_dist/q_glrlm_25d/
-        # q_glrlm_salted above); q_ngldm_dist (r1 row; NGLDM matrix via
-        # q_ngldm above, distance-grid reuse via q_glrlm_dist/
-        # q_gldzm_dist above)
         "q_lag_lead": q_lag_lead,
         "q_rollup": q_rollup,
         "q_vocab": q_vocab,
@@ -4429,9 +4335,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_backfill_mask": q_backfill_mask,
         "q_glrlm_2d_avg": q_glrlm_2d_avg,
         "q_ngldm_dist": q_ngldm_dist,
-        # round-2/3 green rows (q_glcm_2d_slice_merg: r3 row; its r4
-        # ordered-fold refactor is gated via the three sibling GLCM
-        # variants above); all strict-mirrored r4
         "q_glcm_2d_slice_merg": q_glcm_2d_slice_merg,
         "q_filter_mean": q_filter_mean,
         "q_filter_log": q_filter_log,
@@ -4454,8 +4357,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_reseg_stats": q_reseg_stats,
         "q_glrlm_dist": q_glrlm_dist,
         "q_flagship_slice": q_flagship_slice,
-        "q_media_features": q_media_features,
-        "q_media_decode": q_media_decode,
         "q_hist_daily": q_hist_daily,
         "q_kmeans_assign": q_kmeans_assign,
         "q_ivf_topk": q_ivf_topk,
@@ -4501,10 +4402,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": q_repetition,
         "q_rare_tokens": q_rare_tokens,
         "q_source_reputation": q_source_reputation,
-        "q_stream_window_stats": q_stream_window_stats,
-        "q_tfidf": q_tfidf,
-        "q_stratified_sample": q_stratified_sample,
-        "q_top_tokens": q_top_tokens,
     }
 
 

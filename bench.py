@@ -499,19 +499,45 @@ def main():
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        # interleave the two levels and keep the best of each: the sandbox
-        # VM has minutes-scale noisy-neighbor drift, and alternating makes
-        # it hit both levels symmetrically instead of skewing the ratio
+        # Adjacent-pair protocol (r5): the hypervisor window drifts at
+        # minutes scale by up to +/-40% — measured 2026-08-19, an 8-core
+        # leg taken minutes after a 32-core leg showed HIGHER total
+        # task-seconds for identical work, and best-of-each across
+        # windows produced efficiency "1.03". Per-ROUND ratios of
+        # back-to-back legs confine the drift to within one pair; the
+        # MEDIAN over rounds is the estimator (best-of-each kept for
+        # continuity with r1-r4 numbers). All per-round samples ride
+        # along so the spread is visible rather than laundered.
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+        samples: list[dict] = []
         best: dict[int, tuple[float, float, float]] = {}
-        for _ in range(2):
+        for _ in range(rounds):
+            pair: dict[int, tuple[float, float, float]] = {}
             for c in (8, 32):
                 sec, thr, cpu = _flagship_throughput(c, SF_DIR)
+                pair[c] = (sec, thr, cpu)
                 if c not in best or sec < best[c][0]:
                     best[c] = (sec, thr, cpu)
+            (s8, t8, c8), (s32, t32, c32) = pair[8], pair[32]
+            samples.append({
+                "sec": [round(s8, 2), round(s32, 2)],
+                "cpu_sec": [round(c8, 1), round(c32, 1)],
+                "eff_wall": round((t32 / t8) / 4, 3),
+                "cpu_work_ratio": round(c32 / c8, 3) if c8 else None,
+            })
+        effs = sorted(s["eff_wall"] for s in samples)
+        med_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
+            (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+        )
         (sec8, thr8, cpu8), (sec32, thr32, cpu32) = best[8], best[32]
         result["scaling"] = {
             "turns_per_sec_local8": round(thr8, 1),
             "turns_per_sec_local32": round(thr32, 1),
+            # primary estimator: median of per-round adjacent-pair ratios
+            "efficiency_8_to_32_median": med_eff,
+            "efficiency_samples": samples,
+            # legacy estimator (best leg of each level across all rounds;
+            # can cross hypervisor windows — read with the samples above)
             "efficiency_8_to_32": round((thr32 / thr8) / 4, 3),
             "input_replication": SCALING_REPL,
             "sec_local8": round(sec8, 3),
