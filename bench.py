@@ -88,6 +88,11 @@ HEADLINE = [
     "q_ppl_buckets",
     "q_pack_sequences",
     "q_glcm_salted",
+    # r5 session-2 additions: the two heavy newcomers — the 64-replicate
+    # Poisson bootstrap (explode collapsed map-side) and the LSH-vs-
+    # exact-Jaccard calibration eval (opt-in exact pair side)
+    "q_bootstrap_ci",
+    "q_lsh_recall",
 ]
 
 

@@ -8122,3 +8122,187 @@ SELECT user_id,
        {r6('CAST(monetary_cents AS DOUBLE) / 100.0', 'monetary')}
 FROM u, mx
 """
+
+
+# Count-min sketch: pure integer universal-hash arithmetic — the sketch
+# estimates themselves are hash-gateable (mirrors
+# operators/sketches.count_min_heavy_hitters exactly: same (a, b) pairs,
+# p = 2^31 - 1, width 512, depth 4, top-20 by (est DESC, key ASC))
+ORACLES["q_heavy_hitters"] = """
+WITH hp AS (
+  SELECT * FROM (VALUES (0, 1299721, 104729), (1, 15485863, 32452843),
+                        (2, 49979687, 67867967), (3, 86028121, 98765431)) AS t(row_i, a, b)
+),
+sk AS (
+  SELECT hp.row_i,
+         ((hp.a * (ABS(e.user_id) % 2147483647) + hp.b) % 2147483647) % 512 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events e CROSS JOIN hp
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT CAST(user_id AS BIGINT) AS key, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM events GROUP BY 1
+),
+est AS (
+  SELECT t.key, t.true_count, MIN(sk.cnt) AS est_count
+  FROM truth t
+  JOIN hp ON TRUE
+  JOIN sk ON sk.row_i = hp.row_i
+         AND sk.bucket = ((hp.a * (ABS(t.key) % 2147483647) + hp.b) % 2147483647) % 512
+  GROUP BY t.key, t.true_count
+),
+rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY est_count DESC, key ASC) AS rn FROM est)
+SELECT key, est_count, true_count, est_count - true_count AS overcount
+FROM rk WHERE rn <= 20
+"""
+
+
+# Linear counting: est computed UNROUNDED in the CTE (err_pct divides the
+# unrounded est, exactly as the engine does), 6dp-rounded only at output
+ORACLES["q_linear_count"] = f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+         CAST(COUNT(DISTINCT ((1299721 * (ABS(user_id) % 2147483647) + 104729)
+                              % 2147483647) % 4096) AS BIGINT) AS occupied
+  FROM events GROUP BY event_type
+),
+e AS (
+  SELECT event_type, exact_distinct, occupied,
+         CASE WHEN occupied < 4096
+              THEN (-4096.0) * ln((4096.0 - CAST(occupied AS DOUBLE)) / 4096.0)
+              ELSE 4096.0 * ln(4096.0) END AS est
+  FROM g
+)
+SELECT event_type, exact_distinct, occupied,
+       {r6('est', 'est_distinct')},
+       {r6('(est - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE) * 100.0', 'err_pct')}
+FROM e
+"""
+
+
+# Poisson bootstrap: square-mod mixing hash (the squaring decorrelates
+# adjacent ids/replicates — see profile.poisson_bootstrap_ci) -> uniform
+# -> fixed inverse-CDF thresholds; replicate means are one division of
+# exact integer sums; CI bounds are 1-based sorted-list elements 2 / 63
+# (= 0-based floor(0.025*64) / ceil(0.975*64)-1)
+ORACLES["q_bootstrap_ci"] = f"""
+WITH base AS (
+  SELECT event_type AS grp, CAST(event_id AS BIGINT) AS id,
+         CAST(FLOOR(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS cents
+  FROM events
+),
+reps AS (SELECT CAST(b AS BIGINT) AS b FROM generate_series(0, 63) t(b)),
+w AS (
+  SELECT grp, b, cents,
+         CASE WHEN u < 0.367879441171442 THEN 0
+              WHEN u < 0.735758882342884 THEN 1
+              WHEN u < 0.919698602928606 THEN 2
+              WHEN u < 0.981011843123846 THEN 3
+              WHEN u < 0.996340153172656 THEN 4
+              ELSE 5 END AS wgt
+  FROM (SELECT grp, cents, b,
+               CAST((((x * x + x) % 2147483647) * 48271) % 2147483647 AS DOUBLE)
+               / 2147483647.0 AS u
+        FROM (SELECT grp, cents, b,
+                     (id * 48271 + b * 69621 + 12345) % 2147483647 AS x
+              FROM base CROSS JOIN reps) xb) ub
+),
+means AS (
+  SELECT grp, b,
+         CAST(SUM(wgt * cents) AS DOUBLE) / (100.0 * CAST(SUM(wgt) AS DOUBLE)) AS mean_b
+  FROM w GROUP BY grp, b HAVING SUM(wgt) > 0
+),
+ci AS (SELECT grp, list_sort(list(mean_b)) AS ms FROM means GROUP BY grp),
+pt AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, SUM(cents) AS sc FROM base GROUP BY grp)
+SELECT pt.grp AS event_type, pt.n,
+       {r6('CAST(pt.sc AS DOUBLE) / (100.0 * CAST(pt.n AS DOUBLE))', 'mean_hat')},
+       {r6('ci.ms[2]', 'ci_lo')},
+       {r6('ci.ms[63]', 'ci_hi')}
+FROM pt JOIN ci ON pt.grp = ci.grp
+"""
+
+
+# Cross-split near-dup contamination: the LSH pair oracle composed with
+# the q_hash_split CASE re-derived inline on each pair endpoint
+ORACLES["q_split_contamination"] = """
+WITH pairs AS (
+  {PAIRS}
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, split_a, split_b
+FROM (
+  SELECT id_a, id_b,
+         CASE WHEN substring(md5('split1|' || CAST(id_a AS STRING)), 1, 8) < '{t1}' THEN 'train'
+              WHEN substring(md5('split1|' || CAST(id_a AS STRING)), 1, 8) < '{t2}' THEN 'val'
+              ELSE 'test' END AS split_a,
+         CASE WHEN substring(md5('split1|' || CAST(id_b AS STRING)), 1, 8) < '{t1}' THEN 'train'
+              WHEN substring(md5('split1|' || CAST(id_b AS STRING)), 1, 8) < '{t2}' THEN 'val'
+              ELSE 'test' END AS split_b
+  FROM pairs
+) sp
+WHERE split_a <> split_b
+""".replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip()).replace(
+    "{t1}", _SPLIT_T1
+).replace("{t2}", _SPLIT_T2)
+
+
+# Exact tie-corrected ROC AUC per source: Mann-Whitney doubled-midrank
+# algebra over the compacted (source, n_chars) histogram (mirror of
+# drift.auc_binary; label = lang='en' — the Gopher pass flag is
+# degenerate on the synthetic corpus, stop_hits never reaches 2)
+ORACLES["q_auc"] = f"""
+WITH lbl AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS val,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS l
+  FROM documents
+),
+pv AS (
+  SELECT source, val,
+         COUNT(CASE WHEN l = 1 THEN 1 END) AS p,
+         COUNT(CASE WHEN l <> 1 THEN 1 END) AS q
+  FROM lbl GROUP BY source, val
+),
+cb AS (
+  SELECT source, p, q, (p + q) AS t,
+         SUM(p + q) OVER (PARTITION BY source ORDER BY val
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (p + q) AS cbv
+  FROM pv
+),
+g AS (
+  SELECT source,
+         CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(q) AS BIGINT) AS n_neg,
+         CAST(SUM(p * (2 * cbv + t + 1)) AS BIGINT) AS two_r
+  FROM cb GROUP BY source
+)
+SELECT source, n_pos, n_neg,
+       {r6("CASE WHEN n_pos > 0 AND n_neg > 0 THEN ((CAST(two_r AS DOUBLE) - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0)) / 2.0) / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END", "auc")}
+FROM g
+"""
+
+
+# LSH calibration: the banded-minhash candidate list vs exact 3-gram
+# Jaccard >= 0.5 ground truth (both CTEs are the existing oracles
+# verbatim), one full-outer pair join, exact longs + two divisions
+ORACLES["q_lsh_recall"] = f"""
+WITH cand AS (
+  {{PAIRS}}
+),
+tru AS (
+  SELECT id_a, id_b FROM ({{JACC}}) jq
+),
+j AS (
+  SELECT (t.id_a IS NOT NULL) AS in_t, (c.id_a IS NOT NULL) AS in_c
+  FROM cand c FULL OUTER JOIN tru t ON c.id_a = t.id_a AND c.id_b = t.id_b
+)
+SELECT CAST(SUM(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+       CAST(SUM(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       {r6("CASE WHEN SUM(CASE WHEN in_t THEN 1 ELSE 0 END) > 0 THEN CAST(SUM(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN in_t THEN 1 ELSE 0 END) AS DOUBLE) END", "recall")},
+       {r6("CASE WHEN SUM(CASE WHEN in_c THEN 1 ELSE 0 END) > 0 THEN CAST(SUM(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN in_c THEN 1 ELSE 0 END) AS DOUBLE) END", "precision")}
+FROM j
+""".replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip()).replace(
+    "{JACC}", ORACLES["q_ngram_jaccard"].strip()
+)

@@ -247,12 +247,18 @@ def hash_split(
     partitionings, and engines; a row's split never changes when the
     corpus around it grows, which per-partition RNG sampling cannot offer.
     Narrow column expressions only: zero shuffle at any scale."""
+    return df.withColumn(out, split_expr(F.col(key_col), fractions, salt))
+
+
+def split_expr(key: F.Column, fractions: dict[str, float], salt: str = "split1") -> F.Column:
+    """The split assignment as a pure COLUMN expression of the key —
+    shared by hash_split (assignment column on the corpus) and
+    split_contamination (re-derives each pair endpoint's split from its
+    id alone, so no join back to the corpus is ever needed)."""
     total = sum(fractions.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    h = F.substring(
-        F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(key_col).cast("string"))), 1, 8
-    )
+    h = F.substring(F.md5(F.concat(F.lit(salt), F.lit("|"), key.cast("string"))), 1, 8)
     expr = None
     cum = 0.0
     items = list(fractions.items())
@@ -271,8 +277,38 @@ def hash_split(
         branch = F.when(h < thr, F.lit(name))
         expr = branch if expr is None else expr.when(h < thr, F.lit(name))
     last = F.lit(items[-1][0])
-    expr = last if expr is None else expr.otherwise(last)
-    return df.withColumn(out, expr)
+    return last if expr is None else expr.otherwise(last)
+
+
+def split_contamination(
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    salt: str = "split1",
+) -> DataFrame:
+    """Cross-split near-duplicate leakage check: which candidate
+    duplicate pairs STRADDLE the train/val/test boundary? A test
+    document with a near-duplicate in train silently inflates eval —
+    the standard pre-training hygiene check run after LSH candidate
+    generation (the dedup analogue of q_decontaminate's n-gram form,
+    but at the near-dup rather than exact-overlap level).
+
+    Scale: because hash_split is a pure expression of the id, each
+    endpoint's split is re-derived INLINE on the pair list (two md5
+    calls per pair row) — zero joins, zero shuffles beyond whatever
+    produced the pairs. The pair list is the LSH candidate output
+    (bounded per bucket), never the corpus.
+
+    Output: (id_a, id_b, split_a, split_b) for pairs with
+    split_a != split_b, ordered deterministically by (id_a, id_b)."""
+    out = pairs.select(
+        F.col(id_a).cast("long").alias("id_a"),
+        F.col(id_b).cast("long").alias("id_b"),
+        split_expr(F.col(id_a), fractions, salt).alias("split_a"),
+        split_expr(F.col(id_b), fractions, salt).alias("split_b"),
+    )
+    return out.where(F.col("split_a") != F.col("split_b"))
 
 
 def connected_components(
@@ -1167,3 +1203,61 @@ def template_groups(
     return base.join(counts, [source_col, "_pfx"]).withColumn(
         "is_templated", F.col("template_size") >= F.lit(int(min_group))
     ).drop("_pfx")
+
+
+def lsh_recall_eval(
+    docs: DataFrame,
+    n: int = 3,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    max_bucket: int = 64,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Recall/precision of the MinHash-LSH candidate generator against
+    exact n-gram-Jaccard ground truth — the calibration run a pipeline
+    does BEFORE trusting banded LSH at corpus scale (how many true
+    near-dup pairs does this (n_hashes, band_size, max_bucket) setting
+    miss, and how much over-generation does verification pay for?).
+
+        recall    = |candidates ∩ truth| / |truth|
+        precision = |candidates ∩ truth| / |candidates|
+
+    Scale: the LSH side is the production bounded-bucket path; the
+    exact-Jaccard side is the documented OPT-IN O(pairs-sharing-a-
+    shingle) baseline (ngram_jaccard) — run this eval on a sampled
+    slice at corpus scale, never the full corpus. The comparison
+    itself is one full-outer equi-join of two pair lists + one
+    aggregate: exact longs, two single divisions.
+
+    Output: one row (n_true long, n_cand long, n_hit long,
+    recall double, precision double)."""
+    truth = (
+        ngram_jaccard(docs, n=n, threshold=threshold)
+        .select("id_a", "id_b")
+        .withColumn("_in_t", F.lit(1))
+    )
+    cand = (
+        minhash_lsh_pairs(
+            docs, n=n, n_hashes=n_hashes, band_size=band_size, max_bucket=max_bucket
+        )
+        .select("id_a", "id_b")
+        .withColumn("_in_c", F.lit(1))
+    )
+    j = cand.join(truth, ["id_a", "id_b"], "full")
+    return j.groupBy().agg(
+        F.sum(F.coalesce(F.col("_in_t"), F.lit(0))).cast("long").alias("n_true"),
+        F.sum(F.coalesce(F.col("_in_c"), F.lit(0))).cast("long").alias("n_cand"),
+        F.sum(F.coalesce(F.col("_in_t"), F.lit(0)) * F.coalesce(F.col("_in_c"), F.lit(0)))
+        .cast("long")
+        .alias("n_hit"),
+    ).select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.when(
+            F.col("n_true") > 0, F.col("n_hit").cast("double") / F.col("n_true").cast("double")
+        ).alias("recall"),
+        F.when(
+            F.col("n_cand") > 0, F.col("n_hit").cast("double") / F.col("n_cand").cast("double")
+        ).alias("precision"),
+    )

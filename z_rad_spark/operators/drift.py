@@ -725,3 +725,56 @@ def cuped_adjusted(df: DataFrame, signal_col: str = "signal") -> DataFrame:
         theta.alias("theta"),
         adjusted.alias("adjusted"),
     )
+
+
+def auc_binary(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact tie-corrected ROC AUC of a score predicting a binary label
+    — the Mann-Whitney statistic with positives playing the reference
+    sample (AUC = P(score_pos > score_neg) + P(equal)/2, midrank tie
+    rule). The classifier-eval twin of [[mw_drift]]: identical doubled-
+    midrank long algebra, label-keyed instead of time-window-keyed.
+
+    Scale + determinism: one map-side partially-aggregated groupBy on
+    (group, score) compacts every group to its distinct score values
+    before any window — the rank cumsum runs over score CARDINALITY,
+    not row count (the compacted-histogram pattern; a naive per-row
+    global rank would single-partition the corpus). The midrank sum is
+    the exact long 2R (tie block of size t above cb ranks contributes
+    r*(2*cb + t + 1)); AUC is one division of exact operands — no float
+    summation, SQL-replayable bit-for-bit.
+
+    Groups with no positives or no negatives emit auc = NULL.
+
+    Output: (group..., n_pos long, n_neg long, auc double)."""
+    keys = [group_col] if group_col else []
+    s = F.col(score_col).cast("double")
+    is_pos = F.col(label_col).cast("int") == 1
+    per_val = (
+        df.where(s.isNotNull())
+        .groupBy(*keys, s.alias("_val"))
+        .agg(
+            F.count(F.when(is_pos, 1)).alias("_p"),
+            F.count(F.when(~is_pos, 1)).alias("_n"),
+        )
+        .withColumn("_t", F.col("_p") + F.col("_n"))
+    )
+    w_cum = (
+        Window.partitionBy(*keys).orderBy("_val").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cb = (F.sum("_t").over(w_cum) - F.col("_t")).alias("_cb")
+    g = per_val.select(*keys, "_p", "_n", "_t", cb).groupBy(*keys).agg(
+        F.sum("_p").cast("long").alias("n_pos"),
+        F.sum("_n").cast("long").alias("n_neg"),
+        F.sum(F.col("_p") * (F.lit(2) * F.col("_cb") + F.col("_t") + F.lit(1)))
+        .cast("long")
+        .alias("_two_r"),
+    )
+    np_, nn = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    u = (F.col("_two_r").cast("double") - np_ * (np_ + F.lit(1.0))) / F.lit(2.0)
+    auc = F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), u / (np_ * nn))
+    return g.select(*keys, "n_pos", "n_neg", auc.alias("auc"))

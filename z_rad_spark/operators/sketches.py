@@ -59,3 +59,147 @@ def approx_quantiles_by(
         for p in probabilities
     ]
     return df.groupBy(group_col).agg(*aggs)
+
+
+# Fixed (a, b) pairs for the explicit universal-hash family
+# h_i(k) = ((a_i * (|k| mod p) + b_i) mod p) mod width, p = 2^31 - 1.
+# Unlike HLL++/GK above, these hashes are plain integer arithmetic, so a
+# portable SQL engine can replay every bucket EXACTLY — the sketch
+# estimates themselves become hash-gateable (no tolerance booleans).
+# a_i * k stays below 2^57 for k < p, well inside signed-64 range in
+# both Spark (long) and DuckDB (BIGINT, which errors on overflow).
+_HASH_P = 2147483647
+_HASH_AB = (
+    (1299721, 104729),
+    (15485863, 32452843),
+    (49979687, 67867967),
+    (86028121, 98765431),
+)
+
+
+def _bucket(key: F.Column, a: int, b: int, width: int) -> F.Column:
+    k = F.pmod(F.abs(key.cast("long")), F.lit(_HASH_P))
+    return F.pmod(F.pmod(F.lit(a) * k + F.lit(b), F.lit(_HASH_P)), F.lit(width))
+
+
+def count_min_heavy_hitters(
+    df: DataFrame,
+    key_col: str = "user_id",
+    width: int = 512,
+    depth: int = 4,
+    top_k: int = 20,
+) -> DataFrame:
+    """Count-min-sketch heavy hitters: estimated event count per key via
+    a depth x width CMS, reported against the exact count for the top-k
+    keys (reference analogue: z-rad's per-image histogram summaries —
+    zrad/radiomics/intensity.py builds fixed-width bin tables the same
+    way; here the "bins" are universal-hash buckets over an unbounded
+    key space).
+
+    Scale: the sketch is a FIXED depth*width counter grid — each event
+    row contributes +1 to `depth` buckets, counted with map-side partial
+    aggregation, so the sketch exchange carries at most depth*width rows
+    per task no matter how many events. The probe side (distinct keys +
+    exact counts, one groupBy) joins the completed sketch via BROADCAST
+    (depth*width <= a few thousand rows) — no second shuffle of the key
+    space. Top-k uses orderBy().limit() = distributed TakeOrdered, never
+    a single-partition window. CMS guarantee: est >= true always;
+    overshoot bounded by (n_events / width) per row w.h.p., surfaced as
+    the exact `overcount` column.
+
+    Determinism: pure integer arithmetic (see _HASH_AB); ordering ties
+    broken by key ascending. Output: (key, est_count, true_count,
+    overcount) for the top_k keys by (est_count desc, key asc)."""
+    key = F.col(key_col)
+    pairs = list(_HASH_AB[:depth])
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("row_i"),
+                _bucket(key, a, b, width).cast("int").alias("bucket"),
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    sketch = (
+        df.select(F.explode(cells).alias("h"))
+        .groupBy(F.col("h.row_i").alias("row_i"), F.col("h.bucket").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    truth = df.groupBy(key.cast("long").alias("key")).agg(
+        F.count("*").cast("long").alias("true_count")
+    )
+    probe = truth.select(
+        "key",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("row_i"),
+                        _bucket(F.col("key"), a, b, width).cast("int").alias("bucket"),
+                    )
+                    for i, (a, b) in enumerate(pairs)
+                ]
+            )
+        ).alias("h"),
+    ).select("key", "true_count", F.col("h.row_i").alias("row_i"), F.col("h.bucket").alias("bucket"))
+    est = (
+        probe.join(F.broadcast(sketch), ["row_i", "bucket"])
+        .groupBy("key", "true_count")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return (
+        est.select(
+            "key",
+            "est_count",
+            "true_count",
+            (F.col("est_count") - F.col("true_count")).alias("overcount"),
+        )
+        .orderBy(F.desc("est_count"), F.asc("key"))
+        .limit(top_k)
+    )
+
+
+def linear_count_by(
+    df: DataFrame,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    m: int = 4096,
+) -> DataFrame:
+    """Linear-counting distinct estimator per group: hash each key into
+    an m-slot table with the explicit universal hash, count occupied
+    slots z, estimate n_distinct = -m * ln((m - z) / m) (Whang et al.,
+    the load-factor MLE). Reported against the exact distinct so the
+    estimator's error is visible in the same row.
+
+    Scale: ONE aggregate on the group key; both distinct counts ride
+    Spark's expand-based partial distinct aggregation (map-side
+    dedup within partition), and the estimator state is the bounded
+    occupied-slot set (<= m) rather than the key universe. For the
+    fixed-memory streaming form, keep the m-bit bitmap per group
+    (bit_or of shifted bits); this exact-twin form is the verification
+    harness, matching q_sketch_stats' pattern of carrying the exact
+    aggregate alongside the estimate.
+
+    Determinism: integer bucket arithmetic + one ln()/mult — the same
+    libm double in both engines under the 6dp gate rounding. Output:
+    (group, exact_distinct, occupied, est_distinct, err_pct)."""
+    a, b = _HASH_AB[0]
+    bucket = _bucket(F.col(key_col), a, b, m)
+    out = df.groupBy(group_col).agg(
+        F.countDistinct(F.col(key_col)).cast("long").alias("exact_distinct"),
+        F.countDistinct(bucket).cast("long").alias("occupied"),
+    )
+    est = F.when(
+        F.col("occupied") < F.lit(m),
+        F.lit(-float(m))
+        * F.log((F.lit(m).cast("double") - F.col("occupied").cast("double")) / F.lit(float(m))),
+    ).otherwise(F.lit(float(m)) * F.log(F.lit(float(m))))
+    out = out.withColumn("est_distinct", est)
+    return out.withColumn(
+        "err_pct",
+        (F.col("est_distinct") - F.col("exact_distinct").cast("double"))
+        / F.col("exact_distinct").cast("double")
+        * F.lit(100.0),
+    )
