@@ -4214,6 +4214,19 @@ def q_lsh_recall(spark, sf_dir):
     return _r6(out, ["recall", "precision"])
 
 
+def q_jackknife(spark, sf_dir):
+    """Delete-one-user jackknife SE of the per-event_type mean value
+    (profile.jackknife_cluster_se): the cluster-robust complement to
+    q_bootstrap_ci — per-user integer sums, exact leave-one-out ratios,
+    ordered left folds over cluster aggregates (the log_rank idiom) —
+    oracle-replayable term for term."""
+    from z_rad_spark.operators.profile import jackknife_cluster_se
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = jackknife_cluster_se(ev)
+    return _r6(out, ["mean_hat", "jk_se", "ci_lo", "ci_hi"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4494,6 +4507,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": q_repetition,
         "q_rare_tokens": q_rare_tokens,
         "q_source_reputation": q_source_reputation,
+        # --- added after the final r5 rotation; first in the ledger
+        # queue for any future rotation (changed-this-round) ---
+        "q_jackknife": q_jackknife,
     }
 
 

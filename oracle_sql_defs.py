@@ -8306,3 +8306,62 @@ FROM j
 """.replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip()).replace(
     "{JACC}", ORACLES["q_ngram_jaccard"].strip()
 )
+
+
+# Delete-one-cluster jackknife: per-user exact integer sums, leave-one-
+# out means as single divisions, both cluster reductions as ordered
+# left folds (the log_rank list_reduce idiom, ordered by cluster id —
+# Spark's sort_array(collect_list(struct(c, ...))) sorts by the same
+# leading key)
+ORACLES["q_jackknife"] = f"""
+WITH base AS (
+  SELECT event_type AS grp, user_id AS c,
+         CAST(FLOOR(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS cents
+  FROM events
+),
+pc AS (
+  SELECT grp, c, CAST(SUM(cents) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY grp, c
+),
+pm AS (
+  SELECT grp, c, s, n,
+         CAST(SUM(s) OVER (PARTITION BY grp) AS BIGINT) AS st,
+         CAST(SUM(n) OVER (PARTITION BY grp) AS BIGINT) AS nt,
+         CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS gc
+  FROM pc
+),
+pm2 AS (
+  SELECT grp, c, st, nt, gc,
+         CASE WHEN nt > n
+              THEN CAST(st - s AS DOUBLE) / (100.0 * CAST(nt - n AS DOUBLE))
+              ELSE 0.0 END AS m
+  FROM pm
+),
+g AS (
+  SELECT grp, gc, st, nt,
+         list_reduce([0.0] || list(m ORDER BY c), (p, q) -> p + q) AS sum_m
+  FROM pm2 GROUP BY grp, gc, st, nt
+),
+g2 AS (
+  SELECT p.grp, g.gc, g.st, g.nt,
+         list_reduce([0.0] || list(
+             (p.m - g.sum_m / CAST(g.gc AS DOUBLE))
+             * (p.m - g.sum_m / CAST(g.gc AS DOUBLE)) ORDER BY p.c),
+           (x, y) -> x + y) AS ss
+  FROM pm2 p JOIN g ON p.grp = g.grp
+  GROUP BY p.grp, g.gc, g.st, g.nt, g.sum_m
+),
+fin AS (
+  SELECT grp, gc, nt,
+         CAST(st AS DOUBLE) / (100.0 * CAST(nt AS DOUBLE)) AS mh,
+         CASE WHEN gc >= 2 THEN SQRT((CAST(gc AS DOUBLE) - 1.0)
+                                     / CAST(gc AS DOUBLE) * ss) END AS se
+  FROM g2
+)
+SELECT grp AS event_type, nt AS n, gc AS n_clusters,
+       {r6('mh', 'mean_hat')},
+       {r6('se', 'jk_se')},
+       {r6('mh - 1.96 * se', 'ci_lo')},
+       {r6('mh + 1.96 * se', 'ci_hi')}
+FROM fin
+"""

@@ -204,3 +204,31 @@ def test_lsh_recall_eval_counts(spark):
     assert r["n_true"] == 1 and r["n_hit"] == 1
     assert r["recall"] == 1.0
     assert r["n_cand"] >= 1 and 0.0 < r["precision"] <= 1.0
+
+
+def test_jackknife_cluster_se_hand_case(spark):
+    from z_rad_spark.operators.profile import jackknife_cluster_se
+
+    rows = [("a", 1, 1.0), ("a", 1, 3.0), ("a", 2, 5.0), ("a", 3, 7.0)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long, value double")
+    r = jackknife_cluster_se(df).collect()[0]
+    # S=1600 cents, N=4, G=3; loo means: 6.0, 11/3, 3.0
+    ms = [6.0, 1100 / 300.0, 3.0]
+    theta = sum(ms) / 3.0
+    ss = sum((m - theta) ** 2 for m in ms)
+    import math as _m
+
+    assert (r["n"], r["n_clusters"]) == (4, 3)
+    assert r["mean_hat"] == pytest.approx(4.0, abs=1e-12)
+    assert r["jk_se"] == pytest.approx(_m.sqrt(2.0 / 3.0 * ss), abs=1e-9)
+    assert r["ci_lo"] == pytest.approx(4.0 - 1.96 * r["jk_se"], abs=1e-9)
+
+
+def test_jackknife_single_cluster_is_null(spark):
+    from z_rad_spark.operators.profile import jackknife_cluster_se
+
+    df = spark.createDataFrame(
+        [("a", 1, 2.0), ("a", 1, 4.0)], "event_type string, user_id long, value double"
+    )
+    r = jackknife_cluster_se(df).collect()[0]
+    assert r["n_clusters"] == 1 and r["jk_se"] is None and r["ci_lo"] is None

@@ -1773,3 +1773,83 @@ def poisson_bootstrap_ci(
             "ci_hi",
         )
     )
+
+
+def jackknife_cluster_se(
+    df: DataFrame,
+    group_col: str = "event_type",
+    cluster_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Delete-one-CLUSTER jackknife standard error for the per-group
+    mean — the uncertainty estimate that respects within-user
+    correlation ([[poisson_bootstrap_ci]] resamples ROWS, treating
+    turns as independent; when observations cluster by user, the
+    design-correct resampling unit is the user):
+
+        m_c      = mean with cluster c removed (exact integer ratio)
+        theta_b  = mean of the m_c
+        jk_se    = sqrt((G-1)/G * sum_c (m_c - theta_b)^2)
+
+    Scale + determinism: one (group, cluster) groupBy compacts rows to
+    per-cluster integer sums (map-side combined) — the collect happens
+    over CLUSTER aggregates, never rows. Each m_c is one division of
+    exact longs; the two reductions over clusters are float and
+    therefore ride the engine-wide ordered-left-fold idiom
+    (sort_array + aggregate, the [[log_rank]] pattern) so the oracle
+    replays them term-for-term. For G beyond array practicality
+    (~1e6 clusters/group), swap the folds for compensated distributed
+    sums and accept last-ulp drift.
+
+    Groups with G < 2 clusters emit NULL se/ci.
+
+    Output: (group, n long, n_clusters long, mean_hat, jk_se,
+    ci_lo, ci_hi) with ci = mean_hat -/+ 1.96 * jk_se."""
+    cents = F.floor(F.col(value_col).cast("double") * F.lit(100.0)).cast("long")
+    pc = (
+        df.select(F.col(group_col).alias("_g"), F.col(cluster_col).alias("_c"), cents.alias("_v"))
+        .groupBy("_g", "_c")
+        .agg(F.sum("_v").alias("_s"), F.count("*").cast("long").alias("_n"))
+    )
+    g = pc.groupBy("_g").agg(
+        F.sum("_s").cast("long").alias("_S"),
+        F.sum("_n").cast("long").alias("_N"),
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sort_array(F.collect_list(F.struct("_c", "_s", "_n"))).alias("_arr"),
+    )
+
+    def _m(x):
+        # the G=1 degenerate group would divide by zero inside the fold
+        # (ANSI errors where DuckDB's float division yields inf); its
+        # se/ci are NULLed by the G >= 2 gate either way, so the term
+        # value is arbitrary — pin it to 0.0 in BOTH engines
+        return F.when(
+            F.col("_N") > x["_n"],
+            (F.col("_S") - x["_s"]).cast("double")
+            / (F.lit(100.0) * (F.col("_N") - x["_n"]).cast("double")),
+        ).otherwise(F.lit(0.0))
+
+    g = g.withColumn(
+        "_sum_m", F.aggregate("_arr", F.lit(0.0), lambda a, x: a + _m(x))
+    ).withColumn("_theta", F.col("_sum_m") / F.col("n_clusters").cast("double"))
+    g = g.withColumn(
+        "_ss",
+        F.aggregate(
+            "_arr", F.lit(0.0), lambda a, x: a + (_m(x) - F.col("_theta")) * (_m(x) - F.col("_theta"))
+        ),
+    )
+    gd = F.col("n_clusters").cast("double")
+    se = F.when(
+        F.col("n_clusters") >= 2,
+        F.sqrt((gd - F.lit(1.0)) / gd * F.col("_ss")),
+    )
+    mean_hat = F.col("_S").cast("double") / (F.lit(100.0) * F.col("_N").cast("double"))
+    return g.select(
+        F.col("_g").alias(group_col),
+        F.col("_N").alias("n"),
+        "n_clusters",
+        mean_hat.alias("mean_hat"),
+        se.alias("jk_se"),
+        (mean_hat - F.lit(1.96) * se).alias("ci_lo"),
+        (mean_hat + F.lit(1.96) * se).alias("ci_hi"),
+    )
