@@ -4227,6 +4227,18 @@ def q_jackknife(spark, sf_dir):
     return _r6(out, ["mean_hat", "jk_se", "ci_lo", "ci_hi"])
 
 
+def q_srm(spark, sf_dir):
+    """Sample-ratio-mismatch guard on the q_hash_split assignment
+    (curation.srm_check): chi-square GOF of realized vs configured
+    0.8/0.1/0.1 fractions — one conditional-count aggregate, the
+    chi-square sum a FIXED 3-slot expression (no float row
+    aggregation) — oracle-replayable."""
+    from z_rad_spark.operators.curation import srm_check
+
+    out = srm_check(_docs(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1})
+    return _r6(out, ["chi2"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4242,13 +4254,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     position — so the order below doubles as the rotation queue for
     future rounds. Regenerate with tools/rotate_window.py.
 
-    Current window: 12 changed-since-last-gate entries (the six new
+    Current window: 14 changed-since-last-gate entries (the eight new
     round-5 operators q_heavy_hitters / q_linear_count / q_bootstrap_ci /
-    q_split_contamination / q_auc / q_lsh_recall plus the six r5
-    advice-fix entries), 4 pinned, and 34 ledger-ordered backlog
-    entries; 46 of 50 slots were not in the round-4 driver window
-    (CORRECTNESS_r04.json), meeting the VERDICT r4 #1 ">= 40 fresh"
-    criterion. Entries past the marker keep
+    q_split_contamination / q_auc / q_lsh_recall / q_jackknife / q_srm
+    plus the six r5 advice-fix entries), 4 pinned, and 32 ledger-ordered
+    backlog entries; 46 of 50 slots were not in the round-4 driver
+    window (CORRECTNESS_r04.json), meeting the VERDICT r4 #1 ">= 40
+    fresh" criterion. Entries past the marker keep
     their newest green driver rows; every registry entry is additionally
     strict-mirrored (tools/check_queries.py, STRICT hash mode, sf0.01)
     before each handoff — see COVERAGE.md."""
@@ -4260,6 +4272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_contamination": q_split_contamination,
         "q_auc": q_auc,
         "q_lsh_recall": q_lsh_recall,
+        "q_jackknife": q_jackknife,
+        "q_srm": q_srm,
         "q_media_decode": q_media_decode,
         "q_media_features": q_media_features,
         "q_hurst_rs": q_hurst_rs,
@@ -4304,12 +4318,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_forward": q_asof_forward,
         "q_asof_nearest": q_asof_nearest,
         "q_js_drift": q_js_drift,
-        "q_w1_drift": q_w1_drift,
-        "q_page_hinkley": q_page_hinkley,
         # ===== gate window ends here (first 50 entries) ================
         # Everything below keeps its newest green driver row (see
         # tools/gate_ledger.py for the live last_gated_round table)
         # and queues for future rotations in this order.
+        "q_w1_drift": q_w1_drift,
+        "q_page_hinkley": q_page_hinkley,
         "q_arrival_stats": q_arrival_stats,
         "q_count_encode": q_count_encode,
         "q_containment": q_containment,
@@ -4507,9 +4521,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": q_repetition,
         "q_rare_tokens": q_rare_tokens,
         "q_source_reputation": q_source_reputation,
-        # --- added after the final r5 rotation; first in the ledger
-        # queue for any future rotation (changed-this-round) ---
-        "q_jackknife": q_jackknife,
     }
 
 

@@ -8365,3 +8365,39 @@ SELECT grp AS event_type, nt AS n, gc AS n_clusters,
        {r6('mh + 1.96 * se', 'ci_hi')}
 FROM fin
 """
+
+
+# SRM guard: the q_hash_split CASE re-derived inline, conditional counts,
+# chi-square as a FIXED 3-slot expression (mirror of curation.srm_check)
+ORACLES["q_srm"] = """
+WITH sp AS (
+  SELECT CASE WHEN substring(md5('split1|' || CAST(doc_id AS STRING)), 1, 8) < '{t1}' THEN 'train'
+              WHEN substring(md5('split1|' || CAST(doc_id AS STRING)), 1, 8) < '{t2}' THEN 'val'
+              ELSE 'test' END AS s
+  FROM documents
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(COUNT(CASE WHEN s = 'train' THEN 1 END) AS BIGINT) AS n_train,
+         CAST(COUNT(CASE WHEN s = 'val' THEN 1 END) AS BIGINT) AS n_val,
+         CAST(COUNT(CASE WHEN s = 'test' THEN 1 END) AS BIGINT) AS n_test
+  FROM sp
+)
+SELECT n_total, n_train, n_val, n_test,
+       {chi}
+FROM g
+""".replace("{t1}", _SPLIT_T1).replace("{t2}", _SPLIT_T2).replace(
+    "{chi}",
+    r6(
+        "(CAST(n_train AS DOUBLE) - 0.8 * CAST(n_total AS DOUBLE))"
+        " * (CAST(n_train AS DOUBLE) - 0.8 * CAST(n_total AS DOUBLE))"
+        " / (0.8 * CAST(n_total AS DOUBLE))"
+        " + (CAST(n_val AS DOUBLE) - 0.1 * CAST(n_total AS DOUBLE))"
+        " * (CAST(n_val AS DOUBLE) - 0.1 * CAST(n_total AS DOUBLE))"
+        " / (0.1 * CAST(n_total AS DOUBLE))"
+        " + (CAST(n_test AS DOUBLE) - 0.1 * CAST(n_total AS DOUBLE))"
+        " * (CAST(n_test AS DOUBLE) - 0.1 * CAST(n_total AS DOUBLE))"
+        " / (0.1 * CAST(n_total AS DOUBLE))",
+        "chi2",
+    ),
+)

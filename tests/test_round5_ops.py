@@ -232,3 +232,19 @@ def test_jackknife_single_cluster_is_null(spark):
     )
     r = jackknife_cluster_se(df).collect()[0]
     assert r["n_clusters"] == 1 and r["jk_se"] is None and r["ci_lo"] is None
+
+
+def test_srm_check_counts_and_chi2(spark):
+    from z_rad_spark.operators.curation import srm_check
+
+    fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+    ids = list(range(1, 201))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    r = srm_check(df, fracs).collect()[0]
+    splits = [_split_py(i, fracs) for i in ids]
+    n = {s: splits.count(s) for s in ("train", "val", "test")}
+    assert r["n_total"] == 200
+    assert (r["n_train"], r["n_val"], r["n_test"]) == (n["train"], n["val"], n["test"])
+    exp = {"train": 160.0, "val": 20.0, "test": 20.0}
+    chi2 = sum((n[s] - exp[s]) ** 2 / exp[s] for s in ("train", "val", "test"))
+    assert r["chi2"] == pytest.approx(chi2, abs=1e-9)

@@ -1372,3 +1372,48 @@ def gini_concentration(
     den = F.col("n") * F.col("total")
     gini = F.when(den > 0, num.cast("double") / den.cast("double"))
     return g.select(group_col, "n", F.col("total").cast("long").alias("total"), gini.alias("gini"))
+
+
+def srm_check(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split1",
+) -> DataFrame:
+    """Sample-ratio-mismatch check over a hash split — the standard
+    experimentation-pipeline guard: do the realized split counts match
+    the configured fractions? (A drifting SRM means the assignment
+    hash, the key distribution, or an upstream filter is biased — the
+    chi-square GOF statistic is the alarm; compare to the chi-square
+    critical value for k-1 dof offline.)
+
+        chi2 = sum_splits (observed - expected)^2 / expected,
+        expected_s = fraction_s * N
+
+    Scale + determinism: the split label is a pure expression of the
+    key (dedup.split_expr — zero joins), so the whole check is ONE
+    map-side-combined aggregate of conditional counts; the chi-square
+    sum is a FIXED expression over the k split slots in fractions
+    order (never a float aggregation over rows), so it is
+    engine-invariant and SQL-replayable.
+
+    Output: one wide row (n_total long, n_<split> long per split,
+    chi2 double)."""
+    from z_rad_spark.operators.dedup import split_expr
+
+    split = split_expr(F.col(key_col), fractions, salt)
+    names = list(fractions.keys())
+    agg = df.select(split.alias("_sp")).groupBy().agg(
+        F.count("*").cast("long").alias("n_total"),
+        *[
+            F.count(F.when(F.col("_sp") == F.lit(s), 1)).cast("long").alias(f"n_{s}")
+            for s in names
+        ],
+    )
+    nt = F.col("n_total").cast("double")
+    chi2 = None
+    for s in names:
+        e = F.lit(float(fractions[s])) * nt
+        term = (F.col(f"n_{s}").cast("double") - e) * (F.col(f"n_{s}").cast("double") - e) / e
+        chi2 = term if chi2 is None else chi2 + term
+    return agg.withColumn("chi2", chi2)
