@@ -4239,6 +4239,19 @@ def q_srm(spark, sf_dir):
     return _r6(out, ["chi2"])
 
 
+def q_perm_test(spark, sf_dir):
+    """Randomization test for the weekend-vs-weekday mean value per
+    event_type (profile.permutation_test, 64 relabelings): epoch-day
+    day-of-week arithmetic (engine-portable), square-mod hash side
+    flips, integer-cents sums, the explode collapsed map-side —
+    oracle-replayable including the |diff| tail comparisons."""
+    from z_rad_spark.operators.profile import permutation_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = permutation_test(ev, n_perm=64)
+    return _r6(out, ["obs_diff", "p_hat"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4254,13 +4267,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     position — so the order below doubles as the rotation queue for
     future rounds. Regenerate with tools/rotate_window.py.
 
-    Current window: 14 changed-since-last-gate entries (the eight new
+    Current window: 15 changed-since-last-gate entries (the nine new
     round-5 operators q_heavy_hitters / q_linear_count / q_bootstrap_ci /
-    q_split_contamination / q_auc / q_lsh_recall / q_jackknife / q_srm
-    plus the six r5 advice-fix entries), 4 pinned, and 32 ledger-ordered
-    backlog entries; 46 of 50 slots were not in the round-4 driver
-    window (CORRECTNESS_r04.json), meeting the VERDICT r4 #1 ">= 40
-    fresh" criterion. Entries past the marker keep
+    q_split_contamination / q_auc / q_lsh_recall / q_jackknife / q_srm /
+    q_perm_test plus the six r5 advice-fix entries), 4 pinned, and 31
+    ledger-ordered backlog entries; 46 of 50 slots were not in the
+    round-4 driver window (CORRECTNESS_r04.json), meeting the VERDICT
+    r4 #1 ">= 40 fresh" criterion. Entries past the marker keep
     their newest green driver rows; every registry entry is additionally
     strict-mirrored (tools/check_queries.py, STRICT hash mode, sf0.01)
     before each handoff — see COVERAGE.md."""
@@ -4274,6 +4287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_recall": q_lsh_recall,
         "q_jackknife": q_jackknife,
         "q_srm": q_srm,
+        "q_perm_test": q_perm_test,
         "q_media_decode": q_media_decode,
         "q_media_features": q_media_features,
         "q_hurst_rs": q_hurst_rs,
@@ -4317,11 +4331,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_novelty": q_ngram_novelty,
         "q_asof_forward": q_asof_forward,
         "q_asof_nearest": q_asof_nearest,
-        "q_js_drift": q_js_drift,
         # ===== gate window ends here (first 50 entries) ================
         # Everything below keeps its newest green driver row (see
         # tools/gate_ledger.py for the live last_gated_round table)
         # and queues for future rotations in this order.
+        "q_js_drift": q_js_drift,
         "q_w1_drift": q_w1_drift,
         "q_page_hinkley": q_page_hinkley,
         "q_arrival_stats": q_arrival_stats,

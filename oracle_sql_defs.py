@@ -8401,3 +8401,69 @@ FROM g
         "chi2",
     ),
 )
+
+
+# Randomization test: epoch-day DOW arithmetic (engine-portable),
+# square-mod hash side flips (profile.permutation_test), integer-cents
+# sums, |diff| tail comparisons as identical IEEE ops
+ORACLES["q_perm_test"] = f"""
+WITH base AS (
+  SELECT event_type AS grp, CAST(event_id AS BIGINT) AS id,
+         CAST(FLOOR(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS cents,
+         ((CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) + 4) % 7)
+           IN (0, 6) AS we
+  FROM events
+),
+obs AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CASE WHEN we THEN cents END) AS s1,
+         CAST(COUNT(CASE WHEN we THEN 1 END) AS BIGINT) AS n1,
+         SUM(CASE WHEN NOT we THEN cents END) AS s0,
+         CAST(COUNT(CASE WHEN NOT we THEN 1 END) AS BIGINT) AS n0
+  FROM base GROUP BY grp
+),
+obs2 AS (
+  SELECT grp, n,
+         CASE WHEN n1 > 0 AND n0 > 0 THEN
+           CAST(s1 AS DOUBLE) / (100.0 * CAST(n1 AS DOUBLE))
+           - CAST(s0 AS DOUBLE) / (100.0 * CAST(n0 AS DOUBLE)) END AS obs_diff
+  FROM obs
+),
+reps AS (SELECT CAST(b AS BIGINT) AS b FROM generate_series(0, 63) t(b)),
+rl AS (
+  SELECT grp, b, cents,
+         (CAST((((x * x + x) % 2147483647) * 48271) % 2147483647 AS DOUBLE)
+          / 2147483647.0) < 0.5 AS side
+  FROM (SELECT grp, cents, b, (id * 48271 + b * 69621 + 12345) % 2147483647 AS x
+        FROM base CROSS JOIN reps) xb
+),
+d AS (
+  SELECT grp, b,
+         SUM(CASE WHEN side THEN cents END) AS s1,
+         COUNT(CASE WHEN side THEN 1 END) AS n1,
+         SUM(CASE WHEN NOT side THEN cents END) AS s0,
+         COUNT(CASE WHEN NOT side THEN 1 END) AS n0
+  FROM rl GROUP BY grp, b
+  HAVING COUNT(CASE WHEN side THEN 1 END) > 0
+     AND COUNT(CASE WHEN NOT side THEN 1 END) > 0
+),
+dd AS (
+  SELECT grp,
+         CAST(s1 AS DOUBLE) / (100.0 * CAST(n1 AS DOUBLE))
+         - CAST(s0 AS DOUBLE) / (100.0 * CAST(n0 AS DOUBLE)) AS diff
+  FROM d
+),
+tl AS (
+  SELECT dd.grp,
+         CAST(COUNT(*) AS BIGINT) AS n_valid,
+         CAST(COUNT(CASE WHEN ABS(diff) >= ABS(o.obs_diff) THEN 1 END) AS BIGINT) AS n_ge
+  FROM dd JOIN obs2 o ON dd.grp = o.grp
+  GROUP BY dd.grp
+)
+SELECT o.grp AS event_type, o.n,
+       {r6('o.obs_diff', 'obs_diff')},
+       CAST(COALESCE(t.n_ge, 0) AS BIGINT) AS n_ge,
+       CAST(COALESCE(t.n_valid, 0) AS BIGINT) AS n_valid,
+       {r6("CASE WHEN o.obs_diff IS NOT NULL THEN (CAST(COALESCE(t.n_ge, 0) AS DOUBLE) + 1.0) / (CAST(COALESCE(t.n_valid, 0) AS DOUBLE) + 1.0) END", 'p_hat')}
+FROM obs2 o LEFT JOIN tl t ON o.grp = t.grp
+"""

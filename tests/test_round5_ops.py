@@ -248,3 +248,45 @@ def test_srm_check_counts_and_chi2(spark):
     exp = {"train": 160.0, "val": 20.0, "test": 20.0}
     chi2 = sum((n[s] - exp[s]) ** 2 / exp[s] for s in ("train", "val", "test"))
     assert r["chi2"] == pytest.approx(chi2, abs=1e-9)
+
+
+def test_permutation_test_matches_python_replay(spark):
+    import datetime as dt
+
+    from z_rad_spark.operators.profile import permutation_test
+
+    # 4 events on Sat 2024-01-06, 4 on Mon 2024-01-08
+    rows = []
+    vals = [10.0, 20.0, 30.0, 40.0, 11.0, 21.0, 31.0, 41.0]
+    for i, v in enumerate(vals, start=1):
+        day = dt.datetime(2024, 1, 6) if i <= 4 else dt.datetime(2024, 1, 8)
+        rows.append(("a", i, v, day))
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double, ts timestamp")
+    r = permutation_test(df, n_perm=64).collect()[0]
+
+    cents = [int(math.floor(v * 100.0)) for v in vals]
+    we = [i <= 4 for i in range(1, 9)]
+    s1 = sum(c for c, w in zip(cents, we) if w)
+    s0 = sum(c for c, w in zip(cents, we) if not w)
+    obs = s1 / (100.0 * 4) - s0 / (100.0 * 4)
+
+    def _u(i, b):
+        p = 2147483647
+        x = (i * 48271 + b * 69621 + 12345) % p
+        return (((x * x + x) % p) * 48271) % p / 2147483647.0
+
+    n_ge = n_valid = 0
+    for b in range(64):
+        sides = [_u(i, b) < 0.5 for i in range(1, 9)]
+        if not any(sides) or all(sides):
+            continue
+        n_valid += 1
+        d1 = sum(c for c, s in zip(cents, sides) if s)
+        d0 = sum(c for c, s in zip(cents, sides) if not s)
+        n1, n0 = sum(sides), 8 - sum(sides)
+        diff = d1 / (100.0 * n1) - d0 / (100.0 * n0)
+        if abs(diff) >= abs(obs):
+            n_ge += 1
+    assert r["obs_diff"] == pytest.approx(obs, abs=1e-12)
+    assert (r["n_ge"], r["n_valid"]) == (n_ge, n_valid)
+    assert r["p_hat"] == pytest.approx((n_ge + 1) / (n_valid + 1), abs=1e-12)

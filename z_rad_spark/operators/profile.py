@@ -1853,3 +1853,113 @@ def jackknife_cluster_se(
         (mean_hat - F.lit(1.96) * se).alias("ci_lo"),
         (mean_hat + F.lit(1.96) * se).alias("ci_hi"),
     )
+
+
+def permutation_test(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    n_perm: int = 64,
+) -> DataFrame:
+    """Distribution-free significance for the weekend-vs-weekday mean
+    difference per group — the randomization-test member of the
+    resampling triad ([[poisson_bootstrap_ci]] = row-level uncertainty,
+    [[jackknife_cluster_se]] = cluster-robust uncertainty, this =
+    assumption-free significance):
+
+        obs     = mean(weekend) - mean(weekday)
+        diff_b  = same statistic under the b-th random RE-labeling
+        p_hat   = (#{|diff_b| >= |obs|} + 1) / (n_valid + 1)
+
+    This is the Bernoulli(1/2) random-relabeling flavor (each row flips
+    sides independently per replicate) rather than the size-preserving
+    permutation — valid as a randomization test and, unlike a true
+    permutation, expressible with ZERO shuffles beyond two aggregates:
+    no global sort, no sampling without replacement across partitions.
+
+    Scale + determinism: side labels derive from pure integer
+    arithmetic — the real side from epoch-day day-of-week ((d + 4) % 7,
+    engine-portable, avoiding dayofweek() dialect skew) and the
+    replicate side from the square-mod mixing hash (see
+    poisson_bootstrap_ci — an LCG would block-correlate flips). The
+    n_perm explode collapses in the same stage's partial aggregation
+    (groups x n_perm partials on the exchange); per-side sums ride
+    integer cents; each mean is one division; the |diff| comparisons
+    are identical IEEE ops in both engines. Replicates with an empty
+    side are excluded from n_valid (and p's denominator).
+
+    Output: (group, n long, obs_diff, n_ge long, n_valid long,
+    p_hat)."""
+    p = F.lit(2147483647)
+    cents = F.floor(F.col(value_col).cast("double") * F.lit(100.0)).cast("long")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dow = F.pmod(F.floor(us.cast("double") / F.lit(86400000000.0)).cast("long") + F.lit(4), F.lit(7))
+    is_we = dow.isin(0, 6)
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).cast("long").alias("_id"),
+        cents.alias("_v"),
+        is_we.alias("_we"),
+    )
+    obs = base.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("_we"), F.col("_v"))).alias("_s1"),
+        F.count(F.when(F.col("_we"), 1)).cast("long").alias("_n1"),
+        F.sum(F.when(~F.col("_we"), F.col("_v"))).alias("_s0"),
+        F.count(F.when(~F.col("_we"), 1)).cast("long").alias("_n0"),
+    )
+    mean1 = F.col("_s1").cast("double") / (F.lit(100.0) * F.col("_n1").cast("double"))
+    mean0 = F.col("_s0").cast("double") / (F.lit(100.0) * F.col("_n0").cast("double"))
+    obs = obs.withColumn(
+        "obs_diff",
+        F.when((F.col("_n1") > 0) & (F.col("_n0") > 0), mean1 - mean0),
+    ).select("_g", "n", "obs_diff")
+    rep = base.select("_g", "_id", "_v", F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("b"))
+    x = F.pmod(F.col("_id") * F.lit(48271) + F.col("b").cast("long") * F.lit(69621) + F.lit(12345), p)
+    y = F.pmod(x * x + x, p)
+    z = F.pmod(y * F.lit(48271), p)
+    u = z.cast("double") / F.lit(2147483647.0)
+    side = (u < F.lit(0.5)).alias("_side")
+    diffs = (
+        rep.withColumn("_side", side)
+        .groupBy("_g", "b")
+        .agg(
+            F.sum(F.when(F.col("_side"), F.col("_v"))).alias("_s1"),
+            F.count(F.when(F.col("_side"), 1)).cast("long").alias("_n1"),
+            F.sum(F.when(~F.col("_side"), F.col("_v"))).alias("_s0"),
+            F.count(F.when(~F.col("_side"), 1)).cast("long").alias("_n0"),
+        )
+        .where((F.col("_n1") > 0) & (F.col("_n0") > 0))
+        .select(
+            "_g",
+            (
+                F.col("_s1").cast("double") / (F.lit(100.0) * F.col("_n1").cast("double"))
+                - F.col("_s0").cast("double") / (F.lit(100.0) * F.col("_n0").cast("double"))
+            ).alias("_diff"),
+        )
+    )
+    tail = (
+        diffs.join(F.broadcast(obs), "_g")
+        .groupBy("_g")
+        .agg(
+            F.count("*").cast("long").alias("n_valid"),
+            F.count(F.when(F.abs(F.col("_diff")) >= F.abs(F.col("obs_diff")), 1))
+            .cast("long")
+            .alias("n_ge"),
+        )
+    )
+    out = obs.join(tail, "_g", "left")
+    return out.select(
+        F.col("_g").alias(group_col),
+        "n",
+        "obs_diff",
+        F.coalesce(F.col("n_ge"), F.lit(0)).cast("long").alias("n_ge"),
+        F.coalesce(F.col("n_valid"), F.lit(0)).cast("long").alias("n_valid"),
+        F.when(
+            F.col("obs_diff").isNotNull(),
+            (F.coalesce(F.col("n_ge"), F.lit(0)).cast("double") + F.lit(1.0))
+            / (F.coalesce(F.col("n_valid"), F.lit(0)).cast("double") + F.lit(1.0)),
+        ).alias("p_hat"),
+    )
