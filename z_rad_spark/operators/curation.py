@@ -1413,7 +1413,13 @@ def srm_check(
     nt = F.col("n_total").cast("double")
     chi2 = None
     for s in names:
+        if fractions[s] <= 0.0:
+            # zero-expected cells are undefined in the GOF statistic
+            # (and would divide by zero under ANSI) — standard practice
+            # is to exclude them; any observation landing there is a
+            # hash_split impossibility anyway
+            continue
         e = F.lit(float(fractions[s])) * nt
         term = (F.col(f"n_{s}").cast("double") - e) * (F.col(f"n_{s}").cast("double") - e) / e
         chi2 = term if chi2 is None else chi2 + term
-    return agg.withColumn("chi2", chi2)
+    return agg.withColumn("chi2", chi2 if chi2 is not None else F.lit(None).cast("double"))

@@ -1754,10 +1754,18 @@ def poisson_bootstrap_ci(
         )
     )
     ci = means.groupBy("grp").agg(F.array_sort(F.collect_list("mean_b")).alias("_ms"))
+    # a degenerate group can lose replicates to the _nb > 0 filter; an
+    # out-of-range element_at would ERROR under ANSI where DuckDB's
+    # list index returns NULL — gate each bound on its own index to
+    # replicate the oracle's OOB semantics exactly
     ci = ci.select(
         "grp",
-        F.element_at("_ms", lo_idx + 1).alias("ci_lo"),
-        F.element_at("_ms", hi_idx + 1).alias("ci_hi"),
+        F.when(F.size("_ms") >= F.lit(lo_idx + 1), F.element_at("_ms", lo_idx + 1)).alias(
+            "ci_lo"
+        ),
+        F.when(F.size("_ms") >= F.lit(hi_idx + 1), F.element_at("_ms", hi_idx + 1)).alias(
+            "ci_hi"
+        ),
     )
     point = base.groupBy("grp").agg(
         F.count("*").cast("long").alias("n"), F.sum("_cents").alias("_sc")
