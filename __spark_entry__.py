@@ -4252,6 +4252,37 @@ def q_perm_test(spark, sf_dir):
     return _r6(out, ["obs_diff", "p_hat"])
 
 
+def q_kruskal(spark, sf_dir):
+    """Kruskal-Wallis H across event types on value (drift.
+    kruskal_wallis): global midranks over the compacted value histogram
+    (the mw_drift doubled-rank longs), ordered group fold for the H sum,
+    fixed tie correction — oracle-replayable bit for bit."""
+    from z_rad_spark.operators.drift import kruskal_wallis
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _r6(kruskal_wallis(ev), ["h", "h_corr"])
+
+
+def q_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe variance-homogeneity W across sources on document
+    length (drift.brown_forsythe): sorted-median centers, exact long
+    2*sum|z| / 4*sum z^2 sufficient statistics, ordered between/within
+    group folds — oracle-replayable."""
+    from z_rad_spark.operators.drift import brown_forsythe
+
+    return _r6(brown_forsythe(_docs(spark, sf_dir)), ["w_stat"])
+
+
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test per conversation (profile.runs_test):
+    median-dichotomized turn-ordered sign list (ties dropped), exact
+    integer run count via adjacent zip, fixed mu/var/z chain —
+    oracle-replayable."""
+    from z_rad_spark.operators.profile import runs_test
+
+    return _r6(runs_test(_t(spark, sf_dir)), ["z"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4279,6 +4310,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     before each handoff — see COVERAGE.md."""
     return {
         # --- engine/oracle code changed this round ---
+        "q_kruskal": q_kruskal,
+        "q_brown_forsythe": q_brown_forsythe,
+        "q_runs_test": q_runs_test,
         "q_heavy_hitters": q_heavy_hitters,
         "q_linear_count": q_linear_count,
         "q_bootstrap_ci": q_bootstrap_ci,

@@ -8467,3 +8467,154 @@ SELECT o.grp AS event_type, o.n,
        {r6("CASE WHEN o.obs_diff IS NOT NULL THEN (CAST(COALESCE(t.n_ge, 0) AS DOUBLE) + 1.0) / (CAST(COALESCE(t.n_valid, 0) AS DOUBLE) + 1.0) END", 'p_hat')}
 FROM obs2 o LEFT JOIN tl t ON o.grp = t.grp
 """
+
+
+# Kruskal-Wallis H: the mw_drift doubled-rank algebra globalized — ranks
+# over the compacted (value -> per-group count) histogram, exact long
+# 2R_g per group, ordered left fold over groups for the H sum, fixed
+# tie-correction expression (mirror of drift.kruskal_wallis)
+ORACLES["q_kruskal"] = f"""
+WITH p AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+),
+pg AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY g, v),
+pv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM pg GROUP BY v),
+pv2 AS (
+  SELECT v, t,
+         CAST(SUM(t) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - t AS BIGINT) AS cb
+  FROM pv
+),
+sg AS (
+  SELECT g, CAST(SUM(pg.c) AS BIGINT) AS n_g,
+         CAST(SUM(pg.c * (2 * pv2.cb + pv2.t + 1)) AS BIGINT) AS two_r
+  FROM pg JOIN pv2 USING (v) GROUP BY g
+),
+tie AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie FROM pv),
+agg AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         list_reduce([0.0] || list(
+             (CAST(two_r AS DOUBLE) / 2.0) * (CAST(two_r AS DOUBLE) / 2.0)
+             / CAST(n_g AS DOUBLE) ORDER BY g),
+           (a, b) -> a + b) AS st
+  FROM sg
+),
+fin AS (
+  SELECT n, k, st, tie, CAST(n AS DOUBLE) AS nd FROM agg, tie
+),
+f2 AS (
+  SELECT n, k, nd,
+         12.0 / (nd * (nd + 1.0)) * st - 3.0 * (nd + 1.0) AS h,
+         1.0 - CAST(tie AS DOUBLE) / (nd * nd * nd - nd) AS c
+  FROM fin
+)
+SELECT n, k, CAST(k - 1 AS BIGINT) AS df,
+       {r6('CASE WHEN n >= 2 THEN h END', 'h')},
+       {r6('CASE WHEN n >= 2 AND c > 0 THEN h / c END', 'h_corr')}
+FROM f2
+"""
+
+
+# Brown-Forsythe: per-group sorted-median pick (_TS_MED), exact long
+# doubled/quadrupled deviation sums, ordered left folds over groups for
+# the between/within sums (mirror of drift.brown_forsythe)
+ORACLES["q_brown_forsythe"] = f"""
+WITH p AS (
+  SELECT source AS g, CAST(n_chars AS DOUBLE) AS x
+  FROM documents WHERE n_chars IS NOT NULL
+),
+med AS (
+  SELECT g, {_TS_MED.format(a='list_sort(list(x))')} AS med
+  FROM p GROUP BY g
+),
+zt AS (SELECT p.g, ABS(p.x - med.med) AS z FROM p JOIN med ON p.g = med.g),
+pg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(CAST(z * 2.0 AS BIGINT)) AS BIGINT) AS sz2,
+         CAST(SUM(CAST(z * z * 4.0 AS BIGINT)) AS BIGINT) AS sz4
+  FROM zt GROUP BY g
+),
+agg AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(sz2) AS BIGINT) AS szt,
+         list(struct_pack(g := g, n_g := n_g, sz2 := sz2, sz4 := sz4)
+              ORDER BY g) AS gs
+  FROM pg
+),
+fin AS (
+  SELECT n, k, gs, CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+         CAST(szt AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)) AS zbar
+  FROM agg
+),
+f2 AS (
+  SELECT n, k, nd, kd,
+         list_reduce([0.0] || list_transform(gs, e ->
+             CAST(e.n_g AS DOUBLE)
+             * (CAST(e.sz2 AS DOUBLE) / (2.0 * CAST(e.n_g AS DOUBLE)) - zbar)
+             * (CAST(e.sz2 AS DOUBLE) / (2.0 * CAST(e.n_g AS DOUBLE)) - zbar)),
+           (a, b) -> a + b) AS ssb,
+         list_reduce([0.0] || list_transform(gs, e ->
+             CAST(e.sz4 AS DOUBLE) / 4.0
+             - (CAST(e.sz2 AS DOUBLE) * CAST(e.sz2 AS DOUBLE))
+               / (4.0 * CAST(e.n_g AS DOUBLE))),
+           (a, b) -> a + b) AS ssw
+  FROM fin
+)
+SELECT n, k, CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+       {r6('''CASE WHEN k >= 2 AND n > k AND ssw > 0
+              THEN (nd - kd) / (kd - 1.0) * ssb / ssw END''', 'w_stat')}
+FROM f2
+"""
+
+
+# Wald-Wolfowitz runs test: turn-ordered sign list about the sorted-
+# median pick, ties dropped before adjacency, exact integer run count,
+# fixed mu/var/z chain (mirror of profile.runs_test)
+ORACLES["q_runs_test"] = f"""
+WITH t AS ({T}),
+l AS (
+  SELECT conv_id,
+         list(CAST(signal AS BIGINT) ORDER BY ts, turn_idx) AS xs,
+         list_sort(list(CAST(signal AS DOUBLE))) AS vals
+  FROM t WHERE signal IS NOT NULL GROUP BY conv_id
+),
+m AS (SELECT conv_id, xs, {_TS_MED.format(a='vals')} AS med FROM l),
+s AS (
+  SELECT conv_id,
+         list_filter(list_transform(xs, v ->
+             CASE WHEN CAST(v AS DOUBLE) > med THEN 1
+                  WHEN CAST(v AS DOUBLE) < med THEN -1 ELSE 0 END),
+           v -> v <> 0) AS ss
+  FROM m
+),
+c AS (
+  SELECT conv_id,
+         CAST(len(list_filter(ss, v -> v = 1)) AS BIGINT) AS n_above,
+         CAST(len(list_filter(ss, v -> v = -1)) AS BIGINT) AS n_below,
+         CAST(CASE WHEN len(ss) > 0 THEN 1 + len(list_filter(
+                 list_transform(generate_series(2, len(ss)),
+                                i -> ss[i] <> ss[i - 1]),
+                 v -> v))
+              ELSE 0 END AS BIGINT) AS n_runs
+  FROM s
+),
+f AS (
+  SELECT conv_id, n_above, n_below, n_runs,
+         CAST(n_above AS DOUBLE) AS n1, CAST(n_below AS DOUBLE) AS n2
+  FROM c
+),
+f2 AS (
+  SELECT conv_id, n_above, n_below, n_runs, n1, n2,
+         n1 + n2 AS n, 2.0 * n1 * n2 AS two_p
+  FROM f
+)
+SELECT conv_id, n_above, n_below, n_runs,
+       {r6('''CASE WHEN n_above > 0 AND n_below > 0 AND n > 1 THEN
+              CASE WHEN two_p * (two_p - n) / (n * n * (n - 1.0)) > 0
+                   THEN (CAST(n_runs AS DOUBLE) - (two_p / n + 1.0))
+                        / SQRT(two_p * (two_p - n) / (n * n * (n - 1.0)))
+              END END''', 'z')}
+FROM f2
+"""

@@ -1,0 +1,91 @@
+"""Hand-computed fixtures for the round-5 session-3 additions:
+Kruskal-Wallis H, Brown-Forsythe W, and the Wald-Wolfowitz runs test."""
+
+import datetime as dt
+
+import pytest
+
+from z_rad_spark.operators.drift import brown_forsythe, kruskal_wallis
+from z_rad_spark.operators.profile import runs_test
+
+
+def _turns(spark, signals):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("c1", i, t0 + dt.timedelta(minutes=i), float(s))
+        for i, s in enumerate(signals)
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, signal double"
+    )
+
+
+def test_kruskal_hand_computed(spark):
+    # a=[1,2], b=[2,3]: midranks 1 -> 1, 2 -> 2.5, 3 -> 4
+    # R_a = 3.5, R_b = 6.5, N = 4
+    # H = 12/(4*5) * (3.5^2/2 + 6.5^2/2) - 3*5 = 1.35
+    # ties: one block t=2 -> C = 1 - 6/60 = 0.9 -> H_c = 1.5
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)],
+        "event_type string, value double",
+    )
+    r = kruskal_wallis(df).collect()[0]
+    assert (r["n"], r["k"], r["df"]) == (4, 2, 1)
+    assert r["h"] == pytest.approx(1.35, abs=1e-12)
+    assert r["h_corr"] == pytest.approx(1.5, abs=1e-12)
+
+
+def test_kruskal_all_tied_is_null(spark):
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0), ("b", 5.0)], "event_type string, value double"
+    )
+    r = kruskal_wallis(df).collect()[0]
+    # every value ties -> C = 0 -> corrected stat undefined
+    assert r["h_corr"] is None
+
+
+def test_brown_forsythe_hand_computed(spark):
+    # a=[1,3] (med 2, z=[1,1]), b=[2,6,10] (med 6, z=[4,0,4])
+    # zbar_a=1, zbar_b=8/3, zbar=2
+    # ssb = 2*(1-2)^2 + 3*(8/3-2)^2 = 10/3
+    # ssw = 0 + (32 - 64/3) = 32/3
+    # W = (5-2)/(2-1) * (10/3)/(32/3) = 0.9375
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("b", 2), ("b", 6), ("b", 10)],
+        "source string, n_chars long",
+    )
+    r = brown_forsythe(df).collect()[0]
+    assert (r["n"], r["k"], r["df1"], r["df2"]) == (5, 2, 1, 3)
+    assert r["w_stat"] == pytest.approx(0.9375, abs=1e-12)
+
+
+def test_brown_forsythe_single_group_is_null(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 5)], "source string, n_chars long"
+    )
+    r = brown_forsythe(df).collect()[0]
+    assert r["k"] == 1 and r["w_stat"] is None
+
+
+def test_runs_test_hand_computed(spark):
+    # signal [1,5,1,5,5,3]; sorted [1,1,3,5,5,5] -> median 4
+    # signs [-1,1,-1,1,1,-1]: n1=3, n2=3, 4 sign changes -> R=5
+    # mu = 2*9/6+1 = 4; var = 18*(18-6)/(36*5) = 1.2
+    # z = (5-4)/sqrt(1.2)
+    out = runs_test(_turns(spark, [1, 5, 1, 5, 5, 3])).collect()[0]
+    assert (out["n_above"], out["n_below"], out["n_runs"]) == (3, 3, 5)
+    assert out["z"] == pytest.approx(1.0 / 1.2**0.5, abs=1e-12)
+
+
+def test_runs_test_ties_dropped(spark):
+    # [2, 2, 2]: every turn ties the median -> empty sign list
+    out = runs_test(_turns(spark, [2, 2, 2])).collect()[0]
+    assert (out["n_above"], out["n_below"], out["n_runs"]) == (0, 0, 0)
+    assert out["z"] is None
+
+
+def test_runs_test_one_sided_is_null(spark):
+    # [1, 9]: median 5, one above one below -> runs defined (2) but a
+    # single-run-per-side z is fine; [1, 1, 9] median 1 -> below empty
+    out = runs_test(_turns(spark, [1, 1, 9])).collect()[0]
+    assert out["n_below"] == 0 and out["z"] is None

@@ -778,3 +778,192 @@ def auc_binary(
     u = (F.col("_two_r").cast("double") - np_ * (np_ + F.lit(1.0))) / F.lit(2.0)
     auc = F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), u / (np_ * nn))
     return g.select(*keys, "n_pos", "n_neg", auc.alias("auc"))
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """One-way Kruskal-Wallis H test across k groups — the rank-based
+    ANOVA a pipeline runs when comparing a signal across MORE than two
+    sources/splits at once ([[mw_drift]] is the k=2 special case; the
+    reference ships the two-sample comparisons only, this is the
+    multi-group generalization its users ask for first):
+
+        H = 12 / (N (N+1)) * sum_g R_g^2 / n_g  -  3 (N+1)
+        C = 1 - sum_v (t_v^3 - t_v) / (N^3 - N)     (tie correction)
+
+    with R_g the midrank sum of group g and t_v the global tie-block
+    size at value v. Under H0, H/C ~ chi2(k-1).
+
+    Determinism: the mw_drift doubled-rank algebra globalized — ranks
+    ride the COMPACTED (value -> per-group count) histogram, the
+    midrank-sum per group is the exact long 2R_g = sum_v c_gv (2 cb_v +
+    t_v + 1), and the k per-group terms (R_g^2 / n_g, one squaring +
+    one division each) are combined by an ordered left fold over groups
+    sorted by name — so the SQL oracle replays H bit-for-bit. Long
+    bounds: 2R <= N (2N + 1) (exact for N < 2^31); the tie term
+    sum(t^3) and N^3 stay in long for N < 2 * 10^6 — beyond that cast
+    both to decimal(38,0).
+
+    Scale: one map-side-combined groupBy on (group, value) bounds all
+    downstream state by the VALUE CARDINALITY (17.8k distinct vs 100k
+    rows at sf0.1; at corpus scale bin the signal first). The
+    cumulative-below table is value-level (one window over the
+    compacted values), joined back on value; the final fold sees k rows.
+    No per-row float summation anywhere.
+
+    NULL values are excluded. Output one row: (n long, k long, df long,
+    h double, h_corr double — NULL when every value ties or n < 2).
+    """
+    x = F.col(value_col).cast("double")
+    per_gv = (
+        df.where(x.isNotNull())
+        .groupBy(F.col(group_col).alias("_g"), x.alias("_val"))
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    w_cum = Window.orderBy("_val").rowsBetween(Window.unboundedPreceding, 0)
+    per_v = (
+        per_gv.groupBy("_val")
+        .agg(F.sum("_c").cast("long").alias("_t"))
+        .select(
+            "_val",
+            "_t",
+            (F.sum("_t").over(w_cum) - F.col("_t")).cast("long").alias("_cb"),
+        )
+    )
+    per_g = (
+        per_gv.join(per_v, "_val")
+        .groupBy("_g")
+        .agg(
+            F.sum("_c").cast("long").alias("_n"),
+            F.sum(F.col("_c") * (F.lit(2) * F.col("_cb") + F.col("_t") + F.lit(1)))
+            .cast("long")
+            .alias("_two_r"),
+        )
+    )
+    ties = per_v.agg(
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t"))
+        .cast("long")
+        .alias("_tie")
+    )
+    g = per_g.agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sort_array(F.collect_list(F.struct("_g", "_two_r", "_n"))).alias("_gs"),
+    ).crossJoin(ties)  # both sides are single-row aggregates
+    nd = F.col("n").cast("double")
+    term = lambda e: (  # noqa: E731 — shared with the oracle's lambda
+        (e["_two_r"].cast("double") / F.lit(2.0))
+        * (e["_two_r"].cast("double") / F.lit(2.0))
+        / e["_n"].cast("double")
+    )
+    sum_terms = F.aggregate(
+        F.col("_gs"), F.lit(0.0), lambda acc, e: acc + term(e)
+    )
+    h = F.lit(12.0) / (nd * (nd + F.lit(1.0))) * sum_terms - F.lit(3.0) * (
+        nd + F.lit(1.0)
+    )
+    c = F.lit(1.0) - F.col("_tie").cast("double") / (
+        nd * nd * nd - nd
+    )
+    ok = F.col("n") >= 2
+    return g.select(
+        "n",
+        "k",
+        (F.col("k") - F.lit(1)).cast("long").alias("df"),
+        F.when(ok, h).alias("h"),
+        F.when(ok & (c > 0), h / c).alias("h_corr"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Brown-Forsythe homogeneity-of-variance test across k groups —
+    Levene's W with the robust MEDIAN center (Brown & Forsythe, JASA
+    1974): a one-way ANOVA on the absolute deviations z_ij = |x_ij -
+    med_i|. The scale-drift complement to [[kruskal_wallis]] (location)
+    and welch_drift (two-sample means): a scraper that starts emitting
+    wildly variable document lengths trips this before any mean moves.
+
+        W = (N - k) / (k - 1) * sum_i n_i (zbar_i - zbar)^2
+                               / sum_ij (z_ij - zbar_i)^2  ~ F(k-1, N-k)
+
+    Determinism: for INTEGER-valued x the group median is a multiple of
+    0.5 (engine-wide sorted-median convention), so every z is a
+    multiple of 0.5 and z^2 of 0.25 — the per-group sufficient
+    statistics are kept as the EXACT longs 2*sum(z) and 4*sum(z^2)
+    (order-free integer sums), and the k-term between/within folds run
+    ordered by group name, so the SQL oracle replays W bit-for-bit.
+    Long bound: 4 z^2 <= 4 (max|x|)^2 per row — exact for
+    n * max_x^2 < 2^60 (sf0.1: 5e3 * 577^2 ~ 1.7e9).
+
+    Scale: per-group median via one sorted collect of the group's
+    values — bounded by per-group row count (fine for per-source audits;
+    for huge groups swap in the compacted-histogram rank pick). The
+    median table is k rows, broadcast back; everything after is one
+    map-side-combined groupBy.
+
+    NULL values are excluded. Output one row: (n long, k long, df1
+    long, df2 long, w_stat double — NULL when k < 2, N <= k, or the
+    within-group deviations are all zero).
+    """
+    from .exprs import sorted_median
+
+    x = F.col(value_col).cast("double")
+    scored = df.where(x.isNotNull()).select(F.col(group_col).alias("_g"), x.alias("_x"))
+    med = scored.groupBy("_g").agg(
+        sorted_median(F.sort_array(F.collect_list("_x"))).alias("_med")
+    )
+    z = F.abs(F.col("_x") - F.col("_med"))
+    per_g = (
+        scored.join(F.broadcast(med), "_g")
+        .select("_g", z.alias("_z"))
+        .groupBy("_g")
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum((F.col("_z") * F.lit(2.0)).cast("long")).alias("_sz2"),
+            F.sum((F.col("_z") * F.col("_z") * F.lit(4.0)).cast("long")).alias("_sz4"),
+        )
+    )
+    g = per_g.agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum("_sz2").cast("long").alias("_szt"),
+        F.sort_array(F.collect_list(F.struct("_g", "_n", "_sz2", "_sz4"))).alias("_gs"),
+    )
+    nd = F.col("n").cast("double")
+    zbar = F.col("_szt").cast("double") / (F.lit(2.0) * nd)
+    gmean = lambda e: e["_sz2"].cast("double") / (  # noqa: E731
+        F.lit(2.0) * e["_n"].cast("double")
+    )
+    ssb = F.aggregate(
+        F.col("_gs"),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + e["_n"].cast("double") * (gmean(e) - zbar) * (gmean(e) - zbar),
+    )
+    ssw = F.aggregate(
+        F.col("_gs"),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + (
+            e["_sz4"].cast("double") / F.lit(4.0)
+            - (e["_sz2"].cast("double") * e["_sz2"].cast("double"))
+            / (F.lit(4.0) * e["_n"].cast("double"))
+        ),
+    )
+    kd = F.col("k").cast("double")
+    ok = (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (ssw > 0)
+    w_stat = (nd - kd) / (kd - F.lit(1.0)) * ssb / ssw
+    return g.select(
+        "n",
+        "k",
+        (F.col("k") - F.lit(1)).cast("long").alias("df1"),
+        (F.col("n") - F.col("k")).cast("long").alias("df2"),
+        F.when(ok, w_stat).alias("w_stat"),
+    )

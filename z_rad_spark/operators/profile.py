@@ -1971,3 +1971,85 @@ def permutation_test(
             / (F.coalesce(F.col("n_valid"), F.lit(0)).cast("double") + F.lit(1.0)),
         ).alias("p_hat"),
     )
+
+
+def runs_test(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """Wald-Wolfowitz runs test per conversation — dichotomize the
+    turn-ordered signal about its conversation median, drop exact ties,
+    and count maximal same-sign runs (Wald & Wolfowitz 1940):
+
+        mu  = 2 n1 n2 / n + 1
+        var = 2 n1 n2 (2 n1 n2 - n) / (n^2 (n - 1))
+        z   = (R - mu) / sqrt(var)
+
+    z << 0 means clustering (long stretches above/below the median —
+    sticky quality), z >> 0 over-alternation. The distribution-free
+    companion to [[von_neumann_ratio]] (which tests magnitude of
+    successive differences; runs tests only their SIGN pattern).
+
+    Determinism: the sign sequence is built from the sorted
+    (ts, turn_idx) struct array (the theil_sen/hurst collect idiom —
+    per-conversation arrays are bounded by turn count), the median is
+    the engine-wide sorted-median pick, ties are removed BEFORE
+    adjacency so runs are counted on the compacted sign list with an
+    exact integer zip-and-count, and mu/var/z are one fixed IEEE chain
+    over the exact longs (n1, n2, R) — bit-replayable in SQL.
+
+    Scale: one groupBy on the shared conv_id exchange; the two
+    collect_lists ride the same aggregate. No joins, no windows.
+
+    NULL signals are excluded. Output: (conv_id, n_above long, n_below
+    long, n_runs long — 0 when every turn ties the median, z double —
+    NULL unless both sides are non-empty and var > 0).
+    """
+    from ..operators.exprs import sorted_median
+
+    x = F.col(signal_col).cast("long")
+    scored = df.where(x.isNotNull())
+    g = scored.groupBy("conv_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ts"), F.col("turn_idx"), x.alias("_x")))
+        ).alias("_seq"),
+        F.sort_array(F.collect_list(x.cast("double"))).alias("_vals"),
+    )
+    med = sorted_median(F.col("_vals"))
+    signs = F.filter(
+        F.transform(
+            F.col("_seq"),
+            lambda e: F.when(e["_x"].cast("double") > med, F.lit(1))
+            .when(e["_x"].cast("double") < med, F.lit(-1))
+            .otherwise(F.lit(0)),
+        ),
+        lambda s: s != 0,
+    )
+    g = g.select("conv_id", signs.alias("_s"))
+    sz = F.size("_s")
+    changes = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("_s"), 1, sz - 1),
+            F.slice(F.col("_s"), 2, sz - 1),
+            lambda a, b: F.when(a != b, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    p = g.select(
+        "conv_id",
+        F.size(F.filter("_s", lambda s: s == 1)).cast("long").alias("n_above"),
+        F.size(F.filter("_s", lambda s: s == -1)).cast("long").alias("n_below"),
+        F.when(sz > 0, F.lit(1) + changes).otherwise(F.lit(0)).cast("long").alias("n_runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    n = n1 + n2
+    two_p = F.lit(2.0) * n1 * n2
+    mu = two_p / n + F.lit(1.0)
+    var = two_p * (two_p - n) / (n * n * (n - F.lit(1.0)))
+    # nested when: the outer predicate is var-free, so mu/var (which
+    # divide by n and n-1) are only ever evaluated where n >= 2 — keeps
+    # the 0/0 terms out of ANSI's reach on degenerate conversations
+    ok = (F.col("n_above") > 0) & (F.col("n_below") > 0) & (n > 1)
+    z = F.when(
+        ok, F.when(var > 0, (F.col("n_runs").cast("double") - mu) / F.sqrt(var))
+    )
+    return p.select("conv_id", "n_above", "n_below", "n_runs", z.alias("z"))
