@@ -4283,6 +4283,46 @@ def q_runs_test(spark, sf_dir):
     return _r6(runs_test(_t(spark, sf_dir)), ["z"])
 
 
+def q_avg_precision(spark, sf_dir):
+    """Exact level-wise average precision per source (drift.
+    average_precision): does raw length rank English docs first? The
+    PR-curve companion to q_auc — compacted distinct-score levels, one
+    window, desc-ordered term fold — oracle-replayable."""
+    from z_rad_spark.operators.drift import average_precision
+
+    d = _docs(spark, sf_dir).withColumn(
+        "label", (F.col("lang") == F.lit("en")).cast("int")
+    )
+    return _r6(average_precision(d, "n_chars", "label"), ["ap"])
+
+
+def q_cramers_v(spark, sf_dir):
+    """Chi-square independence + Cramér's V between epoch-day
+    day-of-week and event_type (drift.cramers_v): full r x c grid via a
+    bounded marginal cross join, ordered cell fold — oracle-replayable.
+    The dow derivation is permutation_test's engine-portable
+    (epoch_day + 4) % 7."""
+    from z_rad_spark.operators.drift import cramers_v
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    dow = F.pmod(
+        F.floor(us.cast("double") / F.lit(86400000000.0)).cast("long") + F.lit(4),
+        F.lit(7),
+    )
+    return _r6(cramers_v(ev, dow.alias("dow"), F.col("event_type")), ["chi2", "v"])
+
+
+def q_burstiness(spark, sf_dir):
+    """Fano factor / inter-arrival CV / Goh-Barabási B per event_type
+    (profile.burstiness): exact long hour-bucket counts, one lag window
+    for gaps, DECIMAL(38,0) square-sum headroom — oracle-replayable."""
+    from z_rad_spark.operators.profile import burstiness
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _r6(burstiness(ev), ["fano", "cv_gap", "burstiness"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4313,6 +4353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kruskal": q_kruskal,
         "q_brown_forsythe": q_brown_forsythe,
         "q_runs_test": q_runs_test,
+        "q_avg_precision": q_avg_precision,
+        "q_cramers_v": q_cramers_v,
+        "q_burstiness": q_burstiness,
         "q_heavy_hitters": q_heavy_hitters,
         "q_linear_count": q_linear_count,
         "q_bootstrap_ci": q_bootstrap_ci,

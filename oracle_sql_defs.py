@@ -8618,3 +8618,140 @@ SELECT conv_id, n_above, n_below, n_runs,
               END END''', 'z')}
 FROM f2
 """
+
+
+# Average precision: distinct-score-level step AP per source (mirror of
+# drift.average_precision — compacted levels, desc-ordered fold)
+ORACLES["q_avg_precision"] = f"""
+WITH lbl AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS l
+  FROM documents
+),
+pv AS (
+  SELECT source, s,
+         CAST(COUNT(CASE WHEN l = 1 THEN 1 END) AS BIGINT) AS p,
+         CAST(COUNT(*) AS BIGINT) AS t
+  FROM lbl GROUP BY source, s
+),
+lv AS (
+  SELECT source, s, p,
+         CAST(SUM(p) OVER (PARTITION BY source ORDER BY s DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cp,
+         CAST(SUM(t) OVER (PARTITION BY source ORDER BY s DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cn
+  FROM pv
+),
+g AS (
+  SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos, CAST(MAX(cn) AS BIGINT) AS n,
+         list(struct_pack(p := p, cp := cp, cn := cn) ORDER BY s DESC) AS ls
+  FROM lv GROUP BY source
+)
+SELECT source, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg,
+       {r6('''CASE WHEN n_pos > 0 THEN
+              list_reduce([0.0] || list_transform(ls, e ->
+                  (CAST(e.p AS DOUBLE) / CAST(n_pos AS DOUBLE))
+                  * (CAST(e.cp AS DOUBLE) / CAST(e.cn AS DOUBLE))),
+                (a, b) -> a + b) END''', 'ap')}
+FROM g
+"""
+
+
+# Cramér's V: epoch-day dow x event_type full-grid chi-square, ordered
+# cell fold (mirror of drift.cramers_v; dow idiom = permutation_test's)
+ORACLES["q_cramers_v"] = f"""
+WITH b AS (
+  SELECT CAST((CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+               AS BIGINT) + 4) % 7 AS BIGINT) AS r,
+         event_type AS c
+  FROM events
+),
+cells AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS o FROM b GROUP BY r, c),
+rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY r),
+ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY c),
+grid AS (
+  SELECT rt.r, ct.c, rt.rt, ct.ct, CAST(COALESCE(cells.o, 0) AS BIGINT) AS o
+  FROM rt CROSS JOIN ct LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c
+),
+g AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT r) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT c) AS BIGINT) AS n_cols,
+         list(struct_pack(o := o, rt := rt, ct := ct) ORDER BY r, c) AS cs
+  FROM grid
+),
+f AS (
+  SELECT n, n_rows, n_cols, CAST(n AS DOUBLE) AS nd,
+         CAST(LEAST(n_rows - 1, n_cols - 1) AS BIGINT) AS kmin,
+         list_reduce([0.0] || list_transform(cs, e ->
+             (CAST(e.o AS DOUBLE)
+              - CAST(e.rt AS DOUBLE) * CAST(e.ct AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(e.o AS DOUBLE)
+                - CAST(e.rt AS DOUBLE) * CAST(e.ct AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(e.rt AS DOUBLE) * CAST(e.ct AS DOUBLE) / CAST(n AS DOUBLE))),
+           (a, b) -> a + b) AS chi2
+  FROM g
+)
+SELECT n, n_rows, n_cols,
+       CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS df,
+       {r6('CASE WHEN n > 0 THEN chi2 END', 'chi2')},
+       {r6('CASE WHEN kmin > 0 AND n > 0 THEN SQRT(chi2 / (nd * CAST(kmin AS DOUBLE))) END', 'v')}
+FROM f
+"""
+
+
+# Burstiness: occupied-hour Fano + inter-arrival CV + Goh-Barabási B
+# (mirror of profile.burstiness; gap square sum rides HUGEINT like the
+# engine's DECIMAL(38,0))
+ORACLES["q_burstiness"] = f"""
+WITH b AS (SELECT event_type AS g, epoch_us(ts) AS us, event_id FROM events),
+ph AS (
+  SELECT g, CAST(FLOOR(CAST(us AS DOUBLE) / 3600000000.0) AS BIGINT) AS hb,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM b GROUP BY g, hb
+),
+hrs AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(c * c) AS BIGINT) AS scc
+  FROM ph GROUP BY g
+),
+gp AS (
+  SELECT g, us - LAG(us) OVER (PARTITION BY g ORDER BY us, event_id) AS gap
+  FROM b
+),
+pg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap) AS BIGINT) AS sg,
+         SUM(CAST(gap AS HUGEINT) * gap) AS sgg
+  FROM gp WHERE gap IS NOT NULL GROUP BY g
+),
+j AS (
+  SELECT hrs.g, hrs.n_events, hrs.n_hours, hrs.scc,
+         COALESCE(pg.n_gaps, 0) AS n_gaps, pg.sg, pg.sgg,
+         CAST(hrs.n_events AS DOUBLE) AS nd, CAST(hrs.n_hours AS DOUBLE) AS bd
+  FROM hrs LEFT JOIN pg ON hrs.g = pg.g
+),
+f AS (
+  SELECT g, n_events, n_hours, n_gaps,
+         (CAST(scc AS DOUBLE) / bd - (nd / bd) * (nd / bd)) / (nd / bd) AS fano,
+         CASE WHEN n_gaps > 0 AND sg > 0 THEN
+           CASE WHEN CAST(sgg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                     - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                       * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) >= 0
+                THEN SQRT(CAST(sgg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                          - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                            * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+                     / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+           END END AS cv
+  FROM j
+)
+SELECT g AS event_type, n_events, n_hours,
+       {r6('fano', 'fano')},
+       CAST(n_gaps AS BIGINT) AS n_gaps,
+       {r6('cv', 'cv_gap')},
+       {r6('(cv - 1.0) / (cv + 1.0)', 'burstiness')}
+FROM f
+"""

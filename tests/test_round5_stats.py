@@ -89,3 +89,93 @@ def test_runs_test_one_sided_is_null(spark):
     # single-run-per-side z is fine; [1, 1, 9] median 1 -> below empty
     out = runs_test(_turns(spark, [1, 1, 9])).collect()[0]
     assert out["n_below"] == 0 and out["z"] is None
+
+
+def test_average_precision_hand_computed(spark):
+    from z_rad_spark.operators.drift import average_precision
+
+    # levels desc: 5 -> (1/2)*(1/1); 4 (tied pair, 1 pos) -> (1/2)*(2/3);
+    # 2 -> 0 positives contributes nothing. AP = 1/2 + 1/3 = 5/6.
+    df = spark.createDataFrame(
+        [("a", 5, 1), ("a", 4, 0), ("a", 4, 1), ("a", 2, 0)],
+        "source string, n_chars long, label int",
+    )
+    r = average_precision(df, "n_chars", "label").collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (2, 2)
+    assert r["ap"] == pytest.approx(5.0 / 6.0, abs=1e-12)
+
+
+def test_average_precision_no_positives_is_null(spark):
+    from z_rad_spark.operators.drift import average_precision
+
+    df = spark.createDataFrame(
+        [("a", 5, 0), ("a", 4, 0)], "source string, n_chars long, label int"
+    )
+    r = average_precision(df, "n_chars", "label").collect()[0]
+    assert r["n_pos"] == 0 and r["ap"] is None
+
+
+def test_cramers_v_perfect_and_independent(spark):
+    from pyspark.sql import functions as F
+
+    from z_rad_spark.operators.drift import cramers_v
+
+    perfect = spark.createDataFrame(
+        [("a", "x")] * 2 + [("b", "y")] * 2, "r string, c string"
+    )
+    r = cramers_v(perfect, F.col("r"), F.col("c")).collect()[0]
+    assert (r["n"], r["n_rows"], r["n_cols"], r["df"]) == (4, 2, 2, 1)
+    assert r["chi2"] == pytest.approx(4.0, abs=1e-12)
+    assert r["v"] == pytest.approx(1.0, abs=1e-12)
+
+    indep = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")], "r string, c string"
+    )
+    r = cramers_v(indep, F.col("r"), F.col("c")).collect()[0]
+    assert r["chi2"] == pytest.approx(0.0, abs=1e-12)
+    assert r["v"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_cramers_v_constant_dim_is_null(spark):
+    from pyspark.sql import functions as F
+
+    from z_rad_spark.operators.drift import cramers_v
+
+    df = spark.createDataFrame([("a", "x"), ("a", "y")], "r string, c string")
+    r = cramers_v(df, F.col("r"), F.col("c")).collect()[0]
+    assert r["n_rows"] == 1 and r["v"] is None
+
+
+def test_burstiness_hand_computed(spark):
+    from z_rad_spark.operators.profile import burstiness
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("g", 1, t0),
+        ("g", 2, t0 + dt.timedelta(seconds=1)),
+        ("g", 3, t0 + dt.timedelta(hours=2)),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, ts timestamp")
+    r = burstiness(df).collect()[0]
+    # hours: bucket0 holds 2 events, bucket2 holds 1 -> n=3, B=2, scc=5
+    assert (r["n_events"], r["n_hours"], r["n_gaps"]) == (3, 2, 2)
+    mean_c, var_c = 3.0 / 2.0, 5.0 / 2.0 - (3.0 / 2.0) * (3.0 / 2.0)
+    assert r["fano"] == pytest.approx(var_c / mean_c, abs=1e-12)
+    # gaps (micros): 1e6 and 7199e6
+    sg, sgg, m = 7200e6, 1e12 + 7199.0e6**2, 2.0
+    mean_g = sg / m
+    var_g = sgg / m - mean_g * mean_g
+    cv = var_g**0.5 / mean_g
+    assert r["cv_gap"] == pytest.approx(cv, rel=1e-12)
+    assert r["burstiness"] == pytest.approx((cv - 1.0) / (cv + 1.0), rel=1e-12)
+
+
+def test_burstiness_single_event_no_gaps(spark):
+    from z_rad_spark.operators.profile import burstiness
+
+    df = spark.createDataFrame(
+        [("g", 1, dt.datetime(2024, 1, 1))], "event_type string, event_id long, ts timestamp"
+    )
+    r = burstiness(df).collect()[0]
+    assert (r["n_gaps"], r["cv_gap"], r["burstiness"]) == (0, None, None)
+    assert r["fano"] == pytest.approx(0.0, abs=1e-12)

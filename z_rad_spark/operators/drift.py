@@ -967,3 +967,152 @@ def brown_forsythe(
         (F.col("n") - F.col("k")).cast("long").alias("df2"),
         F.when(ok, w_stat).alias("w_stat"),
     )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str = "source",
+) -> DataFrame:
+    """Exact average precision (area under the precision-recall curve,
+    step convention) per group — the imbalanced-classes companion to
+    [[auc_binary]]: AUC is insensitive to the positive-class rarity a
+    corpus quality filter actually cares about; AP weights every hit by
+    the precision AT that hit.
+
+    Tie convention (the compaction contract): rows are ranked by score
+    DESCENDING at the granularity of DISTINCT SCORE LEVELS — all rows
+    tied at a level enter together, contributing
+
+        AP = sum_levels (p_l / P) * (cumP_l / cumN_l)
+
+    with p_l the positives at level l and cumP/cumN the running totals
+    INCLUDING l. For untied scores this is exactly the textbook AP;
+    under ties it is the deterministic level-wise variant (no arbitrary
+    within-tie order — the same choice auc_binary's midranks make).
+
+    Determinism + scale: identical shape to auc_binary — one map-side
+    combined groupBy on (group, score) bounds all state by the score
+    cardinality; cumP/cumN are one window over the compacted levels;
+    the per-level terms (two divisions + one product each) combine in
+    an ordered left fold by score descending, so the SQL oracle replays
+    AP bit-for-bit. No per-row float math.
+
+    Output: (group_col, n_pos long, n_neg long, ap double — NULL when
+    the group has no positives).
+    """
+    s = F.col(score_col).cast("double")
+    lbl = F.col(label_col).cast("int")
+    pv = (
+        df.where(s.isNotNull() & lbl.isNotNull())
+        .groupBy(F.col(group_col), s.alias("_s"))
+        .agg(
+            F.count(F.when(lbl == 1, 1)).cast("long").alias("_p"),
+            F.count("*").cast("long").alias("_t"),
+        )
+    )
+    w_desc = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("_s").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lv = pv.select(
+        group_col,
+        "_s",
+        "_p",
+        F.sum("_p").over(w_desc).cast("long").alias("_cp"),
+        F.sum("_t").over(w_desc).cast("long").alias("_cn"),
+    )
+    g = lv.groupBy(group_col).agg(
+        F.sum("_p").cast("long").alias("n_pos"),
+        F.max("_cn").cast("long").alias("_n"),
+        F.sort_array(
+            F.collect_list(F.struct((-F.col("_s")).alias("_k"), "_p", "_cp", "_cn"))
+        ).alias("_lv"),
+    )
+    pd_ = F.col("n_pos").cast("double")
+    ap = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + (e["_p"].cast("double") / pd_) * (e["_cp"].cast("double") / e["_cn"].cast("double")),
+    )
+    return g.select(
+        group_col,
+        "n_pos",
+        (F.col("_n") - F.col("n_pos")).cast("long").alias("n_neg"),
+        F.when(F.col("n_pos") > 0, ap).alias("ap"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    row_col: F.Column,
+    col_col: F.Column,
+) -> DataFrame:
+    """Pearson chi-square independence test + Cramér's V between two
+    categorical columns — the contingency-table association measure
+    ([[mi_association]] reports the information-theoretic view; V is
+    the bounded [0,1] effect size reviewers actually compare across
+    tables of different shape):
+
+        chi2 = sum_cells (o - e)^2 / e,   e = rowtot * coltot / N
+        V    = sqrt(chi2 / (N * min(r - 1, c - 1)))
+
+    The cell sum runs over the FULL r x c grid (empty observed cells
+    still contribute e), built as a cross join of the two marginal
+    tables — both are bounded by the category cardinalities, which is
+    the operator's documented contract (dozens, not millions; for
+    high-cardinality pairs use mi_association's top-k path).
+
+    Determinism: integer observed/marginal counts; each cell term is a
+    fixed 5-op IEEE chain; cells combine in an ordered left fold by
+    (row, col) category — bit-replayable in SQL.
+
+    Output one row: (n long, n_rows long, n_cols long, df long, chi2
+    double, v double — NULL when either dimension is constant).
+    """
+    base = df.select(row_col.alias("_r"), col_col.alias("_c")).where(
+        F.col("_r").isNotNull() & F.col("_c").isNotNull()
+    )
+    cells = base.groupBy("_r", "_c").agg(F.count("*").cast("long").alias("_o"))
+    rt = cells.groupBy("_r").agg(F.sum("_o").cast("long").alias("_rt"))
+    ct = cells.groupBy("_c").agg(F.sum("_o").cast("long").alias("_ct"))
+    grid = (
+        rt.crossJoin(ct)  # r x c marginal grid — bounded by category counts
+        .join(cells, ["_r", "_c"], "left")
+        .select(
+            "_r", "_c", "_rt", "_ct", F.coalesce("_o", F.lit(0)).cast("long").alias("_o")
+        )
+    )
+    g = grid.agg(
+        F.sum("_o").cast("long").alias("n"),
+        F.count_distinct("_r").cast("long").alias("n_rows"),
+        F.count_distinct("_c").cast("long").alias("n_cols"),
+        F.sort_array(F.collect_list(F.struct("_r", "_c", "_o", "_rt", "_ct"))).alias(
+            "_cells"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    chi2 = F.aggregate(
+        F.col("_cells"),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + (
+            (e["_o"].cast("double") - e["_rt"].cast("double") * e["_ct"].cast("double") / nd)
+            * (e["_o"].cast("double") - e["_rt"].cast("double") * e["_ct"].cast("double") / nd)
+            / (e["_rt"].cast("double") * e["_ct"].cast("double") / nd)
+        ),
+    )
+    kmin = F.least(F.col("n_rows") - F.lit(1), F.col("n_cols") - F.lit(1)).cast("long")
+    dfree = ((F.col("n_rows") - F.lit(1)) * (F.col("n_cols") - F.lit(1))).cast("long")
+    ok = (kmin > 0) & (F.col("n") > 0)
+    return g.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        dfree.alias("df"),
+        F.when(F.col("n") > 0, chi2).alias("chi2"),
+        F.when(ok, F.sqrt(chi2 / (nd * kmin.cast("double")))).alias("v"),
+    )

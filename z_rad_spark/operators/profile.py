@@ -2053,3 +2053,75 @@ def runs_test(df: DataFrame, signal_col: str = "signal") -> DataFrame:
         ok, F.when(var > 0, (F.col("n_runs").cast("double") - mu) / F.sqrt(var))
     )
     return p.select("conv_id", "n_above", "n_below", "n_runs", z.alias("z"))
+
+
+def burstiness(df: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Temporal burstiness per group — THREE classic clumping measures
+    over the event stream (the corpus-ops view of [[arrival_stats]]'s
+    per-conversation cadence):
+
+      * fano       — Fano factor (index of dispersion) of per-hour
+                     event counts over OCCUPIED hour buckets: var/mean,
+                     1 for Poisson arrivals, >> 1 for bursts.
+      * cv_gap     — coefficient of variation of consecutive
+                     inter-arrival gaps, 1 for an exponential process.
+      * burstiness — Goh & Barabási (2008) B = (cv - 1) / (cv + 1) in
+                     [-1, 1]: -1 periodic, 0 Poisson, -> 1 bursty.
+
+    Determinism + scale: hour buckets are integer epoch arithmetic;
+    bucket counts / their squares are exact longs (one map-side
+    combined groupBy on (group, hour)); gaps come from one lag window
+    under the stable (ts, event_id) order, summed exactly — the square
+    sum rides DECIMAL(19,0)^2 -> DECIMAL(38,0) (the cuped_adjusted
+    guard: a sparse group's single huge gap would silently wrap a LONG
+    square in Spark and hard-error in DuckDB). Every emitted double is
+    a fixed IEEE chain over those exact integers — bit-replayable.
+
+    Output: (group_col, n_events long, n_hours long, fano double,
+    n_gaps long, cv_gap double — NULL when no gaps or zero mean gap,
+    burstiness double).
+    """
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hb = F.floor(us.cast("double") / F.lit(3600000000.0)).cast("long")
+    base = df.select(F.col(group_col).alias("_g"), us.alias("_us"), hb.alias("_hb"))
+    per_h = base.groupBy("_g", "_hb").agg(F.count("*").cast("long").alias("_c"))
+    hours = per_h.groupBy("_g").agg(
+        F.sum("_c").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_scc"),
+    )
+    w = Window.partitionBy("_g").orderBy("_us", "event_id")
+    gaps = (
+        df.select(
+            F.col(group_col).alias("_g"), us.alias("_us"), F.col("event_id")
+        )
+        .select("_g", (F.col("_us") - F.lag("_us").over(w)).alias("_gap"))
+        .where(F.col("_gap").isNotNull())
+    )
+    _d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    per_gap = gaps.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("_gap").cast("long").alias("_sg"),
+        F.sum(_d19("_gap") * _d19("_gap")).alias("_sgg"),
+    )
+    j = hours.join(per_gap, "_g", "left")
+    nd, bd = F.col("n_events").cast("double"), F.col("n_hours").cast("double")
+    mean_c = nd / bd
+    var_c = F.col("_scc").cast("double") / bd - mean_c * mean_c
+    fano = var_c / mean_c
+    md = F.col("n_gaps").cast("double")
+    mean_g = F.col("_sg").cast("double") / md
+    var_g = F.col("_sgg").cast("double") / md - mean_g * mean_g
+    cv = F.when(
+        (F.col("n_gaps") > 0) & (F.col("_sg") > 0),
+        F.when(var_g >= 0, F.sqrt(var_g) / mean_g),
+    )
+    return j.select(
+        F.col("_g").alias(group_col),
+        "n_events",
+        "n_hours",
+        fano.alias("fano"),
+        F.coalesce(F.col("n_gaps"), F.lit(0)).cast("long").alias("n_gaps"),
+        cv.alias("cv_gap"),
+        ((cv - F.lit(1.0)) / (cv + F.lit(1.0))).alias("burstiness"),
+    )
