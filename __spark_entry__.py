@@ -4323,6 +4323,29 @@ def q_burstiness(spark, sf_dir):
     return _r6(burstiness(ev), ["fano", "cv_gap", "burstiness"])
 
 
+def q_hll(spark, sf_dir):
+    """Explicit 256-register HyperLogLog distinct-users estimate per
+    event_type (sketches.hyperloglog_by): integer CASE-ladder ranks,
+    bucket-ordered dyadic fold, linear-counting small-range correction
+    — the estimate ITSELF is value-gated (unlike HLL++)."""
+    from z_rad_spark.operators.sketches import hyperloglog_by
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = hyperloglog_by(ev, group_col="event_type", key_col="user_id", p_bits=8)
+    return _r6(out, ["est_distinct", "err_pct"])
+
+
+def q_chao1(spark, sf_dir):
+    """Chao1 richness + Good-Turing unseen mass per source
+    (text.chao1_richness): exact long (D, N, f1, f2) over the q_vocab
+    tokenization, three fixed estimate chains — oracle-replayable."""
+    from z_rad_spark.operators.text import chao1_richness
+
+    return _r6(
+        chao1_richness(_docs(spark, sf_dir)), ["chao1", "gt_unseen", "coverage"]
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4356,6 +4379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_avg_precision": q_avg_precision,
         "q_cramers_v": q_cramers_v,
         "q_burstiness": q_burstiness,
+        "q_hll": q_hll,
+        "q_chao1": q_chao1,
         "q_heavy_hitters": q_heavy_hitters,
         "q_linear_count": q_linear_count,
         "q_bootstrap_ci": q_bootstrap_ci,

@@ -8755,3 +8755,86 @@ SELECT g AS event_type, n_events, n_hours,
        {r6('(cv - 1.0) / (cv + 1.0)', 'burstiness')}
 FROM f
 """
+
+
+# HyperLogLog: explicit-hash 256-register HLL with the integer CASE-
+# ladder rank and bucket-ordered dyadic fold (mirror of
+# sketches.hyperloglog_by; hash = the square-mod MIXING hash — the
+# affine CMS hash leaves the high bits HLL ranks read structured)
+_HLL_W = 23
+_HLL_LADDER = (
+    "CASE "
+    + " ".join(f"WHEN rest >= {1 << (_HLL_W - r)} THEN {r}" for r in range(1, _HLL_W + 1))
+    + f" ELSE {_HLL_W + 1} END"
+)
+
+ORACLES["q_hll"] = f"""
+WITH b0 AS (
+  SELECT event_type AS g,
+         ((ABS(user_id) % 2147483647) * 48271 + 12345) % 2147483647 AS x
+  FROM events
+),
+b1 AS (SELECT g, (x * x + x) % 2147483647 AS y FROM b0),
+b AS (SELECT g, (y * 48271) % 2147483647 AS h FROM b1),
+hb AS (
+  SELECT g, CAST(h % 256 AS INT) AS bkt,
+         CAST(FLOOR(CAST(h AS DOUBLE) / 256.0) AS BIGINT) AS rest
+  FROM b
+),
+hr AS (SELECT g, bkt, {_HLL_LADDER} AS rnk FROM hb),
+regs AS (SELECT g, bkt, CAST(MAX(rnk) AS INT) AS reg FROM hr GROUP BY g, bkt),
+folds AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS occupied,
+         list_reduce([0.0] || list(POWER(2.0, -CAST(reg AS DOUBLE)) ORDER BY bkt),
+           (x, y) -> x + y) AS z_occ
+  FROM regs GROUP BY g
+),
+ex AS (
+  SELECT event_type AS g, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type
+),
+j AS (
+  SELECT ex.g, exact_distinct, occupied,
+         CAST(256 - occupied AS BIGINT) AS v,
+         z_occ + CAST(CAST(256 - occupied AS BIGINT) AS DOUBLE) AS zsum
+  FROM ex JOIN folds ON ex.g = folds.g
+),
+f AS (
+  SELECT g, exact_distinct, occupied, v,
+         CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 / zsum
+                   <= 2.5 * 256.0 AND v > 0
+              THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+              ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 / zsum
+         END AS est
+  FROM j
+)
+SELECT g AS event_type, exact_distinct, occupied, v AS v_zero,
+       {r6('est', 'est_distinct')},
+       {r6('(est - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE) * 100.0', 'err_pct')}
+FROM f
+"""
+
+
+# Chao1 + Good-Turing: exact long (D, N, f1, f2) over the normalized
+# whitespace tokens, fixed estimate chains (mirror of
+# text.chao1_richness; tokenization = the q_vocab NORM_DOC idiom)
+ORACLES["q_chao1"] = f"""
+WITH toks AS (
+  SELECT source AS g, UNNEST({TOKS_DOC}) AS tok FROM documents
+),
+pt AS (SELECT g, tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY g, tok),
+gg AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_vocab,
+         CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS f1,
+         CAST(COUNT(CASE WHEN c = 2 THEN 1 END) AS BIGINT) AS f2
+  FROM pt GROUP BY g
+)
+SELECT g AS source, n_tokens, n_vocab, f1, f2,
+       {r6('''CASE WHEN n_tokens > 0 THEN CAST(n_vocab AS DOUBLE)
+              + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+                / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)) END''', 'chao1')},
+       {r6('CASE WHEN n_tokens > 0 THEN CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) END', 'gt_unseen')},
+       {r6('CASE WHEN n_tokens > 0 THEN 1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) END', 'coverage')}
+FROM gg
+"""

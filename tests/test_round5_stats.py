@@ -179,3 +179,70 @@ def test_burstiness_single_event_no_gaps(spark):
     r = burstiness(df).collect()[0]
     assert (r["n_gaps"], r["cv_gap"], r["burstiness"]) == (0, None, None)
     assert r["fano"] == pytest.approx(0.0, abs=1e-12)
+
+
+def _hll_py(keys, m=256, w=23):
+    import math
+
+    P = 2147483647
+    regs = {}
+    for k in keys:
+        x = ((abs(k) % P) * 48271 + 12345) % P
+        y = (x * x + x) % P
+        h = (y * 48271) % P
+        b, rest = h % m, h // m
+        r = (w + 1) if rest == 0 else next(
+            i for i in range(1, w + 1) if rest >= 1 << (w - i)
+        )
+        regs[b] = max(regs.get(b, 0), r)
+    v = m - len(regs)
+    z = sum(2.0 ** -r for r in sorted(regs)) + float(v)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e_raw = alpha * m * m / z
+    if e_raw <= 2.5 * m and v > 0:
+        import math as _m
+
+        return len(regs), v, m * _m.log(m / float(v))
+    return len(regs), v, e_raw
+
+
+def test_hll_matches_replay(spark):
+    from z_rad_spark.operators.sketches import hyperloglog_by
+
+    keys = list(range(1, 101))
+    df = spark.createDataFrame(
+        [("a", k) for k in keys], "event_type string, user_id long"
+    )
+    r = hyperloglog_by(df).collect()[0]
+    occ, v, est = _hll_py(keys)
+    assert (r["exact_distinct"], r["occupied"], r["v_zero"]) == (100, occ, v)
+    assert r["est_distinct"] == pytest.approx(est, rel=1e-12)
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    import math
+
+    from z_rad_spark.operators.sketches import hyperloglog_by
+
+    keys = [3, 17, 99]
+    df = spark.createDataFrame(
+        [("a", k) for k in keys], "event_type string, user_id long"
+    )
+    r = hyperloglog_by(df).collect()[0]
+    occ, v, est = _hll_py(keys)
+    assert v > 0 and est == pytest.approx(256.0 * math.log(256.0 / v), rel=1e-12)
+    assert r["est_distinct"] == pytest.approx(est, rel=1e-12)
+
+
+def test_chao1_hand_computed(spark):
+    from z_rad_spark.operators.text import chao1_richness
+
+    df = spark.createDataFrame(
+        [("s", "a b a c")], "source string, text string"
+    )
+    r = chao1_richness(df).collect()[0]
+    # counts a:2 b:1 c:1 -> D=3 N=4 f1=2 f2=1
+    assert (r["n_tokens"], r["n_vocab"], r["f1"], r["f2"]) == (4, 3, 2, 1)
+    assert r["chao1"] == pytest.approx(3.0 + 2.0 * 1.0 / (2.0 * 2.0), abs=1e-12)
+    assert r["gt_unseen"] == pytest.approx(0.5, abs=1e-12)
+    assert r["coverage"] == pytest.approx(0.5, abs=1e-12)

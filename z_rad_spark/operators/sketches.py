@@ -203,3 +203,104 @@ def linear_count_by(
         / F.col("exact_distinct").cast("double")
         * F.lit(100.0),
     )
+
+
+def hyperloglog_by(
+    df: DataFrame,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    p_bits: int = 8,
+) -> DataFrame:
+    """Explicit HyperLogLog distinct estimator per group (Flajolet,
+    Fusy, Gandouet & Meunier 2007) — the REPLAYABLE twin of Spark's
+    built-in HLL++ ([[approx_distinct_by]]): the same explicit
+    universal hash the CMS/linear-counting sketches use, m = 2^p_bits
+    registers, so a portable SQL engine reproduces every register and
+    the estimate itself is value-gateable (approx_count_distinct's
+    HLL++ internals are not).
+
+        bucket = h mod m,   rest = h div m   (w = 31 - p_bits bits)
+        M_j    = max rank(rest)  (leading-zero count + 1; 0 if empty)
+        E_raw  = alpha_m m^2 / sum_j 2^(-M_j)
+        E      = m ln(m / V)  when E_raw <= 2.5 m and V > 0  (small-range
+                 linear-counting correction; V = # zero registers)
+
+    alpha_m = 0.7213 / (1 + 1.079 / m) (the paper's m >= 128 constant).
+    No large-range correction: the hash space is 31-bit and the
+    estimator is paired with the exact count for calibration, not used
+    near 2^31.
+
+    Hash choice: NOT the affine CMS/linear-count hash — an affine map
+    sends consecutive ids to an arithmetic progression whose HIGH bits
+    are structured, and HLL ranks read exactly those bits (measured on
+    the test ids: +113% error, every register saturated). The engine's
+    square-mod mixing hash (the poisson_bootstrap_ci lesson: x = (k a1
+    + c) mod p, y = (x^2 + x) mod p, z = y a1 mod p — all intermediates
+    < 2^62, BIGINT-safe in both engines) restores the geometric rank
+    distribution (measured: within the ±1.04/sqrt(m) ~ 6.5% band).
+
+    Determinism: rank is a generated integer CASE ladder (no float
+    log2 — exact at every power-of-two boundary); 2^(-M_j) terms are
+    exact dyadic doubles combined in a bucket-ordered left fold; the
+    zero registers contribute the exact integer m - occupied. One ln()
+    and a fixed division chain — same libm double in both engines
+    under the 6dp gate (the linear_count_by precedent).
+
+    Scale: register table = groupBy (group, bucket) max — bounded by
+    m rows per group regardless of key cardinality, map-side combined;
+    the exact distinct rides alongside for the error column (drop it
+    at true corpus scale). Output: (group, exact_distinct long,
+    occupied long, v_zero long, est_distinct double, err_pct double).
+    """
+    m = 1 << p_bits
+    w = 31 - p_bits
+    k = F.pmod(F.abs(F.col(key_col).cast("long")), F.lit(_HASH_P))
+    x = F.pmod(k * F.lit(48271) + F.lit(12345), F.lit(_HASH_P))
+    y = F.pmod(x * x + x, F.lit(_HASH_P))
+    h = F.pmod(y * F.lit(48271), F.lit(_HASH_P))
+    bucket = F.pmod(h, F.lit(m)).cast("int")
+    rest = F.floor(h.cast("double") / F.lit(float(m))).cast("long")
+    # CASE ladder: rank r <=> highest set bit of the w-bit rest is at
+    # position w - r (0-based); rest == 0 -> w + 1
+    rank = F.lit(w + 1)
+    for r in range(w, 0, -1):
+        rank = F.when(rest >= F.lit(1 << (w - r)), F.lit(r)).otherwise(rank)
+    regs = (
+        df.select(F.col(group_col).alias("_g"), bucket.alias("_b"), rank.alias("_r"))
+        .groupBy("_g", "_b")
+        .agg(F.max("_r").cast("int").alias("_reg"))
+    )
+    folds = regs.groupBy("_g").agg(
+        F.count("*").cast("long").alias("occupied"),
+        F.sort_array(F.collect_list(F.struct("_b", "_reg"))).alias("_bs"),
+    )
+    z_occ = F.aggregate(
+        F.col("_bs"),
+        F.lit(0.0),
+        lambda acc, e: acc + F.pow(F.lit(2.0), -e["_reg"].cast("double")),
+    )
+    exact = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.countDistinct(F.col(key_col)).cast("long").alias("exact_distinct")
+    )
+    j = exact.join(folds, "_g")
+    v = (F.lit(m) - F.col("occupied")).cast("long")
+    zsum = z_occ + v.cast("double")
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    e_raw = alpha * F.lit(float(m)) * F.lit(float(m)) / zsum
+    est = F.when(
+        (e_raw <= F.lit(2.5) * F.lit(float(m))) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    out = j.select(
+        F.col("_g").alias(group_col),
+        "exact_distinct",
+        "occupied",
+        v.alias("v_zero"),
+        est.alias("est_distinct"),
+    )
+    return out.withColumn(
+        "err_pct",
+        (F.col("est_distinct") - F.col("exact_distinct").cast("double"))
+        / F.col("exact_distinct").cast("double")
+        * F.lit(100.0),
+    )

@@ -1179,3 +1179,63 @@ def langid_kappa(
         pe.alias("p_e"),
         F.when(pe != F.lit(1.0), (po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
     )
+
+
+def chao1_richness(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary richness + unseen-mass estimation per group — the two
+    classic abundance estimators ecology lent to corpus linguistics,
+    over the engine-wide normalized whitespace tokenization:
+
+      * chao1     — bias-corrected Chao1 richness (Chao 1984):
+                    D + f1 (f1 - 1) / (2 (f2 + 1)) — a lower bound on
+                    the TRUE vocabulary including never-seen types.
+      * gt_unseen — Good-Turing missing mass f1 / N (Good 1953): the
+                    probability the NEXT token is a new type.
+      * coverage  — Turing sample coverage 1 - f1 / N.
+
+    The crawl-planning companion to [[vocab_growth]]: growth shows the
+    empirical curve, Chao1 says where it plateaus — how much more of a
+    source is worth crawling before vocabulary saturates.
+
+    Determinism + scale: one token explode -> one map-side combined
+    groupBy on (group, token) -> one groupBy on group with exact long
+    (D, N, f1, f2); the three estimates are single fixed IEEE chains
+    over those longs — bit-replayable. State is bounded by per-group
+    vocabulary, the same bound every token-frequency operator here
+    carries.
+
+    Output: (group, n_tokens long, n_vocab long, f1 long, f2 long,
+    chao1 double, gt_unseen double, coverage double — NULL when the
+    group has no tokens).
+    """
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_tok"),
+    )
+    per_tok = toks.groupBy("_g", "_tok").agg(F.count("*").cast("long").alias("_c"))
+    g = per_tok.groupBy("_g").agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_vocab"),
+        F.count(F.when(F.col("_c") == 1, 1)).cast("long").alias("f1"),
+        F.count(F.when(F.col("_c") == 2, 1)).cast("long").alias("f2"),
+    )
+    f1d, f2d = F.col("f1").cast("double"), F.col("f2").cast("double")
+    nd = F.col("n_tokens").cast("double")
+    chao = F.col("n_vocab").cast("double") + f1d * (f1d - F.lit(1.0)) / (
+        F.lit(2.0) * (f2d + F.lit(1.0))
+    )
+    ok = F.col("n_tokens") > 0
+    return g.select(
+        F.col("_g").alias(group_col),
+        "n_tokens",
+        "n_vocab",
+        "f1",
+        "f2",
+        F.when(ok, chao).alias("chao1"),
+        F.when(ok, f1d / nd).alias("gt_unseen"),
+        F.when(ok, F.lit(1.0) - f1d / nd).alias("coverage"),
+    )
