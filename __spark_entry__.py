@@ -4346,6 +4346,31 @@ def q_chao1(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """4-iteration PageRank over the bipartite user x (event_type:dow)
+    interaction graph (graph.pagerank_bipartite, d=0.85, exact src-
+    ordered contribution folds): top-20 nodes by rank with the
+    deterministic (pr desc, node asc) tie-break; pr scaled by N so 1.0
+    = uniform baseline. The composite right node (35 slots) keeps user
+    degrees non-degenerate — plain event_type saturates (every user
+    touches all 5). Oracle = the identical 4 unrolled iterations."""
+    from z_rad_spark.operators.graph import pagerank_bipartite
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    dow = F.pmod(
+        F.floor(us.cast("double") / F.lit(86400000000.0)).cast("long") + F.lit(4),
+        F.lit(7),
+    )
+    ev = ev.withColumn(
+        "rnode", F.concat(F.col("event_type"), F.lit(":"), dow.cast("string"))
+    )
+    out = pagerank_bipartite(
+        ev, left_col="user_id", right_col="rnode", n_iter=4, top_k=20
+    )
+    return _r6(out, ["pr_scaled"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4381,6 +4406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_burstiness": q_burstiness,
         "q_hll": q_hll,
         "q_chao1": q_chao1,
+        "q_pagerank": q_pagerank,
         "q_heavy_hitters": q_heavy_hitters,
         "q_linear_count": q_linear_count,
         "q_bootstrap_ci": q_bootstrap_ci,

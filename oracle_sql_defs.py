@@ -8838,3 +8838,49 @@ SELECT g AS source, n_tokens, n_vocab, f1, f2,
        {r6('CASE WHEN n_tokens > 0 THEN 1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) END', 'coverage')}
 FROM gg
 """
+
+
+# PageRank: the identical 4 unrolled iterations over the bipartite
+# user x (event_type:dow) graph — init 1/N, per-iteration src-ordered
+# contribution folds, (pr desc, node asc) top-20 (mirror of
+# graph.pagerank_bipartite via q_pagerank)
+_PR_ITERS = "".join(
+    f""",
+sh{i} AS (
+  SELECT p.node AS src, p.pr / CAST(d.od AS DOUBLE) AS sh
+  FROM pr{i} p JOIN deg d ON p.node = d.src
+),
+pr{i + 1} AS (
+  SELECT e.dst AS node,
+         (1.0 - 0.85) / nd
+         + 0.85 * list_reduce([0.0] || list(s.sh ORDER BY e.src),
+                              (a, b) -> a + b) AS pr
+  FROM nn CROSS JOIN edges e JOIN sh{i} s ON e.src = s.src
+  GROUP BY e.dst, nd
+)"""
+    for i in range(4)
+)
+
+ORACLES["q_pagerank"] = f"""
+WITH p0 AS (
+  SELECT DISTINCT
+         'u:' || CAST(user_id AS STRING) AS u,
+         't:' || event_type || ':' ||
+           CAST((CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+                 AS BIGINT) + 4) % 7 AS STRING) AS t
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+edges AS (
+  SELECT u AS src, t AS dst FROM p0
+  UNION ALL
+  SELECT t AS src, u AS dst FROM p0
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM edges GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM deg),
+pr0 AS (SELECT src AS node, 1.0 / nd AS pr FROM deg CROSS JOIN nn){_PR_ITERS}
+SELECT node, {r6('pr4.pr * nd', 'pr_scaled')}
+FROM pr4 CROSS JOIN nn
+ORDER BY pr4.pr DESC, node ASC
+LIMIT 20
+"""

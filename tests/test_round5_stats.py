@@ -246,3 +246,50 @@ def test_chao1_hand_computed(spark):
     assert r["chao1"] == pytest.approx(3.0 + 2.0 * 1.0 / (2.0 * 2.0), abs=1e-12)
     assert r["gt_unseen"] == pytest.approx(0.5, abs=1e-12)
     assert r["coverage"] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_pagerank_hand_replayed(spark):
+    from z_rad_spark.operators.graph import pagerank_bipartite
+
+    # bipartite: u1-{x}, u2-{x,y}; exact float replica of 2 iterations
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (2, "y"), (2, "y")],  # dup pair collapses
+        "user_id long, event_type string",
+    )
+    got = {
+        r["node"]: r["pr_scaled"]
+        for r in pagerank_bipartite(df, n_iter=2, top_k=10).collect()
+    }
+    edges = [("u:1", "t:x"), ("u:2", "t:x"), ("u:2", "t:y")]
+    edges = edges + [(b, a) for a, b in edges]
+    nodes = sorted({a for a, _ in edges})
+    deg = {n: sum(1 for a, _ in edges if a == n) for n in nodes}
+    nd = float(len(nodes))
+    pr = {n: 1.0 / nd for n in nodes}
+    for _ in range(2):
+        sh = {n: pr[n] / float(deg[n]) for n in nodes}
+        new = {}
+        for n in nodes:
+            acc = 0.0
+            for a, b in sorted(edges):  # src-ordered fold
+                if b == n:
+                    acc = acc + sh[a]
+            new[n] = (1.0 - 0.85) / nd + 0.85 * acc
+        pr = new
+    for n in nodes:
+        assert got[n] == pytest.approx(pr[n] * nd, rel=1e-15), n
+    # ranks sum to N (scaled) within float tolerance
+    assert sum(got.values()) == pytest.approx(nd, rel=1e-12)
+
+
+def test_pagerank_symmetric_users_tie(spark):
+    from z_rad_spark.operators.graph import pagerank_bipartite
+
+    # two structurally identical users must get exactly equal ranks and
+    # the deterministic node tie-break
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x")], "user_id long, event_type string"
+    )
+    rows = pagerank_bipartite(df, n_iter=3, top_k=3).collect()
+    assert [r["node"] for r in rows] == ["t:x", "u:1", "u:2"]
+    assert rows[1]["pr_scaled"] == rows[2]["pr_scaled"]

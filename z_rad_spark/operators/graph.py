@@ -1,0 +1,111 @@
+"""Iterative graph algorithms over entity-interaction graphs.
+
+The corpus-ops companion to dedup.connected_components_star (which
+handles the equivalence-closure side): PageRank ranks entities by
+recursive interaction importance — source/user reputation weighting for
+mixture sampling, influence-aware dedup survivor picks, crawl
+prioritization.
+
+Spark-first shape: a fixed-K loop of join + groupBy stages over an edge
+DataFrame — each iteration is one co-partitioned equi-join (edges x
+current ranks on src) and one aggregation exchange on dst. At cluster
+scale, persist the edge table bucketed by src so every iteration reuses
+the same shuffle-free scan side, and checkpoint ranks every few
+iterations to truncate lineage. K is fixed (the operator is a
+deterministic transformation, not a convergence loop) — callers pick K
+from the graph diameter; rank deltas after 3-5 iterations are below any
+downstream decision threshold for the bipartite interaction graphs this
+engine feeds.
+
+Reference parity: z-rad has no graph layer (its per-image features are
+independent); this module exists for the LLM-pipeline side of SURVEY
+§2's charter, like operators/dedup.py's clustering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_bipartite(
+    df: DataFrame,
+    left_col: str = "user_id",
+    right_col: str = "event_type",
+    n_iter: int = 4,
+    damping: float = 0.85,
+    top_k: int = 20,
+    exact_fold: bool = True,
+) -> DataFrame:
+    """PageRank over the bipartite interaction graph (left entities x
+    right entities, an undirected edge per DISTINCT interacting pair,
+    represented as two directed edges):
+
+        pr_0(v)     = 1 / N
+        pr_{k+1}(v) = (1 - d) / N + d * sum_{u -> v} pr_k(u) / outdeg(u)
+
+    No dangling-node correction is needed: the bipartite symmetric
+    construction gives every node at least one out- and in-edge.
+
+    Determinism: with exact_fold=True (the oracle-gated mode) each
+    node's incoming contributions combine in a SRC-ORDERED left fold,
+    so the SQL oracle replays every iteration bit-for-bit; the per-node
+    collect is bounded by in-degree — fine for the entity-interaction
+    graphs here (right-side hubs collect the left cardinality), but a
+    web-scale hub would want exact_fold=False, which swaps the fold for
+    a plain partial-aggregated F.sum (same plan shape as every other
+    aggregate; compare with tolerance, not hashes).
+
+    Scale: per iteration, one equi-join (ranks x degrees on node — both
+    node-cardinality tables), one equi-join (edges x shares on src),
+    one aggregation exchange on dst. The edge table is reused K times —
+    persist/bucket it by src in production. N is a one-off driver
+    scalar (count), the same class as the engine's other driver-scalar
+    aggregates.
+
+    Output: top_k rows (node string, pr_scaled double = pr * N, so 1.0
+    is the uniform-rank baseline) by (pr desc, node asc) — the
+    deterministic tie-break matters because structurally identical
+    entities get exactly equal ranks.
+    """
+    u = F.concat(F.lit("u:"), F.col(left_col).cast("string"))
+    t = F.concat(F.lit("t:"), F.col(right_col).cast("string"))
+    pairs = (
+        df.where(F.col(left_col).isNotNull() & F.col(right_col).isNotNull())
+        .select(u.alias("_u"), t.alias("_t"))
+        .distinct()
+    )
+    edges = pairs.select(F.col("_u").alias("src"), F.col("_t").alias("dst")).unionByName(
+        pairs.select(F.col("_t").alias("src"), F.col("_u").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("od"))
+    nodes = deg.select(F.col("src").alias("node"))
+    n_nodes = nodes.count()  # driver scalar: graph order
+    nd = F.lit(float(n_nodes))
+    pr = nodes.select("node", (F.lit(1.0) / nd).alias("pr"))
+    base = (F.lit(1.0) - F.lit(damping)) / nd
+    for _ in range(n_iter):
+        share = pr.join(deg.withColumnRenamed("src", "node"), "node").select(
+            F.col("node").alias("src"),
+            (F.col("pr") / F.col("od").cast("double")).alias("sh"),
+        )
+        inbox = edges.join(share, "src")
+        if exact_fold:
+            folded = inbox.groupBy("dst").agg(
+                F.sort_array(F.collect_list(F.struct("src", "sh"))).alias("_c")
+            )
+            summed = F.aggregate(
+                F.col("_c"), F.lit(0.0), lambda acc, e: acc + e["sh"]
+            )
+        else:
+            folded = inbox.groupBy("dst").agg(F.sum("sh").alias("_c"))
+            summed = F.col("_c")
+        pr = folded.select(
+            F.col("dst").alias("node"),
+            (base + F.lit(damping) * summed).alias("pr"),
+        )
+    return (
+        pr.orderBy(F.col("pr").desc(), F.col("node").asc())
+        .limit(top_k)
+        .select("node", (F.col("pr") * nd).alias("pr_scaled"))
+    )
