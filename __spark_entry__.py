@@ -4371,6 +4371,29 @@ def q_pagerank(spark, sf_dir):
     return _r6(out, ["pr_scaled"])
 
 
+def q_ad_drift(spark, sf_dir):
+    """Two-sample Anderson-Darling drift per role between the pre/post
+    cutoff windows (drift.ad_drift, Scholz-Stephens tie-adjusted k=2):
+    the tail-sensitive member of the KS/MW/Welch battery — compacted
+    exact-long block counts, guarded fixed per-block chains,
+    value-ordered folds — oracle-replayable."""
+    from z_rad_spark.operators.drift import ad_drift
+
+    out = ad_drift(_t(spark, sf_dir), split_ts="2024-01-15 00:00:00")
+    return _r6(out, ["a2"])
+
+
+def q_f_oneway(spark, sf_dir):
+    """One-way ANOVA F across event types on value (drift.f_oneway):
+    integer-cents exact sufficient statistics (DECIMAL(38,0) square
+    sums), group-ordered between/within folds — oracle-replayable. The
+    parametric sibling of q_kruskal."""
+    from z_rad_spark.operators.drift import f_oneway
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _r6(f_oneway(ev), ["f_stat"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4407,6 +4430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll": q_hll,
         "q_chao1": q_chao1,
         "q_pagerank": q_pagerank,
+        "q_ad_drift": q_ad_drift,
+        "q_f_oneway": q_f_oneway,
         "q_heavy_hitters": q_heavy_hitters,
         "q_linear_count": q_linear_count,
         "q_bootstrap_ci": q_bootstrap_ci,

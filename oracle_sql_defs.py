@@ -8884,3 +8884,126 @@ FROM pr4 CROSS JOIN nn
 ORDER BY pr4.pr DESC, node ASC
 LIMIT 20
 """
+
+
+# Two-sample Anderson-Darling (Scholz-Stephens tie-adjusted, k=2):
+# the mw_drift compaction + exact long block/below counts, midblock
+# halves, guarded per-block terms, value-ordered folds per sample
+# (mirror of drift.ad_drift)
+ORACLES["q_ad_drift"] = f"""
+WITH t AS ({T}),
+pv AS (
+  SELECT role, CAST(signal AS DOUBLE) AS v,
+         CAST(COUNT(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 END)
+              AS BIGINT) AS r,
+         CAST(COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 END)
+              AS BIGINT) AS c
+  FROM t WHERE signal IS NOT NULL GROUP BY role, v
+),
+lv AS (
+  SELECT role, v, r, c, r + c AS l,
+         CAST(SUM(r + c) OVER (PARTITION BY role ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (r + c)
+              AS BIGINT) AS lb,
+         CAST(SUM(r) OVER (PARTITION BY role ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - r
+              AS BIGINT) AS rb
+  FROM pv
+),
+g AS (
+  SELECT role, CAST(SUM(r) AS BIGINT) AS n_ref, CAST(SUM(c) AS BIGINT) AS n_cur,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         list(struct_pack(v := v, r := r, c := c, l := l, lb := lb, rb := rb)
+              ORDER BY v) AS bs
+  FROM lv GROUP BY role
+),
+f AS (
+  SELECT role, n_ref, n_cur, n_blocks,
+         CAST(n_ref AS DOUBLE) AS n1, CAST(n_cur AS DOUBLE) AS n2,
+         CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE) AS nd, bs
+  FROM g
+),
+f2 AS (
+  SELECT role, n_ref, n_cur, n_blocks, n1, n2, nd,
+         list_reduce([0.0] || list_transform(bs, e ->
+           CASE WHEN (CAST(e.lb AS DOUBLE) + CAST(e.l AS DOUBLE) / 2.0)
+                     * (nd - (CAST(e.lb AS DOUBLE) + CAST(e.l AS DOUBLE) / 2.0))
+                     - nd * CAST(e.l AS DOUBLE) / 4.0 > 0
+                THEN (CAST(e.l AS DOUBLE) / nd)
+                     * ((nd * (CAST(e.rb AS DOUBLE) + CAST(e.r AS DOUBLE) / 2.0)
+                         - n1 * (CAST(e.lb AS DOUBLE) + CAST(e.l AS DOUBLE) / 2.0))
+                        * (nd * (CAST(e.rb AS DOUBLE) + CAST(e.r AS DOUBLE) / 2.0)
+                           - n1 * (CAST(e.lb AS DOUBLE) + CAST(e.l AS DOUBLE) / 2.0)))
+                     / ((CAST(e.lb AS DOUBLE) + CAST(e.l AS DOUBLE) / 2.0)
+                        * (nd - (CAST(e.lb AS DOUBLE) + CAST(e.l AS DOUBLE) / 2.0))
+                        - nd * CAST(e.l AS DOUBLE) / 4.0)
+                ELSE 0.0 END),
+           (a, b) -> a + b) AS inner1,
+         list_reduce([0.0] || list_transform(bs, e ->
+           CASE WHEN (CAST(e.lb AS DOUBLE) + CAST(e.l AS DOUBLE) / 2.0)
+                     * (nd - (CAST(e.lb AS DOUBLE) + CAST(e.l AS DOUBLE) / 2.0))
+                     - nd * CAST(e.l AS DOUBLE) / 4.0 > 0
+                THEN (CAST(e.l AS DOUBLE) / nd)
+                     * ((nd * (CAST(e.lb - e.rb AS DOUBLE) + CAST(e.l - e.r AS DOUBLE) / 2.0)
+                         - n2 * (CAST(e.lb AS DOUBLE) + CAST(e.l AS DOUBLE) / 2.0))
+                        * (nd * (CAST(e.lb - e.rb AS DOUBLE) + CAST(e.l - e.r AS DOUBLE) / 2.0)
+                           - n2 * (CAST(e.lb AS DOUBLE) + CAST(e.l AS DOUBLE) / 2.0)))
+                     / ((CAST(e.lb AS DOUBLE) + CAST(e.l AS DOUBLE) / 2.0)
+                        * (nd - (CAST(e.lb AS DOUBLE) + CAST(e.l AS DOUBLE) / 2.0))
+                        - nd * CAST(e.l AS DOUBLE) / 4.0)
+                ELSE 0.0 END),
+           (a, b) -> a + b) AS inner2
+  FROM f
+)
+SELECT role, n_ref, n_cur, n_blocks,
+       {r6('''CASE WHEN n_ref > 0 AND n_cur > 0 AND n_blocks > 1
+              THEN (nd - 1.0) / nd * (inner1 / n1 + inner2 / n2) END''', 'a2')}
+FROM f2
+"""
+
+
+# One-way ANOVA F: integer-cents sufficient statistics (square sums on
+# HUGEINT mirroring the engine's DECIMAL(38,0)), group-name-ordered
+# between/within folds (mirror of drift.f_oneway)
+ORACLES["q_f_oneway"] = f"""
+WITH p AS (
+  SELECT event_type AS g,
+         CAST(FLOOR(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL
+),
+pg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g, CAST(SUM(x) AS BIGINT) AS sx,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM p GROUP BY g
+),
+agg AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(sx) AS BIGINT) AS sxt,
+         list(struct_pack(g := g, n_g := n_g, sx := sx, sxx := sxx)
+              ORDER BY g) AS gs
+  FROM pg
+),
+fin AS (
+  SELECT n, k, gs, CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+         CAST(sxt AS DOUBLE) / CAST(n AS DOUBLE) AS gmean
+  FROM agg
+),
+f2 AS (
+  SELECT n, k, nd, kd,
+         list_reduce([0.0] || list_transform(gs, e ->
+             CAST(e.n_g AS DOUBLE)
+             * (CAST(e.sx AS DOUBLE) / CAST(e.n_g AS DOUBLE) - gmean)
+             * (CAST(e.sx AS DOUBLE) / CAST(e.n_g AS DOUBLE) - gmean)),
+           (a, b) -> a + b) AS ssb,
+         list_reduce([0.0] || list_transform(gs, e ->
+             CAST(e.sxx AS DOUBLE)
+             - CAST(e.sx AS DOUBLE) * CAST(e.sx AS DOUBLE)
+               / CAST(e.n_g AS DOUBLE)),
+           (a, b) -> a + b) AS ssw
+  FROM fin
+)
+SELECT n, k, CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+       {r6('''CASE WHEN k >= 2 AND n > k AND ssw > 0
+              THEN (ssb / (kd - 1.0)) / (ssw / (nd - kd)) END''', 'f_stat')}
+FROM f2
+"""

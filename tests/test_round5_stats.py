@@ -293,3 +293,80 @@ def test_pagerank_symmetric_users_tie(spark):
     rows = pagerank_bipartite(df, n_iter=3, top_k=3).collect()
     assert [r["node"] for r in rows] == ["t:x", "u:1", "u:2"]
     assert rows[1]["pr_scaled"] == rows[2]["pr_scaled"]
+
+
+def _ad_py(ref, cur):
+    # pure-python replica of the Scholz-Stephens k=2 midrank statistic
+    pooled = sorted(ref + cur)
+    vals = sorted(set(pooled))
+    n1, n2 = float(len(ref)), float(len(cur))
+    N = n1 + n2
+    inner = []
+    for arr, na in [(ref, n1), (cur, n2)]:
+        s, lb = 0.0, 0.0
+        for v in vals:
+            lj = float(pooled.count(v))
+            ba = float(sum(1 for x in arr if x < v)) + sum(
+                1 for x in arr if x == v
+            ) / 2.0
+            bj = lb + lj / 2.0
+            den = bj * (N - bj) - N * lj / 4.0
+            if den > 0:
+                s += (lj / N) * ((N * ba - na * bj) ** 2) / den
+            lb += lj
+        inner.append(s / na)
+    return (N - 1.0) / N * (inner[0] + inner[1])
+
+
+def test_ad_drift_hand_replayed(spark):
+    from z_rad_spark.operators.drift import ad_drift
+
+    ref = [1, 2, 2, 3, 5, 7, 7, 8]
+    cur = [2, 3, 3, 4, 6, 9]
+    t0 = dt.datetime(2024, 1, 10)
+    t1 = dt.datetime(2024, 1, 20)
+    rows = [("r", i, t0, float(x)) for i, x in enumerate(ref)] + [
+        ("r", 100 + i, t1, float(x)) for i, x in enumerate(cur)
+    ]
+    df = spark.createDataFrame(
+        rows, "role string, turn_idx int, ts timestamp, signal double"
+    )
+    out = ad_drift(df, "2024-01-15 00:00:00").collect()[0]
+    assert (out["n_ref"], out["n_cur"]) == (8, 6)
+    assert out["a2"] == pytest.approx(_ad_py(ref, cur), rel=1e-12)
+
+
+def test_ad_drift_single_block_is_null(spark):
+    from z_rad_spark.operators.drift import ad_drift
+
+    rows = [("r", 0, dt.datetime(2024, 1, 10), 5.0), ("r", 1, dt.datetime(2024, 1, 20), 5.0)]
+    df = spark.createDataFrame(
+        rows, "role string, turn_idx int, ts timestamp, signal double"
+    )
+    out = ad_drift(df, "2024-01-15 00:00:00").collect()[0]
+    assert out["n_blocks"] == 1 and out["a2"] is None
+
+
+def test_f_oneway_hand_computed(spark):
+    from z_rad_spark.operators.drift import f_oneway
+
+    # groups in cents: a=[100,300] (mean 200), b=[500,700] (mean 600)
+    # grand 400; ssb = 2*4e4*2 = 16e4; ssw = 2e4+2e4 = 4e4
+    # F = (16e4/1)/(4e4/2) = 8
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 7.0)],
+        "event_type string, value double",
+    )
+    r = f_oneway(df).collect()[0]
+    assert (r["n"], r["k"], r["df1"], r["df2"]) == (4, 2, 1, 2)
+    assert r["f_stat"] == pytest.approx(8.0, abs=1e-10)
+
+
+def test_f_oneway_zero_within_variance_is_null(spark):
+    from z_rad_spark.operators.drift import f_oneway
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)],
+        "event_type string, value double",
+    )
+    assert f_oneway(df).collect()[0]["f_stat"] is None

@@ -1116,3 +1116,171 @@ def cramers_v(
         F.when(F.col("n") > 0, chi2).alias("chi2"),
         F.when(ok, F.sqrt(chi2 / (nd * kmin.cast("double")))).alias("v"),
     )
+
+
+def ad_drift(
+    df: DataFrame,
+    split_ts: str,
+    signal_col: str = "signal",
+    group_col: str = "role",
+) -> DataFrame:
+    """Two-sample Anderson-Darling drift test per group between the
+    pre-cutoff reference window and the at/after-cutoff monitoring
+    window — the TAIL-sensitive member of the drift battery (KS is the
+    sup-norm center test, MW the location test; AD weights ECDF
+    discrepancies by 1/(F(1-F)), so a scraper that only corrupts the
+    distribution tails trips this first). Tie-adjusted k=2 form of
+    Scholz & Stephens (1987), the anderson_ksamp statistic:
+
+        A2 = (N-1)/N * sum_a (1/n_a) sum_j (l_j/N)
+             * (N B_aj - n_a B_j)^2 / (B_j (N - B_j) - N l_j / 4)
+
+    over the L distinct pooled values, with l_j the pooled tie-block
+    size, B_j the pooled midblock cumulative (count below + l_j/2) and
+    B_aj sample a's midblock cumulative. Under H0, E[A2] ~ k - 1 = 1.
+
+    Determinism: the mw_drift compaction — one map-side combined
+    groupBy on (group, value) bounds state by value cardinality; block
+    counts and the below-cumulatives are exact longs from one window;
+    the midblock values are exact halves; each block term is a fixed
+    IEEE chain guarded CASE denom > 0 (zero only for a single
+    all-value block — where the statistic is undefined anyway) and the
+    two per-sample sums run as value-ordered left folds — so the SQL
+    oracle replays A2 bit-for-bit.
+
+    NULL signals are excluded. Output: (group_col, n_ref long, n_cur
+    long, n_blocks long, a2 double — NULL when either window is empty
+    or every value ties).
+    """
+    x = F.col(signal_col).cast("double")
+    is_ref = F.col("ts").cast("timestamp") < F.lit(split_ts).cast("timestamp")
+    per_val = (
+        df.where(x.isNotNull())
+        .groupBy(F.col(group_col), x.alias("_val"))
+        .agg(
+            F.count(F.when(is_ref, 1)).cast("long").alias("_r"),
+            F.count(F.when(~is_ref, 1)).cast("long").alias("_c"),
+        )
+        .withColumn("_l", F.col("_r") + F.col("_c"))
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("_val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lv = per_val.select(
+        group_col,
+        "_val",
+        "_r",
+        "_c",
+        "_l",
+        (F.sum("_l").over(w_cum) - F.col("_l")).cast("long").alias("_lb"),
+        (F.sum("_r").over(w_cum) - F.col("_r")).cast("long").alias("_rb"),
+    )
+    g = lv.groupBy(group_col).agg(
+        F.sum("_r").cast("long").alias("n_ref"),
+        F.sum("_c").cast("long").alias("n_cur"),
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sort_array(
+            F.collect_list(F.struct("_val", "_r", "_c", "_l", "_lb", "_rb"))
+        ).alias("_bs"),
+    )
+    n1, n2 = F.col("n_ref").cast("double"), F.col("n_cur").cast("double")
+    nd = n1 + n2
+
+    def _inner(sample_cum, sample_n):
+        # sample_cum(e) -> B_aj (midblock cumulative of the sample),
+        # sample_n -> n_a; one guarded fixed chain per block
+        def term(acc, e):
+            ld = e["_l"].cast("double")
+            bj = e["_lb"].cast("double") + ld / F.lit(2.0)
+            baj = sample_cum(e)
+            num = (nd * baj - sample_n * bj) * (nd * baj - sample_n * bj)
+            den = bj * (nd - bj) - nd * ld / F.lit(4.0)
+            return acc + F.when(den > 0, (ld / nd) * num / den).otherwise(F.lit(0.0))
+
+        return F.aggregate(F.col("_bs"), F.lit(0.0), term)
+
+    inner1 = _inner(
+        lambda e: e["_rb"].cast("double") + e["_r"].cast("double") / F.lit(2.0), n1
+    )
+    inner2 = _inner(
+        lambda e: (e["_lb"] - e["_rb"]).cast("double")
+        + (e["_l"] - e["_r"]).cast("double") / F.lit(2.0),
+        n2,
+    )
+    ok = (F.col("n_ref") > 0) & (F.col("n_cur") > 0) & (F.col("n_blocks") > 1)
+    a2 = F.when(ok, (nd - F.lit(1.0)) / nd * (inner1 / n1 + inner2 / n2))
+    return g.select(group_col, "n_ref", "n_cur", "n_blocks", a2.alias("a2"))
+
+
+def f_oneway(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Classic one-way ANOVA F across k groups — the parametric
+    location member of the k-group battery ([[kruskal_wallis]] = rank
+    location, [[brown_forsythe]] = scale):
+
+        F = (SSB / (k - 1)) / (SSW / (N - k))
+
+    Determinism: values ride the engine's integer-cents convention
+    (floor(x * 100) — F is invariant to linear scaling, so no
+    rescaling division ever happens); per-group sufficient statistics
+    are exact longs with the square sum on DECIMAL(19,0)^2 ->
+    DECIMAL(38,0) headroom (the cuped_adjusted guard); SSB/SSW combine
+    in group-name-ordered left folds — bit-replayable in SQL.
+
+    Scale: one map-side combined groupBy on the group key; the final
+    fold sees k rows. NULL values are excluded.
+
+    Output one row: (n long, k long, df1 long, df2 long, f_stat double
+    — NULL when k < 2, N <= k, or zero within-group variance).
+    """
+    cents = F.floor(F.col(value_col).cast("double") * F.lit(100.0)).cast("long")
+    _d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    per_g = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("_g"), cents.alias("_x"))
+        .groupBy("_g")
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum("_x").cast("long").alias("_sx"),
+            F.sum(_d19("_x") * _d19("_x")).alias("_sxx"),
+        )
+    )
+    g = per_g.agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum("_sx").cast("long").alias("_sxt"),
+        F.sort_array(F.collect_list(F.struct("_g", "_n", "_sx", "_sxx"))).alias("_gs"),
+    )
+    nd, kd = F.col("n").cast("double"), F.col("k").cast("double")
+    gmean = F.col("_sxt").cast("double") / nd
+    ssb = F.aggregate(
+        F.col("_gs"),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + e["_n"].cast("double")
+        * (e["_sx"].cast("double") / e["_n"].cast("double") - gmean)
+        * (e["_sx"].cast("double") / e["_n"].cast("double") - gmean),
+    )
+    ssw = F.aggregate(
+        F.col("_gs"),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + (
+            e["_sxx"].cast("double")
+            - e["_sx"].cast("double") * e["_sx"].cast("double") / e["_n"].cast("double")
+        ),
+    )
+    ok = (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (ssw > 0)
+    f_stat = (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))
+    return g.select(
+        "n",
+        "k",
+        (F.col("k") - F.lit(1)).cast("long").alias("df1"),
+        (F.col("n") - F.col("k")).cast("long").alias("df2"),
+        F.when(ok, f_stat).alias("f_stat"),
+    )
