@@ -4394,6 +4394,18 @@ def q_f_oneway(spark, sf_dir):
     return _r6(f_oneway(ev), ["f_stat"])
 
 
+def q_mcnemar(spark, sf_dir):
+    """McNemar's paired pre/post purchase-flip test across the cutoff
+    (drift.mcnemar): per-user paired binary flags, discordant-cell
+    continuity-corrected chi-square — exact integers, one fixed float
+    chain — oracle-replayable. The within-subject churn complement to
+    the population drift battery."""
+    from z_rad_spark.operators.drift import mcnemar
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _r6(mcnemar(ev, split_ts="2024-01-15 00:00:00"), ["chi2"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4432,6 +4444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": q_pagerank,
         "q_ad_drift": q_ad_drift,
         "q_f_oneway": q_f_oneway,
+        "q_mcnemar": q_mcnemar,
         "q_heavy_hitters": q_heavy_hitters,
         "q_linear_count": q_linear_count,
         "q_bootstrap_ci": q_bootstrap_ci,

@@ -9007,3 +9007,31 @@ SELECT n, k, CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
               THEN (ssb / (kd - 1.0)) / (ssw / (nd - kd)) END''', 'f_stat')}
 FROM f2
 """
+
+
+# McNemar: per-entity paired pre/post purchase flags, discordant-cell
+# chi-square with continuity correction (mirror of drift.mcnemar)
+ORACLES["q_mcnemar"] = f"""
+WITH pe AS (
+  SELECT user_id,
+         COUNT(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                    AND event_type = 'purchase' THEN 1 END) > 0 AS pre,
+         COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                    AND event_type = 'purchase' THEN 1 END) > 0 AS post
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_entities,
+         CAST(COUNT(CASE WHEN pre AND post THEN 1 END) AS BIGINT) AS n_both,
+         CAST(COUNT(CASE WHEN pre AND NOT post THEN 1 END) AS BIGINT) AS n_pre_only,
+         CAST(COUNT(CASE WHEN NOT pre AND post THEN 1 END) AS BIGINT) AS n_post_only,
+         CAST(COUNT(CASE WHEN NOT pre AND NOT post THEN 1 END) AS BIGINT) AS n_neither
+  FROM pe
+)
+SELECT n_entities, n_both, n_pre_only, n_post_only, n_neither,
+       {r6('''CASE WHEN n_pre_only + n_post_only > 0 THEN
+              CAST(ABS(n_pre_only - n_post_only) - 1 AS DOUBLE)
+              * CAST(ABS(n_pre_only - n_post_only) - 1 AS DOUBLE)
+              / CAST(n_pre_only + n_post_only AS DOUBLE) END''', 'chi2')}
+FROM g
+"""

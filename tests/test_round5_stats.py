@@ -370,3 +370,30 @@ def test_f_oneway_zero_within_variance_is_null(spark):
         "event_type string, value double",
     )
     assert f_oneway(df).collect()[0]["f_stat"] is None
+
+
+def test_mcnemar_hand_computed(spark):
+    from z_rad_spark.operators.drift import mcnemar
+
+    t_pre, t_post = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 20)
+    rows = [
+        (1, "purchase", t_pre),            # pre only -> b
+        (2, "purchase", t_post),           # post only -> c
+        (3, "purchase", t_pre), (3, "purchase", t_post),  # both
+        (4, "click", t_pre),               # neither
+        (5, "purchase", t_pre),            # pre only -> b
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    r = mcnemar(df, "2024-01-15 00:00:00").collect()[0]
+    assert (r["n_entities"], r["n_both"], r["n_pre_only"], r["n_post_only"], r["n_neither"]) == (5, 1, 2, 1, 1)
+    # chi2 = (|2-1|-1)^2 / 3 = 0
+    assert r["chi2"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_mcnemar_no_discordant_is_null(spark):
+    from z_rad_spark.operators.drift import mcnemar
+
+    t_pre, t_post = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 20)
+    rows = [(1, "purchase", t_pre), (1, "purchase", t_post), (2, "click", t_pre)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    assert mcnemar(df, "2024-01-15 00:00:00").collect()[0]["chi2"] is None

@@ -1284,3 +1284,54 @@ def f_oneway(
         (F.col("n") - F.col("k")).cast("long").alias("df2"),
         F.when(ok, f_stat).alias("f_stat"),
     )
+
+
+def mcnemar(
+    df: DataFrame,
+    split_ts: str,
+    entity_col: str = "user_id",
+    event_filter: str = "purchase",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """McNemar's paired-binary test across a cutoff — did the SAME
+    entities flip their behavior? Pairs each entity's before/after
+    binary outcome (did it emit the target event in the window) and
+    tests the discordant cells:
+
+        chi2 = (|b - c| - 1)^2 / (b + c)     (continuity-corrected)
+
+    b = entities positive before only, c = after only. The within-
+    subject complement to the drift battery: PSI/KS/AD compare the
+    POPULATION across the cutoff and miss churn that swaps individuals
+    while marginals hold; McNemar reads exactly that flip mass.
+
+    Determinism + scale: one map-side combined groupBy on the entity
+    key producing two conditional-count flags, one conditional-count
+    aggregate over entities, one fixed integer chain — no floats until
+    the final two ops. Output one row: (n_entities long, n_both long,
+    n_pre_only long, n_post_only long, n_neither long, chi2 double —
+    NULL when no discordant entities).
+    """
+    is_ref = F.col("ts").cast("timestamp") < F.lit(split_ts).cast("timestamp")
+    hit = F.col(type_col) == F.lit(event_filter)
+    per_e = df.groupBy(entity_col).agg(
+        (F.count(F.when(is_ref & hit, 1)) > 0).alias("_pre"),
+        (F.count(F.when((~is_ref) & hit, 1)) > 0).alias("_post"),
+    )
+    g = per_e.agg(
+        F.count("*").cast("long").alias("n_entities"),
+        F.count(F.when(F.col("_pre") & F.col("_post"), 1)).cast("long").alias("n_both"),
+        F.count(F.when(F.col("_pre") & ~F.col("_post"), 1))
+        .cast("long")
+        .alias("n_pre_only"),
+        F.count(F.when(~F.col("_pre") & F.col("_post"), 1))
+        .cast("long")
+        .alias("n_post_only"),
+        F.count(F.when(~F.col("_pre") & ~F.col("_post"), 1))
+        .cast("long")
+        .alias("n_neither"),
+    )
+    b, c = F.col("n_pre_only"), F.col("n_post_only")
+    num = (F.abs(b - c) - F.lit(1)).cast("double")
+    chi2 = F.when((b + c) > 0, num * num / (b + c).cast("double"))
+    return g.withColumn("chi2", chi2)
