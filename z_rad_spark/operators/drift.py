@@ -823,36 +823,49 @@ def kruskal_wallis(
         .groupBy(F.col(group_col).alias("_g"), x.alias("_val"))
         .agg(F.count("*").cast("long").alias("_c"))
     )
-    w_cum = Window.orderBy("_val").rowsBetween(Window.unboundedPreceding, 0)
-    per_v = (
-        per_gv.groupBy("_val")
-        .agg(F.sum("_c").cast("long").alias("_t"))
-        .select(
-            "_val",
-            "_t",
-            (F.sum("_t").over(w_cum) - F.col("_t")).cast("long").alias("_cb"),
-        )
-    )
-    per_g = (
-        per_gv.join(per_v, "_val")
-        .groupBy("_g")
-        .agg(
-            F.sum("_c").cast("long").alias("_n"),
-            F.sum(F.col("_c") * (F.lit(2) * F.col("_cb") + F.col("_t") + F.lit(1)))
-            .cast("long")
-            .alias("_two_r"),
-        )
-    )
-    ties = per_v.agg(
-        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t"))
+    # single-pass shape: the value-level totals ride WINDOWS over the
+    # compacted (group, value) frame instead of a groupBy + join-back —
+    # the first (full-data) exchange is consumed exactly once (the
+    # join-back form re-ran it three times: per-value branch, join
+    # branch, and tie branch — three scans of the fact table at scale).
+    # RANGE framing makes the running total include the CURRENT value's
+    # full tie block, so cb (count strictly below) = running - t.
+    w_val = Window.partitionBy("_val")
+    w_cum = Window.orderBy("_val").rangeBetween(Window.unboundedPreceding, 0)
+    lv = per_gv.select(
+        "_g",
+        "_c",
+        F.sum("_c").over(w_val).cast("long").alias("_t"),
+        (F.row_number().over(Window.partitionBy("_val").orderBy("_g")) == 1).alias(
+            "_first"
+        ),
+        F.sum("_c").over(w_cum).cast("long").alias("_cumt"),
+    ).withColumn("_cb", (F.col("_cumt") - F.col("_t")).cast("long"))
+    per_g = lv.groupBy("_g").agg(
+        F.sum("_c").cast("long").alias("_n"),
+        F.sum(F.col("_c") * (F.lit(2) * F.col("_cb") + F.col("_t") + F.lit(1)))
         .cast("long")
-        .alias("_tie")
+        .alias("_two_r"),
+        # each value's tie contribution is attached to its first row, so
+        # summing the per-group parts over groups recovers sum_v t^3 - t
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_first"),
+                    F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("_tie_part"),
     )
     g = per_g.agg(
         F.sum("_n").cast("long").alias("n"),
         F.count("*").cast("long").alias("k"),
+        F.sum("_tie_part").cast("long").alias("_tie"),
         F.sort_array(F.collect_list(F.struct("_g", "_two_r", "_n"))).alias("_gs"),
-    ).crossJoin(ties)  # both sides are single-row aggregates
+    )
     nd = F.col("n").cast("double")
     term = lambda e: (  # noqa: E731 — shared with the oracle's lambda
         (e["_two_r"].cast("double") / F.lit(2.0))
