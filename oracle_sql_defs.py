@@ -8669,18 +8669,18 @@ WITH b AS (
   FROM events
 ),
 cells AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS o FROM b GROUP BY r, c),
-rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY r),
-ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY c),
-grid AS (
-  SELECT rt.r, ct.c, rt.rt, ct.ct, CAST(COALESCE(cells.o, 0) AS BIGINT) AS o
-  FROM rt CROSS JOIN ct LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c
+marked AS (
+  SELECT r, c, o,
+         CAST(SUM(o) OVER (PARTITION BY r) AS BIGINT) AS rt,
+         CAST(SUM(o) OVER (PARTITION BY c) AS BIGINT) AS ct
+  FROM cells
 ),
 g AS (
   SELECT CAST(SUM(o) AS BIGINT) AS n,
          CAST(COUNT(DISTINCT r) AS BIGINT) AS n_rows,
          CAST(COUNT(DISTINCT c) AS BIGINT) AS n_cols,
          list(struct_pack(o := o, rt := rt, ct := ct) ORDER BY r, c) AS cs
-  FROM grid
+  FROM marked
 ),
 f AS (
   SELECT n, n_rows, n_cols, CAST(n AS DOUBLE) AS nd,
@@ -8690,8 +8690,9 @@ f AS (
               - CAST(e.rt AS DOUBLE) * CAST(e.ct AS DOUBLE) / CAST(n AS DOUBLE))
              * (CAST(e.o AS DOUBLE)
                 - CAST(e.rt AS DOUBLE) * CAST(e.ct AS DOUBLE) / CAST(n AS DOUBLE))
-             / (CAST(e.rt AS DOUBLE) * CAST(e.ct AS DOUBLE) / CAST(n AS DOUBLE))),
-           (a, b) -> a + b) AS chi2
+             / (CAST(e.rt AS DOUBLE) * CAST(e.ct AS DOUBLE) / CAST(n AS DOUBLE))
+             - CAST(e.rt AS DOUBLE) * CAST(e.ct AS DOUBLE) / CAST(n AS DOUBLE)),
+           (a, b) -> a + b) + CAST(n AS DOUBLE) AS chi2
   FROM g
 )
 SELECT n, n_rows, n_cols,

@@ -1073,15 +1073,20 @@ def cramers_v(
         chi2 = sum_cells (o - e)^2 / e,   e = rowtot * coltot / N
         V    = sqrt(chi2 / (N * min(r - 1, c - 1)))
 
-    The cell sum runs over the FULL r x c grid (empty observed cells
-    still contribute e), built as a cross join of the two marginal
-    tables — both are bounded by the category cardinalities, which is
-    the operator's documented contract (dozens, not millions; for
-    high-cardinality pairs use mi_association's top-k path).
+    The full r x c grid collapses to the OBSERVED cells via the
+    algebraic identity sum_empty e = N - sum_observed e (because
+    sum_all e = N exactly), so
 
-    Determinism: integer observed/marginal counts; each cell term is a
-    fixed 5-op IEEE chain; cells combine in an ordered left fold by
-    (row, col) category — bit-replayable in SQL.
+        chi2 = sum_observed [ (o - e)^2 / e  -  e ]  +  N
+
+    — no marginal cross join, no left join, ONE scan: marginals ride
+    two windows over the compacted observed-cell frame and everything
+    folds in a single aggregate. (The earlier grid-join form re-ran
+    the full-data cell aggregate three times.)
+
+    Determinism: integer observed/marginal counts; each observed-cell
+    term is a fixed IEEE chain; cells combine in an ordered left fold
+    by (row, col) category, N is added last — bit-replayable in SQL.
 
     Output one row: (n long, n_rows long, n_cols long, df long, chi2
     double, v double — NULL when either dimension is constant).
@@ -1090,16 +1095,15 @@ def cramers_v(
         F.col("_r").isNotNull() & F.col("_c").isNotNull()
     )
     cells = base.groupBy("_r", "_c").agg(F.count("*").cast("long").alias("_o"))
-    rt = cells.groupBy("_r").agg(F.sum("_o").cast("long").alias("_rt"))
-    ct = cells.groupBy("_c").agg(F.sum("_o").cast("long").alias("_ct"))
-    grid = (
-        rt.crossJoin(ct)  # r x c marginal grid — bounded by category counts
-        .join(cells, ["_r", "_c"], "left")
-        .select(
-            "_r", "_c", "_rt", "_ct", F.coalesce("_o", F.lit(0)).cast("long").alias("_o")
-        )
+    w_r, w_c = Window.partitionBy("_r"), Window.partitionBy("_c")
+    marked = cells.select(
+        "_r",
+        "_c",
+        "_o",
+        F.sum("_o").over(w_r).cast("long").alias("_rt"),
+        F.sum("_o").over(w_c).cast("long").alias("_ct"),
     )
-    g = grid.agg(
+    g = marked.agg(
         F.sum("_o").cast("long").alias("n"),
         F.count_distinct("_r").cast("long").alias("n_rows"),
         F.count_distinct("_c").cast("long").alias("n_cols"),
@@ -1108,15 +1112,25 @@ def cramers_v(
         ),
     )
     nd = F.col("n").cast("double")
-    chi2 = F.aggregate(
-        F.col("_cells"),
-        F.lit(0.0),
-        lambda acc, e: acc
-        + (
-            (e["_o"].cast("double") - e["_rt"].cast("double") * e["_ct"].cast("double") / nd)
-            * (e["_o"].cast("double") - e["_rt"].cast("double") * e["_ct"].cast("double") / nd)
-            / (e["_rt"].cast("double") * e["_ct"].cast("double") / nd)
-        ),
+    chi2 = (
+        F.aggregate(
+            F.col("_cells"),
+            F.lit(0.0),
+            lambda acc, e: acc
+            + (
+                (
+                    e["_o"].cast("double")
+                    - e["_rt"].cast("double") * e["_ct"].cast("double") / nd
+                )
+                * (
+                    e["_o"].cast("double")
+                    - e["_rt"].cast("double") * e["_ct"].cast("double") / nd
+                )
+                / (e["_rt"].cast("double") * e["_ct"].cast("double") / nd)
+                - e["_rt"].cast("double") * e["_ct"].cast("double") / nd
+            ),
+        )
+        + nd
     )
     kmin = F.least(F.col("n_rows") - F.lit(1), F.col("n_cols") - F.lit(1)).cast("long")
     dfree = ((F.col("n_rows") - F.lit(1)) * (F.col("n_cols") - F.lit(1))).cast("long")

@@ -2083,28 +2083,32 @@ def burstiness(df: DataFrame, group_col: str = "event_type") -> DataFrame:
     """
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     hb = F.floor(us.cast("double") / F.lit(3600000000.0)).cast("long")
-    base = df.select(F.col(group_col).alias("_g"), us.alias("_us"), hb.alias("_hb"))
-    per_h = base.groupBy("_g", "_hb").agg(F.count("*").cast("long").alias("_c"))
-    hours = per_h.groupBy("_g").agg(
-        F.sum("_c").cast("long").alias("n_events"),
-        F.count("*").cast("long").alias("n_hours"),
-        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_scc"),
-    )
-    w = Window.partitionBy("_g").orderBy("_us", "event_id")
-    gaps = (
-        df.select(
-            F.col(group_col).alias("_g"), us.alias("_us"), F.col("event_id")
-        )
-        .select("_g", (F.col("_us") - F.lag("_us").over(w)).alias("_gap"))
-        .where(F.col("_gap").isNotNull())
-    )
+    base = df.select(F.col(group_col).alias("_g"), us.alias("_us"), hb.alias("_hb"),
+                     F.col("event_id"))
+    # single pass: hour-bucket counts ride a window partitioned by
+    # (group, hour) with a first-row flag (so the per-group aggregate
+    # sums each bucket once), and the lag window shares the same frame —
+    # the earlier two-branch form scanned the fact table twice
+    w_hb = Window.partitionBy("_g", "_hb")
+    w_hb_rn = Window.partitionBy("_g", "_hb").orderBy("_us", "event_id")
+    w_lag = Window.partitionBy("_g").orderBy("_us", "event_id")
     _d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
-    per_gap = gaps.groupBy("_g").agg(
-        F.count("*").cast("long").alias("n_gaps"),
+    marked = base.select(
+        "_g",
+        F.count("*").over(w_hb).cast("long").alias("_c"),
+        (F.row_number().over(w_hb_rn) == 1).alias("_first"),
+        (F.col("_us") - F.lag("_us").over(w_lag)).alias("_gap"),
+    )
+    j = marked.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("_first"), 1)).cast("long").alias("n_hours"),
+        F.sum(F.when(F.col("_first"), F.col("_c") * F.col("_c")))
+        .cast("long")
+        .alias("_scc"),
+        F.count("_gap").cast("long").alias("n_gaps"),
         F.sum("_gap").cast("long").alias("_sg"),
         F.sum(_d19("_gap") * _d19("_gap")).alias("_sgg"),
     )
-    j = hours.join(per_gap, "_g", "left")
     nd, bd = F.col("n_events").cast("double"), F.col("n_hours").cast("double")
     mean_c = nd / bd
     var_c = F.col("_scc").cast("double") / bd - mean_c * mean_c

@@ -254,24 +254,44 @@ def hyperloglog_by(
     """
     m = 1 << p_bits
     w = 31 - p_bits
-    k = F.pmod(F.abs(F.col(key_col).cast("long")), F.lit(_HASH_P))
-    x = F.pmod(k * F.lit(48271) + F.lit(12345), F.lit(_HASH_P))
-    y = F.pmod(x * x + x, F.lit(_HASH_P))
-    h = F.pmod(y * F.lit(48271), F.lit(_HASH_P))
-    bucket = F.pmod(h, F.lit(m)).cast("int")
-    rest = F.floor(h.cast("double") / F.lit(float(m))).cast("long")
-    # CASE ladder: rank r <=> highest set bit of the w-bit rest is at
-    # position w - r (0-based); rest == 0 -> w + 1
-    rank = F.lit(w + 1)
-    for r in range(w, 0, -1):
-        rank = F.when(rest >= F.lit(1 << (w - r)), F.lit(r)).otherwise(rank)
-    regs = (
-        df.select(F.col(group_col).alias("_g"), bucket.alias("_b"), rank.alias("_r"))
-        .groupBy("_g", "_b")
-        .agg(F.max("_r").cast("int").alias("_reg"))
+
+    def _h(col):
+        k = F.pmod(F.abs(col.cast("long")), F.lit(_HASH_P))
+        x = F.pmod(k * F.lit(48271) + F.lit(12345), F.lit(_HASH_P))
+        y = F.pmod(x * x + x, F.lit(_HASH_P))
+        return F.pmod(y * F.lit(48271), F.lit(_HASH_P))
+
+    def bucket_of(c):
+        return F.pmod(_h(F.col(c)), F.lit(m)).cast("int")
+
+    def rank_of(c):
+        rest = F.floor(_h(F.col(c)).cast("double") / F.lit(float(m))).cast("long")
+        # CASE ladder: rank r <=> highest set bit of the w-bit rest is
+        # at position w - r (0-based); rest == 0 -> w + 1
+        rank = F.lit(w + 1)
+        for r in range(w, 0, -1):
+            rank = F.when(rest >= F.lit(1 << (w - r)), F.lit(r)).otherwise(rank)
+        return rank
+    # single pass: dedup (group, key) FIRST — the exact-distinct count
+    # is then a plain count over the deduped frame (carried by a window
+    # so the register aggregate and the exact count share one scan; the
+    # two-branch form scanned the fact table twice)
+    from pyspark.sql import Window
+
+    dk = (
+        df.select(F.col(group_col).alias("_g"), F.col(key_col).alias("_k"))
+        .groupBy("_g", "_k")
+        .agg(F.lit(1).alias("_one"))
+        .select("_g", "_k", F.count("*").over(Window.partitionBy("_g")).alias("_nk"))
     )
-    folds = regs.groupBy("_g").agg(
+    dk = dk.select("_g", "_nk", bucket_of("_k").alias("_b"), rank_of("_k").alias("_r"))
+    regs = dk.groupBy("_g", "_b").agg(
+        F.max("_r").cast("int").alias("_reg"),
+        F.max("_nk").cast("long").alias("_nkk"),
+    )
+    j = regs.groupBy("_g").agg(
         F.count("*").cast("long").alias("occupied"),
+        F.max("_nkk").cast("long").alias("exact_distinct"),
         F.sort_array(F.collect_list(F.struct("_b", "_reg"))).alias("_bs"),
     )
     z_occ = F.aggregate(
@@ -279,10 +299,6 @@ def hyperloglog_by(
         F.lit(0.0),
         lambda acc, e: acc + F.pow(F.lit(2.0), -e["_reg"].cast("double")),
     )
-    exact = df.groupBy(F.col(group_col).alias("_g")).agg(
-        F.countDistinct(F.col(key_col)).cast("long").alias("exact_distinct")
-    )
-    j = exact.join(folds, "_g")
     v = (F.lit(m) - F.col("occupied")).cast("long")
     zsum = z_occ + v.cast("double")
     alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
