@@ -93,6 +93,13 @@ HEADLINE = [
     # exact-Jaccard calibration eval (opt-in exact pair side)
     "q_bootstrap_ci",
     "q_lsh_recall",
+    # r5 session-3 additions: the iterative flagship (4 join+agg rounds
+    # over the bipartite graph), the tail-sensitive AD battery member,
+    # the global-rank Kruskal-Wallis, and the register-replay HLL
+    "q_pagerank",
+    "q_ad_drift",
+    "q_kruskal",
+    "q_hll",
 ]
 
 
