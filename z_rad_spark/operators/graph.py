@@ -27,6 +27,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# shared session cache registry — frames persisted here are released by
+# dedup.unpersist_intermediates(None) or per-frame via the _zrs_cached tag
+from .dedup import _CACHED_FRAMES
+
 
 def pagerank_bipartite(
     df: DataFrame,
@@ -78,7 +82,15 @@ def pagerank_bipartite(
     edges = pairs.select(F.col("_u").alias("src"), F.col("_t").alias("dst")).unionByName(
         pairs.select(F.col("_t").alias("src"), F.col("_u").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("od"))
+    # the edge table and degree table are consumed 2x per iteration (the
+    # share join and the inbox join) — persist both so the K-iteration
+    # loop reuses one materialization instead of re-deriving the distinct
+    # pair set 2K times (the dedup-module cache registry idiom; release
+    # with unpersist_intermediates after the final action)
+    edges = edges.persist()
+    _CACHED_FRAMES.append(edges)
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("od")).persist()
+    _CACHED_FRAMES.append(deg)
     nodes = deg.select(F.col("src").alias("node"))
     n_nodes = nodes.count()  # driver scalar: graph order
     nd = F.lit(float(n_nodes))
@@ -104,8 +116,10 @@ def pagerank_bipartite(
             F.col("dst").alias("node"),
             (base + F.lit(damping) * summed).alias("pr"),
         )
-    return (
+    out = (
         pr.orderBy(F.col("pr").desc(), F.col("node").asc())
         .limit(top_k)
         .select("node", (F.col("pr") * nd).alias("pr_scaled"))
     )
+    out._zrs_cached = (edges, deg)  # see dedup.unpersist_intermediates
+    return out
