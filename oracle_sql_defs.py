@@ -9036,3 +9036,95 @@ SELECT n_entities, n_both, n_pre_only, n_post_only, n_neither,
               / CAST(n_pre_only + n_post_only AS DOUBLE) END''', 'chi2')}
 FROM g
 """
+
+
+# Triangle census over the LSH candidate-pair graph: degree-oriented
+# wedge enumeration closed against the undirected edge set (mirror of
+# graph.triangle_stats; the edge CTE is the q_minhash_pairs oracle
+# verbatim)
+ORACLES["q_triangles"] = f"""
+WITH und AS (
+  SELECT CAST(LEAST(id_a, id_b) AS BIGINT) AS a,
+         CAST(GREATEST(id_a, id_b) AS BIGINT) AS b
+  FROM ({{PAIRS}}) pq WHERE id_a <> id_b
+),
+deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und) x
+  GROUP BY n
+),
+e AS (
+  SELECT und.a, und.b, da.d AS dda, db.d AS ddb
+  FROM und JOIN deg da ON da.n = und.a JOIN deg db ON db.n = und.b
+),
+o AS (
+  SELECT CASE WHEN dda < ddb OR (dda = ddb AND a < b) THEN a ELSE b END AS u,
+         CASE WHEN dda < ddb OR (dda = ddb AND a < b) THEN b ELSE a END AS v
+  FROM e
+),
+w AS (
+  SELECT o1.v AS v1, o2.v AS v2
+  FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM w WHERE EXISTS (SELECT 1 FROM und WHERE und.a = w.v1 AND und.b = w.v2)
+),
+gd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS n_wedges
+  FROM deg
+),
+ge AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       {r6('''CASE WHEN n_wedges > 0 THEN
+              3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+              END''', 'transitivity')}
+FROM gd, ge, tri
+""".replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip())
+
+
+# Jarque-Bera: exact long power sums per role, fixed central-moment
+# chains (mirror of drift.jarque_bera)
+ORACLES["q_jarque_bera"] = f"""
+WITH t AS ({T}),
+g AS (
+  SELECT role, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(signal AS BIGINT)) AS BIGINT) AS s1,
+         CAST(SUM(CAST(signal AS BIGINT) * CAST(signal AS BIGINT)) AS BIGINT) AS s2,
+         CAST(SUM(CAST(signal AS BIGINT) * CAST(signal AS BIGINT)
+                  * CAST(signal AS BIGINT)) AS BIGINT) AS s3,
+         CAST(SUM(CAST(signal AS BIGINT) * CAST(signal AS BIGINT)
+                  * CAST(signal AS BIGINT) * CAST(signal AS BIGINT)) AS BIGINT) AS s4
+  FROM t WHERE signal IS NOT NULL GROUP BY role
+),
+f AS (
+  SELECT role, n, CAST(n AS DOUBLE) AS nd,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         s2, s3, s4
+  FROM g
+),
+f2 AS (
+  SELECT role, n, nd, m,
+         CAST(s2 AS DOUBLE) / nd - m * m AS m2,
+         CAST(s3 AS DOUBLE) / nd - 3.0 * m * (CAST(s2 AS DOUBLE) / nd)
+           + 2.0 * m * m * m AS m3,
+         CAST(s4 AS DOUBLE) / nd - 4.0 * m * (CAST(s3 AS DOUBLE) / nd)
+           + 6.0 * m * m * (CAST(s2 AS DOUBLE) / nd)
+           - 3.0 * m * m * m * m AS m4
+  FROM f
+),
+f3 AS (
+  SELECT role, n, nd, m2,
+         m3 / SQRT(m2 * m2 * m2) AS skew,
+         m4 / (m2 * m2) AS kurt
+  FROM f2
+)
+SELECT role, n,
+       {r6('CASE WHEN n >= 2 AND m2 > 0 THEN skew END', 'skewness')},
+       {r6('CASE WHEN n >= 2 AND m2 > 0 THEN kurt END', 'kurtosis')},
+       {r6('''CASE WHEN n >= 2 AND m2 > 0 THEN
+              nd / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+              END''', 'jb')}
+FROM f3
+"""

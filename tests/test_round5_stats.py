@@ -397,3 +397,55 @@ def test_mcnemar_no_discordant_is_null(spark):
     rows = [(1, "purchase", t_pre), (1, "purchase", t_post), (2, "click", t_pre)]
     df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
     assert mcnemar(df, "2024-01-15 00:00:00").collect()[0]["chi2"] is None
+
+
+def test_triangle_stats_hand_computed(spark):
+    from z_rad_spark.operators.graph import triangle_stats
+
+    # (1,2),(2,3),(1,3) is a triangle; (3,4) a pendant.
+    # degs: 1->2, 2->2, 3->3, 4->1; wedges = 1+1+3+0 = 5
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (3, 1)],  # dup (1,3) reversed collapses
+        "id_a long, id_b long",
+    )
+    r = triangle_stats(df).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (4, 4, 5, 1)
+    assert r["transitivity"] == pytest.approx(3.0 / 5.0, abs=1e-12)
+
+
+def test_triangle_stats_no_triangles(spark):
+    from z_rad_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    r = triangle_stats(df).collect()[0]
+    assert r["n_triangles"] == 0 and r["transitivity"] == pytest.approx(0.0)
+
+
+def test_jarque_bera_hand_computed(spark):
+    from z_rad_spark.operators.drift import jarque_bera
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("r", i, t0, float(x)) for i, x in enumerate([1, 2, 3, 4])],
+        "role string, turn_idx int, ts timestamp, signal double",
+    )
+    r = jarque_bera(df).collect()[0]
+    n, m = 4.0, 2.5
+    m2 = (1 + 4 + 9 + 16) / n - m * m
+    m3 = (1 + 8 + 27 + 64) / n - 3.0 * m * ((1 + 4 + 9 + 16) / n) + 2.0 * m**3
+    m4 = (1 + 16 + 81 + 256) / n - 4.0 * m * ((1 + 8 + 27 + 64) / n) + 6.0 * m * m * ((1 + 4 + 9 + 16) / n) - 3.0 * m**4
+    skew, kurt = m3 / (m2 * m2 * m2) ** 0.5, m4 / (m2 * m2)
+    assert r["skewness"] == pytest.approx(skew, abs=1e-12)
+    assert r["kurtosis"] == pytest.approx(kurt, rel=1e-12)
+    assert r["jb"] == pytest.approx(n / 6.0 * (skew**2 + (kurt - 3.0) ** 2 / 4.0), rel=1e-12)
+
+
+def test_jarque_bera_constant_is_null(spark):
+    from z_rad_spark.operators.drift import jarque_bera
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("r", i, t0, 5.0) for i in range(3)],
+        "role string, turn_idx int, ts timestamp, signal double",
+    )
+    assert jarque_bera(df).collect()[0]["jb"] is None

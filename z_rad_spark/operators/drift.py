@@ -1362,3 +1362,74 @@ def mcnemar(
     num = (F.abs(b - c) - F.lit(1)).cast("double")
     chi2 = F.when((b + c) > 0, num * num / (b + c).cast("double"))
     return g.withColumn("chi2", chi2)
+
+
+def jarque_bera(
+    df: DataFrame,
+    signal_col: str = "signal",
+    group_col: str = "role",
+) -> DataFrame:
+    """Jarque-Bera normality test per group — the moment-based screen
+    (Jarque & Bera 1980) the parametric members of the drift battery
+    ([[welch_drift]], [[f_oneway]]) implicitly assume:
+
+        JB = n/6 * (S^2 + (K - 3)^2 / 4)
+
+    with S the skewness m3 / m2^1.5 and K the kurtosis m4 / m2^2 of the
+    signal. JB ~ chi2(2) under normality; the integer-valued bounded
+    signals here are never literally normal — the statistic's value is
+    as a tracked drift score (a source whose JB jumps changed shape,
+    not just location/scale).
+
+    Determinism: the four raw power sums are exact longs (signal <= 9
+    keeps x^4 <= 6561, so sums stay far under 2^63 at any realistic
+    group size; for wider signals swap in the cuped DECIMAL guard);
+    central moments are fixed divide/multiply chains over those longs —
+    bit-replayable. ONE map-side combined groupBy, no window, no fold.
+
+    NULL signals are excluded. Output: (group_col, n long, skewness
+    double, kurtosis double, jb double — NULL when variance is zero or
+    n < 2).
+    """
+    x = F.col(signal_col).cast("long")
+    g = (
+        df.where(x.isNotNull())
+        .select(F.col(group_col).alias("_g"), x.alias("_x"))
+        .groupBy("_g")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("_x").cast("long").alias("_s1"),
+            F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_s2"),
+            F.sum(F.col("_x") * F.col("_x") * F.col("_x")).cast("long").alias("_s3"),
+            F.sum(F.col("_x") * F.col("_x") * F.col("_x") * F.col("_x"))
+            .cast("long")
+            .alias("_s4"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    m = F.col("_s1").cast("double") / nd
+    m2 = F.col("_s2").cast("double") / nd - m * m
+    m3 = (
+        F.col("_s3").cast("double") / nd
+        - F.lit(3.0) * m * (F.col("_s2").cast("double") / nd)
+        + F.lit(2.0) * m * m * m
+    )
+    m4 = (
+        F.col("_s4").cast("double") / nd
+        - F.lit(4.0) * m * (F.col("_s3").cast("double") / nd)
+        + F.lit(6.0) * m * m * (F.col("_s2").cast("double") / nd)
+        - F.lit(3.0) * m * m * m * m
+    )
+    skew = m3 / F.sqrt(m2 * m2 * m2)
+    kurt = m4 / (m2 * m2)
+    jb = nd / F.lit(6.0) * (
+        skew * skew + (kurt - F.lit(3.0)) * (kurt - F.lit(3.0)) / F.lit(4.0)
+    )
+    ok = (F.col("n") >= 2) & (m2 > 0)
+    return g.select(
+        F.col("_g").alias(group_col),
+        "n",
+        F.when(ok, skew).alias("skewness"),
+        F.when(ok, kurt).alias("kurtosis"),
+        F.when(ok, jb).alias("jb"),
+    )

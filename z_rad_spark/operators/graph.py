@@ -123,3 +123,90 @@ def pagerank_bipartite(
     )
     out._zrs_cached = (edges, deg)  # see dedup.unpersist_intermediates
     return out
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Global triangle census over an undirected edge list — triangle
+    count, wedge count, and transitivity (global clustering
+    coefficient):
+
+        transitivity = 3 * triangles / wedges,
+        wedges = sum_v C(deg_v, 2)
+
+    The near-dup-graph density probe: fed the LSH candidate pairs, a
+    transitivity near 1 means candidates form tight duplicate cliques
+    (safe to contract — [[dedup.connected_components_star]] clusters
+    them), near 0 means chains/stars (banding artifacts worth a
+    threshold look).
+
+    Algorithm: degree orientation (Suri & Vassilvitskii's MR-friendly
+    form) — orient every edge from its lower (degree, id) endpoint to
+    the higher, enumerate wedges only at each edge's SOURCE, and close
+    them against the undirected edge set. Each triangle is counted
+    exactly once (at its minimum-degree vertex), and the per-vertex
+    wedge fan-out is bounded by the oriented out-degree, which the
+    orientation caps at O(sqrt(m)) — the step that keeps a hub's
+    quadratic wedge blow-up off the shuffle.
+
+    Determinism: every count is an exact long (joins + integer
+    arithmetic; id-order tie-breaks inside the orientation); the only
+    float op is the final transitivity division.
+
+    Output one row: (n_nodes long, n_edges long, n_wedges long,
+    n_triangles long, transitivity double — NULL when no wedges).
+    """
+    a, b = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+    und = (
+        edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
+        .where(F.col("_a") < F.col("_b"))
+        .distinct()
+        .persist()  # consumed by degrees, orientation, and closure
+    )
+    _CACHED_FRAMES.append(und)
+    deg = (
+        und.select(F.col("_a").alias("_n"))
+        .unionByName(und.select(F.col("_b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count("*").cast("long").alias("_d"))
+        .persist()
+    )
+    _CACHED_FRAMES.append(deg)
+    e = (
+        und.join(deg.withColumnRenamed("_n", "_a").withColumnRenamed("_d", "_da"), "_a")
+        .join(deg.withColumnRenamed("_n", "_b").withColumnRenamed("_d", "_db"), "_b")
+    )
+    lower_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("_a") < F.col("_b"))
+    )
+    o = e.select(
+        F.when(lower_first, F.col("_a")).otherwise(F.col("_b")).alias("_u"),
+        F.when(lower_first, F.col("_b")).otherwise(F.col("_a")).alias("_v"),
+    )
+    o2 = o.select(F.col("_u").alias("_u2"), F.col("_v").alias("_v2"))
+    wedge = o.join(o2, (F.col("_u") == F.col("_u2")) & (F.col("_v") < F.col("_v2")))
+    tri = wedge.join(
+        und,
+        (F.col("_v") == F.col("_a")) & (F.col("_v2") == F.col("_b")),
+        "left_semi",
+    )
+    n_tri = tri.agg(F.count("*").cast("long").alias("n_triangles"))
+    gd = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.expr("CAST(sum(_d * (_d - 1)) div 2 AS BIGINT)").alias("n_wedges"),
+    )
+    ge = und.agg(F.count("*").cast("long").alias("n_edges"))
+    g = gd.crossJoin(ge).crossJoin(n_tri)  # three single-row aggregates
+    trans = F.when(
+        F.col("n_wedges") > 0,
+        F.lit(3.0) * F.col("n_triangles").cast("double")
+        / F.col("n_wedges").cast("double"),
+    )
+    out = g.select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles", trans.alias("transitivity")
+    )
+    out._zrs_cached = (und, deg)  # see dedup.unpersist_intermediates
+    return out
