@@ -4431,6 +4431,19 @@ def q_jarque_bera(spark, sf_dir):
     return _r6(jarque_bera(_t(spark, sf_dir)), ["skewness", "kurtosis", "jb"])
 
 
+def q_yule_k(spark, sf_dir):
+    """Yule's K / Simpson repeat probability / Herfindahl per source
+    (text.lexical_concentration): exact (N, D, sum c^2) longs over the
+    q_vocab tokenization, three fixed chains — oracle-replayable. The
+    concentration flip side of q_chao1's missing-vocabulary view."""
+    from z_rad_spark.operators.text import lexical_concentration
+
+    return _r6(
+        lexical_concentration(_docs(spark, sf_dir)),
+        ["yule_k", "simpson_d", "herfindahl"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4446,17 +4459,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     position — so the order below doubles as the rotation queue for
     future rounds. Regenerate with tools/rotate_window.py.
 
-    Current window: 16 changed-since-last-gate entries (the 14 new
+    Current window: 17 changed-since-last-gate entries (the 15 new
     session-3 operators plus the q_srm/q_bootstrap_ci guard fixes),
-    4 pinned, and 30 ledger-ordered backlog entries; 50 of 50 slots
+    4 pinned, and 29 ledger-ordered backlog entries; 50 of 50 slots
     were not in the round-4 driver window (CORRECTNESS_r04.json —
-    the window the judge gates against; 7 slots also differ from the
+    the window the judge gates against; 8 slots also differ from the
     mid-round session-2 rotation). Entries past the marker keep
     their newest green driver rows; every registry entry is additionally
     strict-mirrored (tools/check_queries.py, STRICT hash mode, sf0.01)
     before each handoff — see COVERAGE.md."""
     return {
         # --- engine/oracle code changed this round ---
+        "q_yule_k": q_yule_k,
         "q_triangles": q_triangles,
         "q_jarque_bera": q_jarque_bera,
         "q_srm": q_srm,

@@ -9128,3 +9128,30 @@ SELECT role, n,
               END''', 'jb')}
 FROM f3
 """
+
+
+# Lexical concentration: Yule's K / Simpson repeat probability /
+# Herfindahl from exact (N, D, sum c^2) longs over the q_vocab
+# tokenization (mirror of text.lexical_concentration)
+ORACLES["q_yule_k"] = f"""
+WITH toks AS (
+  SELECT source AS g, UNNEST({TOKS_DOC}) AS tok FROM documents
+),
+pt AS (SELECT g, tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY g, tok),
+gg AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_vocab,
+         CAST(SUM(c * c) AS BIGINT) AS scc
+  FROM pt GROUP BY g
+)
+SELECT g AS source, n_tokens, n_vocab,
+       {r6('''CASE WHEN n_tokens > 0 THEN 10000.0
+              * (CAST(scc AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+              / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) END''', 'yule_k')},
+       {r6('''CASE WHEN n_tokens >= 2 THEN
+              (CAST(scc AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+              / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0)) END''', 'simpson_d')},
+       {r6('''CASE WHEN n_tokens > 0 THEN CAST(scc AS DOUBLE)
+              / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) END''', 'herfindahl')}
+FROM gg
+"""

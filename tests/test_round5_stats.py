@@ -449,3 +449,15 @@ def test_jarque_bera_constant_is_null(spark):
         "role string, turn_idx int, ts timestamp, signal double",
     )
     assert jarque_bera(df).collect()[0]["jb"] is None
+
+
+def test_lexical_concentration_hand_computed(spark):
+    from z_rad_spark.operators.text import lexical_concentration
+
+    # "a b a c" -> counts a:2 b:1 c:1; N=4, scc=6
+    df = spark.createDataFrame([("s", "a b a c")], "source string, text string")
+    r = lexical_concentration(df).collect()[0]
+    assert (r["n_tokens"], r["n_vocab"]) == (4, 3)
+    assert r["yule_k"] == pytest.approx(10000.0 * (6 - 4) / 16.0, abs=1e-12)
+    assert r["simpson_d"] == pytest.approx((6 - 4) / (4.0 * 3.0), abs=1e-12)
+    assert r["herfindahl"] == pytest.approx(6 / 16.0, abs=1e-12)

@@ -280,6 +280,10 @@ def hyperloglog_by(
 
     dk = (
         df.select(F.col(group_col).alias("_g"), F.col(key_col).alias("_k"))
+        # NULL keys out up front: the window count below would include a
+        # NULL-key group, while COUNT(DISTINCT key) — the oracle and the
+        # two-branch form — excludes NULLs
+        .where(F.col("_k").isNotNull())
         .groupBy("_g", "_k")
         .agg(F.lit(1).alias("_one"))
         .select("_g", "_k", F.count("*").over(Window.partitionBy("_g")).alias("_nk"))

@@ -1239,3 +1239,61 @@ def chao1_richness(
         F.when(ok, f1d / nd).alias("gt_unseen"),
         F.when(ok, F.lit(1.0) - f1d / nd).alias("coverage"),
     )
+
+
+def lexical_concentration(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-frequency concentration per group — three classical
+    repeated-use measures over the engine-wide normalized whitespace
+    tokens (the flip side of [[chao1_richness]]: Chao1 asks how much
+    vocabulary is MISSING, these ask how concentrated the observed
+    usage is):
+
+      * yule_k     — Yule's characteristic K = 1e4 (sum_t c_t^2 - N)
+                     / N^2 (Yule 1944): length-robust repetitiveness;
+                     higher = fewer types dominate.
+      * simpson_d  — Simpson/Herdan repeat probability
+                     sum_t c_t (c_t - 1) / (N (N - 1)): chance two
+                     sampled tokens are the same type.
+      * herfindahl — sum_t (c_t / N)^2, the market-concentration view
+                     (1/herfindahl = effective vocabulary size).
+
+    A template-duplicated or looping source spikes all three before
+    any dedup pass runs — the cheap corpus-health screen next to the
+    full [[dedup]] machinery.
+
+    Determinism + scale: the chao1 single-pass shape — one token
+    explode, one map-side combined groupBy on (group, token), one
+    group aggregate with exact longs (N, D, sum c^2 — c^2 <= N^2 stays
+    in long for N < 3e9 per type); each measure is a fixed IEEE chain.
+
+    Output: (group, n_tokens long, n_vocab long, yule_k double,
+    simpson_d double — NULL when n < 2, herfindahl double — NULL when
+    n = 0).
+    """
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_tok"),
+    )
+    per_tok = toks.groupBy("_g", "_tok").agg(F.count("*").cast("long").alias("_c"))
+    g = per_tok.groupBy("_g").agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_vocab"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_scc"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    scc = F.col("_scc").cast("double")
+    yule = F.lit(10000.0) * (scc - nd) / (nd * nd)
+    simpson = (scc - nd) / (nd * (nd - F.lit(1.0)))
+    herf = scc / (nd * nd)
+    return g.select(
+        F.col("_g").alias(group_col),
+        "n_tokens",
+        "n_vocab",
+        F.when(F.col("n_tokens") > 0, yule).alias("yule_k"),
+        F.when(F.col("n_tokens") >= 2, simpson).alias("simpson_d"),
+        F.when(F.col("n_tokens") > 0, herf).alias("herfindahl"),
+    )
