@@ -4444,6 +4444,17 @@ def q_yule_k(spark, sf_dir):
     )
 
 
+def q_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard + Fleming-Harrington survival for
+    time-to-first-tool-call with censoring (profile.nelson_aalen, 60 s
+    buckets): the kaplan_meier machinery with bucket-ordered SUM folds
+    (hazard + Poisson variance) — oracle-replayable."""
+    from z_rad_spark.operators.profile import nelson_aalen
+
+    out = nelson_aalen(_t(spark, sf_dir), event_role="tool", bucket_s=60)
+    return _r6(out, ["h_na", "var_h", "s_fh"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4459,17 +4470,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     position — so the order below doubles as the rotation queue for
     future rounds. Regenerate with tools/rotate_window.py.
 
-    Current window: 17 changed-since-last-gate entries (the 15 new
+    Current window: 18 changed-since-last-gate entries (the 16 new
     session-3 operators plus the q_srm/q_bootstrap_ci guard fixes),
-    4 pinned, and 29 ledger-ordered backlog entries; 50 of 50 slots
+    4 pinned, and 28 ledger-ordered backlog entries; 50 of 50 slots
     were not in the round-4 driver window (CORRECTNESS_r04.json —
-    the window the judge gates against; 8 slots also differ from the
+    the window the judge gates against; 9 slots also differ from the
     mid-round session-2 rotation). Entries past the marker keep
     their newest green driver rows; every registry entry is additionally
     strict-mirrored (tools/check_queries.py, STRICT hash mode, sf0.01)
     before each handoff — see COVERAGE.md."""
     return {
         # --- engine/oracle code changed this round ---
+        "q_nelson_aalen": q_nelson_aalen,
         "q_yule_k": q_yule_k,
         "q_triangles": q_triangles,
         "q_jarque_bera": q_jarque_bera,

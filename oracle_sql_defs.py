@@ -9155,3 +9155,72 @@ SELECT g AS source, n_tokens, n_vocab,
               / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) END''', 'herfindahl')}
 FROM gg
 """
+
+
+# Nelson-Aalen: the kaplan_meier bucket machinery with SUM folds for
+# the cumulative hazard and its Poisson variance, exp(-H) Fleming-
+# Harrington survival (mirror of profile.nelson_aalen)
+ORACLES["q_nelson_aalen"] = f"""
+WITH t AS ({T}),
+pc AS (
+  SELECT conv_id,
+         MIN(epoch_us(ts)) AS t0,
+         MIN(CASE WHEN role = 'tool' THEN epoch_us(ts) END) AS tev,
+         MAX(epoch_us(ts)) AS tend
+  FROM t GROUP BY conv_id
+),
+d0 AS (
+  SELECT conv_id, (tev IS NOT NULL) AS e,
+         CAST(FLOOR(CAST(CASE WHEN tev IS NOT NULL THEN tev - t0
+                              ELSE tend - t0 END AS DOUBLE) / 60000000.0) AS BIGINT) AS tb
+  FROM pc
+),
+pt AS (
+  SELECT tb AS t_bucket,
+         CAST(COUNT(CASE WHEN e THEN 1 END) AS BIGINT) AS d,
+         CAST(COUNT(CASE WHEN NOT e THEN 1 END) AS BIGINT) AS c
+  FROM d0 GROUP BY tb
+),
+o AS (
+  SELECT t_bucket, d, c,
+         SUM(d + c) OVER (ORDER BY t_bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_,
+         SUM(d + c) OVER () AS total
+  FROM pt
+),
+nr AS (
+  SELECT t_bucket, d, c,
+         CAST(total - COALESCE(before_, 0) AS BIGINT) AS n_risk
+  FROM o
+),
+arr AS (
+  SELECT list(struct_pack(tb := t_bucket, d := d, c := c, n := n_risk)
+              ORDER BY t_bucket) AS a
+  FROM nr
+),
+ex AS (
+  SELECT a, unnest(range(1, len(a) + 1)) AS i FROM arr
+),
+rowed AS (
+  SELECT a[i].tb AS t_bucket,
+         a[i].tb * 60 AS t_start_s,
+         a[i].n AS n_risk, a[i].d AS d, a[i].c AS c,
+         list_reduce(
+           [0.0] || [CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE)
+                     FOR x IN a[1:i]],
+           (p, q) -> p + q
+         ) AS h,
+         list_reduce(
+           [0.0] || [CAST(x.d AS DOUBLE)
+                     / (CAST(x.n AS DOUBLE) * CAST(x.n AS DOUBLE))
+                     FOR x IN a[1:i]],
+           (p, q) -> p + q
+         ) AS vh
+  FROM ex
+)
+SELECT t_bucket, t_start_s, n_risk, d, c,
+       {r6('h', 'h_na')},
+       {r6('vh', 'var_h')},
+       {r6('EXP(-h)', 's_fh')}
+FROM rowed
+"""

@@ -461,3 +461,28 @@ def test_lexical_concentration_hand_computed(spark):
     assert r["yule_k"] == pytest.approx(10000.0 * (6 - 4) / 16.0, abs=1e-12)
     assert r["simpson_d"] == pytest.approx((6 - 4) / (4.0 * 3.0), abs=1e-12)
     assert r["herfindahl"] == pytest.approx(6 / 16.0, abs=1e-12)
+
+
+def test_nelson_aalen_hand_computed(spark):
+    from z_rad_spark.operators.profile import nelson_aalen
+
+    t0 = dt.datetime(2024, 1, 1)
+    # conv A: tool at +60s (bucket 1, event). conv B: no tool, last turn
+    # at +30s (bucket 0, censored). conv C: tool at +0s (bucket 0, event).
+    rows = [
+        ("A", "user", t0), ("A", "tool", t0 + dt.timedelta(seconds=60)),
+        ("B", "user", t0), ("B", "user", t0 + dt.timedelta(seconds=30)),
+        ("C", "tool", t0),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, role string, ts timestamp")
+    out = {r["t_bucket"]: r for r in nelson_aalen(df, bucket_s=60).collect()}
+    # bucket 0: n_risk 3, d=1 (C), c=1 (B) -> H=1/3, var=1/9
+    # bucket 1: n_risk 1, d=1 (A) -> H=1/3+1, var=1/9+1
+    import math
+
+    assert (out[0]["n_risk"], out[0]["d"], out[0]["c"]) == (3, 1, 1)
+    assert out[0]["h_na"] == pytest.approx(1.0 / 3.0, abs=1e-12)
+    assert out[0]["var_h"] == pytest.approx(1.0 / 9.0, abs=1e-12)
+    assert (out[1]["n_risk"], out[1]["d"]) == (1, 1)
+    assert out[1]["h_na"] == pytest.approx(1.0 / 3.0 + 1.0, abs=1e-12)
+    assert out[1]["s_fh"] == pytest.approx(math.exp(-(1.0 / 3.0 + 1.0)), rel=1e-12)

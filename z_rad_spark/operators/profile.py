@@ -2129,3 +2129,106 @@ def burstiness(df: DataFrame, group_col: str = "event_type") -> DataFrame:
         cv.alias("cv_gap"),
         ((cv - F.lit(1.0)) / (cv + F.lit(1.0))).alias("burstiness"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    event_role: str = "tool",
+    bucket_s: int = 60,
+    role_col: str = "role",
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard for time-to-first-``event_role``
+    with right censoring (Nelson 1972; Aalen 1978) — the additive
+    companion to [[kaplan_meier]] (KM multiplies survival factors; NA
+    sums hazard increments, is less biased in small risk sets, and its
+    exp(-H) transform is the Fleming-Harrington survival estimate):
+
+        H(t)      = sum_{t_i <= t} d_i / n_i
+        var[H(t)] = sum_{t_i <= t} d_i / n_i^2     (Poisson form)
+        S_FH(t)   = exp(-H(t))
+
+    Mechanics, scale, and determinism are exactly kaplan_meier's: one
+    conv_id exchange for durations, the bucketed axis bounds the final
+    single-group assembly, exact long (d, c, n_risk) per bucket, and
+    H / var are LEFT FOLDS in bucket order (sums instead of KM's
+    products) — the SQL oracle replays the identical folds.
+
+    Output: (t_bucket long, t_start_s long, n_risk long, d long,
+    c long, h_na double — cumulative hazard AFTER this bucket,
+    var_h double, s_fh double = exp(-h_na)), ascending.
+    """
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_conv = df.groupBy("conv_id").agg(
+        F.min(ts_us).alias("_t0"),
+        F.min(F.when(F.col(role_col) == event_role, ts_us)).alias("_tev"),
+        F.max(ts_us).alias("_tend"),
+    )
+    is_event = F.col("_tev").isNotNull()
+    dur_us = F.when(is_event, F.col("_tev") - F.col("_t0")).otherwise(
+        F.col("_tend") - F.col("_t0")
+    )
+    bucket = F.floor(dur_us / F.lit(float(bucket_s) * 1e6)).cast("long")
+    per_t = (
+        per_conv.select(bucket.alias("t_bucket"), is_event.alias("_e"))
+        .groupBy("t_bucket")
+        .agg(
+            F.count(F.when(F.col("_e"), 1)).cast("long").alias("d"),
+            F.count(F.when(~F.col("_e"), 1)).cast("long").alias("c"),
+        )
+    )
+    one = per_t.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("t_bucket", "d", "c"))).alias("_a")
+    )
+    m = F.size("_a")
+    total = F.aggregate(
+        F.col("_a"), F.lit(0).cast("long"), lambda acc, s: acc + s["d"] + s["c"]
+    )
+    one = one.withColumn("_total", total)
+    rows = F.transform(
+        F.sequence(F.lit(0), m - F.lit(1)),
+        lambda i: F.struct(
+            F.get("_a", i)["t_bucket"].alias("t_bucket"),
+            F.get("_a", i)["d"].alias("d"),
+            F.get("_a", i)["c"].alias("c"),
+            (
+                F.col("_total")
+                - F.aggregate(
+                    F.slice("_a", F.lit(1), i),
+                    F.lit(0).cast("long"),
+                    lambda acc, s: acc + s["d"] + s["c"],
+                )
+            ).alias("n_risk"),
+        ),
+    )
+    one = one.withColumn("_rows", rows)
+    haz = F.transform(
+        F.sequence(F.lit(0), m - F.lit(1)),
+        lambda i: F.aggregate(
+            F.slice("_rows", F.lit(1), i + 1),
+            F.lit(0.0),
+            lambda acc, s: acc + s["d"].cast("double") / s["n_risk"].cast("double"),
+        ),
+    )
+    vh = F.transform(
+        F.sequence(F.lit(0), m - F.lit(1)),
+        lambda i: F.aggregate(
+            F.slice("_rows", F.lit(1), i + 1),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + s["d"].cast("double")
+            / (s["n_risk"].cast("double") * s["n_risk"].cast("double")),
+        ),
+    )
+    one = one.withColumn("_h", haz).withColumn("_v", vh)
+    return one.select(
+        F.posexplode("_rows").alias("_i", "_r"), F.col("_h"), F.col("_v")
+    ).select(
+        F.col("_r")["t_bucket"].alias("t_bucket"),
+        (F.col("_r")["t_bucket"] * F.lit(int(bucket_s))).alias("t_start_s"),
+        F.col("_r")["n_risk"].alias("n_risk"),
+        F.col("_r")["d"].alias("d"),
+        F.col("_r")["c"].alias("c"),
+        F.get("_h", F.col("_i")).alias("h_na"),
+        F.get("_v", F.col("_i")).alias("var_h"),
+        F.exp(-F.get("_h", F.col("_i"))).alias("s_fh"),
+    )
