@@ -4455,6 +4455,28 @@ def q_nelson_aalen(spark, sf_dir):
     return _r6(out, ["h_na", "var_h", "s_fh"])
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities over the bipartite user x
+    (event_type:dow) graph (graph.hits_bipartite, 3 iterations):
+    neighbor-ordered contribution folds + node-ordered L2
+    normalization folds; top-10 per kind with the deterministic
+    (score desc, node asc) tie-break. Oracle = the identical 3
+    unrolled iterations."""
+    from z_rad_spark.operators.graph import hits_bipartite
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    dow = F.pmod(
+        F.floor(us.cast("double") / F.lit(86400000000.0)).cast("long") + F.lit(4),
+        F.lit(7),
+    )
+    ev = ev.withColumn(
+        "rnode", F.concat(F.col("event_type"), F.lit(":"), dow.cast("string"))
+    )
+    out = hits_bipartite(ev, left_col="user_id", right_col="rnode", n_iter=3)
+    return _r6(out, ["score"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4470,17 +4492,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     position — so the order below doubles as the rotation queue for
     future rounds. Regenerate with tools/rotate_window.py.
 
-    Current window: 18 changed-since-last-gate entries (the 16 new
+    Current window: 19 changed-since-last-gate entries (the 17 new
     session-3 operators plus the q_srm/q_bootstrap_ci guard fixes),
-    4 pinned, and 28 ledger-ordered backlog entries; 50 of 50 slots
+    4 pinned, and 27 ledger-ordered backlog entries; 50 of 50 slots
     were not in the round-4 driver window (CORRECTNESS_r04.json —
-    the window the judge gates against; 9 slots also differ from the
+    the window the judge gates against; 10 slots also differ from the
     mid-round session-2 rotation). Entries past the marker keep
     their newest green driver rows; every registry entry is additionally
     strict-mirrored (tools/check_queries.py, STRICT hash mode, sf0.01)
     before each handoff — see COVERAGE.md."""
     return {
         # --- engine/oracle code changed this round ---
+        "q_hits": q_hits,
         "q_nelson_aalen": q_nelson_aalen,
         "q_yule_k": q_yule_k,
         "q_triangles": q_triangles,

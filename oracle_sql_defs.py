@@ -9224,3 +9224,51 @@ SELECT t_bucket, t_start_s, n_risk, d, c,
        {r6('EXP(-h)', 's_fh')}
 FROM rowed
 """
+
+
+# HITS: 3 unrolled hub/authority iterations with neighbor-ordered
+# folds and node-ordered L2 normalization folds (mirror of
+# graph.hits_bipartite via q_hits)
+_HITS_ITERS = "".join(
+    f""",
+ar{i} AS (
+  SELECT p.t, list_reduce([0.0] || list(h.h ORDER BY p.u), (x, y) -> x + y) AS a
+  FROM p JOIN h{i} h ON p.u = h.u GROUP BY p.t
+),
+an{i} AS (
+  SELECT SQRT(list_reduce([0.0] || list(a * a ORDER BY t), (x, y) -> x + y)) AS nrm
+  FROM ar{i}
+),
+a{i + 1} AS (SELECT t, a / nrm AS a FROM ar{i}, an{i}),
+hr{i} AS (
+  SELECT p.u, list_reduce([0.0] || list(a.a ORDER BY p.t), (x, y) -> x + y) AS h
+  FROM p JOIN a{i + 1} a ON p.t = a.t GROUP BY p.u
+),
+hn{i} AS (
+  SELECT SQRT(list_reduce([0.0] || list(h * h ORDER BY u), (x, y) -> x + y)) AS nrm
+  FROM hr{i}
+),
+h{i + 1} AS (SELECT u, h / nrm AS h FROM hr{i}, hn{i})"""
+    for i in range(3)
+)
+
+ORACLES["q_hits"] = f"""
+WITH p AS (
+  SELECT DISTINCT CAST(user_id AS STRING) AS u,
+         event_type || ':' ||
+           CAST((CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+                 AS BIGINT) + 4) % 7 AS STRING) AS t
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+h0 AS (SELECT DISTINCT u, CAST(1.0 AS DOUBLE) AS h FROM p){_HITS_ITERS}
+SELECT * FROM (
+  SELECT 'hub' AS kind, u AS node, {r6('h', 'score')}
+  FROM h3 ORDER BY h DESC, u ASC LIMIT 10
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'authority' AS kind, t AS node, {r6('a', 'score')}
+  FROM a3 ORDER BY a DESC, t ASC LIMIT 10
+)
+"""

@@ -486,3 +486,50 @@ def test_nelson_aalen_hand_computed(spark):
     assert (out[1]["n_risk"], out[1]["d"]) == (1, 1)
     assert out[1]["h_na"] == pytest.approx(1.0 / 3.0 + 1.0, abs=1e-12)
     assert out[1]["s_fh"] == pytest.approx(math.exp(-(1.0 / 3.0 + 1.0)), rel=1e-12)
+
+
+def test_hits_hand_replayed(spark):
+    from z_rad_spark.operators.graph import hits_bipartite
+
+    # u1-{x}, u2-{x,y}: exact float replica of 2 iterations
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (2, "y")], "user_id long, event_type string"
+    )
+    got = {
+        (r["kind"], r["node"]): r["score"]
+        for r in hits_bipartite(df, n_iter=2, top_k=5).collect()
+    }
+    pairs = [("1", "x"), ("2", "x"), ("2", "y")]
+    h = {"1": 1.0, "2": 1.0}
+    a = {}
+    for _ in range(2):
+        a_raw = {}
+        for t in sorted({t for _, t in pairs}):
+            acc = 0.0
+            for u, tt in sorted(pairs):
+                if tt == t:
+                    acc = acc + h[u]
+            a_raw[t] = acc
+        nrm = 0.0
+        for t in sorted(a_raw):
+            nrm = nrm + a_raw[t] * a_raw[t]
+        nrm = nrm**0.5
+        a = {t: v / nrm for t, v in a_raw.items()}
+        h_raw = {}
+        for u in sorted({u for u, _ in pairs}):
+            acc = 0.0
+            for uu, t in sorted(pairs, key=lambda p: p[1]):
+                if uu == u:
+                    acc = acc + a[t]
+            h_raw[u] = acc
+        nrm = 0.0
+        for u in sorted(h_raw):
+            nrm = nrm + h_raw[u] * h_raw[u]
+        nrm = nrm**0.5
+        h = {u: v / nrm for u, v in h_raw.items()}
+    for u, v in h.items():
+        assert got[("hub", u)] == pytest.approx(v, rel=1e-15), u
+    for t, v in a.items():
+        assert got[("authority", t)] == pytest.approx(v, rel=1e-15), t
+    # hub ordering: u2 spans both authorities -> higher hub score
+    assert got[("hub", "2")] > got[("hub", "1")]

@@ -210,3 +210,112 @@ def triangle_stats(
     )
     out._zrs_cached = (und, deg)  # see dedup.unpersist_intermediates
     return out
+
+
+def hits_bipartite(
+    df: DataFrame,
+    left_col: str = "user_id",
+    right_col: str = "event_type",
+    n_iter: int = 3,
+    top_k: int = 10,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the bipartite
+    interaction graph — the asymmetric complement to
+    [[pagerank_bipartite]]: PageRank scores every node on one scale;
+    HITS separates LEFT entities (hubs: users whose interactions span
+    the important slots) from RIGHT entities (authorities: slots the
+    important users converge on), the shape a mixture-sampling policy
+    actually wants (weight sources by authority, weight annotators by
+    hub score).
+
+        a_{k+1}(t) = sum_{u ~ t} h_k(u) / ||.||_2
+        h_{k+1}(u) = sum_{t ~ u} a_{k+1}(t) / ||.||_2
+
+    from h_0 = 1, over the DISTINCT interacting pairs.
+
+    Determinism: every per-node sum is a neighbor-ordered left fold and
+    both L2 normalizations fold in node order (one sqrt each), so the
+    SQL oracle replays all n_iter iterations bit-for-bit. Structurally
+    identical entities get exactly equal scores — the output tie-break
+    (score desc, node asc) makes the top_k selection deterministic.
+
+    Scale: per half-iteration one equi-join (pairs x scores) + one
+    aggregation exchange; the pair table is persisted and reused 2K
+    times (the [[pagerank_bipartite]] registry idiom). The
+    normalization is a single-row aggregate broadcast back — at
+    web-hub scale swap the folds for plain sums as in pagerank's
+    exact_fold=False.
+
+    Output: 2 * top_k rows (kind string 'hub'|'authority', node
+    string, score double), hubs first, each block by (score desc,
+    node asc).
+    """
+    pairs = (
+        df.where(F.col(left_col).isNotNull() & F.col(right_col).isNotNull())
+        .select(
+            F.col(left_col).cast("string").alias("u"),
+            F.col(right_col).cast("string").alias("t"),
+        )
+        .distinct()
+        .persist()
+    )
+    _CACHED_FRAMES.append(pairs)
+
+    def _l2_normalize(scores: DataFrame, node_col: str, score_col: str) -> DataFrame:
+        nrm = scores.agg(
+            F.sqrt(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct(node_col, score_col))),
+                    F.lit(0.0),
+                    lambda acc, e: acc + e[score_col] * e[score_col],
+                )
+            ).alias("_nrm")
+        )
+        return scores.crossJoin(nrm).select(  # single-row norm side
+            node_col, (F.col(score_col) / F.col("_nrm")).alias(score_col)
+        )
+
+    h = pairs.select("u").distinct().select("u", F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(n_iter):
+        a_raw = (
+            pairs.join(h, "u")
+            .groupBy("t")
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("u", "h"))),
+                    F.lit(0.0),
+                    lambda acc, e: acc + e["h"],
+                ).alias("a")
+            )
+        )
+        a = _l2_normalize(a_raw, "t", "a")
+        h_raw = (
+            pairs.join(a, "t")
+            .groupBy("u")
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("t", "a"))),
+                    F.lit(0.0),
+                    lambda acc, e: acc + e["a"],
+                ).alias("h")
+            )
+        )
+        h = _l2_normalize(h_raw, "u", "h")
+    hubs = (
+        h.orderBy(F.col("h").desc(), F.col("u").asc())
+        .limit(top_k)
+        .select(F.lit("hub").alias("kind"), F.col("u").alias("node"), F.col("h").alias("score"))
+    )
+    auths = (
+        a.orderBy(F.col("a").desc(), F.col("t").asc())
+        .limit(top_k)
+        .select(
+            F.lit("authority").alias("kind"),
+            F.col("t").alias("node"),
+            F.col("a").alias("score"),
+        )
+    )
+    out = hubs.unionByName(auths)
+    out._zrs_cached = (pairs,)  # see dedup.unpersist_intermediates
+    return out
