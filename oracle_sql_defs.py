@@ -9272,3 +9272,49 @@ SELECT * FROM (
   FROM a3 ORDER BY a DESC, t ASC LIMIT 10
 )
 """
+
+
+# Label propagation: 3 unrolled synchronous iterations, per-node
+# (count desc, label asc) argmax picks (mirror of
+# graph.label_propagation over the LSH candidate-pair graph)
+_LPA_ITERS = "".join(
+    f""",
+cnt{i} AS (
+  SELECT e.dst AS node, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+  FROM dir_e e JOIN lab{i} l ON e.src = l.node
+  GROUP BY e.dst, l.lbl
+),
+lab{i + 1} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, lbl ASC) AS rn
+    FROM cnt{i}
+  ) q WHERE rn = 1
+)"""
+    for i in range(3)
+)
+
+ORACLES["q_label_prop"] = f"""
+WITH und AS (
+  SELECT CAST(LEAST(id_a, id_b) AS BIGINT) AS a,
+         CAST(GREATEST(id_a, id_b) AS BIGINT) AS b
+  FROM ({{PAIRS}}) pq WHERE id_a <> id_b
+),
+dir_e AS (
+  SELECT a AS src, b AS dst FROM und
+  UNION ALL
+  SELECT b AS src, a AS dst FROM und
+),
+lab0 AS (SELECT DISTINCT src AS node, src AS lbl FROM dir_e){_LPA_ITERS},
+sizes AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS sz FROM lab3 GROUP BY lbl),
+g AS (
+  SELECT CAST(SUM(sz) AS BIGINT) AS n_nodes,
+         CAST(COUNT(*) AS BIGINT) AS n_communities,
+         CAST(MAX(sz) AS BIGINT) AS max_size
+  FROM sizes
+)
+SELECT n_nodes, n_communities, max_size,
+       {r6('CAST(n_nodes AS DOUBLE) / CAST(n_communities AS DOUBLE)', 'mean_size')}
+FROM g
+""".replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip())

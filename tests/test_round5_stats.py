@@ -533,3 +533,18 @@ def test_hits_hand_replayed(spark):
         assert got[("authority", t)] == pytest.approx(v, rel=1e-15), t
     # hub ordering: u2 spans both authorities -> higher hub score
     assert got[("hub", "2")] > got[("hub", "1")]
+
+
+def test_label_propagation_two_triangles_bridge(spark):
+    from z_rad_spark.operators.graph import label_propagation
+
+    # two triangles {1,2,3} and {4,5,6} joined by bridge (3,4): LPA
+    # keeps them as two communities labeled by their minima; CC would
+    # merge them into one.
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    r = label_propagation(df, n_iter=3).collect()[0]
+    assert r["n_nodes"] == 6
+    assert r["n_communities"] == 2
+    assert r["max_size"] == 3
+    assert r["mean_size"] == pytest.approx(3.0, abs=1e-12)

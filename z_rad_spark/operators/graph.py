@@ -319,3 +319,81 @@ def hits_bipartite(
     out = hubs.unionByName(auths)
     out._zrs_cached = (pairs,)  # see dedup.unpersist_intermediates
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation communities (Raghavan, Albert &
+    Kumara 2007) over an undirected edge list, summarized — the
+    DENSITY-aware complement to [[dedup.connected_components_star]]:
+    CC closes the transitive hull (one bridge edge merges two template
+    families), LPA keeps densely-connected cores separate because each
+    node adopts its MAJORITY neighbor label, not any neighbor label.
+
+        label_0(v)     = v
+        label_{k+1}(v) = argmax_label |{u ~ v : label_k(u) = label}|
+                         (ties -> smallest label)
+
+    n_iter is fixed (the operator is a deterministic transformation;
+    synchronous LPA can oscillate on bipartite cores, so callers pick
+    a small K and read the summary as a density diagnostic, not an
+    exact partition — the standard practice for the synchronous
+    variant).
+
+    Determinism: labels are exact longs; the per-node argmax is a
+    (count desc, label asc) row_number pick — no float anywhere except
+    the final mean. Scale: per iteration one equi-join (edges x
+    labels) + one (node, label) count aggregate + one argmax window
+    partitioned by node; the edge table is persisted across
+    iterations (the [[pagerank_bipartite]] registry idiom).
+
+    Output one row: (n_nodes long, n_communities long, max_size long,
+    mean_size double).
+    """
+    from pyspark.sql import Window
+
+    a, b = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+    und = (
+        edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
+        .where(F.col("_a") < F.col("_b"))
+        .distinct()
+    )
+    dir_e = und.select(F.col("_a").alias("src"), F.col("_b").alias("dst")).unionByName(
+        und.select(F.col("_b").alias("src"), F.col("_a").alias("dst"))
+    ).persist()
+    _CACHED_FRAMES.append(dir_e)
+    lab = dir_e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w_pick = Window.partitionBy("node").orderBy(
+        F.col("_cnt").desc(), F.col("lbl").asc()
+    )
+    for _ in range(n_iter):
+        neigh = dir_e.join(
+            lab.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "lbl")
+        cnt = neigh.groupBy("node", "lbl").agg(F.count("*").cast("long").alias("_cnt"))
+        lab = (
+            cnt.withColumn("_rn", F.row_number().over(w_pick))
+            .where(F.col("_rn") == 1)
+            .select("node", "lbl")
+        )
+    sizes = lab.groupBy("lbl").agg(F.count("*").cast("long").alias("_sz"))
+    out = sizes.agg(
+        F.sum("_sz").cast("long").alias("n_nodes"),
+        F.count("*").cast("long").alias("n_communities"),
+        F.max("_sz").cast("long").alias("max_size"),
+    ).select(
+        "n_nodes",
+        "n_communities",
+        "max_size",
+        (F.col("n_nodes").cast("double") / F.col("n_communities").cast("double")).alias(
+            "mean_size"
+        ),
+    )
+    out._zrs_cached = (dir_e,)  # see dedup.unpersist_intermediates
+    return out
