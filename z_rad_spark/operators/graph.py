@@ -262,6 +262,15 @@ def hits_bipartite(
     _CACHED_FRAMES.append(pairs)
 
     def _l2_normalize(scores: DataFrame, node_col: str, score_col: str) -> DataFrame:
+        # truncate lineage on both sides of the normalize: the raw frame
+        # feeds the norm aggregate AND the division, and the normalized
+        # frame feeds the next half-iteration AND (on the last pass) the
+        # output — without truncation the self-referencing lineage
+        # compounds ~3x per half-iteration (measured: 284 scans / 944
+        # exchanges in the 3-iteration physical plan, and the plan tree
+        # itself overflows toString). localCheckpoint(eager=False) is the
+        # engine-wide iterative idiom (connected_components_star).
+        scores = scores.localCheckpoint(eager=False)
         nrm = scores.agg(
             F.sqrt(
                 F.aggregate(
@@ -273,7 +282,7 @@ def hits_bipartite(
         )
         return scores.crossJoin(nrm).select(  # single-row norm side
             node_col, (F.col(score_col) / F.col("_nrm")).alias(score_col)
-        )
+        ).localCheckpoint(eager=False)
 
     h = pairs.select("u").distinct().select("u", F.lit(1.0).alias("h"))
     a = None
