@@ -4492,6 +4492,71 @@ def q_label_prop(spark, sf_dir):
     return _r6(label_propagation(pairs), ["mean_size"])
 
 
+def _replay_stream_kv(spark, sf_dir, build_output, prefix):
+    """_replay_stream variant streaming raw (event_type, key) pairs —
+    the shape the sketch operators consume (group + hashable key)
+    instead of the conversation-signal frame. Same availableNow /
+    memory-sink / scoped-partitions mechanics."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    src = tempfile.mkdtemp(prefix=prefix)
+    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").cast("string").alias("event_type"),
+        F.col("user_id").cast("long").alias("key"),
+    )
+    base.repartition(4).write.mode("overwrite").parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("key", T.LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = build_output(stream)
+    name = prefix + uuid.uuid4().hex
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    q = None
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(600)
+        if not finished:
+            raise RuntimeError(
+                f"{name}: streaming replay did not finish within 600s — "
+                "refusing to read a partial memory sink"
+            )
+    finally:
+        if q is not None:
+            q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table(name)
+
+
+def q_stream_hll(spark, sf_dir):
+    """Stateful streaming HyperLogLog (streaming.streaming_hll via
+    applyInPandasWithState): fixed 256-register state per event_type,
+    square-mod mixing hash, bucket-ordered dyadic fold at emission.
+    availableNow = one micro-batch, so the emitted row IS the final
+    sketch — the batch q_hll SQL oracle (registers replayed in SQL)
+    hash-matches it bit-for-bit, verifying the streaming/batch sketch
+    consistency end to end."""
+    from z_rad_spark.streaming import streaming_hll
+
+    res = _replay_stream_kv(spark, sf_dir, streaming_hll, "q_stream_hll_")
+    return _r6(res, ["est_distinct"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4507,17 +4572,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     position — so the order below doubles as the rotation queue for
     future rounds. Regenerate with tools/rotate_window.py.
 
-    Current window: 20 changed-since-last-gate entries (the 18 new
+    Current window: 21 changed-since-last-gate entries (the 19 new
     session-3 operators plus the q_srm/q_bootstrap_ci guard fixes),
-    4 pinned, and 26 ledger-ordered backlog entries; 50 of 50 slots
+    4 pinned, and 25 ledger-ordered backlog entries; 50 of 50 slots
     were not in the round-4 driver window (CORRECTNESS_r04.json —
-    the window the judge gates against; 11 slots also differ from the
+    the window the judge gates against; 12 slots also differ from the
     mid-round session-2 rotation). Entries past the marker keep
     their newest green driver rows; every registry entry is additionally
     strict-mirrored (tools/check_queries.py, STRICT hash mode, sf0.01)
     before each handoff — see COVERAGE.md."""
     return {
         # --- engine/oracle code changed this round ---
+        "q_stream_hll": q_stream_hll,
         "q_label_prop": q_label_prop,
         "q_hits": q_hits,
         "q_nelson_aalen": q_nelson_aalen,

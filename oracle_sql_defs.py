@@ -9318,3 +9318,48 @@ SELECT n_nodes, n_communities, max_size,
        {r6('CAST(n_nodes AS DOUBLE) / CAST(n_communities AS DOUBLE)', 'mean_size')}
 FROM g
 """.replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip())
+
+
+# Streaming HLL: the q_hll register replay without the exact-distinct
+# columns — the stream's final state equals the batch registers
+# (mirror of streaming.streaming_hll via q_stream_hll)
+ORACLES["q_stream_hll"] = f"""
+WITH b0 AS (
+  SELECT event_type AS g,
+         ((ABS(user_id) % 2147483647) * 48271 + 12345) % 2147483647 AS x
+  FROM events WHERE user_id IS NOT NULL
+),
+b1 AS (SELECT g, (x * x + x) % 2147483647 AS y FROM b0),
+b AS (SELECT g, (y * 48271) % 2147483647 AS h FROM b1),
+hb AS (
+  SELECT g, CAST(h % 256 AS INT) AS bkt,
+         CAST(FLOOR(CAST(h AS DOUBLE) / 256.0) AS BIGINT) AS rest
+  FROM b
+),
+hr AS (SELECT g, bkt, {_HLL_LADDER} AS rnk FROM hb),
+regs AS (SELECT g, bkt, CAST(MAX(rnk) AS INT) AS reg FROM hr GROUP BY g, bkt),
+folds AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS occupied,
+         list_reduce([0.0] || list(POWER(2.0, -CAST(reg AS DOUBLE)) ORDER BY bkt),
+           (x, y) -> x + y) AS z_occ
+  FROM regs GROUP BY g
+),
+j AS (
+  SELECT g, occupied,
+         CAST(256 - occupied AS BIGINT) AS v,
+         z_occ + CAST(CAST(256 - occupied AS BIGINT) AS DOUBLE) AS zsum
+  FROM folds
+),
+f AS (
+  SELECT g, occupied, v,
+         CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 / zsum
+                   <= 2.5 * 256.0 AND v > 0
+              THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+              ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 / zsum
+         END AS est
+  FROM j
+)
+SELECT g AS event_type, occupied, v AS v_zero,
+       {r6('est', 'est_distinct')}
+FROM f
+"""

@@ -328,3 +328,47 @@ def test_streaming_range_join_pairs(spark, tmp_path):
     assert set(got.signal) == {3.0, 4.0}
     assert (got.state_val == 9.0).all()
     assert (got.conv_id == "c1").all()
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """The stream's final emitted sketch equals the batch operator's —
+    the HLL mergeability/insert-order-freedom contract end to end."""
+    import pyspark.sql.types as T
+
+    from z_rad_spark.operators.sketches import hyperloglog_by
+    from z_rad_spark.streaming import streaming_hll
+
+    rows = [("a", k) for k in range(1, 61)] + [("b", k) for k in range(40, 50)]
+    df = spark.createDataFrame(rows, "event_type string, key long")
+    src = str(tmp_path / "hll_src")
+    df.repartition(3).write.parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("key", T.LongType()),
+        ]
+    )
+    q = (
+        streaming_hll(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("memory")
+        .queryName("hll_test_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    q.stop()
+    got = {
+        r["event_type"]: (r["occupied"], r["v_zero"], r["est_distinct"])
+        for r in spark.table("hll_test_sink").collect()
+    }
+    want = {
+        r["event_type"]: (r["occupied"], r["v_zero"], r["est_distinct"])
+        for r in hyperloglog_by(
+            df, group_col="event_type", key_col="key"
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for g in want:
+        assert got[g][0] == want[g][0] and got[g][1] == want[g][1], g
+        assert got[g][2] == pytest.approx(want[g][2], rel=1e-12), g

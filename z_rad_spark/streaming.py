@@ -588,3 +588,103 @@ def streaming_range_join(
         F.unix_micros("state_ts").cast("long").alias("state_ts_us"),
         "state_val",
     )
+
+
+HLL_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("occupied", T.LongType(), False),
+        T.StructField("v_zero", T.LongType(), False),
+        T.StructField("est_distinct", T.DoubleType(), False),
+    ]
+)
+
+_HLL_STATE = T.StructType(
+    [T.StructField("regs", T.ArrayType(T.IntegerType()), False)]
+)
+
+
+def streaming_hll(stream: DataFrame, p_bits: int = 8) -> DataFrame:
+    """Streaming HyperLogLog distinct-key estimate per group — the
+    stateful twin of sketches.hyperloglog_by: the state is the FIXED
+    m = 2^p_bits register array (the textbook property that makes HLL
+    the streaming cardinality sketch — constant memory, mergeable,
+    insert-order-free), updated per micro-batch with the same explicit
+    square-mod mixing hash and emitted as the current estimate after
+    every batch.
+
+    Exactness contract: registers are exact integers under ANY arrival
+    order (max is commutative), the dyadic 2^-M_j fold runs in bucket
+    order inside the emission (a plain Python left fold over the 256
+    registers — numpy's pairwise sums would round differently), and
+    the estimate chain is the batch operator's — so after the final
+    batch the emitted row hash-matches the batch SQL oracle
+    bit-for-bit. (Intermediate-batch emissions are the same estimator
+    on the prefix of the stream; the gate replays availableNow = one
+    batch.)
+
+    Per-batch work is one vectorized int64 hash pipeline + one
+    np.maximum.at scatter; state is O(m) per group regardless of key
+    cardinality; restart-safety comes from the checkpointed state
+    store.
+    """
+    P = 2147483647
+    m = 1 << p_bits
+    w = 31 - p_bits
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        grp = key[0]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows[rows["key"].notna()]
+        if len(rows) == 0:
+            return
+        k = np.abs(rows["key"].astype("int64").to_numpy()) % P
+        x = (k * 48271 + 12345) % P
+        y = (x * x + x) % P  # x < 2^31 -> x*x < 2^62, safe in int64
+        h = (y * 48271) % P
+        b = (h % m).astype("int64")
+        rest = h // m
+        # rank = w - floor(log2(rest)) = w + 1 - frexp exponent; frexp is
+        # exact on integers < 2^53
+        _, e = np.frexp(rest.astype("float64"))
+        rank = np.where(rest > 0, (w + 1) - e, w + 1).astype("int32")
+        regs = (
+            np.array(state.get[0], dtype=np.int32)
+            if state.exists
+            else np.zeros(m, dtype=np.int32)
+        )
+        np.maximum.at(regs, b, rank)
+        state.update(([int(r) for r in regs],))
+        occupied = int((regs > 0).sum())
+        v = m - occupied
+        acc = 0.0
+        for r in regs:  # bucket-ordered left fold, matches the SQL oracle
+            if r > 0:
+                acc = acc + 2.0 ** (-float(r))
+        z = acc + float(v)
+        e_raw = alpha * float(m) * float(m) / z
+        if e_raw <= 2.5 * float(m) and v > 0:
+            import math
+
+            est = float(m) * math.log(float(m) / float(v))
+        else:
+            est = e_raw
+        yield pd.DataFrame(
+            {
+                "event_type": [grp],
+                "occupied": [occupied],
+                "v_zero": [v],
+                "est_distinct": [est],
+            }
+        )
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=HLL_SCHEMA,
+        stateStructType=_HLL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
