@@ -4579,6 +4579,102 @@ def q_energy_drift(spark, sf_dir):
     return _r6(out, ["e_xy", "e_xx", "e_yy", "energy"])
 
 
+def q_kcore(spark, sf_dir):
+    """k-core peeling summary of the LSH candidate-pair graph
+    (graph.kcore_peel, k=2, 4 rounds): per-round node/edge counts plus
+    a converged flag — exact longs only, no floats. Duplicate cliques
+    survive peeling; banding chains unravel — the robustness complement
+    to q_triangles' transitivity."""
+    from z_rad_spark.operators.dedup import minhash_lsh_pairs
+    from z_rad_spark.operators.graph import kcore_peel
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=3, n_hashes=8, band_size=4, max_bucket=64
+    )
+    return kcore_peel(pairs, k=2, n_rounds=4)
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity of the LSH candidate-pair graph
+    (graph.degree_assortativity): Pearson correlation of edge-endpoint
+    degrees from exact integer sufficient statistics (DECIMAL(38,0)
+    products), ONE final division — oracle-replayable. Negative r =
+    hub-and-spoke banding artifacts; positive r = clique-on-clique."""
+    from z_rad_spark.operators.dedup import minhash_lsh_pairs
+    from z_rad_spark.operators.graph import degree_assortativity
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=3, n_hashes=8, band_size=4, max_bucket=64
+    )
+    return _r6(degree_assortativity(pairs), ["assortativity"])
+
+
+def q_kn_ppl(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram perplexity per document
+    (curation.kneser_ney_logprob): the KenLM-style smoothing behind
+    CCNet quality filters — absolute discount 0.75, continuation-count
+    unigram backoff, exact long counts, one pinned double chain per
+    position, ordered positional log-sum fold. Full value hash like
+    q_bigram_lm."""
+    from z_rad_spark.operators.curation import kneser_ney_logprob
+
+    out = kneser_ney_logprob(_docs(spark, sf_dir))
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "nll",
+        "ppl",
+    )
+    return _r6(out, ["nll", "ppl"])
+
+
+def q_isotonic(spark, sf_dir):
+    """Per-conversation isotonic (non-decreasing PAVA) fit of the turn
+    signal (encoding.isotonic_fit): exact integer block moments inside
+    one Arrow-batched applyInPandas kernel, one division per pooled
+    block. The oracle replays it via the Ayer min-max closed form —
+    monotone IEEE division makes the double min/max equal the rational
+    min/max, so the gate is a full value hash despite the engine being
+    a sequential O(n) kernel."""
+    from z_rad_spark.operators.encoding import isotonic_fit
+
+    out = isotonic_fit(_t(spark, sf_dir))
+    out = out.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "ts_us",
+        "x",
+        "iso_fit",
+    )
+    return _r6(out, ["iso_fit"])
+
+
+def q_k_anon(spark, sf_dir):
+    """k-anonymity audit of the corpus over the (lang, source,
+    length-bucket) quasi-identifier tuple (curation.k_anonymity):
+    equivalence-class size distribution with cumulative at-risk share —
+    exact longs, one share division. The privacy gate beside
+    q_pii_redact's content scrubbing."""
+    from z_rad_spark.operators.curation import k_anonymity
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "len_bucket", F.expr("n_chars DIV 200").cast("long")
+    )
+    out = k_anonymity(docs, quasi_cols=("lang", "source", "len_bucket"), k=5)
+    return _r6(out, ["risk_share"])
+
+
+def q_bpe_step(spark, sf_dir):
+    """One BPE merge step over the corpus vocabulary
+    (text.bpe_top_pairs): adjacent symbol pairs weighted by word
+    frequency, rank 1 = the next merge a tokenizer trainer would apply.
+    Exact long counts, pair-string tie-breaks; after the one corpus
+    count the plan never touches the corpus again."""
+    from z_rad_spark.operators.text import bpe_top_pairs
+
+    return bpe_top_pairs(_docs(spark, sf_dir), k=15)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4607,6 +4703,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- engine/oracle code changed this round ---
         "q_corr_drift": q_corr_drift,
         "q_energy_drift": q_energy_drift,
+        "q_kcore": q_kcore,
+        "q_assortativity": q_assortativity,
+        "q_kn_ppl": q_kn_ppl,
+        "q_isotonic": q_isotonic,
+        "q_k_anon": q_k_anon,
+        "q_bpe_step": q_bpe_step,
         "q_stream_hll": q_stream_hll,
         "q_label_prop": q_label_prop,
         "q_hits": q_hits,

@@ -100,6 +100,12 @@ HEADLINE = [
     "q_ad_drift",
     "q_kruskal",
     "q_hll",
+    # r5 session-4 additions: the Kneser-Ney scorer (four count tables
+    # joined back onto the corpus triple — the heaviest LM cost class)
+    # and the per-conversation PAVA kernel (grouped-map Arrow path at
+    # full turn volume)
+    "q_kn_ppl",
+    "q_isotonic",
 ]
 
 

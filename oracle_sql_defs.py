@@ -9470,3 +9470,243 @@ SELECT role, n_ref, n_cur,
               END''', 'energy')}
 FROM f
 """
+
+
+# k-core peeling summary: 4 unrolled peel rounds over the LSH
+# candidate-pair graph (mirror of graph.kcore_peel, k=2) — exact longs,
+# converged = node count unchanged vs the previous round (0 for round 0)
+_KCORE_ROUNDS = []
+for _r in range(1, 5):
+    # AS MATERIALIZED: each round is referenced 3x (degree pass, filter
+    # pass, stats row); without the hint DuckDB re-inlines the whole
+    # upstream LSH replay per reference — 3^rounds evaluations (the SQL
+    # twin of the engine's localCheckpoint lineage truncation)
+    _KCORE_ROUNDS.append(f"""
+d{_r} AS MATERIALIZED (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT a AS n FROM e{_r - 1} UNION ALL SELECT b FROM e{_r - 1}) x
+  GROUP BY n
+),
+e{_r} AS MATERIALIZED (
+  SELECT a, b FROM e{_r - 1}
+  WHERE a IN (SELECT n FROM d{_r} WHERE d >= 2)
+    AND b IN (SELECT n FROM d{_r} WHERE d >= 2)
+)""")
+_KCORE_STATS = "\nUNION ALL\n".join(
+    f"""SELECT {_r} AS round,
+       CAST(COUNT(DISTINCT n) AS BIGINT) AS n_nodes,
+       CAST(COUNT(*) // 2 AS BIGINT) AS n_edges
+FROM (SELECT a AS n FROM e{_r} UNION ALL SELECT b FROM e{_r}) x"""
+    for _r in range(0, 5)
+)
+ORACLES["q_kcore"] = (
+    """
+WITH e0 AS MATERIALIZED (
+  SELECT CAST(LEAST(id_a, id_b) AS BIGINT) AS a,
+         CAST(GREATEST(id_a, id_b) AS BIGINT) AS b
+  FROM ({PAIRS}) pq WHERE id_a <> id_b
+  GROUP BY 1, 2
+),"""
+    + ",".join(_KCORE_ROUNDS)
+    + f""",
+s AS (
+{_KCORE_STATS}
+)
+SELECT CAST(round AS INT) AS round, n_nodes, n_edges,
+       CAST(CASE WHEN round > 0
+                  AND n_nodes = LAG(n_nodes) OVER (ORDER BY round)
+             THEN 1 ELSE 0 END AS BIGINT) AS converged
+FROM s
+"""
+).replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip())
+
+
+# Degree assortativity (Newman 2002) over the symmetric directed edge
+# set — exact HUGEINT sufficient statistics mirroring the engine's
+# DECIMAL(38,0) products, one final division
+ORACLES["q_assortativity"] = f"""
+WITH und AS MATERIALIZED (
+  SELECT CAST(LEAST(id_a, id_b) AS BIGINT) AS a,
+         CAST(GREATEST(id_a, id_b) AS BIGINT) AS b
+  FROM ({{PAIRS}}) pq WHERE id_a <> id_b
+  GROUP BY 1, 2
+),
+deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und) x
+  GROUP BY n
+),
+sym AS (
+  SELECT a AS s, b AS t FROM und UNION ALL SELECT b AS s, a AS t FROM und
+),
+e AS (
+  SELECT dj.d AS dj, dk.d AS dk
+  FROM sym JOIN deg dj ON dj.n = sym.s JOIN deg dk ON dk.n = sym.t
+),
+g AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+         CAST(COUNT(*) // 2 AS BIGINT) AS n_edges,
+         SUM(CAST(dj AS HUGEINT)) AS sj,
+         SUM(CAST(dj AS HUGEINT) * CAST(dk AS HUGEINT)) AS sjk,
+         SUM(CAST(dj AS HUGEINT) * CAST(dj AS HUGEINT)) AS sjj
+  FROM e
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT n_nodes, n_edges,
+       CAST(sj AS BIGINT) AS s_j,
+       CAST(sjk AS BIGINT) AS s_jk,
+       CAST(sjj AS BIGINT) AS s_jj,
+       {r6('''CASE WHEN m * sjj - sj * sj <> 0 THEN
+              CAST(m * sjk - sj * sj AS DOUBLE)
+              / CAST(m * sjj - sj * sj AS DOUBLE)
+              END''', 'assortativity')}
+FROM nn, g
+""".replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip())
+
+
+# Interpolated Kneser-Ney bigram perplexity (mirror of
+# curation.kneser_ney_logprob): absolute discount 0.75, history mass
+# from the bigram table's own row sums, continuation-count unigram
+# backoff; the probability chain's parenthesization is pinned to the
+# engine's ((max(bc-D,0) + (D*n1f)*(n1b/B)) / ctx)
+ORACLES["q_kn_ppl"] = f"""
+WITH d AS (SELECT doc_id, {TOKS_RAW} AS tk FROM documents),
+tok AS (
+  SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS token,
+         unnest(list_prepend(CAST(NULL AS VARCHAR), list_slice(tk, 1, len(tk) - 1))) AS prev
+  FROM d
+),
+freq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n FROM freq),
+big AS (
+  SELECT prev, token, CAST(COUNT(*) AS BIGINT) AS bc
+  FROM tok WHERE prev IS NOT NULL GROUP BY prev, token
+),
+ctx AS (
+  SELECT prev, CAST(SUM(bc) AS BIGINT) AS cs, CAST(COUNT(*) AS BIGINT) AS n1f
+  FROM big GROUP BY prev
+),
+bwd AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n1b FROM big GROUP BY token),
+btot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS bt FROM big),
+lp AS (
+  SELECT tok.doc_id, tok.pos,
+         CASE WHEN tok.prev IS NULL
+              THEN ln(CAST(f.tf AS DOUBLE) / t.n)
+              ELSE ln((GREATEST(CAST(b.bc AS DOUBLE) - 0.75, 0.0)
+                       + (0.75 * CAST(c.n1f AS DOUBLE))
+                       * (CAST(w.n1b AS DOUBLE) / bt.bt))
+                      / CAST(c.cs AS DOUBLE))
+         END AS l
+  FROM tok
+  JOIN freq f USING (token)
+  LEFT JOIN ctx c ON c.prev = tok.prev
+  LEFT JOIN big b ON b.prev = tok.prev AND b.token = tok.token
+  LEFT JOIN bwd w ON w.token = tok.token,
+  tot t, btot bt
+),
+pd AS (
+  SELECT doc_id, COUNT(*) AS n,
+         list_reduce([0.0] || list(l ORDER BY pos), (acc, x) -> acc + x) AS s
+  FROM lp GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       {r6('-s / CAST(n AS DOUBLE)', 'nll')},
+       {r6('exp(-s / CAST(n AS DOUBLE))', 'ppl')}
+FROM pd
+"""
+
+
+# Isotonic (PAVA) fit via the Ayer et al. (1955) min-max closed form:
+# fit_i = max_{j<=i} min_{k>=i} mean(x_j..x_k) over exact prefix sums.
+# Monotone IEEE division makes double min/max == rational min/max ==
+# the engine's pooled-block mean (see encoding.isotonic_fit docstring).
+# O(n^2) per conversation — gate-scale oracle only.
+ORACLES["q_isotonic"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id, turn_idx, ts, CAST(signal AS BIGINT) AS x,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
+         SUM(CAST(signal AS BIGINT)) OVER (
+           PARTITION BY conv_id ORDER BY ts, turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+  FROM t WHERE signal IS NOT NULL
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+pj AS (SELECT conv_id, i AS j, pre - x AS pre0 FROM p),
+pk AS (SELECT conv_id, i AS k, pre FROM p),
+g AS (
+  SELECT pj.conv_id, pj.j, pk.k,
+         CAST(pk.pre - pj.pre0 AS DOUBLE)
+         / CAST(pk.k - pj.j + 1 AS DOUBLE) AS mean
+  FROM pj JOIN pk ON pj.conv_id = pk.conv_id AND pj.j <= pk.k
+),
+m AS (
+  SELECT conv_id, j, k,
+         MIN(mean) OVER (PARTITION BY conv_id, j ORDER BY k DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+  FROM g
+),
+f AS (
+  SELECT conv_id, k AS i, MAX(mn) AS fit
+  FROM m GROUP BY conv_id, k
+)
+SELECT p.conv_id,
+       CAST(p.turn_idx AS INT) AS turn_idx,
+       CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+       p.x,
+       {r6('f.fit', 'iso_fit')}
+FROM p JOIN f ON p.conv_id = f.conv_id AND p.i = f.i
+"""
+
+
+# k-anonymity audit over (lang, source, length-bucket): equivalence
+# class size distribution, cumulative at-risk share (mirror of
+# curation.k_anonymity, k=5)
+ORACLES["q_k_anon"] = f"""
+WITH cls AS (
+  SELECT lang, source, n_chars // 200 AS len_bucket,
+         CAST(COUNT(*) AS BIGINT) AS sz
+  FROM documents GROUP BY 1, 2, 3
+),
+dist AS (
+  SELECT sz AS class_size, CAST(COUNT(*) AS BIGINT) AS n_classes
+  FROM cls GROUP BY sz
+),
+w AS (
+  SELECT class_size, n_classes,
+         CAST(class_size * n_classes AS BIGINT) AS n_rows,
+         CAST(SUM(class_size * n_classes) OVER (
+           ORDER BY class_size
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rows,
+         CAST(SUM(class_size * n_classes) OVER () AS BIGINT) AS tot
+  FROM dist
+)
+SELECT class_size, n_classes, n_rows, cum_rows,
+       {r6('CAST(cum_rows AS DOUBLE) / CAST(tot AS DOUBLE)', 'risk_share')},
+       CAST(CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS BIGINT) AS below_k
+FROM w
+"""
+
+
+# One BPE merge step: adjacent symbol pairs weighted by word frequency
+# over the normalized-vocab table (mirror of text.bpe_top_pairs, k=15)
+ORACLES["q_bpe_step"] = f"""
+WITH toks AS (SELECT UNNEST({TOKS_DOC}) AS token FROM documents),
+vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY token),
+pairs AS (
+  SELECT UNNEST(list_transform(range(1, length(token)),
+                i -> substr(token, CAST(i AS INT), 1) || ' '
+                     || substr(token, CAST(i AS INT) + 1, 1))) AS pair,
+         c
+  FROM vocab WHERE length(token) >= 2
+),
+agg AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS n FROM pairs GROUP BY pair),
+r AS (
+  SELECT pair, n,
+         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rank
+  FROM agg
+)
+SELECT pair, replace(pair, ' ', '') AS merged, n, rank
+FROM r WHERE rank <= 15
+"""

@@ -1,0 +1,152 @@
+"""Hand-computed fixtures for the round-5 session-4 additions:
+k-core peeling, degree assortativity, Kneser-Ney bigram LM, isotonic
+(PAVA) fit, k-anonymity audit, and the BPE merge step."""
+
+import datetime as dt
+import math
+
+import pytest
+
+from z_rad_spark.operators.curation import k_anonymity, kneser_ney_logprob
+from z_rad_spark.operators.encoding import isotonic_fit
+from z_rad_spark.operators.graph import degree_assortativity, kcore_peel
+from z_rad_spark.operators.text import bpe_top_pairs
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_kcore_peels_chain_keeps_clique(spark):
+    # triangle {1,2,3} + tail 3-4-5, k=2:
+    # round1 drops the leaf 5, round2 drops the newly exposed leaf 4,
+    # round3 reaches the fixpoint (the triangle), round4 confirms it
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)])
+    rows = {r["round"]: r for r in kcore_peel(e, k=2, n_rounds=4).collect()}
+    assert (rows[0]["n_nodes"], rows[0]["n_edges"]) == (5, 5)
+    assert (rows[1]["n_nodes"], rows[1]["n_edges"]) == (4, 4)
+    assert (rows[2]["n_nodes"], rows[2]["n_edges"]) == (3, 3)
+    assert (rows[3]["n_nodes"], rows[3]["n_edges"]) == (3, 3)
+    assert [rows[r]["converged"] for r in range(5)] == [0, 0, 0, 1, 1]
+
+
+def test_kcore_dedups_and_ignores_orientation(spark):
+    # duplicate + reversed edges collapse to one undirected edge
+    e = _edges(spark, [(1, 2), (2, 1), (1, 2)])
+    r0 = {r["round"]: r for r in kcore_peel(e, k=1, n_rounds=1).collect()}
+    assert (r0[0]["n_nodes"], r0[0]["n_edges"]) == (2, 1)
+    assert (r0[1]["n_nodes"], r0[1]["n_edges"]) == (2, 1)
+    assert r0[1]["converged"] == 1
+
+
+def test_assortativity_star_is_minus_one(spark):
+    # star: hub degree 3, leaves degree 1 -> perfectly disassortative
+    e = _edges(spark, [(1, 2), (1, 3), (1, 4)])
+    r = degree_assortativity(e).collect()[0]
+    assert (r["n_nodes"], r["n_edges"]) == (4, 3)
+    # M=6 directed edges: S_j = 3*3 + 3*1 = 12, S_jk = 6*3 = 18,
+    # S_jj = 3*9 + 3*1 = 30 -> r = (6*18 - 144)/(6*30 - 144) = -1
+    assert (r["s_j"], r["s_jk"], r["s_jj"]) == (12, 18, 30)
+    assert r["assortativity"] == pytest.approx(-1.0, abs=1e-12)
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    # triangle: every degree 2 -> zero degree variance -> undefined
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    r = degree_assortativity(e).collect()[0]
+    assert r["assortativity"] is None
+
+
+def test_kneser_ney_hand_computed(spark):
+    # corpus: two copies of "a b". N=4, tf(a)=tf(b)=2; bigram (a,b) c=2;
+    # ctx(a) = 2, N1+(a,.) = 1; N1+(.,b) = 1; |bigram types| B = 1.
+    # doc: pos0 'a' -> ln(2/4); pos1 'b' ->
+    #   (max(2-0.75,0) + 0.75*1*(1/1)) / 2 = (1.25 + 0.75)/2 = 1.0 -> ln 1
+    # nll = -(ln 0.5 + 0)/2 = ln(2)/2, ppl = sqrt(2)
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in kneser_ney_logprob(docs).collect()}
+    for d in (0, 1):
+        assert rows[d]["n_tokens"] == 2
+        assert rows[d]["nll"] == pytest.approx(math.log(2.0) / 2.0, abs=1e-12)
+        assert rows[d]["ppl"] == pytest.approx(math.sqrt(2.0), abs=1e-12)
+
+
+def test_kneser_ney_observed_bigrams_all_positive(spark):
+    # every scored probability is > 0 on the training corpus itself
+    docs = spark.createDataFrame(
+        [(0, "x y z"), (1, "y z x"), (2, "z x y")], "doc_id long, text string"
+    )
+    out = kneser_ney_logprob(docs).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["nll"] is not None and math.isfinite(r["nll"])
+        assert r["ppl"] > 0
+
+
+def _turns(spark, signals):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("c1", i, t0 + dt.timedelta(minutes=i), float(s))
+        for i, s in enumerate(signals)
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, signal double"
+    )
+
+
+def test_isotonic_pools_violators(spark):
+    # [3,1,2,5,4]: PAVA pools [3,1] -> 2, keeps [2] (equal means allowed),
+    # pools [5,4] -> 4.5
+    out = isotonic_fit(_turns(spark, [3, 1, 2, 5, 4]))
+    fits = [r["iso_fit"] for r in sorted(out.collect(), key=lambda r: r["turn_idx"])]
+    assert fits == [2.0, 2.0, 2.0, 4.5, 4.5]
+
+
+def test_isotonic_monotone_and_mean_preserving(spark):
+    sig = [5, 3, 8, 1, 9, 2, 2, 7]
+    out = isotonic_fit(_turns(spark, sig)).collect()
+    rows = sorted(out, key=lambda r: r["turn_idx"])
+    fits = [r["iso_fit"] for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(fits, fits[1:]))
+    # L2 isotonic fit preserves the total mass
+    assert sum(fits) == pytest.approx(sum(sig), abs=1e-9)
+    # already-monotone input is returned unchanged
+    mono = isotonic_fit(_turns(spark, [1, 2, 2, 5])).collect()
+    assert sorted(r["iso_fit"] for r in mono) == [1.0, 2.0, 2.0, 5.0]
+
+
+def test_k_anonymity_distribution(spark):
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(3)] + [(3, "fr")], "doc_id long, lang string"
+    )
+    rows = {r["class_size"]: r for r in k_anonymity(docs, quasi_cols=("lang",), k=5).collect()}
+    assert (rows[1]["n_classes"], rows[1]["n_rows"], rows[1]["cum_rows"]) == (1, 1, 1)
+    assert (rows[3]["n_classes"], rows[3]["n_rows"], rows[3]["cum_rows"]) == (1, 3, 4)
+    assert rows[1]["risk_share"] == pytest.approx(0.25, abs=1e-12)
+    assert rows[3]["risk_share"] == pytest.approx(1.0, abs=1e-12)
+    assert (rows[1]["below_k"], rows[3]["below_k"]) == (1, 1)
+    rows10 = {
+        r["class_size"]: r
+        for r in k_anonymity(docs, quasi_cols=("lang",), k=2).collect()
+    }
+    assert (rows10[1]["below_k"], rows10[3]["below_k"]) == (1, 0)
+
+
+def test_bpe_top_pairs_hand_computed(spark):
+    # vocab: abc(x1), ab(x1) -> pairs: "a b" 2, "b c" 1
+    docs = spark.createDataFrame([(0, "abc ab")], "doc_id long, text string")
+    rows = bpe_top_pairs(docs, k=15).collect()
+    got = {(r["pair"], r["merged"], r["n"], r["rank"]) for r in rows}
+    assert got == {("a b", "ab", 2, 1), ("b c", "bc", 1, 2)}
+
+
+def test_bpe_weighting_and_tiebreak(spark):
+    # "zz" twice outweighs the unique word's pairs; ties break on pair asc
+    docs = spark.createDataFrame(
+        [(0, "zz zz pq"), (1, "zz")], "doc_id long, text string"
+    )
+    rows = sorted(bpe_top_pairs(docs, k=15).collect(), key=lambda r: r["rank"])
+    assert (rows[0]["pair"], rows[0]["n"]) == ("z z", 3)
+    assert (rows[1]["pair"], rows[1]["n"]) == ("p q", 1)

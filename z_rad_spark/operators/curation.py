@@ -353,6 +353,109 @@ def bigram_logprob(
     )
 
 
+def kneser_ney_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score (Kneser & Ney 1995; Chen
+    & Goodman 1999) — the smoothing actually used by the KenLM models
+    behind CCNet-style quality filtering, one step up from
+    ``bigram_logprob``'s add-a baseline. Token i>0 is scored by
+
+        p(t_i | t_{i-1}) = ( max(c(t_{i-1} t_i) - D, 0)
+                             + D * N1+(t_{i-1}, .) * pcont(t_i) )
+                           / c(t_{i-1} .)
+
+    with D the absolute discount (0.75, exactly representable),
+    c(w .) the count of positions where w is a HISTORY (the bigram
+    table's own row sums — not the unigram count, so doc-final tokens
+    don't leak mass), N1+(w, .) the distinct-continuation fan-out, and
+    the continuation unigram  pcont(w) = N1+(., w) / |bigram types|.
+    Token 0 is scored by the unigram MLE tf/N (always > 0 on the
+    training corpus itself). Every scored bigram is observed, so every
+    probability is strictly positive by construction — no floor needed.
+
+    Determinism: all counts exact longs; the probability is ONE fixed
+    double chain with pinned association
+    ``(max(bc-D, 0) + (D * n1f) * (n1b / B)) / ctx`` mirrored
+    parenthesis-for-parenthesis in the SQL oracle; per-doc log-sum is
+    the ordered positional fold shared with [[bigram_logprob]].
+
+    Plan: the same narrow (pos, token, prev) triple table; four count
+    aggregates (bigram, context row-sum, backward fan-in, bigram-type
+    total — the last a 1-row broadcast); scoring is equi-joins on
+    token-ish keys, Zipf-bounded like the add-a bigram. At 100 TB the
+    count tables are vocab²-bounded but Zipf-sparse (the observed
+    bigram set), and every join key is a token string — the same
+    shuffle profile as bigram_logprob, which is plan-audited.
+    """
+    toks = _toks(text_col)
+    triple = (
+        f"transform(sequence(0, size(_tk) - 1), "
+        f"i -> named_struct('pos', i, 'token', element_at(_tk, i + 1), "
+        f"'prev', IF(i = 0, CAST(NULL AS STRING), element_at(_tk, i))))"
+    )
+    t = (
+        df.select(F.col(id_col), toks.alias("_tk"))
+        .select(id_col, F.inline(F.expr(triple)))
+    )
+    freq = t.groupBy("token").agg(F.count("*").cast("long").alias("_tf"))
+    tot = freq.agg(F.sum("_tf").cast("double").alias("_N"))
+    big = (
+        t.where(F.col("prev").isNotNull())
+        .groupBy("prev", "token")
+        .agg(F.count("*").cast("long").alias("_bc"))
+    )
+    ctx = big.groupBy("prev").agg(
+        F.sum("_bc").cast("long").alias("_cs"),
+        F.count("*").cast("long").alias("_n1f"),
+    )
+    bwd = big.groupBy("token").agg(F.count("*").cast("long").alias("_n1b"))
+    btot = big.agg(F.count("*").cast("double").alias("_B"))
+    d = F.lit(float(discount))
+    lp = F.when(
+        F.col("prev").isNull(),
+        F.log(F.col("_tf").cast("double") / F.col("_N")),
+    ).otherwise(
+        F.log(
+            (
+                F.greatest(F.col("_bc").cast("double") - d, F.lit(0.0))
+                + (d * F.col("_n1f").cast("double"))
+                * (F.col("_n1b").cast("double") / F.col("_B"))
+            )
+            / F.col("_cs").cast("double")
+        )
+    )
+    per_doc = (
+        t.join(freq, "token")
+        .join(ctx, "prev", "left")
+        .join(big, ["prev", "token"], "left")
+        .join(bwd, "token", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .withColumn("_lp", lp)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.array_sort(F.collect_list(F.struct("pos", "_lp"))).alias("_arr"),
+        )
+    )
+    s = F.aggregate(
+        F.transform(F.col("_arr"), lambda r: r["_lp"]),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nll = -s / F.col("n_tokens").cast("double")
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        nll.alias("nll"),
+        F.exp(nll).alias("ppl"),
+    )
+
+
 def perplexity_buckets(
     df: DataFrame,
     text_col: str = "text",
@@ -1423,3 +1526,54 @@ def srm_check(
         term = (F.col(f"n_{s}").cast("double") - e) * (F.col(f"n_{s}").cast("double") - e) / e
         chi2 = term if chi2 is None else chi2 + term
     return agg.withColumn("chi2", chi2 if chi2 is not None else F.lit(None).cast("double"))
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: tuple[str, ...] = ("lang", "source"),
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (Sweeney 2002) —
+    the privacy gate a curated corpus passes before release, the
+    structural complement to [[pii_redaction]]'s content scrubbing:
+    every row whose quasi-identifier equivalence class has fewer than
+    ``k`` members is re-identifiable by joining the released corpus
+    against an external table on those columns.
+
+    Output is the equivalence-class SIZE DISTRIBUTION (one row per
+    distinct class size) rather than per-class rows — the released
+    artifact must not itself enumerate the small classes it warns
+    about. Per size: how many classes, how many rows they hold, the
+    cumulative row count in classes of size <= s, that cumulative share
+    of the corpus, and whether the size is below the k threshold.
+
+    Scale: one groupBy on the quasi tuple (map-side combined), one
+    groupBy on the class size (distinct-sizes cardinality — tiny), one
+    single-partition window over the size distribution (bounded by the
+    number of DISTINCT class sizes, O(sqrt(n)) at worst). Exact longs;
+    the only float is the share division.
+
+    Output: (class_size long, n_classes long, n_rows long, cum_rows
+    long, risk_share double, below_k long 1/0), ordered by class_size.
+    """
+    from pyspark.sql import Window
+
+    cls = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count("*").cast("long").alias("_sz")
+    )
+    dist = cls.groupBy("_sz").agg(F.count("*").cast("long").alias("n_classes"))
+    w = Window.orderBy("_sz").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("_sz").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return dist.select(
+        F.col("_sz").alias("class_size"),
+        "n_classes",
+        (F.col("_sz") * F.col("n_classes")).cast("long").alias("n_rows"),
+        F.sum(F.col("_sz") * F.col("n_classes")).over(w).cast("long").alias("cum_rows"),
+        (
+            F.sum(F.col("_sz") * F.col("n_classes")).over(w).cast("double")
+            / F.sum(F.col("_sz") * F.col("n_classes")).over(w_all).cast("double")
+        ).alias("risk_share"),
+        F.when(F.col("_sz") < k, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("below_k"),
+    )

@@ -406,3 +406,171 @@ def label_propagation(
     )
     out._zrs_cached = (dir_e,)  # see dedup.unpersist_intermediates
     return out
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 2,
+    n_rounds: int = 4,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """k-core peeling summary over an undirected edge list: repeatedly
+    drop every node whose CURRENT degree is below ``k`` (Seidman 1983),
+    for a FIXED ``n_rounds`` peels — the dedup-graph robustness probe
+    that separates genuine duplicate cliques (which survive peeling:
+    every member keeps >= k neighbors) from banding chains and stars
+    (which unravel: leaves drop, exposing new leaves).
+
+    Fixed-round unrolling keeps the operator a deterministic
+    transformation (the [[pagerank_bipartite]] / [[label_propagation]]
+    convention): the output carries a ``converged`` flag per round
+    (node count unchanged vs the previous round), so callers SEE
+    whether n_rounds reached the fixpoint instead of trusting it.
+
+    Scale: each round is one degree aggregation (groupBy on the edge
+    endpoints, map-side combined) and two semi-joins (edges x kept
+    nodes — the kept-node side is the smaller survivor table, and AQE
+    broadcasts it once peeling shrinks it). Each round's edge frame is
+    consumed THREE times (degree pass, filter pass, stats row), so the
+    per-round frame is lineage-truncated with
+    ``localCheckpoint(eager=False)`` — without it the logical plan
+    compounds 3^rounds copies of the upstream pipeline and Catalyst
+    planning dominates wall time (the [[hits_bipartite]] lesson).
+
+    Determinism: every count is an exact long — no floats anywhere.
+
+    Output: n_rounds + 1 rows (round int, 0 = before peeling;
+    n_nodes long; n_edges long; converged long 1/0 — node count
+    unchanged vs the previous round, 0 by definition for round 0).
+    """
+    from pyspark.sql import Window
+
+    a, b = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+    cur = (
+        edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
+        .where(F.col("_a") < F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    stats = []
+
+    def _round_stats(e: DataFrame, rnd: int) -> DataFrame:
+        return (
+            e.select(F.explode(F.array("_a", "_b")).alias("_n"))
+            .agg(
+                F.count_distinct(F.col("_n")).cast("long").alias("n_nodes"),
+                (F.count("*").cast("long") / F.lit(2)).cast("long").alias("n_edges"),
+            )
+            .select(F.lit(rnd).cast("int").alias("round"), "n_nodes", "n_edges")
+        )
+
+    stats.append(_round_stats(cur, 0))
+    for rnd in range(1, n_rounds + 1):
+        deg = (
+            cur.select(F.explode(F.array("_a", "_b")).alias("_n"))
+            .groupBy("_n")
+            .agg(F.count("*").cast("long").alias("_d"))
+        )
+        keep = deg.where(F.col("_d") >= k).select("_n")
+        nxt = (
+            cur.join(keep.withColumnRenamed("_n", "_a"), "_a", "left_semi")
+            .join(keep.withColumnRenamed("_n", "_b"), "_b", "left_semi")
+            .select("_a", "_b")
+            .localCheckpoint(eager=False)
+        )
+        stats.append(_round_stats(nxt, rnd))
+        cur = nxt
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    w = Window.orderBy("round")  # n_rounds+1 rows: single-partition window is fine
+    return out.select(
+        "round",
+        "n_nodes",
+        "n_edges",
+        F.when(
+            (F.col("round") > 0) & (F.col("n_nodes") == F.lag("n_nodes").over(w)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("converged"),
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of an undirected
+    edge list: the Pearson correlation of the degrees at the two ends
+    of each edge, over the symmetric directed edge set (each undirected
+    edge contributes both orientations, the standard convention that
+    makes the two marginals identical).
+
+    With M = 2m directed edges, j/k the endpoint degrees, and exact
+    integer sums S_j = sum j, S_jk = sum j*k, S_jj = sum j^2:
+
+        r = (M * S_jk - S_j^2) / (M * S_jj - S_j^2)
+
+    — an exact-integer numerator and denominator (the engine's
+    sufficient-statistic idiom: not one float until the final
+    division). Positive r = duplicate cliques attach to cliques
+    (contract freely); negative r = hub-and-spoke banding artifacts
+    (a hub contraction would over-merge).
+
+    Scale: one degree aggregation, two broadcast-able joins of the
+    degree table onto the edge list, one single-row aggregate. The
+    products ride DECIMAL(38,0) so a web-scale graph (deg ~ 1e6,
+    m ~ 1e9) cannot wrap the long multiply.
+
+    Output one row: (n_nodes long, n_edges long, s_j long, s_jk long,
+    s_jj long, assortativity double — NULL when the degree variance is
+    zero, e.g. a perfect matching or a single clique).
+    """
+    a, b = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+    und = (
+        edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
+        .where(F.col("_a") < F.col("_b"))
+        .distinct()
+        .persist()
+    )
+    _CACHED_FRAMES.append(und)
+    deg = (
+        und.select(F.explode(F.array("_a", "_b")).alias("_n"))
+        .groupBy("_n")
+        .agg(F.count("*").cast("long").alias("_d"))
+    )
+    sym = und.select(F.col("_a").alias("_s"), F.col("_b").alias("_t")).unionByName(
+        und.select(F.col("_b").alias("_s"), F.col("_a").alias("_t"))
+    )
+    e = (
+        sym.join(deg.withColumnRenamed("_n", "_s").withColumnRenamed("_d", "_dj"), "_s")
+        .join(deg.withColumnRenamed("_n", "_t").withColumnRenamed("_d", "_dk"), "_t")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    g = e.agg(
+        (F.count("*").cast("long") / F.lit(2)).cast("long").alias("n_edges"),
+        F.count("*").cast("decimal(38,0)").alias("_m"),
+        F.sum(dec("_dj")).alias("_sj"),
+        F.sum(dec("_dj") * dec("_dk")).alias("_sjk"),
+        F.sum(dec("_dj") * dec("_dj")).alias("_sjj"),
+    )
+    nn = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    num = F.col("_m") * F.col("_sjk") - F.col("_sj") * F.col("_sj")
+    den = F.col("_m") * F.col("_sjj") - F.col("_sj") * F.col("_sj")
+    out = nn.crossJoin(g).select(  # two single-row aggregates
+        "n_nodes",
+        "n_edges",
+        F.col("_sj").cast("long").alias("s_j"),
+        F.col("_sjk").cast("long").alias("s_jk"),
+        F.col("_sjj").cast("long").alias("s_jj"),
+        F.when(
+            den != F.lit(0).cast("decimal(38,0)"),
+            num.cast("double") / den.cast("double"),
+        ).alias("assortativity"),
+    )
+    out._zrs_cached = (und,)  # see dedup.unpersist_intermediates
+    return out

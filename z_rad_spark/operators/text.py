@@ -1297,3 +1297,59 @@ def lexical_concentration(
         F.when(F.col("n_tokens") >= 2, simpson).alias("simpson_d"),
         F.when(F.col("n_tokens") > 0, herf).alias("herfindahl"),
     )
+
+
+def bpe_top_pairs(
+    docs: DataFrame,
+    k: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One byte-pair-encoding merge step (Sennrich et al. 2016; the GPT
+    tokenizer-training primitive): rank adjacent SYMBOL pairs by their
+    corpus frequency, weighted by word count — the pair at rank 1 is
+    the merge a BPE trainer would apply next. Tokenizer training is
+    inherently sequential across merges (each merge re-tokenizes), so
+    the operator exposes ONE step as a deterministic transformation;
+    a trainer loops it, re-submitting with the merged vocab (at corpus
+    scale each step is a full Spark job and the loop lives in the
+    driver script, like [[pagerank_bipartite]]'s fixed-K convention).
+
+    Plan: the word-frequency table is ONE corpus shuffle (map-side
+    combined, Zipf-bounded); everything after runs on the VOCAB, not
+    the corpus — pair explosion is per distinct word (bounded by word
+    length), the pair aggregate is alphabet^2-bounded. This is the
+    whole reason BPE training scales: after the first count, the
+    corpus is never touched again.
+
+    Determinism: exact long counts; ties break on the pair string.
+
+    Output: k rows (pair string 'x y', merged string 'xy', n long
+    pair occurrences weighted by word frequency, rank long).
+    """
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 2)
+    toks = docs.repartition(n_parts, id_col).select(
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").cast("long").alias("_c"))
+    pairs = vocab.where(F.length("token") >= 2).select(
+        "_c",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(token) - 1), "
+                "i -> concat(substr(token, i, 1), ' ', substr(token, i + 1, 1)))"
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("_c").cast("long").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))  # vocab-bounded: tiny
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "pair",
+            F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+            "n",
+            "rank",
+        )
+    )
