@@ -4675,6 +4675,56 @@ def q_bpe_step(spark, sf_dir):
     return bpe_top_pairs(_docs(spark, sf_dir), k=15)
 
 
+def q_dbscan(spark, sf_dir):
+    """DBSCAN-style density labels over the multi-table LSH candidate
+    graph (similarity.dbscan_labels, tau=0.3, minPts=4): core = dense
+    paraphrase cluster member, border = fringe, noise = diversity tail.
+    Exact long neighbor counts; the oracle replays all four seeded
+    hyperplane tables literally, so labels hash-match bit-for-bit."""
+    from z_rad_spark.operators.similarity import dbscan_labels
+
+    return dbscan_labels(_emb(spark, sf_dir))
+
+
+def q_wl_templates(spark, sf_dir):
+    """Weisfeiler-Lehman structural templates: 2-round WL color
+    refinement over each conversation's role-transition multigraph
+    (graph.wl_conversation_fingerprint), SHA-256 colors so both engines
+    refine identically. Groups conversations by SHAPE (who talks after
+    whom, how often) regardless of text — the structural complement to
+    q_template_groups' text fingerprints. No floats; full value hash."""
+    from z_rad_spark.operators.graph import wl_conversation_fingerprint
+
+    return wl_conversation_fingerprint(_t(spark, sf_dir), n_rounds=2)
+
+
+def q_assoc_rules(spark, sf_dir):
+    """Pairwise association rules over per-user event baskets
+    (profile.assoc_rules): support / confidence both directions / lift
+    from exact long counts — which behaviors co-occur beyond their
+    marginals. Top-20 by (lift desc, pair) — the event alphabet caps
+    pairs at C(6,2), so the limit never cuts a tie."""
+    from z_rad_spark.operators.profile import assoc_rules
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = assoc_rules(events, group_col="user_id", item_col="event_type", top_k=20)
+    return _r6(out, ["support", "conf_ab", "conf_ba", "lift"])
+
+
+def q_conformal(spark, sf_dir):
+    """Split-conformal prediction interval per role across the cutoff
+    (drift.conformal_interval, 90%): conformal radius from an integer
+    rank threshold on the compacted calibration-residual histogram,
+    coverage measured on the deployment window — distribution-free
+    uncertainty monitoring beside the drift battery."""
+    from z_rad_spark.operators.drift import conformal_interval
+
+    out = conformal_interval(
+        _t(spark, sf_dir), split_ts="2024-01-15 00:00:00", level_pct=90
+    )
+    return _r6(out, ["mean_ref", "radius", "coverage"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4708,6 +4758,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_isotonic": q_isotonic,
         "q_k_anon": q_k_anon,
         "q_bpe_step": q_bpe_step,
+        "q_dbscan": q_dbscan,
+        "q_wl_templates": q_wl_templates,
+        "q_assoc_rules": q_assoc_rules,
+        "q_conformal": q_conformal,
         # --- pinned (see COVERAGE.md for rationale) ---
         "q_tfidf": q_tfidf,
         "q_top_tokens": q_top_tokens,

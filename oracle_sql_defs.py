@@ -9710,3 +9710,204 @@ r AS (
 SELECT pair, replace(pair, ' ', '') AS merged, n, rank
 FROM r WHERE rank <= 15
 """
+
+
+def _lsh_plane_values_multi(
+    dim: int = 64, n_planes: int = 8, seeds: tuple = (17, 18, 19, 20)
+) -> str:
+    """Multi-table variant of _lsh_plane_values: literal (tbl, pi, pv)
+    rows replaying similarity.embedding_near_dup_pairs' per-table seeded
+    hyperplanes (seeds 17..17+n_tables-1) exactly."""
+    import numpy as np
+
+    rows = []
+    for t, seed in enumerate(seeds):
+        planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+        for i in range(n_planes):
+            rows.append(
+                "(" + str(t) + ", " + str(i) + ", ["
+                + ", ".join(repr(float(x)) for x in planes[i]) + "])"
+            )
+    return ",\n    ".join(rows)
+
+
+# DBSCAN-style density labels over the multi-table LSH candidate graph
+# (mirror of similarity.dbscan_labels, tau=0.3, minPts=4): all four
+# seeded hyperplane tables replayed literally; every multiply-referenced
+# stage is AS MATERIALIZED (the q_kcore lesson)
+ORACLES["q_dbscan"] = f"""
+WITH planes(tbl, pi, pv) AS (VALUES
+    {_lsh_plane_values_multi()}
+),
+v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+b AS MATERIALIZED (
+  SELECT p.tbl, v.vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(v.ev, CAST(p.pv AS DOUBLE[])) > 0
+                  THEN CAST(POW(2.0, p.pi) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM v CROSS JOIN planes p GROUP BY p.tbl, v.vec_id
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.vec_id AS ia, c.vec_id AS ib
+  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+),
+pr AS MATERIALIZED (
+  SELECT cand.ia, cand.ib
+  FROM cand
+  JOIN v va ON va.vec_id = cand.ia
+  JOIN v vb ON vb.vec_id = cand.ib
+  WHERE list_dot_product(va.ev, vb.ev)
+        / (sqrt(list_dot_product(va.ev, va.ev)) * sqrt(list_dot_product(vb.ev, vb.ev)))
+        >= 0.3
+),
+sym AS MATERIALIZED (
+  SELECT ia AS v_, ib AS n_ FROM pr UNION ALL SELECT ib AS v_, ia AS n_ FROM pr
+),
+deg AS (SELECT v_, CAST(COUNT(*) AS BIGINT) AS n FROM sym GROUP BY v_),
+base AS MATERIALIZED (
+  SELECT v.vec_id, CAST(COALESCE(deg.n, 0) AS BIGINT) AS n_neighbors
+  FROM v LEFT JOIN deg ON deg.v_ = v.vec_id
+),
+core AS MATERIALIZED (SELECT vec_id FROM base WHERE n_neighbors >= 4),
+tc AS (SELECT DISTINCT sym.v_ AS vec_id FROM sym JOIN core ON core.vec_id = sym.n_)
+SELECT CAST(base.vec_id AS BIGINT) AS vec_id,
+       base.n_neighbors,
+       CASE WHEN base.n_neighbors >= 4 THEN 'core'
+            WHEN tc.vec_id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS label
+FROM base LEFT JOIN tc ON tc.vec_id = base.vec_id
+"""
+
+
+# Weisfeiler-Lehman structural templates (mirror of
+# graph.wl_conversation_fingerprint, 2 rounds): SHA-256 colors over the
+# role-transition multigraph — both engines implement standard SHA-256,
+# so refinement replays bit-for-bit; multiply-referenced rounds are
+# AS MATERIALIZED (the q_kcore lesson)
+_WL_ROUNDS = []
+for _r in range(1, 3):
+    _p = _r - 1
+    _WL_ROUNDS.append(f"""
+i{_r} AS (
+  SELECT e.conv_id, e.dst AS node,
+         string_agg('i' || c.color || 'x' || CAST(e.cnt AS VARCHAR), ','
+                    ORDER BY 'i' || c.color || 'x' || CAST(e.cnt AS VARCHAR)) AS s
+  FROM e JOIN c{_p} c ON c.conv_id = e.conv_id AND c.node = e.src
+  GROUP BY e.conv_id, e.dst
+),
+o{_r} AS (
+  SELECT e.conv_id, e.src AS node,
+         string_agg('o' || c.color || 'x' || CAST(e.cnt AS VARCHAR), ','
+                    ORDER BY 'o' || c.color || 'x' || CAST(e.cnt AS VARCHAR)) AS s
+  FROM e JOIN c{_p} c ON c.conv_id = e.conv_id AND c.node = e.dst
+  GROUP BY e.conv_id, e.src
+),
+c{_r} AS MATERIALIZED (
+  SELECT c.conv_id, c.node,
+         sha256(c.color || '|' || COALESCE(i.s, '') || '|' || COALESCE(o.s, '')) AS color
+  FROM c{_p} c
+  LEFT JOIN i{_r} i ON i.conv_id = c.conv_id AND i.node = c.node
+  LEFT JOIN o{_r} o ON o.conv_id = c.conv_id AND o.node = c.node
+)""")
+ORACLES["q_wl_templates"] = (
+    f"""
+WITH t AS ({T}),
+ord AS (
+  SELECT conv_id, role,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev
+  FROM t
+),
+e AS MATERIALIZED (
+  SELECT conv_id, prev AS src, role AS dst, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ord WHERE prev IS NOT NULL GROUP BY 1, 2, 3
+),
+c0 AS MATERIALIZED (SELECT DISTINCT conv_id, role AS node, role AS color FROM t),"""
+    + ",".join(_WL_ROUNDS)
+    + """,
+fp AS (
+  SELECT conv_id,
+         sha256(string_agg(color, ',' ORDER BY color)) AS wl_fingerprint
+  FROM c2 GROUP BY conv_id
+)
+SELECT wl_fingerprint, CAST(COUNT(*) AS BIGINT) AS n_convs,
+       MIN(conv_id) AS rep_conv
+FROM fp GROUP BY wl_fingerprint
+"""
+)
+
+
+# Pairwise association rules over per-user event baskets (mirror of
+# profile.assoc_rules): N = ALL distinct users (itemless included)
+ORACLES["q_assoc_rules"] = f"""
+WITH b AS (
+  SELECT DISTINCT user_id AS g, CAST(event_type AS VARCHAR) AS i
+  FROM events WHERE event_type IS NOT NULL
+),
+nt AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n FROM events),
+m AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY i),
+p AS (
+  SELECT a.i AS item_a, c.i AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM b a JOIN b c ON a.g = c.g AND a.i < c.i GROUP BY 1, 2
+),
+j AS (
+  SELECT p.item_a, p.item_b, ma.c AS n_a, mb.c AS n_b, p.n_ab, nt.n
+  FROM p JOIN m ma ON ma.i = p.item_a JOIN m mb ON mb.i = p.item_b, nt
+)
+SELECT item_a, item_b, n_a, n_b, n_ab,
+       {r6('CAST(n_ab AS DOUBLE) / n', 'support')},
+       {r6('CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE)', 'conf_ab')},
+       {r6('CAST(n_ab AS DOUBLE) / CAST(n_b AS DOUBLE)', 'conf_ba')},
+       {r6('(n * CAST(n_ab AS DOUBLE)) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))', 'lift')}
+FROM j
+ORDER BY (n * CAST(n_ab AS DOUBLE)) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) DESC,
+         item_a, item_b
+LIMIT 20
+"""
+
+
+# Split-conformal interval per role (mirror of drift.conformal_interval,
+# level 90): integer rank threshold k = ceil(90*(n_ref+1)/100) capped at
+# n_ref, value-ordered compacted residual histogram
+ORACLES["q_conformal"] = f"""
+WITH t AS ({T}),
+base AS (
+  SELECT role AS g, CAST(signal AS BIGINT) AS x,
+         (ts < TIMESTAMP '2024-01-15 00:00:00') AS is_ref
+  FROM t WHERE signal IS NOT NULL
+),
+rs AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_ref, CAST(SUM(x) AS BIGINT) AS s
+  FROM base WHERE is_ref GROUP BY g
+),
+rs2 AS (
+  SELECT g, n_ref, CAST(s AS DOUBLE) / CAST(n_ref AS DOUBLE) AS mean_ref FROM rs
+),
+rh AS (
+  SELECT b.g, rs2.n_ref, ABS(CAST(b.x AS DOUBLE) - rs2.mean_ref) AS r,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM base b JOIN rs2 ON rs2.g = b.g WHERE b.is_ref GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT g, n_ref, r,
+         SUM(c) OVER (PARTITION BY g ORDER BY r
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+  FROM rh
+),
+rad AS (
+  SELECT g, MIN(r) AS radius FROM cum
+  WHERE cumc >= LEAST((90 * (n_ref + 1) + 99) // 100, n_ref)
+  GROUP BY g
+),
+cur AS (
+  SELECT b.g, CAST(COUNT(*) AS BIGINT) AS n_cur,
+         CAST(SUM(CASE WHEN ABS(CAST(b.x AS DOUBLE) - rs2.mean_ref) <= rad.radius
+                  THEN 1 ELSE 0 END) AS BIGINT) AS cov
+  FROM base b JOIN rs2 ON rs2.g = b.g LEFT JOIN rad ON rad.g = b.g
+  WHERE NOT b.is_ref GROUP BY b.g
+)
+SELECT rs2.g AS role, rs2.n_ref,
+       CAST(COALESCE(cur.n_cur, 0) AS BIGINT) AS n_cur,
+       {r6('rs2.mean_ref', 'mean_ref')},
+       {r6('rad.radius', 'radius')},
+       {r6('CAST(cur.cov AS DOUBLE) / CAST(cur.n_cur AS DOUBLE)', 'coverage')}
+FROM rs2 LEFT JOIN rad ON rad.g = rs2.g LEFT JOIN cur ON cur.g = rs2.g
+"""

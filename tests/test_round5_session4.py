@@ -150,3 +150,158 @@ def test_bpe_weighting_and_tiebreak(spark):
     rows = sorted(bpe_top_pairs(docs, k=15).collect(), key=lambda r: r["rank"])
     assert (rows[0]["pair"], rows[0]["n"]) == ("z z", 3)
     assert (rows[1]["pair"], rows[1]["n"]) == ("p q", 1)
+
+
+def test_dbscan_labels_hand_graph(spark):
+    # 5 identical vectors (pairwise cosine 1.0) + 1 orthogonal:
+    # with exact=LSH all five collide in every bucket; minPts=4 ->
+    # the five are core (4 neighbors each), the loner is noise
+    import pyspark.sql.functions as F
+
+    from z_rad_spark.operators.similarity import dbscan_labels
+
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+    orth = [0.0, 1.0] + [0.0] * (dim - 2)
+    rows = [(i, base) for i in range(5)] + [(9, orth)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in dbscan_labels(vecs, threshold=0.9, min_pts=4, dim=dim).collect()}
+    for i in range(5):
+        assert (out[i]["n_neighbors"], out[i]["label"]) == (4, "core")
+    assert out[9]["label"] == "noise" and out[9]["n_neighbors"] == 0
+
+
+def test_dbscan_border_and_noise_on_hand_graph(spark):
+    # labeling semantics on an explicit candidate-pair graph (the
+    # exact-truth seam — LSH recall plays no part here):
+    # edges {1-2, 2-3, 3-4, 4-1, 1-3, 5-1}; minPts=3
+    # deg: 1->4 core, 3->3 core, 2/4 -> 2 border (touch cores), 5 -> 1
+    # border (touches core 1), 6 -> isolated noise
+    from z_rad_spark.operators.similarity import dbscan_labels
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in (1, 2, 3, 4, 5, 6)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3), (1, 5)],
+        "vec_id_a long, vec_id_b long",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in dbscan_labels(vecs, min_pts=3, pairs=pairs).collect()
+    }
+    assert (out[1]["n_neighbors"], out[1]["label"]) == (4, "core")
+    assert (out[3]["n_neighbors"], out[3]["label"]) == (3, "core")
+    assert (out[2]["label"], out[4]["label"], out[5]["label"]) == (
+        "border",
+        "border",
+        "border",
+    )
+    assert (out[6]["n_neighbors"], out[6]["label"]) == (0, "noise")
+
+
+def test_wl_fingerprint_groups_isomorphic_shapes(spark):
+    import datetime as dt
+
+    from z_rad_spark.operators.graph import wl_conversation_fingerprint
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def conv(cid, roles):
+        return [
+            (cid, i, roles[i % len(roles)], t0 + dt.timedelta(minutes=i))
+            for i in range(len(roles))
+        ]
+
+    # c1 and c2: identical user->assistant alternation (same multigraph);
+    # c3: user->assistant->tool cycle (different shape)
+    rows = (
+        conv("c1", ["user", "assistant"] * 3)
+        + conv("c2", ["user", "assistant"] * 3)
+        + conv("c3", ["user", "assistant", "tool"] * 2)
+    )
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, ts timestamp")
+    out = wl_conversation_fingerprint(df, n_rounds=2).collect()
+    by_rep = {r["rep_conv"]: r for r in out}
+    assert len(out) == 2
+    assert by_rep["c1"]["n_convs"] == 2  # c1+c2 share a fingerprint
+    assert by_rep["c3"]["n_convs"] == 1
+
+
+def test_wl_fingerprint_sensitive_to_multiplicity(spark):
+    import datetime as dt
+
+    from z_rad_spark.operators.graph import wl_conversation_fingerprint
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # c1: u->a once; c2: u->a->u->a (same node set, different edge counts)
+    for cid, roles in (("c1", ["user", "assistant"]), ("c2", ["user", "assistant", "user", "assistant"])):
+        rows += [
+            (cid, i, roles[i], t0 + dt.timedelta(minutes=i)) for i in range(len(roles))
+        ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, ts timestamp")
+    out = wl_conversation_fingerprint(df, n_rounds=2).collect()
+    assert len(out) == 2 and all(r["n_convs"] == 1 for r in out)
+
+
+def test_assoc_rules_hand_computed(spark):
+    from z_rad_spark.operators.profile import assoc_rules
+
+    # baskets: u1={a,b}, u2={a,b}, u3={a}, u4={} (itemless, counts in N)
+    rows = [
+        (1, "a"), (1, "b"), (1, "a"),
+        (2, "a"), (2, "b"),
+        (3, "a"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = assoc_rules(df, top_k=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    # N=4, n_a=3, n_b=2, n_ab=2
+    assert (r["item_a"], r["item_b"], r["n_a"], r["n_b"], r["n_ab"]) == ("a", "b", 3, 2, 2)
+    assert r["support"] == pytest.approx(0.5, abs=1e-12)
+    assert r["conf_ab"] == pytest.approx(2 / 3, abs=1e-12)
+    assert r["conf_ba"] == pytest.approx(1.0, abs=1e-12)
+    assert r["lift"] == pytest.approx(4 * 2 / (3 * 2), abs=1e-12)
+
+
+def test_conformal_interval_hand_computed(spark):
+    from z_rad_spark.operators.drift import conformal_interval
+
+    # calibration (before split): role u signals [1,1,1,3]
+    #   mean_ref = 1.5, residuals [0.5 x3, 1.5], k = ceil(0.9*5)=5 -> cap 4
+    #   radius = 1.5 (max residual)
+    # deployment: [1, 2, 9] -> residuals [0.5, 0.5, 7.5] -> coverage 2/3
+    t0 = dt.datetime(2024, 1, 10, 0, 0, 0)
+    t1 = dt.datetime(2024, 1, 20, 0, 0, 0)
+    rows = [("c1", i, t0 + dt.timedelta(minutes=i), "user", float(s)) for i, s in enumerate([1, 1, 1, 3])]
+    rows += [("c1", 10 + i, t1 + dt.timedelta(minutes=i), "user", float(s)) for i, s in enumerate([1, 2, 9])]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, role string, signal double"
+    )
+    r = conformal_interval(df, split_ts="2024-01-15 00:00:00", level_pct=90).collect()[0]
+    assert (r["n_ref"], r["n_cur"]) == (4, 3)
+    assert r["mean_ref"] == pytest.approx(1.5, abs=1e-12)
+    assert r["radius"] == pytest.approx(1.5, abs=1e-12)
+    assert r["coverage"] == pytest.approx(2 / 3, abs=1e-12)
+
+
+def test_conformal_radius_rank_threshold(spark):
+    from z_rad_spark.operators.drift import conformal_interval
+
+    # 19 residuals of 0 and 1 of 10: k = ceil(0.9*21) = 19 -> radius 0
+    t0 = dt.datetime(2024, 1, 10, 0, 0, 0)
+    sigs = [5.0] * 19 + [15.0]
+    rows = [("c1", i, t0 + dt.timedelta(minutes=i), "user", s) for i, s in enumerate(sigs)]
+    rows += [("c1", 99, dt.datetime(2024, 1, 20), "user", 5.5)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, role string, signal double"
+    )
+    r = conformal_interval(df, split_ts="2024-01-15 00:00:00", level_pct=90).collect()[0]
+    # mean_ref = (19*5 + 15)/20 = 5.5; residuals: 0.5 x19, 9.5 x1
+    # k = ceil(0.9*21) = 19 -> radius = 0.5; deployment residual 0 <= 0.5
+    assert r["radius"] == pytest.approx(0.5, abs=1e-12)
+    assert r["coverage"] == pytest.approx(1.0, abs=1e-12)

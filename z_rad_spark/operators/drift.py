@@ -1610,3 +1610,119 @@ def energy_drift(
         F.when(ok, e_yy).alias("e_yy"),
         F.when(ok, F.lit(2.0) * e_xy - e_xx - e_yy).alias("energy"),
     )
+
+
+def conformal_interval(
+    df: DataFrame,
+    split_ts: str,
+    level_pct: int = 90,
+    signal_col: str = "signal",
+    group_col: str = "role",
+) -> DataFrame:
+    """Split-conformal prediction interval per group (Vovk et al. 2005;
+    Lei et al. 2018) — distribution-free uncertainty for the simplest
+    predictor (the calibration-window mean), evaluated as COVERAGE on
+    the deployment window: the monitoring question "does the
+    calibrated interval still hold?" asked without any normality
+    assumption, the uncertainty-quantification complement to the
+    drift battery's location/shape tests.
+
+    Calibration (ts < split): nonconformity r_i = |x_i - mean_ref|;
+    the conformal radius is the ceil((n_ref + 1) * level)-th smallest
+    r_i — computed by integer threshold on the value-ordered compacted
+    residual histogram: k = (level_pct * (n_ref + 1) + 99) DIV 100,
+    no float rank arithmetic; when k > n_ref (tiny calibration
+    windows, where exact conformal is the whole line) the radius is
+    capped at the max calibration residual. Deployment (ts >= split):
+    coverage =
+    share of |x - mean_ref| <= radius; a healthy window reads
+    ~level_pct/100, drift reads materially lower.
+
+    Determinism: counts exact longs; mean_ref one division; residuals
+    one |int - double| chain over the <= |signal alphabet| compacted
+    histogram; the k-th-smallest pick is a cumulative-count threshold
+    (ties collapse) — engine-order free, oracle-replayable.
+
+    Output per group: (group, n_ref long, n_cur long, mean_ref double,
+    radius double — NULL when n_ref = 0, coverage double — NULL when
+    either window is empty).
+    """
+    x = F.col(signal_col).cast("long")
+    split = F.lit(split_ts).cast("timestamp")
+    base = df.where(F.col(signal_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        x.alias("_x"),
+        (F.col("ts").cast("timestamp") < split).alias("_ref"),
+    )
+    ref_stats = (
+        base.where("_ref")
+        .groupBy("_g")
+        .agg(
+            F.count("*").cast("long").alias("n_ref"),
+            F.sum("_x").cast("long").alias("_s"),
+        )
+        .withColumn("mean_ref", F.col("_s").cast("double") / F.col("n_ref").cast("double"))
+    )
+    # compacted residual histogram on the calibration window
+    rh = (
+        base.where("_ref")
+        .groupBy("_g", "_x")
+        .agg(F.count("*").cast("long").alias("_c"))
+        .join(F.broadcast(ref_stats.select("_g", "mean_ref", "n_ref")), "_g")
+        .select(
+            "_g",
+            "n_ref",
+            F.abs(F.col("_x").cast("double") - F.col("mean_ref")).alias("_r"),
+            "_c",
+        )
+        .groupBy("_g", "n_ref", "_r")
+        .agg(F.sum("_c").cast("long").alias("_c"))
+    )
+    w_cum = (
+        Window.partitionBy("_g")
+        .orderBy("_r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    k = (F.lit(level_pct) * (F.col("n_ref") + 1) + 99).cast("long") / F.lit(100)
+    k = F.floor(k).cast("long")  # integer ceil((n_ref+1)*pct/100)
+    radius = (
+        rh.withColumn("_cum", F.sum("_c").over(w_cum))
+        .where(F.col("_cum") >= F.least(k, F.col("n_ref")))
+        .groupBy("_g")
+        .agg(F.min("_r").alias("radius"))
+    )
+    cur = (
+        base.where(~F.col("_ref"))
+        .join(F.broadcast(ref_stats.select("_g", "mean_ref")), "_g")
+        .join(F.broadcast(radius), "_g", "left")
+        .groupBy("_g")
+        .agg(
+            F.count("*").cast("long").alias("n_cur"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("_x").cast("double") - F.col("mean_ref"))
+                    <= F.col("radius"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("_cov"),
+        )
+        .withColumn(
+            "coverage", F.col("_cov").cast("double") / F.col("n_cur").cast("double")
+        )
+    )
+    out = (
+        ref_stats.select("_g", "n_ref", "mean_ref")
+        .join(radius, "_g", "left")
+        .join(cur.select("_g", "n_cur", "coverage"), "_g", "left")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_ref",
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+            "mean_ref",
+            "radius",
+            "coverage",
+        )
+    )
+    return out

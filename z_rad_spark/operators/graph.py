@@ -574,3 +574,121 @@ def degree_assortativity(
     )
     out._zrs_cached = (und,)  # see dedup.unpersist_intermediates
     return out
+
+
+def wl_conversation_fingerprint(
+    df: DataFrame,
+    n_rounds: int = 2,
+    group_col: str = "conv_id",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    idx_col: str = "turn_idx",
+) -> DataFrame:
+    """Weisfeiler-Lehman structural fingerprint of each conversation's
+    role-transition multigraph (Weisfeiler & Lehman 1968; Shervashidze
+    et al. 2011) — STRUCTURAL template detection: two conversations get
+    the same fingerprint iff WL color refinement cannot distinguish
+    their (role, lag-1 transition, multiplicity) graphs, regardless of
+    length or surface text. The shape-level complement to
+    [[dedup]]-module template_groups (which fingerprints normalized
+    TEXT): a support-bot flow and its paraphrase collide here and not
+    there.
+
+    Colors are canonical STRINGS refined by SHA-256 — both engines
+    implement standard SHA-256 (Spark ``sha2(s, 256)``, DuckDB
+    ``sha256``), so unlike xxhash the refinement replays bit-for-bit
+    in the SQL oracle. Round k+1 of node v:
+
+        sha256( color_k(v) || '|' || join(sort(['i' c_k(u) 'x' cnt ..]))
+                           || '|' || join(sort(['o' c_k(w) 'x' cnt ..])) )
+
+    over in- and out-neighbors with edge multiplicities — the exact
+    multiset-signature form, tokenized canonically so engine sort
+    order (binary, pure-ASCII tokens) matches SQL ORDER BY.
+
+    Scale: the node table is |convs| x |roles| (tiny); each round is
+    two equi-joins of edges x colors and two sorted-fold aggregations,
+    all partitioned by conversation — no global state. Colors are
+    lineage-truncated per round (localCheckpoint — the [[kcore_peel]]
+    3-reference lesson).
+
+    Output: one row per distinct fingerprint (wl_fingerprint string,
+    n_convs long, rep_conv string = min conv_id exemplar).
+    """
+    from pyspark.sql import Window
+
+    w_role = F.col(role_col).cast("string")
+    base = df.select(
+        F.col(group_col), w_role.alias("_r"), F.col(ts_col), F.col(idx_col)
+    )
+    lagw = Window.partitionBy(group_col).orderBy(ts_col, idx_col)
+    ordered = base.withColumn("_prev", F.lag("_r").over(lagw))
+    edges = (
+        ordered.where(F.col("_prev").isNotNull())
+        .groupBy(group_col, F.col("_prev").alias("_src"), F.col("_r").alias("_dst"))
+        .agg(F.count("*").cast("long").alias("_cnt"))
+        .persist()
+    )
+    _CACHED_FRAMES.append(edges)
+    colors = (
+        base.select(group_col, F.col("_r").alias("_node"))
+        .distinct()
+        .select(group_col, "_node", F.col("_node").alias("_color"))
+    )
+    for _ in range(n_rounds):
+        src_c = colors.select(
+            group_col, F.col("_node").alias("_src"), F.col("_color").alias("_sc")
+        )
+        dst_c = colors.select(
+            group_col, F.col("_node").alias("_dst"), F.col("_color").alias("_dc")
+        )
+        inbox = (
+            edges.join(src_c, [group_col, "_src"])
+            .select(
+                group_col,
+                F.col("_dst").alias("_node"),
+                F.concat(F.lit("i"), F.col("_sc"), F.lit("x"), F.col("_cnt").cast("string")).alias("_tok"),
+            )
+            .groupBy(group_col, "_node")
+            .agg(F.array_join(F.sort_array(F.collect_list("_tok")), ",").alias("_in"))
+        )
+        outbox = (
+            edges.join(dst_c, [group_col, "_dst"])
+            .select(
+                group_col,
+                F.col("_src").alias("_node"),
+                F.concat(F.lit("o"), F.col("_dc"), F.lit("x"), F.col("_cnt").cast("string")).alias("_tok"),
+            )
+            .groupBy(group_col, "_node")
+            .agg(F.array_join(F.sort_array(F.collect_list("_tok")), ",").alias("_out"))
+        )
+        colors = (
+            colors.join(inbox, [group_col, "_node"], "left")
+            .join(outbox, [group_col, "_node"], "left")
+            .select(
+                group_col,
+                "_node",
+                F.sha2(
+                    F.concat(
+                        F.col("_color"),
+                        F.lit("|"),
+                        F.coalesce(F.col("_in"), F.lit("")),
+                        F.lit("|"),
+                        F.coalesce(F.col("_out"), F.lit("")),
+                    ),
+                    256,
+                ).alias("_color"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    fp = colors.groupBy(group_col).agg(
+        F.sha2(F.array_join(F.sort_array(F.collect_list("_color")), ","), 256).alias(
+            "wl_fingerprint"
+        )
+    )
+    out = fp.groupBy("wl_fingerprint").agg(
+        F.count("*").cast("long").alias("n_convs"),
+        F.min(group_col).alias("rep_conv"),
+    )
+    out._zrs_cached = (edges,)  # see dedup.unpersist_intermediates
+    return out

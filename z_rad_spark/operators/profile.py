@@ -2232,3 +2232,75 @@ def nelson_aalen(
         F.get("_v", F.col("_i")).alias("var_h"),
         F.exp(-F.get("_h", F.col("_i"))).alias("s_fh"),
     )
+
+
+def assoc_rules(
+    df: DataFrame,
+    group_col: str = "user_id",
+    item_col: str = "event_type",
+    top_k: int = 20,
+) -> DataFrame:
+    """Pairwise association rules (Agrawal & Srikant 1994) over
+    per-entity item baskets — which behaviors co-occur in the same
+    conversation/user beyond what their marginals predict:
+
+        support(a,b) = n_ab / N          lift = N * n_ab / (n_a * n_b)
+        conf(a->b)   = n_ab / n_a        conf(b->a) = n_ab / n_b
+
+    with N the TOTAL basket count (all entities, itemless included —
+    the denominator choice that makes supports comparable across
+    rules). The co-occurrence complement to [[pair_signal_correlation]]
+    (which couples adjacent VALUES): lift > 1 flags behavior bundles
+    worth stratifying the training mixture on; lift < 1 flags
+    substitutes.
+
+    Scale: one distinct over (entity, item) — the basket table; one
+    self-equi-join on entity bounded by per-basket item count (itemset
+    width, not corpus size); item marginals are a vocabulary-sized
+    aggregate broadcast back. Exact long counts, four fixed divisions.
+
+    Output: top_k rows (item_a < item_b, n_a, n_b, n_ab longs,
+    support, conf_ab, conf_ba, lift doubles) by (lift desc, item_a,
+    item_b).
+    """
+    baskets = (
+        df.where(F.col(item_col).isNotNull())
+        .select(F.col(group_col).alias("_g"), F.col(item_col).cast("string").alias("_i"))
+        .distinct()
+    )
+    n_total = df.select(F.col(group_col)).distinct().count()  # driver scalar
+    marg = baskets.groupBy("_i").agg(F.count("*").cast("long").alias("_n"))
+    a = baskets.select(F.col("_g"), F.col("_i").alias("item_a"))
+    b = baskets.select(F.col("_g"), F.col("_i").alias("item_b"))
+    pair = (
+        a.join(b, "_g")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+    pair = (
+        pair.join(
+            F.broadcast(marg.select(F.col("_i").alias("item_a"), F.col("_n").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("_i").alias("item_b"), F.col("_n").alias("n_b"))),
+            "item_b",
+        )
+    )
+    nd = F.lit(float(n_total))
+    out = pair.select(
+        "item_a",
+        "item_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        (F.col("n_ab").cast("double") / nd).alias("support"),
+        (F.col("n_ab").cast("double") / F.col("n_a").cast("double")).alias("conf_ab"),
+        (F.col("n_ab").cast("double") / F.col("n_b").cast("double")).alias("conf_ba"),
+        (
+            (nd * F.col("n_ab").cast("double"))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ).alias("lift"),
+    )
+    return out.orderBy(F.col("lift").desc(), "item_a", "item_b").limit(top_k)

@@ -1691,3 +1691,87 @@ def rank_biased_overlap(
         (F.col(f"_x{k}").cast("double") / F.lit(float(k))).alias("overlap_k"),
         (F.lit(1.0 - p) * acc).alias("rbo"),
     )
+
+
+def dbscan_labels(
+    vectors: DataFrame,
+    threshold: float = 0.3,
+    min_pts: int = 4,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """DBSCAN-style density classification of the embedding space
+    (Ester et al. 1996) over the SAME multi-table hyperplane-LSH
+    candidate graph as [[embedding_near_dup_pairs]]: a vector is
+    ``core`` if it has >= ``min_pts`` candidate neighbors at cosine >=
+    ``threshold``, ``border`` if it is not core but touches a core
+    vector, ``noise`` otherwise. The curation read: core points are
+    dense paraphrase clusters (dedup / downsample them), border points
+    are cluster fringes, noise is the long tail worth KEEPING for
+    diversity — the density complement to SemDeDup's centroid pruning.
+
+    Cluster EXPANSION (the sequential flood-fill in classic DBSCAN) is
+    deliberately out of scope: labels are a one-shot density
+    classification; callers who need the components feed the core-core
+    edges to [[dedup.connected_components_star]] — same split as
+    minhash banding vs clustering.
+
+    Scale: candidate generation is the near-dup module's bucketed
+    union (never all-pairs); everything after is two degree
+    aggregations and two broadcast-able semi-join-shaped lookups on
+    the (much smaller) core set. Exact long counts; the only floats
+    are the cosine gate shared with the gated near-dup path.
+
+    Determinism: the LSH tables use the same literal seeded
+    hyperplanes (seeds 17..17+n_tables-1) the SQL oracle replays, so
+    candidate sets — and therefore labels — match bit-for-bit.
+
+    ``pairs`` overrides candidate generation with an explicit
+    (id_a, id_b) neighbor-pair frame — the exact-truth mode (feed
+    ``embedding_near_dup_pairs(exact=True)`` for recall measurement)
+    and the hand-graph unit-test seam; labeling semantics are
+    identical either way.
+
+    Output: one row per vector (id, n_neighbors long, label string).
+    """
+    if pairs is None:
+        pairs = embedding_near_dup_pairs(
+            vectors,
+            threshold=threshold,
+            exact=False,
+            dim=dim,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    ida, idb = id_col + "_a", id_col + "_b"
+    sym = pairs.select(
+        F.col(ida).alias("_v"), F.col(idb).alias("_n")
+    ).unionByName(pairs.select(F.col(idb).alias("_v"), F.col(ida).alias("_n")))
+    deg = sym.groupBy("_v").agg(F.count("*").cast("long").alias("n_neighbors"))
+    base = (
+        vectors.select(F.col(id_col))
+        .join(deg.withColumnRenamed("_v", id_col), id_col, "left")
+        .select(id_col, F.coalesce("n_neighbors", F.lit(0)).cast("long").alias("n_neighbors"))
+    )
+    core = base.where(F.col("n_neighbors") >= min_pts).select(
+        F.col(id_col).alias("_n")
+    )
+    touches_core = (
+        sym.join(core, "_n", "left_semi").select(F.col("_v").alias(id_col)).distinct()
+        .withColumn("_tc", F.lit(1))
+    )
+    out = base.join(touches_core, id_col, "left").select(
+        id_col,
+        "n_neighbors",
+        F.when(F.col("n_neighbors") >= min_pts, F.lit("core"))
+        .when(F.col("_tc").isNotNull(), F.lit("border"))
+        .otherwise(F.lit("noise"))
+        .alias("label"),
+    )
+    return out
