@@ -4725,6 +4725,24 @@ def q_conformal(spark, sf_dir):
     return _r6(out, ["mean_ref", "radius", "coverage"])
 
 
+def q_label_noise(spark, sf_dir):
+    """Confident-learning label-noise estimate
+    (encoding.confident_learning_noise over the hashed quality
+    classifier vs the lang=='en' label): class-conditional thresholds
+    from sorted compacted-histogram folds, exact-long confident joint,
+    off-diagonal mass = estimated label error rate. The label-quality
+    screen beside q_calibration's probability-quality screen."""
+    from z_rad_spark.operators.curation import quality_classifier
+    from z_rad_spark.operators.encoding import confident_learning_noise
+
+    scored = quality_classifier(_docs(spark, sf_dir), dims=64, seed=41)
+    labels = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("lang") == "en").alias("label_true")
+    )
+    out = confident_learning_noise(scored.join(labels, "doc_id"))
+    return _r6(out, ["t_pos", "t_neg", "noise_rate"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4761,6 +4779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wl_templates": q_wl_templates,
         "q_assoc_rules": q_assoc_rules,
         "q_conformal": q_conformal,
+        "q_label_noise": q_label_noise,
         # --- pinned (see COVERAGE.md for rationale) ---
         "q_tfidf": q_tfidf,
         "q_top_tokens": q_top_tokens,

@@ -9911,3 +9911,66 @@ SELECT rs2.g AS role, rs2.n_ref,
        {r6('CAST(cur.cov AS DOUBLE) / CAST(cur.n_cur AS DOUBLE)', 'coverage')}
 FROM rs2 LEFT JOIN rad ON rad.g = rs2.g LEFT JOIN cur ON cur.g = rs2.g
 """
+
+
+# Confident-learning label noise (mirror of
+# encoding.confident_learning_noise over the q_quality_classifier
+# replay): class-conditional thresholds by sorted compacted-histogram
+# folds; scores are injective per class (p and 1-p over distinct 6dp
+# probs), so the ORDER BY score fold has no tie ambiguity
+ORACLES["q_label_noise"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         len({TOKS_RAW}) AS n,
+         list_reduce([CAST(0.0 AS DOUBLE)] || list_transform({TOKS_RAW},
+             t -> ({_classifier_w_sql()})[CAST(('0x' || substring(md5(t), 1, 4))::BIGINT % 64 AS INT) + 1]),
+             (acc, x) -> acc + x) AS wsum
+  FROM documents
+),
+sc AS (SELECT doc_id, n, wsum / CAST(n AS DOUBLE) + 0 AS score FROM s),
+pr AS (SELECT doc_id, 1.0 / (1.0 + exp(-score)) AS prob FROM sc),
+lab AS (
+  SELECT {r6x('pr.prob')} AS p, (d.lang = 'en') AS y
+  FROM pr JOIN documents d USING (doc_id)
+),
+hist AS MATERIALIZED (
+  SELECT y, p, CAST(COUNT(*) AS BIGINT) AS c FROM lab GROUP BY y, p
+),
+th AS (
+  SELECT y, CAST(SUM(c) AS BIGINT) AS n,
+         list_reduce([0.0] || list(CAST(c AS DOUBLE)
+                                   * (CASE WHEN y THEN p ELSE 1.0 - p END)
+                                   ORDER BY (CASE WHEN y THEN p ELSE 1.0 - p END)),
+                     (a, x) -> a + x) AS ssum
+  FROM hist GROUP BY y
+),
+tr AS (
+  SELECT MAX(CASE WHEN y THEN ssum / CAST(n AS DOUBLE) END) AS t_pos,
+         MAX(CASE WHEN NOT y THEN ssum / CAST(n AS DOUBLE) END) AS t_neg
+  FROM th
+),
+cells AS (
+  SELECT CASE WHEN h.y THEN 1 ELSE 0 END AS l,
+         CASE WHEN h.p >= tr.t_pos AND ((1.0 - h.p) < tr.t_neg OR h.p >= 0.5)
+              THEN 1
+              WHEN (1.0 - h.p) >= tr.t_neg AND (h.p < tr.t_pos OR h.p < 0.5)
+              THEN 0
+              ELSE NULL END AS h2,
+         h.c, tr.t_pos, tr.t_neg
+  FROM hist h, tr
+)
+SELECT CAST(SUM(c) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN h2 IS NOT NULL THEN c ELSE 0 END) AS BIGINT) AS n_confident,
+       {r6('MAX(t_pos)', 't_pos')},
+       {r6('MAX(t_neg)', 't_neg')},
+       CAST(SUM(CASE WHEN l = 0 AND h2 = 0 THEN c ELSE 0 END) AS BIGINT) AS c00,
+       CAST(SUM(CASE WHEN l = 0 AND h2 = 1 THEN c ELSE 0 END) AS BIGINT) AS c01,
+       CAST(SUM(CASE WHEN l = 1 AND h2 = 0 THEN c ELSE 0 END) AS BIGINT) AS c10,
+       CAST(SUM(CASE WHEN l = 1 AND h2 = 1 THEN c ELSE 0 END) AS BIGINT) AS c11,
+       {r6('''CASE WHEN SUM(CASE WHEN h2 IS NOT NULL THEN c ELSE 0 END) > 0
+              THEN CAST(SUM(CASE WHEN l = 0 AND h2 = 1 THEN c ELSE 0 END)
+                        + SUM(CASE WHEN l = 1 AND h2 = 0 THEN c ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN h2 IS NOT NULL THEN c ELSE 0 END) AS DOUBLE)
+              END''', 'noise_rate')}
+FROM cells
+"""

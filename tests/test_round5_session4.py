@@ -305,3 +305,27 @@ def test_conformal_radius_rank_threshold(spark):
     # k = ceil(0.9*21) = 19 -> radius = 0.5; deployment residual 0 <= 0.5
     assert r["radius"] == pytest.approx(0.5, abs=1e-12)
     assert r["coverage"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_confident_learning_hand_computed(spark):
+    from z_rad_spark.operators.encoding import confident_learning_noise
+
+    # labeled 1: probs [0.9, 0.8, 0.2] -> t_pos = 19/30
+    # labeled 0: probs [0.1, 0.3] -> p0 = [0.9, 0.7] -> t_neg = 0.8
+    # assignments (p1>=t_pos clears 0.9, 0.8; p0>=0.8 clears p=0.1,0.2):
+    #   y=1 p=0.9 -> yhat 1 (c11); y=1 p=0.8 -> yhat 1 (c11)
+    #   y=1 p=0.2 -> p0=0.8 >= t_neg -> yhat 0 (c10)
+    #   y=0 p=0.1 -> yhat 0 (c00); y=0 p=0.3 -> p0=0.7 < 0.8, p=0.3 < t_pos
+    #     -> abstain
+    # noise = c10 / 5 confident = 1/4
+    rows = [
+        (0, 0.9, True), (1, 0.8, True), (2, 0.2, True),
+        (3, 0.1, False), (4, 0.3, False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, prob double, label_true boolean")
+    r = confident_learning_noise(df).collect()[0]
+    assert (r["n"], r["n_confident"]) == (5, 4)
+    assert r["t_pos"] == pytest.approx(19 / 30, abs=1e-9)
+    assert r["t_neg"] == pytest.approx(0.8, abs=1e-12)
+    assert (r["c00"], r["c01"], r["c10"], r["c11"]) == (1, 0, 1, 2)
+    assert r["noise_rate"] == pytest.approx(0.25, abs=1e-12)

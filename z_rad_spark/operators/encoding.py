@@ -654,3 +654,95 @@ def isotonic_fit(
     return bucketed.repartition(n_parts, "bucket").groupBy("bucket").applyInPandas(
         kernel, schema=schema
     )
+
+
+def confident_learning_noise(
+    df: DataFrame,
+    prob_col: str = "prob",
+    label_col: str = "label_true",
+) -> DataFrame:
+    """Confident-learning label-noise estimate (Northcutt, Jiang & Chuang,
+    JAIR 2021), binary form — data-centric AI's standard answer to "how
+    many of my labels are wrong?": class-conditional confidence
+    thresholds t_j = mean of p_j over examples LABELED j, then the
+    confident joint C[y][y_hat] counts each example whose predicted
+    class confidence clears that class's threshold; off-diagonal mass
+    estimates the label error rate. The label-quality screen beside
+    [[calibration_bins]]' probability-quality screen.
+
+    Confident assignment (binary): with p1 = p6 and p0 = 1 - p6, an
+    example votes y_hat = 1 if p1 >= t1 and (p0 < t0 or p1 >= 0.5),
+    y_hat = 0 if p0 >= t0 and (p1 < t1 or p1 < 0.5), and abstains when
+    neither threshold clears (the CL "unconfident" bucket — counted,
+    not classified). The p1 >= 0.5 tie-break is the argmax rule with
+    ties to the positive class, fixed so both engines agree.
+
+    Determinism: thresholds fold score * count over the SORTED
+    compacted (label, prob6) histogram (the [[calibration_bins]]
+    ordered-fold idiom — bounded by distinct 6dp scores); all joint
+    counts are exact longs; the only other floats are two threshold
+    divisions and the final rates.
+
+    Output one row: (n long, n_confident long, t_pos, t_neg doubles,
+    c00, c01, c10, c11 longs — C[label][y_hat], noise_rate double =
+    (c01 + c10) / n_confident, NULL when no example is confident).
+    """
+    p6 = F.round(F.col(prob_col).cast("double"), 6)
+    y = F.col(label_col).cast("boolean")
+    hist = df.groupBy(y.alias("_y"), p6.alias("_p")).agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    score = F.when(F.col("_y"), F.col("_p")).otherwise(F.lit(1.0) - F.col("_p"))
+    th = hist.select("_y", score.alias("_s"), "_c").groupBy("_y").agg(
+        F.sum("_c").cast("long").alias("_n"),
+        F.sort_array(F.collect_list(F.struct("_s", "_c"))).alias("_arr"),
+    )
+    tmean = F.aggregate(
+        F.col("_arr"), F.lit(0.0), lambda a, s: a + s["_c"].cast("double") * s["_s"]
+    ) / F.col("_n").cast("double")
+    th = th.select("_y", tmean.alias("_t"))
+    trow = (
+        th.groupBy()
+        .agg(
+            F.max(F.when(F.col("_y"), F.col("_t"))).alias("t_pos"),
+            F.max(F.when(~F.col("_y"), F.col("_t"))).alias("t_neg"),
+        )
+    )
+    j = hist.crossJoin(F.broadcast(trow))
+    p1, p0 = F.col("_p"), F.lit(1.0) - F.col("_p")
+    pass1 = p1 >= F.col("t_pos")
+    pass0 = p0 >= F.col("t_neg")
+    yhat = (
+        F.when(pass1 & (~pass0 | (p1 >= 0.5)), F.lit(1))
+        .when(pass0 & (~pass1 | (p1 < 0.5)), F.lit(0))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    lab = F.when(F.col("_y"), 1).otherwise(0)
+    cells = j.select(lab.alias("_l"), yhat.alias("_h"), "_c", "t_pos", "t_neg")
+    out = cells.groupBy().agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.sum(F.when(F.col("_h").isNotNull(), F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("n_confident"),
+        F.max("t_pos").alias("t_pos"),
+        F.max("t_neg").alias("t_neg"),
+        *[
+            F.sum(
+                F.when((F.col("_l") == l) & (F.col("_h") == h), F.col("_c")).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"c{l}{h}")
+            for l in (0, 1)
+            for h in (0, 1)
+        ],
+    )
+    noise = F.when(
+        F.col("n_confident") > 0,
+        (F.col("c01") + F.col("c10")).cast("double")
+        / F.col("n_confident").cast("double"),
+    )
+    return out.select(
+        "n", "n_confident", "t_pos", "t_neg",
+        "c00", "c01", "c10", "c11",
+        noise.alias("noise_rate"),
+    )
