@@ -4743,6 +4743,48 @@ def q_label_noise(spark, sf_dir):
     return _r6(out, ["t_pos", "t_neg", "noise_rate"])
 
 
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link scores over the LSH candidate-pair graph
+    (graph.adamic_adar, top-20, exclude_edges=False): common-neighbour
+    / log-degree scores for every wedge-connected pair with an is_edge
+    flag — non-edges are LSH recall-repair candidates, edges ranked by
+    embeddedness (the similarity-graph sparsification index). Sorted
+    centre-node folds, exact long counts — oracle-replayable."""
+    from z_rad_spark.operators.dedup import minhash_lsh_pairs
+    from z_rad_spark.operators.graph import adamic_adar
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=3, n_hashes=8, band_size=4, max_bucket=64
+    )
+    out = adamic_adar(pairs, top_k=20, exclude_edges=False)
+    return _r6(out, ["aa", "jaccard"])
+
+
+def q_kmv(spark, sf_dir):
+    """K-minimum-values distinct-users estimate per event_type
+    (sketches.kmv_distinct_by, k=64): the set-operable cardinality
+    sketch beside q_hll / q_linear_count — k-th-smallest mixed hash as
+    an exact integer order statistic, one fixed estimate chain."""
+    from z_rad_spark.operators.sketches import kmv_distinct_by
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = kmv_distinct_by(ev, group_col="event_type", key_col="user_id", k=64)
+    return _r6(out, ["est_distinct", "err_pct"])
+
+
+def q_ar2(spark, sf_dir):
+    """Per-conversation AR(2) Yule-Walker fit of the turn signal
+    (sessionize.ar2_yule_walker): phi1/phi2 (= PACF lag 2), innovation
+    variance ratio, and the point-in-time one-step forecast from the
+    last two turns in stable order — the model-fitting step on top of
+    q_autocorr's descriptive r_k. Exact-long sufficient statistics,
+    fixed float chains — oracle-replayable."""
+    from z_rad_spark.operators.sessionize import ar2_yule_walker
+
+    out = ar2_yule_walker(_t(spark, sf_dir))
+    return _r6(out, ["r1", "r2", "phi1", "phi2", "sigma_ratio", "forecast"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4780,6 +4822,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_assoc_rules": q_assoc_rules,
         "q_conformal": q_conformal,
         "q_label_noise": q_label_noise,
+        "q_adamic_adar": q_adamic_adar,
+        "q_kmv": q_kmv,
+        "q_ar2": q_ar2,
         # --- pinned (see COVERAGE.md for rationale) ---
         "q_tfidf": q_tfidf,
         "q_top_tokens": q_top_tokens,

@@ -9974,3 +9974,170 @@ SELECT CAST(SUM(c) AS BIGINT) AS n,
               END''', 'noise_rate')}
 FROM cells
 """
+
+
+# Adamic-Adar link prediction over the LSH pair graph (mirror of
+# graph.adamic_adar): wedge self-join on the centre node, existing
+# edges anti-joined out, aa folded in sorted centre-node order —
+# identical term order to the engine's sorted-struct F.aggregate
+ORACLES["q_adamic_adar"] = """
+WITH und AS MATERIALIZED (
+  SELECT CAST(LEAST(id_a, id_b) AS BIGINT) AS a,
+         CAST(GREATEST(id_a, id_b) AS BIGINT) AS b
+  FROM ({PAIRS}) pq WHERE id_a <> id_b
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT a AS s, b AS t FROM und UNION ALL SELECT b AS s, a AS t FROM und
+),
+deg AS (
+  SELECT s AS n, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY s
+),
+wg AS (
+  SELECT e1.t AS u, e2.t AS v, e1.s AS wc, dg.d
+  FROM sym e1 JOIN sym e2 ON e1.s = e2.s AND e1.t < e2.t
+  JOIN deg dg ON dg.n = e1.s
+),
+pr AS (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(1.0 / ln(CAST(d AS DOUBLE)) ORDER BY wc)),
+             (acc, x) -> acc + x) AS aa
+  FROM wg
+  GROUP BY u, v
+),
+topk AS (
+  SELECT pr.u, pr.v, pr.cn, du.d AS deg_u, dv.d AS deg_v, pr.aa,
+         CAST(CASE WHEN EXISTS (SELECT 1 FROM und
+                                WHERE und.a = pr.u AND und.b = pr.v)
+              THEN 1 ELSE 0 END AS BIGINT) AS is_edge,
+         CAST(pr.cn AS DOUBLE) / CAST(du.d + dv.d - pr.cn AS DOUBLE) AS jac
+  FROM pr JOIN deg du ON du.n = pr.u JOIN deg dv ON dv.n = pr.v
+  ORDER BY pr.aa DESC, pr.u, pr.v LIMIT 20
+)
+SELECT u, v, cn, deg_u, deg_v, is_edge,
+       {R6AA},
+       {R6JAC}
+FROM topk
+""".replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip()).replace(
+    "{R6AA}", r6("aa", "aa")
+).replace("{R6JAC}", r6("jac", "jaccard"))
+
+
+# KMV distinct estimator (mirror of sketches.kmv_distinct_by): the
+# q_hll square-mod mixing hash, k-th minimum as an exact integer order
+# statistic, one fixed multiply-divide estimate chain
+ORACLES["q_kmv"] = f"""
+WITH dk AS (SELECT DISTINCT event_type AS g, user_id AS k FROM events),
+b1 AS (
+  SELECT g, ((ABS(k) % 2147483647) * 48271 + 12345) % 2147483647 AS x
+  FROM dk
+),
+b2 AS (SELECT g, (x * x + x) % 2147483647 AS y FROM b1),
+b3 AS (SELECT g, (y * 48271) % 2147483647 AS h FROM b2),
+hs AS (
+  SELECT g, h, CAST(COUNT(*) AS BIGINT) AS ck FROM b3 GROUP BY g, h
+),
+rk AS (
+  SELECT g, h, ck,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+  FROM hs
+),
+agg AS (
+  SELECT g, CAST(SUM(ck) AS BIGINT) AS exact_distinct,
+         CAST(COUNT(*) AS BIGINT) AS v_hashes,
+         CAST(MAX(CASE WHEN rn = 64 THEN h END) AS BIGINT) AS kth_hash
+  FROM rk GROUP BY g
+),
+est AS (
+  SELECT g, exact_distinct, v_hashes, kth_hash,
+         CASE WHEN v_hashes < 64 THEN CAST(v_hashes AS DOUBLE)
+              ELSE 63.0 * 2147483647.0 / (CAST(kth_hash AS DOUBLE) + 1.0)
+         END AS e
+  FROM agg
+)
+SELECT g AS event_type, exact_distinct, v_hashes, kth_hash,
+       {r6('e', 'est_distinct')},
+       {r6('(e - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE) * 100.0', 'err_pct')}
+FROM est
+"""
+
+
+# AR(2) Yule-Walker fit (mirror of sessionize.ar2_yule_walker): the
+# q_autocorr sufficient statistics and r_k chains for lags 1-2, then
+# fixed phi / sigma / forecast chains; forecast reads the last two
+# non-NULL signals in stable (ts, turn_idx) order
+_AR2_MEAN = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+_AR2_DEN = f"(CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE) * {_AR2_MEAN} * {_AR2_MEAN})"
+
+
+def _ar2_r(k: int) -> str:
+    return (
+        f"(CAST(p{k} AS DOUBLE) - {_AR2_MEAN} * CAST(a{k} AS DOUBLE) "
+        f"- {_AR2_MEAN} * CAST(b{k} AS DOUBLE) "
+        f"+ CAST(m{k} AS DOUBLE) * {_AR2_MEAN} * {_AR2_MEAN}) / {_AR2_DEN}"
+    )
+
+
+ORACLES["q_ar2"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id, CAST(signal AS BIGINT) AS x,
+         LAG(CAST(signal AS BIGINT), 1) OVER
+           (PARTITION BY conv_id ORDER BY ts, turn_idx) AS l1,
+         LAG(CAST(signal AS BIGINT), 2) OVER
+           (PARTITION BY conv_id ORDER BY ts, turn_idx) AS l2
+  FROM t
+),
+g AS (
+  SELECT conv_id, COUNT(x) AS n, SUM(x) AS s1, SUM(x * x) AS s2,
+         COUNT(CASE WHEN x IS NOT NULL AND l1 IS NOT NULL THEN 1 END) AS m1,
+         SUM(x * l1) AS p1,
+         SUM(CASE WHEN x IS NOT NULL AND l1 IS NOT NULL THEN x END) AS a1,
+         SUM(CASE WHEN x IS NOT NULL AND l1 IS NOT NULL THEN l1 END) AS b1,
+         COUNT(CASE WHEN x IS NOT NULL AND l2 IS NOT NULL THEN 1 END) AS m2,
+         SUM(x * l2) AS p2,
+         SUM(CASE WHEN x IS NOT NULL AND l2 IS NOT NULL THEN x END) AS a2,
+         SUM(CASE WHEN x IS NOT NULL AND l2 IS NOT NULL THEN l2 END) AS b2
+  FROM p GROUP BY conv_id
+),
+nn AS (
+  SELECT conv_id, CAST(signal AS BIGINT) AS x,
+         ROW_NUMBER() OVER
+           (PARTITION BY conv_id ORDER BY ts DESC, turn_idx DESC) AS rn
+  FROM t WHERE signal IS NOT NULL
+),
+last2 AS (
+  SELECT conv_id,
+         MAX(CASE WHEN rn = 1 THEN x END) AS xn,
+         MAX(CASE WHEN rn = 2 THEN x END) AS xn1
+  FROM nn WHERE rn <= 2 GROUP BY conv_id
+),
+rr AS (
+  SELECT g.conv_id, g.n, last2.xn, last2.xn1,
+         (n >= 3 AND {_AR2_DEN} <> 0.0 AND m2 > 0) AS ok,
+         {_AR2_MEAN} AS mu,
+         CASE WHEN n >= 3 AND {_AR2_DEN} <> 0.0 AND m2 > 0
+              THEN {_ar2_r(1)} END AS r1,
+         CASE WHEN n >= 3 AND {_AR2_DEN} <> 0.0 AND m2 > 0
+              THEN {_ar2_r(2)} END AS r2
+  FROM g LEFT JOIN last2 ON g.conv_id = last2.conv_id
+),
+ph AS (
+  SELECT conv_id, n, xn, xn1, mu, r1, r2,
+         (ok AND (1.0 - r1 * r1) <> 0.0) AS ok2,
+         r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi1,
+         (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2
+  FROM rr
+)
+SELECT conv_id, CAST(n AS BIGINT) AS n,
+       {r6('r1', 'r1')},
+       {r6('r2', 'r2')},
+       {r6('CASE WHEN ok2 THEN phi1 END', 'phi1')},
+       {r6('CASE WHEN ok2 THEN phi2 END', 'phi2')},
+       {r6('CASE WHEN ok2 THEN 1.0 - phi1 * r1 - phi2 * r2 END', 'sigma_ratio')},
+       {r6('''CASE WHEN ok2 THEN
+              mu + phi1 * (CAST(xn AS DOUBLE) - mu)
+                 + phi2 * (CAST(xn1 AS DOUBLE) - mu) END''', 'forecast')}
+FROM ph
+"""

@@ -692,3 +692,117 @@ def wl_conversation_fingerprint(
     )
     out._zrs_cached = (edges,)  # see dedup.unpersist_intermediates
     return out
+
+
+def adamic_adar(
+    edges: DataFrame,
+    top_k: int = 20,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    exclude_edges: bool = True,
+) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected edge list
+    (Adamic & Adar 2003; the LibenNowell-Kleinberg benchmark's
+    strongest local index): for every NON-adjacent pair (u, v) sharing
+    at least one neighbor,
+
+        cn(u,v)  = |N(u) ∩ N(v)|
+        aa(u,v)  = sum_{w in N(u) ∩ N(v)} 1 / ln(deg(w))
+        jac(u,v) = cn / (deg(u) + deg(v) - cn)
+
+    On the dedup candidate graph this is the "missing edge" probe: a
+    high-AA non-edge is a document pair LSH banding missed but whose
+    shared near-dup neighbours imply (recall repair / cluster-merge
+    candidates); on interaction graphs it is the classic
+    recommend-a-link score. Common neighbours down-weighted by log
+    degree beat raw counts because hub neighbours carry no signal.
+
+    Scale: wedge enumeration is ONE self-join of the symmetrized edge
+    list on the centre node w — cost sum_w deg(w)^2, the same bound as
+    [[triangle_stats]] and capped upstream by the LSH max_bucket; the
+    existing-edge exclusion is a broadcast-or-shuffle anti-join on the
+    canonical (u, v) key; degrees broadcast back (bounded by node
+    count). No float summation exists: aa folds 1/ln(deg) in SORTED
+    centre-node order via F.aggregate over the per-pair sorted
+    (w, deg) list, so the SQL oracle replays the sum term-for-term
+    bit-for-bit. deg(w) >= 2 for any common neighbour, so ln(deg) > 0.
+
+    Output: top_k rows (u long, v long, cn long, deg_u, deg_v long,
+    aa double, jaccard double) by (aa DESC, u, v) — a total order
+    because aa ties are broken by the canonical pair key.
+
+    ``exclude_edges=False`` keeps adjacent pairs too and adds an
+    ``is_edge`` long flag: on a clique-heavy dedup graph (LSH buckets
+    project to cliques, so non-edge wedges can be empty) the same
+    score over EDGES is the embeddedness index used for similarity-
+    graph sparsification (keep the high-AA edges, drop bridges).
+
+    Reference parity: z-rad has no graph layer (SURVEY §2 charter
+    note); this extends the dedup-graph battery (q_triangles, q_kcore,
+    q_assortativity) with the predictive index.
+    """
+    und = (
+        edges.where(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("b"),
+        )
+        .distinct()
+    )
+    und = und.localCheckpoint(eager=False)  # reused 4x below
+    sym = und.select(F.col("a").alias("s"), F.col("b").alias("t")).unionAll(
+        und.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    deg = sym.groupBy(F.col("s").alias("n")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    # wedges centred on w: (u — w — v) with u < v; deg(w) rides along
+    e1 = sym.select(F.col("s").alias("w"), F.col("t").alias("u"))
+    e2 = sym.select(F.col("s").alias("w"), F.col("t").alias("v"))
+    wedges = (
+        e1.join(e2, "w")
+        .where(F.col("u") < F.col("v"))
+        .join(F.broadcast(deg.withColumnRenamed("n", "w")), "w")
+    )
+    pairs = wedges.groupBy("u", "v").agg(
+        F.count("*").cast("long").alias("cn"),
+        F.sort_array(F.collect_list(F.struct("w", "d"))).alias("_ws"),
+    )
+    # existing edges out (link PREDICTION scores non-edges only) — or
+    # flagged, when the caller wants the embeddedness view
+    if exclude_edges:
+        pairs = pairs.join(
+            und,
+            (pairs["u"] == und["a"]) & (pairs["v"] == und["b"]),
+            "left_anti",
+        )
+    else:
+        flag = und.select(
+            F.col("a").alias("u"), F.col("b").alias("v"), F.lit(1).alias("_ie")
+        )
+        pairs = pairs.join(flag, ["u", "v"], "left").withColumn(
+            "is_edge", F.coalesce(F.col("_ie"), F.lit(0)).cast("long")
+        )
+    aa = F.aggregate(
+        F.col("_ws"),
+        F.lit(0.0),
+        lambda acc, s: acc + F.lit(1.0) / F.log(s["d"].cast("double")),
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("deg_v"))
+    sel = [
+        "u",
+        "v",
+        "cn",
+        "deg_u",
+        "deg_v",
+        aa.alias("aa"),
+        (
+            F.col("cn").cast("double")
+            / (F.col("deg_u") + F.col("deg_v") - F.col("cn")).cast("double")
+        ).alias("jaccard"),
+    ]
+    if not exclude_edges:
+        sel.append("is_edge")
+    out = pairs.join(F.broadcast(du), "u").join(F.broadcast(dv), "v").select(*sel)
+    return out.orderBy(F.col("aa").desc(), "u", "v").limit(top_k)

@@ -1204,3 +1204,120 @@ def funnel_steps(
         *[f"i_{k}" for k in range(1, len(steps) + 1)],
         reached.cast("int").alias("reached"),
     )
+
+
+def ar2_yule_walker(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """Per-conversation AR(2) Yule-Walker fit of the turn signal — the
+    model-fitting step on top of [[autocorr_features]]' descriptive
+    r_k: solve the 2x2 Yule-Walker system for (phi_1, phi_2) from the
+    lag-1/lag-2 autocorrelations,
+
+        phi_1 = r1 (1 - r2) / (1 - r1^2)
+        phi_2 = (r2 - r1^2) / (1 - r1^2)     (= PACF at lag 2 —
+                                              Durbin-Levinson step 2)
+        sigma_ratio = 1 - phi_1 r1 - phi_2 r2  (innovation var / var)
+        forecast = m + phi_1 (x_n - m) + phi_2 (x_{n-1} - m)
+
+    phi_2 ~ 0 says AR(1) suffices (momentum-only signal dynamics);
+    phi_2 < 0 with high phi_1 is damped oscillation (the alternating
+    user/assistant cadence); sigma_ratio near 1 = the signal is
+    unforecastable noise. The one-step forecast reads the LAST TWO
+    signals in stable (ts, turn_idx) order — the same point-in-time
+    contract as every expanding operator (no future turn is read).
+
+    Determinism: r1/r2 use the IDENTICAL exact-long sufficient
+    statistics and fixed expansion chains as [[autocorr_features]]
+    (P_k, A_k, B_k, m_k from the same single conv exchange); the phi /
+    sigma / forecast chains are fixed single-op sequences on those
+    doubles, so the SQL oracle replays every output bit-for-bit. NULL
+    when n < 3, the signal is constant (den = 0), or 1 - r1^2 = 0
+    (a perfectly alternating two-level signal).
+
+    Output: (conv_id, n long, r1, r2, phi1, phi2, sigma_ratio,
+    forecast — all double).
+    """
+    xl = F.col(signal_col).cast("long")
+    w = _conv_window()
+    p = df.select(
+        F.col("conv_id"),
+        xl.alias("_x"),
+        F.lag(xl, 1).over(w).alias("_l1"),
+        F.lag(xl, 2).over(w).alias("_l2"),
+    )
+    aggs = [
+        F.count("_x").alias("_n"),
+        F.sum("_x").alias("_s1"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_s2"),
+    ]
+    for k in (1, 2):
+        lk = F.col(f"_l{k}")
+        both = F.col("_x").isNotNull() & lk.isNotNull()
+        aggs += [
+            F.count(F.when(both, 1)).alias(f"_m{k}"),
+            F.sum(F.col("_x") * lk).alias(f"_p{k}"),
+            F.sum(F.when(both, F.col("_x"))).alias(f"_a{k}"),
+            F.sum(F.when(both, lk)).alias(f"_b{k}"),
+        ]
+    g = p.groupBy("conv_id").agg(*aggs)
+    # last two non-NULL signals in stable order (forecast inputs)
+    nn = df.where(xl.isNotNull()).select(
+        F.col("conv_id"),
+        xl.alias("_x"),
+        F.row_number()
+        .over(
+            Window.partitionBy("conv_id").orderBy(
+                F.col("ts").desc(), F.col("turn_idx").desc()
+            )
+        )
+        .alias("_rn"),
+    )
+    last2 = (
+        nn.where(F.col("_rn") <= 2)
+        .groupBy("conv_id")
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("_x"))).alias("_xn"),
+            F.max(F.when(F.col("_rn") == 2, F.col("_x"))).alias("_xn1"),
+        )
+    )
+    g = g.join(last2, "conv_id", "left")
+    # ANSI-safe: the divisor is NULLed (never zero) so no predicate or
+    # branch can raise DIVIDE_BY_ZERO — divisions yield NULL instead and
+    # the boolean guards collapse NULL to false
+    mean = F.col("_s1").cast("double") / F.when(
+        F.col("_n") > 0, F.col("_n").cast("double")
+    )
+    den = F.col("_s2").cast("double") - F.col("_n").cast("double") * mean * mean
+
+    def _r(k: int) -> F.Column:
+        num = (
+            F.col(f"_p{k}").cast("double")
+            - mean * F.col(f"_a{k}").cast("double")
+            - mean * F.col(f"_b{k}").cast("double")
+            + F.col(f"_m{k}").cast("double") * mean * mean
+        )
+        return num / F.when(den != F.lit(0.0), den)
+
+    ok = (F.col("_n") >= 3) & (den != F.lit(0.0)) & (F.col("_m2") > 0)
+    r1 = F.when(ok, _r(1))
+    r2 = F.when(ok, _r(2))
+    disc = F.lit(1.0) - r1 * r1
+    ok2 = disc.isNotNull() & (disc != F.lit(0.0))
+    dsafe = F.when(ok2, disc)
+    phi1 = r1 * (F.lit(1.0) - r2) / dsafe
+    phi2 = (r2 - r1 * r1) / dsafe
+    sigma = F.lit(1.0) - phi1 * r1 - phi2 * r2
+    fc = (
+        mean
+        + phi1 * (F.col("_xn").cast("double") - mean)
+        + phi2 * (F.col("_xn1").cast("double") - mean)
+    )
+    return g.select(
+        "conv_id",
+        F.col("_n").cast("long").alias("n"),
+        r1.alias("r1"),
+        r2.alias("r2"),
+        F.when(ok2, phi1).alias("phi1"),
+        F.when(ok2, phi2).alias("phi2"),
+        F.when(ok2, sigma).alias("sigma_ratio"),
+        F.when(ok2, fc).alias("forecast"),
+    )
