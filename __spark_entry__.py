@@ -4785,6 +4785,50 @@ def q_ar2(spark, sf_dir):
     return _r6(out, ["r1", "r2", "phi1", "phi2", "sigma_ratio", "forecast"])
 
 
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit over the (lang, length-bucket) quasi tuple
+    with source as the sensitive attribute (curation.l_diversity,
+    l=3): distribution over distinct-sensitive-value counts per
+    equivalence class — the homogeneity-attack gate beside q_k_anon's
+    class-size gate. Exact longs, one share division."""
+    from z_rad_spark.operators.curation import l_diversity
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "len_bucket", F.expr("n_chars DIV 200").cast("long")
+    )
+    out = l_diversity(
+        docs, quasi_cols=("lang", "len_bucket"), sensitive_col="source",
+        l_threshold=3,
+    )
+    return _r6(out, ["risk_share"])
+
+
+def q_stump(spark, sf_dir):
+    """Optimal Gini decision stump of n_chars against the lang=='en'
+    label (encoding.gini_stump): CART's root split as supervised
+    binning — exact long cumulative counts over the value-sorted
+    compacted histogram, fixed impurity chains, (split, threshold)
+    total-order argmin. The monotone-binning screen beside q_woe_iv."""
+    from z_rad_spark.operators.encoding import gini_stump
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "label_true", F.col("lang") == "en"
+    )
+    out = gini_stump(docs, feature_col="n_chars", label_col="label_true")
+    return _r6(out, ["gini_root", "gini_split", "gain"])
+
+
+def q_err(spark, sf_dir):
+    """Expected Reciprocal Rank @5 of the IVF index against the
+    exact-cosine baseline (similarity.err_at_k): the cascade-model
+    ranking metric beside q_ndcg — literal graded stop probabilities,
+    one unrolled continuation-product chain, bit-replayable."""
+    from z_rad_spark.operators.similarity import err_at_k
+
+    out = err_at_k(q_ivf_topk(spark, sf_dir), q_cosine_topk(spark, sf_dir), k=5)
+    return _r6(out, ["err"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4825,6 +4869,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_adamic_adar": q_adamic_adar,
         "q_kmv": q_kmv,
         "q_ar2": q_ar2,
+        "q_l_diversity": q_l_diversity,
+        "q_stump": q_stump,
+        "q_err": q_err,
         # --- pinned (see COVERAGE.md for rationale) ---
         "q_tfidf": q_tfidf,
         "q_top_tokens": q_top_tokens,

@@ -10141,3 +10141,138 @@ SELECT conv_id, CAST(n AS BIGINT) AS n,
                  + phi2 * (CAST(xn1 AS DOUBLE) - mu) END''', 'forecast')}
 FROM ph
 """
+
+
+# l-diversity audit (mirror of curation.l_diversity over (lang,
+# len_bucket) with source sensitive, l=3): distinct-sensitive count per
+# equivalence class, then the q_k_anon distribution/cumulative shape
+ORACLES["q_l_diversity"] = f"""
+WITH inn AS (
+  SELECT lang, n_chars // 200 AS len_bucket, source,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2, 3
+),
+cls AS (
+  SELECT lang, len_bucket,
+         CAST(COUNT(*) AS BIGINT) AS l,
+         CAST(SUM(n) AS BIGINT) AS sz
+  FROM inn GROUP BY 1, 2
+),
+dist AS (
+  SELECT l, CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(sz) AS BIGINT) AS n_rows
+  FROM cls GROUP BY l
+),
+w AS (
+  SELECT l, n_classes, n_rows,
+         CAST(SUM(n_rows) OVER (
+           ORDER BY l
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rows,
+         CAST(SUM(n_rows) OVER () AS BIGINT) AS tot
+  FROM dist
+)
+SELECT l AS l_value, n_classes, n_rows, cum_rows,
+       {r6('CAST(cum_rows AS DOUBLE) / CAST(tot AS DOUBLE)', 'risk_share')},
+       CAST(CASE WHEN l < 3 THEN 1 ELSE 0 END AS BIGINT) AS below_l
+FROM w
+"""
+
+
+# Optimal Gini decision stump (mirror of encoding.gini_stump over
+# n_chars vs lang=='en'): exact long cumulative counts over the
+# value-sorted per-value histogram, fixed impurity chains replayed
+# parenthesis-for-parenthesis, (split ASC, threshold ASC) argmin
+def _stump_gini(n1: str, n: str) -> str:
+    p1 = f"(CAST({n1} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    p0 = f"(CAST(({n}) - ({n1}) AS DOUBLE) / CAST({n} AS DOUBLE))"
+    return f"((1.0 - ({p1} * {p1})) - ({p0} * {p0}))"
+
+
+_STUMP_SPLIT = (
+    f"(((CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE)) * {_stump_gini('n1l', 'nl')})"
+    f" + ((CAST(nt - nl AS DOUBLE) / CAST(nt AS DOUBLE))"
+    f" * {_stump_gini('(n1t - n1l)', '(nt - nl)')}))"
+)
+
+ORACLES["q_stump"] = f"""
+WITH h AS (
+  SELECT CAST(n_chars AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM documents
+  WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1
+),
+c AS (
+  SELECT x,
+         CAST(SUM(n) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+         CAST(SUM(n1) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n1l,
+         CAST(SUM(n) OVER () AS BIGINT) AS nt,
+         CAST(SUM(n1) OVER () AS BIGINT) AS n1t,
+         MAX(x) OVER () AS xmax
+  FROM h
+),
+cand AS (
+  SELECT x AS threshold, nt AS n, n1t AS n_pos,
+         nl AS n_left, n1l AS n1_left,
+         CAST(nt - nl AS BIGINT) AS n_right,
+         CAST(n1t - n1l AS BIGINT) AS n1_right,
+         {_stump_gini('n1t', 'nt')} AS gini_root_raw,
+         {_STUMP_SPLIT} AS gini_split_raw
+  FROM c WHERE x < xmax
+),
+best AS (
+  SELECT * FROM cand ORDER BY gini_split_raw ASC, threshold ASC LIMIT 1
+)
+SELECT threshold, n, n_pos, n_left, n1_left, n_right, n1_right,
+       {r6('gini_root_raw', 'gini_root')},
+       {r6('gini_split_raw', 'gini_split')},
+       {r6('gini_root_raw - gini_split_raw', 'gain')}
+FROM best
+"""
+
+
+def _err_sql(k: int = 5) -> str:
+    """ERR@k replay (mirror of similarity.err_at_k): the graded stop
+    probabilities are the SAME Python-computed literals the Spark plan
+    embeds ((2^(k+1-r)-1)/2^k), and the cascade sum is the identical
+    left-associated add/multiply chain with explicit cumulative
+    continuation products — no transcendentals in either engine."""
+    lits = {r: float(2 ** (k + 1 - r) - 1) / float(2**k) for r in range(1, k + 1)}
+    rel = "0.0"
+    for r in range(k, 0, -1):
+        rel = f"CASE WHEN tr = {r} THEN {lits[r]!r} ELSE {rel} END"
+    piv_cols = ",\n       ".join(
+        f"COALESCE(MAX(CASE WHEN rr = {i} THEN rel END), 0.0) AS r{i}"
+        for i in range(1, k + 1)
+    )
+    err = "(r1 * 1.0)"
+    cont = "(1.0 - r1)"
+    for i in range(2, k + 1):
+        err = f"({err} + (({cont} * r{i}) * {1.0 / float(i)!r}))"
+        cont = f"({cont} * (1.0 - r{i}))"
+    return f"""
+WITH res AS ({{ivf}}),
+tru AS ({{cos}}),
+j AS (
+  SELECT r.query_id, r.rank AS rr, t.rank AS tr
+  FROM (SELECT query_id, vec_id, rank FROM res WHERE rank <= {k}) r
+  LEFT JOIN (SELECT query_id, vec_id, rank FROM tru WHERE rank <= {k}) t
+    ON t.query_id = r.query_id AND t.vec_id = r.vec_id
+),
+rl AS (SELECT query_id, rr, tr, {rel} AS rel FROM j),
+piv AS (
+  SELECT query_id,
+       CAST(COUNT(CASE WHEN tr IS NOT NULL THEN 1 END) AS BIGINT) AS n_hits,
+       {piv_cols}
+  FROM rl GROUP BY query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, n_hits,
+       {r6(err, 'err')}
+FROM piv
+""".format(ivf=ORACLES["q_ivf_topk"], cos=ORACLES["q_cosine_topk"])
+
+
+ORACLES["q_err"] = _err_sql(5)

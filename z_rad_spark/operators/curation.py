@@ -1577,3 +1577,64 @@ def k_anonymity(
         ).alias("risk_share"),
         F.when(F.col("_sz") < k, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("below_k"),
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: tuple[str, ...] = ("lang", "source"),
+    sensitive_col: str = "source",
+    l_threshold: int = 3,
+) -> DataFrame:
+    """l-diversity audit over a quasi-identifier tuple (Machanavajjhala
+    et al. 2007) — the attribute-disclosure companion to
+    [[k_anonymity]]: a class can be k-anonymous yet leak the SENSITIVE
+    attribute outright when every member shares one value (the
+    homogeneity attack). Here l = number of DISTINCT sensitive values
+    inside each quasi-identifier equivalence class; classes with
+    l < l_threshold disclose the attribute to anyone who can place a
+    person in the class.
+
+    Output mirrors [[k_anonymity]]'s release-safe shape: the
+    DISTRIBUTION over l (one row per distinct diversity level), never
+    the classes themselves — (l_value, n_classes, n_rows, cum_rows,
+    risk_share, below_l), cum ascending in l so risk_share at
+    l = l_threshold - 1 reads off the total attribute-disclosure
+    exposure.
+
+    Scale: one groupBy on quasi tuple + sensitive (map-side combined),
+    one re-aggregate to classes (count distinct = count of the deduped
+    inner rows — exact, no approx), one tiny distribution window.
+    Exact longs; the only float is the share division.
+    """
+    from pyspark.sql import Window
+
+    qcols = [F.col(c) for c in quasi_cols]
+    inner = df.groupBy(*qcols, F.col(sensitive_col).alias("_sv")).agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    cls = inner.groupBy(*qcols).agg(
+        F.count("*").cast("long").alias("_l"),
+        F.sum("_n").cast("long").alias("_sz"),
+    )
+    dist = cls.groupBy("_l").agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("_sz").cast("long").alias("n_rows"),
+    )
+    w = Window.orderBy("_l").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("_l").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return dist.select(
+        F.col("_l").alias("l_value"),
+        "n_classes",
+        "n_rows",
+        F.sum("n_rows").over(w).cast("long").alias("cum_rows"),
+        (
+            F.sum("n_rows").over(w).cast("double")
+            / F.sum("n_rows").over(w_all).cast("double")
+        ).alias("risk_share"),
+        F.when(F.col("_l") < l_threshold, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("below_l"),
+    )

@@ -746,3 +746,92 @@ def confident_learning_noise(
         "c00", "c01", "c10", "c11",
         noise.alias("noise_rate"),
     )
+
+
+def gini_stump(
+    df: DataFrame,
+    feature_col: str = "n_chars",
+    label_col: str = "label_true",
+) -> DataFrame:
+    """Optimal 1-D decision stump by Gini impurity — CART's root-node
+    split (Breiman et al. 1984) used here as SUPERVISED binning: the
+    single threshold t on a numeric feature that best separates a
+    binary label ("x <= t" goes left). The monotone-binning complement
+    to [[woe_iv]]'s fixed buckets, and the feature screen that ranks
+    candidate curation signals by their best achievable split gain.
+
+    For every candidate threshold (each distinct feature value except
+    the largest), with exact long counts (nL, n1L) from a cumulative
+    fold over the value-sorted compacted histogram:
+
+        gini(n1, n) = 1 - (n1/n)^2 - ((n-n1)/n)^2
+        split(t)    = nL/N gini_L + nR/N gini_R
+        gain        = gini_root - split(t_best)
+
+    Determinism: candidate stats are exact longs from ONE value-ordered
+    cumulative window over the per-value histogram (bounded by distinct
+    feature values, not rows); each impurity is a fixed float chain;
+    the argmin orders by (split ASC, threshold ASC) — a total order, so
+    ties pick the smallest threshold in both engines bit-for-bit.
+
+    Scale: groupBy(feature) map-side combines to the distinct-value
+    histogram; the window runs over that compacted frame. At 10^12 rows
+    with a wide-domain feature, pre-bucket the feature (the histogram
+    IS the interface — any compaction upstream composes).
+
+    Output one row: (threshold long, n long, n_pos long, n_left,
+    n1_left, n_right, n1_right long, gini_root, gini_split, gain
+    double).
+    """
+    from pyspark.sql import Window
+
+    x = F.col(feature_col).cast("long")
+    y = F.col(label_col).cast("boolean")
+    hist = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .groupBy(x.alias("_x"))
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum(F.when(y, 1).otherwise(0)).cast("long").alias("_n1"),
+        )
+    )
+    w = Window.orderBy("_x").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("_x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = hist.select(
+        "_x",
+        F.sum("_n").over(w).cast("long").alias("_nl"),
+        F.sum("_n1").over(w).cast("long").alias("_n1l"),
+        F.sum("_n").over(w_all).cast("long").alias("_nt"),
+        F.sum("_n1").over(w_all).cast("long").alias("_n1t"),
+        F.max("_x").over(w_all).alias("_xmax"),
+    ).where(F.col("_x") < F.col("_xmax"))
+
+    def _gini(n1: F.Column, n: F.Column) -> F.Column:
+        p1 = n1.cast("double") / n.cast("double")
+        p0 = (n - n1).cast("double") / n.cast("double")
+        return F.lit(1.0) - p1 * p1 - p0 * p0
+
+    nl, n1l = F.col("_nl"), F.col("_n1l")
+    nr = F.col("_nt") - nl
+    n1r = F.col("_n1t") - n1l
+    split = (
+        nl.cast("double") / F.col("_nt").cast("double") * _gini(n1l, nl)
+        + nr.cast("double") / F.col("_nt").cast("double") * _gini(n1r, nr)
+    )
+    cand = c.select(
+        F.col("_x").alias("threshold"),
+        F.col("_nt").alias("n"),
+        F.col("_n1t").alias("n_pos"),
+        nl.alias("n_left"),
+        n1l.alias("n1_left"),
+        nr.cast("long").alias("n_right"),
+        n1r.cast("long").alias("n1_right"),
+        _gini(F.col("_n1t"), F.col("_nt")).alias("gini_root"),
+        split.alias("gini_split"),
+    )
+    best = cand.orderBy(F.col("gini_split").asc(), F.col("threshold").asc()).limit(1)
+    return best.withColumn(
+        "gain", F.col("gini_root") - F.col("gini_split")
+    )

@@ -1775,3 +1775,64 @@ def dbscan_labels(
         .alias("label"),
     )
     return out
+
+
+def err_at_k(
+    result: DataFrame,
+    truth: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    item_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Expected Reciprocal Rank at k (Chapelle et al., CIKM 2009) — the
+    cascade-model member of the ranking-metric battery beside
+    [[ndcg_at_k]] (position-discount) and rank_biased_overlap
+    (list agreement): models a user scanning top-to-bottom who STOPS at
+    a satisfying result, so a relevant hit at rank 1 nearly zeroes the
+    credit for everything below —
+
+        R_i  = (2^g_i - 1) / 2^g_max          (stop probability)
+        ERR  = sum_i (1/i) R_i prod_{j<i} (1 - R_j)
+
+    Graded relevance from the exact baseline's own ordering: a
+    retrieved item found at truth rank r gets g = k + 1 - r (truth's
+    top item is most satisfying), a miss gets g = 0 — so ERR grades the
+    ANN index by how quickly it surfaces what exact search ranks first.
+
+    Determinism: the 2^g map is a driver-side literal CASE ladder (the
+    [[ndcg_at_k]] precedent — no transcendentals in either engine); the
+    per-rank stop probabilities pivot into k fixed columns and ERR is
+    ONE unrolled left-associated chain with explicit cumulative-
+    continuation products, replayed parenthesis-for-parenthesis in the
+    SQL oracle. Cost: one equi-join bounded by queries x k, one
+    groupBy.
+
+    Output: (query_id, n_hits long, err double).
+    """
+    lits = {r: float(2 ** (k + 1 - r) - 1) / float(2**k) for r in range(1, k + 1)}
+    res = result.where(F.col(rank_col) <= k).select(
+        F.col(query_id), F.col(item_col), F.col(rank_col).cast("int").alias("_rr")
+    )
+    tru = truth.where(F.col(rank_col) <= k).select(
+        F.col(query_id), F.col(item_col), F.col(rank_col).cast("int").alias("_tr")
+    )
+    j = res.join(tru, [query_id, item_col], "left")
+    rel = F.lit(0.0)
+    for r in range(k, 0, -1):
+        rel = F.when(F.col("_tr") == r, F.lit(lits[r])).otherwise(rel)
+    piv = j.groupBy(query_id).agg(
+        F.count(F.when(F.col("_tr").isNotNull(), 1)).cast("long").alias("n_hits"),
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("_rr") == i, rel)), F.lit(0.0)
+            ).alias(f"_r{i}")
+            for i in range(1, k + 1)
+        ],
+    )
+    err = F.col("_r1") * F.lit(1.0)
+    cont = F.lit(1.0) - F.col("_r1")
+    for i in range(2, k + 1):
+        err = err + cont * F.col(f"_r{i}") * F.lit(1.0 / float(i))
+        cont = cont * (F.lit(1.0) - F.col(f"_r{i}"))
+    return piv.select(query_id, "n_hits", err.alias("err"))
