@@ -4829,6 +4829,50 @@ def q_err(spark, sf_dir):
     return _r6(out, ["err"])
 
 
+def q_cliffs_delta(spark, sf_dir):
+    """Cliff's delta effect size of language on document length
+    (drift.cliffs_delta, en vs rest on n_chars): signed dominance
+    P(A>B) - P(A<B) with the tie mass exposed — exact long pair
+    classes over the compacted value histogram, no pair explode."""
+    from z_rad_spark.operators.drift import cliffs_delta
+
+    docs = _docs(spark, sf_dir).withColumn("is_a", F.col("lang") == "en")
+    out = cliffs_delta(docs, flag_col="is_a", value_col="n_chars")
+    return _r6(out, ["delta", "p_gt", "p_lt", "p_tie"])
+
+
+def q_ordinal_assoc(spark, sf_dir):
+    """Goodman-Kruskal gamma / Somers' D / Kendall tau-b between the
+    char-length bucket and the token-count bucket of documents
+    (drift.ordinal_assoc): concordance over the compacted k x m
+    contingency — exact long C/D/tie terms, broadcast cell-pair join
+    bounded by cell count, fixed ratio chains."""
+    from z_rad_spark.operators.drift import ordinal_assoc
+
+    docs = _docs(spark, sf_dir).select(
+        F.expr("n_chars DIV 100").cast("long").alias("x_bucket"),
+        (F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) / F.lit(20))
+        .cast("long")
+        .alias("y_bucket"),
+    )
+    out = ordinal_assoc(docs, x_col="x_bucket", y_col="y_bucket")
+    return _r6(out, ["gamma", "somers_dyx", "somers_dxy", "tau_b"])
+
+
+def q_friedman(spark, sf_dir):
+    """Friedman rank test + Kendall's W across the three transcript
+    roles with conversations as complete blocks (drift.friedman_test
+    on per-role mean signal): within-block doubled midranks (exact
+    integers), exact long rank-sum squares and tie cubes, fixed
+    rational chi2 chains."""
+    from z_rad_spark.operators.drift import friedman_test
+
+    out = friedman_test(
+        _t(spark, sf_dir), roles=("user", "assistant", "tool")
+    )
+    return _r6(out, ["chi2", "chi2_corrected", "kendalls_w"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -4872,6 +4916,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_l_diversity": q_l_diversity,
         "q_stump": q_stump,
         "q_err": q_err,
+        "q_cliffs_delta": q_cliffs_delta,
+        "q_ordinal_assoc": q_ordinal_assoc,
+        "q_friedman": q_friedman,
         # --- pinned (see COVERAGE.md for rationale) ---
         "q_tfidf": q_tfidf,
         "q_top_tokens": q_top_tokens,

@@ -10276,3 +10276,143 @@ FROM piv
 
 
 ORACLES["q_err"] = _err_sql(5)
+
+
+# Cliff's delta (mirror of drift.cliffs_delta, en vs rest on n_chars):
+# exact long pair classes from the compacted value histogram
+ORACLES["q_cliffs_delta"] = f"""
+WITH pv AS (
+  SELECT CAST(n_chars AS BIGINT) AS v,
+         CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS a,
+         CAST(COUNT(CASE WHEN NOT (lang = 'en') THEN 1 END) AS BIGINT) AS b
+  FROM documents
+  WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1
+),
+c AS (
+  SELECT a, b,
+         CAST(SUM(b) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b AS BIGINT) AS blo,
+         CAST(SUM(b) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ble,
+         CAST(SUM(b) OVER () AS BIGINT) AS nb
+  FROM pv
+),
+g AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+         CAST(MAX(nb) AS BIGINT) AS n_b,
+         CAST(SUM(a * blo) AS BIGINT) AS gt,
+         CAST(SUM(a * (nb - ble)) AS BIGINT) AS lt,
+         CAST(SUM(a * b) AS BIGINT) AS tie
+  FROM c
+)
+SELECT n_a, n_b, gt, lt, tie,
+       {r6('CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(gt - lt AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END', 'delta')},
+       {r6('CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(gt AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END', 'p_gt')},
+       {r6('CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(lt AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END', 'p_lt')},
+       {r6('CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(tie AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END', 'p_tie')}
+FROM g
+"""
+
+
+# Ordinal association battery (mirror of drift.ordinal_assoc over
+# char-length bucket x token-count bucket): exact long C/D from the
+# cell-pair join, tie terms from the marginals, fixed ratio chains
+ORACLES["q_ordinal_assoc"] = f"""
+WITH base AS (
+  SELECT CAST(n_chars // 100 AS BIGINT) AS x,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) // 20 AS BIGINT) AS y
+  FROM documents
+),
+cells AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n
+  FROM base WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1, 2
+),
+cd AS (
+  SELECT CAST(SUM(CASE WHEN b.y > a.y THEN a.n * b.n ELSE 0 END) AS BIGINT) AS conc,
+         CAST(SUM(CASE WHEN b.y < a.y THEN a.n * b.n ELSE 0 END) AS BIGINT) AS disc
+  FROM cells a JOIN cells b ON b.x > a.x AND b.y <> a.y
+),
+tx AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS ties_x
+  FROM (SELECT SUM(n) AS t FROM cells GROUP BY x)
+),
+ty AS (
+  SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS ties_y
+  FROM (SELECT SUM(n) AS t FROM cells GROUP BY y)
+),
+nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS cells FROM cells),
+g AS (
+  SELECT cd.conc, cd.disc, tx.n, tx.ties_x, ty.ties_y, nc.cells,
+         CAST(CAST(n AS BIGINT) * (CAST(n AS BIGINT) - 1) / 2 AS BIGINT) AS n0,
+         CAST(conc - disc AS DOUBLE) AS s
+  FROM cd, tx, ty, nc
+)
+SELECT n, cells, conc, disc, ties_x, ties_y,
+       {r6('CASE WHEN CAST(conc + disc AS DOUBLE) > 0 THEN s / CAST(conc + disc AS DOUBLE) END', 'gamma')},
+       {r6('CASE WHEN CAST(n0 - ties_x AS DOUBLE) > 0 THEN s / CAST(n0 - ties_x AS DOUBLE) END', 'somers_dyx')},
+       {r6('CASE WHEN CAST(n0 - ties_y AS DOUBLE) > 0 THEN s / CAST(n0 - ties_y AS DOUBLE) END', 'somers_dxy')},
+       {r6('CASE WHEN CAST(n0 - ties_x AS DOUBLE) > 0 AND CAST(n0 - ties_y AS DOUBLE) > 0 THEN s / SQRT(CAST(n0 - ties_x AS DOUBLE) * CAST(n0 - ties_y AS DOUBLE)) END', 'tau_b')}
+FROM g
+"""
+
+
+# Friedman rank test + Kendall's W (mirror of drift.friedman_test,
+# roles user/assistant/tool as treatments, conversations as complete
+# blocks): doubled within-block midranks, exact long rank-sum squares
+# and tie cubes, fixed rational chi2 chains
+_FRIED_CHI2 = (
+    "((12.0 / ((bd * 3.0) * 4.0)) * (CAST(sum4r2 AS DOUBLE) / 4.0)"
+    " - ((3.0 * bd) * 4.0))"
+)
+
+ORACLES["q_friedman"] = f"""
+WITH t AS ({T}),
+per AS (
+  SELECT conv_id, role,
+         CAST(SUM(CAST(signal AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mean
+  FROM t
+  WHERE signal IS NOT NULL AND role IN ('user', 'assistant', 'tool')
+  GROUP BY conv_id, role
+),
+complete AS (
+  SELECT conv_id FROM per GROUP BY conv_id HAVING COUNT(*) = 3
+),
+blk AS (SELECT per.* FROM per JOIN complete USING (conv_id)),
+pm AS (
+  SELECT conv_id, mean, CAST(COUNT(*) AS BIGINT) AS tt
+  FROM blk GROUP BY conv_id, mean
+),
+rk AS (
+  SELECT conv_id, mean, tt,
+         CAST(SUM(tt) OVER (PARTITION BY conv_id ORDER BY mean
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tt AS BIGINT) AS cb
+  FROM pm
+),
+ranked AS (
+  SELECT b.conv_id, b.role,
+         CAST(2 * rk.cb + rk.tt + 1 AS BIGINT) AS r2
+  FROM blk b JOIN rk ON b.conv_id = rk.conv_id AND b.mean = rk.mean
+),
+rj AS (SELECT role, CAST(SUM(r2) AS BIGINT) AS r2j FROM ranked GROUP BY role),
+ss AS (SELECT CAST(SUM(r2j * r2j) AS BIGINT) AS sum4r2 FROM rj),
+tg AS (
+  SELECT conv_id, r2, CAST(COUNT(*) AS BIGINT) AS gt FROM ranked GROUP BY conv_id, r2
+),
+tie AS (
+  SELECT CAST(SUM(gt * gt * gt - gt) AS BIGINT) AS tie3,
+         CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS b
+  FROM tg
+),
+g AS (
+  SELECT ss.sum4r2, tie.tie3, tie.b, CAST(tie.b AS DOUBLE) AS bd
+  FROM ss, tie
+)
+SELECT b, CAST(3 AS BIGINT) AS k,
+       {r6('CASE WHEN b > 0 THEN ' + _FRIED_CHI2 + ' END', 'chi2')},
+       {r6('CASE WHEN b > 0 AND (1.0 - CAST(tie3 AS DOUBLE) / ((bd * 3.0) * 24.0)) > 0 THEN ' + _FRIED_CHI2 + ' / (1.0 - CAST(tie3 AS DOUBLE) / ((bd * 3.0) * 24.0)) END', 'chi2_corrected')},
+       {r6('CASE WHEN b > 0 THEN ' + _FRIED_CHI2 + ' / (bd * 2.0) END', 'kendalls_w')}
+FROM g
+"""

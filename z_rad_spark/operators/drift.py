@@ -1726,3 +1726,302 @@ def conformal_interval(
         )
     )
     return out
+
+
+def cliffs_delta(
+    df: DataFrame,
+    flag_col: str = "is_a",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Cliff's delta ordinal effect size between two groups (Cliff,
+    Psychological Bulletin 1993) — the nonparametric companion to
+    [[mw_drift]]'s AUC: where AUC folds ties into P(A>B) + P(=)/2,
+    delta reports the SIGNED dominance (P(A>B) - P(A<B)) with the
+    tie mass exposed, the effect size reviewers ask for next to any
+    Mann-Whitney p-value.
+
+        delta = (#{a > b} - #{a < b}) / (n_a * n_b)
+
+    over all n_a x n_b cross pairs — computed WITHOUT the quadratic
+    pair set: one map-side-combined groupBy on the value compacts both
+    groups to per-value counts (a_v, b_v), one cumulative window in
+    value order gives the B mass strictly below each value, and the
+    three pair classes are exact long dot products over that compacted
+    frame:
+
+        gt  = sum_v a_v * cumB(<v)
+        lt  = sum_v a_v * (n_b - cumB(<=v))
+        tie = sum_v a_v * b_v
+
+    Determinism: every count is an exact long; delta / p_gt / p_lt /
+    p_tie are single divisions — the SQL oracle replays them
+    bit-for-bit. Long bound: gt <= n_a * n_b, exact below 2^63 (~9e18
+    pairs, i.e. both sides ~3e9 rows; cast the products to
+    decimal(38,0) beyond that).
+
+    Scale: the window runs over the distinct-value frame (bounded by
+    value cardinality, not rows); at 10^12 rows pre-bucket the value —
+    the compacted histogram is the interface, any upstream compaction
+    composes. No self-join, no pair explode anywhere.
+
+    Output one row: (n_a, n_b, gt, lt, tie longs; delta, p_gt, p_lt,
+    p_tie doubles; NULL effect columns when either group is empty).
+    """
+    v = F.col(value_col).cast("long")
+    is_a = F.col(flag_col).cast("boolean")
+    per_val = (
+        df.where(v.isNotNull() & is_a.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(
+            F.count(F.when(is_a, 1)).cast("long").alias("_a"),
+            F.count(F.when(~is_a, 1)).cast("long").alias("_b"),
+        )
+    )
+    w_cum = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = per_val.select(
+        "_a",
+        "_b",
+        (F.sum("_b").over(w_cum) - F.col("_b")).cast("long").alias("_blo"),
+        F.sum("_b").over(w_cum).cast("long").alias("_ble"),
+        F.sum("_b").over(w_all).cast("long").alias("_nb"),
+    )
+    g = c.groupBy().agg(
+        F.sum("_a").cast("long").alias("n_a"),
+        F.max("_nb").cast("long").alias("n_b"),
+        F.sum(F.col("_a") * F.col("_blo")).cast("long").alias("gt"),
+        F.sum(F.col("_a") * (F.col("_nb") - F.col("_ble"))).cast("long").alias("lt"),
+        F.sum(F.col("_a") * F.col("_b")).cast("long").alias("tie"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    pairs = na * nb
+    return g.select(
+        "n_a",
+        "n_b",
+        "gt",
+        "lt",
+        "tie",
+        F.when(both, (F.col("gt") - F.col("lt")).cast("double") / pairs).alias("delta"),
+        F.when(both, F.col("gt").cast("double") / pairs).alias("p_gt"),
+        F.when(both, F.col("lt").cast("double") / pairs).alias("p_lt"),
+        F.when(both, F.col("tie").cast("double") / pairs).alias("p_tie"),
+    )
+
+
+def ordinal_assoc(
+    df: DataFrame,
+    x_col: str = "x_bucket",
+    y_col: str = "y_bucket",
+) -> DataFrame:
+    """Ordinal-ordinal association battery over a bucketed contingency
+    table: Goodman-Kruskal gamma (1954), Somers' D (1962, both
+    directions), and Kendall's tau-b — the three standard summaries of
+    concordance that differ ONLY in how ties enter the denominator.
+    The cross-metric complement to [[mann_kendall]] (x = time) and
+    [[cramers_v]] (nominal, chi-square based): use it when BOTH
+    columns are ordered (length bucket vs token bucket, quality tier
+    vs engagement tier).
+
+    With C = concordant pairs, D = discordant, n0 = n(n-1)/2,
+    n1 = sum_i t_i(t_i-1)/2 (x-marginal ties), n2 = same over y:
+
+        gamma      = (C - D) / (C + D)
+        somers_dyx = (C - D) / (n0 - n1)     (y dependent)
+        somers_dxy = (C - D) / (n0 - n2)
+        tau_b      = (C - D) / sqrt((n0-n1) * (n0-n2))
+
+    Plan shape: ONE map-side-combined groupBy compacts the data to the
+    k x m cell table; C and D are exact long sums over the broadcast
+    cell-pair self-join (bounded by (km)^2 CELL pairs — e.g. 25 cells
+    -> 625 pair rows — regardless of row count, the [[cramers_v]]
+    bounded-contingency argument); the tie terms come from the cell
+    table's marginals, no second scan. At 10^12 rows the only full-data
+    touch is the first groupBy.
+
+    Determinism: C, D, n0, n1, n2 are exact longs (t*(t-1)/2 stays
+    integer; n0 exact for n < 2^32); the ratios are fixed chains and
+    tau_b's denominator is sqrt(double_product) — (n0-n1)*(n0-n2) is
+    computed in DOUBLE to dodge the long overflow at n ~ 1e6+, and the
+    sqrt is one libm call identical in both engines under the 6dp gate.
+
+    Output one row: (n, cells, conc, disc, ties_x, ties_y longs;
+    gamma, somers_dyx, somers_dxy, tau_b doubles; NULLs when a
+    denominator is zero).
+    """
+    from pyspark.sql.functions import broadcast
+
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    cells = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .groupBy(x.alias("_x"), y.alias("_y"))
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pair = broadcast(a).join(
+        broadcast(b),
+        (F.col("b._x") > F.col("a._x"))
+        & (F.col("b._y") != F.col("a._y")),
+        "inner",
+    )
+    cd = pair.groupBy().agg(
+        F.sum(
+            F.when(
+                F.col("b._y") > F.col("a._y"), F.col("a._n") * F.col("b._n")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("conc"),
+        F.sum(
+            F.when(
+                F.col("b._y") < F.col("a._y"), F.col("a._n") * F.col("b._n")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("disc"),
+    )
+    xm = cells.groupBy("_x").agg(F.sum("_n").alias("_t"))
+    ym = cells.groupBy("_y").agg(F.sum("_n").alias("_t"))
+    tx = xm.groupBy().agg(
+        F.sum("_t").cast("long").alias("n"),
+        F.sum(F.col("_t") * (F.col("_t") - 1) / F.lit(2)).cast("long").alias("ties_x"),
+    )
+    ty = ym.groupBy().agg(
+        F.sum(F.col("_t") * (F.col("_t") - 1) / F.lit(2)).cast("long").alias("ties_y")
+    )
+    ncells = cells.groupBy().agg(F.count("*").cast("long").alias("cells"))
+    g = cd.crossJoin(broadcast(tx)).crossJoin(broadcast(ty)).crossJoin(
+        broadcast(ncells)
+    )
+    n = F.col("n")
+    n0 = (n * (n - F.lit(1)) / F.lit(2)).cast("long")
+    s = (F.col("conc") - F.col("disc")).cast("double")
+    dn1 = (n0 - F.col("ties_x")).cast("double")
+    dn2 = (n0 - F.col("ties_y")).cast("double")
+    cpd = (F.col("conc") + F.col("disc")).cast("double")
+    return g.select(
+        "n",
+        "cells",
+        "conc",
+        "disc",
+        "ties_x",
+        "ties_y",
+        F.when(cpd > 0, s / cpd).alias("gamma"),
+        F.when(dn1 > 0, s / dn1).alias("somers_dyx"),
+        F.when(dn2 > 0, s / dn2).alias("somers_dxy"),
+        F.when(
+            (dn1 > 0) & (dn2 > 0), s / F.sqrt(dn1 * dn2)
+        ).alias("tau_b"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    roles: tuple[str, ...] = ("user", "assistant", "tool"),
+    signal_col: str = "signal",
+) -> DataFrame:
+    """Friedman rank test (1937) across k matched treatments with
+    conversations as blocks: are the per-role mean signals drawn from
+    the same distribution, judged only by their WITHIN-conversation
+    ranks? The repeated-measures counterpart to [[kruskal_wallis]]
+    (independent groups) — blocks absorb the between-conversation
+    variance that KW charges to the treatment. Also emits Kendall's W
+    (chi2 / (b (k-1))), the 0..1 concordance reading of the same ranks.
+
+    Complete-block design: only conversations where ALL k roles appear
+    (with non-NULL signal) enter; b = number of such blocks.
+
+        chi2   = 12 / (b k (k+1)) * sum_j R_j^2  -  3 b (k+1)
+        chi2_c = chi2 / (1 - sum(t^3 - t) / (b k (k^3 - k)))   (ties)
+
+    Determinism: per-(block, role) means are exact long sums over the
+    stable base table divided once; within-block midranks use the
+    [[mw_drift]] doubled-rank identity (a tie block of size t above cb
+    ranks contributes 2*cb + t + 1 per member — an exact INTEGER), so
+    R_j rides as the exact long 2R_j and sum_j (2R_j)^2 is an exact
+    long (bound: (2R)^2 <= (2bk)^2, safe to b ~ 1e9 blocks); the tie
+    correction's t^3 - t is an exact long per tie group. chi2 is then
+    a fixed rational chain — the oracle replays it bit-for-bit.
+
+    Scale: one full-data groupBy to (conv, role) means; everything
+    after runs on b*k rows (window partitioned BY BLOCK — k rows per
+    partition, no global sort). Output one row: (b, k longs; chi2,
+    chi2_corrected, kendalls_w doubles; NULL when b = 0 or the tie
+    correction denominator vanishes).
+    """
+    k = len(roles)
+    x = F.col(signal_col).cast("long")
+    per = (
+        df.where(x.isNotNull() & F.col("role").isin(*roles))
+        .groupBy("conv_id", "role")
+        .agg(F.sum(x).cast("long").alias("_s"), F.count("*").cast("long").alias("_c"))
+        .withColumn("_mean", F.col("_s").cast("double") / F.col("_c").cast("double"))
+    )
+    complete = (
+        per.groupBy("conv_id")
+        .agg(F.count("*").alias("_k"))
+        .where(F.col("_k") == k)
+        .select("conv_id")
+    )
+    blk = per.join(complete, "conv_id")
+    # doubled midranks within each block over the k role means
+    per_mean = blk.groupBy("conv_id", "_mean").agg(
+        F.count("*").cast("long").alias("_t"),
+        F.collect_list("role").alias("_roles"),
+    )
+    w_cum = (
+        Window.partitionBy("conv_id")
+        .orderBy("_mean")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = per_mean.select(
+        "conv_id",
+        "_t",
+        "_roles",
+        (F.sum("_t").over(w_cum) - F.col("_t")).cast("long").alias("_cb"),
+    ).select(
+        "conv_id",
+        "_t",
+        F.explode("_roles").alias("role"),
+        (F.lit(2) * F.col("_cb") + F.col("_t") + F.lit(1)).cast("long").alias("_2r"),
+    )
+    rj = ranked.groupBy("role").agg(F.sum("_2r").cast("long").alias("_2rj"))
+    sum_sq = rj.groupBy().agg(
+        F.sum(F.col("_2rj") * F.col("_2rj")).cast("long").alias("_sum4r2")
+    )
+    ties = (
+        ranked.groupBy("conv_id", "_2r")
+        .agg(F.count("*").cast("long").alias("_tt"))
+        .groupBy()
+        .agg(
+            F.sum(F.col("_tt") * F.col("_tt") * F.col("_tt") - F.col("_tt"))
+            .cast("long")
+            .alias("_tie3"),
+            (F.count_distinct("conv_id")).cast("long").alias("b"),
+        )
+    )
+    from pyspark.sql.functions import broadcast
+
+    g = sum_sq.crossJoin(broadcast(ties))
+    bd = F.col("b").cast("double")
+    kd = F.lit(float(k))
+    # sum_j R_j^2 = _sum4r2 / 4 exactly (each 2R_j is integer)
+    chi2 = (
+        F.lit(12.0) / (bd * kd * (kd + F.lit(1.0)))
+        * (F.col("_sum4r2").cast("double") / F.lit(4.0))
+        - F.lit(3.0) * bd * (kd + F.lit(1.0))
+    )
+    corr_den = F.lit(1.0) - F.col("_tie3").cast("double") / (
+        bd * kd * F.lit(float(k**3 - k))
+    )
+    has = F.col("b") > 0
+    return g.select(
+        "b",
+        F.lit(k).cast("long").alias("k"),
+        F.when(has, chi2).alias("chi2"),
+        F.when(has & (corr_den > 0), chi2 / corr_den).alias("chi2_corrected"),
+        F.when(has, chi2 / (bd * (kd - F.lit(1.0)))).alias("kendalls_w"),
+    )
