@@ -4873,6 +4873,50 @@ def q_friedman(spark, sf_dir):
     return _r6(out, ["chi2", "chi2_corrected", "kendalls_w"])
 
 
+def q_bartlett(spark, sf_dir):
+    """Bartlett variance-homogeneity test of the signal across roles
+    (drift.bartlett_test): exact long per-role (n, S, SS), ordered
+    group-name folds for the pooled/log/inverse reductions, fixed
+    chi2 chain — oracle-replayable."""
+    from z_rad_spark.operators.drift import bartlett_test
+
+    out = bartlett_test(_t(spark, sf_dir), group_col="role", value_col="signal")
+    return _r6(out, ["sp2", "stat"])
+
+
+def q_wilcoxon(spark, sf_dir):
+    """Wilcoxon signed-rank test on the per-conversation pre/post
+    signal-mass pairing (drift.wilcoxon_signed_rank): exact long
+    differences, doubled midranks over the compacted |d| histogram,
+    exact long 2W+/mu2/v48, two-op z chain — oracle-replayable."""
+    from z_rad_spark.operators.drift import wilcoxon_signed_rank
+
+    out = wilcoxon_signed_rank(_t(spark, sf_dir))
+    return _r6(out, ["w_plus", "z"])
+
+
+def q_cochran_q(spark, sf_dir):
+    """Cochran's Q across the three role success indicators with
+    conversations as blocks (drift.cochran_q, threshold 5): all-integer
+    quadratic forms, ONE long-ratio division — oracle-replayable with
+    no rounding at all in the sufficient statistics."""
+    from z_rad_spark.operators.drift import cochran_q
+
+    out = cochran_q(_t(spark, sf_dir))
+    return _r6(out, ["q"])
+
+
+def q_icc(spark, sf_dir):
+    """One-way random-effects ICC(1,1) with conversations as groups
+    (drift.icc_oneway): exact long sufficient statistics, ordered
+    conv_id fold for sum S_i^2/n_i, fixed MSB/MSW/n0/icc chains —
+    oracle-replayable."""
+    from z_rad_spark.operators.drift import icc_oneway
+
+    out = icc_oneway(_t(spark, sf_dir))
+    return _r6(out, ["msb", "msw", "n0", "icc"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -5196,6 +5240,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": q_repetition,
         "q_rare_tokens": q_rare_tokens,
         "q_source_reputation": q_source_reputation,
+        "q_bartlett": q_bartlett,
+        "q_wilcoxon": q_wilcoxon,
+        "q_cochran_q": q_cochran_q,
+        "q_icc": q_icc,
     }
 
 

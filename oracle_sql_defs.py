@@ -10416,3 +10416,172 @@ SELECT b, CAST(3 AS BIGINT) AS k,
        {r6('CASE WHEN b > 0 THEN ' + _FRIED_CHI2 + ' / (bd * 2.0) END', 'kendalls_w')}
 FROM g
 """
+
+
+# Bartlett variance homogeneity across roles: exact long (n, S, SS) per
+# role, ordered group-name list_reduce folds for the pooled / log /
+# inverse reductions — matches drift.bartlett_test's F.aggregate chains
+ORACLES["q_bartlett"] = f"""
+WITH t AS ({T}),
+per AS (
+  SELECT role AS g,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(signal AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(signal AS BIGINT) * CAST(signal AS BIGINT)) AS BIGINT) AS ss
+  FROM t WHERE signal IS NOT NULL
+  GROUP BY role HAVING COUNT(*) >= 2
+),
+v AS (
+  SELECT g, n,
+         CAST(n - 1 AS DOUBLE) AS nm1,
+         CAST(n * ss - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS var
+  FROM per
+),
+g AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         list_reduce([0.0] || list(nm1 * var ORDER BY g), (acc, x) -> acc + x) AS pooled_num,
+         list_reduce([0.0] || list(nm1 * LN(var) ORDER BY g), (acc, x) -> acc + x) AS sum_ln,
+         list_reduce([0.0] || list(1.0 / nm1 ORDER BY g), (acc, x) -> acc + x) AS sum_inv,
+         MIN(var) AS min_var
+  FROM v
+),
+s AS (
+  SELECT n, k,
+         CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+         pooled_num, sum_ln, sum_inv, min_var
+  FROM g
+),
+f AS (
+  SELECT n, k, nd, kd, min_var, sum_ln,
+         pooled_num / (nd - kd) AS sp2,
+         1.0 + (sum_inv - 1.0 / (nd - kd)) / (3.0 * (kd - 1.0)) AS c
+  FROM s
+)
+SELECT n, k, CAST(k - 1 AS BIGINT) AS df,
+       {r6('CASE WHEN k >= 2 AND min_var > 0 THEN sp2 END', 'sp2')},
+       {r6('CASE WHEN k >= 2 AND min_var > 0 THEN ((nd - kd) * LN(sp2) - sum_ln) / c END', 'stat')}
+FROM f
+"""
+
+
+# Wilcoxon signed-rank over the conversation pre/post split: exact long
+# differences, doubled midranks on the compacted |d| histogram, exact
+# long 2W+/mu2/v48 — matches drift.wilcoxon_signed_rank bit-for-bit
+ORACLES["q_wilcoxon"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id,
+         CAST(signal AS BIGINT) AS x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS BIGINT) - 1 AS i0,
+         CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n
+  FROM t WHERE signal IS NOT NULL
+),
+conv AS (
+  SELECT conv_id,
+         CAST(COALESCE(SUM(CASE WHEN i0 * 2 >= n THEN x END), 0)
+              - COALESCE(SUM(CASE WHEN i0 * 2 < n THEN x END), 0) AS BIGINT) AS d
+  FROM p GROUP BY conv_id
+),
+nz AS (
+  SELECT CAST(ABS(d) AS BIGINT) AS ad, d > 0 AS pos FROM conv WHERE d <> 0
+),
+per_v AS (
+  SELECT ad, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(COALESCE(SUM(CASE WHEN pos THEN 1 END), 0) AS BIGINT) AS tpos
+  FROM nz GROUP BY ad
+),
+lv AS (
+  SELECT t, tpos,
+         CAST(SUM(t) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - t AS BIGINT) AS cb
+  FROM per_v
+),
+g0 AS (
+  SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS m,
+         CAST(COALESCE(SUM(tpos * (2 * cb + t + 1)), 0) AS BIGINT) AS two_w_pos,
+         CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT) AS tie3
+  FROM lv
+),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM conv),
+g AS (
+  SELECT np.n_pairs, g0.m, g0.two_w_pos, g0.tie3,
+         CAST(g0.m * (g0.m + 1) / 2 AS BIGINT) AS mu2,
+         CAST(2 * g0.m * (g0.m + 1) * (2 * g0.m + 1) - g0.tie3 AS BIGINT) AS v48
+  FROM np, g0
+)
+SELECT n_pairs, m, two_w_pos, tie3,
+       {r6('CAST(two_w_pos AS DOUBLE) / 2.0', 'w_plus')},
+       {r6('CASE WHEN m > 0 AND v48 > 0 THEN CAST(two_w_pos - mu2 AS DOUBLE) / SQRT(CAST(v48 AS DOUBLE) / 12.0) END', 'z')}
+FROM g
+"""
+
+
+# Cochran's Q across the three role success indicators: all-integer
+# quadratic forms, one long-ratio division — matches drift.cochran_q
+ORACLES["q_cochran_q"] = f"""
+WITH t AS ({T}),
+conv AS (
+  SELECT conv_id,
+         CAST(COALESCE(MAX(CASE WHEN role = 'user' AND CAST(signal AS BIGINT) >= 5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS x0,
+         CAST(COALESCE(MAX(CASE WHEN role = 'assistant' AND CAST(signal AS BIGINT) >= 5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS x1,
+         CAST(COALESCE(MAX(CASE WHEN role = 'tool' AND CAST(signal AS BIGINT) >= 5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS x2
+  FROM t GROUP BY conv_id
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS b,
+         CAST(SUM(x0) AS BIGINT) AS c0,
+         CAST(SUM(x1) AS BIGINT) AS c1,
+         CAST(SUM(x2) AS BIGINT) AS c2,
+         CAST(SUM((x0 + x1 + x2) * (x0 + x1 + x2)) AS BIGINT) AS r2
+  FROM conv
+)
+SELECT b, CAST(3 AS BIGINT) AS k,
+       CAST(c0 + c1 + c2 AS BIGINT) AS t,
+       {r6('CASE WHEN 3 * (c0 + c1 + c2) - r2 > 0 THEN CAST(2 * (3 * (c0 * c0 + c1 * c1 + c2 * c2) - (c0 + c1 + c2) * (c0 + c1 + c2)) AS DOUBLE) / CAST(3 * (c0 + c1 + c2) - r2 AS DOUBLE) END', 'q')}
+FROM g
+"""
+
+
+# One-way random-effects ICC(1,1): exact long sufficient statistics,
+# ordered conv_id fold for sum S_i^2/n_i — matches drift.icc_oneway
+ORACLES["q_icc"] = f"""
+WITH t AS ({T}),
+per AS (
+  SELECT conv_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(signal AS BIGINT)) AS BIGINT) AS s
+  FROM t WHERE signal IS NOT NULL GROUP BY conv_id
+),
+tot AS (
+  SELECT CAST(SUM(CAST(signal AS BIGINT) * CAST(signal AS BIGINT)) AS BIGINT) AS ss
+  FROM t WHERE signal IS NOT NULL
+),
+g0 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(s) AS BIGINT) AS sg,
+         CAST(SUM(n * n) AS BIGINT) AS n2,
+         list_reduce([0.0] || list(CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY conv_id),
+                     (acc, x) -> acc + x) AS sum_s2n
+  FROM per
+),
+s AS (
+  SELECT g0.k, g0.n, CAST(g0.n AS DOUBLE) AS nd, CAST(g0.k AS DOUBLE) AS kd,
+         g0.sum_s2n, CAST(g0.sg AS DOUBLE) AS sgd, g0.n2, tot.ss
+  FROM g0, tot
+),
+f AS (
+  SELECT k, n,
+         (sum_s2n - sgd * sgd / nd) / (kd - 1.0) AS msb,
+         (CAST(ss AS DOUBLE) - sum_s2n) / (nd - kd) AS msw,
+         (nd - CAST(n2 AS DOUBLE) / nd) / (kd - 1.0) AS n0
+  FROM s
+)
+SELECT k, n,
+       {r6('CASE WHEN k >= 2 AND n > k THEN msb END', 'msb')},
+       {r6('CASE WHEN k >= 2 AND n > k THEN msw END', 'msw')},
+       {r6('CASE WHEN k >= 2 AND n > k THEN n0 END', 'n0')},
+       {r6('CASE WHEN k >= 2 AND n > k THEN (msb - msw) / (msb + (n0 - 1.0) * msw) END', 'icc')}
+FROM f
+"""

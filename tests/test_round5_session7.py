@@ -1,0 +1,130 @@
+"""Round-5 session-7 operator fixtures: hand-computed expectations for
+bartlett_test, wilcoxon_signed_rank, cochran_q, icc_oneway."""
+
+import math
+
+import pytest
+
+
+def _turns(spark, rows):
+    # rows: (conv_id, turn_idx, role, signal); ts strictly increasing
+    # per conversation so the stable (ts, turn_idx) order is turn order
+    data = [
+        (c, i, r, f"2024-01-01 00:{i:02d}:00", float(s) if s is not None else None)
+        for (c, i, r, s) in rows
+    ]
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, ts string, signal double"
+    )
+    return df.withColumn("ts", df.ts.cast("timestamp"))
+
+
+def test_bartlett_hand_computed(spark):
+    from z_rad_spark.operators.drift import bartlett_test
+
+    # group a: [1, 3] -> var 2; group b: [2, 2, 5] -> var 3
+    rows = [
+        ("c1", 0, "a", 1), ("c1", 1, "a", 3),
+        ("c2", 0, "b", 2), ("c2", 1, "b", 2), ("c2", 2, "b", 5),
+    ]
+    r = bartlett_test(_turns(spark, rows), group_col="role").collect()[0]
+    assert r["n"] == 5 and r["k"] == 2 and r["df"] == 1
+    sp2 = (1 * 2.0 + 2 * 3.0) / 3.0
+    assert r["sp2"] == pytest.approx(sp2, rel=1e-12)
+    sum_ln = 1 * math.log(2.0) + 2 * math.log(3.0)
+    c = 1.0 + (1.0 / 1 + 1.0 / 2 - 1.0 / 3) / (3.0 * 1)
+    stat = (3 * math.log(sp2) - sum_ln) / c
+    assert r["stat"] == pytest.approx(stat, rel=1e-12)
+
+
+def test_bartlett_degenerate_zero_variance(spark):
+    from z_rad_spark.operators.drift import bartlett_test
+
+    rows = [("c1", 0, "a", 2), ("c1", 1, "a", 2), ("c2", 0, "b", 1), ("c2", 1, "b", 3)]
+    r = bartlett_test(_turns(spark, rows), group_col="role").collect()[0]
+    assert r["stat"] is None and r["sp2"] is None  # group a variance 0
+
+
+def test_wilcoxon_hand_computed(spark):
+    from z_rad_spark.operators.drift import wilcoxon_signed_rank
+
+    # conversations engineered so the post-pre differences are
+    # d = +3 (c1: pre [1], post [4]), -1 (c2: pre [2], post [1]),
+    # +1 (c3: pre [3], post [4]), 0 (c4: pre [5], post [5]) -> dropped
+    rows = [
+        ("c1", 0, "user", 1), ("c1", 1, "user", 4),
+        ("c2", 0, "user", 2), ("c2", 1, "user", 1),
+        ("c3", 0, "user", 3), ("c3", 1, "user", 4),
+        ("c4", 0, "user", 5), ("c4", 1, "user", 5),
+    ]
+    r = wilcoxon_signed_rank(_turns(spark, rows)).collect()[0]
+    # |d| ranks: |−1| and |+1| tie at midrank 1.5, |+3| rank 3
+    # W+ = 1.5 + 3 = 4.5; m = 3
+    assert r["n_pairs"] == 4 and r["m"] == 3
+    assert r["two_w_pos"] == 9 and r["w_plus"] == pytest.approx(4.5)
+    # mu = m(m+1)/4 = 3; var = 3*4*7/24 - (2^3-2)/48 = 3.5 - 0.125
+    z = (4.5 - 3.0) / math.sqrt(3.375)
+    assert r["z"] == pytest.approx(z, rel=1e-12)
+    assert r["tie3"] == 6
+
+
+def test_cochran_q_hand_computed(spark):
+    from z_rad_spark.operators.drift import cochran_q
+
+    # blocks x (user, assistant, tool) success (signal >= 5) matrix:
+    # c1: (1,1,0)  c2: (1,0,0)  c3: (1,1,1)  c4: (0,0,0)
+    rows = [
+        ("c1", 0, "user", 7), ("c1", 1, "assistant", 6), ("c1", 2, "tool", 2),
+        ("c2", 0, "user", 5), ("c2", 1, "assistant", 1),
+        ("c3", 0, "user", 9), ("c3", 1, "assistant", 5), ("c3", 2, "tool", 8),
+        ("c4", 0, "user", 1),
+    ]
+    r = cochran_q(_turns(spark, rows)).collect()[0]
+    # C = (3, 2, 1), T = 6, sum R^2 = 4 + 1 + 9 + 0 = 14
+    # Q = 2 * (3*14 - 36) / (18 - 14) = 12/4 = 3
+    assert r["b"] == 4 and r["k"] == 3 and r["t"] == 6
+    assert r["q"] == pytest.approx(3.0, abs=1e-12)
+
+
+def test_cochran_q_no_disagreement_is_null(spark):
+    from z_rad_spark.operators.drift import cochran_q
+
+    rows = [("c1", 0, "user", 9), ("c1", 1, "assistant", 9), ("c1", 2, "tool", 9)]
+    r = cochran_q(_turns(spark, rows)).collect()[0]
+    assert r["q"] is None  # single all-1 block: denominator 0
+
+
+def test_icc_hand_computed(spark):
+    from z_rad_spark.operators.drift import icc_oneway
+
+    # c1: [1, 2] (n=2, S=3), c2: [5, 7, 6] (n=3, S=18)
+    rows = [
+        ("c1", 0, "user", 1), ("c1", 1, "user", 2),
+        ("c2", 0, "user", 5), ("c2", 1, "user", 7), ("c2", 2, "user", 6),
+    ]
+    r = icc_oneway(_turns(spark, rows)).collect()[0]
+    assert r["k"] == 2 and r["n"] == 5
+    sum_s2n = 9.0 / 2 + 324.0 / 3
+    msb = (sum_s2n - 441.0 / 5) / 1.0
+    msw = (115.0 - sum_s2n) / 3.0
+    n0 = (5.0 - 13.0 / 5.0) / 1.0
+    icc = (msb - msw) / (msb + (n0 - 1.0) * msw)
+    assert r["msb"] == pytest.approx(msb, rel=1e-12)
+    assert r["msw"] == pytest.approx(msw, rel=1e-12)
+    assert r["n0"] == pytest.approx(n0, rel=1e-12)
+    assert r["icc"] == pytest.approx(icc, rel=1e-12)
+
+
+def test_icc_exchangeable_turns_near_zero(spark):
+    from z_rad_spark.operators.drift import icc_oneway
+
+    # identical group profiles -> between-group mean square equals 0,
+    # icc = -msw / (msb + (n0-1) msw) < 0 (the estimator's known
+    # negative range when groups explain nothing)
+    rows = [
+        ("c1", 0, "user", 1), ("c1", 1, "user", 9),
+        ("c2", 0, "user", 1), ("c2", 1, "user", 9),
+    ]
+    r = icc_oneway(_turns(spark, rows)).collect()[0]
+    assert r["msb"] == pytest.approx(0.0, abs=1e-12)
+    assert r["icc"] < 0

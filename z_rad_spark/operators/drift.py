@@ -2025,3 +2025,340 @@ def friedman_test(
         F.when(has & (corr_den > 0), chi2 / corr_den).alias("chi2_corrected"),
         F.when(has, chi2 / (bd * (kd - F.lit(1.0)))).alias("kendalls_w"),
     )
+
+
+def bartlett_test(
+    df: DataFrame,
+    group_col: str = "role",
+    value_col: str = "signal",
+) -> DataFrame:
+    """Bartlett's test of variance homogeneity across k groups
+    (Bartlett, 1937) — the parametric, high-power counterpart to
+    [[brown_forsythe]]: sharper when the signal is near-normal, and
+    the standard pre-check before pooling variances in a downstream
+    ANOVA. The reference ships no k-group scale test; this closes the
+    pair (BF robust / Bartlett parametric) its users expect:
+
+        T = ((N - k) ln sp^2 - sum_i (n_i - 1) ln s_i^2) / C
+        C = 1 + (sum_i 1/(n_i - 1) - 1/(N - k)) / (3 (k - 1))
+
+    with s_i^2 the unbiased group variance and sp^2 the pooled
+    variance. Under H0, T ~ chi2(k-1). Groups with n_i < 2 are
+    excluded (their variance is undefined).
+
+    Determinism: per-group sufficient statistics (n_i, S_i = sum x,
+    SS_i = sum x^2) are exact longs (integer signal contract); s_i^2 =
+    (n_i*SS_i - S_i^2) / (n_i*(n_i-1)) is one exact-long numerator and
+    one division. The three k-term reductions (pooled SS numerator,
+    sum (n_i-1) ln s_i^2, sum 1/(n_i-1)) run as ordered left folds over
+    groups sorted by name, so the SQL oracle replays T bit-for-bit.
+    Long bound: S_i^2 <= (9 n_i)^2 — exact for groups under ~3.4e8
+    rows (cast the numerator to decimal(38,0) beyond).
+
+    Scale: one map-side-combined groupBy on the group column (k rows of
+    state), one 1-row final aggregate — no window, no join, no per-row
+    float math. Output one row: (n, k, df longs; sp2, stat doubles —
+    NULL when k < 2 or any group variance is 0, where ln degenerates).
+    """
+    x = F.col(value_col).cast("long")
+    per = (
+        df.where(x.isNotNull())
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum(x).cast("long").alias("_s"),
+            F.sum(x * x).cast("long").alias("_ss"),
+        )
+        .where(F.col("_n") >= 2)
+    )
+    g = per.agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sort_array(F.collect_list(F.struct("_g", "_n", "_s", "_ss"))).alias("_gs"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    var_i = lambda e: (  # noqa: E731 — shared shape with the oracle
+        (e["_n"] * e["_ss"] - e["_s"] * e["_s"]).cast("double")
+        / (e["_n"] * (e["_n"] - F.lit(1))).cast("double")
+    )
+    nm1 = lambda e: (e["_n"] - F.lit(1)).cast("double")  # noqa: E731
+    pooled_num = F.aggregate(
+        F.col("_gs"), F.lit(0.0), lambda acc, e: acc + nm1(e) * var_i(e)
+    )
+    sum_ln = F.aggregate(
+        F.col("_gs"), F.lit(0.0), lambda acc, e: acc + nm1(e) * F.log(var_i(e))
+    )
+    sum_inv = F.aggregate(
+        F.col("_gs"), F.lit(0.0), lambda acc, e: acc + F.lit(1.0) / nm1(e)
+    )
+    min_var = F.aggregate(
+        F.col("_gs"), F.lit(float("inf")), lambda acc, e: F.least(acc, var_i(e))
+    )
+    sp2 = pooled_num / (nd - kd)
+    c = F.lit(1.0) + (sum_inv - F.lit(1.0) / (nd - kd)) / (
+        F.lit(3.0) * (kd - F.lit(1.0))
+    )
+    stat = ((nd - kd) * F.log(sp2) - sum_ln) / c
+    ok = (F.col("k") >= 2) & (min_var > 0)
+    return g.select(
+        "n",
+        "k",
+        (F.col("k") - F.lit(1)).cast("long").alias("df"),
+        F.when(ok, sp2).alias("sp2"),
+        F.when(ok, stat).alias("stat"),
+    )
+
+
+def wilcoxon_signed_rank(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """Wilcoxon signed-rank test over the conversation-level pre/post
+    pairing (Wilcoxon, 1945): each conversation contributes the exact
+    integer difference d = post - pre between its second-half and
+    first-half signal mass (the same positional 2*i0 < n split
+    [[cuped_adjusted]] uses), and the test asks whether the paired
+    shift is symmetric about zero — the nonparametric complement to
+    CUPED's variance reduction and the paired counterpart to the
+    independent-sample mw_drift:
+
+        2W+ = sum_{d>0} (2 cb + t + 1)          (doubled midranks)
+        mu2 = m (m + 1) / 2                      (= 2 E[W+])
+        v48 = 2 m (m+1) (2m+1) - sum_v (t^3 - t) (= 48 Var[W+])
+        z   = (2W+ - mu2) / sqrt(v48 / 12)
+
+    where m counts nonzero differences (zeros dropped, the standard
+    Wilcoxon convention) and cb/t come from the |d| tie table.
+
+    Determinism: d is an exact long; midranks ride the compacted
+    (|d| -> count) histogram exactly like mw_drift's doubled-rank
+    identity, so 2W+, mu2, and v48 are all EXACT LONGS and z is a
+    two-op IEEE chain — the SQL oracle replays it bit-for-bit. Long
+    bound: v48 <= 4 m^3, exact for m < 1.2e6 conversations (cast to
+    decimal(38,0) beyond).
+
+    Scale: one conv_id groupBy (the engine's shared exchange) to the
+    per-conversation pair, one groupBy on |d| (state bounded by
+    distinct difference magnitudes), one window over that compacted
+    table, one 1-row aggregate. Output one row: (n_pairs, m, two_w_pos,
+    tie3 longs; w_plus, z doubles — z NULL when m = 0 or v48 = 0).
+    """
+    x = F.col(signal_col).cast("long")
+    p = (
+        df.where(x.isNotNull())
+        .withColumn(
+            "_i0",
+            F.row_number().over(
+                Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+            ).cast("long")
+            - F.lit(1),
+        )
+        .withColumn(
+            "_nc",
+            F.count("*").over(
+                Window.partitionBy("conv_id")
+                .orderBy("ts", "turn_idx")
+                .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ).cast("long"),
+        )
+    )
+    is_pre = (F.col("_i0") * F.lit(2)) < F.col("_nc")
+    conv = p.groupBy("conv_id").agg(
+        (
+            F.coalesce(F.sum(F.when(~is_pre, x)), F.lit(0))
+            - F.coalesce(F.sum(F.when(is_pre, x)), F.lit(0))
+        )
+        .cast("long")
+        .alias("_d")
+    )
+    nz = conv.where(F.col("_d") != 0).select(
+        F.abs(F.col("_d")).cast("long").alias("_ad"),
+        (F.col("_d") > 0).alias("_pos"),
+    )
+    per_v = nz.groupBy("_ad").agg(
+        F.count("*").cast("long").alias("_t"),
+        F.coalesce(F.sum(F.when(F.col("_pos"), F.lit(1))), F.lit(0))
+        .cast("long")
+        .alias("_tpos"),
+    )
+    w_cum = Window.orderBy("_ad").rowsBetween(Window.unboundedPreceding, 0)
+    lv = per_v.select(
+        "_t",
+        "_tpos",
+        (F.sum("_t").over(w_cum) - F.col("_t")).cast("long").alias("_cb"),
+    )
+    g0 = lv.agg(
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("m"),
+        F.coalesce(
+            F.sum(
+                F.col("_tpos") * (F.lit(2) * F.col("_cb") + F.col("_t") + F.lit(1))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("two_w_pos"),
+        F.coalesce(
+            F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")), F.lit(0)
+        )
+        .cast("long")
+        .alias("tie3"),
+    )
+    n_pairs = conv.agg(F.count("*").cast("long").alias("n_pairs"))
+    from pyspark.sql.functions import broadcast
+
+    g = n_pairs.crossJoin(broadcast(g0))
+    md = F.col("m")
+    mu2 = (md * (md + F.lit(1)) / F.lit(2)).cast("long")
+    v48 = (
+        F.lit(2) * md * (md + F.lit(1)) * (F.lit(2) * md + F.lit(1)) - F.col("tie3")
+    ).cast("long")
+    z = (F.col("two_w_pos") - mu2).cast("double") / F.sqrt(
+        v48.cast("double") / F.lit(12.0)
+    )
+    ok = (F.col("m") > 0) & (v48 > 0)
+    return g.select(
+        "n_pairs",
+        "m",
+        "two_w_pos",
+        "tie3",
+        (F.col("two_w_pos").cast("double") / F.lit(2.0)).alias("w_plus"),
+        F.when(ok, z).alias("z"),
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    roles: tuple[str, ...] = ("user", "assistant", "tool"),
+    signal_col: str = "signal",
+    threshold: int = 5,
+) -> DataFrame:
+    """Cochran's Q test (1950) for k matched BINARY treatments with
+    conversations as blocks: does the rate of the success indicator
+    x_ij = [conversation i has >= 1 turn of role j with signal >=
+    threshold] differ across roles? The dichotomous member of the
+    matched-design family — [[friedman_test]] handles ordinal/continuous
+    responses, this handles yes/no ones (and McNemar is its k=2
+    special case):
+
+        Q = (k - 1) (k sum_j C_j^2 - T^2) / (k T - sum_i R_i^2)
+
+    with C_j the role success counts, R_i the per-conversation success
+    counts, T = sum R_i. Under H0, Q ~ chi2(k-1). Every conversation is
+    a block (roles it never utters count as failures); all-0 / all-1
+    blocks drop out of both numerator and denominator algebraically, so
+    no block filter is needed.
+
+    Determinism: x_ij is an exact 0/1 integer; C_j, R_i, T, and both
+    quadratic forms are exact longs, so Q is ONE long-ratio division —
+    the SQL oracle replays it bit-for-bit. Long bound: k sum C^2 <=
+    k b^2 — exact past 1e9 blocks.
+
+    Scale: one conv_id groupBy computing all k indicators as
+    conditional MAXes in a single pass (no per-role join), one 1-row
+    aggregate over b rows. Output one row: (b, k, t longs; q double —
+    NULL when the denominator k T - sum R^2 is 0, i.e. no
+    within-block disagreement anywhere).
+    """
+    k = len(roles)
+    x = F.col(signal_col).cast("long")
+    hit = lambda r: F.coalesce(  # noqa: E731
+        F.max(
+            F.when((F.col("role") == r) & (x >= threshold), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ),
+        F.lit(0),
+    ).cast("long")
+    conv = df.groupBy("conv_id").agg(
+        *[hit(r).alias(f"_x{j}") for j, r in enumerate(roles)]
+    )
+    ri = sum(F.col(f"_x{j}") for j in range(k))
+    g = conv.agg(
+        F.count("*").cast("long").alias("b"),
+        *[F.sum(f"_x{j}").cast("long").alias(f"_c{j}") for j in range(k)],
+        F.sum(ri * ri).cast("long").alias("_r2"),
+    )
+    t = sum(F.col(f"_c{j}") for j in range(k)).cast("long")
+    sum_c2 = sum(F.col(f"_c{j}") * F.col(f"_c{j}") for j in range(k)).cast("long")
+    num = (F.lit(k - 1) * (F.lit(k) * sum_c2 - t * t)).cast("long")
+    den = (F.lit(k) * t - F.col("_r2")).cast("long")
+    return g.select(
+        "b",
+        F.lit(k).cast("long").alias("k"),
+        t.alias("t"),
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias("q"),
+    )
+
+
+def icc_oneway(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1,1)
+    (Shrout & Fleiss, 1979) with conversations as groups: how much of
+    the turn-level signal variance is BETWEEN conversations? The
+    reliability reading of the same decomposition [[f_oneway]] tests —
+    ICC near 1 means conversation identity explains the signal (one
+    turn tells you the conversation), near 0 means turns are
+    exchangeable across conversations (conversation-level features
+    carry little information — the feature-selection signal this
+    operator exists for):
+
+        MSB = (sum_i S_i^2/n_i - S^2/N) / (k - 1)
+        MSW = (SS - sum_i S_i^2/n_i) / (N - k)
+        n0  = (N - sum_i n_i^2 / N) / (k - 1)      (unequal-size correction)
+        icc = (MSB - MSW) / (MSB + (n0 - 1) MSW)
+
+    Determinism: per-conversation sufficient statistics (n_i, S_i) and
+    the global (N, S, SS, sum n_i^2) are exact longs; the one float
+    reduction sum_i S_i^2/n_i (one squaring + one division per group)
+    runs as an ordered left fold over conv_id, so the SQL oracle
+    replays MSB/MSW/icc bit-for-bit. Long bound: S_i^2 <= (9 n_i)^2 —
+    exact to ~3e8-turn conversations.
+
+    Scale: one conv_id groupBy (shared exchange), one 1-row final
+    aggregate whose collect_list state is k structs of three longs —
+    fine for audit-scale group counts (sf0.1: 1.5k; at 1e9
+    conversations swap the fold for a compensated distributed sum, at
+    the cost of oracle exactness). Output one row: (k, n longs; msb,
+    msw, n0, icc doubles — NULL when k < 2 or N = k, where the mean
+    squares degenerate).
+    """
+    x = F.col(signal_col).cast("long")
+    per = (
+        df.where(x.isNotNull())
+        .groupBy("conv_id")
+        .agg(F.count("*").cast("long").alias("_n"), F.sum(x).cast("long").alias("_s"))
+    )
+    ss = df.where(x.isNotNull()).agg(F.sum(x * x).cast("long").alias("_ss"))
+    g0 = per.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("_n").cast("long").alias("n"),
+        F.sum("_s").cast("long").alias("_sg"),
+        F.sum(F.col("_n") * F.col("_n")).cast("long").alias("_n2"),
+        F.sort_array(F.collect_list(F.struct("conv_id", "_n", "_s"))).alias("_gs"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    g = g0.crossJoin(broadcast(ss))
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    sum_s2n = F.aggregate(
+        F.col("_gs"),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + (e["_s"] * e["_s"]).cast("double") / e["_n"].cast("double"),
+    )
+    # S is squared in DOUBLE (not long): the corpus-total signal mass
+    # passes sqrt(2^63) ~ 3e9 at 10^12 turns and a long square would
+    # silently wrap — one double square loses no replayability (the
+    # oracle squares the same single-cast double)
+    sgd = F.col("_sg").cast("double")
+    msb = (sum_s2n - sgd * sgd / nd) / (kd - F.lit(1.0))
+    msw = (F.col("_ss").cast("double") - sum_s2n) / (nd - kd)
+    n0 = (nd - F.col("_n2").cast("double") / nd) / (kd - F.lit(1.0))
+    icc = (msb - msw) / (msb + (n0 - F.lit(1.0)) * msw)
+    ok = (F.col("k") >= 2) & (F.col("n") > F.col("k"))
+    return g.select(
+        "k",
+        "n",
+        F.when(ok, msb).alias("msb"),
+        F.when(ok, msw).alias("msw"),
+        F.when(ok, n0).alias("n0"),
+        F.when(ok, icc).alias("icc"),
+    )
