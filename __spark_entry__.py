@@ -4917,6 +4917,48 @@ def q_icc(spark, sf_dir):
     return _r6(out, ["msb", "msw", "n0", "icc"])
 
 
+def q_perm_entropy(spark, sf_dir):
+    """Order-3 permutation entropy per conversation
+    (profile.permutation_entropy): tie-coded 3-bit ordinal patterns,
+    exact integer counts, <=8-term ordered entropy fold —
+    oracle-replayable."""
+    from z_rad_spark.operators.profile import permutation_entropy
+
+    out = permutation_entropy(_t(spark, sf_dir))
+    return _r6(out, ["h", "h_norm"])
+
+
+def q_turning_points(spark, sf_dir):
+    """Turning-points randomness test per conversation
+    (profile.turning_points): exact long extremum counts under strict
+    comparisons, one-division E/Var chains — oracle-replayable."""
+    from z_rad_spark.operators.profile import turning_points
+
+    out = turning_points(_t(spark, sf_dir))
+    return _r6(out, ["expected", "z"])
+
+
+def q_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau whiteness test at lags 1..5 per
+    conversation (profile.ljung_box): exact long n^2*c_k deviation
+    cross-moments, one long-ratio division per r_k, fixed 5-term Q
+    chain — oracle-replayable."""
+    from z_rad_spark.operators.profile import ljung_box
+
+    out = ljung_box(_t(spark, sf_dir), lags=5)
+    return _r6(out, ["r1", "r2", "r3", "r4", "r5", "q_lb"])
+
+
+def q_mase(spark, sf_dir):
+    """Season-3 naive-forecast MASE per conversation
+    (profile.seasonal_naive_mase): exact long absolute-deviation sums,
+    three-op MAE/ratio chain — oracle-replayable."""
+    from z_rad_spark.operators.profile import seasonal_naive_mase
+
+    out = seasonal_naive_mase(_t(spark, sf_dir), season=3)
+    return _r6(out, ["mae_naive", "mae_season", "mase"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -5244,6 +5286,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wilcoxon": q_wilcoxon,
         "q_cochran_q": q_cochran_q,
         "q_icc": q_icc,
+        "q_perm_entropy": q_perm_entropy,
+        "q_turning_points": q_turning_points,
+        "q_ljung_box": q_ljung_box,
+        "q_mase": q_mase,
     }
 
 

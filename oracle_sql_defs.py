@@ -10585,3 +10585,156 @@ SELECT k, n,
        {r6('CASE WHEN k >= 2 AND n > k THEN (msb - msw) / (msb + (n0 - 1.0) * msw) END', 'icc')}
 FROM f
 """
+
+
+# Order-3 permutation entropy: tie-coded 3-bit ordinal patterns, exact
+# counts, ordered <=8-term entropy fold — matches
+# profile.permutation_entropy (literal log2(6) normalizer)
+_LOG2_6 = repr(math.log2(6.0))
+ORACLES["q_perm_entropy"] = f"""
+WITH t AS ({T}),
+trip AS (
+  SELECT conv_id,
+         CAST(signal AS BIGINT) AS x0,
+         LEAD(CAST(signal AS BIGINT), 1) OVER w AS x1,
+         LEAD(CAST(signal AS BIGINT), 2) OVER w AS x2
+  FROM t WHERE signal IS NOT NULL
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+coded AS (
+  SELECT conv_id,
+         CAST(CASE WHEN x0 > x1 THEN 4 ELSE 0 END
+              + CASE WHEN x0 > x2 THEN 2 ELSE 0 END
+              + CASE WHEN x1 > x2 THEN 1 ELSE 0 END AS BIGINT) AS code
+  FROM trip WHERE x1 IS NOT NULL AND x2 IS NOT NULL
+),
+per_code AS (
+  SELECT conv_id, code, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(COUNT(*)) OVER (PARTITION BY conv_id) AS BIGINT) AS nw
+  FROM coded GROUP BY conv_id, code
+),
+g AS (
+  SELECT conv_id,
+         CAST(MIN(nw) AS BIGINT) AS n_windows,
+         CAST(COUNT(*) AS BIGINT) AS n_patterns,
+         -(list_reduce(
+             [0.0] || list((CAST(c AS DOUBLE) / CAST(nw AS DOUBLE))
+                           * LOG2(CAST(c AS DOUBLE) / CAST(nw AS DOUBLE))
+                           ORDER BY code),
+             (acc, x) -> acc + x)) AS h
+  FROM per_code GROUP BY conv_id
+)
+SELECT conv_id, n_windows, n_patterns,
+       {r6('CASE WHEN n_windows > 0 THEN h END', 'h')},
+       {r6('CASE WHEN n_windows > 0 THEN h / ' + _LOG2_6 + ' END', 'h_norm')}
+FROM g
+"""
+
+
+# Turning-points randomness test: exact long strict-extremum counts,
+# one-division E/Var chains — matches profile.turning_points
+ORACLES["q_turning_points"] = f"""
+WITH t AS ({T}),
+lagged AS (
+  SELECT conv_id,
+         CAST(signal AS BIGINT) AS x,
+         LAG(CAST(signal AS BIGINT), 1) OVER w AS p,
+         LEAD(CAST(signal AS BIGINT), 1) OVER w AS f
+  FROM t WHERE signal IS NOT NULL
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+g AS (
+  SELECT conv_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CASE WHEN p IS NOT NULL AND f IS NOT NULL
+                                     AND ((x > p AND x > f) OR (x < p AND x < f))
+                                THEN 1 END), 0) AS BIGINT) AS t_points
+  FROM lagged GROUP BY conv_id
+)
+SELECT conv_id, n, t_points,
+       {r6('CASE WHEN n >= 3 THEN CAST(2 * (n - 2) AS DOUBLE) / 3.0 END', 'expected')},
+       {r6('CASE WHEN n >= 3 THEN (CAST(t_points AS DOUBLE) - CAST(2 * (n - 2) AS DOUBLE) / 3.0) / SQRT(CAST(16 * n - 29 AS DOUBLE) / 90.0) END', 'z')}
+FROM g
+"""
+
+
+def _ljung_box_sql(lags: int = 5) -> str:
+    lag_cols = ",\n         ".join(
+        f"LAG(CAST(signal AS BIGINT), {k}) OVER w AS l{k}" for k in range(1, lags + 1)
+    )
+    aggs = []
+    for k in range(1, lags + 1):
+        aggs += [
+            f"CAST(COALESCE(SUM(CASE WHEN l{k} IS NOT NULL THEN x * l{k} END), 0) AS BIGINT) AS sxy{k}",
+            f"CAST(COALESCE(SUM(CASE WHEN l{k} IS NOT NULL THEN l{k} END), 0) AS BIGINT) AS sh{k}",
+            f"CAST(COALESCE(SUM(CASE WHEN l{k} IS NOT NULL THEN x END), 0) AS BIGINT) AS st{k}",
+        ]
+    agg_sql = ",\n         ".join(aggs)
+    rk = {
+        k: (
+            f"(CAST(n * n * sxy{k} - n * s * (sh{k} + st{k}) + (n - {k}) * s * s AS DOUBLE)"
+            f" / CAST(n * (n * ss - s * s) AS DOUBLE))"
+        )
+        for k in range(1, lags + 1)
+    }
+    q_terms = " + ".join(
+        f"{rk[k]} * {rk[k]} / (CAST(n AS DOUBLE) - {float(k)!r})"
+        for k in range(1, lags + 1)
+    )
+    ok = f"n > {lags} AND n * (n * ss - s * s) > 0"
+    r_cols = ",\n       ".join(
+        r6(f"CASE WHEN {ok} THEN {rk[k]} END", f"r{k}") for k in range(1, lags + 1)
+    )
+    return f"""
+WITH t AS ({T}),
+lagged AS (
+  SELECT conv_id,
+         CAST(signal AS BIGINT) AS x,
+         {lag_cols}
+  FROM t WHERE signal IS NOT NULL
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+g AS (
+  SELECT conv_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS ss,
+         {agg_sql}
+  FROM lagged GROUP BY conv_id
+)
+SELECT conv_id, n,
+       {r_cols},
+       {r6(f'CASE WHEN {ok} THEN CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * ({q_terms}) END', 'q_lb')},
+       CAST({lags} AS BIGINT) AS df
+FROM g
+"""
+
+
+ORACLES["q_ljung_box"] = _ljung_box_sql(5)
+
+
+# Season-3 naive MASE: exact long absolute-deviation sums, three-op
+# chain — matches profile.seasonal_naive_mase
+ORACLES["q_mase"] = f"""
+WITH t AS ({T}),
+lagged AS (
+  SELECT conv_id,
+         CAST(signal AS BIGINT) AS x,
+         LAG(CAST(signal AS BIGINT), 1) OVER w AS l1,
+         LAG(CAST(signal AS BIGINT), 3) OVER w AS lm
+  FROM t WHERE signal IS NOT NULL
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+g AS (
+  SELECT conv_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(ABS(x - l1)), 0) AS BIGINT) AS sad_1,
+         CAST(COALESCE(SUM(ABS(x - lm)), 0) AS BIGINT) AS sad_m
+  FROM lagged GROUP BY conv_id
+)
+SELECT conv_id, n, sad_1, sad_m,
+       {r6('CASE WHEN n > 1 THEN CAST(sad_1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END', 'mae_naive')},
+       {r6('CASE WHEN n > 3 THEN CAST(sad_m AS DOUBLE) / CAST(n - 3 AS DOUBLE) END', 'mae_season')},
+       {r6('CASE WHEN n > 3 AND sad_1 > 0 THEN (CAST(sad_m AS DOUBLE) / CAST(n - 3 AS DOUBLE)) / (CAST(sad_1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)) END', 'mase')}
+FROM g
+"""

@@ -128,3 +128,83 @@ def test_icc_exchangeable_turns_near_zero(spark):
     r = icc_oneway(_turns(spark, rows)).collect()[0]
     assert r["msb"] == pytest.approx(0.0, abs=1e-12)
     assert r["icc"] < 0
+
+
+def test_perm_entropy_hand_computed(spark):
+    from z_rad_spark.operators.profile import permutation_entropy
+
+    # c1: 1,2,3,2 -> windows (1,2,3) code 0+0+0=0; (2,3,2) code 0+0+1=1
+    rows = [("c1", 0, "user", 1), ("c1", 1, "user", 2),
+            ("c1", 2, "user", 3), ("c1", 3, "user", 2)]
+    r = permutation_entropy(_turns(spark, rows)).collect()[0]
+    assert r["n_windows"] == 2 and r["n_patterns"] == 2
+    assert r["h"] == pytest.approx(1.0, abs=1e-12)  # two equiprobable codes
+    assert r["h_norm"] == pytest.approx(1.0 / math.log2(6.0), rel=1e-12)
+
+
+def test_perm_entropy_monotone_is_zero(spark):
+    from z_rad_spark.operators.profile import permutation_entropy
+
+    rows = [("c1", i, "user", i + 1) for i in range(6)]
+    r = permutation_entropy(_turns(spark, rows)).collect()[0]
+    assert r["n_patterns"] == 1 and r["h"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_turning_points_hand_computed(spark):
+    from z_rad_spark.operators.profile import turning_points
+
+    # 1,3,2,4,4: interior turns at 3 (peak) and 2 (valley); the 4,4
+    # plateau is not a strict extremum -> T = 2, n = 5
+    rows = [("c1", 0, "user", 1), ("c1", 1, "user", 3), ("c1", 2, "user", 2),
+            ("c1", 3, "user", 4), ("c1", 4, "user", 4)]
+    r = turning_points(_turns(spark, rows)).collect()[0]
+    assert r["n"] == 5 and r["t_points"] == 2
+    assert r["expected"] == pytest.approx(2.0, abs=1e-12)
+    assert r["z"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_ljung_box_alternating_strong_negative_r1(spark):
+    from z_rad_spark.operators.profile import ljung_box
+
+    # perfectly alternating 1,9,1,9,... -> r1 near -1, r2 near +1
+    rows = [("c1", i, "user", 1 if i % 2 == 0 else 9) for i in range(12)]
+    r = ljung_box(_turns(spark, rows), lags=5).collect()[0]
+    assert r["n"] == 12
+    # exact replay: r_k = (n^2 Sxy - n S (Sh+St) + (n-k) S^2) / (n (n SS - S^2))
+    x = [1 if i % 2 == 0 else 9 for i in range(12)]
+    n, S, SS = 12, sum(x), sum(v * v for v in x)
+    for k in range(1, 6):
+        sxy = sum(x[i] * x[i - k] for i in range(k, n))
+        sh = sum(x[i - k] for i in range(k, n))
+        st = sum(x[i] for i in range(k, n))
+        rk = (n * n * sxy - n * S * (sh + st) + (n - k) * S * S) / (n * (n * SS - S * S))
+        assert r[f"r{k}"] == pytest.approx(round(rk, 6), abs=2e-6), k
+    assert r["r1"] < -0.8 and r["r2"] > 0.7
+    q = n * (n + 2) * sum(
+        ((n * n * sum(x[i] * x[i - k] for i in range(k, n))
+          - n * S * (sum(x[i - k] for i in range(k, n)) + sum(x[i] for i in range(k, n)))
+          + (n - k) * S * S) / (n * (n * SS - S * S))) ** 2 / (n - k)
+        for k in range(1, 6))
+    assert r["q_lb"] == pytest.approx(q, rel=1e-6)
+
+
+def test_ljung_box_constant_is_null(spark):
+    from z_rad_spark.operators.profile import ljung_box
+
+    rows = [("c1", i, "user", 4) for i in range(10)]
+    r = ljung_box(_turns(spark, rows), lags=5).collect()[0]
+    assert r["q_lb"] is None and r["r1"] is None
+
+
+def test_mase_period3_signal_beats_naive(spark):
+    from z_rad_spark.operators.profile import seasonal_naive_mase
+
+    # exact period-3 pattern: seasonal naive is perfect (sad_m = 0)
+    pat = [1, 5, 9]
+    rows = [("c1", i, "user", pat[i % 3]) for i in range(9)]
+    r = seasonal_naive_mase(_turns(spark, rows), season=3).collect()[0]
+    assert r["n"] == 9 and r["sad_m"] == 0
+    assert r["mase"] == pytest.approx(0.0, abs=1e-12)
+    # naive MAE: |5-1|+|9-5|+|1-9| repeating = (4+4+8)*...: sad_1 over 8 steps
+    assert r["sad_1"] == 4 + 4 + 8 + 4 + 4 + 8 + 4 + 4
+    assert r["mae_naive"] == pytest.approx(r["sad_1"] / 8.0, rel=1e-12)

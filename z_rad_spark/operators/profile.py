@@ -2304,3 +2304,270 @@ def assoc_rules(
         ).alias("lift"),
     )
     return out.orderBy(F.col("lift").desc(), "item_a", "item_b").limit(top_k)
+
+
+def permutation_entropy(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """Order-3 permutation entropy of the signal sequence (Bandt &
+    Pompe, PRL 2002) per conversation: slide a 3-turn window along the
+    stable (ts, turn_idx) order, encode each window's ORDINAL pattern,
+    and take the Shannon entropy of the pattern distribution — the
+    complexity reading of the turn dynamics that [[runs_test]]
+    (randomness) and [[mann_kendall]] (monotone trend) do not give:
+    periodic signals concentrate on few patterns (low H), noisy ones
+    spread over all of them (high H).
+
+    Tie-coded variant: the pattern code is the 3-bit comparison word
+    code = 4*[x0 > x1] + 2*[x0 > x2] + [x1 > x2] (0..7; with ties some
+    of the 8 words collapse, which keeps the encoding total — no
+    tie-break permutation is invented). H = -sum_c p_c log2 p_c over
+    the observed codes.
+
+        h_norm = H / log2(6)     (6 = strict-order pattern count)
+
+    Determinism: codes and counts are exact integers; the entropy fold
+    runs ordered by code (at most 8 terms, each one division + one
+    log2 + one multiply), so the SQL oracle replays H bit-for-bit.
+
+    Scale: two LEADs on the shared per-conversation window, one
+    (conv_id, code) groupBy (map-side combined, state <= 8 rows per
+    conversation), one conv_id aggregate with a <= 8-element fold. No
+    per-row float math. Output: (conv_id, n_windows long, n_patterns
+    long, h double, h_norm double — NULL when n_windows = 0).
+    """
+    x = F.col(signal_col).cast("long")
+    w = _conv_window()
+    trip = (
+        df.where(x.isNotNull())
+        .select(
+            "conv_id",
+            x.alias("_x0"),
+            F.lead(x, 1).over(w).alias("_x1"),
+            F.lead(x, 2).over(w).alias("_x2"),
+        )
+        .where(F.col("_x1").isNotNull() & F.col("_x2").isNotNull())
+    )
+    code = (
+        F.when(F.col("_x0") > F.col("_x1"), F.lit(4)).otherwise(F.lit(0))
+        + F.when(F.col("_x0") > F.col("_x2"), F.lit(2)).otherwise(F.lit(0))
+        + F.when(F.col("_x1") > F.col("_x2"), F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    per_code = trip.groupBy("conv_id", code.alias("_code")).agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    g = per_code.groupBy("conv_id").agg(
+        F.sum("_c").cast("long").alias("n_windows"),
+        F.count("*").cast("long").alias("n_patterns"),
+        F.sort_array(F.collect_list(F.struct("_code", "_c"))).alias("_cs"),
+    )
+    nd = F.col("n_windows").cast("double")
+    h = -F.aggregate(
+        F.col("_cs"),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + (e["_c"].cast("double") / nd) * F.log2(e["_c"].cast("double") / nd),
+    )
+    ok = F.col("n_windows") > 0
+    return g.select(
+        "conv_id",
+        "n_windows",
+        "n_patterns",
+        F.when(ok, h).alias("h"),
+        F.when(ok, h / F.lit(math.log2(6.0))).alias("h_norm"),
+    )
+
+
+def turning_points(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """Turning-points test of serial randomness per conversation
+    (Kendall's classic nonparametric check): count interior turns T
+    where the signal is a strict local extremum, and standardize
+    against the i.i.d. null
+
+        E[T] = 2 (n - 2) / 3,   Var[T] = (16 n - 29) / 90
+
+    Too FEW turning points = trending/sticky dynamics; too MANY =
+    oscillation faster than chance (the [[oscillation]] operator's
+    test-statistic counterpart). Complements [[runs_test]], which
+    dichotomizes around the median and so misses local shape.
+
+    Determinism: T and n are exact longs (one LAG + one LEAD on the
+    stable order, strict > / < comparisons — tie plateaus are not
+    extrema); E and Var are one-division chains over integer
+    numerators, z is a two-op chain — the SQL oracle replays it
+    bit-for-bit.
+
+    Scale: one pass over the shared per-conversation window, one
+    conv_id groupBy. Output: (conv_id, n long, t_points long, expected
+    double, z double — NULL when n < 3).
+    """
+    x = F.col(signal_col).cast("long")
+    w = _conv_window()
+    lagged = df.where(x.isNotNull()).select(
+        "conv_id",
+        x.alias("_x"),
+        F.lag(x, 1).over(w).alias("_p"),
+        F.lead(x, 1).over(w).alias("_f"),
+    )
+    is_turn = (
+        F.col("_p").isNotNull()
+        & F.col("_f").isNotNull()
+        & (
+            ((F.col("_x") > F.col("_p")) & (F.col("_x") > F.col("_f")))
+            | ((F.col("_x") < F.col("_p")) & (F.col("_x") < F.col("_f")))
+        )
+    )
+    g = lagged.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.coalesce(F.sum(F.when(is_turn, F.lit(1))), F.lit(0))
+        .cast("long")
+        .alias("t_points"),
+    )
+    nd = F.col("n")
+    expected = (F.lit(2) * (nd - F.lit(2))).cast("double") / F.lit(3.0)
+    var = (F.lit(16) * nd - F.lit(29)).cast("double") / F.lit(90.0)
+    z = (F.col("t_points").cast("double") - expected) / F.sqrt(var)
+    ok = F.col("n") >= 3
+    return g.select(
+        "conv_id",
+        "n",
+        "t_points",
+        F.when(ok, expected).alias("expected"),
+        F.when(ok, z).alias("z"),
+    )
+
+
+def ljung_box(df: DataFrame, signal_col: str = "signal", lags: int = 5) -> DataFrame:
+    """Ljung-Box portmanteau test (1978) per conversation: are the
+    first `lags` autocorrelations of the signal jointly zero?
+
+        Q = n (n + 2) sum_{k=1..m} r_k^2 / (n - k)   ~ chi2(m)
+
+    The JOINT whiteness test the single-lag [[autocorrelation]]
+    operator cannot give — a conversation can pass lag-1 and still
+    carry strong period-3 tool-call cycles that only r_3 sees.
+
+    Determinism: each lag's deviation cross-moment is kept as the
+    EXACT LONG n^2 c_k = n^2 Sxy_k - n S (Sh_k + St_k) + (n - k) S^2
+    (Sxy_k = sum x_i x_{i+k}, Sh/St the head/tail sums — all exact
+    integer window sums), and n^2 c_0 = n (n SS - S^2), so every
+    r_k = (n^2 c_k) / (n^2 c_0) is ONE long-ratio division and Q is a
+    fixed m-term left chain — the SQL oracle replays everything
+    bit-for-bit. Long bound: n^2 Sxy <= 81 n^3 — exact for
+    conversations under ~480k turns (decimal(38,0) beyond).
+
+    Scale: m LAG columns on the shared per-conversation window in one
+    pass, one conv_id groupBy carrying 3m + 3 exact-long aggregates —
+    no self-join, no per-row float math. Output: (conv_id, n long,
+    r1..rm double, q_lb double, df long — NULL when n <= m or the
+    signal is constant).
+    """
+    x = F.col(signal_col).cast("long")
+    w = _conv_window()
+    cols = [x.alias("_x0")]
+    for k in range(1, lags + 1):
+        cols.append(F.lag(x, k).over(w).alias(f"_l{k}"))
+    lagged = df.where(x.isNotNull()).select("conv_id", *cols)
+    aggs = [
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_x0").cast("long").alias("_s"),
+        F.sum(F.col("_x0") * F.col("_x0")).cast("long").alias("_ss"),
+    ]
+    for k in range(1, lags + 1):
+        lk = F.col(f"_l{k}")
+        have = lk.isNotNull()
+        aggs += [
+            F.coalesce(F.sum(F.when(have, F.col("_x0") * lk)), F.lit(0))
+            .cast("long")
+            .alias(f"_sxy{k}"),
+            # head sum = the lagged values that exist (x_1..x_{n-k});
+            # tail sum = the current values paired with them
+            F.coalesce(F.sum(F.when(have, lk)), F.lit(0))
+            .cast("long")
+            .alias(f"_sh{k}"),
+            F.coalesce(F.sum(F.when(have, F.col("_x0"))), F.lit(0))
+            .cast("long")
+            .alias(f"_st{k}"),
+        ]
+    g = lagged.groupBy("conv_id").agg(*aggs)
+    n = F.col("_n")
+    s = F.col("_s")
+    c0n2 = (n * (n * F.col("_ss") - s * s)).cast("long")
+
+    def _ck_n2(k: int):
+        return (
+            n * n * F.col(f"_sxy{k}")
+            - n * s * (F.col(f"_sh{k}") + F.col(f"_st{k}"))
+            + (n - F.lit(k)) * s * s
+        ).cast("long")
+
+    rs = [(_ck_n2(k).cast("double") / c0n2.cast("double")) for k in range(1, lags + 1)]
+    nd = n.cast("double")
+    q = None
+    for k, r in enumerate(rs, start=1):
+        term = r * r / (nd - F.lit(float(k)))
+        q = term if q is None else q + term
+    q = nd * (nd + F.lit(2.0)) * q
+    ok = (n > lags) & (c0n2 > 0)
+    out = [
+        "conv_id",
+        F.col("_n").alias("n"),
+        *[F.when(ok, rs[k - 1]).alias(f"r{k}") for k in range(1, lags + 1)],
+        F.when(ok, q).alias("q_lb"),
+        F.lit(lags).cast("long").alias("df"),
+    ]
+    return g.select(*out)
+
+
+def seasonal_naive_mase(
+    df: DataFrame, signal_col: str = "signal", season: int = 3
+) -> DataFrame:
+    """Mean absolute scaled error of the season-m naive forecast
+    (Hyndman & Koehler 2006) per conversation: how much better does
+    'repeat the value from m turns ago' predict the signal than
+    'repeat the last value'?
+
+        mase = (sum_{i>=m} |x_i - x_{i-m}| / (n - m))
+             / (sum_{i>=1} |x_i - x_{i-1}| / (n - 1))
+
+    mase < 1 = the conversation carries period-m structure (the
+    model-free confirmation of what [[ljung_box]]'s r_m flags);
+    mase ~ 1 = no seasonal memory beyond the local level.
+
+    Determinism: both absolute-deviation sums are exact longs over the
+    stable order; the two MAEs are one division each and the ratio one
+    more — a three-op chain the SQL oracle replays bit-for-bit.
+
+    Scale: two LAGs on the shared per-conversation window, one conv_id
+    groupBy of two exact-long sums. Output: (conv_id, n, sad_1, sad_m
+    longs; mae_naive, mae_season, mase doubles — mase NULL when
+    n <= season or the naive MAE is 0).
+    """
+    x = F.col(signal_col).cast("long")
+    w = _conv_window()
+    lagged = df.where(x.isNotNull()).select(
+        "conv_id",
+        x.alias("_x"),
+        F.lag(x, 1).over(w).alias("_l1"),
+        F.lag(x, season).over(w).alias("_lm"),
+    )
+    g = lagged.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.coalesce(F.sum(F.abs(F.col("_x") - F.col("_l1"))), F.lit(0))
+        .cast("long")
+        .alias("sad_1"),
+        F.coalesce(F.sum(F.abs(F.col("_x") - F.col("_lm"))), F.lit(0))
+        .cast("long")
+        .alias("sad_m"),
+    )
+    n = F.col("n")
+    mae1 = F.col("sad_1").cast("double") / (n - F.lit(1)).cast("double")
+    maem = F.col("sad_m").cast("double") / (n - F.lit(season)).cast("double")
+    ok = (n > season) & (F.col("sad_1") > 0)
+    return g.select(
+        "conv_id",
+        "n",
+        "sad_1",
+        "sad_m",
+        F.when(n > 1, mae1).alias("mae_naive"),
+        F.when(n > season, maem).alias("mae_season"),
+        F.when(ok, maem / mae1).alias("mase"),
+    )
