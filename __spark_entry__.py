@@ -4959,6 +4959,49 @@ def q_mase(spark, sf_dir):
     return _r6(out, ["mae_naive", "mae_season", "mase"])
 
 
+def q_did(spark, sf_dir):
+    """Difference-in-differences on the md5 conv split x literal
+    cutoff (drift.diff_in_diff): exact long cell moments, fixed
+    did/se/t chains — oracle-replayable (md5 split included)."""
+    from z_rad_spark.operators.drift import diff_in_diff
+
+    out = diff_in_diff(_t(spark, sf_dir))
+    return _r6(out, ["m_cp", "m_ct", "m_tp", "m_tt", "did", "se", "t_stat"])
+
+
+def q_delta_ratio(spark, sf_dir):
+    """Delta-method CI for the corpus user-turn-share ratio metric
+    (drift.delta_ratio_ci): exact long per-conversation (x, y) and
+    cross-moments, fixed ratio/se/ci chains with the literal z_0.975 —
+    oracle-replayable."""
+    from z_rad_spark.operators.drift import delta_ratio_ci
+
+    out = delta_ratio_ci(_t(spark, sf_dir))
+    return _r6(out, ["ratio", "se", "lo", "hi"])
+
+
+def q_sprt(spark, sf_dir):
+    """Wald SPRT per conversation on the signal>=5 Bernoulli stream
+    (drift.sprt_bernoulli, p0=0.4 vs p1=0.6, alpha=beta=0.05): exact
+    long expanding counts, plan-time log literals, conditional-MIN
+    crossing ordinals — oracle-replayable."""
+    from z_rad_spark.operators.drift import sprt_bernoulli
+
+    out = sprt_bernoulli(_t(spark, sf_dir))
+    return _r6(out, ["llr_final"])
+
+
+def q_cindex(spark, sf_dir):
+    """Harrell's C-index for time-to-first-tool against the mean-signal
+    risk score (profile.concordance_index): exact integer cross-product
+    score comparisons over the opt-in O(k^2) conversation-summary pair
+    join, ONE final division — oracle-replayable."""
+    from z_rad_spark.operators.profile import concordance_index
+
+    out = concordance_index(_t(spark, sf_dir))
+    return _r6(out, ["c_index"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -5290,6 +5333,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_turning_points": q_turning_points,
         "q_ljung_box": q_ljung_box,
         "q_mase": q_mase,
+        "q_did": q_did,
+        "q_delta_ratio": q_delta_ratio,
+        "q_sprt": q_sprt,
+        "q_cindex": q_cindex,
     }
 
 

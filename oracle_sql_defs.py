@@ -10738,3 +10738,187 @@ SELECT conv_id, n, sad_1, sad_m,
        {r6('CASE WHEN n > 3 AND sad_1 > 0 THEN (CAST(sad_m AS DOUBLE) / CAST(n - 3 AS DOUBLE)) / (CAST(sad_1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)) END', 'mase')}
 FROM g
 """
+
+
+# Difference-in-differences on the md5 conv split x literal cutoff:
+# exact long cell moments, fixed did/se/t chains — matches
+# drift.diff_in_diff (split_expr salt 'did1', threshold '80000000')
+ORACLES["q_did"] = f"""
+WITH t AS ({T}),
+base AS (
+  SELECT CAST(signal AS BIGINT) AS x,
+         substring(md5('did1|' || conv_id), 1, 8) < '80000000' AS treat,
+         ts >= TIMESTAMP '2024-01-15 00:00:00' AS post
+  FROM t WHERE signal IS NOT NULL
+),
+g AS (
+  SELECT
+    CAST(COALESCE(COUNT(*) FILTER (WHERE NOT treat AND NOT post), 0) AS BIGINT) AS n_cp,
+    CAST(COALESCE(SUM(x) FILTER (WHERE NOT treat AND NOT post), 0) AS BIGINT) AS s_cp,
+    CAST(COALESCE(SUM(x * x) FILTER (WHERE NOT treat AND NOT post), 0) AS BIGINT) AS ss_cp,
+    CAST(COALESCE(COUNT(*) FILTER (WHERE NOT treat AND post), 0) AS BIGINT) AS n_ct,
+    CAST(COALESCE(SUM(x) FILTER (WHERE NOT treat AND post), 0) AS BIGINT) AS s_ct,
+    CAST(COALESCE(SUM(x * x) FILTER (WHERE NOT treat AND post), 0) AS BIGINT) AS ss_ct,
+    CAST(COALESCE(COUNT(*) FILTER (WHERE treat AND NOT post), 0) AS BIGINT) AS n_tp,
+    CAST(COALESCE(SUM(x) FILTER (WHERE treat AND NOT post), 0) AS BIGINT) AS s_tp,
+    CAST(COALESCE(SUM(x * x) FILTER (WHERE treat AND NOT post), 0) AS BIGINT) AS ss_tp,
+    CAST(COALESCE(COUNT(*) FILTER (WHERE treat AND post), 0) AS BIGINT) AS n_tt,
+    CAST(COALESCE(SUM(x) FILTER (WHERE treat AND post), 0) AS BIGINT) AS s_tt,
+    CAST(COALESCE(SUM(x * x) FILTER (WHERE treat AND post), 0) AS BIGINT) AS ss_tt
+  FROM base
+),
+m AS (
+  SELECT *,
+         CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE) AS m_cp,
+         CAST(s_ct AS DOUBLE) / CAST(n_ct AS DOUBLE) AS m_ct,
+         CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE) AS m_tp,
+         CAST(s_tt AS DOUBLE) / CAST(n_tt AS DOUBLE) AS m_tt,
+         CAST(n_cp * ss_cp - s_cp * s_cp AS DOUBLE) / CAST(n_cp * (n_cp - 1) AS DOUBLE) AS v_cp,
+         CAST(n_ct * ss_ct - s_ct * s_ct AS DOUBLE) / CAST(n_ct * (n_ct - 1) AS DOUBLE) AS v_ct,
+         CAST(n_tp * ss_tp - s_tp * s_tp AS DOUBLE) / CAST(n_tp * (n_tp - 1) AS DOUBLE) AS v_tp,
+         CAST(n_tt * ss_tt - s_tt * s_tt AS DOUBLE) / CAST(n_tt * (n_tt - 1) AS DOUBLE) AS v_tt
+  FROM g
+),
+f AS (
+  SELECT *,
+         (m_tt - m_tp) - (m_ct - m_cp) AS did,
+         SQRT(v_cp / CAST(n_cp AS DOUBLE) + v_ct / CAST(n_ct AS DOUBLE)
+              + v_tp / CAST(n_tp AS DOUBLE) + v_tt / CAST(n_tt AS DOUBLE)) AS se,
+         n_cp >= 2 AND n_ct >= 2 AND n_tp >= 2 AND n_tt >= 2 AS all2,
+         n_cp > 0 AND n_ct > 0 AND n_tp > 0 AND n_tt > 0 AS any0
+  FROM m
+)
+SELECT n_cp, n_ct, n_tp, n_tt,
+       {r6('CASE WHEN n_cp > 0 THEN m_cp END', 'm_cp')},
+       {r6('CASE WHEN n_ct > 0 THEN m_ct END', 'm_ct')},
+       {r6('CASE WHEN n_tp > 0 THEN m_tp END', 'm_tp')},
+       {r6('CASE WHEN n_tt > 0 THEN m_tt END', 'm_tt')},
+       {r6('CASE WHEN any0 THEN did END', 'did')},
+       {r6('CASE WHEN all2 THEN se END', 'se')},
+       {r6('CASE WHEN all2 AND se > 0 THEN did / se END', 't_stat')}
+FROM f
+"""
+
+
+# Delta-method CI for the user-turn-share ratio metric: exact long
+# per-conversation pairs and cross-moments — matches drift.delta_ratio_ci
+ORACLES["q_delta_ratio"] = f"""
+WITH t AS ({T}),
+per AS (
+  SELECT conv_id,
+         CAST(COALESCE(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END), 0) AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM t GROUP BY conv_id
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM per
+),
+f AS (
+  SELECT m, sx, sy,
+         CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+         CAST(sy AS DOUBLE) / CAST(m AS DOUBLE) AS ybar,
+         CAST(m * sxx - sx * sx AS DOUBLE) / CAST(m * (m - 1) AS DOUBLE) AS var_x,
+         CAST(m * syy - sy * sy AS DOUBLE) / CAST(m * (m - 1) AS DOUBLE) AS var_y,
+         CAST(m * sxy - sx * sy AS DOUBLE) / CAST(m * (m - 1) AS DOUBLE) AS cov,
+         CAST(m AS DOUBLE) AS md
+  FROM g
+),
+s AS (
+  SELECT m, sx, sy, r,
+         SQRT((var_x + r * r * var_y - 2.0 * r * cov) / (md * (ybar * ybar))) AS se
+  FROM f
+)
+SELECT m, sx, sy,
+       {r6('CASE WHEN sy > 0 THEN r END', 'ratio')},
+       {r6('CASE WHEN m >= 2 AND sy > 0 THEN se END', 'se')},
+       {r6('CASE WHEN m >= 2 AND sy > 0 THEN r - 1.959963984540054 * se END', 'lo')},
+       {r6('CASE WHEN m >= 2 AND sy > 0 THEN r + 1.959963984540054 * se END', 'hi')}
+FROM s
+"""
+
+
+# Wald SPRT per conversation: exact long expanding counts, plan-time
+# log literals — matches drift.sprt_bernoulli (p0=0.4, p1=0.6,
+# alpha=beta=0.05; llr_final recomputed from (n, k) — identical
+# expression to the engine's max_by of the per-row chain)
+_SPRT_L1 = repr(math.log(0.6 / 0.4))
+_SPRT_L0 = repr(math.log(0.4 / 0.6))
+_SPRT_UP = repr(math.log(0.95 / 0.05))
+_SPRT_DN = repr(math.log(0.05 / 0.95))
+ORACLES["q_sprt"] = f"""
+WITH t AS ({T}),
+p AS (
+  SELECT conv_id,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS tt,
+         CAST(SUM(CASE WHEN CAST(signal AS BIGINT) >= 5 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS k
+  FROM t WHERE signal IS NOT NULL
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+s AS (
+  SELECT conv_id, tt, k,
+         CAST(k AS DOUBLE) * {_SPRT_L1} + CAST(tt - k AS DOUBLE) * {_SPRT_L0} AS llr
+  FROM p
+),
+g AS (
+  SELECT conv_id,
+         CAST(MAX(tt) AS BIGINT) AS n,
+         CAST(MAX(k) AS BIGINT) AS k,
+         MIN(CASE WHEN llr >= {_SPRT_UP} THEN tt END) AS t_up,
+         MIN(CASE WHEN llr <= {_SPRT_DN} THEN tt END) AS t_dn
+  FROM s GROUP BY conv_id
+)
+SELECT conv_id, n, k,
+       {r6('CAST(k AS DOUBLE) * ' + _SPRT_L1 + ' + CAST(n - k AS DOUBLE) * ' + _SPRT_L0, 'llr_final')},
+       CASE WHEN t_up IS NOT NULL AND (t_dn IS NULL OR t_up < t_dn) THEN 'h1'
+            WHEN t_dn IS NOT NULL THEN 'h0'
+            ELSE 'continue' END AS decision,
+       CAST(CASE WHEN t_up IS NULL AND t_dn IS NULL THEN NULL
+                 ELSE LEAST(COALESCE(t_up, 4611686018427387904), COALESCE(t_dn, 4611686018427387904)) END AS BIGINT) AS n_decision
+FROM g
+"""
+
+
+# Harrell's C-index for time-to-first-tool vs the mean-signal score:
+# exact integer cross-product comparisons over the opt-in O(k^2) pair
+# join — matches profile.concordance_index
+ORACLES["q_cindex"] = f"""
+WITH t AS ({T}),
+per AS (
+  SELECT conv_id,
+         MIN(epoch_us(ts)) AS t0,
+         MIN(CASE WHEN role = 'tool' THEN epoch_us(ts) END) AS tev,
+         MAX(epoch_us(ts)) AS tend,
+         CAST(COALESCE(SUM(CAST(signal AS BIGINT)), 0) AS BIGINT) AS s,
+         CAST(COUNT(signal) AS BIGINT) AS n
+  FROM t GROUP BY conv_id
+),
+base AS (
+  SELECT conv_id,
+         CAST(CASE WHEN tev IS NOT NULL THEN tev - t0 ELSE tend - t0 END AS BIGINT) AS dur,
+         tev IS NOT NULL AS e, s, n
+  FROM per WHERE n > 0
+),
+pg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS comparable,
+         CAST(COALESCE(SUM(CASE WHEN a.s * b.n > b.s * a.n THEN 1 END), 0) AS BIGINT) AS concordant,
+         CAST(COALESCE(SUM(CASE WHEN a.s * b.n = b.s * a.n THEN 1 END), 0) AS BIGINT) AS tied
+  FROM base a JOIN base b ON a.dur < b.dur
+  WHERE a.e
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_conv,
+         CAST(COALESCE(SUM(CASE WHEN e THEN 1 END), 0) AS BIGINT) AS n_events
+  FROM base
+)
+SELECT tot.n_conv, tot.n_events, pg.comparable, pg.concordant, pg.tied,
+       {r6('CASE WHEN pg.comparable > 0 THEN (CAST(pg.concordant AS DOUBLE) + 0.5 * CAST(pg.tied AS DOUBLE)) / CAST(pg.comparable AS DOUBLE) END', 'c_index')}
+FROM tot, pg
+"""

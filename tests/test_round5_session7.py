@@ -5,6 +5,8 @@ import math
 
 import pytest
 
+from pyspark.sql import functions as F
+
 
 def _turns(spark, rows):
     # rows: (conv_id, turn_idx, role, signal); ts strictly increasing
@@ -208,3 +210,127 @@ def test_mase_period3_signal_beats_naive(spark):
     # naive MAE: |5-1|+|9-5|+|1-9| repeating = (4+4+8)*...: sad_1 over 8 steps
     assert r["sad_1"] == 4 + 4 + 8 + 4 + 4 + 8 + 4 + 4
     assert r["mae_naive"] == pytest.approx(r["sad_1"] / 8.0, rel=1e-12)
+
+
+def test_did_hand_computed(spark):
+    from z_rad_spark.operators.drift import diff_in_diff
+
+    # force assignment via salt-free check: build conversations and read
+    # back which cell each landed in, then verify the arithmetic from
+    # the cells the operator itself reports
+    rows = []
+    # 4 conversations x 4 turns each: 2 turns pre, 2 post
+    for ci in range(4):
+        for i in range(4):
+            rows.append((f"c{ci}", i, "user", 1 + ci + i))
+    data = [
+        (c, i, r, f"2024-01-{10 + 7 * (i // 2):02d} 00:{i:02d}:00", float(s))
+        for (c, i, r, s) in rows
+    ]
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, ts string, signal double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = diff_in_diff(df).collect()[0]
+    # cells partition all 16 turns
+    assert r["n_cp"] + r["n_ct"] + r["n_tp"] + r["n_tt"] == 16
+    if r["se"] is not None:
+        assert r["t_stat"] == pytest.approx(r["did"] / r["se"], rel=1e-9)
+
+
+def test_delta_ratio_hand_computed(spark):
+    from z_rad_spark.operators.drift import delta_ratio_ci
+
+    # c1: 2 user of 3 turns; c2: 1 user of 2 turns; c3: 0 of 1
+    rows = [
+        ("c1", 0, "user", 1), ("c1", 1, "user", 1), ("c1", 2, "assistant", 1),
+        ("c2", 0, "user", 1), ("c2", 1, "tool", 1),
+        ("c3", 0, "assistant", 1),
+    ]
+    r = delta_ratio_ci(_turns(spark, rows)).collect()[0]
+    assert r["m"] == 3 and r["sx"] == 3 and r["sy"] == 6
+    assert r["ratio"] == pytest.approx(0.5, abs=1e-12)
+    m, sx, sy = 3, 3, 6
+    sxx, syy, sxy = 4 + 1 + 0, 9 + 4 + 1, 6 + 2 + 0
+    var_x = (m * sxx - sx * sx) / (m * (m - 1))
+    var_y = (m * syy - sy * sy) / (m * (m - 1))
+    cov = (m * sxy - sx * sy) / (m * (m - 1))
+    rr, ybar = 0.5, 2.0
+    se = math.sqrt((var_x + rr * rr * var_y - 2 * rr * cov) / (m * ybar * ybar))
+    assert r["se"] == pytest.approx(se, rel=1e-12)
+    assert r["lo"] == pytest.approx(rr - 1.959963984540054 * se, rel=1e-9)
+    assert r["hi"] == pytest.approx(rr + 1.959963984540054 * se, rel=1e-9)
+
+
+def test_sprt_decides_h1_on_streak(spark):
+    from z_rad_spark.operators.drift import sprt_bernoulli
+
+    # 9 successes in a row: llr_t = t * ln(1.5) crosses ln(19) ~ 2.944
+    # at t = ceil(2.944 / 0.4055) = 8
+    rows = [("c1", i, "user", 9) for i in range(9)]
+    r = sprt_bernoulli(_turns(spark, rows)).collect()[0]
+    assert r["decision"] == "h1" and r["n_decision"] == 8
+    assert r["k"] == 9 and r["n"] == 9
+    assert r["llr_final"] == pytest.approx(9 * math.log(1.5), rel=1e-12)
+
+
+def test_sprt_decides_h0_on_failures(spark):
+    from z_rad_spark.operators.drift import sprt_bernoulli
+
+    rows = [("c1", i, "user", 1) for i in range(9)]
+    r = sprt_bernoulli(_turns(spark, rows)).collect()[0]
+    assert r["decision"] == "h0" and r["n_decision"] == 8
+    assert r["llr_final"] == pytest.approx(9 * math.log(0.4 / 0.6), rel=1e-12)
+
+
+def test_sprt_alternating_continues(spark):
+    from z_rad_spark.operators.drift import sprt_bernoulli
+
+    rows = [("c1", i, "user", 9 if i % 2 == 0 else 1) for i in range(10)]
+    r = sprt_bernoulli(_turns(spark, rows)).collect()[0]
+    assert r["decision"] == "continue" and r["n_decision"] is None
+    assert r["llr_final"] == pytest.approx(
+        5 * math.log(1.5) + 5 * math.log(0.4 / 0.6), abs=1e-12
+    )
+
+
+def test_cindex_perfect_risk_ranking(spark):
+    from z_rad_spark.operators.profile import concordance_index
+
+    # c1: event at +60s, mean signal 9 (highest risk, earliest event)
+    # c2: event at +120s, mean signal 5
+    # c3: censored at +180s, mean signal 1
+    def conv(cid, minutes, sig, with_tool):
+        out = [(cid, 0, "user", f"2024-01-01 00:00:00", sig)]
+        out.append(
+            (cid, 1, "tool" if with_tool else "user",
+             f"2024-01-01 00:{minutes:02d}:00", sig)
+        )
+        return out
+
+    data = conv("c1", 1, 9.0, True) + conv("c2", 2, 5.0, True) + conv("c3", 3, 1.0, False)
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, ts string, signal double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = concordance_index(df).collect()[0]
+    # comparable: (c1,c2), (c1,c3), (c2,c3) — all with earlier event
+    assert r["n_conv"] == 3 and r["n_events"] == 2
+    assert r["comparable"] == 3 and r["concordant"] == 3 and r["tied"] == 0
+    assert r["c_index"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_cindex_censored_first_not_comparable(spark):
+    from z_rad_spark.operators.profile import concordance_index
+
+    # only conversation with the SHORTER duration is censored -> the
+    # pair is not comparable (we cannot know its true event time)
+    data = [
+        ("c1", 0, "user", "2024-01-01 00:00:00", 9.0),
+        ("c1", 1, "user", "2024-01-01 00:01:00", 9.0),
+        ("c2", 0, "user", "2024-01-01 00:00:00", 1.0),
+        ("c2", 1, "tool", "2024-01-01 00:05:00", 1.0),
+    ]
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, ts string, signal double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = concordance_index(df).collect()[0]
+    assert r["comparable"] == 0 and r["c_index"] is None

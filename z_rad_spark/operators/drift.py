@@ -26,6 +26,8 @@ replays alarms bit-for-bit.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -2361,4 +2363,250 @@ def icc_oneway(df: DataFrame, signal_col: str = "signal") -> DataFrame:
         F.when(ok, msw).alias("msw"),
         F.when(ok, n0).alias("n0"),
         F.when(ok, icc).alias("icc"),
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    signal_col: str = "signal",
+    cutoff: str = "2024-01-15 00:00:00",
+    salt: str = "did1",
+) -> DataFrame:
+    """Difference-in-differences estimator over the transcript stream:
+    conversations are hash-assigned 50/50 to treat/control (the
+    [[split_expr]] md5 bucketing — deterministic, engine-replayable,
+    exactly the assignment a real experiment would persist), turns are
+    split pre/post at the literal cutoff timestamp, and the estimand is
+
+        did = (m_treat_post - m_treat_pre) - (m_ctrl_post - m_ctrl_pre)
+
+    with the naive independent-cells standard error
+
+        se = sqrt(v_cp/n_cp + v_ct/n_ct + v_tp/n_tp + v_tt/n_tt)
+
+    (fixed fold order: ctrl_pre, ctrl_post, treat_pre, treat_post).
+    The parallel-trends workhorse for 'did the launch move the signal
+    beyond what the control drifted?' — the causal complement to
+    [[cuped_adjusted]] (variance reduction) and event_uplift (single
+    -group before/after).
+
+    Determinism: cell sufficient statistics (n, S, SS) are exact longs;
+    each mean is one division, each variance the exact-long numerator
+    (n*SS - S^2) over n*(n-1), and did/se/t are fixed chains — the SQL
+    oracle replays everything bit-for-bit (md5 included).
+
+    Scale: ONE map-side-combined groupBy on the two derived bits (4
+    groups) — no conv_id exchange at all; the assignment is a pure
+    column expression of conv_id. Output one row: (n_cp, n_ct, n_tp,
+    n_tt longs; m_cp, m_ct, m_tp, m_tt, did, se, t_stat doubles — se/t
+    NULL when any cell has n < 2).
+    """
+    from z_rad_spark.operators.dedup import split_expr
+
+    x = F.col(signal_col).cast("long")
+    treated = (
+        split_expr(F.col("conv_id"), {"t": 0.5, "c": 0.5}, salt=salt) == "t"
+    ).alias("_treat")
+    post = (F.col("ts") >= F.lit(cutoff).cast("timestamp")).alias("_post")
+    cells = (
+        df.where(x.isNotNull())
+        .groupBy(treated, post)
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum(x).cast("long").alias("_s"),
+            F.sum(x * x).cast("long").alias("_ss"),
+        )
+    )
+    tag = (
+        F.when(~F.col("_treat") & ~F.col("_post"), F.lit("cp"))
+        .when(~F.col("_treat") & F.col("_post"), F.lit("ct"))
+        .when(F.col("_treat") & ~F.col("_post"), F.lit("tp"))
+        .otherwise(F.lit("tt"))
+    )
+    g = cells.select(tag.alias("_cell"), "_n", "_s", "_ss").groupBy().pivot(
+        "_cell", ["cp", "ct", "tp", "tt"]
+    ).agg(
+        F.first("_n").alias("n"), F.first("_s").alias("s"), F.first("_ss").alias("ss")
+    )
+    n = {c: F.coalesce(F.col(f"{c}_n"), F.lit(0)).cast("long") for c in ("cp", "ct", "tp", "tt")}
+    s = {c: F.coalesce(F.col(f"{c}_s"), F.lit(0)).cast("long") for c in ("cp", "ct", "tp", "tt")}
+    ss = {c: F.coalesce(F.col(f"{c}_ss"), F.lit(0)).cast("long") for c in ("cp", "ct", "tp", "tt")}
+    mean = {c: s[c].cast("double") / n[c].cast("double") for c in n}
+    var = {
+        c: (n[c] * ss[c] - s[c] * s[c]).cast("double")
+        / (n[c] * (n[c] - F.lit(1))).cast("double")
+        for c in n
+    }
+    did = (mean["tt"] - mean["tp"]) - (mean["ct"] - mean["cp"])
+    se = F.sqrt(
+        var["cp"] / n["cp"].cast("double")
+        + var["ct"] / n["ct"].cast("double")
+        + var["tp"] / n["tp"].cast("double")
+        + var["tt"] / n["tt"].cast("double")
+    )
+    all2 = (n["cp"] >= 2) & (n["ct"] >= 2) & (n["tp"] >= 2) & (n["tt"] >= 2)
+    any0 = (n["cp"] > 0) & (n["ct"] > 0) & (n["tp"] > 0) & (n["tt"] > 0)
+    return g.select(
+        n["cp"].alias("n_cp"),
+        n["ct"].alias("n_ct"),
+        n["tp"].alias("n_tp"),
+        n["tt"].alias("n_tt"),
+        F.when(n["cp"] > 0, mean["cp"]).alias("m_cp"),
+        F.when(n["ct"] > 0, mean["ct"]).alias("m_ct"),
+        F.when(n["tp"] > 0, mean["tp"]).alias("m_tp"),
+        F.when(n["tt"] > 0, mean["tt"]).alias("m_tt"),
+        F.when(any0, did).alias("did"),
+        F.when(all2, se).alias("se"),
+        F.when(all2 & (se > 0), did / se).alias("t_stat"),
+    )
+
+
+def delta_ratio_ci(
+    df: DataFrame,
+    num_role: str = "user",
+) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric over
+    clustered data (Deng et al., KDD 2018's ratio-metric recipe):
+    the metric is R = sum_i x_i / sum_i y_i with x_i = conversation
+    i's ``num_role`` turn count and y_i = its total turn count (i.e.
+    the corpus-level user-turn share), whose naive per-turn variance
+    is wrong because turns within a conversation are correlated —
+    the delta method on the per-CONVERSATION sums is the standard fix:
+
+        var(R) = (var_x + R^2 var_y - 2 R cov_xy) / (m ybar^2)
+        ci     = R +- 1.96 * sqrt(var(R))
+
+    Determinism: per-conversation (x, y) are exact longs; the five
+    cross-moments (Sx, Sy, Sxx, Syy, Sxy) are exact longs; var/cov use
+    the exact-long numerators (m*Sxx - Sx^2 etc. — safe to ~3e9 total
+    turns, decimal(38,0) beyond) over m*(m-1), and R/se/lo/hi are fixed
+    chains with the literal 1.959963984540054 — the SQL oracle replays
+    every value bit-for-bit.
+
+    Scale: one conv_id groupBy (shared exchange), one 1-row aggregate.
+    Output one row: (m, sx, sy longs; ratio, se, lo, hi doubles — se
+    NULL when m < 2 or Sy = 0).
+    """
+    z975 = 1.959963984540054
+    is_num = (F.col("role") == num_role).cast("long")
+    per = df.groupBy("conv_id").agg(
+        F.sum(is_num).cast("long").alias("_x"),
+        F.count("*").cast("long").alias("_y"),
+    )
+    g = per.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("_x").cast("long").alias("sx"),
+        F.sum("_y").cast("long").alias("sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
+    )
+    m = F.col("m")
+    md = m.cast("double")
+    r = F.col("sx").cast("double") / F.col("sy").cast("double")
+    ybar = F.col("sy").cast("double") / md
+    den = (m * (m - F.lit(1))).cast("double")
+    var_x = (m * F.col("_sxx") - F.col("sx") * F.col("sx")).cast("double") / den
+    var_y = (m * F.col("_syy") - F.col("sy") * F.col("sy")).cast("double") / den
+    cov = (m * F.col("_sxy") - F.col("sx") * F.col("sy")).cast("double") / den
+    se = F.sqrt((var_x + r * r * var_y - F.lit(2.0) * r * cov) / (md * (ybar * ybar)))
+    ok = (m >= 2) & (F.col("sy") > 0)
+    return g.select(
+        "m",
+        "sx",
+        "sy",
+        F.when(F.col("sy") > 0, r).alias("ratio"),
+        F.when(ok, se).alias("se"),
+        F.when(ok, r - F.lit(z975) * se).alias("lo"),
+        F.when(ok, r + F.lit(z975) * se).alias("hi"),
+    )
+
+
+def sprt_bernoulli(
+    df: DataFrame,
+    signal_col: str = "signal",
+    threshold: int = 5,
+    p0: float = 0.4,
+    p1: float = 0.6,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald's sequential probability ratio test (1945) per
+    conversation: walk the turns in stable order, score each as a
+    Bernoulli success (signal >= threshold), and accumulate the
+    log-likelihood ratio for H1: p = p1 against H0: p = p0
+
+        llr_t = k_t ln(p1/p0) + (t - k_t) ln((1-p1)/(1-p0))
+
+    stopping at the first crossing of ln((1-beta)/alpha) (accept H1)
+    or ln(beta/(1-alpha)) (accept H0). The SEQUENTIAL decision view of
+    the success rate — how fast does each conversation's evidence
+    resolve, and which never do? — complementing the fixed-sample
+    tests ([[mw_drift]], [[welch_drift]]) with the early-stopping
+    semantics an online curation loop actually runs.
+
+    Determinism: k_t and t are exact longs (expanding window sums on
+    the stable order); the two log terms are PLAN-TIME Python float
+    literals, so each llr_t is two multiplies + one add; the crossing
+    indices are conditional MINs of exact ordinals. The SQL oracle
+    embeds the identical literals and replays every llr bit-for-bit.
+
+    Scale: one expanding window over the shared per-conversation
+    frame, one conv_id groupBy — no iteration, the whole sequential
+    walk is one windowed pass. Output: (conv_id, n, k longs; llr_final
+    double; decision string 'h1'/'h0'/'continue'; n_decision long —
+    1-based turn count at the first crossing, NULL when no crossing).
+    """
+    l1 = math.log(p1 / p0)
+    l0 = math.log((1.0 - p1) / (1.0 - p0))
+    up = math.log((1.0 - beta) / alpha)
+    dn = math.log(beta / (1.0 - alpha))
+    x = F.col(signal_col).cast("long")
+    succ = F.when(x >= threshold, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("ts", "turn_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ord_w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    p = df.where(x.isNotNull()).select(
+        "conv_id",
+        F.row_number().over(ord_w).cast("long").alias("_t"),
+        F.sum(succ).over(w).cast("long").alias("_k"),
+    )
+    llr = F.col("_k").cast("double") * F.lit(l1) + (
+        F.col("_t") - F.col("_k")
+    ).cast("double") * F.lit(l0)
+    scored = p.select("conv_id", "_t", "_k", llr.alias("_llr"))
+    g = scored.groupBy("conv_id").agg(
+        F.max("_t").cast("long").alias("n"),
+        F.max("_k").cast("long").alias("k"),
+        F.max_by("_llr", "_t").alias("llr_final"),
+        F.min(F.when(F.col("_llr") >= F.lit(up), F.col("_t"))).alias("_t_up"),
+        F.min(F.when(F.col("_llr") <= F.lit(dn), F.col("_t"))).alias("_t_dn"),
+    )
+    t_up, t_dn = F.col("_t_up"), F.col("_t_dn")
+    decision = (
+        F.when(t_up.isNotNull() & (t_dn.isNull() | (t_up < t_dn)), F.lit("h1"))
+        .when(t_dn.isNotNull(), F.lit("h0"))
+        .otherwise(F.lit("continue"))
+    )
+    return g.select(
+        "conv_id",
+        "n",
+        "k",
+        "llr_final",
+        decision.alias("decision"),
+        F.least(
+            F.coalesce(t_up, F.lit(2**62)), F.coalesce(t_dn, F.lit(2**62))
+        ).alias("_td"),
+    ).select(
+        "conv_id",
+        "n",
+        "k",
+        "llr_final",
+        "decision",
+        F.when(F.col("_td") < F.lit(2**62), F.col("_td"))
+        .cast("long")
+        .alias("n_decision"),
     )

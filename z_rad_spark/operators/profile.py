@@ -2571,3 +2571,107 @@ def seasonal_naive_mase(
         F.when(n > season, maem).alias("mae_season"),
         F.when(ok, maem / mae1).alias("mase"),
     )
+
+
+def concordance_index(
+    df: DataFrame,
+    event_role: str = "tool",
+    signal_col: str = "signal",
+) -> DataFrame:
+    """Harrell's concordance index (C-index, 1982) for the
+    time-to-first-``event_role`` outcome with right censoring: does a
+    conversation's mean signal RANK its time-to-event correctly? The
+    discrimination metric for the survival family ([[kaplan_meier]]
+    estimates the curve, [[log_rank]] tests two of them; this scores a
+    RISK MODEL against the censored outcome — here the model is the
+    mean-signal score, higher = sooner event):
+
+        comparable pairs: i had the event and dur_i < dur_j
+        c = (concordant + 0.5 * score-ties) / comparable
+
+    concordant when score_i > score_j (the earlier-event conversation
+    carries the higher risk score).
+
+    Determinism: durations are exact microsecond longs (first-event or
+    last-turn censor, exactly [[kaplan_meier]]'s clock); the mean-score
+    comparison is the EXACT INTEGER cross-product test S_i n_j vs
+    S_j n_i (no division ever happens), so concordant/tied/comparable
+    are exact longs and c is ONE division — the SQL oracle replays it
+    bit-for-bit.
+
+    Scale: the pair stage is a documented OPT-IN exact baseline (the
+    [[moran]] convention): conversations collapse to one row each
+    first (the shared conv_id exchange), then a broadcast
+    range-predicate self-join over the k-row summary — k^2 pair
+    evaluations of integer comparisons (k = conversations; fine for
+    audit-scale k, quadratic by design). Output one row: (n_conv,
+    n_events, comparable, concordant, tied longs; c_index double —
+    NULL when no comparable pairs).
+    """
+    from pyspark.sql.functions import broadcast
+
+    x = F.col(signal_col).cast("long")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per = df.groupBy("conv_id").agg(
+        F.min(ts_us).alias("_t0"),
+        F.min(F.when(F.col("role") == event_role, ts_us)).alias("_tev"),
+        F.max(ts_us).alias("_tend"),
+        F.coalesce(F.sum(x), F.lit(0)).cast("long").alias("_s"),
+        F.count(x).cast("long").alias("_n"),
+    )
+    is_event = F.col("_tev").isNotNull()
+    dur = F.when(is_event, F.col("_tev") - F.col("_t0")).otherwise(
+        F.col("_tend") - F.col("_t0")
+    )
+    base = per.select(
+        "conv_id",
+        dur.cast("long").alias("_dur"),
+        is_event.alias("_e"),
+        "_s",
+        "_n",
+    ).where(F.col("_n") > 0)
+    a = base.select(
+        F.col("_dur").alias("_dur_a"),
+        F.col("_e").alias("_e_a"),
+        F.col("_s").alias("_s_a"),
+        F.col("_n").alias("_n_a"),
+    )
+    b = base.select(
+        F.col("_dur").alias("_dur_b"),
+        F.col("_s").alias("_s_b"),
+        F.col("_n").alias("_n_b"),
+    )
+    # opt-in exact O(k^2) baseline over the k-row conversation summary
+    pairs = a.join(broadcast(b), F.col("_dur_a") < F.col("_dur_b")).where(
+        F.col("_e_a")
+    )
+    lhs = F.col("_s_a") * F.col("_n_b")
+    rhs = F.col("_s_b") * F.col("_n_a")
+    pg = pairs.agg(
+        F.count("*").cast("long").alias("comparable"),
+        F.coalesce(F.sum(F.when(lhs > rhs, F.lit(1))), F.lit(0))
+        .cast("long")
+        .alias("concordant"),
+        F.coalesce(F.sum(F.when(lhs == rhs, F.lit(1))), F.lit(0))
+        .cast("long")
+        .alias("tied"),
+    )
+    tot = base.agg(
+        F.count("*").cast("long").alias("n_conv"),
+        F.coalesce(F.sum(F.when(F.col("_e"), F.lit(1))), F.lit(0))
+        .cast("long")
+        .alias("n_events"),
+    )
+    g = tot.crossJoin(broadcast(pg))
+    c = (
+        F.col("concordant").cast("double")
+        + F.lit(0.5) * F.col("tied").cast("double")
+    ) / F.col("comparable").cast("double")
+    return g.select(
+        "n_conv",
+        "n_events",
+        "comparable",
+        "concordant",
+        "tied",
+        F.when(F.col("comparable") > 0, c).alias("c_index"),
+    )
