@@ -5002,6 +5002,51 @@ def q_cindex(spark, sf_dir):
     return _r6(out, ["c_index"])
 
 
+def q_good_turing(spark, sf_dir):
+    """Good-Turing counts-of-counts re-estimation over the document
+    unigram counts (text.good_turing): exact long N_r table, two-op
+    r*/p chains, r=0 unseen-mass row — oracle-replayable."""
+    from z_rad_spark.operators.text import good_turing
+
+    out = good_turing(_docs(spark, sf_dir))
+    return _r6(out, ["r_star", "p_r"])
+
+
+def q_log_odds(spark, sf_dir):
+    """Monroe log-odds-ratio keyness with informative Dirichlet prior,
+    en vs rest (text.log_odds_keyness, a0=10, min_count=5, top-20 by
+    |z|): exact long counts, fixed delta/z chains — oracle-replayable."""
+    from z_rad_spark.operators.text import log_odds_keyness
+
+    out = log_odds_keyness(_docs(spark, sf_dir))
+    return _r6(out, ["delta", "z"])
+
+
+def q_chi2_tokens(spark, sf_dir):
+    """Chi-squared token-vs-label feature selection on document
+    frequency, en vs rest (text.chi2_token_selection, min_df=3,
+    top-20): exact long 2x2 margins, one double square, fixed chi2
+    chain — oracle-replayable."""
+    from z_rad_spark.operators.text import chi2_token_selection
+
+    out = chi2_token_selection(_docs(spark, sf_dir))
+    return _r6(out, ["chi2"])
+
+
+def q_local_clustering(spark, sf_dir):
+    """Per-node local clustering coefficient on the LSH candidate-pair
+    graph (graph.local_clustering over dedup.minhash_lsh_pairs, the
+    q_minhash_pairs setting): degree-oriented triangle credits, exact
+    long counts, one division — oracle-replayable."""
+    from z_rad_spark.operators.dedup import minhash_lsh_pairs
+    from z_rad_spark.operators.graph import local_clustering
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=3, n_hashes=8, band_size=4, max_bucket=64
+    )
+    return _r6(local_clustering(pairs), ["clustering"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -5337,6 +5382,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delta_ratio": q_delta_ratio,
         "q_sprt": q_sprt,
         "q_cindex": q_cindex,
+        "q_good_turing": q_good_turing,
+        "q_log_odds": q_log_odds,
+        "q_chi2_tokens": q_chi2_tokens,
+        "q_local_clustering": q_local_clustering,
     }
 
 

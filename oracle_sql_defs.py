@@ -10922,3 +10922,177 @@ SELECT tot.n_conv, tot.n_events, pg.comparable, pg.concordant, pg.tied,
        {r6('CASE WHEN pg.comparable > 0 THEN (CAST(pg.concordant AS DOUBLE) + 0.5 * CAST(pg.tied AS DOUBLE)) / CAST(pg.comparable AS DOUBLE) END', 'c_index')}
 FROM tot, pg
 """
+
+
+# Good-Turing counts-of-counts: exact long N_r table over the
+# normalized token stream — matches text.good_turing (max_r=5)
+ORACLES["q_good_turing"] = f"""
+WITH base AS (
+  SELECT {TOKS_DOC} AS tk FROM documents
+),
+toks AS (
+  SELECT UNNEST(list_transform(generate_series(1, len(tk) - 2),
+                i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS tok
+  FROM base WHERE len(tk) >= 3
+),
+counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+),
+cc AS (
+  SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r FROM counts GROUP BY c
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks),
+body AS (
+  SELECT a.r, a.n_r, b.n_r AS n_next, tot.n_total
+  FROM cc a LEFT JOIN cc b ON b.r = a.r + 1 CROSS JOIN tot
+  WHERE a.r >= 1 AND a.r <= 5
+),
+zero AS (
+  SELECT CAST(0 AS BIGINT) AS r,
+         CAST(COALESCE((SELECT n_r FROM cc WHERE r = 1), 0) AS BIGINT) AS n_r,
+         CAST(NULL AS BIGINT) AS n_next_raw,
+         tot.n_total
+  FROM tot
+)
+SELECT CAST(r AS BIGINT) AS r, n_r,
+       CAST(0 AS BIGINT) AS n_next,
+       CAST(NULL AS DOUBLE) AS r_star,
+       {r6('CAST(n_r AS DOUBLE) / CAST(n_total AS DOUBLE)', 'p_r')}
+FROM zero
+UNION ALL
+SELECT CAST(r AS BIGINT) AS r, n_r,
+       CAST(COALESCE(n_next, 0) AS BIGINT) AS n_next,
+       {r6('CASE WHEN n_next IS NOT NULL THEN CAST((r + 1) * n_next AS DOUBLE) / CAST(n_r AS DOUBLE) END', 'r_star')},
+       {r6('CASE WHEN n_next IS NOT NULL THEN (CAST((r + 1) * n_next AS DOUBLE) / CAST(n_r AS DOUBLE)) / CAST(n_total AS DOUBLE) END', 'p_r')}
+FROM body
+"""
+
+
+# Monroe log-odds keyness with informative Dirichlet prior (en vs
+# rest, a0=10, min_count=5, top-20 by |z| desc / token asc) — matches
+# text.log_odds_keyness
+ORACLES["q_log_odds"] = f"""
+WITH toks AS (
+  SELECT lang = 'en' AS is_a, UNNEST({TOKS_DOC}) AS tok FROM documents
+),
+per AS (
+  SELECT tok,
+         CAST(COALESCE(SUM(CASE WHEN is_a THEN 1 END), 0) AS BIGINT) AS y_a,
+         CAST(COALESCE(SUM(CASE WHEN NOT is_a THEN 1 END), 0) AS BIGINT) AS y_b
+  FROM toks GROUP BY tok
+),
+tot AS (
+  SELECT CAST(SUM(y_a) AS BIGINT) AS na, CAST(SUM(y_b) AS BIGINT) AS nb FROM per
+),
+sc AS (
+  SELECT tok, y_a, y_b,
+         CAST(y_a AS DOUBLE) AS ya, CAST(y_b AS DOUBLE) AS yb,
+         CAST(tot.na AS DOUBLE) AS nad, CAST(tot.nb AS DOUBLE) AS nbd,
+         10.0 * CAST(y_a + y_b AS DOUBLE) / CAST(tot.na + tot.nb AS DOUBLE) AS aw
+  FROM per CROSS JOIN tot
+  WHERE y_a + y_b >= 5
+),
+d AS (
+  SELECT tok, y_a, y_b,
+         LN((ya + aw) / (nad + 10.0 - ya - aw)) - LN((yb + aw) / (nbd + 10.0 - yb - aw)) AS delta,
+         (LN((ya + aw) / (nad + 10.0 - ya - aw)) - LN((yb + aw) / (nbd + 10.0 - yb - aw)))
+           / SQRT(1.0 / (ya + aw) + 1.0 / (yb + aw)) AS z
+  FROM sc
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(z) DESC, tok ASC) AS rank FROM d
+)
+SELECT tok AS token, y_a, y_b,
+       {r6('delta', 'delta')},
+       {r6('z', 'z')},
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 20
+"""
+
+
+# Chi-squared token-vs-label selection on document frequency (en vs
+# rest, min_df=3, top-20 by chi2 desc / token asc) — matches
+# text.chi2_token_selection (det squared in double, like the engine)
+ORACLES["q_chi2_tokens"] = f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, lang = 'en' AS is_a, tok
+  FROM (SELECT doc_id, lang, UNNEST({TOKS_DOC}) AS tok FROM documents)
+),
+per AS (
+  SELECT tok,
+         CAST(COALESCE(SUM(CASE WHEN is_a THEN 1 END), 0) AS BIGINT) AS df_pos,
+         CAST(COALESCE(SUM(CASE WHEN NOT is_a THEN 1 END), 0) AS BIGINT) AS df_neg
+  FROM pairs GROUP BY tok
+),
+tot AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN lang = 'en' THEN 1 END), 0) AS BIGINT) AS p,
+         CAST(COALESCE(SUM(CASE WHEN NOT (lang = 'en') THEN 1 END), 0) AS BIGINT) AS q
+  FROM documents
+),
+sc AS (
+  SELECT tok, df_pos, df_neg,
+         df_pos AS a, df_neg AS b, tot.p - df_pos AS c, tot.q - df_neg AS d,
+         tot.p, tot.q
+  FROM per CROSS JOIN tot
+  WHERE df_pos + df_neg >= 3
+),
+d AS (
+  SELECT tok, df_pos, df_neg,
+         CASE WHEN a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0 THEN
+           CAST(p + q AS DOUBLE) * (CAST(a * d - b * c AS DOUBLE) * CAST(a * d - b * c AS DOUBLE))
+             / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
+         END AS chi2
+  FROM sc
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY chi2 DESC NULLS LAST, tok ASC) AS rank FROM d
+)
+SELECT tok AS token, df_pos, df_neg,
+       {r6('chi2', 'chi2')},
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 20
+"""
+
+
+# Per-node local clustering on the LSH candidate graph: the
+# q_triangles orientation with per-corner triangle credits — matches
+# graph.local_clustering over dedup.minhash_lsh_pairs
+ORACLES["q_local_clustering"] = f"""
+WITH und AS (
+  SELECT CAST(LEAST(id_a, id_b) AS BIGINT) AS a,
+         CAST(GREATEST(id_a, id_b) AS BIGINT) AS b
+  FROM ({{PAIRS}}) pq WHERE id_a <> id_b
+),
+deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und) x
+  GROUP BY n
+),
+e AS (
+  SELECT und.a, und.b, da.d AS dda, db.d AS ddb
+  FROM und JOIN deg da ON da.n = und.a JOIN deg db ON db.n = und.b
+),
+o AS (
+  SELECT CASE WHEN dda < ddb OR (dda = ddb AND a < b) THEN a ELSE b END AS u,
+         CASE WHEN dda < ddb OR (dda = ddb AND a < b) THEN b ELSE a END AS v
+  FROM e
+),
+w AS (
+  SELECT o1.u, o1.v AS v1, o2.v AS v2
+  FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v
+),
+tri AS (
+  SELECT u, v1, v2 FROM w
+  WHERE EXISTS (SELECT 1 FROM und WHERE und.a = w.v1 AND und.b = w.v2)
+),
+credits AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS t
+  FROM (SELECT u AS n FROM tri UNION ALL SELECT v1 AS n FROM tri UNION ALL SELECT v2 AS n FROM tri) x
+  GROUP BY n
+)
+SELECT deg.n AS node, deg.d AS degree,
+       CAST(COALESCE(credits.t, 0) AS BIGINT) AS triangles,
+       {r6('CAST(2 * COALESCE(credits.t, 0) AS DOUBLE) / CAST(deg.d * (deg.d - 1) AS DOUBLE)', 'clustering')}
+FROM deg LEFT JOIN credits ON credits.n = deg.n
+WHERE deg.d >= 2
+""".replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip())

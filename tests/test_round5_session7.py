@@ -334,3 +334,79 @@ def test_cindex_censored_first_not_comparable(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     r = concordance_index(df).collect()[0]
     assert r["comparable"] == 0 and r["c_index"] is None
+
+
+def test_good_turing_hand_computed(spark):
+    from z_rad_spark.operators.text import good_turing
+
+    # docs built so trigram counts are: "a b c d" -> trigrams "a b c",
+    # "b c d"; duplicate the doc once -> both trigrams have count 2;
+    # one extra doc "x y z" -> count 1
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    out = {r["r"]: r for r in good_turing(docs).collect()}
+    # N_1 = 1 (x y z), N_2 = 2 (the two shared trigrams); N = 5 shingles
+    assert out[1]["n_r"] == 1 and out[2]["n_r"] == 2
+    assert out[0]["n_r"] == 1  # unseen mass numerator = N_1
+    assert out[0]["p_r"] == pytest.approx(1.0 / 5.0, abs=1e-12)
+    # r*=1: (1+1)*N_2/N_1 = 4; p_1 = 4/5
+    assert out[1]["r_star"] == pytest.approx(4.0, abs=1e-12)
+    assert out[1]["p_r"] == pytest.approx(0.8, abs=1e-12)
+    # r=2 has no N_3 -> degenerate NULL
+    assert out[2]["r_star"] is None
+
+
+def test_log_odds_keyness_signs(spark):
+    from z_rad_spark.operators.text import log_odds_keyness
+
+    # 'hello' dominates en, 'hallo' dominates de; both pass min_count
+    docs = spark.createDataFrame(
+        [(1, "en", "hello hello hello hello hello world"),
+         (2, "de", "hallo hallo hallo hallo hallo welt"),
+         (3, "en", "world world world"),
+         (4, "de", "welt welt welt")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["token"]: r for r in log_odds_keyness(docs, min_count=3, k=10).collect()}
+    assert out["hello"]["z"] > 0 and out["hallo"]["z"] < 0
+    assert out["hello"]["y_a"] == 5 and out["hello"]["y_b"] == 0
+    # ranks are 1..k with |z| descending
+    zs = sorted((abs(r["z"]) for r in out.values()), reverse=True)
+    by_rank = [abs(r["z"]) for r in sorted(out.values(), key=lambda r: r["rank"])]
+    assert by_rank == zs
+
+
+def test_chi2_tokens_perfect_separator(spark):
+    from z_rad_spark.operators.text import chi2_token_selection
+
+    docs = spark.createDataFrame(
+        [(i, "en", "alpha beta") for i in range(3)]
+        + [(10 + i, "de", "gamma beta") for i in range(3)],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["token"]: r for r in chi2_token_selection(docs, min_df=2, k=5).collect()}
+    # alpha: a=3,b=0,c=0,d=3 -> chi2 = 6*81/81 = 6 (perfect separator)
+    assert out["alpha"]["chi2"] == pytest.approx(6.0, abs=1e-12)
+    assert out["gamma"]["chi2"] == pytest.approx(6.0, abs=1e-12)
+    # beta is in every doc: b+d margin (c+d)(a+c)... det = 3*0-3*0... a=3,b=3,c=0,d=0
+    # margins c+d = 0 -> NULL guard
+    assert out["beta"]["chi2"] is None
+
+
+def test_local_clustering_triangle_plus_tail(spark):
+    from z_rad_spark.operators.graph import local_clustering
+
+    # triangle 1-2-3 plus tail 3-4: node 3 has degree 3, one triangle
+    # -> c = 2*1/(3*2) = 1/3; nodes 1,2 have c = 1; node 4 degree 1
+    # (excluded)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long"
+    )
+    out = {r["node"]: r for r in local_clustering(edges).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["clustering"] == pytest.approx(1.0)
+    assert out[2]["clustering"] == pytest.approx(1.0)
+    assert out[3]["degree"] == 3 and out[3]["triangles"] == 1
+    assert out[3]["clustering"] == pytest.approx(1.0 / 3.0, abs=1e-12)

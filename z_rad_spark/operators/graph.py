@@ -806,3 +806,90 @@ def adamic_adar(
         sel.append("is_edge")
     out = pairs.join(F.broadcast(du), "u").join(F.broadcast(dv), "v").select(*sel)
     return out.orderBy(F.col("aa").desc(), "u", "v").limit(top_k)
+
+
+def local_clustering(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected edge
+    list (Watts & Strogatz 1998): for each node v with degree >= 2,
+
+        c_v = 2 * tri_v / (deg_v * (deg_v - 1))
+
+    — the NODE-level reading of what [[triangle_stats]] reports
+    globally. On the LSH candidate-pair graph it separates nodes
+    embedded in duplicate cliques (c near 1: contract them) from hub
+    nodes that merely bridge many chains (c near 0: banding artifacts
+    a threshold pass should inspect before any contraction).
+
+    Algorithm: the same degree orientation as [[triangle_stats]]
+    (every edge oriented from its lower (degree, id) endpoint; wedges
+    enumerated only at each oriented source, closed against the
+    undirected set — O(m^1.5) wedge checks, hub-safe), but each closed
+    triangle then CREDITS ALL THREE corners via one explode, so the
+    per-node counts sum to 3x the global count.
+
+    Determinism: all counts are exact longs (joins + integer
+    arithmetic, id-order tie-breaks in the orientation); c_v is ONE
+    division — the SQL oracle replays the identical join plan.
+
+    Output: (node long, degree long, triangles long, clustering
+    double), one row per node with degree >= 2.
+    """
+    a, b = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+    und = (
+        edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
+        .where(F.col("_a") < F.col("_b"))
+        .distinct()
+        .persist()
+    )
+    _CACHED_FRAMES.append(und)
+    deg = (
+        und.select(F.col("_a").alias("_n"))
+        .unionByName(und.select(F.col("_b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count("*").cast("long").alias("_d"))
+        .persist()
+    )
+    _CACHED_FRAMES.append(deg)
+    e = (
+        und.join(deg.select(F.col("_n").alias("_a"), F.col("_d").alias("_da")), "_a")
+        .join(deg.select(F.col("_n").alias("_b"), F.col("_d").alias("_db")), "_b")
+    )
+    fwd = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("_a") < F.col("_b"))
+    )
+    o = e.select(
+        F.when(fwd, F.col("_a")).otherwise(F.col("_b")).alias("_u"),
+        F.when(fwd, F.col("_b")).otherwise(F.col("_a")).alias("_v"),
+    )
+    o2 = o.select(F.col("_u"), F.col("_v").alias("_v2"))
+    wedges = o.join(o2, "_u").where(F.col("_v") < F.col("_v2"))
+    tri = wedges.join(
+        und,
+        (F.col("_v") == F.col("_a")) & (F.col("_v2") == F.col("_b")),
+        "left_semi",
+    )
+    credits = (
+        tri.select(
+            F.explode(F.array(F.col("_u"), F.col("_v"), F.col("_v2"))).alias("_n")
+        )
+        .groupBy("_n")
+        .agg(F.count("*").cast("long").alias("_t"))
+    )
+    out = (
+        deg.where(F.col("_d") >= 2)
+        .join(credits, "_n", "left")
+        .select(
+            F.col("_n").alias("node"),
+            F.col("_d").alias("degree"),
+            F.coalesce(F.col("_t"), F.lit(0)).cast("long").alias("triangles"),
+            (
+                (F.lit(2) * F.coalesce(F.col("_t"), F.lit(0))).cast("double")
+                / (F.col("_d") * (F.col("_d") - F.lit(1))).cast("double")
+            ).alias("clustering"),
+        )
+    )
+    return out

@@ -1353,3 +1353,249 @@ def bpe_top_pairs(
             "rank",
         )
     )
+
+
+def good_turing(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, max_r: int = 5,
+) -> DataFrame:
+    """Good-Turing frequency re-estimation over the corpus word-n-gram
+    counts (Good 1953; the Gale & Sampson 'counts of counts' form):
+    for each low count r, the smoothed count and probability
+
+        r*  = (r + 1) N_{r+1} / N_r
+        p_r = r* / N
+
+    plus the r = 0 row carrying the UNSEEN mass p_0 = N_1 / N — the
+    quantity every smoothed LM in the engine implicitly allocates
+    ([[unigram_add_alpha]] by prior, Kneser-Ney by absolute discount;
+    this is the nonparametric estimate both are approximating).
+    Pipeline use: p_0 is the held-out OOV-rate prediction, and
+    r*/r < 1 quantifies how much singleton/doubleton counts overstate
+    themselves — the dedup-vs-diversity dial for corpus mixing.
+
+    The n-GRAM event space (default trigrams, the [[word_shingles]]
+    n=3 contract shared with the MinHash/winnowing dedup family) is
+    what gives the estimator its tail: unigram counts on a bounded
+    vocabulary have no singletons to learn from.
+
+    Determinism: shingle counts, counts-of-counts N_r, and N are exact
+    longs over the normalized token stream ([[normalize_text]]; the
+    engine-wide tokenizer contract); r* and p_r are two- and three-op
+    chains — the SQL oracle replays them bit-for-bit.
+
+    Scale: one (shingle) groupBy (map-side combined, vocab-bounded),
+    one (count) groupBy (bounded by max shingle count), one self-join
+    on r+1 over that tiny frame. Output: rows r = 0..max_r — (r long,
+    n_r long — shingles seen exactly r times (r = 0: N_1), n_next
+    long, r_star double, p_r double — NULL where N_{r+1} = 0 makes the
+    estimate degenerate; the r = 0 row sets p_r = N_1/N).
+    """
+    from .dedup import word_shingles
+
+    toks = word_shingles(
+        docs, n=n, text_col=text_col, id_col=id_col, distinct=False
+    ).select(F.col("shingle").alias("_tok"))
+    counts = toks.groupBy("_tok").agg(F.count("*").cast("long").alias("_c"))
+    cc = counts.groupBy(F.col("_c").alias("r")).agg(
+        F.count("*").cast("long").alias("n_r")
+    )
+    tot = toks.agg(F.sum(F.lit(1)).cast("long").alias("_n_total"))
+    from pyspark.sql.functions import broadcast
+
+    nxt = cc.select((F.col("r") - F.lit(1)).alias("r"), F.col("n_r").alias("n_next"))
+    j = (
+        cc.join(nxt, "r", "left")
+        .where((F.col("r") >= 1) & (F.col("r") <= max_r))
+        .crossJoin(broadcast(tot))
+    )
+    r_star = (
+        ((F.col("r") + F.lit(1)) * F.col("n_next")).cast("double")
+        / F.col("n_r").cast("double")
+    )
+    body = j.select(
+        F.col("r").cast("long").alias("r"),
+        "n_r",
+        F.coalesce(F.col("n_next"), F.lit(0)).cast("long").alias("n_next"),
+        F.when(F.col("n_next").isNotNull(), r_star).alias("r_star"),
+        F.when(
+            F.col("n_next").isNotNull(), r_star / F.col("_n_total").cast("double")
+        ).alias("p_r"),
+    )
+    n1 = counts.where(F.col("_c") == 1).agg(
+        F.count("*").cast("long").alias("_n1")
+    )
+    zero = (
+        n1.crossJoin(broadcast(tot))
+        .select(
+            F.lit(0).cast("long").alias("r"),
+            F.col("_n1").alias("n_r"),
+            F.lit(0).cast("long").alias("n_next"),
+            F.lit(None).cast("double").alias("r_star"),
+            (F.col("_n1").cast("double") / F.col("_n_total").cast("double")).alias(
+                "p_r"
+            ),
+        )
+    )
+    return zero.unionByName(body)
+
+
+def log_odds_keyness(
+    docs: DataFrame,
+    group_col: str = "lang",
+    target: str = "en",
+    text_col: str = "text",
+    a0: float = 10.0,
+    k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Monroe, Colaresi & Quinn's log-odds-ratio with informative
+    Dirichlet prior ("Fightin' Words", Political Analysis 2008): which
+    tokens distinguish the ``target`` group's documents from the rest,
+    with the corpus itself as the shrinkage prior (raw log-odds
+    over-rank rare tokens; the prior pulls them back):
+
+        a_w   = a0 * y_w / n                      (prior mass per token)
+        delta = ln((y_aw + a_w)/(n_a + a0 - y_aw - a_w))
+              - ln((y_bw + a_w)/(n_b + a0 - y_bw - a_w))
+        z     = delta / sqrt(1/(y_aw + a_w) + 1/(y_bw + a_w))
+
+    Top-k tokens by |z| (desc, token asc) with the sign saying which
+    side claims the token. The keyness complement to [[top_tokens]]
+    (raw frequency) and [[pmi_collocations]] (association): THE
+    standard 'what is this subcorpus about?' audit.
+
+    Determinism: token counts are exact longs; a_w, both logits, and z
+    are fixed chains over single casts (pooled y_w and n are exact
+    longs) — the SQL oracle replays every value bit-for-bit. Tokens
+    with pooled count < min_count are dropped before ranking (the
+    paper's sparsity guard).
+
+    Scale: one (group-flag, token) groupBy (map-side combined,
+    vocab-bounded), a 1-row totals broadcast, one vocab-sized
+    rank window. Output: (token, y_a, y_b longs; delta, z doubles;
+    rank long), k rows.
+    """
+    toks = docs.select(
+        (F.col(group_col) == target).alias("_is_a"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_tok"),
+    )
+    per = toks.groupBy("_tok").agg(
+        F.coalesce(F.sum(F.when(F.col("_is_a"), F.lit(1))), F.lit(0))
+        .cast("long")
+        .alias("y_a"),
+        F.coalesce(F.sum(F.when(~F.col("_is_a"), F.lit(1))), F.lit(0))
+        .cast("long")
+        .alias("y_b"),
+    )
+    tot = per.agg(
+        F.sum("y_a").cast("long").alias("_na"),
+        F.sum("y_b").cast("long").alias("_nb"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    j = per.where((F.col("y_a") + F.col("y_b")) >= min_count).crossJoin(
+        broadcast(tot)
+    )
+    na, nb = F.col("_na").cast("double"), F.col("_nb").cast("double")
+    ya, yb = F.col("y_a").cast("double"), F.col("y_b").cast("double")
+    yw = (F.col("y_a") + F.col("y_b")).cast("double")
+    nn = (F.col("_na") + F.col("_nb")).cast("double")
+    aw = F.lit(a0) * yw / nn
+    delta = F.log((ya + aw) / (na + F.lit(a0) - ya - aw)) - F.log(
+        (yb + aw) / (nb + F.lit(a0) - yb - aw)
+    )
+    z = delta / F.sqrt(F.lit(1.0) / (ya + aw) + F.lit(1.0) / (yb + aw))
+    scored = j.select("_tok", "y_a", "y_b", delta.alias("delta"), z.alias("z"))
+    w = Window.orderBy(F.abs(F.col("z")).desc(), F.asc("_tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(F.col("_tok").alias("token"), "y_a", "y_b", "delta", "z", "rank")
+    )
+
+
+def chi2_token_selection(
+    docs: DataFrame,
+    group_col: str = "lang",
+    target: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    min_df: int = 3,
+) -> DataFrame:
+    """Chi-squared feature selection of tokens against a binary
+    document label (``group_col == target``) — the classic
+    filter-method ranking (Yang & Pedersen, ICML 1997) on the 2x2
+    DOCUMENT-frequency contingency table per token:
+
+        chi2 = N (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d))
+
+    with a/b = labeled/unlabeled docs containing the token and c/d the
+    complements. The supervised counterpart to [[log_odds_keyness]]
+    (which weighs token MASS; this weighs document CO-OCCURRENCE —
+    robust to a single doc repeating a token thousands of times).
+
+    Determinism: a, b and the four margins are exact longs (distinct
+    (doc, token) pairs then conditional counts); ad - bc is squared in
+    DOUBLE (the exact-long square would overflow past ~55k docs per
+    cell — documented, one double multiply) and chi2 is a fixed chain
+    — the SQL oracle replays it bit-for-bit.
+
+    Scale: one distinct over (doc, token) (the df contract), one
+    token groupBy (map-side combined), a 1-row totals broadcast, one
+    vocab-sized rank window. Tokens in fewer than min_df docs are
+    dropped. Output: (token, df_pos, df_neg longs; chi2 double;
+    rank long), k rows by chi2 desc / token asc.
+    """
+    pairs = docs.select(
+        F.col(id_col).alias("_doc"),
+        (F.col(group_col) == target).alias("_is_a"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_tok"),
+    ).distinct()
+    per = pairs.groupBy("_tok").agg(
+        F.coalesce(F.sum(F.when(F.col("_is_a"), F.lit(1))), F.lit(0))
+        .cast("long")
+        .alias("df_pos"),
+        F.coalesce(F.sum(F.when(~F.col("_is_a"), F.lit(1))), F.lit(0))
+        .cast("long")
+        .alias("df_neg"),
+    )
+    tot = docs.agg(
+        F.coalesce(
+            F.sum(F.when(F.col(group_col) == target, F.lit(1))), F.lit(0)
+        )
+        .cast("long")
+        .alias("_p"),
+        F.coalesce(
+            F.sum(F.when(~(F.col(group_col) == target), F.lit(1))), F.lit(0)
+        )
+        .cast("long")
+        .alias("_q"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    j = per.where((F.col("df_pos") + F.col("df_neg")) >= min_df).crossJoin(
+        broadcast(tot)
+    )
+    a, b = F.col("df_pos"), F.col("df_neg")
+    c, d = F.col("_p") - a, F.col("_q") - b
+    det = (a * d - b * c).cast("double")
+    ntot = (F.col("_p") + F.col("_q")).cast("double")
+    den = (
+        (a + b).cast("double")
+        * (c + d).cast("double")
+        * (a + c).cast("double")
+        * (b + d).cast("double")
+    )
+    chi2 = ntot * (det * det) / den
+    ok = (a + b > 0) & (c + d > 0) & (a + c > 0) & (b + d > 0)
+    scored = j.select(
+        "_tok", "df_pos", "df_neg", F.when(ok, chi2).alias("chi2")
+    )
+    w = Window.orderBy(F.col("chi2").desc_nulls_last(), F.asc("_tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(F.col("_tok").alias("token"), "df_pos", "df_neg", "chi2", "rank")
+    )
