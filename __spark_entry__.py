@@ -5047,6 +5047,55 @@ def q_local_clustering(spark, sf_dir):
     return _r6(local_clustering(pairs), ["clustering"])
 
 
+def q_brier(spark, sf_dir):
+    """Brier score + Murphy decomposition for the hashed quality
+    classifier against lang=='en' (encoding.brier_decomposition): the
+    calibration_bins ordered-fold idiom on the 6dp-rounded probability
+    — exact counts, bit-replayable folds."""
+    from z_rad_spark.operators.curation import quality_classifier
+    from z_rad_spark.operators.encoding import brier_decomposition
+
+    scored = quality_classifier(_docs(spark, sf_dir), dims=64, seed=41)
+    labels = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("lang") == "en").alias("label_true")
+    )
+    out = brier_decomposition(scored.join(labels, "doc_id"), "prob", "label_true", 10)
+    return _r6(out, ["brier", "rel", "res", "unc", "brier_binned"])
+
+
+def q_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa with conversations as items, the first 3 scored
+    turns as positional raters, signal value as category
+    (drift.fleiss_kappa): exact long panel counts, fixed rational
+    Pbar/Pe/kappa chains — oracle-replayable."""
+    from z_rad_spark.operators.drift import fleiss_kappa
+
+    out = fleiss_kappa(_t(spark, sf_dir))
+    return _r6(out, ["pbar", "pe", "kappa"])
+
+
+def q_sample_entropy(spark, sf_dir):
+    """Sample entropy m=2, r=1 per conversation
+    (profile.sample_entropy): exact integer template-match counts over
+    the opt-in per-conversation O(len^2) pair join, one division + one
+    log — oracle-replayable."""
+    from z_rad_spark.operators.profile import sample_entropy
+
+    out = sample_entropy(_t(spark, sf_dir))
+    return _r6(out, ["sampen"])
+
+
+def q_naive_bayes(spark, sf_dir):
+    """Multinomial naive-Bayes language self-scoring with add-1
+    smoothing (text.naive_bayes_lang): exact long counts, position-
+    ordered per-doc log folds, deterministic lang-asc argmax —
+    oracle-replayable."""
+    from z_rad_spark.operators.text import naive_bayes_lang
+
+    out = naive_bayes_lang(_docs(spark, sf_dir))
+    return _r6(out, ["logprob", "margin"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -5386,6 +5435,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_log_odds": q_log_odds,
         "q_chi2_tokens": q_chi2_tokens,
         "q_local_clustering": q_local_clustering,
+        "q_brier": q_brier,
+        "q_fleiss_kappa": q_fleiss_kappa,
+        "q_sample_entropy": q_sample_entropy,
+        "q_naive_bayes": q_naive_bayes,
     }
 
 

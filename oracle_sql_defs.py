@@ -11096,3 +11096,207 @@ SELECT deg.n AS node, deg.d AS degree,
 FROM deg LEFT JOIN credits ON credits.n = deg.n
 WHERE deg.d >= 2
 """.replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip())
+
+
+# Brier score + Murphy decomposition: the q_calibration probability
+# chain, then ordered folds over the compacted (bin, p6) histogram —
+# matches encoding.brier_decomposition
+ORACLES["q_brier"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         len({TOKS_RAW}) AS n,
+         list_reduce([CAST(0.0 AS DOUBLE)] || list_transform({TOKS_RAW},
+             t -> ({_classifier_w_sql()})[CAST(('0x' || substring(md5(t), 1, 4))::BIGINT % 64 AS INT) + 1]),
+             (acc, x) -> acc + x) AS wsum
+  FROM documents
+),
+sc AS (SELECT doc_id, n, wsum / CAST(n AS DOUBLE) + 0 AS score FROM s),
+pr AS (SELECT doc_id, 1.0 / (1.0 + exp(-score)) AS prob FROM sc),
+lab AS (
+  SELECT {r6x('pr.prob')} AS p6, (d.lang = 'en') AS y
+  FROM pr JOIN documents d USING (doc_id)
+),
+hist AS (
+  SELECT LEAST(CAST(FLOOR(p6 * 10.0) AS INT), 9) AS bin, p6,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(COALESCE(SUM(CASE WHEN y THEN 1 END), 0) AS BIGINT) AS pos
+  FROM lab GROUP BY 1, 2
+),
+per_bin AS (
+  SELECT bin,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS npos,
+         list_reduce([0.0] || list(CAST(c AS DOUBLE) * p6 ORDER BY p6), (a, x) -> a + x) AS conf_sum,
+         list_reduce([0.0] || list(CAST(c AS DOUBLE) * (p6 * p6) ORDER BY p6), (a, x) -> a + x) AS sum_p2,
+         list_reduce([0.0] || list(CAST(pos AS DOUBLE) * p6 ORDER BY p6), (a, x) -> a + x) AS sum_py
+  FROM hist GROUP BY bin
+),
+bb AS (
+  SELECT bin, n, npos, sum_p2, sum_py,
+         conf_sum / CAST(n AS DOUBLE) AS conf,
+         CAST(npos AS DOUBLE) / CAST(n AS DOUBLE) AS acc
+  FROM per_bin
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(npos) AS BIGINT) AS npt FROM bb
+),
+g AS (
+  SELECT tot.nt AS n,
+         tot.npt AS n_pos,
+         list_reduce([0.0] || list(sum_p2 ORDER BY bin), (a, x) -> a + x) AS sum_p2,
+         list_reduce([0.0] || list(sum_py ORDER BY bin), (a, x) -> a + x) AS sum_py,
+         list_reduce([0.0] || list((CAST(bb.n AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+                                   * ((conf - acc) * (conf - acc)) ORDER BY bin),
+                     (a, x) -> a + x) AS rel,
+         list_reduce([0.0] || list((CAST(bb.n AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+                                   * ((acc - CAST(tot.npt AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+                                      * (acc - CAST(tot.npt AS DOUBLE) / CAST(tot.nt AS DOUBLE)))
+                                   ORDER BY bin),
+                     (a, x) -> a + x) AS res
+  FROM bb CROSS JOIN tot
+  GROUP BY tot.nt, tot.npt
+),
+f AS (
+  SELECT n, n_pos, rel, res,
+         (sum_p2 - 2.0 * sum_py + CAST(n_pos AS DOUBLE)) / CAST(n AS DOUBLE) AS brier,
+         (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+           * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS unc
+  FROM g
+)
+SELECT n, n_pos,
+       {r6('CASE WHEN n > 0 THEN brier END', 'brier')},
+       {r6('CASE WHEN n > 0 THEN rel END', 'rel')},
+       {r6('CASE WHEN n > 0 THEN res END', 'res')},
+       {r6('CASE WHEN n > 0 THEN unc END', 'unc')},
+       {r6('CASE WHEN n > 0 THEN rel - res + unc END', 'brier_binned')}
+FROM f
+"""
+
+
+# Fleiss' kappa over the first-3-scored-turn panels: exact long panel
+# counts, fixed rational chains — matches drift.fleiss_kappa
+ORACLES["q_fleiss_kappa"] = f"""
+WITH t AS ({T}),
+fn AS (
+  SELECT conv_id, CAST(signal AS BIGINT) AS cat,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
+  FROM t WHERE signal IS NOT NULL
+),
+panel AS (
+  SELECT conv_id, cat FROM fn
+  WHERE rn <= 3 AND conv_id IN (
+    SELECT conv_id FROM fn WHERE rn <= 3 GROUP BY conv_id HAVING COUNT(*) = 3
+  )
+),
+per_ic AS (
+  SELECT conv_id, cat, CAST(COUNT(*) AS BIGINT) AS nic FROM panel GROUP BY conv_id, cat
+),
+per_item AS (
+  SELECT conv_id, CAST(SUM(nic * nic) AS BIGINT) AS s_i FROM per_ic GROUP BY conv_id
+),
+per_cat AS (
+  SELECT cat, CAST(SUM(nic) AS BIGINT) AS cc FROM per_ic GROUP BY cat
+),
+g AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM per_item) AS m_items,
+         (SELECT CAST(SUM(s_i) AS BIGINT) FROM per_item) AS s,
+         (SELECT CAST(SUM(cc * cc) AS BIGINT) FROM per_cat) AS sum_c2
+),
+f AS (
+  SELECT m_items, s, sum_c2,
+         CAST(s - m_items * 3 AS DOUBLE) / CAST(m_items * 3 * 2 AS DOUBLE) AS pbar,
+         CAST(sum_c2 AS DOUBLE) / CAST((m_items * 3) * (m_items * 3) AS DOUBLE) AS pe
+  FROM g
+)
+SELECT m_items, CAST(3 AS BIGINT) AS n_raters, s, sum_c2,
+       {r6('CASE WHEN m_items > 0 THEN pbar END', 'pbar')},
+       {r6('CASE WHEN m_items > 0 THEN pe END', 'pe')},
+       {r6('CASE WHEN m_items > 0 AND pe <> 1.0 THEN (pbar - pe) / (1.0 - pe) END', 'kappa')}
+FROM f
+"""
+
+
+# Sample entropy m=2 r=1: exact integer template-match counts over the
+# per-conversation pair join — matches profile.sample_entropy
+ORACLES["q_sample_entropy"] = f"""
+WITH t AS ({T}),
+tpl AS (
+  SELECT conv_id,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
+         CAST(signal AS BIGINT) AS x0,
+         LEAD(CAST(signal AS BIGINT), 1) OVER w AS x1,
+         LEAD(CAST(signal AS BIGINT), 2) OVER w AS x2
+  FROM t WHERE signal IS NOT NULL
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+tp AS (SELECT * FROM tpl WHERE x2 IS NOT NULL),
+pg AS (
+  SELECT a.conv_id,
+         CAST(COALESCE(SUM(CASE WHEN ABS(a.x0 - b.x0) <= 1 AND ABS(a.x1 - b.x1) <= 1 THEN 1 END), 0) AS BIGINT) AS b_count,
+         CAST(COALESCE(SUM(CASE WHEN ABS(a.x0 - b.x0) <= 1 AND ABS(a.x1 - b.x1) <= 1
+                                     AND ABS(a.x2 - b.x2) <= 1 THEN 1 END), 0) AS BIGINT) AS a_count
+  FROM tp a JOIN tp b ON a.conv_id = b.conv_id AND a.i < b.i
+  GROUP BY a.conv_id
+),
+np AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM t WHERE signal IS NOT NULL GROUP BY conv_id
+)
+SELECT np.conv_id, np.n,
+       CAST(COALESCE(pg.b_count, 0) AS BIGINT) AS b_count,
+       CAST(COALESCE(pg.a_count, 0) AS BIGINT) AS a_count,
+       {r6('CASE WHEN COALESCE(pg.a_count, 0) > 0 AND COALESCE(pg.b_count, 0) > 0 THEN -LN(CAST(pg.a_count AS DOUBLE) / CAST(pg.b_count AS DOUBLE)) END', 'sampen')}
+FROM np LEFT JOIN pg ON pg.conv_id = np.conv_id
+"""
+
+
+# Multinomial naive-Bayes language self-scoring: exact long counts,
+# position-ordered per-doc log folds, lang-asc argmax — matches
+# text.naive_bayes_lang
+ORACLES["q_naive_bayes"] = f"""
+WITH d AS (SELECT doc_id, lang, {TOKS_DOC} AS tk FROM documents),
+tok AS (
+  SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS token FROM d
+),
+cnt AS (
+  SELECT d.lang, tok.token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok JOIN d USING (doc_id) GROUP BY d.lang, tok.token
+),
+n_lang AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS nl FROM cnt GROUP BY lang),
+vocab AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM cnt),
+prior AS (
+  SELECT lang,
+         LN(CAST(COUNT(*) AS DOUBLE) / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)) AS ln_prior
+  FROM documents GROUP BY lang
+),
+st AS (
+  SELECT tok.doc_id, nl.lang, tok.pos,
+         LN(CAST(COALESCE(cnt.c, 0) + 1 AS DOUBLE) / CAST(nl.nl + vocab.v AS DOUBLE)) AS lp
+  FROM tok CROSS JOIN n_lang nl
+  LEFT JOIN cnt ON cnt.lang = nl.lang AND cnt.token = tok.token
+  CROSS JOIN vocab
+),
+per AS (
+  SELECT doc_id, lang,
+         list_reduce([0.0] || list(lp ORDER BY pos), (a, x) -> a + x) AS s
+  FROM st GROUP BY doc_id, lang
+),
+scored AS (
+  SELECT per.doc_id, per.lang, prior.ln_prior + per.s AS score
+  FROM per JOIN prior USING (lang)
+),
+ranked AS (
+  SELECT doc_id, lang, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rk,
+         LEAD(score) OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS runner
+  FROM scored
+)
+SELECT CAST(r.doc_id AS BIGINT) AS doc_id,
+       d2.lang AS actual,
+       r.lang AS pred,
+       {r6('r.score', 'logprob')},
+       r.lang = d2.lang AS correct,
+       {r6('r.score - r.runner', 'margin')}
+FROM ranked r JOIN documents d2 ON d2.doc_id = r.doc_id
+WHERE r.rk = 1
+"""

@@ -410,3 +410,98 @@ def test_local_clustering_triangle_plus_tail(spark):
     assert out[2]["clustering"] == pytest.approx(1.0)
     assert out[3]["degree"] == 3 and out[3]["triangles"] == 1
     assert out[3]["clustering"] == pytest.approx(1.0 / 3.0, abs=1e-12)
+
+
+def test_brier_decomposition_hand_computed(spark):
+    from z_rad_spark.operators.encoding import brier_decomposition
+
+    # probs 0.1 (y=0), 0.1 (y=1), 0.9 (y=1), 0.9 (y=1): two bins
+    df = spark.createDataFrame(
+        [(0.1, False), (0.1, True), (0.9, True), (0.9, True)],
+        "prob double, label_true boolean",
+    )
+    r = brier_decomposition(df).collect()[0]
+    assert r["n"] == 4 and r["n_pos"] == 3
+    brier = ((0.1 - 0) ** 2 + (0.1 - 1) ** 2 + 2 * (0.9 - 1) ** 2) / 4.0
+    assert r["brier"] == pytest.approx(brier, rel=1e-9)
+    ybar = 0.75
+    # bin 1 (p=0.1): conf 0.1, acc 0.5; bin 9 (p=0.9): conf 0.9, acc 1.0
+    rel = 0.5 * (0.1 - 0.5) ** 2 + 0.5 * (0.9 - 1.0) ** 2
+    res = 0.5 * (0.5 - ybar) ** 2 + 0.5 * (1.0 - ybar) ** 2
+    unc = ybar * (1 - ybar)
+    assert r["rel"] == pytest.approx(rel, rel=1e-9)
+    assert r["res"] == pytest.approx(res, rel=1e-9)
+    assert r["unc"] == pytest.approx(unc, rel=1e-9)
+    assert r["brier_binned"] == pytest.approx(rel - res + unc, rel=1e-9)
+    # with all mass at the bin means, the decomposition is exact here
+    assert r["brier_binned"] == pytest.approx(r["brier"], abs=0.05)
+
+
+def test_fleiss_kappa_perfect_agreement(spark):
+    from z_rad_spark.operators.drift import fleiss_kappa
+
+    # every panel unanimous, but on DIFFERENT categories -> kappa = 1
+    rows = [("c1", i, "user", 2) for i in range(3)] + [
+        ("c2", i, "user", 7) for i in range(3)
+    ]
+    r = fleiss_kappa(_turns(spark, rows)).collect()[0]
+    assert r["m_items"] == 2
+    assert r["pbar"] == pytest.approx(1.0, abs=1e-12)
+    assert r["kappa"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_fleiss_kappa_hand_computed(spark):
+    from z_rad_spark.operators.drift import fleiss_kappa
+
+    # item c1 votes (2,2,7): sum nic^2 = 4+1 = 5; item c2 (7,7,7): 9
+    # Pbar = (14 - 6)/(2*3*2) = 8/12; C_2=2, C_7=4 -> Pe = (4+16)/36
+    rows = [
+        ("c1", 0, "user", 2), ("c1", 1, "user", 2), ("c1", 2, "user", 7),
+        ("c2", 0, "user", 7), ("c2", 1, "user", 7), ("c2", 2, "user", 7),
+        ("c3", 0, "user", 5),  # incomplete panel: dropped
+    ]
+    r = fleiss_kappa(_turns(spark, rows)).collect()[0]
+    assert r["m_items"] == 2 and r["s"] == 14 and r["sum_c2"] == 20
+    pbar, pe = 8.0 / 12.0, 20.0 / 36.0
+    assert r["pbar"] == pytest.approx(pbar, rel=1e-12)
+    assert r["pe"] == pytest.approx(pe, rel=1e-12)
+    assert r["kappa"] == pytest.approx((pbar - pe) / (1 - pe), rel=1e-12)
+
+
+def test_sample_entropy_constant_is_fully_regular(spark):
+    from z_rad_spark.operators.profile import sample_entropy
+
+    # constant signal: every template matches every other -> A = B,
+    # sampen = -ln(1) = 0 (perfect regularity)
+    rows = [("c1", i, "user", 4) for i in range(6)]
+    r = sample_entropy(_turns(spark, rows)).collect()[0]
+    assert r["sampen"] == pytest.approx(0.0, abs=1e-12)
+    # standard index range i <= n-3: 4 templates -> C(4,2) = 6 pairs,
+    # all matching at both m=2 and m=3 on a constant series
+    assert r["b_count"] == 6 and r["a_count"] == 6
+
+
+def test_sample_entropy_hand_computed(spark):
+    from z_rad_spark.operators.profile import sample_entropy
+
+    # 1, 2, 1, 2, 9: templates (1,2,1), (2,1,2), (1,2,9)
+    # m=2 matches: all three pairs; m=3 matches: (t1,t2) only
+    rows = [("c1", 0, "user", 1), ("c1", 1, "user", 2), ("c1", 2, "user", 1),
+            ("c1", 3, "user", 2), ("c1", 4, "user", 9)]
+    r = sample_entropy(_turns(spark, rows)).collect()[0]
+    assert r["b_count"] == 3 and r["a_count"] == 1
+    assert r["sampen"] == pytest.approx(math.log(3.0), rel=1e-12)
+
+
+def test_naive_bayes_separable_langs(spark):
+    from z_rad_spark.operators.text import naive_bayes_lang
+
+    docs = spark.createDataFrame(
+        [(1, "en", "the cat sat"), (2, "en", "the dog sat"),
+         (3, "de", "der hund sass"), (4, "de", "die katze sass")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["doc_id"]: r for r in naive_bayes_lang(docs).collect()}
+    assert all(out[i]["correct"] for i in (1, 2, 3, 4))
+    assert all(out[i]["margin"] > 0 for i in (1, 2, 3, 4))
+    assert out[1]["pred"] == "en" and out[3]["pred"] == "de"

@@ -2610,3 +2610,85 @@ def sprt_bernoulli(
         .cast("long")
         .alias("n_decision"),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    signal_col: str = "signal",
+    n_raters: int = 3,
+) -> DataFrame:
+    """Fleiss' kappa (1971) for multi-rater nominal agreement, with
+    conversations as items, the first ``n_raters`` scored turns (stable
+    order) as the positional raters, and the integer signal value as
+    the category: do a conversation's opening turns 'vote' for the
+    same signal level more than chance predicts? The k-rater
+    generalization the two-rater [[cohens_kappa]]-style q_langid_kappa
+    cannot give, and the agreement reading of the same opening-turns
+    frame [[sprt_bernoulli]] walks sequentially:
+
+        Pbar = (S - M n) / (M n (n - 1)),  S = sum_i sum_c n_ic^2
+        Pe   = sum_c (C_c / (M n))^2
+        kappa = (Pbar - Pe) / (1 - Pe)
+
+    Items with fewer than n_raters scored turns are dropped (Fleiss
+    requires complete panels).
+
+    Determinism: n_ic, S, C_c, M are exact longs, so Pbar is one
+    long-ratio division and Pe = (sum_c C_c^2) / (M n)^2 one more —
+    kappa is a fixed 3-op chain the SQL oracle replays bit-for-bit.
+    Long bound: sum C_c^2 <= (M n)^2 — exact to ~1e9 items.
+
+    Scale: one windowed rank over the shared per-conversation frame,
+    one (conv, category) groupBy, one conv groupBy, one 1-row
+    aggregate. Output one row: (m_items, n_raters, s, sum_c2 longs;
+    pbar, pe, kappa doubles — NULL when M = 0 or Pe = 1).
+    """
+    x = F.col(signal_col).cast("long")
+    ord_w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    first_n = (
+        df.where(x.isNotNull())
+        .withColumn("_rn", F.row_number().over(ord_w))
+        .where(F.col("_rn") <= n_raters)
+        .select("conv_id", x.alias("_cat"))
+    )
+    complete = (
+        first_n.groupBy("conv_id")
+        .agg(F.count("*").alias("_k"))
+        .where(F.col("_k") == n_raters)
+        .select("conv_id")
+    )
+    panel = first_n.join(complete, "conv_id")
+    per_ic = panel.groupBy("conv_id", "_cat").agg(
+        F.count("*").cast("long").alias("_nic")
+    )
+    per_item = per_ic.groupBy("conv_id").agg(
+        F.sum(F.col("_nic") * F.col("_nic")).cast("long").alias("_s_i")
+    )
+    per_cat = per_ic.groupBy("_cat").agg(F.sum("_nic").cast("long").alias("_cc"))
+    s_tot = per_item.agg(
+        F.count("*").cast("long").alias("m_items"),
+        F.sum("_s_i").cast("long").alias("s"),
+    )
+    c_tot = per_cat.agg(
+        F.sum(F.col("_cc") * F.col("_cc")).cast("long").alias("sum_c2")
+    )
+    from pyspark.sql.functions import broadcast
+
+    g = s_tot.crossJoin(broadcast(c_tot))
+    m = F.col("m_items")
+    nr = F.lit(n_raters)
+    pbar = (F.col("s") - m * nr).cast("double") / (
+        m * nr * (nr - F.lit(1))
+    ).cast("double")
+    pe = F.col("sum_c2").cast("double") / ((m * nr) * (m * nr)).cast("double")
+    kappa = (pbar - pe) / (F.lit(1.0) - pe)
+    ok = (m > 0) & (pe != F.lit(1.0))
+    return g.select(
+        "m_items",
+        F.lit(n_raters).cast("long").alias("n_raters"),
+        "s",
+        "sum_c2",
+        F.when(m > 0, pbar).alias("pbar"),
+        F.when(m > 0, pe).alias("pe"),
+        F.when(ok, kappa).alias("kappa"),
+    )

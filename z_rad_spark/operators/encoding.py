@@ -835,3 +835,121 @@ def gini_stump(
     return best.withColumn(
         "gain", F.col("gini_root") - F.col("gini_split")
     )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: str = "prob",
+    label_col: str = "label_true",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Brier score with Murphy's (1973) three-way decomposition over
+    the ``n_bins`` reliability binning:
+
+        brier = mean (p - y)^2                       (exact, unbinned)
+        REL   = sum_b (n_b/N) (conf_b - acc_b)^2     (reliability)
+        RES   = sum_b (n_b/N) (acc_b - ybar)^2       (resolution)
+        UNC   = ybar (1 - ybar)                      (uncertainty)
+
+    with REL - RES + UNC equal to the brier score computed from
+    bin-mean forecasts (it differs from the exact brier by the
+    within-bin forecast variance — both are emitted so the gap itself
+    is a diagnostic: large gap = the binning hides forecast spread).
+    The scalar companion to [[calibration_bins]]: ECE ranks miscalibration,
+    REL/RES says whether the model is miscalibrated or merely
+    uninformative — different fixes (recalibrate vs retrain).
+
+    Determinism: the [[calibration_bins]] idiom throughout — the 6dp-
+    rounded probability is the binning AND value key, per-(bin, p6)
+    counts are exact longs, and every float reduction (sum p6^2,
+    sum_{y=1} p6, per-bin conf, REL, RES) is an ordered fold over the
+    sorted compacted histogram — bit-replayable in SQL.
+
+    Output one row: (n, n_pos longs; brier, rel, res, unc,
+    brier_binned = rel - res + unc doubles — NULL when N = 0).
+    """
+    p6 = F.round(F.col(prob_col).cast("double"), 6)
+    b = F.least(
+        F.floor(p6 * F.lit(float(n_bins))).cast("int"), F.lit(int(n_bins) - 1)
+    )
+    hist = df.groupBy(b.alias("_bin"), p6.alias("_p6")).agg(
+        F.count("*").cast("long").alias("_c"),
+        F.count(F.when(F.col(label_col).cast("boolean"), 1))
+        .cast("long")
+        .alias("_pos"),
+    )
+    per_bin = hist.groupBy("_bin").agg(
+        F.sum("_c").cast("long").alias("_n"),
+        F.sum("_pos").cast("long").alias("_npos"),
+        F.sort_array(F.collect_list(F.struct("_p6", "_c", "_pos"))).alias("_arr"),
+    )
+    conf_sum = F.aggregate(
+        F.col("_arr"),
+        F.lit(0.0),
+        lambda a, s: a + s["_c"].cast("double") * s["_p6"],
+    )
+    binned = per_bin.select(
+        "_bin",
+        "_n",
+        "_npos",
+        (conf_sum / F.col("_n").cast("double")).alias("_conf"),
+        (F.col("_npos").cast("double") / F.col("_n").cast("double")).alias("_acc"),
+        F.aggregate(
+            F.col("_arr"),
+            F.lit(0.0),
+            lambda a, s: a + s["_c"].cast("double") * (s["_p6"] * s["_p6"]),
+        ).alias("_sum_p2"),
+        F.aggregate(
+            F.col("_arr"),
+            F.lit(0.0),
+            lambda a, s: a + s["_pos"].cast("double") * s["_p6"],
+        ).alias("_sum_py"),
+    )
+    g = binned.groupBy().agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.sum("_npos").cast("long").alias("n_pos"),
+        F.sort_array(
+            F.collect_list(F.struct("_bin", "_n", "_npos", "_conf", "_acc"))
+        ).alias("_bins"),
+        # the two corpus-level float sums fold over the <= n_bins rows in
+        # bin order; each per-bin part was itself an ordered p6 fold
+        F.sort_array(F.collect_list(F.struct("_bin", "_sum_p2", "_sum_py"))).alias(
+            "_sums"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    ybar = F.col("n_pos").cast("double") / nd
+    sum_p2 = F.aggregate(
+        F.col("_sums"), F.lit(0.0), lambda a, s: a + s["_sum_p2"]
+    )
+    sum_py = F.aggregate(
+        F.col("_sums"), F.lit(0.0), lambda a, s: a + s["_sum_py"]
+    )
+    brier = (
+        sum_p2 - F.lit(2.0) * sum_py + F.col("n_pos").cast("double")
+    ) / nd
+    rel = F.aggregate(
+        F.col("_bins"),
+        F.lit(0.0),
+        lambda a, s: a
+        + (s["_n"].cast("double") / nd)
+        * ((s["_conf"] - s["_acc"]) * (s["_conf"] - s["_acc"])),
+    )
+    res = F.aggregate(
+        F.col("_bins"),
+        F.lit(0.0),
+        lambda a, s: a
+        + (s["_n"].cast("double") / nd)
+        * ((s["_acc"] - ybar) * (s["_acc"] - ybar)),
+    )
+    unc = ybar * (F.lit(1.0) - ybar)
+    ok = F.col("n") > 0
+    return g.select(
+        "n",
+        "n_pos",
+        F.when(ok, brier).alias("brier"),
+        F.when(ok, rel).alias("rel"),
+        F.when(ok, res).alias("res"),
+        F.when(ok, unc).alias("unc"),
+        F.when(ok, rel - res + unc).alias("brier_binned"),
+    )

@@ -2675,3 +2675,96 @@ def concordance_index(
         "tied",
         F.when(F.col("comparable") > 0, c).alias("c_index"),
     )
+
+
+def sample_entropy(
+    df: DataFrame,
+    signal_col: str = "signal",
+    r_tol: int = 1,
+) -> DataFrame:
+    """Sample entropy (Richman & Moorman 2000) of the signal sequence
+    per conversation, m = 2 with integer Chebyshev tolerance ``r_tol``:
+
+        SampEn = -ln(A / B)
+
+    where B counts template pairs i < j (i, j <= n - 3, the standard
+    Richman-Moorman index range: only templates with a defined m+1
+    extension enter EITHER count) whose length-2 windows match within
+    tolerance (|x_i - x_j| <= r and |x_{i+1} - x_{j+1}| <= r) and A
+    the same pairs extended to length-3. The regularity reading of the
+    dynamics family — [[permutation_entropy]] sees ordinal shape,
+    SampEn sees metric recurrence (a conversation can be ordinally
+    diverse yet metrically regular), and unlike approximate entropy it
+    excludes self-matches, so it is unbiased at short lengths.
+
+    Determinism: with the engine's integer signal contract and integer
+    tolerance, every match predicate is exact integer arithmetic — A
+    and B are exact longs and SampEn is one division + one log.
+
+    Scale: the pair stage is a documented OPT-IN exact baseline (the
+    [[moran]] / [[concordance_index]] convention): a per-conversation
+    self-join on the shared conv_id exchange — O(len^2) comparisons
+    per conversation, quadratic in conversation LENGTH by design
+    (corpus size only enters linearly through the conversation count).
+    Output: (conv_id, n long, b_count, a_count longs; sampen double —
+    NULL when A = 0 or B = 0, where the estimator is undefined).
+    """
+    x = F.col(signal_col).cast("long")
+    w = _conv_window()
+    tpl = (
+        df.where(x.isNotNull())
+        .select(
+            "conv_id",
+            F.row_number().over(w).cast("long").alias("_i"),
+            x.alias("_x0"),
+            F.lead(x, 1).over(w).alias("_x1"),
+            F.lead(x, 2).over(w).alias("_x2"),
+        )
+        .where(F.col("_x2").isNotNull())
+    )
+    a = tpl.select(
+        "conv_id",
+        F.col("_i").alias("_ia"),
+        F.col("_x0").alias("_a0"),
+        F.col("_x1").alias("_a1"),
+        F.col("_x2").alias("_a2"),
+    )
+    bb = tpl.select(
+        "conv_id",
+        F.col("_i").alias("_ib"),
+        F.col("_x0").alias("_b0"),
+        F.col("_x1").alias("_b1"),
+        F.col("_x2").alias("_b2"),
+    )
+    pairs = a.join(bb, "conv_id").where(F.col("_ia") < F.col("_ib"))
+    m2 = (F.abs(F.col("_a0") - F.col("_b0")) <= r_tol) & (
+        F.abs(F.col("_a1") - F.col("_b1")) <= r_tol
+    )
+    m3 = m2 & (F.abs(F.col("_a2") - F.col("_b2")) <= r_tol)
+    pg = pairs.groupBy("conv_id").agg(
+        F.coalesce(F.sum(F.when(m2, F.lit(1))), F.lit(0))
+        .cast("long")
+        .alias("b_count"),
+        F.coalesce(F.sum(F.when(m3, F.lit(1))), F.lit(0))
+        .cast("long")
+        .alias("a_count"),
+    )
+    n_per = df.where(x.isNotNull()).groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    out = n_per.join(pg, "conv_id", "left").select(
+        "conv_id",
+        "n",
+        F.coalesce(F.col("b_count"), F.lit(0)).cast("long").alias("b_count"),
+        F.coalesce(F.col("a_count"), F.lit(0)).cast("long").alias("a_count"),
+    )
+    ok = (F.col("a_count") > 0) & (F.col("b_count") > 0)
+    return out.withColumn(
+        "sampen",
+        F.when(
+            ok,
+            -F.log(
+                F.col("a_count").cast("double") / F.col("b_count").cast("double")
+            ),
+        ),
+    )

@@ -1599,3 +1599,110 @@ def chi2_token_selection(
         .where(F.col("rank") <= k)
         .select(F.col("_tok").alias("token"), "df_pos", "df_neg", "chi2", "rank")
     )
+
+
+def naive_bayes_lang(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial naive Bayes language scorer with add-1 smoothing
+    (the McCallum & Nigam 1998 event model), trained and scored on the
+    corpus itself (resubstitution — the standard quick audit of 'is
+    the stored lang label even consistent with the text?'; a low
+    self-accuracy flags label noise the [[confident-learning]] pass
+    should inspect):
+
+        score(d, c) = ln P(c) + sum_{t in d} ln((n_ct + 1)/(n_c + V))
+
+    predicting argmax_c score (ties broken by language asc).
+
+    Determinism: all counts (n_ct, n_c, V, doc counts) are exact
+    longs; each token's log term is a fixed 3-op chain; the per-doc
+    sum folds in TOKEN POSITION order (the [[bigram_lm]] ordered-fold
+    contract), and the prior adds once after the fold — the SQL oracle
+    replays every score bit-for-bit. The argmax compares replayed
+    doubles with a deterministic lang-asc tie-break.
+
+    Scale: one (lang, token) groupBy (vocab x langs state), one
+    positional explode joined to it (tokens x 1 rows — the candidate
+    lang fan-out happens on the VOCAB-sized count table, broadcast,
+    not the corpus), per-doc fold over collect_list(pos), and a
+    per-doc rank over n_langs rows. Output: (doc_id, actual string,
+    pred string, logprob double, correct boolean, margin double —
+    best minus runner-up score, NULL for single-lang corpora).
+    """
+    from pyspark.sql.functions import broadcast
+
+    toks = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "_pos", "_tok"
+        ),
+    )
+    labels = docs.select(F.col(id_col).alias("_doc"), F.col(group_col).alias("_actual"))
+    cnt = (
+        toks.join(labels, "_doc")
+        .groupBy("_actual", "_tok")
+        .agg(F.count("*").cast("long").alias("_c"))
+        .select(F.col("_actual").alias("_lang"), "_tok", "_c")
+    )
+    n_lang = cnt.groupBy("_lang").agg(F.sum("_c").cast("long").alias("_nl"))
+    vocab = cnt.select("_tok").distinct().agg(
+        F.count("*").cast("long").alias("_v")
+    )
+    prior = (
+        labels.groupBy(F.col("_actual").alias("_lang"))
+        .agg(F.count("*").cast("long").alias("_dc"))
+        .crossJoin(
+            broadcast(labels.agg(F.count("*").cast("long").alias("_dtot")))
+        )
+        .select(
+            "_lang",
+            F.log(
+                F.col("_dc").cast("double") / F.col("_dtot").cast("double")
+            ).alias("_ln_prior"),
+        )
+    )
+    # token-level fan-out: each (token) row of the corpus joins the
+    # BROADCAST per-lang count table once per lang
+    langs = n_lang.select("_lang")
+    tok_lang = toks.crossJoin(broadcast(langs))
+    scored_tok = (
+        tok_lang.join(broadcast(cnt), ["_lang", "_tok"], "left")
+        .join(broadcast(n_lang), "_lang")
+        .crossJoin(broadcast(vocab))
+        .select(
+            "_doc",
+            "_lang",
+            "_pos",
+            F.log(
+                (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("_nl") + F.col("_v")).cast("double")
+            ).alias("_lp"),
+        )
+    )
+    per = scored_tok.groupBy("_doc", "_lang").agg(
+        F.sort_array(F.collect_list(F.struct("_pos", "_lp"))).alias("_arr")
+    )
+    s = F.aggregate(F.col("_arr"), F.lit(0.0), lambda a, e: a + e["_lp"])
+    scored = per.join(broadcast(prior), "_lang").select(
+        "_doc", "_lang", (F.col("_ln_prior") + s).alias("_score")
+    )
+    w = Window.partitionBy("_doc").orderBy(F.col("_score").desc(), F.asc("_lang"))
+    ranked = scored.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_runner", F.lead("_score", 1).over(w)
+    )
+    best = ranked.where(F.col("_rk") == 1)
+    return (
+        best.join(labels, "_doc")
+        .select(
+            F.col("_doc").alias("doc_id"),
+            F.col("_actual").alias("actual"),
+            F.col("_lang").alias("pred"),
+            F.col("_score").alias("logprob"),
+            (F.col("_lang") == F.col("_actual")).alias("correct"),
+            (F.col("_score") - F.col("_runner")).alias("margin"),
+        )
+    )
