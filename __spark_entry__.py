@@ -5096,6 +5096,53 @@ def q_naive_bayes(spark, sf_dir):
     return _r6(out, ["logprob", "margin"])
 
 
+def q_kripp_alpha(spark, sf_dir):
+    """Krippendorff's nominal alpha over variable-size first-5-turn
+    panels (drift.krippendorff_alpha): exact long coincidence counts,
+    conv-ordered unit fold + category-ordered marginal fold —
+    oracle-replayable."""
+    from z_rad_spark.operators.drift import krippendorff_alpha
+
+    out = krippendorff_alpha(_t(spark, sf_dir))
+    return _r6(out, ["d_o", "d_e", "alpha"])
+
+
+def q_hedges_g(spark, sf_dir):
+    """Hedges' g effect size user vs assistant signal
+    (drift.hedges_g): exact long group moments, fixed pooled-SD/d/J
+    chains — oracle-replayable."""
+    from z_rad_spark.operators.drift import hedges_g
+
+    out = hedges_g(_t(spark, sf_dir))
+    return _r6(out, ["mean_a", "mean_b", "sp", "d", "g"])
+
+
+def q_grubbs(spark, sf_dir):
+    """Grubbs' max-deviation outlier statistic per role
+    (drift.grubbs_max): integer |n*x - S| argmax over the compacted
+    histogram, fixed G chain — oracle-replayable."""
+    from z_rad_spark.operators.drift import grubbs_max
+
+    out = grubbs_max(_t(spark, sf_dir))
+    return _r6(out, ["g"])
+
+
+def q_lift_curve(spark, sf_dir):
+    """Cumulative gains / lift deciles for the hashed quality
+    classifier against lang=='en' (encoding.lift_curve): deterministic
+    (prob6 desc, doc_id asc) ranking, exact cumulative counts, fixed
+    lift/capture chains — oracle-replayable."""
+    from z_rad_spark.operators.curation import quality_classifier
+    from z_rad_spark.operators.encoding import lift_curve
+
+    scored = quality_classifier(_docs(spark, sf_dir), dims=64, seed=41)
+    labels = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("lang") == "en").alias("label_true")
+    )
+    out = lift_curve(scored.join(labels, "doc_id"), "prob", "label_true")
+    return _r6(out, ["lift", "capture"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -5439,6 +5486,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fleiss_kappa": q_fleiss_kappa,
         "q_sample_entropy": q_sample_entropy,
         "q_naive_bayes": q_naive_bayes,
+        "q_kripp_alpha": q_kripp_alpha,
+        "q_hedges_g": q_hedges_g,
+        "q_grubbs": q_grubbs,
+        "q_lift_curve": q_lift_curve,
     }
 
 

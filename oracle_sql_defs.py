@@ -11300,3 +11300,187 @@ SELECT CAST(r.doc_id AS BIGINT) AS doc_id,
 FROM ranked r JOIN documents d2 ON d2.doc_id = r.doc_id
 WHERE r.rk = 1
 """
+
+
+# Krippendorff's nominal alpha over variable-size first-5-turn panels:
+# exact long coincidence counts, conv-ordered unit fold +
+# category-ordered marginal fold — matches drift.krippendorff_alpha
+ORACLES["q_kripp_alpha"] = f"""
+WITH t AS ({T}),
+fn AS (
+  SELECT conv_id, CAST(signal AS BIGINT) AS cat,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
+  FROM t WHERE signal IS NOT NULL
+),
+vals AS (SELECT conv_id, cat FROM fn WHERE rn <= 5),
+per_ic AS (
+  SELECT conv_id, cat, CAST(COUNT(*) AS BIGINT) AS nic FROM vals GROUP BY conv_id, cat
+),
+per_unit AS (
+  SELECT conv_id, CAST(SUM(nic) AS BIGINT) AS m, CAST(SUM(nic * nic) AS BIGINT) AS s2
+  FROM per_ic GROUP BY conv_id HAVING CAST(SUM(nic) AS BIGINT) >= 2
+),
+units AS (
+  SELECT conv_id, m,
+         CAST(m * m - s2 AS DOUBLE) / CAST(m - 1 AS DOUBLE) AS d_i
+  FROM per_unit
+),
+gu AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(m) AS BIGINT) AS n,
+         list_reduce([0.0] || list(d_i ORDER BY conv_id), (a, x) -> a + x) AS d_o_sum
+  FROM units
+),
+marg AS (
+  SELECT cat, CAST(COUNT(*) AS BIGINT) AS nc
+  FROM vals JOIN per_unit USING (conv_id) GROUP BY cat
+),
+margt AS (
+  SELECT cat,
+         CAST(nc * (gu.n - nc) AS DOUBLE) / CAST(gu.n * (gu.n - 1) AS DOUBLE) AS term
+  FROM marg CROSS JOIN gu
+),
+gm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+         list_reduce([0.0] || list(term ORDER BY cat), (a, x) -> a + x) AS d_e
+  FROM margt
+),
+f AS (
+  SELECT gu.n_units, gm.n_values,
+         d_o_sum / CAST(gu.n AS DOUBLE) AS d_o,
+         gm.d_e AS d_e
+  FROM gu CROSS JOIN gm
+)
+SELECT n_units, n_values,
+       {r6('CASE WHEN n_units > 0 THEN d_o END', 'd_o')},
+       {r6('CASE WHEN n_units > 0 THEN d_e END', 'd_e')},
+       {r6('CASE WHEN n_units > 0 AND d_e > 0 THEN 1.0 - d_o / d_e END', 'alpha')}
+FROM f
+"""
+
+
+# Hedges' g user-vs-assistant effect size: exact long group moments,
+# fixed pooled-SD/d/J chains — matches drift.hedges_g
+ORACLES["q_hedges_g"] = f"""
+WITH t AS ({T}),
+f AS (
+  SELECT role, CAST(signal AS BIGINT) AS x FROM t
+  WHERE signal IS NOT NULL AND role IN ('user', 'assistant')
+),
+g0 AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN role = 'user' THEN 1 END), 0) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN role = 'user' THEN x END) AS BIGINT) AS sa,
+         CAST(SUM(CASE WHEN role = 'user' THEN x * x END) AS BIGINT) AS ssa,
+         CAST(COALESCE(SUM(CASE WHEN role = 'assistant' THEN 1 END), 0) AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN role = 'assistant' THEN x END) AS BIGINT) AS sb,
+         CAST(SUM(CASE WHEN role = 'assistant' THEN x * x END) AS BIGINT) AS ssb
+  FROM f
+),
+c AS (
+  SELECT na, nb,
+         CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+         CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+         CAST(na * ssa - sa * sa AS DOUBLE) / CAST(na * (na - 1) AS DOUBLE) AS var_a,
+         CAST(nb * ssb - sb * sb AS DOUBLE) / CAST(nb * (nb - 1) AS DOUBLE) AS var_b,
+         CAST(na + nb - 2 AS DOUBLE) AS dfree
+  FROM g0
+),
+s AS (
+  SELECT na, nb, ma, mb, dfree,
+         SQRT((CAST(na - 1 AS DOUBLE) * var_a + CAST(nb - 1 AS DOUBLE) * var_b) / dfree) AS sp
+  FROM c
+)
+SELECT na AS n_a, nb AS n_b,
+       {r6('CASE WHEN na > 0 THEN ma END', 'mean_a')},
+       {r6('CASE WHEN nb > 0 THEN mb END', 'mean_b')},
+       {r6('CASE WHEN na >= 2 AND nb >= 2 AND sp > 0 THEN sp END', 'sp')},
+       {r6('CASE WHEN na >= 2 AND nb >= 2 AND sp > 0 THEN (ma - mb) / sp END', 'd')},
+       {r6('CASE WHEN na >= 2 AND nb >= 2 AND sp > 0 THEN (1.0 - 3.0 / (4.0 * dfree - 1.0)) * ((ma - mb) / sp) END', 'g')}
+FROM s
+"""
+
+
+# Grubbs' max-deviation statistic per role: exact-integer |n*x - S|
+# argmax over the compacted value histogram, fixed G chain — matches
+# drift.grubbs_max
+ORACLES["q_grubbs"] = f"""
+WITH t AS ({T}),
+hist AS (
+  SELECT role AS grp, CAST(signal AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM t WHERE signal IS NOT NULL GROUP BY role, CAST(signal AS BIGINT)
+),
+lv AS (
+  SELECT grp, v,
+         CAST(SUM(c) OVER w AS BIGINT) AS n,
+         CAST(SUM(c * v) OVER w AS BIGINT) AS s,
+         CAST(SUM(c * v * v) OVER w AS BIGINT) AS ss
+  FROM hist
+  WINDOW w AS (PARTITION BY grp)
+),
+top AS (
+  SELECT grp, v, n, s, ss,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY ABS(n * v - s) DESC, v ASC) AS rk
+  FROM lv
+),
+c AS (
+  SELECT grp, n, v,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+         SQRT(CAST(n * ss - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS sd
+  FROM top WHERE rk = 1
+)
+SELECT grp AS "group", n, v AS x_star,
+       {r6("CASE WHEN n >= 3 AND sd > 0 THEN ABS(CAST(v AS DOUBLE) - xbar) / sd END", 'g')}
+FROM c
+"""
+
+
+# Cumulative gains / lift deciles for the hashed quality classifier vs
+# lang='en': deterministic (p6 desc, doc_id asc) rank, exact cumulative
+# counts, fixed lift/capture chains — matches encoding.lift_curve over
+# curation.quality_classifier
+ORACLES["q_lift_curve"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         len({TOKS_RAW}) AS n,
+         list_reduce([CAST(0.0 AS DOUBLE)] || list_transform({TOKS_RAW},
+             t -> ({_classifier_w_sql()})[CAST(('0x' || substring(md5(t), 1, 4))::BIGINT % 64 AS INT) + 1]),
+             (acc, x) -> acc + x) AS wsum
+  FROM documents
+),
+sc AS (SELECT doc_id, wsum / CAST(n AS DOUBLE) + 0 AS score FROM s),
+pr AS (SELECT doc_id, {r6x('1.0 / (1.0 + exp(-score))')} AS p6 FROM sc),
+lab AS (
+  SELECT pr.doc_id, pr.p6, (d.lang = 'en') AS y
+  FROM pr JOIN documents d USING (doc_id)
+),
+rk AS (
+  SELECT doc_id, p6, y,
+         CAST(ROW_NUMBER() OVER (ORDER BY p6 DESC, doc_id ASC) AS BIGINT) AS rk
+  FROM lab
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+         CAST(COALESCE(SUM(CASE WHEN y THEN 1 END), 0) AS BIGINT) AS pt
+  FROM lab
+),
+dec AS (
+  SELECT CAST(FLOOR(CAST((rk.rk - 1) * 10 AS DOUBLE) / CAST(tot.nt AS DOUBLE)) AS BIGINT) AS decile, y
+  FROM rk CROSS JOIN tot
+),
+per AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CASE WHEN y THEN 1 END), 0) AS BIGINT) AS n_pos
+  FROM dec GROUP BY decile
+),
+cum AS (
+  SELECT decile, n, n_pos,
+         CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+         CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos
+  FROM per
+  WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT decile, n, n_pos, cum_n, cum_pos,
+       {r6('CASE WHEN tot.pt > 0 THEN (CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)) / (CAST(tot.pt AS DOUBLE) / CAST(tot.nt AS DOUBLE)) END', 'lift')},
+       {r6('CASE WHEN tot.pt > 0 THEN CAST(cum_pos AS DOUBLE) / CAST(tot.pt AS DOUBLE) END', 'capture')}
+FROM cum CROSS JOIN tot
+"""

@@ -1,0 +1,156 @@
+"""Round-5 session-8 operator fixtures: hand-computed expectations for
+krippendorff_alpha, hedges_g, grubbs_max, lift_curve."""
+
+import math
+
+import pytest
+
+
+def _turns(spark, rows):
+    # rows: (conv_id, turn_idx, role, signal); ts strictly increasing
+    # per conversation so the stable (ts, turn_idx) order is turn order
+    data = [
+        (c, i, r, f"2024-01-01 00:{i:02d}:00", float(s) if s is not None else None)
+        for (c, i, r, s) in rows
+    ]
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, ts string, signal double"
+    )
+    return df.withColumn("ts", df.ts.cast("timestamp"))
+
+
+def test_krippendorff_alpha_hand_computed(spark):
+    from z_rad_spark.operators.drift import krippendorff_alpha
+
+    # unit c1: categories (1, 1) -> m=2, disagreement 0
+    # unit c2: categories (1, 2) -> m=2, disagreement (4-2)/1 = 2
+    # unit c3: single rating -> dropped (m < 2)
+    # n = 4; D_o = (0 + 2)/4 = 0.5
+    # marginals over kept units: n_1 = 3, n_2 = 1
+    # D_e = 3*1/(4*3) + 1*3/(4*3) = 0.5 -> alpha = 0
+    rows = [
+        ("c1", 0, "user", 1), ("c1", 1, "user", 1),
+        ("c2", 0, "user", 1), ("c2", 1, "user", 2),
+        ("c3", 0, "user", 2),
+    ]
+    r = krippendorff_alpha(_turns(spark, rows)).collect()[0]
+    assert r["n_units"] == 2 and r["n_values"] == 2
+    assert r["d_o"] == pytest.approx(0.5, abs=1e-12)
+    assert r["d_e"] == pytest.approx(0.5, abs=1e-12)
+    assert r["alpha"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_krippendorff_alpha_perfect_agreement(spark):
+    from z_rad_spark.operators.drift import krippendorff_alpha
+
+    rows = [("c1", i, "user", 3) for i in range(3)] + [
+        ("c2", i, "user", 5) for i in range(4)
+    ]
+    r = krippendorff_alpha(_turns(spark, rows)).collect()[0]
+    assert r["d_o"] == pytest.approx(0.0, abs=1e-12)
+    assert r["alpha"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_krippendorff_alpha_caps_raters(spark):
+    from z_rad_spark.operators.drift import krippendorff_alpha
+
+    # 8 scored turns but max_raters=5: only the first 5 count
+    rows = [("c1", i, "user", 1 if i < 5 else 9) for i in range(8)]
+    r = krippendorff_alpha(_turns(spark, rows), max_raters=5).collect()[0]
+    # all five kept ratings identical -> zero observed disagreement,
+    # single category -> D_e = 0 -> alpha NULL
+    assert r["d_o"] == pytest.approx(0.0, abs=1e-12)
+    assert r["d_e"] == pytest.approx(0.0, abs=1e-12)
+    assert r["alpha"] is None
+
+
+def test_hedges_g_hand_computed(spark):
+    from z_rad_spark.operators.drift import hedges_g
+
+    # user: [1, 3] -> mean 2, var 2; assistant: [2, 2, 5] -> mean 3, var 3
+    # sp^2 = (1*2 + 2*3)/3 = 8/3; d = (2-3)/sqrt(8/3)
+    # J = 1 - 3/(4*3 - 1) = 8/11
+    rows = [
+        ("c1", 0, "user", 1), ("c1", 1, "user", 3),
+        ("c2", 0, "assistant", 2), ("c2", 1, "assistant", 2),
+        ("c2", 2, "assistant", 5),
+        ("c3", 0, "system", 99),  # other roles excluded
+    ]
+    r = hedges_g(_turns(spark, rows)).collect()[0]
+    assert r["n_a"] == 2 and r["n_b"] == 3
+    sp = math.sqrt(8.0 / 3.0)
+    assert r["sp"] == pytest.approx(sp, rel=1e-12)
+    assert r["d"] == pytest.approx(-1.0 / sp, rel=1e-12)
+    assert r["g"] == pytest.approx((8.0 / 11.0) * (-1.0 / sp), rel=1e-12)
+
+
+def test_hedges_g_zero_spread_is_null(spark):
+    from z_rad_spark.operators.drift import hedges_g
+
+    rows = [
+        ("c1", 0, "user", 4), ("c1", 1, "user", 4),
+        ("c2", 0, "assistant", 4), ("c2", 1, "assistant", 4),
+    ]
+    r = hedges_g(_turns(spark, rows)).collect()[0]
+    assert r["mean_a"] == pytest.approx(4.0)
+    assert r["sp"] is None and r["d"] is None and r["g"] is None
+
+
+def test_grubbs_hand_computed(spark):
+    from z_rad_spark.operators.drift import grubbs_max
+
+    # user: [1, 2, 9] -> mean 4, s = sqrt(19); x* = 9, G = 5/sqrt(19)
+    rows = [
+        ("c1", 0, "user", 1), ("c1", 1, "user", 2), ("c1", 2, "user", 9),
+        ("c2", 0, "assistant", 5), ("c2", 1, "assistant", 5),
+    ]
+    out = {r["group"]: r for r in grubbs_max(_turns(spark, rows)).collect()}
+    u = out["user"]
+    assert u["n"] == 3 and u["x_star"] == 9
+    assert u["g"] == pytest.approx(5.0 / math.sqrt(19.0), rel=1e-12)
+    # assistant: n=2 < 3 and s=0 -> NULL statistic
+    a = out["assistant"]
+    assert a["g"] is None
+
+
+def test_grubbs_tie_breaks_low_value(spark):
+    from z_rad_spark.operators.drift import grubbs_max
+
+    # [1, 5, 9]: both 1 and 9 deviate by 4 from mean 5 -> tie broken
+    # by value asc -> x* = 1
+    rows = [("c1", i, "user", v) for i, v in enumerate((1, 5, 9))]
+    r = grubbs_max(_turns(spark, rows)).collect()[0]
+    assert r["x_star"] == 1
+    assert r["g"] == pytest.approx(4.0 / 4.0, rel=1e-12)
+
+
+def test_lift_curve_hand_computed(spark):
+    from z_rad_spark.operators.encoding import lift_curve
+
+    # 10 docs, probs descending 0.9..0.0; positives are the top 3 plus
+    # one at rank 8 -> P = 4, N = 10; 5 quintiles of 2 rows each
+    rows = [(i, 0.9 - 0.1 * i, i in (0, 1, 2, 7)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, prob double, label_true boolean")
+    out = {r["decile"]: r for r in lift_curve(df, n_deciles=5).collect()}
+    assert len(out) == 5
+    # quintile 0: rows 0-1, both positive -> cum 2/2; lift = 1.0/(4/10)
+    assert out[0]["cum_n"] == 2 and out[0]["cum_pos"] == 2
+    assert out[0]["lift"] == pytest.approx(2.5, rel=1e-12)
+    assert out[0]["capture"] == pytest.approx(0.5, rel=1e-12)
+    # quintile 3 (rows 6-7) adds the rank-8 positive
+    assert out[3]["cum_pos"] == 4
+    assert out[3]["capture"] == pytest.approx(1.0, rel=1e-12)
+    # final quintile: lift ends at exactly 1.0 by construction
+    assert out[4]["cum_n"] == 10 and out[4]["cum_pos"] == 4
+    assert out[4]["lift"] == pytest.approx(1.0, rel=1e-12)
+
+
+def test_lift_curve_tie_break_is_deterministic(spark):
+    from z_rad_spark.operators.encoding import lift_curve
+
+    # all probs equal: ranking falls back to doc_id asc -> decile
+    # membership fixed by id
+    rows = [(i, 0.5, i < 2) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, prob double, label_true boolean")
+    out = {r["decile"]: r for r in lift_curve(df, n_deciles=2).collect()}
+    assert out[0]["n_pos"] == 2 and out[1]["n_pos"] == 0

@@ -2692,3 +2692,234 @@ def fleiss_kappa(
         F.when(m > 0, pe).alias("pe"),
         F.when(ok, kappa).alias("kappa"),
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    signal_col: str = "signal",
+    max_raters: int = 5,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) with conversations as
+    units and their first up-to-``max_raters`` scored turns as raters —
+    the agreement coefficient that, unlike [[fleiss_kappa]], admits
+    UNEQUAL panel sizes (every conversation with >= 2 scored turns
+    contributes; Fleiss drops incomplete panels):
+
+        D_o = (1/n) sum_i sum_c n_ic (m_i - n_ic) / (m_i - 1)
+        D_e = sum_c n_c (n - n_c) / (n (n - 1))
+        alpha = 1 - D_o / D_e
+
+    with m_i the unit's rater count, n = sum m_i, n_c the global
+    category marginals.
+
+    Determinism: n_ic, m_i, n_c, n are exact longs; each unit's
+    disagreement term is an exact-long numerator over (m_i - 1) — ONE
+    division — and the cross-unit reduction folds ordered by conv_id
+    (the [[icc_oneway]] convention); D_e is a category-marginal fold
+    ordered by category over exact longs. The SQL oracle replays both
+    folds bit-for-bit.
+
+    Scale: one windowed rank + two groupBys on the shared conv_id
+    exchange; the unit fold state is one struct per unit (audit-scale;
+    swap for a compensated sum past ~1e7 units). Output one row:
+    (n_units, n_values longs; d_o, d_e, alpha doubles — NULL when
+    D_e = 0 or no unit has 2+ raters).
+    """
+    x = F.col(signal_col).cast("long")
+    ord_w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    vals = (
+        df.where(x.isNotNull())
+        .withColumn("_rn", F.row_number().over(ord_w))
+        .where(F.col("_rn") <= max_raters)
+        .select("conv_id", x.alias("_cat"))
+    )
+    per_ic = vals.groupBy("conv_id", "_cat").agg(
+        F.count("*").cast("long").alias("_nic")
+    )
+    per_unit = (
+        per_ic.groupBy("conv_id")
+        .agg(
+            F.sum("_nic").cast("long").alias("_m"),
+            F.sum(F.col("_nic") * F.col("_nic")).cast("long").alias("_s2"),
+        )
+        .where(F.col("_m") >= 2)
+    )
+    # unit disagreement: sum_c n_ic (m - n_ic) = m^2 - sum_c n_ic^2
+    units = per_unit.select(
+        "conv_id",
+        "_m",
+        (
+            (F.col("_m") * F.col("_m") - F.col("_s2")).cast("double")
+            / (F.col("_m") - F.lit(1)).cast("double")
+        ).alias("_d_i"),
+    )
+    gu = units.agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.sum("_m").cast("long").alias("_n"),
+        F.sort_array(F.collect_list(F.struct("conv_id", "_d_i"))).alias("_ds"),
+    )
+    d_o_sum = F.aggregate(F.col("_ds"), F.lit(0.0), lambda a, e: a + e["_d_i"])
+    # category marginals over the SAME filtered panel rows
+    marg = (
+        vals.join(per_unit.select("conv_id"), "conv_id")
+        .groupBy("_cat")
+        .agg(F.count("*").cast("long").alias("_nc"))
+    )
+    gm = marg.agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.sort_array(F.collect_list(F.struct("_cat", "_nc"))).alias("_ms"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    g = gu.crossJoin(broadcast(gm))
+    nd = F.col("_n").cast("double")
+    d_o = d_o_sum / nd
+    d_e = F.aggregate(
+        F.col("_ms"),
+        F.lit(0.0),
+        lambda a, e: a
+        + (e["_nc"] * (F.col("_n") - e["_nc"])).cast("double")
+        / (F.col("_n") * (F.col("_n") - F.lit(1))).cast("double"),
+    )
+    ok = (F.col("n_units") > 0) & (d_e > 0)
+    return g.select(
+        "n_units",
+        "n_values",
+        F.when(F.col("n_units") > 0, d_o).alias("d_o"),
+        F.when(F.col("n_units") > 0, d_e).alias("d_e"),
+        F.when(ok, F.lit(1.0) - d_o / d_e).alias("alpha"),
+    )
+
+
+def hedges_g(
+    df: DataFrame,
+    group_col: str = "role",
+    group_a: str = "user",
+    group_b: str = "assistant",
+    value_col: str = "signal",
+) -> DataFrame:
+    """Two-sample standardized effect size: Cohen's d with the pooled
+    SD and Hedges' small-sample correction (Hedges 1981):
+
+        d = (m_a - m_b) / sp,   sp^2 = ((n_a-1)s_a^2 + (n_b-1)s_b^2) / df
+        g = J d,                J = 1 - 3 / (4 df - 1),  df = n_a+n_b-2
+
+    The magnitude companion to the existence tests ([[welch_drift]]
+    says WHETHER the roles differ, this says HOW MUCH in SD units —
+    the number a curation report should quote, since at corpus scale
+    everything is 'significant').
+
+    Determinism: per-group (n, S, SS) are exact longs; variances,
+    means, sp, d, J, g are fixed chains of single IEEE ops — the SQL
+    oracle replays them bit-for-bit.
+
+    Scale: one map-side-combined groupBy (2 rows of state), one 1-row
+    pivot. Output one row: (n_a, n_b longs; mean_a, mean_b, sp, d, g
+    doubles — NULL when either n < 2 or sp = 0).
+    """
+    x = F.col(value_col).cast("long")
+    per = (
+        df.where(x.isNotNull() & F.col(group_col).isin(group_a, group_b))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum(x).cast("long").alias("_s"),
+            F.sum(x * x).cast("long").alias("_ss"),
+        )
+    )
+    g0 = per.groupBy().pivot(group_col, [group_a, group_b]).agg(
+        F.first("_n").alias("n"), F.first("_s").alias("s"), F.first("_ss").alias("ss")
+    )
+    na = F.coalesce(F.col(f"{group_a}_n"), F.lit(0)).cast("long")
+    nb = F.coalesce(F.col(f"{group_b}_n"), F.lit(0)).cast("long")
+    sa, sb = F.col(f"{group_a}_s"), F.col(f"{group_b}_s")
+    ssa, ssb = F.col(f"{group_a}_ss"), F.col(f"{group_b}_ss")
+    ma = sa.cast("double") / na.cast("double")
+    mb = sb.cast("double") / nb.cast("double")
+    var_a = (na * ssa - sa * sa).cast("double") / (na * (na - F.lit(1))).cast(
+        "double"
+    )
+    var_b = (nb * ssb - sb * sb).cast("double") / (nb * (nb - F.lit(1))).cast(
+        "double"
+    )
+    dfree = (na + nb - F.lit(2)).cast("double")
+    sp = F.sqrt(
+        ((na - F.lit(1)).cast("double") * var_a + (nb - F.lit(1)).cast("double") * var_b)
+        / dfree
+    )
+    d = (ma - mb) / sp
+    j = F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * dfree - F.lit(1.0))
+    ok = (na >= 2) & (nb >= 2) & (sp > 0)
+    return g0.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.when(na > 0, ma).alias("mean_a"),
+        F.when(nb > 0, mb).alias("mean_b"),
+        F.when(ok, sp).alias("sp"),
+        F.when(ok, d).alias("d"),
+        F.when(ok, j * d).alias("g"),
+    )
+
+
+def grubbs_max(
+    df: DataFrame,
+    group_col: str = "role",
+    value_col: str = "signal",
+) -> DataFrame:
+    """Grubbs' maximum-deviation statistic per group (Grubbs 1950):
+
+        G = max_i |x_i - xbar| / s
+
+    the single-most-extreme-point screen — the per-GROUP outlier
+    counterpart to the per-distribution drift tests (a healthy group
+    with one wild value trips this before any KS/PSI panel moves).
+    Reported with the offending value so the audit can look at it.
+
+    Determinism: the argmax runs on the EXACT INTEGER key |n x - S|
+    (ties broken by value asc) over the compacted value histogram, so
+    the chosen x* is engine-independent; G = |x* - xbar| / s is then a
+    fixed chain over the exact longs (n, S, SS). The SQL oracle
+    replays selection and chain bit-for-bit.
+
+    Scale: one (group, value) map-side-combined groupBy; the argmax
+    window runs over the compacted histogram (value cardinality), not
+    rows. Output: (group string, n long, x_star long, g double — NULL
+    when n < 3 or s = 0).
+    """
+    x = F.col(value_col).cast("long")
+    hist = (
+        df.where(x.isNotNull())
+        .groupBy(F.col(group_col).alias("group"), x.alias("_v"))
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    w_g = Window.partitionBy("group")
+    lv = hist.select(
+        "group",
+        "_v",
+        "_c",
+        F.sum("_c").over(w_g).cast("long").alias("_n"),
+        F.sum(F.col("_c") * F.col("_v")).over(w_g).cast("long").alias("_s"),
+        F.sum(F.col("_c") * F.col("_v") * F.col("_v"))
+        .over(w_g)
+        .cast("long")
+        .alias("_ss"),
+    )
+    dev_key = F.abs(F.col("_n") * F.col("_v") - F.col("_s"))
+    w_pick = Window.partitionBy("group").orderBy(
+        dev_key.desc(), F.asc("_v")
+    )
+    top = lv.withColumn("_rk", F.row_number().over(w_pick)).where(F.col("_rk") == 1)
+    nd = F.col("_n").cast("double")
+    xbar = F.col("_s").cast("double") / nd
+    s = F.sqrt(
+        (F.col("_n") * F.col("_ss") - F.col("_s") * F.col("_s")).cast("double")
+        / (F.col("_n") * (F.col("_n") - F.lit(1))).cast("double")
+    )
+    gg = F.abs(F.col("_v").cast("double") - xbar) / s
+    ok = (F.col("_n") >= 3) & (s > 0)
+    return top.select(
+        "group",
+        F.col("_n").alias("n"),
+        F.col("_v").alias("x_star"),
+        F.when(ok, gg).alias("g"),
+    )

@@ -26,7 +26,7 @@ global, cross-conversation form.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -952,4 +952,88 @@ def brier_decomposition(
         F.when(ok, res).alias("res"),
         F.when(ok, unc).alias("unc"),
         F.when(ok, rel - res + unc).alias("brier_binned"),
+    )
+
+
+def lift_curve(
+    df: DataFrame,
+    prob_col: str = "prob",
+    label_col: str = "label_true",
+    id_col: str = "doc_id",
+    n_deciles: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table over score deciles — the
+    targeting-efficiency report for a binary classifier ('if we act on
+    the top 10% of scores, what share of all positives do we catch?'),
+    the ranking complement to [[calibration_bins]] (probability
+    meaning) and [[brier_decomposition]] (global skill):
+
+        lift_d     = (cum_pos_d / cum_n_d) / (pos_total / N)
+        capture_d  = cum_pos_d / pos_total
+
+    Rows rank by the 6dp-rounded probability DESC with id-asc
+    tie-break (fully deterministic order), then split into
+    ``n_deciles`` equal row_number buckets (bucket = floor((rank-1) *
+    D / N), sizes differ by at most one row).
+
+    Determinism: the rank key and every count are exact (the r6-
+    rounded score is the engine-wide cross-engine value contract);
+    lift/capture are fixed chains over exact longs. Bit-replayable.
+
+    Scale: one global sort of the SCORED frame (rank window) — the
+    classic gains-table cost; at corpus scale feed it a score-sampled
+    slice or raise n_deciles granularity on the compacted score
+    histogram instead. Output: (decile long, n, n_pos, cum_n, cum_pos
+    longs; lift, capture doubles), n_deciles rows ascending.
+    """
+    p6 = F.round(F.col(prob_col).cast("double"), 6)
+    w = Window.orderBy(F.col("_p6").desc(), F.asc(id_col))
+    ranked = df.select(F.col(id_col), p6.alias("_p6"), F.col(label_col)).withColumn(
+        "_rk", F.row_number().over(w).cast("long")
+    )
+    tot = ranked.agg(
+        F.count("*").cast("long").alias("_N"),
+        F.count(F.when(F.col(label_col).cast("boolean"), 1))
+        .cast("long")
+        .alias("_P"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    rb = ranked.crossJoin(broadcast(tot))
+    dec = F.floor(
+        ((F.col("_rk") - F.lit(1)) * F.lit(n_deciles)).cast("double")
+        / F.col("_N").cast("double")
+    ).cast("long")
+    per = rb.groupBy(dec.alias("decile")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.count(F.when(F.col(label_col).cast("boolean"), 1))
+        .cast("long")
+        .alias("n_pos"),
+        F.max("_N").alias("_N"),
+        F.max("_P").alias("_P"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    out = per.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(w_cum).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(w_cum).cast("long").alias("cum_pos"),
+        "_N",
+        "_P",
+    )
+    lift = (
+        F.col("cum_pos").cast("double") / F.col("cum_n").cast("double")
+    ) / (F.col("_P").cast("double") / F.col("_N").cast("double"))
+    return out.select(
+        "decile",
+        "n",
+        "n_pos",
+        "cum_n",
+        "cum_pos",
+        F.when(F.col("_P") > 0, lift).alias("lift"),
+        F.when(
+            F.col("_P") > 0,
+            F.col("cum_pos").cast("double") / F.col("_P").cast("double"),
+        ).alias("capture"),
     )
