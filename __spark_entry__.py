@@ -5143,6 +5143,50 @@ def q_lift_curve(spark, sf_dir):
     return _r6(out, ["lift", "capture"])
 
 
+def q_cohen_kappa(spark, sf_dir):
+    """Cohen's kappa between each conversation's first two scored turns
+    (drift.cohen_kappa): exact contingency longs, double-square pe —
+    oracle-replayable."""
+    from z_rad_spark.operators.drift import cohen_kappa
+
+    out = cohen_kappa(_t(spark, sf_dir))
+    return _r6(out, ["po", "pe", "kappa"])
+
+
+def q_theil_u(spark, sf_dir):
+    """Theil's U(tool-bucket | role) (drift.theil_u): exact cell longs,
+    category-ordered entropy folds — oracle-replayable."""
+    from z_rad_spark.operators.drift import theil_u
+
+    t = _t(spark, sf_dir).withColumn("_yb", F.coalesce(F.col("tool"), F.lit("none")))
+    out = theil_u(t, x_col="role", y_col="_yb")
+    return _r6(out, ["h_y", "h_y_given_x", "u"])
+
+
+def q_gk_lambda(spark, sf_dir):
+    """Goodman-Kruskal lambda(tool-bucket | role) (drift.gk_lambda):
+    pure exact-long modal counts, one division — oracle-replayable."""
+    from z_rad_spark.operators.drift import gk_lambda
+
+    t = _t(spark, sf_dir).withColumn("_yb", F.coalesce(F.col("tool"), F.lit("none")))
+    out = gk_lambda(t, x_col="role", y_col="_yb")
+    return _r6(out, ["lam"])
+
+
+def q_t_closeness(spark, sf_dir):
+    """t-closeness of each lang class's doc-length-level distribution
+    vs the corpus (curation.t_closeness, levels = min(n_chars div 64,
+    7)): exact cumulative longs, level-ordered EMD fold —
+    oracle-replayable."""
+    from z_rad_spark.operators.curation import t_closeness
+
+    d = _docs(spark, sf_dir).withColumn(
+        "sensitive", F.least(F.floor(F.col("n_chars") / F.lit(64)), F.lit(7)).cast("long")
+    )
+    out = t_closeness(d, quasi_cols=("lang",), sensitive_col="sensitive")
+    return _r6(out, ["t"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -5490,6 +5534,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hedges_g": q_hedges_g,
         "q_grubbs": q_grubbs,
         "q_lift_curve": q_lift_curve,
+        "q_cohen_kappa": q_cohen_kappa,
+        "q_theil_u": q_theil_u,
+        "q_gk_lambda": q_gk_lambda,
+        "q_t_closeness": q_t_closeness,
     }
 
 

@@ -11484,3 +11484,144 @@ SELECT decile, n, n_pos, cum_n, cum_pos,
        {r6('CASE WHEN tot.pt > 0 THEN CAST(cum_pos AS DOUBLE) / CAST(tot.pt AS DOUBLE) END', 'capture')}
 FROM cum CROSS JOIN tot
 """
+
+
+# Cohen's kappa between the first two scored turns per conversation:
+# exact contingency longs, double-square pe — matches drift.cohen_kappa
+ORACLES["q_cohen_kappa"] = f"""
+WITH t AS ({T}),
+fn AS (
+  SELECT conv_id, CAST(signal AS BIGINT) AS cat,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
+  FROM t WHERE signal IS NOT NULL
+),
+pairs AS (
+  SELECT conv_id,
+         MAX(CASE WHEN rn = 1 THEN cat END) AS a,
+         MAX(CASE WHEN rn = 2 THEN cat END) AS b,
+         COUNT(*) AS k
+  FROM fn WHERE rn <= 2 GROUP BY conv_id HAVING COUNT(*) = 2
+),
+cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY a, b),
+row_m AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ra FROM cells GROUP BY a),
+col_m AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM cells GROUP BY b),
+sp AS (
+  SELECT CAST(SUM(ra * cb) AS BIGINT) AS s
+  FROM row_m JOIN col_m ON row_m.a = col_m.b
+),
+g AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_items,
+         CAST(COALESCE(SUM(CASE WHEN a = b THEN c ELSE 0 END), 0) AS BIGINT) AS n_agree
+  FROM cells
+),
+f AS (
+  SELECT g.n_items, g.n_agree,
+         CAST(g.n_agree AS DOUBLE) / CAST(g.n_items AS DOUBLE) AS po,
+         CAST(sp.s AS DOUBLE) / (CAST(g.n_items AS DOUBLE) * CAST(g.n_items AS DOUBLE)) AS pe
+  FROM g CROSS JOIN sp
+)
+SELECT n_items, n_agree,
+       {r6('CASE WHEN n_items > 0 THEN po END', 'po')},
+       {r6('CASE WHEN n_items > 0 THEN pe END', 'pe')},
+       {r6('CASE WHEN n_items > 0 AND pe <> 1.0 THEN (po - pe) / (1.0 - pe) END', 'kappa')}
+FROM f
+"""
+
+
+# Theil's uncertainty coefficient U(tool-bucket | role): exact cell
+# longs, category-ordered entropy folds — matches drift.theil_u
+ORACLES["q_theil_u"] = f"""
+WITH t AS ({T}),
+s AS (SELECT role AS x, COALESCE(tool, 'none') AS y FROM t),
+cell AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY x, y),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cell),
+ym AS (
+  SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM cell GROUP BY y
+),
+yterm AS (
+  SELECT y, (CAST(cy AS DOUBLE) / CAST(tot.n AS DOUBLE))
+            * LN(CAST(cy AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS term
+  FROM ym CROSS JOIN tot
+),
+gy AS (
+  SELECT -list_reduce([0.0] || list(term ORDER BY y), (a, e) -> a + e) AS h_y
+  FROM yterm
+),
+xm AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM cell GROUP BY x),
+xyterm AS (
+  SELECT cell.x, cell.y,
+         (CAST(cell.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+         * LN(CAST(cell.c AS DOUBLE) / CAST(xm.cx AS DOUBLE)) AS term
+  FROM cell JOIN xm USING (x) CROSS JOIN tot
+),
+gxy AS (
+  SELECT -list_reduce([0.0] || list(term ORDER BY x, y), (a, e) -> a + e) AS h_yx
+  FROM xyterm
+)
+SELECT tot.n AS n,
+       {r6('gy.h_y', 'h_y')},
+       {r6('gxy.h_yx', 'h_y_given_x')},
+       {r6('CASE WHEN gy.h_y > 0 THEN (gy.h_y - gxy.h_yx) / gy.h_y END', 'u')}
+FROM tot CROSS JOIN gy CROSS JOIN gxy
+"""
+
+
+# Goodman-Kruskal lambda(tool-bucket | role): exact-long modal counts,
+# one division — matches drift.gk_lambda
+ORACLES["q_gk_lambda"] = f"""
+WITH t AS ({T}),
+s AS (SELECT role AS x, COALESCE(tool, 'none') AS y FROM t),
+cell AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY x, y),
+a AS (
+  SELECT CAST(SUM(mx) AS BIGINT) AS sum_modal
+  FROM (SELECT x, CAST(MAX(c) AS BIGINT) AS mx FROM cell GROUP BY x)
+),
+b AS (
+  SELECT CAST(MAX(cy) AS BIGINT) AS modal_marginal, CAST(SUM(cy) AS BIGINT) AS n
+  FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM cell GROUP BY y)
+)
+SELECT b.n, a.sum_modal, b.modal_marginal,
+       {r6('CASE WHEN b.n > b.modal_marginal THEN CAST(a.sum_modal - b.modal_marginal AS DOUBLE) / CAST(b.n - b.modal_marginal AS DOUBLE) END', 'lam')}
+FROM b CROSS JOIN a
+"""
+
+
+# t-closeness of each lang class's doc-length-level distribution vs the
+# corpus: exact cumulative longs, level-ordered EMD fold — matches
+# curation.t_closeness with sensitive = min(n_chars div 64, 7)
+ORACLES["q_t_closeness"] = f"""
+WITH d AS (
+  SELECT lang, CAST(LEAST(FLOOR(n_chars / 64), 7) AS BIGINT) AS sv FROM documents
+),
+cell AS (SELECT lang, sv, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY lang, sv),
+gl AS (SELECT sv, CAST(SUM(c) AS BIGINT) AS g FROM cell GROUP BY sv),
+levels AS (
+  SELECT sv,
+         CAST(SUM(g) OVER (ORDER BY sv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumg,
+         CAST(SUM(g) OVER () AS BIGINT) AS nn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS k
+  FROM gl
+),
+classes AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_rows FROM cell GROUP BY lang),
+grid AS (
+  SELECT classes.lang, classes.n_rows, levels.sv, levels.cumg, levels.nn, levels.k,
+         CAST(COALESCE(cell.c, 0) AS BIGINT) AS c0
+  FROM classes CROSS JOIN levels
+  LEFT JOIN cell ON cell.lang = classes.lang AND cell.sv = levels.sv
+),
+dense AS (
+  SELECT lang, n_rows, sv, k,
+         ABS(CAST(SUM(c0) OVER (PARTITION BY lang ORDER BY sv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(n_rows AS DOUBLE)
+             - CAST(cumg AS DOUBLE) / CAST(nn AS DOUBLE)) AS term
+  FROM grid
+),
+per AS (
+  SELECT lang, CAST(MAX(n_rows) AS BIGINT) AS n_rows, CAST(MAX(k) AS BIGINT) AS k,
+         list_reduce([0.0] || list(term ORDER BY sv), (a, e) -> a + e) AS tsum
+  FROM dense GROUP BY lang
+)
+SELECT lang, n_rows,
+       {r6('CASE WHEN k >= 2 THEN tsum / CAST(k - 1 AS DOUBLE) END', 't')}
+FROM per
+"""

@@ -154,3 +154,85 @@ def test_lift_curve_tie_break_is_deterministic(spark):
     df = spark.createDataFrame(rows, "doc_id long, prob double, label_true boolean")
     out = {r["decile"]: r for r in lift_curve(df, n_deciles=2).collect()}
     assert out[0]["n_pos"] == 2 and out[1]["n_pos"] == 0
+
+
+def test_cohen_kappa_hand_computed(spark):
+    from z_rad_spark.operators.drift import cohen_kappa
+
+    # pairs: c1 (1,1), c2 (1,2), c3 (2,2); c4 has one scored turn -> drop
+    # po = 2/3; rows (1:2, 2:1), cols (1:1, 2:2) -> S = 2+2 = 4, pe = 4/9
+    # kappa = (2/3 - 4/9)/(1 - 4/9) = 0.4
+    rows = [
+        ("c1", 0, "user", 1), ("c1", 1, "user", 1),
+        ("c2", 0, "user", 1), ("c2", 1, "user", 2),
+        ("c3", 0, "user", 2), ("c3", 1, "user", 2),
+        ("c4", 0, "user", 5),
+    ]
+    r = cohen_kappa(_turns(spark, rows)).collect()[0]
+    assert r["n_items"] == 3 and r["n_agree"] == 2
+    assert r["po"] == pytest.approx(2.0 / 3.0, rel=1e-12)
+    assert r["pe"] == pytest.approx(4.0 / 9.0, rel=1e-12)
+    assert r["kappa"] == pytest.approx(0.4, rel=1e-12)
+
+
+def test_theil_u_deterministic_mapping_is_one(spark):
+    from z_rad_spark.operators.drift import theil_u
+
+    # x fully determines y -> H(y|x) = 0 -> U = 1
+    df = spark.createDataFrame(
+        [("a", "p"), ("a", "p"), ("b", "q")], "x string, y string"
+    )
+    r = theil_u(df, x_col="x", y_col="y").collect()[0]
+    h_y = -(2.0 / 3.0 * math.log(2.0 / 3.0) + 1.0 / 3.0 * math.log(1.0 / 3.0))
+    assert r["h_y"] == pytest.approx(h_y, rel=1e-12)
+    assert r["h_y_given_x"] == pytest.approx(0.0, abs=1e-12)
+    assert r["u"] == pytest.approx(1.0, rel=1e-12)
+
+
+def test_theil_u_independent_is_zero(spark):
+    from z_rad_spark.operators.drift import theil_u
+
+    # perfectly balanced independent table: knowing x removes nothing
+    df = spark.createDataFrame(
+        [("a", "p"), ("a", "q"), ("b", "p"), ("b", "q")], "x string, y string"
+    )
+    r = theil_u(df, x_col="x", y_col="y").collect()[0]
+    assert r["u"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_gk_lambda_hand_computed(spark):
+    from z_rad_spark.operators.drift import gk_lambda
+
+    # a -> p:3, q:1; b -> q:2. sum_modal = 3+2 = 5; marginals p:3, q:3
+    # lambda = (5-3)/(6-3) = 2/3
+    df = spark.createDataFrame(
+        [("a", "p")] * 3 + [("a", "q")] + [("b", "q")] * 2, "x string, y string"
+    )
+    r = gk_lambda(df, x_col="x", y_col="y").collect()[0]
+    assert r["n"] == 6 and r["sum_modal"] == 5 and r["modal_marginal"] == 3
+    assert r["lam"] == pytest.approx(2.0 / 3.0, rel=1e-12)
+
+
+def test_t_closeness_hand_computed(spark):
+    from z_rad_spark.operators.curation import t_closeness
+
+    # global levels {0: 2, 1: 2}; class A all level-0, class B all level-1
+    # A: |2/2 - 2/4| + |2/2 - 4/4| = 0.5 -> t = 0.5/(2-1) = 0.5
+    df = spark.createDataFrame(
+        [("A", 0), ("A", 0), ("B", 1), ("B", 1)], "lang string, sensitive long"
+    )
+    out = {r["lang"]: r for r in t_closeness(df).collect()}
+    assert out["A"]["t"] == pytest.approx(0.5, rel=1e-12)
+    assert out["B"]["t"] == pytest.approx(0.5, rel=1e-12)
+
+
+def test_t_closeness_matching_distribution_is_zero(spark):
+    from z_rad_spark.operators.curation import t_closeness
+
+    # both classes mirror the global mix exactly -> t = 0
+    df = spark.createDataFrame(
+        [("A", 0), ("A", 1), ("B", 0), ("B", 1)], "lang string, sensitive long"
+    )
+    out = {r["lang"]: r for r in t_closeness(df).collect()}
+    assert out["A"]["t"] == pytest.approx(0.0, abs=1e-12)
+    assert out["B"]["t"] == pytest.approx(0.0, abs=1e-12)

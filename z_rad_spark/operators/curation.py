@@ -1638,3 +1638,84 @@ def l_diversity(
         .cast("long")
         .alias("below_l"),
     )
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: tuple[str, ...] = ("lang",),
+    sensitive_col: str = "sensitive",
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    distribution-disclosure member of the privacy trio
+    ([[k_anonymity]] = re-identification, [[l_diversity]] =
+    homogeneity): a class leaks even with diverse sensitive values
+    when its DISTRIBUTION differs sharply from the corpus-wide one
+    (the skewness attack). t is the Earth Mover's Distance between
+    the class and global distributions over the ORDERED sensitive
+    levels, normalized by (k - 1) so t is in [0, 1]:
+
+        t = (1 /(k-1)) * sum_v | cum_class(v)/n_c - cum_global(v)/N |
+
+    Determinism: per-level cumulative counts are exact longs (window
+    cumsums over the dense class x level grid); each level's term is
+    a fixed divide/subtract/abs chain and the per-class reduction
+    folds ordered by level — the SQL oracle replays it bit-for-bit.
+
+    Scale: one (quasi, level) map-side-combined groupBy; the global
+    level table (k rows, k = sensitive cardinality — bucket first if
+    unbounded) broadcasts onto the class list for the dense grid, so
+    classes missing a level still pay its cumulative gap. No
+    all-pairs anything. Output: one row per class — (quasi...,
+    n_rows long; t double, NULL when k < 2), plus exceeds flag left
+    to the caller's threshold.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    qcols = [F.col(c) for c in quasi_cols]
+    sv = F.col(sensitive_col).cast("long")
+    s = df.select(*qcols, sv.alias("_sv"))
+    cell = s.groupBy(*quasi_cols, "_sv").agg(F.count("*").cast("long").alias("_c"))
+    glob = cell.groupBy("_sv").agg(F.sum("_c").cast("long").alias("_g"))
+    w_lvl = Window.orderBy("_sv").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("_sv").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    levels = glob.select(
+        "_sv",
+        F.sum("_g").over(w_lvl).cast("long").alias("_cumg"),
+        F.sum("_g").over(w_all).cast("long").alias("_N"),
+        F.count("*").over(w_all).cast("long").alias("_k"),
+    )
+    classes = cell.groupBy(*quasi_cols).agg(F.sum("_c").cast("long").alias("n_rows"))
+    grid = classes.crossJoin(broadcast(levels))
+    dense = grid.join(cell, [*quasi_cols, "_sv"], "left").withColumn(
+        "_c0", F.coalesce(F.col("_c"), F.lit(0)).cast("long")
+    )
+    w_cls = Window.partitionBy(*quasi_cols).orderBy("_sv").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cumc = F.sum("_c0").over(w_cls).cast("long")
+    term = F.abs(
+        cumc.cast("double") / F.col("n_rows").cast("double")
+        - F.col("_cumg").cast("double") / F.col("_N").cast("double")
+    )
+    terms = dense.select(
+        *quasi_cols,
+        "n_rows",
+        "_k",
+        F.struct("_sv", term.alias("_t")).alias("_e"),
+    )
+    per = terms.groupBy(*quasi_cols).agg(
+        F.max("n_rows").alias("n_rows"),
+        F.max("_k").alias("_k"),
+        F.sort_array(F.collect_list("_e")).alias("_es"),
+    )
+    tsum = F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_t"])
+    return per.select(
+        *quasi_cols,
+        "n_rows",
+        F.when(
+            F.col("_k") >= 2, tsum / (F.col("_k") - F.lit(1)).cast("double")
+        ).alias("t"),
+    )

@@ -2923,3 +2923,159 @@ def grubbs_max(
         F.col("_v").alias("x_star"),
         F.when(ok, gg).alias("g"),
     )
+
+
+def cohen_kappa(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """Cohen's kappa between the conversation's FIRST and SECOND scored
+    turns — the two-rater fixed-panel member of the agreement family
+    ([[fleiss_kappa]] = m fixed raters, [[krippendorff_alpha]] =
+    variable panels): opening-exchange consistency, read as 'does the
+    second turn echo the first's category?':
+
+        kappa = (p_o - p_e) / (1 - p_e)
+        p_o = sum_k n_kk / n,  p_e = sum_k row_k col_k / n^2
+
+    Determinism: contingency cells, diagonal, and marginals are exact
+    longs; p_e divides the exact marginal-product sum by the DOUBLE
+    square of n (no long overflow at any scale); kappa is a fixed
+    chain of single IEEE ops. The SQL oracle replays it bit-for-bit.
+
+    Scale: one windowed rank on the shared conv_id exchange, then
+    category-cardinality aggregates (<= k^2 cells); the marginal
+    product join is k x k. Output one row: (n_items, n_agree longs;
+    po, pe, kappa doubles — kappa NULL when p_e = 1 or n = 0).
+    """
+    x = F.col(signal_col).cast("long")
+    ord_w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    fn = (
+        df.where(x.isNotNull())
+        .withColumn("_rn", F.row_number().over(ord_w))
+        .where(F.col("_rn") <= 2)
+        .select("conv_id", x.alias("_cat"), "_rn")
+    )
+    pairs = (
+        fn.groupBy("conv_id")
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("_cat"))).alias("_a"),
+            F.max(F.when(F.col("_rn") == 2, F.col("_cat"))).alias("_b"),
+            F.count("*").alias("_k"),
+        )
+        .where(F.col("_k") == 2)
+    )
+    cells = pairs.groupBy("_a", "_b").agg(F.count("*").cast("long").alias("_c"))
+    row_m = cells.groupBy("_a").agg(F.sum("_c").cast("long").alias("_ra"))
+    col_m = cells.groupBy("_b").agg(F.sum("_c").cast("long").alias("_cb"))
+    sp = (
+        row_m.join(col_m, row_m["_a"] == col_m["_b"])
+        .agg(F.sum(F.col("_ra") * F.col("_cb")).cast("long").alias("_s"))
+    )
+    from pyspark.sql.functions import broadcast
+
+    g = cells.agg(
+        F.sum("_c").cast("long").alias("n_items"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_agree"),
+    ).crossJoin(broadcast(sp))
+    nd = F.col("n_items").cast("double")
+    po = F.col("n_agree").cast("double") / nd
+    pe = F.col("_s").cast("double") / (nd * nd)
+    ok = (F.col("n_items") > 0) & (pe != F.lit(1.0))
+    return g.select(
+        "n_items",
+        "n_agree",
+        F.when(F.col("n_items") > 0, po).alias("po"),
+        F.when(F.col("n_items") > 0, pe).alias("pe"),
+        F.when(ok, (po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+def theil_u(df: DataFrame, x_col: str = "role", y_col: str = "tool") -> DataFrame:
+    """Theil's uncertainty coefficient U(y|x) — the ASYMMETRIC
+    categorical-association measure ('how much of y's entropy does
+    knowing x remove?'), the directional complement to the symmetric
+    [[cramers_v]]:
+
+        U(y|x) = (H(y) - H(y|x)) / H(y)
+        H(y)   = -sum_c p_c ln p_c
+        H(y|x) = -sum_{x,c} p_xc ln(p_xc / p_x)
+
+    Determinism: all counts are exact longs; each entropy is an
+    ORDERED fold (categories asc for H(y), (x, y) asc for H(y|x)) of
+    per-cell terms that are fixed divide/ln/multiply chains — the SQL
+    oracle replays the folds bit-for-bit.
+
+    Scale: one (x, y) map-side-combined groupBy (cell cardinality
+    state), two tiny re-aggregates; the total-count scalar rides a
+    broadcast crossJoin. Output one row: (n long; h_y, h_y_given_x, u
+    doubles — u NULL when H(y) = 0).
+    """
+    s = df.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+    cell = s.groupBy("_x", "_y").agg(F.count("*").cast("long").alias("_c"))
+    tot = cell.agg(F.sum("_c").cast("long").alias("_n"))
+    from pyspark.sql.functions import broadcast
+
+    ym = cell.groupBy("_y").agg(F.sum("_c").cast("long").alias("_cy")).crossJoin(
+        broadcast(tot)
+    )
+    py = F.col("_cy").cast("double") / F.col("_n").cast("double")
+    gy = ym.select(
+        "_n", F.struct("_y", (py * F.log(py)).alias("_t")).alias("_e")
+    ).groupBy("_n").agg(F.sort_array(F.collect_list("_e")).alias("_ys"))
+    h_y = -F.aggregate(F.col("_ys"), F.lit(0.0), lambda a, e: a + e["_t"])
+    xm = cell.groupBy("_x").agg(F.sum("_c").cast("long").alias("_cx"))
+    jj = cell.join(xm, "_x").crossJoin(broadcast(tot))
+    pxy = F.col("_c").cast("double") / F.col("_n").cast("double")
+    ratio = F.col("_c").cast("double") / F.col("_cx").cast("double")
+    gxy = jj.select(
+        F.struct("_x", "_y", (pxy * F.log(ratio)).alias("_t")).alias("_e")
+    ).agg(F.sort_array(F.collect_list("_e")).alias("_xs"))
+    h_yx = -F.aggregate(F.col("_xs"), F.lit(0.0), lambda a, e: a + e["_t"])
+    g = gy.crossJoin(broadcast(gxy))
+    ok = h_y > 0
+    return g.select(
+        F.col("_n").alias("n"),
+        h_y.alias("h_y"),
+        h_yx.alias("h_y_given_x"),
+        F.when(ok, (h_y - h_yx) / h_y).alias("u"),
+    )
+
+
+def gk_lambda(df: DataFrame, x_col: str = "role", y_col: str = "tool") -> DataFrame:
+    """Goodman-Kruskal lambda(y|x) — proportional reduction in
+    PREDICTION error for the modal-guess rule ('how much better do we
+    guess y once we know x?'), the error-rate companion to the
+    entropy-based [[theil_u]]:
+
+        lambda = (sum_x max_c n_xc - max_c n_c) / (n - max_c n_c)
+
+    Determinism: every term is an exact long (within-x modal counts,
+    the global modal marginal, n); the single division is the only
+    float. Bit-replayable trivially.
+
+    Scale: one (x, y) map-side-combined groupBy, two tiny
+    re-aggregates. Output one row: (n, sum_modal, modal_marginal
+    longs; lam double — NULL when the global mode already explains
+    everything, n = max_c n_c).
+    """
+    s = df.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+    cell = s.groupBy("_x", "_y").agg(F.count("*").cast("long").alias("_c"))
+    per_x = cell.groupBy("_x").agg(F.max("_c").cast("long").alias("_mx"))
+    a = per_x.agg(F.sum("_mx").cast("long").alias("sum_modal"))
+    ym = cell.groupBy("_y").agg(F.sum("_c").cast("long").alias("_cy"))
+    b = ym.agg(
+        F.max("_cy").cast("long").alias("modal_marginal"),
+        F.sum("_cy").cast("long").alias("n"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    g = b.crossJoin(broadcast(a))
+    lam = (F.col("sum_modal") - F.col("modal_marginal")).cast("double") / (
+        F.col("n") - F.col("modal_marginal")
+    ).cast("double")
+    return g.select(
+        "n",
+        "sum_modal",
+        "modal_marginal",
+        F.when(F.col("n") > F.col("modal_marginal"), lam).alias("lam"),
+    )
