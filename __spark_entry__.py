@@ -5187,6 +5187,45 @@ def q_t_closeness(spark, sf_dir):
     return _r6(out, ["t"])
 
 
+def q_kendall_w(spark, sf_dir):
+    """Kendall's concordance W over first-3-turn panels
+    (drift.kendall_w): exact doubled-rank integers, tie-corrected, one
+    division — oracle-replayable."""
+    from z_rad_spark.operators.drift import kendall_w
+
+    out = kendall_w(_t(spark, sf_dir))
+    return _r6(out, ["w"])
+
+
+def q_cronbach(spark, sf_dir):
+    """Cronbach's alpha over first-3-turn panels (drift.cronbach_alpha):
+    exact long moments, item-ordered variance fold — oracle-replayable."""
+    from z_rad_spark.operators.drift import cronbach_alpha
+
+    out = cronbach_alpha(_t(spark, sf_dir))
+    return _r6(out, ["sum_item_var", "var_total", "alpha"])
+
+
+def q_mood_median(spark, sf_dir):
+    """Mood's median test across roles (drift.mood_median):
+    integer-rank grand median over the compacted histogram, exact cell
+    longs, group-ordered chi2 fold — oracle-replayable."""
+    from z_rad_spark.operators.drift import mood_median
+
+    out = mood_median(_t(spark, sf_dir))
+    return _r6(out, ["chi2"])
+
+
+def q_rmst(spark, sf_dir):
+    """Restricted mean time-to-first-tool at tau = 30 min
+    (profile.rmst): area under the exact KM fold, bucket-ordered
+    interval fold + tail term — oracle-replayable."""
+    from z_rad_spark.operators.profile import rmst
+
+    out = rmst(_t(spark, sf_dir), tau_buckets=30)
+    return _r6(out, ["rmst_s"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -5538,6 +5577,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_theil_u": q_theil_u,
         "q_gk_lambda": q_gk_lambda,
         "q_t_closeness": q_t_closeness,
+        "q_kendall_w": q_kendall_w,
+        "q_cronbach": q_cronbach,
+        "q_mood_median": q_mood_median,
+        "q_rmst": q_rmst,
     }
 
 

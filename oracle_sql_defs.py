@@ -11625,3 +11625,219 @@ SELECT lang, n_rows,
        {r6('CASE WHEN k >= 2 THEN tsum / CAST(k - 1 AS DOUBLE) END', 't')}
 FROM per
 """
+
+
+# Kendall's W over first-3-turn panels: integer doubled ranks,
+# tie-corrected, one division — matches drift.kendall_w
+ORACLES["q_kendall_w"] = f"""
+WITH t AS ({T}),
+fn AS (
+  SELECT conv_id, CAST(signal AS BIGINT) AS cat,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS j
+  FROM t WHERE signal IS NOT NULL
+),
+panel AS (
+  SELECT conv_id, j, cat FROM fn
+  WHERE j <= 3 AND conv_id IN (
+    SELECT conv_id FROM fn WHERE j <= 3 GROUP BY conv_id HAVING COUNT(*) = 3
+  )
+),
+ranked AS (
+  SELECT conv_id, j, cat,
+         CAST(2 * RANK() OVER (PARTITION BY conv_id ORDER BY cat)
+              + COUNT(*) OVER (PARTITION BY conv_id, cat) - 1 AS BIGINT) AS r2
+  FROM panel
+),
+m AS (SELECT CAST(COUNT(*) / 3 AS BIGINT) AS m FROM ranked),
+cols AS (SELECT j, CAST(SUM(r2) AS BIGINT) AS R2 FROM ranked GROUP BY j),
+sn AS (
+  SELECT CAST(SUM((R2 - m.m * 4) * (R2 - m.m * 4)) AS BIGINT) AS s_num
+  FROM cols CROSS JOIN m
+),
+ties AS (
+  SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS tie_sum
+  FROM (SELECT conv_id, cat, CAST(COUNT(*) AS BIGINT) AS c FROM ranked GROUP BY conv_id, cat)
+)
+SELECT m.m, CAST(3 AS BIGINT) AS k, sn.s_num, ties.tie_sum,
+       {r6('CASE WHEN m.m > 0 AND (m.m * m.m * 24 - m.m * ties.tie_sum) > 0 THEN 3.0 * CAST(sn.s_num AS DOUBLE) / CAST(m.m * m.m * 24 - m.m * ties.tie_sum AS DOUBLE) END', 'w')}
+FROM m CROSS JOIN sn CROSS JOIN ties
+"""
+
+
+# Cronbach's alpha over first-3-turn panels: exact long moments,
+# item-ordered variance fold — matches drift.cronbach_alpha
+ORACLES["q_cronbach"] = f"""
+WITH t AS ({T}),
+fn AS (
+  SELECT conv_id, CAST(signal AS BIGINT) AS x,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS j
+  FROM t WHERE signal IS NOT NULL
+),
+panel AS (
+  SELECT conv_id, j, x FROM fn
+  WHERE j <= 3 AND conv_id IN (
+    SELECT conv_id FROM fn WHERE j <= 3 GROUP BY conv_id HAVING COUNT(*) = 3
+  )
+),
+items AS (
+  SELECT j, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS ss
+  FROM panel GROUP BY j
+),
+iv AS (
+  SELECT j, CAST(n * ss - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS v
+  FROM items
+),
+gi AS (
+  SELECT list_reduce([0.0] || list(v ORDER BY j), (a, e) -> a + e) AS sum_var
+  FROM iv
+),
+tot AS (SELECT conv_id, CAST(SUM(x) AS BIGINT) AS tt FROM panel GROUP BY conv_id),
+gt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(tt) AS BIGINT) AS st,
+         CAST(SUM(tt * tt) AS BIGINT) AS sst
+  FROM tot
+),
+f AS (
+  SELECT gt.m, gi.sum_var,
+         CAST(gt.m * gt.sst - gt.st * gt.st AS DOUBLE)
+           / CAST(gt.m * (gt.m - 1) AS DOUBLE) AS var_t
+  FROM gt CROSS JOIN gi
+)
+SELECT m, CAST(3 AS BIGINT) AS k,
+       {r6('CASE WHEN m >= 2 THEN sum_var END', 'sum_item_var')},
+       {r6('CASE WHEN m >= 2 THEN var_t END', 'var_total')},
+       {r6('CASE WHEN m >= 2 AND var_t > 0 THEN 1.5 * (1.0 - sum_var / var_t) END', 'alpha')}
+FROM f
+"""
+
+
+# Mood's median test across roles: integer-rank grand median over the
+# compacted histogram, group-ordered chi2 fold — matches
+# drift.mood_median
+ORACLES["q_mood_median"] = f"""
+WITH t AS ({T}),
+hist AS (
+  SELECT role AS g, CAST(signal AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM t WHERE signal IS NOT NULL GROUP BY role, CAST(signal AS BIGINT)
+),
+gl AS (SELECT v, CAST(SUM(c) AS BIGINT) AS gc FROM hist GROUP BY v),
+lv AS (
+  SELECT v,
+         CAST(SUM(gc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(gc) OVER () AS BIGINT) AS n
+  FROM gl
+),
+med AS (
+  SELECT MIN(v) AS med, MAX(n) AS n FROM lv
+  WHERE cum >= FLOOR((n + 1) / 2)
+),
+per_g AS (
+  SELECT g,
+         CAST(COALESCE(SUM(CASE WHEN v > med.med THEN c ELSE 0 END), 0) AS BIGINT) AS a,
+         CAST(COALESCE(SUM(CASE WHEN v <= med.med THEN c ELSE 0 END), 0) AS BIGINT) AS l
+  FROM hist CROSS JOIN med GROUP BY g
+),
+tots AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(l) AS BIGINT) AS tl,
+         CAST(COUNT(*) AS BIGINT) AS n_groups
+  FROM per_g
+),
+terms AS (
+  SELECT g,
+         (CAST(a AS DOUBLE) - (CAST(a + l AS DOUBLE) * CAST(tots.ta AS DOUBLE) / CAST(med.n AS DOUBLE)))
+         * (CAST(a AS DOUBLE) - (CAST(a + l AS DOUBLE) * CAST(tots.ta AS DOUBLE) / CAST(med.n AS DOUBLE)))
+         / (CAST(a + l AS DOUBLE) * CAST(tots.ta AS DOUBLE) / CAST(med.n AS DOUBLE))
+         + (CAST(l AS DOUBLE) - (CAST(a + l AS DOUBLE) * CAST(tots.tl AS DOUBLE) / CAST(med.n AS DOUBLE)))
+         * (CAST(l AS DOUBLE) - (CAST(a + l AS DOUBLE) * CAST(tots.tl AS DOUBLE) / CAST(med.n AS DOUBLE)))
+         / (CAST(a + l AS DOUBLE) * CAST(tots.tl AS DOUBLE) / CAST(med.n AS DOUBLE)) AS term
+  FROM per_g CROSS JOIN tots CROSS JOIN med
+),
+g2 AS (
+  SELECT list_reduce([0.0] || list(term ORDER BY g), (a, e) -> a + e) AS chi2
+  FROM terms
+)
+SELECT med.n AS n, med.med AS median, tots.n_groups,
+       {r6('CASE WHEN tots.ta > 0 AND tots.tl > 0 AND tots.n_groups >= 2 THEN g2.chi2 END', 'chi2')}
+FROM med CROSS JOIN tots CROSS JOIN g2
+"""
+
+
+# Restricted mean time-to-first-tool at tau = 30 buckets: area under
+# the exact KM fold, bucket-ordered interval fold + tail — matches
+# profile.rmst over profile.kaplan_meier
+ORACLES["q_rmst"] = f"""
+WITH t AS ({T}),
+pc AS (
+  SELECT conv_id,
+         MIN(epoch_us(ts)) AS t0,
+         MIN(CASE WHEN role = 'tool' THEN epoch_us(ts) END) AS tev,
+         MAX(epoch_us(ts)) AS tend
+  FROM t GROUP BY conv_id
+),
+d0 AS (
+  SELECT conv_id, (tev IS NOT NULL) AS e,
+         CAST(FLOOR(CAST(CASE WHEN tev IS NOT NULL THEN tev - t0
+                              ELSE tend - t0 END AS DOUBLE) / 60000000.0) AS BIGINT) AS tb
+  FROM pc
+),
+pt AS (
+  SELECT tb AS t_bucket,
+         CAST(COUNT(CASE WHEN e THEN 1 END) AS BIGINT) AS d,
+         CAST(COUNT(CASE WHEN NOT e THEN 1 END) AS BIGINT) AS c
+  FROM d0 GROUP BY tb
+),
+o AS (
+  SELECT t_bucket, d, c,
+         SUM(d + c) OVER (ORDER BY t_bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_,
+         SUM(d + c) OVER () AS total
+  FROM pt
+),
+nr AS (
+  SELECT t_bucket, d, c,
+         CAST(total - COALESCE(before_, 0) AS BIGINT) AS n_risk
+  FROM o
+),
+arr AS (
+  SELECT list(struct_pack(tb := t_bucket, d := d, c := c, n := n_risk)
+              ORDER BY t_bucket) AS a
+  FROM nr
+),
+ex AS (
+  SELECT a, unnest(range(1, len(a) + 1)) AS i FROM arr
+),
+rowed AS (
+  SELECT a[i].tb AS t_bucket, a[i].n AS n_risk,
+         list_reduce(
+           [1.0] || [1.0 - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE)
+                     FOR x IN a[1:i]],
+           (p, q) -> p * q
+         ) AS s
+  FROM ex
+),
+lagged AS (
+  SELECT t_bucket, n_risk, s,
+         COALESCE(LAG(t_bucket) OVER (ORDER BY t_bucket), 0) AS prev_tb,
+         COALESCE(LAG(s) OVER (ORDER BY t_bucket), 1.0) AS s_before,
+         ROW_NUMBER() OVER (ORDER BY t_bucket) AS rn,
+         COUNT(*) OVER () AS m
+  FROM rowed
+),
+terms AS (
+  SELECT t_bucket,
+         s_before * CAST(LEAST(t_bucket, 30) - LEAST(prev_tb, 30) AS DOUBLE)
+         + CASE WHEN rn = m THEN s * CAST(30 - LEAST(t_bucket, 30) AS DOUBLE)
+                ELSE 0.0 END AS term,
+         CASE WHEN rn = 1 THEN n_risk END AS n0
+  FROM lagged
+),
+g AS (
+  SELECT list_reduce([0.0] || list(term ORDER BY t_bucket), (a, e) -> a + e) AS area,
+         CAST(MAX(n0) AS BIGINT) AS n_conv
+  FROM terms
+)
+SELECT CAST(1800 AS BIGINT) AS tau_s, n_conv,
+       {r6('area * 60.0', 'rmst_s')}
+FROM g
+"""

@@ -236,3 +236,112 @@ def test_t_closeness_matching_distribution_is_zero(spark):
     out = {r["lang"]: r for r in t_closeness(df).collect()}
     assert out["A"]["t"] == pytest.approx(0.0, abs=1e-12)
     assert out["B"]["t"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_kendall_w_perfect_concordance(spark):
+    from z_rad_spark.operators.drift import kendall_w
+
+    # every judge ranks positions identically (strictly increasing)
+    rows = [(f"c{i}", j, "user", j + 1) for i in range(4) for j in range(3)]
+    r = kendall_w(_turns(spark, rows)).collect()[0]
+    assert r["m"] == 4 and r["tie_sum"] == 0
+    assert r["w"] == pytest.approx(1.0, rel=1e-12)
+
+
+def test_kendall_w_hand_computed_with_ties(spark):
+    from z_rad_spark.operators.drift import kendall_w
+
+    # judge c0 ranks (1, 2, 3) -> 2-ranks (2, 4, 6)
+    # judge c1 ties all three (5, 5, 5) -> 2-ranks (4, 4, 4), T = 24
+    # R2 = (6, 8, 10); m(k+1) = 8 -> S_num = 4 + 0 + 4 = 8
+    # W = 3*8 / (4*24 - 2*24) = 24/48 = 0.5
+    rows = [("c0", 0, "user", 1), ("c0", 1, "user", 2), ("c0", 2, "user", 3),
+            ("c1", 0, "user", 5), ("c1", 1, "user", 5), ("c1", 2, "user", 5)]
+    r = kendall_w(_turns(spark, rows)).collect()[0]
+    assert r["m"] == 2 and r["s_num"] == 8 and r["tie_sum"] == 24
+    assert r["w"] == pytest.approx(0.5, rel=1e-12)
+
+
+def test_cronbach_alpha_hand_computed(spark):
+    from z_rad_spark.operators.drift import cronbach_alpha
+
+    # cases: (1,1,1), (2,2,2), (3,3,3) -> perfectly consistent items
+    # var_j = 1 each (sum 3); totals (3, 6, 9) -> var_T = 9
+    # alpha = 1.5 * (1 - 3/9) = 1.0
+    rows = [(f"c{i}", j, "user", i + 1) for i in range(3) for j in range(3)]
+    r = cronbach_alpha(_turns(spark, rows)).collect()[0]
+    assert r["m"] == 3
+    assert r["sum_item_var"] == pytest.approx(3.0, rel=1e-12)
+    assert r["var_total"] == pytest.approx(9.0, rel=1e-12)
+    assert r["alpha"] == pytest.approx(1.0, rel=1e-12)
+
+
+def test_cronbach_alpha_independent_items_near_zero(spark):
+    from z_rad_spark.operators.drift import cronbach_alpha
+
+    # anti-correlated items: totals constant -> var_T = 0 -> alpha NULL
+    rows = [("c0", 0, "user", 1), ("c0", 1, "user", 3), ("c0", 2, "user", 2),
+            ("c1", 0, "user", 3), ("c1", 1, "user", 1), ("c1", 2, "user", 2),
+            ("c2", 0, "user", 2), ("c2", 1, "user", 2), ("c2", 2, "user", 2)]
+    r = cronbach_alpha(_turns(spark, rows)).collect()[0]
+    assert r["var_total"] == pytest.approx(0.0, abs=1e-12)
+    assert r["alpha"] is None
+
+
+def test_mood_median_hand_computed(spark):
+    from z_rad_spark.operators.drift import mood_median
+
+    # pooled values 1..6 -> n=6, lower median position floor(7/2)=3 -> med=3
+    # group a: (1,2,3) -> above=0, lte=3; group b: (4,5,6) -> above=3, lte=0
+    # E = 1.5 everywhere -> chi2 = 4 * (1.5^2/1.5) = 6
+    rows = [("c1", i, "a", v) for i, v in enumerate((1, 2, 3))] + [
+        ("c2", i, "b", v) for i, v in enumerate((4, 5, 6))
+    ]
+    r = mood_median(_turns(spark, rows), group_col="role").collect()[0]
+    assert r["n"] == 6 and r["median"] == 3 and r["n_groups"] == 2
+    assert r["chi2"] == pytest.approx(6.0, rel=1e-12)
+
+
+def test_mood_median_identical_groups_zero(spark):
+    from z_rad_spark.operators.drift import mood_median
+
+    rows = [("c1", i, "a", v) for i, v in enumerate((1, 2, 3, 4))] + [
+        ("c2", i, "b", v) for i, v in enumerate((1, 2, 3, 4))
+    ]
+    r = mood_median(_turns(spark, rows), group_col="role").collect()[0]
+    assert r["chi2"] == pytest.approx(0.0, abs=1e-12)
+
+
+def _surv_turns(spark, rows):
+    # rows: (conv_id, minute, role) -> ts at given minute offset
+    data = [(c, i, r, f"2024-01-01 00:{m:02d}:00") for i, (c, m, r) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, ts string"
+    )
+    return df.withColumn("ts", df.ts.cast("timestamp"))
+
+
+def test_rmst_hand_computed(spark):
+    from z_rad_spark.operators.profile import rmst
+
+    # c1: starts min 0, first tool at min 2 -> event bucket 2
+    # c2: starts min 0, no tool, last turn min 4 -> censored bucket 4
+    # KM: S=1 on [0,2), drops to 0.5 at t=2, censor at 4 (no drop)
+    # RMST(tau=10) = 1*2 + 0.5*(4-2)... careful: steps at event buckets
+    rows = [("c1", 0, "user"), ("c1", 2, "tool"),
+            ("c2", 0, "user"), ("c2", 4, "assistant")]
+    r = rmst(_surv_turns(spark, rows), tau_buckets=10, bucket_s=60).collect()[0]
+    # intervals: [0,2) S=1 -> 2; [2,4) S=0.5 -> 1; [4,10) S=0.5 -> 3
+    # (censoring at 4 doesn't change S) => rmst = 6 buckets = 360 s
+    assert r["tau_s"] == 600 and r["n_conv"] == 2
+    assert r["rmst_s"] == pytest.approx(360.0, rel=1e-12)
+
+
+def test_rmst_all_immediate_events_is_zero(spark):
+    from z_rad_spark.operators.profile import rmst
+
+    # tool call in the same minute as the first turn -> duration 0 ->
+    # S drops to 0 at t=0 -> area 0
+    rows = [("c1", 0, "tool"), ("c2", 0, "tool")]
+    r = rmst(_surv_turns(spark, rows), tau_buckets=5, bucket_s=60).collect()[0]
+    assert r["rmst_s"] == pytest.approx(0.0, abs=1e-12)

@@ -3079,3 +3079,244 @@ def gk_lambda(df: DataFrame, x_col: str = "role", y_col: str = "tool") -> DataFr
         "modal_marginal",
         F.when(F.col("n") > F.col("modal_marginal"), lam).alias("lam"),
     )
+
+
+def kendall_w(df: DataFrame, signal_col: str = "signal", k: int = 3) -> DataFrame:
+    """Kendall's coefficient of concordance W over the fixed first-k
+    panels (conversations with exactly ``k`` scored opening turns act
+    as judges ranking the k turn POSITIONS by signal) — the
+    rank-agreement companion to [[fleiss_kappa]] (categorical) and the
+    effect-size view of the Friedman statistic, tie-corrected:
+
+        W = 12 S / (m^2 (k^3 - k) - m sum_i T_i)
+        S = sum_j (R_j - m(k+1)/2)^2,  T_i = sum_groups (t^3 - t)
+
+    Determinism: within-judge average ranks ride the INTEGER doubled
+    rank 2*lo + c - 1 (lo = min rank of the tie group, c its size), so
+    column sums R2_j = 2 R_j, S = sum_j (R2_j - m(k+1))^2 / 4 and
+    W = 3 * S_num / (m^2(k^3-k) - m*T) is ONE division over exact
+    longs. Bit-replayable.
+
+    Scale: one windowed rank on the shared conv_id exchange, then
+    k-row / tie-group-cardinality aggregates. Output one row:
+    (m, k, s_num, tie_sum longs; w double — NULL when the denominator
+    is 0, i.e. every judge ties everything).
+    """
+    x = F.col(signal_col).cast("long")
+    ord_w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    fn = (
+        df.where(x.isNotNull())
+        .withColumn("_rn", F.row_number().over(ord_w))
+        .where(F.col("_rn") <= k)
+        .select("conv_id", F.col("_rn").alias("_j"), x.alias("_cat"))
+    )
+    cnt_w = Window.partitionBy("conv_id")
+    panel = fn.withColumn("_m", F.count("*").over(cnt_w)).where(F.col("_m") == k)
+    rank_w = Window.partitionBy("conv_id").orderBy("_cat")
+    tie_w = Window.partitionBy("conv_id", "_cat")
+    ranked = panel.select(
+        "conv_id",
+        "_j",
+        "_cat",
+        (F.lit(2) * F.rank().over(rank_w) + F.count("*").over(tie_w) - F.lit(1))
+        .cast("long")
+        .alias("_r2"),
+    )
+    m_df = ranked.groupBy().agg(
+        (F.count("*") / F.lit(k)).cast("long").alias("_m")
+    )
+    cols = ranked.groupBy("_j").agg(F.sum("_r2").cast("long").alias("_R2"))
+    from pyspark.sql.functions import broadcast
+
+    cb = cols.crossJoin(broadcast(m_df))
+    dev = F.col("_R2") - F.col("_m") * F.lit(k + 1)
+    s_num = cb.agg(F.sum(dev * dev).cast("long").alias("s_num"))
+    ties = (
+        ranked.groupBy("conv_id", "_cat")
+        .agg(F.count("*").cast("long").alias("_c"))
+        .agg(
+            F.sum(F.col("_c") * F.col("_c") * F.col("_c") - F.col("_c"))
+            .cast("long")
+            .alias("tie_sum")
+        )
+    )
+    g = m_df.crossJoin(broadcast(s_num)).crossJoin(broadcast(ties))
+    denom = F.col("_m") * F.col("_m") * F.lit(k * k * k - k) - F.col("_m") * F.col(
+        "tie_sum"
+    )
+    w = F.lit(3.0) * F.col("s_num").cast("double") / denom.cast("double")
+    return g.select(
+        F.col("_m").alias("m"),
+        F.lit(k).cast("long").alias("k"),
+        "s_num",
+        "tie_sum",
+        F.when((F.col("_m") > 0) & (denom > 0), w).alias("w"),
+    )
+
+
+def cronbach_alpha(df: DataFrame, signal_col: str = "signal", k: int = 3) -> DataFrame:
+    """Cronbach's alpha over the fixed first-k panels (turn positions
+    as the k 'items', conversations with exactly ``k`` scored opening
+    turns as cases) — the internal-consistency coefficient beside the
+    agreement family ([[fleiss_kappa]], [[kendall_w]]): do the opening
+    turns measure one underlying conversation-level trait?
+
+        alpha = k/(k-1) * (1 - sum_j var_j / var_T)
+
+    with sample variances of each item column and of the per-case
+    total score.
+
+    Determinism: per-item and total-score moments (n, S, SS) are exact
+    longs; each variance is ONE division of exact-integer numerator
+    over denominator; the item-variance sum folds ordered by item
+    index. Bit-replayable.
+
+    Scale: one windowed rank, one k-row aggregate, one per-conv total
+    aggregate on the same exchange. Output one row: (m, k longs;
+    sum_item_var, var_total, alpha doubles — NULL when var_T = 0 or
+    m < 2).
+    """
+    x = F.col(signal_col).cast("long")
+    ord_w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    fn = (
+        df.where(x.isNotNull())
+        .withColumn("_rn", F.row_number().over(ord_w))
+        .where(F.col("_rn") <= k)
+        .select("conv_id", F.col("_rn").alias("_j"), x.alias("_x"))
+    )
+    cnt_w = Window.partitionBy("conv_id")
+    panel = fn.withColumn("_m", F.count("*").over(cnt_w)).where(F.col("_m") == k)
+    items = panel.groupBy("_j").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_x").cast("long").alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_ss"),
+    )
+    var_j = (F.col("_n") * F.col("_ss") - F.col("_s") * F.col("_s")).cast(
+        "double"
+    ) / (F.col("_n") * (F.col("_n") - F.lit(1))).cast("double")
+    gi = items.select(F.struct("_j", var_j.alias("_v")).alias("_e")).agg(
+        F.sort_array(F.collect_list("_e")).alias("_vs")
+    )
+    sum_var = F.aggregate(F.col("_vs"), F.lit(0.0), lambda a, e: a + e["_v"])
+    tot = panel.groupBy("conv_id").agg(F.sum("_x").cast("long").alias("_t"))
+    gt = tot.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("_t").cast("long").alias("_st"),
+        F.sum(F.col("_t") * F.col("_t")).cast("long").alias("_sst"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    g = gt.crossJoin(broadcast(gi))
+    var_t = (F.col("m") * F.col("_sst") - F.col("_st") * F.col("_st")).cast(
+        "double"
+    ) / (F.col("m") * (F.col("m") - F.lit(1))).cast("double")
+    ok = (F.col("m") >= 2) & (var_t > 0)
+    alpha = (
+        F.lit(float(k) / float(k - 1)) * (F.lit(1.0) - sum_var / var_t)
+    )
+    return g.select(
+        "m",
+        F.lit(k).cast("long").alias("k"),
+        F.when(F.col("m") >= 2, sum_var).alias("sum_item_var"),
+        F.when(F.col("m") >= 2, var_t).alias("var_total"),
+        F.when(ok, alpha).alias("alpha"),
+    )
+
+
+def mood_median(
+    df: DataFrame, group_col: str = "role", value_col: str = "signal"
+) -> DataFrame:
+    """Mood's median test across groups: split every observation at
+    the GRAND lower median, then chi-square the groups x {above, <=}
+    contingency table — the coarse-but-robust location screen beside
+    the rank-based [[kruskal_wallis]] (it only looks at which side of
+    the pooled median each group sits on):
+
+        chi2 = sum_cells (O - E)^2 / E,  E = row_tot * col_tot / n
+
+    Determinism: the grand median is picked by INTEGER rank
+    (smallest value whose cumulative count reaches floor((n+1)/2)) on
+    the compacted value histogram; cell counts are exact longs; each
+    group's term is a fixed chain and the reduction folds ordered by
+    group. Bit-replayable.
+
+    Scale: one (group, value) map-side-combined groupBy; the median
+    scalar broadcasts back; the chi-square runs over group
+    cardinality. Output one row: (n, median, n_groups longs; chi2
+    double — NULL when either margin is empty or < 2 groups).
+    """
+    x = F.col(value_col).cast("long")
+    hist = (
+        df.where(x.isNotNull())
+        .groupBy(F.col(group_col).alias("_g"), x.alias("_v"))
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    gl = hist.groupBy("_v").agg(F.sum("_c").cast("long").alias("_gc"))
+    w_cum = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lv = gl.select(
+        "_v",
+        F.sum("_gc").over(w_cum).cast("long").alias("_cum"),
+        F.sum("_gc").over(w_all).cast("long").alias("_n"),
+    )
+    med = lv.where(
+        F.col("_cum") >= F.floor((F.col("_n") + F.lit(1)) / F.lit(2))
+    ).agg(F.min("_v").alias("_med"), F.max("_n").alias("_n"))
+    from pyspark.sql.functions import broadcast
+
+    hb = hist.crossJoin(broadcast(med))
+    per_g = hb.groupBy("_g").agg(
+        F.sum(F.when(F.col("_v") > F.col("_med"), F.col("_c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_a"),
+        F.sum(F.when(F.col("_v") <= F.col("_med"), F.col("_c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_l"),
+        F.max("_med").alias("_med"),
+        F.max("_n").cast("long").alias("_n"),
+    )
+    # group-count totals ride full-frame windows over the tiny per-group
+    # table (avoids a self-crossJoin and its ambiguous-attribute trap)
+    w_g = Window.orderBy("_g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pg = per_g.select(
+        "_g",
+        "_a",
+        "_l",
+        "_med",
+        "_n",
+        F.sum("_a").over(w_g).cast("long").alias("_ta"),
+        F.sum("_l").over(w_g).cast("long").alias("_tl"),
+        F.count("*").over(w_g).cast("long").alias("n_groups"),
+    )
+    nd = F.col("_n").cast("double")
+    ng = (F.col("_a") + F.col("_l")).cast("double")
+    ea = ng * F.col("_ta").cast("double") / nd
+    el = ng * F.col("_tl").cast("double") / nd
+    term = (F.col("_a").cast("double") - ea) * (
+        F.col("_a").cast("double") - ea
+    ) / ea + (F.col("_l").cast("double") - el) * (
+        F.col("_l").cast("double") - el
+    ) / el
+    rows = pg.select(
+        "_n",
+        "_med",
+        "n_groups",
+        "_ta",
+        "_tl",
+        F.struct("_g", term.alias("_t")).alias("_e"),
+    )
+    g = rows.groupBy("_n", "_med", "n_groups", "_ta", "_tl").agg(
+        F.sort_array(F.collect_list("_e")).alias("_es")
+    )
+    chi2 = F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_t"])
+    ok = (F.col("_ta") > 0) & (F.col("_tl") > 0) & (F.col("n_groups") >= 2)
+    return g.select(
+        F.col("_n").alias("n"),
+        F.col("_med").alias("median"),
+        "n_groups",
+        F.when(ok, chi2).alias("chi2"),
+    )

@@ -2768,3 +2768,77 @@ def sample_entropy(
             ),
         ),
     )
+
+
+def rmst(
+    df: DataFrame,
+    tau_buckets: int = 30,
+    event_role: str = "tool",
+    bucket_s: int = 60,
+    role_col: str = "role",
+) -> DataFrame:
+    """Restricted mean survival time at horizon tau = ``tau_buckets``
+    buckets — the area under the [[kaplan_meier]] curve up to tau, the
+    single-number summary a report quotes when the median never falls
+    ('expected tool-free minutes within the first half hour'):
+
+        RMST(tau) = integral_0^tau S(t) dt
+                  = sum_i S(t_{i-1}) (min(t_i, tau) - min(t_{i-1}, tau))
+                    + S(t_m) (tau - min(t_m, tau))
+
+    over the KM step function on the bucketed duration axis.
+
+    Determinism: builds on kaplan_meier's exact-long bucket rows; each
+    interval term is S_before (the PREVIOUS row's fold product — the
+    identical double) times an exact-long bucket gap, summed by an
+    ordered fold in bucket order plus one tail term. The SQL oracle
+    replays the same products and fold bit-for-bit.
+
+    Scale: everything past the per-conv collapse runs on the bounded
+    bucket grid (see kaplan_meier). Output one row: (tau_s, n_conv
+    longs; rmst_s double — the restricted mean in seconds).
+    """
+    km = kaplan_meier(df, event_role=event_role, bucket_s=bucket_s, role_col=role_col)
+    w = Window.orderBy("t_bucket")
+    tau = F.lit(int(tau_buckets)).cast("long")
+    capped = F.least(F.col("t_bucket"), tau)
+    prev_capped = F.least(
+        F.coalesce(F.lag("t_bucket", 1).over(w), F.lit(0).cast("long")), tau
+    )
+    s_before = F.coalesce(F.lag("s_km", 1).over(w), F.lit(1.0))
+    rows = km.select(
+        F.col("t_bucket"),
+        (F.col("n_risk") + F.lit(0)).alias("_nr"),
+        F.col("d"),
+        F.col("c"),
+        F.col("s_km"),
+        (s_before * (capped - prev_capped).cast("double")).alias("_term"),
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(
+            Window.orderBy("t_bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_m"),
+    )
+    # tail: survival after the last bucket carries to tau
+    tail = F.when(
+        F.col("_rn") == F.col("_m"),
+        F.col("s_km") * (tau - F.least(F.col("t_bucket"), tau)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    rows = rows.withColumn("_tail", tail)
+    n_conv = F.col("_nr")  # first row's n_risk is the cohort size
+    g = rows.select(
+        F.struct("t_bucket", (F.col("_term") + F.col("_tail")).alias("_t")).alias(
+            "_e"
+        ),
+        F.when(F.col("_rn") == 1, n_conv).alias("_n0"),
+    ).agg(
+        F.sort_array(F.collect_list("_e")).alias("_es"),
+        F.max("_n0").cast("long").alias("n_conv"),
+    )
+    area_b = F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_t"])
+    return g.select(
+        (tau * F.lit(int(bucket_s))).alias("tau_s"),
+        "n_conv",
+        (area_b * F.lit(float(bucket_s))).alias("rmst_s"),
+    )
