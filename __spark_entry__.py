@@ -5226,6 +5226,58 @@ def q_rmst(spark, sf_dir):
     return _r6(out, ["rmst_s"])
 
 
+def q_bloom_fpr(spark, sf_dir):
+    """Bloom-filter false-positive audit for the dedup prefilter use
+    case: doc-text md5 hashes of the src0-src9 half as members, unseen
+    hashes of the other sources as probes (sketches.bloom_fpr, m=1024,
+    k=3): exact md5 bucket set algebra, fill-ratio expected chain —
+    oracle-replayable."""
+    from z_rad_spark.operators.sketches import bloom_fpr
+
+    srcs = [f"src{i}" for i in range(10)]
+    d = _docs(spark, sf_dir).select(F.md5(F.col("text")).alias("token"), "source")
+    out = bloom_fpr(
+        d.where(F.col("source").isin(srcs)),
+        d.where(~F.col("source").isin(srcs)),
+        m_bits=1024,
+    )
+    return _r6(out, ["fpr", "expected_fpr"])
+
+
+def q_ild(spark, sf_dir):
+    """Intra-list diversity of the cosine top-5 lists for the first 5
+    query vectors (similarity.intra_list_diversity): deterministic
+    ranked lists, rank-ordered pair-distance fold — oracle-replayable."""
+    from z_rad_spark.operators.similarity import intra_list_diversity
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = intra_list_diversity(emb, queries, k=5)
+    return _r6(out.select(F.col("query_id").cast("long"), "n_pairs", "ild"), ["ild"])
+
+
+def q_heaps(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit over doc_id order
+    (text.heaps_law, <=64 curve checkpoints): exact cumulative longs,
+    rank-ordered OLS folds — oracle-replayable."""
+    from z_rad_spark.operators.text import heaps_law
+
+    out = heaps_law(_docs(spark, sf_dir))
+    return _r6(out, ["beta", "k"])
+
+
+def q_benford(spark, sf_dir):
+    """Benford first-digit screen over documents.n_chars
+    (drift.benford_test): exact digit counts, literal Benford
+    probabilities, digit-ordered chi2/MAD folds — oracle-replayable."""
+    from z_rad_spark.operators.drift import benford_test
+
+    out = benford_test(_docs(spark, sf_dir))
+    return _r6(out, ["chi2", "mad"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -5581,6 +5633,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cronbach": q_cronbach,
         "q_mood_median": q_mood_median,
         "q_rmst": q_rmst,
+        "q_bloom_fpr": q_bloom_fpr,
+        "q_ild": q_ild,
+        "q_heaps": q_heaps,
+        "q_benford": q_benford,
     }
 
 

@@ -11841,3 +11841,161 @@ SELECT CAST(1800 AS BIGINT) AS tau_s, n_conv,
        {r6('area * 60.0', 'rmst_s')}
 FROM g
 """
+
+
+# Bloom-filter FPR audit (en members vs non-en probes, m=4096, k=3):
+# exact md5 bucket set algebra — matches sketches.bloom_fpr
+ORACLES["q_bloom_fpr"] = f"""
+WITH srcs AS (SELECT unnest(['src0','src1','src2','src3','src4','src5','src6','src7','src8','src9']) AS s),
+toks AS (SELECT md5(text) AS t, source FROM documents),
+mem AS (SELECT DISTINCT t FROM toks WHERE source IN (SELECT s FROM srcs)),
+bits AS (
+  SELECT DISTINCT ('0x' || substring(md5(mem.t || '#' || j), 1, 8))::BIGINT % 1024 AS b
+  FROM mem CROSS JOIN (SELECT unnest(['0','1','2']) AS j)
+),
+probe AS (
+  SELECT DISTINCT t FROM toks WHERE source NOT IN (SELECT s FROM srcs)
+  AND t NOT IN (SELECT t FROM mem)
+),
+hits AS (
+  SELECT p.t, CAST(COUNT(*) AS BIGINT) AS h
+  FROM probe p CROSS JOIN (SELECT unnest(['0','1','2']) AS j)
+  WHERE ('0x' || substring(md5(p.t || '#' || j), 1, 8))::BIGINT % 1024
+        IN (SELECT b FROM bits)
+  GROUP BY p.t
+),
+g AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM mem) AS n_members,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_test,
+         (SELECT CAST(COALESCE(SUM(CASE WHEN h = 3 THEN 1 END), 0) AS BIGINT) FROM hits) AS n_fp
+)
+SELECT n_members, n_bits_set, n_test, n_fp,
+       {r6('CASE WHEN n_test > 0 THEN CAST(n_fp AS DOUBLE) / CAST(n_test AS DOUBLE) END', 'fpr')},
+       {r6('(CAST(n_bits_set AS DOUBLE) / 1024.0) * (CAST(n_bits_set AS DOUBLE) / 1024.0) * (CAST(n_bits_set AS DOUBLE) / 1024.0)', 'expected_fpr')}
+FROM g
+"""
+
+
+# Intra-list diversity of the cosine top-5 lists: deterministic ranked
+# lists, rank-ordered pair-distance fold — matches
+# similarity.intra_list_diversity
+ORACLES["q_ild"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+s AS (
+  SELECT q.query_id, v.vec_id, v.ev,
+         list_dot_product(v.ev, q.qv)
+           / (sqrt(list_dot_product(v.ev, v.ev)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM v CROSS JOIN q
+),
+r AS (
+  SELECT query_id, vec_id, ev,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM s
+),
+topk AS (SELECT * FROM r WHERE rank <= 5),
+pairs AS (
+  SELECT a.query_id, a.rank AS ri, b.rank AS rj,
+         1.0 - (list_dot_product(a.ev, b.ev)
+           / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev)))) AS d
+  FROM topk a JOIN topk b ON a.query_id = b.query_id AND a.rank < b.rank
+),
+per AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         list_reduce([0.0] || list(d ORDER BY ri, rj), (acc, e) -> acc + e) AS s
+  FROM pairs GROUP BY query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, n_pairs,
+       {r6('CASE WHEN n_pairs > 0 THEN s / CAST(n_pairs AS DOUBLE) END', 'ild')}
+FROM per
+"""
+
+
+# Heaps'-law vocabulary-growth fit over doc_id order (<=64 curve
+# checkpoints): exact cumulative longs, rank-ordered OLS folds —
+# matches text.heaps_law
+ORACLES["q_heaps"] = f"""
+WITH d AS (SELECT doc_id AS doc, {TOKS_RAW} AS tk FROM documents),
+per_doc AS (SELECT doc, CAST(len(tk) AS BIGINT) AS nt FROM d),
+tok AS (SELECT doc, unnest(tk) AS t FROM d),
+first_t AS (SELECT t, MIN(doc) AS fd FROM tok GROUP BY t),
+new_types AS (SELECT fd AS doc, CAST(COUNT(*) AS BIGINT) AS nv FROM first_t GROUP BY fd),
+curve AS (
+  SELECT per_doc.doc,
+         CAST(SUM(per_doc.nt) OVER w AS BIGINT) AS n,
+         CAST(SUM(COALESCE(new_types.nv, 0)) OVER w AS BIGINT) AS v,
+         CAST(ROW_NUMBER() OVER (ORDER BY per_doc.doc) AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS nd
+  FROM per_doc LEFT JOIN new_types ON new_types.doc = per_doc.doc
+  WINDOW w AS (ORDER BY per_doc.doc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pts AS (
+  SELECT rk, nd, LN(CAST(n AS DOUBLE)) AS x, LN(CAST(v AS DOUBLE)) AS y
+  FROM curve
+  WHERE (rk % GREATEST(CAST(1 AS BIGINT), CAST(CEIL(CAST(nd AS DOUBLE) / 64.0) AS BIGINT))) = 0
+    AND n > 0 AND v > 0
+),
+g AS (
+  SELECT CAST(MAX(nd) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_points,
+         list_reduce([0.0] || list(x ORDER BY rk), (a, e) -> a + e) AS sx,
+         list_reduce([0.0] || list(y ORDER BY rk), (a, e) -> a + e) AS sy,
+         list_reduce([0.0] || list(x * x ORDER BY rk), (a, e) -> a + e) AS sxx,
+         list_reduce([0.0] || list(x * y ORDER BY rk), (a, e) -> a + e) AS sxy
+  FROM pts
+),
+f AS (
+  SELECT n_docs, n_points,
+         (CAST(n_points AS DOUBLE) * sxy - sx * sy)
+           / (CAST(n_points AS DOUBLE) * sxx - sx * sx) AS beta,
+         CAST(n_points AS DOUBLE) * sxx - sx * sx AS denom,
+         sx, sy
+  FROM g
+)
+SELECT n_docs, n_points,
+       {r6('CASE WHEN n_points >= 2 AND denom <> 0 THEN beta END', 'beta')},
+       {r6('CASE WHEN n_points >= 2 AND denom <> 0 THEN EXP((sy - beta * sx) / CAST(n_points AS DOUBLE)) END', 'k')}
+FROM f
+"""
+
+
+# Benford first-digit screen over documents.n_chars: exact digit
+# counts, shared literal probabilities, digit-ordered folds — matches
+# drift.benford_test
+ORACLES["q_benford"] = f"""
+WITH cnt AS (
+  SELECT CAST(substring(CAST(CAST(n_chars AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+  GROUP BY 1
+),
+grid AS (SELECT unnest(range(1, 10)) AS d),
+dense AS (
+  SELECT grid.d, CAST(COALESCE(cnt.c, 0) AS BIGINT) AS c0,
+         CASE WHEN grid.d = 1 THEN CAST('0.3010299956639812' AS DOUBLE) WHEN grid.d = 2 THEN CAST('0.17609125905568124' AS DOUBLE) WHEN grid.d = 3 THEN CAST('0.12493873660829992' AS DOUBLE) WHEN grid.d = 4 THEN CAST('0.09691001300805642' AS DOUBLE) WHEN grid.d = 5 THEN CAST('0.07918124604762482' AS DOUBLE) WHEN grid.d = 6 THEN CAST('0.06694678963061322' AS DOUBLE) WHEN grid.d = 7 THEN CAST('0.05799194697768673' AS DOUBLE) WHEN grid.d = 8 THEN CAST('0.05115252244738129' AS DOUBLE) WHEN grid.d = 9 THEN CAST('0.04575749056067514' AS DOUBLE) END AS p
+  FROM grid LEFT JOIN cnt ON cnt.d = grid.d
+),
+dn AS (SELECT d, c0, p, CAST(SUM(c0) OVER () AS BIGINT) AS n FROM dense),
+terms AS (
+  SELECT d, n,
+         (CAST(c0 AS DOUBLE) - CAST(n AS DOUBLE) * p)
+           * (CAST(c0 AS DOUBLE) - CAST(n AS DOUBLE) * p)
+           / (CAST(n AS DOUBLE) * p) AS t,
+         ABS(CAST(c0 AS DOUBLE) / CAST(n AS DOUBLE) - p) AS a
+  FROM dn
+),
+g AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         list_reduce([0.0] || list(t ORDER BY d), (acc, e) -> acc + e) AS chi2,
+         list_reduce([0.0] || list(a ORDER BY d), (acc, e) -> acc + e) / 9.0 AS mad
+  FROM terms
+)
+SELECT n,
+       {r6('CASE WHEN n > 0 THEN chi2 END', 'chi2')},
+       {r6('CASE WHEN n > 0 THEN mad END', 'mad')}
+FROM g
+"""

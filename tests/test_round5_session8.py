@@ -345,3 +345,97 @@ def test_rmst_all_immediate_events_is_zero(spark):
     rows = [("c1", 0, "tool"), ("c2", 0, "tool")]
     r = rmst(_surv_turns(spark, rows), tau_buckets=5, bucket_s=60).collect()[0]
     assert r["rmst_s"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_bloom_fpr_properties(spark):
+    from z_rad_spark.operators.sketches import bloom_fpr
+
+    mem = spark.createDataFrame([(f"m{i}",) for i in range(50)], "token string")
+    probes = spark.createDataFrame([(f"p{i}",) for i in range(200)], "token string")
+    r = bloom_fpr(mem, probes, m_bits=64, k_hashes=3).collect()[0]
+    assert r["n_members"] == 50
+    # bits bounded by both the bit-array and total insertions
+    assert 1 <= r["n_bits_set"] <= min(64, 150)
+    assert r["n_test"] == 200
+    assert 0 <= r["n_fp"] <= 200
+    assert r["fpr"] == pytest.approx(r["n_fp"] / 200.0, rel=1e-9)
+    fill = r["n_bits_set"] / 64.0
+    assert r["expected_fpr"] == pytest.approx(fill ** 3, rel=1e-9)
+
+
+def test_bloom_fpr_members_excluded_from_probes(spark):
+    from z_rad_spark.operators.sketches import bloom_fpr
+
+    mem = spark.createDataFrame([("a",), ("b",)], "token string")
+    r = bloom_fpr(mem, mem, m_bits=64).collect()[0]
+    assert r["n_test"] == 0 and r["n_fp"] == 0 and r["fpr"] is None
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ild_orthonormal_corpus_is_one(spark):
+    from z_rad_spark.operators.similarity import intra_list_diversity
+
+    vecs = _emb_df(
+        spark, [(i, [1.0 if j == i else 0.0 for j in range(5)]) for i in range(5)]
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    r = intra_list_diversity(vecs, q, k=5).collect()[0]
+    assert r["n_pairs"] == 10
+    assert r["ild"] == pytest.approx(1.0, rel=1e-12)
+
+
+def test_ild_identical_corpus_is_zero(spark):
+    from z_rad_spark.operators.similarity import intra_list_diversity
+
+    vecs = _emb_df(spark, [(i, [0.6, 0.8]) for i in range(4)])
+    q = spark.createDataFrame(
+        [(0, [0.6, 0.8])], "query_id long, query_vec array<double>"
+    )
+    r = intra_list_diversity(vecs, q, k=4).collect()[0]
+    assert r["n_pairs"] == 6
+    assert r["ild"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_heaps_law_linear_growth_beta_one(spark):
+    from z_rad_spark.operators.text import heaps_law
+
+    # doc i contributes exactly one NEW token -> V(n) = n -> beta = 1, K = 1
+    docs = spark.createDataFrame(
+        [(i, f"tok{i}") for i in range(10)], "doc_id long, text string"
+    )
+    r = heaps_law(docs).collect()[0]
+    assert r["n_docs"] == 10 and r["n_points"] >= 2
+    assert r["beta"] == pytest.approx(1.0, rel=1e-9)
+    assert r["k"] == pytest.approx(1.0, rel=1e-9)
+
+
+def test_heaps_law_saturated_vocab_beta_zero(spark):
+    from z_rad_spark.operators.text import heaps_law
+
+    # same single token everywhere -> V constant at 1 -> beta = 0
+    docs = spark.createDataFrame(
+        [(i, "same") for i in range(10)], "doc_id long, text string"
+    )
+    r = heaps_law(docs).collect()[0]
+    assert r["beta"] == pytest.approx(0.0, abs=1e-9)
+    assert r["k"] == pytest.approx(1.0, rel=1e-9)
+
+
+def test_benford_all_leading_ones(spark):
+    import math
+    from z_rad_spark.operators.drift import benford_test
+
+    df = spark.createDataFrame([(v,) for v in (1, 10, 12, 150, 1999)], "n_chars long")
+    r = benford_test(df).collect()[0]
+    n = 5
+    p = [math.log10(1 + 1 / d) for d in range(1, 10)]
+    chi2 = sum(((n if d == 1 else 0) - n * p[d - 1]) ** 2 / (n * p[d - 1]) for d in range(1, 10))
+    mad = sum(abs((1.0 if d == 1 else 0.0) - p[d - 1]) for d in range(1, 10)) / 9.0
+    assert r["n"] == 5
+    assert r["chi2"] == pytest.approx(chi2, rel=1e-10)
+    assert r["mad"] == pytest.approx(mad, rel=1e-10)

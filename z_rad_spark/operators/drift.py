@@ -3320,3 +3320,68 @@ def mood_median(
         "n_groups",
         F.when(ok, chi2).alias("chi2"),
     )
+
+
+def benford_test(df: DataFrame, value_col: str = "n_chars") -> DataFrame:
+    """Benford first-digit screen over a positive count column — the
+    fabrication/corruption smoke alarm for ingested metadata (organic
+    size-like quantities follow log-uniform leading digits; synthetic
+    or truncated feeds don't):
+
+        chi2 = sum_d (O_d - n p_d)^2 / (n p_d),   p_d = log10(1 + 1/d)
+        mad  = (1/9) sum_d | O_d / n - p_d |
+
+    Determinism: digit counts are exact longs over the leading
+    character of the decimal rendering (both engines print integers
+    identically); the nine Benford probabilities enter BOTH the engine
+    and the oracle as the same repr'd literals, so every term is a
+    fixed chain and the reduction folds ordered by digit.
+    Bit-replayable.
+
+    Scale: one 9-bucket map-side-combined groupBy, dense 9-row grid.
+    Output one row: (n long; chi2, mad doubles — NULL when n = 0).
+    """
+    import math
+
+    v = F.col(value_col).cast("long")
+    digit = F.substring(v.cast("string"), 1, 1).cast("long")
+    cnt = (
+        df.where(v.isNotNull() & (v > 0))
+        .groupBy(digit.alias("_d"))
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    spark_sess = df.sparkSession
+    grid = spark_sess.range(1, 10).select(F.col("id").alias("_d"))
+    probs = {d: float(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+    expr = None
+    for d in range(1, 10):
+        lit = F.lit(probs[d])
+        expr = F.when(F.col("_d") == d, lit) if expr is None else expr.when(
+            F.col("_d") == d, lit
+        )
+    dense = grid.join(cnt, "_d", "left").select(
+        "_d",
+        F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("_c0"),
+        expr.alias("_p"),
+    )
+    w_all = Window.orderBy("_d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dn = dense.withColumn("_n", F.sum("_c0").over(w_all).cast("long"))
+    nd = F.col("_n").cast("double")
+    e = nd * F.col("_p")
+    term = (F.col("_c0").cast("double") - e) * (F.col("_c0").cast("double") - e) / e
+    dev = F.abs(F.col("_c0").cast("double") / nd - F.col("_p"))
+    g = dn.select(
+        "_n", F.struct("_d", term.alias("_t"), dev.alias("_a")).alias("_e")
+    ).groupBy("_n").agg(F.sort_array(F.collect_list("_e")).alias("_es"))
+    chi2 = F.aggregate(F.col("_es"), F.lit(0.0), lambda a, x: a + x["_t"])
+    mad = (
+        F.aggregate(F.col("_es"), F.lit(0.0), lambda a, x: a + x["_a"])
+        / F.lit(9.0)
+    )
+    return g.select(
+        F.col("_n").alias("n"),
+        F.when(F.col("_n") > 0, chi2).alias("chi2"),
+        F.when(F.col("_n") > 0, mad).alias("mad"),
+    )

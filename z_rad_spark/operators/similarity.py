@@ -1836,3 +1836,65 @@ def err_at_k(
         err = err + cont * F.col(f"_r{i}") * F.lit(1.0 / float(i))
         cont = cont * (F.lit(1.0) - F.col(f"_r{i}"))
     return piv.select(query_id, "n_hits", err.alias("err"))
+
+
+def intra_list_diversity(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Intra-list diversity of each query's cosine top-k — the
+    redundancy report for a retrieval stack ('are the k results k
+    paraphrases?'), the measurement twin of [[mmr_topk]] (MMR trades
+    relevance FOR this number; ILD just reports it):
+
+        ILD(q) = (2 / k(k-1)) * sum_{i<j} (1 - cos(v_i, v_j))
+
+    Determinism: the top-k lists come from [[cosine_topk]]'s
+    deterministic (cosine desc, id asc) ranking; each pair distance is
+    the fixed dot/norm chain and the per-query reduction folds ordered
+    by (rank_i, rank_j). Bit-replayable.
+
+    Scale: the result-id set (|Q| * k rows) BROADCASTS onto the corpus
+    scan to fetch vectors — one pass, no corpus shuffle; the pair join
+    is per-query k x k on the tiny result table. Output: (query_id,
+    n_pairs long, ild double — NULL when < 2 results), one row per
+    query.
+    """
+    from pyspark.sql.functions import broadcast
+
+    topk = cosine_topk(
+        vectors, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id=query_id, query_vec=query_vec, rounded=False,
+    ).select(query_id, id_col, "rank")
+    withv = vectors.select(id_col, vec_col).join(broadcast(topk), id_col)
+    a = withv.select(
+        F.col(query_id).alias("_q"),
+        F.col("rank").alias("_ri"),
+        F.col(vec_col).alias("_vi"),
+    )
+    b = withv.select(
+        F.col(query_id).alias("_q"),
+        F.col("rank").alias("_rj"),
+        F.col(vec_col).alias("_vj"),
+    )
+    pairs = a.join(b, "_q").where(F.col("_ri") < F.col("_rj"))
+    dist = F.lit(1.0) - _cosine(F.col("_vi"), F.col("_vj")).cast("double")
+    per = pairs.select(
+        "_q", F.struct("_ri", "_rj", dist.alias("_d")).alias("_e")
+    ).groupBy("_q").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sort_array(F.collect_list("_e")).alias("_es"),
+    )
+    s = F.aggregate(F.col("_es"), F.lit(0.0), lambda acc, e: acc + e["_d"])
+    return per.select(
+        F.col("_q").alias(query_id),
+        "n_pairs",
+        F.when(
+            F.col("n_pairs") > 0, s / F.col("n_pairs").cast("double")
+        ).alias("ild"),
+    )

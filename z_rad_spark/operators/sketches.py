@@ -402,3 +402,93 @@ def kmv_distinct_by(
         * F.lit(100.0)
     )
     return out.withColumn("err_pct", err)
+
+
+def bloom_fpr(
+    members: DataFrame,
+    tests: DataFrame,
+    token_col: str = "token",
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter false-positive audit: build the bit set from the
+    DISTINCT member tokens, then measure how many NON-member probe
+    tokens the filter would (wrongly) admit — the calibration report
+    for sizing the dedup/decontamination prefilters ([[q_decontaminate]]
+    uses exact joins; a Bloom front reduces their shuffle at corpus
+    scale, and this op says what admission error that buys):
+
+        bucket_j(t) = int(md5(t || '#' || j)[:8]) mod m,  j < k
+        FP(t)       = all k buckets of t are set
+        expected    = (bits_set / m)^k   (fill-ratio estimator)
+
+    Determinism: membership and probe hits are EXACT integer
+    set-algebra on md5-derived buckets (both engines implement md5 and
+    the hex fold identically); fpr and the expected chain are fixed
+    single-op sequences. Bit-replayable.
+
+    Scale: the bit set is at most ``m_bits`` rows (broadcastable for
+    any practical m); probes explode k-fold then semi-join the
+    broadcast bits — one map-side pass over the probe side, no
+    corpus shuffle. Output one row: (n_members, n_bits_set, n_test,
+    n_fp longs; fpr, expected_fpr doubles — NULL when no probes).
+    """
+    from pyspark.sql.functions import broadcast
+
+    mem = members.select(F.col(token_col).alias("_t")).distinct()
+    js = F.sequence(F.lit(0), F.lit(int(k_hashes) - 1))
+
+    def _bkt(tok, j):
+        h = F.md5(F.concat(tok, F.lit("#"), j.cast("string")))
+        return (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(int(m_bits))
+        )
+
+    bits = (
+        mem.select(F.explode(js).alias("_j"), "_t")
+        .select(_bkt(F.col("_t"), F.col("_j")).alias("_b"))
+        .distinct()
+    )
+    n_mem = mem.agg(F.count("*").cast("long").alias("n_members"))
+    n_bits = bits.agg(F.count("*").cast("long").alias("n_bits_set"))
+    probe = (
+        tests.select(F.col(token_col).alias("_t"))
+        .distinct()
+        .join(mem, "_t", "left_anti")
+    )
+    hits = (
+        probe.select("_t", F.explode(js).alias("_j"))
+        .select("_t", _bkt(F.col("_t"), F.col("_j")).alias("_b"))
+        .join(broadcast(bits), "_b", "left_semi")
+        .groupBy("_t")
+        .agg(F.count("*").cast("long").alias("_h"))
+    )
+    fp = probe.join(hits, "_t", "left").agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("_h"), F.lit(0)) == k_hashes, F.lit(1)
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_fp"),
+    )
+    g = n_mem.crossJoin(broadcast(n_bits)).crossJoin(broadcast(fp))
+    fill = F.col("n_bits_set").cast("double") / F.lit(float(m_bits))
+    expected = fill
+    for _ in range(int(k_hashes) - 1):
+        expected = expected * fill
+    return g.select(
+        "n_members",
+        "n_bits_set",
+        "n_test",
+        "n_fp",
+        F.when(
+            F.col("n_test") > 0,
+            F.col("n_fp").cast("double") / F.col("n_test").cast("double"),
+        ).alias("fpr"),
+        expected.alias("expected_fpr"),
+    )

@@ -1706,3 +1706,92 @@ def naive_bayes_lang(
             (F.col("_score") - F.col("_runner")).alias("margin"),
         )
     )
+
+
+def heaps_law(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_points: int = 64,
+) -> DataFrame:
+    """Heaps'-law fit V(n) ~ K n^beta of vocabulary growth over the
+    corpus in ``id_col`` order — the scaling twin of the [[q_zipf]]
+    rank-frequency fit (Zipf says how mass concentrates, Heaps says
+    how fast NEW types keep arriving; beta well below 1 means a dedup/
+    normalization pass is converging, beta near 1 means the corpus
+    keeps surprising you):
+
+        log V_i = log K + beta log n_i   (OLS over curve checkpoints)
+
+    Mechanics: each token's FIRST document (min doc_id) marks where it
+    enters the vocabulary; per-doc token totals and new-type counts
+    cumsum along doc order into the exact (n_i, V_i) growth curve,
+    sampled at <= ``max_points`` evenly spaced docs so the fit state
+    is bounded regardless of corpus size.
+
+    Determinism: n_i / V_i are exact longs; the OLS moments fold over
+    the checkpoint list ordered by doc rank with fixed ln/multiply
+    chains. Bit-replayable.
+
+    Scale: one explode + token groupBy (map-side combined) for first
+    occurrences, one doc-level cumsum. The global doc order is a
+    window over doc_id — at corpus scale feed a bucketed/sorted layout
+    or a per-shard curve instead. Output one row: (n_docs, n_points
+    longs; beta, k doubles — NULL when < 2 checkpoints).
+    """
+    from z_rad_spark.operators.curation import _toks
+
+    d = df.select(F.col(id_col).alias("_doc"), _toks(text_col).alias("_tk"))
+    per_doc = d.select("_doc", F.size("_tk").cast("long").alias("_nt"))
+    tok = d.select("_doc", F.explode("_tk").alias("_t"))
+    first = tok.groupBy("_t").agg(F.min("_doc").alias("_fd"))
+    new_types = first.groupBy(F.col("_fd").alias("_doc")).agg(
+        F.count("*").cast("long").alias("_nv")
+    )
+    w_ord = Window.orderBy("_doc")
+    w_cum = Window.orderBy("_doc").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("_doc").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    curve = (
+        per_doc.join(new_types, "_doc", "left")
+        .select(
+            "_doc",
+            F.sum("_nt").over(w_cum).cast("long").alias("_n"),
+            F.sum(F.coalesce(F.col("_nv"), F.lit(0))).over(w_cum)
+            .cast("long")
+            .alias("_v"),
+            F.row_number().over(w_ord).cast("long").alias("_rk"),
+            F.count("*").over(w_all).cast("long").alias("_nd"),
+        )
+    )
+    step = F.greatest(
+        F.lit(1).cast("long"), F.ceil(F.col("_nd") / F.lit(int(max_points))).cast("long")
+    )
+    pts = curve.where(
+        ((F.col("_rk") % step) == 0) & (F.col("_n") > 0) & (F.col("_v") > 0)
+    )
+    x = F.log(F.col("_n").cast("double"))
+    y = F.log(F.col("_v").cast("double"))
+    g = pts.select(
+        F.col("_nd").alias("n_docs"),
+        F.struct("_rk", x.alias("_x"), y.alias("_y")).alias("_e"),
+    ).groupBy("n_docs").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sort_array(F.collect_list("_e")).alias("_es"),
+    )
+    sx = F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_x"])
+    sy = F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_y"])
+    sxx = F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_x"] * e["_x"])
+    sxy = F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_x"] * e["_y"])
+    md = F.col("n_points").cast("double")
+    denom = md * sxx - sx * sx
+    beta = (md * sxy - sx * sy) / denom
+    intercept = (sy - beta * sx) / md
+    ok = (F.col("n_points") >= 2) & (denom != 0)
+    return g.select(
+        "n_docs",
+        "n_points",
+        F.when(ok, beta).alias("beta"),
+        F.when(ok, F.exp(intercept)).alias("k"),
+    )
