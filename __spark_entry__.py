@@ -5278,6 +5278,45 @@ def q_benford(spark, sf_dir):
     return _r6(out, ["chi2", "mad"])
 
 
+def q_acf_profile(spark, sf_dir):
+    """Pooled within-conversation ACF at lags 1-3 (drift.acf_profile):
+    exact per-lag pair moments, fixed Pearson chains —
+    oracle-replayable."""
+    from z_rad_spark.operators.drift import acf_profile
+
+    out = acf_profile(_t(spark, sf_dir))
+    return _r6(out, ["r"])
+
+
+def q_lin_ccc(spark, sf_dir):
+    """Lin's concordance of consecutive turn signals (drift.lin_ccc):
+    exact pair moments, fixed population-moment chains —
+    oracle-replayable."""
+    from z_rad_spark.operators.drift import lin_ccc
+
+    out = lin_ccc(_t(spark, sf_dir))
+    return _r6(out, ["mean_x", "mean_y", "r", "ccc"])
+
+
+def q_page_trend(spark, sf_dir):
+    """Page's L over first-3-turn panels (drift.page_trend): exact
+    doubled-rank L2, no-tie z gate — oracle-replayable."""
+    from z_rad_spark.operators.drift import page_trend
+
+    out = page_trend(_t(spark, sf_dir))
+    return _r6(out, ["l_stat", "e_l", "z"])
+
+
+def q_bland_altman(spark, sf_dir):
+    """Bland-Altman limits of agreement, user turn vs next assistant
+    turn (drift.bland_altman): exact diff moments, 1.96 shared literal
+    — oracle-replayable."""
+    from z_rad_spark.operators.drift import bland_altman
+
+    out = bland_altman(_t(spark, sf_dir))
+    return _r6(out, ["mean_diff", "sd_diff", "loa_low", "loa_high"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -5637,6 +5676,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ild": q_ild,
         "q_heaps": q_heaps,
         "q_benford": q_benford,
+        "q_acf_profile": q_acf_profile,
+        "q_lin_ccc": q_lin_ccc,
+        "q_page_trend": q_page_trend,
+        "q_bland_altman": q_bland_altman,
     }
 
 

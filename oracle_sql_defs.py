@@ -11999,3 +11999,149 @@ SELECT n,
        {r6('CASE WHEN n > 0 THEN mad END', 'mad')}
 FROM g
 """
+
+
+# Pooled within-conversation ACF at lags 1-3: exact per-lag pair
+# moments, fixed Pearson chains — matches drift.acf_profile
+ORACLES["q_acf_profile"] = f"""
+WITH t AS ({T}),
+b AS (
+  SELECT conv_id, CAST(signal AS BIGINT) AS x, ts, turn_idx
+  FROM t WHERE signal IS NOT NULL
+),
+l AS (
+  SELECT CAST(lag AS BIGINT) AS lag, x,
+         CASE lag WHEN 1 THEN LEAD(x, 1) OVER w
+                  WHEN 2 THEN LEAD(x, 2) OVER w
+                  ELSE LEAD(x, 3) OVER w END AS y
+  FROM b CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag)
+  WINDOW w AS (PARTITION BY conv_id, lag ORDER BY ts, turn_idx)
+),
+p AS (SELECT lag, x, y FROM l WHERE y IS NOT NULL),
+g AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM p GROUP BY lag
+)
+SELECT lag, n_pairs,
+       {r6('CASE WHEN (n_pairs * sxx - sx * sx) > 0 AND (n_pairs * syy - sy * sy) > 0 THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE) / SQRT(CAST(n_pairs * sxx - sx * sx AS DOUBLE) * CAST(n_pairs * syy - sy * sy AS DOUBLE)) END', 'r')}
+FROM g
+"""
+
+
+# Lin's concordance of consecutive turn signals: exact pair moments,
+# fixed population-moment chains — matches drift.lin_ccc
+ORACLES["q_lin_ccc"] = f"""
+WITH t AS ({T}),
+b AS (
+  SELECT conv_id, CAST(signal AS BIGINT) AS x,
+         LEAD(CAST(signal AS BIGINT), 1) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS y
+  FROM t WHERE signal IS NOT NULL
+),
+p AS (SELECT x, y FROM b WHERE y IS NOT NULL),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM p
+),
+f AS (
+  SELECT n_pairs,
+         CAST(sx AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS mx,
+         CAST(sy AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS my,
+         CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+           / (CAST(n_pairs AS DOUBLE) * CAST(n_pairs AS DOUBLE)) AS sxy_p,
+         CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+           / (CAST(n_pairs AS DOUBLE) * CAST(n_pairs AS DOUBLE)) AS sx2,
+         CAST(n_pairs * syy - sy * sy AS DOUBLE)
+           / (CAST(n_pairs AS DOUBLE) * CAST(n_pairs AS DOUBLE)) AS sy2
+  FROM g
+)
+SELECT n_pairs,
+       {r6('CASE WHEN n_pairs > 0 THEN mx END', 'mean_x')},
+       {r6('CASE WHEN n_pairs > 0 THEN my END', 'mean_y')},
+       {r6('CASE WHEN sx2 > 0 AND sy2 > 0 THEN sxy_p / SQRT(sx2 * sy2) END', 'r')},
+       {r6('CASE WHEN sx2 > 0 AND sy2 > 0 THEN 2.0 * sxy_p / (sx2 + sy2 + (mx - my) * (mx - my)) END', 'ccc')}
+FROM f
+"""
+
+
+# Page's L over first-3-turn panels: exact doubled-rank L2, no-tie z —
+# matches drift.page_trend
+ORACLES["q_page_trend"] = f"""
+WITH t AS ({T}),
+fn AS (
+  SELECT conv_id, CAST(signal AS BIGINT) AS cat,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS j
+  FROM t WHERE signal IS NOT NULL
+),
+panel AS (
+  SELECT conv_id, j, cat FROM fn
+  WHERE j <= 3 AND conv_id IN (
+    SELECT conv_id FROM fn WHERE j <= 3 GROUP BY conv_id HAVING COUNT(*) = 3
+  )
+),
+ranked AS (
+  SELECT conv_id, j, cat,
+         CAST(2 * RANK() OVER (PARTITION BY conv_id ORDER BY cat)
+              + COUNT(*) OVER (PARTITION BY conv_id, cat) - 1 AS BIGINT) AS r2
+  FROM panel
+),
+m AS (SELECT CAST(COUNT(*) / 3 AS BIGINT) AS m FROM ranked),
+l AS (SELECT CAST(SUM(j * r2) AS BIGINT) AS l2 FROM ranked),
+ties AS (
+  SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS tie_sum
+  FROM (SELECT conv_id, cat, CAST(COUNT(*) AS BIGINT) AS c FROM ranked GROUP BY conv_id, cat)
+),
+f AS (
+  SELECT m.m, l.l2, ties.tie_sum,
+         CAST(l.l2 AS DOUBLE) / 2.0 AS l_stat,
+         CAST(m.m AS DOUBLE) * 48.0 / 4.0 AS e_l,
+         CAST(m.m AS DOUBLE) * 288.0 / 144.0 AS var_l
+  FROM m CROSS JOIN l CROSS JOIN ties
+)
+SELECT m, CAST(3 AS BIGINT) AS k, l2, tie_sum,
+       {r6('CASE WHEN m > 0 THEN l_stat END', 'l_stat')},
+       {r6('CASE WHEN m > 0 THEN e_l END', 'e_l')},
+       {r6('CASE WHEN m > 0 AND tie_sum = 0 AND var_l > 0 THEN (l_stat - e_l) / SQRT(var_l) END', 'z')}
+FROM f
+"""
+
+
+# Bland-Altman limits of agreement, user turn vs next assistant turn:
+# exact diff moments, shared 1.96 literal — matches drift.bland_altman
+ORACLES["q_bland_altman"] = f"""
+WITH t AS ({T}),
+seq AS (
+  SELECT conv_id, role, CAST(signal AS BIGINT) AS x,
+         LEAD(role, 1) OVER w AS nr,
+         LEAD(CAST(signal AS BIGINT), 1) OVER w AS y
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+p AS (
+  SELECT CAST(y - x AS BIGINT) AS d FROM seq
+  WHERE role = 'user' AND nr = 'assistant' AND x IS NOT NULL AND y IS NOT NULL
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(d * d) AS BIGINT) AS sdd
+  FROM p
+),
+f AS (
+  SELECT n_pairs,
+         CAST(sd AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS mean_d,
+         SQRT(CAST(n_pairs * sdd - sd * sd AS DOUBLE)
+              / CAST(n_pairs * (n_pairs - 1) AS DOUBLE)) AS sdev
+  FROM g
+)
+SELECT n_pairs,
+       {r6('CASE WHEN n_pairs > 0 THEN mean_d END', 'mean_diff')},
+       {r6('CASE WHEN n_pairs >= 2 THEN sdev END', 'sd_diff')},
+       {r6('CASE WHEN n_pairs >= 2 THEN mean_d - 1.96 * sdev END', 'loa_low')},
+       {r6('CASE WHEN n_pairs >= 2 THEN mean_d + 1.96 * sdev END', 'loa_high')}
+FROM f
+"""

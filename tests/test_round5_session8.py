@@ -439,3 +439,82 @@ def test_benford_all_leading_ones(spark):
     assert r["n"] == 5
     assert r["chi2"] == pytest.approx(chi2, rel=1e-10)
     assert r["mad"] == pytest.approx(mad, rel=1e-10)
+
+
+def test_acf_profile_monotone_sequence(spark):
+    from z_rad_spark.operators.drift import acf_profile
+
+    rows = [("c1", i, "user", i + 1) for i in range(4)]
+    out = {r["lag"]: r for r in acf_profile(_turns(spark, rows)).collect()}
+    assert out[1]["n_pairs"] == 3 and out[1]["r"] == pytest.approx(1.0, rel=1e-12)
+    assert out[2]["n_pairs"] == 2 and out[2]["r"] == pytest.approx(1.0, rel=1e-12)
+    # single lag-3 pair: zero variance -> NULL
+    assert out[3]["n_pairs"] == 1 and out[3]["r"] is None
+
+
+def test_acf_profile_does_not_cross_conversations(spark):
+    from z_rad_spark.operators.drift import acf_profile
+
+    rows = [("c1", 0, "user", 1), ("c2", 0, "user", 9)]
+    out = acf_profile(_turns(spark, rows)).collect()
+    assert out == []  # no within-conv pairs at any lag
+
+
+def test_lin_ccc_anti_correlated(spark):
+    from z_rad_spark.operators.drift import lin_ccc
+
+    # pairs (1,2) and (2,1): r = -1 and, means equal, ccc = -1
+    rows = [("c1", 0, "user", 1), ("c1", 1, "user", 2),
+            ("c2", 0, "user", 2), ("c2", 1, "user", 1)]
+    r = lin_ccc(_turns(spark, rows)).collect()[0]
+    assert r["n_pairs"] == 2
+    assert r["r"] == pytest.approx(-1.0, rel=1e-12)
+    assert r["ccc"] == pytest.approx(-1.0, rel=1e-12)
+
+
+def test_lin_ccc_identity_pairs(spark):
+    from z_rad_spark.operators.drift import lin_ccc
+
+    # y == x exactly (three repeats then a jump, two convs)
+    rows = [("c1", 0, "user", 3), ("c1", 1, "user", 3), ("c1", 2, "user", 3),
+            ("c2", 0, "user", 7), ("c2", 1, "user", 7)]
+    r = lin_ccc(_turns(spark, rows)).collect()[0]
+    assert r["ccc"] == pytest.approx(1.0, rel=1e-12)
+
+
+def test_page_trend_hand_computed(spark):
+    from z_rad_spark.operators.drift import page_trend
+
+    # two judges, both strictly increasing: per judge L2 = 2+8+18 = 28
+    # L = 28, E = 12m = 24, Var = 2m = 4 -> z = (28-24)/2 = 2
+    rows = [(f"c{i}", j, "user", j + 1) for i in range(2) for j in range(3)]
+    r = page_trend(_turns(spark, rows)).collect()[0]
+    assert r["m"] == 2 and r["l2"] == 56 and r["tie_sum"] == 0
+    assert r["l_stat"] == pytest.approx(28.0)
+    assert r["e_l"] == pytest.approx(24.0)
+    assert r["z"] == pytest.approx(2.0, rel=1e-12)
+
+
+def test_page_trend_ties_suppress_z(spark):
+    from z_rad_spark.operators.drift import page_trend
+
+    rows = [("c1", 0, "user", 5), ("c1", 1, "user", 5), ("c1", 2, "user", 7)]
+    r = page_trend(_turns(spark, rows)).collect()[0]
+    assert r["tie_sum"] > 0 and r["z"] is None
+    assert r["l_stat"] is not None
+
+
+def test_bland_altman_hand_computed(spark):
+    from z_rad_spark.operators.drift import bland_altman
+
+    import math
+    # user->assistant diffs: 2-1=1 and 7-4=3 -> mean 2, sd sqrt(2)
+    rows = [("c1", 0, "user", 1), ("c1", 1, "assistant", 2),
+            ("c2", 0, "user", 4), ("c2", 1, "assistant", 7),
+            ("c3", 0, "assistant", 9), ("c3", 1, "user", 9)]  # wrong order: skipped
+    r = bland_altman(_turns(spark, rows)).collect()[0]
+    assert r["n_pairs"] == 2
+    assert r["mean_diff"] == pytest.approx(2.0)
+    assert r["sd_diff"] == pytest.approx(math.sqrt(2.0), rel=1e-12)
+    assert r["loa_low"] == pytest.approx(2.0 - 1.96 * math.sqrt(2.0), rel=1e-12)
+    assert r["loa_high"] == pytest.approx(2.0 + 1.96 * math.sqrt(2.0), rel=1e-12)

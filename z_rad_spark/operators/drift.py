@@ -3385,3 +3385,239 @@ def benford_test(df: DataFrame, value_col: str = "n_chars") -> DataFrame:
         F.when(F.col("_n") > 0, chi2).alias("chi2"),
         F.when(F.col("_n") > 0, mad).alias("mad"),
     )
+
+
+def acf_profile(df: DataFrame, signal_col: str = "signal", max_lag: int = 3) -> DataFrame:
+    """Pooled autocorrelation profile at lags 1..``max_lag``: Pearson r
+    of the within-conversation (x_t, x_{t+l}) pairs pooled across the
+    corpus — the lag-structure report beside [[ljung_box]] (which
+    tests the profile's joint significance; this op SHOWS the profile,
+    which is what a curation dashboard plots):
+
+        r_l = (n S_xy - S_x S_y) / sqrt((n S_xx - S_x^2)(n S_yy - S_y^2))
+
+    Determinism: per-lag pair moments are exact longs (pairs never
+    cross conversations — lead() is per-conv); r_l is a fixed chain.
+    Bit-replayable.
+
+    Scale: one window pass on the shared conv_id exchange produces all
+    lags; one groupBy on the tiny lag key. Output: (lag long, n_pairs
+    long, r double — NULL when either variance is 0), one row per lag,
+    ascending.
+    """
+    x = F.col(signal_col).cast("long")
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    base = df.where(x.isNotNull()).select("conv_id", "ts", "turn_idx", x.alias("_x"))
+    lags = None
+    for lag in range(1, int(max_lag) + 1):
+        part = base.select(
+            F.lit(lag).cast("long").alias("lag"),
+            F.col("_x"),
+            F.lead("_x", lag).over(w).alias("_y"),
+        ).where(F.col("_y").isNotNull())
+        lags = part if lags is None else lags.unionByName(part)
+    g = lags.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
+    )
+    n = F.col("n_pairs")
+    cov_n = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    vx_n = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    vy_n = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    ok = (vx_n > 0) & (vy_n > 0)
+    return g.select(
+        "lag",
+        "n_pairs",
+        F.when(ok, cov_n / F.sqrt(vx_n * vy_n)).alias("r"),
+    )
+
+
+def lin_ccc(df: DataFrame, signal_col: str = "signal") -> DataFrame:
+    """Lin's concordance correlation coefficient between consecutive
+    within-conversation signals (x = turn t, y = turn t+1) — the
+    agreement-WITH-identity companion to the plain lag-1 [[acf_profile]]
+    Pearson r (r rewards any linear relation; CCC also charges scale
+    and location shifts, which is what 'does the next turn reproduce
+    the last turn's measure' actually asks):
+
+        CCC = 2 s_xy / (s_x^2 + s_y^2 + (mean_x - mean_y)^2)
+
+    with population moments s_xy = (n S_xy - S_x S_y)/n^2 etc.
+
+    Determinism: pair moments are exact longs; CCC and the
+    accompanying Pearson r are fixed chains. Bit-replayable.
+
+    Scale: one window pass + one 1-row aggregate. Output one row:
+    (n_pairs long; mean_x, mean_y, r, ccc doubles — NULL when a
+    variance is 0).
+    """
+    x = F.col(signal_col).cast("long")
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    pairs = (
+        df.where(x.isNotNull())
+        .select("conv_id", "ts", "turn_idx", x.alias("_x"))
+        .select(F.col("_x"), F.lead("_x", 1).over(w).alias("_y"))
+        .where(F.col("_y").isNotNull())
+    )
+    g = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
+    )
+    n = F.col("n_pairs")
+    nd = n.cast("double")
+    mx = F.col("_sx").cast("double") / nd
+    my = F.col("_sy").cast("double") / nd
+    sxy = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double") / (nd * nd)
+    sx2 = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double") / (nd * nd)
+    sy2 = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double") / (nd * nd)
+    ok = (sx2 > 0) & (sy2 > 0)
+    r = sxy / F.sqrt(sx2 * sy2)
+    ccc = F.lit(2.0) * sxy / (sx2 + sy2 + (mx - my) * (mx - my))
+    return g.select(
+        "n_pairs",
+        F.when(n > 0, mx).alias("mean_x"),
+        F.when(n > 0, my).alias("mean_y"),
+        F.when(ok, r).alias("r"),
+        F.when(ok, ccc).alias("ccc"),
+    )
+
+
+def page_trend(df: DataFrame, signal_col: str = "signal", k: int = 3) -> DataFrame:
+    """Page's L trend test over the fixed first-k panels (same panel
+    convention as [[fleiss_kappa]] / [[kendall_w]]): do signals rise
+    monotonically across the opening turn POSITIONS, judged by every
+    conversation's within-panel ranks?
+
+        L = sum_j j R_j,   E[L] = m k (k+1)^2 / 4
+        z = (L - E[L]) / sqrt(m k^2 (k+1)(k^2 - 1) / 144)   (no ties)
+
+    Determinism: ranks ride the integer doubled rank (see
+    [[kendall_w]]), so L2 = 2L, E2 = 2E[L] are exact longs and L, E,
+    z are fixed chains. The no-tie z is reported only when tie_sum = 0
+    (the tie-corrected null variance is panel-specific; L and E remain
+    exact and comparable either way). Bit-replayable.
+
+    Scale: one windowed rank + k-row aggregates. Output one row:
+    (m, k, l2, tie_sum longs; l_stat, e_l doubles; z double — NULL
+    when ties exist or m = 0).
+    """
+    x = F.col(signal_col).cast("long")
+    ord_w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    fn = (
+        df.where(x.isNotNull())
+        .withColumn("_rn", F.row_number().over(ord_w))
+        .where(F.col("_rn") <= k)
+        .select("conv_id", F.col("_rn").alias("_j"), x.alias("_cat"))
+    )
+    cnt_w = Window.partitionBy("conv_id")
+    panel = fn.withColumn("_m", F.count("*").over(cnt_w)).where(F.col("_m") == k)
+    rank_w = Window.partitionBy("conv_id").orderBy("_cat")
+    tie_w = Window.partitionBy("conv_id", "_cat")
+    ranked = panel.select(
+        "conv_id",
+        "_j",
+        "_cat",
+        (F.lit(2) * F.rank().over(rank_w) + F.count("*").over(tie_w) - F.lit(1))
+        .cast("long")
+        .alias("_r2"),
+    )
+    m_df = ranked.groupBy().agg(
+        (F.count("*") / F.lit(k)).cast("long").alias("_m")
+    )
+    l2 = ranked.agg(
+        F.sum(F.col("_j").cast("long") * F.col("_r2")).cast("long").alias("l2")
+    )
+    ties = (
+        ranked.groupBy("conv_id", "_cat")
+        .agg(F.count("*").cast("long").alias("_c"))
+        .agg(
+            F.sum(F.col("_c") * F.col("_c") * F.col("_c") - F.col("_c"))
+            .cast("long")
+            .alias("tie_sum")
+        )
+    )
+    from pyspark.sql.functions import broadcast
+
+    g = m_df.crossJoin(broadcast(l2)).crossJoin(broadcast(ties))
+    md = F.col("_m").cast("double")
+    l_stat = F.col("l2").cast("double") / F.lit(2.0)
+    e_l = md * F.lit(float(k * (k + 1) * (k + 1))) / F.lit(4.0)
+    var_l = md * F.lit(float(k * k * (k + 1) * (k * k - 1))) / F.lit(144.0)
+    ok = (F.col("_m") > 0) & (F.col("tie_sum") == 0) & (var_l > 0)
+    return g.select(
+        F.col("_m").alias("m"),
+        F.lit(k).cast("long").alias("k"),
+        "l2",
+        "tie_sum",
+        F.when(F.col("_m") > 0, l_stat).alias("l_stat"),
+        F.when(F.col("_m") > 0, e_l).alias("e_l"),
+        F.when(ok, (l_stat - e_l) / F.sqrt(var_l)).alias("z"),
+    )
+
+
+def bland_altman(
+    df: DataFrame,
+    signal_col: str = "signal",
+    role_a: str = "user",
+    role_b: str = "assistant",
+) -> DataFrame:
+    """Bland-Altman limits of agreement between each user turn's signal
+    and the IMMEDIATELY following assistant turn's — the paired
+    agreement report beside the unpaired [[hedges_g]] ('do replies
+    track prompts turn-for-turn, and inside what band?'):
+
+        d_i = y_i - x_i;  LoA = mean_d +/- 1.96 sd_d
+
+    Determinism: adjacent pairs come from the stable (ts, turn_idx)
+    order; diff moments are exact longs; mean/sd/LoA are fixed chains
+    with the conventional 1.96 as a shared literal. Bit-replayable.
+
+    Scale: one window pass + one 1-row aggregate. Output one row:
+    (n_pairs long; mean_diff, sd_diff, loa_low, loa_high doubles —
+    NULL when n < 2).
+    """
+    x = F.col(signal_col).cast("long")
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    seq = df.select(
+        "conv_id",
+        "ts",
+        "turn_idx",
+        F.col("role"),
+        x.alias("_x"),
+        F.lead("role", 1).over(w).alias("_nr"),
+        F.lead(x, 1).over(w).alias("_y"),
+    )
+    pairs = seq.where(
+        (F.col("role") == role_a)
+        & (F.col("_nr") == role_b)
+        & F.col("_x").isNotNull()
+        & F.col("_y").isNotNull()
+    ).select((F.col("_y") - F.col("_x")).cast("long").alias("_d"))
+    g = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("_d").cast("long").alias("_sd"),
+        F.sum(F.col("_d") * F.col("_d")).cast("long").alias("_sdd"),
+    )
+    n = F.col("n_pairs")
+    nd = n.cast("double")
+    mean_d = F.col("_sd").cast("double") / nd
+    sd = F.sqrt(
+        (n * F.col("_sdd") - F.col("_sd") * F.col("_sd")).cast("double")
+        / (n * (n - F.lit(1))).cast("double")
+    )
+    ok = n >= 2
+    return g.select(
+        "n_pairs",
+        F.when(n > 0, mean_d).alias("mean_diff"),
+        F.when(ok, sd).alias("sd_diff"),
+        F.when(ok, mean_d - F.lit(1.96) * sd).alias("loa_low"),
+        F.when(ok, mean_d + F.lit(1.96) * sd).alias("loa_high"),
+    )
