@@ -5317,6 +5317,57 @@ def q_bland_altman(spark, sf_dir):
     return _r6(out, ["mean_diff", "sd_diff", "loa_low", "loa_high"])
 
 
+def _clf_scored(spark, sf_dir):
+    """Shared scored frame: hashed quality classifier vs lang=='en'."""
+    from z_rad_spark.operators.curation import quality_classifier
+
+    scored = quality_classifier(_docs(spark, sf_dir), dims=64, seed=41)
+    labels = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("lang") == "en").alias("label_true")
+    )
+    return scored.join(labels, "doc_id")
+
+
+def q_confusion(spark, sf_dir):
+    """Thresholded confusion scorecard for the hashed quality
+    classifier vs lang=='en' (encoding.confusion_stats): exact cells,
+    fixed double chains incl. MCC — oracle-replayable."""
+    from z_rad_spark.operators.encoding import confusion_stats
+
+    out = confusion_stats(_clf_scored(spark, sf_dir))
+    return _r6(out, ["precision", "recall", "f1", "accuracy", "mcc"])
+
+
+def q_score_ks(spark, sf_dir):
+    """KS separation of classifier scores, positives vs negatives
+    (encoding.score_ks): integer-key argmax over the compacted p6
+    histogram — oracle-replayable."""
+    from z_rad_spark.operators.encoding import score_ks
+
+    out = score_ks(_clf_scored(spark, sf_dir))
+    return _r6(out, ["ks", "at_score"])
+
+
+def q_source_jaccard(spark, sf_dir):
+    """Pairwise source vocabulary Jaccard (curation.source_jaccard):
+    exact set algebra on the deduped inverted index —
+    oracle-replayable."""
+    from z_rad_spark.operators.curation import source_jaccard
+
+    out = source_jaccard(_docs(spark, sf_dir))
+    return _r6(out, ["jaccard"])
+
+
+def q_source_kl(spark, sf_dir):
+    """Per-source KL from the corpus token mix over the top-256
+    vocabulary + OTHER bucket (curation.source_kl): exact counts,
+    bucket-ordered folds — oracle-replayable."""
+    from z_rad_spark.operators.curation import source_kl
+
+    out = source_kl(_docs(spark, sf_dir))
+    return _r6(out, ["kl"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -5680,6 +5731,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lin_ccc": q_lin_ccc,
         "q_page_trend": q_page_trend,
         "q_bland_altman": q_bland_altman,
+        "q_confusion": q_confusion,
+        "q_score_ks": q_score_ks,
+        "q_source_jaccard": q_source_jaccard,
+        "q_source_kl": q_source_kl,
     }
 
 

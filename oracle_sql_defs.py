@@ -12145,3 +12145,129 @@ SELECT n_pairs,
        {r6('CASE WHEN n_pairs >= 2 THEN mean_d + 1.96 * sdev END', 'loa_high')}
 FROM f
 """
+
+
+# shared scored-classifier CTE fragment for confusion/score-KS (the
+# q_brier scoring chain: fold in document token order, r6x prob)
+_CLF_SCORED = f"""
+s AS (
+  SELECT doc_id,
+         len({TOKS_RAW}) AS n,
+         list_reduce([CAST(0.0 AS DOUBLE)] || list_transform({TOKS_RAW},
+             t -> ({_classifier_w_sql()})[CAST(('0x' || substring(md5(t), 1, 4))::BIGINT % 64 AS INT) + 1]),
+             (acc, x) -> acc + x) AS wsum
+  FROM documents
+),
+sc AS (SELECT doc_id, wsum / CAST(n AS DOUBLE) + 0 AS score FROM s),
+pr AS (SELECT doc_id, {r6x('1.0 / (1.0 + exp(-score))')} AS p6 FROM sc),
+lab AS (
+  SELECT pr.doc_id, pr.p6, (d.lang = 'en') AS y
+  FROM pr JOIN documents d USING (doc_id)
+)"""
+
+
+# Thresholded confusion scorecard incl. MCC — matches
+# encoding.confusion_stats over curation.quality_classifier
+ORACLES["q_confusion"] = f"""
+WITH {_CLF_SCORED},
+g AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN p6 >= 0.5 AND y THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+         CAST(COALESCE(SUM(CASE WHEN p6 >= 0.5 AND NOT y THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+         CAST(COALESCE(SUM(CASE WHEN p6 < 0.5 AND y THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
+         CAST(COALESCE(SUM(CASE WHEN p6 < 0.5 AND NOT y THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn
+  FROM lab
+),
+f AS (
+  SELECT tp, fp, fn, tn,
+         CAST(tp AS DOUBLE) AS tpd, CAST(fp AS DOUBLE) AS fpd,
+         CAST(fn AS DOUBLE) AS fnd, CAST(tn AS DOUBLE) AS tnd
+  FROM g
+)
+SELECT tp, fp, fn, tn,
+       {r6('CASE WHEN tp + fp > 0 THEN tpd / (tpd + fpd) END', 'precision')},
+       {r6('CASE WHEN tp + fn > 0 THEN tpd / (tpd + fnd) END', 'recall')},
+       {r6('CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tp > 0 THEN 2.0 * (tpd / (tpd + fpd)) * (tpd / (tpd + fnd)) / ((tpd / (tpd + fpd)) + (tpd / (tpd + fnd))) END', 'f1')},
+       {r6('CASE WHEN tp + fp + fn + tn > 0 THEN (tpd + tnd) / (tpd + fpd + fnd + tnd) END', 'accuracy')},
+       {r6('CASE WHEN SQRT((tpd + fpd) * (tpd + fnd) * (tnd + fpd) * (tnd + fnd)) > 0 THEN (tpd * tnd - fpd * fnd) / SQRT((tpd + fpd) * (tpd + fnd) * (tnd + fpd) * (tnd + fnd)) END', 'mcc')}
+FROM f
+"""
+
+
+# KS separation of classifier scores — matches encoding.score_ks
+ORACLES["q_score_ks"] = f"""
+WITH {_CLF_SCORED},
+hist AS (
+  SELECT p6 AS s,
+         CAST(COALESCE(SUM(CASE WHEN y THEN 1 ELSE 0 END), 0) AS BIGINT) AS p,
+         CAST(COALESCE(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END), 0) AS BIGINT) AS n
+  FROM lab GROUP BY p6
+),
+cum AS (
+  SELECT s,
+         CAST(SUM(p) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
+         CAST(SUM(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+         CAST(SUM(p) OVER () AS BIGINT) AS tp2,
+         CAST(SUM(n) OVER () AS BIGINT) AS tn2
+  FROM hist
+),
+top AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(cp * tn2 - cn * tp2) DESC, s ASC) AS rk
+  FROM cum
+)
+SELECT tp2 AS n_pos, tn2 AS n_neg,
+       {r6('CASE WHEN tp2 > 0 AND tn2 > 0 THEN CAST(ABS(cp * tn2 - cn * tp2) AS DOUBLE) / (CAST(tp2 AS DOUBLE) * CAST(tn2 AS DOUBLE)) END', 'ks')},
+       {r6('CASE WHEN tp2 > 0 AND tn2 > 0 THEN s END', 'at_score')}
+FROM top WHERE rk = 1
+"""
+
+
+# Pairwise source vocabulary Jaccard — matches curation.source_jaccard
+ORACLES["q_source_jaccard"] = f"""
+WITH inv AS (
+  SELECT DISTINCT unnest({TOKS_RAW}) AS t, source AS s FROM documents
+),
+sizes AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS v FROM inv GROUP BY s),
+inter AS (
+  SELECT a.s AS sa, b.s AS sb, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM inv a JOIN inv b ON a.t = b.t AND a.s < b.s
+  GROUP BY a.s, b.s
+)
+SELECT inter.sa AS src_a, inter.sb AS src_b,
+       za.v AS v_a, zb.v AS v_b, inter.inter,
+       {r6('CAST(inter.inter AS DOUBLE) / CAST(za.v + zb.v - inter.inter AS DOUBLE)', 'jaccard')}
+FROM inter
+JOIN sizes za ON za.s = inter.sa
+JOIN sizes zb ON zb.s = inter.sb
+"""
+
+
+# Per-source KL from the corpus token mix (top-256 + OTHER bucket) —
+# matches curation.source_kl
+ORACLES["q_source_kl"] = f"""
+WITH tok AS (SELECT unnest({TOKS_RAW}) AS t, source AS s FROM documents),
+corpus AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cc FROM tok GROUP BY t),
+ranked AS (
+  SELECT t, ROW_NUMBER() OVER (ORDER BY cc DESC, t ASC) AS rk FROM corpus
+),
+keep AS (SELECT t, CASE WHEN rk <= 256 THEN t ELSE '<other>' END AS b FROM ranked),
+tb AS (SELECT tok.s, keep.b FROM tok JOIN keep ON keep.t = tok.t),
+cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cc FROM tb GROUP BY b),
+corpus_b AS (SELECT b, cc, CAST(SUM(cc) OVER () AS BIGINT) AS nc FROM cb),
+sb AS (SELECT s, b, CAST(COUNT(*) AS BIGINT) AS cs FROM tb GROUP BY s, b),
+sbn AS (SELECT s, b, cs, CAST(SUM(cs) OVER (PARTITION BY s) AS BIGINT) AS ns FROM sb),
+terms AS (
+  SELECT sbn.s, sbn.b, sbn.ns,
+         (CAST(sbn.cs AS DOUBLE) / CAST(sbn.ns AS DOUBLE))
+         * LN((CAST(sbn.cs AS DOUBLE) / CAST(sbn.ns AS DOUBLE))
+              / (CAST(corpus_b.cc AS DOUBLE) / CAST(corpus_b.nc AS DOUBLE))) AS k
+  FROM sbn JOIN corpus_b USING (b)
+),
+per AS (
+  SELECT s, CAST(MAX(ns) AS BIGINT) AS n_tokens,
+         list_reduce([0.0] || list(k ORDER BY b), (a, e) -> a + e) AS kl
+  FROM terms GROUP BY s
+)
+SELECT s AS source, n_tokens,
+       {r6('CASE WHEN n_tokens > 0 THEN kl END', 'kl')}
+FROM per
+"""

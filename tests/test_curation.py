@@ -701,8 +701,8 @@ def test_bigram_lower_ppl_than_unigram_on_repetitive_text(spark):
     docs = spark.createDataFrame(
         [(i, "x y " * 20) for i in range(4)], "doc_id long, text string"
     )
-    b = bigram_logprob(docs).toPandas().set_index("doc_id")
-    u = unigram_logprob(docs).toPandas().set_index("doc_id")
+    b = bigram_logprob(docs).toPandas().set_index("doc_id").sort_index()
+    u = unigram_logprob(docs).toPandas().set_index("doc_id").sort_index()
     assert (b.ppl < u.ppl).all()
 
 

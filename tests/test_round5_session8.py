@@ -518,3 +518,95 @@ def test_bland_altman_hand_computed(spark):
     assert r["sd_diff"] == pytest.approx(math.sqrt(2.0), rel=1e-12)
     assert r["loa_low"] == pytest.approx(2.0 - 1.96 * math.sqrt(2.0), rel=1e-12)
     assert r["loa_high"] == pytest.approx(2.0 + 1.96 * math.sqrt(2.0), rel=1e-12)
+
+
+def test_confusion_stats_hand_computed(spark):
+    from z_rad_spark.operators.encoding import confusion_stats
+
+    import math
+    # tp=2, fp=1, fn=1, tn=2
+    rows = [(0.9, True), (0.8, True), (0.7, False),
+            (0.3, True), (0.2, False), (0.1, False)]
+    df = spark.createDataFrame(rows, "prob double, label_true boolean")
+    r = confusion_stats(df).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 1, 1, 2)
+    assert r["precision"] == pytest.approx(2 / 3, rel=1e-12)
+    assert r["recall"] == pytest.approx(2 / 3, rel=1e-12)
+    assert r["f1"] == pytest.approx(2 / 3, rel=1e-12)
+    assert r["accuracy"] == pytest.approx(4 / 6, rel=1e-12)
+    mcc = (2 * 2 - 1 * 1) / math.sqrt(3 * 3 * 3 * 3)
+    assert r["mcc"] == pytest.approx(mcc, rel=1e-12)
+
+
+def test_confusion_stats_degenerate_is_null(spark):
+    from z_rad_spark.operators.encoding import confusion_stats
+
+    df = spark.createDataFrame([(0.9, True)], "prob double, label_true boolean")
+    r = confusion_stats(df).collect()[0]
+    assert r["precision"] == pytest.approx(1.0)
+    assert r["mcc"] is None  # empty negative margins
+
+
+def test_score_ks_perfect_separation(spark):
+    from z_rad_spark.operators.encoding import score_ks
+
+    rows = [(0.9, True), (0.8, True), (0.2, False), (0.1, False)]
+    df = spark.createDataFrame(rows, "prob double, label_true boolean")
+    r = score_ks(df).collect()[0]
+    assert r["n_pos"] == 2 and r["n_neg"] == 2
+    assert r["ks"] == pytest.approx(1.0, rel=1e-12)
+    # max gap reached once all negatives consumed: smallest such score
+    assert r["at_score"] == pytest.approx(0.2)
+
+
+def test_score_ks_no_separation_is_zero_gap(spark):
+    from z_rad_spark.operators.encoding import score_ks
+
+    rows = [(0.5, True), (0.5, False), (0.5, True), (0.5, False)]
+    df = spark.createDataFrame(rows, "prob double, label_true boolean")
+    r = score_ks(df).collect()[0]
+    assert r["ks"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_source_jaccard_hand_computed(spark):
+    from z_rad_spark.operators.curation import source_jaccard
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "b c d", "s2"), (3, "x y", "s3")],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["src_a"], r["src_b"]): r for r in source_jaccard(docs).collect()}
+    r12 = out[("s1", "s2")]
+    assert r12["v_a"] == 3 and r12["v_b"] == 3 and r12["inter"] == 2
+    assert r12["jaccard"] == pytest.approx(0.5, rel=1e-12)
+    # disjoint vocabularies never emit a row
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_source_kl_identical_mix_is_zero(spark):
+    from z_rad_spark.operators.curation import source_kl
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "s1"), (2, "a b", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in source_kl(docs).collect()}
+    assert out["s1"]["kl"] == pytest.approx(0.0, abs=1e-12)
+    assert out["s2"]["kl"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_source_kl_skewed_source_positive(spark):
+    import math
+    from z_rad_spark.operators.curation import source_kl
+
+    # corpus: a x3, b x1; s1 = (a,a), s2 = (a,b)
+    # P_c(a) = 3/4, P_c(b) = 1/4
+    # KL(s1) = 1 * ln(1/(3/4)) = ln(4/3)
+    docs = spark.createDataFrame(
+        [(1, "a a", "s1"), (2, "a b", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in source_kl(docs).collect()}
+    assert out["s1"]["kl"] == pytest.approx(math.log(4.0 / 3.0), rel=1e-12)
+    kl2 = 0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)
+    assert out["s2"]["kl"] == pytest.approx(kl2, rel=1e-12)

@@ -1719,3 +1719,126 @@ def t_closeness(
             F.col("_k") >= 2, tsum / (F.col("_k") - F.lit(1)).cast("double")
         ).alias("t"),
     )
+
+
+def source_jaccard(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-mix
+    overlap map ('which domains are lexically interchangeable?') that
+    [[domain_mix_sample]] consults when collapsing near-identical
+    feeds:
+
+        J(a, b) = |V_a intersect V_b| / (|V_a| + |V_b| - intersect)
+
+    Determinism: set sizes and intersections are exact longs from the
+    deduped (token, source) inverted index; J is one fixed chain.
+    Bit-replayable.
+
+    Scale: one distinct on (token, source) — the only corpus-sized
+    shuffle — then a per-token source self-join bounded by the source
+    fan-out per token (sources are a bounded set; bucket rare domains
+    first if they are not). Output: (src_a, src_b, v_a, v_b, inter
+    longs; jaccard double), one row per unordered pair with any
+    overlap, src_a < src_b.
+    """
+    inv = df.select(
+        F.explode(_toks(text_col)).alias("_t"), F.col(group_col).alias("_s")
+    ).distinct()
+    sizes = inv.groupBy("_s").agg(F.count("*").cast("long").alias("_v"))
+    a = inv.select(F.col("_t"), F.col("_s").alias("_sa"))
+    b = inv.select(F.col("_t"), F.col("_s").alias("_sb"))
+    inter = (
+        a.join(b, "_t")
+        .where(F.col("_sa") < F.col("_sb"))
+        .groupBy("_sa", "_sb")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    from pyspark.sql.functions import broadcast
+
+    out = (
+        inter.join(broadcast(sizes.withColumnRenamed("_s", "_sa")), "_sa")
+        .withColumnRenamed("_v", "v_a")
+        .join(broadcast(sizes.withColumnRenamed("_s", "_sb")), "_sb")
+        .withColumnRenamed("_v", "v_b")
+    )
+    j = F.col("inter").cast("double") / (
+        F.col("v_a") + F.col("v_b") - F.col("inter")
+    ).cast("double")
+    return out.select(
+        F.col("_sa").alias("src_a"),
+        F.col("_sb").alias("src_b"),
+        "v_a",
+        "v_b",
+        "inter",
+        j.alias("jaccard"),
+    )
+
+
+def source_kl(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_v: int = 256,
+) -> DataFrame:
+    """Per-source KL divergence from the corpus token distribution —
+    the information-theoretic 'how off-mix is this feed?' number that
+    ranks sources for [[dsir_weights]]-style resampling:
+
+        KL(P_s || P_c) = sum_v p_s(v) ln(p_s(v) / p_c(v))
+
+    over the corpus top-``top_v`` vocabulary with everything else
+    folded into one OTHER bucket (bounds the fold state at any corpus
+    size; the bucket keeps both distributions normalized so KL stays
+    exact for the COARSENED pair — the standard practice).
+
+    Determinism: bucket membership is an integer rank cut (count desc,
+    token asc); all counts are exact longs; each term is a fixed chain
+    and the per-source reduction folds ordered by bucket token.
+    Bit-replayable.
+
+    Scale: one token groupBy for the corpus ranking, one (source,
+    bucket) groupBy; vocabulary beyond top_v never creates per-source
+    state. Output: (source, n_tokens long, kl double — NULL when the
+    source is empty), one row per source.
+    """
+    tok = df.select(
+        F.explode(_toks(text_col)).alias("_t"), F.col(group_col).alias("_s")
+    )
+    corpus = tok.groupBy("_t").agg(F.count("*").cast("long").alias("_cc"))
+    w_rank = Window.orderBy(F.col("_cc").desc(), F.asc("_t"))
+    ranked = corpus.withColumn("_rk", F.row_number().over(w_rank))
+    keep = ranked.select(
+        "_t", F.when(F.col("_rk") <= top_v, F.col("_t")).otherwise(F.lit("<other>")).alias("_b")
+    )
+    from pyspark.sql.functions import broadcast
+
+    tb = tok.join(broadcast(keep), "_t").select("_s", "_b")
+    cb = tb.groupBy("_b").agg(F.sum(F.lit(1)).cast("long").alias("_cc"))
+    w_all = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    corpus_b = cb.select("_b", "_cc", F.sum("_cc").over(w_all).cast("long").alias("_nc"))
+    sb = tb.groupBy("_s", "_b").agg(F.count("*").cast("long").alias("_cs"))
+    w_src = Window.partitionBy("_s")
+    sbn = sb.select(
+        "_s", "_b", "_cs", F.sum("_cs").over(w_src).cast("long").alias("_ns")
+    )
+    joined = sbn.join(broadcast(corpus_b), "_b")
+    ps = F.col("_cs").cast("double") / F.col("_ns").cast("double")
+    pc = F.col("_cc").cast("double") / F.col("_nc").cast("double")
+    term = ps * F.log(ps / pc)
+    per = joined.select(
+        "_s", "_ns", F.struct("_b", term.alias("_k")).alias("_e")
+    ).groupBy("_s").agg(
+        F.max("_ns").alias("n_tokens"),
+        F.sort_array(F.collect_list("_e")).alias("_es"),
+    )
+    kl = F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_k"])
+    return per.select(
+        F.col("_s").alias("source"),
+        F.col("n_tokens").cast("long"),
+        F.when(F.col("n_tokens") > 0, kl).alias("kl"),
+    )

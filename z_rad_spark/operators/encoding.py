@@ -1037,3 +1037,115 @@ def lift_curve(
             F.col("cum_pos").cast("double") / F.col("_P").cast("double"),
         ).alias("capture"),
     )
+
+
+def confusion_stats(
+    df: DataFrame,
+    prob_col: str = "prob",
+    label_col: str = "label_true",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Thresholded confusion matrix + the derived scorecard (precision,
+    recall, F1, accuracy, MCC) for a binary classifier — the
+    operating-point report beside the threshold-free [[q_auc]] ranking
+    view and [[calibration_bins]] probability view:
+
+        MCC = (tp tn - fp fn) / sqrt((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+
+    Determinism: the four cells are exact longs (threshold compare on
+    the 6dp-rounded probability — the engine-wide value contract);
+    every derived metric is a fixed chain in DOUBLE space (the MCC
+    numerator/denominator multiply as doubles so no long overflow at
+    any corpus size). Bit-replayable.
+
+    Scale: one map-side-combined 1-row aggregate. Output one row:
+    (tp, fp, fn, tn longs; precision, recall, f1, accuracy, mcc
+    doubles — NULL where the denominator margin is empty).
+    """
+    p6 = F.round(F.col(prob_col).cast("double"), 6)
+    y = F.col(label_col).cast("boolean")
+    pred = p6 >= F.lit(float(threshold))
+    g = df.agg(
+        F.sum(F.when(pred & y, 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(pred & ~y, 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(~pred & y, 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~pred & ~y, 1).otherwise(0)).cast("long").alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c).cast("double") for c in ("tp", "fp", "fn", "tn"))
+    prec = tp / (tp + fp)
+    rec = tp / (tp + fn)
+    f1 = F.lit(2.0) * prec * rec / (prec + rec)
+    acc = (tp + tn) / (tp + fp + fn + tn)
+    denom = F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    mcc = (tp * tn - fp * fn) / denom
+    return g.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(F.col("tp") + F.col("fp") > 0, prec).alias("precision"),
+        F.when(F.col("tp") + F.col("fn") > 0, rec).alias("recall"),
+        F.when(
+            (F.col("tp") + F.col("fp") > 0)
+            & (F.col("tp") + F.col("fn") > 0)
+            & (F.col("tp") > 0),
+            f1,
+        ).alias("f1"),
+        F.when(F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn") > 0, acc).alias(
+            "accuracy"
+        ),
+        F.when(denom > 0, mcc).alias("mcc"),
+    )
+
+
+def score_ks(
+    df: DataFrame,
+    prob_col: str = "prob",
+    label_col: str = "label_true",
+) -> DataFrame:
+    """Kolmogorov-Smirnov separation of the classifier's score
+    distributions for positives vs negatives — the scorecard-quality
+    number credit-risk practice quotes ('at what cutoff do the two
+    classes separate most, and by how much?'), beside [[confusion_stats]]
+    (one fixed threshold) and [[q_auc]] (all thresholds averaged):
+
+        KS = max_s | F_pos(s) - F_neg(s) |
+
+    Determinism: the argmax runs on the EXACT INTEGER key
+    |cum_pos * N_neg - cum_neg * N_pos| over the compacted 6dp-score
+    histogram (ties -> smallest score), so the chosen cutoff is
+    engine-independent; KS is then one division. Bit-replayable.
+
+    Scale: one (score, label) map-side-combined groupBy (score
+    cardinality <= 1e6 after 6dp rounding), window cumsums on the
+    compacted axis. Output one row: (n_pos, n_neg longs; ks double,
+    at_score double — NULL when either class is empty).
+    """
+    p6 = F.round(F.col(prob_col).cast("double"), 6)
+    y = F.col(label_col).cast("boolean")
+    hist = df.groupBy(p6.alias("_s")).agg(
+        F.sum(F.when(y, 1).otherwise(0)).cast("long").alias("_p"),
+        F.sum(F.when(~y, 1).otherwise(0)).cast("long").alias("_n"),
+    )
+    w_cum = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "_s",
+        F.sum("_p").over(w_cum).cast("long").alias("_cp"),
+        F.sum("_n").over(w_cum).cast("long").alias("_cn"),
+        F.sum("_p").over(w_all).cast("long").alias("_P"),
+        F.sum("_n").over(w_all).cast("long").alias("_N"),
+    )
+    key = F.abs(F.col("_cp") * F.col("_N") - F.col("_cn") * F.col("_P"))
+    w_pick = Window.orderBy(key.desc(), F.asc("_s"))
+    top = cum.withColumn("_rk", F.row_number().over(w_pick)).where(F.col("_rk") == 1)
+    ks = key.cast("double") / (F.col("_P").cast("double") * F.col("_N").cast("double"))
+    ok = (F.col("_P") > 0) & (F.col("_N") > 0)
+    return top.select(
+        F.col("_P").alias("n_pos"),
+        F.col("_N").alias("n_neg"),
+        F.when(ok, ks).alias("ks"),
+        F.when(ok, F.col("_s")).alias("at_score"),
+    )
