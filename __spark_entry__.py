@@ -5368,6 +5368,42 @@ def q_source_kl(spark, sf_dir):
     return _r6(out, ["kl"])
 
 
+def q_rand_ari(spark, sf_dir):
+    """Pair-counting agreement (Rand / adjusted Rand / Fowlkes-Mallows)
+    between the lang and source partitions of documents
+    (encoding.adjusted_rand): exact DECIMAL pair sums, fixed double
+    chains — oracle-replayable."""
+    from z_rad_spark.operators.encoding import adjusted_rand
+
+    out = adjusted_rand(_docs(spark, sf_dir))
+    return _r6(out, ["rand", "ari", "fm"])
+
+
+def q_vmeasure(spark, sf_dir):
+    """Entropy agreement (homogeneity / completeness / V / NMI) between
+    the lang and source partitions of documents (encoding.vmeasure):
+    exact contingency counts, label-ordered entropy folds —
+    oracle-replayable."""
+    from z_rad_spark.operators.encoding import vmeasure
+
+    out = vmeasure(_docs(spark, sf_dir))
+    return _r6(
+        out,
+        ["h_a", "h_b", "h_ab", "mi", "homogeneity", "completeness", "v", "nmi"],
+    )
+
+
+def q_purity(spark, sf_dir):
+    """Cluster purity / inverse purity / purity-F of the source
+    partition against lang labels (encoding.label_purity): exact-long
+    majority argmaxes with (count desc, label asc) tie-break —
+    oracle-replayable."""
+    from z_rad_spark.operators.encoding import label_purity
+
+    out = label_purity(_docs(spark, sf_dir))
+    return _r6(out, ["purity", "inv_purity", "f_purity"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -5735,6 +5771,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_score_ks": q_score_ks,
         "q_source_jaccard": q_source_jaccard,
         "q_source_kl": q_source_kl,
+        "q_rand_ari": q_rand_ari,
+        "q_vmeasure": q_vmeasure,
+        "q_purity": q_purity,
     }
 
 

@@ -12271,3 +12271,118 @@ SELECT s AS source, n_tokens,
        {r6('CASE WHEN n_tokens > 0 THEN kl END', 'kl')}
 FROM per
 """
+
+
+# Pair-counting agreement (Rand / ARI / Fowlkes-Mallows) between lang
+# and source — matches encoding.adjusted_rand
+ORACLES["q_rand_ari"] = f"""
+WITH cells AS (
+  SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source
+),
+x AS (
+  SELECT CAST(COALESCE(SUM(CAST(n AS HUGEINT) * (n - 1)), 0) AS HUGEINT) AS x2,
+         CAST(SUM(n) AS BIGINT) AS nn
+  FROM cells
+),
+ra AS (SELECT a, CAST(SUM(n) AS BIGINT) AS na FROM cells GROUP BY a),
+rb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS nb FROM cells GROUP BY b),
+a2 AS (SELECT CAST(COALESCE(SUM(CAST(na AS HUGEINT) * (na - 1)), 0) AS HUGEINT) AS a2 FROM ra),
+b2 AS (SELECT CAST(COALESCE(SUM(CAST(nb AS HUGEINT) * (nb - 1)), 0) AS HUGEINT) AS b2 FROM rb),
+f AS (
+  SELECT x.nn,
+         CAST(x.x2 AS DOUBLE) / 2.0 AS xd,
+         CAST(a2.a2 AS DOUBLE) / 2.0 AS ad,
+         CAST(b2.b2 AS DOUBLE) / 2.0 AS bd,
+         CAST(CAST(x.nn AS HUGEINT) * (x.nn - 1) AS DOUBLE) / 2.0 AS cd
+  FROM x, a2, b2
+)
+SELECT nn AS n,
+       {r6('CASE WHEN nn >= 2 THEN (cd + 2.0 * xd - ad - bd) / cd END', 'rand')},
+       {r6('CASE WHEN nn >= 2 AND ((ad + bd) / 2.0 - ad * bd / cd) <> 0 THEN (xd - ad * bd / cd) / ((ad + bd) / 2.0 - ad * bd / cd) END', 'ari')},
+       {r6('CASE WHEN nn >= 2 AND ad > 0 AND bd > 0 THEN xd / SQRT(ad * bd) END', 'fm')}
+FROM f
+"""
+
+
+# Entropy agreement (homogeneity / completeness / V / NMI) between
+# lang and source — matches encoding.vmeasure
+ORACLES["q_vmeasure"] = f"""
+WITH cells AS (
+  SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+hj AS (
+  SELECT -list_reduce([0.0] || list(
+           (CAST(n AS DOUBLE) / CAST(tot.nn AS DOUBLE))
+           * LN(CAST(n AS DOUBLE) / CAST(tot.nn AS DOUBLE))
+           ORDER BY a, b), (acc, e) -> acc + e) AS hab
+  FROM cells, tot GROUP BY tot.nn
+),
+ma AS (SELECT a, CAST(SUM(n) AS BIGINT) AS m FROM cells GROUP BY a),
+hma AS (
+  SELECT -list_reduce([0.0] || list(
+           (CAST(m AS DOUBLE) / CAST(tot.nn AS DOUBLE))
+           * LN(CAST(m AS DOUBLE) / CAST(tot.nn AS DOUBLE))
+           ORDER BY a), (acc, e) -> acc + e) AS ha
+  FROM ma, tot GROUP BY tot.nn
+),
+mb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS m FROM cells GROUP BY b),
+hmb AS (
+  SELECT -list_reduce([0.0] || list(
+           (CAST(m AS DOUBLE) / CAST(tot.nn AS DOUBLE))
+           * LN(CAST(m AS DOUBLE) / CAST(tot.nn AS DOUBLE))
+           ORDER BY b), (acc, e) -> acc + e) AS hb
+  FROM mb, tot GROUP BY tot.nn
+),
+f AS (
+  SELECT tot.nn, hma.ha, hmb.hb, hj.hab,
+         hma.ha + hmb.hb - hj.hab AS mi,
+         CASE WHEN hma.ha = 0 THEN 1.0 ELSE 1.0 - (hj.hab - hmb.hb) / hma.ha END AS hom,
+         CASE WHEN hmb.hb = 0 THEN 1.0 ELSE 1.0 - (hj.hab - hma.ha) / hmb.hb END AS com
+  FROM tot, hma, hmb, hj
+)
+SELECT nn AS n,
+       {r6('ha', 'h_a')}, {r6('hb', 'h_b')}, {r6('hab', 'h_ab')},
+       {r6('mi', 'mi')},
+       {r6('hom', 'homogeneity')},
+       {r6('com', 'completeness')},
+       {r6('CASE WHEN hom + com = 0 THEN 0.0 ELSE 2.0 * hom * com / (hom + com) END', 'v')},
+       {r6('CASE WHEN ha > 0 AND hb > 0 THEN mi / SQRT(ha * hb) END', 'nmi')}
+FROM f
+"""
+
+
+# Cluster purity / inverse purity / purity-F of source vs lang —
+# matches encoding.label_purity
+ORACLES["q_purity"] = f"""
+WITH cells AS (
+  SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+pb AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS mx FROM (
+    SELECT b, n, ROW_NUMBER() OVER (PARTITION BY b ORDER BY n DESC, a ASC) AS rk
+    FROM cells
+  ) WHERE rk = 1
+),
+pa AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS mx FROM (
+    SELECT a, n, ROW_NUMBER() OVER (PARTITION BY a ORDER BY n DESC, b ASC) AS rk
+    FROM cells
+  ) WHERE rk = 1
+),
+f AS (
+  SELECT tot.nn,
+         CAST(pb.mx AS DOUBLE) / CAST(tot.nn AS DOUBLE) AS p,
+         CAST(pa.mx AS DOUBLE) / CAST(tot.nn AS DOUBLE) AS q
+  FROM tot, pb, pa
+)
+SELECT nn AS n,
+       {r6('CASE WHEN nn > 0 THEN p END', 'purity')},
+       {r6('CASE WHEN nn > 0 THEN q END', 'inv_purity')},
+       {r6('CASE WHEN nn > 0 AND p + q > 0 THEN 2.0 * p * q / (p + q) END', 'f_purity')}
+FROM f
+"""

@@ -1149,3 +1149,208 @@ def score_ks(
         F.when(ok, ks).alias("ks"),
         F.when(ok, F.col("_s")).alias("at_score"),
     )
+
+
+def adjusted_rand(
+    df: DataFrame,
+    a_col: str = "lang",
+    b_col: str = "source",
+) -> DataFrame:
+    """Pair-counting agreement between two labelings of the same rows —
+    Rand index, Hubert-Arabie adjusted Rand, and Fowlkes-Mallows — the
+    clustering-agreement scorecard (are sources language-segregated?
+    does a cluster assignment recover the source partition?), beside
+    the entropy view in [[vmeasure]] and the chance-corrected rater
+    view in [[q_cohen_kappa]]:
+
+        ARI = (X - AB/C) / ((A+B)/2 - AB/C)
+        RI  = (C + 2X - A - B) / C
+        FM  = X / sqrt(A * B)
+
+    with X = sum_ij C(n_ij,2), A = sum_i C(a_i,2), B = sum_j C(b_j,2),
+    C = C(n,2) over the contingency table n_ij.
+
+    Determinism: all pair sums ride per-cell DECIMAL(19,0) products
+    (x*(x-1) fits DECIMAL(38,0) to x ~ 1e19 — exact at any corpus
+    size; the oracle mirrors with HUGEINT); each index is then one
+    fixed DOUBLE chain on the exact sums (AB alone can pass 1e38 at
+    10^12 rows, so the ratio runs in double space deliberately).
+    NULL when a denominator degenerates (n < 2, or the chance
+    correction's denominator is 0 — both labelings trivial).
+
+    Scale: one (a, b) groupBy (|A|x|B| cells), two marginal rollups,
+    three 1-row broadcasts. Output one row:
+    (n long, rand, ari, fm doubles).
+    """
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    pair2 = lambda c: d19(c) * d19(c - F.lit(1))  # = 2*C(x,2), exact  # noqa: E731
+    cells = df.groupBy(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).agg(F.count("*").cast("long").alias("_n"))
+    ra = cells.groupBy("_a").agg(F.sum("_n").cast("long").alias("_na"))
+    rb = cells.groupBy("_b").agg(F.sum("_n").cast("long").alias("_nb"))
+    x2 = cells.agg(
+        F.sum(pair2(F.col("_n"))).alias("_x2"),
+        F.sum("_n").cast("long").alias("_nn"),
+    )
+    a2 = ra.agg(F.sum(pair2(F.col("_na"))).alias("_a2"))
+    b2 = rb.agg(F.sum(pair2(F.col("_nb"))).alias("_b2"))
+    g = x2.crossJoin(F.broadcast(a2)).crossJoin(F.broadcast(b2))
+    # halve the doubled pair sums in DOUBLE space (fixed chain)
+    x = F.col("_x2").cast("double") / F.lit(2.0)
+    a = F.col("_a2").cast("double") / F.lit(2.0)
+    b = F.col("_b2").cast("double") / F.lit(2.0)
+    nn = F.col("_nn")
+    c = pair2(nn).cast("double") / F.lit(2.0)
+    exp = a * b / c
+    den = (a + b) / F.lit(2.0) - exp
+    return g.select(
+        nn.alias("n"),
+        F.when(nn >= 2, (c + F.lit(2.0) * x - a - b) / c).alias("rand"),
+        F.when((nn >= 2) & (den != 0), (x - exp) / den).alias("ari"),
+        F.when((nn >= 2) & (a > 0) & (b > 0), x / F.sqrt(a * b)).alias("fm"),
+    )
+
+
+def vmeasure(
+    df: DataFrame,
+    a_col: str = "lang",
+    b_col: str = "source",
+) -> DataFrame:
+    """Entropy view of two-labeling agreement (Rosenberg & Hirschberg
+    2007): homogeneity (each b-cluster holds one a-class), completeness
+    (each a-class sits in one b-cluster), their harmonic mean V, and
+    sqrt-normalized mutual information — the complement to the
+    pair-counting view in [[adjusted_rand]]:
+
+        h = 1 - H(A|B)/H(A)    c = 1 - H(B|A)/H(B)
+        V = 2hc/(h+c)          NMI = MI / sqrt(H(A) H(B))
+
+    with H(A|B) = H(A,B) - H(B) and MI = H(A) + H(B) - H(A,B), all
+    entropies in nats from the exact contingency counts.
+
+    Determinism: counts are exact longs; each entropy is an ordered
+    fold (marginals by label asc, the joint by (a, b) asc) of fixed
+    -p*ln(p) terms, so the oracle replays the identical IEEE sequence.
+    Convention: h = 1 when H(A) = 0 (trivial class set), c = 1 when
+    H(B) = 0, V = 0 when h + c = 0 — sklearn's edge cases; NMI is NULL
+    when either marginal entropy is 0.
+
+    Scale: one (a, b) groupBy; fold state is |A|x|B| cells (label
+    cardinality squared — bounded, never corpus-sized). Output one
+    row: (n long, h_a, h_b, h_ab, mi, homogeneity, completeness,
+    v, nmi doubles).
+    """
+    cells = df.groupBy(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).agg(F.count("*").cast("long").alias("_n"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    withn = cells.withColumn("_nn", F.sum("_n").over(w_all).cast("long"))
+    nd = F.col("_nn").cast("double")
+    # joint entropy: fold ordered by (a, b)
+    jterm = (F.col("_n").cast("double") / nd) * F.log(
+        F.col("_n").cast("double") / nd
+    )
+    joint = withn.select(
+        "_nn", F.struct("_a", "_b", jterm.alias("_t")).alias("_e")
+    ).groupBy("_nn").agg(F.sort_array(F.collect_list("_e")).alias("_es"))
+    h_ab = -F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_t"])
+    # marginal entropies: fold ordered by label
+    def _marg(col):
+        m = cells.groupBy(col).agg(F.sum("_n").cast("long").alias("_m"))
+        mn = m.withColumn("_nn", F.sum("_m").over(w_all).cast("long"))
+        t = (F.col("_m").cast("double") / F.col("_nn").cast("double")) * F.log(
+            F.col("_m").cast("double") / F.col("_nn").cast("double")
+        )
+        per = mn.select(F.struct(F.col(col), t.alias("_t")).alias("_e")).agg(
+            F.sort_array(F.collect_list("_e")).alias("_es")
+        )
+        return per.select(
+            (-F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_t"])).alias(
+                "_h"
+            )
+        )
+
+    ha = _marg("_a").select(F.col("_h").alias("_ha"))
+    hb = _marg("_b").select(F.col("_h").alias("_hb"))
+    g = (
+        joint.select("_nn", h_ab.alias("_hab"))
+        .crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+    )
+    h_a, h_b, hab = F.col("_ha"), F.col("_hb"), F.col("_hab")
+    mi = h_a + h_b - hab
+    hom = F.when(h_a == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - (hab - h_b) / h_a
+    )
+    com = F.when(h_b == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - (hab - h_a) / h_b
+    )
+    v = F.when(hom + com == 0, F.lit(0.0)).otherwise(
+        F.lit(2.0) * hom * com / (hom + com)
+    )
+    return g.select(
+        F.col("_nn").alias("n"),
+        h_a.alias("h_a"),
+        h_b.alias("h_b"),
+        hab.alias("h_ab"),
+        mi.alias("mi"),
+        hom.alias("homogeneity"),
+        com.alias("completeness"),
+        v.alias("v"),
+        F.when((h_a > 0) & (h_b > 0), mi / F.sqrt(h_a * h_b)).alias("nmi"),
+    )
+
+
+def label_purity(
+    df: DataFrame,
+    a_col: str = "lang",
+    b_col: str = "source",
+) -> DataFrame:
+    """Cluster purity and inverse purity of partition b against labels
+    a — the simplest clustering-quality number IR evaluation quotes
+    (each cluster votes its majority label), plus their harmonic mean
+    F: the argmax complement to [[adjusted_rand]] / [[vmeasure]]:
+
+        purity      = sum_b max_a n_ab / n
+        inv_purity  = sum_a max_b n_ab / n
+
+    Determinism: majorities are exact-long argmaxes with the (count
+    desc, label asc) tie-break; sums of longs; two final divisions.
+    Bit-replayable.
+
+    Scale: one (a, b) groupBy, two bounded per-group top-1 windows
+    over the CELL table (label-cardinality sized, never corpus-sized).
+    Output one row: (n long, purity, inv_purity, f_purity doubles —
+    NULL when n = 0).
+    """
+    cells = df.groupBy(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).agg(F.count("*").cast("long").alias("_n"))
+
+    def _maxsum(group_col, other_col):
+        w = Window.partitionBy(group_col).orderBy(
+            F.col("_n").desc(), F.asc(other_col)
+        )
+        top = cells.withColumn("_rk", F.row_number().over(w)).where(
+            F.col("_rk") == 1
+        )
+        return top.agg(F.sum("_n").cast("long").alias("_mx"))
+
+    tot = cells.agg(F.sum("_n").cast("long").alias("_nn"))
+    pu = _maxsum("_b", "_a").select(F.col("_mx").alias("_pb"))
+    ip = _maxsum("_a", "_b").select(F.col("_mx").alias("_pa"))
+    g = tot.crossJoin(F.broadcast(pu)).crossJoin(F.broadcast(ip))
+    nd = F.col("_nn").cast("double")
+    p = F.col("_pb").cast("double") / nd
+    q = F.col("_pa").cast("double") / nd
+    return g.select(
+        F.col("_nn").alias("n"),
+        F.when(F.col("_nn") > 0, p).alias("purity"),
+        F.when(F.col("_nn") > 0, q).alias("inv_purity"),
+        F.when((F.col("_nn") > 0) & (p + q > 0), F.lit(2.0) * p * q / (p + q)).alias(
+            "f_purity"
+        ),
+    )
