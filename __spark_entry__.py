@@ -5404,6 +5404,37 @@ def q_purity(spark, sf_dir):
     return _r6(out, ["purity", "inv_purity", "f_purity"])
 
 
+def q_kuiper(spark, sf_dir):
+    """Two-sample Kuiper V per role between pre/post cutoff windows
+    (drift.kuiper_drift): exact integer ECDFs on the compacted value
+    axis, order-free sups in each direction — oracle-replayable."""
+    from z_rad_spark.operators.drift import kuiper_drift
+
+    out = kuiper_drift(_t(spark, sf_dir), split_ts="2024-01-15 00:00:00")
+    return _r6(out, ["d_plus", "d_minus", "v"])
+
+
+def q_cvm(spark, sf_dir):
+    """Two-sample Cramér-von Mises T per role between pre/post cutoff
+    windows, Anderson tie-friendly form (drift.cvm_drift): exact
+    counts, value-ordered squared-gap fold — oracle-replayable."""
+    from z_rad_spark.operators.drift import cvm_drift
+
+    out = cvm_drift(_t(spark, sf_dir), split_ts="2024-01-15 00:00:00")
+    return _r6(out, ["t"])
+
+
+def q_hist_dist(spark, sf_dir):
+    """Per-role TVD / Bhattacharyya / Hellinger from the pooled signal
+    histogram (drift.hist_distance): exact counts, value-ordered folds,
+    missing-support mass reconstructed arithmetically —
+    oracle-replayable."""
+    from z_rad_spark.operators.drift import hist_distance
+
+    out = hist_distance(_t(spark, sf_dir))
+    return _r6(out, ["tvd", "bc", "hellinger"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -5774,6 +5805,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rand_ari": q_rand_ari,
         "q_vmeasure": q_vmeasure,
         "q_purity": q_purity,
+        "q_kuiper": q_kuiper,
+        "q_cvm": q_cvm,
+        "q_hist_dist": q_hist_dist,
     }
 
 

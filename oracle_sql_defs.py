@@ -12386,3 +12386,122 @@ SELECT nn AS n,
        {r6('CASE WHEN nn > 0 AND p + q > 0 THEN 2.0 * p * q / (p + q) END', 'f_purity')}
 FROM f
 """
+
+
+# Two-sample Kuiper V per role, pre/post 2024-01-15 — matches
+# drift.kuiper_drift
+ORACLES["q_kuiper"] = f"""
+WITH t AS ({T}),
+pv AS (
+  SELECT role, CAST(signal AS DOUBLE) AS val,
+         COUNT(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 END) AS r,
+         COUNT(CASE WHEN NOT (ts < TIMESTAMP '2024-01-15 00:00:00') THEN 1 END) AS c
+  FROM t WHERE signal IS NOT NULL
+  GROUP BY role, CAST(signal AS DOUBLE)
+),
+cum AS (
+  SELECT role,
+         SUM(r) OVER (PARTITION BY role ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+         SUM(c) OVER (PARTITION BY role ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+         SUM(r) OVER (PARTITION BY role) AS nr,
+         SUM(c) OVER (PARTITION BY role) AS nc
+  FROM pv
+),
+agg AS (
+  SELECT role,
+         CAST(MAX(nr) AS BIGINT) AS n_ref,
+         CAST(MAX(nc) AS BIGINT) AS n_cur,
+         MAX(CASE WHEN nr > 0 AND nc > 0
+             THEN CAST(cr AS DOUBLE) / CAST(nr AS DOUBLE) - CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE) END) AS dpr,
+         MAX(CASE WHEN nr > 0 AND nc > 0
+             THEN -(CAST(cr AS DOUBLE) / CAST(nr AS DOUBLE) - CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE)) END) AS dmr
+  FROM cum GROUP BY role
+)
+SELECT role, n_ref, n_cur,
+       {r6('CASE WHEN dpr IS NOT NULL THEN GREATEST(dpr, 0.0) END', 'd_plus')},
+       {r6('CASE WHEN dmr IS NOT NULL THEN GREATEST(dmr, 0.0) END', 'd_minus')},
+       {r6('CASE WHEN dpr IS NOT NULL THEN GREATEST(dpr, 0.0) + GREATEST(dmr, 0.0) END', 'v')}
+FROM agg
+"""
+
+
+# Two-sample Cramér-von Mises T per role, Anderson tie-friendly form —
+# matches drift.cvm_drift
+ORACLES["q_cvm"] = f"""
+WITH t AS ({T}),
+pv AS (
+  SELECT role, CAST(signal AS DOUBLE) AS val,
+         COUNT(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 END) AS r,
+         COUNT(CASE WHEN NOT (ts < TIMESTAMP '2024-01-15 00:00:00') THEN 1 END) AS c
+  FROM t WHERE signal IS NOT NULL
+  GROUP BY role, CAST(signal AS DOUBLE)
+),
+cum AS (
+  SELECT role, val, CAST(r + c AS BIGINT) AS w,
+         SUM(r) OVER (PARTITION BY role ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+         SUM(c) OVER (PARTITION BY role ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+         SUM(r) OVER (PARTITION BY role) AS nr,
+         SUM(c) OVER (PARTITION BY role) AS nc
+  FROM pv
+),
+per AS (
+  SELECT role,
+         CAST(MAX(nr) AS BIGINT) AS n_ref,
+         CAST(MAX(nc) AS BIGINT) AS n_cur,
+         list_reduce([0.0] || list(
+           CAST(w AS DOUBLE)
+           * (CAST(cr AS DOUBLE) / CAST(nr AS DOUBLE) - CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE))
+           * (CAST(cr AS DOUBLE) / CAST(nr AS DOUBLE) - CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE))
+           ORDER BY val), (a, e) -> a + e) AS s
+  FROM cum GROUP BY role
+)
+SELECT role, n_ref, n_cur,
+       {r6('CASE WHEN n_ref > 0 AND n_cur > 0 THEN CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) / ((CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE)) * (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))) * s END', 't')}
+FROM per
+"""
+
+
+# Per-role TVD / Bhattacharyya / Hellinger vs the pooled histogram —
+# matches drift.hist_distance
+ORACLES["q_hist_dist"] = f"""
+WITH t AS ({T}),
+cells AS (
+  SELECT role, CAST(signal AS DOUBLE) AS val, CAST(COUNT(*) AS BIGINT) AS n
+  FROM t WHERE signal IS NOT NULL
+  GROUP BY role, CAST(signal AS DOUBLE)
+),
+pooled AS (
+  SELECT val, CAST(SUM(n) AS BIGINT) AS m,
+         CAST(SUM(SUM(n)) OVER () AS BIGINT) AS nn
+  FROM cells GROUP BY val
+),
+g AS (
+  SELECT cells.role, cells.val, cells.n,
+         CAST(SUM(cells.n) OVER (PARTITION BY cells.role) AS BIGINT) AS ng,
+         pooled.m, pooled.nn
+  FROM cells JOIN pooled USING (val)
+),
+per AS (
+  SELECT role,
+         CAST(MAX(ng) AS BIGINT) AS n,
+         list_reduce([0.0] || list(
+           ABS(CAST(g.n AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(m AS DOUBLE) / CAST(nn AS DOUBLE))
+           ORDER BY val), (a, e) -> a + e) AS tvd_seen,
+         list_reduce([0.0] || list(
+           SQRT((CAST(g.n AS DOUBLE) / CAST(ng AS DOUBLE)) * (CAST(m AS DOUBLE) / CAST(nn AS DOUBLE)))
+           ORDER BY val), (a, e) -> a + e) AS bc,
+         list_reduce([0.0] || list(
+           CAST(m AS DOUBLE) / CAST(nn AS DOUBLE)
+           ORDER BY val), (a, e) -> a + e) AS q_cov
+  FROM g GROUP BY role
+)
+SELECT role, n,
+       {r6('(tvd_seen + (1.0 - q_cov)) / 2.0', 'tvd')},
+       {r6('bc', 'bc')},
+       {r6('SQRT(GREATEST(1.0 - bc, 0.0))', 'hellinger')}
+FROM per
+"""

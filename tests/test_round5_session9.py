@@ -106,3 +106,111 @@ def test_label_purity_tie_breaks_on_label_asc(spark):
     df = _pairs(spark, [("a", "x"), ("b", "x")])
     r = label_purity(df).collect()[0]
     assert r["purity"] == pytest.approx(0.5, rel=1e-12)
+
+
+def _ts_rows(spark, rows):
+    # rows: (role, ts_str, signal)
+    df = spark.createDataFrame(
+        [(r, t, float(s)) for (r, t, s) in rows],
+        "role string, ts string, signal double",
+    )
+    return df.withColumn("ts", df.ts.cast("timestamp"))
+
+
+def test_kuiper_hand_computed(spark):
+    from z_rad_spark.operators.drift import kuiper_drift
+
+    # ref = {1, 3}, cur = {2, 4}
+    # values 1,2,3,4: F_ref = .5,.5,1,1 ; F_cur = 0,.5,.5,1
+    # gaps = .5, 0, .5, 0 -> D+ = .5, D- = 0, V = .5
+    rows = [
+        ("u", "2024-01-01 00:00:00", 1),
+        ("u", "2024-01-01 00:01:00", 3),
+        ("u", "2024-02-01 00:00:00", 2),
+        ("u", "2024-02-01 00:01:00", 4),
+    ]
+    r = kuiper_drift(_ts_rows(spark, rows), "2024-01-15 00:00:00").collect()[0]
+    assert (r["n_ref"], r["n_cur"]) == (2, 2)
+    assert r["d_plus"] == pytest.approx(0.5, rel=1e-12)
+    assert r["d_minus"] == pytest.approx(0.0, abs=1e-12)
+    assert r["v"] == pytest.approx(0.5, rel=1e-12)
+
+
+def test_kuiper_sees_symmetric_spread(spark):
+    from z_rad_spark.operators.drift import kuiper_drift
+
+    # ref = {2, 3}, cur = {1, 4}: mass moves out of the middle
+    # F_ref = 0,.5,1,1 ; F_cur = .5,.5,.5,1 at v=1,2,3,4
+    # gaps = -.5, 0, .5, 0 -> D+ = .5, D- = .5, V = 1 (KS alone = .5)
+    rows = [
+        ("u", "2024-01-01 00:00:00", 2),
+        ("u", "2024-01-01 00:01:00", 3),
+        ("u", "2024-02-01 00:00:00", 1),
+        ("u", "2024-02-01 00:01:00", 4),
+    ]
+    r = kuiper_drift(_ts_rows(spark, rows), "2024-01-15 00:00:00").collect()[0]
+    assert r["v"] == pytest.approx(1.0, rel=1e-12)
+
+
+def test_cvm_identical_samples_zero(spark):
+    from z_rad_spark.operators.drift import cvm_drift
+
+    rows = [
+        ("u", "2024-01-01 00:00:00", 1),
+        ("u", "2024-01-01 00:01:00", 2),
+        ("u", "2024-02-01 00:00:00", 1),
+        ("u", "2024-02-01 00:01:00", 2),
+    ]
+    r = cvm_drift(_ts_rows(spark, rows), "2024-01-15 00:00:00").collect()[0]
+    assert r["t"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_cvm_hand_computed(spark):
+    from z_rad_spark.operators.drift import cvm_drift
+
+    # ref = {1}, cur = {2}: values 1,2 with w=1 each
+    # gaps: at v=1: 1 - 0 = 1; at v=2: 1 - 1 = 0
+    # T = (1*1/4) * (1*1 + 1*0) = 0.25
+    rows = [
+        ("u", "2024-01-01 00:00:00", 1),
+        ("u", "2024-02-01 00:00:00", 2),
+    ]
+    r = cvm_drift(_ts_rows(spark, rows), "2024-01-15 00:00:00").collect()[0]
+    assert r["t"] == pytest.approx(0.25, rel=1e-12)
+
+
+def test_hist_distance_identical_group_is_zero(spark):
+    from z_rad_spark.operators.drift import hist_distance
+
+    rows = [
+        ("u", "2024-01-01 00:00:00", 1),
+        ("u", "2024-01-01 00:01:00", 2),
+        ("a", "2024-01-01 00:02:00", 1),
+        ("a", "2024-01-01 00:03:00", 2),
+    ]
+    out = {r["role"]: r for r in hist_distance(_ts_rows(spark, rows)).collect()}
+    for role in ("u", "a"):
+        assert out[role]["tvd"] == pytest.approx(0.0, abs=1e-12)
+        assert out[role]["bc"] == pytest.approx(1.0, rel=1e-12)
+        assert out[role]["hellinger"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_hist_distance_missing_support_mass(spark):
+    import math
+    from z_rad_spark.operators.drift import hist_distance
+
+    # u = {1, 1}, a = {2, 2}; pooled = {1: .5, 2: .5}
+    # for u: seen v=1: |1 - .5| = .5; missing v=2 adds q = .5
+    # TVD = (.5 + .5)/2 = .5; BC = sqrt(1*.5) = sqrt(.5)
+    # H = sqrt(1 - sqrt(.5))
+    rows = [
+        ("u", "2024-01-01 00:00:00", 1),
+        ("u", "2024-01-01 00:01:00", 1),
+        ("a", "2024-01-01 00:02:00", 2),
+        ("a", "2024-01-01 00:03:00", 2),
+    ]
+    out = {r["role"]: r for r in hist_distance(_ts_rows(spark, rows)).collect()}
+    r = out["u"]
+    assert r["tvd"] == pytest.approx(0.5, rel=1e-12)
+    assert r["bc"] == pytest.approx(math.sqrt(0.5), rel=1e-12)
+    assert r["hellinger"] == pytest.approx(math.sqrt(1 - math.sqrt(0.5)), rel=1e-12)

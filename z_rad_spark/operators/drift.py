@@ -3621,3 +3621,229 @@ def bland_altman(
         F.when(ok, mean_d - F.lit(1.96) * sd).alias("loa_low"),
         F.when(ok, mean_d + F.lit(1.96) * sd).alias("loa_high"),
     )
+
+
+def kuiper_drift(
+    df: DataFrame,
+    split_ts: str,
+    signal_col: str = "signal",
+    group_col: str = "role",
+) -> DataFrame:
+    """Two-sample Kuiper statistic per group between the pre-cutoff
+    reference window and the at/after-cutoff monitoring window:
+
+        V = D+ + D-  with  D+ = sup_v (F_ref - F_cur),
+                           D- = sup_v (F_cur - F_ref)
+
+    — the cyclic-shift-invariant cousin of [[ks_drift]]: KS sees only
+    the single largest ECDF gap, Kuiper adds the largest gap in EACH
+    direction, so a shift that moves mass symmetrically out of the
+    middle (median-preserving variance drift) registers where KS
+    half-cancels. Same compaction shape as ks_drift.
+
+    Determinism: exact integer ECDF counts on the compacted (group,
+    value) frame; per-cell terms are single IEEE ops (two divisions,
+    one subtraction), the sups are order-free maxes, and V is one
+    final addition. Both sups are >= 0 by construction (the ECDF gap
+    is 0 at the largest value). Bit-replayable.
+
+    NULL signals are excluded. Groups with an empty window get NULLs.
+    Output: (group_col, n_ref long, n_cur long, d_plus, d_minus,
+    v doubles).
+    """
+    x = F.col(signal_col).cast("double")
+    is_ref = F.col("ts").cast("timestamp") < F.lit(split_ts).cast("timestamp")
+    per_val = (
+        df.where(x.isNotNull())
+        .groupBy(F.col(group_col), x.alias("_val"))
+        .agg(
+            F.count(F.when(is_ref, 1)).alias("_r"),
+            F.count(F.when(~is_ref, 1)).alias("_c"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("_val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = per_val.select(
+        group_col,
+        F.sum("_r").over(w_cum).alias("_cr"),
+        F.sum("_c").over(w_cum).alias("_cc"),
+        F.sum("_r").over(w_all).alias("_nr"),
+        F.sum("_c").over(w_all).alias("_nc"),
+    )
+    ok = (F.col("_nr") > 0) & (F.col("_nc") > 0)
+    gap = F.col("_cr").cast("double") / F.col("_nr").cast("double") - F.col(
+        "_cc"
+    ).cast("double") / F.col("_nc").cast("double")
+    agg = cum.groupBy(group_col).agg(
+        F.max("_nr").cast("long").alias("n_ref"),
+        F.max("_nc").cast("long").alias("n_cur"),
+        F.max(F.when(ok, gap)).alias("_dp"),
+        F.max(F.when(ok, -gap)).alias("_dm"),
+    )
+    dp = F.greatest(F.col("_dp"), F.lit(0.0))
+    dm = F.greatest(F.col("_dm"), F.lit(0.0))
+    return agg.select(
+        group_col,
+        "n_ref",
+        "n_cur",
+        F.when(F.col("_dp").isNotNull(), dp).alias("d_plus"),
+        F.when(F.col("_dm").isNotNull(), dm).alias("d_minus"),
+        F.when(F.col("_dp").isNotNull(), dp + dm).alias("v"),
+    )
+
+
+def cvm_drift(
+    df: DataFrame,
+    split_ts: str,
+    signal_col: str = "signal",
+    group_col: str = "role",
+) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion per group between the
+    pre-cutoff and post-cutoff windows, in Anderson's tie-friendly
+    ECDF-integral form (summing over the COMBINED sample):
+
+        T = (n m / (n+m)^2) * sum_v w_v (F_ref(v) - F_cur(v))^2
+
+    with w_v = combined count at v — the L2 complement to the sup-norm
+    pair [[ks_drift]] / [[kuiper_drift]]: KS fires on one large gap,
+    CvM integrates many small ones, so slow whole-distribution creep
+    that never opens a single big gap still scores.
+
+    Determinism: exact integer counts on the compacted (group, value)
+    frame; the squared-gap terms are fixed chains, summed by an
+    ordered fold (value asc) so the oracle replays the identical IEEE
+    sequence; the leading factor is one fixed double chain (n*m can
+    pass 2^63 at corpus scale, so it multiplies in double space
+    deliberately). NULL signals excluded; empty windows -> NULL.
+
+    Scale: the fold state is the per-group distinct-value list —
+    bounded by value cardinality, never the turn count. Output:
+    (group_col, n_ref long, n_cur long, t double).
+    """
+    x = F.col(signal_col).cast("double")
+    is_ref = F.col("ts").cast("timestamp") < F.lit(split_ts).cast("timestamp")
+    per_val = (
+        df.where(x.isNotNull())
+        .groupBy(F.col(group_col), x.alias("_val"))
+        .agg(
+            F.count(F.when(is_ref, 1)).alias("_r"),
+            F.count(F.when(~is_ref, 1)).alias("_c"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("_val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = per_val.select(
+        group_col,
+        "_val",
+        (F.col("_r") + F.col("_c")).cast("long").alias("_w"),
+        F.sum("_r").over(w_cum).alias("_cr"),
+        F.sum("_c").over(w_cum).alias("_cc"),
+        F.sum("_r").over(w_all).alias("_nr"),
+        F.sum("_c").over(w_all).alias("_nc"),
+    )
+    gap = F.col("_cr").cast("double") / F.col("_nr").cast("double") - F.col(
+        "_cc"
+    ).cast("double") / F.col("_nc").cast("double")
+    term = F.col("_w").cast("double") * gap * gap
+    per = cum.select(
+        group_col,
+        "_nr",
+        "_nc",
+        F.struct("_val", term.alias("_t")).alias("_e"),
+    ).groupBy(group_col).agg(
+        F.max("_nr").cast("long").alias("n_ref"),
+        F.max("_nc").cast("long").alias("n_cur"),
+        F.sort_array(F.collect_list("_e")).alias("_es"),
+    )
+    s = F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_t"])
+    nr = F.col("n_ref").cast("double")
+    nc = F.col("n_cur").cast("double")
+    t = nr * nc / ((nr + nc) * (nr + nc)) * s
+    return per.select(
+        group_col,
+        "n_ref",
+        "n_cur",
+        F.when((F.col("n_ref") > 0) & (F.col("n_cur") > 0), t).alias("t"),
+    )
+
+
+def hist_distance(
+    df: DataFrame,
+    signal_col: str = "signal",
+    group_col: str = "role",
+) -> DataFrame:
+    """Per-group distribution distances from the pooled corpus over the
+    exact value histogram: total variation, Bhattacharyya coefficient,
+    and Hellinger distance —
+
+        TVD = (1/2) sum_v |p_v - q_v|
+        BC  = sum_v sqrt(p_v * q_v)
+        H   = sqrt(max(0, 1 - BC))
+
+    the bounded-metric companions to the unbounded [[q_source_kl]]
+    divergence (KL explodes on support mismatch; TVD and Hellinger
+    stay in [0,1] — the numbers a mix-rebalancing loop can threshold).
+
+    Determinism: counts are exact longs; per-value terms are fixed
+    chains folded ordered by value asc; BC's 1-BC is clamped at 0
+    before the final sqrt (float residue can land at -1ulp when the
+    distributions coincide). Bit-replayable.
+
+    Scale: one (group, value) groupBy; the pooled histogram is derived
+    from the same compacted frame (value-cardinality-sized, broadcast
+    back) — the corpus-sized table is read once. NULL signals
+    excluded; empty groups never emit. Output: (group_col, n long,
+    tvd, bc, hellinger doubles).
+    """
+    x = F.col(signal_col).cast("double")
+    cells = (
+        df.where(x.isNotNull())
+        .groupBy(F.col(group_col), x.alias("_val"))
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    pooled = cells.groupBy("_val").agg(F.sum("_n").cast("long").alias("_m"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pooled_n = pooled.withColumn("_nn", F.sum("_m").over(w_all).cast("long"))
+    w_grp = Window.partitionBy(group_col)
+    g = cells.withColumn("_ng", F.sum("_n").over(w_grp).cast("long"))
+    # equi-join covers the values the group HAS; pooled-support values
+    # the group never saw (q_v > 0, p_v = 0) contribute |0 - q| = q to
+    # TVD and 0 to BC, reconstructed arithmetically below as the
+    # missing q mass 1 - sum_seen q — no per-group dense grid needed
+    j = g.join(F.broadcast(pooled_n), "_val")
+    p = F.col("_n").cast("double") / F.col("_ng").cast("double")
+    q = F.col("_m").cast("double") / F.col("_nn").cast("double")
+    tvd_term = F.abs(p - q)
+    bc_term = F.sqrt(p * q)
+    per = j.select(
+        group_col,
+        "_ng",
+        F.struct(
+            "_val", tvd_term.alias("_tv"), bc_term.alias("_bc"), q.alias("_q")
+        ).alias("_e"),
+    ).groupBy(group_col).agg(
+        F.max("_ng").cast("long").alias("n"),
+        F.sort_array(F.collect_list("_e")).alias("_es"),
+    )
+    tvd_seen = F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_tv"])
+    bc = F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_bc"])
+    q_cov = F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_q"])
+    tvd = (tvd_seen + (F.lit(1.0) - q_cov)) / F.lit(2.0)
+    hel = F.sqrt(F.greatest(F.lit(1.0) - bc, F.lit(0.0)))
+    return per.select(
+        group_col,
+        "n",
+        tvd.alias("tvd"),
+        bc.alias("bc"),
+        hel.alias("hellinger"),
+    )
