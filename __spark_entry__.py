@@ -5435,6 +5435,37 @@ def q_hist_dist(spark, sf_dir):
     return _r6(out, ["tvd", "bc", "hellinger"])
 
 
+def q_spectral(spark, sf_dir):
+    """Periodogram of the hourly turn-count series at harmonics 1..8
+    plus spectral entropy (sessionize.spectral_profile): exact bucket
+    counts, t-ordered trig folds, k-ordered entropy fold —
+    oracle-replayable."""
+    from z_rad_spark.operators.sessionize import spectral_profile
+
+    out = spectral_profile(_t(spark, sf_dir))
+    return _r6(out, ["power", "norm_power", "spec_entropy"])
+
+
+def q_pacf(spark, sf_dir):
+    """Durbin-Levinson PACF at lags 1..3 of the hourly turn-count
+    series (sessionize.pacf_profile): exact integer series moments,
+    fixed double chains — oracle-replayable."""
+    from z_rad_spark.operators.sessionize import pacf_profile
+
+    out = pacf_profile(_t(spark, sf_dir))
+    return _r6(out, ["r", "pacf"])
+
+
+def q_holt(spark, sf_dir):
+    """Holt double-exponential smoothing of the daily turn-count series
+    (sessionize.holt_smooth): the inherently-ordered recursion as one
+    t-sorted F.aggregate fold, replayed by a recursive-CTE oracle."""
+    from z_rad_spark.operators.sessionize import holt_smooth
+
+    out = holt_smooth(_t(spark, sf_dir))
+    return _r6(out, ["level", "trend", "forecast", "sse", "rmse"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -5808,6 +5839,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kuiper": q_kuiper,
         "q_cvm": q_cvm,
         "q_hist_dist": q_hist_dist,
+        "q_spectral": q_spectral,
+        "q_pacf": q_pacf,
+        "q_holt": q_holt,
     }
 
 

@@ -12505,3 +12505,165 @@ SELECT role, n,
        {r6('SQRT(GREATEST(1.0 - bc, 0.0))', 'hellinger')}
 FROM per
 """
+
+
+# Periodogram harmonics 1..8 + spectral entropy of the hourly
+# turn-count series — matches sessionize.spectral_profile
+ORACLES["q_spectral"] = f"""
+WITH t AS ({T}),
+hh AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM t GROUP BY date_trunc('hour', ts)
+),
+s AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS tt, c,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         CAST(SUM(c) OVER () AS BIGINT) AS sm
+  FROM hh
+),
+ks AS (SELECT k FROM generate_series(1, 8) g(k)),
+j AS (
+  SELECT ks.k, s.tt, s.n,
+         (CAST(c AS DOUBLE) - CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS x,
+         2.0 * pi() * CAST(ks.k AS DOUBLE) * CAST(s.tt AS DOUBLE) / CAST(s.n AS DOUBLE) AS th
+  FROM s, ks
+),
+per AS (
+  SELECT k, CAST(MAX(n) AS BIGINT) AS n,
+         list_reduce([0.0] || list(x * cos(th) ORDER BY tt), (a, e) -> a + e) AS sc,
+         list_reduce([0.0] || list(x * sin(th) ORDER BY tt), (a, e) -> a + e) AS ss
+  FROM j GROUP BY k
+),
+pw AS (SELECT k, n, sc * sc + ss * ss AS power FROM per),
+tot AS (SELECT k, n, power, SUM(power) OVER () AS tp FROM pw),
+normed AS (
+  SELECT k, n, power, CASE WHEN tp > 0 THEN power / tp END AS norm_power
+  FROM tot
+),
+ent AS (
+  SELECT list_reduce([0.0] || list(
+           CASE WHEN norm_power > 0 THEN -norm_power * LN(norm_power) ELSE 0.0 END
+           ORDER BY k), (a, e) -> a + e) AS se
+  FROM normed WHERE norm_power IS NOT NULL
+)
+SELECT CAST(k AS BIGINT) AS k, n,
+       {r6('power', 'power')},
+       {r6('norm_power', 'norm_power')},
+       {r6('CASE WHEN norm_power IS NOT NULL THEN (SELECT se FROM ent) END', 'spec_entropy')}
+FROM normed
+"""
+
+
+# Durbin-Levinson PACF lags 1..3 of the hourly turn-count series —
+# matches sessionize.pacf_profile
+ORACLES["q_pacf"] = f"""
+WITH t AS ({T}),
+hh AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM t GROUP BY date_trunc('hour', ts)
+),
+led AS (
+  SELECT c,
+         LEAD(c, 1) OVER (ORDER BY h) AS c1,
+         LEAD(c, 2) OVER (ORDER BY h) AS c2,
+         LEAD(c, 3) OVER (ORDER BY h) AS c3
+  FROM hh
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS s0,
+         CAST(SUM(c * c1) AS BIGINT) AS p1,
+         CAST(SUM(c * c2) AS BIGINT) AS p2,
+         CAST(SUM(c * c3) AS BIGINT) AS p3,
+         CAST(SUM(CASE WHEN c1 IS NOT NULL THEN c END) AS BIGINT) AS h1,
+         CAST(SUM(CASE WHEN c2 IS NOT NULL THEN c END) AS BIGINT) AS h2,
+         CAST(SUM(CASE WHEN c3 IS NOT NULL THEN c END) AS BIGINT) AS h3,
+         CAST(SUM(c1) AS BIGINT) AS t1,
+         CAST(SUM(c2) AS BIGINT) AS t2,
+         CAST(SUM(c3) AS BIGINT) AS t3
+  FROM led
+),
+m AS (
+  SELECT *,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         (CAST(s0 AS DOUBLE) - 2.0 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE)
+          + CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+         / CAST(n AS DOUBLE) AS c0
+  FROM g
+),
+r AS (
+  SELECT *,
+         ((CAST(p1 AS DOUBLE) - mu * (CAST(h1 AS DOUBLE) + CAST(t1 AS DOUBLE)) + CAST(n - 1 AS DOUBLE) * mu * mu) / CAST(n AS DOUBLE)) / c0 AS r1,
+         ((CAST(p2 AS DOUBLE) - mu * (CAST(h2 AS DOUBLE) + CAST(t2 AS DOUBLE)) + CAST(n - 2 AS DOUBLE) * mu * mu) / CAST(n AS DOUBLE)) / c0 AS r2,
+         ((CAST(p3 AS DOUBLE) - mu * (CAST(h3 AS DOUBLE) + CAST(t3 AS DOUBLE)) + CAST(n - 3 AS DOUBLE) * mu * mu) / CAST(n AS DOUBLE)) / c0 AS r3
+  FROM m
+),
+dl AS (
+  SELECT *,
+         (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22,
+         r1 * (1.0 - (r2 - r1 * r1) / (1.0 - r1 * r1)) AS a21
+  FROM r
+),
+dl3 AS (
+  SELECT *,
+         1.0 - a21 * r1 - phi22 * r2 AS den3,
+         n > 3 AND c0 > 0 AS ok
+  FROM dl
+)
+SELECT CAST(1 AS BIGINT) AS lag, n,
+       {r6('CASE WHEN ok THEN r1 END', 'r')},
+       {r6('CASE WHEN ok THEN r1 END', 'pacf')}
+FROM dl3
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS lag, n,
+       {r6('CASE WHEN ok THEN r2 END', 'r')},
+       {r6('CASE WHEN ok AND ABS(1.0 - r1 * r1) > 0 THEN phi22 END', 'pacf')}
+FROM dl3
+UNION ALL
+SELECT CAST(3 AS BIGINT) AS lag, n,
+       {r6('CASE WHEN ok THEN r3 END', 'r')},
+       {r6('CASE WHEN ok AND ABS(1.0 - r1 * r1) > 0 AND ABS(den3) > 0 THEN (r3 - a21 * r2 - phi22 * r1) / den3 END', 'pacf')}
+FROM dl3
+"""
+
+
+# Holt double-exponential smoothing of the daily turn-count series —
+# matches sessionize.holt_smooth (alpha=0.5, beta=0.3); the recursive
+# CTE replays the engine's t-ordered fold step by step
+ORACLES["q_holt"] = f"""
+WITH RECURSIVE t AS ({T}),
+dd AS (
+  SELECT date_trunc('day', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM t GROUP BY date_trunc('day', ts)
+),
+s AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS tt, CAST(c AS DOUBLE) AS x
+  FROM dd
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+step AS (
+  SELECT 1 AS i,
+         (SELECT x FROM s WHERE tt = 0) AS l,
+         (SELECT x FROM s WHERE tt = 1) - (SELECT x FROM s WHERE tt = 0) AS b,
+         CAST(0.0 AS DOUBLE) AS sse
+  WHERE (SELECT n FROM nn) >= 2
+  UNION ALL
+  SELECT i, lnew,
+         0.3 * (lnew - l) + 0.7 * b,
+         sse + (x - (l + b)) * (x - (l + b))
+  FROM (
+    SELECT step.i + 1 AS i, s.x, step.l, step.b, step.sse,
+           0.5 * s.x + 0.5 * (step.l + step.b) AS lnew
+    FROM step JOIN s ON s.tt = step.i
+  )
+),
+fin AS (SELECT * FROM step ORDER BY i DESC LIMIT 1)
+SELECT nn.n,
+       {r6('fin.l', 'level')},
+       {r6('fin.b', 'trend')},
+       {r6('fin.l + fin.b', 'forecast')},
+       {r6('fin.sse', 'sse')},
+       {r6('SQRT(fin.sse / CAST(nn.n - 1 AS DOUBLE))', 'rmse')}
+FROM nn LEFT JOIN fin ON TRUE
+"""

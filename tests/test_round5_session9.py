@@ -214,3 +214,110 @@ def test_hist_distance_missing_support_mass(spark):
     assert r["tvd"] == pytest.approx(0.5, rel=1e-12)
     assert r["bc"] == pytest.approx(math.sqrt(0.5), rel=1e-12)
     assert r["hellinger"] == pytest.approx(math.sqrt(1 - math.sqrt(0.5)), rel=1e-12)
+
+
+def _turns_at(spark, ts_list):
+    df = spark.createDataFrame([(t,) for t in ts_list], "ts string")
+    return df.withColumn("ts", df.ts.cast("timestamp"))
+
+
+def test_spectral_profile_pure_tone(spark):
+    import math
+    from z_rad_spark.operators.sessionize import spectral_profile
+
+    # 8 hourly buckets with counts 3,1,3,1,... -> all power at the
+    # Nyquist harmonic k=4 of n=8; harmonics 1..3 carry ~0
+    counts = [3, 1, 3, 1, 3, 1, 3, 1]
+    ts = []
+    for hour, c in enumerate(counts):
+        for i in range(c):
+            ts.append(f"2024-01-01 {hour:02d}:00:{i:02d}")
+    out = {r["k"]: r for r in spectral_profile(_turns_at(spark, ts), n_harmonics=4).collect()}
+    assert out[4]["norm_power"] == pytest.approx(1.0, rel=1e-9)
+    for k in (1, 2, 3):
+        assert out[k]["norm_power"] == pytest.approx(0.0, abs=1e-9)
+    # one-spike spectrum -> zero entropy
+    assert out[4]["spec_entropy"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_pacf_lag1_equals_acf1(spark):
+    from z_rad_spark.operators.sessionize import pacf_profile
+
+    # alternating counts 2,1,2,1,... over 12 hours: strong negative r1
+    counts = [2, 1] * 6
+    ts = []
+    for hour, c in enumerate(counts):
+        for i in range(c):
+            ts.append(f"2024-01-01 {hour:02d}:00:{i:02d}")
+    out = {r["lag"]: r for r in pacf_profile(_turns_at(spark, ts)).collect()}
+    assert out[1]["pacf"] == out[1]["r"]
+    assert out[1]["r"] < 0
+    # lag-2 ACF of a period-2 series is strongly positive
+    assert out[2]["r"] > 0
+
+
+def test_pacf_numpy_replay(spark):
+    import numpy as np
+    from z_rad_spark.operators.sessionize import pacf_profile
+
+    counts = [5, 2, 7, 3, 8, 1, 6, 4, 9, 2, 5, 7]
+    ts = []
+    for hour, c in enumerate(counts):
+        for i in range(c):
+            ts.append(f"2024-01-01 {hour:02d}:00:{i:02d}")
+    x = np.array(counts, dtype=float)
+    n = len(x)
+    m = x.mean()
+    c = [((x - m) * (x - m)).sum() / n] + [
+        ((x[:-k] - m) * (x[k:] - m)).sum() / n for k in (1, 2, 3)
+    ]
+    r1, r2, r3 = c[1] / c[0], c[2] / c[0], c[3] / c[0]
+    phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    a21 = r1 * (1 - phi22)
+    phi33 = (r3 - a21 * r2 - phi22 * r1) / (1 - a21 * r1 - phi22 * r2)
+    out = {r["lag"]: r for r in pacf_profile(_turns_at(spark, ts)).collect()}
+    assert out[1]["pacf"] == pytest.approx(r1, rel=1e-9)
+    assert out[2]["pacf"] == pytest.approx(phi22, rel=1e-9)
+    assert out[3]["pacf"] == pytest.approx(phi33, rel=1e-9)
+
+
+def test_holt_linear_series_tracks_exactly(spark):
+    from z_rad_spark.operators.sessionize import holt_smooth
+
+    # daily counts 1,2,3,4,5: perfectly linear -> every one-step
+    # forecast is exact, level = 5, trend = 1, forecast = 6, sse = 0
+    ts = []
+    for day, c in enumerate([1, 2, 3, 4, 5], start=1):
+        for i in range(c):
+            ts.append(f"2024-01-{day:02d} 00:00:{i:02d}")
+    r = holt_smooth(_turns_at(spark, ts)).collect()[0]
+    assert r["n"] == 5
+    assert r["level"] == pytest.approx(5.0, rel=1e-12)
+    assert r["trend"] == pytest.approx(1.0, rel=1e-12)
+    assert r["forecast"] == pytest.approx(6.0, rel=1e-12)
+    assert r["sse"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_holt_hand_computed_step(spark):
+    from z_rad_spark.operators.sessionize import holt_smooth
+
+    # days: 2, 4, 10 -> l0=2, b0=2
+    # t=1 (x=4): f=4, e=0, l=4, b=2
+    # t=2 (x=10): f=6, e=4, l=.5*10+.5*6=8, b=.3*(8-4)+.7*2=2.6
+    # sse = 16
+    ts = []
+    for day, c in enumerate([2, 4, 10], start=1):
+        for i in range(c):
+            ts.append(f"2024-01-{day:02d} 00:00:{i:02d}")
+    r = holt_smooth(_turns_at(spark, ts), alpha=0.5, beta=0.3).collect()[0]
+    assert r["level"] == pytest.approx(8.0, rel=1e-12)
+    assert r["trend"] == pytest.approx(2.6, rel=1e-12)
+    assert r["forecast"] == pytest.approx(10.6, rel=1e-12)
+    assert r["sse"] == pytest.approx(16.0, rel=1e-12)
+
+
+def test_holt_short_series_null(spark):
+    from z_rad_spark.operators.sessionize import holt_smooth
+
+    r = holt_smooth(_turns_at(spark, ["2024-01-01 00:00:00"])).collect()[0]
+    assert r["n"] == 1 and r["level"] is None and r["sse"] is None

@@ -1321,3 +1321,275 @@ def ar2_yule_walker(df: DataFrame, signal_col: str = "signal") -> DataFrame:
         F.when(ok2, sigma).alias("sigma_ratio"),
         F.when(ok2, fc).alias("forecast"),
     )
+
+
+def spectral_profile(
+    df: DataFrame,
+    n_harmonics: int = 8,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Periodogram of the global per-``bucket`` turn-count series at
+    the first ``n_harmonics`` Fourier frequencies, plus the spectral
+    entropy of the normalized powers — the frequency-domain activity
+    profile beside the time-domain [[q_acf_profile]] (a strong k=24/7
+    line in hourly data IS the daily/weekly seasonality a backfill or
+    forecast operator must respect):
+
+        P_k = (sum_t x_t cos(2 pi k t / n))^2
+            + (sum_t x_t sin(2 pi k t / n))^2
+
+    over the mean-centered counts x_t, with spectral entropy
+    -sum_k p_k ln p_k, p_k = P_k / sum_j P_j.
+
+    Determinism: bucket counts are exact longs; the centered trig
+    terms are fixed chains folded in t order per harmonic (the oracle
+    replays the identical IEEE sequence — cos/sin agree across engines
+    on identical double arguments to within an ulp, absorbed by the
+    6dp contract); entropy folds in k order. Bit-replayable.
+
+    Scale: the series length is CALENDAR-bounded (hours in the data
+    window — ~9k rows/year), never corpus-sized: one map-side-combined
+    date_trunc groupBy collapses 10^12 turns to the series, and the
+    k x n fold state is n_harmonics x series_length. Output one row
+    per harmonic: (k long, n long, power, norm_power, spec_entropy
+    doubles — norm/entropy NULL when total power is 0).
+    """
+    import math
+
+    h = df.groupBy(F.date_trunc(bucket, F.col("ts")).alias("_h")).agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    w_ord = Window.orderBy("_h")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ser = h.select(
+        (F.row_number().over(w_ord).cast("long") - 1).alias("_t"),
+        "_c",
+        F.count("*").over(w_all).cast("long").alias("_n"),
+        F.sum("_c").over(w_all).cast("long").alias("_s"),
+    )
+    ks = ser.sparkSession.range(1, int(n_harmonics) + 1).select(
+        F.col("id").cast("long").alias("k")
+    )
+    j = ser.crossJoin(F.broadcast(ks))
+    m = F.col("_s").cast("double") / F.col("_n").cast("double")
+    x = F.col("_c").cast("double") - m
+    theta = (
+        F.lit(2.0 * math.pi)
+        * F.col("k").cast("double")
+        * F.col("_t").cast("double")
+        / F.col("_n").cast("double")
+    )
+    per = j.select(
+        "k",
+        "_n",
+        F.struct(
+            "_t", (x * F.cos(theta)).alias("_tc"), (x * F.sin(theta)).alias("_ts")
+        ).alias("_e"),
+    ).groupBy("k").agg(
+        F.max("_n").alias("n"),
+        F.sort_array(F.collect_list("_e")).alias("_es"),
+    )
+    sc = F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_tc"])
+    ss = F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_ts"])
+    pw = per.select("k", "n", (sc * sc + ss * ss).alias("power"))
+    tot = pw.withColumn("_tot", F.sum("power").over(w_all))
+    np_ = F.when(F.col("_tot") > 0, F.col("power") / F.col("_tot"))
+    normed = tot.select("k", "n", "power", np_.alias("norm_power"))
+    ent_src = normed.where(F.col("norm_power").isNotNull()).select(
+        F.struct(
+            "k",
+            F.when(
+                F.col("norm_power") > 0,
+                -F.col("norm_power") * F.log("norm_power"),
+            ).otherwise(F.lit(0.0)).alias("_t"),
+        ).alias("_e")
+    )
+    ent = ent_src.agg(F.sort_array(F.collect_list("_e")).alias("_es")).select(
+        F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_t"]).alias(
+            "spec_entropy"
+        )
+    )
+    return normed.crossJoin(F.broadcast(ent)).select(
+        "k",
+        "n",
+        "power",
+        "norm_power",
+        F.when(F.col("norm_power").isNotNull(), F.col("spec_entropy")).alias(
+            "spec_entropy"
+        ),
+    )
+
+
+def pacf_profile(df: DataFrame, bucket: str = "hour") -> DataFrame:
+    """Partial autocorrelation of the global per-``bucket`` turn-count
+    series at lags 1..3 via the Durbin-Levinson recursion on the
+    population ACF — what [[q_acf_profile]]'s raw correlations look
+    like AFTER removing the shorter-lag linear structure (the AR-order
+    diagnostic: a PACF that dies after lag p says AR(p) is enough,
+    the [[q_ar2]] fit's model-selection companion):
+
+        phi_11 = r1
+        phi_22 = (r2 - r1^2) / (1 - r1^2)
+        phi_33 = (r3 - a21 r2 - phi_22 r1)
+               / (1 - a21 r1 - phi_22 r2),  a21 = r1 (1 - phi_22)
+
+    with r_k = c_k / c_0 and c_k the lag-k population autocovariance
+    expanded over EXACT integer sums (sum x_t x_{t+k}, head/tail sums)
+    so no mean-centered pass over the series is needed.
+
+    Determinism: all series moments are exact longs; each c_k, r_k,
+    and phi is one fixed double chain. NULL when the sample is too
+    short (n <= 3) or a denominator degenerates. Bit-replayable.
+
+    Scale: calendar-bounded series (see [[spectral_profile]]); lag
+    products come from three lead() columns on one tiny window pass.
+    Output: (lag long, n long, r double, pacf double), lags 1..3.
+    """
+    h = df.groupBy(F.date_trunc(bucket, F.col("ts")).alias("_h")).agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    w_ord = Window.orderBy("_h")
+    led = h.select(
+        "_c",
+        F.lead("_c", 1).over(w_ord).alias("_c1"),
+        F.lead("_c", 2).over(w_ord).alias("_c2"),
+        F.lead("_c", 3).over(w_ord).alias("_c3"),
+    )
+    g = led.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_c").cast("long").alias("_s"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_s0"),
+        F.sum(F.col("_c") * F.col("_c1")).cast("long").alias("_p1"),
+        F.sum(F.col("_c") * F.col("_c2")).cast("long").alias("_p2"),
+        F.sum(F.col("_c") * F.col("_c3")).cast("long").alias("_p3"),
+        F.sum(F.when(F.col("_c1").isNotNull(), F.col("_c"))).cast("long").alias("_h1"),
+        F.sum(F.when(F.col("_c2").isNotNull(), F.col("_c"))).cast("long").alias("_h2"),
+        F.sum(F.when(F.col("_c3").isNotNull(), F.col("_c"))).cast("long").alias("_h3"),
+        F.sum(F.col("_c1")).cast("long").alias("_t1"),
+        F.sum(F.col("_c2")).cast("long").alias("_t2"),
+        F.sum(F.col("_c3")).cast("long").alias("_t3"),
+    )
+    n = F.col("n")
+    nd = n.cast("double")
+    m = F.col("_s").cast("double") / nd
+
+    def c_at(k):
+        if k == 0:
+            return (
+                F.col("_s0").cast("double")
+                - F.lit(2.0) * m * F.col("_s").cast("double")
+                + nd * m * m
+            ) / nd
+        return (
+            F.col(f"_p{k}").cast("double")
+            - m * (F.col(f"_h{k}").cast("double") + F.col(f"_t{k}").cast("double"))
+            + (n - F.lit(k)).cast("double") * m * m
+        ) / nd
+
+    c0 = c_at(0)
+    r1 = c_at(1) / c0
+    r2 = c_at(2) / c0
+    r3 = c_at(3) / c0
+    phi22 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    a21 = r1 * (F.lit(1.0) - phi22)
+    den3 = F.lit(1.0) - a21 * r1 - phi22 * r2
+    phi33 = (r3 - a21 * r2 - phi22 * r1) / den3
+    ok = (n > 3) & (c0 > 0)
+    rows = []
+    for lag, (r, p) in enumerate(
+        [(r1, r1), (r2, phi22), (r3, phi33)], start=1
+    ):
+        guard = ok if lag == 1 else ok & (F.abs(F.lit(1.0) - r1 * r1) > 0)
+        if lag == 3:
+            guard = guard & (F.abs(den3) > 0)
+        rows.append(
+            g.select(
+                F.lit(lag).cast("long").alias("lag"),
+                "n",
+                F.when(ok, r).alias("r"),
+                F.when(guard, p).alias("pacf"),
+            )
+        )
+    out = rows[0]
+    for r_ in rows[1:]:
+        out = out.unionByName(r_)
+    return out
+
+
+def holt_smooth(
+    df: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    bucket: str = "day",
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing of the global
+    per-``bucket`` turn-count series — level + trend state and the
+    one-step forecast, the classical local-trend tracker beside the
+    trendless [[q_ewm_smooth]] EWMA and the seasonal-naive
+    [[q_mase]] baseline:
+
+        l_t = alpha x_t + (1-alpha)(l_{t-1} + b_{t-1})
+        b_t = beta (l_t - l_{t-1}) + (1-beta) b_{t-1}
+
+    initialized l_0 = x_0, b_0 = x_1 - x_0; one-step SSE accumulates
+    (x_t - (l_{t-1} + b_{t-1}))^2 for t >= 1.
+
+    Determinism: the recursion is inherently ordered — the engine runs
+    it as ONE F.aggregate fold over the t-sorted series with a
+    (level, trend, sse) struct accumulator; the oracle replays the
+    identical recursion with a recursive CTE. Counts are exact longs;
+    every step is a fixed double chain. Bit-replayable.
+
+    Scale: calendar-bounded series (days in the data window), folded
+    on the driver-side-sized single row — the corpus-sized table is
+    touched only by the map-side-combined date_trunc count. Output
+    one row: (n long, level, trend, forecast, sse, rmse doubles —
+    NULL when n < 2).
+    """
+    a, b = float(alpha), float(beta)
+    h = df.groupBy(F.date_trunc(bucket, F.col("ts")).alias("_h")).agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    w_ord = Window.orderBy("_h")
+    ser = h.select(
+        (F.row_number().over(w_ord).cast("long") - 1).alias("_t"),
+        F.col("_c").cast("double").alias("_x"),
+    )
+    one = ser.select(F.struct("_t", "_x").alias("_e")).agg(
+        F.sort_array(F.collect_list("_e")).alias("_es")
+    )
+    arr = F.transform(F.col("_es"), lambda e: e["_x"])
+    n = F.size(arr)
+    # F.get is NULL-safe out of bounds (element_at errors under ANSI)
+    x0 = F.get(arr, 0)
+    x1 = F.get(arr, 1)
+    init = F.struct(
+        x0.alias("l"),
+        (x1 - x0).alias("b"),
+        F.lit(0.0).alias("sse"),
+    )
+    rest = F.slice(arr, 2, F.greatest(n - 1, F.lit(0)))
+
+    def step(acc, x):
+        f = acc["l"] + acc["b"]
+        e = x - f
+        l_new = F.lit(a) * x + F.lit(1.0 - a) * f
+        b_new = F.lit(b) * (l_new - acc["l"]) + F.lit(1.0 - b) * acc["b"]
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            (acc["sse"] + e * e).alias("sse"),
+        )
+
+    fin = F.aggregate(rest, init, step)
+    ok = n >= 2
+    return one.select(
+        n.cast("long").alias("n"),
+        F.when(ok, fin["l"]).alias("level"),
+        F.when(ok, fin["b"]).alias("trend"),
+        F.when(ok, fin["l"] + fin["b"]).alias("forecast"),
+        F.when(ok, fin["sse"]).alias("sse"),
+        F.when(ok, F.sqrt(fin["sse"] / (n - 1).cast("double"))).alias("rmse"),
+    )
