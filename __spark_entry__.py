@@ -5466,6 +5466,41 @@ def q_holt(spark, sf_dir):
     return _r6(out, ["level", "trend", "forecast", "sse", "rmse"])
 
 
+def q_anisotropy(spark, sf_dir):
+    """Mean pairwise cosine of the normalized embedding corpus via the
+    sum-vector identity (similarity.anisotropy): id-ordered per-dim
+    folds, no pair table — oracle-replayable."""
+    from z_rad_spark.operators.similarity import anisotropy
+
+    out = anisotropy(_emb(spark, sf_dir))
+    return _r6(out, ["sum_norm_sq", "mean_cos"])
+
+
+def q_sq8(spark, sf_dir):
+    """Per-vector SQ8 reconstruction error on the corpus per-dim range
+    (similarity.sq8_quantize): order-free min/max corpus pass,
+    dim-ordered error folds, half-up floor(z+0.5) in both engines —
+    oracle-replayable."""
+    from z_rad_spark.operators.similarity import sq8_quantize
+
+    out = sq8_quantize(_emb(spark, sf_dir))
+    return _r6(out.select(F.col("vec_id").cast("long"), "mse", "max_abs_err"),
+               ["mse", "max_abs_err"])
+
+
+def q_label_centroids(spark, sf_dir):
+    """Per-label centroid norm and cosine to the global centroid
+    (similarity.label_centroids): id- and label-ordered folds, fixed
+    chains — oracle-replayable."""
+    from z_rad_spark.operators.similarity import label_centroids
+
+    out = label_centroids(_emb(spark, sf_dir))
+    return _r6(
+        out.select(F.col("label").cast("int"), "n", "centroid_norm", "cos_global"),
+        ["centroid_norm", "cos_global"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -5842,6 +5877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_spectral": q_spectral,
         "q_pacf": q_pacf,
         "q_holt": q_holt,
+        "q_anisotropy": q_anisotropy,
+        "q_sq8": q_sq8,
+        "q_label_centroids": q_label_centroids,
     }
 
 

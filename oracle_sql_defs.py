@@ -12667,3 +12667,131 @@ SELECT nn.n,
        {r6('SQRT(fin.sse / CAST(nn.n - 1 AS DOUBLE))', 'rmse')}
 FROM nn LEFT JOIN fin ON TRUE
 """
+
+
+# Mean pairwise cosine via the sum-vector identity — matches
+# similarity.anisotropy
+ORACLES["q_anisotropy"] = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+),
+nm AS (
+  SELECT vec_id, ev,
+         SQRT(list_reduce([0.0] || list_transform(ev, x -> x * x), (a, e) -> a + e)) AS norm,
+         length(list_filter(ev, x -> x IS NULL OR isnan(x) OR abs(x) = 'infinity'::DOUBLE)) > 0 AS nonfin
+  FROM v
+),
+flagged AS (SELECT vec_id, ev, norm, (nonfin OR norm = 0) AS bad FROM nm),
+ex AS (
+  SELECT vec_id, unnest(ev) / norm AS u,
+         unnest(range(1, length(ev) + 1)) AS d
+  FROM flagged WHERE NOT bad
+),
+per_dim AS (
+  SELECT d, list_reduce([0.0] || list(u ORDER BY vec_id), (a, e) -> a + e) AS s
+  FROM ex GROUP BY d
+),
+tot AS (
+  SELECT list_reduce([0.0] || list(s * s ORDER BY d), (a, e) -> a + e) AS sum_norm_sq
+  FROM per_dim
+),
+counts AS (
+  SELECT CAST(COUNT(CASE WHEN NOT bad THEN 1 END) AS BIGINT) AS n,
+         CAST(COUNT(CASE WHEN bad THEN 1 END) AS BIGINT) AS n_dropped
+  FROM flagged
+)
+SELECT n, n_dropped,
+       {r6('sum_norm_sq', 'sum_norm_sq')},
+       {r6('CASE WHEN n >= 2 THEN (sum_norm_sq - CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) END', 'mean_cos')}
+FROM counts, tot
+"""
+
+
+# Per-vector SQ8 reconstruction error — matches similarity.sq8_quantize
+ORACLES["q_sq8"] = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+),
+kept AS (
+  SELECT vec_id, ev FROM v
+  WHERE length(list_filter(ev, x -> x IS NULL OR isnan(x) OR abs(x) = 'infinity'::DOUBLE)) = 0
+),
+ex AS (
+  SELECT vec_id, unnest(ev) AS x,
+         unnest(range(1, length(ev) + 1)) AS d
+  FROM kept
+),
+stats AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY d),
+j AS (
+  SELECT ex.vec_id, ex.d, ex.x, stats.mn, stats.mx,
+         (stats.mx - stats.mn) / 255.0 AS sc
+  FROM ex JOIN stats USING (d)
+),
+errs AS (
+  SELECT vec_id, d,
+         CASE WHEN mx = mn THEN 0.0
+              ELSE x - (mn + LEAST(GREATEST(FLOOR((x - mn) / sc + 0.5), 0), 255) * sc)
+         END AS e
+  FROM j
+),
+per AS (
+  SELECT vec_id,
+         list_reduce([0.0] || list(e * e ORDER BY d), (a, x) -> a + x) AS sse,
+         MAX(ABS(e)) AS mxe,
+         CAST(COUNT(*) AS BIGINT) AS dim
+  FROM errs GROUP BY vec_id
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       {r6('sse / CAST(dim AS DOUBLE)', 'mse')},
+       {r6('mxe', 'max_abs_err')}
+FROM per
+"""
+
+
+# Per-label centroid geometry — matches similarity.label_centroids
+ORACLES["q_label_centroids"] = f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+),
+kept AS (
+  SELECT vec_id, label, ev FROM v
+  WHERE length(list_filter(ev, x -> x IS NULL OR isnan(x) OR abs(x) = 'infinity'::DOUBLE)) = 0
+),
+ex AS (
+  SELECT vec_id, label, unnest(ev) AS x,
+         unnest(range(1, length(ev) + 1)) AS d
+  FROM kept
+),
+lab_dim AS (
+  SELECT label, d,
+         list_reduce([0.0] || list(x ORDER BY vec_id), (a, e) -> a + e) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ex GROUP BY label, d
+),
+glob_dim AS (
+  SELECT d, list_reduce([0.0] || list(s ORDER BY label), (a, e) -> a + e) AS g
+  FROM lab_dim GROUP BY d
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn
+  FROM (SELECT label, MAX(n) AS n FROM lab_dim GROUP BY label)
+),
+per AS (
+  SELECT label, CAST(MAX(lab_dim.n) AS BIGINT) AS n,
+         list_reduce([0.0] || list(
+           (s / CAST(lab_dim.n AS DOUBLE)) * (s / CAST(lab_dim.n AS DOUBLE))
+           ORDER BY d), (a, e) -> a + e) AS cn2,
+         list_reduce([0.0] || list(
+           (g / CAST(tot.tn AS DOUBLE)) * (g / CAST(tot.tn AS DOUBLE))
+           ORDER BY d), (a, e) -> a + e) AS gn2,
+         list_reduce([0.0] || list(
+           (s / CAST(lab_dim.n AS DOUBLE)) * (g / CAST(tot.tn AS DOUBLE))
+           ORDER BY d), (a, e) -> a + e) AS dot
+  FROM lab_dim JOIN glob_dim USING (d), tot
+  GROUP BY label
+)
+SELECT CAST(label AS INT) AS label, n,
+       {r6('SQRT(cn2)', 'centroid_norm')},
+       {r6('CASE WHEN cn2 > 0 AND gn2 > 0 THEN dot / (SQRT(cn2) * SQRT(gn2)) END', 'cos_global')}
+FROM per
+"""

@@ -321,3 +321,80 @@ def test_holt_short_series_null(spark):
 
     r = holt_smooth(_turns_at(spark, ["2024-01-01 00:00:00"])).collect()[0]
     assert r["n"] == 1 and r["level"] is None and r["sse"] is None
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_anisotropy_identical_vectors(spark):
+    from z_rad_spark.operators.similarity import anisotropy
+
+    df = _vecs(spark, [(1, [1.0, 0.0], 0), (2, [2.0, 0.0], 0), (3, [3.0, 0.0], 0)])
+    r = anisotropy(df).collect()[0]
+    assert r["n"] == 3
+    assert r["mean_cos"] == pytest.approx(1.0, rel=1e-9)
+
+
+def test_anisotropy_orthogonal_and_dropped(spark):
+    from z_rad_spark.operators.similarity import anisotropy
+
+    # two orthogonal unit vectors -> mean_cos = 0; the zero vector is
+    # dropped, not averaged in
+    df = _vecs(spark, [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0), (3, [0.0, 0.0], 0)])
+    r = anisotropy(df).collect()[0]
+    assert r["n"] == 2 and r["n_dropped"] == 1
+    assert r["mean_cos"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_anisotropy_opposite_vectors(spark):
+    from z_rad_spark.operators.similarity import anisotropy
+
+    df = _vecs(spark, [(1, [1.0, 0.0], 0), (2, [-4.0, 0.0], 0)])
+    r = anisotropy(df).collect()[0]
+    assert r["mean_cos"] == pytest.approx(-1.0, rel=1e-9)
+
+
+def test_sq8_error_bounded_by_half_step(spark):
+    from z_rad_spark.operators.similarity import sq8_quantize
+
+    df = _vecs(
+        spark,
+        [(i, [float(i), float(10 - i)], 0) for i in range(11)],
+    )
+    rows = sq8_quantize(df).collect()
+    assert len(rows) == 11
+    # range 0..10, scale = 10/255; max error <= scale/2
+    half = (10.0 / 255.0) / 2 + 1e-12
+    for r in rows:
+        assert r["max_abs_err"] <= half
+        assert r["mse"] >= 0.0
+
+
+def test_sq8_degenerate_dim_zero_error(spark):
+    from z_rad_spark.operators.similarity import sq8_quantize
+
+    df = _vecs(spark, [(1, [5.0, 1.0], 0), (2, [5.0, 2.0], 0)])
+    out = {r["vec_id"]: r for r in sq8_quantize(df).collect()}
+    # dim 0 is constant -> zero error there; dim 1 endpoints exact
+    assert out[1]["max_abs_err"] == pytest.approx(0.0, abs=1e-12)
+    assert out[2]["max_abs_err"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_label_centroids_hand_computed(spark):
+    from z_rad_spark.operators.similarity import label_centroids
+
+    # label 0: (2,0),(4,0) -> centroid (3,0); label 1: (0,6) -> (0,6)
+    # global centroid = (2+4+0, 0+0+6)/3 = (2,2)
+    df = _vecs(spark, [(1, [2.0, 0.0], 0), (2, [4.0, 0.0], 0), (3, [0.0, 6.0], 1)])
+    out = {r["label"]: r for r in label_centroids(df).collect()}
+    import math
+
+    assert out[0]["n"] == 2 and out[1]["n"] == 1
+    assert out[0]["centroid_norm"] == pytest.approx(3.0, rel=1e-12)
+    assert out[1]["centroid_norm"] == pytest.approx(6.0, rel=1e-12)
+    # cos((3,0),(2,2)) = cos 45deg; cos((0,6),(2,2)) = cos 45deg
+    assert out[0]["cos_global"] == pytest.approx(1 / math.sqrt(2), rel=1e-12)
+    assert out[1]["cos_global"] == pytest.approx(1 / math.sqrt(2), rel=1e-12)

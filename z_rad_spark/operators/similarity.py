@@ -1898,3 +1898,231 @@ def intra_list_diversity(
             F.col("n_pairs") > 0, s / F.col("n_pairs").cast("double")
         ).alias("ild"),
     )
+
+
+def anisotropy(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space anisotropy: the mean pairwise cosine between
+    all distinct L2-normalized vectors, computed WITHOUT the n^2
+    pair table via the sum-vector identity
+
+        mean_cos = (||sum_i u_i||^2 - n) / (n (n - 1))
+
+    (unit vectors make sum_i ||u_i||^2 = n exactly n, so the cross
+    terms fall out of one corpus-sum). Ethayarajh (2019)'s measure:
+    a well-spread embedding space sits near 0; a collapsed cone —
+    the classic representation-degeneration failure that breaks
+    cosine retrieval — pushes it toward 1. The one-number space
+    screen beside the per-vector [[embedding_stats]].
+
+    Determinism: per-dim sums fold ordered by id (exact replay);
+    each u_i = x_i / norm_i with the norm its own dim-ordered fold;
+    the final dim-ordered fold squares the per-dim sums. Zero-norm
+    and non-finite vectors are excluded (count reported). This is
+    the EXACT baseline: the id-ordered fold state is corpus-sized
+    per dim — at 10^12 rows run the covariance-style partial-sum
+    path ([[embedding_covariance]]) and accept last-ulp drift.
+
+    Output one row: (n long, n_dropped long, sum_norm_sq double,
+    mean_cos double — NULL when n < 2).
+    """
+    ev = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("_id"), ev.alias("_v"))
+    nsq = F.aggregate(
+        F.col("_v"), F.lit(0.0), lambda a, x: a + x * x
+    )
+    bad = F.exists(
+        F.col("_v"), lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == float("inf"))
+    )
+    flagged = base.select("_id", "_v", (bad | (F.sqrt(nsq) == 0)).alias("_bad"),
+                          F.sqrt(nsq).alias("_nm"))
+    kept = flagged.where(~F.col("_bad"))
+    u = F.transform(F.col("_v"), lambda x: x / F.col("_nm"))
+    ex = kept.select(
+        "_id", F.posexplode(u).alias("_d", "_x")
+    )
+    per_dim = ex.groupBy("_d").agg(
+        F.sort_array(F.collect_list(F.struct("_id", "_x"))).alias("_es")
+    ).select(
+        "_d",
+        F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_x"]).alias(
+            "_s"
+        ),
+    )
+    tot = per_dim.select(F.struct("_d", "_s").alias("_e")).agg(
+        F.sort_array(F.collect_list("_e")).alias("_es")
+    ).select(
+        F.aggregate(
+            F.col("_es"), F.lit(0.0), lambda a, e: a + e["_s"] * e["_s"]
+        ).alias("sum_norm_sq")
+    )
+    counts = flagged.agg(
+        F.count(F.when(~F.col("_bad"), 1)).cast("long").alias("n"),
+        F.count(F.when(F.col("_bad"), 1)).cast("long").alias("n_dropped"),
+    )
+    g = counts.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    return g.select(
+        "n",
+        "n_dropped",
+        "sum_norm_sq",
+        F.when(
+            F.col("n") >= 2,
+            (F.col("sum_norm_sq") - nd) / (nd * (nd - F.lit(1.0))),
+        ).alias("mean_cos"),
+    )
+
+
+def sq8_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar int8 quantization audit: quantize each dimension to 256
+    levels on the corpus per-dim [min, max] range (the standard SQ8
+    scheme every vector store ships as its 4x-compression default) and
+    report per-vector reconstruction error —
+
+        code_d(x) = clamp(floor((x - min_d)/scale_d + 0.5), 0, 255)
+        recon_d   = min_d + code_d * scale_d,
+        scale_d = (max_d - min_d)/255
+
+    the 'is SQ8 safe for this corpus?' screen: outlier dimensions
+    stretch the range and crush everyone else's resolution — exactly
+    what mse/max_abs_err surface per vector before a store migration.
+
+    Determinism: per-dim min/max are ORDER-FREE exact reductions (no
+    float summation), so the corpus pass is deterministic at any
+    scale; per-vector mse folds in dim order; floor(z + 0.5) is the
+    same half-up in both engines (banker's-rounding-proof).
+    Degenerate dims (max = min) quantize to code 0 with zero error.
+
+    Scale: one narrow posexplode -> per-dim groupBy (d rows,
+    broadcast back), one per-vector regroup; nothing corpus-sized is
+    collected. Output: (id, mse double, max_abs_err double), one row
+    per finite vector.
+    """
+    ev = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("_id"), ev.alias("_v"))
+    bad = F.exists(
+        F.col("_v"), lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == float("inf"))
+    )
+    ex = base.where(~bad).select("_id", F.posexplode("_v").alias("_d", "_x"))
+    stats = ex.groupBy("_d").agg(
+        F.min("_x").alias("_mn"), F.max("_x").alias("_mx")
+    )
+    j = ex.join(F.broadcast(stats), "_d")
+    scale = (F.col("_mx") - F.col("_mn")) / F.lit(255.0)
+    # guard the degenerate dim BEFORE floor: (x-mn)/0 is NaN and
+    # Spark's floor(double)->BIGINT errors on NaN under ANSI
+    code = F.when(
+        F.col("_mx") > F.col("_mn"),
+        F.least(
+            F.greatest(
+                F.floor((F.col("_x") - F.col("_mn")) / scale + F.lit(0.5)),
+                F.lit(0),
+            ),
+            F.lit(255),
+        ),
+    ).otherwise(F.lit(0))
+    recon = F.col("_mn") + code.cast("double") * scale
+    err = F.when(F.col("_mx") == F.col("_mn"), F.lit(0.0)).otherwise(
+        F.col("_x") - recon
+    )
+    per = j.select(
+        "_id", F.struct("_d", err.alias("_e")).alias("_s")
+    ).groupBy("_id").agg(
+        F.sort_array(F.collect_list("_s")).alias("_es")
+    )
+    sse = F.aggregate(
+        F.col("_es"), F.lit(0.0), lambda a, e: a + e["_e"] * e["_e"]
+    )
+    mx = F.array_max(F.transform(F.col("_es"), lambda e: F.abs(e["_e"])))
+    d = F.size("_es").cast("double")
+    return per.select(
+        F.col("_id").alias(id_col),
+        (sse / d).alias("mse"),
+        mx.alias("max_abs_err"),
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid geometry: each label's mean vector compared
+    to the global mean — centroid L2 norm, cosine to the global
+    centroid, and the label's share — the cluster-separation screen
+    over a labeled embedding table ('do the classes even point in
+    different directions?') that pairs with [[anisotropy]]'s
+    whole-space collapse number.
+
+    Determinism: per-(label, dim) and per-dim sums fold ordered by
+    id; norms and the dot product fold in dim order; fixed double
+    chains. Zero-norm/non-finite vectors excluded. Exact baseline
+    (see [[anisotropy]] for the 10^12-row note).
+
+    Output: (label, n long, centroid_norm, cos_global doubles —
+    cos NULL when either centroid is zero), one row per label.
+    """
+    ev = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(label_col).alias("_l"), ev.alias("_v")
+    )
+    bad = F.exists(
+        F.col("_v"), lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == float("inf"))
+    )
+    ex = base.where(~bad).select(
+        "_id", "_l", F.posexplode("_v").alias("_d", "_x")
+    )
+    lab_dim = ex.groupBy("_l", "_d").agg(
+        F.sort_array(F.collect_list(F.struct("_id", "_x"))).alias("_es"),
+    ).select(
+        "_l",
+        "_d",
+        F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_x"]).alias("_s"),
+        F.size("_es").cast("long").alias("_n"),
+    )
+    glob_dim = lab_dim.select(F.struct("_l", F.col("_s").alias("_gs")).alias("_e"), "_d").groupBy(
+        "_d"
+    ).agg(F.sort_array(F.collect_list("_e")).alias("_ls")).select(
+        "_d",
+        F.aggregate(F.col("_ls"), F.lit(0.0), lambda a, e: a + e["_gs"]).alias("_g"),
+    )
+    lab_n = lab_dim.groupBy("_l").agg(F.max("_n").cast("long").alias("n"))
+    tot_n = lab_n.agg(F.sum("n").cast("long").alias("_tn"))
+    j = lab_dim.join(F.broadcast(glob_dim), "_d")
+    per = j.select(
+        "_l",
+        "_n",
+        F.struct(
+            "_d",
+            (F.col("_s") / F.col("_n").cast("double")).alias("_c"),
+            F.col("_g").alias("_gd"),
+        ).alias("_e"),
+    ).groupBy("_l").agg(
+        F.max("_n").cast("long").alias("n"),
+        F.sort_array(F.collect_list("_e")).alias("_es"),
+    )
+    # global centroid uses the total row count (broadcast below)
+    per = per.crossJoin(F.broadcast(tot_n))
+    gc = lambda e: e["_gd"] / F.col("_tn").cast("double")  # noqa: E731
+    cn2 = F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_c"] * e["_c"])
+    gn2 = F.aggregate(
+        F.col("_es"), F.lit(0.0), lambda a, e: a + gc(e) * gc(e)
+    )
+    dot = F.aggregate(
+        F.col("_es"), F.lit(0.0), lambda a, e: a + e["_c"] * gc(e)
+    )
+    ok = (cn2 > 0) & (gn2 > 0)
+    return per.select(
+        F.col("_l").alias(label_col),
+        "n",
+        F.sqrt(cn2).alias("centroid_norm"),
+        F.when(ok, dot / (F.sqrt(cn2) * F.sqrt(gn2))).alias("cos_global"),
+    )
