@@ -5501,6 +5501,47 @@ def q_label_centroids(spark, sf_dir):
     )
 
 
+def q_ansari(spark, sf_dir):
+    """Ansari-Bradley dispersion test per role, pre/post cutoff
+    (drift.ansari_bradley): closed-form block score sums in
+    DECIMAL(38,0), tie-corrected z from exact score moments —
+    oracle-replayable."""
+    from z_rad_spark.operators.drift import ansari_bradley
+
+    out = ansari_bradley(_t(spark, sf_dir), split_ts="2024-01-15 00:00:00")
+    return _r6(out, ["ab", "z"])
+
+
+def q_jonckheere(spark, sf_dir):
+    """Jonckheere-Terpstra monotone-trend test across calendar weeks
+    (drift.jonckheere): dense group x value grid, exact 2U decimal
+    sums, [-1,1] normalization — oracle-replayable."""
+    from z_rad_spark.operators.drift import jonckheere
+
+    out = jonckheere(_t(spark, sf_dir))
+    return _r6(out, ["jt", "jt_mean", "jt_norm"])
+
+
+def q_durbin_watson(spark, sf_dir):
+    """Durbin-Watson statistic of the hourly-count OLS residuals
+    (drift.durbin_watson): exact decimal series moments, t-ordered
+    quadratic-form folds — oracle-replayable."""
+    from z_rad_spark.operators.drift import durbin_watson
+
+    out = durbin_watson(_t(spark, sf_dir))
+    return _r6(out, ["slope", "intercept", "dw"])
+
+
+def q_cusum_sq(spark, sf_dir):
+    """CUSUM-of-squares variance-stability screen on the hourly series
+    (drift.cusum_squares): exact integer-key argmax in DECIMAL(38,0),
+    ties to smallest t — oracle-replayable."""
+    from z_rad_spark.operators.drift import cusum_squares
+
+    out = cusum_squares(_t(spark, sf_dir))
+    return _r6(out, ["stat", "at_share"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -5880,6 +5921,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anisotropy": q_anisotropy,
         "q_sq8": q_sq8,
         "q_label_centroids": q_label_centroids,
+        "q_ansari": q_ansari,
+        "q_jonckheere": q_jonckheere,
+        "q_durbin_watson": q_durbin_watson,
+        "q_cusum_sq": q_cusum_sq,
     }
 
 

@@ -12795,3 +12795,213 @@ SELECT CAST(label AS INT) AS label, n,
        {r6('CASE WHEN cn2 > 0 AND gn2 > 0 THEN dot / (SQRT(cn2) * SQRT(gn2)) END', 'cos_global')}
 FROM per
 """
+
+
+# Ansari-Bradley dispersion test per role — matches
+# drift.ansari_bradley (closed-form block score sums, HUGEINT exact)
+ORACLES["q_ansari"] = f"""
+WITH t AS ({T}),
+pv AS (
+  SELECT role, CAST(signal AS DOUBLE) AS val,
+         CAST(COUNT(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 END) AS BIGINT) AS r,
+         CAST(COUNT(CASE WHEN NOT (ts < TIMESTAMP '2024-01-15 00:00:00') THEN 1 END) AS BIGINT) AS c
+  FROM t WHERE signal IS NOT NULL
+  GROUP BY role, CAST(signal AS DOUBLE)
+),
+cum AS (
+  SELECT role, val, r, CAST(r + c AS BIGINT) AS w,
+         CAST(SUM(r + c) OVER (PARTITION BY role ORDER BY val
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS b,
+         CAST(SUM(r) OVER (PARTITION BY role) AS BIGINT) AS m,
+         CAST(SUM(c) OVER (PARTITION BY role) AS BIGINT) AS nc
+  FROM pv
+),
+blocks AS (
+  SELECT role, val, r, w, b, m, nc, m + nc AS n,
+         b - w + 1 AS a,
+         CAST(FLOOR((m + nc + 1) / 2.0) AS BIGINT) AS h
+  FROM cum
+),
+scored AS (
+  SELECT role, val, r, w, m, nc, n,
+         (CASE WHEN a <= LEAST(b, h)
+               THEN CAST(LEAST(b, h) AS HUGEINT) * (LEAST(b, h) + 1) - CAST(a - 1 AS HUGEINT) * a
+               ELSE CAST(0 AS HUGEINT) END
+          + CASE WHEN GREATEST(a, h + 1) <= b
+               THEN 2 * CAST(n + 1 AS HUGEINT) * (b - GREATEST(a, h + 1) + 1)
+                    - (CAST(b AS HUGEINT) * (b + 1) - CAST(GREATEST(a, h + 1) - 1 AS HUGEINT) * GREATEST(a, h + 1))
+               ELSE CAST(0 AS HUGEINT) END) AS t2
+  FROM blocks
+),
+per AS (
+  SELECT role,
+         CAST(MAX(m) AS BIGINT) AS m,
+         CAST(MAX(nc) AS BIGINT) AS nc,
+         CAST(MAX(n) AS BIGINT) AS nn,
+         list_reduce([0.0] || list(
+           CAST(r AS DOUBLE) * ((CAST(t2 AS DOUBLE) / 2.0) / CAST(w AS DOUBLE))
+           ORDER BY val), (acc, e) -> acc + e) AS ab,
+         list_reduce([0.0] || list(
+           CAST(t2 AS DOUBLE) / 2.0
+           ORDER BY val), (acc, e) -> acc + e) AS sa,
+         list_reduce([0.0] || list(
+           ((CAST(t2 AS DOUBLE) / 2.0) / CAST(w AS DOUBLE))
+           * ((CAST(t2 AS DOUBLE) / 2.0) / CAST(w AS DOUBLE)) * CAST(w AS DOUBLE)
+           ORDER BY val), (acc, e) -> acc + e) AS sa2
+  FROM scored GROUP BY role
+),
+f AS (
+  SELECT role, m, nc, nn, ab, sa, sa2,
+         CAST(m AS DOUBLE) * sa / CAST(nn AS DOUBLE) AS mu,
+         CAST(m AS DOUBLE) * CAST(nc AS DOUBLE)
+         * (CAST(nn AS DOUBLE) * sa2 - sa * sa)
+         / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)) AS var
+  FROM per
+)
+SELECT role, m AS n_ref, nc AS n_cur,
+       {r6('CASE WHEN m > 0 AND nc > 0 THEN ab END', 'ab')},
+       {r6('CASE WHEN m > 0 AND nc > 0 AND var > 0 THEN (ab - mu) / SQRT(var) END', 'z')}
+FROM f
+"""
+
+
+# Jonckheere-Terpstra trend across calendar weeks — matches
+# drift.jonckheere
+ORACLES["q_jonckheere"] = f"""
+WITH t AS ({T}),
+cells AS (
+  SELECT date_trunc('week', ts) AS g, CAST(signal AS DOUBLE) AS val,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM t WHERE signal IS NOT NULL
+  GROUP BY date_trunc('week', ts), CAST(signal AS DOUBLE)
+),
+dense AS (
+  SELECT gg.g, vv.val, CAST(COALESCE(cells.n, 0) AS BIGINT) AS n
+  FROM (SELECT DISTINCT g FROM cells) gg
+  CROSS JOIN (SELECT DISTINCT val FROM cells) vv
+  LEFT JOIN cells ON cells.g = gg.g AND cells.val = vv.val
+),
+cgrid AS (
+  SELECT g, val, n,
+         CAST(COALESCE(SUM(n) OVER (PARTITION BY g ORDER BY val
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cex,
+         CAST(SUM(n) OVER (PARTITION BY g) AS BIGINT) AS ng
+  FROM dense
+),
+pairs AS (
+  SELECT a.g AS gi, b.g AS gj, a.val,
+         2 * CAST(b.n AS HUGEINT) * a.cex + CAST(b.n AS HUGEINT) * a.n AS u2
+  FROM cgrid a JOIN cgrid b ON a.val = b.val AND a.g < b.g
+),
+tot AS (SELECT CAST(COALESCE(SUM(u2), 0) AS HUGEINT) AS jt2 FROM pairs),
+sizes AS (SELECT g, CAST(MAX(ng) AS BIGINT) AS ngs FROM cgrid GROUP BY g),
+s1 AS (
+  SELECT CAST(COUNT(CASE WHEN ngs > 0 THEN 1 END) AS BIGINT) AS k,
+         CAST(SUM(ngs) AS BIGINT) AS n,
+         CAST(SUM(CAST(ngs AS HUGEINT)) AS HUGEINT) AS sn,
+         CAST(SUM(CAST(ngs AS HUGEINT) * ngs) AS HUGEINT) AS sn2
+  FROM sizes
+),
+f AS (
+  SELECT k, n,
+         CAST(jt2 AS DOUBLE) / 2.0 AS jt,
+         CAST(sn * sn - sn2 AS DOUBLE) / 4.0 AS mean
+  FROM s1, tot
+)
+SELECT k, n,
+       {r6('CASE WHEN k >= 2 THEN jt END', 'jt')},
+       {r6('CASE WHEN k >= 2 THEN mean END', 'jt_mean')},
+       {r6('CASE WHEN k >= 2 AND mean > 0 THEN (jt - mean) / mean END', 'jt_norm')}
+FROM f
+"""
+
+
+# Durbin-Watson on hourly-count OLS residuals — matches
+# drift.durbin_watson
+ORACLES["q_durbin_watson"] = f"""
+WITH t AS ({T}),
+hh AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM t GROUP BY date_trunc('hour', ts)
+),
+ser AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS tt, c FROM hh
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(tt AS HUGEINT)) AS HUGEINT) AS st,
+         CAST(SUM(CAST(tt AS HUGEINT) * tt) AS HUGEINT) AS stt,
+         CAST(SUM(CAST(c AS HUGEINT)) AS HUGEINT) AS sc,
+         CAST(SUM(CAST(tt AS HUGEINT) * c) AS HUGEINT) AS stc
+  FROM ser
+),
+fit AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * CAST(stc AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sc AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS slope,
+         sc, st
+  FROM g
+),
+fit2 AS (
+  SELECT n, slope,
+         (CAST(sc AS DOUBLE) - slope * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+  FROM fit
+),
+led AS (
+  SELECT tt, c,
+         LAG(c, 1) OVER (ORDER BY tt) AS cp,
+         LAG(tt, 1) OVER (ORDER BY tt) AS tp
+  FROM ser
+),
+folds AS (
+  SELECT fit2.n, fit2.slope, fit2.intercept,
+         list_reduce([0.0] || list(
+           (CAST(c AS DOUBLE) - (intercept + slope * CAST(tt AS DOUBLE)))
+           * (CAST(c AS DOUBLE) - (intercept + slope * CAST(tt AS DOUBLE)))
+           ORDER BY tt), (a, e) -> a + e) AS se2,
+         list_reduce([0.0] || list(
+           CASE WHEN cp IS NULL THEN 0.0
+                ELSE ((CAST(c AS DOUBLE) - (intercept + slope * CAST(tt AS DOUBLE)))
+                      - (CAST(cp AS DOUBLE) - (intercept + slope * CAST(tp AS DOUBLE))))
+                     * ((CAST(c AS DOUBLE) - (intercept + slope * CAST(tt AS DOUBLE)))
+                        - (CAST(cp AS DOUBLE) - (intercept + slope * CAST(tp AS DOUBLE))))
+           END ORDER BY tt), (a, e) -> a + e) AS sd2
+  FROM led, fit2
+  GROUP BY fit2.n, fit2.slope, fit2.intercept
+)
+SELECT n,
+       {r6('CASE WHEN n >= 2 THEN slope END', 'slope')},
+       {r6('CASE WHEN n >= 2 THEN intercept END', 'intercept')},
+       {r6('CASE WHEN n >= 3 AND se2 > 0 THEN sd2 / se2 END', 'dw')}
+FROM folds
+"""
+
+
+# CUSUM-of-squares variance screen on the hourly series — matches
+# drift.cusum_squares
+ORACLES["q_cusum_sq"] = f"""
+WITH t AS ({T}),
+hh AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM t GROUP BY date_trunc('hour', ts)
+),
+ser AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h) AS tt,
+         CAST(SUM(CAST(c AS HUGEINT) * c) OVER (ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS q,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM hh
+),
+ser2 AS (SELECT *, CAST(MAX(q) OVER () AS HUGEINT) AS qn FROM ser),
+top AS (
+  SELECT *, ROW_NUMBER() OVER (
+           ORDER BY ABS(q * CAST(n AS HUGEINT) - CAST(tt AS HUGEINT) * qn) DESC,
+                    tt ASC) AS rk
+  FROM ser2
+)
+SELECT n,
+       {r6('CASE WHEN n > 0 AND qn > 0 THEN CAST(ABS(q * CAST(n AS HUGEINT) - CAST(tt AS HUGEINT) * qn) AS DOUBLE) / (CAST(qn AS DOUBLE) * CAST(n AS DOUBLE)) END', 'stat')},
+       CASE WHEN n > 0 AND qn > 0 THEN CAST(tt AS BIGINT) END AS at_t,
+       {r6('CASE WHEN n > 0 AND qn > 0 THEN CAST(q AS DOUBLE) / CAST(qn AS DOUBLE) END', 'at_share')}
+FROM top WHERE rk = 1
+"""

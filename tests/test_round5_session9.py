@@ -398,3 +398,117 @@ def test_label_centroids_hand_computed(spark):
     # cos((3,0),(2,2)) = cos 45deg; cos((0,6),(2,2)) = cos 45deg
     assert out[0]["cos_global"] == pytest.approx(1 / math.sqrt(2), rel=1e-12)
     assert out[1]["cos_global"] == pytest.approx(1 / math.sqrt(2), rel=1e-12)
+
+
+def test_ansari_bradley_hand_computed(spark):
+    from z_rad_spark.operators.drift import ansari_bradley
+
+    # ref = {1, 4}, cur = {2, 3}: pooled sorted 1,2,3,4
+    # scores min(r, 5-r) = 1,2,2,1; AB(ref) = 1 + 1 = 2
+    # sum a = 6, sum a^2 = 10; mu = 2*6/4 = 3
+    # var = 2*2*(4*10 - 36)/(16*3) = 16/48 = 1/3
+    # z = (2 - 3)/sqrt(1/3)
+    import math
+
+    rows = [
+        ("u", "2024-01-01 00:00:00", 1),
+        ("u", "2024-01-01 00:01:00", 4),
+        ("u", "2024-02-01 00:00:00", 2),
+        ("u", "2024-02-01 00:01:00", 3),
+    ]
+    r = ansari_bradley(_ts_rows(spark, rows), "2024-01-15 00:00:00").collect()[0]
+    assert (r["n_ref"], r["n_cur"]) == (2, 2)
+    assert r["ab"] == pytest.approx(2.0, rel=1e-12)
+    assert r["z"] == pytest.approx(-1.0 / math.sqrt(1 / 3), rel=1e-12)
+
+
+def test_ansari_bradley_ties_midrank(spark):
+    from z_rad_spark.operators.drift import ansari_bradley
+
+    # ref = {1, 2}, cur = {2, 3}: pooled 1,2,2,3; N=4 scores 1,2,2,1
+    # value 2 occupies ranks 2-3, block sum 4, avg 2
+    # AB(ref) = score(1) + avg(2) = 1 + 2 = 3
+    rows = [
+        ("u", "2024-01-01 00:00:00", 1),
+        ("u", "2024-01-01 00:01:00", 2),
+        ("u", "2024-02-01 00:00:00", 2),
+        ("u", "2024-02-01 00:01:00", 3),
+    ]
+    r = ansari_bradley(_ts_rows(spark, rows), "2024-01-15 00:00:00").collect()[0]
+    assert r["ab"] == pytest.approx(3.0, rel=1e-12)
+
+
+def test_jonckheere_perfectly_increasing(spark):
+    from z_rad_spark.operators.drift import jonckheere
+
+    # week 1 values {1,2}, week 2 values {3,4}, week 3 values {5,6}
+    # every cross-week pair is ordered -> JT = max -> jt_norm = 1
+    rows = []
+    vals = {(1, 1): 1, (1, 2): 2, (8, 1): 3, (8, 2): 4, (15, 1): 5, (15, 2): 6}
+    for (day, i), v in vals.items():
+        rows.append(("u", f"2024-01-{day:02d} 00:0{i}:00", v))
+    r = jonckheere(_ts_rows(spark, rows)).collect()[0]
+    assert r["k"] == 3 and r["n"] == 6
+    # sum_{i<j} n_i n_j = 4+4+4 = 12; mean = 6; JT = 12
+    assert r["jt"] == pytest.approx(12.0, rel=1e-12)
+    assert r["jt_mean"] == pytest.approx(6.0, rel=1e-12)
+    assert r["jt_norm"] == pytest.approx(1.0, rel=1e-12)
+
+
+def test_jonckheere_ties_half_count(spark):
+    from z_rad_spark.operators.drift import jonckheere
+
+    # two weeks, all values identical -> every pair a tie
+    # JT = 0.5 * n1 * n2 = mean -> jt_norm = 0
+    rows = [
+        ("u", "2024-01-01 00:00:00", 5),
+        ("u", "2024-01-01 00:01:00", 5),
+        ("u", "2024-01-08 00:00:00", 5),
+        ("u", "2024-01-08 00:01:00", 5),
+    ]
+    r = jonckheere(_ts_rows(spark, rows)).collect()[0]
+    assert r["jt"] == pytest.approx(2.0, rel=1e-12)
+    assert r["jt_norm"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_durbin_watson_perfect_line(spark):
+    from z_rad_spark.operators.drift import durbin_watson
+
+    # counts 1,2,3,4 over 4 hours: exact line, residuals all 0 -> NULL
+    ts = []
+    for hour, c in enumerate([1, 2, 3, 4]):
+        for i in range(c):
+            ts.append(f"2024-01-01 {hour:02d}:00:{i:02d}")
+    r = durbin_watson(_turns_at(spark, ts)).collect()[0]
+    assert r["slope"] == pytest.approx(1.0, rel=1e-12)
+    assert r["intercept"] == pytest.approx(1.0, rel=1e-12)
+    assert r["dw"] is None
+
+
+def test_durbin_watson_alternating_residuals_near_four(spark):
+    from z_rad_spark.operators.drift import durbin_watson
+
+    # counts 2,1,2,1,2,1: zero slope-ish, residuals alternate ->
+    # strong negative serial correlation -> DW close to 4
+    ts = []
+    for hour, c in enumerate([2, 1, 2, 1, 2, 1]):
+        for i in range(c):
+            ts.append(f"2024-01-01 {hour:02d}:00:{i:02d}")
+    r = durbin_watson(_turns_at(spark, ts)).collect()[0]
+    assert r["dw"] > 3.0
+
+
+def test_cusum_squares_variance_break(spark):
+    from z_rad_spark.operators.drift import cusum_squares
+
+    # quiet half (1,1,1) then loud half (5,5,5): squared mass piles
+    # into the tail -> max gap at the end of the quiet stretch (t=3)
+    ts = []
+    for hour, c in enumerate([1, 1, 1, 5, 5, 5]):
+        for i in range(c):
+            ts.append(f"2024-01-01 {hour:02d}:00:{i:02d}")
+    r = cusum_squares(_turns_at(spark, ts)).collect()[0]
+    assert r["n"] == 6
+    assert r["at_t"] == 3
+    # Q_3/Q_6 = 3/78, t/n = 3/6 -> stat = 0.5 - 3/78
+    assert r["stat"] == pytest.approx(0.5 - 3 / 78, rel=1e-12)

@@ -3847,3 +3847,354 @@ def hist_distance(
         bc.alias("bc"),
         hel.alias("hellinger"),
     )
+
+
+def ansari_bradley(
+    df: DataFrame,
+    split_ts: str,
+    signal_col: str = "signal",
+    group_col: str = "role",
+) -> DataFrame:
+    """Two-sample Ansari-Bradley dispersion test per group between the
+    pre/post cutoff windows — the rank test for SCALE shift (are the
+    tails widening?) beside the location tests ([[q_mw_drift]],
+    [[q_mood_median]]) and the moment-based [[q_bartlett]] /
+    brown_forsythe (which need near-normality; AB does not):
+
+        AB = sum over reference-sample ranks r of min(r, N+1-r)
+
+    with midrank tie handling on the compacted value axis: the ranks a
+    tied value occupies form one contiguous block [a..b], and the
+    block's score SUM has the closed form (h = floor((N+1)/2))
+
+        2T(a,b) = [lo(lo+1) - (a-1)a]                      (r <= h)
+                + [2(N+1)(b-q+1) - (b(b+1) - (q-1)q)]      (r  > h)
+
+    (lo = min(b, h), q = max(a, h+1)), so per-value average scores
+    need NO per-rank enumeration — the op never materializes N rows.
+    The tie-corrected normal approximation uses the exact score
+    moments: mu = m sum(a_j)/N, Var = mn[N sum(a_j^2) - (sum a_j)^2]
+    / (N^2 (N-1)).
+
+    Determinism: block boundaries and 2T ride DECIMAL(38,0) (rank
+    products pass 2^63 at N ~ 3e9); AB and the moments are
+    value-ordered folds of fixed double chains. Bit-replayable.
+
+    Output: (group_col, n_ref long, n_cur long, ab, z doubles —
+    NULL when a window is empty or the variance degenerates).
+    """
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    x = F.col(signal_col).cast("double")
+    is_ref = F.col("ts").cast("timestamp") < F.lit(split_ts).cast("timestamp")
+    per_val = (
+        df.where(x.isNotNull())
+        .groupBy(F.col(group_col), x.alias("_val"))
+        .agg(
+            F.count(F.when(is_ref, 1)).cast("long").alias("_r"),
+            F.count(F.when(~is_ref, 1)).cast("long").alias("_c"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("_val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = per_val.select(
+        group_col,
+        "_val",
+        (F.col("_r") + F.col("_c")).cast("long").alias("_w"),
+        "_r",
+        F.sum(F.col("_r") + F.col("_c")).over(w_cum).cast("long").alias("_b"),
+        F.sum("_r").over(w_all).cast("long").alias("_m"),
+        F.sum("_c").over(w_all).cast("long").alias("_nc"),
+    )
+    n_tot = F.col("_m") + F.col("_nc")
+    a = F.col("_b") - F.col("_w") + 1
+    h = F.floor((n_tot + 1) / 2).cast("long")
+    lo = F.least(F.col("_b"), h)
+    q = F.greatest(a, h + 1)
+    p1 = F.when(
+        a <= lo, d19(lo) * d19(lo + 1) - d19(a - 1) * d19(a)
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    p2 = F.when(
+        q <= F.col("_b"),
+        F.lit(2) * d19(n_tot + 1) * d19(F.col("_b") - q + 1)
+        - (d19(F.col("_b")) * d19(F.col("_b") + 1) - d19(q - 1) * d19(q)),
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    t2 = (p1 + p2).cast("decimal(38,0)")  # = 2 * sum of scores in block
+    td = t2.cast("double") / F.lit(2.0)
+    wd = F.col("_w").cast("double")
+    per = cum.select(
+        group_col,
+        "_m",
+        "_nc",
+        n_tot.alias("_n"),
+        F.struct(
+            "_val",
+            (F.col("_r").cast("double") * (td / wd)).alias("_ab"),
+            td.alias("_sa"),
+            ((td / wd) * (td / wd) * wd).alias("_sa2"),
+        ).alias("_e"),
+    ).groupBy(group_col).agg(
+        F.max("_m").alias("m"),
+        F.max("_nc").alias("nc"),
+        F.max("_n").alias("nn"),
+        F.sort_array(F.collect_list("_e")).alias("_es"),
+    )
+    ab = F.aggregate(F.col("_es"), F.lit(0.0), lambda acc, e: acc + e["_ab"])
+    sa = F.aggregate(F.col("_es"), F.lit(0.0), lambda acc, e: acc + e["_sa"])
+    sa2 = F.aggregate(F.col("_es"), F.lit(0.0), lambda acc, e: acc + e["_sa2"])
+    md = F.col("m").cast("double")
+    ncd = F.col("nc").cast("double")
+    nd = F.col("nn").cast("double")
+    mu = md * sa / nd
+    var = md * ncd * (nd * sa2 - sa * sa) / (nd * nd * (nd - F.lit(1.0)))
+    ok = (F.col("m") > 0) & (F.col("nc") > 0)
+    return per.select(
+        group_col,
+        F.col("m").cast("long").alias("n_ref"),
+        F.col("nc").cast("long").alias("n_cur"),
+        F.when(ok, ab).alias("ab"),
+        F.when(ok & (var > 0), (ab - mu) / F.sqrt(var)).alias("z"),
+    )
+
+
+def jonckheere(
+    df: DataFrame,
+    signal_col: str = "signal",
+) -> DataFrame:
+    """Jonckheere-Terpstra trend test across time-ORDERED groups (the
+    calendar weeks of the corpus): is the signal stochastically
+    increasing week over week? The ordered-alternative sharpening of
+    [[q_kruskal]] (which only asks 'any difference?'; JT asks
+    'monotone difference?' and pays for the stronger question with
+    more power when the order is real):
+
+        JT = sum_{i<j} U_ij,
+        U_ij = #{x in G_i, y in G_j : x < y} + (1/2) #ties
+
+    computed on the dense (group x distinct-value) grid — exclusive
+    cumulative counts make each U_ij a value-ordered fold; the
+    half-tie term keeps 2*JT an exact integer.
+
+    Determinism: 2*U products ride DECIMAL(38,0) (n_i n_j passes
+    2^63 at corpus scale); the reported jt, its exchangeability mean
+    E = (1/2) sum n_i n_j, and the [-1,1] normalization
+    (JT - E)/(max - E) are fixed double chains. NULL normalization
+    when fewer than 2 non-empty groups. Bit-replayable.
+
+    Scale: the grid is |weeks| x |values| — calendar x cardinality
+    bounded; the corpus-sized table is touched once by the counting
+    groupBy. Output one row: (k long, n long, jt, jt_mean, jt_norm
+    doubles).
+    """
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    x = F.col(signal_col).cast("double")
+    cells = (
+        df.where(x.isNotNull())
+        .groupBy(
+            F.date_trunc("week", F.col("ts")).alias("_g"), x.alias("_val")
+        )
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    groups = cells.select("_g").distinct()
+    vals = cells.select("_val").distinct()
+    dense = groups.crossJoin(vals).join(
+        cells, ["_g", "_val"], "left"
+    ).select(
+        "_g", "_val", F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("_n")
+    )
+    w_ex = (
+        Window.partitionBy("_g")
+        .orderBy("_val")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("_g")
+    cgrid = dense.select(
+        "_g",
+        "_val",
+        "_n",
+        F.coalesce(F.sum("_n").over(w_ex), F.lit(0)).cast("long").alias("_cex"),
+        F.sum("_n").over(w_all).cast("long").alias("_ng"),
+    )
+    a = cgrid.select(
+        F.col("_g").alias("_gi"),
+        F.col("_val"),
+        F.col("_n").alias("_ni"),
+        F.col("_cex").alias("_cexi"),
+    )
+    b = cgrid.select(
+        F.col("_g").alias("_gj"),
+        F.col("_val"),
+        F.col("_n").alias("_nj"),
+    )
+    pairs = a.join(b, "_val").where(F.col("_gi") < F.col("_gj"))
+    # 2*U contribution at value v: 2 c_j Cex_i + c_j c_i (exact)
+    u2 = (
+        F.lit(2) * d19(F.col("_nj")) * d19(F.col("_cexi"))
+        + d19(F.col("_nj")) * d19(F.col("_ni"))
+    ).cast("decimal(38,0)")
+    tot = pairs.agg(F.sum(u2).alias("_jt2"))
+    # group sizes and pair-size sum from the per-group frame
+    sizes = cgrid.groupBy("_g").agg(F.max("_ng").cast("long").alias("_ngs"))
+    s1 = sizes.agg(
+        F.count(F.when(F.col("_ngs") > 0, 1)).cast("long").alias("k"),
+        F.sum("_ngs").cast("long").alias("n"),
+        F.sum(d19(F.col("_ngs"))).alias("_sn"),
+        F.sum(d19(F.col("_ngs")) * d19(F.col("_ngs"))).alias("_sn2"),
+    )
+    g = s1.crossJoin(F.broadcast(tot))
+    # sum_{i<j} n_i n_j = ((sum n)^2 - sum n^2) / 2, exact decimals
+    pair2 = F.col("_sn") * F.col("_sn") - F.col("_sn2")  # = 2 * sum ninj
+    jt = F.col("_jt2").cast("double") / F.lit(2.0)
+    mean = pair2.cast("double") / F.lit(4.0)
+    halfmax = pair2.cast("double") / F.lit(4.0)  # max - mean = mean
+    return g.select(
+        "k",
+        "n",
+        F.when(F.col("k") >= 2, jt).alias("jt"),
+        F.when(F.col("k") >= 2, mean).alias("jt_mean"),
+        F.when((F.col("k") >= 2) & (halfmax > 0), (jt - mean) / halfmax).alias(
+            "jt_norm"
+        ),
+    )
+
+
+def durbin_watson(df: DataFrame, bucket: str = "hour") -> DataFrame:
+    """Durbin-Watson first-order autocorrelation statistic of the
+    residuals from the exact OLS line fit to the per-``bucket``
+    turn-count series —
+
+        DW = sum_{t>=1} (e_t - e_{t-1})^2 / sum_t e_t^2
+
+    with e_t = c_t - (intercept + slope * t). DW near 2 means white
+    residuals; near 0, positive serial correlation the line missed
+    (the 'is a linear trend model enough?' check beside the robust
+    [[q_theil_sen]] slope and the [[q_mann_kendall]] trend test).
+
+    Determinism: the OLS fit is a fixed chain on EXACT integer sums
+    (sum t, sum t^2, sum c, sum t c ride DECIMAL(38,0) — t^2 passes
+    2^63 at ~9 years of seconds-resolution buckets, counts at 10^12
+    turns); both quadratic forms fold in t order. NULL when n < 3 or
+    the residuals are identically 0. Bit-replayable.
+
+    Scale: calendar-bounded series (see spectral_profile). Output one
+    row: (n long, slope, intercept, dw doubles).
+    """
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    h = df.groupBy(F.date_trunc(bucket, F.col("ts")).alias("_h")).agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    w_ord = Window.orderBy("_h")
+    ser = h.select(
+        (F.row_number().over(w_ord).cast("long") - 1).alias("_t"), "_c"
+    )
+    g = ser.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d19(F.col("_t"))).alias("_st"),
+        F.sum(d19(F.col("_t")) * d19(F.col("_t"))).alias("_stt"),
+        F.sum(d19(F.col("_c"))).alias("_sc"),
+        F.sum(d19(F.col("_t")) * d19(F.col("_c"))).alias("_stc"),
+    )
+    nd = F.col("n").cast("double")
+    st = F.col("_st").cast("double")
+    stt = F.col("_stt").cast("double")
+    sc = F.col("_sc").cast("double")
+    stc = F.col("_stc").cast("double")
+    den = nd * stt - st * st
+    slope = (nd * stc - st * sc) / den
+    intercept = (sc - slope * st) / nd
+    fit = g.select("n", slope.alias("slope"), intercept.alias("intercept"))
+    w_t = Window.orderBy("_t")
+    led = ser.select(
+        "_t", "_c", F.lag("_c", 1).over(w_t).alias("_cp"),
+        F.lag("_t", 1).over(w_t).alias("_tp"),
+    )
+    withfit = led.crossJoin(F.broadcast(fit))
+    e = F.col("_c").cast("double") - (
+        F.col("intercept") + F.col("slope") * F.col("_t").cast("double")
+    )
+    ep = F.col("_cp").cast("double") - (
+        F.col("intercept") + F.col("slope") * F.col("_tp").cast("double")
+    )
+    per = withfit.select(
+        "n",
+        "slope",
+        "intercept",
+        F.struct(
+            "_t",
+            (e * e).alias("_e2"),
+            F.when(F.col("_cp").isNotNull(), (e - ep) * (e - ep))
+            .otherwise(F.lit(0.0))
+            .alias("_d2"),
+        ).alias("_e"),
+    ).groupBy("n", "slope", "intercept").agg(
+        F.sort_array(F.collect_list("_e")).alias("_es")
+    )
+    se2 = F.aggregate(F.col("_es"), F.lit(0.0), lambda a, x: a + x["_e2"])
+    sd2 = F.aggregate(F.col("_es"), F.lit(0.0), lambda a, x: a + x["_d2"])
+    ok = (F.col("n") >= 3) & (se2 > 0)
+    return per.select(
+        "n",
+        F.when(F.col("n") >= 2, F.col("slope")).alias("slope"),
+        F.when(F.col("n") >= 2, F.col("intercept")).alias("intercept"),
+        F.when(ok, sd2 / se2).alias("dw"),
+    )
+
+
+def cusum_squares(df: DataFrame, bucket: str = "hour") -> DataFrame:
+    """CUSUM-of-squares variance-stability screen (Brown-Durbin-Evans
+    shape) on the per-``bucket`` turn-count series:
+
+        S = max_t | Q_t / Q_n - t / n |,   Q_t = sum_{u<=t} c_u^2
+
+    — a variance CHANGEPOINT detector: the mean-level changepoint ops
+    ([[q_changepoint]], [[q_cusum]]) miss a pure volatility break
+    (same mean, bigger swings); the squared-mass share against the
+    uniform line catches exactly that.
+
+    Determinism: the argmax runs on the EXACT INTEGER key
+    |Q_t * n - t * Q_n| in DECIMAL(38,0) (Q products pass 2^63 well
+    below corpus scale), ties -> smallest t; S is one division.
+    Bit-replayable.
+
+    Output one row: (n long, stat double, at_t long, at_share double
+    — NULL when n = 0 or Q_n = 0).
+    """
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    h = df.groupBy(F.date_trunc(bucket, F.col("ts")).alias("_h")).agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    w_ord = Window.orderBy("_h")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ser = h.select(
+        F.row_number().over(w_ord).cast("long").alias("_t"),
+        F.sum(d19(F.col("_c")) * d19(F.col("_c"))).over(w_cum).alias("_q"),
+        F.count("*").over(w_all).cast("long").alias("_n"),
+    )
+    ser = ser.withColumn(
+        "_qn", F.max("_q").over(w_all)
+    )
+    key = F.abs(
+        F.col("_q") * d19(F.col("_n")) - d19(F.col("_t")) * F.col("_qn")
+    )
+    w_pick = Window.orderBy(key.desc(), F.asc("_t"))
+    top = ser.withColumn("_rk", F.row_number().over(w_pick)).where(
+        F.col("_rk") == 1
+    )
+    ok = (F.col("_n") > 0) & (F.col("_qn") > 0)
+    stat = key.cast("double") / (
+        F.col("_qn").cast("double") * F.col("_n").cast("double")
+    )
+    return top.select(
+        F.col("_n").alias("n"),
+        F.when(ok, stat).alias("stat"),
+        F.when(ok, F.col("_t")).alias("at_t"),
+        F.when(ok, F.col("_q").cast("double") / F.col("_qn").cast("double")).alias(
+            "at_share"
+        ),
+    )
