@@ -5542,6 +5542,41 @@ def q_cusum_sq(spark, sf_dir):
     return _r6(out, ["stat", "at_share"])
 
 
+def q_rich_club(spark, sf_dir):
+    """Rich-club density profile of the LSH candidate-pair graph at
+    degree thresholds 1/2/4 (graph.rich_club): exact long counts,
+    one division per k — oracle-replayable."""
+    from z_rad_spark.operators.dedup import minhash_lsh_pairs
+    from z_rad_spark.operators.graph import rich_club
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=3, n_hashes=8, band_size=4, max_bucket=64
+    )
+    return _r6(rich_club(pairs), ["phi"])
+
+
+def q_powerlaw(spark, sf_dir):
+    """Clauset continuous-MLE power-law exponent of the LSH-pair-graph
+    degree distribution (graph.powerlaw_alpha): distinct-degree
+    histogram fold, fixed chains — oracle-replayable."""
+    from z_rad_spark.operators.dedup import minhash_lsh_pairs
+    from z_rad_spark.operators.graph import powerlaw_alpha
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=3, n_hashes=8, band_size=4, max_bucket=64
+    )
+    return _r6(powerlaw_alpha(pairs), ["alpha", "mean_deg"])
+
+
+def q_reciprocity(spark, sf_dir):
+    """Weighted reciprocity of the corpus role-transition digraph
+    (graph.role_reciprocity): exact transition counts on the stable
+    turn order, min/sum algebra, one division — oracle-replayable."""
+    from z_rad_spark.operators.graph import role_reciprocity
+
+    return _r6(role_reciprocity(_t(spark, sf_dir)), ["reciprocity"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -5925,6 +5960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jonckheere": q_jonckheere,
         "q_durbin_watson": q_durbin_watson,
         "q_cusum_sq": q_cusum_sq,
+        "q_rich_club": q_rich_club,
+        "q_powerlaw": q_powerlaw,
+        "q_reciprocity": q_reciprocity,
     }
 
 

@@ -13005,3 +13005,104 @@ SELECT n,
        {r6('CASE WHEN n > 0 AND qn > 0 THEN CAST(q AS DOUBLE) / CAST(qn AS DOUBLE) END', 'at_share')}
 FROM top WHERE rk = 1
 """
+
+
+# Rich-club profile of the LSH pair graph — matches graph.rich_club
+ORACLES["q_rich_club"] = f"""
+WITH und AS (
+  SELECT DISTINCT CAST(LEAST(id_a, id_b) AS BIGINT) AS a,
+         CAST(GREATEST(id_a, id_b) AS BIGINT) AS b
+  FROM ({{PAIRS}}) pq WHERE id_a <> id_b
+),
+deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und) x
+  GROUP BY n
+),
+ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (1), (2), (4)) v(k)),
+nk AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM deg, ks WHERE d > k GROUP BY k
+),
+ej AS (
+  SELECT und.a, und.b, da.d AS dda, db.d AS ddb
+  FROM und JOIN deg da ON da.n = und.a JOIN deg db ON db.n = und.b
+),
+ek AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM ej, ks WHERE dda > k AND ddb > k GROUP BY k
+)
+SELECT ks.k,
+       CAST(COALESCE(nk.n_nodes, 0) AS BIGINT) AS n_nodes,
+       CAST(COALESCE(ek.n_edges, 0) AS BIGINT) AS n_edges,
+       {r6('''CASE WHEN COALESCE(nk.n_nodes, 0) >= 2 THEN
+              2.0 * CAST(COALESCE(ek.n_edges, 0) AS DOUBLE)
+              / (CAST(nk.n_nodes AS DOUBLE) * (CAST(nk.n_nodes AS DOUBLE) - 1.0))
+              END''', 'phi')}
+FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k
+""".replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip())
+
+
+# Power-law degree exponent of the LSH pair graph — matches
+# graph.powerlaw_alpha
+ORACLES["q_powerlaw"] = f"""
+WITH und AS (
+  SELECT DISTINCT CAST(LEAST(id_a, id_b) AS BIGINT) AS a,
+         CAST(GREATEST(id_a, id_b) AS BIGINT) AS b
+  FROM ({{PAIRS}}) pq WHERE id_a <> id_b
+),
+deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und) x
+  GROUP BY n
+),
+hist AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS m
+  FROM deg WHERE d >= 1 GROUP BY d
+),
+g AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS n,
+         CAST(SUM(m * d) AS BIGINT) AS sumd,
+         CAST(MAX(d) AS BIGINT) AS max_deg,
+         list_reduce([0.0] || list(
+           CAST(m AS DOUBLE) * LN(CAST(d AS DOUBLE) / 0.5)
+           ORDER BY d), (a, e) -> a + e) AS ls
+  FROM hist
+)
+SELECT CAST(COALESCE(n, 0) AS BIGINT) AS n,
+       CAST(1 AS BIGINT) AS d_min,
+       {r6('CASE WHEN n > 0 AND ls <> 0 THEN 1.0 + CAST(n AS DOUBLE) / ls END', 'alpha')},
+       {r6('CASE WHEN n > 0 THEN CAST(sumd AS DOUBLE) / CAST(n AS DOUBLE) END', 'mean_deg')},
+       max_deg
+FROM g
+""".replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip())
+
+
+# Weighted reciprocity of the role-transition digraph — matches
+# graph.role_reciprocity
+ORACLES["q_reciprocity"] = f"""
+WITH t AS ({T}),
+seq AS (
+  SELECT conv_id, role AS u,
+         LEAD(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS v
+  FROM t
+),
+trans AS (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w
+  FROM seq WHERE v IS NOT NULL AND u <> v
+  GROUP BY u, v
+),
+j AS (
+  SELECT a.u, a.v, a.w, CAST(COALESCE(b.w, 0) AS BIGINT) AS wr
+  FROM trans a LEFT JOIN trans b ON b.u = a.v AND b.v = a.u
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(COALESCE(SUM(w), 0) AS BIGINT) AS w_total,
+         CAST(COALESCE(SUM(LEAST(w, wr)), 0) AS BIGINT) AS w_recip
+  FROM j
+)
+SELECT n_edges, w_total, w_recip,
+       {r6('CASE WHEN w_total > 0 THEN CAST(w_recip AS DOUBLE) / CAST(w_total AS DOUBLE) END', 'reciprocity')}
+FROM g
+"""

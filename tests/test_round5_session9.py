@@ -512,3 +512,73 @@ def test_cusum_squares_variance_break(spark):
     assert r["at_t"] == 3
     # Q_3/Q_6 = 3/78, t/n = 3/6 -> stat = 0.5 - 3/78
     assert r["stat"] == pytest.approx(0.5 - 3 / 78, rel=1e-12)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def _turns(spark, rows):
+    # rows: (conv_id, turn_idx, role, signal); ts strictly increasing
+    data = [
+        (c, i, r, f"2024-01-01 00:{i:02d}:00", float(s) if s is not None else None)
+        for (c, i, r, s) in rows
+    ]
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, ts string, signal double"
+    )
+    return df.withColumn("ts", df.ts.cast("timestamp"))
+
+
+def test_rich_club_clique_plus_pendant(spark):
+    from z_rad_spark.operators.graph import rich_club
+
+    # triangle 1-2-3 plus pendant 4-1: degrees 3,2,2,1
+    pairs = [(1, 2), (2, 3), (1, 3), (1, 4)]
+    out = {r["k"]: r for r in rich_club(_edges(spark, pairs)).collect()}
+    # k=1: nodes {1,2,3} (deg>1), edges among them = 3 -> phi = 1
+    assert out[1]["n_nodes"] == 3 and out[1]["n_edges"] == 3
+    assert out[1]["phi"] == pytest.approx(1.0, rel=1e-12)
+    # k=2: nodes {1} -> phi NULL
+    assert out[2]["n_nodes"] == 1 and out[2]["phi"] is None
+    assert out[4]["n_nodes"] == 0 and out[4]["phi"] is None
+
+
+def test_powerlaw_alpha_star_graph(spark):
+    import math
+    from z_rad_spark.operators.graph import powerlaw_alpha
+
+    # star: hub 0 with 4 leaves; degrees 4,1,1,1,1
+    pairs = [(0, i) for i in range(1, 5)]
+    r = powerlaw_alpha(_edges(spark, pairs)).collect()[0]
+    assert r["n"] == 5 and r["max_deg"] == 4
+    # ls = 4*ln(1/.5) + ln(4/.5); alpha = 1 + 5/ls
+    ls = 4 * math.log(2.0) + math.log(8.0)
+    assert r["alpha"] == pytest.approx(1 + 5 / ls, rel=1e-12)
+    assert r["mean_deg"] == pytest.approx(8 / 5, rel=1e-12)
+
+
+def test_role_reciprocity_full_volley(spark):
+    from z_rad_spark.operators.graph import role_reciprocity
+
+    rows = [
+        ("c1", 0, "user", 1), ("c1", 1, "assistant", 2),
+        ("c1", 2, "user", 3), ("c1", 3, "assistant", 4),
+    ]
+    df = _turns(spark, rows)
+    r = role_reciprocity(df).collect()[0]
+    # u->a x2, a->u x1 -> recip = min(2,1) + min(1,2) = 2; total 3
+    assert r["w_total"] == 3 and r["w_recip"] == 2
+    assert r["reciprocity"] == pytest.approx(2 / 3, rel=1e-12)
+
+
+def test_role_reciprocity_one_way_pipeline(spark):
+    from z_rad_spark.operators.graph import role_reciprocity
+
+    rows = [
+        ("c1", 0, "user", 1), ("c1", 1, "assistant", 2), ("c1", 2, "tool", 3),
+        ("c2", 0, "user", 1), ("c2", 1, "assistant", 2), ("c2", 2, "tool", 3),
+    ]
+    r = role_reciprocity(_turns(spark, rows)).collect()[0]
+    assert r["w_recip"] == 0
+    assert r["reciprocity"] == pytest.approx(0.0, abs=1e-12)

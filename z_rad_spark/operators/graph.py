@@ -24,7 +24,7 @@ independent); this module exists for the LLM-pipeline side of SURVEY
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # shared session cache registry — frames persisted here are released by
@@ -893,3 +893,209 @@ def local_clustering(
         )
     )
     return out
+
+
+def rich_club(
+    edges: DataFrame,
+    k_list: tuple = (1, 2, 4),
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Rich-club coefficient of an undirected graph at each degree
+    threshold k: the edge density among nodes of degree > k —
+
+        phi(k) = 2 E_k / (N_k (N_k - 1))
+
+    Do the high-degree nodes (the template hubs of the near-dup graph)
+    preferentially link to EACH OTHER? A rising phi(k) profile means
+    hub templates form their own clique — contract them first; a flat
+    profile means hubs bridge disjoint duplicate pockets (the
+    [[triangle_stats]] transitivity number localized to the top of the
+    degree distribution).
+
+    Determinism: degrees, N_k, E_k are exact longs (dedup'd canonical
+    edges, id-order normalization); phi is one division per k.
+    Bit-replayable.
+
+    Scale: one degree aggregate, one broadcast of the tiny k table,
+    edge-side degree joins (two hash joins on node id); no per-k
+    subgraph materializes. Output: (k long, n_nodes long, n_edges
+    long, phi double — NULL when N_k < 2), one row per k, ascending.
+    """
+    a, b = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+    und = (
+        edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
+        .where(F.col("_a") < F.col("_b"))
+        .distinct()
+        .persist()
+    )
+    _CACHED_FRAMES.append(und)
+    deg = (
+        und.select(F.col("_a").alias("_n"))
+        .unionByName(und.select(F.col("_b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count("*").cast("long").alias("_d"))
+    )
+    ks = edges.sparkSession.createDataFrame(
+        [(int(k),) for k in sorted(k_list)], "k long"
+    )
+    nk = (
+        deg.crossJoin(F.broadcast(ks))
+        .where(F.col("_d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+    da = deg.select(F.col("_n").alias("_a"), F.col("_d").alias("_da"))
+    db = deg.select(F.col("_n").alias("_b"), F.col("_d").alias("_db"))
+    ej = und.join(da, "_a").join(db, "_b")
+    ek = (
+        ej.crossJoin(F.broadcast(ks))
+        .where((F.col("_da") > F.col("k")) & (F.col("_db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+    out = (
+        ks.join(nk, "k", "left")
+        .join(ek, "k", "left")
+        .select(
+            "k",
+            F.coalesce(F.col("n_nodes"), F.lit(0)).cast("long").alias("n_nodes"),
+            F.coalesce(F.col("n_edges"), F.lit(0)).cast("long").alias("n_edges"),
+        )
+    )
+    nn = F.col("n_nodes").cast("double")
+    return out.select(
+        "k",
+        "n_nodes",
+        "n_edges",
+        F.when(
+            F.col("n_nodes") >= 2,
+            F.lit(2.0) * F.col("n_edges").cast("double") / (nn * (nn - F.lit(1.0))),
+        ).alias("phi"),
+    )
+
+
+def powerlaw_alpha(
+    edges: DataFrame,
+    d_min: int = 1,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Continuous-approximation MLE of the degree-distribution
+    power-law exponent (Clauset-Shalizi-Newman eq. 3.1) over nodes
+    with degree >= ``d_min``:
+
+        alpha = 1 + n / sum_i ln(d_i / (d_min - 1/2))
+
+    The one-number heavy-tail screen for the near-dup graph: alpha
+    near 2 = extreme hubs dominate (a few templates connect
+    everything — expect [[rich_club]] to confirm), alpha > 3 = tail
+    thin enough that hub-aware special-casing is not worth it.
+
+    Determinism: the log-sum folds over the DISTINCT-DEGREE histogram
+    (m_d * ln(d / (d_min - 0.5)) per distinct degree, degree-ascending
+    fold) — the fold state is max-degree-bounded, never node-count-
+    bounded, and exact long counts feed fixed chains. Bit-replayable.
+
+    Output one row: (n long, d_min long, alpha double — NULL when
+    n = 0 or the log-sum is 0 — mean_deg double, max_deg long).
+    """
+    a, b = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+    und = (
+        edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
+        .where(F.col("_a") < F.col("_b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("_a").alias("_n"))
+        .unionByName(und.select(F.col("_b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count("*").cast("long").alias("_d"))
+    )
+    hist = (
+        deg.where(F.col("_d") >= int(d_min))
+        .groupBy("_d")
+        .agg(F.count("*").cast("long").alias("_m"))
+    )
+    term = F.col("_m").cast("double") * F.log(
+        F.col("_d").cast("double") / F.lit(float(d_min) - 0.5)
+    )
+    g = hist.select(
+        F.struct("_d", term.alias("_t")).alias("_e"),
+        "_m",
+        (F.col("_m") * F.col("_d")).cast("long").alias("_md"),
+        "_d",
+    ).agg(
+        F.sum("_m").cast("long").alias("n"),
+        F.sum("_md").cast("long").alias("_sumd"),
+        F.max("_d").cast("long").alias("max_deg"),
+        F.sort_array(F.collect_list("_e")).alias("_es"),
+    )
+    ls = F.aggregate(F.col("_es"), F.lit(0.0), lambda acc, e: acc + e["_t"])
+    nd = F.col("n").cast("double")
+    return g.select(
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.lit(int(d_min)).cast("long").alias("d_min"),
+        F.when((F.col("n") > 0) & (ls != 0), F.lit(1.0) + nd / ls).alias("alpha"),
+        F.when(F.col("n") > 0, F.col("_sumd").cast("double") / nd).alias(
+            "mean_deg"
+        ),
+        F.col("max_deg"),
+    )
+
+
+def role_reciprocity(df: DataFrame) -> DataFrame:
+    """Weighted reciprocity of the corpus role-transition digraph
+    (consecutive turns within a conversation define one directed
+    role -> role edge):
+
+        r = sum_{u != v} min(w_uv, w_vu) / sum_{u != v} w_uv
+
+    (Squartini et al.'s weighted form) — does conversational flow
+    return? r = 1 means every assistant->user volley comes back in
+    equal measure; r near 0 means one-way pipelines (broadcast-style
+    logs masquerading as dialogs — a transcript-quality smell the
+    [[q_role_transitions]] matrix shows raw and this op scores).
+
+    Determinism: transition counts are exact longs on the stable
+    (ts, turn_idx) order; min/sums of longs; one division.
+    Self-loops (u = v) are excluded from both sums. Bit-replayable.
+
+    Scale: one window pass on the conv_id exchange, then a
+    |roles|^2-cell self-join — label-cardinality bounded. Output one
+    row: (n_edges long, w_total long, w_recip long, reciprocity
+    double — NULL when no off-diagonal transitions).
+    """
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    trans = (
+        df.select("conv_id", "ts", "turn_idx", F.col("role").alias("_u"))
+        .withColumn("_v", F.lead("_u", 1).over(w))
+        .where(F.col("_v").isNotNull() & (F.col("_u") != F.col("_v")))
+        .groupBy("_u", "_v")
+        .agg(F.count("*").cast("long").alias("_w"))
+    )
+    rev = trans.select(
+        F.col("_u").alias("_v"),
+        F.col("_v").alias("_u"),
+        F.col("_w").alias("_wr"),
+    )
+    j = trans.join(rev, ["_u", "_v"], "left").select(
+        "_u",
+        "_v",
+        "_w",
+        F.coalesce(F.col("_wr"), F.lit(0)).cast("long").alias("_wr"),
+    )
+    g = j.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum("_w").cast("long").alias("w_total"),
+        F.sum(F.least(F.col("_w"), F.col("_wr"))).cast("long").alias("w_recip"),
+    )
+    return g.select(
+        F.coalesce(F.col("n_edges"), F.lit(0)).cast("long").alias("n_edges"),
+        F.coalesce(F.col("w_total"), F.lit(0)).cast("long").alias("w_total"),
+        F.coalesce(F.col("w_recip"), F.lit(0)).cast("long").alias("w_recip"),
+        F.when(
+            F.col("w_total") > 0,
+            F.col("w_recip").cast("double") / F.col("w_total").cast("double"),
+        ).alias("reciprocity"),
+    )
