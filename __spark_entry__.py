@@ -5577,6 +5577,29 @@ def q_reciprocity(spark, sf_dir):
     return _r6(role_reciprocity(_t(spark, sf_dir)), ["reciprocity"])
 
 
+def q_dup_weights(spark, sf_dir):
+    """Soft-dedup 1/cluster-size training weights over the LSH near-dup
+    clusters (curation.dup_weights): exact cluster sizes off the
+    recursive-closure-replayable components, one division —
+    oracle-replayable."""
+    from z_rad_spark.operators.curation import dup_weights
+
+    out = dup_weights(
+        _docs(spark, sf_dir), n=3, n_hashes=8, band_size=4, max_bucket=64
+    )
+    return _r6(out, ["weight"])
+
+
+def q_source_temperature(spark, sf_dir):
+    """Temperature-0.7 source sampling mix over token mass
+    (curation.source_temperature): exact token counts, source-ordered
+    p^alpha normalizer fold — oracle-replayable."""
+    from z_rad_spark.operators.curation import source_temperature
+
+    out = source_temperature(_docs(spark, sf_dir))
+    return _r6(out, ["p", "w", "boost"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -5963,6 +5986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rich_club": q_rich_club,
         "q_powerlaw": q_powerlaw,
         "q_reciprocity": q_reciprocity,
+        "q_dup_weights": q_dup_weights,
+        "q_source_temperature": q_source_temperature,
     }
 
 

@@ -13106,3 +13106,70 @@ SELECT n_edges, w_total, w_recip,
        {r6('CASE WHEN w_total > 0 THEN CAST(w_recip AS DOUBLE) / CAST(w_total AS DOUBLE) END', 'reciprocity')}
 FROM g
 """
+
+
+# Soft-dedup 1/cluster-size weights — matches curation.dup_weights
+ORACLES["q_dup_weights"] = f"""
+WITH RECURSIVE pairs AS (
+  {{PAIRS}}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach (id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id
+),
+clus AS (
+  SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY id
+),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM clus GROUP BY cluster_id
+),
+assigned AS (
+  SELECT d.doc_id,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         COALESCE(s.cluster_size, 1) AS cluster_size
+  FROM documents d
+  LEFT JOIN clus c ON c.doc_id = d.doc_id
+  LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       {r6('1.0 / CAST(cluster_size AS DOUBLE)', 'weight')}
+FROM assigned
+""".replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip())
+
+
+# Temperature-0.7 source mix over token mass — matches
+# curation.source_temperature
+ORACLES["q_source_temperature"] = f"""
+WITH per AS (
+  SELECT source AS s, CAST(SUM(len({TOKS_RAW})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+withn AS (
+  SELECT s, n_tokens, CAST(SUM(n_tokens) OVER () AS BIGINT) AS nn FROM per
+),
+terms AS (
+  SELECT s, n_tokens, nn,
+         CAST(n_tokens AS DOUBLE) / CAST(nn AS DOUBLE) AS p,
+         POW(CAST(n_tokens AS DOUBLE) / CAST(nn AS DOUBLE), 0.7) AS pa
+  FROM withn
+),
+norm AS (
+  SELECT list_reduce([0.0] || list(pa ORDER BY s), (a, e) -> a + e) AS z
+  FROM terms
+)
+SELECT s AS source, n_tokens,
+       {r6('CASE WHEN n_tokens > 0 AND z > 0 THEN p END', 'p')},
+       {r6('CASE WHEN n_tokens > 0 AND z > 0 THEN pa / z END', 'w')},
+       {r6('CASE WHEN n_tokens > 0 AND z > 0 THEN (pa / z) / p END', 'boost')}
+FROM terms, norm
+""".replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip())

@@ -582,3 +582,67 @@ def test_role_reciprocity_one_way_pipeline(spark):
     r = role_reciprocity(_turns(spark, rows)).collect()[0]
     assert r["w_recip"] == 0
     assert r["reciprocity"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_dup_weights_cluster_of_two(spark):
+    from z_rad_spark.operators.curation import dup_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "s"),
+            (2, "the quick brown fox jumps over the lazy dog", "s"),
+            (3, "completely different text about other things entirely", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r for r in dup_weights(docs).collect()}
+    assert out[1]["cluster_size"] == 2 and out[2]["cluster_size"] == 2
+    assert out[1]["weight"] == pytest.approx(0.5, rel=1e-12)
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
+    # singleton keeps weight 1 and self-cluster
+    assert out[3]["cluster_size"] == 1
+    assert out[3]["weight"] == pytest.approx(1.0, rel=1e-12)
+    assert out[3]["cluster_id"] == 3
+
+
+def test_dup_weights_mass_conserved(spark):
+    from z_rad_spark.operators.curation import dup_weights
+
+    docs = spark.createDataFrame(
+        [(i, "same text repeated here for everyone to share today", "s") for i in range(5)],
+        "doc_id long, text string, source string",
+    )
+    rows = dup_weights(docs).collect()
+    # one cluster of 5 -> total weight mass = 1 document's worth
+    assert sum(r["weight"] for r in rows) == pytest.approx(1.0, rel=1e-12)
+
+
+def test_source_temperature_flattens_mix(spark):
+    from z_rad_spark.operators.curation import source_temperature
+
+    # 9:1 token split; alpha=0.7 pulls the mix toward uniform
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i", "big"), (2, "x", "small")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in source_temperature(docs).collect()}
+    big, small = out["big"], out["small"]
+    assert big["p"] == pytest.approx(0.9, rel=1e-12)
+    assert small["p"] == pytest.approx(0.1, rel=1e-12)
+    z = 0.9**0.7 + 0.1**0.7
+    assert big["w"] == pytest.approx(0.9**0.7 / z, rel=1e-12)
+    assert small["w"] == pytest.approx(0.1**0.7 / z, rel=1e-12)
+    assert small["boost"] > 1.0 > big["boost"]
+
+
+def test_source_temperature_alpha_one_identity(spark):
+    from z_rad_spark.operators.curation import source_temperature
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "d e", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in source_temperature(docs, alpha=1.0).collect()}
+    for s in ("s1", "s2"):
+        assert out[s]["w"] == pytest.approx(out[s]["p"], rel=1e-12)
+        assert out[s]["boost"] == pytest.approx(1.0, rel=1e-12)

@@ -1842,3 +1842,114 @@ def source_kl(
         F.col("n_tokens").cast("long"),
         F.when(F.col("n_tokens") > 0, kl).alias("kl"),
     )
+
+
+def dup_weights(
+    docs: DataFrame,
+    n: int = 3,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Soft-dedup training weights: every document gets weight
+    1 / |its near-dup cluster| (singletons keep 1.0) — the
+    downweight-instead-of-drop alternative to [[dup_survivors]]'s
+    hard canonical pick: total evidence per duplicated passage stays
+    constant (the cluster contributes ONE document's worth of
+    gradient mass) while surface diversity inside the cluster is
+    preserved — the knob repeated-passage scaling studies
+    (Hernandez et al. 2022) say matters.
+
+    Determinism: clusters come from the seeded MinHash-LSH +
+    large/small-star pipeline ([[dup_clusters]] — oracle replays the
+    identical candidate graph by literal-seed replay + recursive
+    closure); sizes are exact longs; the weight is one division.
+
+    Scale: the components run on the PAIR graph only; unpaired
+    documents join back with a broadcast-left anti pattern and never
+    enter the iteration. Output: (id_col, cluster_id long,
+    cluster_size long, weight double) — one row per document.
+    """
+    from .dedup import dup_clusters
+
+    cc = dup_clusters(
+        docs, n, n_hashes, band_size, text_col, id_col, max_bucket
+    )
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    clustered = cc.join(F.broadcast(sizes), "cluster_id")
+    base = docs.select(F.col(id_col).cast("long").alias(id_col))
+    out = base.join(clustered, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("long").alias(
+            "cluster_id"
+        ),
+        F.coalesce(F.col("cluster_size"), F.lit(1)).cast("long").alias(
+            "cluster_size"
+        ),
+        (F.lit(1.0) / F.coalesce(F.col("cluster_size"), F.lit(1)).cast("double")).alias(
+            "weight"
+        ),
+    )
+    return out
+
+
+def source_temperature(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled source sampling mix (the multinomial
+    p_s^alpha renormalization GPT-3 / XLM-R style pipelines use to
+    keep small high-quality sources from drowning): over per-source
+    TOKEN mass n_s,
+
+        p_s = n_s / N,   w_s = p_s^alpha / sum_r p_r^alpha,
+        boost_s = w_s / p_s
+
+    boost > 1 = the source is upsampled (expect repeats — read beside
+    [[dup_weights]]), boost < 1 = downsampled.
+
+    Determinism: token counts are exact longs (the q_vocab whitespace
+    tokenization); the p^alpha terms and the normalizer fold ordered
+    by source; fixed chains after. Bit-replayable.
+
+    Scale: one map-side-combined per-source aggregate (|sources|
+    rows); the fold state is source-cardinality bounded. Output:
+    (source, n_tokens long, p, w, boost doubles), one row per
+    non-empty source.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    per = docs.groupBy(F.col(group_col).alias("_s")).agg(
+        F.sum(F.size(toks)).cast("long").alias("n_tokens")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    withn = per.withColumn("_nn", F.sum("n_tokens").over(w_all).cast("long"))
+    p = F.col("n_tokens").cast("double") / F.col("_nn").cast("double")
+    pa = F.pow(p, F.lit(float(alpha)))
+    terms = withn.select(
+        "_s", "n_tokens", "_nn", p.alias("_p"), pa.alias("_pa")
+    )
+    norm = terms.select(
+        F.struct("_s", F.col("_pa").alias("_t")).alias("_e")
+    ).agg(F.sort_array(F.collect_list("_e")).alias("_es")).select(
+        F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_t"]).alias(
+            "_z"
+        )
+    )
+    j = terms.crossJoin(F.broadcast(norm))
+    w = F.col("_pa") / F.col("_z")
+    ok = (F.col("n_tokens") > 0) & (F.col("_z") > 0)
+    return j.select(
+        F.col("_s").alias(group_col),
+        "n_tokens",
+        F.when(ok, F.col("_p")).alias("p"),
+        F.when(ok, w).alias("w"),
+        F.when(ok, w / F.col("_p")).alias("boost"),
+    )
