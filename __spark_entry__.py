@@ -5600,6 +5600,39 @@ def q_source_temperature(spark, sf_dir):
     return _r6(out, ["p", "w", "boost"])
 
 
+def q_entropy_rate(spark, sf_dir):
+    """Markov entropy rate + marginal entropy + predictability gain of
+    the role-transition chain (sessionize.entropy_rate): exact counts
+    on the stable turn order, (u,v)-ordered entropy folds —
+    oracle-replayable."""
+    from z_rad_spark.operators.sessionize import entropy_rate
+
+    return _r6(entropy_rate(_t(spark, sf_dir)), ["h_rate", "h_marg", "gain"])
+
+
+def q_char_entropy(spark, sf_dir):
+    """Character unigram/bigram entropies and conditional next-char
+    entropy per lang (text.char_bigram_entropy): exact alphabet-bounded
+    counts, key-ordered folds — oracle-replayable."""
+    from z_rad_spark.operators.text import char_bigram_entropy
+
+    out = char_bigram_entropy(_docs(spark, sf_dir))
+    return _r6(out, ["h1", "h2", "h_cond", "gain"])
+
+
+def q_token_audit(spark, sf_dir):
+    """Anomalous-token-shape audit per source (text.token_audit):
+    overlong / digit-letter / non-ASCII / hex-blob ratios from exact
+    regex counts — oracle-replayable."""
+    from z_rad_spark.operators.text import token_audit
+
+    out = token_audit(_docs(spark, sf_dir))
+    return _r6(
+        out,
+        ["overlong_ratio", "mixed_ratio", "nonascii_ratio", "hexblob_ratio"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -5988,6 +6021,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_reciprocity": q_reciprocity,
         "q_dup_weights": q_dup_weights,
         "q_source_temperature": q_source_temperature,
+        "q_entropy_rate": q_entropy_rate,
+        "q_char_entropy": q_char_entropy,
+        "q_token_audit": q_token_audit,
     }
 
 

@@ -13173,3 +13173,121 @@ SELECT s AS source, n_tokens,
        {r6('CASE WHEN n_tokens > 0 AND z > 0 THEN (pa / z) / p END', 'boost')}
 FROM terms, norm
 """.replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip())
+
+
+# Markov entropy rate of the role-transition chain — matches
+# sessionize.entropy_rate
+ORACLES["q_entropy_rate"] = f"""
+WITH t AS ({T}),
+seq AS (
+  SELECT conv_id, role AS u,
+         LEAD(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS v
+  FROM t
+),
+trans AS (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE v IS NOT NULL GROUP BY u, v
+),
+cells AS (
+  SELECT u, v, n,
+         CAST(SUM(n) OVER (PARTITION BY u) AS BIGINT) AS nu,
+         CAST(SUM(n) OVER () AS BIGINT) AS nn
+  FROM trans
+),
+hr AS (
+  SELECT CAST(MAX(nn) AS BIGINT) AS n_trans,
+         -list_reduce([0.0] || list(
+           (CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+           * LN(CAST(n AS DOUBLE) / CAST(nu AS DOUBLE))
+           ORDER BY u, v), (a, e) -> a + e) AS h_rate
+  FROM cells
+),
+marg AS (SELECT v, CAST(SUM(n) AS BIGINT) AS m FROM trans GROUP BY v),
+margn AS (SELECT v, m, CAST(SUM(m) OVER () AS BIGINT) AS nn FROM marg),
+hm AS (
+  SELECT -list_reduce([0.0] || list(
+           (CAST(m AS DOUBLE) / CAST(nn AS DOUBLE))
+           * LN(CAST(m AS DOUBLE) / CAST(nn AS DOUBLE))
+           ORDER BY v), (a, e) -> a + e) AS h_marg
+  FROM margn
+)
+SELECT n_trans,
+       {r6('h_rate', 'h_rate')},
+       {r6('h_marg', 'h_marg')},
+       {r6('h_marg - h_rate', 'gain')}
+FROM hr, hm
+"""
+
+
+# Character unigram/bigram entropies per lang — matches
+# text.char_bigram_entropy
+ORACLES["q_char_entropy"] = f"""
+WITH chars AS (
+  SELECT lang AS g, unnest(list_transform(range(1, length(lower(text)) + 1),
+         i -> substring(lower(text), CAST(i AS INT), 1))) AS c
+  FROM documents
+),
+uni AS (
+  SELECT g, c, CAST(COUNT(*) AS BIGINT) AS n
+  FROM chars WHERE c <> '' GROUP BY g, c
+),
+unin AS (SELECT g, c, n, CAST(SUM(n) OVER (PARTITION BY g) AS BIGINT) AS nn FROM uni),
+h1t AS (
+  SELECT g, CAST(MAX(nn) AS BIGINT) AS n_chars,
+         -list_reduce([0.0] || list(
+           (CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+           * LN(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+           ORDER BY c), (a, e) -> a + e) AS h1
+  FROM unin GROUP BY g
+),
+bigs AS (
+  SELECT lang AS g, unnest(list_transform(range(1, GREATEST(length(lower(text)) - 1, 0) + 1),
+         i -> substring(lower(text), CAST(i AS INT), 2))) AS b
+  FROM documents
+),
+bi AS (
+  SELECT g, b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bigs WHERE length(b) = 2 GROUP BY g, b
+),
+bin_ AS (SELECT g, b, n, CAST(SUM(n) OVER (PARTITION BY g) AS BIGINT) AS nn FROM bi),
+h2t AS (
+  SELECT g, CAST(MAX(nn) AS BIGINT) AS n_bigrams,
+         -list_reduce([0.0] || list(
+           (CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+           * LN(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+           ORDER BY b), (a, e) -> a + e) AS h2
+  FROM bin_ GROUP BY g
+)
+SELECT h1t.g AS lang,
+       CAST(COALESCE(h1t.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(COALESCE(h2t.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       {r6('h1t.h1', 'h1')},
+       {r6('h2t.h2', 'h2')},
+       {r6('CASE WHEN h2t.h2 IS NOT NULL THEN h2t.h2 - h1t.h1 END', 'h_cond')},
+       {r6('CASE WHEN h2t.h2 IS NOT NULL THEN h1t.h1 - (h2t.h2 - h1t.h1) END', 'gain')}
+FROM h1t LEFT JOIN h2t ON h2t.g = h1t.g
+"""
+
+
+# Anomalous-token-shape audit per source — matches text.token_audit
+ORACLES["q_token_audit"] = f"""
+WITH tok AS (
+  SELECT source AS g, unnest({TOKS_RAW}) AS t FROM documents
+),
+kept AS (SELECT g, t FROM tok WHERE t <> ''),
+g AS (
+  SELECT g,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(CASE WHEN length(t) > 20 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o,
+         CAST(COALESCE(SUM(CASE WHEN regexp_matches(t, '[0-9]') AND regexp_matches(t, '[a-z]') THEN 1 ELSE 0 END), 0) AS BIGINT) AS m,
+         CAST(COALESCE(SUM(CASE WHEN regexp_matches(t, '[^\\x00-\\x7f]') THEN 1 ELSE 0 END), 0) AS BIGINT) AS na,
+         CAST(COALESCE(SUM(CASE WHEN regexp_matches(t, '^[0-9a-f]{{8,}}$') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h
+  FROM kept GROUP BY g
+)
+SELECT g AS source, n_tokens,
+       {r6('CASE WHEN n_tokens > 0 THEN CAST(o AS DOUBLE) / CAST(n_tokens AS DOUBLE) END', 'overlong_ratio')},
+       {r6('CASE WHEN n_tokens > 0 THEN CAST(m AS DOUBLE) / CAST(n_tokens AS DOUBLE) END', 'mixed_ratio')},
+       {r6('CASE WHEN n_tokens > 0 THEN CAST(na AS DOUBLE) / CAST(n_tokens AS DOUBLE) END', 'nonascii_ratio')},
+       {r6('CASE WHEN n_tokens > 0 THEN CAST(h AS DOUBLE) / CAST(n_tokens AS DOUBLE) END', 'hexblob_ratio')}
+FROM g
+"""

@@ -646,3 +646,69 @@ def test_source_temperature_alpha_one_identity(spark):
     for s in ("s1", "s2"):
         assert out[s]["w"] == pytest.approx(out[s]["p"], rel=1e-12)
         assert out[s]["boost"] == pytest.approx(1.0, rel=1e-12)
+
+
+def test_entropy_rate_deterministic_chain_is_zero(spark):
+    from z_rad_spark.operators.sessionize import entropy_rate
+
+    # strict u -> a -> u -> a alternation: next role is determined by
+    # current -> entropy rate 0; marginal entropy ln 2
+    rows = [("c1", i, "user" if i % 2 == 0 else "assistant", 1) for i in range(9)]
+    r = entropy_rate(_turns(spark, rows)).collect()[0]
+    assert r["n_trans"] == 8
+    assert r["h_rate"] == pytest.approx(0.0, abs=1e-12)
+    assert r["h_marg"] == pytest.approx(math.log(2), rel=1e-12)
+    assert r["gain"] == pytest.approx(math.log(2), rel=1e-12)
+
+
+def test_entropy_rate_memoryless_gain_zero(spark):
+    from z_rad_spark.operators.sessionize import entropy_rate
+
+    # transitions engineered so every row of P is (1/2, 1/2) and the
+    # marginal is (1/2, 1/2): gain = 0
+    seq = ["a", "a", "b", "b", "a", "a", "b", "b", "a"]
+    rows = [("c1", i, role, 1) for i, role in enumerate(seq)]
+    r = entropy_rate(_turns(spark, rows)).collect()[0]
+    assert r["gain"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_char_entropy_single_char_zero(spark):
+    from z_rad_spark.operators.text import char_bigram_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa", "x", "s")], "doc_id long, text string, lang string, source string"
+    )
+    r = char_bigram_entropy(docs).collect()[0]
+    assert r["n_chars"] == 4 and r["n_bigrams"] == 3
+    assert r["h1"] == pytest.approx(0.0, abs=1e-12)
+    assert r["h2"] == pytest.approx(0.0, abs=1e-12)
+    assert r["h_cond"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_char_entropy_uniform_pairs(spark):
+    from z_rad_spark.operators.text import char_bigram_entropy
+
+    # "abab": chars a,b,a,b -> h1 = ln 2; bigrams ab,ba,ab ->
+    # h2 = -(2/3 ln 2/3 + 1/3 ln 1/3)
+    docs = spark.createDataFrame(
+        [(1, "abab", "x", "s")], "doc_id long, text string, lang string, source string"
+    )
+    r = char_bigram_entropy(docs).collect()[0]
+    assert r["h1"] == pytest.approx(math.log(2), rel=1e-12)
+    h2 = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    assert r["h2"] == pytest.approx(h2, rel=1e-12)
+
+
+def test_token_audit_classes(spark):
+    from z_rad_spark.operators.text import token_audit
+
+    text = "hello abc123 deadbeefcafe café " + "x" * 25
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s")], "doc_id long, text string, lang string, source string"
+    )
+    r = token_audit(docs).collect()[0]
+    assert r["n_tokens"] == 5
+    assert r["overlong_ratio"] == pytest.approx(1 / 5, rel=1e-12)
+    assert r["mixed_ratio"] == pytest.approx(1 / 5, rel=1e-12)   # abc123
+    assert r["nonascii_ratio"] == pytest.approx(1 / 5, rel=1e-12)  # café
+    assert r["hexblob_ratio"] == pytest.approx(1 / 5, rel=1e-12)  # deadbeefcafe

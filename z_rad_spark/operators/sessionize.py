@@ -1593,3 +1593,73 @@ def holt_smooth(
         F.when(ok, fin["sse"]).alias("sse"),
         F.when(ok, F.sqrt(fin["sse"] / (n - 1).cast("double"))).alias("rmse"),
     )
+
+
+def entropy_rate(df: DataFrame) -> DataFrame:
+    """Entropy rate of the corpus role-transition Markov chain —
+
+        H_rate = - sum_u pi_u sum_v P_uv ln P_uv
+
+    with empirical pi_u = row mass of u among transitions and
+    P_uv = n_uv / n_u. — plus the marginal next-role entropy
+    H_marg = -sum_v q_v ln q_v and the predictability gain
+    H_marg - H_rate: how much knowing the CURRENT role shrinks
+    next-role uncertainty (0 = memoryless transcript flow; the scalar
+    the [[role_transitions]] matrix summarizes to, and the first-order
+    cousin of [[q_theil_u]]'s association view).
+
+    Determinism: transition counts are exact longs on the stable
+    (ts, turn_idx) order; both entropies fold ordered by (u, v) /
+    v; fixed chains. Bit-replayable.
+
+    Scale: one window pass + one |roles|^2 aggregate. Output one row:
+    (n_trans long, h_rate, h_marg, gain doubles — NULL when no
+    transitions).
+    """
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    trans = (
+        df.select("conv_id", "ts", "turn_idx", F.col("role").alias("_u"))
+        .withColumn("_v", F.lead("_u", 1).over(w))
+        .where(F.col("_v").isNotNull())
+        .groupBy("_u", "_v")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_u = Window.partitionBy("_u")
+    cells = trans.select(
+        "_u",
+        "_v",
+        "_n",
+        F.sum("_n").over(w_u).cast("long").alias("_nu"),
+        F.sum("_n").over(w_all).cast("long").alias("_nn"),
+    )
+    # conditional term: (n_uv/N) * ln(n_uv/n_u) summed over (u, v)
+    p_joint = F.col("_n").cast("double") / F.col("_nn").cast("double")
+    p_cond = F.col("_n").cast("double") / F.col("_nu").cast("double")
+    hr = cells.select(
+        "_nn",
+        F.struct("_u", "_v", (p_joint * F.log(p_cond)).alias("_t")).alias("_e"),
+    ).groupBy("_nn").agg(F.sort_array(F.collect_list("_e")).alias("_es"))
+    h_rate = -F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_t"])
+    # marginal next-role entropy over v
+    marg = trans.groupBy("_v").agg(F.sum("_n").cast("long").alias("_m"))
+    margn = marg.withColumn("_nn", F.sum("_m").over(w_all).cast("long"))
+    q = F.col("_m").cast("double") / F.col("_nn").cast("double")
+    hm = margn.select(
+        F.struct("_v", (q * F.log(q)).alias("_t")).alias("_e")
+    ).agg(F.sort_array(F.collect_list("_e")).alias("_es")).select(
+        (-F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_t"])).alias(
+            "_hm"
+        )
+    )
+    g = hr.select(F.col("_nn").alias("n_trans"), h_rate.alias("h_rate")).crossJoin(
+        F.broadcast(hm)
+    )
+    return g.select(
+        "n_trans",
+        "h_rate",
+        F.col("_hm").alias("h_marg"),
+        (F.col("_hm") - F.col("h_rate")).alias("gain"),
+    )

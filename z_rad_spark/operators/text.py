@@ -1795,3 +1795,136 @@ def heaps_law(
         F.when(ok, beta).alias("beta"),
         F.when(ok, F.exp(intercept)).alias("k"),
     )
+
+
+def char_bigram_entropy(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-level unigram and bigram entropies per group, and the
+    first-order predictability gain H1 - (H2 - H1) ... reported as
+    conditional next-char entropy H(c_i | c_{i-1}) = H2 - H1 and gain
+    = H1 - H(cond): the character-statistics fingerprint of a
+    language/source (real text sits far from uniform; MT artifacts,
+    encoding mojibake, and template spam all shift it — the char-level
+    companion to the token-level [[lexical_diversity]] battery).
+
+    Characters are the lowercase text's code points; bigrams are
+    consecutive pairs WITHIN a document (no cross-doc pairs).
+
+    Determinism: counts are exact longs; entropies fold ordered by
+    the (character, character-pair) key; fixed chains.
+    Bit-replayable.
+
+    Scale: alphabet-bounded state — |chars| and |char-pairs| cells
+    per group, never corpus-sized; the explode is one narrow
+    transform. Output: (group, n_chars long, n_bigrams long, h1, h2,
+    h_cond, gain doubles — NULL where the support is empty), one row
+    per group.
+    """
+    s = F.lower(F.col(text_col))
+    chars = df.select(
+        F.col(group_col).alias("_g"),
+        F.posexplode(F.split(s, "")).alias("_i", "_c"),
+    ).where(F.col("_c") != "")
+    uni = chars.groupBy("_g", "_c").agg(F.count("*").cast("long").alias("_n"))
+    w_g = Window.partitionBy("_g")
+    unin = uni.withColumn("_nn", F.sum("_n").over(w_g).cast("long"))
+    p1 = F.col("_n").cast("double") / F.col("_nn").cast("double")
+    h1df = unin.select(
+        "_g", "_nn", F.struct("_c", (p1 * F.log(p1)).alias("_t")).alias("_e")
+    ).groupBy("_g").agg(
+        F.max("_nn").alias("n_chars"),
+        F.sort_array(F.collect_list("_e")).alias("_es"),
+    ).select(
+        "_g",
+        "n_chars",
+        (-F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_t"])).alias(
+            "_h1"
+        ),
+    )
+    # bigrams within each document
+    pairs = df.select(
+        F.col(group_col).alias("_g"),
+        F.expr(
+            "transform(sequence(1, greatest(length(lower(" + text_col + ")) - 1, 0)), "
+            "i -> substring(lower(" + text_col + "), i, 2))"
+        ).alias("_bs"),
+    ).select("_g", F.explode("_bs").alias("_b")).where(F.length("_b") == 2)
+    bi = pairs.groupBy("_g", "_b").agg(F.count("*").cast("long").alias("_n"))
+    bin_ = bi.withColumn("_nn", F.sum("_n").over(w_g).cast("long"))
+    p2 = F.col("_n").cast("double") / F.col("_nn").cast("double")
+    h2df = bin_.select(
+        "_g", "_nn", F.struct("_b", (p2 * F.log(p2)).alias("_t")).alias("_e")
+    ).groupBy("_g").agg(
+        F.max("_nn").alias("n_bigrams"),
+        F.sort_array(F.collect_list("_e")).alias("_es"),
+    ).select(
+        "_g",
+        "n_bigrams",
+        (-F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_t"])).alias(
+            "_h2"
+        ),
+    )
+    j = h1df.join(h2df, "_g", "left")
+    h_cond = F.col("_h2") - F.col("_h1")
+    return j.select(
+        F.col("_g").alias(group_col),
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("n_chars"),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.col("_h1").alias("h1"),
+        F.col("_h2").alias("h2"),
+        F.when(F.col("_h2").isNotNull(), h_cond).alias("h_cond"),
+        F.when(F.col("_h2").isNotNull(), F.col("_h1") - h_cond).alias("gain"),
+    )
+
+
+def token_audit(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Anomalous-token audit per group: the fraction of whitespace
+    tokens that are overlong (> 20 chars), digit-letter mixed,
+    non-ASCII-bearing, or hex-blob-like (>= 8 hex chars, no vowels'
+    worth of letters beyond a-f) — the token-shape smells that mark
+    boilerplate IDs, base64 spills, and encoding damage, which the
+    word-level [[with_quality]] score and [[q_rare_tokens]] tail both
+    miss (a UUID is neither rare-vocabulary nor low-stopword — it is
+    SHAPED wrong).
+
+    Determinism: every class test is a regex on the exact token;
+    counts are exact longs; ratios are single divisions.
+    Bit-replayable.
+
+    Scale: one narrow explode + one map-side-combined group aggregate.
+    Output: (group, n_tokens long, overlong_ratio, mixed_ratio,
+    nonascii_ratio, hexblob_ratio doubles — NULL when the group has
+    no tokens), one row per group.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    t = df.select(
+        F.col(group_col).alias("_g"), F.explode(toks).alias("_t")
+    ).where(F.col("_t") != "")
+    is_over = F.length("_t") > 20
+    is_mixed = F.col("_t").rlike("[0-9]") & F.col("_t").rlike("[a-z]")
+    is_nonascii = F.col("_t").rlike("[^\\x00-\\x7f]")
+    is_hex = F.col("_t").rlike("^[0-9a-f]{8,}$")
+    g = t.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(is_over, 1).otherwise(0)).cast("long").alias("_o"),
+        F.sum(F.when(is_mixed, 1).otherwise(0)).cast("long").alias("_m"),
+        F.sum(F.when(is_nonascii, 1).otherwise(0)).cast("long").alias("_na"),
+        F.sum(F.when(is_hex, 1).otherwise(0)).cast("long").alias("_h"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    ok = F.col("n_tokens") > 0
+    return g.select(
+        F.col("_g").alias(group_col),
+        "n_tokens",
+        F.when(ok, F.col("_o").cast("double") / nd).alias("overlong_ratio"),
+        F.when(ok, F.col("_m").cast("double") / nd).alias("mixed_ratio"),
+        F.when(ok, F.col("_na").cast("double") / nd).alias("nonascii_ratio"),
+        F.when(ok, F.col("_h").cast("double") / nd).alias("hexblob_ratio"),
+    )
