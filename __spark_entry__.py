@@ -5633,6 +5633,48 @@ def q_token_audit(spark, sf_dir):
     )
 
 
+def q_horizon_feats(spark, sf_dir):
+    """Multi-horizon (1h/6h/24h) point-in-time activity features per
+    (conversation, cutoff) (asof.horizon_features): broadcast cutoff
+    grid, exact conditional counts, leakage-safe by construction —
+    oracle-replayable."""
+    from z_rad_spark.operators.asof import horizon_features
+
+    out = horizon_features(_t(spark, sf_dir), spark, CUTOFFS)
+    return _r6(
+        out.select(
+            "conv_id",
+            _us("as_of", "as_of_us"),
+            "n_1h",
+            "n_6h",
+            "n_24h",
+            "n_total",
+            "mean_sig_24h",
+            "velocity",
+        ),
+        ["mean_sig_24h", "velocity"],
+    )
+
+
+def q_recency(spark, sf_dir):
+    """Per-role recency vector (seconds since each role last spoke) at
+    each cutoff (asof.recency_features): conditional epoch-micro MAXes,
+    fixed subtractions — oracle-replayable."""
+    from z_rad_spark.operators.asof import recency_features
+
+    out = recency_features(_t(spark, sf_dir), spark, CUTOFFS)
+    cols = [
+        "sec_since_any",
+        "sec_since_user",
+        "sec_since_assistant",
+        "sec_since_tool",
+        "sec_since_system",
+    ]
+    return _r6(
+        out.select("conv_id", _us("as_of", "as_of_us"), *cols), cols
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6024,6 +6066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entropy_rate": q_entropy_rate,
         "q_char_entropy": q_char_entropy,
         "q_token_audit": q_token_audit,
+        "q_horizon_feats": q_horizon_feats,
+        "q_recency": q_recency,
     }
 
 

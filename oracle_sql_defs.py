@@ -13291,3 +13291,58 @@ SELECT g AS source, n_tokens,
        {r6('CASE WHEN n_tokens > 0 THEN CAST(h AS DOUBLE) / CAST(n_tokens AS DOUBLE) END', 'hexblob_ratio')}
 FROM g
 """
+
+
+# Multi-horizon point-in-time activity features — matches
+# asof.horizon_features
+ORACLES["q_horizon_feats"] = f"""
+WITH t AS ({T}),
+j AS (
+  SELECT t.conv_id, g.as_of, t.signal,
+         epoch_us(g.as_of) - epoch_us(t.ts) AS age
+  FROM t JOIN (SELECT column0 AS as_of FROM {GRID} g(column0)) g
+    ON t.ts <= g.as_of
+),
+agg AS (
+  SELECT conv_id, as_of,
+         CAST(COALESCE(SUM(CASE WHEN age < 3600000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_1h,
+         CAST(COALESCE(SUM(CASE WHEN age < 21600000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_6h,
+         CAST(COALESCE(SUM(CASE WHEN age < 86400000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_24h,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN age < 86400000000 THEN CAST(signal AS BIGINT) END) AS BIGINT) AS s24
+  FROM j GROUP BY conv_id, as_of
+)
+SELECT conv_id, CAST(epoch_us(as_of) AS BIGINT) AS as_of_us,
+       n_1h, n_6h, n_24h, n_total,
+       {r6('CASE WHEN n_24h > 0 THEN CAST(s24 AS DOUBLE) / CAST(n_24h AS DOUBLE) END', 'mean_sig_24h')},
+       {r6('CASE WHEN n_24h > 0 THEN CAST(n_1h AS DOUBLE) / (CAST(n_24h AS DOUBLE) / 24.0) END', 'velocity')}
+FROM agg
+"""
+
+
+# Per-role recency vectors at each cutoff — matches
+# asof.recency_features
+ORACLES["q_recency"] = f"""
+WITH t AS ({T}),
+j AS (
+  SELECT t.conv_id, g.as_of, t.role, epoch_us(t.ts) AS ts_us
+  FROM t JOIN (SELECT column0 AS as_of FROM {GRID} g(column0)) g
+    ON t.ts <= g.as_of
+),
+agg AS (
+  SELECT conv_id, as_of,
+         CAST(MAX(ts_us) AS BIGINT) AS m_any,
+         CAST(MAX(CASE WHEN role = 'user' THEN ts_us END) AS BIGINT) AS m_user,
+         CAST(MAX(CASE WHEN role = 'assistant' THEN ts_us END) AS BIGINT) AS m_assistant,
+         CAST(MAX(CASE WHEN role = 'tool' THEN ts_us END) AS BIGINT) AS m_tool,
+         CAST(MAX(CASE WHEN role = 'system' THEN ts_us END) AS BIGINT) AS m_system
+  FROM j GROUP BY conv_id, as_of
+)
+SELECT conv_id, CAST(epoch_us(as_of) AS BIGINT) AS as_of_us,
+       {r6('CAST(epoch_us(as_of) - m_any AS DOUBLE) / 1e6', 'sec_since_any')},
+       {r6('CASE WHEN m_user IS NOT NULL THEN CAST(epoch_us(as_of) - m_user AS DOUBLE) / 1e6 END', 'sec_since_user')},
+       {r6('CASE WHEN m_assistant IS NOT NULL THEN CAST(epoch_us(as_of) - m_assistant AS DOUBLE) / 1e6 END', 'sec_since_assistant')},
+       {r6('CASE WHEN m_tool IS NOT NULL THEN CAST(epoch_us(as_of) - m_tool AS DOUBLE) / 1e6 END', 'sec_since_tool')},
+       {r6('CASE WHEN m_system IS NOT NULL THEN CAST(epoch_us(as_of) - m_system AS DOUBLE) / 1e6 END', 'sec_since_system')}
+FROM agg
+"""

@@ -5,6 +5,7 @@ and the distribution-distance battery."""
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def _pairs(spark, rows):
@@ -712,3 +713,66 @@ def test_token_audit_classes(spark):
     assert r["mixed_ratio"] == pytest.approx(1 / 5, rel=1e-12)   # abc123
     assert r["nonascii_ratio"] == pytest.approx(1 / 5, rel=1e-12)  # café
     assert r["hexblob_ratio"] == pytest.approx(1 / 5, rel=1e-12)  # deadbeefcafe
+
+
+def test_horizon_features_hand_computed(spark):
+    from z_rad_spark.operators.asof import horizon_features
+
+    # turns at 30min, 3h, 30h before the cutoff
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "2024-01-01 12:00:00", 2.0),
+            ("c1", 1, "user", "2024-01-02 15:00:00", 4.0),
+            ("c1", 2, "user", "2024-01-02 17:30:00", 6.0),
+            ("c1", 3, "user", "2024-01-03 00:00:01", 9.0),  # after cutoff
+        ],
+        "conv_id string, turn_idx int, role string, ts string, signal double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = horizon_features(df, spark, ["2024-01-02 18:00:00"]).collect()
+    r = out[0]
+    assert r["n_1h"] == 1          # 17:30
+    assert r["n_6h"] == 2          # 15:00, 17:30
+    assert r["n_24h"] == 2
+    assert r["n_total"] == 3       # leakage-safe: the 4th turn excluded
+    assert r["mean_sig_24h"] == pytest.approx(5.0, rel=1e-12)
+    assert r["velocity"] == pytest.approx(1 / (2 / 24), rel=1e-12)
+
+
+def test_horizon_boundary_is_exclusive_on_age(spark):
+    from z_rad_spark.operators.asof import horizon_features
+
+    # turn exactly 1h before the cutoff: age == h1 -> NOT in n_1h
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "2024-01-02 17:00:00", 1.0)],
+        "conv_id string, turn_idx int, role string, ts string, signal double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = horizon_features(df, spark, ["2024-01-02 18:00:00"]).collect()[0]
+    assert r["n_1h"] == 0 and r["n_6h"] == 1
+
+
+def test_recency_features_hand_computed(spark):
+    from z_rad_spark.operators.asof import recency_features
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "2024-01-02 17:00:00", 1.0),
+            ("c1", 1, "assistant", "2024-01-02 17:30:00", 1.0),
+        ],
+        "conv_id string, turn_idx int, role string, ts string, signal double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = recency_features(df, spark, ["2024-01-02 18:00:00"]).collect()[0]
+    assert r["sec_since_any"] == pytest.approx(1800.0, rel=1e-12)
+    assert r["sec_since_user"] == pytest.approx(3600.0, rel=1e-12)
+    assert r["sec_since_assistant"] == pytest.approx(1800.0, rel=1e-12)
+    assert r["sec_since_tool"] is None and r["sec_since_system"] is None
+
+
+def test_recency_no_history_no_row(spark):
+    from z_rad_spark.operators.asof import recency_features
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "2024-01-05 00:00:00", 1.0)],
+        "conv_id string, turn_idx int, role string, ts string, signal double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = recency_features(df, spark, ["2024-01-02 18:00:00"]).collect()
+    assert out == []

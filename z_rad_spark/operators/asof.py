@@ -203,3 +203,120 @@ def asof_state(
         tolerance_seconds=tolerance_seconds,
         direction=direction,
     )
+
+
+def horizon_features(
+    df: DataFrame,
+    spark,
+    cutoffs,
+    horizons=(3600, 21600, 86400),
+    signal_col: str = "signal",
+) -> DataFrame:
+    """Multi-horizon point-in-time activity features: at each as-of
+    cutoff, per conversation, the turn count inside each trailing
+    window (1h / 6h / 24h by default), the full-history count, the
+    24h mean signal, and the short/long velocity ratio
+    (n_1h / (n_24h / 24) — 'is the last hour running hot against its
+    own day?'). The feature-store lookback matrix beside the
+    full-history [[stats_asof]] moments — and every window is
+    ts <= cutoff, so the zero-temporal-leakage contract holds by
+    construction.
+
+    Determinism: counts and signal sums are exact longs per (conv,
+    cutoff, horizon); means/ratios are fixed chains. Bit-replayable.
+
+    Scale: turns join the BROADCAST cutoff grid (|cutoffs| is a small
+    snapshot schedule — 3 here, weekly in production) and aggregate
+    with conditional sums in ONE map-side-combined pass; no
+    turns x horizons expansion ever shuffles. Output: (conv_id,
+    as_of, n_1h, n_6h, n_24h, n_total longs, mean_sig_24h, velocity
+    doubles — NULL where a denominator window is empty), one row per
+    (conversation, cutoff) with at least one pre-cutoff turn.
+    """
+    h1, h6, h24 = (int(h) for h in horizons)
+    grid = spark.createDataFrame(
+        [(c,) for c in cutoffs], "as_of string"
+    ).select(F.col("as_of").cast("timestamp").alias("as_of"))
+    x = F.col(signal_col).cast("long")
+    j = df.crossJoin(F.broadcast(grid)).where(
+        F.col("ts").cast("timestamp") <= F.col("as_of")
+    )
+    # exact integer microsecond age — no truncating seconds cast
+    age = F.unix_micros(F.col("as_of")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
+    )
+    h1, h6, h24 = h1 * 1_000_000, h6 * 1_000_000, h24 * 1_000_000
+    g = j.groupBy("conv_id", "as_of").agg(
+        F.sum(F.when(age < h1, 1).otherwise(0)).cast("long").alias("n_1h"),
+        F.sum(F.when(age < h6, 1).otherwise(0)).cast("long").alias("n_6h"),
+        F.sum(F.when(age < h24, 1).otherwise(0)).cast("long").alias("n_24h"),
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(age < h24, x)).cast("long").alias("_s24"),
+    )
+    n24 = F.col("n_24h")
+    mean24 = F.col("_s24").cast("double") / n24.cast("double")
+    velocity = F.col("n_1h").cast("double") / (
+        n24.cast("double") / F.lit(float(h24) / float(h1))
+    )
+    return g.select(
+        "conv_id",
+        "as_of",
+        "n_1h",
+        "n_6h",
+        "n_24h",
+        "n_total",
+        F.when(n24 > 0, mean24).alias("mean_sig_24h"),
+        F.when(n24 > 0, velocity).alias("velocity"),
+    )
+
+
+def recency_features(
+    df: DataFrame,
+    spark,
+    cutoffs,
+    roles=("user", "assistant", "tool", "system"),
+) -> DataFrame:
+    """Per-role recency vector at each as-of cutoff: seconds since the
+    conversation last heard from each role (NULL = never before the
+    cutoff) plus seconds since ANY turn — the 'how stale is each
+    participant?' feature every churn / handoff model starts from,
+    computed leakage-safe (only ts <= cutoff is read; the complement
+    of [[asof_state]]'s last-VALUE lookup — this is last-WHEN).
+
+    Determinism: per-(conv, cutoff) conditional MAX of exact epoch
+    micros, then fixed subtractions. Bit-replayable.
+
+    Scale: broadcast cutoff grid, one conditional-aggregate pass
+    (roles are a fixed enum -> fixed column set, no pivot shuffle).
+    Output: (conv_id, as_of, sec_since_any double, sec_since_<role>
+    double ...), one row per (conversation, cutoff) with history.
+    """
+    grid = spark.createDataFrame(
+        [(c,) for c in cutoffs], "as_of string"
+    ).select(F.col("as_of").cast("timestamp").alias("as_of"))
+    j = df.crossJoin(F.broadcast(grid)).where(
+        F.col("ts").cast("timestamp") <= F.col("as_of")
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    aggs = [F.max(ts_us).alias("_any")]
+    for r in roles:
+        aggs.append(
+            F.max(F.when(F.col("role") == r, ts_us)).alias(f"_r_{r}")
+        )
+    g = j.groupBy("conv_id", "as_of").agg(*aggs)
+    co_us = F.unix_micros(F.col("as_of"))
+    cols = [
+        "conv_id",
+        "as_of",
+        ((co_us - F.col("_any")).cast("double") / F.lit(1e6)).alias(
+            "sec_since_any"
+        ),
+    ]
+    for r in roles:
+        cols.append(
+            F.when(
+                F.col(f"_r_{r}").isNotNull(),
+                (co_us - F.col(f"_r_{r}")).cast("double") / F.lit(1e6),
+            ).alias(f"sec_since_{r}")
+        )
+    return g.select(*cols)
