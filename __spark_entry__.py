@@ -5675,6 +5675,19 @@ def q_recency(spark, sf_dir):
     )
 
 
+def q_stream_kmv(spark, sf_dir):
+    """Stateful streaming k-minimum-values distinct sketch
+    (streaming.streaming_kmv via applyInPandasWithState): O(k) sorted
+    min-hash state per event_type, arrival-order-free by construction;
+    availableNow = one micro-batch, so the emitted row IS the final
+    sketch and the batch SQL oracle (min-k order statistic replayed in
+    SQL) hash-matches it bit-for-bit."""
+    from z_rad_spark.streaming import streaming_kmv
+
+    res = _replay_stream_kv(spark, sf_dir, streaming_kmv, "q_stream_kmv_")
+    return _r6(res, ["est_distinct"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -5690,17 +5703,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     position — so the order below doubles as the rotation queue for
     future rounds. Regenerate with tools/rotate_window.py.
 
-    Current window: 10 changed-since-last-gate entries (the session-4
-    additions), 4 pinned, and 36 ledger-ordered backlog entries; 50 of
-    50 slots were NOT in the round-4 driver window
-    (CORRECTNESS_r04.json — the window the judge gates against; the
-    in-session rotations only reshuffle within the already-fresh r5
-    window). Entries past the marker keep
+    Current window: 26 changed-since-last-gate entries, 0 pinned,
+    and 24 ledger-ordered backlog entries; 26 of 50 slots were
+    not in the previous round's window. Entries past the marker keep
     their newest green driver rows; every registry entry is additionally
     strict-mirrored (tools/check_queries.py, STRICT hash mode, sf0.01)
     before each handoff — see COVERAGE.md."""
     return {
         # --- engine/oracle code changed this round ---
+        "q_rand_ari": q_rand_ari,
+        "q_vmeasure": q_vmeasure,
+        "q_purity": q_purity,
+        "q_kuiper": q_kuiper,
+        "q_cvm": q_cvm,
+        "q_hist_dist": q_hist_dist,
+        "q_spectral": q_spectral,
+        "q_pacf": q_pacf,
+        "q_holt": q_holt,
+        "q_anisotropy": q_anisotropy,
+        "q_sq8": q_sq8,
+        "q_label_centroids": q_label_centroids,
+        "q_ansari": q_ansari,
+        "q_jonckheere": q_jonckheere,
+        "q_durbin_watson": q_durbin_watson,
+        "q_cusum_sq": q_cusum_sq,
+        "q_rich_club": q_rich_club,
+        "q_powerlaw": q_powerlaw,
+        "q_reciprocity": q_reciprocity,
+        "q_dup_weights": q_dup_weights,
+        "q_source_temperature": q_source_temperature,
+        "q_entropy_rate": q_entropy_rate,
+        "q_char_entropy": q_char_entropy,
+        "q_token_audit": q_token_audit,
+        "q_horizon_feats": q_horizon_feats,
+        "q_recency": q_recency,
+        # --- never gated, ledger order ---
         "q_kcore": q_kcore,
         "q_assortativity": q_assortativity,
         "q_kn_ppl": q_kn_ppl,
@@ -5721,16 +5758,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cliffs_delta": q_cliffs_delta,
         "q_ordinal_assoc": q_ordinal_assoc,
         "q_friedman": q_friedman,
-        # --- pinned (see COVERAGE.md for rationale) ---
-        "q_tfidf": q_tfidf,
-        "q_top_tokens": q_top_tokens,
-        "q_stratified_sample": q_stratified_sample,
-        "q_stream_window_stats": q_stream_window_stats,
-        # --- never gated, ledger order ---
         "q_corr_drift": q_corr_drift,
         "q_energy_drift": q_energy_drift,
         "q_stream_hll": q_stream_hll,
         "q_label_prop": q_label_prop,
+        # ===== gate window ends here (first 50 entries) ================
+        # Everything below keeps its newest green driver row (see
+        # tools/gate_ledger.py for the live last_gated_round table)
+        # and queues for future rotations in this order.
+        "q_tfidf": q_tfidf,
+        "q_top_tokens": q_top_tokens,
+        "q_stratified_sample": q_stratified_sample,
+        "q_stream_window_stats": q_stream_window_stats,
         "q_hits": q_hits,
         "q_nelson_aalen": q_nelson_aalen,
         "q_yule_k": q_yule_k,
@@ -5763,10 +5802,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_log_rank": q_log_rank,
         "q_rfm": q_rfm,
         "q_ivfpq_topk": q_ivfpq_topk,
-        # ===== gate window ends here (first 50 entries) ================
-        # Everything below keeps its newest green driver row (see
-        # tools/gate_ledger.py for the live last_gated_round table)
-        # and queues for future rotations in this order.
         "q_pq_codes": q_pq_codes,
         "q_bigram_lm": q_bigram_lm,
         "q_temporal_profile": q_temporal_profile,
@@ -6033,7 +6068,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_fpr": q_bloom_fpr,
         "q_ild": q_ild,
         "q_heaps": q_heaps,
-        "q_benford": q_benford,
         "q_acf_profile": q_acf_profile,
         "q_lin_ccc": q_lin_ccc,
         "q_page_trend": q_page_trend,
@@ -6042,32 +6076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_score_ks": q_score_ks,
         "q_source_jaccard": q_source_jaccard,
         "q_source_kl": q_source_kl,
-        "q_rand_ari": q_rand_ari,
-        "q_vmeasure": q_vmeasure,
-        "q_purity": q_purity,
-        "q_kuiper": q_kuiper,
-        "q_cvm": q_cvm,
-        "q_hist_dist": q_hist_dist,
-        "q_spectral": q_spectral,
-        "q_pacf": q_pacf,
-        "q_holt": q_holt,
-        "q_anisotropy": q_anisotropy,
-        "q_sq8": q_sq8,
-        "q_label_centroids": q_label_centroids,
-        "q_ansari": q_ansari,
-        "q_jonckheere": q_jonckheere,
-        "q_durbin_watson": q_durbin_watson,
-        "q_cusum_sq": q_cusum_sq,
-        "q_rich_club": q_rich_club,
-        "q_powerlaw": q_powerlaw,
-        "q_reciprocity": q_reciprocity,
-        "q_dup_weights": q_dup_weights,
-        "q_source_temperature": q_source_temperature,
-        "q_entropy_rate": q_entropy_rate,
-        "q_char_entropy": q_char_entropy,
-        "q_token_audit": q_token_audit,
-        "q_horizon_feats": q_horizon_feats,
-        "q_recency": q_recency,
+        "q_stream_kmv": q_stream_kmv,
     }
 
 

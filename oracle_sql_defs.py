@@ -13346,3 +13346,34 @@ SELECT conv_id, CAST(epoch_us(as_of) AS BIGINT) AS as_of_us,
        {r6('CASE WHEN m_system IS NOT NULL THEN CAST(epoch_us(as_of) - m_system AS DOUBLE) / 1e6 END', 'sec_since_system')}
 FROM agg
 """
+
+
+# Streaming KMV final-state replay: the k smallest distinct hashes of
+# the whole stream — matches streaming.streaming_kmv after the single
+# availableNow batch (k = 64, same square-mod mixing hash as q_kmv)
+ORACLES["q_stream_kmv"] = f"""
+WITH dk AS (
+  SELECT DISTINCT event_type AS g, CAST(user_id AS BIGINT) AS k FROM events
+),
+hs AS (
+  SELECT DISTINCT g,
+         ((((ABS(k) % 2147483647) * 48271 + 12345) % 2147483647)
+          * (((ABS(k) % 2147483647) * 48271 + 12345) % 2147483647)
+          + (((ABS(k) % 2147483647) * 48271 + 12345) % 2147483647)) % 2147483647 AS y
+  FROM dk
+),
+hh AS (SELECT DISTINCT g, (y * 48271) % 2147483647 AS h FROM hs),
+ranked AS (
+  SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM hh
+),
+agg AS (
+  SELECT g,
+         CAST(LEAST(COUNT(*), 64) AS BIGINT) AS v_hashes,
+         CAST(MAX(CASE WHEN rn = 64 THEN h END) AS BIGINT) AS kth_hash,
+         CAST(COUNT(*) AS BIGINT) AS total
+  FROM ranked GROUP BY g
+)
+SELECT g AS event_type, v_hashes, kth_hash,
+       {r6('CASE WHEN total < 64 THEN CAST(total AS DOUBLE) ELSE 63.0 * 2147483647.0 / (CAST(kth_hash AS DOUBLE) + 1.0) END', 'est_distinct')}
+FROM agg
+"""

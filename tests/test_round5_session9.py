@@ -776,3 +776,52 @@ def test_recency_no_history_no_row(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     out = recency_features(df, spark, ["2024-01-02 18:00:00"]).collect()
     assert out == []
+
+
+def test_streaming_kmv_matches_batch(spark, tmp_path):
+    """The stream's final KMV state equals the batch operator's sketch
+    columns — KMV's union-sort-truncate order freedom end to end."""
+    import pyspark.sql.types as T
+
+    from z_rad_spark.operators.sketches import kmv_distinct_by
+    from z_rad_spark.streaming import streaming_kmv
+
+    rows = [("a", k) for k in range(1, 101)] + [("b", k) for k in range(1, 9)]
+    df = spark.createDataFrame(rows, "event_type string, key long")
+    src = str(tmp_path / "kmv_src")
+    df.repartition(3).write.parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("key", T.LongType()),
+        ]
+    )
+    q = (
+        streaming_kmv(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("memory")
+        .queryName("kmv_test_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    q.stop()
+    got = {
+        r["event_type"]: (r["v_hashes"], r["kth_hash"], r["est_distinct"])
+        for r in spark.table("kmv_test_sink").collect()
+    }
+    want = {
+        r["event_type"]: (
+            min(r["v_hashes"], 64),
+            r["kth_hash"],
+            r["est_distinct"],
+        )
+        for r in kmv_distinct_by(
+            df, group_col="event_type", key_col="key", k=64
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    # group a: > 64 distinct keys -> sketch path; group b: exact path
+    assert got["a"][0] == 64 and got["a"][1] == want["a"][1]
+    assert got["a"][2] == pytest.approx(want["a"][2], rel=1e-12)
+    assert got["b"] == (8, None, 8.0)

@@ -688,3 +688,83 @@ def streaming_hll(stream: DataFrame, p_bits: int = 8) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+KMV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("v_hashes", T.LongType()),
+        T.StructField("kth_hash", T.LongType()),
+        T.StructField("est_distinct", T.DoubleType()),
+    ]
+)
+_KMV_STATE = T.StructType(
+    [T.StructField("hashes", T.ArrayType(T.LongType()))]
+)
+
+
+def streaming_kmv(stream: DataFrame, k: int = 64) -> DataFrame:
+    """Streaming k-minimum-values distinct estimator per group — the
+    stateful twin of sketches.kmv_distinct_by, completing the
+    streaming cardinality pair beside [[streaming_hll]]: the state is
+    the sorted list of the k SMALLEST distinct 31-bit hashes (KMV's
+    textbook property — bounded state, mergeable by
+    union-sort-truncate, arrival-order-free), updated per micro-batch
+    and emitted as the Beyer-et-al unbiased estimate
+    (k-1) * P / (h_(k) + 1) after every batch (exact count while the
+    state is not yet full).
+
+    Exactness contract: the state is a SET operation fixpoint — the k
+    smallest distinct hashes of the prefix seen so far, identical
+    under any batch split — and the estimate is one fixed
+    multiply-divide chain, so after the final batch the emitted row
+    hash-matches the batch SQL oracle bit-for-bit (availableNow = one
+    batch in the gate replay).
+
+    Per-batch work is one vectorized hash pipeline + one
+    union-unique-truncate; state is O(k) longs per group.
+    """
+    P = 2147483647
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        grp = key[0]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows[rows["key"].notna()]
+        if len(rows) == 0:
+            return
+        kk = np.abs(rows["key"].astype("int64").to_numpy()) % P
+        x = (kk * 48271 + 12345) % P
+        y = (x * x + x) % P  # x < 2^31 -> x*x < 2^62, safe in int64
+        h = (y * 48271) % P
+        prev = (
+            np.array(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.empty(0, dtype=np.int64)
+        )
+        merged = np.unique(np.concatenate([prev, h]))[: int(k)]
+        state.update(([int(v) for v in merged],))
+        v = int(len(merged))
+        if v < int(k):
+            kth = None
+            est = float(v)
+        else:
+            kth = int(merged[int(k) - 1])
+            est = float(k - 1) * float(P) / (float(kth) + 1.0)
+        yield pd.DataFrame(
+            {
+                "event_type": [grp],
+                "v_hashes": [v],
+                "kth_hash": [kth],
+                "est_distinct": [est],
+            }
+        )
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=KMV_SCHEMA,
+        stateStructType=_KMV_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
