@@ -5688,6 +5688,40 @@ def q_stream_kmv(spark, sf_dir):
     return _r6(res, ["est_distinct"])
 
 
+def q_coverage_curve(spark, sf_dir):
+    """Top-k vocabulary token-mass coverage at k=10/100/1000
+    (text.coverage_curve): exact cumulative longs on the compacted
+    vocabulary, (count desc, token asc) rank — oracle-replayable."""
+    from z_rad_spark.operators.text import coverage_curve
+
+    return _r6(coverage_curve(_docs(spark, sf_dir)), ["coverage"])
+
+
+def q_component_sizes(spark, sf_dir):
+    """Near-dup component size histogram + giant-component share
+    (dedup.component_size_stats): exact counts off the
+    recursive-closure-replayable clusters — oracle-replayable."""
+    from z_rad_spark.operators.dedup import component_size_stats
+
+    out = component_size_stats(
+        _docs(spark, sf_dir), n=3, n_hashes=8, band_size=4, max_bucket=64
+    )
+    return _r6(out, ["doc_share", "gcc_share"])
+
+
+def q_mahalanobis(spark, sf_dir):
+    """Diagonal-covariance Mahalanobis outlier score per embedding
+    (similarity.mahalanobis_diag): id-ordered per-dim moment folds,
+    dim-ordered score folds — oracle-replayable."""
+    from z_rad_spark.operators.similarity import mahalanobis_diag
+
+    out = mahalanobis_diag(_emb(spark, sf_dir))
+    return _r6(
+        out.select(F.col("vec_id").cast("long"), "score", "max_dim_z"),
+        ["score", "max_dim_z"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6077,6 +6111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_jaccard": q_source_jaccard,
         "q_source_kl": q_source_kl,
         "q_stream_kmv": q_stream_kmv,
+        "q_coverage_curve": q_coverage_curve,
+        "q_component_sizes": q_component_sizes,
+        "q_mahalanobis": q_mahalanobis,
     }
 
 

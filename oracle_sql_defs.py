@@ -13377,3 +13377,124 @@ SELECT g AS event_type, v_hashes, kth_hash,
        {r6('CASE WHEN total < 64 THEN CAST(total AS DOUBLE) ELSE 63.0 * 2147483647.0 / (CAST(kth_hash AS DOUBLE) + 1.0) END', 'est_distinct')}
 FROM agg
 """
+
+
+# Top-k vocabulary coverage curve — matches text.coverage_curve
+ORACLES["q_coverage_curve"] = f"""
+WITH tok AS (
+  SELECT unnest({TOKS_RAW}) AS t FROM documents
+),
+counts AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok WHERE t <> '' GROUP BY t
+),
+ranked AS (
+  SELECT c,
+         CAST(ROW_NUMBER() OVER (ORDER BY c DESC, t ASC) AS BIGINT) AS rk,
+         CAST(SUM(c) OVER () AS BIGINT) AS nn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS v
+  FROM counts
+),
+cum AS (
+  SELECT rk, nn, v,
+         CAST(SUM(c) OVER (ORDER BY rk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cov
+  FROM ranked
+),
+ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (10), (100), (1000)) val(k)),
+meta AS (SELECT nn, v FROM cum WHERE rk = 1),
+targets AS (SELECT ks.k, meta.nn, meta.v, LEAST(ks.k, meta.v) AS rkt FROM ks, meta)
+SELECT targets.k,
+       targets.v AS vocab_size,
+       targets.nn AS n_tokens,
+       CAST(COALESCE(cum.cov, 0) AS BIGINT) AS covered,
+       {r6('CASE WHEN targets.nn > 0 THEN CAST(COALESCE(cum.cov, 0) AS DOUBLE) / CAST(targets.nn AS DOUBLE) END', 'coverage')}
+FROM targets
+LEFT JOIN cum ON cum.rk = targets.rkt
+"""
+
+
+# Near-dup component size histogram — matches
+# dedup.component_size_stats
+ORACLES["q_component_sizes"] = f"""
+WITH RECURSIVE pairs AS (
+  {{PAIRS}}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach (id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id
+),
+clus AS (
+  SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY id
+),
+assigned AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cc
+  FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id
+),
+sizes AS (SELECT cc, CAST(COUNT(*) AS BIGINT) AS s FROM assigned GROUP BY cc),
+hist AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM sizes GROUP BY s),
+tot AS (
+  SELECT CAST(SUM(s * n_clusters) AS BIGINT) AS t,
+         CAST(MAX(s) AS BIGINT) AS gcc
+  FROM hist
+)
+SELECT CAST(s AS BIGINT) AS size, n_clusters,
+       CAST(s * n_clusters AS BIGINT) AS n_docs,
+       {r6('CAST(s * n_clusters AS DOUBLE) / CAST(tot.t AS DOUBLE)', 'doc_share')},
+       {r6('CAST(tot.gcc AS DOUBLE) / CAST(tot.t AS DOUBLE)', 'gcc_share')}
+FROM hist, tot
+""".replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip())
+
+
+# Diagonal Mahalanobis outlier score — matches
+# similarity.mahalanobis_diag
+ORACLES["q_mahalanobis"] = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+),
+kept AS (
+  SELECT vec_id, ev FROM v
+  WHERE length(list_filter(ev, x -> x IS NULL OR isnan(x) OR abs(x) = 'infinity'::DOUBLE)) = 0
+),
+ex AS (
+  SELECT vec_id, unnest(ev) AS x,
+         unnest(range(1, length(ev) + 1)) AS d
+  FROM kept
+),
+per_dim AS (
+  SELECT d,
+         list_reduce([0.0] || list(x ORDER BY vec_id), (a, e) -> a + e) AS s,
+         list_reduce([0.0] || list(x * x ORDER BY vec_id), (a, e) -> a + e) AS s2,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ex GROUP BY d
+),
+stats AS (
+  SELECT d,
+         s / CAST(n AS DOUBLE) AS mu,
+         s2 / CAST(n AS DOUBLE) - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)) AS var
+  FROM per_dim
+),
+z AS (
+  SELECT ex.vec_id, ex.d,
+         CASE WHEN stats.var > 0
+              THEN (ex.x - stats.mu) * (ex.x - stats.mu) / stats.var
+              ELSE 0.0 END AS z2
+  FROM ex JOIN stats USING (d)
+),
+per AS (
+  SELECT vec_id,
+         list_reduce([0.0] || list(z2 ORDER BY d), (a, e) -> a + e) AS s2,
+         MAX(z2) AS mx
+  FROM z GROUP BY vec_id
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       {r6('SQRT(s2)', 'score')},
+       {r6('SQRT(mx)', 'max_dim_z')}
+FROM per
+"""

@@ -825,3 +825,50 @@ def test_streaming_kmv_matches_batch(spark, tmp_path):
     assert got["a"][0] == 64 and got["a"][1] == want["a"][1]
     assert got["a"][2] == pytest.approx(want["a"][2], rel=1e-12)
     assert got["b"] == (8, None, 8.0)
+
+
+def test_coverage_curve_hand_computed(spark):
+    from z_rad_spark.operators.text import coverage_curve
+
+    # tokens: a x5, b x3, c x1, d x1 -> N=10, vocab=4
+    docs = spark.createDataFrame(
+        [(1, "a a a a a b b b c d", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["k"]: r for r in coverage_curve(docs, ks=(1, 2, 100)).collect()}
+    assert out[1]["covered"] == 5
+    assert out[1]["coverage"] == pytest.approx(0.5, rel=1e-12)
+    assert out[2]["coverage"] == pytest.approx(0.8, rel=1e-12)
+    # k beyond vocab covers everything
+    assert out[100]["coverage"] == pytest.approx(1.0, rel=1e-12)
+    assert out[100]["vocab_size"] == 4
+
+
+def test_component_sizes_hand_computed(spark):
+    from z_rad_spark.operators.dedup import component_size_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "s"),
+            (2, "the quick brown fox jumps over the lazy dog", "s"),
+            (3, "completely different text about other things entirely", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["size"]: r for r in component_size_stats(docs).collect()}
+    assert out[2]["n_clusters"] == 1 and out[2]["n_docs"] == 2
+    assert out[1]["n_clusters"] == 1 and out[1]["n_docs"] == 1
+    assert out[2]["doc_share"] == pytest.approx(2 / 3, rel=1e-12)
+    assert out[2]["gcc_share"] == pytest.approx(2 / 3, rel=1e-12)
+
+
+def test_mahalanobis_diag_hand_computed(spark):
+    import math
+    from z_rad_spark.operators.similarity import mahalanobis_diag
+
+    # dim0: values 0, 2 -> mu 1, var 1; dim1 constant -> contributes 0
+    df = _vecs(spark, [(1, [0.0, 7.0], 0), (2, [2.0, 7.0], 0)])
+    out = {r["vec_id"]: r for r in mahalanobis_diag(df).collect()}
+    for vid in (1, 2):
+        assert out[vid]["score"] == pytest.approx(1.0, rel=1e-12)
+        assert out[vid]["max_dim_z"] == pytest.approx(1.0, rel=1e-12)

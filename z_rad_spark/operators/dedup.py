@@ -1261,3 +1261,62 @@ def lsh_recall_eval(
             F.col("n_cand") > 0, F.col("n_hit").cast("double") / F.col("n_cand").cast("double")
         ).alias("precision"),
     )
+
+
+def component_size_stats(
+    docs: DataFrame,
+    n: int = 3,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-dup component size distribution: for each cluster size s,
+    how many clusters and how many documents sit in clusters of that
+    size, their corpus share, and (on every row for convenience) the
+    giant-component share — the macro view of the dedup graph that
+    [[dup_clusters]] lists per-document: a fat tail here means
+    template families; a giant component means the LSH threshold is
+    too loose (one merge step away from deduping the whole corpus).
+
+    Singletons (documents in no candidate pair) are counted as size-1
+    clusters, so the doc shares sum to 1.
+
+    Determinism: exact long counts end to end; shares are single
+    divisions. Bit-replayable.
+
+    Scale: components on the pair graph only; the histogram is one
+    groupBy over cluster sizes (size-cardinality rows). Output:
+    (size long, n_clusters long, n_docs long, doc_share double,
+    gcc_share double), size ascending.
+    """
+    cc = dup_clusters(docs, n, n_hashes, band_size, text_col, id_col, max_bucket)
+    base = docs.select(F.col(id_col).cast("long").alias(id_col))
+    assigned = base.join(cc.withColumnRenamed(id_col, id_col), id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("long").alias("_c"),
+    )
+    sizes = assigned.groupBy("_c").agg(F.count("*").cast("long").alias("_s"))
+    hist = sizes.groupBy("_s").agg(F.count("*").cast("long").alias("n_clusters"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = hist.select(
+        F.col("_s").alias("size"),
+        "n_clusters",
+        (F.col("_s") * F.col("n_clusters")).cast("long").alias("n_docs"),
+    ).withColumn("_tot", F.sum("n_docs").over(w_all).cast("long")).withColumn(
+        "_gcc", F.max("size").over(w_all).cast("long")
+    )
+    return out.select(
+        "size",
+        "n_clusters",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("_tot").cast("double")).alias(
+            "doc_share"
+        ),
+        (F.col("_gcc").cast("double") / F.col("_tot").cast("double")).alias(
+            "gcc_share"
+        ),
+    )

@@ -2126,3 +2126,65 @@ def label_centroids(
         F.sqrt(cn2).alias("centroid_norm"),
         F.when(ok, dot / (F.sqrt(cn2) * F.sqrt(gn2))).alias("cos_global"),
     )
+
+
+def mahalanobis_diag(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diagonal-covariance Mahalanobis outlier score per embedding:
+
+        score = sqrt( sum_d (x_d - mu_d)^2 / var_d )
+
+    with per-dim population mean/variance from the corpus — the
+    axis-aligned anomaly screen (full-covariance scoring would ride
+    [[embedding_covariance]] + a solve; the diagonal form is the
+    standard first pass and catches per-dimension scale outliers that
+    the isotropic norm in [[embedding_stats]] averages away).
+    Zero-variance dims contribute 0 (they carry no information).
+
+    Determinism: per-dim mean and E[x^2] fold ordered by id (exact
+    replay; the documented exact-baseline pattern — see
+    [[anisotropy]] for the 10^12-row partial-sum alternative); the
+    per-vector score folds in dim order. Non-finite vectors are
+    excluded.
+
+    Output: (id, score double, max_dim_z double — the single worst
+    per-dim |z|), one row per finite vector.
+    """
+    ev = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("_id"), ev.alias("_v"))
+    bad = F.exists(
+        F.col("_v"), lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == float("inf"))
+    )
+    ex = base.where(~bad).select("_id", F.posexplode("_v").alias("_d", "_x"))
+    per_dim = ex.groupBy("_d").agg(
+        F.sort_array(F.collect_list(F.struct("_id", "_x"))).alias("_es"),
+    ).select(
+        "_d",
+        F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_x"]).alias("_s"),
+        F.aggregate(
+            F.col("_es"), F.lit(0.0), lambda a, e: a + e["_x"] * e["_x"]
+        ).alias("_s2"),
+        F.size("_es").cast("long").alias("_n"),
+    )
+    nd = F.col("_n").cast("double")
+    mu = F.col("_s") / nd
+    var = F.col("_s2") / nd - mu * mu
+    stats = per_dim.select("_d", mu.alias("_mu"), var.alias("_var"))
+    j = ex.join(F.broadcast(stats), "_d")
+    z2 = F.when(
+        F.col("_var") > 0,
+        (F.col("_x") - F.col("_mu")) * (F.col("_x") - F.col("_mu")) / F.col("_var"),
+    ).otherwise(F.lit(0.0))
+    per = j.select(
+        "_id", F.struct("_d", z2.alias("_z2")).alias("_e")
+    ).groupBy("_id").agg(F.sort_array(F.collect_list("_e")).alias("_es"))
+    s2 = F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_z2"])
+    mx = F.sqrt(F.array_max(F.transform(F.col("_es"), lambda e: e["_z2"])))
+    return per.select(
+        F.col("_id").alias(id_col),
+        F.sqrt(s2).alias("score"),
+        mx.alias("max_dim_z"),
+    )

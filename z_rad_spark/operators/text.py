@@ -1928,3 +1928,66 @@ def token_audit(
         F.when(ok, F.col("_na").cast("double") / nd).alias("nonascii_ratio"),
         F.when(ok, F.col("_h").cast("double") / nd).alias("hexblob_ratio"),
     )
+
+
+def coverage_curve(
+    df: DataFrame,
+    ks=(10, 100, 1000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-coverage curve: the fraction of total corpus token MASS
+    covered by the top-k vocabulary, at each k — the
+    vocabulary-truncation planning number (how big must an embedding
+    table be to cover 99% of tokens?), the cumulative complement of
+    the [[zipf_fit]] exponent and [[q_heaps]] growth views.
+
+    Determinism: counts are exact longs; ranking is (count desc,
+    token asc); each coverage share is one division of exact
+    cumulative longs (window cumsum on the compacted vocabulary
+    frame). Bit-replayable.
+
+    Scale: one token groupBy (vocabulary-sized), one rank window on
+    the compacted frame, broadcast k table. Output: (k long,
+    vocab_size long, n_tokens long, covered long, coverage double),
+    one row per k ascending.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok = df.select(F.explode(toks).alias("_t")).where(F.col("_t") != "")
+    counts = tok.groupBy("_t").agg(F.count("*").cast("long").alias("_c"))
+    w_rank = Window.orderBy(F.col("_c").desc(), F.asc("_t"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = counts.select(
+        "_c",
+        F.row_number().over(w_rank).cast("long").alias("_rk"),
+        F.sum("_c").over(w_all).cast("long").alias("_nn"),
+        F.count("*").over(w_all).cast("long").alias("_v"),
+    )
+    w_cum = Window.orderBy("_rk").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ranked.select(
+        "_rk",
+        "_nn",
+        "_v",
+        F.sum("_c").over(w_cum).cast("long").alias("_cov"),
+    )
+    kdf = df.sparkSession.createDataFrame(
+        [(int(k),) for k in sorted(ks)], "k long"
+    )
+    # coverage at k = cumulative mass at rank min(k, vocab)
+    j = kdf.crossJoin(F.broadcast(cum.where(F.col("_rk") == 1).select("_nn", "_v"))).join(
+        cum.select(F.col("_rk"), F.col("_cov")),
+        F.col("_rk") == F.least(F.col("k"), F.col("_v")),
+        "left",
+    )
+    return j.select(
+        "k",
+        F.col("_v").alias("vocab_size"),
+        F.col("_nn").alias("n_tokens"),
+        F.coalesce(F.col("_cov"), F.lit(0)).cast("long").alias("covered"),
+        F.when(
+            F.col("_nn") > 0,
+            F.coalesce(F.col("_cov"), F.lit(0)).cast("double")
+            / F.col("_nn").cast("double"),
+        ).alias("coverage"),
+    )
