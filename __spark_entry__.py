@@ -5722,6 +5722,40 @@ def q_mahalanobis(spark, sf_dir):
     )
 
 
+def q_trend_asof(spark, sf_dir):
+    """Per-conversation OLS signal trend at each cutoff
+    (asof.trend_asof): DECIMAL exact sufficient sums from one
+    broadcast-grid aggregate, leakage-safe — oracle-replayable."""
+    from z_rad_spark.operators.asof import trend_asof
+
+    out = trend_asof(_t(spark, sf_dir), spark, CUTOFFS)
+    return _r6(
+        out.select(
+            "conv_id", _us("as_of", "as_of_us"), "n", "slope", "intercept", "r2"
+        ),
+        ["slope", "intercept", "r2"],
+    )
+
+
+def q_sessions_asof(spark, sf_dir):
+    """Gap-session count and seconds-in-current-session at each cutoff
+    (asof.sessions_asof): one lag pass marks boundaries, conditional
+    exact aggregates per cutoff — oracle-replayable."""
+    from z_rad_spark.operators.asof import sessions_asof
+
+    out = sessions_asof(_t(spark, sf_dir), spark, CUTOFFS)
+    return _r6(
+        out.select(
+            "conv_id",
+            _us("as_of", "as_of_us"),
+            "n_turns",
+            "n_sessions",
+            "sec_in_session",
+        ),
+        ["sec_in_session"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6114,6 +6148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_coverage_curve": q_coverage_curve,
         "q_component_sizes": q_component_sizes,
         "q_mahalanobis": q_mahalanobis,
+        "q_trend_asof": q_trend_asof,
+        "q_sessions_asof": q_sessions_asof,
     }
 
 

@@ -13498,3 +13498,71 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
        {r6('SQRT(mx)', 'max_dim_z')}
 FROM per
 """
+
+
+# Per-conversation OLS trend at each cutoff — matches asof.trend_asof
+ORACLES["q_trend_asof"] = f"""
+WITH t AS ({T}),
+j AS (
+  SELECT t.conv_id, g.as_of,
+         CAST(t.turn_idx AS BIGINT) AS x, CAST(t.signal AS BIGINT) AS y
+  FROM t JOIN (SELECT column0 AS as_of FROM {GRID} g(column0)) g
+    ON t.ts <= g.as_of
+  WHERE t.signal IS NOT NULL
+),
+g AS (
+  SELECT conv_id, as_of,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+  FROM j GROUP BY conv_id, as_of
+),
+f AS (
+  SELECT conv_id, as_of, n,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM g
+)
+SELECT conv_id, CAST(epoch_us(as_of) AS BIGINT) AS as_of_us, n,
+       {r6('CASE WHEN n >= 2 AND vx > 0 THEN cov / vx END', 'slope')},
+       {r6('CASE WHEN n >= 2 AND vx > 0 THEN (syd - (cov / vx) * sxd) / CAST(n AS DOUBLE) END', 'intercept')},
+       {r6('CASE WHEN n >= 2 AND vx > 0 AND vy > 0 THEN (cov * cov) / (vx * vy) END', 'r2')}
+FROM f
+"""
+
+
+# Gap-session state at each cutoff — matches asof.sessions_asof
+ORACLES["q_sessions_asof"] = f"""
+WITH t AS ({T}),
+marked AS (
+  SELECT conv_id, ts, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev
+  FROM t
+),
+b AS (
+  SELECT conv_id, ts, us,
+         (prev IS NULL OR us - prev > {GAP} * 1000000) AS boundary
+  FROM marked
+),
+j AS (
+  SELECT b.conv_id, g.as_of, b.us, b.boundary
+  FROM b JOIN (SELECT column0 AS as_of FROM {GRID} g(column0)) g
+    ON b.ts <= g.as_of
+),
+agg AS (
+  SELECT conv_id, as_of,
+         CAST(COUNT(*) AS BIGINT) AS n_turns,
+         CAST(COALESCE(SUM(CASE WHEN boundary THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_sessions,
+         CAST(MAX(CASE WHEN boundary THEN us END) AS BIGINT) AS start_us
+  FROM j GROUP BY conv_id, as_of
+)
+SELECT conv_id, CAST(epoch_us(as_of) AS BIGINT) AS as_of_us,
+       n_turns, n_sessions,
+       {r6('CASE WHEN start_us IS NOT NULL THEN CAST(epoch_us(as_of) - start_us AS DOUBLE) / 1e6 END', 'sec_in_session')}
+FROM agg
+"""

@@ -872,3 +872,53 @@ def test_mahalanobis_diag_hand_computed(spark):
     for vid in (1, 2):
         assert out[vid]["score"] == pytest.approx(1.0, rel=1e-12)
         assert out[vid]["max_dim_z"] == pytest.approx(1.0, rel=1e-12)
+
+
+def test_trend_asof_hand_computed(spark):
+    from z_rad_spark.operators.asof import trend_asof
+
+    # conv with signal 1,3,5 at turn_idx 0,1,2 (all pre-cutoff):
+    # perfect line slope 2, intercept 1, r2 = 1; 4th turn post-cutoff
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "2024-01-01 00:00:00", 1.0),
+            ("c1", 1, "user", "2024-01-01 00:01:00", 3.0),
+            ("c1", 2, "user", "2024-01-01 00:02:00", 5.0),
+            ("c1", 3, "user", "2024-02-01 00:00:00", 100.0),
+        ],
+        "conv_id string, turn_idx int, role string, ts string, signal double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = trend_asof(df, spark, ["2024-01-15 00:00:00"]).collect()[0]
+    assert r["n"] == 3
+    assert r["slope"] == pytest.approx(2.0, rel=1e-12)
+    assert r["intercept"] == pytest.approx(1.0, rel=1e-12)
+    assert r["r2"] == pytest.approx(1.0, rel=1e-12)
+
+
+def test_sessions_asof_hand_computed(spark):
+    from z_rad_spark.operators.asof import sessions_asof
+
+    # turns at 10:00, 10:10 (same session), 12:00 (new session)
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "2024-01-01 10:00:00", 1.0),
+            ("c1", 1, "user", "2024-01-01 10:10:00", 1.0),
+            ("c1", 2, "user", "2024-01-01 12:00:00", 1.0),
+        ],
+        "conv_id string, turn_idx int, role string, ts string, signal double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["as_of_us"] if "as_of_us" in r else str(r["as_of"]): r
+        for r in sessions_asof(
+            df, spark, ["2024-01-01 11:00:00", "2024-01-01 13:00:00"]
+        ).collect()
+    }
+    vals = {str(r["as_of"]): r for r in sessions_asof(
+        df, spark, ["2024-01-01 11:00:00", "2024-01-01 13:00:00"]
+    ).collect()}
+    r1 = vals["2024-01-01 11:00:00"]
+    assert r1["n_turns"] == 2 and r1["n_sessions"] == 1
+    assert r1["sec_in_session"] == pytest.approx(3600.0, rel=1e-12)
+    r2 = vals["2024-01-01 13:00:00"]
+    assert r2["n_turns"] == 3 and r2["n_sessions"] == 2
+    assert r2["sec_in_session"] == pytest.approx(3600.0, rel=1e-12)

@@ -320,3 +320,135 @@ def recency_features(
             ).alias(f"sec_since_{r}")
         )
     return g.select(*cols)
+
+
+def trend_asof(
+    df: DataFrame,
+    spark,
+    cutoffs,
+    signal_col: str = "signal",
+) -> DataFrame:
+    """Per-conversation signal trend at each as-of cutoff: the exact
+    OLS slope/intercept of signal over turn index using ONLY turns
+    with ts <= cutoff — the 'is this conversation heating up or
+    cooling down?' feature, leakage-safe by construction, the
+    per-entity point-in-time counterpart to the corpus-level
+    [[q_signal_trend]] / [[q_theil_sen]] fits.
+
+    Determinism: the four sufficient sums ride DECIMAL(38,0) exact
+    products (turn_idx * signal passes 2^63 only far beyond any real
+    conversation, but the headroom is free); slope/intercept/r2 are
+    fixed double chains. Bit-replayable.
+
+    Scale: broadcast cutoff grid + ONE map-side-combined aggregate —
+    no per-conversation window, no turns x cutoffs shuffle beyond the
+    bounded grid join. Output: (conv_id, as_of, n long, slope,
+    intercept, r2 doubles — NULL when n < 2 or variance degenerates).
+    """
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    grid = spark.createDataFrame(
+        [(c,) for c in cutoffs], "as_of string"
+    ).select(F.col("as_of").cast("timestamp").alias("as_of"))
+    x = F.col("turn_idx").cast("long")
+    y = F.col(signal_col).cast("long")
+    j = (
+        df.where(y.isNotNull())
+        .crossJoin(F.broadcast(grid))
+        .where(F.col("ts").cast("timestamp") <= F.col("as_of"))
+    )
+    g = j.groupBy("conv_id", "as_of").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d19(x)).alias("_sx"),
+        F.sum(d19(x) * d19(x)).alias("_sxx"),
+        F.sum(d19(y)).alias("_sy"),
+        F.sum(d19(y) * d19(y)).alias("_syy"),
+        F.sum(d19(x) * d19(y)).alias("_sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sy = F.col("_sy").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    cov = nd * sxy - sx * sy
+    slope = cov / vx
+    intercept = (sy - slope * sx) / nd
+    r2 = (cov * cov) / (vx * vy)
+    ok = (F.col("n") >= 2) & (vx > 0)
+    return g.select(
+        "conv_id",
+        "as_of",
+        "n",
+        F.when(ok, slope).alias("slope"),
+        F.when(ok, intercept).alias("intercept"),
+        F.when(ok & (vy > 0), r2).alias("r2"),
+    )
+
+
+def sessions_asof(
+    df: DataFrame,
+    spark,
+    cutoffs,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Session-count state at each as-of cutoff: how many gap-based
+    sessions (gap > ``gap_seconds``) the conversation has accumulated
+    using only ts <= cutoff, plus seconds since the current session
+    started — the point-in-time view of [[q_sessionize]]'s full-table
+    segmentation (a feature store can't run the full sessionizer per
+    cutoff; this derives the same counts from ONE lag pass reused by
+    every cutoff).
+
+    The lag pass marks each turn as a session BOUNDARY (first turn,
+    or gap from the previous turn > gap_seconds); for a cutoff,
+    n_sessions = # boundaries with ts <= cutoff and session_start =
+    the latest boundary ts <= cutoff — conditional exact aggregates,
+    no per-cutoff re-sort.
+
+    Determinism: boundaries come from exact microsecond gaps on the
+    stable (ts, turn_idx) order; counts/maxes are exact; the seconds
+    column is one fixed subtraction. Bit-replayable.
+
+    Output: (conv_id, as_of, n_turns long, n_sessions long,
+    sec_in_session double), one row per (conversation, cutoff) with
+    history.
+    """
+    grid = spark.createDataFrame(
+        [(c,) for c in cutoffs], "as_of string"
+    ).select(F.col("as_of").cast("timestamp").alias("as_of"))
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    marked = df.select(
+        "conv_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        ts_us.alias("_us"),
+        F.lag(ts_us, 1).over(w).alias("_prev"),
+    ).select(
+        "conv_id",
+        "ts",
+        "_us",
+        (
+            F.col("_prev").isNull()
+            | ((F.col("_us") - F.col("_prev")) > int(gap_seconds) * 1_000_000)
+        ).alias("_boundary"),
+    )
+    j = marked.crossJoin(F.broadcast(grid)).where(F.col("ts") <= F.col("as_of"))
+    g = j.groupBy("conv_id", "as_of").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("_boundary"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_sessions"),
+        F.max(F.when(F.col("_boundary"), F.col("_us"))).alias("_start"),
+    )
+    sec = (F.unix_micros(F.col("as_of")) - F.col("_start")).cast("double") / F.lit(
+        1e6
+    )
+    return g.select(
+        "conv_id",
+        "as_of",
+        "n_turns",
+        "n_sessions",
+        F.when(F.col("_start").isNotNull(), sec).alias("sec_in_session"),
+    )
