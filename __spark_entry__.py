@@ -5756,6 +5756,38 @@ def q_sessions_asof(spark, sf_dir):
     )
 
 
+def q_length_gini(spark, sf_dir):
+    """Exact Gini + Lorenz deciles of per-document token mass
+    (curation.length_gini): exact integer ranks, DECIMAL rank
+    products, one division per point — oracle-replayable."""
+    from z_rad_spark.operators.curation import length_gini
+
+    return _r6(length_gini(_docs(spark, sf_dir)), ["mass_share", "gini"])
+
+
+def q_wau_overlap(spark, sf_dir):
+    """Week-over-week active-user growth accounting
+    (curation.wau_overlap): exact distinct sets, retained/new/churned
+    decomposition, retention + Jaccard — oracle-replayable."""
+    from z_rad_spark.operators.curation import wau_overlap
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = wau_overlap(ev)
+    return _r6(
+        out.select(
+            _us("week_start", "week_us"),
+            "n_prev",
+            "n_curr",
+            "retained",
+            "new_users",
+            "churned",
+            "retention",
+            "jaccard",
+        ),
+        ["retention", "jaccard"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6150,6 +6182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mahalanobis": q_mahalanobis,
         "q_trend_asof": q_trend_asof,
         "q_sessions_asof": q_sessions_asof,
+        "q_length_gini": q_length_gini,
+        "q_wau_overlap": q_wau_overlap,
     }
 
 

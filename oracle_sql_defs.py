@@ -13566,3 +13566,74 @@ SELECT conv_id, CAST(epoch_us(as_of) AS BIGINT) AS as_of_us,
        {r6('CASE WHEN start_us IS NOT NULL THEN CAST(epoch_us(as_of) - start_us AS DOUBLE) / 1e6 END', 'sec_in_session')}
 FROM agg
 """
+
+
+# Exact Gini + Lorenz deciles of doc token mass — matches
+# curation.length_gini
+ORACLES["q_length_gini"] = f"""
+WITH lens AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, CAST(len({TOKS_RAW}) AS BIGINT) AS x
+  FROM documents
+),
+ranked AS (
+  SELECT x,
+         CAST(ROW_NUMBER() OVER (ORDER BY x ASC, id ASC) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         CAST(SUM(x) OVER () AS BIGINT) AS sx
+  FROM lens
+),
+cum AS (
+  SELECT i, n, sx,
+         (2 * CAST(i AS HUGEINT) - n - 1) * x AS g,
+         CAST(SUM(x) OVER (ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cx
+  FROM ranked
+),
+gn AS (SELECT CAST(SUM(g) AS HUGEINT) AS gnum FROM cum),
+ds AS (SELECT CAST(d AS BIGINT) AS decile FROM generate_series(1, 10) s(d)),
+marks AS (
+  SELECT ds.decile, cum.i, cum.n, cum.sx, cum.cx
+  FROM cum JOIN ds
+    ON cum.i = CAST(FLOOR(ds.decile * cum.n / 10.0) AS BIGINT)
+)
+SELECT decile, i AS n_docs,
+       {r6('CASE WHEN sx > 0 THEN CAST(cx AS DOUBLE) / CAST(sx AS DOUBLE) END', 'mass_share')},
+       {r6('CASE WHEN sx > 0 THEN CAST(gn.gnum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) END', 'gini')}
+FROM marks, gn
+"""
+
+
+# Week-over-week active-user accounting — matches curation.wau_overlap
+ORACLES["q_wau_overlap"] = f"""
+WITH p AS (
+  SELECT DISTINCT date_trunc('week', ts) AS w, CAST(user_id AS BIGINT) AS u
+  FROM events
+),
+both_ AS (
+  SELECT b.w AS w, CAST(COUNT(*) AS BIGINT) AS retained
+  FROM p a JOIN p b ON a.u = b.u AND b.w = a.w + INTERVAL 7 DAY
+  GROUP BY b.w
+),
+per_week AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY w),
+adj AS (
+  SELECT w, n,
+         LAG(w) OVER (ORDER BY w) AS pw,
+         LAG(n) OVER (ORDER BY w) AS pn
+  FROM per_week
+),
+jj AS (
+  SELECT adj.w AS week_start,
+         CAST(adj.pn AS BIGINT) AS n_prev,
+         CAST(adj.n AS BIGINT) AS n_curr,
+         CAST(COALESCE(both_.retained, 0) AS BIGINT) AS retained
+  FROM adj LEFT JOIN both_ ON both_.w = adj.w
+  WHERE adj.pw IS NOT NULL AND adj.w = adj.pw + INTERVAL 7 DAY
+)
+SELECT CAST(epoch_us(week_start) AS BIGINT) AS week_us,
+       n_prev, n_curr, retained,
+       CAST(n_curr - retained AS BIGINT) AS new_users,
+       CAST(n_prev - retained AS BIGINT) AS churned,
+       {r6('CASE WHEN n_prev > 0 THEN CAST(retained AS DOUBLE) / CAST(n_prev AS DOUBLE) END', 'retention')},
+       {r6('CASE WHEN n_prev + n_curr - retained > 0 THEN CAST(retained AS DOUBLE) / CAST(n_prev + n_curr - retained AS DOUBLE) END', 'jaccard')}
+FROM jj
+"""

@@ -922,3 +922,51 @@ def test_sessions_asof_hand_computed(spark):
     r2 = vals["2024-01-01 13:00:00"]
     assert r2["n_turns"] == 3 and r2["n_sessions"] == 2
     assert r2["sec_in_session"] == pytest.approx(3600.0, rel=1e-12)
+
+
+def test_length_gini_uniform_is_zero(spark):
+    from z_rad_spark.operators.curation import length_gini
+
+    docs = spark.createDataFrame(
+        [(i, "a b c", "en", "s") for i in range(10)],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = length_gini(docs).collect()
+    g = rows[0]["gini"]
+    assert g == pytest.approx(0.0, abs=1e-12)
+    out = {r["decile"]: r for r in rows}
+    # uniform lengths: bottom half holds half the mass
+    assert out[5]["mass_share"] == pytest.approx(0.5, rel=1e-12)
+    assert out[10]["mass_share"] == pytest.approx(1.0, rel=1e-12)
+
+
+def test_length_gini_hand_computed(spark):
+    from z_rad_spark.operators.curation import length_gini
+
+    # lengths 1, 3: G = ((2*1-3)*1 + (2*2-3)*3)/(2*4) = (-1+3)/8 = .25
+    docs = spark.createDataFrame(
+        [(1, "a", "en", "s"), (2, "a b c", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = length_gini(docs, n_deciles=2).collect()
+    assert rows[0]["gini"] == pytest.approx(0.25, rel=1e-12)
+
+
+def test_wau_overlap_hand_computed(spark):
+    from z_rad_spark.operators.curation import wau_overlap
+
+    # week 1 (Mon 2024-01-01): users 1,2,3; week 2: users 2,3,4,5
+    rows = []
+    eid = 0
+    for d, users in [("2024-01-02", [1, 2, 3]), ("2024-01-09", [2, 3, 4, 5])]:
+        for u in users:
+            rows.append((eid, f"{d} 10:00:00", u, "click", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = wau_overlap(ev).collect()[0]
+    assert (r["n_prev"], r["n_curr"]) == (3, 4)
+    assert r["retained"] == 2 and r["new_users"] == 2 and r["churned"] == 1
+    assert r["retention"] == pytest.approx(2 / 3, rel=1e-12)
+    assert r["jaccard"] == pytest.approx(2 / 5, rel=1e-12)

@@ -1953,3 +1953,151 @@ def source_temperature(
         F.when(ok, w).alias("w"),
         F.when(ok, w / F.col("_p")).alias("boost"),
     )
+
+
+def length_gini(
+    docs: DataFrame,
+    n_deciles: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-mass inequality across documents: the exact Gini
+    coefficient of per-document token counts plus the Lorenz curve at
+    each decile (share of total token mass held by the shortest d/10
+    of documents) — the corpus-shape number a packing/sharding plan
+    needs (Gini near 0 = uniform docs, near 1 = a few monsters hold
+    the mass and [[pack_sequences]] bin-packing, not round-robin, is
+    mandatory), beside the per-SOURCE concentration view of
+    [[q_source_concentration]].
+
+        G = sum_i (2i - n - 1) x_(i) / (n sum x)
+
+    over length-ascending ranks i (ties broken by doc id — any tie
+    order gives the same G since tied x are equal).
+
+    Determinism: ranks and all sums are exact integers; the rank
+    products ride DECIMAL(38,0) (i * x passes 2^63 at corpus scale);
+    one division for G, one per Lorenz point. Bit-replayable.
+
+    Scale: one rank window over the (doc, length) frame (the
+    documented exact-order pass — at 10^12 docs this is the standard
+    distributed sort), decile cut by integer rank threshold. Output:
+    (decile long, n_docs long, mass_share double, gini double —
+    repeated per row), deciles 1..10 ascending.
+    """
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    lens = docs.select(
+        F.col("doc_id").cast("long").alias("_id"),
+        F.size(toks).cast("long").alias("_x"),
+    )
+    w_rank = Window.orderBy(F.asc("_x"), F.asc("_id"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = lens.select(
+        "_x",
+        F.row_number().over(w_rank).cast("long").alias("_i"),
+        F.count("*").over(w_all).cast("long").alias("_n"),
+        F.sum("_x").over(w_all).cast("long").alias("_sx"),
+    )
+    gterm = (F.lit(2) * d19(F.col("_i")) - d19(F.col("_n")) - 1) * d19(F.col("_x"))
+    w_cum = Window.orderBy("_i").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ranked.select(
+        "_i",
+        "_n",
+        "_sx",
+        gterm.alias("_g"),
+        F.sum("_x").over(w_cum).cast("long").alias("_cx"),
+    )
+    gini_num = cum.agg(F.sum("_g").alias("_gn")).select(
+        F.col("_gn").cast("decimal(38,0)").alias("_gn")
+    )
+    # decile cut: the largest rank <= ceil(d * n / 10)
+    ddf = docs.sparkSession.range(1, int(n_deciles) + 1).select(
+        F.col("id").cast("long").alias("decile")
+    )
+    marks = cum.crossJoin(F.broadcast(ddf)).where(
+        F.col("_i") == F.floor(F.col("decile") * F.col("_n") / F.lit(int(n_deciles)))
+    )
+    out = marks.crossJoin(F.broadcast(gini_num))
+    nd = F.col("_n").cast("double")
+    sxd = F.col("_sx").cast("double")
+    return out.select(
+        "decile",
+        F.col("_i").alias("n_docs"),
+        F.when(F.col("_sx") > 0, F.col("_cx").cast("double") / sxd).alias(
+            "mass_share"
+        ),
+        F.when(
+            F.col("_sx") > 0, F.col("_gn").cast("double") / (nd * sxd)
+        ).alias("gini"),
+    )
+
+
+def wau_overlap(events: DataFrame) -> DataFrame:
+    """Week-over-week active-user accounting from the raw event log:
+    for each consecutive week pair, retained / new / churned user
+    counts, the retention rate, and the Jaccard of the two active
+    sets — the growth-accounting decomposition
+    (active_t = retained + new) that [[q_cohort_retention]] slices by
+    signup cohort and this op gives corpus-wide per week.
+
+    Determinism: active sets are exact distinct (week, user) rows;
+    every count is an exact long from semi/anti-style joins; rates
+    are single divisions. Bit-replayable.
+
+    Scale: one distinct + one self-join keyed by user (the natural
+    shuffle key; weeks-per-user is tiny), week pairs from adjacent
+    calendar weeks present in the data. Output: (week_start, n_prev
+    long, n_curr long, retained long, new_users long, churned long,
+    retention double, jaccard double), one row per week with a
+    predecessor, ascending.
+    """
+    p = events.select(
+        F.date_trunc("week", F.col("ts")).alias("_w"),
+        F.col("user_id").cast("long").alias("_u"),
+    ).distinct()
+    a = p.select(F.col("_w").alias("_wa"), "_u")
+    b = p.select(F.col("_w").alias("_wb"), "_u")
+    next_w = F.col("_wa") + F.expr("INTERVAL 7 DAYS")
+    both = (
+        a.join(b, "_u")
+        .where(F.col("_wb") == next_w)
+        .groupBy(F.col("_wb").alias("_w"))
+        .agg(F.count("*").cast("long").alias("retained"))
+    )
+    per_week = p.groupBy("_w").agg(F.count("*").cast("long").alias("_n"))
+    w_ord = Window.orderBy("_w")
+    adj = per_week.select(
+        "_w",
+        "_n",
+        F.lag("_w", 1).over(w_ord).alias("_pw"),
+        F.lag("_n", 1).over(w_ord).alias("_pn"),
+    ).where(
+        F.col("_pw").isNotNull()
+        & (F.col("_w") == F.col("_pw") + F.expr("INTERVAL 7 DAYS"))
+    )
+    j = adj.join(both, "_w", "left").select(
+        F.col("_w").alias("week_start"),
+        F.col("_pn").cast("long").alias("n_prev"),
+        F.col("_n").cast("long").alias("n_curr"),
+        F.coalesce(F.col("retained"), F.lit(0)).cast("long").alias("retained"),
+    )
+    new_u = F.col("n_curr") - F.col("retained")
+    churned = F.col("n_prev") - F.col("retained")
+    union = F.col("n_prev") + F.col("n_curr") - F.col("retained")
+    return j.select(
+        "week_start",
+        "n_prev",
+        "n_curr",
+        "retained",
+        new_u.alias("new_users"),
+        churned.alias("churned"),
+        F.when(
+            F.col("n_prev") > 0,
+            F.col("retained").cast("double") / F.col("n_prev").cast("double"),
+        ).alias("retention"),
+        F.when(
+            union > 0, F.col("retained").cast("double") / union.cast("double")
+        ).alias("jaccard"),
+    )
