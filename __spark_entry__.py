@@ -5788,6 +5788,24 @@ def q_wau_overlap(spark, sf_dir):
     )
 
 
+def q_seasonality(spark, sf_dir):
+    """Hour-of-day / day-of-week ANOVA variance shares of the hourly
+    series (sessionize.seasonality_strength): exact DECIMAL group
+    moments, group-ordered folds — oracle-replayable."""
+    from z_rad_spark.operators.sessionize import seasonality_strength
+
+    return _r6(seasonality_strength(_t(spark, sf_dir)), ["eta2_hour", "eta2_dow"])
+
+
+def q_key_skew(spark, sf_dir):
+    """Shuffle-key skew profile of conv_id (sessionize.key_skew_profile):
+    exact rank-pick quantiles on the count histogram, top-share and
+    max/p50 skew ratio — oracle-replayable."""
+    from z_rad_spark.operators.sessionize import key_skew_profile
+
+    return _r6(key_skew_profile(_t(spark, sf_dir)), ["top_share", "skew_ratio"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6184,6 +6202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessions_asof": q_sessions_asof,
         "q_length_gini": q_length_gini,
         "q_wau_overlap": q_wau_overlap,
+        "q_seasonality": q_seasonality,
+        "q_key_skew": q_key_skew,
     }
 
 

@@ -13637,3 +13637,83 @@ SELECT CAST(epoch_us(week_start) AS BIGINT) AS week_us,
        {r6('CASE WHEN n_prev + n_curr - retained > 0 THEN CAST(retained AS DOUBLE) / CAST(n_prev + n_curr - retained AS DOUBLE) END', 'jaccard')}
 FROM jj
 """
+
+
+# Hour-of-day / day-of-week ANOVA shares — matches
+# sessionize.seasonality_strength
+ORACLES["q_seasonality"] = f"""
+WITH t AS ({T}),
+hh AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM t GROUP BY date_trunc('hour', ts)
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+  FROM hh
+),
+gh AS (
+  SELECT EXTRACT(hour FROM h) AS g, CAST(SUM(c) AS BIGINT) AS sg,
+         CAST(COUNT(*) AS BIGINT) AS ng
+  FROM hh GROUP BY EXTRACT(hour FROM h)
+),
+bh AS (
+  SELECT list_reduce([0.0] || list(
+           CAST(CAST(sg AS HUGEINT) * sg AS DOUBLE) / CAST(ng AS DOUBLE)
+           ORDER BY g), (a, e) -> a + e) AS v
+  FROM gh
+),
+gd AS (
+  SELECT dayofweek(h) + 1 AS g, CAST(SUM(c) AS BIGINT) AS sg,
+         CAST(COUNT(*) AS BIGINT) AS ng
+  FROM hh GROUP BY dayofweek(h) + 1
+),
+bd AS (
+  SELECT list_reduce([0.0] || list(
+           CAST(CAST(sg AS HUGEINT) * sg AS DOUBLE) / CAST(ng AS DOUBLE)
+           ORDER BY g), (a, e) -> a + e) AS v
+  FROM gd
+),
+f AS (
+  SELECT tot.n,
+         CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE) AS msq,
+         CAST(tot.s2 AS DOUBLE) AS s2d, bh.v AS vbh, bd.v AS vbd
+  FROM tot, bh, bd
+)
+SELECT n,
+       {r6('CASE WHEN s2d - msq > 0 THEN (vbh - msq) / (s2d - msq) END', 'eta2_hour')},
+       {r6('CASE WHEN s2d - msq > 0 THEN (vbd - msq) / (s2d - msq) END', 'eta2_dow')}
+FROM f
+"""
+
+
+# conv_id shuffle-key skew profile — matches
+# sessionize.key_skew_profile
+ORACLES["q_key_skew"] = f"""
+WITH t AS ({T}),
+counts AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY conv_id),
+hist AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM counts GROUP BY c),
+cum AS (
+  SELECT c,
+         CAST(SUM(m) OVER (ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm,
+         CAST(SUM(m) OVER () AS BIGINT) AS nk,
+         CAST(SUM(c * m) OVER () AS BIGINT) AS nr,
+         CAST(MAX(c) OVER () AS BIGINT) AS mx
+  FROM hist
+),
+g AS (
+  SELECT CAST(MAX(nk) AS BIGINT) AS n_keys,
+         CAST(MAX(nr) AS BIGINT) AS n_rows,
+         CAST(MIN(CASE WHEN cm >= CAST(CEIL(0.5 * nk) AS BIGINT) THEN c END) AS BIGINT) AS p50,
+         CAST(MIN(CASE WHEN cm >= CAST(CEIL(0.9 * nk) AS BIGINT) THEN c END) AS BIGINT) AS p90,
+         CAST(MIN(CASE WHEN cm >= CAST(CEIL(0.99 * nk) AS BIGINT) THEN c END) AS BIGINT) AS p99,
+         CAST(MAX(mx) AS BIGINT) AS max_count
+  FROM cum
+)
+SELECT n_keys, n_rows, p50, p90, p99, max_count,
+       {r6('CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE)', 'top_share')},
+       {r6('CASE WHEN p50 > 0 THEN CAST(max_count AS DOUBLE) / CAST(p50 AS DOUBLE) END', 'skew_ratio')}
+FROM g
+"""

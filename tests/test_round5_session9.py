@@ -970,3 +970,42 @@ def test_wau_overlap_hand_computed(spark):
     assert r["retained"] == 2 and r["new_users"] == 2 and r["churned"] == 1
     assert r["retention"] == pytest.approx(2 / 3, rel=1e-12)
     assert r["jaccard"] == pytest.approx(2 / 5, rel=1e-12)
+
+
+def test_seasonality_pure_hour_pattern(spark):
+    from z_rad_spark.operators.sessionize import seasonality_strength
+
+    # two days, hour-of-day pattern repeats exactly -> hour explains
+    # all variance (eta2_hour = 1)
+    ts = []
+    for day in (1, 2):
+        for hour, c in [(0, 1), (1, 3), (2, 5)]:
+            for i in range(c):
+                ts.append(f"2024-01-{day:02d} {hour:02d}:00:{i:02d}")
+    r = seasonality_strength(_turns_at(spark, ts)).collect()[0]
+    assert r["n"] == 6
+    assert r["eta2_hour"] == pytest.approx(1.0, rel=1e-12)
+
+
+def test_seasonality_constant_series_null(spark):
+    from z_rad_spark.operators.sessionize import seasonality_strength
+
+    ts = [f"2024-01-01 {h:02d}:00:00" for h in range(4)]
+    r = seasonality_strength(_turns_at(spark, ts)).collect()[0]
+    assert r["eta2_hour"] is None and r["eta2_dow"] is None
+
+
+def test_key_skew_profile_hand_computed(spark):
+    from z_rad_spark.operators.sessionize import key_skew_profile
+
+    # counts: c1 -> 1, c2 -> 1, c3 -> 2, c4 -> 8
+    rows = []
+    for conv, n in [("c1", 1), ("c2", 1), ("c3", 2), ("c4", 8)]:
+        for i in range(n):
+            rows.append((conv, i, "user", 1))
+    r = key_skew_profile(_turns(spark, rows)).collect()[0]
+    assert r["n_keys"] == 4 and r["n_rows"] == 12
+    # ranks: ceil(.5*4)=2 -> counts sorted 1,1,2,8 -> p50 = 1
+    assert r["p50"] == 1 and r["p90"] == 8 and r["max_count"] == 8
+    assert r["top_share"] == pytest.approx(8 / 12, rel=1e-12)
+    assert r["skew_ratio"] == pytest.approx(8.0, rel=1e-12)

@@ -1663,3 +1663,127 @@ def entropy_rate(df: DataFrame) -> DataFrame:
         F.col("_hm").alias("h_marg"),
         (F.col("_hm") - F.col("h_rate")).alias("gain"),
     )
+
+
+def seasonality_strength(df: DataFrame) -> DataFrame:
+    """Calendar seasonality strength of the hourly turn-count series:
+    the one-way ANOVA variance share (eta^2 = SSB/SST) explained by
+    hour-of-day and, separately, by day-of-week — the scalar 'how
+    periodic is this corpus?' summary that [[spectral_profile]] shows
+    as spectrum and this op reduces to two effect sizes a capacity
+    plan can threshold:
+
+        eta2 = [sum_g S_g^2 / n_g - S^2 / n] / [sum c^2 - S^2 / n]
+
+    Determinism: S_g, n_g, S, sum c^2 are exact longs (squares ride
+    DECIMAL(38,0)); each eta2 folds the per-group S_g^2/n_g terms
+    ordered by group key and finishes with a fixed chain. NULL when
+    the series is constant (SST = 0). Bit-replayable.
+
+    Scale: calendar-bounded series; two tiny (<= 24 / 7 cell)
+    aggregates. Output one row: (n long, eta2_hour, eta2_dow
+    doubles).
+    """
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    h = df.groupBy(F.date_trunc("hour", F.col("ts")).alias("_h")).agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    tot = h.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_c").cast("long").alias("_s"),
+        F.sum(d19(F.col("_c")) * d19(F.col("_c"))).alias("_s2"),
+    )
+
+    def _eta(key_expr, name):
+        g = h.groupBy(key_expr.alias("_g")).agg(
+            F.sum("_c").cast("long").alias("_sg"),
+            F.count("*").cast("long").alias("_ng"),
+        )
+        term = (
+            d19(F.col("_sg")) * d19(F.col("_sg"))
+        ).cast("double") / F.col("_ng").cast("double")
+        per = g.select(F.struct("_g", term.alias("_t")).alias("_e")).agg(
+            F.sort_array(F.collect_list("_e")).alias("_es")
+        )
+        return per.select(
+            F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_t"]).alias(
+                name
+            )
+        )
+
+    eh = _eta(F.hour(F.col("_h")), "_bh")
+    ed = _eta(F.dayofweek(F.col("_h")), "_bd")
+    g = tot.crossJoin(F.broadcast(eh)).crossJoin(F.broadcast(ed))
+    nd = F.col("n").cast("double")
+    mean_sq = F.col("_s").cast("double") * F.col("_s").cast("double") / nd
+    sst = F.col("_s2").cast("double") - mean_sq
+    return g.select(
+        "n",
+        F.when(sst > 0, (F.col("_bh") - mean_sq) / sst).alias("eta2_hour"),
+        F.when(sst > 0, (F.col("_bd") - mean_sq) / sst).alias("eta2_dow"),
+    )
+
+
+def key_skew_profile(df: DataFrame, key_col: str = "conv_id") -> DataFrame:
+    """Shuffle-key skew profile: exact order statistics of the per-key
+    row-count distribution (p50 / p90 / p99 / max by integer rank),
+    the top-key share of all rows, and the skew ratio max/p50 — the
+    numbers that decide whether a join or window on this key needs
+    [[operators/skew.py]] salting or AQE skew-split BEFORE the job
+    runs, not after the straggler task shows up.
+
+    Determinism: per-key counts are exact longs; the quantiles are
+    EXACT rank picks (rank = ceil(q * n_keys), count asc, no
+    interpolation); shares and the ratio are single divisions.
+    Bit-replayable.
+
+    Scale: one map-side-combined count per key, one rank window over
+    the (distinct-count-compacted) histogram — state is bounded by
+    the count-cardinality, not the key count. Output one row:
+    (n_keys long, n_rows long, p50 long, p90 long, p99 long,
+    max_count long, top_share double, skew_ratio double).
+    """
+    counts = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    hist = counts.groupBy("_c").agg(F.count("*").cast("long").alias("_m"))
+    w_cum = Window.orderBy("_c").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "_c",
+        F.sum("_m").over(w_cum).cast("long").alias("_cum"),
+        F.sum("_m").over(w_all).cast("long").alias("_nk"),
+        F.sum(F.col("_c") * F.col("_m")).over(w_all).cast("long").alias("_nr"),
+        F.max("_c").over(w_all).cast("long").alias("_mx"),
+    )
+
+    def pick(q):
+        # smallest count whose cumulative key coverage reaches ceil(q*nk)
+        thresh = F.ceil(F.lit(q) * F.col("_nk")).cast("long")
+        return F.min(F.when(F.col("_cum") >= thresh, F.col("_c")))
+
+    g = cum.agg(
+        F.max("_nk").alias("n_keys"),
+        F.max("_nr").alias("n_rows"),
+        pick(0.50).cast("long").alias("p50"),
+        pick(0.90).cast("long").alias("p90"),
+        pick(0.99).cast("long").alias("p99"),
+        F.max("_mx").cast("long").alias("max_count"),
+    )
+    return g.select(
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "p50",
+        "p90",
+        "p99",
+        "max_count",
+        (F.col("max_count").cast("double") / F.col("n_rows").cast("double")).alias(
+            "top_share"
+        ),
+        F.when(
+            F.col("p50") > 0,
+            F.col("max_count").cast("double") / F.col("p50").cast("double"),
+        ).alias("skew_ratio"),
+    )
