@@ -5806,6 +5806,25 @@ def q_key_skew(spark, sf_dir):
     return _r6(key_skew_profile(_t(spark, sf_dir)), ["top_share", "skew_ratio"])
 
 
+def q_xcorr(spark, sf_dir):
+    """User/assistant hourly-activity cross-correlation at lags -3..3
+    (profile.role_xcorr): exact pair moments per lag, zero-filled
+    union grid — oracle-replayable."""
+    from z_rad_spark.operators.profile import role_xcorr
+
+    return _r6(role_xcorr(_t(spark, sf_dir)), ["r"])
+
+
+def q_handoff_matrix(spark, sf_dir):
+    """Role-pair handoff latency matrix with exact rank-pick
+    median/p90 (profile.handoff_latency_matrix): microsecond-exact
+    gaps, compacted histogram order stats — oracle-replayable."""
+    from z_rad_spark.operators.profile import handoff_latency_matrix
+
+    out = handoff_latency_matrix(_t(spark, sf_dir))
+    return _r6(out, ["mean_sec", "p50_sec", "p90_sec"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6204,6 +6223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wau_overlap": q_wau_overlap,
         "q_seasonality": q_seasonality,
         "q_key_skew": q_key_skew,
+        "q_xcorr": q_xcorr,
+        "q_handoff_matrix": q_handoff_matrix,
     }
 
 

@@ -13717,3 +13717,78 @@ SELECT n_keys, n_rows, p50, p90, p99, max_count,
        {r6('CASE WHEN p50 > 0 THEN CAST(max_count AS DOUBLE) / CAST(p50 AS DOUBLE) END', 'skew_ratio')}
 FROM g
 """
+
+
+# User/assistant hourly cross-correlation — matches profile.role_xcorr
+_XCORR_LAG = """
+  SELECT CAST({lag} AS BIGINT) AS lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM (
+    SELECT COALESCE(a.ca, 0) AS x, COALESCE(b.cb, 0) AS y
+    FROM (SELECT h, ca FROM hrs) a
+    FULL JOIN (SELECT h - ({lag}) * INTERVAL 1 HOUR AS h, cb FROM hrs) b USING (h)
+  )
+"""
+
+ORACLES["q_xcorr"] = f"""
+WITH t AS ({T}),
+hrs AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(COALESCE(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END), 0) AS BIGINT) AS ca,
+         CAST(COALESCE(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END), 0) AS BIGINT) AS cb
+  FROM t GROUP BY date_trunc('hour', ts)
+),
+moments AS (
+  {" UNION ALL ".join(_XCORR_LAG.format(lag=lag) for lag in range(-3, 4))}
+)
+SELECT lag, n_pairs,
+       {r6('''CASE WHEN (n_pairs * sxx - sx * sx) > 0 AND (n_pairs * syy - sy * sy) > 0
+              THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                   / SQRT(CAST(n_pairs * sxx - sx * sx AS DOUBLE) * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+              END''', 'r')}
+FROM moments
+"""
+
+
+# Role-pair handoff latency matrix — matches
+# profile.handoff_latency_matrix
+ORACLES["q_handoff_matrix"] = f"""
+WITH t AS ({T}),
+seq AS (
+  SELECT conv_id, role AS v, epoch_us(ts) AS us,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS u,
+         LAG(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS pus
+  FROM t
+),
+pairs AS (
+  SELECT u, v, CAST(us - pus AS BIGINT) AS gap
+  FROM seq WHERE u IS NOT NULL
+),
+hist AS (
+  SELECT u, v, gap, CAST(COUNT(*) AS BIGINT) AS m FROM pairs GROUP BY u, v, gap
+),
+cum AS (
+  SELECT u, v, gap,
+         CAST(SUM(m) OVER (PARTITION BY u, v ORDER BY gap
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm,
+         CAST(SUM(m) OVER (PARTITION BY u, v) AS BIGINT) AS n,
+         CAST(SUM(gap * m) OVER (PARTITION BY u, v) AS BIGINT) AS sg
+  FROM hist
+),
+g AS (
+  SELECT u, v,
+         CAST(MAX(n) AS BIGINT) AS n,
+         CAST(MAX(sg) AS BIGINT) AS sgm,
+         CAST(MIN(CASE WHEN cm >= CAST(CEIL(0.5 * n) AS BIGINT) THEN gap END) AS BIGINT) AS p50,
+         CAST(MIN(CASE WHEN cm >= CAST(CEIL(0.9 * n) AS BIGINT) THEN gap END) AS BIGINT) AS p90
+  FROM cum GROUP BY u, v
+)
+SELECT u AS from_role, v AS to_role, n,
+       {r6('CAST(sgm AS DOUBLE) / CAST(n AS DOUBLE) / 1e6', 'mean_sec')},
+       {r6('CAST(p50 AS DOUBLE) / 1e6', 'p50_sec')},
+       {r6('CAST(p90 AS DOUBLE) / 1e6', 'p90_sec')}
+FROM g
+"""

@@ -1009,3 +1009,48 @@ def test_key_skew_profile_hand_computed(spark):
     assert r["p50"] == 1 and r["p90"] == 8 and r["max_count"] == 8
     assert r["top_share"] == pytest.approx(8 / 12, rel=1e-12)
     assert r["skew_ratio"] == pytest.approx(8.0, rel=1e-12)
+
+
+def test_role_xcorr_lagged_follower(spark):
+    from z_rad_spark.operators.profile import role_xcorr
+
+    # assistant activity = user activity shifted +1 hour
+    rows = []
+    i = 0
+    user_counts = [1, 4, 2, 5, 3, 1]
+    for hour, c in enumerate(user_counts):
+        for _ in range(c):
+            rows.append(("c1", i, "user", f"2024-01-01 {hour:02d}:00:{i % 60:02d}", 1.0)); i += 1
+        for _ in range(c):
+            rows.append(("c1", i, "assistant", f"2024-01-01 {hour + 1:02d}:05:{i % 60:02d}", 1.0)); i += 1
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts string, signal double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["lag"]: r for r in role_xcorr(df).collect()}
+    # strongest correlation at lag +1 (assistant follows user)
+    best = max(out.values(), key=lambda r: (r["r"] if r["r"] is not None else -2))
+    assert best["lag"] == 1
+    assert out[1]["r"] == pytest.approx(1.0, rel=1e-9)
+
+
+def test_handoff_latency_matrix_hand_computed(spark):
+    from z_rad_spark.operators.profile import handoff_latency_matrix
+
+    # u->a gaps: 10s, 30s ; a->u gap: 60s
+    rows = [
+        ("c1", 0, "user", "2024-01-01 00:00:00", 1.0),
+        ("c1", 1, "assistant", "2024-01-01 00:00:10", 1.0),
+        ("c1", 2, "user", "2024-01-01 00:01:10", 1.0),
+        ("c1", 3, "assistant", "2024-01-01 00:01:40", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts string, signal double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r["from_role"], r["to_role"]): r for r in handoff_latency_matrix(df).collect()}
+    ua = out[("user", "assistant")]
+    assert ua["n"] == 2
+    assert ua["mean_sec"] == pytest.approx(20.0, rel=1e-12)
+    assert ua["p50_sec"] == pytest.approx(10.0, rel=1e-12)
+    assert ua["p90_sec"] == pytest.approx(30.0, rel=1e-12)
+    au = out[("assistant", "user")]
+    assert au["n"] == 1 and au["p50_sec"] == pytest.approx(60.0, rel=1e-12)

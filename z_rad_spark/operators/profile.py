@@ -2842,3 +2842,152 @@ def rmst(
         "n_conv",
         (area_b * F.lit(float(bucket_s))).alias("rmst_s"),
     )
+
+
+def role_xcorr(
+    df: DataFrame,
+    role_a: str = "user",
+    role_b: str = "assistant",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lead-lag cross-correlation between two roles' hourly activity
+    series: Pearson r of (count_a at hour t, count_b at hour t+lag)
+    for lag in -max_lag..max_lag — does assistant volume FOLLOW user
+    volume (peak at positive lag) or move with it (peak at 0)? The
+    cross-series companion to the single-series [[q_acf_profile]].
+
+    Hours missing from a series count as zero activity: the pair
+    grid is the union of both series' hours shifted by each lag, so
+    a silent hour is evidence (0), not a dropped row.
+
+    Determinism: counts are exact longs; per-lag pair moments are
+    exact longs from one join per lag on the hour key; r is a fixed
+    chain. Bit-replayable.
+
+    Scale: calendar-bounded series; 2*max_lag+1 tiny hash joins.
+    Output: (lag long, n_pairs long, r double — NULL when a side is
+    constant), ascending by lag.
+    """
+    hours = df.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("_h")
+    ).agg(
+        F.sum(F.when(F.col("role") == role_a, 1).otherwise(0))
+        .cast("long")
+        .alias("_ca"),
+        F.sum(F.when(F.col("role") == role_b, 1).otherwise(0))
+        .cast("long")
+        .alias("_cb"),
+    )
+    out = None
+    for lag in range(-int(max_lag), int(max_lag) + 1):
+        a = hours.select(F.col("_h"), F.col("_ca"))
+        b = hours.select(
+            (F.col("_h") - F.expr(f"INTERVAL {lag} HOURS")).alias("_h"),
+            F.col("_cb"),
+        )
+        j = a.join(b, "_h", "full").select(
+            F.coalesce(F.col("_ca"), F.lit(0)).cast("long").alias("_x"),
+            F.coalesce(F.col("_cb"), F.lit(0)).cast("long").alias("_y"),
+        )
+        g = j.agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("_x").cast("long").alias("_sx"),
+            F.sum("_y").cast("long").alias("_sy"),
+            F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+            F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
+            F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
+        ).select(
+            F.lit(lag).cast("long").alias("lag"),
+            "n_pairs",
+            "_sx",
+            "_sy",
+            "_sxx",
+            "_syy",
+            "_sxy",
+        )
+        out = g if out is None else out.unionByName(g)
+    n = F.col("n_pairs")
+    cov = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    vx = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    vy = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    return out.select(
+        "lag",
+        "n_pairs",
+        F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)).alias("r"),
+    )
+
+
+def handoff_latency_matrix(df: DataFrame) -> DataFrame:
+    """Corpus-wide handoff latency matrix: for every (from_role,
+    to_role) consecutive-turn transition, exact median and p90 gap
+    seconds plus the mean — which handoffs are slow? (the
+    [[response_latency]] user->assistant number generalized to the
+    full role grid; a slow assistant->tool edge is a tool-dispatch
+    bottleneck, a slow tool->assistant edge is the tool itself).
+
+    Determinism: gaps are exact microsecond longs on the stable turn
+    order; median/p90 are EXACT rank picks (ceil(q n), gap asc) on
+    the compacted per-pair gap histogram — no interpolation; the
+    mean divides an exact sum. Seconds rescale (/1e6) keeps the 6dp
+    contract in the exact zone (the q_latency lesson).
+
+    Scale: one lag window, one (pair, gap) groupBy; rank windows run
+    on the compacted histogram. Output: (from_role, to_role, n long,
+    mean_sec, p50_sec, p90_sec doubles), pairs with n >= 1.
+    """
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pairs = (
+        df.select(
+            "conv_id",
+            "ts",
+            "turn_idx",
+            F.col("role").alias("_v"),
+            ts_us.alias("_us"),
+        )
+        .select(
+            F.lag("_v", 1).over(w).alias("_u"),
+            F.col("_v"),
+            (F.col("_us") - F.lag("_us", 1).over(w)).alias("_gap"),
+        )
+        .where(F.col("_u").isNotNull())
+    )
+    hist = pairs.groupBy("_u", "_v", "_gap").agg(
+        F.count("*").cast("long").alias("_m")
+    )
+    w_cum = (
+        Window.partitionBy("_u", "_v")
+        .orderBy("_gap")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("_u", "_v")
+    cum = hist.select(
+        "_u",
+        "_v",
+        "_gap",
+        F.sum("_m").over(w_cum).cast("long").alias("_cm"),
+        F.sum("_m").over(w_all).cast("long").alias("_n"),
+        F.sum(F.col("_gap") * F.col("_m")).over(w_all).cast("long").alias("_sg"),
+    )
+
+    def pick(q):
+        thresh = F.ceil(F.lit(q) * F.col("_n")).cast("long")
+        return F.min(F.when(F.col("_cm") >= thresh, F.col("_gap")))
+
+    g = cum.groupBy("_u", "_v").agg(
+        F.max("_n").alias("n"),
+        F.max("_sg").alias("_sgm"),
+        pick(0.50).alias("_p50"),
+        pick(0.90).alias("_p90"),
+    )
+    sec = lambda c: c.cast("double") / F.lit(1e6)  # noqa: E731
+    return g.select(
+        F.col("_u").alias("from_role"),
+        F.col("_v").alias("to_role"),
+        F.col("n").cast("long").alias("n"),
+        (F.col("_sgm").cast("double") / F.col("n").cast("double") / F.lit(1e6)).alias(
+            "mean_sec"
+        ),
+        sec(F.col("_p50")).alias("p50_sec"),
+        sec(F.col("_p90")).alias("p90_sec"),
+    )
