@@ -5825,6 +5825,25 @@ def q_handoff_matrix(spark, sf_dir):
     return _r6(out, ["mean_sec", "p50_sec", "p90_sec"])
 
 
+def q_tool_chains(spark, sf_dir):
+    """Top-k consecutive tool-call chains with support shares
+    (profile.tool_chains): tool-subsequence bigrams on the stable
+    turn order, exact counts, (n desc, pair asc) rank —
+    oracle-replayable."""
+    from z_rad_spark.operators.profile import tool_chains
+
+    return _r6(tool_chains(_t(spark, sf_dir)), ["share"])
+
+
+def q_conv_endings(spark, sf_dir):
+    """Final-turn role distribution and mean closing signal
+    (profile.conv_endings): exact struct-argmax last turn per
+    conversation, fixed enum ordinals — oracle-replayable."""
+    from z_rad_spark.operators.profile import conv_endings
+
+    return _r6(conv_endings(_t(spark, sf_dir)), ["share", "mean_last_signal"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6225,6 +6244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_key_skew": q_key_skew,
         "q_xcorr": q_xcorr,
         "q_handoff_matrix": q_handoff_matrix,
+        "q_tool_chains": q_tool_chains,
+        "q_conv_endings": q_conv_endings,
     }
 
 

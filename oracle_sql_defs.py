@@ -13792,3 +13792,59 @@ SELECT u AS from_role, v AS to_role, n,
        {r6('CAST(p90 AS DOUBLE) / 1e6', 'p90_sec')}
 FROM g
 """
+
+
+# Top-k tool-call chains — matches profile.tool_chains
+ORACLES["q_tool_chains"] = f"""
+WITH t AS ({T}),
+seq AS (
+  SELECT conv_id, tool AS to_t,
+         LAG(tool) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS from_t
+  FROM t WHERE tool IS NOT NULL
+),
+pairs AS (
+  SELECT from_t, to_t, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE from_t IS NOT NULL GROUP BY from_t, to_t
+),
+ranked AS (
+  SELECT from_t, to_t, n,
+         CAST(SUM(n) OVER () AS BIGINT) AS tot,
+         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, from_t ASC, to_t ASC) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT from_t AS from_tool, to_t AS to_tool, n,
+       {r6('CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)', 'share')},
+       rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+# Final-turn role distribution — matches profile.conv_endings
+ORACLES["q_conv_endings"] = f"""
+WITH t AS ({T}),
+ordd AS (
+  SELECT conv_id, epoch_us(ts) AS us, turn_idx,
+         CASE role WHEN 'user' THEN 0 WHEN 'assistant' THEN 1
+                   WHEN 'tool' THEN 2 ELSE 3 END AS r,
+         CAST(signal AS BIGINT) AS s
+  FROM t
+),
+last AS (
+  SELECT conv_id, r, s FROM (
+    SELECT conv_id, r, s,
+           ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY us DESC, turn_idx DESC) AS rn
+    FROM ordd
+  ) WHERE rn = 1
+),
+per AS (
+  SELECT r, CAST(COUNT(*) AS BIGINT) AS n_convs, CAST(SUM(s) AS BIGINT) AS ss
+  FROM last GROUP BY r
+),
+tot AS (SELECT *, CAST(SUM(n_convs) OVER () AS BIGINT) AS t FROM per)
+SELECT CASE r WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              WHEN 2 THEN 'tool' ELSE 'system' END AS role,
+       n_convs,
+       {r6('CAST(n_convs AS DOUBLE) / CAST(t AS DOUBLE)', 'share')},
+       {r6('CASE WHEN n_convs > 0 THEN CAST(ss AS DOUBLE) / CAST(n_convs AS DOUBLE) END', 'mean_last_signal')}
+FROM tot
+"""

@@ -1054,3 +1054,41 @@ def test_handoff_latency_matrix_hand_computed(spark):
     assert ua["p90_sec"] == pytest.approx(30.0, rel=1e-12)
     au = out[("assistant", "user")]
     assert au["n"] == 1 and au["p50_sec"] == pytest.approx(60.0, rel=1e-12)
+
+
+def test_tool_chains_skips_non_tool_turns(spark):
+    from z_rad_spark.operators.profile import tool_chains
+
+    rows = [
+        ("c1", 0, "user", 1), ("c1", 1, "tool", 1),
+        ("c1", 2, "assistant", 1), ("c1", 3, "tool", 1),
+    ]
+    df = _turns(spark, rows)
+    df = df.withColumn(
+        "tool",
+        F.when(F.col("turn_idx") == 1, "search").when(
+            F.col("turn_idx") == 3, "fetch"
+        ),
+    )
+    out = tool_chains(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    # intervening assistant turn skipped: search -> fetch is a chain
+    assert (r["from_tool"], r["to_tool"]) == ("search", "fetch")
+    assert r["n"] == 1 and r["share"] == pytest.approx(1.0, rel=1e-12)
+
+
+def test_conv_endings_hand_computed(spark):
+    from z_rad_spark.operators.profile import conv_endings
+
+    rows = [
+        ("c1", 0, "user", 1), ("c1", 1, "assistant", 4),
+        ("c2", 0, "user", 2),
+        ("c3", 0, "user", 3), ("c3", 1, "assistant", 8),
+    ]
+    out = {r["role"]: r for r in conv_endings(_turns(spark, rows)).collect()}
+    assert out["assistant"]["n_convs"] == 2
+    assert out["assistant"]["share"] == pytest.approx(2 / 3, rel=1e-12)
+    assert out["assistant"]["mean_last_signal"] == pytest.approx(6.0, rel=1e-12)
+    assert out["user"]["n_convs"] == 1
+    assert out["user"]["mean_last_signal"] == pytest.approx(2.0, rel=1e-12)

@@ -2991,3 +2991,117 @@ def handoff_latency_matrix(df: DataFrame) -> DataFrame:
         sec(F.col("_p50")).alias("p50_sec"),
         sec(F.col("_p90")).alias("p90_sec"),
     )
+
+
+def tool_chains(df: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k consecutive tool-call chains: for turns that carry a tool,
+    the (prev_tool -> tool) bigram counts within a conversation
+    (intervening non-tool turns are skipped — the chain is over the
+    TOOL subsequence), with each chain's share of all tool bigrams —
+    the 'what follows what' map of agent tool usage that
+    [[q_role_transitions]] gives for roles and this op gives for the
+    tool vocabulary.
+
+    Determinism: the tool subsequence rides the stable (ts, turn_idx)
+    order; counts are exact longs; rank ties break on (from, to) asc;
+    shares are single divisions. Bit-replayable.
+
+    Scale: one filtered window pass + one (from, to) groupBy; the
+    bounded top-k window runs on the |tools|^2 frame. Output:
+    (from_tool, to_tool, n long, share double, rank long), rank
+    1..k.
+    """
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    t = df.where(F.col("tool").isNotNull()).select(
+        "conv_id",
+        "ts",
+        "turn_idx",
+        F.col("tool").alias("_to"),
+        F.lag("tool", 1).over(
+            Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+        ).alias("_from"),
+    )
+    # note: the lag window above runs on the FILTERED frame, so _from
+    # is the previous TOOL turn, not the previous turn of any role
+    pairs = t.where(F.col("_from").isNotNull()).groupBy("_from", "_to").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rank = Window.orderBy(F.col("n").desc(), F.asc("_from"), F.asc("_to"))
+    ranked = pairs.withColumn("_tot", F.sum("n").over(w_all).cast("long")).withColumn(
+        "rank", F.row_number().over(w_rank).cast("long")
+    )
+    return ranked.where(F.col("rank") <= int(k)).select(
+        F.col("_from").alias("from_tool"),
+        F.col("_to").alias("to_tool"),
+        "n",
+        (F.col("n").cast("double") / F.col("_tot").cast("double")).alias("share"),
+        "rank",
+    )
+
+
+def conv_endings(df: DataFrame) -> DataFrame:
+    """How conversations END: the distribution of each conversation's
+    final turn role (share of conversations closing on user /
+    assistant / tool / system) and the mean closing signal per ending
+    role — the outcome-shape screen (a corpus where most dialogs end
+    on an unanswered USER turn is a truncation/abandonment smell the
+    per-turn views never surface).
+
+    Determinism: the final turn is the exact (ts desc, turn_idx desc)
+    argmax per conversation via one MAX over the (ts_us, turn_idx,
+    role-ordinal, signal) struct — no window needed; counts exact;
+    shares/means single divisions. Role rides the struct as its
+    fixed enum ordinal so the struct MAX stays a pure integer
+    comparison. Bit-replayable.
+
+    Output: (role, n_convs long, share double, mean_last_signal
+    double), one row per observed ending role.
+    """
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    role_ord = (
+        F.when(F.col("role") == "user", 0)
+        .when(F.col("role") == "assistant", 1)
+        .when(F.col("role") == "tool", 2)
+        .otherwise(3)
+        .cast("int")
+    )
+    last = df.groupBy("conv_id").agg(
+        F.max(
+            F.struct(
+                ts_us.alias("_t"),
+                F.col("turn_idx").cast("long").alias("_i"),
+                role_ord.alias("_r"),
+                F.col("signal").cast("long").alias("_s"),
+            )
+        ).alias("_m")
+    )
+    per = last.select(
+        F.col("_m._r").alias("_r"), F.col("_m._s").alias("_s")
+    ).groupBy("_r").agg(
+        F.count("*").cast("long").alias("n_convs"),
+        F.sum("_s").cast("long").alias("_ss"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = per.withColumn("_tot", F.sum("n_convs").over(w_all).cast("long"))
+    role_name = (
+        F.when(F.col("_r") == 0, "user")
+        .when(F.col("_r") == 1, "assistant")
+        .when(F.col("_r") == 2, "tool")
+        .otherwise("system")
+    )
+    return tot.select(
+        role_name.alias("role"),
+        "n_convs",
+        (F.col("n_convs").cast("double") / F.col("_tot").cast("double")).alias(
+            "share"
+        ),
+        F.when(
+            F.col("n_convs") > 0,
+            F.col("_ss").cast("double") / F.col("n_convs").cast("double"),
+        ).alias("mean_last_signal"),
+    )
