@@ -5859,8 +5859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     position — so the order below doubles as the rotation queue for
     future rounds. Regenerate with tools/rotate_window.py.
 
-    Current window: 26 changed-since-last-gate entries, 0 pinned,
-    and 24 ledger-ordered backlog entries; 26 of 50 slots were
+    Current window: 40 changed-since-last-gate entries, 0 pinned,
+    and 10 ledger-ordered backlog entries; 14 of 50 slots were
     not in the previous round's window. Entries past the marker keep
     their newest green driver rows; every registry entry is additionally
     strict-mirrored (tools/check_queries.py, STRICT hash mode, sf0.01)
@@ -5893,6 +5893,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_audit": q_token_audit,
         "q_horizon_feats": q_horizon_feats,
         "q_recency": q_recency,
+        "q_stream_kmv": q_stream_kmv,
+        "q_coverage_curve": q_coverage_curve,
+        "q_component_sizes": q_component_sizes,
+        "q_mahalanobis": q_mahalanobis,
+        "q_trend_asof": q_trend_asof,
+        "q_sessions_asof": q_sessions_asof,
+        "q_length_gini": q_length_gini,
+        "q_wau_overlap": q_wau_overlap,
+        "q_seasonality": q_seasonality,
+        "q_key_skew": q_key_skew,
+        "q_xcorr": q_xcorr,
+        "q_handoff_matrix": q_handoff_matrix,
+        "q_tool_chains": q_tool_chains,
+        "q_conv_endings": q_conv_endings,
         # --- never gated, ledger order ---
         "q_kcore": q_kcore,
         "q_assortativity": q_assortativity,
@@ -5904,6 +5918,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wl_templates": q_wl_templates,
         "q_assoc_rules": q_assoc_rules,
         "q_conformal": q_conformal,
+        # ===== gate window ends here (first 50 entries) ================
+        # Everything below keeps its newest green driver row (see
+        # tools/gate_ledger.py for the live last_gated_round table)
+        # and queues for future rotations in this order.
         "q_label_noise": q_label_noise,
         "q_adamic_adar": q_adamic_adar,
         "q_kmv": q_kmv,
@@ -5918,10 +5936,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_energy_drift": q_energy_drift,
         "q_stream_hll": q_stream_hll,
         "q_label_prop": q_label_prop,
-        # ===== gate window ends here (first 50 entries) ================
-        # Everything below keeps its newest green driver row (see
-        # tools/gate_ledger.py for the live last_gated_round table)
-        # and queues for future rotations in this order.
         "q_tfidf": q_tfidf,
         "q_top_tokens": q_top_tokens,
         "q_stratified_sample": q_stratified_sample,
@@ -6232,20 +6246,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_score_ks": q_score_ks,
         "q_source_jaccard": q_source_jaccard,
         "q_source_kl": q_source_kl,
-        "q_stream_kmv": q_stream_kmv,
-        "q_coverage_curve": q_coverage_curve,
-        "q_component_sizes": q_component_sizes,
-        "q_mahalanobis": q_mahalanobis,
-        "q_trend_asof": q_trend_asof,
-        "q_sessions_asof": q_sessions_asof,
-        "q_length_gini": q_length_gini,
-        "q_wau_overlap": q_wau_overlap,
-        "q_seasonality": q_seasonality,
-        "q_key_skew": q_key_skew,
-        "q_xcorr": q_xcorr,
-        "q_handoff_matrix": q_handoff_matrix,
-        "q_tool_chains": q_tool_chains,
-        "q_conv_endings": q_conv_endings,
     }
 
 
