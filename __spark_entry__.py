@@ -5844,6 +5844,45 @@ def q_conv_endings(spark, sf_dir):
     return _r6(conv_endings(_t(spark, sf_dir)), ["share", "mean_last_signal"])
 
 
+def q_cold_start(spark, sf_dir):
+    """Daily new-vs-returning conversation volume decomposition
+    (profile.cold_start_share): exact MIN-birth per conversation,
+    broadcast back, one day aggregate — oracle-replayable."""
+    from z_rad_spark.operators.profile import cold_start_share
+
+    out = cold_start_share(_t(spark, sf_dir))
+    return _r6(
+        out.select(
+            _us("day", "day_us"), "n_turns", "n_new_turns", "n_new_convs", "new_share"
+        ),
+        ["new_share"],
+    )
+
+
+def q_dup_rate_source(spark, sf_dir):
+    """Per-source near-dup membership rate (dedup.dup_rate_by_source):
+    exact cluster sizes off the recursive-closure-replayable
+    components, one division — oracle-replayable."""
+    from z_rad_spark.operators.dedup import dup_rate_by_source
+
+    out = dup_rate_by_source(
+        _docs(spark, sf_dir), n=3, n_hashes=8, band_size=4, max_bucket=64
+    )
+    return _r6(out, ["dup_rate"])
+
+
+def q_dup_cross_source(spark, sf_dir):
+    """Within- vs cross-source split of LSH duplicate pairs
+    (dedup.cross_source_dup): exact pair counts on the seeded
+    candidate graph — oracle-replayable."""
+    from z_rad_spark.operators.dedup import cross_source_dup
+
+    out = cross_source_dup(
+        _docs(spark, sf_dir), n=3, n_hashes=8, band_size=4, max_bucket=64
+    )
+    return _r6(out, ["cross_share"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6246,6 +6285,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_score_ks": q_score_ks,
         "q_source_jaccard": q_source_jaccard,
         "q_source_kl": q_source_kl,
+        "q_cold_start": q_cold_start,
+        "q_dup_rate_source": q_dup_rate_source,
+        "q_dup_cross_source": q_dup_cross_source,
     }
 
 

@@ -13848,3 +13848,89 @@ SELECT CASE r WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
        {r6('CASE WHEN n_convs > 0 THEN CAST(ss AS DOUBLE) / CAST(n_convs AS DOUBLE) END', 'mean_last_signal')}
 FROM tot
 """
+
+
+# Daily cold-start decomposition — matches profile.cold_start_share
+ORACLES["q_cold_start"] = f"""
+WITH t AS ({T}),
+births AS (
+  SELECT conv_id, date_trunc('day', MIN(ts)) AS bday FROM t GROUP BY conv_id
+),
+j AS (
+  SELECT t.conv_id, date_trunc('day', t.ts) AS day, births.bday
+  FROM t JOIN births USING (conv_id)
+),
+g AS (
+  SELECT day,
+         CAST(COUNT(*) AS BIGINT) AS n_turns,
+         CAST(COALESCE(SUM(CASE WHEN day = bday THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_new_turns,
+         CAST(COUNT(DISTINCT CASE WHEN day = bday THEN conv_id END) AS BIGINT) AS n_new_convs
+  FROM j GROUP BY day
+)
+SELECT CAST(epoch_us(day) AS BIGINT) AS day_us,
+       n_turns, n_new_turns, n_new_convs,
+       {r6('CASE WHEN n_turns > 0 THEN CAST(n_new_turns AS DOUBLE) / CAST(n_turns AS DOUBLE) END', 'new_share')}
+FROM g
+"""
+
+
+# Per-source near-dup membership rate — matches
+# dedup.dup_rate_by_source
+ORACLES["q_dup_rate_source"] = f"""
+WITH RECURSIVE pairs AS (
+  {{PAIRS}}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach (id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id
+),
+clus AS (
+  SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY id
+),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz FROM clus GROUP BY cluster_id
+),
+duped AS (
+  SELECT clus.doc_id FROM clus JOIN sizes USING (cluster_id) WHERE sizes.sz >= 2
+),
+g AS (
+  SELECT d.source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(CASE WHEN duped.doc_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_duped
+  FROM documents d LEFT JOIN duped ON duped.doc_id = d.doc_id
+  GROUP BY d.source
+)
+SELECT source, n_docs, n_duped,
+       {r6('CASE WHEN n_docs > 0 THEN CAST(n_duped AS DOUBLE) / CAST(n_docs AS DOUBLE) END', 'dup_rate')}
+FROM g
+""".replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip())
+
+
+# Within- vs cross-source dup pairs — matches dedup.cross_source_dup
+ORACLES["q_dup_cross_source"] = f"""
+WITH pairs AS (
+  {{PAIRS}}
+),
+j AS (
+  SELECT p.id_a, p.id_b, da.source AS sa, db.source AS sb
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.id_a
+  JOIN documents db ON db.doc_id = p.id_b
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(COALESCE(SUM(CASE WHEN sa = sb THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_within
+  FROM j
+)
+SELECT n_pairs, n_within,
+       CAST(n_pairs - n_within AS BIGINT) AS n_cross,
+       {r6('CASE WHEN n_pairs > 0 THEN CAST(n_pairs - n_within AS DOUBLE) / CAST(n_pairs AS DOUBLE) END', 'cross_share')}
+FROM g
+""".replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip())

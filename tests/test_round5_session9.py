@@ -1092,3 +1092,57 @@ def test_conv_endings_hand_computed(spark):
     assert out["assistant"]["mean_last_signal"] == pytest.approx(6.0, rel=1e-12)
     assert out["user"]["n_convs"] == 1
     assert out["user"]["mean_last_signal"] == pytest.approx(2.0, rel=1e-12)
+
+
+def test_cold_start_share_hand_computed(spark):
+    from z_rad_spark.operators.profile import cold_start_share
+
+    rows = [
+        ("c1", 0, "user", "2024-01-01 10:00:00", 1.0),
+        ("c1", 1, "user", "2024-01-02 10:00:00", 1.0),
+        ("c2", 0, "user", "2024-01-02 11:00:00", 1.0),
+        ("c2", 1, "user", "2024-01-02 12:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts string, signal double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {str(r["day"])[:10]: r for r in cold_start_share(df).collect()}
+    d1, d2 = out["2024-01-01"], out["2024-01-02"]
+    assert d1["n_turns"] == 1 and d1["n_new_convs"] == 1
+    assert d1["new_share"] == pytest.approx(1.0, rel=1e-12)
+    # day 2: 3 turns, 2 in the new conv c2, one carried over from c1
+    assert d2["n_turns"] == 3 and d2["n_new_turns"] == 2 and d2["n_new_convs"] == 1
+    assert d2["new_share"] == pytest.approx(2 / 3, rel=1e-12)
+
+
+def test_dup_rate_by_source_hand_computed(spark):
+    from z_rad_spark.operators.dedup import dup_rate_by_source
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "dupfeed"),
+            (2, "the quick brown fox jumps over the lazy dog", "dupfeed"),
+            (3, "completely different text about other things entirely", "clean"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in dup_rate_by_source(docs).collect()}
+    assert out["dupfeed"]["n_duped"] == 2
+    assert out["dupfeed"]["dup_rate"] == pytest.approx(1.0, rel=1e-12)
+    assert out["clean"]["dup_rate"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_cross_source_dup_hand_computed(spark):
+    from z_rad_spark.operators.dedup import cross_source_dup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "feed_a"),
+            (2, "the quick brown fox jumps over the lazy dog", "feed_b"),
+            (3, "completely different text about other things entirely", "feed_a"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    r = cross_source_dup(docs).collect()[0]
+    assert r["n_pairs"] == 1 and r["n_within"] == 0 and r["n_cross"] == 1
+    assert r["cross_share"] == pytest.approx(1.0, rel=1e-12)

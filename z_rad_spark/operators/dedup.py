@@ -1320,3 +1320,113 @@ def component_size_stats(
             "gcc_share"
         ),
     )
+
+
+def dup_rate_by_source(
+    docs: DataFrame,
+    n: int = 3,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 64,
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source duplication rate: the share of each source's
+    documents sitting in a near-dup cluster of size >= 2 — WHICH feed
+    is shipping boilerplate? ([[component_size_stats]] gives the
+    corpus-wide histogram; procurement needs it per source.)
+
+    Determinism: clusters from the seeded LSH + star components
+    (recursive-closure-replayable); counts exact; one division.
+
+    Output: (source, n_docs long, n_duped long, dup_rate double),
+    one row per source.
+    """
+    cc = dup_clusters(docs, n, n_hashes, band_size, text_col, id_col, max_bucket)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("_sz")
+    )
+    duped = cc.join(F.broadcast(sizes), "cluster_id").where(
+        F.col("_sz") >= 2
+    ).select(F.col(id_col))
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(source_col).alias("_s")
+    )
+    flagged = base.join(
+        duped.select(F.col(id_col).cast("long").alias(id_col), F.lit(1).alias("_d")),
+        id_col,
+        "left",
+    )
+    g = flagged.groupBy("_s").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("_d").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_duped"),
+    )
+    return g.select(
+        F.col("_s").alias(source_col),
+        "n_docs",
+        "n_duped",
+        F.when(
+            F.col("n_docs") > 0,
+            F.col("n_duped").cast("double") / F.col("n_docs").cast("double"),
+        ).alias("dup_rate"),
+    )
+
+
+def cross_source_dup(
+    docs: DataFrame,
+    n: int = 3,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 64,
+    source_col: str = "source",
+) -> DataFrame:
+    """Within- vs cross-source split of the near-dup candidate pairs:
+    cross-source duplicates are syndication/contamination (the same
+    passage arriving through two feeds — drop one SOURCE'S copy);
+    within-source duplicates are boilerplate (template mass — drop by
+    cluster). One number decides which dedup policy dominates.
+
+    Determinism: the pair set is the seeded LSH candidate graph
+    (id_a < id_b canonical); source lookup is an exact join; counts
+    exact; shares single divisions. Bit-replayable.
+
+    Output one row: (n_pairs long, n_within long, n_cross long,
+    cross_share double — NULL when no pairs).
+    """
+    pairs = minhash_lsh_pairs(
+        docs, n, n_hashes, band_size, text_col, id_col, max_bucket
+    )
+    src = docs.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(source_col).alias("_s")
+    )
+    j = (
+        pairs.select(
+            F.col("id_a").cast("long").alias("_a"),
+            F.col("id_b").cast("long").alias("_b"),
+        )
+        .join(src.select(F.col("_id").alias("_a"), F.col("_s").alias("_sa")), "_a")
+        .join(src.select(F.col("_id").alias("_b"), F.col("_s").alias("_sb")), "_b")
+    )
+    g = j.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("_sa") == F.col("_sb"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_within"),
+    )
+    return g.select(
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce(F.col("n_within"), F.lit(0)).cast("long").alias("n_within"),
+        (
+            F.coalesce(F.col("n_pairs"), F.lit(0)) - F.coalesce(F.col("n_within"), F.lit(0))
+        ).cast("long").alias("n_cross"),
+        F.when(
+            F.col("n_pairs") > 0,
+            (F.col("n_pairs") - F.col("n_within")).cast("double")
+            / F.col("n_pairs").cast("double"),
+        ).alias("cross_share"),
+    )

@@ -3105,3 +3105,52 @@ def conv_endings(df: DataFrame) -> DataFrame:
             F.col("_ss").cast("double") / F.col("n_convs").cast("double"),
         ).alias("mean_last_signal"),
     )
+
+
+def cold_start_share(df: DataFrame) -> DataFrame:
+    """Daily cold-start decomposition: per day, how many turns belong
+    to conversations whose FIRST turn is that day (new) vs carried
+    over (returning), plus the count of conversations born that day —
+    the growth-mix view of [[q_daily_activity]] (a corpus where most
+    daily volume is day-one conversations churns; one where old
+    threads dominate compounds).
+
+    Determinism: each conversation's birth day derives from the exact
+    MIN(ts_us) (one aggregate, broadcast back); counts exact; the
+    share is one division. Bit-replayable.
+
+    Scale: one per-conv aggregate + one broadcast join + one per-day
+    aggregate — no window. Output: (day, n_turns long, n_new_turns
+    long, n_new_convs long, new_share double), days ascending by
+    value.
+    """
+    births = df.groupBy("conv_id").agg(
+        F.min(F.col("ts").cast("timestamp")).alias("_b")
+    )
+    births = births.select(
+        "conv_id", F.date_trunc("day", F.col("_b")).alias("_bday")
+    )
+    j = df.select(
+        "conv_id", F.date_trunc("day", F.col("ts")).alias("_day")
+    ).join(F.broadcast(births), "conv_id")
+    g = j.groupBy("_day").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("_day") == F.col("_bday"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new_turns"),
+        F.count_distinct(
+            F.when(F.col("_day") == F.col("_bday"), F.col("conv_id"))
+        )
+        .cast("long")
+        .alias("n_new_convs"),
+    )
+    return g.select(
+        F.col("_day").alias("day"),
+        "n_turns",
+        "n_new_turns",
+        "n_new_convs",
+        F.when(
+            F.col("n_turns") > 0,
+            F.col("n_new_turns").cast("double") / F.col("n_turns").cast("double"),
+        ).alias("new_share"),
+    )
