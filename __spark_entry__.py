@@ -5883,6 +5883,35 @@ def q_dup_cross_source(spark, sf_dir):
     return _r6(out, ["cross_share"])
 
 
+def q_ht_estimate(spark, sf_dir):
+    """Horvitz-Thompson token-total estimate from the ~10% md5 sample
+    vs exact (curation.ht_estimate): exact inclusion compare, dyadic
+    p, fixed chains — oracle-replayable."""
+    from z_rad_spark.operators.curation import ht_estimate
+
+    return _r6(ht_estimate(_docs(spark, sf_dir)), ["ht_tokens", "err_pct"])
+
+
+def q_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR over the per-role KS drift battery
+    (drift.bh_fdr): exact KS algebra, fixed p chains, integer rank
+    threshold broadcast back — oracle-replayable."""
+    from z_rad_spark.operators.drift import bh_fdr
+
+    out = bh_fdr(_t(spark, sf_dir), split_ts="2024-01-15 00:00:00")
+    return _r6(out, ["ks", "p"])
+
+
+def q_ab_power(spark, sf_dir):
+    """Two-proportion A/B sample-size plan per event type at 10%
+    relative MDE (drift.ab_power): exact shares, literal normal
+    quantiles, fixed n chain — oracle-replayable."""
+    from z_rad_spark.operators.drift import ab_power
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _r6(ab_power(ev), ["p1", "p2", "n_per_arm"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6288,6 +6317,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cold_start": q_cold_start,
         "q_dup_rate_source": q_dup_rate_source,
         "q_dup_cross_source": q_dup_cross_source,
+        "q_ht_estimate": q_ht_estimate,
+        "q_bh_fdr": q_bh_fdr,
+        "q_ab_power": q_ab_power,
     }
 
 

@@ -13934,3 +13934,104 @@ SELECT n_pairs, n_within,
        {r6('CASE WHEN n_pairs > 0 THEN CAST(n_pairs - n_within AS DOUBLE) / CAST(n_pairs AS DOUBLE) END', 'cross_share')}
 FROM g
 """.replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip())
+
+
+# Horvitz-Thompson token total from the md5 sample — matches
+# curation.ht_estimate
+ORACLES["q_ht_estimate"] = f"""
+WITH base AS (
+  SELECT CAST(len({TOKS_RAW}) AS BIGINT) AS n,
+         substring(md5('ht1|' || CAST(doc_id AS VARCHAR)), 1, 8) < '19999999' AS inc
+  FROM documents
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(CASE WHEN inc THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_sampled,
+         CAST(SUM(n) AS BIGINT) AS exact_tokens,
+         CAST(SUM(CASE WHEN inc THEN n END) AS BIGINT) AS st
+  FROM base
+)
+SELECT n_docs, n_sampled, exact_tokens,
+       {r6('CASE WHEN n_sampled > 0 THEN CAST(st AS DOUBLE) / (429496729.0 / 4294967296.0) END', 'ht_tokens')},
+       {r6('CASE WHEN n_sampled > 0 AND exact_tokens > 0 THEN (CAST(st AS DOUBLE) / (429496729.0 / 4294967296.0) - CAST(exact_tokens AS DOUBLE)) / CAST(exact_tokens AS DOUBLE) * 100.0 END', 'err_pct')}
+FROM g
+"""
+
+
+# BH-FDR over per-role KS drift — matches drift.bh_fdr
+ORACLES["q_bh_fdr"] = f"""
+WITH t AS ({T}),
+pv AS (
+  SELECT role, CAST(signal AS DOUBLE) AS val,
+         COUNT(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 END) AS r,
+         COUNT(CASE WHEN NOT (ts < TIMESTAMP '2024-01-15 00:00:00') THEN 1 END) AS c
+  FROM t WHERE signal IS NOT NULL
+  GROUP BY role, CAST(signal AS DOUBLE)
+),
+cum AS (
+  SELECT role,
+         SUM(r) OVER (PARTITION BY role ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+         SUM(c) OVER (PARTITION BY role ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+         SUM(r) OVER (PARTITION BY role) AS nr,
+         SUM(c) OVER (PARTITION BY role) AS nc
+  FROM pv
+),
+ksr AS (
+  SELECT role,
+         CAST(MAX(nr) AS BIGINT) AS n_ref,
+         CAST(MAX(nc) AS BIGINT) AS n_cur,
+         MAX(CASE WHEN nr > 0 AND nc > 0
+             THEN ABS(CAST(cr AS DOUBLE) / CAST(nr AS DOUBLE) - CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE)) END) AS ks
+  FROM cum GROUP BY role
+),
+withp AS (
+  SELECT role, n_ref, n_cur, ks,
+         LEAST(1.0, 2.0 * EXP(-2.0 * ks * ks * CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)
+                              / (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE)))) AS p
+  FROM ksr WHERE ks IS NOT NULL
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p ASC, role ASC) AS BIGINT) AS rank,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM withp
+),
+kstar AS (
+  SELECT MAX(CASE WHEN p <= 0.05 * CAST(rank AS DOUBLE) / CAST(m AS DOUBLE)
+                  THEN rank END) AS k
+  FROM ranked
+)
+SELECT role, n_ref, n_cur,
+       {r6('ks', 'ks')},
+       {r6('p', 'p')},
+       rank,
+       (kstar.k IS NOT NULL AND rank <= kstar.k) AS reject
+FROM ranked, kstar
+"""
+
+
+# Two-proportion A/B power plan — matches drift.ab_power
+ORACLES["q_ab_power"] = f"""
+WITH per AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY event_type
+),
+withn AS (SELECT *, CAST(SUM(n_events) OVER () AS BIGINT) AS nn FROM per),
+f AS (
+  SELECT event_type, n_events,
+         CAST(n_events AS DOUBLE) / CAST(nn AS DOUBLE) AS p1,
+         CAST(n_events AS DOUBLE) / CAST(nn AS DOUBLE) * 1.1 AS p2
+  FROM withn
+)
+SELECT event_type, n_events,
+       {r6('CASE WHEN p1 > 0 AND p2 < 1 THEN p1 END', 'p1')},
+       {r6('CASE WHEN p1 > 0 AND p2 < 1 THEN p2 END', 'p2')},
+       {r6('''CASE WHEN p1 > 0 AND p2 < 1 THEN
+              (1.959963984540054 * SQRT(2.0 * ((p1 + p2) / 2.0) * (1.0 - (p1 + p2) / 2.0))
+               + 0.8416212335729143 * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+              * (1.959963984540054 * SQRT(2.0 * ((p1 + p2) / 2.0) * (1.0 - (p1 + p2) / 2.0))
+                 + 0.8416212335729143 * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+              / ((p2 - p1) * (p2 - p1))
+              END''', 'n_per_arm')}
+FROM f
+"""

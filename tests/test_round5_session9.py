@@ -1146,3 +1146,69 @@ def test_cross_source_dup_hand_computed(spark):
     r = cross_source_dup(docs).collect()[0]
     assert r["n_pairs"] == 1 and r["n_within"] == 0 and r["n_cross"] == 1
     assert r["cross_share"] == pytest.approx(1.0, rel=1e-12)
+
+
+def test_ht_estimate_full_sample_exact(spark):
+    from z_rad_spark.operators.curation import ht_estimate
+
+    docs = spark.createDataFrame(
+        [(i, "a b c", "en", "s") for i in range(20)],
+        "doc_id long, text string, lang string, source string",
+    )
+    # rate_num = 16^8 -> everything sampled, p = 1 -> HT == exact
+    r = ht_estimate(docs, rate_num=16**8).collect()[0]
+    assert r["n_sampled"] == 20
+    assert r["ht_tokens"] == pytest.approx(float(r["exact_tokens"]), rel=1e-12)
+    assert r["err_pct"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_ht_estimate_unbiased_form(spark):
+    from z_rad_spark.operators.curation import ht_estimate
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d", "en", "s") for i in range(200)],
+        "doc_id long, text string, lang string, source string",
+    )
+    r = ht_estimate(docs).collect()[0]
+    # HT = sampled_tokens / p exactly
+    p = 429496729 / 16**8
+    assert r["ht_tokens"] == pytest.approx(r["n_sampled"] * 4 / p, rel=1e-12)
+
+
+def test_bh_fdr_rejects_strong_shift_only(spark):
+    from z_rad_spark.operators.drift import bh_fdr
+
+    rows = []
+    # role 'shift': 60 ref at value 1, 60 cur at value 9 (D = 1)
+    for i in range(60):
+        rows.append(("shift", f"2024-01-01 00:{i:02d}:00", 1))
+        rows.append(("shift", f"2024-02-01 00:{i:02d}:00", 9))
+    # role 'same': identical distributions (D = 0)
+    for i in range(60):
+        rows.append(("same", f"2024-01-01 01:{i:02d}:00", 5))
+        rows.append(("same", f"2024-02-01 01:{i:02d}:00", 5))
+    out = {r["role"]: r for r in bh_fdr(_ts_rows(spark, rows), "2024-01-15 00:00:00").collect()}
+    assert out["shift"]["reject"] is True
+    assert out["same"]["reject"] is False
+    assert out["shift"]["rank"] == 1
+
+
+def test_ab_power_matches_closed_form(spark):
+    import math
+    from z_rad_spark.operators.drift import ab_power
+
+    rows = [(i, "2024-01-01 10:00:00", i, "click" if i < 20 else "view", 1.0, "{}")
+            for i in range(100)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_type"]: r for r in ab_power(ev).collect()}
+    p1 = 0.2
+    p2 = 0.2 * 1.1
+    pbar = (p1 + p2) / 2
+    za, zb = 1.959963984540054, 0.8416212335729143
+    num = za * math.sqrt(2 * pbar * (1 - pbar)) + zb * math.sqrt(
+        p1 * (1 - p1) + p2 * (1 - p2)
+    )
+    want = num * num / ((p2 - p1) ** 2)
+    assert out["click"]["n_per_arm"] == pytest.approx(want, rel=1e-12)

@@ -2101,3 +2101,60 @@ def wau_overlap(events: DataFrame) -> DataFrame:
             union > 0, F.col("retained").cast("double") / union.cast("double")
         ).alias("jaccard"),
     )
+
+
+def ht_estimate(
+    docs: DataFrame,
+    rate_num: int = 429496729,
+    salt: str = "ht1",
+    text_col: str = "text",
+) -> DataFrame:
+    """Horvitz-Thompson total estimation from the deterministic md5
+    sample: estimate the corpus token total from the ~10% hash sample
+    (inclusion iff md5 8-hex prefix < rate_num of 16^8) and report
+    the error against the exact total — the calibration check that
+    says whether hash-sampled corpus statistics ([[hash_sample]]-style
+    pipelines) can be trusted at this corpus size:
+
+        HT = sum_{sampled} x_i / p,  p = rate_num / 16^8   (exact)
+
+    Determinism: inclusion is the exact salted-md5 prefix compare
+    (the [[split_expr]] mechanics); sums exact longs; p is an exact
+    dyadic rational; estimate and error are fixed chains.
+    Bit-replayable.
+
+    Output one row: (n_docs long, n_sampled long, exact_tokens long,
+    ht_tokens double, err_pct double — NULL when nothing sampled).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    h8 = F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit("|"), F.col("doc_id").cast("string"))),
+        1,
+        8,
+    )
+    # rate_num >= 16^8 formats to 9 hex chars which string-compares
+    # BELOW most 8-char prefixes (the split_expr 9-char bug) — the
+    # 'gggggggg' sentinel sorts above every hex string = keep-all
+    thr = "gggggggg" if int(rate_num) >= 16**8 else format(int(rate_num), "08x")
+    base = docs.select(
+        F.size(toks).cast("long").alias("_n"), (h8 < F.lit(thr)).alias("_in")
+    )
+    g = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("_in"), 1).otherwise(0)).cast("long").alias("n_sampled"),
+        F.sum("_n").cast("long").alias("exact_tokens"),
+        F.sum(F.when(F.col("_in"), F.col("_n"))).cast("long").alias("_st"),
+    )
+    p = float(rate_num) / float(16**8)
+    ht = F.col("_st").cast("double") / F.lit(p)
+    err = (ht - F.col("exact_tokens").cast("double")) / F.col(
+        "exact_tokens"
+    ).cast("double") * F.lit(100.0)
+    ok = F.col("n_sampled") > 0
+    return g.select(
+        "n_docs",
+        "n_sampled",
+        "exact_tokens",
+        F.when(ok, ht).alias("ht_tokens"),
+        F.when(ok & (F.col("exact_tokens") > 0), err).alias("err_pct"),
+    )
