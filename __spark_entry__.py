@@ -5912,6 +5912,29 @@ def q_ab_power(spark, sf_dir):
     return _r6(ab_power(ev), ["p1", "p2", "n_per_arm"])
 
 
+def q_state_matrix(spark, sf_dir):
+    """Per-role last-signal matrix at each cutoff (asof.state_matrix):
+    conditional struct-argmax cells on the stable order, fixed enum
+    columns, leakage-safe — oracle-replayable."""
+    from z_rad_spark.operators.asof import state_matrix
+
+    out = state_matrix(_t(spark, sf_dir), spark, CUTOFFS)
+    cols = [f"last_sig_{r}" for r in ("user", "assistant", "tool", "system")]
+    return _r6(out.select("conv_id", _us("as_of", "as_of_us"), *cols), cols)
+
+
+def q_distinct_asof(spark, sf_dir):
+    """Exact distinct role/tool breadth at each cutoff
+    (asof.distinct_asof): exact COUNT(DISTINCT) per (conversation,
+    cutoff), leakage-safe — oracle-replayable."""
+    from z_rad_spark.operators.asof import distinct_asof
+
+    out = distinct_asof(_t(spark, sf_dir), spark, CUTOFFS)
+    return out.select(
+        "conv_id", _us("as_of", "as_of_us"), "n_turns", "n_roles", "n_tools"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6320,6 +6343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ht_estimate": q_ht_estimate,
         "q_bh_fdr": q_bh_fdr,
         "q_ab_power": q_ab_power,
+        "q_state_matrix": q_state_matrix,
+        "q_distinct_asof": q_distinct_asof,
     }
 
 

@@ -14035,3 +14035,45 @@ SELECT event_type, n_events,
               END''', 'n_per_arm')}
 FROM f
 """
+
+
+# Per-role last-signal matrix at cutoffs — matches asof.state_matrix
+ORACLES["q_state_matrix"] = f"""
+WITH t AS ({T}),
+j AS (
+  SELECT t.conv_id, g.as_of, t.role, epoch_us(t.ts) AS us, t.turn_idx,
+         CAST(t.signal AS BIGINT) AS s
+  FROM t JOIN (SELECT column0 AS as_of FROM {GRID} g(column0)) g
+    ON t.ts <= g.as_of
+),
+agg AS (
+  SELECT conv_id, as_of,
+         MAX(CASE WHEN role = 'user' THEN ROW(us, turn_idx, s) END) AS m_user,
+         MAX(CASE WHEN role = 'assistant' THEN ROW(us, turn_idx, s) END) AS m_assistant,
+         MAX(CASE WHEN role = 'tool' THEN ROW(us, turn_idx, s) END) AS m_tool,
+         MAX(CASE WHEN role = 'system' THEN ROW(us, turn_idx, s) END) AS m_system
+  FROM j GROUP BY conv_id, as_of
+)
+SELECT conv_id, CAST(epoch_us(as_of) AS BIGINT) AS as_of_us,
+       {r6("CAST(m_user[3] AS DOUBLE)", 'last_sig_user')},
+       {r6("CAST(m_assistant[3] AS DOUBLE)", 'last_sig_assistant')},
+       {r6("CAST(m_tool[3] AS DOUBLE)", 'last_sig_tool')},
+       {r6("CAST(m_system[3] AS DOUBLE)", 'last_sig_system')}
+FROM agg
+"""
+
+
+# Distinct role/tool breadth at cutoffs — matches asof.distinct_asof
+ORACLES["q_distinct_asof"] = f"""
+WITH t AS ({T}),
+j AS (
+  SELECT t.conv_id, g.as_of, t.role, t.tool
+  FROM t JOIN (SELECT column0 AS as_of FROM {GRID} g(column0)) g
+    ON t.ts <= g.as_of
+)
+SELECT conv_id, CAST(epoch_us(as_of) AS BIGINT) AS as_of_us,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(COUNT(DISTINCT role) AS BIGINT) AS n_roles,
+       CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_tools
+FROM j GROUP BY conv_id, as_of
+"""

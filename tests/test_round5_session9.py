@@ -1212,3 +1212,40 @@ def test_ab_power_matches_closed_form(spark):
     )
     want = num * num / ((p2 - p1) ** 2)
     assert out["click"]["n_per_arm"] == pytest.approx(want, rel=1e-12)
+
+
+def test_state_matrix_hand_computed(spark):
+    from z_rad_spark.operators.asof import state_matrix
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "2024-01-01 10:00:00", 3.0),
+            ("c1", 1, "assistant", "2024-01-01 10:05:00", 7.0),
+            ("c1", 2, "user", "2024-01-01 10:10:00", 5.0),
+            ("c1", 3, "user", "2024-02-01 10:00:00", 9.0),  # post-cutoff
+        ],
+        "conv_id string, turn_idx int, role string, ts string, signal double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = state_matrix(df, spark, ["2024-01-15 00:00:00"]).collect()[0]
+    assert r["last_sig_user"] == pytest.approx(5.0)      # latest pre-cutoff
+    assert r["last_sig_assistant"] == pytest.approx(7.0)
+    assert r["last_sig_tool"] is None
+    assert r["last_sig_system"] is None
+
+
+def test_distinct_asof_hand_computed(spark):
+    from z_rad_spark.operators.asof import distinct_asof
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "2024-01-01 10:00:00", 1.0, None),
+            ("c1", 1, "tool", "2024-01-01 10:05:00", 1.0, "search"),
+            ("c1", 2, "tool", "2024-01-01 10:10:00", 1.0, "fetch"),
+            ("c1", 3, "tool", "2024-02-01 10:00:00", 1.0, "zap"),
+        ],
+        "conv_id string, turn_idx int, role string, ts string, signal double, tool string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = distinct_asof(df, spark, ["2024-01-15 00:00:00"]).collect()[0]
+    assert r["n_turns"] == 3
+    assert r["n_roles"] == 2
+    assert r["n_tools"] == 2  # zap is post-cutoff; NULL not counted

@@ -452,3 +452,89 @@ def sessions_asof(
         "n_sessions",
         F.when(F.col("_start").isNotNull(), sec).alias("sec_in_session"),
     )
+
+
+def state_matrix(
+    df: DataFrame,
+    spark,
+    cutoffs,
+    roles=("user", "assistant", "tool", "system"),
+    signal_col: str = "signal",
+) -> DataFrame:
+    """Per-role last-VALUE matrix at each as-of cutoff: for every
+    conversation and cutoff, the signal of each role's most recent
+    turn with ts <= cutoff (NULL = that role never spoke) — the
+    companion to [[recency_features]] (last-WHEN) and the per-role
+    widening of [[asof_state]] (which carries only the single latest
+    turn): together they are the conversation's full as-of state
+    vector.
+
+    Determinism: each cell is ONE conditional MAX over the exact
+    (ts_us, turn_idx, signal) struct — the stable-order argmax with
+    no window and no per-role shuffle (roles are a fixed enum ->
+    fixed column set). Leakage-safe by construction. Bit-replayable.
+
+    Output: (conv_id, as_of, last_sig_<role> double ...), one row per
+    (conversation, cutoff) with history.
+    """
+    grid = spark.createDataFrame(
+        [(c,) for c in cutoffs], "as_of string"
+    ).select(F.col("as_of").cast("timestamp").alias("as_of"))
+    j = df.crossJoin(F.broadcast(grid)).where(
+        F.col("ts").cast("timestamp") <= F.col("as_of")
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    aggs = []
+    for r in roles:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("role") == r,
+                    F.struct(
+                        ts_us.alias("_t"),
+                        F.col("turn_idx").cast("long").alias("_i"),
+                        F.col(signal_col).cast("long").alias("_s"),
+                    ),
+                )
+            ).alias(f"_m_{r}")
+        )
+    g = j.groupBy("conv_id", "as_of").agg(*aggs)
+    cols = ["conv_id", "as_of"]
+    for r in roles:
+        cols.append(
+            F.col(f"_m_{r}._s").cast("double").alias(f"last_sig_{r}")
+        )
+    return g.select(*cols)
+
+
+def distinct_asof(
+    df: DataFrame,
+    spark,
+    cutoffs,
+) -> DataFrame:
+    """Exact distinct-count state at each as-of cutoff: per
+    conversation, how many distinct roles and distinct tools have
+    appeared with ts <= cutoff — the breadth features ('has this
+    conversation engaged the tool surface yet?') beside the volume
+    features of [[horizon_features]].
+
+    Determinism: exact COUNT(DISTINCT) per (conv, cutoff) — integer
+    results, no estimation. Leakage-safe by construction.
+
+    Scale: the broadcast grid join then ONE aggregate with two
+    distinct aggs (Spark plans expand + two-phase exact distinct —
+    bounded by the enum cardinalities, no high-cardinality distinct
+    here). Output: (conv_id, as_of, n_turns long, n_roles long,
+    n_tools long).
+    """
+    grid = spark.createDataFrame(
+        [(c,) for c in cutoffs], "as_of string"
+    ).select(F.col("as_of").cast("timestamp").alias("as_of"))
+    j = df.crossJoin(F.broadcast(grid)).where(
+        F.col("ts").cast("timestamp") <= F.col("as_of")
+    )
+    return j.groupBy("conv_id", "as_of").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.count_distinct(F.col("role")).cast("long").alias("n_roles"),
+        F.count_distinct(F.col("tool")).cast("long").alias("n_tools"),
+    )
