@@ -5935,6 +5935,28 @@ def q_distinct_asof(spark, sf_dir):
     )
 
 
+def q_bytes_per_token(spark, sf_dir):
+    """Per-lang tokenizer-efficiency profile (text.bytes_per_token):
+    exact char/token counts, single divisions — oracle-replayable."""
+    from z_rad_spark.operators.text import bytes_per_token
+
+    out = bytes_per_token(_docs(spark, sf_dir))
+    return _r6(out, ["chars_per_token", "nonws_share", "mean_token_len"])
+
+
+def q_dup_threshold_sweep(spark, sf_dir):
+    """Dedup-bar sensitivity: pair and touched-doc counts at Jaccard
+    0.5/0.7/0.9 over the LSH candidate graph
+    (dedup.dup_threshold_sweep): exact set algebra on the seeded
+    candidates — oracle-replayable."""
+    from z_rad_spark.operators.dedup import dup_threshold_sweep
+
+    out = dup_threshold_sweep(
+        _docs(spark, sf_dir), n=3, n_hashes=8, band_size=4, max_bucket=64
+    )
+    return _r6(out, ["doc_share"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6345,6 +6367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ab_power": q_ab_power,
         "q_state_matrix": q_state_matrix,
         "q_distinct_asof": q_distinct_asof,
+        "q_bytes_per_token": q_bytes_per_token,
+        "q_dup_threshold_sweep": q_dup_threshold_sweep,
     }
 
 

@@ -14077,3 +14077,73 @@ SELECT conv_id, CAST(epoch_us(as_of) AS BIGINT) AS as_of_us,
        CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_tools
 FROM j GROUP BY conv_id, as_of
 """
+
+
+# Per-lang tokenizer efficiency — matches text.bytes_per_token
+ORACLES["q_bytes_per_token"] = f"""
+WITH g AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         CAST(SUM(len({TOKS_RAW})) AS BIGINT) AS n_tokens,
+         CAST(SUM(length(regexp_replace(text, '\\s', '', 'g'))) AS BIGINT) AS nw
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, n_chars, n_tokens,
+       {r6('CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END', 'chars_per_token')},
+       {r6('CASE WHEN n_chars > 0 THEN CAST(n_chars - nw AS DOUBLE) / CAST(n_chars AS DOUBLE) END', 'nonws_share')},
+       {r6('CASE WHEN n_tokens > 0 THEN CAST(nw AS DOUBLE) / CAST(n_tokens AS DOUBLE) END', 'mean_token_len')}
+FROM g
+"""
+
+
+# Dedup threshold sweep over the LSH candidate graph — matches
+# dedup.dup_threshold_sweep
+ORACLES["q_dup_threshold_sweep"] = f"""
+WITH cand AS (
+  SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
+  FROM ({{PAIRS}}) pq
+),
+toks AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(generate_series(1, len(tk) - 2),
+                               i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingle
+  FROM toks WHERE len(tk) >= 3
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS DOUBLE) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT cand.id_a, cand.id_b,
+         inter.n_common / (sa.n_sh + sb.n_sh - inter.n_common) AS j
+  FROM cand
+  JOIN inter ON inter.id_a = cand.id_a AND inter.id_b = cand.id_b
+  JOIN sizes sa ON sa.doc_id = cand.id_a
+  JOIN sizes sb ON sb.doc_id = cand.id_b
+),
+ths AS (SELECT CAST(th AS DOUBLE) AS threshold FROM (VALUES (0.5), (0.7), (0.9)) v(th)),
+per AS (
+  SELECT ths.threshold,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM ths LEFT JOIN scored ON scored.j >= ths.threshold
+  GROUP BY ths.threshold
+),
+per_fix AS (
+  SELECT threshold,
+         CAST(COALESCE((SELECT COUNT(*) FROM scored WHERE scored.j >= per.threshold), 0) AS BIGINT) AS n_pairs,
+         CAST(COALESCE((SELECT COUNT(DISTINCT d) FROM (
+             SELECT id_a AS d FROM scored WHERE scored.j >= per.threshold
+             UNION ALL
+             SELECT id_b AS d FROM scored WHERE scored.j >= per.threshold
+         )), 0) AS BIGINT) AS n_docs
+  FROM per
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents)
+SELECT threshold, n_pairs, n_docs,
+       {r6('CASE WHEN tot.nd > 0 THEN CAST(n_docs AS DOUBLE) / CAST(tot.nd AS DOUBLE) END', 'doc_share')}
+FROM per_fix, tot
+""".replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip())

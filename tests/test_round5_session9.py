@@ -1249,3 +1249,37 @@ def test_distinct_asof_hand_computed(spark):
     assert r["n_turns"] == 3
     assert r["n_roles"] == 2
     assert r["n_tools"] == 2  # zap is post-cutoff; NULL not counted
+
+
+def test_bytes_per_token_hand_computed(spark):
+    from z_rad_spark.operators.text import bytes_per_token
+
+    # "ab cd" -> 5 chars, 2 tokens, 4 non-ws
+    docs = spark.createDataFrame(
+        [(1, "ab cd", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    r = bytes_per_token(docs).collect()[0]
+    assert r["n_chars"] == 5 and r["n_tokens"] == 2
+    assert r["chars_per_token"] == pytest.approx(2.5, rel=1e-12)
+    assert r["nonws_share"] == pytest.approx(4 / 5, rel=1e-12)
+    assert r["mean_token_len"] == pytest.approx(2.0, rel=1e-12)
+
+
+def test_dup_threshold_sweep_monotone(spark):
+    from z_rad_spark.operators.dedup import dup_threshold_sweep
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "s"),
+            (2, "the quick brown fox jumps over the lazy dog", "s"),
+            (3, "the quick brown fox jumps over a lazy cat today", "s"),
+            (4, "completely different text about other things entirely", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["threshold"]: r for r in dup_threshold_sweep(docs).collect()}
+    # identical pair survives every bar; counts never increase with the bar
+    assert out[0.9]["n_pairs"] >= 1
+    assert out[0.5]["n_pairs"] >= out[0.7]["n_pairs"] >= out[0.9]["n_pairs"]
+    assert out[0.5]["n_docs"] >= out[0.9]["n_docs"] >= 2

@@ -1430,3 +1430,58 @@ def cross_source_dup(
             / F.col("n_pairs").cast("double"),
         ).alias("cross_share"),
     )
+
+
+def dup_threshold_sweep(
+    docs: DataFrame,
+    thresholds=(0.5, 0.7, 0.9),
+    n: int = 3,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Dedup-policy sensitivity sweep: exact n-gram Jaccard is scored
+    once over the LSH candidate pairs, then the pair count and the
+    count of distinct documents touched are reported AT EACH
+    threshold — how much volume does moving the near-dup bar from
+    0.7 to 0.9 actually change? (The one-number-per-threshold view
+    of [[ngram_jaccard]]'s raw pair list; a steep drop between
+    thresholds means the corpus sits on a similarity cliff and the
+    chosen bar needs care.)
+
+    Determinism: the candidate graph is the seeded LSH replay; the
+    Jaccard is exact set algebra; counts exact; one division for the
+    doc share. Bit-replayable.
+
+    Output: (threshold double, n_pairs long, n_docs long, doc_share
+    double), thresholds ascending.
+    """
+    pairs = minhash_lsh_pairs(
+        docs, n, n_hashes, band_size, text_col, id_col, max_bucket
+    )
+    scored = ngram_jaccard(
+        docs, pairs=pairs, n=n, text_col=text_col, id_col=id_col, threshold=0.0
+    )
+    tot = docs.select(F.count("*").cast("long").alias("_nd"))
+    out = None
+    for t in sorted(float(x) for x in thresholds):
+        sel = scored.where(F.col("jaccard") >= F.lit(t))
+        ids = sel.select(F.col("id_a").alias("_i")).unionByName(
+            sel.select(F.col("id_b").alias("_i"))
+        ).distinct()
+        g = sel.agg(F.count("*").cast("long").alias("n_pairs")).crossJoin(
+            ids.agg(F.count("*").cast("long").alias("n_docs"))
+        ).select(F.lit(t).alias("threshold"), "n_pairs", "n_docs")
+        out = g if out is None else out.unionByName(g)
+    out = out.crossJoin(F.broadcast(tot))
+    return out.select(
+        "threshold",
+        "n_pairs",
+        "n_docs",
+        F.when(
+            F.col("_nd") > 0,
+            F.col("n_docs").cast("double") / F.col("_nd").cast("double"),
+        ).alias("doc_share"),
+    )

@@ -1991,3 +1991,52 @@ def coverage_curve(
             / F.col("_nn").cast("double"),
         ).alias("coverage"),
     )
+
+
+def bytes_per_token(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-efficiency profile per group: characters per
+    whitespace token, whitespace overhead share, and mean token
+    length — the per-language fertility numbers a tokenizer budget
+    plan starts from (a language whose chars/token runs 2x the
+    corpus mean pays 2x the context window for the same content —
+    the reason multilingual sampling weights look at BYTES, not
+    documents; feeds [[q_source_temperature]]'s mix math).
+
+    Determinism: character and token counts are exact longs; ratios
+    are single divisions. Bit-replayable.
+
+    Output: (group, n_docs long, n_chars long, n_tokens long,
+    chars_per_token double, ws_share double, mean_token_len double),
+    one row per group.
+    """
+    s = F.col(text_col)
+    toks = F.split(F.lower(F.trim(s)), r"\s+")
+    nonws = F.length(F.regexp_replace(s, r"\s", ""))
+    g = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length(s)).cast("long").alias("n_chars"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        F.sum(nonws).cast("long").alias("_nw"),
+    )
+    ok = F.col("n_tokens") > 0
+    return g.select(
+        F.col("_g").alias(group_col),
+        "n_docs",
+        "n_chars",
+        "n_tokens",
+        F.when(
+            ok, F.col("n_chars").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("chars_per_token"),
+        F.when(
+            F.col("n_chars") > 0,
+            (F.col("n_chars") - F.col("_nw")).cast("double")
+            / F.col("n_chars").cast("double"),
+        ).alias("nonws_share"),
+        F.when(
+            ok, F.col("_nw").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("mean_token_len"),
+    )
