@@ -14091,7 +14091,7 @@ WITH g AS (
 )
 SELECT lang, n_docs, n_chars, n_tokens,
        {r6('CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END', 'chars_per_token')},
-       {r6('CASE WHEN n_chars > 0 THEN CAST(n_chars - nw AS DOUBLE) / CAST(n_chars AS DOUBLE) END', 'nonws_share')},
+       {r6('CASE WHEN n_chars > 0 THEN CAST(nw AS DOUBLE) / CAST(n_chars AS DOUBLE) END', 'nonws_share')},
        {r6('CASE WHEN n_tokens > 0 THEN CAST(nw AS DOUBLE) / CAST(n_tokens AS DOUBLE) END', 'mean_token_len')}
 FROM g
 """

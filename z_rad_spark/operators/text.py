@@ -2033,8 +2033,7 @@ def bytes_per_token(
         ).alias("chars_per_token"),
         F.when(
             F.col("n_chars") > 0,
-            (F.col("n_chars") - F.col("_nw")).cast("double")
-            / F.col("n_chars").cast("double"),
+            F.col("_nw").cast("double") / F.col("n_chars").cast("double"),
         ).alias("nonws_share"),
         F.when(
             ok, F.col("_nw").cast("double") / F.col("n_tokens").cast("double")
