@@ -5957,6 +5957,18 @@ def q_dup_threshold_sweep(spark, sf_dir):
     return _r6(out, ["doc_share"])
 
 
+def q_stream_ewma(spark, sf_dir):
+    """Stateful streaming per-conversation EWMA level
+    (streaming.streaming_ewma via applyInPandasWithState): O(1) state,
+    distinct-ts tie collapse, ts-ordered fold; availableNow = one
+    batch, so the emitted level hash-matches the batch ts-ordered
+    list_reduce oracle bit-for-bit."""
+    from z_rad_spark.streaming import streaming_ewma
+
+    res = _replay_stream(spark, sf_dir, streaming_ewma, "q_stream_ewma_")
+    return _r6(res, ["level"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6369,6 +6381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distinct_asof": q_distinct_asof,
         "q_bytes_per_token": q_bytes_per_token,
         "q_dup_threshold_sweep": q_dup_threshold_sweep,
+        "q_stream_ewma": q_stream_ewma,
     }
 
 

@@ -14147,3 +14147,28 @@ SELECT threshold, n_pairs, n_docs,
        {r6('CASE WHEN tot.nd > 0 THEN CAST(n_docs AS DOUBLE) / CAST(tot.nd AS DOUBLE) END', 'doc_share')}
 FROM per_fix, tot
 """.replace("{PAIRS}", ORACLES["q_minhash_pairs"].strip())
+
+
+# Streaming EWMA final-state replay: ts-ordered fold over
+# distinct-ts mean steps — matches streaming.streaming_ewma
+# (alpha = 0.5) after the single availableNow batch
+ORACLES["q_stream_ewma"] = f"""
+WITH src AS (
+  SELECT 'c' || CAST(user_id AS STRING) AS conv_id, ts,
+         CAST(1 + ABS(CAST(FLOOR(value) AS INT)) % 9 AS DOUBLE) AS signal
+  FROM events
+),
+steps AS (
+  SELECT conv_id, ts, SUM(signal) / COUNT(*) AS xbar
+  FROM src WHERE signal IS NOT NULL
+  GROUP BY conv_id, ts
+),
+per AS (
+  SELECT conv_id,
+         CAST(COUNT(*) AS BIGINT) AS n_steps,
+         list_reduce(list(xbar ORDER BY ts), (acc, e) -> 0.5 * e + 0.5 * acc) AS level
+  FROM steps GROUP BY conv_id
+)
+SELECT conv_id, n_steps, {r6('level', 'level')}
+FROM per
+"""

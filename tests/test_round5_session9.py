@@ -1283,3 +1283,46 @@ def test_dup_threshold_sweep_monotone(spark):
     assert out[0.9]["n_pairs"] >= 1
     assert out[0.5]["n_pairs"] >= out[0.7]["n_pairs"] >= out[0.9]["n_pairs"]
     assert out[0.5]["n_docs"] >= out[0.9]["n_docs"] >= 2
+
+
+def test_streaming_ewma_matches_fold(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from z_rad_spark.streaming import streaming_ewma
+
+    rows = [
+        ("c1", "2024-01-01 00:00:00", 2.0),
+        ("c1", "2024-01-01 00:01:00", 4.0),
+        ("c1", "2024-01-01 00:02:00", 8.0),
+        # tie group at one ts: mean (1+3)/2 = 2 folds as one step
+        ("c2", "2024-01-01 00:00:00", 1.0),
+        ("c2", "2024-01-01 00:00:00", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, ts string, signal double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "ewma_src")
+    df.repartition(2).write.parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("signal", T.DoubleType()),
+        ]
+    )
+    q = (
+        streaming_ewma(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("memory")
+        .queryName("ewma_test_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    q.stop()
+    out = {r["conv_id"]: r for r in spark.table("ewma_test_sink").collect()}
+    # c1: l = 2 -> .5*4+.5*2 = 3 -> .5*8+.5*3 = 5.5
+    assert out["c1"]["n_steps"] == 3
+    assert out["c1"]["level"] == pytest.approx(5.5, rel=1e-12)
+    # c2: single collapsed step, level = tie mean
+    assert out["c2"]["n_steps"] == 1
+    assert out["c2"]["level"] == pytest.approx(2.0, rel=1e-12)

@@ -768,3 +768,81 @@ def streaming_kmv(stream: DataFrame, k: int = 64) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_steps", T.LongType()),
+        T.StructField("level", T.DoubleType()),
+    ]
+)
+_EWMA_STATE = T.StructType(
+    [
+        T.StructField("level", T.DoubleType()),
+        T.StructField("n_steps", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+
+def streaming_ewma(stream: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Streaming per-conversation EWMA level tracker — the stateful
+    twin of the batch [[q_ewm_smooth]] fold: state is (level, step
+    count, last ts); each micro-batch folds its conversation's new
+    DISTINCT-timestamp steps in ts order into the level
+
+        l <- alpha * xbar_t + (1 - alpha) * l
+
+    with same-ts turns collapsed to their MEAN first (the
+    [[streaming_cusum]] tie convention: a stream carries no turn_idx,
+    so only a per-distinct-ts emission is deterministic under
+    arrival interleaving; the mean of an integer-signal tie group is
+    an exact sum and one division in any order).
+
+    Exactness contract: with batches arriving in event-time order
+    (an append log), the fold visits the same (ts, xbar) sequence as
+    the batch oracle's ts-ordered list_reduce, and every step is the
+    identical two-multiply-one-add chain — the final emitted level
+    hash-matches the SQL replay bit-for-bit (availableNow = one
+    batch in the gate).
+
+    Per-batch work is one sort + one groupby per conversation slice;
+    state is O(1) per conversation.
+    """
+    a = float(alpha)
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        conv = key[0]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows[rows["signal"].notna()]
+        if len(rows) == 0:
+            return
+        ts_us = rows["ts"].astype("int64")
+        df = pd.DataFrame({"t": ts_us, "x": rows["signal"].astype("float64")})
+        steps = df.groupby("t", sort=True)["x"].agg(["sum", "count"])
+        if state.exists:
+            level, n_steps, last = state.get
+        else:
+            level, n_steps, last = None, 0, -(2**62)
+        for t, row in steps.iterrows():
+            if t <= last:
+                continue  # late duplicate of an already-folded step
+            xbar = float(row["sum"]) / float(row["count"])
+            level = xbar if level is None else a * xbar + (1.0 - a) * level
+            n_steps += 1
+            last = int(t)
+        state.update((level, int(n_steps), int(last)))
+        yield pd.DataFrame(
+            {"conv_id": [conv], "n_steps": [n_steps], "level": [level]}
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
