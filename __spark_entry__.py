@@ -5969,6 +5969,26 @@ def q_stream_ewma(spark, sf_dir):
     return _r6(res, ["level"])
 
 
+def q_approx_quantiles(spark, sf_dir):
+    """Greenwald-Khanna approx_percentile accuracy audit
+    (sketches.approx_quantile_check): exact rank-pick quantiles
+    hashed + within-rank-error booleans as hard gates — the
+    audit-the-estimator pattern."""
+    from z_rad_spark.operators.sketches import approx_quantile_check
+
+    return _r6(approx_quantile_check(_t(spark, sf_dir)), ["p50", "p90", "p99"])
+
+
+def q_profile_events(spark, sf_dir):
+    """Deequ-style per-column profile of the raw event log
+    (profile.column_profile): exact counts/distincts, canonical
+    min/max renderings — oracle-replayable."""
+    from z_rad_spark.operators.profile import column_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _r6(column_profile(ev), ["null_share"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6382,6 +6402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bytes_per_token": q_bytes_per_token,
         "q_dup_threshold_sweep": q_dup_threshold_sweep,
         "q_stream_ewma": q_stream_ewma,
+        "q_approx_quantiles": q_approx_quantiles,
+        "q_profile_events": q_profile_events,
     }
 
 

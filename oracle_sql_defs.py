@@ -14172,3 +14172,79 @@ per AS (
 SELECT conv_id, n_steps, {r6('level', 'level')}
 FROM per
 """
+
+
+# GK approx_percentile audit: exact quantiles + bound booleans —
+# matches sketches.approx_quantile_check (booleans replayed as the
+# bound-holds literals, the q_sketch_stats pattern)
+ORACLES["q_approx_quantiles"] = f"""
+WITH t AS ({T}),
+hist AS (
+  SELECT CAST(signal AS DOUBLE) AS v, CAST(COUNT(*) AS BIGINT) AS m
+  FROM t WHERE signal IS NOT NULL GROUP BY CAST(signal AS DOUBLE)
+),
+cum AS (
+  SELECT v,
+         CAST(SUM(m) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm,
+         CAST(SUM(m) OVER () AS BIGINT) AS n
+  FROM hist
+),
+g AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(MIN(CASE WHEN cm >= CAST(CEIL(0.5 * n) AS BIGINT) THEN v END) AS DOUBLE) AS e50,
+         CAST(MIN(CASE WHEN cm >= CAST(CEIL(0.9 * n) AS BIGINT) THEN v END) AS DOUBLE) AS e90,
+         CAST(MIN(CASE WHEN cm >= CAST(CEIL(0.99 * n) AS BIGINT) THEN v END) AS DOUBLE) AS e99
+  FROM cum
+)
+SELECT n,
+       {r6('e50', 'p50')}, {r6('e90', 'p90')}, {r6('e99', 'p99')},
+       TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+FROM g
+"""
+
+
+# Deequ-style event-log column profile — matches profile.column_profile
+ORACLES["q_profile_events"] = f"""
+WITH g AS (
+  SELECT 'event_id' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null,
+         CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+         CAST(MIN(event_id) AS VARCHAR) AS min_str, CAST(MAX(event_id) AS VARCHAR) AS max_str
+  FROM events
+  UNION ALL
+  SELECT 'ts', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+         CAST(COUNT(DISTINCT ts) AS BIGINT),
+         strftime(MIN(ts), '%Y-%m-%d %H:%M:%S'), strftime(MAX(ts), '%Y-%m-%d %H:%M:%S')
+  FROM events
+  UNION ALL
+  SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+         CAST(COUNT(DISTINCT user_id) AS BIGINT),
+         CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+  FROM events
+  UNION ALL
+  SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+         CAST(COUNT(DISTINCT event_type) AS BIGINT),
+         CAST(MIN(event_type) AS VARCHAR), CAST(MAX(event_type) AS VARCHAR)
+  FROM events
+  UNION ALL
+  SELECT 'value', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+         CAST(COUNT(DISTINCT value) AS BIGINT),
+         CAST({r6x('MIN(value)')} AS VARCHAR), CAST({r6x('MAX(value)')} AS VARCHAR)
+  FROM events
+  UNION ALL
+  SELECT 'props', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+         CAST(COUNT(DISTINCT props) AS BIGINT),
+         CAST(MIN(props) AS VARCHAR), CAST(MAX(props) AS VARCHAR)
+  FROM events
+)
+SELECT col AS "column", n, n_null,
+       {r6('CASE WHEN n > 0 THEN CAST(n_null AS DOUBLE) / CAST(n AS DOUBLE) END', 'null_share')},
+       n_distinct, min_str, max_str
+FROM g
+"""

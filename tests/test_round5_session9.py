@@ -1326,3 +1326,35 @@ def test_streaming_ewma_matches_fold(spark, tmp_path):
     # c2: single collapsed step, level = tie mean
     assert out["c2"]["n_steps"] == 1
     assert out["c2"]["level"] == pytest.approx(2.0, rel=1e-12)
+
+
+def test_approx_quantile_check_exact_and_bounds(spark):
+    from z_rad_spark.operators.sketches import approx_quantile_check
+
+    rows = [("u", f"2024-01-01 00:{i:02d}:00", float(1 + i % 9)) for i in range(54)]
+    df = _ts_rows(spark, [(r, t, s) for (r, t, s) in rows])
+    r = approx_quantile_check(df).collect()[0]
+    assert r["n"] == 54
+    # values 1..9 uniform x6: exact p50 = ceil(27)th = 5
+    assert r["p50"] == pytest.approx(5.0)
+    assert r["ok_p50"] and r["ok_p90"] and r["ok_p99"]
+
+
+def test_column_profile_nulls_and_distincts(spark):
+    from z_rad_spark.operators.profile import column_profile
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "click", 1.5, "{}"),
+        (2, "2024-01-01 11:00:00", 7, "view", None, "{}"),
+        (3, "2024-01-02 10:00:00", 8, "click", 2.5, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["column"]: r for r in column_profile(ev).collect()}
+    assert out["value"]["n_null"] == 1
+    assert out["value"]["null_share"] == pytest.approx(1 / 3, rel=1e-12)
+    assert out["user_id"]["n_distinct"] == 2
+    assert out["event_type"]["min_str"] == "click"
+    assert out["props"]["n_null"] == 1
+    assert out["ts"]["min_str"] == "2024-01-01 10:00:00"

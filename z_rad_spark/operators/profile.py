@@ -3154,3 +3154,56 @@ def cold_start_share(df: DataFrame) -> DataFrame:
             F.col("n_new_turns").cast("double") / F.col("n_turns").cast("double"),
         ).alias("new_share"),
     )
+
+
+def column_profile(events: DataFrame) -> DataFrame:
+    """Deequ-style column profiler over the raw event log: for every
+    column, row count, null count and share, exact distinct count,
+    and min/max rendered as strings — the schema-health table a
+    pipeline asserts on before features are computed (a numeric
+    column whose null share jumped from 0 to 0.3 fails here, not
+    three joins later).
+
+    Determinism: all counts exact; min/max exact per type, cast to
+    canonical strings (timestamps via ISO text, doubles via their
+    6dp-rounded repr). Bit-replayable.
+
+    Scale: one aggregate per column (Spark runs them as one
+    multi-aggregate pass per column set; distincts are exact —
+    swap in approx_count_distinct at 10^12 rows and gate its error
+    like [[approx_quantile_check]]). Output: (column string, n long,
+    n_null long, null_share double, n_distinct long, min_str,
+    max_str strings), one row per profiled column.
+    """
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    out = None
+    for c in cols:
+        col = F.col(c)
+        if c == "value":
+            render = lambda e: F.round(e.cast("double"), 6).cast("string")  # noqa: E731
+        elif c == "ts":
+            render = lambda e: F.date_format(e, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+        else:
+            render = lambda e: e.cast("string")  # noqa: E731
+        g = events.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long").alias(
+                "n_null"
+            ),
+            F.count_distinct(col).cast("long").alias("n_distinct"),
+            render(F.min(col)).alias("min_str"),
+            render(F.max(col)).alias("max_str"),
+        ).select(
+            F.lit(c).alias("column"),
+            "n",
+            "n_null",
+            F.when(
+                F.col("n") > 0,
+                F.col("n_null").cast("double") / F.col("n").cast("double"),
+            ).alias("null_share"),
+            "n_distinct",
+            "min_str",
+            "max_str",
+        )
+        out = g if out is None else out.unionByName(g)
+    return out

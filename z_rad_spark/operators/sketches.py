@@ -20,7 +20,7 @@ by the configured rsd / accuracy).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -491,4 +491,101 @@ def bloom_fpr(
             F.col("n_fp").cast("double") / F.col("n_test").cast("double"),
         ).alias("fpr"),
         expected.alias("expected_fpr"),
+    )
+
+
+def approx_quantile_check(
+    df: DataFrame,
+    signal_col: str = "signal",
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Sketch-accuracy audit for Spark's approx_percentile
+    (Greenwald-Khanna): the EXACT rank-pick p50/p90/p99 of the signal
+    beside booleans asserting the GK estimate landed within its
+    documented rank-error bound (rank error <= n / accuracy, read off
+    the exact CDF on the compacted value histogram) — the same
+    audit-the-estimator pattern as [[q_bloom_fpr]] / [[q_lsh_recall]]
+    / [[q_hll]]: the exact values and the bound booleans are the hard
+    gate; the estimate itself is reported unhashed (it is
+    implementation-defined).
+
+    Determinism: exact quantiles are integer rank picks (ceil(q n),
+    value asc) on exact counts; each bound boolean checks the
+    estimate's exact CDF rank against q*n +/- n/accuracy using only
+    integer/fixed arithmetic. Bit-replayable (booleans + exact
+    values).
+
+    Output one row: (n long, p50, p90, p99 doubles — exact; ok_p50,
+    ok_p90, ok_p99 booleans).
+    """
+    x = F.col(signal_col).cast("double")
+    hist = df.where(x.isNotNull()).groupBy(x.alias("_v")).agg(
+        F.count("*").cast("long").alias("_m")
+    )
+    w_cum = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "_v",
+        F.sum("_m").over(w_cum).cast("long").alias("_cm"),
+        F.sum("_m").over(w_all).cast("long").alias("_n"),
+    )
+    approx = df.where(x.isNotNull()).agg(
+        F.percentile_approx(x, [0.5, 0.9, 0.99], int(accuracy)).alias("_ap")
+    )
+
+    def exact(q):
+        thresh = F.ceil(F.lit(q) * F.col("_n")).cast("long")
+        return F.min(F.when(F.col("_cm") >= thresh, F.col("_v")))
+
+    g = cum.agg(
+        F.max("_n").alias("n"),
+        exact(0.50).alias("_e50"),
+        exact(0.90).alias("_e90"),
+        exact(0.99).alias("_e99"),
+    ).crossJoin(F.broadcast(approx))
+    # rank of the estimate = exact CDF count at-or-below it; the GK
+    # contract: |rank - q n| <= n / accuracy. The rank lookup folds
+    # over the compacted histogram (broadcast back as an array).
+    cells = cum.select(F.struct("_v", "_cm").alias("_e")).agg(
+        F.sort_array(F.collect_list("_e")).alias("_cells")
+    )
+    g = g.crossJoin(F.broadcast(cells))
+
+    def rank_at(val):
+        # largest cumulative count among values <= val (0 if below all)
+        return F.aggregate(
+            F.col("_cells"),
+            F.lit(0).cast("long"),
+            lambda acc, e: F.when(e["_v"] <= val, e["_cm"]).otherwise(acc),
+        )
+
+    def ok(idx, q):
+        est = F.col("_ap").getItem(idx)
+        rk = rank_at(est)
+        lo = F.lit(q) * F.col("n").cast("double") - F.col("n").cast(
+            "double"
+        ) / F.lit(float(accuracy))
+        hi = F.lit(q) * F.col("n").cast("double") + F.col("n").cast(
+            "double"
+        ) / F.lit(float(accuracy))
+        # the estimate's CDF interval [rank_below_exclusive, rank] must
+        # intersect [lo, hi]; with the compacted histogram the interval
+        # lower end is the previous value's cumulative count
+        prev = F.aggregate(
+            F.col("_cells"),
+            F.lit(0).cast("long"),
+            lambda acc, e: F.when(e["_v"] < est, e["_cm"]).otherwise(acc),
+        )
+        return (rk.cast("double") >= lo) & (prev.cast("double") <= hi)
+
+    return g.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("_e50").alias("p50"),
+        F.col("_e90").alias("p90"),
+        F.col("_e99").alias("p99"),
+        ok(0, 0.50).alias("ok_p50"),
+        ok(1, 0.90).alias("ok_p90"),
+        ok(2, 0.99).alias("ok_p99"),
     )
