@@ -6004,8 +6004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     position — so the order below doubles as the rotation queue for
     future rounds. Regenerate with tools/rotate_window.py.
 
-    Current window: 40 changed-since-last-gate entries, 0 pinned,
-    and 10 ledger-ordered backlog entries; 14 of 50 slots were
+    Current window: 50 changed-since-last-gate entries, 0 pinned,
+    and 0 ledger-ordered backlog entries; 10 of 50 slots were
     not in the previous round's window. Entries past the marker keep
     their newest green driver rows; every registry entry is additionally
     strict-mirrored (tools/check_queries.py, STRICT hash mode, sf0.01)
@@ -6052,7 +6052,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_handoff_matrix": q_handoff_matrix,
         "q_tool_chains": q_tool_chains,
         "q_conv_endings": q_conv_endings,
-        # --- never gated, ledger order ---
+        "q_cold_start": q_cold_start,
+        "q_dup_rate_source": q_dup_rate_source,
+        "q_dup_cross_source": q_dup_cross_source,
+        "q_ht_estimate": q_ht_estimate,
+        "q_bh_fdr": q_bh_fdr,
+        "q_ab_power": q_ab_power,
+        "q_state_matrix": q_state_matrix,
+        "q_distinct_asof": q_distinct_asof,
+        "q_bytes_per_token": q_bytes_per_token,
+        "q_dup_threshold_sweep": q_dup_threshold_sweep,
+        # ===== gate window ends here (first 50 entries) ================
+        # Everything below keeps its newest green driver row (see
+        # tools/gate_ledger.py for the live last_gated_round table)
+        # and queues for future rotations in this order.
         "q_kcore": q_kcore,
         "q_assortativity": q_assortativity,
         "q_kn_ppl": q_kn_ppl,
@@ -6063,10 +6076,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wl_templates": q_wl_templates,
         "q_assoc_rules": q_assoc_rules,
         "q_conformal": q_conformal,
-        # ===== gate window ends here (first 50 entries) ================
-        # Everything below keeps its newest green driver row (see
-        # tools/gate_ledger.py for the live last_gated_round table)
-        # and queues for future rotations in this order.
         "q_label_noise": q_label_noise,
         "q_adamic_adar": q_adamic_adar,
         "q_kmv": q_kmv,
@@ -6391,16 +6400,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_score_ks": q_score_ks,
         "q_source_jaccard": q_source_jaccard,
         "q_source_kl": q_source_kl,
-        "q_cold_start": q_cold_start,
-        "q_dup_rate_source": q_dup_rate_source,
-        "q_dup_cross_source": q_dup_cross_source,
-        "q_ht_estimate": q_ht_estimate,
-        "q_bh_fdr": q_bh_fdr,
-        "q_ab_power": q_ab_power,
-        "q_state_matrix": q_state_matrix,
-        "q_distinct_asof": q_distinct_asof,
-        "q_bytes_per_token": q_bytes_per_token,
-        "q_dup_threshold_sweep": q_dup_threshold_sweep,
         "q_stream_ewma": q_stream_ewma,
         "q_approx_quantiles": q_approx_quantiles,
         "q_profile_events": q_profile_events,
