@@ -5989,6 +5989,27 @@ def q_profile_events(spark, sf_dir):
     return _r6(column_profile(ev), ["null_share"])
 
 
+def q_content_manifest(spark, sf_dir):
+    """Order-free per-source content digests + corpus digest
+    (curation.content_manifest): commutative exact-integer md5-prefix
+    sums mod 2^61-1 — oracle-replayable."""
+    from z_rad_spark.operators.curation import content_manifest
+
+    return content_manifest(_docs(spark, sf_dir))
+
+
+def q_mix_entropy(spark, sf_dir):
+    """Source-mix entropy and effective source count over docs and
+    tokens (curation.mix_entropy): exact counts, source-ordered
+    entropy folds — oracle-replayable."""
+    from z_rad_spark.operators.curation import mix_entropy
+
+    return _r6(
+        mix_entropy(_docs(spark, sf_dir)),
+        ["h_docs", "eff_docs", "h_tokens", "eff_tokens"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6403,6 +6424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_ewma": q_stream_ewma,
         "q_approx_quantiles": q_approx_quantiles,
         "q_profile_events": q_profile_events,
+        "q_content_manifest": q_content_manifest,
+        "q_mix_entropy": q_mix_entropy,
     }
 
 

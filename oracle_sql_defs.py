@@ -14248,3 +14248,65 @@ SELECT col AS "column", n, n_null,
        n_distinct, min_str, max_str
 FROM g
 """
+
+
+# Order-free content manifest — matches curation.content_manifest
+ORACLES["q_content_manifest"] = f"""
+WITH base AS (
+  SELECT source AS s,
+         CAST(len({TOKS_RAW}) AS BIGINT) AS n,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15))::BIGINT
+              % 2305843009213693951 AS BIGINT) AS h
+  FROM documents
+),
+per AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS n_tokens,
+         CAST(CAST(SUM(CAST(h AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS BIGINT) AS digest
+  FROM base GROUP BY s
+),
+corpus AS (
+  SELECT '<corpus>' AS s, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS n_tokens,
+         CAST(CAST(SUM(CAST(h AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS BIGINT) AS digest
+  FROM base
+)
+SELECT s AS source, n_docs, n_tokens, digest FROM per
+UNION ALL
+SELECT s AS source, n_docs, n_tokens, digest FROM corpus
+"""
+
+
+# Source-mix entropy + effective source count — matches
+# curation.mix_entropy
+ORACLES["q_mix_entropy"] = f"""
+WITH per AS (
+  SELECT source AS s, CAST(COUNT(*) AS BIGINT) AS d,
+         CAST(SUM(len({TOKS_RAW})) AS BIGINT) AS t
+  FROM documents GROUP BY source
+),
+withn AS (
+  SELECT s, d, t,
+         CAST(SUM(d) OVER () AS BIGINT) AS nd,
+         CAST(SUM(t) OVER () AS BIGINT) AS nt
+  FROM per
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+         -list_reduce([0.0] || list(
+           CASE WHEN CAST(d AS DOUBLE) / CAST(nd AS DOUBLE) > 0
+                THEN (CAST(d AS DOUBLE) / CAST(nd AS DOUBLE)) * LN(CAST(d AS DOUBLE) / CAST(nd AS DOUBLE))
+                ELSE 0.0 END ORDER BY s), (a, e) -> a + e) AS hd,
+         -list_reduce([0.0] || list(
+           CASE WHEN CAST(t AS DOUBLE) / CAST(nt AS DOUBLE) > 0
+                THEN (CAST(t AS DOUBLE) / CAST(nt AS DOUBLE)) * LN(CAST(t AS DOUBLE) / CAST(nt AS DOUBLE))
+                ELSE 0.0 END ORDER BY s), (a, e) -> a + e) AS ht
+  FROM withn
+)
+SELECT n_sources,
+       {r6('hd', 'h_docs')},
+       {r6('EXP(hd)', 'eff_docs')},
+       {r6('ht', 'h_tokens')},
+       {r6('EXP(ht)', 'eff_tokens')}
+FROM g
+"""

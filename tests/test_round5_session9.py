@@ -1358,3 +1358,43 @@ def test_column_profile_nulls_and_distincts(spark):
     assert out["event_type"]["min_str"] == "click"
     assert out["props"]["n_null"] == 1
     assert out["ts"]["min_str"] == "2024-01-01 10:00:00"
+
+
+def test_content_manifest_order_free_and_sensitive(spark):
+    from z_rad_spark.operators.curation import content_manifest
+
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb", "en", "s1"), (2, "ccc ddd", "en", "s1"), (3, "x", "en", "s2")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out1 = {r["source"]: r for r in content_manifest(docs).collect()}
+    # same rows in different input order -> identical digests
+    docs2 = spark.createDataFrame(
+        [(3, "x", "en", "s2"), (2, "ccc ddd", "en", "s1"), (1, "aaa bbb", "en", "s1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out2 = {r["source"]: r for r in content_manifest(docs2).collect()}
+    assert out1["s1"]["digest"] == out2["s1"]["digest"]
+    assert out1["<corpus>"]["digest"] == out2["<corpus>"]["digest"]
+    # a one-character edit changes the digest
+    docs3 = spark.createDataFrame(
+        [(1, "aaa bbc", "en", "s1"), (2, "ccc ddd", "en", "s1"), (3, "x", "en", "s2")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out3 = {r["source"]: r for r in content_manifest(docs3).collect()}
+    assert out3["s1"]["digest"] != out1["s1"]["digest"]
+    assert out1["<corpus>"]["n_docs"] == 3
+
+
+def test_mix_entropy_uniform_sources(spark):
+    from z_rad_spark.operators.curation import mix_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "en", "s1"), (2, "c d", "en", "s2"), (3, "e f", "en", "s3"), (4, "g h", "en", "s4")],
+        "doc_id long, text string, lang string, source string",
+    )
+    r = mix_entropy(docs).collect()[0]
+    assert r["n_sources"] == 4
+    assert r["h_docs"] == pytest.approx(math.log(4), rel=1e-12)
+    assert r["eff_docs"] == pytest.approx(4.0, rel=1e-9)
+    assert r["eff_tokens"] == pytest.approx(4.0, rel=1e-9)

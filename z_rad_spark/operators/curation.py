@@ -2158,3 +2158,110 @@ def ht_estimate(
         F.when(ok, ht).alias("ht_tokens"),
         F.when(ok & (F.col("exact_tokens") > 0), err).alias("err_pct"),
     )
+
+
+def content_manifest(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content-addressable corpus manifest: per source, the document
+    count, total token mass, and an ORDER-FREE content digest (the
+    sum mod 2^61-1 of each document's md5-prefix integer, id-salted)
+    — two corpus snapshots with equal digests hold identical
+    (doc_id, text) multisets per source, so a reproduction run can
+    assert provenance in one tiny table instead of re-diffing
+    10^12 rows ([[q_snapshot_diff]] finds WHICH rows changed; this op
+    asserts WHETHER anything did).
+
+    Determinism: the digest is a commutative exact-integer sum of
+    exact md5 prefixes — identical under any partitioning; counts
+    exact. Bit-replayable.
+
+    Output: (source, n_docs long, n_tokens long, digest long), one
+    row per source, plus one '<corpus>' row summing all sources
+    (digest mod-summed the same way).
+    """
+    P = (1 << 61) - 1
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col(text_col))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = docs.select(
+        F.col("source").alias("_s"),
+        F.size(toks).cast("long").alias("_n"),
+        F.pmod(h, F.lit(P)).alias("_h"),
+    )
+    # the mod-sum rides DECIMAL(38,0): 2^61-sized terms overflow a
+    # long after a handful of rows; decimal headroom is ~1e38
+    dsum = lambda: F.pmod(  # noqa: E731
+        F.sum(F.col("_h").cast("decimal(38,0)")), F.lit(P).cast("decimal(38,0)")
+    ).cast("long")
+    per = base.groupBy("_s").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_n").cast("long").alias("n_tokens"),
+        dsum().alias("digest"),
+    )
+    corpus = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_n").cast("long").alias("n_tokens"),
+        dsum().alias("digest"),
+    ).select(F.lit("<corpus>").alias("_s"), "n_docs", "n_tokens", "digest")
+    return per.unionByName(corpus).select(
+        F.col("_s").alias("source"), "n_docs", "n_tokens", "digest"
+    )
+
+
+def mix_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Source-mix diversity: the Shannon entropy of the source
+    distribution and its exponential (the EFFECTIVE source count —
+    'this corpus behaves like N equal sources'), computed over both
+    document counts and token mass — the one-row diversity summary
+    beside [[source_temperature]]'s full remix table (a mix whose
+    effective count collapsed from 20 to 3 after filtering lost its
+    diversity even if all 20 sources still appear).
+
+    Determinism: counts exact; entropies fold ordered by source;
+    exp is one fixed op. Bit-replayable.
+
+    Output one row: (n_sources long, h_docs, eff_docs, h_tokens,
+    eff_tokens doubles).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    per = docs.groupBy(F.col("source").alias("_s")).agg(
+        F.count("*").cast("long").alias("_d"),
+        F.sum(F.size(toks)).cast("long").alias("_t"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    withn = per.select(
+        "_s",
+        "_d",
+        "_t",
+        F.sum("_d").over(w_all).cast("long").alias("_nd"),
+        F.sum("_t").over(w_all).cast("long").alias("_nt"),
+    )
+    pd_ = F.col("_d").cast("double") / F.col("_nd").cast("double")
+    pt_ = F.col("_t").cast("double") / F.col("_nt").cast("double")
+    g = withn.select(
+        F.struct(
+            "_s",
+            F.when(pd_ > 0, pd_ * F.log(pd_)).otherwise(F.lit(0.0)).alias("_hd"),
+            F.when(pt_ > 0, pt_ * F.log(pt_)).otherwise(F.lit(0.0)).alias("_ht"),
+        ).alias("_e")
+    ).agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.sort_array(F.collect_list("_e")).alias("_es"),
+    )
+    hd = -F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_hd"])
+    ht = -F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_ht"])
+    return g.select(
+        "n_sources",
+        hd.alias("h_docs"),
+        F.exp(hd).alias("eff_docs"),
+        ht.alias("h_tokens"),
+        F.exp(ht).alias("eff_tokens"),
+    )
