@@ -106,6 +106,15 @@ HEADLINE = [
     # full turn volume)
     "q_kn_ppl",
     "q_isotonic",
+    # session-9 heavyweights: exact-Jaccard threshold sweep over the
+    # LSH candidates, the id-ordered embedding fold pair, the
+    # broadcast-grid point-in-time feature family, and the compacted
+    # rank-pick latency matrix
+    "q_dup_threshold_sweep",
+    "q_mahalanobis",
+    "q_anisotropy",
+    "q_horizon_feats",
+    "q_handoff_matrix",
 ]
 
 

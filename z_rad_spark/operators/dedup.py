@@ -1463,17 +1463,43 @@ def dup_threshold_sweep(
     )
     scored = ngram_jaccard(
         docs, pairs=pairs, n=n, text_col=text_col, id_col=id_col, threshold=0.0
-    )
+    ).persist()  # pair-count sized; consumed by both aggregate passes
+    _CACHED_FRAMES.append(scored)
     tot = docs.select(F.count("*").cast("long").alias("_nd"))
+    ths = sorted(float(x) for x in thresholds)
+    # ONE pass for the pair counts (conditional sums) and ONE for the
+    # touched-doc counts (a doc clears bar t iff its MAX pair jaccard
+    # does) — the naive per-threshold re-filter re-ran the whole
+    # shingle scoring 2x per threshold (measured 8.6 s at sf0.1; this
+    # shape scores once)
+    pair_aggs = [
+        F.sum(F.when(F.col("jaccard") >= F.lit(t), 1).otherwise(0))
+        .cast("long")
+        .alias(f"_p{i}")
+        for i, t in enumerate(ths)
+    ]
+    pair_counts = scored.agg(*pair_aggs)
+    per_id = (
+        scored.select(F.col("id_a").alias("_i"), "jaccard")
+        .unionByName(scored.select(F.col("id_b").alias("_i"), "jaccard"))
+        .groupBy("_i")
+        .agg(F.max("jaccard").alias("_mj"))
+    )
+    doc_aggs = [
+        F.sum(F.when(F.col("_mj") >= F.lit(t), 1).otherwise(0))
+        .cast("long")
+        .alias(f"_d{i}")
+        for i, t in enumerate(ths)
+    ]
+    doc_counts = per_id.agg(*doc_aggs)
+    wide = pair_counts.crossJoin(F.broadcast(doc_counts))
     out = None
-    for t in sorted(float(x) for x in thresholds):
-        sel = scored.where(F.col("jaccard") >= F.lit(t))
-        ids = sel.select(F.col("id_a").alias("_i")).unionByName(
-            sel.select(F.col("id_b").alias("_i"))
-        ).distinct()
-        g = sel.agg(F.count("*").cast("long").alias("n_pairs")).crossJoin(
-            ids.agg(F.count("*").cast("long").alias("n_docs"))
-        ).select(F.lit(t).alias("threshold"), "n_pairs", "n_docs")
+    for i, t in enumerate(ths):
+        g = wide.select(
+            F.lit(t).alias("threshold"),
+            F.col(f"_p{i}").alias("n_pairs"),
+            F.col(f"_d{i}").alias("n_docs"),
+        )
         out = g if out is None else out.unionByName(g)
     out = out.crossJoin(F.broadcast(tot))
     return out.select(
