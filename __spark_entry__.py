@@ -6010,6 +6010,28 @@ def q_mix_entropy(spark, sf_dir):
     )
 
 
+def q_wilson(spark, sf_dir):
+    """Wilson + Agresti-Coull 95% intervals for each source's English
+    share (drift.wilson_ci): exact counts, fixed interval chains,
+    literal z — oracle-replayable."""
+    from z_rad_spark.operators.drift import wilson_ci
+
+    return _r6(
+        wilson_ci(_docs(spark, sf_dir)),
+        ["p", "wilson_lo", "wilson_hi", "ac_lo", "ac_hi"],
+    )
+
+
+def q_markov_stationary(spark, sf_dir):
+    """3-iteration power-method stationary role mix vs the marginal
+    (sessionize.markov_stationary): exact transition ratios,
+    source-ordered folds per step, unrolled SQL oracle (the q_hits
+    pattern)."""
+    from z_rad_spark.operators.sessionize import markov_stationary
+
+    return _r6(markov_stationary(_t(spark, sf_dir)), ["pi", "marginal", "gap"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6426,6 +6448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile_events": q_profile_events,
         "q_content_manifest": q_content_manifest,
         "q_mix_entropy": q_mix_entropy,
+        "q_wilson": q_wilson,
+        "q_markov_stationary": q_markov_stationary,
     }
 
 

@@ -14310,3 +14310,86 @@ SELECT n_sources,
        {r6('EXP(ht)', 'eff_tokens')}
 FROM g
 """
+
+
+# Wilson + Agresti-Coull intervals per source — matches drift.wilson_ci
+ORACLES["q_wilson"] = f"""
+WITH g AS (
+  SELECT source AS s, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 0) AS BIGINT) AS k
+  FROM documents GROUP BY source
+),
+f AS (
+  SELECT s, n, k,
+         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         1.959963984540054 * 1.959963984540054 / CAST(n AS DOUBLE) AS z2n,
+         CAST(n AS DOUBLE) AS nd
+  FROM g
+),
+f2 AS (
+  SELECT s, n, k, p, nd,
+         (p + z2n / 2.0) / (1.0 + z2n) AS center,
+         1.959963984540054 * SQRT(p * (1.0 - p) / nd
+             + 1.959963984540054 * 1.959963984540054 / (4.0 * nd * nd)) / (1.0 + z2n) AS half,
+         nd + 1.959963984540054 * 1.959963984540054 AS nt,
+         (CAST(k AS DOUBLE) + 1.959963984540054 * 1.959963984540054 / 2.0)
+           / (nd + 1.959963984540054 * 1.959963984540054) AS pt
+  FROM f
+)
+SELECT s AS source, n, k,
+       {r6('CASE WHEN n > 0 THEN p END', 'p')},
+       {r6('CASE WHEN n > 0 THEN GREATEST(center - half, 0.0) END', 'wilson_lo')},
+       {r6('CASE WHEN n > 0 THEN LEAST(center + half, 1.0) END', 'wilson_hi')},
+       {r6('CASE WHEN n > 0 THEN GREATEST(pt - 1.959963984540054 * SQRT(pt * (1.0 - pt) / nt), 0.0) END', 'ac_lo')},
+       {r6('CASE WHEN n > 0 THEN LEAST(pt + 1.959963984540054 * SQRT(pt * (1.0 - pt) / nt), 1.0) END', 'ac_hi')}
+FROM f2
+"""
+
+
+# 3-iteration stationary role mix — matches
+# sessionize.markov_stationary (unrolled, the q_hits pattern)
+ORACLES["q_markov_stationary"] = f"""
+WITH t AS ({T}),
+seq AS (
+  SELECT conv_id, role AS u,
+         LEAD(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS v
+  FROM t
+),
+trans AS (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE v IS NOT NULL GROUP BY u, v
+),
+cells AS (
+  SELECT u, v,
+         CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY u) AS BIGINT) AS p
+  FROM trans
+),
+roles AS (SELECT DISTINCT u AS r FROM cells),
+k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM roles),
+pi0 AS (SELECT r, 1.0 / CAST(k.k AS DOUBLE) AS pi FROM roles, k),
+pi1 AS (
+  SELECT cells.v AS r,
+         list_reduce([0.0] || list(pi0.pi * cells.p ORDER BY cells.u), (a, e) -> a + e) AS pi
+  FROM cells JOIN pi0 ON pi0.r = cells.u
+  GROUP BY cells.v
+),
+pi2 AS (
+  SELECT cells.v AS r,
+         list_reduce([0.0] || list(pi1.pi * cells.p ORDER BY cells.u), (a, e) -> a + e) AS pi
+  FROM cells JOIN pi1 ON pi1.r = cells.u
+  GROUP BY cells.v
+),
+pi3 AS (
+  SELECT cells.v AS r,
+         list_reduce([0.0] || list(pi2.pi * cells.p ORDER BY cells.u), (a, e) -> a + e) AS pi
+  FROM cells JOIN pi2 ON pi2.r = cells.u
+  GROUP BY cells.v
+),
+marg AS (SELECT v AS r, CAST(SUM(n) AS BIGINT) AS m FROM trans GROUP BY v),
+margn AS (SELECT r, m, CAST(SUM(m) OVER () AS BIGINT) AS nn FROM marg)
+SELECT pi3.r AS role,
+       {r6('pi3.pi', 'pi')},
+       {r6('CAST(margn.m AS DOUBLE) / CAST(margn.nn AS DOUBLE)', 'marginal')},
+       {r6('pi3.pi - COALESCE(CAST(margn.m AS DOUBLE) / CAST(margn.nn AS DOUBLE), 0.0)', 'gap')}
+FROM pi3 LEFT JOIN margn ON margn.r = pi3.r
+"""

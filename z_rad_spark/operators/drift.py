@@ -4316,3 +4316,60 @@ def ab_power(
         F.when(ok, p2).alias("p2"),
         F.when(ok, n).alias("n_per_arm"),
     )
+
+
+def wilson_ci(
+    docs: DataFrame,
+    group_col: str = "source",
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Wilson score and Agresti-Coull 95% intervals for each group's
+    binary rate (here: the share of English documents per source) —
+    the small-sample-honest rate intervals ([[q_bootstrap_ci]] covers
+    means; rates near 0/1 need Wilson's asymmetry — a source with
+    0/12 English docs has a Wald interval of [0,0], which is a lie,
+    and a Wilson upper bound of ~0.24, which is the truth a
+    procurement decision needs):
+
+        center = (p + z^2/2n) / (1 + z^2/n)
+        half   = z sqrt(p(1-p)/n + z^2/4n^2) / (1 + z^2/n)
+
+    Agresti-Coull uses the same center with the simpler +-z
+    sqrt(pt(1-pt)/nt) on the adjusted counts nt = n + z^2.
+
+    Determinism: counts exact; both interval chains are fixed; the z
+    literal is the same double in both engines. Bit-replayable.
+
+    Output: (group, n long, k long, p, wilson_lo, wilson_hi, ac_lo,
+    ac_hi doubles — NULL when n = 0), one row per group.
+    """
+    g = docs.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    zd = F.lit(float(z))
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    z2n = zd * zd / nd
+    center = (p + z2n / F.lit(2.0)) / (F.lit(1.0) + z2n)
+    half = (
+        zd
+        * F.sqrt(p * (F.lit(1.0) - p) / nd + zd * zd / (F.lit(4.0) * nd * nd))
+        / (F.lit(1.0) + z2n)
+    )
+    nt = nd + zd * zd
+    pt = (F.col("k").cast("double") + zd * zd / F.lit(2.0)) / nt
+    ach = zd * F.sqrt(pt * (F.lit(1.0) - pt) / nt)
+    ok = F.col("n") > 0
+    return g.select(
+        F.col("_g").alias(group_col),
+        "n",
+        "k",
+        F.when(ok, p).alias("p"),
+        F.when(ok, F.greatest(center - half, F.lit(0.0))).alias("wilson_lo"),
+        F.when(ok, F.least(center + half, F.lit(1.0))).alias("wilson_hi"),
+        F.when(ok, F.greatest(pt - ach, F.lit(0.0))).alias("ac_lo"),
+        F.when(ok, F.least(pt + ach, F.lit(1.0))).alias("ac_hi"),
+    )

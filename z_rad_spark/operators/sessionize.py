@@ -1787,3 +1787,75 @@ def key_skew_profile(df: DataFrame, key_col: str = "conv_id") -> DataFrame:
             F.col("max_count").cast("double") / F.col("p50").cast("double"),
         ).alias("skew_ratio"),
     )
+
+
+def markov_stationary(df: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Long-run role mix of the transition chain: ``n_iter`` power
+    iterations pi <- pi P from the uniform start over the empirical
+    role-transition matrix — where the conversation flow SETTLES, vs
+    the marginal next-role share [[entropy_rate]] reports (the two
+    diverge exactly when the chain mixes slowly; the gap per role is
+    emitted). The iteration count is fixed and small (the q_hits
+    precedent): each step is one tiny join-aggregate, and the oracle
+    unrolls the same three steps declaratively.
+
+    Determinism: P's cells are exact-count ratios; each iteration
+    folds the incoming terms ordered by source role; the start vector
+    is the exact 1/k. Bit-replayable.
+
+    Scale: the chain lives on the |roles|^2 cell table — corpus-sized
+    work is ONE counting pass. Output: (role, pi double, marginal
+    double, gap double), one row per role.
+    """
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    trans = (
+        df.select("conv_id", "ts", "turn_idx", F.col("role").alias("_u"))
+        .withColumn("_v", F.lead("_u", 1).over(w))
+        .where(F.col("_v").isNotNull())
+        .groupBy("_u", "_v")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    w_u = Window.partitionBy("_u")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    from .dedup import _CACHED_FRAMES
+
+    cells = trans.select(
+        "_u",
+        "_v",
+        (F.col("_n").cast("double") / F.sum("_n").over(w_u).cast("double")).alias(
+            "_p"
+        ),
+    ).persist()  # |roles|^2 rows, reused by every iteration
+    _CACHED_FRAMES.append(cells)
+    roles = cells.select(F.col("_u").alias("_r")).distinct()
+    k = roles.count()
+    pi = roles.select("_r", F.lit(1.0 / float(k)).alias("_pi"))
+    for _ in range(int(n_iter)):
+        j = pi.join(cells, pi["_r"] == cells["_u"]).select(
+            F.col("_v"), F.col("_u"), (F.col("_pi") * F.col("_p")).alias("_t")
+        )
+        pi = (
+            j.select(F.col("_v").alias("_r"), F.struct("_u", "_t").alias("_e"))
+            .groupBy("_r")
+            .agg(F.sort_array(F.collect_list("_e")).alias("_es"))
+            .select(
+                "_r",
+                F.aggregate(
+                    F.col("_es"), F.lit(0.0), lambda a, e: a + e["_t"]
+                ).alias("_pi"),
+            )
+        )
+    marg = trans.groupBy(F.col("_v").alias("_r")).agg(
+        F.sum("_n").cast("long").alias("_m")
+    )
+    margn = marg.withColumn("_nn", F.sum("_m").over(w_all).cast("long"))
+    mshare = F.col("_m").cast("double") / F.col("_nn").cast("double")
+    out = pi.join(margn.select("_r", mshare.alias("marginal")), "_r", "left")
+    return out.select(
+        F.col("_r").alias("role"),
+        F.col("_pi").alias("pi"),
+        "marginal",
+        (F.col("_pi") - F.coalesce(F.col("marginal"), F.lit(0.0))).alias("gap"),
+    )
