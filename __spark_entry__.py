@@ -6032,6 +6032,34 @@ def q_markov_stationary(spark, sf_dir):
     return _r6(markov_stationary(_t(spark, sf_dir)), ["pi", "marginal", "gap"])
 
 
+def q_answer_rate_asof(spark, sf_dir):
+    """Answered-user-turn share at each cutoff, follower ts also
+    cutoff-bounded (asof.answer_rate_asof): one lead pass reused by
+    every cutoff, exact conditional sums — oracle-replayable."""
+    from z_rad_spark.operators.asof import answer_rate_asof
+
+    out = answer_rate_asof(_t(spark, sf_dir), spark, CUTOFFS)
+    return _r6(
+        out.select(
+            "conv_id", _us("as_of", "as_of_us"), "n_user", "n_answered", "answer_rate"
+        ),
+        ["answer_rate"],
+    )
+
+
+def q_stream_cms(spark, sf_dir):
+    """Stateful streaming Count-Min sketch over event types
+    (streaming.streaming_cms via applyInPandasWithState): fixed 4x64
+    counter matrix, commutative exact increments, min-over-rows
+    estimate with the collision overcount surfaced; availableNow =
+    one batch, so the emission hash-matches the declarative
+    bucket-sum SQL oracle bit-for-bit."""
+    from z_rad_spark.streaming import streaming_cms
+
+    res = _replay_stream_kv(spark, sf_dir, streaming_cms, "q_stream_cms_")
+    return res
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6450,6 +6478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mix_entropy": q_mix_entropy,
         "q_wilson": q_wilson,
         "q_markov_stationary": q_markov_stationary,
+        "q_answer_rate_asof": q_answer_rate_asof,
+        "q_stream_cms": q_stream_cms,
     }
 
 

@@ -14393,3 +14393,63 @@ SELECT pi3.r AS role,
        {r6('pi3.pi - COALESCE(CAST(margn.m AS DOUBLE) / CAST(margn.nn AS DOUBLE), 0.0)', 'gap')}
 FROM pi3 LEFT JOIN margn ON margn.r = pi3.r
 """
+
+
+# Answered-rate state at cutoffs — matches asof.answer_rate_asof
+ORACLES["q_answer_rate_asof"] = f"""
+WITH t AS ({T}),
+marked AS (
+  SELECT conv_id, ts, role,
+         LEAD(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS nrole,
+         LEAD(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS nts
+  FROM t
+),
+j AS (
+  SELECT m.conv_id, g.as_of, m.role, m.nrole, m.nts
+  FROM marked m JOIN (SELECT column0 AS as_of FROM {GRID} g(column0)) g
+    ON m.ts <= g.as_of
+),
+agg AS (
+  SELECT conv_id, as_of,
+         CAST(COALESCE(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_user,
+         CAST(COALESCE(SUM(CASE WHEN role = 'user' AND nrole = 'assistant' AND nts <= as_of THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_answered
+  FROM j GROUP BY conv_id, as_of
+)
+SELECT conv_id, CAST(epoch_us(as_of) AS BIGINT) AS as_of_us,
+       n_user, n_answered,
+       {r6('CASE WHEN n_user > 0 THEN CAST(n_answered AS DOUBLE) / CAST(n_user AS DOUBLE) END', 'answer_rate')}
+FROM agg
+"""
+
+
+# Streaming CMS final-state replay: declarative bucket sums — matches
+# streaming.streaming_cms (d=4, w=64, literal salts) after the single
+# availableNow batch
+ORACLES["q_stream_cms"] = f"""
+WITH per AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(('0x' || substring(md5(event_type), 1, 15))::BIGINT % 2147483647 AS BIGINT) AS code
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY event_type
+),
+salts AS (SELECT CAST(s AS BIGINT) AS salt FROM (VALUES (11), (101), (1009), (10007)) v(s)),
+hashed AS (
+  SELECT per.event_type, per.c, salts.salt,
+         ((((per.code * salts.salt + 12345) % 2147483647)
+           * ((per.code * salts.salt + 12345) % 2147483647)
+           + ((per.code * salts.salt + 12345) % 2147483647)) % 2147483647 * 48271 % 2147483647) % 64 AS b
+  FROM per, salts
+),
+buckets AS (
+  SELECT salt, b, CAST(SUM(c) AS BIGINT) AS tot FROM hashed GROUP BY salt, b
+),
+est AS (
+  SELECT h.event_type, CAST(MAX(h.c) AS BIGINT) AS exact_in_batch,
+         CAST(MIN(buckets.tot) AS BIGINT) AS cms_est
+  FROM hashed h JOIN buckets ON buckets.salt = h.salt AND buckets.b = h.b
+  GROUP BY h.event_type
+)
+SELECT event_type, exact_in_batch, cms_est,
+       CAST(cms_est - exact_in_batch AS BIGINT) AS overcount
+FROM est
+"""

@@ -1458,3 +1458,56 @@ def test_markov_stationary_uniform_chain_gap_zero(spark):
     for role in ("a", "b"):
         assert out[role]["pi"] == pytest.approx(0.5, rel=1e-9)
         assert out[role]["gap"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_answer_rate_asof_future_answer_not_counted(spark):
+    from z_rad_spark.operators.asof import answer_rate_asof
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "2024-01-01 10:00:00", 1.0),
+            ("c1", 1, "assistant", "2024-01-01 10:01:00", 1.0),
+            ("c1", 2, "user", "2024-01-01 11:00:00", 1.0),
+            # the answer to turn 2 lands AFTER the cutoff
+            ("c1", 3, "assistant", "2024-01-02 09:00:00", 1.0),
+        ],
+        "conv_id string, turn_idx int, role string, ts string, signal double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = answer_rate_asof(df, spark, ["2024-01-01 12:00:00"]).collect()[0]
+    assert r["n_user"] == 2
+    assert r["n_answered"] == 1  # the 11:00 question is unanswered AS OF noon
+    assert r["answer_rate"] == pytest.approx(0.5, rel=1e-12)
+
+
+def test_streaming_cms_estimate_upper_bounds_truth(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from z_rad_spark.streaming import streaming_cms
+
+    rows = [("a", 1)] * 30 + [("b", 2)] * 10 + [("c", 3)] * 5
+    df = spark.createDataFrame(rows, "event_type string, key long")
+    src = str(tmp_path / "cms_src")
+    df.repartition(3).write.parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("key", T.LongType()),
+        ]
+    )
+    q = (
+        streaming_cms(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("memory")
+        .queryName("cms_test_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    q.stop()
+    out = {r["event_type"]: r for r in spark.table("cms_test_sink").collect()}
+    assert set(out) == {"a", "b", "c"}
+    for k, true_c in [("a", 30), ("b", 10), ("c", 5)]:
+        assert out[k]["exact_in_batch"] == true_c
+        # CM never undercounts
+        assert out[k]["cms_est"] >= true_c
+        assert out[k]["overcount"] == out[k]["cms_est"] - true_c

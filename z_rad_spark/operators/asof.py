@@ -538,3 +538,59 @@ def distinct_asof(
         F.count_distinct(F.col("role")).cast("long").alias("n_roles"),
         F.count_distinct(F.col("tool")).cast("long").alias("n_tools"),
     )
+
+
+def answer_rate_asof(
+    df: DataFrame,
+    spark,
+    cutoffs,
+) -> DataFrame:
+    """Answered-rate state at each as-of cutoff: of the conversation's
+    user turns with ts <= cutoff, what share were followed by an
+    assistant turn THAT ALSO falls within the cutoff — the
+    conversational-health feature ('are questions getting answered,
+    as of now?') with the subtle leakage trap handled: a user turn
+    whose answer arrives AFTER the cutoff counts as unanswered at
+    that cutoff (the follower's ts must clear the same bar, otherwise
+    the feature reads the future).
+
+    Determinism: the follower derives from one lead() pass on the
+    stable turn order (computed once, reused by every cutoff);
+    counts are exact conditional sums. Bit-replayable.
+
+    Output: (conv_id, as_of, n_user long, n_answered long,
+    answer_rate double — NULL when no user turns yet), one row per
+    (conversation, cutoff) with history.
+    """
+    grid = spark.createDataFrame(
+        [(c,) for c in cutoffs], "as_of string"
+    ).select(F.col("as_of").cast("timestamp").alias("as_of"))
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    marked = df.select(
+        "conv_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "role",
+        F.lead("role", 1).over(w).alias("_nrole"),
+        F.lead(F.col("ts").cast("timestamp"), 1).over(w).alias("_nts"),
+    )
+    j = marked.crossJoin(F.broadcast(grid)).where(F.col("ts") <= F.col("as_of"))
+    is_user = F.col("role") == "user"
+    answered = (
+        is_user
+        & (F.col("_nrole") == "assistant")
+        & (F.col("_nts") <= F.col("as_of"))
+    )
+    g = j.groupBy("conv_id", "as_of").agg(
+        F.sum(F.when(is_user, 1).otherwise(0)).cast("long").alias("n_user"),
+        F.sum(F.when(answered, 1).otherwise(0)).cast("long").alias("n_answered"),
+    )
+    return g.select(
+        "conv_id",
+        "as_of",
+        "n_user",
+        "n_answered",
+        F.when(
+            F.col("n_user") > 0,
+            F.col("n_answered").cast("double") / F.col("n_user").cast("double"),
+        ).alias("answer_rate"),
+    )

@@ -846,3 +846,102 @@ def streaming_ewma(stream: DataFrame, alpha: float = 0.5) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CMS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("exact_in_batch", T.LongType()),
+        T.StructField("cms_est", T.LongType()),
+        T.StructField("overcount", T.LongType()),
+    ]
+)
+_CMS_STATE = T.StructType(
+    [T.StructField("counters", T.ArrayType(T.LongType()))]
+)
+
+_CMS_D = 4
+_CMS_W = 64
+_CMS_SALTS = (11, 101, 1009, 10007)
+
+
+def streaming_cms(stream: DataFrame) -> DataFrame:
+    """Streaming Count-Min sketch over the event-type stream — the
+    counting member of the stateful sketch family beside
+    [[streaming_hll]] (distinct) and [[streaming_kmv]] (distinct,
+    mergeable): state is the fixed d x w = 4 x 64 counter matrix;
+    each batch scatters its GROUP's key occurrences into the d
+    salted hash rows, and the emission reports each event type's CM
+    estimate (min over rows) beside its true in-state count — the
+    overcount IS the sketch's collision error, surfaced rather than
+    hidden.
+
+    To exercise collisions deterministically the sketch is GLOBAL
+    (single group key ''): every event type lands in the same
+    counter matrix, so unrelated keys can share buckets exactly as
+    they would at 10^12 scale with real cardinalities.
+
+    Exactness contract: counter increments are commutative exact
+    integers — ANY arrival order and batch split yield the same
+    matrix; the estimate is an integer min. The final emission
+    hash-matches the SQL oracle's declarative replay (bucket sums
+    per salted hash row) bit-for-bit.
+
+    Per-batch work is one vectorized value_counts + np.add.at;
+    state is O(d w) regardless of stream size.
+    """
+
+    def _h(key_codes: np.ndarray, salt: int) -> np.ndarray:
+        P = 2147483647
+        x = (key_codes * salt + 12345) % P
+        y = (x * x + x) % P
+        return ((y * 48271) % P) % _CMS_W
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows[rows["event_type"].notna()]
+        if len(rows) == 0:
+            return
+        counts = rows.groupby("event_type", sort=True).size()
+        mat = (
+            np.array(state.get[0], dtype=np.int64).reshape(_CMS_D, _CMS_W)
+            if state.exists
+            else np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+        )
+        # stable per-key integer code: fold the md5 prefix of the key
+        import hashlib
+
+        codes = {
+            k: int(hashlib.md5(k.encode()).hexdigest()[:15], 16)
+            % 2147483647
+            for k in counts.index
+        }
+        for k, c in counts.items():
+            for d, salt in enumerate(_CMS_SALTS):
+                b = int(_h(np.array([codes[k]]), salt)[0])
+                mat[d, b] += int(c)
+        state.update(([int(v) for v in mat.reshape(-1)],))
+        # emit per seen key: estimate vs exact-in-state is not
+        # recoverable (state holds no per-key truth) — emit exact
+        # IN-BATCH count and the CM estimate of the TOTAL so far
+        out = []
+        for k, c in counts.items():
+            est = min(
+                int(mat[d, int(_h(np.array([codes[k]]), salt)[0])])
+                for d, salt in enumerate(_CMS_SALTS)
+            )
+            out.append((k, int(c), est))
+        df = pd.DataFrame(out, columns=["event_type", "exact_in_batch", "cms_est"])
+        df["overcount"] = df["cms_est"] - df["exact_in_batch"]
+        yield df
+
+    keyed = stream.select(F.lit("").alias("_g"), "event_type")
+    return keyed.groupBy("_g").applyInPandasWithState(
+        fn,
+        outputStructType=CMS_SCHEMA,
+        stateStructType=_CMS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
