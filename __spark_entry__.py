@@ -6076,13 +6076,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     future rounds. Regenerate with tools/rotate_window.py.
 
     Current window: 50 changed-since-last-gate entries, 0 pinned,
-    and 0 ledger-ordered backlog entries; 10 of 50 slots were
+    and 0 ledger-ordered backlog entries; 9 of 50 slots were
     not in the previous round's window. Entries past the marker keep
     their newest green driver rows; every registry entry is additionally
     strict-mirrored (tools/check_queries.py, STRICT hash mode, sf0.01)
     before each handoff — see COVERAGE.md."""
     return {
         # --- engine/oracle code changed this round ---
+        "q_stream_ewma": q_stream_ewma,
+        "q_approx_quantiles": q_approx_quantiles,
+        "q_profile_events": q_profile_events,
+        "q_content_manifest": q_content_manifest,
+        "q_mix_entropy": q_mix_entropy,
+        "q_wilson": q_wilson,
+        "q_markov_stationary": q_markov_stationary,
+        "q_answer_rate_asof": q_answer_rate_asof,
+        "q_stream_cms": q_stream_cms,
         "q_rand_ari": q_rand_ari,
         "q_vmeasure": q_vmeasure,
         "q_purity": q_purity,
@@ -6124,6 +6133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tool_chains": q_tool_chains,
         "q_conv_endings": q_conv_endings,
         "q_cold_start": q_cold_start,
+        # ===== gate window ends here (first 50 entries) ================
+        # Everything below keeps its newest green driver row (see
+        # tools/gate_ledger.py for the live last_gated_round table)
+        # and queues for future rotations in this order.
         "q_dup_rate_source": q_dup_rate_source,
         "q_dup_cross_source": q_dup_cross_source,
         "q_ht_estimate": q_ht_estimate,
@@ -6133,10 +6146,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distinct_asof": q_distinct_asof,
         "q_bytes_per_token": q_bytes_per_token,
         "q_dup_threshold_sweep": q_dup_threshold_sweep,
-        # ===== gate window ends here (first 50 entries) ================
-        # Everything below keeps its newest green driver row (see
-        # tools/gate_ledger.py for the live last_gated_round table)
-        # and queues for future rotations in this order.
         "q_kcore": q_kcore,
         "q_assortativity": q_assortativity,
         "q_kn_ppl": q_kn_ppl,
@@ -6471,15 +6480,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_score_ks": q_score_ks,
         "q_source_jaccard": q_source_jaccard,
         "q_source_kl": q_source_kl,
-        "q_stream_ewma": q_stream_ewma,
-        "q_approx_quantiles": q_approx_quantiles,
-        "q_profile_events": q_profile_events,
-        "q_content_manifest": q_content_manifest,
-        "q_mix_entropy": q_mix_entropy,
-        "q_wilson": q_wilson,
-        "q_markov_stationary": q_markov_stationary,
-        "q_answer_rate_asof": q_answer_rate_asof,
-        "q_stream_cms": q_stream_cms,
     }
 
 
