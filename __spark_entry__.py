@@ -6060,6 +6060,30 @@ def q_stream_cms(spark, sf_dir):
     return res
 
 
+def q_quantiles_asof(spark, sf_dir):
+    """Expanding exact rank-pick quartiles at each cutoff
+    (asof.quantile_state_asof): compacted per-(conv, cutoff) value
+    histogram, leakage-safe — oracle-replayable."""
+    from z_rad_spark.operators.asof import quantile_state_asof
+
+    out = quantile_state_asof(_t(spark, sf_dir), spark, CUTOFFS)
+    return _r6(
+        out.select("conv_id", _us("as_of", "as_of_us"), "n", "p25", "p50", "p75"),
+        ["p25", "p50", "p75"],
+    )
+
+
+def q_role_mix_asof(spark, sf_dir):
+    """Role-composition share vector at each cutoff
+    (asof.role_mix_asof): exact conditional counts, leakage-safe —
+    oracle-replayable."""
+    from z_rad_spark.operators.asof import role_mix_asof
+
+    out = role_mix_asof(_t(spark, sf_dir), spark, CUTOFFS)
+    cols = [f"share_{r}" for r in ("user", "assistant", "tool", "system")]
+    return _r6(out.select("conv_id", _us("as_of", "as_of_us"), "n", *cols), cols)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6480,6 +6504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_score_ks": q_score_ks,
         "q_source_jaccard": q_source_jaccard,
         "q_source_kl": q_source_kl,
+        "q_quantiles_asof": q_quantiles_asof,
+        "q_role_mix_asof": q_role_mix_asof,
     }
 
 

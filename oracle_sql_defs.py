@@ -14453,3 +14453,59 @@ SELECT event_type, exact_in_batch, cms_est,
        CAST(cms_est - exact_in_batch AS BIGINT) AS overcount
 FROM est
 """
+
+
+# Expanding rank-pick quartiles at cutoffs — matches
+# asof.quantile_state_asof
+ORACLES["q_quantiles_asof"] = f"""
+WITH t AS ({T}),
+j AS (
+  SELECT t.conv_id, g.as_of, CAST(t.signal AS DOUBLE) AS v
+  FROM t JOIN (SELECT column0 AS as_of FROM {GRID} g(column0)) g
+    ON t.ts <= g.as_of
+  WHERE t.signal IS NOT NULL
+),
+hist AS (
+  SELECT conv_id, as_of, v, CAST(COUNT(*) AS BIGINT) AS m
+  FROM j GROUP BY conv_id, as_of, v
+),
+cum AS (
+  SELECT conv_id, as_of, v,
+         CAST(SUM(m) OVER (PARTITION BY conv_id, as_of ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm,
+         CAST(SUM(m) OVER (PARTITION BY conv_id, as_of) AS BIGINT) AS n
+  FROM hist
+)
+SELECT conv_id, CAST(epoch_us(as_of) AS BIGINT) AS as_of_us,
+       CAST(MAX(n) AS BIGINT) AS n,
+       {r6('MIN(CASE WHEN cm >= CAST(CEIL(0.25 * n) AS BIGINT) THEN v END)', 'p25')},
+       {r6('MIN(CASE WHEN cm >= CAST(CEIL(0.5 * n) AS BIGINT) THEN v END)', 'p50')},
+       {r6('MIN(CASE WHEN cm >= CAST(CEIL(0.75 * n) AS BIGINT) THEN v END)', 'p75')}
+FROM cum GROUP BY conv_id, as_of
+"""
+
+
+# Role-mix share vector at cutoffs — matches asof.role_mix_asof
+ORACLES["q_role_mix_asof"] = f"""
+WITH t AS ({T}),
+j AS (
+  SELECT t.conv_id, g.as_of, t.role
+  FROM t JOIN (SELECT column0 AS as_of FROM {GRID} g(column0)) g
+    ON t.ts <= g.as_of
+),
+agg AS (
+  SELECT conv_id, as_of,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END), 0) AS BIGINT) AS cu,
+         CAST(COALESCE(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END), 0) AS BIGINT) AS ca,
+         CAST(COALESCE(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END), 0) AS BIGINT) AS ct,
+         CAST(COALESCE(SUM(CASE WHEN role = 'system' THEN 1 ELSE 0 END), 0) AS BIGINT) AS cs
+  FROM j GROUP BY conv_id, as_of
+)
+SELECT conv_id, CAST(epoch_us(as_of) AS BIGINT) AS as_of_us, n,
+       {r6('CASE WHEN n > 0 THEN CAST(cu AS DOUBLE) / CAST(n AS DOUBLE) END', 'share_user')},
+       {r6('CASE WHEN n > 0 THEN CAST(ca AS DOUBLE) / CAST(n AS DOUBLE) END', 'share_assistant')},
+       {r6('CASE WHEN n > 0 THEN CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) END', 'share_tool')},
+       {r6('CASE WHEN n > 0 THEN CAST(cs AS DOUBLE) / CAST(n AS DOUBLE) END', 'share_system')}
+FROM agg
+"""

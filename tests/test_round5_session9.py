@@ -1511,3 +1511,38 @@ def test_streaming_cms_estimate_upper_bounds_truth(spark, tmp_path):
         # CM never undercounts
         assert out[k]["cms_est"] >= true_c
         assert out[k]["overcount"] == out[k]["cms_est"] - true_c
+
+
+def test_quantile_state_asof_hand_computed(spark):
+    from z_rad_spark.operators.asof import quantile_state_asof
+
+    # history signals 1..4 -> p25 = ceil(1)=1st = 1; p50 = 2; p75 = 3
+    df = spark.createDataFrame(
+        [
+            ("c1", i, "user", f"2024-01-01 10:0{i}:00", float(i + 1))
+            for i in range(4)
+        ] + [("c1", 4, "user", "2024-02-01 10:00:00", 99.0)],
+        "conv_id string, turn_idx int, role string, ts string, signal double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = quantile_state_asof(df, spark, ["2024-01-15 00:00:00"]).collect()[0]
+    assert r["n"] == 4
+    assert (r["p25"], r["p50"], r["p75"]) == (1.0, 2.0, 3.0)
+
+
+def test_role_mix_asof_hand_computed(spark):
+    from z_rad_spark.operators.asof import role_mix_asof
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "2024-01-01 10:00:00", 1.0),
+            ("c1", 1, "assistant", "2024-01-01 10:01:00", 1.0),
+            ("c1", 2, "user", "2024-01-01 10:02:00", 1.0),
+            ("c1", 3, "tool", "2024-01-01 10:03:00", 1.0),
+        ],
+        "conv_id string, turn_idx int, role string, ts string, signal double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = role_mix_asof(df, spark, ["2024-01-15 00:00:00"]).collect()[0]
+    assert r["share_user"] == pytest.approx(0.5, rel=1e-12)
+    assert r["share_assistant"] == pytest.approx(0.25, rel=1e-12)
+    assert r["share_tool"] == pytest.approx(0.25, rel=1e-12)
+    assert r["share_system"] == pytest.approx(0.0, abs=1e-12)

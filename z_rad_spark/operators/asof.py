@@ -594,3 +594,104 @@ def answer_rate_asof(
             F.col("n_answered").cast("double") / F.col("n_user").cast("double"),
         ).alias("answer_rate"),
     )
+
+
+def quantile_state_asof(
+    df: DataFrame,
+    spark,
+    cutoffs,
+    signal_col: str = "signal",
+) -> DataFrame:
+    """Expanding signal quartiles at each as-of cutoff: exact
+    rank-pick p25/p50/p75 of each conversation's signal HISTORY
+    (ts <= cutoff) — the distribution-shape state beside
+    [[trend_asof]]'s direction and [[horizon_features]]'s volume
+    (an IQR that widened between cutoffs is volatility the mean
+    hides), leakage-safe by construction.
+
+    Determinism: quantiles are EXACT integer rank picks
+    (ceil(q n), value asc — no interpolation) on the compacted
+    (conv, cutoff, value) histogram; counts exact. Bit-replayable.
+
+    Scale: broadcast grid join -> one (conv, cutoff, value) groupBy
+    (value cardinality bounds the state) -> rank windows on the
+    compacted frame. Output: (conv_id, as_of, n long, p25, p50, p75
+    doubles), one row per (conversation, cutoff) with history.
+    """
+    grid = spark.createDataFrame(
+        [(c,) for c in cutoffs], "as_of string"
+    ).select(F.col("as_of").cast("timestamp").alias("as_of"))
+    x = F.col(signal_col).cast("double")
+    j = (
+        df.where(x.isNotNull())
+        .crossJoin(F.broadcast(grid))
+        .where(F.col("ts").cast("timestamp") <= F.col("as_of"))
+    )
+    hist = j.groupBy("conv_id", "as_of", x.alias("_v")).agg(
+        F.count("*").cast("long").alias("_m")
+    )
+    w_cum = (
+        Window.partitionBy("conv_id", "as_of")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("conv_id", "as_of")
+    cum = hist.select(
+        "conv_id",
+        "as_of",
+        "_v",
+        F.sum("_m").over(w_cum).cast("long").alias("_cm"),
+        F.sum("_m").over(w_all).cast("long").alias("_n"),
+    )
+
+    def pick(q):
+        thresh = F.ceil(F.lit(q) * F.col("_n")).cast("long")
+        return F.min(F.when(F.col("_cm") >= thresh, F.col("_v")))
+
+    return cum.groupBy("conv_id", "as_of").agg(
+        F.max("_n").cast("long").alias("n"),
+        pick(0.25).alias("p25"),
+        pick(0.50).alias("p50"),
+        pick(0.75).alias("p75"),
+    )
+
+
+def role_mix_asof(
+    df: DataFrame,
+    spark,
+    cutoffs,
+    roles=("user", "assistant", "tool", "system"),
+) -> DataFrame:
+    """Role-mix share vector at each as-of cutoff: each role's share
+    of the conversation's turns so far — the composition state
+    ('is this becoming a tool-call loop?') that completes the
+    point-in-time family (volume / recency / trend / sessions /
+    last-values / breadth / quartiles / composition), leakage-safe by
+    construction.
+
+    Determinism: exact conditional counts, one division per share.
+    Output: (conv_id, as_of, n long, share_<role> double ...).
+    """
+    grid = spark.createDataFrame(
+        [(c,) for c in cutoffs], "as_of string"
+    ).select(F.col("as_of").cast("timestamp").alias("as_of"))
+    j = df.crossJoin(F.broadcast(grid)).where(
+        F.col("ts").cast("timestamp") <= F.col("as_of")
+    )
+    aggs = [F.count("*").cast("long").alias("n")]
+    for r in roles:
+        aggs.append(
+            F.sum(F.when(F.col("role") == r, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_c_{r}")
+        )
+    g = j.groupBy("conv_id", "as_of").agg(*aggs)
+    cols = ["conv_id", "as_of", "n"]
+    for r in roles:
+        cols.append(
+            F.when(
+                F.col("n") > 0,
+                F.col(f"_c_{r}").cast("double") / F.col("n").cast("double"),
+            ).alias(f"share_{r}")
+        )
+    return g.select(*cols)
