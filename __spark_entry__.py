@@ -6084,6 +6084,32 @@ def q_role_mix_asof(spark, sf_dir):
     return _r6(out.select("conv_id", _us("as_of", "as_of_us"), "n", *cols), cols)
 
 
+def q_wow_growth(spark, sf_dir):
+    """Week-over-week volume growth per event type
+    (profile.wow_growth): exact counts, adjacent-week lag, one
+    division — oracle-replayable."""
+    from z_rad_spark.operators.profile import wow_growth
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = wow_growth(ev)
+    return _r6(
+        out.select(
+            "event_type", _us("week_start", "week_us"), "n_prev", "n_curr", "pct_change"
+        ),
+        ["pct_change"],
+    )
+
+
+def q_engagement_depth(spark, sf_dir):
+    """Active-days engagement histogram with at-least cumulative
+    shares (profile.engagement_depth): exact distinct (user, day)
+    counts — oracle-replayable."""
+    from z_rad_spark.operators.profile import engagement_depth
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _r6(engagement_depth(ev), ["user_share", "cum_share_at_least"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6506,6 +6532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_kl": q_source_kl,
         "q_quantiles_asof": q_quantiles_asof,
         "q_role_mix_asof": q_role_mix_asof,
+        "q_wow_growth": q_wow_growth,
+        "q_engagement_depth": q_engagement_depth,
     }
 
 

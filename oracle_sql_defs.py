@@ -14509,3 +14509,46 @@ SELECT conv_id, CAST(epoch_us(as_of) AS BIGINT) AS as_of_us, n,
        {r6('CASE WHEN n > 0 THEN CAST(cs AS DOUBLE) / CAST(n AS DOUBLE) END', 'share_system')}
 FROM agg
 """
+
+
+# Week-over-week volume growth per event type — matches
+# profile.wow_growth
+ORACLES["q_wow_growth"] = f"""
+WITH per AS (
+  SELECT event_type, date_trunc('week', ts) AS w, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, date_trunc('week', ts)
+),
+adj AS (
+  SELECT event_type, w, n,
+         LAG(w) OVER (PARTITION BY event_type ORDER BY w) AS pw,
+         LAG(n) OVER (PARTITION BY event_type ORDER BY w) AS pn
+  FROM per
+)
+SELECT event_type, CAST(epoch_us(w) AS BIGINT) AS week_us,
+       CAST(pn AS BIGINT) AS n_prev, CAST(n AS BIGINT) AS n_curr,
+       {r6('CASE WHEN pn > 0 THEN CAST(n - pn AS DOUBLE) / CAST(pn AS DOUBLE) * 100.0 END', 'pct_change')}
+FROM adj
+WHERE pw IS NOT NULL AND w = pw + INTERVAL 7 DAY
+"""
+
+
+# Active-days engagement histogram — matches profile.engagement_depth
+ORACLES["q_engagement_depth"] = f"""
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS days
+  FROM (SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, date_trunc('day', ts) AS d FROM events)
+  GROUP BY user_id
+),
+hist AS (SELECT days, CAST(COUNT(*) AS BIGINT) AS n_users FROM per_user GROUP BY days),
+cum AS (
+  SELECT days, n_users,
+         CAST(SUM(n_users) OVER () AS BIGINT) AS tot,
+         CAST(SUM(n_users) OVER (ORDER BY days
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS ge
+  FROM hist
+)
+SELECT days AS active_days, n_users,
+       {r6('CAST(n_users AS DOUBLE) / CAST(tot AS DOUBLE)', 'user_share')},
+       {r6('CAST(ge AS DOUBLE) / CAST(tot AS DOUBLE)', 'cum_share_at_least')}
+FROM cum
+"""

@@ -1546,3 +1546,39 @@ def test_role_mix_asof_hand_computed(spark):
     assert r["share_assistant"] == pytest.approx(0.25, rel=1e-12)
     assert r["share_tool"] == pytest.approx(0.25, rel=1e-12)
     assert r["share_system"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_wow_growth_hand_computed(spark):
+    from z_rad_spark.operators.profile import wow_growth
+
+    rows = []
+    eid = 0
+    for d, n in [("2024-01-02", 4), ("2024-01-09", 6)]:
+        for _ in range(n):
+            rows.append((eid, f"{d} 10:00:00", eid % 5, "click", 1.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = wow_growth(ev).collect()[0]
+    assert (r["n_prev"], r["n_curr"]) == (4, 6)
+    assert r["pct_change"] == pytest.approx(50.0, rel=1e-12)
+
+
+def test_engagement_depth_hand_computed(spark):
+    from z_rad_spark.operators.profile import engagement_depth
+
+    # user 1: 3 distinct days; users 2, 3: 1 day each
+    rows = [
+        (0, "2024-01-01 10:00:00", 1), (1, "2024-01-02 10:00:00", 1),
+        (2, "2024-01-03 10:00:00", 1), (3, "2024-01-03 11:00:00", 1),
+        (4, "2024-01-01 10:00:00", 2), (5, "2024-01-01 10:00:00", 3),
+    ]
+    ev = spark.createDataFrame(
+        [(i, t, u, "click", 1.0, "{}") for (i, t, u) in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["active_days"]: r for r in engagement_depth(ev).collect()}
+    assert out[1]["n_users"] == 2 and out[3]["n_users"] == 1
+    assert out[1]["user_share"] == pytest.approx(2 / 3, rel=1e-12)
+    assert out[1]["cum_share_at_least"] == pytest.approx(1.0, rel=1e-12)
+    assert out[3]["cum_share_at_least"] == pytest.approx(1 / 3, rel=1e-12)

@@ -3207,3 +3207,95 @@ def column_profile(events: DataFrame) -> DataFrame:
         )
         out = g if out is None else out.unionByName(g)
     return out
+
+
+def wow_growth(events: DataFrame) -> DataFrame:
+    """Week-over-week volume growth per event type: each calendar
+    week's event count, the previous adjacent week's, and the percent
+    change — the growth-accounting companion to [[wau_overlap]]
+    (users) on the VOLUME axis, per activity type (purchases shrinking
+    while views grow is a funnel problem the total hides).
+
+    Determinism: exact counts; the adjacency test is an exact
+    interval compare; pct change is one division. Weeks with no
+    adjacent predecessor emit no row. Bit-replayable.
+
+    Output: (event_type, week_start, n_prev long, n_curr long,
+    pct_change double — NULL when the previous week is empty),
+    ascending by (event_type, week).
+    """
+    per = events.groupBy(
+        F.col("event_type"), F.date_trunc("week", F.col("ts")).alias("_w")
+    ).agg(F.count("*").cast("long").alias("_n"))
+    w_ord = Window.partitionBy("event_type").orderBy("_w")
+    adj = per.select(
+        "event_type",
+        "_w",
+        "_n",
+        F.lag("_w", 1).over(w_ord).alias("_pw"),
+        F.lag("_n", 1).over(w_ord).alias("_pn"),
+    ).where(
+        F.col("_pw").isNotNull()
+        & (F.col("_w") == F.col("_pw") + F.expr("INTERVAL 7 DAYS"))
+    )
+    return adj.select(
+        "event_type",
+        F.col("_w").alias("week_start"),
+        F.col("_pn").cast("long").alias("n_prev"),
+        F.col("_n").cast("long").alias("n_curr"),
+        F.when(
+            F.col("_pn") > 0,
+            (F.col("_n") - F.col("_pn")).cast("double")
+            / F.col("_pn").cast("double")
+            * F.lit(100.0),
+        ).alias("pct_change"),
+    )
+
+
+def engagement_depth(events: DataFrame) -> DataFrame:
+    """Engagement-depth histogram: how many users were active on
+    exactly d distinct days, with each bucket's user share and the
+    cumulative share of users at-or-above d — the depth
+    decomposition behind a DAU/WAU-style stickiness number (a corpus
+    where 90% of users show up one day is drive-by traffic however
+    big the totals look).
+
+    Determinism: distinct (user, day) rows are exact; all counts
+    exact; shares single divisions; the cumulative rides an exact
+    window sum on the tiny histogram. Bit-replayable.
+
+    Output: (active_days long, n_users long, user_share double,
+    cum_share_at_least double), ascending by active_days.
+    """
+    per_user = (
+        events.select(
+            F.col("user_id").cast("long").alias("_u"),
+            F.date_trunc("day", F.col("ts")).alias("_d"),
+        )
+        .distinct()
+        .groupBy("_u")
+        .agg(F.count("*").cast("long").alias("_days"))
+    )
+    hist = per_user.groupBy("_days").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_ge = Window.orderBy("_days").rowsBetween(0, Window.unboundedFollowing)
+    out = hist.select(
+        F.col("_days").alias("active_days"),
+        "n_users",
+        F.sum("n_users").over(w_all).cast("long").alias("_tot"),
+        F.sum("n_users").over(w_ge).cast("long").alias("_ge"),
+    )
+    return out.select(
+        "active_days",
+        "n_users",
+        (F.col("n_users").cast("double") / F.col("_tot").cast("double")).alias(
+            "user_share"
+        ),
+        (F.col("_ge").cast("double") / F.col("_tot").cast("double")).alias(
+            "cum_share_at_least"
+        ),
+    )
