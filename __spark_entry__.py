@@ -6110,6 +6110,27 @@ def q_engagement_depth(spark, sf_dir):
     return _r6(engagement_depth(ev), ["user_share", "cum_share_at_least"])
 
 
+def q_first_response(spark, sf_dir):
+    """Time-to-first-assistant-response distribution
+    (profile.first_response_stats): exact conditional MINs, rank-pick
+    percentiles on the compacted seconds axis — oracle-replayable."""
+    from z_rad_spark.operators.profile import first_response_stats
+
+    return _r6(
+        first_response_stats(_t(spark, sf_dir)),
+        ["unanswered_share", "p50_sec", "p90_sec", "p99_sec"],
+    )
+
+
+def q_context_overflow(spark, sf_dir):
+    """Context-budget overflow shares at 512/2048/8192 tokens
+    (profile.context_overflow): exact per-conversation token masses,
+    conditional sums — oracle-replayable."""
+    from z_rad_spark.operators.profile import context_overflow
+
+    return _r6(context_overflow(_t(spark, sf_dir)), ["conv_share", "token_share"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6534,6 +6555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_role_mix_asof": q_role_mix_asof,
         "q_wow_growth": q_wow_growth,
         "q_engagement_depth": q_engagement_depth,
+        "q_first_response": q_first_response,
+        "q_context_overflow": q_context_overflow,
     }
 
 

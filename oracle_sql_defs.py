@@ -14552,3 +14552,73 @@ SELECT days AS active_days, n_users,
        {r6('CAST(ge AS DOUBLE) / CAST(tot AS DOUBLE)', 'cum_share_at_least')}
 FROM cum
 """
+
+
+# Time-to-first-response distribution — matches
+# profile.first_response_stats
+ORACLES["q_first_response"] = f"""
+WITH t AS ({T}),
+per AS (
+  SELECT conv_id, MIN(CASE WHEN role = 'user' THEN epoch_us(ts) END) AS fu
+  FROM t GROUP BY conv_id
+),
+fa AS (
+  SELECT t.conv_id, MIN(epoch_us(t.ts)) AS fa
+  FROM t JOIN per ON per.conv_id = t.conv_id
+  WHERE t.role = 'assistant' AND epoch_us(t.ts) >= per.fu
+  GROUP BY t.conv_id
+),
+base AS (
+  SELECT {r6x('CAST(fa.fa - per.fu AS DOUBLE) / 1e6')} AS s
+  FROM per LEFT JOIN fa ON fa.conv_id = per.conv_id
+  WHERE per.fu IS NOT NULL
+),
+hist AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS m FROM base WHERE s IS NOT NULL GROUP BY s
+),
+cum AS (
+  SELECT s,
+         CAST(SUM(m) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm,
+         CAST(SUM(m) OVER () AS BIGINT) AS n
+  FROM hist
+),
+qs AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n_answered,
+         MIN(CASE WHEN cm >= CAST(CEIL(0.5 * n) AS BIGINT) THEN s END) AS p50,
+         MIN(CASE WHEN cm >= CAST(CEIL(0.9 * n) AS BIGINT) THEN s END) AS p90,
+         MIN(CASE WHEN cm >= CAST(CEIL(0.99 * n) AS BIGINT) THEN s END) AS p99
+  FROM cum
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_convs FROM base)
+SELECT tot.n_convs,
+       CAST(COALESCE(qs.n_answered, 0) AS BIGINT) AS n_answered,
+       {r6('CASE WHEN tot.n_convs > 0 THEN CAST(tot.n_convs - COALESCE(qs.n_answered, 0) AS DOUBLE) / CAST(tot.n_convs AS DOUBLE) END', 'unanswered_share')},
+       {r6('qs.p50', 'p50_sec')},
+       {r6('qs.p90', 'p90_sec')},
+       {r6('qs.p99', 'p99_sec')}
+FROM tot, qs
+"""
+
+
+# Context-budget overflow shares — matches profile.context_overflow
+ORACLES["q_context_overflow"] = f"""
+WITH t AS ({T}),
+per AS (
+  SELECT conv_id, CAST(SUM(CAST(signal AS BIGINT)) AS BIGINT) AS tk
+  FROM t GROUP BY conv_id
+),
+bs AS (SELECT CAST(b AS BIGINT) AS budget FROM (VALUES (512), (2048), (8192)) v(b)),
+g AS (
+  SELECT bs.budget,
+         CAST(COUNT(*) AS BIGINT) AS nc,
+         CAST(COALESCE(SUM(CASE WHEN per.tk > bs.budget THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_over,
+         CAST(SUM(per.tk) AS BIGINT) AS tt,
+         CAST(SUM(CASE WHEN per.tk > bs.budget THEN per.tk END) AS BIGINT) AS toe
+  FROM per, bs GROUP BY bs.budget
+)
+SELECT budget, n_over,
+       {r6('CASE WHEN nc > 0 THEN CAST(n_over AS DOUBLE) / CAST(nc AS DOUBLE) END', 'conv_share')},
+       {r6('CASE WHEN tt > 0 THEN CAST(COALESCE(toe, 0) AS DOUBLE) / CAST(tt AS DOUBLE) END', 'token_share')}
+FROM g
+"""

@@ -1582,3 +1582,42 @@ def test_engagement_depth_hand_computed(spark):
     assert out[1]["user_share"] == pytest.approx(2 / 3, rel=1e-12)
     assert out[1]["cum_share_at_least"] == pytest.approx(1.0, rel=1e-12)
     assert out[3]["cum_share_at_least"] == pytest.approx(1 / 3, rel=1e-12)
+
+
+def test_first_response_stats_hand_computed(spark):
+    from z_rad_spark.operators.profile import first_response_stats
+
+    rows = [
+        # c1: user at 10:00, assistant at 10:00:30 -> 30 s
+        ("c1", 0, "user", "2024-01-01 10:00:00", 1.0),
+        ("c1", 1, "assistant", "2024-01-01 10:00:30", 1.0),
+        # c2: user asks, never answered
+        ("c2", 0, "user", "2024-01-01 11:00:00", 1.0),
+        ("c2", 1, "user", "2024-01-01 11:05:00", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts string, signal double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = first_response_stats(df).collect()[0]
+    assert r["n_convs"] == 2 and r["n_answered"] == 1
+    assert r["unanswered_share"] == pytest.approx(0.5, rel=1e-12)
+    assert r["p50_sec"] == pytest.approx(30.0, rel=1e-12)
+
+
+def test_context_overflow_hand_computed(spark):
+    from z_rad_spark.operators.profile import context_overflow
+
+    # conv masses: c1 = 600, c2 = 100
+    rows = [("c1", 0, "user", 300), ("c1", 1, "user", 300), ("c2", 0, "user", 100)]
+    data = [
+        (c, i, r, f"2024-01-01 00:{i:02d}:00", float(s)) for (c, i, r, s) in rows
+    ]
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, ts string, signal double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["budget"]: r for r in context_overflow(df).collect()}
+    assert out[512]["n_over"] == 1
+    assert out[512]["conv_share"] == pytest.approx(0.5, rel=1e-12)
+    assert out[512]["token_share"] == pytest.approx(600 / 700, rel=1e-12)
+    assert out[2048]["n_over"] == 0
+    assert out[2048]["token_share"] == pytest.approx(0.0, abs=1e-12)

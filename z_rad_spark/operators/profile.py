@@ -3299,3 +3299,124 @@ def engagement_depth(events: DataFrame) -> DataFrame:
             "cum_share_at_least"
         ),
     )
+
+
+def first_response_stats(df: DataFrame) -> DataFrame:
+    """Time-to-first-assistant-response distribution: per
+    conversation, the seconds from its first USER turn to the first
+    ASSISTANT turn at-or-after it; corpus-level exact rank-pick
+    p50/p90/p99 plus the share of conversations never answered — the
+    SLA number for agent transcripts ([[handoff_latency_matrix]]
+    times every adjacent handoff; this is specifically the opening
+    response, which is what users feel).
+
+    Determinism: first-user and first-assistant-after are exact
+    conditional MINs per conversation; percentiles are exact integer
+    rank picks on the compacted seconds histogram (6dp-rounded
+    seconds axis). Bit-replayable.
+
+    Output one row: (n_convs long, n_answered long, unanswered_share
+    double, p50_sec, p90_sec, p99_sec doubles — NULL when nothing
+    answered).
+    """
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per = df.groupBy("conv_id").agg(
+        F.min(F.when(F.col("role") == "user", ts_us)).alias("_fu"),
+    )
+    # first assistant at-or-after the first user turn
+    ja = df.select("conv_id", F.col("role"), ts_us.alias("_us")).join(
+        per, "conv_id"
+    )
+    fa = ja.where(
+        (F.col("role") == "assistant") & (F.col("_us") >= F.col("_fu"))
+    ).groupBy("conv_id").agg(F.min("_us").alias("_fa"))
+    j = per.join(fa, "conv_id", "left").where(F.col("_fu").isNotNull())
+    secs = F.round(
+        (F.col("_fa") - F.col("_fu")).cast("double") / F.lit(1e6), 6
+    )
+    base = j.select(secs.alias("_s"))
+    hist = base.where(F.col("_s").isNotNull()).groupBy("_s").agg(
+        F.count("*").cast("long").alias("_m")
+    )
+    w_cum = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "_s",
+        F.sum("_m").over(w_cum).cast("long").alias("_cm"),
+        F.sum("_m").over(w_all).cast("long").alias("_n"),
+    )
+
+    def pick(q):
+        thresh = F.ceil(F.lit(q) * F.col("_n")).cast("long")
+        return F.min(F.when(F.col("_cm") >= thresh, F.col("_s")))
+
+    qs = cum.agg(
+        F.max("_n").alias("n_answered"),
+        pick(0.50).alias("p50_sec"),
+        pick(0.90).alias("p90_sec"),
+        pick(0.99).alias("p99_sec"),
+    )
+    tot = base.agg(F.count("*").cast("long").alias("n_convs"))
+    g = tot.crossJoin(F.broadcast(qs))
+    na = F.coalesce(F.col("n_answered"), F.lit(0)).cast("long")
+    return g.select(
+        "n_convs",
+        na.alias("n_answered"),
+        F.when(
+            F.col("n_convs") > 0,
+            (F.col("n_convs") - na).cast("double")
+            / F.col("n_convs").cast("double"),
+        ).alias("unanswered_share"),
+        "p50_sec",
+        "p90_sec",
+        "p99_sec",
+    )
+
+
+def context_overflow(
+    df: DataFrame,
+    budgets=(512, 2048, 8192),
+) -> DataFrame:
+    """Context-budget overflow shares: for each token budget, the
+    share of conversations whose TOTAL signal (token) mass exceeds it
+    and the share of corpus tokens in those conversations — the
+    truncation-planning table ([[q_truncate_middle]] decides HOW to
+    cut; this decides how much cutting each budget implies).
+
+    Determinism: per-conversation token masses are exact longs;
+    threshold counts are exact conditional sums; shares single
+    divisions. Output: (budget long, n_over long, conv_share double,
+    token_share double), budgets ascending.
+    """
+    per = df.groupBy("conv_id").agg(
+        F.sum(F.col("signal").cast("long")).alias("_t")
+    )
+    bdf = df.sparkSession.createDataFrame(
+        [(int(b),) for b in sorted(budgets)], "budget long"
+    )
+    j = per.crossJoin(F.broadcast(bdf))
+    g = j.groupBy("budget").agg(
+        F.count("*").cast("long").alias("_nc"),
+        F.sum(F.when(F.col("_t") > F.col("budget"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_over"),
+        F.sum("_t").cast("long").alias("_tt"),
+        F.sum(F.when(F.col("_t") > F.col("budget"), F.col("_t")))
+        .cast("long")
+        .alias("_to"),
+    )
+    return g.select(
+        "budget",
+        "n_over",
+        F.when(
+            F.col("_nc") > 0,
+            F.col("n_over").cast("double") / F.col("_nc").cast("double"),
+        ).alias("conv_share"),
+        F.when(
+            F.col("_tt") > 0,
+            F.coalesce(F.col("_to"), F.lit(0)).cast("double")
+            / F.col("_tt").cast("double"),
+        ).alias("token_share"),
+    )
