@@ -6131,6 +6131,15 @@ def q_context_overflow(spark, sf_dir):
     return _r6(context_overflow(_t(spark, sf_dir)), ["conv_share", "token_share"])
 
 
+def q_position_profile(spark, sf_dir):
+    """Mean signal by relative within-conversation position decile
+    (profile.position_profile): exact integer position bins on the
+    stable order — oracle-replayable."""
+    from z_rad_spark.operators.profile import position_profile
+
+    return _r6(position_profile(_t(spark, sf_dir)), ["mean_signal"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6557,6 +6566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_engagement_depth": q_engagement_depth,
         "q_first_response": q_first_response,
         "q_context_overflow": q_context_overflow,
+        "q_position_profile": q_position_profile,
     }
 
 

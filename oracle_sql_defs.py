@@ -14622,3 +14622,24 @@ SELECT budget, n_over,
        {r6('CASE WHEN tt > 0 THEN CAST(COALESCE(toe, 0) AS DOUBLE) / CAST(tt AS DOUBLE) END', 'token_share')}
 FROM g
 """
+
+
+# Relative-position signal profile — matches profile.position_profile
+ORACLES["q_position_profile"] = f"""
+WITH t AS ({T}),
+pos AS (
+  SELECT CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) - 1 AS BIGINT) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS len,
+         CAST(signal AS BIGINT) AS x
+  FROM t WHERE signal IS NOT NULL
+),
+g AS (
+  SELECT LEAST(CAST(FLOOR(10 * i / len) AS BIGINT), 9) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s
+  FROM pos GROUP BY LEAST(CAST(FLOOR(10 * i / len) AS BIGINT), 9)
+)
+SELECT bin, n,
+       {r6('CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END', 'mean_signal')}
+FROM g
+"""

@@ -1621,3 +1621,16 @@ def test_context_overflow_hand_computed(spark):
     assert out[512]["token_share"] == pytest.approx(600 / 700, rel=1e-12)
     assert out[2048]["n_over"] == 0
     assert out[2048]["token_share"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_position_profile_hand_computed(spark):
+    from z_rad_spark.operators.profile import position_profile
+
+    # one conv of 10 turns with signal = turn index + 1 -> each decile
+    # holds exactly one turn; bin b mean = b + 1
+    rows = [("c1", i, "user", i + 1) for i in range(10)]
+    out = {r["bin"]: r for r in position_profile(_turns(spark, rows)).collect()}
+    assert len(out) == 10
+    for b in range(10):
+        assert out[b]["n"] == 1
+        assert out[b]["mean_signal"] == pytest.approx(float(b + 1), rel=1e-12)

@@ -3420,3 +3420,44 @@ def context_overflow(
             / F.col("_tt").cast("double"),
         ).alias("token_share"),
     )
+
+
+def position_profile(df: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Within-conversation position profile: mean signal by RELATIVE
+    turn position decile (bin = floor(n_bins * idx / len)) pooled
+    across the corpus — do turns get longer or shorter as
+    conversations progress? The within-dialog dynamics view that
+    per-conversation trends ([[q_trend_asof]]) average away and
+    corpus-level trends ([[q_signal_trend]]) cannot see at all.
+
+    Determinism: position bins are exact integer arithmetic on the
+    stable (ts, turn_idx) order rank and the exact conversation
+    length; sums exact longs; one division per bin. Bit-replayable.
+
+    Scale: one window pass on the conv_id exchange, one tiny bin
+    aggregate. Output: (bin long, n long, mean_signal double),
+    bins ascending.
+    """
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    w_len = Window.partitionBy("conv_id")
+    x = F.col("signal").cast("long")
+    pos = df.where(x.isNotNull()).select(
+        (F.row_number().over(w).cast("long") - 1).alias("_i"),
+        F.count("*").over(w_len).cast("long").alias("_len"),
+        x.alias("_x"),
+    )
+    bin_ = F.least(
+        F.floor(F.lit(int(n_bins)) * F.col("_i") / F.col("_len")).cast("long"),
+        F.lit(int(n_bins) - 1),
+    )
+    g = pos.groupBy(bin_.alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_x").cast("long").alias("_s"),
+    )
+    return g.select(
+        "bin",
+        "n",
+        F.when(
+            F.col("n") > 0, F.col("_s").cast("double") / F.col("n").cast("double")
+        ).alias("mean_signal"),
+    )
