@@ -6140,6 +6140,28 @@ def q_position_profile(spark, sf_dir):
     return _r6(position_profile(_t(spark, sf_dir)), ["mean_signal"])
 
 
+def q_user_gini(spark, sf_dir):
+    """User-activity concentration: exact Gini + top-1%/top-10%
+    shares (profile.user_gini): DECIMAL rank products, integer
+    top-k cuts — oracle-replayable."""
+    from z_rad_spark.operators.profile import user_gini
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _r6(user_gini(ev), ["gini", "top1_share", "top10_share"])
+
+
+def q_rolling_skew(spark, sf_dir):
+    """Trailing-24h rolling skewness of the hourly series
+    (profile.rolling_skewness): exact windowed DECIMAL power sums,
+    fixed moment chain — oracle-replayable."""
+    from z_rad_spark.operators.profile import rolling_skewness
+
+    out = rolling_skewness(_t(spark, sf_dir))
+    return _r6(
+        out.select(_us("hour", "hour_us"), "n", "mean", "skew"), ["mean", "skew"]
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6567,6 +6589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_first_response": q_first_response,
         "q_context_overflow": q_context_overflow,
         "q_position_profile": q_position_profile,
+        "q_user_gini": q_user_gini,
+        "q_rolling_skew": q_rolling_skew,
     }
 
 

@@ -14643,3 +14643,65 @@ SELECT bin, n,
        {r6('CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END', 'mean_signal')}
 FROM g
 """
+
+
+# User-activity Gini + top-share cuts — matches profile.user_gini
+ORACLES["q_user_gini"] = f"""
+WITH per AS (
+  SELECT CAST(user_id AS BIGINT) AS u, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY CAST(user_id AS BIGINT)
+),
+ranked AS (
+  SELECT x,
+         CAST(ROW_NUMBER() OVER (ORDER BY x ASC, u ASC) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         CAST(SUM(x) OVER () AS BIGINT) AS sx
+  FROM per
+),
+g AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+         CAST(MAX(sx) AS BIGINT) AS n_events,
+         CAST(SUM((2 * CAST(i AS HUGEINT) - n - 1) * x) AS HUGEINT) AS gn,
+         CAST(SUM(CASE WHEN i > n - GREATEST(CAST(FLOOR(n / 100) AS BIGINT), 1) THEN x END) AS BIGINT) AS t1,
+         CAST(SUM(CASE WHEN i > n - GREATEST(CAST(FLOOR(n / 10) AS BIGINT), 1) THEN x END) AS BIGINT) AS t10
+  FROM ranked
+)
+SELECT n_users, n_events,
+       {r6('CASE WHEN n_events > 0 THEN CAST(gn AS DOUBLE) / (CAST(n_users AS DOUBLE) * CAST(n_events AS DOUBLE)) END', 'gini')},
+       {r6('CASE WHEN n_events > 0 THEN CAST(COALESCE(t1, 0) AS DOUBLE) / CAST(n_events AS DOUBLE) END', 'top1_share')},
+       {r6('CASE WHEN n_events > 0 THEN CAST(COALESCE(t10, 0) AS DOUBLE) / CAST(n_events AS DOUBLE) END', 'top10_share')}
+FROM g
+"""
+
+
+# Trailing-24h rolling skewness — matches profile.rolling_skewness
+ORACLES["q_rolling_skew"] = f"""
+WITH t AS ({T}),
+hh AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM t GROUP BY date_trunc('hour', ts)
+),
+ser AS (
+  SELECT h,
+         CAST(COUNT(*) OVER wv AS BIGINT) AS n,
+         CAST(SUM(c) OVER wv AS BIGINT) AS s1,
+         CAST(SUM(CAST(c AS HUGEINT) * c) OVER wv AS HUGEINT) AS s2,
+         CAST(SUM(CAST(c AS HUGEINT) * c * c) OVER wv AS HUGEINT) AS s3
+  FROM hh
+  WINDOW wv AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+),
+f AS (
+  SELECT h, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m2,
+         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+           - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+           + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m3
+  FROM ser
+)
+SELECT CAST(epoch_us(h) AS BIGINT) AS hour_us, n,
+       {r6('mean', 'mean')},
+       {r6('CASE WHEN n >= 3 AND m2 > 0 THEN m3 / SQRT(m2 * m2 * m2) END', 'skew')}
+FROM f
+"""

@@ -1634,3 +1634,42 @@ def test_position_profile_hand_computed(spark):
     for b in range(10):
         assert out[b]["n"] == 1
         assert out[b]["mean_signal"] == pytest.approx(float(b + 1), rel=1e-12)
+
+
+def test_user_gini_whale(spark):
+    from z_rad_spark.operators.profile import user_gini
+
+    # 9 users x1 event, one whale x 91 -> heavy concentration
+    rows = []
+    eid = 0
+    for u in range(9):
+        rows.append((eid, "2024-01-01 10:00:00", u, "click", 1.0, "{}")); eid += 1
+    for _ in range(91):
+        rows.append((eid, "2024-01-01 11:00:00", 99, "click", 1.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = user_gini(ev).collect()[0]
+    assert r["n_users"] == 10 and r["n_events"] == 100
+    # top1 cut: max(floor(10/100),1) = 1 user -> the whale
+    assert r["top1_share"] == pytest.approx(0.91, rel=1e-12)
+    assert r["top10_share"] == pytest.approx(0.91, rel=1e-12)
+    # exact Gini: sorted x = 1x9,91; sum (2i-n-1)x = sum_{i=1..9}(2i-11) + (20-11)*91
+    want = (sum((2 * i - 11) * 1 for i in range(1, 10)) + 9 * 91) / (10 * 100)
+    assert r["gini"] == pytest.approx(want, rel=1e-12)
+
+
+def test_rolling_skewness_symmetric_window_zero(spark):
+    from z_rad_spark.operators.profile import rolling_skewness
+
+    # 3 hours with counts 1,2,3: at the 3rd hour the trailing window
+    # is symmetric -> skew 0
+    ts = []
+    for hour, c in enumerate([1, 2, 3]):
+        for i in range(c):
+            ts.append(f"2024-01-01 {hour:02d}:00:{i:02d}")
+    rows = rolling_skewness(_turns_at(spark, ts)).collect()
+    last = sorted(rows, key=lambda r: r["hour"])[-1]
+    assert last["n"] == 3
+    assert last["mean"] == pytest.approx(2.0, rel=1e-12)
+    assert last["skew"] == pytest.approx(0.0, abs=1e-12)

@@ -3461,3 +3461,108 @@ def position_profile(df: DataFrame, n_bins: int = 10) -> DataFrame:
             F.col("n") > 0, F.col("_s").cast("double") / F.col("n").cast("double")
         ).alias("mean_signal"),
     )
+
+
+def user_gini(events: DataFrame) -> DataFrame:
+    """Activity concentration across users: the exact Gini coefficient
+    of per-user event counts plus the top-1% / top-10% user shares of
+    all activity — the whale-dependence number ([[q_length_gini]]'s
+    machinery pointed at USERS; a corpus where 1% of users generate
+    40% of turns inherits those users' quirks as 'style').
+
+    Determinism: per-user counts exact; ranks exact; Gini rank
+    products ride DECIMAL(38,0) (HUGEINT oracle); the top-k% cuts are
+    integer rank thresholds on the count-DESC order. Bit-replayable.
+
+    Output one row: (n_users long, n_events long, gini double,
+    top1_share double, top10_share double).
+    """
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    per = events.groupBy(F.col("user_id").cast("long").alias("_u")).agg(
+        F.count("*").cast("long").alias("_x")
+    )
+    w_rank = Window.orderBy(F.asc("_x"), F.asc("_u"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per.select(
+        "_x",
+        F.row_number().over(w_rank).cast("long").alias("_i"),
+        F.count("*").over(w_all).cast("long").alias("_n"),
+        F.sum("_x").over(w_all).cast("long").alias("_sx"),
+    )
+    gterm = (F.lit(2) * d19(F.col("_i")) - d19(F.col("_n")) - 1) * d19(F.col("_x"))
+    # top-k% by DESCENDING count: ranks above the integer threshold
+    top1 = F.col("_i") > F.col("_n") - F.greatest(
+        F.floor(F.col("_n") / 100).cast("long"), F.lit(1)
+    )
+    top10 = F.col("_i") > F.col("_n") - F.greatest(
+        F.floor(F.col("_n") / 10).cast("long"), F.lit(1)
+    )
+    g = ranked.agg(
+        F.max("_n").cast("long").alias("n_users"),
+        F.max("_sx").cast("long").alias("n_events"),
+        F.sum(gterm).alias("_gn"),
+        F.sum(F.when(top1, F.col("_x"))).cast("long").alias("_t1"),
+        F.sum(F.when(top10, F.col("_x"))).cast("long").alias("_t10"),
+    )
+    nd = F.col("n_users").cast("double")
+    sxd = F.col("n_events").cast("double")
+    ok = F.col("n_events") > 0
+    return g.select(
+        "n_users",
+        "n_events",
+        F.when(ok, F.col("_gn").cast("double") / (nd * sxd)).alias("gini"),
+        F.when(ok, F.coalesce(F.col("_t1"), F.lit(0)).cast("double") / sxd).alias(
+            "top1_share"
+        ),
+        F.when(ok, F.coalesce(F.col("_t10"), F.lit(0)).cast("double") / sxd).alias(
+            "top10_share"
+        ),
+    )
+
+
+def rolling_skewness(df: DataFrame, window_hours: int = 24) -> DataFrame:
+    """Rolling skewness of the hourly turn-count series over a
+    trailing ``window_hours`` row window — the asymmetry tracker
+    beside the level trackers ([[q_rolling_1h]], [[q_ewm_smooth]]): a
+    skewness that flips positive says rare burst-hours appeared
+    inside the window before any mean shift registers.
+
+    Skewness uses the population moment chain on EXACT windowed
+    integer sums (the [[q_jarque_bera]] algebra, windowed):
+    m3 / m2^(3/2) with m_k from sum c, sum c^2, sum c^3.
+
+    Determinism: windowed integer sums are exact (DECIMAL products);
+    the chain is fixed; NULL when the window variance is 0 or fewer
+    than 3 rows. Output: (hour, n long, mean, skew doubles), one row
+    per hour, ascending.
+    """
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    h = df.groupBy(F.date_trunc("hour", F.col("ts")).alias("_h")).agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    w = Window.orderBy("_h").rowsBetween(-(int(window_hours) - 1), 0)
+    ser = h.select(
+        "_h",
+        F.count("*").over(w).cast("long").alias("_n"),
+        F.sum("_c").over(w).cast("long").alias("_s1"),
+        F.sum(d19(F.col("_c")) * d19(F.col("_c"))).over(w).alias("_s2"),
+        F.sum(d19(F.col("_c")) * d19(F.col("_c")) * d19(F.col("_c")))
+        .over(w)
+        .alias("_s3"),
+    )
+    nd = F.col("_n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    s3 = F.col("_s3").cast("double")
+    mean = s1 / nd
+    m2 = s2 / nd - mean * mean
+    m3 = s3 / nd - F.lit(3.0) * mean * (s2 / nd) + F.lit(2.0) * mean * mean * mean
+    ok = (F.col("_n") >= 3) & (m2 > 0)
+    return ser.select(
+        F.col("_h").alias("hour"),
+        F.col("_n").alias("n"),
+        mean.alias("mean"),
+        F.when(ok, m3 / F.sqrt(m2 * m2 * m2)).alias("skew"),
+    )
