@@ -6185,6 +6185,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     before each handoff — see COVERAGE.md."""
     return {
         # --- engine/oracle code changed this round ---
+        "q_quantiles_asof": q_quantiles_asof,
+        "q_role_mix_asof": q_role_mix_asof,
+        "q_wow_growth": q_wow_growth,
+        "q_engagement_depth": q_engagement_depth,
+        "q_first_response": q_first_response,
+        "q_context_overflow": q_context_overflow,
+        "q_position_profile": q_position_profile,
+        "q_user_gini": q_user_gini,
+        "q_rolling_skew": q_rolling_skew,
         "q_stream_ewma": q_stream_ewma,
         "q_approx_quantiles": q_approx_quantiles,
         "q_profile_events": q_profile_events,
@@ -6226,6 +6235,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mahalanobis": q_mahalanobis,
         "q_trend_asof": q_trend_asof,
         "q_sessions_asof": q_sessions_asof,
+        # ===== gate window ends here (first 50 entries) ================
+        # Everything below keeps its newest green driver row (see
+        # tools/gate_ledger.py for the live last_gated_round table)
+        # and queues for future rotations in this order.
         "q_length_gini": q_length_gini,
         "q_wau_overlap": q_wau_overlap,
         "q_seasonality": q_seasonality,
@@ -6235,10 +6248,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tool_chains": q_tool_chains,
         "q_conv_endings": q_conv_endings,
         "q_cold_start": q_cold_start,
-        # ===== gate window ends here (first 50 entries) ================
-        # Everything below keeps its newest green driver row (see
-        # tools/gate_ledger.py for the live last_gated_round table)
-        # and queues for future rotations in this order.
         "q_dup_rate_source": q_dup_rate_source,
         "q_dup_cross_source": q_dup_cross_source,
         "q_ht_estimate": q_ht_estimate,
@@ -6582,15 +6591,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_score_ks": q_score_ks,
         "q_source_jaccard": q_source_jaccard,
         "q_source_kl": q_source_kl,
-        "q_quantiles_asof": q_quantiles_asof,
-        "q_role_mix_asof": q_role_mix_asof,
-        "q_wow_growth": q_wow_growth,
-        "q_engagement_depth": q_engagement_depth,
-        "q_first_response": q_first_response,
-        "q_context_overflow": q_context_overflow,
-        "q_position_profile": q_position_profile,
-        "q_user_gini": q_user_gini,
-        "q_rolling_skew": q_rolling_skew,
     }
 
 
