@@ -6162,6 +6162,25 @@ def q_rolling_skew(spark, sf_dir):
     )
 
 
+def q_view_to_purchase(spark, sf_dir):
+    """View->purchase conversion within 1h per user
+    (profile.view_to_purchase): exact interval join keyed by user,
+    rank-pick delay percentiles — oracle-replayable."""
+    from z_rad_spark.operators.profile import view_to_purchase
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _r6(view_to_purchase(ev), ["conv_rate", "p50_sec", "p90_sec"])
+
+
+def q_activity_heatmap(spark, sf_dir):
+    """7x24 day-of-week x hour activity heatmap
+    (profile.activity_heatmap): exact counts and shares —
+    oracle-replayable."""
+    from z_rad_spark.operators.profile import activity_heatmap
+
+    return _r6(activity_heatmap(_t(spark, sf_dir)), ["share"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6591,6 +6610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_score_ks": q_score_ks,
         "q_source_jaccard": q_source_jaccard,
         "q_source_kl": q_source_kl,
+        "q_view_to_purchase": q_view_to_purchase,
+        "q_activity_heatmap": q_activity_heatmap,
     }
 
 

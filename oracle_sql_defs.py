@@ -14705,3 +14705,65 @@ SELECT CAST(epoch_us(h) AS BIGINT) AS hour_us, n,
        {r6('CASE WHEN n >= 3 AND m2 > 0 THEN m3 / SQRT(m2 * m2 * m2) END', 'skew')}
 FROM f
 """
+
+
+# View->purchase conversion funnel — matches profile.view_to_purchase
+ORACLES["q_view_to_purchase"] = f"""
+WITH views AS (
+  SELECT CAST(user_id AS BIGINT) AS u, CAST(event_id AS BIGINT) AS vid,
+         epoch_us(ts) AS vt
+  FROM events WHERE event_type = 'view'
+),
+buys AS (
+  SELECT CAST(user_id AS BIGINT) AS u, epoch_us(ts) AS bt
+  FROM events WHERE event_type = 'purchase'
+),
+per_view AS (
+  SELECT views.vid, views.vt,
+         MIN(CASE WHEN buys.bt > views.vt AND buys.bt <= views.vt + 3600000000
+                  THEN buys.bt END) AS fb
+  FROM views LEFT JOIN buys ON buys.u = views.u
+  GROUP BY views.vid, views.vt
+),
+scored AS (
+  SELECT {r6x('CAST(fb - vt AS DOUBLE) / 1e6')} AS d FROM per_view
+),
+hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS m FROM scored WHERE d IS NOT NULL GROUP BY d),
+cum AS (
+  SELECT d,
+         CAST(SUM(m) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm,
+         CAST(SUM(m) OVER () AS BIGINT) AS n
+  FROM hist
+),
+qs AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS nconv,
+         MIN(CASE WHEN cm >= CAST(CEIL(0.5 * n) AS BIGINT) THEN d END) AS p50,
+         MIN(CASE WHEN cm >= CAST(CEIL(0.9 * n) AS BIGINT) THEN d END) AS p90
+  FROM cum
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_views FROM scored)
+SELECT tot.n_views,
+       CAST(COALESCE(qs.nconv, 0) AS BIGINT) AS n_converted,
+       {r6('CASE WHEN tot.n_views > 0 THEN CAST(COALESCE(qs.nconv, 0) AS DOUBLE) / CAST(tot.n_views AS DOUBLE) END', 'conv_rate')},
+       {r6('qs.p50', 'p50_sec')},
+       {r6('qs.p90', 'p90_sec')}
+FROM tot, qs
+"""
+
+
+# 7x24 activity heatmap — matches profile.activity_heatmap
+# (Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday)
+ORACLES["q_activity_heatmap"] = f"""
+WITH t AS ({T}),
+g AS (
+  SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+         CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM t GROUP BY dayofweek(ts) + 1, EXTRACT(hour FROM ts)
+),
+tot AS (SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS tt FROM g)
+SELECT dow, hour, n,
+       {r6('CAST(n AS DOUBLE) / CAST(tt AS DOUBLE)', 'share')}
+FROM tot
+"""

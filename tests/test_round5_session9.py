@@ -1673,3 +1673,38 @@ def test_rolling_skewness_symmetric_window_zero(spark):
     assert last["n"] == 3
     assert last["mean"] == pytest.approx(2.0, rel=1e-12)
     assert last["skew"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_view_to_purchase_hand_computed(spark):
+    from z_rad_spark.operators.profile import view_to_purchase
+
+    rows = [
+        # user 1: view at 10:00, purchase at 10:10 -> converts, 600 s
+        (0, "2024-01-01 10:00:00", 1, "view"),
+        (1, "2024-01-01 10:10:00", 1, "purchase"),
+        # user 2: view at 11:00, purchase next day -> out of window
+        (2, "2024-01-01 11:00:00", 2, "view"),
+        (3, "2024-01-02 11:00:00", 2, "purchase"),
+        # user 3: view, never purchases
+        (4, "2024-01-01 12:00:00", 3, "view"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, t, u, e, 1.0, "{}") for (i, t, u, e) in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = view_to_purchase(ev).collect()[0]
+    assert r["n_views"] == 3 and r["n_converted"] == 1
+    assert r["conv_rate"] == pytest.approx(1 / 3, rel=1e-12)
+    assert r["p50_sec"] == pytest.approx(600.0, rel=1e-12)
+
+
+def test_activity_heatmap_shares_sum_to_one(spark):
+    from z_rad_spark.operators.profile import activity_heatmap
+
+    ts = ["2024-01-01 10:00:00", "2024-01-01 10:30:00", "2024-01-02 15:00:00"]
+    rows = activity_heatmap(_turns_at(spark, ts)).collect()
+    assert sum(r["n"] for r in rows) == 3
+    assert sum(r["share"] for r in rows) == pytest.approx(1.0, rel=1e-12)
+    # 2024-01-01 is a Monday -> Spark dayofweek = 2
+    cells = {(r["dow"], r["hour"]): r["n"] for r in rows}
+    assert cells[(2, 10)] == 2 and cells[(3, 15)] == 1

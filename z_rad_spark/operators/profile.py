@@ -3566,3 +3566,117 @@ def rolling_skewness(df: DataFrame, window_hours: int = 24) -> DataFrame:
         mean.alias("mean"),
         F.when(ok, m3 / F.sqrt(m2 * m2 * m2)).alias("skew"),
     )
+
+
+def view_to_purchase(
+    events: DataFrame,
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Event-to-event conversion funnel: the share of 'view' events
+    followed by a 'purchase' from the SAME user within
+    ``window_seconds``, plus exact rank-pick p50/p90 of the
+    first-conversion delay — the classical attribution number
+    ([[q_funnel]] counts stage reach; this measures the view ->
+    purchase EDGE with a time budget).
+
+    Determinism: the candidate join is per-user with an exact
+    microsecond interval predicate; the first conversion per view is
+    an exact MIN; percentiles are exact rank picks on the compacted
+    6dp-seconds axis. Bit-replayable.
+
+    Scale: one equi-join keyed by user (the natural shuffle key;
+    views x purchases per user is small) with the interval filter
+    applied join-side — never a cross join. Output one row:
+    (n_views long, n_converted long, conv_rate double, p50_sec,
+    p90_sec doubles — NULL when nothing converts).
+    """
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").cast("long").alias("_u"),
+        F.col("event_id").cast("long").alias("_vid"),
+        us.alias("_vt"),
+    )
+    buys = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("long").alias("_u"), us.alias("_bt")
+    )
+    w_us = int(window_seconds) * 1_000_000
+    j = views.join(buys, "_u", "left").where(
+        F.col("_bt").isNull()
+        | ((F.col("_bt") > F.col("_vt")) & (F.col("_bt") <= F.col("_vt") + w_us))
+    )
+    per_view = j.groupBy("_u", "_vid", "_vt").agg(
+        F.min(F.when(F.col("_bt").isNotNull(), F.col("_bt"))).alias("_fb")
+    )
+    # views whose ONLY joined rows were out-of-window purchases fell
+    # out of j entirely — recover the full view set with a left join
+    base = views.join(
+        per_view.select("_vid", "_fb"), "_vid", "left"
+    )
+    delay = F.round(
+        (F.col("_fb") - F.col("_vt")).cast("double") / F.lit(1e6), 6
+    )
+    scored = base.select(delay.alias("_d"))
+    hist = scored.where(F.col("_d").isNotNull()).groupBy("_d").agg(
+        F.count("*").cast("long").alias("_m")
+    )
+    w_cum = Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "_d",
+        F.sum("_m").over(w_cum).cast("long").alias("_cm"),
+        F.sum("_m").over(w_all).cast("long").alias("_n"),
+    )
+
+    def pick(q):
+        thresh = F.ceil(F.lit(q) * F.col("_n")).cast("long")
+        return F.min(F.when(F.col("_cm") >= thresh, F.col("_d")))
+
+    qs = cum.agg(
+        F.max("_n").alias("_nconv"),
+        pick(0.50).alias("p50_sec"),
+        pick(0.90).alias("p90_sec"),
+    )
+    tot = scored.agg(F.count("*").cast("long").alias("n_views"))
+    g = tot.crossJoin(F.broadcast(qs))
+    nc = F.coalesce(F.col("_nconv"), F.lit(0)).cast("long")
+    return g.select(
+        "n_views",
+        nc.alias("n_converted"),
+        F.when(
+            F.col("n_views") > 0,
+            nc.cast("double") / F.col("n_views").cast("double"),
+        ).alias("conv_rate"),
+        "p50_sec",
+        "p90_sec",
+    )
+
+
+def activity_heatmap(df: DataFrame) -> DataFrame:
+    """Calendar activity heatmap: turn counts and corpus share per
+    (day-of-week, hour-of-day) cell — the 7 x 24 load matrix behind
+    [[q_seasonality]]'s two effect sizes (the scalar says HOW
+    seasonal; this says WHERE the load sits, which is what a
+    maintenance window or batch-schedule decision actually reads).
+
+    Day-of-week follows Spark's dayofweek (1 = Sunday .. 7 =
+    Saturday; the oracle maps DuckDB's 0-based convention to match).
+
+    Determinism: exact counts, one division. Output: (dow int, hour
+    int, n long, share double), cells with activity, ascending.
+    """
+    g = df.groupBy(
+        F.dayofweek(F.col("ts").cast("timestamp")).alias("dow"),
+        F.hour(F.col("ts").cast("timestamp")).alias("hour"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = g.withColumn("_tot", F.sum("n").over(w_all).cast("long"))
+    return out.select(
+        "dow",
+        "hour",
+        "n",
+        (F.col("n").cast("double") / F.col("_tot").cast("double")).alias("share"),
+    )
