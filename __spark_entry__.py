@@ -6181,6 +6181,28 @@ def q_activity_heatmap(spark, sf_dir):
     return _r6(activity_heatmap(_t(spark, sf_dir)), ["share"])
 
 
+def q_shingle_profile(spark, sf_dir):
+    """Shingle document-frequency band profile
+    (dedup.shingle_profile): exact distinct shingle sets, integer
+    band cuts — oracle-replayable."""
+    from z_rad_spark.operators.dedup import shingle_profile
+
+    return _r6(
+        shingle_profile(_docs(spark, sf_dir)),
+        ["shingle_share", "occurrence_share"],
+    )
+
+
+def q_token_js_drift(spark, sf_dir):
+    """Token-distribution Jensen-Shannon drift across the cutoff over
+    the top-256 vocabulary + OTHER (drift.token_js_drift): exact
+    window counts, bucket-ordered KL folds — oracle-replayable."""
+    from z_rad_spark.operators.drift import token_js_drift
+
+    out = token_js_drift(_t(spark, sf_dir), split_ts="2024-01-15 00:00:00")
+    return _r6(out, ["js", "js_norm"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6612,6 +6634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_kl": q_source_kl,
         "q_view_to_purchase": q_view_to_purchase,
         "q_activity_heatmap": q_activity_heatmap,
+        "q_shingle_profile": q_shingle_profile,
+        "q_token_js_drift": q_token_js_drift,
     }
 
 

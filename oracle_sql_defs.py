@@ -14767,3 +14767,81 @@ SELECT dow, hour, n,
        {r6('CAST(n AS DOUBLE) / CAST(tt AS DOUBLE)', 'share')}
 FROM tot
 """
+
+
+# Shingle df band profile — matches dedup.shingle_profile
+ORACLES["q_shingle_profile"] = f"""
+WITH toks AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(generate_series(1, len(tk) - 2),
+                               i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingle
+  FROM toks WHERE len(tk) >= 3
+),
+dfc AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY shingle),
+g AS (
+  SELECT CASE WHEN df <= 1 THEN 'df=1' WHEN df <= 2 THEN 'df=2'
+              WHEN df <= 10 THEN 'df=3-10' ELSE 'df>10' END AS band,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(df) AS BIGINT) AS n_occurrences
+  FROM dfc GROUP BY CASE WHEN df <= 1 THEN 'df=1' WHEN df <= 2 THEN 'df=2'
+                         WHEN df <= 10 THEN 'df=3-10' ELSE 'df>10' END
+),
+tot AS (
+  SELECT *, CAST(SUM(n_shingles) OVER () AS BIGINT) AS ts2,
+         CAST(SUM(n_occurrences) OVER () AS BIGINT) AS to2
+  FROM g
+)
+SELECT band, n_shingles, n_occurrences,
+       {r6('CAST(n_shingles AS DOUBLE) / CAST(ts2 AS DOUBLE)', 'shingle_share')},
+       {r6('CAST(n_occurrences AS DOUBLE) / CAST(to2 AS DOUBLE)', 'occurrence_share')}
+FROM tot
+"""
+
+
+# Token JS drift across the cutoff — matches drift.token_js_drift
+ORACLES["q_token_js_drift"] = f"""
+WITH t AS ({T}),
+tok AS (
+  SELECT unnest({TOKS_RAW}) AS tk,
+         ts < TIMESTAMP '2024-01-15 00:00:00' AS r
+  FROM t
+),
+kept AS (SELECT tk, r FROM tok WHERE tk <> ''),
+pooled AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS cc FROM kept GROUP BY tk),
+keep AS (
+  SELECT tk, CASE WHEN rk <= 256 THEN tk ELSE '<other>' END AS b
+  FROM (SELECT tk, ROW_NUMBER() OVER (ORDER BY cc DESC, tk ASC) AS rk FROM pooled)
+),
+tb AS (
+  SELECT keep.b,
+         CAST(COALESCE(SUM(CASE WHEN kept.r THEN 1 ELSE 0 END), 0) AS BIGINT) AS p,
+         CAST(COALESCE(SUM(CASE WHEN NOT kept.r THEN 1 ELSE 0 END), 0) AS BIGINT) AS q
+  FROM kept JOIN keep ON keep.tk = kept.tk
+  GROUP BY keep.b
+),
+withn AS (
+  SELECT b, p, q,
+         CAST(SUM(p) OVER () AS BIGINT) AS np,
+         CAST(SUM(q) OVER () AS BIGINT) AS nq
+  FROM tb
+),
+folds AS (
+  SELECT CAST(MAX(np) AS BIGINT) AS n_ref, CAST(MAX(nq) AS BIGINT) AS n_cur,
+         list_reduce([0.0] || list(
+           CASE WHEN p > 0 THEN (CAST(p AS DOUBLE) / CAST(np AS DOUBLE))
+                * LN((CAST(p AS DOUBLE) / CAST(np AS DOUBLE))
+                     / ((CAST(p AS DOUBLE) / CAST(np AS DOUBLE) + CAST(q AS DOUBLE) / CAST(nq AS DOUBLE)) / 2.0))
+                ELSE 0.0 END ORDER BY b), (a, e) -> a + e) AS kl1,
+         list_reduce([0.0] || list(
+           CASE WHEN q > 0 THEN (CAST(q AS DOUBLE) / CAST(nq AS DOUBLE))
+                * LN((CAST(q AS DOUBLE) / CAST(nq AS DOUBLE))
+                     / ((CAST(p AS DOUBLE) / CAST(np AS DOUBLE) + CAST(q AS DOUBLE) / CAST(nq AS DOUBLE)) / 2.0))
+                ELSE 0.0 END ORDER BY b), (a, e) -> a + e) AS kl2
+  FROM withn
+)
+SELECT n_ref, n_cur,
+       {r6('CASE WHEN n_ref > 0 AND n_cur > 0 THEN (kl1 + kl2) / 2.0 END', 'js')},
+       {r6(f'CASE WHEN n_ref > 0 AND n_cur > 0 THEN ((kl1 + kl2) / 2.0) / {math.log(2.0)!r} END', 'js_norm')}
+FROM folds
+"""

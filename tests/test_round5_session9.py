@@ -1708,3 +1708,51 @@ def test_activity_heatmap_shares_sum_to_one(spark):
     # 2024-01-01 is a Monday -> Spark dayofweek = 2
     cells = {(r["dow"], r["hour"]): r["n"] for r in rows}
     assert cells[(2, 10)] == 2 and cells[(3, 15)] == 1
+
+
+def test_shingle_profile_hand_computed(spark):
+    from z_rad_spark.operators.dedup import shingle_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s"),   # shingles: "a b c", "b c d"
+            (2, "a b c x", "s"),   # shingles: "a b c", "b c x"
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["band"]: r for r in shingle_profile(docs).collect()}
+    # "a b c" df=2; "b c d", "b c x" df=1
+    assert out["df=1"]["n_shingles"] == 2
+    assert out["df=2"]["n_shingles"] == 1
+    assert out["df=2"]["n_occurrences"] == 2
+    assert out["df=2"]["occurrence_share"] == pytest.approx(0.5, rel=1e-12)
+
+
+def test_token_js_drift_identical_windows_zero(spark):
+    from z_rad_spark.operators.drift import token_js_drift
+
+    rows = []
+    for i, t in enumerate(["2024-01-01 10:00:00", "2024-02-01 10:00:00"]):
+        rows.append(("c1", i, "user", t, 1.0, "hello world hello"))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts string, signal double, text string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = token_js_drift(df, "2024-01-15 00:00:00").collect()[0]
+    assert r["js"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_token_js_drift_disjoint_windows_ln2(spark):
+    import math
+    from z_rad_spark.operators.drift import token_js_drift
+
+    rows = [
+        ("c1", 0, "user", "2024-01-01 10:00:00", 1.0, "aaa aaa"),
+        ("c1", 1, "user", "2024-02-01 10:00:00", 1.0, "bbb bbb"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts string, signal double, text string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = token_js_drift(df, "2024-01-15 00:00:00").collect()[0]
+    # disjoint supports -> JS = ln 2, normalized 1
+    assert r["js"] == pytest.approx(math.log(2), rel=1e-12)
+    assert r["js_norm"] == pytest.approx(1.0, rel=1e-12)

@@ -1511,3 +1511,75 @@ def dup_threshold_sweep(
             F.col("n_docs").cast("double") / F.col("_nd").cast("double"),
         ).alias("doc_share"),
     )
+
+
+def shingle_profile(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    buckets=(1, 2, 10),
+) -> DataFrame:
+    """Shingle document-frequency profile: how many distinct
+    ``n``-gram shingles appear in exactly 1 document, 2, 3-10, or
+    more, and what share of total shingle OCCURRENCES each band
+    carries — the template-mass diagnostic underneath every
+    MinHash/LSH setting in this engine (a corpus whose occurrence
+    mass sits in df>10 shingles is template-dominated: banding will
+    flood candidates regardless of threshold, and
+    [[minhash_lsh_pairs]]'s max_doc_freq prune is doing real work).
+
+    Determinism: shingle sets per doc are exact distinct; df counts
+    and occurrence sums exact; band edges are integer compares;
+    shares single divisions. Bit-replayable.
+
+    Output: (band string, n_shingles long, n_occurrences long,
+    shingle_share double, occurrence_share double), bands in
+    df order.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    tk = F.split(norm, " ")
+    sh = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.when(
+                F.size(tk) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(tk) - n),
+                    lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_s"),
+    ).distinct()
+    df_ = sh.groupBy("_s").agg(F.count("*").cast("long").alias("_df"))
+    lo1, lo2, lo3 = (int(b) for b in buckets)
+    band = (
+        F.when(F.col("_df") <= lo1, F.lit("df=1"))
+        .when(F.col("_df") <= lo2, F.lit("df=2"))
+        .when(F.col("_df") <= lo3, F.lit("df=3-10"))
+        .otherwise(F.lit("df>10"))
+    )
+    g = df_.groupBy(band.alias("band")).agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum("_df").cast("long").alias("n_occurrences"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = g.select(
+        "band",
+        "n_shingles",
+        "n_occurrences",
+        F.sum("n_shingles").over(w_all).cast("long").alias("_ts"),
+        F.sum("n_occurrences").over(w_all).cast("long").alias("_to"),
+    )
+    return out.select(
+        "band",
+        "n_shingles",
+        "n_occurrences",
+        (F.col("n_shingles").cast("double") / F.col("_ts").cast("double")).alias(
+            "shingle_share"
+        ),
+        (
+            F.col("n_occurrences").cast("double") / F.col("_to").cast("double")
+        ).alias("occurrence_share"),
+    )

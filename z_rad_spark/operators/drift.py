@@ -4373,3 +4373,81 @@ def wilson_ci(
         F.when(ok, F.greatest(pt - ach, F.lit(0.0))).alias("ac_lo"),
         F.when(ok, F.least(pt + ach, F.lit(1.0))).alias("ac_hi"),
     )
+
+
+def token_js_drift(
+    df: DataFrame,
+    split_ts: str,
+    top_v: int = 256,
+) -> DataFrame:
+    """Token-distribution Jensen-Shannon drift across the cutoff:
+    JS(P_ref || P_cur) over the corpus top-``top_v`` vocabulary (+
+    OTHER bucket, the [[q_source_kl]] coarsening) between the
+    pre-cutoff and at/after-cutoff transcript text — TOPIC drift,
+    which the signal-level [[q_js_drift]] cannot see (the signal is
+    length; two windows can share every length while talking about
+    different things):
+
+        JS = (1/2) KL(P || M) + (1/2) KL(Q || M),  M = (P + Q)/2
+
+    Determinism: bucket membership is the integer rank cut on the
+    POOLED counts; window counts exact; both KL halves fold ordered
+    by bucket token; fixed chains. Zero-count buckets contribute 0
+    to their own KL half (0 ln 0 = 0). Bit-replayable.
+
+    Output one row: (n_ref long, n_cur long, js double, js_norm
+    double — JS / ln 2, in [0, 1] — NULL when a window is empty).
+    """
+    is_ref = F.col("ts").cast("timestamp") < F.lit(split_ts).cast("timestamp")
+    tok = df.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("_t"),
+        is_ref.alias("_r"),
+    ).where(F.col("_t") != "")
+    pooled = tok.groupBy("_t").agg(F.count("*").cast("long").alias("_cc"))
+    w_rank = Window.orderBy(F.col("_cc").desc(), F.asc("_t"))
+    keep = pooled.withColumn("_rk", F.row_number().over(w_rank)).select(
+        "_t",
+        F.when(F.col("_rk") <= top_v, F.col("_t"))
+        .otherwise(F.lit("<other>"))
+        .alias("_b"),
+    )
+    tb = tok.join(F.broadcast(keep), "_t").groupBy("_b").agg(
+        F.sum(F.when(F.col("_r"), 1).otherwise(0)).cast("long").alias("_p"),
+        F.sum(F.when(~F.col("_r"), 1).otherwise(0)).cast("long").alias("_q"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    withn = tb.select(
+        "_b",
+        "_p",
+        "_q",
+        F.sum("_p").over(w_all).cast("long").alias("_np"),
+        F.sum("_q").over(w_all).cast("long").alias("_nq"),
+    )
+    p = F.col("_p").cast("double") / F.col("_np").cast("double")
+    q = F.col("_q").cast("double") / F.col("_nq").cast("double")
+    m = (p + q) / F.lit(2.0)
+    t1 = F.when(F.col("_p") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+    t2 = F.when(F.col("_q") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    per = withn.select(
+        "_np",
+        "_nq",
+        F.struct("_b", t1.alias("_t1"), t2.alias("_t2")).alias("_e"),
+    ).agg(
+        F.max("_np").alias("n_ref"),
+        F.max("_nq").alias("n_cur"),
+        F.sort_array(F.collect_list("_e")).alias("_es"),
+    )
+    kl1 = F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_t1"])
+    kl2 = F.aggregate(F.col("_es"), F.lit(0.0), lambda a, e: a + e["_t2"])
+    js = (kl1 + kl2) / F.lit(2.0)
+    ok = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    import math
+
+    return per.select(
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.when(ok, js).alias("js"),
+        F.when(ok, js / F.lit(math.log(2.0))).alias("js_norm"),
+    )
