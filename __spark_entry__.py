@@ -6203,6 +6203,24 @@ def q_token_js_drift(spark, sf_dir):
     return _r6(out, ["js", "js_norm"])
 
 
+def q_stutter(spark, sf_dir):
+    """Consecutive duplicate-turn stutter rate per role
+    (profile.stutter_rate): exact adjacency on the stable order —
+    oracle-replayable."""
+    from z_rad_spark.operators.profile import stutter_rate
+
+    return _r6(stutter_rate(_t(spark, sf_dir)), ["stutter_rate", "share_of_stutters"])
+
+
+def q_tool_error_rate(spark, sf_dir):
+    """Tool-then-system (error) adjacency per tool
+    (profile.tool_error_rate): exact lead compare on the stable
+    order — oracle-replayable."""
+    from z_rad_spark.operators.profile import tool_error_rate
+
+    return _r6(tool_error_rate(_t(spark, sf_dir)), ["error_rate"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6636,6 +6654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_activity_heatmap": q_activity_heatmap,
         "q_shingle_profile": q_shingle_profile,
         "q_token_js_drift": q_token_js_drift,
+        "q_stutter": q_stutter,
+        "q_tool_error_rate": q_tool_error_rate,
     }
 
 

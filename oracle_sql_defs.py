@@ -14845,3 +14845,48 @@ SELECT n_ref, n_cur,
        {r6(f'CASE WHEN n_ref > 0 AND n_cur > 0 THEN ((kl1 + kl2) / 2.0) / {math.log(2.0)!r} END', 'js_norm')}
 FROM folds
 """
+
+
+# Consecutive duplicate-turn stutter rate — matches
+# profile.stutter_rate
+ORACLES["q_stutter"] = f"""
+WITH t AS ({T}),
+pairs AS (
+  SELECT role AS r,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS pr,
+         text AS x,
+         LAG(text) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS px
+  FROM t
+),
+g AS (
+  SELECT r AS role,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(COALESCE(SUM(CASE WHEN r = pr AND x = px THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_stutters
+  FROM pairs WHERE pr IS NOT NULL GROUP BY r
+),
+tot AS (SELECT *, CAST(SUM(n_stutters) OVER () AS BIGINT) AS tt FROM g)
+SELECT role, n_pairs, n_stutters,
+       {r6('CASE WHEN n_pairs > 0 THEN CAST(n_stutters AS DOUBLE) / CAST(n_pairs AS DOUBLE) END', 'stutter_rate')},
+       {r6('CASE WHEN tt > 0 THEN CAST(n_stutters AS DOUBLE) / CAST(tt AS DOUBLE) END', 'share_of_stutters')}
+FROM tot
+"""
+
+
+# Tool-then-error adjacency — matches profile.tool_error_rate
+ORACLES["q_tool_error_rate"] = f"""
+WITH t AS ({T}),
+seq AS (
+  SELECT tool,
+         LEAD(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS nr
+  FROM t
+),
+g AS (
+  SELECT tool,
+         CAST(COUNT(*) AS BIGINT) AS n_calls,
+         CAST(COALESCE(SUM(CASE WHEN nr = 'system' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_errors
+  FROM seq WHERE tool IS NOT NULL GROUP BY tool
+)
+SELECT tool, n_calls, n_errors,
+       {r6('CASE WHEN n_calls > 0 THEN CAST(n_errors AS DOUBLE) / CAST(n_calls AS DOUBLE) END', 'error_rate')}
+FROM g
+"""

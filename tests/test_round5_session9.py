@@ -1756,3 +1756,40 @@ def test_token_js_drift_disjoint_windows_ln2(spark):
     # disjoint supports -> JS = ln 2, normalized 1
     assert r["js"] == pytest.approx(math.log(2), rel=1e-12)
     assert r["js_norm"] == pytest.approx(1.0, rel=1e-12)
+
+
+def test_stutter_rate_hand_computed(spark):
+    from z_rad_spark.operators.profile import stutter_rate
+
+    rows = [
+        ("c1", 0, "user", "2024-01-01 10:00:00", 1.0, "hi"),
+        ("c1", 1, "user", "2024-01-01 10:01:00", 1.0, "hi"),      # stutter
+        ("c1", 2, "assistant", "2024-01-01 10:02:00", 1.0, "ok"),
+        ("c1", 3, "user", "2024-01-01 10:03:00", 1.0, "hi"),      # not adjacent
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts string, signal double, text string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["role"]: r for r in stutter_rate(df).collect()}
+    assert out["user"]["n_stutters"] == 1
+    assert out["user"]["stutter_rate"] == pytest.approx(1 / 2, rel=1e-12)
+    assert out["user"]["share_of_stutters"] == pytest.approx(1.0, rel=1e-12)
+    assert out["assistant"]["n_stutters"] == 0
+
+
+def test_tool_error_rate_hand_computed(spark):
+    from z_rad_spark.operators.profile import tool_error_rate
+
+    rows = [
+        ("c1", 0, "tool", "2024-01-01 10:00:00", 1.0, "checkout"),
+        ("c1", 1, "system", "2024-01-01 10:01:00", 1.0, None),     # error follows
+        ("c1", 2, "tool", "2024-01-01 10:02:00", 1.0, "checkout"),
+        ("c1", 3, "assistant", "2024-01-01 10:03:00", 1.0, None),  # fine
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts string, signal double, tool string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = tool_error_rate(df).collect()[0]
+    assert r["tool"] == "checkout"
+    assert r["n_calls"] == 2 and r["n_errors"] == 1
+    assert r["error_rate"] == pytest.approx(0.5, rel=1e-12)

@@ -3680,3 +3680,100 @@ def activity_heatmap(df: DataFrame) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("_tot").cast("double")).alias("share"),
     )
+
+
+def stutter_rate(df: DataFrame) -> DataFrame:
+    """Consecutive duplicate-turn (stutter) rate per role: the share
+    of adjacent same-conversation turn pairs where the SAME role
+    repeats the IDENTICAL text — the retry/loop smell in agent logs
+    ([[q_loop_detection]] finds long cycles; this catches the
+    simplest and commonest failure, the immediate double-send) —
+    plus each role's share of all stutters.
+
+    Determinism: adjacency rides the stable (ts, turn_idx) order;
+    string equality is exact; counts exact; single divisions.
+    Bit-replayable.
+
+    Output: (role, n_pairs long, n_stutters long, stutter_rate
+    double, share_of_stutters double — NULL when the corpus has
+    none), one row per role with pairs.
+    """
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    pairs = (
+        df.select(
+            "conv_id",
+            "ts",
+            "turn_idx",
+            F.col("role").alias("_r"),
+            F.col("text").alias("_x"),
+        )
+        .select(
+            F.col("_r"),
+            F.lag("_r", 1).over(w).alias("_pr"),
+            F.col("_x"),
+            F.lag("_x", 1).over(w).alias("_px"),
+        )
+        .where(F.col("_pr").isNotNull())
+    )
+    is_st = (F.col("_r") == F.col("_pr")) & (F.col("_x") == F.col("_px"))
+    g = pairs.groupBy(F.col("_r").alias("role")).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.when(is_st, 1).otherwise(0)).cast("long").alias("n_stutters"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = g.withColumn(
+        "_tot", F.sum("n_stutters").over(w_all).cast("long")
+    )
+    return out.select(
+        "role",
+        "n_pairs",
+        "n_stutters",
+        F.when(
+            F.col("n_pairs") > 0,
+            F.col("n_stutters").cast("double") / F.col("n_pairs").cast("double"),
+        ).alias("stutter_rate"),
+        F.when(
+            F.col("_tot") > 0,
+            F.col("n_stutters").cast("double") / F.col("_tot").cast("double"),
+        ).alias("share_of_stutters"),
+    )
+
+
+def tool_error_rate(df: DataFrame) -> DataFrame:
+    """Tool-then-error adjacency: the share of tool turns immediately
+    followed by a SYSTEM turn (the error channel in this transcript
+    schema) within the same conversation — the tool-failure proxy per
+    tool name ([[q_flag_retries]] looks for retry bursts; this reads
+    the direct tool -> error handoff).
+
+    Determinism: adjacency on the stable order; exact counts; one
+    division. Output: (tool, n_calls long, n_errors long, error_rate
+    double), one row per tool.
+    """
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    seq = df.select(
+        "conv_id",
+        "ts",
+        "turn_idx",
+        F.col("role"),
+        F.col("tool"),
+        F.lead("role", 1).over(w).alias("_nr"),
+    )
+    calls = seq.where(F.col("tool").isNotNull())
+    g = calls.groupBy(F.col("tool")).agg(
+        F.count("*").cast("long").alias("n_calls"),
+        F.sum(F.when(F.col("_nr") == "system", 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    return g.select(
+        "tool",
+        "n_calls",
+        "n_errors",
+        F.when(
+            F.col("n_calls") > 0,
+            F.col("n_errors").cast("double") / F.col("n_calls").cast("double"),
+        ).alias("error_rate"),
+    )
