@@ -6221,6 +6221,15 @@ def q_tool_error_rate(spark, sf_dir):
     return _r6(tool_error_rate(_t(spark, sf_dir)), ["error_rate"])
 
 
+def q_ngram_orders(spark, sf_dir):
+    """Vocabulary profile by n-gram order 1/2/3
+    (text.ngram_orders): exact type/token counts per order —
+    oracle-replayable."""
+    from z_rad_spark.operators.text import ngram_orders
+
+    return _r6(ngram_orders(_docs(spark, sf_dir)), ["type_token_ratio"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6656,6 +6665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_js_drift": q_token_js_drift,
         "q_stutter": q_stutter,
         "q_tool_error_rate": q_tool_error_rate,
+        "q_ngram_orders": q_ngram_orders,
     }
 
 

@@ -14890,3 +14890,26 @@ SELECT tool, n_calls, n_errors,
        {r6('CASE WHEN n_calls > 0 THEN CAST(n_errors AS DOUBLE) / CAST(n_calls AS DOUBLE) END', 'error_rate')}
 FROM g
 """
+
+
+# Vocabulary profile by n-gram order — matches text.ngram_orders
+_NGRAM_ORDER = """
+  SELECT CAST({n} AS INT) AS n,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS n_types,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM (
+    SELECT UNNEST(list_transform(generate_series(1, len(tk) - {nm1}),
+                  i -> array_to_string(list_slice(tk, i, i + {nm1}), ' '))) AS g
+    FROM toks WHERE len(tk) >= {n}
+  )
+"""
+
+ORACLES["q_ngram_orders"] = f"""
+WITH toks AS (SELECT string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS tk FROM documents),
+per AS (
+  {" UNION ALL ".join(_NGRAM_ORDER.format(n=n, nm1=n - 1) for n in (1, 2, 3))}
+)
+SELECT n, n_types, n_tokens,
+       {r6('CASE WHEN n_tokens > 0 THEN CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) END', 'type_token_ratio')}
+FROM per
+"""

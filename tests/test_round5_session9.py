@@ -1793,3 +1793,48 @@ def test_tool_error_rate_hand_computed(spark):
     assert r["tool"] == "checkout"
     assert r["n_calls"] == 2 and r["n_errors"] == 1
     assert r["error_rate"] == pytest.approx(0.5, rel=1e-12)
+
+
+def test_ngram_orders_hand_computed(spark):
+    from z_rad_spark.operators.text import ngram_orders
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["n"]: r for r in ngram_orders(docs).collect()}
+    # unigrams: a,b,a,b -> 2 types / 4 tokens
+    assert out[1]["n_types"] == 2 and out[1]["n_tokens"] == 4
+    # bigrams: "a b","b a","a b" -> 2 types / 3 tokens
+    assert out[2]["n_types"] == 2 and out[2]["n_tokens"] == 3
+    # trigrams: "a b a","b a b" -> 2 / 2
+    assert out[3]["type_token_ratio"] == pytest.approx(1.0, rel=1e-12)
+
+
+def test_horizon_features_plan_is_broadcast_no_smj(spark):
+    """The point-in-time grid ops must broadcast the cutoff dim — a
+    SortMergeJoin on the grid would shuffle the full turn table per
+    cutoff at 10^12 rows."""
+    from z_rad_spark.operators.asof import horizon_features
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "2024-01-01 10:00:00", 1.0)],
+        "conv_id string, turn_idx int, role string, ts string, signal double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = horizon_features(df, spark, ["2024-01-02 00:00:00"])._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "Broadcast" in plan
+
+
+def test_state_matrix_plan_single_aggregate_no_window(spark):
+    """state_matrix must stay windowless: conditional struct-argmax
+    cells ride ONE hash aggregate, not per-role window sorts."""
+    from z_rad_spark.operators.asof import state_matrix
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "2024-01-01 10:00:00", 1.0)],
+        "conv_id string, turn_idx int, role string, ts string, signal double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = state_matrix(df, spark, ["2024-01-02 00:00:00"])._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan

@@ -2039,3 +2039,52 @@ def bytes_per_token(
             ok, F.col("_nw").cast("double") / F.col("n_tokens").cast("double")
         ).alias("mean_token_len"),
     )
+
+
+def ngram_orders(
+    df: DataFrame,
+    orders=(1, 2, 3),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary profile by n-gram order: distinct n-gram count,
+    total occurrences, and type/token ratio for n = 1, 2, 3 — the
+    combinatorial-growth fingerprint behind LM order selection (a
+    type/token ratio that stays high at order 3 means trigrams are
+    mostly unique and a 3-gram LM will overfit — the quantitative
+    lead-in to [[q_bigram_lm]] / the Kneser-Ney op's order choice).
+
+    Determinism: n-gram sets and counts are exact (the q_ngram_jaccard
+    shingle tokenization); one division per order. Bit-replayable.
+
+    Output: (n int, n_types long, n_tokens long, type_token_ratio
+    double), orders ascending.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    tk = F.split(norm, " ")
+    out = None
+    for n in sorted(int(x) for x in orders):
+        grams = df.select(
+            F.explode(
+                F.when(
+                    F.size(tk) >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(tk) - n),
+                        lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("_g")
+        )
+        g = grams.agg(
+            F.count_distinct(F.col("_g")).cast("long").alias("n_types"),
+            F.count("*").cast("long").alias("n_tokens"),
+        ).select(
+            F.lit(n).cast("int").alias("n"),
+            "n_types",
+            "n_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_types").cast("double") / F.col("n_tokens").cast("double"),
+            ).alias("type_token_ratio"),
+        )
+        out = g if out is None else out.unionByName(g)
+    return out
