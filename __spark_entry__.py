@@ -6246,13 +6246,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     future rounds. Regenerate with tools/rotate_window.py.
 
     Current window: 50 changed-since-last-gate entries, 0 pinned,
-    and 0 ledger-ordered backlog entries; 9 of 50 slots were
+    and 0 ledger-ordered backlog entries; 7 of 50 slots were
     not in the previous round's window. Entries past the marker keep
     their newest green driver rows; every registry entry is additionally
     strict-mirrored (tools/check_queries.py, STRICT hash mode, sf0.01)
     before each handoff — see COVERAGE.md."""
     return {
         # --- engine/oracle code changed this round ---
+        "q_view_to_purchase": q_view_to_purchase,
+        "q_activity_heatmap": q_activity_heatmap,
+        "q_shingle_profile": q_shingle_profile,
+        "q_token_js_drift": q_token_js_drift,
+        "q_stutter": q_stutter,
+        "q_tool_error_rate": q_tool_error_rate,
+        "q_ngram_orders": q_ngram_orders,
         "q_quantiles_asof": q_quantiles_asof,
         "q_role_mix_asof": q_role_mix_asof,
         "q_wow_growth": q_wow_growth,
@@ -6296,6 +6303,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_char_entropy": q_char_entropy,
         "q_token_audit": q_token_audit,
         "q_horizon_feats": q_horizon_feats,
+        # ===== gate window ends here (first 50 entries) ================
+        # Everything below keeps its newest green driver row (see
+        # tools/gate_ledger.py for the live last_gated_round table)
+        # and queues for future rotations in this order.
         "q_recency": q_recency,
         "q_stream_kmv": q_stream_kmv,
         "q_coverage_curve": q_coverage_curve,
@@ -6303,10 +6314,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mahalanobis": q_mahalanobis,
         "q_trend_asof": q_trend_asof,
         "q_sessions_asof": q_sessions_asof,
-        # ===== gate window ends here (first 50 entries) ================
-        # Everything below keeps its newest green driver row (see
-        # tools/gate_ledger.py for the live last_gated_round table)
-        # and queues for future rotations in this order.
         "q_length_gini": q_length_gini,
         "q_wau_overlap": q_wau_overlap,
         "q_seasonality": q_seasonality,
@@ -6659,13 +6666,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_score_ks": q_score_ks,
         "q_source_jaccard": q_source_jaccard,
         "q_source_kl": q_source_kl,
-        "q_view_to_purchase": q_view_to_purchase,
-        "q_activity_heatmap": q_activity_heatmap,
-        "q_shingle_profile": q_shingle_profile,
-        "q_token_js_drift": q_token_js_drift,
-        "q_stutter": q_stutter,
-        "q_tool_error_rate": q_tool_error_rate,
-        "q_ngram_orders": q_ngram_orders,
     }
 
 
