@@ -6230,6 +6230,24 @@ def q_ngram_orders(spark, sf_dir):
     return _r6(ngram_orders(_docs(spark, sf_dir)), ["type_token_ratio"])
 
 
+def q_weekend_effect(spark, sf_dir):
+    """Weekend-vs-weekday Welch t per role (drift.weekend_effect):
+    conditional exact sums from one aggregate, fixed chains —
+    oracle-replayable."""
+    from z_rad_spark.operators.drift import weekend_effect
+
+    return _r6(weekend_effect(_t(spark, sf_dir)), ["mean_wd", "mean_we", "t"])
+
+
+def q_role_trigrams(spark, sf_dir):
+    """Top-10 three-turn role patterns with shares
+    (profile.role_trigrams): stable-order trigrams, exact counts —
+    oracle-replayable."""
+    from z_rad_spark.operators.profile import role_trigrams
+
+    return _r6(role_trigrams(_t(spark, sf_dir)), ["share"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract_full(spark, "/root/testdata/sf0.001")
@@ -6666,6 +6684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_score_ks": q_score_ks,
         "q_source_jaccard": q_source_jaccard,
         "q_source_kl": q_source_kl,
+        "q_weekend_effect": q_weekend_effect,
+        "q_role_trigrams": q_role_trigrams,
     }
 
 

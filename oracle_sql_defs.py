@@ -14913,3 +14913,59 @@ SELECT n, n_types, n_tokens,
        {r6('CASE WHEN n_tokens > 0 THEN CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) END', 'type_token_ratio')}
 FROM per
 """
+
+
+# Weekend-vs-weekday Welch t per role — matches drift.weekend_effect
+# (Spark dayofweek: 1=Sun..7=Sat -> weekend {1,7}; DuckDB dayofweek:
+# 0=Sun..6=Sat -> weekend {0,6})
+ORACLES["q_weekend_effect"] = f"""
+WITH t AS ({T}),
+g AS (
+  SELECT role,
+         CAST(COALESCE(SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_wd,
+         CAST(COALESCE(SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_we,
+         CAST(SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN CAST(signal AS BIGINT) END) AS BIGINT) AS sd,
+         CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN CAST(signal AS BIGINT) END) AS BIGINT) AS sw,
+         CAST(SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN CAST(signal AS BIGINT) * CAST(signal AS BIGINT) END) AS BIGINT) AS sd2,
+         CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN CAST(signal AS BIGINT) * CAST(signal AS BIGINT) END) AS BIGINT) AS sw2
+  FROM t WHERE signal IS NOT NULL GROUP BY role
+),
+f AS (
+  SELECT role, n_wd, n_we,
+         CAST(sd AS DOUBLE) / CAST(n_wd AS DOUBLE) AS md,
+         CAST(sw AS DOUBLE) / CAST(n_we AS DOUBLE) AS mw,
+         (CAST(sd2 AS DOUBLE) - CAST(n_wd AS DOUBLE) * (CAST(sd AS DOUBLE) / CAST(n_wd AS DOUBLE)) * (CAST(sd AS DOUBLE) / CAST(n_wd AS DOUBLE))) / (CAST(n_wd AS DOUBLE) - 1.0) AS vd,
+         (CAST(sw2 AS DOUBLE) - CAST(n_we AS DOUBLE) * (CAST(sw AS DOUBLE) / CAST(n_we AS DOUBLE)) * (CAST(sw AS DOUBLE) / CAST(n_we AS DOUBLE))) / (CAST(n_we AS DOUBLE) - 1.0) AS vw
+  FROM g
+)
+SELECT role, n_wd, n_we,
+       {r6('CASE WHEN n_wd > 0 THEN md END', 'mean_wd')},
+       {r6('CASE WHEN n_we > 0 THEN mw END', 'mean_we')},
+       {r6('CASE WHEN n_wd >= 2 AND n_we >= 2 AND SQRT(vw / CAST(n_we AS DOUBLE) + vd / CAST(n_wd AS DOUBLE)) > 0 THEN (mw - md) / SQRT(vw / CAST(n_we AS DOUBLE) + vd / CAST(n_wd AS DOUBLE)) END', 't')}
+FROM f
+"""
+
+
+# Top-10 role trigram patterns — matches profile.role_trigrams
+ORACLES["q_role_trigrams"] = f"""
+WITH t AS ({T}),
+tri AS (
+  SELECT a || '>' || b || '>' || c AS pattern FROM (
+    SELECT role AS a,
+           LEAD(role, 1) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS b,
+           LEAD(role, 2) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS c
+    FROM t
+  ) WHERE c IS NOT NULL
+),
+g AS (SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n FROM tri GROUP BY pattern),
+ranked AS (
+  SELECT pattern, n,
+         CAST(SUM(n) OVER () AS BIGINT) AS tot,
+         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pattern ASC) AS BIGINT) AS rank
+  FROM g
+)
+SELECT pattern, n,
+       {r6('CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)', 'share')},
+       rank
+FROM ranked WHERE rank <= 10
+"""

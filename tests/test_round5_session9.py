@@ -1838,3 +1838,35 @@ def test_state_matrix_plan_single_aggregate_no_window(spark):
     plan = state_matrix(df, spark, ["2024-01-02 00:00:00"])._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_weekend_effect_hand_computed(spark):
+    from z_rad_spark.operators.drift import weekend_effect
+
+    # 2024-01-06/07 = Sat/Sun; 2024-01-08/09 = Mon/Tue
+    rows = [
+        ("u", "2024-01-08 10:00:00", 2), ("u", "2024-01-09 10:00:00", 4),
+        ("u", "2024-01-06 10:00:00", 7), ("u", "2024-01-07 10:00:00", 9),
+    ]
+    df = spark.createDataFrame(
+        [("c1", i, "user", t, float(s)) for i, (r, t, s) in enumerate(rows)],
+        "conv_id string, turn_idx int, role string, ts string, signal double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = weekend_effect(df).collect()[0]
+    assert (r["n_wd"], r["n_we"]) == (2, 2)
+    assert r["mean_wd"] == pytest.approx(3.0, rel=1e-12)
+    assert r["mean_we"] == pytest.approx(8.0, rel=1e-12)
+    # vd = vw = 2; se = sqrt(2/2 + 2/2) = sqrt 2; t = 5/sqrt 2
+    import math
+    assert r["t"] == pytest.approx(5 / math.sqrt(2), rel=1e-12)
+
+
+def test_role_trigrams_hand_computed(spark):
+    from z_rad_spark.operators.profile import role_trigrams
+
+    rows = [("c1", i, r, 1) for i, r in enumerate(["user", "assistant", "user", "assistant"])]
+    out = {r["pattern"]: r for r in role_trigrams(_turns(spark, rows)).collect()}
+    # trigrams: u>a>u, a>u>a
+    assert out["user>assistant>user"]["n"] == 1
+    assert out["assistant>user>assistant"]["n"] == 1
+    assert out["user>assistant>user"]["share"] == pytest.approx(0.5, rel=1e-12)

@@ -4451,3 +4451,53 @@ def token_js_drift(
         F.when(ok, js).alias("js"),
         F.when(ok, js / F.lit(math.log(2.0))).alias("js_norm"),
     )
+
+
+def weekend_effect(
+    df: DataFrame,
+    signal_col: str = "signal",
+) -> DataFrame:
+    """Weekend-vs-weekday signal comparison per role: Welch's t on
+    exact integer sufficient sums between the two calendar regimes —
+    does weekend traffic talk differently? (The calendar-regime
+    variant of the cutoff-split [[welch_drift]]; pairs with
+    [[q_seasonality]]'s volume view — this one tests the VALUE.)
+
+        t = (m_w - m_d) / sqrt(s_w^2/n_w + s_d^2/n_d)
+
+    with sample variances from exact (n, S, S2). Weekend = Saturday
+    or Sunday (Spark dayofweek in {{1, 7}}; the oracle maps DuckDB's
+    0-based convention).
+
+    Determinism: conditional exact long sums from ONE aggregate per
+    role; fixed chains. NULL when either regime is empty or both
+    variances are 0. Output: (role, n_wd long, n_we long, mean_wd,
+    mean_we, t doubles).
+    """
+    x = F.col(signal_col).cast("long")
+    dow = F.dayofweek(F.col("ts").cast("timestamp"))
+    is_we = dow.isin(1, 7)
+    g = df.where(x.isNotNull()).groupBy("role").agg(
+        F.sum(F.when(~is_we, 1).otherwise(0)).cast("long").alias("n_wd"),
+        F.sum(F.when(is_we, 1).otherwise(0)).cast("long").alias("n_we"),
+        F.sum(F.when(~is_we, x)).cast("long").alias("_sd"),
+        F.sum(F.when(is_we, x)).cast("long").alias("_sw"),
+        F.sum(F.when(~is_we, x * x)).cast("long").alias("_sd2"),
+        F.sum(F.when(is_we, x * x)).cast("long").alias("_sw2"),
+    )
+    nd_ = F.col("n_wd").cast("double")
+    nw_ = F.col("n_we").cast("double")
+    md = F.col("_sd").cast("double") / nd_
+    mw = F.col("_sw").cast("double") / nw_
+    vd = (F.col("_sd2").cast("double") - nd_ * md * md) / (nd_ - F.lit(1.0))
+    vw = (F.col("_sw2").cast("double") - nw_ * mw * mw) / (nw_ - F.lit(1.0))
+    se = F.sqrt(vw / nw_ + vd / nd_)
+    ok = (F.col("n_wd") >= 2) & (F.col("n_we") >= 2)
+    return g.select(
+        "role",
+        "n_wd",
+        "n_we",
+        F.when(F.col("n_wd") > 0, md).alias("mean_wd"),
+        F.when(F.col("n_we") > 0, mw).alias("mean_we"),
+        F.when(ok & (se > 0), (mw - md) / se).alias("t"),
+    )

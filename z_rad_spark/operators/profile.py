@@ -3777,3 +3777,49 @@ def tool_error_rate(df: DataFrame) -> DataFrame:
             F.col("n_errors").cast("double") / F.col("n_calls").cast("double"),
         ).alias("error_rate"),
     )
+
+
+def role_trigrams(df: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k role trigram patterns: the most common three-turn role
+    sequences within conversations with their share of all trigrams —
+    the dialog-shape census one order above the
+    [[q_role_transitions]] matrix (user->assistant->user volleys vs
+    user->assistant->tool dispatch loops are different products; the
+    matrix cannot tell them apart, the trigram table can).
+
+    Determinism: trigrams ride the stable (ts, turn_idx) order via
+    two lead()s; counts exact; (count desc, pattern asc) rank ties;
+    one division. Output: (pattern string, n long, share double,
+    rank long), rank 1..k.
+    """
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    tri = (
+        df.select(
+            "conv_id",
+            "ts",
+            "turn_idx",
+            F.col("role").alias("_a"),
+            F.lead("role", 1).over(w).alias("_b"),
+            F.lead("role", 2).over(w).alias("_c"),
+        )
+        .where(F.col("_c").isNotNull())
+        .select(
+            F.concat_ws(">", F.col("_a"), F.col("_b"), F.col("_c")).alias(
+                "pattern"
+            )
+        )
+    )
+    g = tri.groupBy("pattern").agg(F.count("*").cast("long").alias("n"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rank = Window.orderBy(F.col("n").desc(), F.asc("pattern"))
+    ranked = g.withColumn("_tot", F.sum("n").over(w_all).cast("long")).withColumn(
+        "rank", F.row_number().over(w_rank).cast("long")
+    )
+    return ranked.where(F.col("rank") <= int(k)).select(
+        "pattern",
+        "n",
+        (F.col("n").cast("double") / F.col("_tot").cast("double")).alias("share"),
+        "rank",
+    )
