@@ -6264,13 +6264,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     future rounds. Regenerate with tools/rotate_window.py.
 
     Current window: 50 changed-since-last-gate entries, 0 pinned,
-    and 0 ledger-ordered backlog entries; 7 of 50 slots were
+    and 0 ledger-ordered backlog entries; 2 of 50 slots were
     not in the previous round's window. Entries past the marker keep
     their newest green driver rows; every registry entry is additionally
     strict-mirrored (tools/check_queries.py, STRICT hash mode, sf0.01)
     before each handoff — see COVERAGE.md."""
     return {
         # --- engine/oracle code changed this round ---
+        "q_weekend_effect": q_weekend_effect,
+        "q_role_trigrams": q_role_trigrams,
         "q_view_to_purchase": q_view_to_purchase,
         "q_activity_heatmap": q_activity_heatmap,
         "q_shingle_profile": q_shingle_profile,
@@ -6319,12 +6321,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_temperature": q_source_temperature,
         "q_entropy_rate": q_entropy_rate,
         "q_char_entropy": q_char_entropy,
-        "q_token_audit": q_token_audit,
-        "q_horizon_feats": q_horizon_feats,
         # ===== gate window ends here (first 50 entries) ================
         # Everything below keeps its newest green driver row (see
         # tools/gate_ledger.py for the live last_gated_round table)
         # and queues for future rotations in this order.
+        "q_token_audit": q_token_audit,
+        "q_horizon_feats": q_horizon_feats,
         "q_recency": q_recency,
         "q_stream_kmv": q_stream_kmv,
         "q_coverage_curve": q_coverage_curve,
@@ -6684,8 +6686,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_score_ks": q_score_ks,
         "q_source_jaccard": q_source_jaccard,
         "q_source_kl": q_source_kl,
-        "q_weekend_effect": q_weekend_effect,
-        "q_role_trigrams": q_role_trigrams,
     }
 
 
