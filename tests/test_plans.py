@@ -192,10 +192,12 @@ def test_ivf_assignment_subtree_has_no_exchange(spark):
 
 
 def test_semdedup_plan_shape(spark):
-    """semdedup's assignment must stay the narrow literal-codebook argmax
-    (no Exchange before the cluster sizes are counted), the k-row sizes
-    frame must come back as a broadcast join, and the within-cluster
-    pairing must be an equi-join — never a cartesian product."""
+    """semdedup (r6 shape): ONE cluster_id exchange right after the
+    literal-codebook argmax so every consumer (window sizes, both pairing
+    sides, keeper frame) shares the assignment subtree via ReuseExchange;
+    cluster sizes come from a Window over that same partitioning (no
+    second assignment copy); the within-cluster pairing stays an
+    equi-join — never a cartesian product."""
     from z_rad_spark.operators.similarity import semdedup
 
     vecs = spark.createDataFrame(
@@ -205,11 +207,20 @@ def test_semdedup_plan_shape(spark):
     cents = [(0, [1.0, 0.0, 1.0, 0.0]), (1, [0.0, 1.0, 0.0, 1.0])]
     plan = _plan(semdedup(vecs, threshold=0.99, centroids=cents))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan  # the k-row sizes frame
     # the pairing shuffle is keyed on cluster_id (bounded by the
     # codebook), never an all-pairs join; the only vec_id-keyed exchange
     # allowed is the final keeper left-join
     assert "hashpartitioning(cluster_id" in plan
+    # sizes ride a Window on the exchange's own partitioning, not a
+    # groupBy + broadcast-join that would re-derive the assignment
+    assert "Window" in plan
+    # every assignment subtree in the final plan must be canonically
+    # identical so runtime stage reuse computes the argmax once: all
+    # scans carry the same pushed isnotnull(cluster_id)-bearing filter
+    # count as the exchange count on cluster_id (3 static copies max:
+    # keeper + two pairing sides, deduped at runtime)
+    n_scans = plan.count("Scan ExistingRDD") + plan.count("Scan parquet")
+    assert n_scans <= 3, plan
 
 
 def test_dsir_ratio_table_broadcasts_onto_tokens(spark):

@@ -539,26 +539,63 @@ def semdedup(
         centroids = _seed_centroids(vectors, k, id_col, vec_col).drop("_h")
     cents = _codebook_rows(centroids)
     best = _argmax_score(F.col("_sc"))
-    v = _with_cent_scores(vectors, vec_col, cents).select(
-        F.col(id_col),
-        F.col(vec_col),
-        best["cent_id"].alias("cluster_id"),
+    # One explicit exchange on cluster_id right after the assignment: the
+    # literal-codebook argmax is a large interpreted higher-order-function
+    # expression, and every downstream consumer (sizes, both pairing
+    # sides, the keeper frame) re-derives this subtree — without the
+    # exchange the plan evaluated the argmax once PER CONSUMER (6 scans
+    # of the corpus, ~6x the assignment cost). With it, ReuseExchange
+    # collapses all consumers onto a single computation, and the pairing
+    # join's cluster_id partitioning is established once (guide 2.4).
+    v = (
+        _with_cent_scores(vectors, vec_col, cents)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            # per-row norm computed once here (inside the single exchanged
+            # subtree) instead of twice per PAIR downstream: the pair
+            # cosine is dot/(norm_a*norm_b), so hoisting the norms cuts
+            # the dominant per-pair interpreted fold work 3x while the
+            # float math (same product, same division) stays bit-identical
+            _norm(F.col(vec_col)).alias("_nv"),
+            best["cent_id"].alias("cluster_id"),
+        )
+        # vacuously true (the argmax fold always yields a literal cent_id)
+        # but stated explicitly so the pairing join's inferred
+        # isnotnull(cluster_id) is already present below the exchange:
+        # otherwise pushdown rewrites only SOME consumer subtrees and the
+        # canonical mismatch defeats ReuseExchange
+        .where(F.col("cluster_id").isNotNull())
+        .repartition("cluster_id")
     )
-    sizes = v.groupBy("cluster_id").agg(F.count("*").alias("_csize"))
-    v = v.join(F.broadcast(sizes), "cluster_id")
+    # cluster size via a window over the exchange's own partitioning: no
+    # extra shuffle, and no second copy of the assignment subtree (the
+    # previous groupBy+broadcast-join shape re-derived it)
+    vs = v.withColumn(
+        "_csize", F.count("*").over(Window.partitionBy("cluster_id"))
+    )
 
     ida, idb = F.col(id_col + "_a"), F.col(id_col + "_b")
     pairable = F.col("_csize") <= F.lit(max_cluster)
-    a = v.where(pairable).select(
-        "cluster_id", F.col(id_col).alias(id_col + "_a"), F.col(vec_col).alias("_va")
+    a = vs.where(pairable).select(
+        "cluster_id",
+        F.col(id_col).alias(id_col + "_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nv").alias("_na"),
     )
-    b = v.where(pairable).select(
-        "cluster_id", F.col(id_col).alias(id_col + "_b"), F.col(vec_col).alias("_vb")
+    b = vs.where(pairable).select(
+        "cluster_id",
+        F.col(id_col).alias(id_col + "_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nv").alias("_nb"),
+    )
+    pair_cos = _safe_div(
+        _dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb")
     )
     dups = (
         a.join(b, "cluster_id")
         .where(ida < idb)
-        .withColumn("_cos", _cosine(F.col("_va"), F.col("_vb")).cast("double"))
+        .withColumn("_cos", pair_cos.cast("double"))
         .where(F.col("_cos") >= F.lit(threshold))
         .groupBy(idb)
         .agg(
