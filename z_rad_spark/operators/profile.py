@@ -211,40 +211,320 @@ def conversation_features(df: DataFrame) -> DataFrame:
 
     Output: conv_id + 38 feature columns, one row per conversation.
     """
-    from .sessionize import autocorr_features, role_run_stats, role_transitions
+    # r6 fused shape: the previous implementation equi-joined eleven
+    # standalone frames, each re-deriving the turn table (26 scans, 72
+    # exchanges, 46 window nodes). Nine of the eleven share the SAME
+    # stable (ts, turn_idx) conv window and aggregate only order-free
+    # exact-integer sufficient statistics (or sort-normalized arrays),
+    # so they fuse into ONE window projection + ONE groupBy(conv_id)
+    # with bit-identical outputs: every float chain below is copied
+    # verbatim from its member operator, fed by the same exact-long
+    # inputs, and longs/counts/min/max/struct-max/sorted-collect are
+    # aggregation-order-insensitive (guide 2.3/2.4: fewer passes, one
+    # exchange). The remaining joins are the genuinely different-shaped
+    # members: role_run_stats (per-island sub-aggregate), spearman
+    # (midrank windows over a value ordering), and arrival_stats' hourly
+    # Fano side (per-hour-bucket pre-aggregate). Members absent for a
+    # conversation (no user->assistant pair) keep their NULL-not-zero
+    # left-join semantics via count-guarded aggregates.
+    from .sessionize import role_run_stats
     from .sessionize import spearman_trend as _spearman
 
-    rt = role_transitions(df)
-    rr = role_run_stats(df).drop("n_turns")
-    ac = autocorr_features(df).drop("n")
-    st = signal_trend(df)
-    sp = _spearman(df).drop("n")
-    tp = temporal_profile(df).drop("n")
-    rl = response_latency(df).withColumnRenamed("n_resp", "n_responses")
-    ar = arrival_stats(df).drop("n_turns")
-    pc = pair_signal_correlation(df).select(
-        "conv_id", "n_pairs", F.col("r").alias("pair_r")
-    )
-    cp = changepoint(df).select(
+    roles = ("assistant", "system", "tool", "user")
+    from_role, to_role = "user", "assistant"
+
+    # All expressions below are SQL strings parsed once in the JVM: the
+    # Column-API construction of this frame cost ~3.7 s of driver time in
+    # py4j round-trips (~20k socket calls, profiled r6); the parsed trees
+    # are identical, so values are unchanged.
+    ORD = "PARTITION BY conv_id ORDER BY ts, turn_idx"
+    CUM = f"{ORD} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    XL = "CAST(signal AS BIGINT)"
+    TSU = "unix_micros(CAST(ts AS TIMESTAMP))"
+    p = df.selectExpr(
         "conv_id",
-        "cp_turn",
-        F.col("mean_gap").alias("cp_gap"),
-        F.col("g_stat").alias("cp_stat"),
+        f"{XL} AS _x",
+        f"CAST(row_number() OVER ({ORD}) - 1 AS BIGINT) AS _i",
+        "role AS _to",
+        f"lag(role) OVER ({ORD}) AS _from",
+        f"lag({XL}, 1) OVER ({ORD}) AS _l1",
+        f"lag({XL}, 2) OVER ({ORD}) AS _l2",
+        f"lag({XL}, 3) OVER ({ORD}) AS _l3",
+        f"{TSU} AS _ts",
+        f"lag({TSU}) OVER ({ORD}) AS _prev",
+        f"sum({XL}) OVER ({CUM}) AS _cs",
+        f"count(*) OVER ({CUM}) AS _ct",
+        f"sum({XL}) OVER (PARTITION BY conv_id) AS _ts_sn",
+        "count(*) OVER (PARTITION BY conv_id) AS _ts_n",
+        "hour(CAST(ts AS TIMESTAMP)) AS _hr",
+        "dayofweek(CAST(ts AS TIMESTAMP)) AS _dw",
+        "ts",
+        "turn_idx",
+        "CAST(signal AS DOUBLE) AS _y",
+        "(signal IS NOT NULL) AS _sig_nn",
     )
-    sen = theil_sen_trend(df).select("conv_id", "sen_slope", "sen_intercept")
-    out = (
-        st.join(rt, "conv_id")
-        .join(rr, "conv_id")
-        .join(ac, "conv_id")
-        .join(sp, "conv_id")
-        .join(tp, "conv_id")
-        .join(ar, "conv_id")
-        .join(cp, "conv_id")
-        .join(sen, "conv_id")
-        .join(pc, "conv_id", "left")
-        .join(rl, "conv_id", "left")
+    gap = "(_ts - _prev)"
+    p = p.withColumn(
+        "_gap_s",
+        F.expr(
+            "CAST(CASE WHEN _prev IS NOT NULL THEN "
+            f"(({gap} - {gap} % 1000000) / 1000000) END AS BIGINT)"
+        ),
     )
-    return out
+
+    cp_struct = (
+        "named_struct("
+        "'g', abs(_ts_n * _cs - _ct * _ts_sn), "
+        "'negt', -_ct, 't', _ct, 'ts', _ts, 'st', _cs, "
+        "'sn', _ts_sn, 'n', _ts_n)"
+    )
+    pcc = f"(_to = '{to_role}' AND _from = '{from_role}' AND _l1 IS NOT NULL AND _sig_nn)"
+    rlc = f"(_to = '{to_role}' AND _from = '{from_role}')"
+    aggs = [
+        # signal_trend sufficient statistics
+        "count(_x) AS _st_n",
+        "sum(CASE WHEN _x IS NOT NULL THEN _i END) AS _st_si",
+        "sum(CASE WHEN _x IS NOT NULL THEN _i * _i END) AS _st_sii",
+        "sum(_x) AS _st_sx",
+        "sum(_x * _x) AS _st_sxx",
+        "sum(_i * _x) AS _st_six",
+        # role_transitions counts
+        "count(_from) AS _rt_n",
+    ]
+    for a in roles:
+        for b in roles:
+            aggs.append(
+                f"count(CASE WHEN (_from = '{a}' AND _to = '{b}') THEN 1 END)"
+                f" AS _c_{a}_{b}"
+            )
+    for k in (1, 2, 3):
+        both = f"(_x IS NOT NULL AND _l{k} IS NOT NULL)"
+        aggs += [
+            f"count(CASE WHEN {both} THEN 1 END) AS _m{k}",
+            f"sum(_x * _l{k}) AS _p{k}",
+            f"sum(CASE WHEN {both} THEN _x END) AS _a{k}",
+            f"sum(CASE WHEN {both} THEN _l{k} END) AS _b{k}",
+        ]
+    aggs += [
+        # temporal_profile counts
+        "count(1) AS _tp_n",
+        "count(CASE WHEN _hr <= 5 THEN 1 END) AS _night",
+        "count(CASE WHEN _dw IN (1, 7) THEN 1 END) AS _wkend",
+    ]
+    for h in range(24):
+        aggs.append(f"count(CASE WHEN _hr = {h} THEN 1 END) AS _h{h}")
+    aggs += [
+        # arrival_stats gap-side statistics
+        "min(_ts) AS _ar_first",
+        "max(_ts) AS _ar_last",
+        "CAST(count(_gap_s) AS BIGINT) AS _ar_ng",
+        "coalesce(sum(_gap_s), 0) AS _ar_sg",
+        "coalesce(sum(_gap_s * _gap_s), 0) AS _ar_sgg",
+        # changepoint argmax (NULL when no t < n candidate, matching the
+        # previous left join against the candidate aggregate)
+        f"max(CASE WHEN _ct < _ts_n THEN {cp_struct} END) AS _b",
+        # theil_sen collected series (sort_array normalizes collect order)
+        "sort_array(collect_list(named_struct('ts', ts, 'turn_idx', turn_idx, '_y', _y))) AS _a",
+        # pair_signal_correlation sufficient statistics
+        f"CAST(count(CASE WHEN {pcc} THEN 1 END) AS BIGINT) AS _pc_n",
+        f"sum(CASE WHEN {pcc} THEN _l1 END) AS _pc_sx",
+        f"sum(CASE WHEN {pcc} THEN _x END) AS _pc_sy",
+        f"sum(CASE WHEN {pcc} THEN _l1 * _x END) AS _pc_sxy",
+        f"sum(CASE WHEN {pcc} THEN _l1 * _l1 END) AS _pc_sxx",
+        f"sum(CASE WHEN {pcc} THEN _x * _x END) AS _pc_syy",
+        # response_latency statistics
+        f"CAST(count(CASE WHEN {rlc} THEN {gap} END) AS BIGINT) AS _rl_n",
+        f"sum(CASE WHEN {rlc} THEN {gap} END) AS _rl_sum",
+        f"min(CASE WHEN {rlc} THEN {gap} END) AS _rl_min",
+        f"max(CASE WHEN {rlc} THEN {gap} END) AS _rl_max",
+    ]
+    g = p.groupBy("conv_id").agg(*[F.expr(s) for s in aggs])
+
+    # --- theil_sen post-aggregation (computed columns referenced by
+    # --- later expressions, so they stay withColumn steps) ---
+    g = g.withColumn("_ys", F.expr("transform(_a, s -> s._y)"))
+    N = "size(_ys)"
+    slopes = (
+        f"array_sort(flatten(transform(sequence(0, {N} - 2), "
+        f"i -> transform(sequence(i + 1, {N} - 1), "
+        f"j -> (get(_ys, j) - get(_ys, i)) / CAST(j - i AS DOUBLE)))))"
+    )
+    g = g.withColumn("_s", F.expr(f"CASE WHEN {N} >= 2 THEN {slopes} END"))
+
+    def med(arr):
+        m = f"size({arr})"
+        mid = f"CAST(FLOOR({m} / 2) AS INT)"
+        return (
+            f"CASE WHEN {m} % 2 = 1 THEN get({arr}, {mid}) "
+            f"ELSE (get({arr}, {mid} - 1) + get({arr}, {mid})) / 2.0D END"
+        )
+
+    g = g.withColumn(
+        "sen_slope", F.expr(f"CASE WHEN {N} >= 2 THEN {med('_s')} END")
+    )
+    resid = (
+        f"array_sort(transform(sequence(0, {N} - 1), "
+        "i -> get(_ys, i) - sen_slope * CAST(i AS DOUBLE)))"
+    )
+    inner = f"CASE WHEN {N} >= 2 THEN {resid} END"
+    g = g.withColumn(
+        "sen_intercept",
+        F.expr(f"CASE WHEN {N} >= 2 THEN {med(f'({inner})')} END"),
+    )
+
+    # --- per-member output expressions (verbatim float chains from the
+    # --- standalone operators, over the shared sufficient statistics) ---
+    stN, stSI, stSII = "CAST(_st_n AS DOUBLE)", "CAST(_st_si AS DOUBLE)", "CAST(_st_sii AS DOUBLE)"
+    stSX, stSXX, stSIX = "CAST(_st_sx AS DOUBLE)", "CAST(_st_sxx AS DOUBLE)", "CAST(_st_six AS DOUBLE)"
+    st_num = f"({stN} * {stSIX} - {stSI} * {stSX})"
+    st_den = f"({stN} * {stSII} - {stSI} * {stSI})"
+    st_varx = f"({stN} * {stSXX} - {stSX} * {stSX})"
+    st_slope = f"({st_num} / {st_den})"
+    st_ok = f"(_st_n > 1 AND {st_den} != 0.0D)"
+
+    rtN = "CAST(_rt_n AS DOUBLE)"
+
+    def ent_term(cnt):
+        c = f"CAST({cnt} AS DOUBLE)"
+        pr = f"({c} / {rtN})"
+        return f"CASE WHEN {c} > 0 THEN (-({pr})) * LOG2({pr}) ELSE 0.0D END"
+
+    ent_chain = " + ".join(ent_term(f"_c_{a}_{b}") for a in roles for b in roles)
+    nz_chain = " + ".join(
+        f"CASE WHEN _c_{a}_{b} > 0 THEN 1 ELSE 0 END" for a in roles for b in roles
+    )
+    self_chain = " + ".join(f"_c_{a}_{a}" for a in roles)
+    marg_terms = []
+    for a in roles:
+        ra = f"CAST(({' + '.join(f'_c_{a}_{b}' for b in roles)}) AS DOUBLE)"
+        pa = f"({ra} / {rtN})"
+        marg_terms.append(
+            f"CASE WHEN {ra} > 0 THEN (-({pa})) * LOG2({pa}) ELSE 0.0D END"
+        )
+    prev_ent = " + ".join(marg_terms)
+    rt_has = "_rt_n > 0"
+
+    ac_mean = f"({stSX} / {stN})"
+    ac_den = f"({stSXX} - {stN} * {ac_mean} * {ac_mean})"
+    ac_exprs = {}
+    for k in (1, 2, 3):
+        pk, ak, bk, mk = (
+            f"CAST(_p{k} AS DOUBLE)",
+            f"CAST(_a{k} AS DOUBLE)",
+            f"CAST(_b{k} AS DOUBLE)",
+            f"CAST(_m{k} AS DOUBLE)",
+        )
+        num = f"({pk} - {ac_mean} * {ak} - {ac_mean} * {bk} + {mk} * {ac_mean} * {ac_mean})"
+        ac_exprs[k] = (
+            f"CASE WHEN (_m{k} > 0 AND {ac_den} != 0.0D) THEN {num} / {ac_den} END"
+        )
+
+    tpN = "CAST(_tp_n AS DOUBLE)"
+    peak_c = "greatest(" + ", ".join(f"_h{h}" for h in range(24)) + ")"
+    peak_h = (
+        "coalesce("
+        + ", ".join(f"CASE WHEN _h{h} = {peak_c} THEN {h} END" for h in range(24))
+        + ")"
+    )
+
+    def tp_term(h):
+        c = f"CAST(_h{h} AS DOUBLE)"
+        pr = f"({c} / {tpN})"
+        return f"CASE WHEN {c} > 0 THEN (-({pr})) * LOG2({pr}) ELSE 0.0D END"
+
+    tp_ent = " + ".join(tp_term(h) for h in range(24))
+
+    arNG = "CAST(_ar_ng AS DOUBLE)"
+    ar_mu = f"(CAST(_ar_sg AS DOUBLE) / CASE WHEN {arNG} > 0 THEN {arNG} END)"
+    ar_var = (
+        f"(({arNG} * CAST(_ar_sgg AS DOUBLE) - CAST(_ar_sg AS DOUBLE) * CAST(_ar_sg AS DOUBLE))"
+        f" / CASE WHEN {arNG} > 0 THEN {arNG} * {arNG} END)"
+    )
+    ar_sd = f"SQRT({ar_var})"
+    span = "(_ar_last - _ar_first)"
+
+    cp_t, cp_n = "CAST(_b.t AS DOUBLE)", "CAST(_b.n AS DOUBLE)"
+    cp_ml = f"(CAST(_b.st AS DOUBLE) / {cp_t})"
+    cp_mr = f"(CAST((_b.sn - _b.st) AS DOUBLE) / ({cp_n} - {cp_t}))"
+
+    pcN = "CAST(_pc_n AS DOUBLE)"
+    pc_num = f"({pcN} * CAST(_pc_sxy AS DOUBLE) - CAST(_pc_sx AS DOUBLE) * CAST(_pc_sy AS DOUBLE))"
+    pc_vx = f"({pcN} * CAST(_pc_sxx AS DOUBLE) - CAST(_pc_sx AS DOUBLE) * CAST(_pc_sx AS DOUBLE))"
+    pc_vy = f"({pcN} * CAST(_pc_syy AS DOUBLE) - CAST(_pc_sy AS DOUBLE) * CAST(_pc_sy AS DOUBLE))"
+
+    fused = g.selectExpr(
+        "conv_id",
+        "CAST(_st_n AS BIGINT) AS n",
+        f"CASE WHEN {st_ok} THEN {st_slope} END AS slope",
+        f"CASE WHEN {st_ok} THEN ({stSX} - {st_slope} * {stSI}) / {stN} END AS intercept",
+        f"CASE WHEN ({st_ok} AND {st_varx} > 0) THEN {st_num} / (SQRT({st_den}) * SQRT({st_varx})) END AS r",
+        "CAST(_rt_n AS BIGINT) AS n_trans",
+        f"CAST(CASE WHEN {rt_has} THEN {nz_chain} END AS BIGINT) AS n_distinct_trans",
+        f"CASE WHEN {rt_has} THEN CAST(({self_chain}) AS DOUBLE) / {rtN} END AS self_loop_ratio",
+        f"CASE WHEN {rt_has} THEN {ent_chain} END AS trans_entropy",
+        f"CASE WHEN {rt_has} THEN {prev_ent} END AS prev_entropy",
+        f"CASE WHEN {rt_has} THEN ({ent_chain}) - ({prev_ent}) END AS cond_entropy",
+        f"{ac_exprs[1]} AS ac_1",
+        f"{ac_exprs[2]} AS ac_2",
+        f"{ac_exprs[3]} AS ac_3",
+        f"CAST({peak_h} AS INT) AS peak_hour",
+        f"CAST({peak_c} AS DOUBLE) / {tpN} AS peak_frac",
+        f"{tp_ent} AS hour_entropy",
+        f"CAST(_night AS DOUBLE) / {tpN} AS night_frac",
+        f"CAST(_wkend AS DOUBLE) / {tpN} AS weekend_frac",
+        f"CAST(({span} - {span} % 1000000) / 1000000 AS BIGINT) AS span_s",
+        f"CASE WHEN _ar_ng > 0 THEN {ar_mu} END AS mean_gap_s",
+        f"CASE WHEN (_ar_ng > 0 AND {ar_mu} > 0) THEN {ar_sd} / {ar_mu} END AS cv_gap",
+        f"CASE WHEN (_ar_ng > 0 AND ({ar_sd} + {ar_mu}) > 0) THEN ({ar_sd} - {ar_mu}) / ({ar_sd} + {ar_mu}) END AS burstiness",
+        "CAST(_b.t - 1 AS BIGINT) AS cp_turn",
+        f"({cp_mr}) - ({cp_ml}) AS cp_gap",
+        f"CAST(_b.g AS DOUBLE) / ({cp_n} * {cp_n}) AS cp_stat",
+        "sen_slope",
+        "sen_intercept",
+        "CASE WHEN _pc_n > 0 THEN _pc_n END AS n_pairs",
+        f"CASE WHEN (_pc_n > 1 AND {pc_vx} > 0 AND {pc_vy} > 0) THEN {pc_num} / SQRT({pc_vx} * {pc_vy}) END AS pair_r",
+        "CASE WHEN _rl_n > 0 THEN _rl_n END AS n_responses",
+        "CASE WHEN _rl_n > 0 THEN CAST(_rl_sum AS DOUBLE) / CAST(_rl_n AS DOUBLE) END AS mean_us",
+        "_rl_min AS min_us",
+        "_rl_max AS max_us",
+    )
+
+    rr = role_run_stats(df).drop("n_turns")
+    sp = _spearman(df).drop("n")
+    # arrival_stats' hourly Fano side: per-hour-bucket counts, then the
+    # exact-integer per-conversation fold (verbatim from arrival_stats)
+    per_h = df.selectExpr(
+        "conv_id",
+        f"CAST(({TSU} - {TSU} % 3600000000) / 3600000000 AS BIGINT) AS _hb",
+    ).groupBy("conv_id", "_hb").agg(F.expr("CAST(count(*) AS BIGINT) AS _c"))
+    h = per_h.groupBy("conv_id").agg(
+        F.expr("min(_hb) AS _hb0"),
+        F.expr("max(_hb) AS _hb1"),
+        F.expr("sum(_c * _c) AS _scc"),
+        F.expr("CAST(sum(_c) AS BIGINT) AS _nh"),
+    )
+    nb = "CAST((_hb1 - _hb0 + 1) AS BIGINT)"
+    h = h.selectExpr(
+        "conv_id",
+        f"CAST(({nb} * _scc - _nh * _nh) AS DOUBLE) / CAST(({nb} * _nh) AS DOUBLE) AS fano_hourly",
+    )
+
+    out = fused.join(rr, "conv_id").join(sp, "conv_id").join(h, "conv_id")
+    # restore the exact column order of the pre-fusion join composition
+    return out.select(
+        "conv_id", "n", "slope", "intercept", "r",
+        "n_trans", "n_distinct_trans", "self_loop_ratio", "trans_entropy",
+        "prev_entropy", "cond_entropy",
+        "n_runs", "max_run", "mean_run",
+        "ac_1", "ac_2", "ac_3",
+        "rho",
+        "peak_hour", "peak_frac", "hour_entropy", "night_frac", "weekend_frac",
+        "span_s", "mean_gap_s", "cv_gap", "burstiness", "fano_hourly",
+        "cp_turn", "cp_gap", "cp_stat",
+        "sen_slope", "sen_intercept",
+        "n_pairs", "pair_r",
+        "n_responses", "mean_us", "min_us", "max_us",
+    )
 
 
 def daily_activity(df: DataFrame) -> DataFrame:
