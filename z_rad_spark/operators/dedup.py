@@ -139,22 +139,45 @@ def _band_keys(
 
     distinct=False on the shingles: MIN over md5 hashes is
     duplicate-idempotent, so the shingle-dedup shuffle is pure waste on
-    this path. The band key is the band's minhashes concatenated in
-    permutation order (max-of-case per slot keeps the construction
-    deterministic and reproducible in plain SQL — each (doc, perm) has
-    exactly one row).
+    this path.
+
+    r6 shape: the n_hashes permutation minima are ``n_hashes`` aggregate
+    expressions in ONE groupBy(doc) over the shingle stream, instead of
+    the previous perm-explode (n_hashes x the shingle rows) + a
+    (doc, perm) shuffle + a second (doc, band) shuffle. Each minhash is
+    the same min over the same multiset of (a*h+b) mod P values and the
+    band key concatenates the same minima in the same permutation order,
+    so every emitted (id, band, band_key) row is byte-identical — but
+    the pipeline now shuffles |docs| rows once rather than
+    |docs| x n_hashes rows twice (guide 2.3/2.4).
     """
-    sig = minhash_signature(
-        word_shingles(docs, n, text_col, id_col, distinct=False), n_hashes, id_col
+    ab = minhash_perm_constants(n_hashes)
+    h = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+        .cast("long") % F.lit(MINHASH_P)
+    ).alias("h")
+    base = word_shingles(docs, n, text_col, id_col, distinct=False).select(id_col, h)
+    mins = base.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"_m{p}")
+            for p, (a, b) in enumerate(ab)
+        ]
     )
-    slots = [
-        F.max(F.when(F.col("perm") % band_size == r, F.col("minhash")))
-        for r in range(band_size)
-    ]
-    return (
-        sig.withColumn("band", (F.col("perm") / band_size).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.concat_ws(",", *slots).alias("band_key"))
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bb).cast("int").alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"_m{bb * band_size + r}") for r in range(band_size)],
+                ).alias("band_key"),
+            )
+            for bb in range(n_bands)
+        ]
+    )
+    return mins.select(id_col, F.explode(bands).alias("_bk")).select(
+        id_col, "_bk.band", "_bk.band_key"
     )
 
 
