@@ -75,12 +75,38 @@ def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_signal(load_transcripts(spark, sf_dir), "token_count")
 
 
+#: scan-split counts per (sf_dir, table) — metadata only, cached so each
+#: query build does not re-plan the scan to re-learn the file layout
+_SPLIT_CACHE: dict[tuple[str, str], bool] = {}
+
+
+def _spread(df: DataFrame, key: str, tag: tuple[str, str]) -> DataFrame:
+    """Spread a small scan across the cluster before heavy per-row work.
+
+    A test-scale corpus arrives as ONE parquet split, so every narrow
+    per-row stage (regex normalization, n-gram shingling, the
+    interpreted array folds of the embedding kernels) serializes in a
+    single task regardless of core count. Repartition by the row key
+    ONLY when the scan has fewer splits than the session parallelism —
+    at production scale the input has thousands of splits and no
+    repartition (and no shuffle of the payload) ever fires. Guide §2.5
+    input-skew fix, made scale-adaptive."""
+    need = _SPLIT_CACHE.get(tag)
+    if need is None:
+        spark = df.sparkSession
+        need = df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+        _SPLIT_CACHE[tag] = need
+    return df.repartition(key) if need else df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(d, "doc_id", (sf_dir, "documents"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _spread(e, "vec_id", (sf_dir, "embeddings"))
     return e.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
 
 

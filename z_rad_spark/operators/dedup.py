@@ -59,10 +59,14 @@ def word_shingles(
     # docs before ANY per-doc compute so the regex normalization, the
     # tokenization, and the explode all run across the cluster instead of
     # in one scan task (the \s+ collapse alone is milliseconds per doc —
-    # serialized over a corpus it dominates the whole LSH job).
+    # serialized over a corpus it dominates the whole LSH job). Skip the
+    # shuffle when the input is already at least that parallel (e.g. a
+    # pre-spread scan or a production corpus with thousands of splits).
     n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 2)
+    if docs.rdd.getNumPartitions() >= n_parts:
+        n_parts = None
     toks = (
-        docs.repartition(n_parts, id_col)
+        (docs if n_parts is None else docs.repartition(n_parts, id_col))
         .select(F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("toks"))
         .where(F.size("toks") >= n)
     )

@@ -87,7 +87,10 @@ def pagerank_bipartite(
     # loop reuses one materialization instead of re-deriving the distinct
     # pair set 2K times (the dedup-module cache registry idiom; release
     # with unpersist_intermediates after the final action)
-    edges = edges.persist()
+    # cached pre-partitioned on src (the docstring's production advice):
+    # the K inbox joins then reuse the cached partitioning instead of
+    # re-shuffling the edge table every iteration
+    edges = edges.repartition("src").persist()
     _CACHED_FRAMES.append(edges)
     deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("od")).persist()
     _CACHED_FRAMES.append(deg)

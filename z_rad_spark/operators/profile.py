@@ -227,7 +227,6 @@ def conversation_features(df: DataFrame) -> DataFrame:
     # Fano side (per-hour-bucket pre-aggregate). Members absent for a
     # conversation (no user->assistant pair) keep their NULL-not-zero
     # left-join semantics via count-guarded aggregates.
-    from .sessionize import role_run_stats
     from .sessionize import spearman_trend as _spearman
 
     roles = ("assistant", "system", "tool", "user")
@@ -262,6 +261,8 @@ def conversation_features(df: DataFrame) -> DataFrame:
         "turn_idx",
         "CAST(signal AS DOUBLE) AS _y",
         "(signal IS NOT NULL) AS _sig_nn",
+        "role AS _r",
+        f"CAST(({TSU} - {TSU} % 3600000000) / 3600000000 AS BIGINT) AS _hb",
     )
     gap = "(_ts - _prev)"
     p = p.withColumn(
@@ -324,7 +325,7 @@ def conversation_features(df: DataFrame) -> DataFrame:
         # previous left join against the candidate aggregate)
         f"max(CASE WHEN _ct < _ts_n THEN {cp_struct} END) AS _b",
         # theil_sen collected series (sort_array normalizes collect order)
-        "sort_array(collect_list(named_struct('ts', ts, 'turn_idx', turn_idx, '_y', _y))) AS _a",
+        "sort_array(collect_list(named_struct('ts', ts, 'turn_idx', turn_idx, '_y', _y, '_r', _r, '_hb', _hb))) AS _a",
         # pair_signal_correlation sufficient statistics
         f"CAST(count(CASE WHEN {pcc} THEN 1 END) AS BIGINT) AS _pc_n",
         f"sum(CASE WHEN {pcc} THEN _l1 END) AS _pc_sx",
@@ -370,6 +371,37 @@ def conversation_features(df: DataFrame) -> DataFrame:
     g = g.withColumn(
         "sen_intercept",
         F.expr(f"CASE WHEN {N} >= 2 THEN {med(f'({inner})')} END"),
+    )
+
+    # --- role_run_stats over the collected (ts, turn_idx)-sorted roles:
+    # --- a run boundary is a role change in the stable order, identical to
+    # --- the two-row_number island construction; counts are exact longs
+    L0 = "CAST(0 AS BIGINT)"
+    runs_fold = (
+        "aggregate(transform(_a, s -> s._r), "
+        f"named_struct('prev', CAST(NULL AS STRING), 'cur', {L0}, 'mx', {L0}, 'cnt', {L0}), "
+        "(acc, r) -> CASE WHEN acc.prev IS NULL OR NOT (r <=> acc.prev) "
+        "THEN named_struct('prev', r, 'cur', CAST(1 AS BIGINT), "
+        "'mx', greatest(acc.mx, CAST(1 AS BIGINT)), 'cnt', acc.cnt + 1) "
+        "ELSE named_struct('prev', r, 'cur', acc.cur + 1, "
+        "'mx', greatest(acc.mx, acc.cur + 1), 'cnt', acc.cnt) END)"
+    )
+    g = g.withColumn("_runs", F.expr(runs_fold))
+    # --- arrival_stats hourly-Fano side over the same array: hour buckets
+    # --- are monotone in ts, so same-bucket runs are contiguous and one
+    # --- fold accumulates the exact per-bucket counts' sum of squares
+    scc_fold = (
+        "aggregate(transform(_a, s -> s._hb), "
+        f"named_struct('prev', CAST(NULL AS BIGINT), 'c', {L0}, 'scc', {L0}), "
+        "(acc, b) -> CASE WHEN acc.prev IS NULL OR b != acc.prev "
+        "THEN named_struct('prev', b, 'c', CAST(1 AS BIGINT), 'scc', acc.scc + acc.c * acc.c) "
+        "ELSE named_struct('prev', b, 'c', acc.c + 1, 'scc', acc.scc) END, "
+        "acc -> acc.scc + acc.c * acc.c)"
+    )
+    g = (
+        g.withColumn("_scc", F.expr(scc_fold))
+        .withColumn("_hb0", F.expr("element_at(transform(_a, s -> s._hb), 1)"))
+        .withColumn("_hb1", F.expr("element_at(transform(_a, s -> s._hb), -1)"))
     )
 
     # --- per-member output expressions (verbatim float chains from the
@@ -483,33 +515,29 @@ def conversation_features(df: DataFrame) -> DataFrame:
         "sen_intercept",
         "CASE WHEN _pc_n > 0 THEN _pc_n END AS n_pairs",
         f"CASE WHEN (_pc_n > 1 AND {pc_vx} > 0 AND {pc_vy} > 0) THEN {pc_num} / SQRT({pc_vx} * {pc_vy}) END AS pair_r",
+        "_runs.cnt AS n_runs",
+        "_runs.mx AS max_run",
+        "CAST(_tp_n AS DOUBLE) / CAST(_runs.cnt AS DOUBLE) AS mean_run",
+        "CAST((_hb1 - _hb0 + 1) AS BIGINT) AS _nb",
+        "_scc",
+        "CAST(_tp_n AS BIGINT) AS _nh",
         "CASE WHEN _rl_n > 0 THEN _rl_n END AS n_responses",
         "CASE WHEN _rl_n > 0 THEN CAST(_rl_sum AS DOUBLE) / CAST(_rl_n AS DOUBLE) END AS mean_us",
         "_rl_min AS min_us",
         "_rl_max AS max_us",
     )
+    # fano from the fold outputs: nh = the group row count, so the chain is
+    # the identical exact-integer expression arrival_stats used
+    fused = fused.withColumn(
+        "fano_hourly",
+        F.expr(
+            "CAST((_nb * _scc - _nh * _nh) AS DOUBLE) / CAST((_nb * _nh) AS DOUBLE)"
+        ),
+    ).drop("_nb", "_scc", "_nh")
 
-    rr = role_run_stats(df).drop("n_turns")
     sp = _spearman(df).drop("n")
-    # arrival_stats' hourly Fano side: per-hour-bucket counts, then the
-    # exact-integer per-conversation fold (verbatim from arrival_stats)
-    per_h = df.selectExpr(
-        "conv_id",
-        f"CAST(({TSU} - {TSU} % 3600000000) / 3600000000 AS BIGINT) AS _hb",
-    ).groupBy("conv_id", "_hb").agg(F.expr("CAST(count(*) AS BIGINT) AS _c"))
-    h = per_h.groupBy("conv_id").agg(
-        F.expr("min(_hb) AS _hb0"),
-        F.expr("max(_hb) AS _hb1"),
-        F.expr("sum(_c * _c) AS _scc"),
-        F.expr("CAST(sum(_c) AS BIGINT) AS _nh"),
-    )
-    nb = "CAST((_hb1 - _hb0 + 1) AS BIGINT)"
-    h = h.selectExpr(
-        "conv_id",
-        f"CAST(({nb} * _scc - _nh * _nh) AS DOUBLE) / CAST(({nb} * _nh) AS DOUBLE) AS fano_hourly",
-    )
 
-    out = fused.join(rr, "conv_id").join(sp, "conv_id").join(h, "conv_id")
+    out = fused.join(sp, "conv_id")
     # restore the exact column order of the pre-fusion join composition
     return out.select(
         "conv_id", "n", "slope", "intercept", "r",
