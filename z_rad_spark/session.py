@@ -41,7 +41,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         # Wide feature plans (18-stat algebra, 25-feature texture reducers)
         # generate methods past HotSpot's 8000-bytecode compile limit; by
@@ -49,10 +49,13 @@ def get_spark(
         # queries burning 10-50x CPU in interpreted codegen after enough
         # distinct plans ran in one session. Compile huge methods and give
         # the JIT room; same flags go to executors on a real cluster.
+        # 1g code cache (r6): a long sweep of hundreds of distinct wide
+        # plans fills 512m and the JIT then flushes hot compiled methods —
+        # queries late in a sweep measured ~2x their fresh-session cost.
         .config("spark.driver.extraJavaOptions",
-                "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m")
+                "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=1g")
         .config("spark.executor.extraJavaOptions",
-                "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m")
+                "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=1g")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
