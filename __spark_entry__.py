@@ -72,7 +72,11 @@ DUCK_TOKS = f"string_split({DUCK_NORM_DOC}, ' ')"
 
 
 def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return with_signal(load_transcripts(spark, sf_dir), "token_count")
+    # token_signal=True emits signal as the direct 1+abs(floor(value))%9
+    # arithmetic (provably equal to with_signal's size(split(text)) on the
+    # derived text, and literally the oracles' DUCK_T definition), so
+    # queries that never touch text prune the per-turn string generation
+    return load_transcripts(spark, sf_dir, token_signal=True)
 
 
 #: scan-split counts per (sf_dir, table) — metadata only, cached so each
