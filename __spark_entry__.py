@@ -95,12 +95,18 @@ def _spread(df: DataFrame, key: str, tag: tuple[str, str]) -> DataFrame:
     at production scale the input has thousands of splits and no
     repartition (and no shuffle of the payload) ever fires. Guide §2.5
     input-skew fix, made scale-adaptive."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
     need = _SPLIT_CACHE.get(tag)
     if need is None:
-        spark = df.sparkSession
-        need = df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+        need = df.rdd.getNumPartitions() < par
         _SPLIT_CACHE[tag] = need
-    return df.repartition(key) if need else df
+    # explicit partition count: a bare repartition(key) is byte-based-
+    # coalesced by AQE right back to one partition on small inputs, which
+    # re-serializes the CPU-bound per-row stages this spread exists for
+    # (the extractor's bucket-count lesson); a user-specified count is
+    # never coalesced
+    return df.repartition(2 * par, key) if need else df
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
