@@ -109,14 +109,19 @@ def _spread(df: DataFrame, key: str, tag: tuple[str, str]) -> DataFrame:
     return df.repartition(2 * par, key) if need else df
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return _spread(d, "doc_id", (sf_dir, "documents"))
+    # spread=False for queries whose whole plan is one cheap map-side-
+    # combined aggregation or narrow projection: there the pre-shuffle
+    # only adds an exchange (and at production split counts it is a no-op
+    # anyway — _spread never fires on a multi-split scan)
+    return _spread(d, "doc_id", (sf_dir, "documents")) if spread else d
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _emb(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    e = _spread(e, "vec_id", (sf_dir, "embeddings"))
+    if spread:
+        e = _spread(e, "vec_id", (sf_dir, "embeddings"))
     return e.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
 
 
@@ -1161,7 +1166,7 @@ def q_extract_full(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    return exact_dedup(_docs(spark, sf_dir)).select(
+    return exact_dedup(_docs(spark, sf_dir, spread=False)).select(
         "text_hash", F.col("keep_id").cast("long").alias("keep_id"), "dup_count"
     )
 
@@ -2379,7 +2384,7 @@ def q_ppl_buckets(spark, sf_dir):
     and the gate is a full value hash including the bucket label)."""
     from z_rad_spark.operators.curation import perplexity_buckets
 
-    out = perplexity_buckets(_docs(spark, sf_dir))
+    out = perplexity_buckets(_docs(spark, sf_dir, spread=False))
     out = out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "lang",
@@ -2869,7 +2874,7 @@ def q_shard_pack(spark, sf_dir):
     oracle. Budget 2000 tokens per shard."""
     from z_rad_spark.operators.curation import shard_pack
 
-    docs = _docs(spark, sf_dir).withColumn(
+    docs = _docs(spark, sf_dir, spread=False).withColumn(
         "n_tokens", F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("long")
     )
     out = shard_pack(docs, budget=2000, token_col="n_tokens")
@@ -2889,7 +2894,7 @@ def q_pack_sequences(spark, sf_dir):
     two-pass distributed prefix sum (no global single-task sort)."""
     from z_rad_spark.operators.curation import pack_sequences
 
-    docs = _docs(spark, sf_dir).withColumn(
+    docs = _docs(spark, sf_dir, spread=False).withColumn(
         "n_tokens", F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("long")
     )
     return pack_sequences(docs, context_len=512, token_col="n_tokens")
@@ -3316,7 +3321,7 @@ def q_pca_cov(spark, sf_dir):
     cov = sxy/n - (sx/n)*(sy/n) with a fixed expression shape."""
     from z_rad_spark.operators.similarity import embedding_covariance
 
-    out = embedding_covariance(_emb(spark, sf_dir))
+    out = embedding_covariance(_emb(spark, sf_dir, spread=False))
     out = out.select(
         F.col("i").cast("int").alias("i"),
         F.col("j").cast("int").alias("j"),
@@ -4667,7 +4672,7 @@ def q_kn_ppl(spark, sf_dir):
     q_bigram_lm."""
     from z_rad_spark.operators.curation import kneser_ney_logprob
 
-    out = kneser_ney_logprob(_docs(spark, sf_dir))
+    out = kneser_ney_logprob(_docs(spark, sf_dir, spread=False))
     out = out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "n_tokens",
@@ -5521,7 +5526,7 @@ def q_anisotropy(spark, sf_dir):
     folds, no pair table — oracle-replayable."""
     from z_rad_spark.operators.similarity import anisotropy
 
-    out = anisotropy(_emb(spark, sf_dir))
+    out = anisotropy(_emb(spark, sf_dir, spread=False))
     return _r6(out, ["sum_norm_sq", "mean_cos"])
 
 
