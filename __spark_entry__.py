@@ -2129,7 +2129,7 @@ def q_media_features(spark, sf_dir):
 
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
     media = (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .where(F.col("doc_id") < 96)
         .select(
             F.col("doc_id").cast("long").alias("media_id"),
@@ -2366,7 +2366,7 @@ def q_bigram_lm(spark, sf_dir):
     gate is a full value hash."""
     from z_rad_spark.operators.curation import bigram_logprob
 
-    out = bigram_logprob(_docs(spark, sf_dir))
+    out = bigram_logprob(_docs(spark, sf_dir, spread=False))
     out = out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "n_tokens",
