@@ -53,9 +53,9 @@ def get_spark(
         # plans fills 512m and the JIT then flushes hot compiled methods —
         # queries late in a sweep measured ~2x their fresh-session cost.
         .config("spark.driver.extraJavaOptions",
-                "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=1g")
+                "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=2g")
         .config("spark.executor.extraJavaOptions",
-                "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=1g")
+                "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=2g")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
