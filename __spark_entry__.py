@@ -109,20 +109,39 @@ def _spread(df: DataFrame, key: str, tag: tuple[str, str]) -> DataFrame:
     return df.repartition(2 * par, key) if need else df
 
 
+#: memoized source *plans* (same contract as transcripts._PLAN_CACHE:
+#: immutable unresolved plans keyed by application id — zero materialized
+#: data, every action still computes from parquet)
+_SRC_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # spread=False for queries whose whole plan is one cheap map-side-
-    # combined aggregation or narrow projection: there the pre-shuffle
-    # only adds an exchange (and at production split counts it is a no-op
-    # anyway — _spread never fires on a multi-split scan)
-    return _spread(d, "doc_id", (sf_dir, "documents")) if spread else d
+    key = (spark.sparkContext.applicationId, sf_dir, "docs", spread)
+    d = _SRC_CACHE.get(key)
+    if d is None:
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # spread=False for queries whose whole plan is one cheap map-side-
+        # combined aggregation or narrow projection: there the pre-shuffle
+        # only adds an exchange (and at production split counts it is a no-op
+        # anyway — _spread never fires on a multi-split scan)
+        if spread:
+            d = _spread(d, "doc_id", (sf_dir, "documents"))
+        _SRC_CACHE[key] = d
+    return d
 
 
 def _emb(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    if spread:
-        e = _spread(e, "vec_id", (sf_dir, "embeddings"))
-    return e.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    key = (spark.sparkContext.applicationId, sf_dir, "emb", spread)
+    e = _SRC_CACHE.get(key)
+    if e is None:
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        if spread:
+            e = _spread(e, "vec_id", (sf_dir, "embeddings"))
+        e = e.withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        _SRC_CACHE[key] = e
+    return e
 
 
 def _r6(df: DataFrame, cols: list[str]) -> DataFrame:

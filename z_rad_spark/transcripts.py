@@ -109,12 +109,28 @@ def from_events(
     return events.select(*cols)
 
 
+#: memoized *plans* (unresolved logical plans, zero materialized data),
+#: keyed by Spark application so a restarted session never sees a stale
+#: plan. ~40 bench queries each rebuilt this identical scan+derive chain
+#: from scratch; at ~0.6 s of driver-side py4j construction per build
+#: that was ~25 s of pure plan-building per bench sweep (profiled r6).
+#: Reuse is safe: DataFrames are immutable, every action still computes
+#: from the parquet input, and all cross-frame joins in the entry module
+#: use string keys (no attribute-identity conditions).
+_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_transcripts(
     spark: SparkSession, sf_dir: str, token_signal: bool = False
 ) -> DataFrame:
     """Load the driver's events parquet and derive transcripts."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return from_events(spark, events, token_signal=token_signal)
+    key = (spark.sparkContext.applicationId, sf_dir, token_signal)
+    df = _PLAN_CACHE.get(key)
+    if df is None:
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        df = from_events(spark, events, token_signal=token_signal)
+        _PLAN_CACHE[key] = df
+    return df
 
 
 def read_transcripts(spark: SparkSession, source: str, fmt: str = "parquet") -> DataFrame:
