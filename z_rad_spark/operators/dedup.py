@@ -437,37 +437,53 @@ def connected_components_star(
         return int(row["n"]), int(row["h"])
 
     fp = _fingerprint(edges)
+    # Size the loop's shuffles to the EDGE LIST, not the session default
+    # (guide §2.2 "fewer, larger partitions"): each half-round is 2-3 tiny
+    # shuffles whose per-stage scheduling overhead dominates when the
+    # session partition count (2-3x cores) far exceeds what the edge list
+    # needs. ~2M edge rows (~50 MB) per reduce partition, clamped to the
+    # session setting so a corpus-scale edge list keeps full parallelism.
+    # Results are partitioning-invariant (min/distinct algebra), and the
+    # session value is restored before returning. Measured at sf0.1:
+    # interleaved A/B median 0.75x the round-trip wall.
+    spark = pairs.sparkSession
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = max(1, min(sess_parts, (fp[0] + 1_999_999) // 2_000_000))
     converged = False
-    for _ in range(max_iter):
-        # large-star over the symmetric neighbourhood
-        sym = edges.select("u", "v").unionByName(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
-        mins = mins.select("u", F.least("u", "mn").alias("m"))
-        large = (
-            sym.join(mins, "u")
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .where(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        # small-star on large→small directed edges
-        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
-            large.join(mins2, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
-            .where(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
-        new_fp = _fingerprint(small)
-        edges = small
-        if new_fp == fp:
-            converged = True
-            break
-        fp = new_fp
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        for _ in range(max_iter):
+            # large-star over the symmetric neighbourhood
+            sym = edges.select("u", "v").unionByName(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+            mins = mins.select("u", F.least("u", "mn").alias("m"))
+            large = (
+                sym.join(mins, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            # small-star on large→small directed edges
+            mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+            small = (
+                large.join(mins2, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
+                .where(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            new_fp = _fingerprint(small)
+            edges = small
+            if new_fp == fp:
+                converged = True
+                break
+            fp = new_fp
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not reach a fixpoint in {max_iter} "
