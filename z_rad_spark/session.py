@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
+        # The generated-class cache defaults to 100 entries; a session that
+        # executes many distinct wide plans (this engine's 400+ query
+        # registry; any long-lived analytics service) evicts everything
+        # between repeats, so every re-run pays janino recompilation AND
+        # a cold C2 JIT warm-up per codegen stage — measured 2-4x on the
+        # window-chain queries when a 57-query sweep is repeated. Keep the
+        # compiled classes warm; metaspace cost is a few hundred MB.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         # Wide feature plans (18-stat algebra, 25-feature texture reducers)
         # generate methods past HotSpot's 8000-bytecode compile limit; by
         # default those run INTERPRETED forever — thread dumps showed whole
