@@ -6024,8 +6024,13 @@ def q_dup_threshold_sweep(spark, sf_dir):
     candidates — oracle-replayable."""
     from z_rad_spark.operators.dedup import dup_threshold_sweep
 
+    # spread=False: both shingle consumers repartition internally via
+    # word_shingles' own guard, and the operator's total-doc count then
+    # rides the raw scan instead of paying the spread's 64-way shuffle
+    # of the full docs table just to count rows (the one bench query
+    # still above 1.1x its r5 minimum in the r6 clean-window run).
     out = dup_threshold_sweep(
-        _docs(spark, sf_dir), n=3, n_hashes=8, band_size=4, max_bucket=64
+        _docs(spark, sf_dir, spread=False), n=3, n_hashes=8, band_size=4, max_bucket=64
     )
     return _r6(out, ["doc_share"])
 
