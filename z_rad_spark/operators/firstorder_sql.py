@@ -46,6 +46,27 @@ def _expand(df: DataFrame, spark: SparkSession, cutoffs: Iterable[str]) -> DataF
     return df.join(F.broadcast(grid), F.col("ts") <= F.col("as_of"))
 
 
+#: memoized *plans* for the pure as-of builders (same contract as
+#: transcripts._PLAN_CACHE: no job runs during construction, so nothing
+#: material is ever cached — every action still computes from the
+#: input). Keyed by application id + INPUT FRAME IDENTITY (the stored
+#: input reference is compared with `is`, so a recycled id() can never
+#: alias) + the parameters. stats_asof/hist_asof rebuilt a ~5,000-py4j-
+#: round-trip window chain on every call (~0.5-0.8 s of driver time per
+#: bench pass each, profiled r6).
+_PLAN_MEMO: dict = {}
+
+
+def _memo_plan(kind: str, df: DataFrame, params: tuple, build) -> DataFrame:
+    key = (df.sparkSession.sparkContext.applicationId, kind, id(df), params)
+    hit = _PLAN_MEMO.get(key)
+    if hit is not None and hit[0] is df:
+        return hit[1]
+    out = build()
+    _PLAN_MEMO[key] = (df, out)
+    return out
+
+
 def _lerp(nm: str, qf: float) -> Column:
     """NumPy-convention percentile lerp over order statistics a{nm}/b{nm}
     (same tree as kernels/firstorder._pct_sorted and the SQL oracles)."""
@@ -99,7 +120,22 @@ def stats_asof(
 ) -> DataFrame:
     """18 intensity statistics per (conv_id, as_of), declaratively, from
     the as-of value histogram (see value_histogram_asof for the scale
-    shape and the module docstring for the determinism contract)."""
+    shape and the module docstring for the determinism contract).
+
+    Pure plan construction (no job, no collect), so the built frame is
+    memoized per (application, input frame, cutoffs, signal)."""
+    cutoffs = tuple(cutoffs)
+    return _memo_plan(
+        "stats_asof",
+        df,
+        (cutoffs, signal_col),
+        lambda: _stats_asof_build(df, spark, cutoffs, signal_col),
+    )
+
+
+def _stats_asof_build(
+    df: DataFrame, spark: SparkSession, cutoffs: Iterable[str], signal_col: str
+) -> DataFrame:
     h = value_histogram_asof(df, spark, cutoffs, signal_col)
 
     # Single-consumer window-chained pipeline: every group-level scalar
@@ -288,7 +324,22 @@ def hist_asof(
     Scale shape: rides :func:`fbn_hist_asof`'s compacted histogram path —
     one combine-heavy full-data shuffle, grid amplification bounded by
     (distinct values x cutoffs), no turn expansion (plan-asserted by
-    tests/test_plans.py)."""
+    tests/test_plans.py).
+
+    Pure plan construction (no job, no collect), so the built frame is
+    memoized per (application, input frame, cutoffs, bins, signal)."""
+    cutoffs = tuple(cutoffs)
+    return _memo_plan(
+        "hist_asof",
+        df,
+        (cutoffs, n_bins, signal_col),
+        lambda: _hist_asof_build(df, spark, cutoffs, n_bins, signal_col),
+    )
+
+
+def _hist_asof_build(
+    df: DataFrame, spark: SparkSession, cutoffs: Iterable[str], n_bins: int, signal_col: str
+) -> DataFrame:
     counts = fbn_hist_asof(df, spark, cutoffs, n_bins, signal_col)
     wk = Window.partitionBy(*KEYS)
     wo = Window.partitionBy(*KEYS).orderBy("grey").rowsBetween(Window.unboundedPreceding, 0)
